@@ -1,0 +1,501 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Scalars._
+import graft.sources.Tables._
+
+/** Reference-shaped operators (SURVEY.md §2.3–§2.8) demonstrated on the
+  * driver testdata so the DuckDB oracle can verify them (§7.5).
+  *
+  * Each query is a declarative DataFrame plan — Catalyst handles
+  * pushdown/pruning; small dimension sides are explicitly `broadcast`.
+  * Every query ends in a total-order `orderBy` with unique tie-breaks so
+  * output is deterministic across engines and partition counts.
+  */
+object RefQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.5 scalar suite, each over a synthesized input column ----
+
+    // X1 convert_speed (dags/transform.py:8-29)
+    "q_convert_speed" -> ((s, d) => {
+      val raw = when(col("p_partkey") % 4 === 0, concat(col("p_size").cast("string"), lit("mbps")))
+        .when(col("p_partkey") % 4 === 1, concat(col("p_size").cast("string"), lit("Gbps")))
+        .when(col("p_partkey") % 4 === 2, col("p_size").cast("string"))
+        .otherwise(lit("junk"))
+      part(s, d).select(col("p_partkey"), raw.as("speed_raw"))
+        .withColumn("speed_mbps", parseSpeed(col("speed_raw")))
+        .withColumn("speed_or_num", speedOrNumeric(col("speed_raw")))
+        .orderBy("p_partkey")
+    }),
+
+    // X2 unlimited sentinel (dags/utils.py:31-32)
+    "q_unlimited_sentinel" -> ((s, d) => {
+      val raw = when(col("c_acctbal") < 0, lit("Unlimited").cast("string"))
+        .when(col("c_custkey") % 7 === 0, lit("unlimited"))
+        .otherwise(col("c_custkey").cast("string"))
+      customer(s, d).select(col("c_custkey"), lower(raw).as("raw"))
+        .withColumn("parsed", unlimitedToDouble(col("raw")))
+        .orderBy("c_custkey")
+    }),
+
+    // X3 regex extract with -1 default (dags/viking_class_scraper.py:204-208)
+    "q_regex_extract_default" -> ((s, d) => {
+      val callsText = when(col("p_partkey") % 3 === 0,
+          concat(col("p_size").cast("string"), lit(" minutes + "),
+                 (col("p_partkey") % 50).cast("string"), lit(" texts")))
+        .when(col("p_partkey") % 3 === 1, lit("Unlimited calls"))
+        .otherwise(col("p_name"))
+      part(s, d).select(col("p_partkey"), callsText.as("calls_text"))
+        .withColumn("minutes", regexExtractOrMinus1(col("calls_text"), "(\\d+) minutes"))
+        .withColumn("texts", regexExtractOrMinus1(col("calls_text"), "(\\d+) texts"))
+        .orderBy("p_partkey")
+    }),
+
+    // X4 first-number extract (dags/viking_class_scraper.py:377-379)
+    "q_regex_first_number" -> ((s, d) =>
+      events(s, d).select(col("event_id"), col("props"))
+        .withColumn("first_num", firstNumber(col("props")))
+        .orderBy("event_id")),
+
+    // X5 digit filter (dags/scarlet_scraper.py:238-244)
+    "q_digit_filter" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          concat(col("props"), lit("#"), col("event_id").cast("string")).as("raw"))
+        .withColumn("digits", digitFilter(col("raw")))
+        .orderBy("event_id")),
+
+    // X6 ASCII scrub (dags/viking_scraper.py:164-165)
+    "q_ascii_scrub" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"),
+          concat(lit("€"), col("p_name"), lit(" "), col("p_brand")).as("raw"))
+        .withColumn("scrubbed", asciiScrub(col("raw")))
+        .orderBy("p_partkey")),
+
+    // X7 price normalize + scarlet decimal-concat (dags/viking_class_scraper.py:201,
+    // dags/scarlet_scraper.py:352 — "15"+"99" → 1599.0 is faithful)
+    "q_price_normalize" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+          concat(lit("  "), col("p_size").cast("string"), lit(",-")).as("price_raw"),
+          (col("p_partkey") % 100).cast("string").as("price_dec"),
+          col("p_size").cast("string").as("price_unit"))
+        .withColumn("norm_price", priceNormalize(col("price_raw")))
+        .withColumn("concat_price",
+          decimalConcatPrice(col("price_unit"), col("price_dec")))
+        .drop("price_unit")
+        .orderBy("p_partkey")),
+
+    // X8 case/trim/replace chain (dags/scarlet_scraper.py:50-56)
+    "q_string_chain" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+          regexp_replace(regexp_replace(lower(trim(col("p_name"))), "small", ""), " ", "_")
+            .as("chained"))
+        .orderBy("p_partkey")),
+
+    // X9 name synthesis (dags/viking_class_scraper.py:127,211)
+    "q_concat_name" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+          concat_ws("_", lit("mobile_prepaid"), col("p_brand"),
+            col("p_size").cast("string"), lit("gb")).as("product_name"))
+        .orderBy("p_partkey")),
+
+    // X12 conditional run status (dags/utils.py:56)
+    "q_when_status" -> ((s, d) =>
+      events(s, d)
+        .select(statusOf(when(col("event_type") === "error", lit("boom"))
+          .otherwise(lit("no error"))).as("status"),
+          col("value"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+             (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
+        .orderBy("status")),
+
+    // ---- §2.4 filters ----
+
+    // F1 substring-contains split (dags/viking_class_scraper.py:402-403)
+    "q_filter_contains" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("text").contains("sort merge"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    // F2 equality predicates (dags/bigquery.py:151,243)
+    "q_eq_filter" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // ---- §2.6 joins ----
+
+    // J1 cross-join pack generation (dags/viking_class_scraper.py:389-431):
+    // filtered "mobile" × "internet" sets, concat name, price arithmetic
+    // with a folded scalar discount. BroadcastNestedLoopJoin: both sides
+    // are key-bounded (size-independent of sf), so the cross join is
+    // bounded too — the 100 TB-safe shape for this operator.
+    "q_cross_join_packs" -> ((s, d) => {
+      val p = part(s, d)
+      val mobile = p.filter(col("p_type") === "ECONOMY" && col("p_partkey") < 80)
+        .select(col("p_partkey").as("m_partkey"), col("p_name").as("m_name"),
+                col("p_retailprice").as("m_price"))
+      val internet = p.filter(col("p_type") === "SMALL" && col("p_partkey") < 80)
+        .select(col("p_partkey").as("i_partkey"), col("p_name").as("i_name"),
+                col("p_retailprice").as("i_price"))
+      mobile.crossJoin(broadcast(internet))
+        .select(col("m_partkey"), col("i_partkey"),
+          regexp_replace(concat_ws("_", col("m_name"), col("i_name")), " ", "_").as("pack_name"),
+          ((cents(col("m_price")) + cents(col("i_price")) - lit(500L)).cast("double") / 100)
+            .as("pack_price"))
+        .orderBy("m_partkey", "i_partkey")
+    }),
+
+    // J2 insert-if-absent anti join (dags/bigquery.py:137-157)
+    "q_anti_join_packs" -> ((s, d) => {
+      val existing = orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"))
+      customer(s, d).join(existing, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // J6 semi join / existence probe (dags/bigquery.py:151,243)
+    "q_semi_join" -> ((s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      customer(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // J3 dimension lookup via broadcast equi-join (dags/bigquery.py:243-274)
+    "q_dim_lookup" -> ((s, d) =>
+      supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+        .orderBy("s_suppkey")),
+
+    // J5/A1 top-1-per-key, faithful ASC (oldest row — dags/bigquery.py:295)
+    "q_top1_per_key" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- §2.8 SCD change detection ----
+
+    // Change-vs-previous-version detection: null-safe field compare
+    // (is_different_record, dags/bigquery.py:53-68) as a window over the
+    // version history instead of an N+1 probe loop.
+    "q_scd_change_detect" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev_status").isNotNull &&
+          (!(col("o_orderstatus") <=> col("prev_status")) ||
+           !(col("o_orderpriority") <=> col("prev_priority"))))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_status"),
+          col("o_orderstatus"), col("prev_priority"), col("o_orderpriority"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Full SCD load (load_products_to_bq, dags/bigquery.py:223-333) as a
+    // single set-based job: history current-version (faithful ASC top-1)
+    // vs incoming batch → 'insert' (key absent) / 'version' (differs
+    // null-safely) / drop (unchanged).
+    "q_scd_load" -> ((s, d) => {
+      val o = orders(s, d)
+      val cutoff = lit(java.time.LocalDateTime.of(1999, 1, 1, 0, 0))
+      val wAsc = Window.partitionBy("k").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val hist = o.filter(col("o_orderdate") < cutoff)
+        .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus").as("cur_status"), col("o_orderpriority").as("cur_priority"))
+        .withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+        .select(col("k"), col("cur_status"), col("cur_priority"))
+      val incoming = o.filter(col("o_orderdate") >= cutoff)
+        .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus").as("new_status"), col("o_orderpriority").as("new_priority"))
+        .withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+        .select(col("k"), col("o_orderkey"), col("new_status"), col("new_priority"))
+      incoming.join(hist, Seq("k"), "left")
+        .withColumn("action",
+          when(col("cur_status").isNull && col("cur_priority").isNull, lit("insert"))
+            .when(!(col("new_status") <=> col("cur_status")) ||
+                  !(col("new_priority") <=> col("cur_priority")), lit("version")))
+        .filter(col("action").isNotNull)
+        .select(col("k").as("o_custkey"), col("o_orderkey"), col("action"),
+          col("new_status"), col("new_priority"))
+        .orderBy("o_custkey")
+    }),
+
+    // P1 star-schema split with deterministic sha2 surrogate keys
+    // (prepare_data_for_insertion, dags/bigquery.py:175-220; §7.6): one
+    // flat record fans out into product/feature/price projections chained
+    // by FK surrogate keys, all computed once per row (no shuffle).
+    "q_star_split" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("scraped_at", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .withColumn("competitor_uuid", surrogateKey(col("o_orderstatus")))
+        .withColumn("product_uuid",
+          surrogateKey(col("o_orderstatus"), col("o_orderkey").cast("string")))
+        .withColumn("feature_uuid",
+          surrogateKey(lit("f"), col("o_orderkey").cast("string"), col("scraped_at")))
+        .withColumn("price_uuid",
+          surrogateKey(lit("p"), col("o_orderkey").cast("string"), col("scraped_at")))
+        .select(col("o_orderkey"), col("product_uuid"),
+          concat(lit("order_"), col("o_orderkey").cast("string")).as("product_name"),
+          col("o_orderpriority").as("product_category"),
+          col("o_orderstatus").as("competitor_name"),
+          col("competitor_uuid"), col("feature_uuid"), col("price_uuid"),
+          col("o_totalprice").as("price"), col("scraped_at"))
+        .orderBy("o_orderkey")),
+
+    // U1 union-by-name of heterogeneous sources
+    // (dags/viking_class_scraper.py:351-354; options case §1.2)
+    "q_union_sources" -> ((s, d) => {
+      val a = orders(s, d).select(
+        col("o_orderkey").as("key"),
+        concat(lit("order_"), col("o_orderkey").cast("string")).as("name"),
+        col("o_totalprice").as("price"),
+        lit("orders").as("src"))
+      val b = part(s, d).select(
+        col("p_partkey").as("key"),
+        col("p_name").as("name"),
+        lit("part").as("src"),
+        col("p_type").as("category"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "key")
+    }))
+
+  /** DuckDB-dialect oracle SQL. Notes on portability:
+    * - regexp_replace needs the 'g' flag in DuckDB (Spark replaces all);
+    * - numeric casts mirror the rlike-guarded Spark casts via CASE/TRY_CAST;
+    * - money sums go through integer cents (see Scalars.cents) so double
+    *   results are bit-identical across engines;
+    * - every ORDER BY is total with non-null keys.
+    */
+  val oracle: Map[String, String] = Map(
+    "q_convert_speed" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 4 = 0 THEN CAST(p_size AS VARCHAR) || 'mbps'
+        |         WHEN p_partkey % 4 = 1 THEN CAST(p_size AS VARCHAR) || 'Gbps'
+        |         WHEN p_partkey % 4 = 2 THEN CAST(p_size AS VARCHAR)
+        |         ELSE 'junk' END AS speed_raw
+        |  FROM part)
+        |SELECT p_partkey, speed_raw,
+        |  CASE WHEN regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 1) <> ''
+        |       THEN TRY_CAST(regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 1) AS DOUBLE)
+        |            * (CASE WHEN lower(regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 2)) = 'gbps'
+        |               THEN 1000.0 ELSE 1.0 END)
+        |       END AS speed_mbps,
+        |  COALESCE(
+        |    CASE WHEN regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 1) <> ''
+        |         THEN TRY_CAST(regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 1) AS DOUBLE)
+        |              * (CASE WHEN lower(regexp_extract(speed_raw, '^(\d+)((?i:mbps|gbps))', 2)) = 'gbps'
+        |                 THEN 1000.0 ELSE 1.0 END) END,
+        |    CASE WHEN regexp_matches(speed_raw, '^-?\d+(\.\d+)?$')
+        |         THEN CAST(CAST(TRY_CAST(speed_raw AS DOUBLE) AS BIGINT) AS DOUBLE) END
+        |  ) AS speed_or_num
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_unlimited_sentinel" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    lower(CASE WHEN c_acctbal < 0 THEN 'Unlimited'
+        |               WHEN c_custkey % 7 = 0 THEN 'unlimited'
+        |               ELSE CAST(c_custkey AS VARCHAR) END) AS raw
+        |  FROM customer)
+        |SELECT c_custkey, raw,
+        |  CASE WHEN lower(raw) = 'unlimited' THEN -1.0
+        |       WHEN regexp_matches(raw, '^-?\d+(\.\d+)?$') THEN TRY_CAST(raw AS DOUBLE)
+        |       END AS parsed
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_regex_extract_default" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0
+        |           THEN CAST(p_size AS VARCHAR) || ' minutes + ' || CAST(p_partkey % 50 AS VARCHAR) || ' texts'
+        |         WHEN p_partkey % 3 = 1 THEN 'Unlimited calls'
+        |         ELSE p_name END AS calls_text
+        |  FROM part)
+        |SELECT p_partkey, calls_text,
+        |  COALESCE(TRY_CAST(NULLIF(regexp_extract(calls_text, '(\d+) minutes', 1), '') AS DOUBLE), -1.0) AS minutes,
+        |  COALESCE(TRY_CAST(NULLIF(regexp_extract(calls_text, '(\d+) texts', 1), '') AS DOUBLE), -1.0) AS texts
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_regex_first_number" ->
+      """SELECT event_id, props,
+        |  TRY_CAST(NULLIF(regexp_extract(props, '(\d+)', 1), '') AS BIGINT) AS first_num
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_digit_filter" ->
+      """WITH t AS (
+        |  SELECT event_id, props || '#' || CAST(event_id AS VARCHAR) AS raw FROM events)
+        |SELECT event_id, raw,
+        |  TRY_CAST(NULLIF(regexp_replace(raw, '[^0-9]', '', 'g'), '') AS BIGINT) AS digits
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_ascii_scrub" ->
+      """WITH t AS (
+        |  SELECT p_partkey, chr(8364) || p_name || chr(160) || p_brand AS raw FROM part)
+        |SELECT p_partkey, raw,
+        |  regexp_replace(raw, '[^\x00-\x7F]', '', 'g') AS scrubbed
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_price_normalize" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    '  ' || CAST(p_size AS VARCHAR) || ',-' AS price_raw,
+        |    CAST(p_partkey % 100 AS VARCHAR) AS price_dec,
+        |    CAST(p_size AS VARCHAR) AS price_unit
+        |  FROM part)
+        |SELECT p_partkey, price_raw, price_dec,
+        |  CASE WHEN regexp_matches(replace(trim(price_raw), ',-', ''), '^-?\d+(\.\d+)?$')
+        |       THEN TRY_CAST(replace(trim(price_raw), ',-', '') AS DOUBLE) END AS norm_price,
+        |  CASE WHEN regexp_matches(price_unit || price_dec, '^-?\d+(\.\d+)?$')
+        |       THEN TRY_CAST(price_unit || price_dec AS DOUBLE) END AS concat_price
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    "q_string_chain" ->
+      """SELECT p_partkey,
+        |  replace(replace(lower(trim(p_name)), 'small', ''), ' ', '_') AS chained
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_concat_name" ->
+      """SELECT p_partkey,
+        |  concat_ws('_', 'mobile_prepaid', p_brand, CAST(p_size AS VARCHAR), 'gb') AS product_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_when_status" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN (CASE WHEN event_type = 'error' THEN 'boom' ELSE 'no error' END) = 'no error'
+        |              THEN 'success' ELSE 'failed' END AS status,
+        |         value FROM events)
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM t GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_filter_contains" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE text LIKE '%sort merge%' ORDER BY doc_id""".stripMargin,
+
+    "q_eq_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_cross_join_packs" ->
+      """WITH mobile AS (
+        |  SELECT p_partkey AS m_partkey, p_name AS m_name, p_retailprice AS m_price
+        |  FROM part WHERE p_type = 'ECONOMY' AND p_partkey < 80),
+        |internet AS (
+        |  SELECT p_partkey AS i_partkey, p_name AS i_name, p_retailprice AS i_price
+        |  FROM part WHERE p_type = 'SMALL' AND p_partkey < 80)
+        |SELECT m_partkey, i_partkey,
+        |  regexp_replace(concat_ws('_', m_name, i_name), ' ', '_', 'g') AS pack_name,
+        |  CAST(CAST(ROUND(m_price * 100) AS BIGINT) + CAST(ROUND(i_price * 100) AS BIGINT) - 500 AS DOUBLE) / 100 AS pack_price
+        |FROM mobile CROSS JOIN internet
+        |ORDER BY m_partkey, i_partkey""".stripMargin,
+
+    "q_anti_join_packs" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dim_lookup" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_top1_per_key" ->
+      """WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date, o_totalprice
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_scd_change_detect" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |    lag(o_orderstatus) OVER w AS prev_status,
+        |    lag(o_orderpriority) OVER w AS prev_priority
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
+        |SELECT o_custkey, o_orderkey, prev_status, o_orderstatus, prev_priority, o_orderpriority
+        |FROM r
+        |WHERE prev_status IS NOT NULL
+        |  AND (o_orderstatus IS DISTINCT FROM prev_status
+        |       OR o_orderpriority IS DISTINCT FROM prev_priority)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_scd_load" ->
+      """WITH hist AS (
+        |  SELECT k, cur_status, cur_priority FROM (
+        |    SELECT o_custkey AS k, o_orderstatus AS cur_status, o_orderpriority AS cur_priority,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+        |  WHERE rn = 1),
+        |incoming AS (
+        |  SELECT k, o_orderkey, new_status, new_priority FROM (
+        |    SELECT o_custkey AS k, o_orderkey, o_orderstatus AS new_status, o_orderpriority AS new_priority,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT i.k AS o_custkey, i.o_orderkey,
+        |  CASE WHEN h.cur_status IS NULL AND h.cur_priority IS NULL THEN 'insert'
+        |       WHEN i.new_status IS DISTINCT FROM h.cur_status
+        |            OR i.new_priority IS DISTINCT FROM h.cur_priority THEN 'version' END AS action,
+        |  i.new_status, i.new_priority
+        |FROM incoming i LEFT JOIN hist h ON i.k = h.k
+        |WHERE (CASE WHEN h.cur_status IS NULL AND h.cur_priority IS NULL THEN 'insert'
+        |            WHEN i.new_status IS DISTINCT FROM h.cur_status
+        |                 OR i.new_priority IS DISTINCT FROM h.cur_priority THEN 'version' END) IS NOT NULL
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_star_split" ->
+      """SELECT o_orderkey,
+        |  sha256(o_orderstatus || '|' || CAST(o_orderkey AS VARCHAR)) AS product_uuid,
+        |  'order_' || CAST(o_orderkey AS VARCHAR) AS product_name,
+        |  o_orderpriority AS product_category,
+        |  o_orderstatus AS competitor_name,
+        |  sha256(o_orderstatus) AS competitor_uuid,
+        |  sha256('f' || '|' || CAST(o_orderkey AS VARCHAR) || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS feature_uuid,
+        |  sha256('p' || '|' || CAST(o_orderkey AS VARCHAR) || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS price_uuid,
+        |  o_totalprice AS price,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS scraped_at
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_union_sources" ->
+      """SELECT key, name, price, src, category FROM (
+        |  SELECT o_orderkey AS key, 'order_' || CAST(o_orderkey AS VARCHAR) AS name,
+        |         o_totalprice AS price, 'orders' AS src, CAST(NULL AS VARCHAR) AS category
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT p_partkey AS key, p_name AS name, CAST(NULL AS DOUBLE) AS price,
+        |         'part' AS src, p_type AS category
+        |  FROM part)
+        |ORDER BY src, key""".stripMargin)
+}

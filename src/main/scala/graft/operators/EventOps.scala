@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Scalars.cents
+import graft.sources.Tables._
+
+/** Event-stream analytics in batch form (SURVEY.md §2.12 E7/E8).
+  *
+  * The same plans are Structured-Streaming-ready: the tumbling-window agg
+  * maps to `window(ts, '1 hour')` + watermark, sessionization to
+  * `session_window` / `flatMapGroupsWithState` (see graft.streaming).
+  * Batch form is what the DuckDB oracle can verify.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // E7 JSON scalar extraction over events.props
+    "q_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // E8 tumbling-window aggregation (hourly): partial agg map-side, one
+    // shuffle keyed on (hour, type) — O(windows) shuffle volume at scale.
+    "q_event_window" -> ((s, d) =>
+      events(s, d)
+        // string-typed window label: keeps the output schema identical
+        // across engines (NTZ vs instant timestamp encodings differ)
+        .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // E8 sessionization: 30-min-gap sessions via lag + running sum —
+    // one shuffle on user_id, then narrow window ops within partitions.
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val epoch = floor(unix_timestamp(col("ts").cast("timestamp")))
+      events(s, d)
+        .withColumn("prev_epoch", lag(epoch, 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_epoch").isNull || (epoch - col("prev_epoch")) >= 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          (sum(cents(col("value"))).cast("double") / 100).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_id, event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events GROUP BY 1, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+        |    lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_epoch IS NULL OR ep - prev_epoch >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.12 E6 / builder mandate).
+  *
+  * Media are opaque `binary` columns + typed metadata, processed
+  * per-partition in batches (the Scala analogue of `mapInPandas`): the
+  * executor-side iterator never materializes a partition, decode work is
+  * amortized per batch, and the output schema is fixed so Catalyst can
+  * plan around the black box.
+  *
+  * The DECODE ITSELF IS A DETERMINISTIC STUB — this container has no
+  * image/audio codecs. `decodeStub` stands in for e.g. a JPEG decoder:
+  * it derives pseudo width/height/format from payload bytes. Swap
+  * [[MediaDecoder.decode]] for a real codec binding in production; all
+  * Spark-side plumbing (schema, partitioning, batch shape) is real and
+  * tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  case class MediaMeta(
+    doc_id: Long,
+    media_source: String,
+    byte_len: Long,
+    width: Int,
+    height: Int,
+    format: String)
+
+  trait MediaDecoder extends Serializable {
+    /** Decode one payload into (width, height, format). */
+    def decode(payload: Array[Byte]): (Int, Int, String)
+  }
+
+  /** Deterministic fake decode: metadata derived from payload content
+    * only (stable across runs/partitionings). A real implementation
+    * would parse the container header here. */
+  object decodeStub extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, String) = {
+      val h = java.util.Arrays.hashCode(payload)
+      val w = 160 + math.floorMod(h, 8) * 160          // 160..1280
+      val ht = 120 + math.floorMod(h >> 3, 8) * 120    // 120..960
+      val fmt = if (math.floorMod(h, 2) == 0) "jpeg" else "png"
+      (w, ht, fmt)
+    }
+  }
+
+  /** Batched per-partition metadata extraction over a DataFrame of
+    * (doc_id long, payload binary, media_source string). */
+  def extractMeta(df: DataFrame, decoder: MediaDecoder = decodeStub,
+                  batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaMeta] = df
+      .select(col("doc_id").cast("long"), col("payload"), col("media_source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a real decoder would amortize setup
+          batch.iterator.map { case (id, payload, src) =>
+            val (w, h, fmt) = decoder.decode(payload)
+            MediaMeta(id, src, payload.length.toLong, w, h, fmt)
+          }
+        }
+      }
+    ds.toDF()
+  }
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Text-analysis + deduplication operators for training-data pipelines
+  * (SURVEY.md §2.12 E1–E3, E5).
+  *
+  * Scale design:
+  * - tokenization stays inside whole-stage codegen (split/explode/HOFs,
+  *   no UDFs); per-doc stats are narrow (zero shuffle);
+  * - exact dedup = one hash-aggregate / ranking window on the dup key;
+  * - n-gram Jaccard joins on token (co-grouped by the join key, skew
+  *   bounded by stopword-ish tokens — at 100 TB you'd drop top-df tokens
+  *   first, which is also semantically standard);
+  * - MinHash-LSH emits band buckets (O(n·bands)) instead of the O(n²)
+  *   candidate cross-product; pair expansion happens per-bucket.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct lowercase word tokens per doc, empty tokens dropped. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")))
+          .as("token"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  val queries: Map[String, Q] = Map(
+    // E5 token counting (corpus term frequencies)
+    "q_token_counts" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token").asc)),
+
+    // E5 per-document quality scoring (length/stopword/token stats)
+    "q_text_quality" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val stops = filter(toks, t => t.isInCollection(stopwords))
+      documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_stop", size(stops).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          when(col("n_tokens") >= 60, "long")
+            .when(col("n_tokens") >= 25, "medium").otherwise("short").as("length_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // E5 language-ID heuristic (stopword-hit voting; the testdata corpus
+    // is synthetic English-ish for all langs, so this demonstrates the
+    // operator shape, not a trained model)
+    "q_lang_id" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("guess",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr")
+            .otherwise("und"))
+        .select(col("doc_id"), col("lang"), col("guess"),
+          (col("guess") === col("lang")).as("hit"))
+        .orderBy("doc_id")),
+
+    // E5 document fingerprinting: md5 over normalized text (deterministic
+    // cross-engine; xxhash64 is Spark-only so not oracle-comparable)
+    "q_doc_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // E1 exact dedup: keep the earliest (ts, event_id) row per
+    // (user_id, event_type) — ranking-window form of dropDuplicates
+    // (deterministic, unlike dropDuplicates' arbitrary row pick)
+    "q_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // E3 n-gram (token-set) Jaccard near-dup pairs within each source
+    "q_dedup_fuzzy" -> ((s, d) => {
+      val t = tokens(documents(s, d))
+      val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val t1 = t.select(col("source"), col("doc_id").as("d1"), col("token"))
+      val t2 = t.select(col("source"), col("doc_id").as("d2"), col("token"))
+      val inter = t1.join(t2, Seq("source", "token"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("source", "d1", "d2")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("source"), col("d1"), col("d2"), col("inter"),
+          (col("sz1") + col("sz2") - col("inter")).as("uni"), col("jaccard"))
+        .orderBy("source", "d1", "d2")
+    }),
+
+    // E3 MinHash-LSH banding: 8 portable min-hashes (lexicographic min of
+    // seeded md5 — identical in any engine), 4 bands × 2 rows; emits
+    // band-bucket stats (the scale-safe artifact; per-bucket pair
+    // expansion is the follow-on narrow job)
+    "q_minhash_lsh" -> ((s, d) => {
+      val t = tokens(documents(s, d))
+      val sigs = (0 until 8).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("token")))).as(s"h$i"))
+      val sig = t.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+      val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_key"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+      bands.groupBy("band_id", "band_key")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("band_id", "band_key")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_token_counts" ->
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+        |  CASE WHEN n_tokens >= 60 THEN 'long' WHEN n_tokens >= 25 THEN 'medium'
+        |       ELSE 'short' END AS length_bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN text LIKE '% the %' THEN 'en'
+        |       WHEN text LIKE '% der %' THEN 'de'
+        |       WHEN text LIKE '% le %' THEN 'fr'
+        |       ELSE 'und' END AS guess,
+        |  (CASE WHEN text LIKE '% the %' THEN 'en'
+        |        WHEN text LIKE '% der %' THEN 'de'
+        |        WHEN text LIKE '% le %' THEN 'fr'
+        |        ELSE 'und' END) = lang AS hit
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts ASC, event_id ASC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_fuzzy" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id)
+        |SELECT i.source, i.d1, i.d2, i.inter,
+        |  s1.sz + s2.sz - i.inter AS uni,
+        |  ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+        |FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+        |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
+        |ORDER BY i.source, i.d1, i.d2""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0|' || token)) AS h0, MIN(md5('1|' || token)) AS h1,
+        |    MIN(md5('2|' || token)) AS h2, MIN(md5('3|' || token)) AS h3,
+        |    MIN(md5('4|' || token)) AS h4, MIN(md5('5|' || token)) AS h5,
+        |    MIN(md5('6|' || token)) AS h6, MIN(md5('7|' || token)) AS h7
+        |  FROM tok2 GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)
+        |SELECT band_id, band_key, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM bands GROUP BY band_id, band_key
+        |HAVING COUNT(*) > 1
+        |ORDER BY band_id, band_key""".stripMargin)
+}

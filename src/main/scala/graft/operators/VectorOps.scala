@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Embedding similarity search (SURVEY.md §2.12 E4/E6) + sketches (E2).
+  *
+  * Scale design:
+  * - brute-force top-k: broadcast the (small) query set, stream the
+  *   candidate corpus — no shuffle except the final per-query top-k,
+  *   which is O(queries × k) rows;
+  * - the dot product uses higher-order functions over array<double>
+  *   (codegen'd, no UDF). Cast float→double BEFORE multiplying so
+  *   per-element products are IEEE-double and the left-to-right fold is
+  *   bit-identical to the oracle's;
+  * - LSH variant: random-hyperplane signs via seeded md5 → bucket join,
+  *   turning O(n·q) into O(n + collisions) at cluster scale.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-to-right fold dot product over array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  val queries: Map[String, Q] = Map(
+    // E4 brute-force cosine top-k (baseline; exact)
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        // long rank: row_number is int32 in Spark, int64 in DuckDB
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // E4 scale path: LSH bucketing by hyperplane-sign sketch over 4
+    // deterministic pseudo-hyperplanes (sign of sum of md5-seeded
+    // ±1 weights × components — portable across engines). Emits bucket
+    // occupancy; candidate generation joins within buckets only.
+    "q_ann_buckets" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // component i weight for plane p: +1 if md5("p|i") starts 0-7 else -1
+      def planeSig(p: Int): Column = {
+        val terms = (0 until 64).map { i =>
+          val w = if (Integer.parseInt(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$p|$i".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString,
+            16) < 128) 1.0 else -1.0
+          element_at(col("v"), i + 1) * lit(w)
+        }
+        when(terms.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+      }
+      emb.withColumn("bucket",
+          concat_ws("", (0 until 4).map(p => planeSig(p).cast("string")): _*))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+        .orderBy("bucket")
+    }),
+
+    // E2 approx distinct count (HLL++). Implementation-specific values →
+    // no DuckDB oracle (driver records rows-only check); correctness vs
+    // exact count is asserted in the ScalaTest spec instead.
+    "q_approx_distinct" -> ((s, d) =>
+      events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // E6/multimodal: opaque binary payload + typed metadata. The decode
+    // itself is a deterministic stub (no image/audio libs in-container —
+    // see graft.operators.Multimodal for the mapPartitions plumbing);
+    // the Spark-side schema/partitioning/batching is real.
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.extractMeta(
+          documents(s, d).select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            col("source").as("media_source")))
+        .orderBy("doc_id")))
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS vid,
+        |    (SELECT SUM(q.qv[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i))
+        |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i)))
+        |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i)))) AS score
+        |  FROM emb e, q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+}

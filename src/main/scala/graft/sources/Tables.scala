@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver testdata (TESTDATA.md) and generic NDJSON/JSON
+  * sources (SURVEY.md §2.1 S1/S2).
+  *
+  * Parquet scans here are the leaves of every query plan; keeping them
+  * bare `spark.read.parquet` (no cache, no repartition) lets Catalyst
+  * push filters and prune columns into the scan — verify with
+  * `.explain`: `PushedFilters: [...]`, `ReadSchema` minimal.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long (legacy mode) and rebuild a
+    * microsecond TimestampNTZ (the testdata is µs-precision, so the
+    * ns→µs truncation is lossless). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** S2 NDJSON scan (dags/utils.py:81-84): line-delimited is Spark's
+    * default JSON mode; explicit schema avoids an inference pass. */
+  def ndjson(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+             path: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S1 raw JSON scan (dags/transform.py:32-49): whole-file JSON with a
+    * single wrapper key, unwrapped by exploding the array. */
+  def wrappedJson(spark: SparkSession, header: String, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("multiLine", value = true).json(path)
+      .select(explode(col(header)).as("r"))
+      .select(col("r.*"))
+  }
+}
