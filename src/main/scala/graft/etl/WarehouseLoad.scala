@@ -1,0 +1,170 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Scalars.surrogateKey
+
+/** Warehouse load (SURVEY.md §2.8): the reference's flagship
+  * change-detecting star-schema load, re-expressed as ~5 set-level jobs
+  * instead of up-to-3-point-SELECTs-per-record (dags/bigquery.py:223-333).
+  *
+  * Faithful semantics preserved:
+  * - new-competitor fast path loads the whole batch with no probes
+  *   (dags/bigquery.py:247-272);
+  * - "current version" is the OLDEST row (`ORDER BY scraped_at` ASC
+  *   LIMIT 1 — dags/bigquery.py:295,315; almost certainly a reference
+  *   bug, kept as default, see [[orderDesc]]);
+  * - field compare ignores scraped_at + uuid columns and is null-safe
+  *   the way Python `!=` is (None == None → no change) — `<=>` here
+  *   (dags/bigquery.py:53-68);
+  * - a feature change stages BOTH a feature version and a price row
+  *   bound to the product's stored feature_uuid (the post-mutation
+  *   aliasing of price_data at dags/bigquery.py:311-312), and the price
+  *   branch can stage a second, identical price row — kept faithfully;
+  * - products keep their original feature_uuid forever (never updated).
+  *
+  * Documented deviation (SURVEY §7.6): uuid4 surrogates are replaced by
+  * deterministic sha2 keys so re-runs are idempotent and outputs
+  * oracle-comparable.
+  *
+  * Scale: competitors is a tiny dim → broadcast joins; features/prices
+  * current-version extraction is one ranking window partitioned by the
+  * probe key (shuffle on key, no driver loops); every stage is a
+  * DataFrame the caller appends to parquet tables.
+  */
+object WarehouseLoad {
+
+  /** Rows staged for append, one DataFrame per warehouse table. */
+  case class Delta(competitors: DataFrame, products: DataFrame,
+                   features: DataFrame, prices: DataFrame)
+
+  /** Current snapshot of the warehouse (empty DFs for a fresh one). */
+  case class State(competitors: DataFrame, products: DataFrame,
+                   features: DataFrame, prices: DataFrame, packs: DataFrame)
+
+  /** `ORDER BY scraped_at` direction for the "current version" probe.
+    * false = faithful reference ASC (oldest); true = the fix (newest). */
+  var orderDesc: Boolean = false
+
+  private def top1(df: DataFrame, key: String): DataFrame = {
+    val ord = if (orderDesc) col("scraped_at").desc else col("scraped_at").asc
+    val w = Window.partitionBy(key).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def differs(pairs: Seq[(Column, Column)]): Column =
+    pairs.map { case (a, b) => !(a <=> b) }.reduce(_ || _)
+
+  /** Stage the full product/feature/price load for one cleaned-products
+    * batch (one competitor, schema Schemas.cleanProduct with DateType
+    * scraped_at). Pure function: returns the Delta to append. */
+  def stageProducts(state: State, batch: DataFrame): Delta = {
+    val b = batch
+      .withColumn("competitor_uuid_new", surrogateKey(lit("c"), col("competitor_name")))
+
+    // J3 dim lookup (broadcast — competitors is tiny)
+    val withDim = b.join(
+      broadcast(state.competitors.select(col("competitor_name"),
+        col("competitor_uuid").as("competitor_uuid_old"))),
+      Seq("competitor_name"), "left")
+    val resolved = withDim
+      .withColumn("competitor_uuid",
+        coalesce(col("competitor_uuid_old"), col("competitor_uuid_new")))
+      .withColumn("is_new_competitor", col("competitor_uuid_old").isNull)
+      .drop("competitor_uuid_old", "competitor_uuid_new")
+
+    val newCompetitors = resolved.filter(col("is_new_competitor"))
+      .groupBy("competitor_name", "competitor_uuid")
+      .agg(min(col("scraped_at")).as("created_at"))
+      .select("competitor_uuid", "competitor_name", "created_at")
+
+    // J4 product existence probe (left join on (competitor_uuid, product_name));
+    // new competitor ⇒ fast path (no probe can match)
+    val probed = resolved.join(
+      state.products.select(col("competitor_uuid"), col("product_name"),
+        col("product_uuid").as("existing_product_uuid"),
+        col("feature_uuid").as("stored_feature_uuid")),
+      Seq("competitor_uuid", "product_name"), "left")
+
+    val scrapedStr = date_format(col("scraped_at"), "yyyy-MM-dd")
+    val staged = probed
+      .withColumn("product_uuid",
+        coalesce(col("existing_product_uuid"),
+          surrogateKey(lit("pr"), col("competitor_uuid"), col("product_name"))))
+      .withColumn("feature_uuid", surrogateKey(lit("f"), col("product_uuid"), scrapedStr))
+
+    val isNewProduct = col("existing_product_uuid").isNull
+
+    val newProducts = staged.filter(isNewProduct).select(
+      col("product_uuid"), col("product_name"), col("product_category"),
+      col("competitor_name"), col("competitor_uuid"), col("feature_uuid"),
+      col("scraped_at"))
+
+    // J5 current feature version per product (faithful ASC top-1)
+    val curFeature = top1(state.features, "product_uuid").select(
+      col("product_uuid"),
+      col("product_name").as("cur_product_name"), col("product_url").as("cur_product_url"),
+      col("data").as("cur_data"), col("minutes").as("cur_minutes"),
+      col("sms").as("cur_sms"), col("upload_speed").as("cur_upload"),
+      col("download_speed").as("cur_download"))
+
+    val existing = staged.filter(!isNewProduct)
+      .join(curFeature, Seq("product_uuid"), "left")
+    val featureChanged = col("cur_product_name").isNull || differs(Seq(
+      col("cur_product_name") -> col("product_name"),
+      col("cur_product_url") -> col("product_url"),
+      col("cur_data") -> col("data"),
+      col("cur_minutes") -> col("minutes"),
+      col("cur_sms") -> col("sms"),
+      col("cur_upload") -> col("upload_speed"),
+      col("cur_download") -> col("download_speed")))
+    val changedFeatures = existing.filter(featureChanged)
+
+    val featureCols = (df: DataFrame) => df.select(
+      col("feature_uuid"), col("product_uuid"), col("product_name"),
+      col("product_url"), col("scraped_at"), col("data"), col("minutes"),
+      col("sms"), col("upload_speed"), col("download_speed"))
+    val newFeatures = featureCols(staged.filter(isNewProduct))
+      .unionByName(featureCols(changedFeatures))
+
+    // prices: new products bind to the fresh feature_uuid; existing
+    // products bind to the product's STORED feature_uuid (the
+    // price_data["feature_uuid"] rebind, dags/bigquery.py:311-312)
+    val priceOf = (df: DataFrame, fk: Column) => df.select(
+      surrogateKey(lit("pc"), fk, scrapedStr).as("price_uuid"),
+      fk.as("feature_uuid"), col("price"), col("scraped_at"))
+
+    val newProductPrices = priceOf(staged.filter(isNewProduct), col("feature_uuid"))
+    // feature-change branch price row (aliased to stored feature_uuid)
+    val featureChangePrices = priceOf(changedFeatures, col("stored_feature_uuid"))
+
+    // J5 current price per stored feature_uuid + compare on price only
+    val curPrice = top1(state.prices, "feature_uuid")
+      .select(col("feature_uuid").as("stored_feature_uuid"), col("price").as("cur_price"))
+    val priceProbe = existing.join(curPrice, Seq("stored_feature_uuid"), "left")
+    val priceChanged = col("cur_price").isNull || !(col("cur_price") <=> col("price"))
+    val changedPrices = priceOf(priceProbe.filter(priceChanged), col("stored_feature_uuid"))
+
+    Delta(
+      competitors = newCompetitors,
+      products = newProducts,
+      features = newFeatures,
+      prices = newProductPrices.unionByName(featureChangePrices).unionByName(changedPrices))
+  }
+
+  /** J2 insert-if-absent for packs (load_packs_to_bq,
+    * dags/bigquery.py:137-157): anti-join on (competitor_name, pack_name). */
+  def stagePacks(state: State, batch: DataFrame): DataFrame =
+    batch
+      .join(state.packs.select("competitor_name", "pack_name"),
+        Seq("competitor_name", "pack_name"), "left_anti")
+      .select(col("competitor_name"), col("pack_name"), col("pack_url"),
+        col("pack_description"), col("price"), col("scraped_at"),
+        lit(null).cast("string").as("mobile_product_name"),
+        lit(null).cast("string").as("internet_product_name"))
+
+  /** K6 unconditional log append (load_logs_to_bq, dags/bigquery.py:160-172). */
+  def stageLogs(batch: DataFrame): DataFrame =
+    batch.select("competitor_name", "scraped_at", "error_details", "status")
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, VectorOps}
+
+/** Specs for the oracle-less operators (SparkEntry.oracleSql omissions):
+  * correctness asserted here instead of by the DuckDB hash-compare. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct within 10% of exact per event_type") {
+    val approx = VectorOps.queries("q_approx_distinct")(spark, sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.10).toLong),
+        s"$k approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("multimodal metadata: deterministic across partitionings, schema fixed") {
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source").as("media_source"))
+    val a = Multimodal.extractMeta(df).orderBy("doc_id").collect()
+    val b = Multimodal.extractMeta(df.repartition(7), batchSize = 3)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq) // content-derived, partitioning-independent
+    assert(a.length === df.count())
+    val m = a(0)
+    assert(m.schema.fieldNames.toSeq ===
+      Seq("doc_id", "media_source", "byte_len", "width", "height", "format"))
+    assert(Seq("jpeg", "png").contains(m.getAs[String]("format")))
+    assert(m.getAs[Int]("width") >= 160 && m.getAs[Int]("height") >= 120)
+  }
+
+  test("ann bucket sketch: every vector lands in exactly one bucket") {
+    val buckets = VectorOps.queries("q_ann_buckets")(spark, sf)
+    val total = buckets.agg(sum("n_vecs")).as[Long].collect()(0)
+    val nVec = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total === nVec)
+    // bucket ids are 4-bit sign patterns
+    assert(buckets.select("bucket").as[String].collect().forall(_.matches("[01]{4}")))
+  }
+
+  test("cosine top-k ranks are exact against a driver-side model") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = VectorOps.queries("q_cosine_topk")(spark, sf)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      val expected = emb.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(3).map(_._1)
+      assert(got(q) === expected, s"query $q")
+    }
+  }
+}
