@@ -90,24 +90,51 @@ object TextOps {
         .orderBy("user_id", "event_type")
     }),
 
-    // E3 n-gram (token-set) Jaccard near-dup pairs within each source
+    // E3 n-gram (token-set) Jaccard near-dup pairs within each source.
+    // Blocking key = "source" (LSH — q_minhash_lsh — is the blocking
+    // strategy when no natural key exists). Token sets are
+    // dictionary-encoded into long-word bitmasks, so the per-pair
+    // intersection is popcount(AND) over a handful of longs — integer
+    // codegen instead of per-pair hash-set builds. The dictionary is a
+    // tiny distinct job (vocab ≪ corpus) broadcast back to the docs.
     "q_dedup_fuzzy" -> ((s, d) => {
-      val t = tokens(documents(s, d))
-      val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val t1 = t.select(col("source"), col("doc_id").as("d1"), col("token"))
-      val t2 = t.select(col("source"), col("doc_id").as("d2"), col("token"))
-      val inter = t1.join(t2, Seq("source", "token"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("source", "d1", "d2")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+      val dt = documents(s, d).select(col("source"), col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
+      // vocabulary dictionary: token -> dense bit index (deterministic)
+      val vocab = dt.select(explode(col("toks")).as("token")).distinct()
+        .withColumn("idx",
+          (row_number().over(Window.orderBy("token")) - 1).cast("long"))
+      val nWords = (vocab.count() / 64 + 1).toInt  // driver scalar: dictionary size only
+      // one plain LONG column per 64-bit mask word — the hot pair loop
+      // below then runs entirely in whole-stage codegen (popcount of
+      // AND), with no hash sets, no array allocs, no interpreted HOFs
+      val maskCols = (0 until nWords).map(w =>
+        aggregate(filter(col("ids"), i => (i / 64).cast("int") === w),
+          lit(0L), (acc, i) => acc.bitwiseOR(
+            call_function("shiftleft", lit(1L), (i % 64).cast("int")))).as(s"m$w"))
+      val masked = dt
+        .select(col("source"), col("doc_id"), explode(col("toks")).as("token"),
+          size(col("toks")).cast("long").as("sz"))
+        .join(broadcast(vocab), "token")
+        .groupBy("source", "doc_id", "sz")
+        .agg(collect_set(col("idx")).as("ids"))
+        .select(Seq(col("source"), col("doc_id"), col("sz")) ++ maskCols: _*)
+      val a = masked.select(Seq(col("source"), col("doc_id").as("d1"),
+        col("sz").as("sz1")) ++ (0 until nWords).map(w => col(s"m$w").as(s"a$w")): _*)
+      val b = masked.select(Seq(col("source"), col("doc_id").as("d2"),
+        col("sz").as("sz2")) ++ (0 until nWords).map(w => col(s"m$w").as(s"b$w")): _*)
+      val interExpr = (0 until nWords)
+        .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
+        .reduce(_ + _).cast("long")
+      a.join(b, Seq("source")).filter(col("d1") < col("d2"))
+        // length-ratio prune: J ≥ 0.8 implies min(sz)/max(sz) ≥ 0.8;
+        // 0.79 slack covers the round(·,4) boundary
+        .filter(col("sz1") * 100 >= col("sz2") * 79 && col("sz2") * 100 >= col("sz1") * 79)
+        .withColumn("inter", interExpr)
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
         .filter(col("jaccard") >= 0.8)
-        .select(col("source"), col("d1"), col("d2"), col("inter"),
-          (col("sz1") + col("sz2") - col("inter")).as("uni"), col("jaccard"))
+        .select(col("source"), col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
         .orderBy("source", "d1", "d2")
     }),
 
@@ -117,9 +144,16 @@ object TextOps {
     // expansion is the follow-on narrow job)
     "q_minhash_lsh" -> ((s, d) => {
       val t = tokens(documents(s, d))
-      val sigs = (0 until 8).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("token")))).as(s"h$i"))
-      val sig = t.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+      // the md5 per (seed, token) depends only on the token: hash the
+      // distinct vocabulary once and broadcast-join it back, instead of
+      // recomputing 8 md5s per doc×token row (vocab ≪ corpus at any
+      // scale — this is the map-side-dictionary pattern)
+      val vocab = t.select("token").distinct()
+        .select(col("token") +: (0 until 8).map(i =>
+          md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
+      val hashed = t.join(broadcast(vocab), "token")
+      val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
+      val sig = hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
       val bands = sig.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),

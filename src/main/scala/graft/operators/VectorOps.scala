@@ -53,16 +53,17 @@ object VectorOps {
     "q_ann_buckets" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // component i weight for plane p: +1 if md5("p|i") starts 0-7 else -1
+      // component i weight for plane p: +1 if first md5("p|i") byte < 128
+      // else -1 — a deterministic pseudo-random hyperplane. Evaluated as
+      // one dot product against a literal weight array (single fold)
+      // rather than a 64-term Add tree.
       def planeSig(p: Int): Column = {
-        val terms = (0 until 64).map { i =>
-          val w = if (Integer.parseInt(
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$p|$i".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString,
-            16) < 128) 1.0 else -1.0
-          element_at(col("v"), i + 1) * lit(w)
-        }
-        when(terms.reduce(_ + _) >= 0, lit(1)).otherwise(lit(0))
+        val weights = (0 until 64).map { i =>
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p|$i".getBytes("UTF-8"))(0)
+          if ((b & 0xff) < 128) 1.0 else -1.0
+        }.toArray
+        when(dot(col("v"), typedLit(weights)) >= 0, lit(1)).otherwise(lit(0))
       }
       emb.withColumn("bucket",
           concat_ws("", (0 until 4).map(p => planeSig(p).cast("string")): _*))
