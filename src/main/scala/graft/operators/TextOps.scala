@@ -138,6 +138,44 @@ object TextOps {
         .orderBy("source", "d1", "d2")
     }),
 
+    // E3 SimHash (16-bit, hex-digit majority vote over token md5s):
+    // bit_i = sign of Σ_tokens (±1 by whether hex digit i of md5(token)
+    // is >= '8'). One explode + 16 conditional sums — a single
+    // hash-aggregate, no pair joins; hamming-prefix bucket for blocking.
+    "q_simhash" -> ((s, d) => {
+      val t = tokens(documents(s, d)).withColumn("h", md5(col("token")))
+      val bitSums = (1 to 16).map(i =>
+        sum(when(substring(col("h"), i, 1).between("8", "f"), 1).otherwise(-1))
+          .as(s"s$i"))
+      t.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to 16).map(i =>
+            when(col(s"s$i") >= 0, "1").otherwise("0")): _*).as("fingerprint"))
+        .withColumn("bucket", substring(col("fingerprint"), 1, 8))
+        .orderBy("doc_id")
+    }),
+
+    // E5 BPE-ish regex tokenization (word + punctuation-run tokens)
+    "q_token_bpe" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("\\w+|[^\\w\\s]+"), lit(0))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token").asc)),
+
+    // E5 Karp-Rabin rolling hash over the raw character stream
+    // (polynomial base 31 mod 2^40 — exact in both engines' int64)
+    "q_rolling_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          aggregate(
+            filter(split(col("text"), ""), ch => ch =!= ""),
+            lit(0L),
+            (acc, ch) => (acc * 31 + ascii(ch)) % 1099511627776L).as("rhash"))
+        .orderBy("doc_id")),
+
     // E3 MinHash-LSH banding: 8 portable min-hashes (lexicographic min of
     // seeded md5 — identical in any engine), 4 bands × 2 rows; emits
     // band-bucket stats (the scale-safe artifact; per-bucket pair
@@ -226,6 +264,32 @@ object TextOps {
         |FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
         |ORDER BY i.source, i.d1, i.d2""".stripMargin,
+
+    "q_simhash" -> {
+      val sums = (1 to 16).map(i =>
+        s"SUM(CASE WHEN substring(h, $i, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val fp = (1 to 16).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |hashed AS (SELECT doc_id, md5(token) AS h FROM tok WHERE token <> ''),
+         |sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, $fp AS fingerprint, substring($fp, 1, 8) AS bucket
+         |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_bpe" ->
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+|[^\w\s]+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_rolling_fingerprint" ->
+      """SELECT doc_id, n_chars,
+        |  list_reduce(list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+        |              (a, b) -> (a * 31 + b) % 1099511627776) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH tok AS (

@@ -72,6 +72,52 @@ object VectorOps {
         .orderBy("bucket")
     }),
 
+    // E1/E4 embedding-cosine near-duplicate pairs, blocked by label
+    // (the metadata blocking key; LSH buckets are the keyless variant).
+    // Pair space is per-block quadratic — bounded by block size, not
+    // corpus size, which is what survives a 100 TB corpus.
+    "q_embed_near_dup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"))
+      val b = emb.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"))
+      a.join(b, Seq("label")).filter(col("d1") < col("d2"))
+        .withColumn("cosine",
+          dot(col("v1"), col("v2")) / (norm(col("v1")) * norm(col("v2"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("label"), col("d1"), col("d2"), round(col("cosine"), 6).as("cos_r"))
+        .orderBy("label", "d1", "d2")
+    }),
+
+    // E4 IVF-style ANN: k fixed seed centroids; every vector is assigned
+    // to its nearest centroid (one broadcast pass), then top-k search
+    // only scans the query's own cell — the inverted-file pruning that
+    // replaces the O(n·q) brute force at scale. No SQL oracle (cell
+    // assignment is engine-internal); recall asserted in OperatorsSpec.
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assign = emb.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("sim", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("v"))
+      val q = assign.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+      val scored = assign.join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("vid"), round(col("score"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // E2 approx distinct count (HLL++). Implementation-specific values →
     // no DuckDB oracle (driver records rows-only check); correctness vs
     // exact count is asserted in the ScalaTest spec instead.
@@ -93,6 +139,19 @@ object VectorOps {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    "q_embed_near_dup" ->
+      """WITH emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+        |  ROUND(
+        |    (SELECT SUM(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))
+        |    / (sqrt((SELECT SUM(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i)))
+        |       * sqrt((SELECT SUM(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i)))), 6) AS cos_r
+        |FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE (SELECT SUM(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))
+        |      / (sqrt((SELECT SUM(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i)))
+        |         * sqrt((SELECT SUM(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i)))) >= 0.35
+        |ORDER BY a.label, d1, d2""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

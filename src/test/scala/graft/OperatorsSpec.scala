@@ -48,6 +48,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(buckets.select("bucket").as[String].collect().forall(_.matches("[01]{4}")))
   }
 
+  test("ivf top-k returns same-cell neighbors ranked like brute force within the cell") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 64).foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // model: same centroid assignment, same in-cell ranking
+    val cents = (0L until 8L).map(c => c -> emb(c)).toMap
+    def cell(v: Array[Double]): Long =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    val cells = emb.view.mapValues(cell).toMap
+    val got = VectorOps.queries("q_ivf_topk")(spark, sf)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 5L).foreach { q =>
+      val expected = emb.keys.filter(v => v != q && cells(v) == cells(q)).toSeq
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(3).map(_._1)
+      assert(got.getOrElse(q, Seq()) === expected, s"query $q (cell ${cells(q)})")
+    }
+  }
+
   test("cosine top-k ranks are exact against a driver-side model") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
