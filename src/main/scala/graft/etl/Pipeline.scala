@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+import graft.schema.Schemas
+import graft.sources.Tables
+
+/** Dataflow orchestration (SURVEY.md §2.11, D1–D6): the Airflow DAG
+  * semantics as a plain driver program.
+  *
+  * - D1 staged pipeline: clean → load, sequential (master_dag.py:22-39);
+  * - D2/D6 fan-out per competitor (scrape_dag.py:29-46,
+  *   load_to_bigquery_dag.py:144-184);
+  * - D3 continue-on-failure: a competitor's failure is recorded to
+  *   `logs` and the run proceeds (trigger_rule='all_done');
+  * - D4 retry with bounded attempts (retries=1 in the reference);
+  * - D5 delay sensors are a file-handoff artifact → no-op here (each
+  *   stage reads what the previous stage finished writing).
+  *
+  * The per-stage units are whole Spark jobs; orchestration never touches
+  * row data on the driver.
+  */
+object Pipeline {
+
+  final case class StageResult(competitor: String, stage: String,
+                               ok: Boolean, error: Option[String])
+
+  /** D4: run `f` up to 1+retries times (reference: retries=1). */
+  def withRetry[T](retries: Int = 1)(f: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    var last: Throwable = null
+    while (out.isEmpty && attempt <= retries) {
+      try out = Some(f)
+      catch { case e: Throwable => last = e; attempt += 1 }
+    }
+    out.getOrElse(throw last)
+  }
+
+  /** Full run: clean all (competitor × header) raw drops, then load each
+    * competitor's products/packs/logs into the warehouse, isolating
+    * failures per competitor (D3). Returns per-stage results; failures
+    * are also appended to the `logs` table as audit rows (V2). */
+  def run(spark: SparkSession, rawDir: String, cleanDir: String, warehouseDir: String,
+          competitors: Seq[String] = Seq("mobileviking", "scarlet")): Seq[StageResult] = {
+
+    val cleanResults = competitors.map { c =>
+      try {
+        withRetry() { CleanJob.run(spark, rawDir, cleanDir, Seq(c)) }
+        StageResult(c, "clean", ok = true, None)
+      } catch { case e: Throwable =>
+        StageResult(c, "clean", ok = false, Some(e.getMessage))
+      }
+    }
+
+    val loadResults = competitors.map { c =>
+      try {
+        withRetry() { loadCompetitor(spark, cleanDir, warehouseDir, c) }
+        StageResult(c, "load", ok = true, None)
+      } catch { case e: Throwable =>
+        StageResult(c, "load", ok = false, Some(e.getMessage))
+      }
+    }
+
+    // V2 audit rows, whether or not stages succeeded (utils.py:54-68)
+    val results = cleanResults ++ loadResults
+    import spark.implicits._
+    val logRows = results.map(r =>
+      (r.competitor, java.time.LocalDate.now().toString,
+        r.error.getOrElse("no error")))
+      .toDF("competitor_name", "scraped_at", "error_details")
+      .withColumn("status", Scalars.statusOf(col("error_details")))
+      .withColumn("scraped_at", to_date(col("scraped_at")))
+    logRows.write.mode("append").parquet(s"$warehouseDir/logs")
+    results
+  }
+
+  /** Load one competitor's cleaned NDJSON into the warehouse tables
+    * (products SCD + packs anti-join), mirroring load_to_bigquery_dag. */
+  def loadCompetitor(spark: SparkSession, cleanDir: String, warehouseDir: String,
+                     competitor: String): Unit = {
+    val state = graft.streaming.StreamingJobs.loadState(spark, warehouseDir)
+
+    val productsPath = new java.io.File(s"$cleanDir/${competitor}_products.ndjson")
+    if (productsPath.exists()) {
+      val batch = Tables.ndjson(spark, Schemas.cleanProduct, productsPath.getAbsolutePath)
+        .withColumn("scraped_at", to_date(col("scraped_at")))
+      val delta = WarehouseLoad.stageProducts(state, batch)
+      delta.competitors.write.mode("append").parquet(s"$warehouseDir/competitors")
+      delta.products.write.mode("append").parquet(s"$warehouseDir/products")
+      delta.features.write.mode("append").parquet(s"$warehouseDir/features")
+      delta.prices.write.mode("append").parquet(s"$warehouseDir/product_prices")
+    }
+
+    val packsPath = new java.io.File(s"$cleanDir/${competitor}_packs.ndjson")
+    if (packsPath.exists()) {
+      // re-read state so packs see competitors staged above
+      val st = graft.streaming.StreamingJobs.loadState(spark, warehouseDir)
+      val rawPacks = Tables.ndjson(spark, Schemas.rawPack, packsPath.getAbsolutePath)
+      WarehouseLoad.stagePacks(st, rawPacks)
+        .withColumn("scraped_at", to_date(col("scraped_at")))
+        .write.mode("append").parquet(s"$warehouseDir/packs")
+    }
+  }
+}

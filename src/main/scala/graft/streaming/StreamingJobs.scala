@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.etl.{CleanJob, WarehouseLoad}
+import graft.schema.Schemas
+
+/** Structured Streaming forms of the engine's pipelines (SURVEY.md §1.1:
+  * the reference is batch-only, but its incremental-load semantics are
+  * `foreachBatch`-ready; this module is that streaming mode).
+  *
+  * Scale notes: the file source lists+tracks new files per trigger (the
+  * streaming version of the reference's manually-triggered scrape drops);
+  * watermarks bound state for the windowed aggregations; the SCD upsert
+  * reuses the exact batch logic via foreachBatch, so batch and streaming
+  * stay semantically identical (one code path to test).
+  */
+object StreamingJobs {
+
+  /** Streaming clean stage: watch a directory for raw product NDJSON
+    * drops, apply X1 speed parsing, emit cleaned records. */
+  def cleanStream(spark: SparkSession, rawPath: String): DataFrame =
+    CleanJob.cleanProducts(
+      spark.readStream
+        .schema(Schemas.rawProduct)
+        .json(rawPath))
+
+  /** Hourly tumbling-window event aggregation with a 2-hour watermark —
+    * the streaming form of q_event_window. State per (window, type) is
+    * dropped once the watermark passes, bounding memory at any scale. */
+  def eventWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** 30-minute-gap sessionization via the built-in session_window —
+    * the streaming form of q_sessionize (state bounded by watermark). */
+  def sessionStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
+  /** Change-detecting warehouse upsert as a streaming sink: every
+    * micro-batch runs the same set-based SCD staging as the batch load
+    * (WarehouseLoad.stageProducts) against the current parquet state,
+    * then appends the delta — the reference's insert-if-changed load
+    * (dags/bigquery.py:223-333) with exactly-once-per-batch semantics. */
+  def scdUpsertWriter(clean: DataFrame, warehouseDir: String): DataStreamWriter[Row] =
+    clean
+      .withColumn("scraped_at", to_date(col("scraped_at")))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val state = loadState(spark, warehouseDir)
+        val delta = WarehouseLoad.stageProducts(state, batch)
+        append(delta.competitors, s"$warehouseDir/competitors")
+        append(delta.products, s"$warehouseDir/products")
+        append(delta.features, s"$warehouseDir/features")
+        append(delta.prices, s"$warehouseDir/product_prices")
+      }
+
+  private def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Read current warehouse state, tolerating not-yet-created tables. */
+  def loadState(spark: SparkSession, dir: String): WarehouseLoad.State = {
+    def tbl(name: String, schema: org.apache.spark.sql.types.StructType) = {
+      val p = new java.io.File(s"$dir/$name")
+      if (p.isDirectory && p.list().exists(_.endsWith(".parquet")))
+        spark.read.schema(schema).parquet(p.getAbsolutePath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    WarehouseLoad.State(
+      competitors = tbl("competitors", Schemas.competitors),
+      products = tbl("products", Schemas.products),
+      features = tbl("features", Schemas.features),
+      prices = tbl("product_prices", Schemas.productPrices),
+      packs = tbl("packs", Schemas.packs))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Pipeline
+import java.nio.file.Files
+
+/** D1–D6 orchestration: staged clean→load run with per-competitor
+  * failure isolation and audit logging. */
+class PipelineSpec extends SparkTestBase {
+
+  test("full pipeline run: clean + load + audit logs; bad competitor isolated") {
+    val raw = Files.createTempDirectory("graft_pl_raw").toFile.getAbsolutePath
+    val clean = Files.createTempDirectory("graft_pl_clean").toFile.getAbsolutePath
+    val wh = Files.createTempDirectory("graft_pl_wh").toFile.getAbsolutePath
+
+    Files.writeString(java.nio.file.Paths.get(raw, "mobileviking_products.json"),
+      """{"products": [
+        |  {"product_name": "mobile_a", "competitor_name": "mobileviking",
+        |   "product_category": "mobile_prepaid", "product_url": "https://mv/a",
+        |   "price": 15.0, "scraped_at": "2023-10-05", "data": 15.0, "minutes": -1.0,
+        |   "sms": -1, "upload_speed": "20mbps", "download_speed": "1gbps"}
+        |]}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(raw, "mobileviking_packs.json"),
+      """{"packs": [
+        |  {"competitor_name": "mobileviking", "pack_name": "combo_a",
+        |   "pack_url": "https://mv/combo", "pack_description": null,
+        |   "price": 55.0, "scraped_at": "2023-10-05"}
+        |]}""".stripMargin)
+    // scarlet raw file is INVALID json → its clean stage fails, run continues
+    Files.writeString(java.nio.file.Paths.get(raw, "scarlet_products.json"), "{not json")
+
+    val results = Pipeline.run(spark, raw, clean, wh)
+    val byKey = results.map(r => (r.competitor, r.stage) -> r.ok).toMap
+    assert(byKey(("mobileviking", "clean")))
+    assert(byKey(("mobileviking", "load")))
+    // D3: scarlet failure recorded, didn't abort the run
+    assert(!byKey(("scarlet", "clean")))
+
+    val st = graft.streaming.StreamingJobs.loadState(spark, wh)
+    assert(st.competitors.count() === 1)
+    assert(st.products.count() === 1)
+    assert(st.features.count() === 1)
+    assert(st.packs.count() === 1)
+
+    // V2 audit rows: one per (competitor, stage), failed stage marked
+    val logs = spark.read.parquet(s"$wh/logs")
+    assert(logs.count() === 4)
+    assert(logs.filter(col("status") === "failed").count() >= 1)
+
+    // re-run over the same inputs: SCD makes it a no-op (idempotence)
+    Pipeline.run(spark, raw, clean, wh)
+    val st2 = graft.streaming.StreamingJobs.loadState(spark, wh)
+    assert(st2.products.count() === 1)
+    assert(st2.features.count() === 1)
+    assert(st2.packs.count() === 1)
+  }
+}

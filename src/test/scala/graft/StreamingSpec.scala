@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingJobs
+import java.nio.file.Files
+
+/** Streaming pipeline specs: file-source clean stage and the foreachBatch
+  * SCD upsert, driven end-to-end with AvailableNow triggers; windowed/
+  * session aggregations checked against their batch equivalents. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeRawBatch(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.writeString(java.nio.file.Paths.get(dir, name),
+      rows.mkString("", "\n", "\n"))
+
+  private def rawLine(name: String, price: Double, day: String, data: Double): String =
+    s"""{"product_name": "$name", "competitor_name": "mobileviking",
+       | "product_category": "mobile_prepaid", "product_url": "https://mv/$name",
+       | "price": $price, "scraped_at": "$day", "data": $data, "minutes": -1.0,
+       | "sms": -1, "upload_speed": "20mbps", "download_speed": "1gbps"}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("streaming clean + SCD upsert: incremental drops accumulate versioned warehouse") {
+    val rawDir = Files.createTempDirectory("graft_stream_raw").toFile.getAbsolutePath
+    val whDir = Files.createTempDirectory("graft_stream_wh").toFile.getAbsolutePath
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toFile.getAbsolutePath
+
+    // drop 1: two products
+    writeRawBatch(rawDir, "batch1.ndjson", Seq(
+      rawLine("mobile_a", 15.0, "2023-10-05", 15.0),
+      rawLine("mobile_b", 20.0, "2023-10-05", 30.0)))
+    def runOnce(): Unit = {
+      val q = StreamingJobs.scdUpsertWriter(
+          StreamingJobs.cleanStream(spark, rawDir), whDir)
+        .option("checkpointLocation", ckDir)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val st1 = StreamingJobs.loadState(spark, whDir)
+    assert(st1.competitors.count() === 1)
+    assert(st1.products.count() === 2)
+    assert(st1.features.count() === 2)
+    // speeds parsed by the streaming clean stage
+    assert(st1.features.select("download_speed").as[Double].collect().toSet === Set(1000.0))
+
+    // drop 2: identical product (no-op) + price change on mobile_b
+    writeRawBatch(rawDir, "batch2.ndjson", Seq(
+      rawLine("mobile_a", 15.0, "2023-10-06", 15.0),
+      rawLine("mobile_b", 25.0, "2023-10-06", 30.0)))
+    runOnce()
+    val st2 = StreamingJobs.loadState(spark, whDir)
+    assert(st2.products.count() === 2)      // no new products
+    assert(st2.features.count() === 2)      // no feature change
+    assert(st2.prices.count() === 3)        // one new price version
+    assert(st2.prices.filter(col("price") === 25.0).count() === 1)
+  }
+
+  test("windowed + session streaming aggregations match their batch forms") {
+    val dir = Files.createTempDirectory("graft_stream_ev").toFile.getAbsolutePath
+    val rows = Seq(
+      """{"user_id": 1, "ts": "2024-01-01T00:05:00.000Z", "value": 10.0, "event_type": "click"}""",
+      """{"user_id": 1, "ts": "2024-01-01T00:20:00.000Z", "value": 5.0, "event_type": "click"}""",
+      """{"user_id": 1, "ts": "2024-01-01T02:00:00.000Z", "value": 2.0, "event_type": "click"}""",
+      """{"user_id": 2, "ts": "2024-01-01T00:45:00.000Z", "value": 1.0, "event_type": "buy"}""")
+    Files.writeString(java.nio.file.Paths.get(dir, "ev.ndjson"), rows.mkString("\n"))
+    val schema = "user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+
+    val stream = spark.readStream.schema(schema).json(dir)
+    val windowed = StreamingJobs.eventWindowStream(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    windowed.awaitTermination()
+    // append mode emits only watermark-closed windows; re-derive from the
+    // batch form for the full picture
+    val batchWin = StreamingJobs.eventWindowStream(spark.read.schema(schema).json(dir))
+    assert(batchWin.isStreaming === false)
+    val w = batchWin.orderBy("window_start", "event_type").collect()
+    assert(w.map(r => (r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSeq ===
+      Seq((1L, 1.0), (2L, 15.0), (1L, 2.0)))
+
+    val sess = StreamingJobs.sessionStream(spark.read.schema(schema).json(dir))
+      .orderBy("user_id", "session_start").collect()
+    // user 1: events at 00:05 + 00:20 merge (gap 15m < 30m), 02:00 is new
+    assert(sess.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq ===
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
