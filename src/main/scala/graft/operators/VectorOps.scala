@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
+import graft.functions.DotProduct.dotFast
 
 /** Embedding similarity search (SURVEY.md §2.12 E4/E6) + sketches (E2).
   *
@@ -27,16 +28,22 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Codegen'd variants (graft.functions.DotProduct): same IEEE fold,
+    * primitive loop instead of interpreted lambdas. */
+  def normFast(a: Column): Column = sqrt(dotFast(a, a))
+
   val queries: Map[String, Q] = Map(
     // E4 brute-force cosine top-k (baseline; exact)
     "q_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        // norm once per vector, not once per pair
+        .withColumn("nv", normFast(col("v")))
       val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
       val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("score"))
+          (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -79,11 +86,12 @@ object VectorOps {
     "q_embed_near_dup" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = emb.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"))
-      val b = emb.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"))
+        .withColumn("nv", normFast(col("v")))
+      val a = emb.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"), col("nv").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"), col("nv").as("n2"))
       a.join(b, Seq("label")).filter(col("d1") < col("d2"))
         .withColumn("cosine",
-          dot(col("v1"), col("v2")) / (norm(col("v1")) * norm(col("v2"))))
+          dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")))
         .filter(col("cosine") >= 0.35)
         .select(col("label"), col("d1"), col("d2"), round(col("cosine"), 6).as("cos_r"))
         .orderBy("label", "d1", "d2")
@@ -97,19 +105,20 @@ object VectorOps {
     "q_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", normFast(col("v")))
       val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("nc"))
       val assign = emb.join(broadcast(cents), col("vec_id") =!= lit(-1))
-        .withColumn("sim", dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))))
+        .withColumn("sim", dotFast(col("v"), col("cv")) / (col("nv") * col("nc")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("v"))
+        .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nv"))
       val q = assign.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("cell"), col("v").as("qv"), col("nv").as("nq"))
       val scored = assign.join(broadcast(q), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("score", dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))))
+        .withColumn("score", dotFast(col("qv"), col("v")) / (col("nq") * col("nv")))
       scored.withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
         .filter(col("rank") <= 3)
