@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Scalars.cents
 import graft.sources.Tables._
 import java.time.LocalDateTime
@@ -95,6 +96,70 @@ object RelQueries {
           (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // TPC-H Q5 shape: 5-way join down the region→nation dim chain with
+    // local-supplier predicate; dims broadcast, facts shuffle on keys
+    "q_tpch_q5" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("o_orderdate") < lit(LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .select("o_orderkey", "o_custkey")
+      val c = customer(s, d).select("c_custkey", "c_nationkey")
+      val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val r = region(s, d).filter(col("r_name") === "EUROPE").select("r_regionkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    // pushdown poster child (one partial+final agg, shuffle = 1 row)
+    "q_tpch_q6" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+                col("l_quantity") < 24)
+        .select((cents(col("l_extendedprice")) * cents(col("l_discount"))).as("rev_c"),
+          cents(col("l_discount")).as("disc_pct"))
+        .filter(col("disc_pct").between(3, 7))
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "q_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / 100).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // window-function breadth: running sum, dense rank, delta-vs-prev
+    // per customer — one shuffle on the partition key, then narrow
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("running_total",
+          (sum(col("price_c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / 100))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("delta_prev",
+          ((col("price_c") - lag(col("price_c"), 1).over(w)).cast("double") / 100))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          (col("price_c").cast("double") / 100).as("price"),
+          col("running_total"), col("delta_prev"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     "q_groupby_agg" -> ((s, d) =>
       documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -158,6 +223,52 @@ object RelQueries {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity < 24
+        |  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(price_c AS DOUBLE) / 100 AS price,
+        |  CAST(CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 100 AS running_total,
+        |  CAST(price_c - lag(price_c) OVER w AS DOUBLE) / 100 AS delta_prev
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -36,6 +36,32 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // As-of join composed from a union + ordered window (the operator
+    // Spark lacks natively — SURVEY §2.6 J5 is its point-lookup cousin):
+    // each purchase matches the user's latest strictly-prior click.
+    // One shuffle on user_id; the window is narrow after that. At
+    // cluster scale this beats a range-join (no O(n·m) interval probe).
+    "q_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ep = floor(unix_timestamp(col("ts").cast("timestamp")))
+      events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("click_ev",
+          last(when(col("event_type") === "click",
+            struct(col("ts").as("cts"), col("event_id").as("cid"))), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase" && col("click_ev").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_ev.cid").as("click_id"),
+          date_format(col("click_ev.cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          (ep - floor(unix_timestamp(col("click_ev.cts").cast("timestamp"))))
+            .cast("long").as("gap_seconds"))
+        .orderBy("purchase_id")
+    }),
+
     // E8 sessionization: 30-min-gap sessions via lag + running sum —
     // one shuffle on user_id, then narrow window ops within partitions.
     "q_sessionize" -> ((s, d) => {
@@ -67,6 +93,22 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ce AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last(CASE WHEN event_type = 'click' THEN struct_pack(cts := ts, cid := event_id) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ev
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id AS purchase_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  click_ev.cid AS click_id,
+        |  strftime(click_ev.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(click_ev.cts)) AS BIGINT) AS gap_seconds
+        |FROM ce
+        |WHERE event_type = 'purchase' AND click_ev IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -138,6 +138,21 @@ object TextOps {
         .orderBy("source", "d1", "d2")
     }),
 
+    // Skew-safe two-phase aggregation: salt the hot grouping key, do the
+    // heavy partial aggregation on (key, salt) — spreading one hot key
+    // over N reducers — then a cheap final re-agg on key alone. Results
+    // are identical to the direct groupBy (the oracle is the plain
+    // GROUP BY); only the shuffle distribution changes.
+    "q_skew_salted_agg" -> ((s, d) => {
+      val salted = documents(s, d)
+        .withColumn("salt", pmod(col("doc_id"), lit(8)))
+        .groupBy("source", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("n_chars")).as("pchars"))
+      salted.groupBy("source")
+        .agg(sum(col("pn")).as("n_docs"), sum(col("pchars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
     // E3 SimHash (16-bit, hex-digit majority vote over token md5s):
     // bit_i = sign of Σ_tokens (±1 by whether hex digit i of md5(token)
     // is >= '8'). One explode + 16 conditional sums — a single
@@ -264,6 +279,10 @@ object TextOps {
         |FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
         |ORDER BY i.source, i.d1, i.d2""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_simhash" -> {
       val sums = (1 to 16).map(i =>
