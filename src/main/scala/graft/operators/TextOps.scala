@@ -191,6 +191,35 @@ object TextOps {
             (acc, ch) => (acc * 31 + ascii(ch)) % 1099511627776L).as("rhash"))
         .orderBy("doc_id")),
 
+    // E3 word-3-gram shingle Jaccard via inverted-index join: shingles
+    // are (near-)unique across docs, so exploding and joining on the
+    // shingle produces only genuinely-overlapping pair rows — the
+    // sparse-vocabulary complement of the dense-vocab bitmask strategy
+    // in q_dedup_fuzzy. Standard shingle+Jaccard near-dup, no blocking
+    // key needed because the index itself is the blocker.
+    "q_shingle_jaccard" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val shingled = documents(s, d).select(col("doc_id"),
+        array_distinct(transform(
+          slice(words, lit(1), greatest(size(words) - 2, lit(0))),
+          (w, i) => concat_ws(" ", w,
+            element_at(words, i + 2), element_at(words, i + 3)))).as("shingles"))
+      val sizes = shingled.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      val inv = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val pairs = inv.select(col("doc_id").as("d1"), col("shingle"))
+        .join(inv.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+        .filter(col("jaccard") >= 0.1)
+        .select(col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
     // E3 MinHash-LSH banding: 8 portable min-hashes (lexicographic min of
     // seeded md5 — identical in any engine), 4 bands × 2 rows; emits
     // band-bucket stats (the scale-safe artifact; per-bucket pair
@@ -309,6 +338,26 @@ object TextOps {
         |  list_reduce(list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1099511627776) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_shingle_jaccard" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+        |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.d1, p.d2, p.inter,
+        |  s1.sz + s2.sz - p.inter AS uni,
+        |  ROUND(CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter), 4) AS jaccard
+        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+        |WHERE ROUND(CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter), 4) >= 0.1
+        |ORDER BY p.d1, p.d2""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH tok AS (

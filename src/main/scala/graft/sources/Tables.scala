@@ -41,6 +41,16 @@ object Tables {
              path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Typed scrape-contract view (SURVEY.md §1.2): `Dataset[Product]`
+    * over a cleaned-products NDJSON — the compile-time analogue of the
+    * reference's pydantic validation boundary. Encoder failure = the
+    * schema contract broke (the fail-fast the reference gets at runtime). */
+  def typedProducts(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[graft.schema.Product] = {
+    import spark.implicits._
+    // raw schema keeps speeds as strings (pre-clean contract)
+    ndjson(spark, graft.schema.Schemas.rawProduct, path).as[graft.schema.Product]
+  }
+
   /** S1 raw JSON scan (dags/transform.py:32-49): whole-file JSON with a
     * single wrapper key, unwrapped by exploding the array. */
   def wrappedJson(spark: SparkSession, header: String, path: String): DataFrame = {
