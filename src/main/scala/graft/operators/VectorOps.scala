@@ -136,6 +136,16 @@ object VectorOps {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // E2 stretch: graft's own mergeable HLL sketch aggregate
+    // (graft.functions.HllSketch) beside the built-in — accuracy bounds
+    // asserted in OperatorsSpec; no oracle (sketch values are
+    // implementation-specific).
+    "q_hll_distinct" -> ((s, d) =>
+      documents(s, d).groupBy("lang")
+        .agg(graft.functions.HllSketch.hllDistinct(col("doc_id")).as("hll_docs"),
+          countDistinct(col("doc_id")).as("exact_docs"))
+        .orderBy("lang")),
+
     // E6/multimodal: opaque binary payload + typed metadata. The decode
     // itself is a deterministic stub (no image/audio libs in-container —
     // see graft.operators.Multimodal for the mapPartitions plumbing);

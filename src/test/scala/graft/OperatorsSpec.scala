@@ -23,6 +23,24 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_hll sketch: within 5% of exact, partitioning-invariant merge") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .agg(graft.functions.HllSketch.hllDistinct(col("doc_id")).as("h"))
+      .as[Long].collect()(0)
+    val exact = docs.select("doc_id").distinct().count()
+    val est = run(docs)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05, s"est=$est exact=$exact")
+    // merge correctness: estimate independent of partitioning
+    assert(run(docs.repartition(13)) === est)
+    // SQL form via extensions
+    val viaSql = {
+      docs.createOrReplaceTempView("hll_docs_v")
+      spark.sql("SELECT graft_hll(doc_id) FROM hll_docs_v").as[Long].collect()(0)
+    }
+    assert(viaSql === est)
+  }
+
   test("multimodal metadata: deterministic across partitionings, schema fixed") {
     val df = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),

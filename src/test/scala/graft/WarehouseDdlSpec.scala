@@ -11,7 +11,9 @@ class WarehouseDdlSpec extends SparkTestBase {
     assert(t1.size === 6)
     val t2 = Warehouse.ensureSchema(spark, "graft_test") // idempotent
     assert(t2 === t1)
-    val cat = spark.catalog.listTables("graft_test").collect().map(_.name).toSet
+    // listTables includes session temp views — only count real tables
+    val cat = spark.catalog.listTables("graft_test").collect()
+      .filter(!_.isTemporary).map(_.name).toSet
     assert(cat === Warehouse.tableSchemas.keySet)
     val features = spark.table("graft_test.features")
     assert(features.schema.fieldNames.toSeq === graft.schema.Schemas.features.fieldNames.toSeq)
