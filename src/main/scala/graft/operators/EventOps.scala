@@ -36,6 +36,39 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // Time-grid gap filling: a generated hourly spine (sequence +
+    // explode — narrow, no data shuffle) left-joined with observed
+    // hourly counts so silent hours appear as zeros. The spine is the
+    // dimension side; at scale it stays tiny (hours × types).
+    "q_gap_fill" -> ((s, d) => {
+      val ev = events(s, d)
+      val types = ev.select("event_type").distinct()
+      // Jan 2024 hourly spine (the testdata window): 31 × 24 slots
+      val spine = s.range(1)
+        .select(explode(sequence(lit(0), lit(743))).as("h"))
+        .select(date_format(
+          expr("timestampadd(HOUR, h, TIMESTAMP_NTZ '2024-01-01 00:00:00')"),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .crossJoin(broadcast(types))
+      val observed = ev
+        .withColumn("hour", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type").agg(count(lit(1)).as("n_obs"))
+      spine.join(observed, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_obs"), lit(0L)).as("n"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Pivot: per-user event-type counts as columns (explicit value list
+    // so the output schema is static and cross-engine comparable)
+    "q_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "signup", "error", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // As-of join composed from a union + ordered window (the operator
     // Spark lacks natively — SURVEY §2.6 J5 is its point-lookup cousin):
     // each purchase matches the user's latest strictly-prior click.
@@ -93,6 +126,30 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT strftime(TIMESTAMP '2024-01-01 00:00:00' + g.i * INTERVAL 1 HOUR,
+        |                  '%Y-%m-%d %H:%M:%S') AS hour
+        |  FROM generate_series(0, 743) g(i)),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT hour, event_type FROM spine CROSS JOIN types),
+        |observed AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |         event_type, COUNT(*) AS n_obs
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.hour, g.event_type, COALESCE(o.n_obs, 0) AS n
+        |FROM grid g LEFT JOIN observed o ON g.hour = o.hour AND g.event_type = o.event_type
+        |ORDER BY g.hour, g.event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ce AS (

@@ -138,6 +138,29 @@ object TextOps {
         .orderBy("source", "d1", "d2")
     }),
 
+    // E5 tf-idf: term frequency × inverse document frequency via two
+    // aggregations + a broadcast join of the (tiny) df table. ln() is
+    // IEEE-identical cross-engine on these inputs; rounded to 6 for
+    // the oracle hash.
+    "q_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.count()  // driver scalar: corpus size (one count job)
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val perDoc = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_raw"))
+      val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val df = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+      perDoc
+        .join(docLen, "doc_id")
+        .join(broadcast(df), "token")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("token"),
+          round((col("tf_raw").cast("double") / col("len")) *
+            log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
     // Skew-safe two-phase aggregation: salt the hot grouping key, do the
     // heavy partial aggregation on (key, salt) — spreading one hot key
     // over N reducers — then a cheap final re-agg on key alone. Results
@@ -322,6 +345,22 @@ object TextOps {
     "q_skew_salted_agg" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE token <> ''),
+        |per_doc AS (SELECT doc_id, token, COUNT(*) AS tf_raw FROM toks2 GROUP BY doc_id, token),
+        |doc_len AS (SELECT doc_id, COUNT(*) AS len FROM toks2 GROUP BY doc_id),
+        |df AS (SELECT token, COUNT(*) AS df FROM per_doc GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT p.doc_id, p.token,
+        |  ROUND((CAST(p.tf_raw AS DOUBLE) / l.len)
+        |        * ln(CAST(n.n_docs AS DOUBLE) / f.df), 6) AS tfidf
+        |FROM per_doc p JOIN doc_len l ON p.doc_id = l.doc_id
+        |JOIN df f ON p.token = f.token CROSS JOIN n
+        |WHERE p.doc_id < 50
+        |ORDER BY p.doc_id, p.token""".stripMargin,
 
     "q_simhash" -> {
       val sums = (1 to 16).map(i =>
