@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Bucketing, Tables}
+
+class BucketingSpec extends SparkTestBase {
+
+  test("join of two tables bucketed on the key plans with zero shuffle exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt.orders_b", "o_orderkey")
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "graft_bkt.lineitem_b", "o_orderkey")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = Bucketing.cogroupJoin(spark, "graft_bkt.orders_b",
+        "graft_bkt.lineitem_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // co-located buckets: the join needs NO shuffle on either side
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      // and the result is correct
+      val expected = Tables.lineitem(spark, sf).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties ARCHITECTURE.md
+  * claims must stay true as the catalog evolves. Each assertion pins a
+  * Catalyst planning outcome, not a result value. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    val qe = df.queryExecution
+    df.collect() // finalize AQE so codegen stages are visible in the plan
+    qe.executedPlan.toString
+  }
+
+  test("q_tpch_q1: shipdate filter pushed into the parquet scan, schema pruned") {
+    val p = plan("q_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(800))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q_tpch_q3: both joins broadcast, top-10 via TakeOrderedAndProject") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+    assert(p.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "customer filter must push down")
+  }
+
+  test("q_dim_lookup: dim chain is broadcast-hash joined") {
+    val p = plan("q_dim_lookup")
+    assert(p.split("BroadcastHashJoin").length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk_orders: TakeOrderedAndProject, no global Sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject(limit=10"))
+  }
+
+  test("q_top1_per_key: rank filter becomes WindowGroupLimit (per-group limit before sort)") {
+    val p = plan("q_top1_per_key")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_filter_contains: StringContains pushed to the scan") {
+    assert(plan("q_filter_contains").contains("StringContains(text,sort merge)"))
+  }
+
+  test("q_cross_join_packs: bounded sides, nested-loop broadcast join") {
+    val p = plan("q_cross_join_packs")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_anti_join_packs / q_semi_join: planned as anti/semi, not outer+filter") {
+    assert(plan("q_anti_join_packs").contains("LeftAnti"))
+    assert(plan("q_semi_join").contains("LeftSemi"))
+  }
+
+  test("q_cosine_topk: codegen'd graft_dot in the plan, not interpreted lambdas") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("graft_dot"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must be broadcast")
+  }
+
+  test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
+    val p = plan("q_convert_speed")
+    // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
+    assert(p.contains("*(1) Project"), "scalar projection must be codegen'd")
+    // the only Exchange is the range partitioning for the deterministic
+    // output orderBy — the transform itself never hash-shuffles
+    assert(p.contains("Exchange rangepartitioning"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+}

@@ -21,6 +21,11 @@ object SparkTestBase {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // fresh managed-table warehouse per JVM: a persistent
+      // ./spark-warehouse with an in-memory catalog breaks
+      // saveAsTable(Overwrite) with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
