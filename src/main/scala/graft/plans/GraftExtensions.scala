@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketch(exprs.head)))
+    // auto-accelerate the aggregate(zip_with(...)) dot-product idiom
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

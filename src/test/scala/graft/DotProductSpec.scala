@@ -42,6 +42,27 @@ class DotProductSpec extends SparkTestBase {
     assert(df2.collect()(0).isNullAt(0))
   }
 
+  test("optimizer rule rewrites the HOF dot idiom into graft_dot") {
+    // parquet-backed input: literal inputs would constant-fold away
+    // before the rewritten expression is observable
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = emb.select(col("vec_id"), VectorOps.dot(col("v"), col("v")).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      df.queryExecution.optimizedPlan.toString.take(600))
+    // rewritten result == direct codegen'd result, bit for bit
+    val direct = emb.select(col("vec_id"), dotFast(col("v"), col("v")).as("d"))
+    assert(df.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq ===
+      direct.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq)
+    // SQL form of the idiom rewrites too
+    emb.createOrReplaceTempView("emb_rewrite_v")
+    val sqlDf = spark.sql(
+      """SELECT aggregate(zip_with(v, v, (x, y) -> x * y),
+        |                 cast(0.0 as double), (acc, z) -> acc + z) AS d
+        |FROM emb_rewrite_v""".stripMargin)
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("graft_dot registered for SQL via GraftExtensions") {
     // SparkTestBase creates the shared session with
     // spark.sql.extensions=graft.plans.GraftExtensions

@@ -128,6 +128,20 @@ class WarehouseLoadSpec extends SparkTestBase {
     assert(staged.collect()(0).getAs[String]("pack_name") === "pack_b")
   }
 
+  test("faithful: within-batch duplicate records are staged per-record, like the reference loop") {
+    // load_products_to_bq iterates the batch with no in-batch dedup
+    // (dags/bigquery.py:276-326) — a product scraped twice in one batch
+    // stages twice. Deterministic sha2 keys make the duplicates carry
+    // the SAME surrogate uuids (visible, diagnosable), unlike uuid4.
+    val b = batch(productRow("dup_product", 15.0, "2023-10-05"),
+                  productRow("dup_product", 15.0, "2023-10-05"))
+    val delta = WarehouseLoad.stageProducts(emptyState, b)
+    assert(delta.products.count() === 2)
+    assert(delta.products.select("product_uuid").distinct().count() === 1)
+    assert(delta.features.count() === 2)
+    assert(delta.prices.count() === 2)
+  }
+
   test("faithful ASC top-1: current version is the OLDEST feature row") {
     // two feature versions exist; reference compares against the oldest
     val b = batch(productRow("p1", 10.0, "2023-10-01", data = 1.0))
