@@ -160,6 +160,60 @@ object RelQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // explicit GROUPING SETS (beyond rollup/cube): SQL-form entry —
+    // catalog queries may register temp views and use spark.sql
+    "q_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_gs_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // correlated scalar subquery (Catalyst rewrites it to an aggregate
+    // + left outer join — RewriteCorrelatedScalarSubquery): orders
+    // costing more than 2x their customer's average (exact-cents avg)
+    "q_scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_ss_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_ss_v o
+          |WHERE o_totalprice * 100 > 2 * (
+          |  SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+          |  FROM orders_ss_v i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // equi + range (banded) join: lineitems shipped within 60 days of
+    // their order's date. The equality on the key keeps the join
+    // hash-partitionable; the band is a post-join filter predicate —
+    // the scalable shape for banded joins (no O(n·m) interval probe).
+    "q_range_join" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val l = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("o_orderkey")
+    }),
+
+    // exact interpolated percentiles over integer cents (identical
+    // linear-interpolation arithmetic in both engines)
+    "q_percentiles" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(price_c, 0.5)").as("p50"),
+          expr("percentile(price_c, 0.9)").as("p90"))
+        .select(col("l_returnflag"),
+          round(col("p50") / 100, 4).as("median_price"),
+          round(col("p90") / 100, 4).as("p90_price"))
+        .orderBy("l_returnflag")),
+
     "q_groupby_agg" -> ((s, d) =>
       documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -269,6 +323,36 @@ object RelQueries {
         |FROM t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice * 100 > 2 * (
+        |  SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_in_window
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_percentiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  ROUND(quantile_cont(price_c, 0.5) / 100, 4) AS median_price,
+        |  ROUND(quantile_cont(price_c, 0.9) / 100, 4) AS p90_price
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_groupby_agg" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
