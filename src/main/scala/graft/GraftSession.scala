@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine: one place that encodes the
+  * settings the library is designed against.
+  *
+  * - `shuffle.partitions` sized to the core count (not the 200 default
+  *   — on a cluster, set to 2-3× total executor cores);
+  * - AQE on (runtime coalescing + skew-join splitting);
+  * - ANSI off: the scalar library's null-on-failure parse semantics
+  *   mirror the reference's Python coercions (the library itself is
+  *   also ANSI-safe via regex-guarded casts);
+  * - UTC session timezone for deterministic date/timestamp text;
+  * - GraftExtensions: graft_dot / graft_hll SQL functions + the HOF
+  *   dot-product acceleration rule.
+  */
+object GraftSession {
+  def builder(cores: String = "*",
+              shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val parts = shufflePartitions.getOrElse(
+      if (cores == "*") Runtime.getRuntime.availableProcessors() else cores.toInt)
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def local(cores: String = "*"): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -14,6 +14,16 @@ class PlanSpec extends SparkTestBase {
     qe.executedPlan.toString
   }
 
+  test("catalog-wide plan hygiene: no accidental cartesian products") {
+    // cross joins are deliberate only in these bounded-side queries
+    val intended = Set("q_cross_join_packs", "q_cosine_topk", "q_ann_buckets",
+      "q_ivf_topk", "q_gap_fill", "q_tfidf", "q_embed_near_dup")
+    SparkEntry.queries.keys.filterNot(intended).foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+
   test("q_tpch_q1: shipdate filter pushed into the parquet scan, schema pruned") {
     val p = plan("q_tpch_q1")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(800))

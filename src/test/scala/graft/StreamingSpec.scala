@@ -58,6 +58,44 @@ class StreamingSpec extends SparkTestBase {
     assert(st2.prices.filter(col("price") === 25.0).count() === 1)
   }
 
+  test("append-mode windows emit exactly when the watermark closes them") {
+    val dir = Files.createTempDirectory("graft_wm_in").toFile.getAbsolutePath
+    val ck = Files.createTempDirectory("graft_wm_ck").toFile.getAbsolutePath
+    val schema = "user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    def runOnce(name: String): Seq[(String, Long)] = {
+      // memory sink can't resume from a checkpoint; collect emitted rows
+      // via foreachBatch (which can)
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = StreamingJobs.eventWindowStream(spark.readStream.schema(schema).json(dir))
+        .writeStream
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted ++= batch
+            .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+            .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+            .collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      emitted.toSeq.sorted
+    }
+    // batch 1: events at 00:10 and 01:10 → no window is older than
+    // watermark (max 01:10 - 2h) → nothing emitted yet
+    Files.writeString(java.nio.file.Paths.get(dir, "b1.ndjson"),
+      """{"user_id": 1, "ts": "2024-01-01T00:10:00.000Z", "value": 1.0, "event_type": "click"}
+        |{"user_id": 1, "ts": "2024-01-01T01:10:00.000Z", "value": 1.0, "event_type": "click"}"""
+        .stripMargin)
+    assert(runOnce("wm_run1") === Seq())
+    // batch 2: an event at 06:00 advances the watermark to 04:00 →
+    // the 00:00 and 01:00 windows close and are emitted exactly once
+    Files.writeString(java.nio.file.Paths.get(dir, "b2.ndjson"),
+      """{"user_id": 1, "ts": "2024-01-01T06:00:00.000Z", "value": 1.0, "event_type": "click"}""")
+    assert(runOnce("wm_run2") === Seq(("00:00", 1L), ("01:00", 1L)))
+  }
+
   test("windowed + session streaming aggregations match their batch forms") {
     val dir = Files.createTempDirectory("graft_stream_ev").toFile.getAbsolutePath
     val rows = Seq(
