@@ -24,6 +24,16 @@ object CleanJob {
       .withColumn("upload_speed", Scalars.speedOrNumeric(col("upload_speed")))
       .withColumn("download_speed", Scalars.speedOrNumeric(col("download_speed")))
 
+  /** Scarlet "options" raw table (SURVEY.md §1.2, FIXTURES.md A4): two
+    * incompatible record shapes (`option_name/option_details/option_url`
+    * vs `options_name/options_details`, no url) are kept as ONE
+    * schema-on-read relation via union-by-name with null fill. Faithful
+    * dead-end: the reference scrapes and saves options but never cleans
+    * or loads them downstream — so this raw view is the whole surface. */
+  def optionsRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
+    paths.map(p => Tables.wrappedJson(spark, "options", p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   /** Full stage: for each (competitor, header) present in rawDir, write
     * cleaned NDJSON to cleanDir. Returns the pairs actually cleaned. */
   def run(spark: SparkSession, rawDir: String, cleanDir: String,

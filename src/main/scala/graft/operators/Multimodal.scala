@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.12 E6 / builder mandate).
@@ -65,5 +65,58 @@ object Multimodal {
         }
       }
     ds.toDF()
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                   frame_bytes: Array[Byte])
+
+  /** Frame sampling over opaque video payloads: every `stride`-th frame
+    * up to `maxFrames`, one output row per frame. The STUBBED frame
+    * decode slices deterministic byte windows from the payload (a real
+    * binding would seek+decode keyframes); the Spark shape — per-row
+    * fan-out inside mapPartitions, fixed schema, bounded output — is
+    * the real contract. */
+  def sampleFrames(df: DataFrame, stride: Int = 10, maxFrames: Int = 4,
+                   decoder: MediaDecoder = decodeStub): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, _) = decoder.decode(payload)
+          val nFrames = math.min(maxFrames, math.max(1, payload.length / stride))
+          (0 until nFrames).iterator.map { f =>
+            val start = (f * stride) % math.max(1, payload.length)
+            val bytes = payload.slice(start, math.min(start + stride, payload.length))
+            Frame(id, f, w, h, bytes)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Resize stub: pure metadata transform (real codecs rescale pixels;
+    * the stub rescales the declared dims and re-tags the payload). */
+  def resizeMeta(meta: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    meta.withColumn("scale_x",
+        round(lit(targetW.toDouble) / col("width"), 4))
+      .withColumn("scale_y", round(lit(targetH.toDouble) / col("height"), 4))
+      .withColumn("width", lit(targetW))
+      .withColumn("height", lit(targetH))
+
+  /** Deterministic pseudo feature vector per payload (stands in for an
+    * image/audio embedding model): `dim` floats seeded from the payload
+    * hash, so identical bytes ⇒ identical features across partitions. */
+  def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val rnd = new scala.util.Random(java.util.Arrays.hashCode(payload).toLong)
+          (id, Array.fill(dim)(rnd.nextFloat()))
+        }
+      }.toDF("doc_id", "feature")
   }
 }

@@ -41,6 +41,31 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(mobile.isNullAt(mobile.fieldIndex("upload_speed")))
   }
 
+  test("options raw table: incompatible shapes union-by-name with nulls (A4, dead-end)") {
+    val dir = Files.createTempDirectory("graft_opts").toFile.getAbsolutePath
+    Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+      """{"options": [
+        |  {"product_category": "mobile_subscription", "option_name": "extra_internet",
+        |   "option_details": "option: 5 extra internet", "option_url": "https://x",
+        |   "price": 5.0, "scraped_at": "2023-10-05", "pack_name": null}
+        |]}""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(dir, "b.json"),
+      """{"options": [
+        |  {"options_name": "netflix", "options_details": "streaming option",
+        |   "price": 8.99, "scraped_at": "2023-10-05", "pack_name": "trio_pack"}
+        |]}""".stripMargin)
+    val raw = graft.etl.CleanJob.optionsRaw(spark,
+      Seq(s"$dir/a.json", s"$dir/b.json"))
+    assert(raw.count() === 2)
+    // both shapes' columns coexist; the missing side is null
+    val cols = raw.columns.toSet
+    assert(Set("option_name", "options_name", "option_url").subsetOf(cols))
+    assert(raw.filter(col("option_name").isNotNull).count() === 1)
+    assert(raw.filter(col("options_name").isNotNull).count() === 1)
+    assert(raw.filter(col("options_name") === "netflix")
+      .collect()(0).isNullAt(raw.columns.indexOf("option_url")))
+  }
+
   test("pack generation: internet × mobile with discount (J1/X9/X11)") {
     val products = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row("mobile_prepaid_data_15_gb", "mobileviking", "mobile_prepaid",

@@ -57,6 +57,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(m.getAs[Int]("width") >= 160 && m.getAs[Int]("height") >= 120)
   }
 
+  test("multimodal frame-sample / resize / feature-extract plumbing") {
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source").as("media_source"))
+    val frames = Multimodal.sampleFrames(df, stride = 10, maxFrames = 4)
+    assert(frames.schema.fieldNames.toSeq ===
+      Seq("doc_id", "frame_idx", "width", "height", "frame_bytes"))
+    // bounded fan-out: 1..4 frames per doc
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") > 4 || col("count") < 1).count() === 0)
+    // frame extraction is content-deterministic across partitionings
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "frame_idx").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getAs[Array[Byte]](4).toSeq)).toSeq
+    val again = Multimodal.sampleFrames(df.repartition(7), stride = 10, maxFrames = 4)
+    assert(canon(frames) === canon(again))
+
+    val resized = Multimodal.resizeMeta(Multimodal.extractMeta(df), 320, 240)
+    val r = resized.filter(col("doc_id") === 0).collect()(0)
+    assert(r.getAs[Int]("width") === 320 && r.getAs[Int]("height") === 240)
+    assert(r.getAs[Double]("scale_x") > 0)
+
+    val feats = Multimodal.extractFeatures(df, dim = 16)
+    val f = feats.orderBy("doc_id").collect()
+    assert(f.forall(_.getAs[scala.collection.Seq[Float]]("feature").size === 16))
+    val fAgain = Multimodal.extractFeatures(df.repartition(5), dim = 16).orderBy("doc_id").collect()
+    assert(f.map(_.getAs[scala.collection.Seq[Float]]("feature").toVector).toSeq ===
+      fAgain.map(_.getAs[scala.collection.Seq[Float]]("feature").toVector).toSeq)
+  }
+
   test("ann bucket sketch: every vector lands in exactly one bucket") {
     val buckets = VectorOps.queries("q_ann_buckets")(spark, sf)
     val total = buckets.agg(sum("n_vecs")).as[Long].collect()(0)
