@@ -29,6 +29,75 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** Blocked token-set Jaccard near-dup pairs over
+    * (source, doc_id, toks array) with an adaptive physical strategy:
+    *
+    * - DENSE vocab (≤ `maxMaskWords`×64 distinct tokens): dictionary-
+    *   encode token sets into plain LONG bitmask columns; the pair loop
+    *   is popcount(AND) in whole-stage codegen. Right when token sets
+    *   saturate a small vocabulary (most pairs genuinely overlap).
+    * - SPARSE vocab (big dictionaries): inverted-index join on
+    *   (source, token) — pair rows exist only where tokens actually
+    *   co-occur, so cost tracks true overlap, not the pair space.
+    *
+    * Both produce identical results (same null-free math; the oracle is
+    * strategy-agnostic). The vocabulary count is the only driver-side
+    * scalar, and it is itself a tiny distinct job.
+    */
+  def tokenJaccardPairs(dt: DataFrame, threshold: Double,
+                        maxMaskWords: Int = 16): DataFrame = {
+    val vocab = dt.select(explode(col("toks")).as("token")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
+    val nWords = (vocab.count() / 64 + 1).toInt
+    val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
+
+    val pairs =
+      if (nWords <= maxMaskWords) {
+        val maskCols = (0 until nWords).map(w =>
+          aggregate(filter(col("ids"), i => (i / 64).cast("int") === w),
+            lit(0L), (acc, i) => acc.bitwiseOR(
+              call_function("shiftleft", lit(1L), (i % 64).cast("int")))).as(s"m$w"))
+        val masked = dt
+          .select(col("source"), col("doc_id"), explode(col("toks")).as("token"),
+            size(col("toks")).cast("long").as("sz"))
+          .join(broadcast(vocab), "token")
+          .groupBy("source", "doc_id", "sz")
+          .agg(collect_set(col("idx")).as("ids"))
+          .select(Seq(col("source"), col("doc_id"), col("sz")) ++ maskCols: _*)
+        val a = masked.select(Seq(col("source"), col("doc_id").as("d1"),
+          col("sz").as("sz1")) ++ (0 until nWords).map(w => col(s"m$w").as(s"a$w")): _*)
+        val b = masked.select(Seq(col("source"), col("doc_id").as("d2"),
+          col("sz").as("sz2")) ++ (0 until nWords).map(w => col(s"m$w").as(s"b$w")): _*)
+        val interExpr = (0 until nWords)
+          .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
+          .reduce(_ + _).cast("long")
+        a.join(b, Seq("source")).filter(col("d1") < col("d2"))
+          .filter(col("sz1") * 100 >= col("sz2") * pruneLo &&
+                  col("sz2") * 100 >= col("sz1") * pruneLo)
+          .withColumn("inter", interExpr)
+      } else {
+        val inv = dt.select(col("source"), col("doc_id"),
+          explode(col("toks")).as("token"), size(col("toks")).cast("long").as("sz"))
+        val a = inv.select(col("source"), col("token"),
+          col("doc_id").as("d1"), col("sz").as("sz1"))
+        val b = inv.select(col("source"), col("token"),
+          col("doc_id").as("d2"), col("sz").as("sz2"))
+        a.join(b, Seq("source", "token")).filter(col("d1") < col("d2"))
+          .filter(col("sz1") * 100 >= col("sz2") * pruneLo &&
+                  col("sz2") * 100 >= col("sz1") * pruneLo)
+          .groupBy("source", "d1", "sz1", "d2", "sz2")
+          .agg(count(lit(1)).as("inter"))
+      }
+
+    pairs
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
+      .orderBy("source", "d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
     // E5 token counting (corpus term frequencies)
     "q_token_counts" -> ((s, d) =>
@@ -90,53 +159,15 @@ object TextOps {
         .orderBy("user_id", "event_type")
     }),
 
-    // E3 n-gram (token-set) Jaccard near-dup pairs within each source.
+    // E3 n-gram (token-set) Jaccard near-dup pairs within each source,
+    // via [[tokenJaccardPairs]]'s adaptive dense/sparse-vocab strategy.
     // Blocking key = "source" (LSH — q_minhash_lsh — is the blocking
-    // strategy when no natural key exists). Token sets are
-    // dictionary-encoded into long-word bitmasks, so the per-pair
-    // intersection is popcount(AND) over a handful of longs — integer
-    // codegen instead of per-pair hash-set builds. The dictionary is a
-    // tiny distinct job (vocab ≪ corpus) broadcast back to the docs.
-    "q_dedup_fuzzy" -> ((s, d) => {
-      val dt = documents(s, d).select(col("source"), col("doc_id"),
-        array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
-      // vocabulary dictionary: token -> dense bit index (deterministic)
-      val vocab = dt.select(explode(col("toks")).as("token")).distinct()
-        .withColumn("idx",
-          (row_number().over(Window.orderBy("token")) - 1).cast("long"))
-      val nWords = (vocab.count() / 64 + 1).toInt  // driver scalar: dictionary size only
-      // one plain LONG column per 64-bit mask word — the hot pair loop
-      // below then runs entirely in whole-stage codegen (popcount of
-      // AND), with no hash sets, no array allocs, no interpreted HOFs
-      val maskCols = (0 until nWords).map(w =>
-        aggregate(filter(col("ids"), i => (i / 64).cast("int") === w),
-          lit(0L), (acc, i) => acc.bitwiseOR(
-            call_function("shiftleft", lit(1L), (i % 64).cast("int")))).as(s"m$w"))
-      val masked = dt
-        .select(col("source"), col("doc_id"), explode(col("toks")).as("token"),
-          size(col("toks")).cast("long").as("sz"))
-        .join(broadcast(vocab), "token")
-        .groupBy("source", "doc_id", "sz")
-        .agg(collect_set(col("idx")).as("ids"))
-        .select(Seq(col("source"), col("doc_id"), col("sz")) ++ maskCols: _*)
-      val a = masked.select(Seq(col("source"), col("doc_id").as("d1"),
-        col("sz").as("sz1")) ++ (0 until nWords).map(w => col(s"m$w").as(s"a$w")): _*)
-      val b = masked.select(Seq(col("source"), col("doc_id").as("d2"),
-        col("sz").as("sz2")) ++ (0 until nWords).map(w => col(s"m$w").as(s"b$w")): _*)
-      val interExpr = (0 until nWords)
-        .map(w => bit_count(col(s"a$w").bitwiseAND(col(s"b$w"))))
-        .reduce(_ + _).cast("long")
-      a.join(b, Seq("source")).filter(col("d1") < col("d2"))
-        // length-ratio prune: J ≥ 0.8 implies min(sz)/max(sz) ≥ 0.8;
-        // 0.79 slack covers the round(·,4) boundary
-        .filter(col("sz1") * 100 >= col("sz2") * 79 && col("sz2") * 100 >= col("sz1") * 79)
-        .withColumn("inter", interExpr)
-        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
-        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("source"), col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
-        .orderBy("source", "d1", "d2")
-    }),
+    // strategy when no natural key exists).
+    "q_dedup_fuzzy" -> ((s, d) =>
+      tokenJaccardPairs(
+        documents(s, d).select(col("source"), col("doc_id"),
+          array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks")),
+        threshold = 0.8)),
 
     // E5 tf-idf: term frequency × inverse document frequency via two
     // aggregations + a broadcast join of the (tiny) df table. ln() is

@@ -23,6 +23,18 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("jaccard strategies agree: bitmask (dense vocab) == inverted index (sparse path)") {
+    val dt = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
+    def rows(maxWords: Int) = graft.operators.TextOps
+      .tokenJaccardPairs(dt, threshold = 0.8, maxMaskWords = maxWords)
+      .collect().map(_.toSeq).toSeq
+    // maxMaskWords=0 forces the inverted-index branch on the same data
+    assert(rows(16) === rows(0))
+    assert(rows(16).nonEmpty)
+  }
+
   test("graft_hll sketch: within 5% of exact, partitioning-invariant merge") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     def run(df: org.apache.spark.sql.DataFrame) = df
