@@ -214,6 +214,67 @@ object RelQueries {
           round(col("p90") / 100, 4).as("p90_price"))
         .orderBy("l_returnflag")),
 
+    // analytic-function breadth: rank family + distribution + frames
+    "q_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("grp_min", first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("o_orderkey")
+    }),
+
+    // edit-distance near-dup over blocked pairs (both engines implement
+    // the classic integer DP — exact match)
+    "q_edit_distance" -> ((s, d) => {
+      val p = part(s, d).filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+      val a = p.select(col("p_type"), col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val b = p.select(col("p_type"), col("p_partkey").as("k2"), col("p_name").as("n2"))
+      a.join(b, Seq("p_type")).filter(col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        .filter(col("dist") <= 4)
+        .select(col("p_type"), col("k1"), col("k2"), col("n1"), col("n2"), col("dist"))
+        .orderBy("p_type", "k1", "k2")
+    }),
+
+    // null-semantics suite: null-safe equality, coalesce, nullif,
+    // null-aware aggregation — the exact semantics the SCD compare
+    // relies on, isolated and oracle-checked
+    "q_null_semantics" -> ((s, d) => {
+      val v = when(col("c_acctbal") < 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal"))
+      customer(s, d)
+        .select(col("c_custkey"), v.as("bal"))
+        .withColumn("is_null", col("bal").isNull)
+        .withColumn("nullsafe_self", col("bal") <=> col("bal"))
+        .withColumn("coalesced", coalesce(col("bal"), lit(-999.0)))
+        .withColumn("nullif_zero", nullif(col("coalesced"), lit(-999.0)))
+        .orderBy("c_custkey")
+    }),
+
+    // date/time function breadth over the NTZ order dates
+    "q_date_functions" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
+        .orderBy("o_orderkey")),
+
     "q_groupby_agg" -> ((s, d) =>
       documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -323,6 +384,53 @@ object RelQueries {
         |FROM t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 6) AS cdist,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_min
+        |FROM orders WHERE o_orderkey < 500
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_type FROM part WHERE p_partkey < 300)
+        |SELECT a.p_type, a.p_partkey AS k1, b.p_partkey AS k2,
+        |  a.p_name AS n1, b.p_name AS n2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY a.p_type, k1, k2""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_custkey, bal,
+        |  bal IS NULL AS is_null,
+        |  bal IS NOT DISTINCT FROM bal AS nullsafe_self,
+        |  COALESCE(bal, -999.0) AS coalesced,
+        |  NULLIF(COALESCE(bal, -999.0), -999.0) AS nullif_zero
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
