@@ -275,6 +275,52 @@ object RelQueries {
             col("o_orderdate").cast("date")).cast("long").as("days_to_2002"))
         .orderBy("o_orderkey")),
 
+    // arg-max/arg-min aggregation (min_by/max_by): the unique ranking
+    // value (cents·1e6 + orderkey) rules out tie ambiguity cross-engine
+    "q_argmax" -> ((s, d) => {
+      val rankVal = cents(col("o_totalprice")) * 1000000L + col("o_orderkey")
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), rankVal.as("rv"))
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"), col("rv")).as("best_order"),
+          min_by(col("o_orderkey"), col("rv")).as("worst_order"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    }),
+
+    // array-function breadth over per-customer order lists
+    "q_array_funcs" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders"))
+        .select(col("o_custkey"),
+          size(col("orders")).cast("long").as("n"),
+          element_at(col("orders"), 1).as("first_key"),
+          element_at(col("orders"), -1).as("last_key"),
+          // string form: array-typed output columns are hash-hostile in
+          // generic row comparators
+          concat_ws(",", transform(slice(col("orders"), 1, 3),
+            x => x.cast("string"))).as("first3"),
+          array_contains(col("orders"), 7L).as("has_7"),
+          coalesce(aggregate(col("orders"), lit(0L), (a, x) => a + x), lit(0L)).as("key_sum"))
+        .orderBy("o_custkey")),
+
+    // string-function breadth (initcap/lpad/translate/repeat/substr/
+    // instr — all cross-engine exact on ASCII)
+    "q_string_funcs" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          initcap(col("p_name")).as("title"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("translated"),
+          substring(col("p_name"), 2, 5).as("sub"),
+          instr(col("p_name"), " ").cast("long").as("space_at"),
+          reverse(col("p_brand")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"))
+        .orderBy("p_partkey")),
+
     "q_groupby_agg" -> ((s, d) =>
       documents(s, d).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -384,6 +430,44 @@ object RelQueries {
         |FROM t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_argmax" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey AS rv
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  arg_max(o_orderkey, rv) AS best_order,
+        |  arg_min(o_orderkey, rv) AS worst_order,
+        |  COUNT(*) AS n
+        |FROM t GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (
+        |  SELECT o_custkey, list_sort(list(o_orderkey)) AS orders
+        |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  CAST(len(orders) AS BIGINT) AS n,
+        |  orders[1] AS first_key,
+        |  orders[-1] AS last_key,
+        |  array_to_string(orders[1:3], ',') AS first3,
+        |  list_contains(orders, 7) AS has_7,
+        |  COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), orders), (a, x) -> a + x), 0) AS key_sum
+        |FROM t ORDER BY o_custkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  -- initcap: capitalize each word
+        |  list_aggregate(list_transform(string_split(p_name, ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS title,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS translated,
+        |  substring(p_name, 2, 5) AS sub,
+        |  CAST(instr(p_name, ' ') AS BIGINT) AS space_at,
+        |  reverse(p_brand) AS rev,
+        |  repeat('ab', 3) AS rep
+        |FROM part WHERE p_partkey < 300
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
