@@ -41,19 +41,38 @@ object TextOps {
     *   co-occur, so cost tracks true overlap, not the pair space.
     *
     * Both produce identical results (same null-free math; the oracle is
-    * strategy-agnostic). The vocabulary count is the only driver-side
-    * scalar, and it is itself a tiny distinct job.
+    * strategy-agnostic).
+    *
+    * The dense path is gated on BOTH axes of its cost model:
+    * - vocab size (`maxMaskWords` × 64 tokens) bounds the mask width;
+    * - block row count (`maxBlockRows`) bounds the O(block²) pair join.
+    *   A 100 TB source-block with a small vocabulary must NOT pick the
+    *   bitmask path — its pair space is quadratic in the block no matter
+    *   how cheap each comparison is. Such blocks fall through to the
+    *   inverted index, whose cost tracks true token co-occurrence
+    *   (and beyond that, MinHash-LSH — q_minhash_lsh — is the blocker).
+    *
+    * Driver-side scalars: one tiny groupBy-count for the largest block;
+    * the vocabulary count job runs only when a dense block is possible
+    * (the sparse path never needs the dictionary at all).
     */
   def tokenJaccardPairs(dt: DataFrame, threshold: Double,
-                        maxMaskWords: Int = 16): DataFrame = {
-    val vocab = dt.select(explode(col("toks")).as("token")).distinct()
-      .withColumn("idx",
-        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
-    val nWords = (vocab.count() / 64 + 1).toInt
+                        maxMaskWords: Int = 16,
+                        maxBlockRows: Long = 10000L): DataFrame = {
+    val maxBlock = dt.groupBy("source").count()
+      .agg(max("count")).head.getAs[Any](0) match {
+        case n: Long => n
+        case _       => 0L  // empty input: no blocks
+      }
     val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
 
+    lazy val vocab = dt.select(explode(col("toks")).as("token")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
+    lazy val nWords = (vocab.count() / 64 + 1).toInt
+
     val pairs =
-      if (nWords <= maxMaskWords) {
+      if (maxBlock <= maxBlockRows && nWords <= maxMaskWords) {
         val maskCols = (0 until nWords).map(w =>
           aggregate(filter(col("ids"), i => (i / 64).cast("int") === w),
             lit(0L), (acc, i) => acc.bitwiseOR(
@@ -267,8 +286,22 @@ object TextOps {
       val shingled = documents(s, d).select(col("source"), col("doc_id"),
         array_distinct(slice(g3, lit(1), greatest(size(words) - 2, lit(0))))
           .as("shingles"))
-      val sizes = shingled.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
-      val inv = shingled.select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+      // Document-frequency cap: a shingle shared by df docs contributes
+      // df·(df-1)/2 pair rows to the self-join — boilerplate shingles
+      // (headers, licence blocks) make that quadratic per hot key at
+      // 100 TB. Dropping shingles with df > cap bounds every key's fan-out
+      // at cap²/2 AND is semantically standard (hot shingles carry no
+      // near-dup signal). Jaccard is then computed over the capped
+      // feature space (sizes recounted post-filter), mirrored exactly in
+      // the DuckDB oracle. cap=64 ≫ the observed max df at test scales
+      // (3 at sf0.01, 6 at sf0.1), so test output is unchanged.
+      val dfCap = 64
+      val invAll = shingled.select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+      val inv = invAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle")))
+        .filter(col("df") <= dfCap)
+        .drop("df")
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val pairs = inv.select(col("source"), col("doc_id").as("d1"), col("shingle"))
         .join(inv.select(col("source"), col("doc_id").as("d2"), col("shingle")),
           Seq("source", "shingle"))
@@ -423,9 +456,13 @@ object TextOps {
       """WITH words AS (
         |  SELECT source, doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
         |  FROM documents),
-        |sh AS (
+        |sh_all AS (
         |  SELECT DISTINCT source, doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
         |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 2),
+        |sh AS (
+        |  SELECT source, doc_id, shingle FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM sh_all)
+        |  WHERE df <= 64),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

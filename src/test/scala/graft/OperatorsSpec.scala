@@ -35,6 +35,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(16).nonEmpty)
   }
 
+  test("jaccard dense path is gated on block row count, not just vocab size") {
+    val dt = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
+    val dense = graft.operators.TextOps.tokenJaccardPairs(dt, threshold = 0.8)
+    // a block bigger than maxBlockRows must fall through to the inverted
+    // index even though the vocab fits the bitmask budget
+    val gated = graft.operators.TextOps
+      .tokenJaccardPairs(dt, threshold = 0.8, maxBlockRows = 1L)
+    assert(dense.queryExecution.executedPlan.toString.contains("bit_count"),
+      "small blocks + small vocab should choose the bitmask path")
+    assert(!gated.queryExecution.executedPlan.toString.contains("bit_count"),
+      "oversized blocks must not choose the O(block²) bitmask path")
+    assert(gated.collect().map(_.toSeq).toSeq === dense.collect().map(_.toSeq).toSeq)
+  }
+
   test("graft_hll sketch: within 5% of exact, partitioning-invariant merge") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     def run(df: org.apache.spark.sql.DataFrame) = df
