@@ -9,9 +9,10 @@ import graft.operators.{EventOps, TextOps, VectorOps}
   * `queries` is the full operator catalog (SURVEY.md §2 + §2.12), one
   * entry per operator, each reading the driver testdata at `sfDir`.
   * `oracleSql` carries the DuckDB-equivalent SQL for the hash-compare
-  * gate; entries absent there (q_approx_distinct, q_ann_buckets,
-  * q_multimodal_meta) are implementation-specific and get the driver's
-  * rows-only check, with correctness asserted in ScalaTest specs.
+  * gate; entries absent there (q_approx_distinct, q_hll_distinct,
+  * q_multimodal_meta) are implementation-specific (sketch values /
+  * stubbed decode) and get the driver's rows-only check, with
+  * correctness asserted in ScalaTest specs.
   */
 object SparkEntry {
 

@@ -32,6 +32,17 @@ object VectorOps {
     * primitive loop instead of interpreted lambdas. */
   def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
+  /** Deterministic pseudo-random ±1 hyperplane for LSH bucketing:
+    * component i of plane p is +1 iff the first md5("p|i") byte < 128.
+    * Shared by the Spark query AND the generated DuckDB oracle SQL, so
+    * the two engines agree by construction. */
+  private def planeWeights(p: Int): Array[Double] =
+    (0 until 64).map { i =>
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$i".getBytes("UTF-8"))(0)
+      if ((b & 0xff) < 128) 1.0 else -1.0
+    }.toArray
+
   val queries: Map[String, Q] = Map(
     // E4 brute-force cosine top-k (baseline; exact)
     "q_cosine_topk" -> ((s, d) => {
@@ -60,18 +71,10 @@ object VectorOps {
     "q_ann_buckets" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // component i weight for plane p: +1 if first md5("p|i") byte < 128
-      // else -1 — a deterministic pseudo-random hyperplane. Evaluated as
-      // one dot product against a literal weight array (single fold)
-      // rather than a 64-term Add tree.
-      def planeSig(p: Int): Column = {
-        val weights = (0 until 64).map { i =>
-          val b = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p|$i".getBytes("UTF-8"))(0)
-          if ((b & 0xff) < 128) 1.0 else -1.0
-        }.toArray
-        when(dot(col("v"), typedLit(weights)) >= 0, lit(1)).otherwise(lit(0))
-      }
+      // Each plane is one dot product against a literal ±1 weight array
+      // (single fold) rather than a 64-term Add tree; see [[planeWeights]].
+      def planeSig(p: Int): Column =
+        when(dot(col("v"), typedLit(planeWeights(p))) >= 0, lit(1)).otherwise(lit(0))
       emb.withColumn("bucket",
           concat_ws("", (0 until 4).map(p => planeSig(p).cast("string")): _*))
         .groupBy("bucket")
@@ -100,8 +103,9 @@ object VectorOps {
     // E4 IVF-style ANN: k fixed seed centroids; every vector is assigned
     // to its nearest centroid (one broadcast pass), then top-k search
     // only scans the query's own cell — the inverted-file pruning that
-    // replaces the O(n·q) brute force at scale. No SQL oracle (cell
-    // assignment is engine-internal); recall asserted in OperatorsSpec.
+    // replaces the O(n·q) brute force at scale. Fully deterministic
+    // (centroids = vec_id < 8, cosine ties broken by cid) → DuckDB
+    // oracle below; in-cell recall also asserted in OperatorsSpec.
     "q_ivf_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -158,6 +162,55 @@ object VectorOps {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    // Generated from the same planeWeights as the Spark query: each
+    // plane's sign test embeds its ±1 weights as a DOUBLE[] literal.
+    "q_ann_buckets" -> {
+      val sig = (0 until 4).map { p =>
+        val arr = planeWeights(p).map(w => if (w > 0) "1" else "-1")
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN (SELECT SUM(v[g.i] * ($arr::DOUBLE[])[g.i])
+           |  FROM generate_series(1, 64) g(i)) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+      }.mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, $sig AS bucket FROM emb)
+         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q_ivf_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt((SELECT SUM(v[g.i] * v[g.i]) FROM generate_series(1, 64) g(i))) AS nv
+        |  FROM emb),
+        |cents AS (SELECT vec_id AS cid, v AS cv, nv AS nc FROM n WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT n.vec_id, c.cid,
+        |    (SELECT SUM(n.v[g.i] * c.cv[g.i]) FROM generate_series(1, 64) g(i))
+        |      / (n.nv * c.nc) AS sim
+        |  FROM n, cents c),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sims)
+        |  WHERE rn = 1),
+        |qs AS (
+        |  SELECT a.vec_id AS qid, a.cell, n.v AS qv, n.nv AS nq
+        |  FROM assign a JOIN n ON a.vec_id = n.vec_id WHERE a.vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, n.vec_id AS vid,
+        |    (SELECT SUM(q.qv[g.i] * n.v[g.i]) FROM generate_series(1, 64) g(i))
+        |      / (q.nq * n.nv) AS score
+        |  FROM qs q JOIN assign a ON a.cell = q.cell JOIN n ON n.vec_id = a.vec_id
+        |  WHERE a.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "q_embed_near_dup" ->
       """WITH emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
