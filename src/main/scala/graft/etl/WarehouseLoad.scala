@@ -14,7 +14,7 @@ import graft.functions.Scalars.surrogateKey
   *   (dags/bigquery.py:247-272);
   * - "current version" is the OLDEST row (`ORDER BY scraped_at` ASC
   *   LIMIT 1 — dags/bigquery.py:295,315; almost certainly a reference
-  *   bug, kept as default, see [[orderDesc]]);
+  *   bug, kept as default — see `stageProducts`' orderDesc parameter);
   * - field compare ignores scraped_at + uuid columns and is null-safe
   *   the way Python `!=` is (None == None → no change) — `<=>` here
   *   (dags/bigquery.py:53-68);
@@ -43,11 +43,7 @@ object WarehouseLoad {
   case class State(competitors: DataFrame, products: DataFrame,
                    features: DataFrame, prices: DataFrame, packs: DataFrame)
 
-  /** `ORDER BY scraped_at` direction for the "current version" probe.
-    * false = faithful reference ASC (oldest); true = the fix (newest). */
-  var orderDesc: Boolean = false
-
-  private def top1(df: DataFrame, key: String): DataFrame = {
+  private def top1(df: DataFrame, key: String, orderDesc: Boolean): DataFrame = {
     val ord = if (orderDesc) col("scraped_at").desc else col("scraped_at").asc
     val w = Window.partitionBy(key).orderBy(ord)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -58,8 +54,15 @@ object WarehouseLoad {
 
   /** Stage the full product/feature/price load for one cleaned-products
     * batch (one competitor, schema Schemas.cleanProduct with DateType
-    * scraped_at). Pure function: returns the Delta to append. */
-  def stageProducts(state: State, batch: DataFrame): Delta = {
+    * scraped_at). Pure function: returns the Delta to append.
+    *
+    * `orderDesc` picks the "current version" probe direction:
+    * false = faithful reference ASC / oldest (dags/bigquery.py:295,315 —
+    * almost certainly a reference bug, kept as the default); true = the
+    * fixed DESC / newest probe. A parameter, not global state, so
+    * concurrent loads with different directions can't race. */
+  def stageProducts(state: State, batch: DataFrame,
+                    orderDesc: Boolean = false): Delta = {
     val b = batch
       .withColumn("competitor_uuid_new", surrogateKey(lit("c"), col("competitor_name")))
 
@@ -102,7 +105,7 @@ object WarehouseLoad {
       col("scraped_at"))
 
     // J5 current feature version per product (faithful ASC top-1)
-    val curFeature = top1(state.features, "product_uuid").select(
+    val curFeature = top1(state.features, "product_uuid", orderDesc).select(
       col("product_uuid"),
       col("product_name").as("cur_product_name"), col("product_url").as("cur_product_url"),
       col("data").as("cur_data"), col("minutes").as("cur_minutes"),
@@ -140,7 +143,7 @@ object WarehouseLoad {
     val featureChangePrices = priceOf(changedFeatures, col("stored_feature_uuid"))
 
     // J5 current price per stored feature_uuid + compare on price only
-    val curPrice = top1(state.prices, "feature_uuid")
+    val curPrice = top1(state.prices, "feature_uuid", orderDesc)
       .select(col("feature_uuid").as("stored_feature_uuid"), col("price").as("cur_price"))
     val priceProbe = existing.join(curPrice, Seq("stored_feature_uuid"), "left")
     val priceChanged = col("cur_price").isNull || !(col("cur_price") <=> col("price"))

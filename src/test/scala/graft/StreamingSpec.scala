@@ -56,6 +56,56 @@ class StreamingSpec extends SparkTestBase {
     assert(st2.features.count() === 2)      // no feature change
     assert(st2.prices.count() === 3)        // one new price version
     assert(st2.prices.filter(col("price") === 25.0).count() === 1)
+
+    // restart from the same checkpoint with no new files: the source
+    // replays nothing, the warehouse is unchanged
+    runOnce()
+    val st3 = StreamingJobs.loadState(spark, whDir)
+    assert(st3.products.count() === 2 && st3.prices.count() === 3)
+  }
+
+  test("SCD upsert replays are exactly-once: a re-delivered micro-batch appends nothing") {
+    val rawDir = Files.createTempDirectory("graft_replay_raw").toFile.getAbsolutePath
+    val whDir = Files.createTempDirectory("graft_replay_wh").toFile.getAbsolutePath
+    val ckDir = Files.createTempDirectory("graft_replay_ck").toFile.getAbsolutePath
+
+    writeRawBatch(rawDir, "b1.ndjson", Seq(rawLine("mobile_a", 15.0, "2023-10-05", 15.0)))
+    val q = StreamingJobs.scdUpsertWriter(
+        StreamingJobs.cleanStream(spark, rawDir), whDir)
+      .option("checkpointLocation", ckDir)
+      .start()
+    q.awaitTermination()
+    // a price change ran as batch 1, so two price versions exist — the
+    // state in which a naive replay WOULD duplicate (the ASC probe
+    // compares against the oldest version)
+    writeRawBatch(rawDir, "b2.ndjson", Seq(rawLine("mobile_a", 25.0, "2023-10-06", 15.0)))
+    val q2 = StreamingJobs.scdUpsertWriter(
+        StreamingJobs.cleanStream(spark, rawDir), whDir)
+      .option("checkpointLocation", ckDir)
+      .start()
+    q2.awaitTermination()
+    val before = StreamingJobs.loadState(spark, whDir)
+    assert(before.prices.count() === 2)
+    assert(new java.io.File(s"$whDir/_graft_commits/1").exists())
+
+    // simulate the crash-replay: Structured Streaming re-delivers batch 1
+    // (side effects done, checkpoint commit lost) — the commit marker
+    // must short-circuit it
+    val replayed = graft.etl.CleanJob.cleanProducts(
+        spark.read.schema(graft.schema.Schemas.rawProduct).json(s"$rawDir/b2.ndjson"))
+      .withColumn("scraped_at", to_date(col("scraped_at")))
+    StreamingJobs.upsertBatch(replayed, batchId = 1L, whDir)
+    val after = StreamingJobs.loadState(spark, whDir)
+    assert(after.prices.count() === 2, "replayed batch must not re-append its delta")
+    assert(after.features.count() === before.features.count())
+    assert(after.products.count() === before.products.count())
+
+    // the same data under a NEW batchId is a genuine new batch: the
+    // faithful ASC probe sees price 25 != oldest 15 and stages again —
+    // proving the marker (not accidental no-op staging) is what made the
+    // replay safe
+    StreamingJobs.upsertBatch(replayed, batchId = 2L, whDir)
+    assert(StreamingJobs.loadState(spark, whDir).prices.count() === 3)
   }
 
   test("append-mode windows emit exactly when the watermark closes them") {

@@ -154,9 +154,10 @@ class WarehouseLoadSpec extends SparkTestBase {
     val b3 = batch(productRow("p1", 10.0, "2023-10-03", data = 2.0))
     val delta3 = WarehouseLoad.stageProducts(s2, b3)
     assert(delta3.features.count() === 1)
-    // with the orderDesc fix the same batch stages nothing
-    WarehouseLoad.orderDesc = true
-    try assert(WarehouseLoad.stageProducts(s2, b3).features.count() === 0)
-    finally WarehouseLoad.orderDesc = false
+    // with the orderDesc fix the same batch stages nothing; both
+    // directions can now run side-by-side (parameter, not global state)
+    assert(WarehouseLoad.stageProducts(s2, b3, orderDesc = true)
+      .features.count() === 0)
+    assert(WarehouseLoad.stageProducts(s2, b3).features.count() === 1)
   }
 }
