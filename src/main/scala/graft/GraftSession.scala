@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   *   mirror the reference's Python coercions (the library itself is
   *   also ANSI-safe via regex-guarded casts);
   * - UTC session timezone for deterministic date/timestamp text;
+  * - legacy nanosAsLong: the events table is parquet TIMESTAMP(NANOS),
+  *   which Spark's vectorized reader rejects; the session-level legacy
+  *   conf reads nanos as long and `Tables.events` rebuilds a µs
+  *   TimestampNTZ (set here, at session build — readers never mutate
+  *   session conf as a side effect);
   * - GraftExtensions: graft_dot / graft_hll SQL functions + the HOF
   *   dot-product acceleration rule.
   */
@@ -26,6 +31,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
   }

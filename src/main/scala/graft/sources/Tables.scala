@@ -22,12 +22,17 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy mode) and rebuild a
-    * microsecond TimestampNTZ (the testdata is µs-precision, so the
-    * ns→µs truncation is lossless). */
+    * reader rejects; with the session-level legacy nanosAsLong conf (set
+    * by GraftSession at build time — a reader must not mutate session
+    * conf) the nanos arrive as long and we rebuild a microsecond
+    * TimestampNTZ (the testdata is µs-precision, so the ns→µs
+    * truncation is lossless). Fails fast with a pointer if the session
+    * wasn't built with the conf. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session via graft.GraftSession " +
+        "(or set spark.sql.legacy.parquet.nanosAsLong=true at session build) before reading events")
     table(s, d, "events")
       .withColumn("ts",
         timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
