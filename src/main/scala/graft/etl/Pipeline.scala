@@ -11,7 +11,11 @@ import graft.sources.Tables
   *
   * - D1 staged pipeline: clean → load, sequential (master_dag.py:22-39);
   * - D2/D6 fan-out per competitor (scrape_dag.py:29-46,
-  *   load_to_bigquery_dag.py:144-184);
+  *   load_to_bigquery_dag.py:144-184): the clean stage runs its
+  *   competitor branches CONCURRENTLY (Futures submitting independent
+  *   Spark jobs — the reference's two scrapers run in parallel), while
+  *   the load stage stays sequential because every load reads and
+  *   appends the same shared warehouse tables;
   * - D3 continue-on-failure: a competitor's failure is recorded to
   *   `logs` and the run proceeds (trigger_rule='all_done');
   * - D4 retry with bounded attempts (retries=1 in the reference);
@@ -45,13 +49,27 @@ object Pipeline {
   def run(spark: SparkSession, rawDir: String, cleanDir: String, warehouseDir: String,
           competitors: Seq[String] = Seq("mobileviking", "scarlet")): Seq[StageResult] = {
 
-    val cleanResults = competitors.map { c =>
-      try {
-        withRetry() { CleanJob.run(spark, rawDir, cleanDir, Seq(c)) }
-        StageResult(c, "clean", ok = true, None)
-      } catch { case e: Throwable =>
-        StageResult(c, "clean", ok = false, Some(e.getMessage))
-      }
+    // D2: competitor clean branches are independent (distinct inputs and
+    // outputs) → run them concurrently. Spark's scheduler is thread-safe;
+    // each Future submits that branch's jobs from its own thread, and
+    // failures stay isolated per branch exactly as in the sequential form.
+    val cleanResults = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(competitors.size, 4)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(competitors.map { c =>
+        Future {
+          try {
+            withRetry() { CleanJob.run(spark, rawDir, cleanDir, Seq(c)) }
+            StageResult(c, "clean", ok = true, None)
+          } catch { case e: Throwable =>
+            StageResult(c, "clean", ok = false, Some(e.getMessage))
+          }
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     }
 
     val loadResults = competitors.map { c =>
@@ -77,7 +95,17 @@ object Pipeline {
   }
 
   /** Load one competitor's cleaned NDJSON into the warehouse tables
-    * (products SCD + packs anti-join), mirroring load_to_bigquery_dag. */
+    * (products SCD + packs anti-join), mirroring load_to_bigquery_dag.
+    *
+    * Note: this reads warehouse parquet state and appends to the same
+    * directories in one pass — safe here because loadState snapshots
+    * each table's file listing when the DataFrame is created (appends
+    * that land later are invisible to the already-built scan) and loads
+    * run sequentially, but it is the classic read-modify-write-same-path
+    * shape. At cluster scale put a transactional table format or a
+    * staging-dir swap under these appends; the streaming mode's
+    * per-batch commit markers (StreamingJobs.upsertBatch) are the
+    * file-layout version of that upgrade. */
   def loadCompetitor(spark: SparkSession, cleanDir: String, warehouseDir: String,
                      competitor: String): Unit = {
     val state = graft.streaming.StreamingJobs.loadState(spark, warehouseDir)
