@@ -189,12 +189,15 @@ object TextOps {
         threshold = 0.8)),
 
     // E5 tf-idf: term frequency × inverse document frequency via two
-    // aggregations + a broadcast join of the (tiny) df table. ln() is
-    // IEEE-identical cross-engine on these inputs; rounded to 6 for
-    // the oracle hash.
+    // aggregations + a broadcast join of the (tiny) df table. The corpus
+    // size rides along as a broadcast 1-row aggregate (the plan's own
+    // cross join — mirroring the oracle's CROSS JOIN n) instead of a
+    // separate driver count() action, so the whole query is one job.
+    // ln() is IEEE-identical cross-engine on these inputs; rounded to 6
+    // for the oracle hash.
     "q_tfidf" -> ((s, d) => {
       val docs = documents(s, d)
-      val nDocs = docs.count()  // driver scalar: corpus size (one count job)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
@@ -205,9 +208,10 @@ object TextOps {
         .join(docLen, "doc_id")
         .join(broadcast(df), "token")
         .filter(col("doc_id") < 50)
+        .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
           round((col("tf_raw").cast("double") / col("len")) *
-            log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+            log(col("n_docs") / col("df")), 6).as("tfidf"))
         .orderBy("doc_id", "token")
     }),
 
