@@ -181,16 +181,17 @@ object RefQueries {
         .orderBy("s_suppkey")),
 
     // J5/A1 top-1-per-key, faithful ASC (oldest row — dags/bigquery.py:295)
-    "q_top1_per_key" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      orders(s, d).withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    // via the NATIVE whole-operator (graft.plans.TopKPerGroup): bounded
+    // per-group heaps map-side, shuffle of ≤1 survivor per (group,
+    // partition), no Sort/WindowExec — row_number() semantics exactly,
+    // same DuckDB oracle as the window form it replaced.
+    "q_top1_per_key" -> ((s, d) =>
+      graft.plans.TopKPerGroup(orders(s, d), Seq(col("o_custkey")),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), k = 1)
         .select(col("o_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"),
           col("o_totalprice"))
-        .orderBy("o_custkey")
-    }),
+        .orderBy("o_custkey")),
 
     // ---- §2.8 SCD change detection ----
 

@@ -73,6 +73,23 @@ object RelQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // A1 at k>1 through the NATIVE whole-operator (graft.plans
+    // .TopKPerGroup): 3 earliest orders per customer with their rank.
+    // The oracle is the equivalent row_number() SQL — the hash gate
+    // proves the custom physical operator implements row_number()
+    // semantics exactly (ranks, ties, and group boundaries).
+    "q_topk_per_group" -> ((s, d) =>
+      graft.plans.TopKPerGroup(
+          orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice")),
+          Seq(col("o_custkey")),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), k = 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rank"),
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "rank")),
+
     "q_intersect" -> ((s, d) => {
       val a = orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("custkey"))
@@ -365,6 +382,16 @@ object RelQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'

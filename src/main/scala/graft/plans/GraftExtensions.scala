@@ -8,13 +8,17 @@ import graft.functions.{DotProduct, HllSketch}
 /** Session extension point for the engine's custom Catalyst pieces
   * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
   *
-  * Currently registers the codegen'd `graft_dot(array<double>,
-  * array<double>)` scalar (SURVEY.md §4.3's one benchmark-gated custom
-  * Expression); parity for everything else rides on Spark built-ins by
-  * design, so no custom Rule/Strategy is injected.
+  * Registers the codegen'd `graft_dot(array<double>, array<double>)`
+  * scalar and the `graft_hll` sketch aggregate (SURVEY.md §4.3), the
+  * optimizer rule that rewrites the HOF dot-product idiom onto
+  * graft_dot, and the planner strategy for the native
+  * [[TopKPerGroupNode]] whole-operator (partial/final bounded-heap
+  * top-k-per-group replacing Exchange→Sort→Window→Filter). Parity for
+  * everything else rides on Spark built-ins by design.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

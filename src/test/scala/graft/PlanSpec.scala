@@ -48,9 +48,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject(limit=10"))
   }
 
-  test("q_top1_per_key: rank filter becomes WindowGroupLimit (per-group limit before sort)") {
-    val p = plan("q_top1_per_key")
-    assert(p.contains("WindowGroupLimit"))
+  test("q_top1_per_key / q_topk_per_group: native whole-operator, no Sort/Window") {
+    Seq("q_top1_per_key", "q_topk_per_group").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopKPerGroupPartial"), s"$q missing map-side partial")
+      assert(p.contains("TopKPerGroup"), s"$q missing final operator")
+      assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+        s"$q should not fall back to the window pipeline")
+    }
   }
 
   test("q_filter_contains: StringContains pushed to the scan") {
