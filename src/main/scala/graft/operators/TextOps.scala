@@ -301,6 +301,11 @@ object TextOps {
       // (3 at sf0.01, 6 at sf0.1), so test output is unchanged.
       val dfCap = 64
       val invAll = shingled.select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+      // df computed as a count window over (source, shingle): one
+      // shuffle+sort of the index, after which the filter is free.
+      // (A hash-agg df table + equi-join back was tried and measured
+      // ~2x slower at sf0.1 — the join re-materializes the exploded
+      // index where the window reuses its own sorted exchange.)
       val inv = invAll
         .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle")))
         .filter(col("df") <= dfCap)
