@@ -326,6 +326,64 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // E10 deterministic stratified sampling: content-keyed md5 bucket
+    // per row, keep buckets below the rate threshold — uniform ~20%
+    // WITHIN each stratum, reproducible across runs/engines/partitionings
+    // (no rand()), and embarrassingly parallel: a pure narrow filter
+    // that pushes down to the scan at any scale. '34' hex = 52/256.
+    "q_stratified_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket", substring(md5(concat(lit("smp|"), col("doc_id"))), 1, 2))
+        .filter(col("bucket") < "34")
+        .select(col("source"), col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // E10 deterministic train/test split: same md5-bucket trick, total
+    // (every row gets a split, none dropped), ~90/10. The split is a
+    // pure function of the row key — new data never reshuffles old
+    // rows between splits.
+    "q_train_split" -> ((s, d) => {
+      val bucket = substring(md5(concat(lit("split|"), col("doc_id"))), 1, 2)
+      documents(s, d)
+        .withColumn("split", when(bucket < "e6", "train").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("source", "split")
+    }),
+
+    // E10 uniform N-per-group sampling via the NATIVE top-k-per-group
+    // operator ordered by a content hash: deterministic "reservoir"
+    // without reservoir state — bounded heaps map-side, k survivors per
+    // group shuffle, identical output on any cluster layout.
+    "q_sample_per_group" -> ((s, d) =>
+      graft.plans.TopKPerGroup(
+          documents(s, d)
+            .select(col("source"), col("doc_id"),
+              md5(concat(lit("res|"), col("doc_id"))).as("h")),
+          Seq(col("source")), Seq(col("h").asc, col("doc_id").asc), k = 5)
+        .select(col("source"), col("rn").cast("long").as("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
+
+    // E10 sequence packing (LLM pretraining concat-and-chunk): running
+    // token offset per source stream assigns every document a pack id
+    // and an offset inside its 512-token block — one ranged window per
+    // stream, no driver state, parallel across streams. At 100 TB the
+    // stream key is whatever bounded unit you pack within (shard, day,
+    // source); packs never cross the key so workers never coordinate.
+    "q_seq_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .withColumn("n_tokens",
+          size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 512.0))
+        .withColumn("pack_offset", (col("cum") - col("n_tokens")) - col("pack_id") * 512)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("pack_id"),
+          col("pack_offset"))
+        .orderBy("source", "doc_id")
+    }),
+
     // E3 MinHash-LSH banding: 8 portable min-hashes (lexicographic min of
     // seeded md5 — identical in any engine), 4 bands × 2 rows; emits
     // band-bucket stats (the scale-safe artifact; per-bucket pair
@@ -484,6 +542,46 @@ object TextOps {
         |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
         |WHERE ROUND(CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter), 4) >= 0.1
         |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT source, doc_id, lang FROM documents
+        |WHERE substring(md5('smp|' || doc_id), 1, 2) < '34'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN substring(md5('split|' || doc_id), 1, 2) < 'e6'
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, COUNT(*) AS n, MIN(doc_id) AS min_doc
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q_sample_per_group" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, md5('res|' || doc_id) AS h FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rank
+        |  FROM h)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512
+        |       AS BIGINT) AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH tok AS (
