@@ -95,6 +95,29 @@ object EventOps {
         .orderBy("purchase_id")
     }),
 
+    // The same attribution as a TWO-TABLE as-of join through the NATIVE
+    // operator (graft.plans.AsOfJoin): purchases stream left, clicks
+    // stream right, match = last click strictly before the purchase in
+    // ((ts, event_id)) order within the user. Sort-merge shape: both
+    // sides shuffle once on user_id, one O(|L|+|R|) merge pass with
+    // O(1) state per partition — no union trick, no range-join blowup.
+    "q_asof_join_native" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")))
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id"),
+          date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("purchase_id")
+    }),
+
     // E8 sessionization: 30-min-gap sessions via lag + running sum —
     // one shuffle on user_id, then narrow window ops within partitions.
     "q_sessionize" -> ((s, d) => {
@@ -166,6 +189,24 @@ object EventOps {
         |FROM ce
         |WHERE event_type = 'purchase' AND click_ev IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_asof_join_native" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS cuser, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  l.click_id,
+        |  strftime(l.cts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, cts FROM c
+        |  WHERE c.cuser = p.user_id
+        |    AND (c.cts < p.pts OR (c.cts = p.pts AND c.click_id < p.purchase_id))
+        |  ORDER BY c.cts DESC, c.click_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY p.purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
