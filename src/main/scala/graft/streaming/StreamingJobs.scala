@@ -49,6 +49,78 @@ object StreamingJobs {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Event for the custom-state sessionizer (epoch seconds, not
+    * Timestamp, so the case-class Encoder stays trivial). */
+  case class SessionEvent(user_id: Long, epoch: Long, value: Double)
+  /** Open-session state carried between micro-batches (one per user —
+    * O(active users) cluster state, dropped on timeout). */
+  case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  /** Emitted closed session. */
+  case class ClosedSession(user_id: Long, session_start: Long,
+                           session_end: Long, n_events: Long, session_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * arbitrary-state form of [[sessionStream]] for semantics
+    * session_window can't express (here: emit ONLY closed sessions,
+    * closed by gap evidence — a later event from the same user more
+    * than `gapSeconds` after the last). State is one small case class
+    * per user in the state store, replaced the moment its session
+    * closes. Events within a micro-batch are sorted per group; the gap
+    * rule matches the batch form (q_sessionize) so the two stay
+    * comparable.
+    *
+    * Closing is EVENT-driven by default (deterministic, replayable —
+    * the engine's determinism policy). Set `processingTimeTimeout` to
+    * also close idle sessions on a wall-clock timer
+    * (GroupStateTimeout.ProcessingTimeTimeout): that is what bounds
+    * state for users who never return, but it makes emission
+    * wall-clock-dependent AND keeps the micro-batch engine scheduling
+    * timeout-evaluation batches (never quiescent — don't drive such a
+    * query with processAllAvailable in tests).
+    */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[SessionEvent],
+                          gapSeconds: Long = 1800L,
+                          processingTimeTimeout: Boolean = false):
+      org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (processingTimeTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, timeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.start, s.lastSeen, s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.epoch)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epoch - s.lastSeen < gapSeconds =>
+                  cur = Some(s.copy(lastSeen = e.epoch, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.lastSeen, s.n, s.total)
+                  cur = Some(SessionState(e.epoch, e.epoch, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.epoch, e.epoch, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (processingTimeTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Change-detecting warehouse upsert as a streaming sink: every
     * micro-batch runs the same set-based SCD staging as the batch load
     * (WarehouseLoad.stageProducts) against the current parquet state,

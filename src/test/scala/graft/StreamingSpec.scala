@@ -108,6 +108,37 @@ class StreamingSpec extends SparkTestBase {
     assert(StreamingJobs.loadState(spark, whDir).prices.count() === 3)
   }
 
+  test("flatMapGroupsWithState sessionizer: closes on gap across micro-batches, state per active user") {
+    import graft.streaming.StreamingJobs.{SessionEvent, ClosedSession}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val q = StreamingJobs.sessionizeWithState(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_sessions")
+      .start()
+    try {
+      val t0 = 1700000000L
+      // batch 1: user 1 two events 10 min apart (one open session),
+      // user 2 one event
+      input.addData(SessionEvent(1L, t0, 2.0), SessionEvent(1L, t0 + 600, 3.0),
+        SessionEvent(2L, t0, 7.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").count() === 0,
+        "open sessions must not be emitted")
+      // batch 2: user 1 returns after a 40-min gap → session 1 closes,
+      // a new one opens; user 2 stays open
+      input.addData(SessionEvent(1L, t0 + 3000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("state_sessions").as[ClosedSession].collect().toSeq
+      assert(closed === Seq(ClosedSession(1L, t0, t0 + 600, 2L, 5.0)))
+      // batch 3: an in-gap event extends the CURRENT session, closes nothing
+      input.addData(SessionEvent(1L, t0 + 3300, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").count() === 1)
+    } finally q.stop()
+  }
+
   test("append-mode windows emit exactly when the watermark closes them") {
     val dir = Files.createTempDirectory("graft_wm_in").toFile.getAbsolutePath
     val ck = Files.createTempDirectory("graft_wm_ck").toFile.getAbsolutePath
