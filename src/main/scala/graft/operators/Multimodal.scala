@@ -104,6 +104,22 @@ object Multimodal {
       .withColumn("width", lit(targetW))
       .withColumn("height", lit(targetH))
 
+  /** Partitioned binary persistence: parquet with the payload as a
+    * binary column, directory-partitioned by low-cardinality metadata
+    * (format by default) so a scan for one modality prunes whole
+    * directories, and `maxRecordsPerFile` bounds object size — a
+    * 100 TB media lake becomes many well-sized files instead of a few
+    * giant ones. Reads go through the ordinary parquet reader, so
+    * partition pruning and payload-column pruning are Catalyst-native
+    * (asserted in OperatorsSpec). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Seq("format"),
+                       maxRecordsPerFile: Int = 10000): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Deterministic pseudo feature vector per payload (stands in for an
     * image/audio embedding model): `dim` floats seeded from the payload
     * hash, so identical bytes ⇒ identical features across partitions. */

@@ -116,6 +116,32 @@ class OperatorsSpec extends SparkTestBase {
       fAgain.map(_.getAs[scala.collection.Seq[Float]]("feature").toVector).toSeq)
   }
 
+  test("multimodal partitioned binary lake: format-partitioned write, pruned read, byte roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile.getAbsolutePath
+    val media = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source").as("media_source"))
+    val withMeta = Multimodal.extractMeta(media)
+      .join(media.select(col("doc_id"), col("payload")), "doc_id")
+    Multimodal.writePartitioned(withMeta, dir)
+    // directory layout is format-partitioned
+    val parts = new java.io.File(dir).list().filter(_.startsWith("format=")).sorted
+    assert(parts.toSeq === Seq("format=jpeg", "format=png"))
+    // scan for one modality prunes the other partition entirely
+    val jpeg = spark.read.parquet(dir).filter(col("format") === "jpeg")
+    val plan = jpeg.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("format"),
+      "format filter must prune at the partition level, not per row")
+    assert(jpeg.count() === withMeta.filter(col("format") === "jpeg").count())
+    // payload bytes roundtrip exactly
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("payload")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    val orig = media.select(col("doc_id"), col("payload")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(back.toSeq === orig.toSeq)
+  }
+
   test("ann bucket sketch: every vector lands in exactly one bucket") {
     val buckets = VectorOps.queries("q_ann_buckets")(spark, sf)
     val total = buckets.agg(sum("n_vecs")).as[Long].collect()(0)
