@@ -52,24 +52,39 @@ object TextOps {
     *   inverted index, whose cost tracks true token co-occurrence
     *   (and beyond that, MinHash-LSH — q_minhash_lsh — is the blocker).
     *
-    * Driver-side scalars: one tiny groupBy-count for the largest block;
-    * the vocabulary count job runs only when a dense block is possible
-    * (the sparse path never needs the dictionary at all).
+    * Driver-side scalars: the largest-block row count and the vocabulary
+    * size, folded into ONE Spark action (a union of two 1-row
+    * aggregates, computed as sibling subtrees of a single job). The
+    * vocab-distinct subtree runs even when the block gate will choose
+    * the sparse path — at the extreme where that distinct itself is a
+    * cost concern, pass `eagerStats = false` to evaluate the block gate
+    * first and skip the vocabulary job entirely for oversized blocks.
     */
   def tokenJaccardPairs(dt: DataFrame, threshold: Double,
                         maxMaskWords: Int = 16,
-                        maxBlockRows: Long = 10000L): DataFrame = {
-    val maxBlock = dt.groupBy("source").count()
-      .agg(max("count")).head.getAs[Any](0) match {
-        case n: Long => n
-        case _       => 0L  // empty input: no blocks
-      }
+                        maxBlockRows: Long = 10000L,
+                        eagerStats: Boolean = true): DataFrame = {
     val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
 
     lazy val vocab = dt.select(explode(col("toks")).as("token")).distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy("token")) - 1).cast("long"))
-    lazy val nWords = (vocab.count() / 64 + 1).toInt
+    val maxBlockDf = dt.groupBy("source").count()
+      .agg(coalesce(max("count"), lit(0L)).as("v"))
+    def asLong(a: Any): Long = a match { case n: Long => n; case _ => 0L }
+    val (maxBlock, nWords) =
+      if (eagerStats) {
+        val rows = maxBlockDf.select(lit("block").as("k"), col("v"))
+          .unionByName(vocab.agg(count(lit(1)).as("v"))
+            .select(lit("vocab").as("k"), col("v")))
+          .collect().map(r => r.getString(0) -> asLong(r.get(1))).toMap
+        (rows("block"), (rows("vocab") / 64 + 1).toInt)
+      } else {
+        val mb = asLong(maxBlockDf.head.get(0))
+        // vocab job only if the block gate passes (lazy second action)
+        (mb, if (mb <= maxBlockRows) (asLong(vocab.count()) / 64 + 1).toInt
+             else Int.MaxValue)
+      }
 
     val pairs =
       if (maxBlock <= maxBlockRows && nWords <= maxMaskWords) {
