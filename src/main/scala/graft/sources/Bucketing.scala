@@ -30,4 +30,20 @@ object Bucketing {
   def cogroupJoin(spark: SparkSession, left: String, right: String,
                   key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Range-sorted layout: repartitionByRange + sortWithinPartitions on
+    * `sortCols` before writing, so each parquet file covers a DISJOINT
+    * range of the sort key and its footer min/max stats let readers
+    * skip whole files/row-groups for range predicates (the time-range
+    * scan pattern: at 100 TB, an hour-window query over a ts-sorted
+    * event lake touches a handful of files instead of all of them).
+    * Complements [[writeBucketed]]: bucket for equi-joins, range-sort
+    * for range scans. BucketingSpec asserts the per-file ranges are
+    * genuinely disjoint. */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       files: Int = 8): Unit =
+    df.repartitionByRange(files, df.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
 }

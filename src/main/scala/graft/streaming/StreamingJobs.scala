@@ -49,6 +49,18 @@ object StreamingJobs {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup (the E1 operator's incremental form): keep
+    * the first row per key, dropping any duplicate that arrives within
+    * the watermark horizon. State = one entry per key seen inside the
+    * horizon, dropped once the watermark passes — bounded memory at any
+    * scale; duplicates straddling a gap larger than the watermark are
+    * the documented (and tunable) blind spot, exactly as in any
+    * watermark-bounded streaming dedup. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event for the custom-state sessionizer (epoch seconds, not
     * Timestamp, so the case-class Encoder stays trivial). */
   case class SessionEvent(user_id: Long, epoch: Long, value: Double)

@@ -30,4 +30,28 @@ class BucketingSpec extends SparkTestBase {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("range-sorted layout: per-file key ranges are disjoint, content roundtrips") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    Bucketing.writeRangeSorted(orders, dir, "o_orderdate", files = 4)
+    // every parquet file covers a disjoint (min, max) range of the sort
+    // key — the property parquet footer stats need for file skipping
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 2, s"expected multiple range files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderdate"), max("o_orderdate")).collect()(0)
+      (r.get(0).toString, r.get(1).toString)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+    // nothing lost or duplicated by the layout
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
 }

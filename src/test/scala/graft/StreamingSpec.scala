@@ -139,6 +139,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicates within the watermark are dropped across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
+    val q = StreamingJobs.dedupStream(events, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      val t0 = 1700000000L
+      // batch 1: id 1 twice (in-batch dup) + id 2
+      input.addData((1L, t0), (1L, t0 + 5), (2L, t0 + 10))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L))
+      // batch 2: id 1 again within the watermark → dropped; id 3 is new
+      input.addData((1L, t0 + 60), (3L, t0 + 70))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("append-mode windows emit exactly when the watermark closes them") {
     val dir = Files.createTempDirectory("graft_wm_in").toFile.getAbsolutePath
     val ck = Files.createTempDirectory("graft_wm_ck").toFile.getAbsolutePath
