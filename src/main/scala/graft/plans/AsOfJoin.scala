@@ -34,6 +34,12 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * (e.g. ts + id) for fully deterministic output — the catalog query
   * does, and the DuckDB oracle (LATERAL ... ORDER BY ... DESC LIMIT 1)
   * pins the same choice.
+  *
+  * Null handling: keys and order values compare per the generated
+  * ASC-nulls-first ordering, so two NULL keys are EQUAL here (unlike
+  * SQL equi-join semantics, where NULL matches nothing). Filter null
+  * keys out beforehand if SQL semantics are wanted; the catalog query
+  * joins on non-null ids.
   */
 case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
