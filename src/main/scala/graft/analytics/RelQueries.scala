@@ -73,6 +73,52 @@ object RelQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // E9 RANGE-frame window: 7-day rolling order count + spend per
+    // customer — value-based frames (RANGE BETWEEN n PRECEDING) are
+    // distinct semantics from the rows-based windows elsewhere in the
+    // catalog. Partitioned by customer (never a global single-partition
+    // window), ordered by epoch seconds so the frame bound is a plain
+    // long in both engines; money in integer cents.
+    "q_window_range_frame" -> ((s, d) => {
+      val epoch = floor(unix_timestamp(col("o_orderdate").cast("timestamp"))).cast("long")
+      val w = Window.partitionBy("o_custkey").orderBy(epoch)
+        .rangeBetween(-6L * 86400L, 0L)
+      orders(s, d)
+        .withColumn("spend_c", cents(col("o_totalprice")))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("spend_7d",
+          (sum(col("spend_c")).over(w).cast("double") / 100).as("spend_7d"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("n_7d"), col("spend_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // E9 fixed-width histogram (data profiling): bucket o_totalprice
+    // into 10k-wide bins — one narrow projection + one hash aggregate,
+    // the profiling pass a training pipeline runs before filtering.
+    "q_histogram" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("bucket", floor(col("o_totalprice") / 10000.0).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (min(cents(col("o_totalprice"))).cast("double") / 100).as("lo"),
+          (max(cents(col("o_totalprice"))).cast("double") / 100).as("hi"))
+        .orderBy("bucket")),
+
+    // E9 statistical aggregates: stddev/variance/correlation/covariance
+    // per group. Rounded to 4 decimals for the cross-engine hash (both
+    // engines accumulate IEEE doubles; the estimator formulas agree to
+    // well past 4 places on these magnitudes).
+    "q_stats_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag")),
+
     // A1 at k>1 through the NATIVE whole-operator (graft.plans
     // .TopKPerGroup): 3 earliest orders per customer with their rank.
     // The oracle is the equivalent row_number() SQL — the hash gate
@@ -382,6 +428,36 @@ object RelQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ep,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS spend_c
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  COUNT(*) OVER w AS n_7d,
+        |  CAST(CAST(SUM(spend_c) OVER w AS BIGINT) AS DOUBLE) / 100 AS spend_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY ep
+        |             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS lo,
+        |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH r AS (
