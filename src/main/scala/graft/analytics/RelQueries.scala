@@ -73,6 +73,44 @@ object RelQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // E9 ntile decile assignment, partitioned by priority class (ntile
+    // is inherently a per-partition global rank — partitioning by a
+    // real key is what keeps it scale-sane; a truly global ntile at
+    // 100 TB would be a range-partitioned two-pass estimate instead).
+    "q_ntile" -> ((s, d) =>
+      orders(s, d)
+        // long decile: ntile is int32 in Spark, int64 in DuckDB
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)).cast("long"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          (max(cents(col("o_totalprice"))).cast("double") / 100).as("decile_max"))
+        .orderBy("o_orderpriority", "decile")),
+
+    // E9 conditional aggregation battery: count_if / bool_and / bool_or
+    // (FILTER-clause semantics) in one hash aggregate.
+    "q_cond_agg" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count_if(col("o_totalprice") > 100000.0).as("n_big"),
+          bool_and(col("o_totalprice") > 900.0).as("all_above_min"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // E9 typed JSON parse: from_json with an explicit schema (the typed
+    // complement of q_json_extract's path probing) then a plain
+    // aggregate over the extracted field.
+    "q_json_typed" -> ((s, d) =>
+      events(s, d)
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(sum(col("p.k")).cast("long").as("sum_k"),
+          count_if(col("p.k") > 50).as("n_high"))
+        .orderBy("event_type")),
+
     // E9 RANGE-frame window: 7-day rolling order count + spend per
     // customer — value-based frames (RANGE BETWEEN n PRECEDING) are
     // distinct semantics from the rows-based windows elsewhere in the
@@ -428,6 +466,31 @@ object RelQueries {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_ntile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, decile, COUNT(*) AS n,
+        |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS decile_max
+        |FROM r GROUP BY o_orderpriority, decile
+        |ORDER BY o_orderpriority, decile""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+        |  bool_and(o_totalprice > 900.0) AS all_above_min,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_typed" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_range_frame" ->
       """WITH o AS (
