@@ -156,6 +156,30 @@ object WarehouseLoad {
       prices = newProductPrices.unionByName(featureChangePrices).unionByName(changedPrices))
   }
 
+  /** Current-state view over the versioned warehouse: one row per
+    * product with its competitor, CURRENT feature version, and CURRENT
+    * price — what a consumer of the reference's warehouse reads daily.
+    * `orderDesc = true` (newest-version) is the default here because a
+    * *snapshot* wants the latest state; pass false to reproduce the
+    * reference's oldest-version probe view. One ranking window per
+    * versioned table + two broadcast-eligible joins — no driver loops,
+    * scales with the fact tables. */
+  def currentSnapshot(state: State, orderDesc: Boolean = true): DataFrame = {
+    val curFeature = top1(state.features, "product_uuid", orderDesc)
+      .select(col("product_uuid"), col("product_name").as("cur_name"),
+        col("product_url").as("cur_url"), col("scraped_at").as("feature_as_of"),
+        col("data"), col("minutes"), col("sms"),
+        col("upload_speed"), col("download_speed"))
+    val curPrice = top1(state.prices, "feature_uuid", orderDesc)
+      .select(col("feature_uuid"), col("price").as("cur_price"),
+        col("scraped_at").as("price_as_of"))
+    state.products
+      .select(col("product_uuid"), col("product_name"), col("product_category"),
+        col("competitor_name"), col("feature_uuid"))
+      .join(curFeature, Seq("product_uuid"), "left")
+      .join(curPrice, Seq("feature_uuid"), "left")
+  }
+
   /** J2 insert-if-absent for packs (load_packs_to_bq,
     * dags/bigquery.py:137-157): anti-join on (competitor_name, pack_name). */
   def stagePacks(state: State, batch: DataFrame): DataFrame =

@@ -142,6 +142,22 @@ class WarehouseLoadSpec extends SparkTestBase {
     assert(delta.prices.count() === 2)
   }
 
+  test("currentSnapshot: one row per product carrying the latest feature and price") {
+    val b = batch(productRow("p1", 10.0, "2023-10-01", data = 1.0))
+    val s1 = applyDelta(emptyState, WarehouseLoad.stageProducts(emptyState, b))
+    // feature change + price change create second versions
+    val b2 = batch(productRow("p1", 12.0, "2023-10-02", data = 2.0))
+    val s2 = applyDelta(s1, WarehouseLoad.stageProducts(s1, b2))
+    val snap = WarehouseLoad.currentSnapshot(s2).collect()
+    assert(snap.length === 1)
+    val r = snap(0)
+    assert(r.getAs[Double]("data") === 2.0, "snapshot must carry the NEWEST feature")
+    assert(r.getAs[Double]("cur_price") === 12.0, "snapshot must carry the NEWEST price")
+    // the faithful (oldest-version) view is still available
+    val faithful = WarehouseLoad.currentSnapshot(s2, orderDesc = false).collect()(0)
+    assert(faithful.getAs[Double]("data") === 1.0)
+  }
+
   test("faithful ASC top-1: current version is the OLDEST feature row") {
     // two feature versions exist; reference compares against the oldest
     val b = batch(productRow("p1", 10.0, "2023-10-01", data = 1.0))
