@@ -488,8 +488,8 @@ object RelQueries {
 
     "q_json_typed" ->
       """SELECT event_type,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_high
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  COUNT(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_range_frame" ->

@@ -98,27 +98,32 @@ object Pipeline {
     * (products SCD + packs anti-join), mirroring load_to_bigquery_dag.
     *
     * Note: this reads warehouse parquet state and appends to the same
-    * directories in one pass — safe here because loadState snapshots
-    * each table's file listing when the DataFrame is created (appends
-    * that land later are invisible to the already-built scan) and loads
-    * run sequentially, but it is the classic read-modify-write-same-path
-    * shape. At cluster scale put a transactional table format or a
-    * staging-dir swap under these appends; the streaming mode's
-    * per-batch commit markers (StreamingJobs.upsertBatch) are the
-    * file-layout version of that upgrade. */
+    * directories in one pass — safe against concurrent readers because
+    * loadState snapshots each table's file listing when the DataFrame
+    * is created, and safe against RETRY re-entry (withRetry in `run`
+    * re-invokes this whole method after a transient failure) because
+    * the products-SCD append goes through the same per-batch commit
+    * marker as the streaming sink (StreamingJobs.upsertOnce, keyed by
+    * the input file's identity): a retry that already appended its
+    * delta is a no-op instead of staging duplicate versions against
+    * the faithful oldest-version probe. The packs append needs no
+    * marker — its anti-join re-staged against post-append state is
+    * naturally empty. At cluster scale put a transactional table
+    * format under all of this. */
   def loadCompetitor(spark: SparkSession, cleanDir: String, warehouseDir: String,
                      competitor: String): Unit = {
-    val state = graft.streaming.StreamingJobs.loadState(spark, warehouseDir)
-
     val productsPath = new java.io.File(s"$cleanDir/${competitor}_products.ndjson")
     if (productsPath.exists()) {
       val batch = Tables.ndjson(spark, Schemas.cleanProduct, productsPath.getAbsolutePath)
         .withColumn("scraped_at", to_date(col("scraped_at")))
-      val delta = WarehouseLoad.stageProducts(state, batch)
-      delta.competitors.write.mode("append").parquet(s"$warehouseDir/competitors")
-      delta.products.write.mode("append").parquet(s"$warehouseDir/products")
-      delta.features.write.mode("append").parquet(s"$warehouseDir/features")
-      delta.prices.write.mode("append").parquet(s"$warehouseDir/product_prices")
+      // marker key = content identity of the drop being loaded: a retry
+      // of the same file hits the marker; a genuinely new drop (new
+      // mtime/length) is a new batch
+      val key = "load_" + competitor + "_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"${productsPath.length()}|${productsPath.lastModified()}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      graft.streaming.StreamingJobs.upsertOnce(batch, key, warehouseDir)
     }
 
     val packsPath = new java.io.File(s"$cleanDir/${competitor}_packs.ndjson")

@@ -147,11 +147,29 @@ object AsOfJoin {
             leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // the merge semantics are ascending by construction: unwrap a
+    // harmless .asc, reject .desc loudly instead of mis-executing
+    def ord(c: Column, p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Expression =
+      PlanBridge.resolvedExpression(c, p) match {
+        case so: SortOrder if so.direction == Ascending => so.child
+        case _: SortOrder => throw new IllegalArgumentException(
+          "as-of join matches the last right row STRICTLY BEFORE in ascending " +
+            "order; pass plain columns (or .asc), not .desc")
+        case e => e
+      }
+    // children analyzed independently can still share attribute ids
+    // (both sides of the same source, un-aliased): downstream column
+    // resolution would silently bind right-side names to left-side
+    // values, so refuse instead
+    val overlap = lp.outputSet.intersect(rp.outputSet)
+    require(overlap.isEmpty,
+      s"as-of join sides share attributes ${overlap.map(_.name).mkString(", ")}: " +
+        "alias one side's columns (.as) before joining")
     PlanBridge.ofRows(left.sparkSession, AsOfJoinNode(
       leftKeys.map(PlanBridge.resolvedExpression(_, lp)),
       rightKeys.map(PlanBridge.resolvedExpression(_, rp)),
-      leftOrder.map(PlanBridge.resolvedExpression(_, lp)),
-      rightOrder.map(PlanBridge.resolvedExpression(_, rp)),
+      leftOrder.map(ord(_, lp)),
+      rightOrder.map(ord(_, rp)),
       lp, rp))
   }
 }

@@ -169,6 +169,8 @@ object TopKPerGroup {
     * physical execution. */
   def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
             rankName: String = "rn"): DataFrame = {
+    require(!df.columns.contains(rankName),
+      s"input already has a column named '$rankName': pass a different rankName")
     val child = df.queryExecution.analyzed
     val sortOrder = order.map(c => PlanBridge.resolvedExpression(c, child) match {
       case so: SortOrder => so

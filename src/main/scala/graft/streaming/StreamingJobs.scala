@@ -115,8 +115,13 @@ object StreamingJobs {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.epoch - s.lastSeen < gapSeconds =>
-                  cur = Some(s.copy(lastSeen = e.epoch, n = s.n + 1,
-                    total = s.total + e.value))
+                  // max: a LATE event (epoch below lastSeen, possible
+                  // across micro-batches) joins the session without
+                  // dragging its horizon backwards — otherwise a later
+                  // on-time event could measure its gap against the
+                  // stale minimum and close a still-active session
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, e.epoch),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.lastSeen, s.n, s.total)
                   cur = Some(SessionState(e.epoch, e.epoch, 1L, e.value))
@@ -169,9 +174,16 @@ object StreamingJobs {
     *     which is exactly why the marker, not the staging semantics, is
     *     the exactly-once guarantee.
     */
-  def upsertBatch(batch: DataFrame, batchId: Long, warehouseDir: String): Unit = {
+  def upsertBatch(batch: DataFrame, batchId: Long, warehouseDir: String): Unit =
+    upsertOnce(batch, batchId.toString, warehouseDir)
+
+  /** The marker-guarded SCD append itself, shared by the streaming sink
+    * (markerKey = micro-batch id) and the batch pipeline's retry path
+    * (markerKey derived from the input file identity) — any caller that
+    * may deliver the same logical batch twice goes through here. */
+  def upsertOnce(batch: DataFrame, markerKey: String, warehouseDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$warehouseDir/_graft_commits/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$warehouseDir/_graft_commits/$markerKey")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(marker)) {
       val state = loadState(spark, warehouseDir)

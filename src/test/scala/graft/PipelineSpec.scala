@@ -53,5 +53,15 @@ class PipelineSpec extends SparkTestBase {
     assert(st2.products.count() === 1)
     assert(st2.features.count() === 1)
     assert(st2.packs.count() === 1)
+
+    // retry re-entry of the load alone (what withRetry does after a
+    // transient failure): the commit marker makes the SCD append a
+    // no-op even though version-append staging against the faithful
+    // oldest-version probe would otherwise re-stage
+    Pipeline.loadCompetitor(spark, clean, wh, "mobileviking")
+    Pipeline.loadCompetitor(spark, clean, wh, "mobileviking")
+    val st3 = graft.streaming.StreamingJobs.loadState(spark, wh)
+    assert(st3.features.count() === 1 && st3.prices.count() === 1,
+      "retried load must not append duplicate versions")
   }
 }

@@ -136,6 +136,17 @@ class StreamingSpec extends SparkTestBase {
       input.addData(SessionEvent(1L, t0 + 3300, 4.0))
       q.processAllAvailable()
       assert(spark.table("state_sessions").count() === 1)
+      // batch 4: a LATE event (before lastSeen=t0+3300, within gap)
+      // joins the session but must not drag the horizon backwards...
+      input.addData(SessionEvent(1L, t0 + 2000, 1.0))
+      q.processAllAvailable()
+      // ...probe at t0+4950: within gap of the TRUE horizon (4950-3300
+      // = 1650 < 1800) but beyond the stale one (4950-2000 = 2950) —
+      // a horizon regression would spuriously close here
+      input.addData(SessionEvent(1L, t0 + 4950, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("state_sessions").count() === 1,
+        "late event must not regress the session horizon")
     } finally q.stop()
   }
 
