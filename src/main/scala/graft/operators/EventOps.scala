@@ -118,6 +118,30 @@ object EventOps {
         .orderBy("purchase_id")
     }),
 
+    // Tolerance-windowed as-of through the native operator: the match
+    // is still "last click strictly before", but attributions older
+    // than 1 hour are nulled out (composition beats building tolerance
+    // into the operator: the merge pass stays O(1)-state and the
+    // window is a plain projection on top).
+    "q_asof_within" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      val gap = floor(unix_timestamp(col("pts").cast("timestamp"))).cast("long") -
+        floor(unix_timestamp(col("cts").cast("timestamp"))).cast("long")
+      graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")))
+        .withColumn("in_window", col("cts").isNotNull && gap <= 3600L)
+        .select(col("purchase_id"), col("user_id"),
+          when(col("in_window"), col("click_id")).as("click_id"),
+          when(col("in_window"), gap).as("gap_seconds"))
+        .orderBy("purchase_id")
+    }),
+
     // E8 sessionization: 30-min-gap sessions via lag + running sum —
     // one shuffle on user_id, then narrow window ops within partitions.
     "q_sessionize" -> ((s, d) => {
@@ -189,6 +213,28 @@ object EventOps {
         |FROM ce
         |WHERE event_type = 'purchase' AND click_ev IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_asof_within" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS cuser, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  CASE WHEN l.cts IS NOT NULL
+        |        AND CAST(FLOOR(epoch(p.pts)) AS BIGINT) - CAST(FLOOR(epoch(l.cts)) AS BIGINT) <= 3600
+        |       THEN l.click_id END AS click_id,
+        |  CASE WHEN l.cts IS NOT NULL
+        |        AND CAST(FLOOR(epoch(p.pts)) AS BIGINT) - CAST(FLOOR(epoch(l.cts)) AS BIGINT) <= 3600
+        |       THEN CAST(FLOOR(epoch(p.pts)) AS BIGINT) - CAST(FLOOR(epoch(l.cts)) AS BIGINT)
+        |  END AS gap_seconds
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, cts FROM c
+        |  WHERE c.cuser = p.user_id
+        |    AND (c.cts < p.pts OR (c.cts = p.pts AND c.click_id < p.purchase_id))
+        |  ORDER BY c.cts DESC, c.click_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY p.purchase_id""".stripMargin,
 
     "q_asof_join_native" ->
       """WITH p AS (

@@ -245,6 +245,24 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Skew-safe salted JOIN (the join-side complement of
+    // q_skew_salted_agg): the fact side's hot keys are spread over 8
+    // reducers by a row-unique salt and the small dim is replicated
+    // once per salt — result identical to the plain join (the oracle IS
+    // the plain join), only the shuffle layout changes.
+    "q_skew_salted_join" -> ((s, d) => {
+      val facts = graft.sources.Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          graft.functions.Scalars.cents(col("o_totalprice")).as("spend_c"))
+      val dim = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(facts, dim, "custkey", spread = col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("spend_c")).cast("double") / 100).as("total_spend"))
+        .orderBy("c_mktsegment")
+    }),
+
     // E3 SimHash (16-bit, hex-digit majority vote over token md5s):
     // bit_i = sign of Σ_tokens (±1 by whether hex digit i of md5(token)
     // is >= '8'). One explode + 16 conditional sums — a single
@@ -491,6 +509,13 @@ object TextOps {
     "q_skew_salted_agg" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100
+        |    AS total_spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (
