@@ -61,6 +61,22 @@ object StreamingJobs {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: purchases attributed to clicks by the
+    * same user within the preceding hour — both sides watermarked so
+    * the join state (buffered unmatched rows) is dropped once an
+    * event's match window can no longer receive data. The time-bound
+    * condition is what makes unbounded stream×stream feasible: state
+    * per side is O(events inside watermark+interval), not O(stream).
+    * Columns must be pre-renamed (cuser/cts vs user_id/pts) — Spark
+    * requires distinct names across the two stream sides. */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.withWatermark("pts", "2 hours")
+      .join(clicks.withWatermark("cts", "2 hours"),
+        expr("""cuser = user_id
+                AND cts >= pts - interval 1 hour
+                AND cts < pts"""),
+        "inner")
+
   /** Event for the custom-state sessionizer (epoch seconds, not
     * Timestamp, so the case-class Encoder stays trivial). */
   case class SessionEvent(user_id: Long, epoch: Long, value: Double)

@@ -150,6 +150,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to clicks within the hour") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicksIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val purchasesIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val clicks = clicksIn.toDF()
+      .select(col("_1").as("click_id"), col("_2").as("cuser"),
+        timestamp_seconds(col("_3")).as("cts"))
+    val purchases = purchasesIn.toDF()
+      .select(col("_1").as("purchase_id"), col("_2").as("user_id"),
+        timestamp_seconds(col("_3")).as("pts"))
+    val q = StreamingJobs.attributionStream(purchases, clicks)
+      .select("purchase_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out")
+      .start()
+    try {
+      val t0 = 1700000000L
+      // user 7: click 10 min before the purchase → attributed.
+      // user 8: click 3 hours before → outside the interval, no row.
+      clicksIn.addData((100L, 7L, t0), (200L, 8L, t0 - 10800))
+      purchasesIn.addData((900L, 7L, t0 + 600), (901L, 8L, t0 + 600))
+      q.processAllAvailable()
+      val got = spark.table("attrib_out").as[(Long, Long)].collect().toSet
+      assert(got === Set((900L, 100L)))
+      // a later click lands inside a later purchase's window, across batches
+      clicksIn.addData((101L, 7L, t0 + 1200))
+      purchasesIn.addData((902L, 7L, t0 + 1800))
+      q.processAllAvailable()
+      val got2 = spark.table("attrib_out").as[(Long, Long)].collect().toSet
+      // purchase 902 (t0+1800) matches clicks at t0 (30 min prior) AND
+      // t0+1200 (10 min prior) — both within the hour
+      assert(got2 === Set((900L, 100L), (902L, 100L), (902L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicates within the watermark are dropped across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
