@@ -100,29 +100,44 @@ object Pipeline {
     * Note: this reads warehouse parquet state and appends to the same
     * directories in one pass — safe against concurrent readers because
     * loadState snapshots each table's file listing when the DataFrame
-    * is created, and safe against RETRY re-entry (withRetry in `run`
-    * re-invokes this whole method after a transient failure) because
-    * the products-SCD append goes through the same per-batch commit
-    * marker as the streaming sink (StreamingJobs.upsertOnce, keyed by
-    * the input file's identity): a retry that already appended its
-    * delta is a no-op instead of staging duplicate versions against
-    * the faithful oldest-version probe. The packs append needs no
-    * marker — its anti-join re-staged against post-append state is
-    * naturally empty. At cluster scale put a transactional table
-    * format under all of this. */
+    * is created. RETRY re-entry (withRetry in `run` re-invokes this
+    * whole method after a transient failure) goes through the same
+    * per-batch commit marker as the streaming sink
+    * (StreamingJobs.upsertOnce, keyed by the input file's CONTENT
+    * hash): a retry after the upsert fully succeeded is a no-op. The
+    * same caveat as the streaming sink applies to a crash strictly
+    * inside the four appends: insert-if-absent tables self-heal on
+    * re-entry, version-append tables only while a single version
+    * exists — full mid-append atomicity needs a transactional table
+    * format, which is the cluster-scale upgrade for all of this. The
+    * packs append needs no marker — its anti-join re-staged against
+    * post-append state is naturally empty. */
   def loadCompetitor(spark: SparkSession, cleanDir: String, warehouseDir: String,
                      competitor: String): Unit = {
     val productsPath = new java.io.File(s"$cleanDir/${competitor}_products.ndjson")
     if (productsPath.exists()) {
       val batch = Tables.ndjson(spark, Schemas.cleanProduct, productsPath.getAbsolutePath)
         .withColumn("scraped_at", to_date(col("scraped_at")))
-      // marker key = content identity of the drop being loaded: a retry
-      // of the same file hits the marker; a genuinely new drop (new
-      // mtime/length) is a new batch
-      val key = "load_" + competitor + "_" + java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(s"${productsPath.length()}|${productsPath.lastModified()}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      // marker key = md5 of the drop's CONTENT (cleaned NDJSON is
+      // small, so a driver-side read is cheap): a retry of the same
+      // drop hits the marker, any regenerated drop with different
+      // content is a new batch — unlike (length, mtime), which a
+      // same-size rewrite within the filesystem's timestamp tick
+      // would falsely dedupe. The Spark json writer produces a
+      // DIRECTORY of part files, so walk it in name order (skipping
+      // _SUCCESS/CRC markers). At lake scale, key on the object
+      // store's version/etag instead of reading bytes.
+      val key = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def feed(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feed)
+          else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+            md.update(f.getName.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(f.toPath))
+          }
+        feed(productsPath)
+        "load_" + competitor + "_" + md.digest().map("%02x".format(_)).mkString
+      }
       graft.streaming.StreamingJobs.upsertOnce(batch, key, warehouseDir)
     }
 

@@ -165,12 +165,22 @@ object WarehouseLoad {
     * versioned table + two broadcast-eligible joins — no driver loops,
     * scales with the fact tables. */
   def currentSnapshot(state: State, orderDesc: Boolean = true): DataFrame = {
-    val curFeature = top1(state.features, "product_uuid", orderDesc)
+    // scraped_at is a DATE: two same-day versions of the same key would
+    // make a bare scraped_at window nondeterministic (stageProducts can
+    // produce them — a same-day change even reuses the surrogate uuid).
+    // A content-hash tiebreaker pins one, deterministically across runs.
+    def top1Stable(df: DataFrame, key: String): DataFrame = {
+      val ord = if (orderDesc) col("scraped_at").desc else col("scraped_at").asc
+      val tieBreak = xxhash64(df.columns.map(col): _*)
+      val w = Window.partitionBy(key).orderBy(ord, tieBreak.asc)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    val curFeature = top1Stable(state.features, "product_uuid")
       .select(col("product_uuid"), col("product_name").as("cur_name"),
         col("product_url").as("cur_url"), col("scraped_at").as("feature_as_of"),
         col("data"), col("minutes"), col("sms"),
         col("upload_speed"), col("download_speed"))
-    val curPrice = top1(state.prices, "feature_uuid", orderDesc)
+    val curPrice = top1Stable(state.prices, "feature_uuid")
       .select(col("feature_uuid"), col("price").as("cur_price"),
         col("scraped_at").as("price_as_of"))
     state.products

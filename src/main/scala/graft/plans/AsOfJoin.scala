@@ -157,6 +157,14 @@ object AsOfJoin {
             "order; pass plain columns (or .asc), not .desc")
         case e => e
       }
+    // keys are plain equality columns — a SortOrder here would feed an
+    // unevaluable expression into the key projection
+    def keyExpr(c: Column, p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Expression =
+      PlanBridge.resolvedExpression(c, p) match {
+        case _: SortOrder => throw new IllegalArgumentException(
+          "as-of join keys are plain equality columns; drop the .asc/.desc")
+        case e => e
+      }
     // children analyzed independently can still share attribute ids
     // (both sides of the same source, un-aliased): downstream column
     // resolution would silently bind right-side names to left-side
@@ -166,8 +174,8 @@ object AsOfJoin {
       s"as-of join sides share attributes ${overlap.map(_.name).mkString(", ")}: " +
         "alias one side's columns (.as) before joining")
     PlanBridge.ofRows(left.sparkSession, AsOfJoinNode(
-      leftKeys.map(PlanBridge.resolvedExpression(_, lp)),
-      rightKeys.map(PlanBridge.resolvedExpression(_, rp)),
+      leftKeys.map(keyExpr(_, lp)),
+      rightKeys.map(keyExpr(_, rp)),
       leftOrder.map(ord(_, lp)),
       rightOrder.map(ord(_, rp)),
       lp, rp))

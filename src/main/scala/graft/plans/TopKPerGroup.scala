@@ -169,7 +169,9 @@ object TopKPerGroup {
     * physical execution. */
   def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
             rankName: String = "rn"): DataFrame = {
-    require(!df.columns.contains(rankName),
+    // case-insensitive: Spark resolves columns case-insensitively by
+    // default, so "RN" vs "rn" would still be an ambiguous reference
+    require(!df.columns.exists(_.equalsIgnoreCase(rankName)),
       s"input already has a column named '$rankName': pass a different rankName")
     val child = df.queryExecution.analyzed
     val sortOrder = order.map(c => PlanBridge.resolvedExpression(c, child) match {

@@ -95,7 +95,13 @@ object StreamingJobs {
     * per user in the state store, replaced the moment its session
     * closes. Events within a micro-batch are sorted per group; the gap
     * rule matches the batch form (q_sessionize) so the two stay
-    * comparable.
+    * comparable. Late events (below the open session's horizon) are a
+    * single-state approximation of the batch result: within a gap of
+    * the open session they merge (extending start backwards, never
+    * dragging lastSeen down); older than a full gap they emit as their
+    * own closed singleton — a late event that would have BRIDGED two
+    * already-closed sessions in the batch view cannot re-open them
+    * here, the inherent limit of O(1) state per key.
     *
     * Closing is EVENT-driven by default (deterministic, replayable —
     * the engine's determinism policy). Set `processingTimeTimeout` to
@@ -130,17 +136,25 @@ object StreamingJobs {
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.epoch - s.lastSeen < gapSeconds =>
-                  // max: a LATE event (epoch below lastSeen, possible
-                  // across micro-batches) joins the session without
-                  // dragging its horizon backwards — otherwise a later
-                  // on-time event could measure its gap against the
-                  // stale minimum and close a still-active session
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, e.epoch),
-                    n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
+                case Some(s) if e.epoch - s.lastSeen >= gapSeconds =>
+                  // on-time gap: close the current session, open a new one
                   closed += ClosedSession(user, s.start, s.lastSeen, s.n, s.total)
                   cur = Some(SessionState(e.epoch, e.epoch, 1L, e.value))
+                case Some(s) if e.epoch <= s.start - gapSeconds =>
+                  // LATE event older than the open session by a full gap:
+                  // it belongs to an earlier, already-over session — emit
+                  // it as its own closed singleton rather than polluting
+                  // the open session's stats
+                  closed += ClosedSession(user, e.epoch, e.epoch, 1L, e.value)
+                case Some(s) =>
+                  // joins the open session. min/max: a late event may
+                  // extend the session BACKWARDS (start) but must never
+                  // drag the forward horizon (lastSeen) down — otherwise
+                  // a later on-time event would measure its gap against
+                  // a stale minimum and close a still-active session
+                  cur = Some(s.copy(start = math.min(s.start, e.epoch),
+                    lastSeen = math.max(s.lastSeen, e.epoch),
+                    n = s.n + 1, total = s.total + e.value))
                 case None =>
                   cur = Some(SessionState(e.epoch, e.epoch, 1L, e.value))
               }

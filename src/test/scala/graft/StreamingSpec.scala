@@ -147,6 +147,14 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.table("state_sessions").count() === 1,
         "late event must not regress the session horizon")
+      // an event a full gap OLDER than the open session belongs to an
+      // earlier, already-over session: emitted as its own closed
+      // singleton, open session untouched
+      input.addData(SessionEvent(1L, t0 - 5000, 9.0))
+      q.processAllAvailable()
+      val all = spark.table("state_sessions").as[ClosedSession].collect()
+      assert(all.length === 2)
+      assert(all.exists(c => c.session_start == t0 - 5000 && c.n_events == 1L))
     } finally q.stop()
   }
 
