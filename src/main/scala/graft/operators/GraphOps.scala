@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables._
+
+/** Graph-shaped dedup clustering (SURVEY.md §2.12 E3's follow-on stage):
+  * LSH gives candidate PAIRS; a production dedup pipeline then needs the
+  * transitive closure — connected components — so each near-dup CLUSTER
+  * keeps exactly one survivor (pairwise dedup alone can drop both B and C
+  * of an A~B, B~C chain, or keep duplicates A and C that never paired).
+  *
+  * Two physical strategies, chosen by a structural property of the
+  * edge set:
+  *
+  *  - [[blockedComponents]] — dedup edges are produced WITHIN a blocking
+  *    key (Jaccard verify is per `source`; LSH pairs per band bucket),
+  *    so components can't cross blocks and CC is ONE shuffle + a local
+  *    union-find per block. The catalog queries use this.
+  *  - [[connectedComponents]] — the general iterative min-label
+  *    propagation for graphs whose edges cross any blocking. Each round
+  *    is one join + one aggregation shuffling on the node id — no
+  *    driver-side graph state, no adjacency collected. Rounds needed =
+  *    the graph diameter (near-dup clusters are shallow, so a handful);
+  *    the convergence test is a 1-row aggregate (labels only ever
+  *    decrease, so an unchanged sum == fixpoint — no join to diff
+  *    generations). For adversarial diameters, the alternating
+  *    large-star/small-star algorithm (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond") drops rounds to O(log n);
+  *    the per-round dataflow is the same shape, so it's a drop-in
+  *    upgrade.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param nodes single LONG column `node` (isolated nodes keep their
+    *              own id as the component)
+    * @param edges columns `src`, `dst` (LONG); direction ignored
+    * @return (node, comp) where comp = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def total(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+
+    // localCheckpoint each generation: persist alone caches DATA but the
+    // logical plan still nests one union+join+agg per round — plan size
+    // (and every explain/AQE re-plan) grows exponentially with rounds.
+    // Checkpointing truncates lineage to the materialized RDD, keeping
+    // round N's plan constant-size. (On a cluster with executor loss in
+    // scope, use reliable `checkpoint` to the checkpoint dir instead.)
+    var labels = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+    var labelSum = total(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("comp"))
+      val next = labels.select("node", "comp").union(prop)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val nextSum = total(next)
+      converged = nextSum == labelSum
+      labels = next
+      labelSum = nextSum
+      i += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(pathological diameter — switch to large-star/small-star)")
+    labels
+  }
+
+  /** Connected components when every edge lives WITHIN a blocking key:
+    * components cannot cross blocks, so the whole computation is ONE
+    * shuffle (group edges by block) + a local union-find per block — no
+    * iteration, no lineage growth, no convergence actions. This is the
+    * right CC for dedup graphs specifically, because the verify stage
+    * that produces the edges is blocked by construction (Jaccard pairs
+    * are computed within `source`; LSH pairs within a band bucket).
+    *
+    * At 100 TB the per-block state is one long per NODE IN THAT BLOCK
+    * (not per corpus) — blocks are the dedup unit and fit an executor
+    * by the same argument that made the pair join feasible. For graphs
+    * whose edges genuinely cross blocks, use [[connectedComponents]].
+    *
+    * @param edges (block: String, src: Long, dst: Long)
+    * @return (node, comp) for every node that appears in an edge;
+    *         comp = min node id in the component. Isolated nodes don't
+    *         appear (join back with a coalesce default, as the catalog
+    *         queries do).
+    */
+  def blockedComponents(edges: DataFrame): DataFrame = {
+    // explicit encoders (no TypeTag reflection — REPL/classloader safe)
+    val inEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    edges.select(col("block"), col("src"), col("dst"))
+      .as[(String, Long, Long)](inEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[(String, Long, Long)]) =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // min root so the final label is the component's min node id
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keys.toArray.iterator.map(n => (n, find(n)))
+      }(outEnc)
+      .toDF("node", "comp")
+  }
+
+  /** VERIFIED near-dup pairs: the edges of the dedup graph are candidate
+    * pairs that pass the exact token-set Jaccard threshold — the
+    * standard recall-then-verify pipeline (LSH candidates →
+    * q_dedup_fuzzy's verified pairs → clustering here). Raw LSH buckets
+    * alone are NOT edges: on this synthetic corpus (31-token
+    * vocabulary) every doc shares min-hashes with every other, and at
+    * any scale unverified banding chains unrelated docs transitively —
+    * the verify stage is what keeps components meaningful. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    TextOps.tokenJaccardPairs(
+        documents(s, d).select(col("source"), col("doc_id"),
+          array_distinct(filter(split(lower(col("text")), " "), t => t =!= ""))
+            .as("toks")),
+        threshold = 0.8, ordered = false)
+      .select(col("source").as("block"), col("d1").as("src"), col("d2").as("dst"))
+
+  /** (doc_id, comp) over ALL documents: blocked union-find on the
+    * verified pairs, singletons defaulting to their own id. */
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    val labels = blockedComponents(verifiedPairs(s, d))
+    documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id").as("node"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // E3 dedup clustering: every document labeled with its near-dup
+    // cluster (min doc_id of the LSH-connected component) + cluster size
+    "q_dedup_clusters" -> ((s, d) => {
+      val cc = clusters(s, d)
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("csize"))
+      cc.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
+    // E3 dedup survivors: one representative per cluster (the min
+    // doc_id), with how many near-dups it absorbed — the actual "write
+    // the deduplicated corpus" output of the pipeline
+    "q_dedup_survivors" -> ((s, d) => {
+      val cc = clusters(s, d)
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("csize"))
+      documents(s, d)
+        .join(sizes, col("doc_id") === col("comp"))
+        .select(col("doc_id"), col("source"), col("csize"))
+        .orderBy("doc_id")
+    }))
+
+  /** Shared oracle prelude: verified Jaccard pairs (same math as the
+    * q_dedup_fuzzy oracle) → recursive-CTE connected components (min
+    * reachable id). */
+  private val ccPrelude =
+    """WITH RECURSIVE tok AS (
+      |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+      |sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY a.source, a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT d1 AS src, d2 AS dst FROM inter i
+      |  JOIN sizes0 s1 ON i.d1 = s1.doc_id
+      |  JOIN sizes0 s2 ON i.d2 = s2.doc_id
+      |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8),
+      |edges AS (SELECT src, dst FROM pairs
+      |          UNION ALL SELECT dst, src FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+      |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_clusters" -> (ccPrelude +
+      """
+        |SELECT c.node AS doc_id, c.comp, s.csize
+        |FROM cc c JOIN sizes s ON c.comp = s.comp
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_survivors" -> (ccPrelude +
+      """
+        |SELECT d.doc_id, d.source, s.csize
+        |FROM documents d JOIN sizes s ON d.doc_id = s.comp
+        |ORDER BY d.doc_id""".stripMargin))
+}

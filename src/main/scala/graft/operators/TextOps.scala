@@ -29,6 +29,32 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** MinHash-LSH band buckets `(doc_id, band_id, band_key)`: 8 portable
+    * min-hashes (lexicographic min of seeded md5 — identical in any
+    * engine), 4 bands × 2 rows. The per-(seed, token) md5 depends only
+    * on the token, so the distinct vocabulary is hashed once and
+    * broadcast-joined back (map-side dictionary) instead of recomputing
+    * 8 md5s per doc×token row — vocab ≪ corpus at any scale.
+    *
+    * Shared by q_minhash_lsh (bucket stats) and the connected-components
+    * dedup clustering (GraphOps), which expands buckets into candidate
+    * pairs. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val t = tokens(docs)
+    val vocab = t.select("token").distinct()
+      .select(col("token") +: (0 until 8).map(i =>
+        md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
+    val hashed = t.join(broadcast(vocab), "token")
+    val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
+    val sig = hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_key"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+  }
+
   /** Blocked token-set Jaccard near-dup pairs over
     * (source, doc_id, toks array) with an adaptive physical strategy:
     *
@@ -63,7 +89,8 @@ object TextOps {
   def tokenJaccardPairs(dt: DataFrame, threshold: Double,
                         maxMaskWords: Int = 16,
                         maxBlockRows: Long = 10000L,
-                        eagerStats: Boolean = true): DataFrame = {
+                        eagerStats: Boolean = true,
+                        ordered: Boolean = true): DataFrame = {
     val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
 
     lazy val vocab = dt.select(explode(col("toks")).as("token")).distinct()
@@ -124,12 +151,14 @@ object TextOps {
           .agg(count(lit(1)).as("inter"))
       }
 
-    pairs
+    val out = pairs
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("source"), col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
-      .orderBy("source", "d1", "d2")
+    // consumers that re-shuffle anyway (e.g. the dedup-cluster
+    // union-find) skip the presentation sort
+    if (ordered) out.orderBy("source", "d1", "d2") else out
   }
 
   val queries: Map[String, Q] = Map(
@@ -417,29 +446,83 @@ object TextOps {
         .orderBy("source", "doc_id")
     }),
 
-    // E3 MinHash-LSH banding: 8 portable min-hashes (lexicographic min of
-    // seeded md5 — identical in any engine), 4 bands × 2 rows; emits
-    // band-bucket stats (the scale-safe artifact; per-bucket pair
-    // expansion is the follow-on narrow job)
+    // E5 Gopher-style repetition filtering (Rae et al. 2021 §A1.1's
+    // "fraction of duplicate n-grams" family): per-doc 2-gram stats —
+    // duplicate-2-gram fraction and most-frequent-2-gram fraction —
+    // with a keep flag at thresholds that bisect this corpus. One
+    // explode + two hash-aggregates, all narrow per doc_id after the
+    // first shuffle; no pair joins, scales linearly in corpus size.
+    "q_repetition_filter" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val g2 = zip_with(words, slice(words, lit(2), size(words)),
+        (x, y) => concat_ws(" ", x, y))
+      val grams = documents(s, d).select(col("doc_id"),
+        explode(slice(g2, lit(1), greatest(size(words) - 1, lit(0)))).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("total"), count(lit(1)).as("uniq"), max("n").as("top_n"))
+        .select(col("doc_id"), col("total"),
+          round((col("total") - col("uniq")).cast("double") / col("total"), 4)
+            .as("dup_frac"),
+          round(col("top_n").cast("double") / col("total"), 4).as("top_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.04 && col("top_frac") <= 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // E1 passage-level exact dedup (the "dedup paragraphs across the
+    // whole corpus" pass of a pretraining pipeline): each doc is split
+    // into 8-token passages NARROWLY (one HOF slice per chunk — no
+    // per-element re-evaluation), then a global ranking window on the
+    // passage keeps the first occurrence by (doc_id, pidx). One
+    // shuffle on the passage hash; at 100 TB the passage is the dedup
+    // key, so the shuffle is the minimum any exact-dedup must pay.
+    "q_passage_dedup" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val passages = transform(
+        sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
+        i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+      documents(s, d)
+        .filter(size(words) > 0)
+        .select(col("doc_id"), posexplode(passages).as(Seq("pidx", "passage")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("passage").orderBy(col("doc_id").asc, col("pidx").asc)))
+        .select(col("doc_id"), col("pidx").cast("long").as("pidx"),
+          md5(col("passage")).as("phash"), (col("rn") === 1).as("kept"))
+        .orderBy("doc_id", "pidx")
+    }),
+
+    // E5 benchmark decontamination (the n-gram-overlap check run before
+    // training): the "benchmark" is a deterministic corpus subset
+    // (doc_id % 50 = 0); any other doc sharing a distinct word-4-gram
+    // with it is reported with its hit count and flagged at >= 3 hits.
+    // The benchmark n-gram set is tiny by construction (benchmarks are
+    // MBs, corpora are TBs) so it BROADCASTS — the corpus side never
+    // shuffles: scan → explode → broadcast-semi-probe → per-doc count.
+    "q_decontaminate" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val g2 = zip_with(words, slice(words, lit(2), size(words)),
+        (x, y) => concat_ws(" ", x, y))
+      val g3 = zip_with(g2, slice(words, lit(3), size(words)),
+        (xy, z) => concat_ws(" ", xy, z))
+      val g4 = zip_with(g3, slice(words, lit(4), size(words)),
+        (xyz, w) => concat_ws(" ", xyz, w))
+      val grams = documents(s, d).select(col("doc_id"),
+        explode(array_distinct(slice(g4, lit(1), greatest(size(words) - 3, lit(0)))))
+          .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0).select("gram").distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), (col("n_hits") >= 3).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
+    // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
+    // stats (the scale-safe artifact; per-bucket pair expansion is the
+    // follow-on narrow job — see GraphOps.q_dedup_clusters)
     "q_minhash_lsh" -> ((s, d) => {
-      val t = tokens(documents(s, d))
-      // the md5 per (seed, token) depends only on the token: hash the
-      // distinct vocabulary once and broadcast-join it back, instead of
-      // recomputing 8 md5s per doc×token row (vocab ≪ corpus at any
-      // scale — this is the map-side-dictionary pattern)
-      val vocab = t.select("token").distinct()
-        .select(col("token") +: (0 until 8).map(i =>
-          md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
-      val hashed = t.join(broadcast(vocab), "token")
-      val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
-      val sig = hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
-      val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band_id"),
-            md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_key"))): _*))
-          .as("b"))
-        .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
-      bands.groupBy("band_id", "band_key")
+      minhashBands(documents(s, d)).groupBy("band_id", "band_key")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .filter(col("n_docs") > 1)
         .orderBy("band_id", "band_key")
@@ -622,6 +705,58 @@ object TextOps {
         |  CAST((cum - n_tokens) - CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) * 512
         |       AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "q_repetition_filter" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, ws[g.i] || ' ' || ws[g.i+1] AS gram
+        |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 1),
+        |per AS (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram),
+        |m AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS uniq,
+        |         MAX(n) AS top_n
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, total,
+        |  ROUND(CAST(total - uniq AS DOUBLE) / total, 4) AS dup_frac,
+        |  ROUND(CAST(top_n AS DOUBLE) / total, 4) AS top_frac,
+        |  (ROUND(CAST(total - uniq AS DOUBLE) / total, 4) <= 0.04
+        |   AND ROUND(CAST(top_n AS DOUBLE) / total, 4) <= 0.05) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_passage_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g.i AS pidx,
+        |         array_to_string(ws[g.i*8+1 : g.i*8+8], ' ') AS passage
+        |  FROM words, generate_series(0, 1000) g(i)
+        |  WHERE len(ws) > 0 AND g.i <= (len(ws) - 1) // 8),
+        |r AS (
+        |  SELECT doc_id, pidx, passage,
+        |         row_number() OVER (PARTITION BY passage
+        |                            ORDER BY doc_id ASC, pidx ASC) AS rn
+        |  FROM p)
+        |SELECT doc_id, CAST(pidx AS BIGINT) AS pidx, md5(passage) AS phash,
+        |       rn = 1 AS kept
+        |FROM r ORDER BY doc_id, pidx""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] || ' ' || ws[g.i+3] AS gram
+        |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 3),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, COUNT(*) AS n_hits, COUNT(*) >= 3 AS flagged
+        |FROM grams g
+        |WHERE g.doc_id % 50 <> 0 AND g.gram IN (SELECT gram FROM bench)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH tok AS (

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** Connected-components correctness on hand-built graphs (the catalog
+  * queries' cluster output is oracle-checked end-to-end; these pin the
+  * operator's own edge cases). */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(
+        nodes.toDF("node"),
+        edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, isolated node, and direction-independence") {
+    // 1-2-3-4 chain (edges given in mixed directions), 5-6-7 triangle,
+    // 8 isolated
+    val got = cc(1L to 8L,
+      Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L), (7L, 5L), (6L, 7L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
+
+  test("long chain converges (rounds = diameter)") {
+    val n = 12L
+    val got = cc(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("duplicate and self edges are harmless") {
+    val got = cc(Seq(1L, 2L, 3L),
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("empty edge set: every node is its own component") {
+    val got = cc(Seq(10L, 20L), Seq.empty)
+    assert(got === Map(10L -> 10L, 20L -> 20L))
+  }
+
+  test("blockedComponents == iterative connectedComponents on blocked edges") {
+    // two blocks; components must match the general algorithm exactly
+    val edges = Seq(("a", 1L, 2L), ("a", 2L, 3L), ("a", 5L, 6L),
+      ("b", 10L, 11L), ("b", 11L, 12L), ("b", 12L, 10L))
+    val blocked = GraphOps.blockedComponents(edges.toDF("block", "src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val iterative = GraphOps.connectedComponents(
+        edges.map(_._2).union(edges.map(_._3)).distinct.toDF("node"),
+        edges.map(e => (e._2, e._3)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(blocked === iterative)
+    assert(blocked(3L) === 1L && blocked(12L) === 10L && blocked(6L) === 5L)
+  }
+
+  test("cluster labels are consistent with the verified-pair edges") {
+    val sf = "/root/testdata/sf0.001"
+    val clusters = GraphOps.queries("q_dedup_clusters")(spark, sf)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    // every component label is a member of its own cluster, and is the
+    // minimum doc_id in it
+    val byComp = clusters.groupBy(_._2).view.mapValues(_.keys.min)
+    byComp.foreach { case (comp, minDoc) => assert(comp === minDoc) }
+    // survivors = one row per component
+    val survivors = GraphOps.queries("q_dedup_survivors")(spark, sf).count()
+    assert(survivors === clusters.values.toSet.size)
+  }
+}
