@@ -142,6 +142,50 @@ object EventOps {
         .orderBy("purchase_id")
     }),
 
+    // FORWARD as-of through the native operator: for each purchase the
+    // FIRST click strictly AFTER it (post-purchase engagement). Same
+    // sort-merge shape as backward — the cursor consumes rows
+    // at-or-before the left row and peeks the next instead of
+    // buffering the last.
+    "q_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")),
+          direction = graft.plans.AsOfForward)
+        .select(col("purchase_id"), col("user_id"),
+          date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("click_id"),
+          date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy("purchase_id")
+    }),
+
+    // INNER as-of: attributed purchases only — unmatched left rows are
+    // dropped inside the merge pass (no null-fill, no post-filter), so
+    // the operator's output is exactly the attribution fact table.
+    "q_asof_inner" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")),
+          inner = true)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (floor(unix_timestamp(col("pts").cast("timestamp"))).cast("long") -
+            floor(unix_timestamp(col("cts").cast("timestamp"))).cast("long"))
+            .as("gap_seconds"))
+        .orderBy("purchase_id")
+    }),
+
     // E8 sessionization: 30-min-gap sessions via lag + running sum —
     // one shuffle on user_id, then narrow window ops within partitions.
     "q_sessionize" -> ((s, d) => {
@@ -248,6 +292,40 @@ object EventOps {
         |  l.click_id,
         |  strftime(l.cts, '%Y-%m-%d %H:%M:%S') AS click_ts
         |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, cts FROM c
+        |  WHERE c.cuser = p.user_id
+        |    AND (c.cts < p.pts OR (c.cts = p.pts AND c.click_id < p.purchase_id))
+        |  ORDER BY c.cts DESC, c.click_id DESC LIMIT 1) l ON TRUE
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS cuser, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id,
+        |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  l.click_id,
+        |  strftime(l.cts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT click_id, cts FROM c
+        |  WHERE c.cuser = p.user_id
+        |    AND (c.cts > p.pts OR (c.cts = p.pts AND c.click_id > p.purchase_id))
+        |  ORDER BY c.cts ASC, c.click_id ASC LIMIT 1) l ON TRUE
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_asof_inner" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS cuser, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, l.click_id,
+        |  CAST(FLOOR(epoch(p.pts)) AS BIGINT) - CAST(FLOOR(epoch(l.cts)) AS BIGINT) AS gap_seconds
+        |FROM p JOIN LATERAL (
         |  SELECT click_id, cts FROM c
         |  WHERE c.cuser = p.user_id
         |    AND (c.cts < p.pts OR (c.cts = p.pts AND c.click_id < p.purchase_id))

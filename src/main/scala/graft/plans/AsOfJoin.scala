@@ -41,16 +41,23 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * keys out beforehand if SQL semantics are wanted; the catalog query
   * joins on non-null ids.
   */
+/** Match direction: Backward = last right row STRICTLY BEFORE the left
+  * row (the classic as-of); Forward = first right row STRICTLY AFTER. */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+
 case class AsOfJoinNode(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    direction: AsOfDirection, inner: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
     "as-of join key types must match")
   require(leftOrder.map(_.dataType) == rightOrder.map(_.dataType),
     "as-of join order-column types must match")
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ right.output.map(_.withNullability(!inner))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -58,8 +65,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(lk, rk, lo, ro, l, r) =>
-      AsOfJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(lk, rk, lo, ro, dir, inner, l, r) =>
+      AsOfJoinExec(lk, rk, lo, ro, dir, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -67,10 +74,11 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftOrder: Seq[Expression], rightOrder: Seq[Expression],
+    direction: AsOfDirection, inner: Boolean,
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ right.output.map(_.withNullability(!inner))
   override def producedAttributes: AttributeSet = AttributeSet.empty
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -115,36 +123,68 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      lIter.map { l =>
+      val forward = direction == AsOfForward
+      lIter.flatMap { l =>
         val lKey = lKeyProj(l)
         val lOrd = lOrdProj(l)
-        var continue = rIter.hasNext
-        while (continue) {
-          val r = rIter.head
-          val c = keyOrdering.compare(rKeyProj(r), lKey)
-          if (c < 0 || (c == 0 && ordOrdering.compare(rOrdProj(r), lOrd) < 0)) {
-            val consumed = rIter.next()
-            lastKey = rKeyProj(consumed).copy()
-            lastRow = consumed.copy()
-            continue = rIter.hasNext
-          } else continue = false
-        }
-        val m =
-          if (lastRow != null && keyOrdering.compare(lastKey, lKey) == 0) lastRow
-          else nullRight
-        numOutputRows += 1
-        outProj(joined(l, m))
+        // advance the right cursor past every row that can no longer
+        // match this (or any later) left row; what remains determines
+        // the match per direction
+        val m: InternalRow =
+          if (forward) {
+            // consume rows at-or-before (key, ord); the next row, if
+            // key-equal, is the FIRST strictly-after match
+            var continue = rIter.hasNext
+            while (continue) {
+              val r = rIter.head
+              val c = keyOrdering.compare(rKeyProj(r), lKey)
+              if (c < 0 || (c == 0 && ordOrdering.compare(rOrdProj(r), lOrd) <= 0)) {
+                rIter.next()
+                continue = rIter.hasNext
+              } else continue = false
+            }
+            if (rIter.hasNext && keyOrdering.compare(rKeyProj(rIter.head), lKey) == 0)
+              rIter.head
+            else null
+          } else {
+            // consume rows strictly before (key, ord), buffering the
+            // last one — the LAST strictly-before match
+            var continue = rIter.hasNext
+            while (continue) {
+              val r = rIter.head
+              val c = keyOrdering.compare(rKeyProj(r), lKey)
+              if (c < 0 || (c == 0 && ordOrdering.compare(rOrdProj(r), lOrd) < 0)) {
+                val consumed = rIter.next()
+                lastKey = rKeyProj(consumed).copy()
+                lastRow = consumed.copy()
+                continue = rIter.hasNext
+              } else continue = false
+            }
+            if (lastRow != null && keyOrdering.compare(lastKey, lKey) == 0) lastRow
+            else null
+          }
+        if (m != null) {
+          numOutputRows += 1
+          Some(outProj(joined(l, m)))
+        } else if (!inner) {
+          numOutputRows += 1
+          Some(outProj(joined(l, nullRight)))
+        } else None
       }
     }
   }
 }
 
-/** DataFrame-level entry point: left as-of join, strictly-before match
-  * on (order columns) within equal (key columns). */
+/** DataFrame-level entry point: as-of join, strictly-before (Backward,
+  * default) or strictly-after (Forward) match on (order columns) within
+  * equal (key columns). `inner = false` (default) keeps unmatched left
+  * rows with nulls; `inner = true` drops them. */
 object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKeys: Seq[Column], rightKeys: Seq[Column],
-            leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+            leftOrder: Seq[Column], rightOrder: Seq[Column],
+            direction: AsOfDirection = AsOfBackward,
+            inner: Boolean = false): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     // the merge semantics are ascending by construction: unwrap a
@@ -178,6 +218,7 @@ object AsOfJoin {
       rightKeys.map(keyExpr(_, rp)),
       leftOrder.map(ord(_, lp)),
       rightOrder.map(ord(_, rp)),
+      direction, inner,
       lp, rp))
   }
 }

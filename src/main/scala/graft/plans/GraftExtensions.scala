@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{
+  BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{DotProduct, HllSketch}
 
 /** Session extension point for the engine's custom Catalyst pieces
@@ -30,6 +32,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketch(exprs.head)))
+    // Catalyst's internal runtime-filter bloom expressions, exposed as
+    // library SQL surface (operators.BloomOps): build with
+    // graft_bloom_agg(xxhash64(k) [, numItems [, numBits]]), probe with
+    // graft_might_contain(<scalar bloom>, xxhash64(k))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(child[, estimatedNumItems[, numBits]])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     // auto-accelerate the aggregate(zip_with(...)) dot-product idiom
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.plans.AsOfJoin
+import graft.plans.{AsOfForward, AsOfJoin}
 
 /** Specs for the native as-of join: window-model equality, left-outer
   * semantics, partition invariance, and physical plan shape. */
@@ -69,6 +69,50 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "as-of must not plan a pair blowup")
     assert(p.contains("Sort") && p.contains("Exchange"))
+  }
+
+  test("forward direction matches the lead-window model") {
+    val (ev, purchases, clicks) = sides()
+    val got = AsOfJoin(purchases, clicks,
+        Seq(col("user_id")), Seq(col("cuser")),
+        Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")),
+        direction = AsOfForward)
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy("purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+
+    // reference: union trick with a FOLLOWING window — first click
+    // strictly after the purchase in (ts, event_id) order
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val ref = ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("cid", first(when(col("event_type") === "click", col("event_id")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), coalesce(col("cid"), lit(-1L)))
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(got === ref)
+    assert(got.exists(_._2 == -1L), "expected at least one purchase with no later click")
+    assert(got.exists(_._2 != -1L))
+  }
+
+  test("inner semantics drop unmatched lefts and mark outputs non-nullable") {
+    val (_, purchases, clicks) = sides()
+    val outer = run(purchases, clicks)
+    val inner = AsOfJoin(purchases, clicks,
+      Seq(col("user_id")), Seq(col("cuser")),
+      Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")),
+      inner = true)
+    val outerMatched = outer.filter(col("click_id").isNotNull)
+      .select("purchase_id", "click_id").orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val innerRows = inner.select("purchase_id", "click_id").orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(innerRows === outerMatched)
+    assert(innerRows.size < outer.count(), "some purchases must be unattributed")
+    assert(!inner.schema("click_id").nullable,
+      "inner as-of output keeps the right side's nullability")
   }
 
   test("hand-built edge cases: ties, equal timestamps, empty right") {
