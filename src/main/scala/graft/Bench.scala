@@ -34,10 +34,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver parses this line out of a BOUNDED TAIL (2000 chars) of
+    // captured stdout: ~90 queries at full double precision overflow
+    // that window and truncate the line mid-JSON, so "value" covers ALL
+    // timed queries but the per-query map lists the slowest (headline)
+    // entries that fit a conservative budget. The complete map goes to
+    // BENCH_DETAIL.json alongside.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    val budget = 1600
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val omitted = entries.size - kept.size
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.sources.Tables._
 
@@ -155,14 +156,16 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     // E3 dedup clustering: every document labeled with its near-dup
-    // cluster (min doc_id of the LSH-connected component) + cluster size
-    "q_dedup_clusters" -> ((s, d) => {
-      val cc = clusters(s, d)
-      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("csize"))
-      cc.join(sizes, "comp")
+    // cluster (min doc_id of the LSH-connected component) + cluster size.
+    // Size via a count window on comp, NOT a groupBy+self-join: the join
+    // form fans the cc subtree into two branches, recomputing the whole
+    // verify-pairs pipeline when exchange reuse doesn't kick in; the
+    // window is one extra narrow pass after the comp shuffle.
+    "q_dedup_clusters" -> ((s, d) =>
+      clusters(s, d)
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
         .select(col("node").as("doc_id"), col("comp"), col("csize"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // E3 dedup survivors: one representative per cluster (the min
     // doc_id), with how many near-dups it absorbed — the actual "write

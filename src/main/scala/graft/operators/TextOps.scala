@@ -518,6 +518,59 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // E1 follow-on to q_passage_dedup: RECONSTRUCT the deduplicated
+    // corpus — drop every passage already seen earlier (global ranking
+    // window on the passage), then reassemble each doc's surviving
+    // passages in order. The explode→dedup→re-agg roundtrip is the
+    // actual "write the clean corpus" job of a C4-style pipeline: one
+    // shuffle on the passage (the dedup key), one on doc_id (the
+    // reassembly key) — both unavoidable, nothing quadratic.
+    "q_passage_scrub" -> ((s, d) => {
+      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val passages = transform(
+        sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
+        i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+      documents(s, d)
+        .filter(size(words) > 0)
+        .select(col("doc_id"), posexplode(passages).as(Seq("pidx", "passage")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("passage").orderBy(col("doc_id").asc, col("pidx").asc)))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pidx"), col("passage")))),
+              p => p("passage")), " ").as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // E5 Count-Min frequency estimation via the custom mergeable
+    // graft_cms aggregate (functions.CmsSketch): ONE pass builds a
+    // 4×256-counter sketch (8 KiB — broadcastable), then the 20 true
+    // heaviest tokens are probed against it. est >= true always (CMS
+    // never undercounts); the oracle rebuilds the probed counters
+    // exactly because CMS counters are order-independent SUMs over a
+    // portable md5 bucketing. At 100 TB the sketch replaces a full
+    // (token → count) shuffle with a fixed-size partial aggregate per
+    // partition.
+    "q_cms_freq" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val sk = toks.agg(graft.functions.CmsSketch.cms(col("token")).as("cms"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("token").asc).limit(20)
+      def bucket(dd: Int): Column =
+        conv(substring(md5(concat(lit(dd.toString), lit("|"), col("token"))), 1, 8),
+          16, 10).cast("long") % 256
+      val ests = (0 until 4).map(dd =>
+        element_at(col("cms"), (bucket(dd) + lit(dd * 256) + 1).cast("int")))
+      top.crossJoin(broadcast(sk))
+        .select(col("token"), col("true_n"), least(ests: _*).as("est_n"))
+        .withColumn("no_undercount", col("est_n") >= col("true_n"))
+        .orderBy(col("true_n").desc, col("token").asc)
+    }),
+
     // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
     // stats (the scale-safe artifact; per-bucket pair expansion is the
     // follow-on narrow job — see GraphOps.q_dedup_clusters)
@@ -757,6 +810,48 @@ object TextOps {
         |WHERE g.doc_id % 50 <> 0 AND g.gram IN (SELECT gram FROM bench)
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q_passage_scrub" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g.i AS pidx,
+        |         array_to_string(ws[g.i*8+1 : g.i*8+8], ' ') AS passage
+        |  FROM words, generate_series(0, 1000) g(i)
+        |  WHERE len(ws) > 0 AND g.i <= (len(ws) - 1) // 8),
+        |r AS (
+        |  SELECT doc_id, pidx, passage,
+        |         row_number() OVER (PARTITION BY passage
+        |                            ORDER BY doc_id ASC, pidx ASC) AS rn
+        |  FROM p)
+        |SELECT doc_id, COUNT(*) AS n_kept,
+        |       string_agg(passage, ' ' ORDER BY pidx) AS clean_text
+        |FROM r WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |t2 AS (SELECT token FROM toks WHERE token <> ''),
+        |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |counters AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(dd.d || '|' || token), 1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM t2 CROSS JOIN dd GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, COUNT(*) AS true_n FROM t2 GROUP BY token
+        |  ORDER BY true_n DESC, token ASC LIMIT 20),
+        |probe AS (
+        |  SELECT t.token, t.true_n, dd.d,
+        |    CAST(('0x' || substr(md5(dd.d || '|' || t.token), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM top t CROSS JOIN dd)
+        |SELECT p.token, p.true_n, MIN(c.c) AS est_n,
+        |       MIN(c.c) >= p.true_n AS no_undercount
+        |FROM probe p JOIN counters c ON p.d = c.d AND p.b = c.b
+        |GROUP BY p.token, p.true_n
+        |ORDER BY p.true_n DESC, p.token ASC""".stripMargin,
 
     "q_minhash_lsh" ->
       """WITH tok AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{DotProduct, HllSketch}
+import graft.functions.{CmsSketch, DotProduct, HllSketch}
 
 /** Session extension point for the engine's custom Catalyst pieces
   * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketch(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => {
+        def lit(i: Int, dflt: Int): Int =
+          if (exprs.size > i) exprs(i).eval().asInstanceOf[Number].intValue else dflt
+        CmsSketch(exprs.head, lit(1, 4), lit(2, 256))
+      }))
     // Catalyst's internal runtime-filter bloom expressions, exposed as
     // library SQL surface (operators.BloomOps): build with
     // graft_bloom_agg(xxhash64(k) [, numItems [, numBits]]), probe with
