@@ -428,7 +428,25 @@ object RelQueries {
           sum(col("n_chars")).as("total_chars"),
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
           countDistinct(col("source")).as("n_sources"))
-        .orderBy("lang")))
+        .orderBy("lang")),
+
+    // Z-order (Morton) layout key via graft.sources.Bucketing.zorderKey:
+    // customer id × order day interleaved bitwise, so sorting by zkey
+    // clusters rows close in BOTH dimensions — the multi-column file-
+    // pruning layout (each z-sorted file covers a compact (cust, day)
+    // rectangle; parquet min/max stats then prune 2-D probes). The key
+    // is pure built-in bitwise arithmetic: fully codegen'd, and exactly
+    // reproducible in the oracle's SQL.
+    "q_zorder_key" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("cell_x"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("cell_y"))
+        .withColumn("zkey",
+          graft.sources.Bucketing.zorderKey(col("cell_x"), col("cell_y")))
+        .orderBy("zkey", "o_orderkey")))
 
   val oracle: Map[String, String] = Map(
     "q_tpch_q1" ->
@@ -716,5 +734,25 @@ object RelQueries {
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
         |  COUNT(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_zorder_key" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    o_custkey % 65536 AS cell_x,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS cell_y
+        |  FROM orders WHERE o_orderkey < 2000),
+        |g0 AS (SELECT o_orderkey, cell_x, cell_y,
+        |         cell_x & 65535 AS a, cell_y & 65535 AS b FROM base),
+        |g1 AS (SELECT o_orderkey, cell_x, cell_y,
+        |         (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM g0),
+        |g2 AS (SELECT o_orderkey, cell_x, cell_y,
+        |         (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM g1),
+        |g3 AS (SELECT o_orderkey, cell_x, cell_y,
+        |         (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM g2),
+        |g4 AS (SELECT o_orderkey, cell_x, cell_y,
+        |         (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM g3)
+        |SELECT o_orderkey, cell_x, cell_y, a | (b << 1) AS zkey
+        |FROM g4 ORDER BY zkey, o_orderkey""".stripMargin)
 }

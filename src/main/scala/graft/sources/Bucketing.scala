@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{lit, shiftleft}
 
 /** Bucketed-table helpers: pre-shuffle facts ONCE at write time so that
   * every subsequent equi-join/aggregation on the bucket key runs with
@@ -46,4 +47,41 @@ object Bucketing {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
+
+  /** 16-bit Morton spread: distribute the low 16 bits of `c` over the
+    * even bit positions of a 32-bit lane (the classic mask-shift
+    * cascade — four shifts, four ANDs, all plain built-in bitwise ops,
+    * so the whole thing stays inside whole-stage codegen). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xffffL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00ff00ffL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key interleaving the low 16 bits of two LONG grid
+    * coordinates: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1, so sorting by the key clusters rows that are close in BOTH
+    * dimensions. The multi-dimensional complement of
+    * [[writeRangeSorted]]: a range-sort prunes on ONE column; a
+    * z-order sort lets parquet footer min/max prune on TWO (a
+    * (customer, date-window) probe touches only the files whose z-range
+    * intersects the query rectangle). Callers map raw values onto a
+    * 0..65535 grid first (mod, bucket rank, or epoch-day — the catalog
+    * query uses mod and days-since-epoch-start). */
+  def zorderKey(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write z-ordered: range-partition + sort by the interleaved key so
+    * each file covers a compact rectangle of the (a, b) grid. */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                    files: Int = 8): Unit = {
+    val keyed = df.withColumn("_zkey", zorderKey(a, b))
+    keyed.repartitionByRange(files, keyed.col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -54,4 +54,52 @@ class BucketingSpec extends SparkTestBase {
     // nothing lost or duplicated by the layout
     assert(spark.read.parquet(dir).count() === orders.count())
   }
+
+  test("zorderKey interleaves bits exactly; z-ordered files are compact 2-D rectangles") {
+    import spark.implicits._
+    // bit-exactness against a plain-Scala Morton reference
+    def mortonRef(a: Long, b: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (256L, 255L))
+    val got = probe.toDF("a", "b")
+      .withColumn("z", Bucketing.zorderKey(col("a"), col("b")))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z === mortonRef(a, b), s"($a,$b)") }
+
+    // layout: each z-sorted file covers a bounded rectangle of the
+    // (cell_x, cell_y) grid — the property 2-D min/max pruning needs
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("cell_x", pmod(col("o_custkey"), lit(65536L)))
+      .withColumn("cell_y",
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).cast("long"))
+    Bucketing.writeZOrdered(orders, dir, col("cell_x"), col("cell_y"), files = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 2)
+    val gridLo = orders.agg(min("cell_x"), max("cell_x"), min("cell_y"), max("cell_y"))
+      .collect()(0)
+    val (gxSpan, gySpan) =
+      (gridLo.getLong(1) - gridLo.getLong(0), gridLo.getLong(3) - gridLo.getLong(2))
+    val rects = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("cell_x"), max("cell_x"), min("cell_y"), max("cell_y")).collect()(0)
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // every file's rectangle must be a strict sub-span of the grid in
+    // at least one dimension (a random or single-column sort leaves
+    // some file spanning the full range of both)
+    rects.foreach { case (xs, ys) =>
+      assert(xs < gxSpan || ys < gySpan,
+        s"file spans the whole grid ($xs × $ys of $gxSpan × $gySpan)")
+    }
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
 }
