@@ -219,6 +219,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sketch profile equals the batch sketch over the union of micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val tokens = input.toDF().select(col("_1").as("source"), col("_2").as("token"))
+    val q = StreamingJobs.sketchProfileStream(tokens)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out")
+      .start()
+    try {
+      val b1 = Seq.tabulate(40)(i => ("s1", s"w${i % 7}")) ++
+        Seq.tabulate(10)(i => ("s2", s"x$i"))
+      val b2 = Seq.tabulate(35)(i => ("s1", s"w${i % 11}")) ++
+        Seq.tabulate(10)(i => ("s2", s"x${i + 5}"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sketch_out")
+        .select("source", "distinct_est", "cms")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+      // batch sketch over the union, shuffled to scramble arrival order
+      val batch = scala.util.Random.shuffle(b1 ++ b2).toDF("source", "token")
+        .groupBy("source")
+        .agg(graft.functions.HllSketch.hllDistinct(col("token")).as("d"),
+          graft.functions.CmsSketch.cms(col("token")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+        .sortBy(_._1).toSeq
+      assert(streamed === batch,
+        "incremental sketch state must equal the batch sketch bit-for-bit")
+      // and the HLL estimate is sane at these cardinalities (exact range)
+      val bySource = streamed.map(t => t._1 -> t._2).toMap
+      assert(bySource("s1") === 11L && bySource("s2") === 15L)
+    } finally q.stop()
+  }
+
   test("append-mode windows emit exactly when the watermark closes them") {
     val dir = Files.createTempDirectory("graft_wm_in").toFile.getAbsolutePath
     val ck = Files.createTempDirectory("graft_wm_ck").toFile.getAbsolutePath
