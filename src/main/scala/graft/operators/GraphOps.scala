@@ -26,11 +26,9 @@ import graft.sources.Tables._
   *    the graph diameter (near-dup clusters are shallow, so a handful);
   *    the convergence test is a 1-row aggregate (labels only ever
   *    decrease, so an unchanged sum == fixpoint — no join to diff
-  *    generations). For adversarial diameters, the alternating
-  *    large-star/small-star algorithm (Kiveris et al., "Connected
-  *    Components in MapReduce and Beyond") drops rounds to O(log n);
-  *    the per-round dataflow is the same shape, so it's a drop-in
-  *    upgrade.
+  *    generations). For adversarial diameters,
+  *    [[starComponents]] (alternating large-star/small-star) drops
+  *    rounds to O(log n) with the same per-round dataflow shape.
   */
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
@@ -77,8 +75,85 @@ object GraphOps {
     sym.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +
-        "(pathological diameter — switch to large-star/small-star)")
+        "(pathological diameter — use starComponents)")
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the adversarial-diameter path that
+    * [[connectedComponents]]'s Scaladoc promises: min-label
+    * propagation needs diameter-many rounds (a 10⁶-node path graph
+    * needs 10⁶ rounds), star contraction converges in O(log n) because
+    * each round rewires whole neighborhoods at their minimum, halving
+    * tree heights instead of walking them.
+    *
+    * Per round, each step is one aggregation + one join shuffling on
+    * the node id — the same dataflow shape as a min-label round, no
+    * driver-side graph state, edge set monotonically contracts toward
+    * one star per component:
+    *  - large-star: every node's strictly-LARGER neighbors rewire to
+    *    the minimum of its neighborhood (incl. itself);
+    *  - small-star: with edges parent-oriented (big → small), every
+    *    node's smaller neighbors (and itself) rewire to its minimum
+    *    neighbor.
+    * Fixpoint = the edge set is stable (checked by set equality, two
+    * bounded actions per round); then every edge points directly at
+    * its component's minimum id.
+    *
+    * @param nodes single LONG column `node` (isolated nodes keep their
+    *              own id as the component)
+    * @param edges columns `src`, `dst` (LONG); direction ignored
+    * @return (node, comp), comp = min node id in the component
+    */
+  def starComponents(nodes: DataFrame, edges: DataFrame,
+                     maxIter: Int = 50): DataFrame = {
+    // orient big → small, drop self loops; localCheckpoint per round
+    // keeps the plan constant-size (see connectedComponents)
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // emit (v, m(u)) for neighbors v > u — every emitted edge keeps
+      // the big → small orientation
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(lsMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR on parent-oriented edges: all neighbors are < u, so
+      // m(u) = min neighbor; rewire them (and u) to m(u)
+      val ssMins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = ls.join(ssMins, "u")
+      val next = withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      i += 1
+    }
+    require(converged,
+      s"starComponents did not converge within $maxIter rounds")
+    // at fixpoint every edge is (node, component-min); min() per node
+    // is a safety net, not a correctness requirement
+    val parents = e.groupBy("u").agg(min(col("v")).as("comp"))
+    nodes.select(col("node"))
+      .join(parents, col("node") === col("u"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 
   /** Connected components when every edge lives WITHIN a blocking key:

@@ -55,6 +55,51 @@ class GraphOpsSpec extends SparkTestBase {
     assert(blocked(3L) === 1L && blocked(12L) === 10L && blocked(6L) === 5L)
   }
 
+  private def star(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.starComponents(
+        nodes.toDF("node"),
+        edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("starComponents matches min-label on small graphs") {
+    val nodes = 1L to 8L
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L), (7L, 5L), (6L, 7L))
+    assert(star(nodes, edges) === cc(nodes, edges))
+    assert(star(Seq(10L, 20L), Seq.empty) === Map(10L -> 10L, 20L -> 20L))
+    assert(star(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("starComponents handles a path graph far beyond min-label's round budget") {
+    // a 120-node path has diameter 119: min-label propagation would
+    // need 119 rounds (its maxIter=25 require fires); star contraction
+    // converges in O(log n) rounds
+    val n = 120L
+    val nodes = 1L to n
+    val edges = (1L until n).map(i => (i, i + 1))
+    assertThrows[IllegalArgumentException](cc(nodes, edges))
+    assert(star(nodes, edges) === nodes.map(_ -> 1L).toMap)
+    // label permutation must not matter: reverse the ids (component
+    // min is now the far end of the path)
+    val rev = (1L until n).map(i => (n + 1 - i, n - i))
+    assert(star(nodes, rev) === nodes.map(_ -> 1L).toMap)
+  }
+
+  test("starComponents on a random blocked graph equals blockedComponents") {
+    val rnd = new scala.util.Random(7)
+    val blocks = Seq("a", "b", "c")
+    val edges = (1 to 120).map { _ =>
+      val b = blocks(rnd.nextInt(blocks.size))
+      val base = blocks.indexOf(b) * 1000L
+      (b, base + rnd.nextInt(40).toLong, base + rnd.nextInt(40).toLong)
+    }.filter(e => e._2 != e._3)
+    val blocked = GraphOps.blockedComponents(edges.toDF("block", "src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val nodes = edges.flatMap(e => Seq(e._2, e._3)).distinct
+    val starred = star(nodes, edges.map(e => (e._2, e._3)))
+    assert(starred === blocked)
+  }
+
   test("cluster labels are consistent with the verified-pair edges") {
     val sf = "/root/testdata/sf0.001"
     val clusters = GraphOps.queries("q_dedup_clusters")(spark, sf)
