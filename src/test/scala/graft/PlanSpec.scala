@@ -79,6 +79,33 @@ class PlanSpec extends SparkTestBase {
       "query side must be broadcast")
   }
 
+  test("q_cms_freq: sketch combines map-side and broadcasts to the probe") {
+    val p = plan("q_cms_freq")
+    assert(p.contains("partial_graft_cms"),
+      "the CMS aggregate must produce map-side partials (mergeable sketch)")
+    assert(p.contains("BroadcastExchange"), "the 1-row sketch must broadcast")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      "top-20 probe set must be a bounded heap, not a global sort")
+  }
+
+  test("q_zorder_key: interleave is pure projection arithmetic on a pushed-filter scan") {
+    val p = plan("q_zorder_key")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey"),
+      p.take(600))
+    assert(p.contains("shiftleft"), "the Morton cascade must stay in the projection")
+    assert(!p.contains("Join"), "no join belongs in a layout-key computation")
+  }
+
+  test("q_asof_forward / q_asof_inner: native AsOfJoin with the right mode flags") {
+    Seq(("q_asof_forward", "AsOfForward"), ("q_asof_inner", "AsOfBackward"))
+      .foreach { case (q, dir) =>
+        val p = plan(q)
+        assert(p.contains("AsOfJoin") && p.contains(dir), s"$q: $dir expected")
+        assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"),
+          s"$q must not fall back to window/pair-join plans")
+      }
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
