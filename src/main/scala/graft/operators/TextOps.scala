@@ -362,20 +362,31 @@ object TextOps {
       // the DuckDB oracle. cap=64 ≫ the observed max df at test scales
       // (3 at sf0.01, 6 at sf0.1), so test output is unchanged.
       val dfCap = 64
-      val invAll = shingled.select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+      // Join on a 60-bit md5-derived shingle HASH, not the ~25-byte
+      // shingle string: the inverted index is shuffled and sorted three
+      // times (df window, self-join both sides), and an 8-byte long key
+      // roughly halves that volume and makes every comparison a single
+      // integer op. 490k shingles in a 2^60 space make collisions
+      // negligible — and the oracle applies the SAME hash, so both
+      // engines see the identical feature space either way.
+      val invAll = shingled
+        .select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("source"), col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("long").as("shingle_h"))
       // df computed as a count window over (source, shingle): one
       // shuffle+sort of the index, after which the filter is free.
       // (A hash-agg df table + equi-join back was tried and measured
       // ~2x slower at sf0.1 — the join re-materializes the exploded
       // index where the window reuses its own sorted exchange.)
       val inv = invAll
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
         .filter(col("df") <= dfCap)
         .drop("df")
       val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = inv.select(col("source"), col("doc_id").as("d1"), col("shingle"))
-        .join(inv.select(col("source"), col("doc_id").as("d2"), col("shingle")),
-          Seq("source", "shingle"))
+      val pairs = inv.select(col("source"), col("doc_id").as("d1"), col("shingle_h"))
+        .join(inv.select(col("source"), col("doc_id").as("d2"), col("shingle_h")),
+          Seq("source", "shingle_h"))
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       pairs
@@ -700,16 +711,18 @@ object TextOps {
         |  SELECT source, doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
         |  FROM documents),
         |sh_all AS (
-        |  SELECT DISTINCT source, doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS shingle
+        |  SELECT DISTINCT source, doc_id,
+        |    CAST(('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]), 1, 15)) AS BIGINT)
+        |      AS shingle_h
         |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 2),
         |sh AS (
-        |  SELECT source, doc_id, shingle FROM (
-        |    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM sh_all)
+        |  SELECT source, doc_id, shingle_h FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle_h) AS df FROM sh_all)
         |  WHERE df <= 64),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle_h = b.shingle_h
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT p.d1, p.d2, p.inter,
