@@ -1,0 +1,115 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, TextOps}
+import graft.plans.{AsOfBackward, AsOfForward, AsOfJoin}
+import graft.sources.Bucketing
+
+/** Randomized property checks with plain-Scala reference oracles:
+  * seeded trials over adversarial input spaces (key/timestamp ties,
+  * random graphs, random token sets) that hand-built cases can't
+  * cover. Every trial is reproducible (fixed seeds). */
+class RandomizedPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join modes match a brute-force reference on random tied event sets") {
+    for (seed <- Seq(11, 23)) {
+      val rnd = new Random(seed)
+      // dense key/time ranges force heavy ties — the hard case for
+      // order semantics
+      val left = Seq.tabulate(200)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(30).toLong, 1000L + i))
+      val right = Seq.tabulate(200)(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(30).toLong, 2000L + i))
+      val l = left.toDF("k", "t", "lid")
+      val r = right.toDF("rk", "rt", "rid")
+
+      def bruteBackward(k: Long, t: Long, id: Long): Option[Long] = {
+        val c = right.filter(x => x._1 == k &&
+          (x._2 < t || (x._2 == t && x._3 < id)))
+        if (c.isEmpty) None else Some(c.maxBy(x => (x._2, x._3))._3)
+      }
+      def bruteForward(k: Long, t: Long, id: Long): Option[Long] = {
+        val c = right.filter(x => x._1 == k &&
+          (x._2 > t || (x._2 == t && x._3 > id)))
+        if (c.isEmpty) None else Some(c.minBy(x => (x._2, x._3))._3)
+      }
+      def run(dir: graft.plans.AsOfDirection, inner: Boolean): Seq[(Long, Option[Long])] =
+        AsOfJoin(l, r, Seq(col("k")), Seq(col("rk")),
+            Seq(col("t"), col("lid")), Seq(col("rt"), col("rid")),
+            direction = dir, inner = inner)
+          .select(col("lid"), col("rid")).collect()
+          .map(row => (row.getLong(0),
+            if (row.isNullAt(1)) None else Some(row.getLong(1))))
+          .sortBy(_._1).toSeq
+
+      val expBack = left.map(x => (x._3, bruteBackward(x._1, x._2, x._3))).sortBy(_._1)
+      val expFwd = left.map(x => (x._3, bruteForward(x._1, x._2, x._3))).sortBy(_._1)
+      assert(run(AsOfBackward, inner = false) === expBack, s"backward seed=$seed")
+      assert(run(AsOfForward, inner = false) === expFwd, s"forward seed=$seed")
+      assert(run(AsOfBackward, inner = true)
+        === expBack.collect { case (id, Some(m)) => (id, Some(m)) },
+        s"inner seed=$seed")
+    }
+  }
+
+  test("starComponents equals a plain union-find on random graphs") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new Random(seed)
+      val n = 150
+      val nodes = (0L until n.toLong)
+      val edges = Seq.tabulate(n) { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> {
+        // component label = min node id in the component
+        nodes.filter(j => find(j.toInt) == find(i.toInt)).min
+      }).toMap
+      val got = GraphOps.starComponents(nodes.toDF("node"), edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("zorderKey roundtrips: deinterleaving recovers both coordinates") {
+    val rnd = new Random(3)
+    val coords = Seq.tabulate(300)(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def compact(z: Long, offset: Int): Long =
+      (0 until 16).map(i => ((z >> (2 * i + offset)) & 1L) << i).sum
+    coords.toDF("a", "b")
+      .withColumn("z", Bucketing.zorderKey(col("a"), col("b")))
+      .as[(Long, Long, Long)].collect()
+      .foreach { case (a, b, z) =>
+        assert(compact(z, 0) === a && compact(z, 1) === b, s"($a,$b) -> $z")
+      }
+  }
+
+  test("jaccard strategies agree on random documents") {
+    for (seed <- Seq(29, 31)) {
+      val rnd = new Random(seed)
+      val vocab = Vector.tabulate(24)(i => s"t$i") // small vocab → dense path eligible
+      val docs = Seq.tabulate(80) { i =>
+        val n = 3 + rnd.nextInt(10)
+        ("s" + rnd.nextInt(2), i.toLong,
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct)
+      }
+      val dt = docs.toDF("source", "doc_id", "toks")
+      def result(maxBlockRows: Long) =
+        TextOps.tokenJaccardPairs(dt, threshold = 0.5, maxBlockRows = maxBlockRows)
+          .select("d1", "d2", "inter", "uni").collect().map(_.toSeq).toSeq
+      val dense = result(10000L)
+      val sparse = result(1L) // force the inverted-index fallback
+      assert(dense === sparse, s"seed=$seed")
+      assert(dense.nonEmpty, s"seed=$seed should produce some near-dup pairs")
+    }
+  }
+}
