@@ -214,8 +214,7 @@ object GraphOps {
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
     TextOps.tokenJaccardPairs(
         documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(filter(split(lower(col("text")), " "), t => t =!= ""))
-            .as("toks")),
+          array_distinct(TextOps.wordsOf).as("toks")),
         threshold = 0.8, ordered = false)
       .select(col("source").as("block"), col("d1").as("src"), col("d2").as("dst"))
 

@@ -24,10 +24,17 @@ object TextOps {
   /** Distinct lowercase word tokens per doc, empty tokens dropped. */
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-        explode(array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")))
+        explode(array_distinct(wordsOf))
           .as("token"))
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** Non-empty lowercase word tokens of the `text` column. array_remove
+    * (codegen'd) rather than a filter() lambda: higher-order functions
+    * are CodegenFallback and would kick every expression sharing their
+    * Project out of whole-stage codegen. */
+  private[operators] def wordsOf: Column =
+    array_remove(split(lower(col("text")), " "), "")
 
   /** MinHash-LSH band buckets `(doc_id, band_id, band_key)`: 8 portable
     * min-hashes (lexicographic min of seeded md5 — identical in any
@@ -173,7 +180,7 @@ object TextOps {
 
     // E5 per-document quality scoring (length/stopword/token stats)
     "q_text_quality" -> ((s, d) => {
-      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val toks = wordsOf
       val stops = filter(toks, t => t.isInCollection(stopwords))
       documents(s, d)
         .withColumn("n_tokens", size(toks).cast("long"))
@@ -229,7 +236,7 @@ object TextOps {
     "q_dedup_fuzzy" -> ((s, d) =>
       tokenJaccardPairs(
         documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks")),
+          array_distinct(wordsOf).as("toks")),
         threshold = 0.8)),
 
     // E5 tf-idf: term frequency × inverse document frequency via two
@@ -339,19 +346,14 @@ object TextOps {
     // blocker, but this synthetic corpus's tiny vocab makes shingles
     // collide corpus-wide, so the block bounds the pair space.
     "q_shingle_jaccard" -> ((s, d) => {
-      // Build 3-grams by zipping the word array with its own 1- and
-      // 2-shifted slices: each zip_with evaluates its array operands
-      // once per ROW. (The tempting transform((w, i) =>
-      // element_at(words, i+2)) form re-evaluates the whole
-      // split-and-filter per ELEMENT — measured 17s vs 2s at sf0.1.)
-      val words = filter(split(lower(col("text")), " "), t => t =!= "")
-      val g2 = zip_with(words, slice(words, lit(2), size(words)),
-        (x, y) => concat_ws(" ", x, y))
-      val g3 = zip_with(g2, slice(words, lit(3), size(words)),
-        (xy, z) => concat_ws(" ", xy, z))
+      // 3-grams via the codegen'd graft_ngrams expression — one tight
+      // generated loop per row. (History of this hot path: transform +
+      // element_at re-evaluated the split per ELEMENT, 17s at sf0.1;
+      // the zip_with-shifted-slices chain fixed that but HOFs stay
+      // interpreted, ~1.1s of pure construction; NGrams compiles it.)
+      val words = wordsOf
       val shingled = documents(s, d).select(col("source"), col("doc_id"),
-        array_distinct(slice(g3, lit(1), greatest(size(words) - 2, lit(0))))
-          .as("shingles"))
+        array_distinct(graft.functions.NGrams.ngrams(words, 3)).as("shingles"))
       // Document-frequency cap: a shingle shared by df docs contributes
       // df·(df-1)/2 pair rows to the self-join — boilerplate shingles
       // (headers, licence blocks) make that quadratic per hot key at
@@ -448,7 +450,7 @@ object TextOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       documents(s, d)
         .withColumn("n_tokens",
-          size(filter(split(lower(col("text")), " "), t => t =!= "")).cast("long"))
+          size(wordsOf).cast("long"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 512.0))
         .withColumn("pack_offset", (col("cum") - col("n_tokens")) - col("pack_id") * 512)
@@ -464,11 +466,9 @@ object TextOps {
     // explode + two hash-aggregates, all narrow per doc_id after the
     // first shuffle; no pair joins, scales linearly in corpus size.
     "q_repetition_filter" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), " "), t => t =!= "")
-      val g2 = zip_with(words, slice(words, lit(2), size(words)),
-        (x, y) => concat_ws(" ", x, y))
+      val words = wordsOf
       val grams = documents(s, d).select(col("doc_id"),
-        explode(slice(g2, lit(1), greatest(size(words) - 1, lit(0)))).as("gram"))
+        explode(graft.functions.NGrams.ngrams(words, 2)).as("gram"))
       grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
         .groupBy("doc_id")
         .agg(sum("n").as("total"), count(lit(1)).as("uniq"), max("n").as("top_n"))
@@ -488,7 +488,7 @@ object TextOps {
     // shuffle on the passage hash; at 100 TB the passage is the dedup
     // key, so the shuffle is the minimum any exact-dedup must pay.
     "q_passage_dedup" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val words = wordsOf
       val passages = transform(
         sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
         i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
@@ -510,15 +510,9 @@ object TextOps {
     // MBs, corpora are TBs) so it BROADCASTS — the corpus side never
     // shuffles: scan → explode → broadcast-semi-probe → per-doc count.
     "q_decontaminate" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), " "), t => t =!= "")
-      val g2 = zip_with(words, slice(words, lit(2), size(words)),
-        (x, y) => concat_ws(" ", x, y))
-      val g3 = zip_with(g2, slice(words, lit(3), size(words)),
-        (xy, z) => concat_ws(" ", xy, z))
-      val g4 = zip_with(g3, slice(words, lit(4), size(words)),
-        (xyz, w) => concat_ws(" ", xyz, w))
+      val words = wordsOf
       val grams = documents(s, d).select(col("doc_id"),
-        explode(array_distinct(slice(g4, lit(1), greatest(size(words) - 3, lit(0)))))
+        explode(array_distinct(graft.functions.NGrams.ngrams(words, 4)))
           .as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0).select("gram").distinct()
       grams.filter(col("doc_id") % 50 =!= 0)
@@ -537,7 +531,7 @@ object TextOps {
     // shuffle on the passage (the dedup key), one on doc_id (the
     // reassembly key) — both unavoidable, nothing quadratic.
     "q_passage_scrub" -> ((s, d) => {
-      val words = filter(split(lower(col("text")), " "), t => t =!= "")
+      val words = wordsOf
       val passages = transform(
         sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
         i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))

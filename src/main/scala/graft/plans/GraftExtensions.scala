@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CmsSketch, DotProduct, HllSketch}
+import graft.functions.{CmsSketch, DotProduct, HllSketch, NGrams}
 
 /** Session extension point for the engine's custom Catalyst pieces
   * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllSketch(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => NGrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
