@@ -85,43 +85,46 @@ object TextOps {
     *   inverted index, whose cost tracks true token co-occurrence
     *   (and beyond that, MinHash-LSH — q_minhash_lsh — is the blocker).
     *
-    * Driver-side scalars: the largest-block row count and the vocabulary
-    * size, folded into ONE Spark action (a union of two 1-row
-    * aggregates, computed as sibling subtrees of a single job). The
-    * vocab-distinct subtree runs even when the block gate will choose
-    * the sparse path — at the extreme where that distinct itself is a
-    * cost concern, pass `eagerStats = false` to evaluate the block gate
-    * first and skip the vocabulary job entirely for oversized blocks.
+    * Driver-side gate scalars, cheapest-first:
+    *  1. largest-block row count — one aggregation over (source), no
+    *     tokenization at all; an oversized block short-circuits to the
+    *     sparse path without ever touching the vocabulary;
+    *  2. vocabulary probe — a LIMIT-short-circuited distinct (collect
+    *     stops once maxMaskWords×64+1 tokens prove the vocab is big).
+    *     When the vocab fits, the collected tokens themselves BECOME
+    *     the dictionary (sorted, index = position, shipped as a local
+    *     relation), so the main job pays no second vocabulary pass and
+    *     no global row_number window.
     */
   def tokenJaccardPairs(dt: DataFrame, threshold: Double,
                         maxMaskWords: Int = 16,
                         maxBlockRows: Long = 10000L,
-                        eagerStats: Boolean = true,
                         ordered: Boolean = true): DataFrame = {
     val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
 
-    lazy val vocab = dt.select(explode(col("toks")).as("token")).distinct()
-      .withColumn("idx",
-        (row_number().over(Window.orderBy("token")) - 1).cast("long"))
-    val maxBlockDf = dt.groupBy("source").count()
-      .agg(coalesce(max("count"), lit(0L)).as("v"))
-    def asLong(a: Any): Long = a match { case n: Long => n; case _ => 0L }
-    val (maxBlock, nWords) =
-      if (eagerStats) {
-        val rows = maxBlockDf.select(lit("block").as("k"), col("v"))
-          .unionByName(vocab.agg(count(lit(1)).as("v"))
-            .select(lit("vocab").as("k"), col("v")))
-          .collect().map(r => r.getString(0) -> asLong(r.get(1))).toMap
-        (rows("block"), (rows("vocab") / 64 + 1).toInt)
-      } else {
-        val mb = asLong(maxBlockDf.head.get(0))
-        // vocab job only if the block gate passes (lazy second action)
-        (mb, if (mb <= maxBlockRows) (asLong(vocab.count()) / 64 + 1).toInt
-             else Int.MaxValue)
+    val maxBlock = dt.groupBy("source").count()
+      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+    val vocabCap = maxMaskWords * 64
+    val vocabTokens: Option[Array[String]] =
+      if (maxBlock > maxBlockRows) None
+      else {
+        val probe = dt.select(explode(col("toks")).as("token")).distinct()
+          .limit(vocabCap + 1).collect().map(_.getString(0))
+        if (probe.length <= vocabCap) Some(probe.sorted) else None
       }
 
     val pairs =
-      if (maxBlock <= maxBlockRows && nWords <= maxMaskWords) {
+      if (vocabTokens.isDefined) {
+        val tokensSorted = vocabTokens.get
+        val nWords = tokensSorted.length / 64 + 1
+        // explicit encoder (no TypeTag reflection — REPL/classloader
+        // safe, same as GraphOps.blockedComponents)
+        val vocab = dt.sparkSession.createDataset(
+            tokensSorted.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq)(
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("token", "idx")
         val maskCols = (0 until nWords).map(w =>
           aggregate(filter(col("ids"), i => (i / 64).cast("int") === w),
             lit(0L), (acc, i) => acc.bitwiseOR(
