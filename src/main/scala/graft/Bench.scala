@@ -46,7 +46,11 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // the stdout line below omits the cheapest queries; losing their
+      // only full record deserves a visible (non-fatal) trace
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
+    }
     val budget = 1600
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

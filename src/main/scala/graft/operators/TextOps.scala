@@ -36,6 +36,15 @@ object TextOps {
   private[operators] def wordsOf: Column =
     array_remove(split(lower(col("text")), " "), "")
 
+  /** Fixed-width 8-word passages over a word array (trailing partial
+    * passage included) — ONE definition shared by q_passage_dedup and
+    * q_passage_scrub so the dedup pass and the reconstruction pass can
+    * never disagree on passage boundaries. */
+  private def passagesOf(words: Column): Column =
+    transform(
+      sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
+      i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+
   /** MinHash-LSH band buckets `(doc_id, band_id, band_key)`: 8 portable
     * min-hashes (lexicographic min of seeded md5 — identical in any
     * engine), 4 bands × 2 rows. The per-(seed, token) md5 depends only
@@ -116,7 +125,11 @@ object TextOps {
     val pairs =
       if (vocabTokens.isDefined) {
         val tokensSorted = vocabTokens.get
-        val nWords = tokensSorted.length / 64 + 1
+        // ceil-div so a vocab of exactly maxMaskWords*64 tokens uses
+        // maxMaskWords masks (len/64+1 would breach the cap and add an
+        // always-zero word for any multiple of 64); min 1 mask so the
+        // popcount reduce is never empty
+        val nWords = math.max(1, (tokensSorted.length + 63) / 64)
         // explicit encoder (no TypeTag reflection — REPL/classloader
         // safe, same as GraphOps.blockedComponents)
         val vocab = dt.sparkSession.createDataset(
@@ -492,9 +505,7 @@ object TextOps {
     // key, so the shuffle is the minimum any exact-dedup must pay.
     "q_passage_dedup" -> ((s, d) => {
       val words = wordsOf
-      val passages = transform(
-        sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
-        i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+      val passages = passagesOf(words)
       documents(s, d)
         .filter(size(words) > 0)
         .select(col("doc_id"), posexplode(passages).as(Seq("pidx", "passage")))
@@ -535,9 +546,7 @@ object TextOps {
     // reassembly key) — both unavoidable, nothing quadratic.
     "q_passage_scrub" -> ((s, d) => {
       val words = wordsOf
-      val passages = transform(
-        sequence(lit(0), floor((size(words) - 1).cast("double") / 8).cast("int")),
-        i => array_join(slice(words, i * lit(8) + 1, lit(8)), " "))
+      val passages = passagesOf(words)
       documents(s, d)
         .filter(size(words) > 0)
         .select(col("doc_id"), posexplode(passages).as(Seq("pidx", "passage")))
@@ -563,8 +572,7 @@ object TextOps {
     // partition.
     "q_cms_freq" -> ((s, d) => {
       val toks = documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(explode(wordsOf).as("token"))
       val sk = toks.agg(graft.functions.CmsSketch.cms(col("token")).as("cms"))
       val top = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("token").asc).limit(20)

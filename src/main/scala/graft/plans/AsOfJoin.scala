@@ -56,8 +56,13 @@ case class AsOfJoinNode(
     "as-of join key types must match")
   require(leftOrder.map(_.dataType) == rightOrder.map(_.dataType),
     "as-of join order-column types must match")
+  // outer mode null-fills unmatched lefts → right side forced nullable;
+  // inner emits matched right rows unchanged → PRESERVE their
+  // nullability (forcing non-null would let the optimizer fold
+  // IsNotNull over genuinely-nullable payload columns)
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(!inner))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)
@@ -78,7 +83,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(!inner))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
   override def producedAttributes: AttributeSet = AttributeSet.empty
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil

@@ -35,8 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
-      (exprs: Seq[Expression]) => NGrams(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, n) if n.foldable =>
+          NGrams(c, n.eval().asInstanceOf[Number].intValue)
+        case _ => throw new IllegalArgumentException(
+          "graft_ngrams(tokens, n) — n must be an integer literal")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),

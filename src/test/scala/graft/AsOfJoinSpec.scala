@@ -97,7 +97,7 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.exists(_._2 != -1L))
   }
 
-  test("inner semantics drop unmatched lefts and mark outputs non-nullable") {
+  test("inner semantics drop unmatched lefts and preserve right-side nullability") {
     val (_, purchases, clicks) = sides()
     val outer = run(purchases, clicks)
     val inner = AsOfJoin(purchases, clicks,
@@ -111,8 +111,12 @@ class AsOfJoinSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(innerRows === outerMatched)
     assert(innerRows.size < outer.count(), "some purchases must be unattributed")
-    assert(!inner.schema("click_id").nullable,
-      "inner as-of output keeps the right side's nullability")
+    // inner emits right rows unchanged, so nullability must MATCH the
+    // right input (outer mode forces nullable for the null-fill)
+    assert(inner.schema("click_id").nullable === clicks.schema("click_id").nullable,
+      "inner as-of must preserve the right side's nullability")
+    assert(outer.schema("click_id").nullable,
+      "outer as-of must force the right side nullable")
   }
 
   test("hand-built edge cases: ties, equal timestamps, empty right") {
