@@ -1,0 +1,164 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Mergeable streaming quantile sketch as a `TypedImperativeAggregate`
+  * — the third of the engine's sketch family beside [[HllSketch]]
+  * (distinct) and [[CmsSketch]] (frequency): fixed-capacity buffers
+  * per level, compaction keeps every other element of the SORTED
+  * buffer and promotes it one level up (doubling its weight) — the
+  * Manku-Rajagopalan-Lindsay / KLL compaction scheme with
+  * deterministic alternating offsets instead of coin flips (KLL's
+  * randomized choice only tightens constants; alternation keeps the
+  * sketch reproducible for a fixed partitioning).
+  *
+  * Scale properties: the buffer holds O(k · log(n/k)) doubles
+  * regardless of input size; partial sketches merge level-wise
+  * (concatenate + re-compact), so map-side combine ships kilobytes
+  * per group. Rank error is O(log(n/k)/k) of n — k=200 keeps the
+  * 3-level error ≈ 1-2% at any tested scale (pinned by KllSketchSpec).
+  * Unlike CMS the compaction sequence depends on arrival order, so
+  * exact output is partition-dependent: the catalog query is
+  * rows-gated + spec-bounded, not hash-compared (same standing as
+  * `q_hll_distinct`). Production default remains the built-in
+  * `percentile_approx` (GK); this demonstrates the custom machinery.
+  *
+  * @param child numeric column (evaluated as double)
+  * @param q     quantile in [0, 1]
+  * @param k     per-level buffer capacity (error/space knob)
+  */
+case class KllSketch(
+    child: Expression,
+    q: Double,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch.Buffer] {
+
+  require(q >= 0.0 && q <= 1.0, "quantile must be in [0, 1]")
+  require(k >= 8, "buffer capacity k must be >= 8")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_kll"
+
+  override def createAggregationBuffer(): KllSketch.Buffer =
+    new KllSketch.Buffer(ArrayBuffer(ArrayBuffer.empty[Double]), 0L)
+
+  override def update(buf: KllSketch.Buffer, input: InternalRow): KllSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.levels(0) += (v match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case n: Number => n.doubleValue()
+      })
+      if (buf.levels(0).length >= k) buf.compact(k)
+    }
+    buf
+  }
+
+  override def merge(a: KllSketch.Buffer, b: KllSketch.Buffer): KllSketch.Buffer = {
+    while (a.levels.length < b.levels.length) a.levels += ArrayBuffer.empty[Double]
+    var l = 0
+    while (l < b.levels.length) { a.levels(l) ++= b.levels(l); l += 1 }
+    a.compactions += b.compactions
+    a.compact(k)
+    a
+  }
+
+  override def eval(buf: KllSketch.Buffer): Any = {
+    // weighted order statistic over (value, 2^level) pairs
+    val weighted = buf.levels.zipWithIndex.flatMap { case (vals, l) =>
+      val w = 1L << l
+      vals.map(v => (v, w))
+    }.sortBy(_._1)
+    if (weighted.isEmpty) null
+    else {
+      val total = weighted.map(_._2).sum
+      val target = q * total
+      var cum = 0L
+      var i = 0
+      while (i < weighted.length && cum + weighted(i)._2 < target) {
+        cum += weighted(i)._2
+        i += 1
+      }
+      weighted(math.min(i, weighted.length - 1))._1
+    }
+  }
+
+  override def serialize(buf: KllSketch.Buffer): Array[Byte] = {
+    val n = 8 + 4 + buf.levels.map(l => 4 + l.length * 8).sum
+    val bb = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(buf.compactions)
+    bb.putInt(buf.levels.length)
+    buf.levels.foreach { l =>
+      bb.putInt(l.length)
+      l.foreach(bb.putDouble)
+    }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): KllSketch.Buffer = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val compactions = bb.getLong
+    val nLevels = bb.getInt
+    val levels = ArrayBuffer.tabulate(nLevels) { _ =>
+      val len = bb.getInt
+      ArrayBuffer.fill(len)(bb.getDouble)
+    }
+    new KllSketch.Buffer(levels, compactions)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object KllSketch {
+  /** Levelled compactor state: levels(l) holds values of weight 2^l. */
+  final class Buffer(
+      val levels: ArrayBuffer[ArrayBuffer[Double]],
+      var compactions: Long) {
+
+    /** Compact every over-full level bottom-up: sort, keep every other
+      * element (alternating start offset — deterministic stand-in for
+      * KLL's coin flip), promote survivors one level up. */
+    def compact(k: Int): Unit = {
+      var l = 0
+      while (l < levels.length) {
+        if (levels(l).length >= k) {
+          val sorted = levels(l).sorted
+          val offset = (compactions % 2).toInt
+          compactions += 1
+          if (l + 1 >= levels.length) levels += ArrayBuffer.empty[Double]
+          var i = offset
+          while (i < sorted.length) {
+            levels(l + 1) += sorted(i)
+            i += 2
+          }
+          levels(l).clear()
+        }
+        l += 1
+      }
+    }
+  }
+
+  /** Column-API aggregate: approximate q-quantile via the KLL/MRL
+    * levelled compactor. */
+  def kllQuantile(c: Column, q: Double, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllSketch(ColumnBridge.expression(c), q, k).toAggregateExpression())
+}

@@ -455,6 +455,26 @@ object TextOps {
         .select(col("source"), col("rn").cast("long").as("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // E10 WEIGHTED sampling without replacement (Efraimidis-Spirakis,
+    // IPL 2006): exponential key -ln(u)/w with a deterministic
+    // md5-derived uniform u — inclusion probability proportional to
+    // weight (n_chars), reproducible across engines (ln is
+    // IEEE-identical cross-engine, the q_tfidf precedent) and across
+    // partitionings (key is a pure row function). Smallest-k keys per
+    // group via the native bounded-heap TopKPerGroup: one shuffle,
+    // O(k) state per group — no per-group sort at any scale.
+    "q_weighted_sample" -> ((s, d) =>
+      graft.plans.TopKPerGroup(
+          documents(s, d)
+            .select(col("source"), col("doc_id"), col("n_chars"),
+              (-log((conv(substring(md5(concat(lit("wrs|"), col("doc_id"))), 1, 8),
+                  16, 10).cast("double") + 0.5) / 4294967296.0) / col("n_chars"))
+                .as("wkey")),
+          Seq(col("source")), Seq(col("wkey").asc, col("doc_id").asc), k = 5)
+        .select(col("source"), col("rn").cast("long").as("rank"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank")),
+
     // E10 sequence packing (LLM pretraining concat-and-chunk): running
     // token offset per source stream assigns every document a pack id
     // and an offset inside its 512-token block — one ranged window per
@@ -585,6 +605,22 @@ object TextOps {
         .select(col("token"), col("true_n"), least(ests: _*).as("est_n"))
         .withColumn("no_undercount", col("est_n") >= col("true_n"))
         .orderBy(col("true_n").desc, col("token").asc)
+    }),
+
+    // E13 streaming-quantile profile via the custom mergeable graft_kll
+    // aggregate (functions.KllSketch): per-source p50/p90 of document
+    // length from O(k log n) state per group, beside the exact
+    // percentiles for reference. No oracle (KLL compaction is
+    // arrival-order dependent, like HLL register state) — rows-gated
+    // here, error-BOUNDED by KllSketchSpec.
+    "q_kll_quantiles" -> ((s, d) => {
+      val nc = col("n_chars").cast("double")
+      documents(s, d).groupBy("source")
+        .agg(graft.functions.KllSketch.kllQuantile(nc, 0.5).as("est_p50"),
+          graft.functions.KllSketch.kllQuantile(nc, 0.9).as("est_p90"),
+          expr("percentile(n_chars, 0.5)").as("exact_p50"),
+          expr("percentile(n_chars, 0.9)").as("exact_p90"))
+        .orderBy("source")
     }),
 
     // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
@@ -759,6 +795,19 @@ object TextOps {
         |    row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rank
         |  FROM h)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    -ln((CAST(('0x' || substr(md5('wrs|' || doc_id), 1, 8)) AS BIGINT) + 0.5)
+        |        / 4294967296.0) / n_chars AS wkey
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY wkey ASC, doc_id ASC) AS rank
+        |  FROM k)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q_seq_pack" ->

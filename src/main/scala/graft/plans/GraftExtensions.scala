@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CmsSketch, DotProduct, HllSketch, NGrams}
+import graft.functions.{CmsSketch, DotProduct, HllSketch, KllSketch, NGrams}
 
 /** Session extension point for the engine's custom Catalyst pieces
   * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -40,6 +40,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           NGrams(c, n.eval().asInstanceOf[Number].intValue)
         case _ => throw new IllegalArgumentException(
           "graft_ngrams(tokens, n) — n must be an integer literal")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[KllSketch].getName, "graft_kll"),
+      (exprs: Seq[Expression]) => {
+        // SQL fractional literals eval to Spark Decimal, not j.l.Number
+        def numOf(e: Expression): Double = e.eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"graft_kll: expected a numeric literal, got $other")
+        }
+        exprs match {
+          case Seq(c, q) if q.foldable => KllSketch(c, numOf(q))
+          case Seq(c, q, k) if q.foldable && k.foldable =>
+            KllSketch(c, numOf(q), numOf(k).toInt)
+          case _ => throw new IllegalArgumentException(
+            "graft_kll(col, q[, k]) — q and k must be literals")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms"),
