@@ -430,6 +430,34 @@ object RelQueries {
           countDistinct(col("source")).as("n_sources"))
         .orderBy("lang")),
 
+    // FULL OUTER join (both-unmatched-sides preservation — the one
+    // join type the catalog didn't yet exercise): bounded customer
+    // slice vs per-customer order aggregates on an offset key range so
+    // all three row classes (left-only, matched, right-only) appear.
+    "q_full_outer" -> ((s, d) => {
+      val custs = customer(s, d).filter(col("c_custkey") < 150)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val spend = orders(s, d)
+        .filter(col("o_custkey") >= 100 && col("o_custkey") < 300)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      custs.join(spend, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    // UNPIVOT / melt (the inverse of q_pivot): wide per-part metrics to
+    // (part, metric, value) long form via the Dataset unpivot API — a
+    // narrow row-expansion, no shuffle except the output sort.
+    "q_unpivot" -> ((s, d) =>
+      part(s, d).filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
     // Z-order (Morton) layout key via graft.sources.Bucketing.zorderKey:
     // customer id × order day interleaved bitwise, so sorting by zkey
     // clusters rows close in BOTH dimensions — the multi-column file-
@@ -735,6 +763,25 @@ object RelQueries {
         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 150),
+        |o AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  WHERE o_custkey >= 100 AND o_custkey < 300 GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retail
+        |  FROM part WHERE p_partkey < 100)
+        |SELECT p_partkey, 'size' AS metric, size AS value FROM p
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS metric, retail AS value FROM p
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "q_zorder_key" ->
       """WITH base AS (
