@@ -35,13 +35,17 @@ object Multimodal {
 
   /** Deterministic fake decode: metadata derived from payload content
     * only (stable across runs/partitionings). A real implementation
-    * would parse the container header here. */
+    * would parse the container header here. Derivation is the first
+    * md5 byte — PORTABLE (unlike JVM Arrays.hashCode), so the catalog
+    * query's metadata is reproducible by the DuckDB oracle even though
+    * the decode itself remains a stub. */
   object decodeStub extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, String) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 160 + math.floorMod(h, 8) * 160          // 160..1280
-      val ht = 120 + math.floorMod(h >> 3, 8) * 120    // 120..960
-      val fmt = if (math.floorMod(h, 2) == 0) "jpeg" else "png"
+      val d0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload)(0) & 0xff
+      val w = 160 + (d0 % 8) * 160          // 160..1280
+      val ht = 120 + ((d0 / 8) % 8) * 120   // 120..960
+      val fmt = if (d0 % 2 == 0) "jpeg" else "png"
       (w, ht, fmt)
     }
   }

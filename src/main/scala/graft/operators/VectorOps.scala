@@ -153,7 +153,9 @@ object VectorOps {
     // E6/multimodal: opaque binary payload + typed metadata. The decode
     // itself is a deterministic stub (no image/audio libs in-container —
     // see graft.operators.Multimodal for the mapPartitions plumbing);
-    // the Spark-side schema/partitioning/batching is real.
+    // the Spark-side schema/partitioning/batching is real, and the
+    // stub's md5-derived metadata is PORTABLE, so this query carries a
+    // full DuckDB oracle despite the stubbed decode.
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
           documents(s, d).select(col("doc_id"),
@@ -162,6 +164,20 @@ object VectorOps {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    // mirrors Multimodal.decodeStub: first md5 byte of the payload
+    // (== the text's UTF-8 bytes) drives width/height/format
+    "q_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id, source AS media_source,
+        |    octet_length(encode(text)) AS byte_len,
+        |    CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS d0
+        |  FROM documents)
+        |SELECT doc_id, media_source, CAST(byte_len AS BIGINT) AS byte_len,
+        |  CAST(160 + (d0 % 8) * 160 AS INTEGER) AS width,
+        |  CAST(120 + ((d0 // 8) % 8) * 120 AS INTEGER) AS height,
+        |  CASE WHEN d0 % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Generated from the same planeWeights as the Spark query: each
     // plane's sign test embeds its ±1 weights as a DOUBLE[] literal.
     "q_ann_buckets" -> {
