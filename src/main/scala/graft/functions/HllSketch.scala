@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -18,9 +17,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * column for later re-merge. Standard HLL estimator with linear
   * counting for the small range (Flajolet et al., AofA 2007).
   *
+  * The row hash is a PORTABLE 60-bit value (first 15 hex chars of
+  * md5 of the value's decimal/string form): max is order-independent,
+  * so with a portable hash the whole register state — and therefore
+  * the estimate — is reproducible by any engine that can md5 and
+  * GROUP BY, which is how q_hll_distinct carries a full DuckDB oracle
+  * (same trick as [[CmsSketch]]; only arrival-order-dependent
+  * sketches like [[KllSketch]] are inherently un-oracle-able). The
+  * production default remains `approx_count_distinct` (HLL++ with
+  * xxhash — cheaper per row); this demonstrates the machinery.
+  *
   * p = 12 → 4096 registers ≈ 1.6% relative standard error, 4 KiB.
-  * Built-in `approx_count_distinct` (HLL++) remains the production
-  * default; this demonstrates the custom mergeable-sketch machinery.
   */
 case class HllSketch(
     child: Expression,
@@ -29,7 +36,11 @@ case class HllSketch(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
 
+  require(p >= 4 && p <= 16, "p must be in [4, 16]")
+
   private val m = 1 << p
+  private val wBits = 60 - p          // sub-stream bits below the index
+  private val maxRank = wBits + 1
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -38,16 +49,25 @@ case class HllSketch(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - p)).toInt
-      val w = h << p
-      // rank = leading zeros of the remaining bits + 1, capped
-      val rank = (if (w == 0) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
-      val r = math.min(rank, 64 - p + 1).toByte
-      if (r > buf(idx)) buf(idx) = r
+      // portable 60-bit hash: first 15 md5 hex chars of the value's
+      // string form == SQL CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+      val digest = md.digest(v.toString.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+      val h60 = h >>> 4
+      val idx = (h60 >>> wBits).toInt
+      val w = h60 & ((1L << wBits) - 1)
+      // rank = maxRank for w == 0, else wBits - bitlength(w) + 1
+      val rank =
+        if (w == 0) maxRank
+        else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > buf(idx)) buf(idx) = rank.toByte
     }
     buf
   }

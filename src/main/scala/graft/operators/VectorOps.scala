@@ -141,9 +141,12 @@ object VectorOps {
         .orderBy("event_type")),
 
     // E2 stretch: graft's own mergeable HLL sketch aggregate
-    // (graft.functions.HllSketch) beside the built-in — accuracy bounds
-    // asserted in OperatorsSpec; no oracle (sketch values are
-    // implementation-specific).
+    // (graft.functions.HllSketch) beside the built-in. The register
+    // state is a MAX over a portable md5-derived hash — fully
+    // order-independent — so unlike the built-in HLL++ this query
+    // carries a complete DuckDB oracle that rebuilds the registers and
+    // the estimator; accuracy bounds additionally spec'd in
+    // OperatorsSpec.
     "q_hll_distinct" -> ((s, d) =>
       documents(s, d).groupBy("lang")
         .agg(graft.functions.HllSketch.hllDistinct(col("doc_id")).as("hll_docs"),
@@ -164,6 +167,39 @@ object VectorOps {
         .orderBy("doc_id")))
 
   val oracle: Map[String, String] = Map(
+    // mirrors HllSketch exactly: 60-bit md5 hash → (12-bit register
+    // index, 48-bit sub-stream), rank = 49 - bitlength, registers =
+    // MAX per index, then the HLL estimator with its linear-counting
+    // small-range branch (which is the branch that fires at test
+    // cardinalities — fully deterministic: only ln and exact powers
+    // of two are involved)
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+        |  FROM documents),
+        |rk AS (
+        |  SELECT lang, CAST(h60 // 281474976710656 AS INTEGER) AS idx,
+        |    CASE WHEN h60 % 281474976710656 = 0 THEN 49
+        |         ELSE 49 - length(bin(h60 % 281474976710656)) END AS rank
+        |  FROM h),
+        |reg AS (SELECT lang, idx, MAX(rank) AS rg FROM rk GROUP BY lang, idx),
+        |s AS (SELECT lang, SUM(POWER(2.0, -rg)) AS sm, COUNT(*) AS nreg
+        |      FROM reg GROUP BY lang),
+        |est AS (
+        |  SELECT lang,
+        |    (0.7213 / (1 + 1.079/4096)) * 4096 * 4096 / (sm + (4096 - nreg)) AS e,
+        |    4096 - nreg AS zeros
+        |  FROM s),
+        |ex AS (SELECT lang, COUNT(DISTINCT doc_id) AS exact_docs
+        |       FROM documents GROUP BY lang)
+        |SELECT est.lang AS lang,
+        |  CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+        |       THEN 4096 * ln(4096.0 / zeros) ELSE e END) AS BIGINT) AS hll_docs,
+        |  ex.exact_docs
+        |FROM est JOIN ex ON est.lang = ex.lang
+        |ORDER BY est.lang""".stripMargin,
+
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format
     "q_multimodal_meta" ->
