@@ -9,10 +9,12 @@ import graft.operators.{BloomOps, EventOps, GraphOps, TextOps, VectorOps}
   * `queries` is the full operator catalog (SURVEY.md §2 + §2.12), one
   * entry per operator, each reading the driver testdata at `sfDir`.
   * `oracleSql` carries the DuckDB-equivalent SQL for the hash-compare
-  * gate; entries absent there (q_approx_distinct, q_hll_distinct,
-  * q_multimodal_meta) are implementation-specific (sketch values /
-  * stubbed decode) and get the driver's rows-only check, with
-  * correctness asserted in ScalaTest specs.
+  * gate; the only entries absent there are q_approx_distinct (built-in
+  * HLL++ internals) and q_kll_quantiles (arrival-order-dependent
+  * compaction) — inherently un-oracle-able values that get the
+  * driver's rows-only check, with correctness asserted in ScalaTest
+  * specs. (graft's own HLL and the multimodal stub use portable
+  * md5-derived values precisely so THEIR queries stay in the gate.)
   */
 object SparkEntry {
 

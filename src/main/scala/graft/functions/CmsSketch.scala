@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -49,19 +48,25 @@ case class CmsSketch(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_cms"
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+  // same string-form hashing contract as HllSketch: atomic types only
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.NumericType | _: org.apache.spark.sql.types.StringType |
+           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an atomic (numeric/string/boolean/date/timestamp) " +
+          s"column, got ${other.simpleString}")
+    }
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
   /** Bucket = first 4 md5 bytes of "d|value" as an unsigned int, mod
     * width — identical to SQL's
     * `CAST('0x' || substr(md5(d || '|' || v), 1, 8) AS BIGINT) % width`. */
-  private def bucket(d: Int, value: String): Int = {
-    val digest = md.digest(s"$d|$value".getBytes("UTF-8"))
-    val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
-    (h % width).toInt
-  }
+  private def bucket(d: Int, value: String): Int =
+    (PortableHash.md5Prefix(s"$d|$value", 8) % width).toInt
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

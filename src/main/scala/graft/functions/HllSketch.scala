@@ -47,20 +47,29 @@ case class HllSketch(
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hll"
 
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+  // the portable hash goes through the value's STRING form, which is
+  // only stable/meaningful for atomic types — BinaryType would hash
+  // the JVM identity string, complex types a rendering; reject both
+  // at analysis time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.NumericType | _: org.apache.spark.sql.types.StringType |
+           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an atomic (numeric/string/boolean/date/timestamp) " +
+          s"column, got ${other.simpleString}")
+    }
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
       // portable 60-bit hash: first 15 md5 hex chars of the value's
       // string form == SQL CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
-      val digest = md.digest(v.toString.getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
-      val h60 = h >>> 4
+      val h60 = PortableHash.md5Prefix(v.toString, 15)
       val idx = (h60 >>> wBits).toInt
       val w = h60 & ((1L << wBits) - 1)
       // rank = maxRank for w == 0, else wBits - bitlength(w) + 1

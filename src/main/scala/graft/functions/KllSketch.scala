@@ -52,6 +52,16 @@ case class KllSketch(
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_kll"
 
+  // numeric only, checked at analysis time — a string column would
+  // otherwise die with an opaque runtime MatchError
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric column, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): KllSketch.Buffer =
     new KllSketch.Buffer(ArrayBuffer(ArrayBuffer.empty[Double]), 0L)
 
@@ -61,6 +71,8 @@ case class KllSketch(
       buf.levels(0) += (v match {
         case d: Double => d
         case f: Float => f.toDouble
+        // DecimalType evals to Spark's Decimal, which is NOT j.l.Number
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue()
       })
       if (buf.levels(0).length >= k) buf.compact(k)

@@ -40,9 +40,15 @@ object Multimodal {
     * query's metadata is reproducible by the DuckDB oracle even though
     * the decode itself remains a stub. */
   object decodeStub extends MediaDecoder {
+    // thread-local digest: decode runs per row inside mapPartitions —
+    // no per-call provider lookup/allocation
+    @transient private lazy val mdLocal =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
     def decode(payload: Array[Byte]): (Int, Int, String) = {
-      val d0 = java.security.MessageDigest.getInstance("MD5")
-        .digest(payload)(0) & 0xff
+      val d0 = mdLocal.get().digest(payload)(0) & 0xff
       val w = 160 + (d0 % 8) * 160          // 160..1280
       val ht = 120 + ((d0 / 8) % 8) * 120   // 120..960
       val fmt = if (d0 % 2 == 0) "jpeg" else "png"

@@ -470,7 +470,11 @@ object TextOps {
               (-log((conv(substring(md5(concat(lit("wrs|"), col("doc_id"))), 1, 8),
                   16, 10).cast("double") + 0.5) / 4294967296.0) / col("n_chars"))
                 .as("wkey")),
-          Seq(col("source")), Seq(col("wkey").asc, col("doc_id").asc), k = 5)
+          Seq(col("source")),
+          // NULLS FIRST pinned on BOTH engines (repo determinism rule:
+          // Spark asc defaults nulls-first, DuckDB nulls-last — a null
+          // weight row would silently diverge otherwise)
+          Seq(col("wkey").asc_nulls_first, col("doc_id").asc_nulls_first), k = 5)
         .select(col("source"), col("rn").cast("long").as("rank"),
           col("doc_id"), col("n_chars"))
         .orderBy("source", "rank")),
@@ -805,7 +809,8 @@ object TextOps {
         |  FROM documents),
         |r AS (
         |  SELECT source, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY wkey ASC, doc_id ASC) AS rank
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY wkey ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS rank
         |  FROM k)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, n_chars
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
