@@ -97,9 +97,14 @@ object GraphOps {
     *  - small-star: with edges parent-oriented (big → small), every
     *    node's smaller neighbors (and itself) rewire to its minimum
     *    neighbor.
-    * Fixpoint = the edge set is stable (checked by set equality, two
-    * bounded actions per round); then every edge points directly at
-    * its component's minimum id.
+    * Fixpoint = the edge set is stable. Stability is detected with ONE
+    * 1-row aggregate per round — (count, Σu, Σv, Σxxhash64(u,v)) —
+    * rather than a set-equality join: the signature is
+    * order-independent over the distinct edge set, a colliding
+    * non-equal set would need a 64-bit hash-sum coincidence, and a
+    * false convergence would surface immediately in the oracle-gated
+    * output (the alternative except()-join costs a shuffle per round
+    * and dominated the runtime).
     *
     * @param nodes single LONG column `node` (isolated nodes keep their
     *              own id as the component)
@@ -110,13 +115,18 @@ object GraphOps {
                      maxIter: Int = 50): DataFrame = {
     // orient big → small, drop self loops; localCheckpoint per round
     // keeps the plan constant-size (see connectedComponents)
+    def signature(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), coalesce(sum(col("u")), lit(0L)),
+          coalesce(sum(col("v")), lit(0L)),
+          coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+        .head.toSeq
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
-    var eCount = e.count()
-    var converged = eCount == 0L
+    var eSig = signature(e)
+    var converged = eSig.head == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // LARGE-STAR over the symmetric view: m(u) = min(N(u) ∪ {u});
@@ -140,10 +150,10 @@ object GraphOps {
         .union(ssMins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
-      val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == eSig
       e = next
-      eCount = nextCount
+      eSig = nextSig
       i += 1
     }
     require(converged,
@@ -154,6 +164,30 @@ object GraphOps {
     nodes.select(col("node"))
       .join(parents, col("node") === col("u"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
+
+  /** General connected components with a size-gated endgame — the
+    * production layering for dedup graphs:
+    *  - a SMALL edge set (it fits one task — the normal outcome after
+    *    per-signal contraction, since the contracted graph has one
+    *    node per component, not per row) solves in ONE shuffle as a
+    *    single-block local union-find; every round of a distributed
+    *    iteration would cost more than the whole solve;
+    *  - a LARGE edge set falls through to [[starComponents]]'
+    *    O(log n)-round star contraction.
+    * Same contract as starComponents: (node, comp), isolated nodes
+    * keep their own id.
+    */
+  def generalComponents(nodes: DataFrame, edges: DataFrame,
+                        maxSingleTaskEdges: Long = 5000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    if (e.count() <= maxSingleTaskEdges) {
+      val labels = blockedComponents(
+        e.select(lit("all").as("block"), col("src"), col("dst")))
+      nodes.select(col("node"))
+        .join(labels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    } else starComponents(nodes, e)
   }
 
   /** Connected components when every edge lives WITHIN a blocking key:
@@ -228,7 +262,70 @@ object GraphOps {
         coalesce(col("comp"), col("doc_id")).as("comp"))
   }
 
+  /** Embedding-cosine near-dup pairs blocked by `label` — the SECOND
+    * dedup signal, with a DIFFERENT blocking key than the text pairs'
+    * `source`. Same math as q_embed_near_dup (thresholded cosine over
+    * the codegen'd dot product). */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProduct.dotFast
+    val emb = embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", VectorOps.normFast(col("v")))
+    val a = emb.select(col("label"), col("vec_id").as("d1"),
+      col("v").as("v1"), col("nv").as("n1"))
+    val b = emb.select(col("label"), col("vec_id").as("d2"),
+      col("v").as("v2"), col("nv").as("n2"))
+    a.join(b, Seq("label")).filter(col("d1") < col("d2"))
+      .filter(dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")) >= 0.35)
+      .select(col("label").as("block"), col("d1").as("src"), col("d2").as("dst"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // MULTI-SIGNAL dedup clustering: text-Jaccard pairs (blocked by
+    // source) UNION embedding-cosine pairs (blocked by label) over the
+    // same document ids — components legitimately CROSS both
+    // blockings, the case single-blocking union-find can't close.
+    // Physical shape = contract-then-solve, the 100 TB layering:
+    //  1. each signal contracts WITHIN its own blocking via the
+    //     one-shuffle blocked union-find (cheap, no iteration);
+    //  2. general CC runs only on the CONTRACTED bipartite graph (one
+    //     node per per-signal component, one edge per doc) — orders of
+    //     magnitude smaller than the raw pair graph — through the
+    //     size-gated generalComponents: one-task union-find while the
+    //     contracted graph fits a task (the normal case), O(log n)
+    //     starComponents iteration beyond (path equality spec'd);
+    //  3. decode: final label = min doc id inside each merged cluster.
+    // Transitivity makes this equal to CC over the raw edge union,
+    // which is exactly what the recursive-CTE DuckDB oracle computes.
+    "q_dedup_multisignal" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      def compOf(labels: DataFrame, out: String): DataFrame =
+        docs.join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as(out))
+      // one row per doc; materialized ONCE — it feeds the edge
+      // derivation, the node set, and the final decode join, and
+      // recomputing it would re-run both pair pipelines per branch
+      val joined = compOf(blockedComponents(verifiedPairs(s, d)), "tcomp")
+        .join(compOf(blockedComponents(embeddingPairs(s, d)), "vcomp"), "doc_id")
+        .localCheckpoint()
+      // distinct namespaces: text comps on even ids, vec comps on odd
+      val edges = joined
+        .select((col("tcomp") * 2).as("src"), (col("vcomp") * 2 + 1).as("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val cc = generalComponents(nodes, edges)
+      val w = Window.partitionBy("ecomp")
+      joined
+        .join(cc, col("tcomp") * 2 === col("node"))
+        .select(col("doc_id"), col("comp").as("ecomp"))
+        .withColumn("comp", min(col("doc_id")).over(w))
+        .withColumn("csize", count(lit(1)).over(w))
+        .select(col("doc_id"), col("comp"), col("csize"))
+        .orderBy("doc_id")
+    }),
     // E3 dedup clustering: every document labeled with its near-dup
     // cluster (min doc_id of the LSH-connected component) + cluster size.
     // Size via a count window on comp, NOT a groupBy+self-join: the join
@@ -282,6 +379,42 @@ object GraphOps {
       |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_multisignal" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id),
+        |tpairs AS (
+        |  SELECT d1 AS src, d2 AS dst FROM inter i
+        |  JOIN sizes0 s1 ON i.d1 = s1.doc_id
+        |  JOIN sizes0 s2 ON i.d2 = s2.doc_id
+        |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8),
+        |emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vpairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE (SELECT SUM(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))
+        |    / (sqrt((SELECT SUM(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i)))
+        |       * sqrt((SELECT SUM(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))))
+        |    >= 0.35),
+        |allp AS (SELECT src, dst FROM tpairs UNION SELECT src, dst FROM vpairs),
+        |edges AS (SELECT src, dst FROM allp UNION ALL SELECT dst, src FROM allp),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+        |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)
+        |SELECT c.node AS doc_id, c.comp, s.csize
+        |FROM cc c JOIN sizes s ON c.comp = s.comp
+        |ORDER BY doc_id""".stripMargin,
+
     "q_dedup_clusters" -> (ccPrelude +
       """
         |SELECT c.node AS doc_id, c.comp, s.csize

@@ -100,6 +100,41 @@ class GraphOpsSpec extends SparkTestBase {
     assert(starred === blocked)
   }
 
+  test("generalComponents: one-task and star paths agree; gate selects by size") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)
+    val nodes = (0L until 60L)
+    val fast = GraphOps.generalComponents(
+        nodes.toDF("node"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val starred = GraphOps.generalComponents(
+        nodes.toDF("node"), edges.toDF("src", "dst"), maxSingleTaskEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === starred, "endgame paths must be result-identical")
+    assert(fast === star(nodes, edges))
+  }
+
+  test("multisignal clustering merges components across the two blockings") {
+    val sf = "/root/testdata/sf0.001"
+    val multi = GraphOps.queries("q_dedup_multisignal")(spark, sf)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    val textOnly = GraphOps.queries("q_dedup_clusters")(spark, sf)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    // label invariant: every component label is its own minimum member
+    multi.groupBy(_._2).foreach { case (comp, members) =>
+      assert(comp === members.keys.min)
+    }
+    // the union graph can only merge, never split: multisignal
+    // components coarsen the text-only partition
+    assert(multi.values.toSet.size <= textOnly.values.toSet.size)
+    textOnly.groupBy(_._2).values.foreach { members =>
+      val multiComps = members.keys.map(multi).toSet
+      assert(multiComps.size === 1,
+        "a text-only cluster must land inside ONE multisignal cluster")
+    }
+  }
+
   test("cluster labels are consistent with the verified-pair edges") {
     val sf = "/root/testdata/sf0.001"
     val clusters = GraphOps.queries("q_dedup_clusters")(spark, sf)
