@@ -98,13 +98,14 @@ object GraphOps {
     *    node's smaller neighbors (and itself) rewire to its minimum
     *    neighbor.
     * Fixpoint = the edge set is stable. Stability is detected with ONE
-    * 1-row aggregate per round — (count, Σu, Σv, Σxxhash64(u,v)) —
-    * rather than a set-equality join: the signature is
-    * order-independent over the distinct edge set, a colliding
-    * non-equal set would need a 64-bit hash-sum coincidence, and a
-    * false convergence would surface immediately in the oracle-gated
-    * output (the alternative except()-join costs a shuffle per round
-    * and dominated the runtime).
+    * 1-row aggregate per round
+    * — (count, XOR of xxhash64(u,v)) — rather than a set-equality
+    * join: the signature is order-independent over the distinct edge
+    * set and overflow-free, a colliding non-equal set would need a
+    * 64-bit hash coincidence, and a false convergence would surface
+    * immediately in the oracle-gated output (the alternative
+    * except()-join costs a shuffle per round and dominated the
+    * runtime).
     *
     * @param nodes single LONG column `node` (isolated nodes keep their
     *              own id as the component)
@@ -115,10 +116,12 @@ object GraphOps {
                      maxIter: Int = 50): DataFrame = {
     // orient big → small, drop self loops; localCheckpoint per round
     // keeps the plan constant-size (see connectedComponents)
+    // overflow-free order-independent set signature: XOR of row hashes
+    // (a SUM of uniform 64-bit hashes overflows LongType — a crash
+    // under ANSI sessions)
     def signature(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)), coalesce(sum(col("u")), lit(0L)),
-          coalesce(sum(col("v")), lit(0L)),
-          coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+      df.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
         .head.toSeq
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
@@ -264,22 +267,11 @@ object GraphOps {
 
   /** Embedding-cosine near-dup pairs blocked by `label` — the SECOND
     * dedup signal, with a DIFFERENT blocking key than the text pairs'
-    * `source`. Same math as q_embed_near_dup (thresholded cosine over
-    * the codegen'd dot product). */
-  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.DotProduct.dotFast
-    val emb = embeddings(s, d)
-      .select(col("label"), col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("nv", VectorOps.normFast(col("v")))
-    val a = emb.select(col("label"), col("vec_id").as("d1"),
-      col("v").as("v1"), col("nv").as("n1"))
-    val b = emb.select(col("label"), col("vec_id").as("d2"),
-      col("v").as("v2"), col("nv").as("n2"))
-    a.join(b, Seq("label")).filter(col("d1") < col("d2"))
-      .filter(dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")) >= 0.35)
+    * `source`. Delegates to [[VectorOps.cosinePairs]] (the same
+    * pipeline q_embed_near_dup runs) so the math lives once. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    VectorOps.cosinePairs(s, d, threshold = 0.35)
       .select(col("label").as("block"), col("d1").as("src"), col("d2").as("dst"))
-  }
 
   val queries: Map[String, Q] = Map(
     // MULTI-SIGNAL dedup clustering: text-Jaccard pairs (blocked by
@@ -353,8 +345,23 @@ object GraphOps {
   /** Shared oracle prelude: verified Jaccard pairs (same math as the
     * q_dedup_fuzzy oracle) → recursive-CTE connected components (min
     * reachable id). */
-  private val ccPrelude =
-    """WITH RECURSIVE tok AS (
+  private lazy val ccPrelude =
+    "WITH RECURSIVE " + textPairsCte + """,
+      |edges AS (SELECT src, dst FROM tpairs
+      |          UNION ALL SELECT dst, src FROM tpairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+      |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)""".stripMargin
+
+  /** Shared oracle fragment: the verified text-Jaccard pair CTEs
+    * (tok → tpairs), kept in lockstep with tokenJaccardPairs' math —
+    * both the single-signal prelude and the multisignal oracle build
+    * on this ONE string. */
+  private val textPairsCte =
+    """tok AS (
       |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
       |  FROM documents),
       |tok2 AS (SELECT * FROM tok WHERE token <> ''),
@@ -364,37 +371,20 @@ object GraphOps {
       |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
       |  WHERE a.doc_id < b.doc_id
       |  GROUP BY a.source, a.doc_id, b.doc_id),
-      |pairs AS (
+      |tpairs AS (
       |  SELECT d1 AS src, d2 AS dst FROM inter i
       |  JOIN sizes0 s1 ON i.d1 = s1.doc_id
       |  JOIN sizes0 s2 ON i.d2 = s2.doc_id
-      |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8),
-      |edges AS (SELECT src, dst FROM pairs
-      |          UNION ALL SELECT dst, src FROM pairs),
-      |reach(node, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
-      |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)""".stripMargin
+      |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // components over the text ∪ embedding edge union; the closure is
+    // restricted to DOCUMENT nodes before labeling/sizing (the Spark
+    // side emits one row per documents.doc_id — a vec_id outside the
+    // documents table must not add rows or inflate csize), and the
+    // final label is the min DOC id of the merged cluster
     "q_dedup_multisignal" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
-        |  FROM documents),
-        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
-        |sizes0 AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY a.source, a.doc_id, b.doc_id),
-        |tpairs AS (
-        |  SELECT d1 AS src, d2 AS dst FROM inter i
-        |  JOIN sizes0 s1 ON i.d1 = s1.doc_id
-        |  JOIN sizes0 s2 ON i.d2 = s2.doc_id
-        |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8),
+      ("WITH RECURSIVE " + textPairsCte + """,
         |emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |vpairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst
@@ -410,10 +400,12 @@ object GraphOps {
         |  UNION
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
         |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
-        |sizes AS (SELECT comp, COUNT(*) AS csize FROM cc GROUP BY comp)
-        |SELECT c.node AS doc_id, c.comp, s.csize
-        |FROM cc c JOIN sizes s ON c.comp = s.comp
-        |ORDER BY doc_id""".stripMargin,
+        |ccd AS (SELECT c.node, c.comp FROM cc c JOIN documents dd ON c.node = dd.doc_id),
+        |rel AS (SELECT node, MIN(node) OVER (PARTITION BY comp) AS comp FROM ccd),
+        |sizes AS (SELECT comp, COUNT(*) AS csize FROM rel GROUP BY comp)
+        |SELECT r.node AS doc_id, r.comp, s.csize
+        |FROM rel r JOIN sizes s ON r.comp = s.comp
+        |ORDER BY doc_id""".stripMargin),
 
     "q_dedup_clusters" -> (ccPrelude +
       """

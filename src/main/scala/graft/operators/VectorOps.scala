@@ -32,6 +32,23 @@ object VectorOps {
     * primitive loop instead of interpreted lambdas. */
   def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
+  /** Label-blocked embedding-cosine near-dup PAIRS (raw unrounded
+    * cosine) — the ONE implementation of the pair pipeline, shared by
+    * q_embed_near_dup and GraphOps' multi-signal clustering so the
+    * threshold and norm math can't diverge between them. */
+  def cosinePairs(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", normFast(col("v")))
+    val a = emb.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"), col("nv").as("n1"))
+    val b = emb.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"), col("nv").as("n2"))
+    a.join(b, Seq("label")).filter(col("d1") < col("d2"))
+      .withColumn("cosine",
+        dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("label"), col("d1"), col("d2"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random ±1 hyperplane for LSH bucketing:
     * component i of plane p is +1 iff the first md5("p|i") byte < 128.
     * Shared by the Spark query AND the generated DuckDB oracle SQL, so
@@ -86,19 +103,11 @@ object VectorOps {
     // (the metadata blocking key; LSH buckets are the keyless variant).
     // Pair space is per-block quadratic — bounded by block size, not
     // corpus size, which is what survives a 100 TB corpus.
-    "q_embed_near_dup" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nv", normFast(col("v")))
-      val a = emb.select(col("label"), col("vec_id").as("d1"), col("v").as("v1"), col("nv").as("n1"))
-      val b = emb.select(col("label"), col("vec_id").as("d2"), col("v").as("v2"), col("nv").as("n2"))
-      a.join(b, Seq("label")).filter(col("d1") < col("d2"))
-        .withColumn("cosine",
-          dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .filter(col("cosine") >= 0.35)
-        .select(col("label"), col("d1"), col("d2"), round(col("cosine"), 6).as("cos_r"))
-        .orderBy("label", "d1", "d2")
-    }),
+    "q_embed_near_dup" -> ((s, d) =>
+      cosinePairs(s, d, threshold = 0.35)
+        .select(col("label"), col("d1"), col("d2"),
+          round(col("cosine"), 6).as("cos_r"))
+        .orderBy("label", "d1", "d2")),
 
     // E4 IVF-style ANN: k fixed seed centroids; every vector is assigned
     // to its nearest centroid (one broadcast pass), then top-k search
