@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON out of a bounded tail
+// of captured stdout. sbt's default logger prefixes every forked-run
+// line with "[info] " / "[error] ", which breaks a startswith("{")
+// line scan — inherit stdout/stderr directly instead so the JSON line
+// lands bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

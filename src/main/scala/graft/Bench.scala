@@ -14,7 +14,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver reads a bounded TAIL of stdout, and
+    // stray WARN lines (broadcast-size notices etc.) after the warmup
+    // pass eat into the window the JSON line must land in
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup (untimed): run every query once at the smallest scale
     // factor available. Plan shapes are identical across SFs, so this

@@ -470,7 +470,7 @@ object RelQueries {
         .filter(col("o_orderkey") < 2000)
         .select(col("o_orderkey"),
           pmod(col("o_custkey"), lit(65536L)).as("cell_x"),
-          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
             .cast("long").as("cell_y"))
         .withColumn("zkey",
           graft.sources.Bucketing.zorderKey(col("cell_x"), col("cell_y")))
@@ -787,7 +787,7 @@ object RelQueries {
       """WITH base AS (
         |  SELECT o_orderkey,
         |    o_custkey % 65536 AS cell_x,
-        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
         |      AS cell_y
         |  FROM orders WHERE o_orderkey < 2000),
         |g0 AS (SELECT o_orderkey, cell_x, cell_y,

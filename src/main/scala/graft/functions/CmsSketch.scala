@@ -52,13 +52,23 @@ case class CmsSketch(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case _: org.apache.spark.sql.types.NumericType | _: org.apache.spark.sql.types.StringType |
-           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType |
-           _: org.apache.spark.sql.types.TimestampType =>
+           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires an atomic (numeric/string/boolean/date/timestamp) " +
+        s"$prettyName requires a numeric/string/boolean/date " +
           s"column, got ${other.simpleString}")
     }
+
+  // The internal Catalyst value for DateType is days-since-epoch (an
+  // Int) whose toString is NOT the SQL rendering — normalize to ISO
+  // yyyy-MM-dd so md5(CAST(x AS VARCHAR)) holds cross-engine.
+  // TimestampType is rejected above: its rendering depends on the
+  // session zone, so the portable-hash contract cannot hold.
+  private lazy val render: Any => String = child.dataType match {
+    case _: org.apache.spark.sql.types.DateType =>
+      v => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case _ => _.toString
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -71,7 +81,7 @@ case class CmsSketch(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.toString
+      val s = render(v)
       var d = 0
       while (d < depth) {
         buf(d * width + bucket(d, s)) += 1L

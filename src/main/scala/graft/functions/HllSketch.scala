@@ -54,13 +54,23 @@ case class HllSketch(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case _: org.apache.spark.sql.types.NumericType | _: org.apache.spark.sql.types.StringType |
-           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType |
-           _: org.apache.spark.sql.types.TimestampType =>
+           _: org.apache.spark.sql.types.BooleanType | _: org.apache.spark.sql.types.DateType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires an atomic (numeric/string/boolean/date/timestamp) " +
+        s"$prettyName requires a numeric/string/boolean/date " +
           s"column, got ${other.simpleString}")
     }
+
+  // The internal Catalyst value for DateType is days-since-epoch (an
+  // Int) whose toString is NOT the SQL rendering — normalize to ISO
+  // yyyy-MM-dd so md5(CAST(x AS VARCHAR)) holds cross-engine.
+  // TimestampType is rejected above: its rendering depends on the
+  // session zone, so the portable-hash contract cannot hold.
+  private lazy val render: Any => String = child.dataType match {
+    case _: org.apache.spark.sql.types.DateType =>
+      v => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case _ => _.toString
+  }
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -69,7 +79,7 @@ case class HllSketch(
     if (v != null) {
       // portable 60-bit hash: first 15 md5 hex chars of the value's
       // string form == SQL CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
-      val h60 = PortableHash.md5Prefix(v.toString, 15)
+      val h60 = PortableHash.md5Prefix(render(v), 15)
       val idx = (h60 >>> wBits).toInt
       val w = h60 & ((1L << wBits) - 1)
       // rank = maxRank for w == 0, else wBits - bitlength(w) + 1

@@ -25,8 +25,8 @@ import graft.sources.Tables._
   *    driver-side graph state, no adjacency collected. Rounds needed =
   *    the graph diameter (near-dup clusters are shallow, so a handful);
   *    the convergence test is a 1-row aggregate (labels only ever
-  *    decrease, so an unchanged sum == fixpoint — no join to diff
-  *    generations). For adversarial diameters,
+  *    decrease, so an unchanged count+hash signature == fixpoint — no
+  *    join to diff generations). For adversarial diameters,
   *    [[starComponents]] (alternating large-star/small-star) drops
   *    rounds to O(log n) with the same per-round dataflow shape.
   */
@@ -46,8 +46,15 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def total(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+    // overflow-free fixpoint probe: labels only ever decrease, so the
+    // (node, comp) set is unchanged iff its order-independent signature
+    // is — count + XOR of row hashes, same recipe as starComponents (a
+    // SUM over LongType comp ids overflows at large node-id scales — a
+    // crash under ANSI sessions, a silent wrap otherwise)
+    def signature(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("node"), col("comp"))), lit(0L)))
+        .head.toSeq
 
     // localCheckpoint each generation: persist alone caches DATA but the
     // logical plan still nests one union+join+agg per round — plan size
@@ -57,7 +64,7 @@ object GraphOps {
     // scope, use reliable `checkpoint` to the checkpoint dir instead.)
     var labels = nodes.select(col("node"), col("node").as("comp"))
       .localCheckpoint()
-    var labelSum = total(labels)
+    var labelSig = signature(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -66,10 +73,10 @@ object GraphOps {
       val next = labels.select("node", "comp").union(prop)
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nextSum = total(next)
-      converged = nextSum == labelSum
+      val nextSig = signature(next)
+      converged = nextSig == labelSig
       labels = next
-      labelSum = nextSum
+      labelSig = nextSig
       i += 1
     }
     sym.unpersist()

@@ -64,9 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => {
-        def lit(i: Int, dflt: Int): Int =
-          if (exprs.size > i) exprs(i).eval().asInstanceOf[Number].intValue else dflt
-        CmsSketch(exprs.head, lit(1, 4), lit(2, 256))
+        def numOf(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+        exprs match {
+          case Seq(c) => CmsSketch(c)
+          case Seq(c, d) if d.foldable => CmsSketch(c, numOf(d))
+          case Seq(c, d, w) if d.foldable && w.foldable =>
+            CmsSketch(c, numOf(d), numOf(w))
+          case _ => throw new IllegalArgumentException(
+            "graft_cms(col[, depth[, width]]) — depth and width must be integer literals")
+        }
       }))
     // Catalyst's internal runtime-filter bloom expressions, exposed as
     // library SQL surface (operators.BloomOps): build with
