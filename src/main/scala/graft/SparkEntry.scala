@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{RefQueries, RelQueries}
-import graft.operators.{BloomOps, EventOps, GraphOps, TextOps, VectorOps}
+import graft.operators.{BloomOps, CorpusOps, EventOps, GraphOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,12 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ RelQueries.queries ++ EventOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ GraphOps.queries ++
-      BloomOps.queries
+      BloomOps.queries ++ CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ RelQueries.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ GraphOps.oracle ++
-      BloomOps.oracle
+      BloomOps.oracle ++ CorpusOps.oracle
 }

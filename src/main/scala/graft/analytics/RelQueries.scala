@@ -221,6 +221,26 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI
+    // join on the order key — orders with at least one returned line
+    // item, counted by priority (the testdata lineitem carries no
+    // commit/receipt dates, so the EXISTS predicate is returnflag).
+    // The semi join shuffles both sides on l_orderkey once; no
+    // distinct pass is needed (semi join semantics dedup the build
+    // side for free).
+    "q_tpch_q4" -> ((s, d) => {
+      val late = lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit(LocalDateTime.of(1996, 7, 1, 0, 0)) &&
+                col("o_orderdate") < lit(LocalDateTime.of(1996, 10, 1, 0, 0)))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
     // pushdown poster child (one partial+final agg, shuffle = 1 row)
     "q_tpch_q6" -> ((s, d) =>
@@ -609,6 +629,16 @@ object RelQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_tpch_q6" ->
       """SELECT

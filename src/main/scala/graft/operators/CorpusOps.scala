@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and packing (SURVEY.md §2.12 extension family): PII
+  * scrubbing, URL canonicalization + URL-level dedup, and
+  * temperature-balanced source mixing.
+  *
+  * The synthetic `documents.text` is a closed word-soup vocabulary
+  * with no identifiers in it, so the scrub/canonicalize queries first
+  * DERIVE the identifier-bearing column deterministically from keys
+  * (both engines construct the identical string, so the redaction
+  * genuinely fires on every row and still hash-compares). All regexes
+  * are restricted to the Java ∩ RE2 common subset — character
+  * classes, bounded repeats, alternation, `\b` — no lookaround, no
+  * backreferences, so Spark (java.util.regex) and DuckDB (RE2)
+  * replace identically; DuckDB needs the explicit 'g' flag to match
+  * Spark's replace-all default.
+  *
+  * Scale notes: every operator here is a narrow per-row projection
+  * (regex scrub, canonicalize) or one window/aggregation shuffling on
+  * the natural key (canonical URL, source) — no joins, no driver
+  * state, nothing that changes shape at 100 TB. Mixture sampling is
+  * the one that needs care: it ranks WITHIN each source by a hash, so
+  * its shuffle is one hash-partition on `source`; a skewed source
+  * costs one hot partition in the rank window, which is the salted-
+  * window treatment operators/Skew.scala demonstrates if a real
+  * corpus needs it.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Java ∩ RE2 patterns, kept in lockstep with the oracle SQL below.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+?1-555-[0-9]{4}"
+  private val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** documents + a deterministic identifier-bearing `raw` column (a
+    * synthetic contact header prepended to the text). */
+  private def withRaw(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("source"),
+      concat(
+        lit("Contact user"), col("doc_id"), lit("@Example.COM or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ip=10."), pmod(col("doc_id"), lit(256L)),
+        lit(".0."), pmod(col("doc_id") * 7, lit(256L)),
+        lit(" :: "), col("text")).as("raw"))
+
+  val queries: Map[String, Q] = Map(
+    // PII scrub: redact emails / phone numbers / IPv4s with typed
+    // placeholders and report per-document redaction counts — the
+    // audit trail a compliance pass needs. Pure projection: stays in
+    // whole-stage codegen, only the output sort shuffles.
+    "q_pii_scrub" -> ((s, d) =>
+      withRaw(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phone"),
+          regexp_count(col("raw"), lit(ipPat)).cast("long").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+              phonePat, "<PHONE>"),
+            ipPat, "<IP>").as("clean"))
+        .orderBy("doc_id")),
+
+    // URL canonicalization + dedup: crawl frontiers carry the same
+    // page under scheme-case / default-port / tracking-param /
+    // fragment variants; canonicalize then count duplicates per
+    // canonical form. One aggregation shuffling on the canonical URL.
+    "q_url_canonical" -> ((s, d) => {
+      val raw = orders(s, d).select(col("o_orderkey"),
+        concat(lit("HTTPS://Shop.Example.COM:443/items/"),
+          pmod(col("o_orderkey"), lit(500L)),
+          lit("?utm_source=feed&ref=aff"), pmod(col("o_custkey"), lit(7L)),
+          lit("&page="), pmod(col("o_orderkey"), lit(4L)),
+          lit("#frag")).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val authPat = "^[A-Za-z]+://[^/?#]*"
+      val auth = regexp_replace(lower(regexp_extract(noFrag, authPat, 0)),
+        ":443$", "")
+      val rest = regexp_replace(noFrag, authPat, "")
+      val canon = regexp_replace(
+        regexp_replace(concat(auth, rest), "(utm_[a-z]+|ref)=[^&#]*&?", ""),
+        "[?&]$", "")
+      raw.select(col("o_orderkey"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_dups"), min("o_orderkey").as("first_seen"))
+        .orderBy("canonical_url")
+    }),
+
+    // Temperature-balanced mixture sampling: take k_s ∝ sqrt(n_s)
+    // documents per source (alpha = 0.5 flattens the source mixture —
+    // big sources are down-weighted, small ones kept whole), selected
+    // by md5-hash rank so the draw is deterministic and uniform
+    // within each source. sqrt is IEEE-identical cross-engine; the
+    // rank key md5(doc_id) is unique, so no tie ambiguity.
+    "q_mix_sample" -> ((s, d) => {
+      val bySrc = Window.partitionBy("source")
+      val rnW = bySrc.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d).select(col("source"), col("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(bySrc))
+        .withColumn("k_take",
+          greatest(lit(1L), floor(sqrt(col("n_docs")) * 4).cast("long")))
+        .withColumn("rn", row_number().over(rnW).cast("long"))
+        .filter(col("rn") <= col("k_take"))
+        .select(col("source"), col("doc_id"), col("n_docs"), col("k_take"))
+        .orderBy("source", "doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'Contact user' || doc_id || '@Example.COM or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip=10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ||
+        |    ' :: ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\+?1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(raw, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey,
+        |    'HTTPS://Shop.Example.COM:443/items/' || (o_orderkey % 500) ||
+        |    '?utm_source=feed&ref=aff' || (o_custkey % 7) ||
+        |    '&page=' || (o_orderkey % 4) || '#frag' AS url
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+        |s2 AS (SELECT o_orderkey,
+        |         regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://[^/?#]*')), ':443$', '', 'g')
+        |           || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '', 'g') AS u
+        |       FROM s1),
+        |s3 AS (SELECT o_orderkey,
+        |         regexp_replace(regexp_replace(u, '(utm_[a-z]+|ref)=[^&#]*&?', '', 'g'),
+        |                        '[?&]$', '', 'g') AS canonical_url
+        |       FROM s2)
+        |SELECT canonical_url, COUNT(*) AS n_dups, MIN(o_orderkey) AS first_seen
+        |FROM s3 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "q_mix_sample" ->
+      """WITH sized AS (
+        |  SELECT source, doc_id,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, doc_id, n_docs,
+        |  GREATEST(1, CAST(FLOOR(SQRT(n_docs) * 4) AS BIGINT)) AS k_take
+        |FROM sized
+        |WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(n_docs) * 4) AS BIGINT))
+        |ORDER BY source, doc_id""".stripMargin)
+}
