@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+class SnapshotTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): (SnapshotTable, String) = {
+    val dir = Files.createTempDirectory("graft_snap").toString
+    (SnapshotTable(dir), dir)
+  }
+
+  private def df(ids: Range) =
+    spark.createDataset(ids.map(_.toLong))(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+
+  test("append commits accumulate; replace starts a new lineage; time travel reads history") {
+    val (t, _) = freshTable()
+    assert(t.currentVersion() === -1L)
+    assert(t.read(spark).count() === 0)
+
+    val v0 = t.commit(df(0 until 10))
+    val v1 = t.commit(df(10 until 15))
+    assert(v0 === 0L && v1 === 1L)
+    assert(t.read(spark).count() === 15)
+    // time travel: snapshot 0 still reads exactly its own files
+    assert(t.readAt(spark, v0).count() === 10)
+
+    val v2 = t.commit(df(100 until 103), replace = true)
+    assert(v2 === 2L)
+    assert(t.read(spark).agg(min("id"), max("id")).as[(Long, Long)].head
+      === ((100L, 102L)))
+    // history intact after replace
+    assert(t.readAt(spark, v1).count() === 15)
+  }
+
+  test("snapshot isolation: a reader created before a commit never sees it") {
+    val (t, _) = freshTable()
+    t.commit(df(0 until 10))
+    val before = t.read(spark) // listing resolved here
+    t.commit(df(10 until 30))
+    // evaluated AFTER the second commit, still sees snapshot 0
+    assert(before.count() === 10)
+    assert(t.read(spark).count() === 30)
+  }
+
+  test("uncommitted data files are invisible (crash between write and publish)") {
+    val (t, dir) = freshTable()
+    t.commit(df(0 until 10))
+    // simulate a writer that crashed after its parquet write but
+    // before publishing: drop files into data/ with no manifest entry
+    val orphan = Paths.get(dir, "data", "b_orphan")
+    df(1000 until 2000).write.parquet(orphan.toString)
+    assert(t.read(spark).count() === 10)
+    assert(t.currentVersion() === 0L)
+  }
+
+  test("concurrent committers: every commit lands exactly once via retry") {
+    val (t, _) = freshTable()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val versions = Await.result(
+        Future.sequence((0 until 4).map(i =>
+          Future(t.commit(df(i * 10 until i * 10 + 10))))), Duration.Inf)
+      // all four commits landed, at distinct versions, nothing lost
+      assert(versions.toSet.size === 4)
+      assert(t.currentVersion() === 3L)
+      assert(t.read(spark).count() === 40)
+      assert(t.read(spark).select("id").distinct().count() === 40)
+    } finally pool.shutdown()
+  }
+
+  test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
+    val (t, dir) = freshTable()
+    t.commit(df(0 until 5))
+    val headManifest = Paths.get(dir, "_manifests", "v000000000.json")
+    val bytes = Files.readAllBytes(headManifest)
+    // direct second publish of v0 must fail (simulating a lost race)
+    val tmp = Files.createTempFile(Paths.get(dir, "_manifests"), "_x", ".t")
+    Files.write(tmp, "data/bogus/x.parquet".getBytes("UTF-8"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Files.createLink(headManifest, tmp)
+    }
+    Files.deleteIfExists(tmp)
+    assert(Files.readAllBytes(headManifest).sameElements(bytes))
+  }
+}
