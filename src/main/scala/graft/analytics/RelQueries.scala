@@ -221,6 +221,37 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q7 shape: volume shipped between two nations by year —
+    // the two-role dimension pattern (nation joined twice under
+    // different aliases). Facts shuffle on the order key once; both
+    // nation roles and the supplier dim broadcast; money in integer
+    // cents per the cross-engine convention.
+    "q_tpch_q7" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+      val o = orders(s, d).select("o_orderkey", "o_custkey")
+      val c = customer(s, d).select("c_custkey", "c_nationkey")
+      val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n1 = nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI
     // join on the order key — orders with at least one returned line
     // item, counted by priority (the testdata lineitem carries no
@@ -629,6 +660,25 @@ object RelQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 10000 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_tpch_q4" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count

@@ -347,6 +347,40 @@ object GraphOps {
         .join(sizes, col("doc_id") === col("comp"))
         .select(col("doc_id"), col("source"), col("csize"))
         .orderBy("doc_id")
+    }),
+
+    // PageRank in INTEGER micro-units — the repo's cents convention
+    // applied to graph analytics: float PageRank is un-oracle-able
+    // (double summation order differs per engine/partitioning), but
+    // with ranks as BIGINT micro-units, per-edge contributions as
+    // integral division rank div outdeg, and the damping step as
+    // (85 * inflow) div 100, every operation is order-independent —
+    // so 4 fixed rounds are bit-identical in any engine. Per round the
+    // dataflow is one join + one aggregation shuffling on the node id
+    // (the same shape as min-label CC — no driver graph state); the
+    // graph is a deterministic 500-node projection of orders. Dangling
+    // nodes leak their mass (no redistribution term), identically on
+    // both sides — the standard simplification, stated.
+    "q_pagerank" -> ((s, d) => {
+      val edges = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(500L)).as("src"),
+          pmod(col("o_orderkey"), lit(500L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val e = edges.join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 4) {
+        val contribs = e.join(ranks, e("src") === ranks("node"))
+          .select(col("dst"), expr("rank div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+        ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) +
+              expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")).as("rank"))
+      }
+      ranks.orderBy("node")
     }))
 
   /** Shared oracle prelude: verified Jaccard pairs (same math as the
@@ -384,8 +418,33 @@ object GraphOps {
       |  JOIN sizes0 s2 ON i.d2 = s2.doc_id
       |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8)""".stripMargin
 
+  /** 4 unrolled integer-PageRank rounds — kept in lockstep with the
+    * Spark loop above (same init, same div/damping order). */
+  private lazy val pagerankOracle: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""c$k AS (SELECT e.dst AS node, CAST(SUM(r.rank // e.outdeg) AS BIGINT) AS inflow
+         |        FROM e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst),
+         |r$k AS (SELECT n.node,
+         |          CAST(150000 + (85 * COALESCE(c.inflow, 0)) // 100 AS BIGINT) AS rank
+         |        FROM nodes n LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT (o_custkey % 500) AS src, (o_orderkey % 500) AS dst
+       |  FROM orders WHERE (o_custkey % 500) <> (o_orderkey % 500)),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, outdeg.outdeg
+       |      FROM edges JOIN outdeg ON edges.src = outdeg.src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r4 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
+
     // components over the text ∪ embedding edge union; the closure is
+
     // restricted to DOCUMENT nodes before labeling/sizing (the Spark
     // side emits one row per documents.doc_id — a vec_id outside the
     // documents table must not add rows or inflate csize), and the

@@ -147,4 +147,27 @@ class GraphOpsSpec extends SparkTestBase {
     val survivors = GraphOps.queries("q_dedup_survivors")(spark, sf).count()
     assert(survivors === clusters.values.toSet.size)
   }
+
+  test("integer pagerank: one row per node, floor bound, sinks at floor, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val q = GraphOps.queries("q_pagerank")
+    val pr = q(spark, sf).as[(Long, Long)].collect()
+    // node universe = the derived edge projection's endpoints
+    val edges = graft.sources.Tables.orders(spark, sf)
+      .select((col("o_custkey") % 500).as("src"), (col("o_orderkey") % 500).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(e => Set(e._1, e._2))
+    assert(pr.length === nodes.size)
+    assert(pr.map(_._1).toSet === nodes)
+    // teleport floor: every rank >= 150000 micro-units; a node with no
+    // in-edges sits exactly at the floor
+    assert(pr.forall(_._2 >= 150000L))
+    val withIn = edges.map(_._2)
+    pr.filter(p => !withIn.contains(p._1)).foreach(p => assert(p._2 === 150000L))
+    // well-connected graphs concentrate mass above the floor somewhere
+    assert(pr.exists(_._2 > 150000L))
+    // integer arithmetic: a second run is bit-identical
+    assert(q(spark, sf).as[(Long, Long)].collect().toSeq === pr.toSeq)
+  }
 }
