@@ -516,6 +516,24 @@ object RelQueries {
     // rectangle; parquet min/max stats then prune 2-D probes). The key
     // is pure built-in bitwise arithmetic: fully codegen'd, and exactly
     // reproducible in the oracle's SQL.
+    // Hilbert-curve layout key over the same (customer, day) grid as
+    // q_zorder_key — consecutive Hilbert positions are always
+    // edge-adjacent cells (Morton jumps at power-of-two boundaries),
+    // so key-range files cover connected rectangles: tighter 2-D
+    // pruning at the same file count. 16 staged narrow projections
+    // (see Bucketing.withHilbertKey), one whole-stage-codegen span.
+    "q_hilbert_key" -> ((s, d) => {
+      val base = orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("cell_x"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long").as("cell_y"))
+      graft.sources.Bucketing
+        .withHilbertKey(base, col("cell_x"), col("cell_y"), "hkey")
+        .orderBy("hkey", "o_orderkey")
+    }),
+
     "q_zorder_key" -> ((s, d) =>
       orders(s, d)
         .filter(col("o_orderkey") < 2000)
@@ -527,7 +545,37 @@ object RelQueries {
           graft.sources.Bucketing.zorderKey(col("cell_x"), col("cell_y")))
         .orderBy("zkey", "o_orderkey")))
 
+  /** 16 unrolled Hilbert xy2d rounds — generated in lockstep with
+    * Bucketing.withHilbertKey (same rotation, same bit planes). The
+    * s² factor is CAST to BIGINT before multiplying: 3·2^30 overflows
+    * DuckDB's INT32 literal arithmetic. */
+  private lazy val hilbertOracle: String = {
+    val stages = (0 until 16).map { k =>
+      val s = 1L << (15 - k)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""g${k + 1} AS (SELECT o_orderkey, cell_x, cell_y,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |  d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d
+         |FROM g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g0 AS (
+       |  SELECT o_orderkey,
+       |    o_custkey % 65536 AS cell_x,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS cell_y,
+       |    o_custkey % 65536 AS x,
+       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM orders WHERE o_orderkey < 2000),
+       |$stages
+       |SELECT o_orderkey, cell_x, cell_y, CAST(d AS BIGINT) AS hkey
+       |FROM g16 ORDER BY hkey, o_orderkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_hilbert_key" -> hilbertOracle,
+
     "q_tpch_q1" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -102,4 +102,30 @@ class BucketingSpec extends SparkTestBase {
     }
     assert(spark.read.parquet(dir).count() === orders.count())
   }
+
+  test("hilbert key: bijective on the grid, consecutive positions are adjacent cells") {
+    import spark.implicits._
+    // full 16x16 grid at bits=4
+    val grid = spark.range(256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+    val keyed = Bucketing.withHilbertKey(grid, col("x"), col("y"), "h", bits = 4)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bijection: every position 0..255 hit exactly once
+    assert(keyed.map(_._1).toSeq === (0L until 256L))
+    // THE Hilbert property: consecutive curve positions are
+    // edge-adjacent grid cells (manhattan distance exactly 1)...
+    keyed.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert((x2 - x1).abs + (y2 - y1).abs === 1L)
+    }
+    // ...which Morton order does NOT have (its curve jumps at
+    // power-of-two boundaries) — the reason Hilbert ranges make
+    // tighter pruning rectangles
+    val morton = grid
+      .select(Bucketing.zorderKey(col("x"), col("y")).as("z"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val mortonJumps = morton.sliding(2).count {
+      case Array((_, x1, y1), (_, x2, y2)) => (x2 - x1).abs + (y2 - y1).abs > 1
+    }
+    assert(mortonJumps > 0)
+  }
 }

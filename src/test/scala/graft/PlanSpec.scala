@@ -96,6 +96,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "no join belongs in a layout-key computation")
   }
 
+  test("q_hilbert_key: staged rotation stays projection-only on a pushed-filter scan") {
+    // 33 chained projections overflow the default plan-string budget,
+    // truncating the scan node out of toString — raise it for this pin
+    val prev = spark.conf.get("spark.sql.maxPlanStringLength")
+    spark.conf.set("spark.sql.maxPlanStringLength", "10000000")
+    val p = try plan("q_hilbert_key")
+    finally spark.conf.set("spark.sql.maxPlanStringLength", prev)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey"),
+      p.take(600))
+    assert(!p.contains("Join"), "no join belongs in a layout-key computation")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the 16 rotation rounds must not introduce a shuffle (sort-only output)")
+    // all 16 staged projections fuse into ONE whole-stage-codegen span
+    // ("*(1)" stage-id prefixes, as in the scalar-suite pin below)
+    assert(p.contains("*(1) Project"), "rotation rounds must be codegen'd")
+  }
+
   test("q_asof_forward / q_asof_inner: native AsOfJoin with the right mode flags") {
     Seq(("q_asof_forward", "AsOfForward"), ("q_asof_inner", "AsOfBackward"))
       .foreach { case (q, dir) =>
