@@ -381,6 +381,39 @@ object GraphOps {
               expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")).as("rank"))
       }
       ranks.orderBy("node")
+    }),
+
+    // Per-node triangle counts — the local clustering signal (spam/SEO
+    // detection in link graphs). One ordered edge list u < v makes the
+    // three-way self-join count each triangle exactly once (a<b<c):
+    // wedge join (e1.v = e2.u) then closure probe (e3 = (a, c)). Both
+    // joins are equi-joins shuffling on node ids — no pair explosion
+    // beyond the true wedge count, the standard distributed-triangle
+    // shape (order-by-degree is the 100 TB refinement when degree skew
+    // bites). Derived graph: orders projected onto 2000 nodes.
+    "q_triangles" -> ((s, d) => {
+      val raw = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("p"),
+          pmod(col("o_orderkey"), lit(2000L)).as("q"))
+        .filter(col("p") =!= col("q"))
+      val e = raw.select(least(col("p"), col("q")).as("u"),
+          greatest(col("p"), col("q")).as("v"))
+        .distinct()
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val nodes = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node"))).distinct()
+      val perNode = tri.select(col("a").as("node"))
+        .union(tri.select(col("b").as("node")))
+        .union(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      nodes.join(perNode, Seq("node"), "left")
+        .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .orderBy("node")
     }))
 
   /** Shared oracle prelude: verified Jaccard pairs (same math as the
@@ -442,6 +475,27 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT (o_custkey % 2000) AS p, (o_orderkey % 2000) AS q
+        |  FROM orders WHERE (o_custkey % 2000) <> (o_orderkey % 2000)),
+        |e AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+        |per_node AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) t
+        |  GROUP BY node)
+        |SELECT n.node, COALESCE(p.n_tri, 0) AS n_tri
+        |FROM nodes n LEFT JOIN per_node p ON p.node = n.node
+        |ORDER BY n.node""".stripMargin,
 
     // components over the text ∪ embedding edge union; the closure is
 

@@ -173,9 +173,86 @@ object VectorOps {
           documents(s, d).select(col("doc_id"),
             col("text").cast("binary").as("payload"),
             col("source").as("media_source")))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Lloyd k-means in QUANTIZED integer space — the clustering stage
+    // an IVF index or mixture analysis needs, made fully DuckDB-
+    // oracle-able by the same move as the cents/PageRank conventions:
+    // float k-means diverges cross-engine (summation order), but with
+    // coordinates quantized to BIGINT micro-units, distances as exact
+    // integer sums, centroid updates as truncating integer division
+    // (Spark div == DuckDB //), and (dist, j) row_number tie-breaks,
+    // two fixed Lloyd rounds are bit-identical in any engine. Physical
+    // shape per round: one broadcast of the k×dims centroid table to
+    // the dim-exploded vectors (no all-pairs), one aggregation per
+    // assignment, one per update — each shuffling on (vec, cluster)
+    // keys only. Seeds = the first k vectors; an empty cluster keeps
+    // its previous centroid.
+    "q_kmeans" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val c0 = dims.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("j"), col("dim").as("cd"), col("qv").as("cval"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("j"))
+        dims.join(broadcast(cents), col("dim") === col("cd"))
+          .groupBy("vec_id", "j")
+          .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("j").as("cluster"))
+      }
+      def update(asg: DataFrame, cents: DataFrame): DataFrame = {
+        val upd = asg.join(dims, "vec_id")
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+          .select(col("cluster").as("j2"), col("dim").as("cd2"),
+            expr("sq div cnt").as("nval"))
+        cents.join(upd, col("j") === col("j2") && col("cd") === col("cd2"), "left")
+          .select(col("j"), col("cd"), coalesce(col("nval"), col("cval")).as("cval"))
+      }
+      val a2 = assign(update(assign(c0), c0))
+      a2.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+        .orderBy("vec_id")
+    }))
 
   val oracle: Map[String, String] = Map(
+    "q_kmeans" ->
+      """WITH dims AS (
+        |  SELECT vec_id, d AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |c0 AS (SELECT vec_id AS j, dim, qv AS cval FROM dims WHERE vec_id < 8),
+        |a1d AS (
+        |  SELECT dims.vec_id, c0.j,
+        |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
+        |  FROM dims JOIN c0 ON dims.dim = c0.dim GROUP BY dims.vec_id, c0.j),
+        |a1 AS (SELECT vec_id, j AS cluster FROM (
+        |         SELECT vec_id, j,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+        |         FROM a1d) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.cluster AS j, dims.dim,
+        |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
+        |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id
+        |  GROUP BY a1.cluster, dims.dim),
+        |c1 AS (SELECT c0.j, c0.dim, COALESCE(u1.nval, c0.cval) AS cval
+        |       FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.dim = c0.dim),
+        |a2d AS (
+        |  SELECT dims.vec_id, c1.j,
+        |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
+        |  FROM dims JOIN c1 ON dims.dim = c1.dim GROUP BY dims.vec_id, c1.j),
+        |a2 AS (SELECT vec_id, j AS cluster FROM (
+        |         SELECT vec_id, j,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+        |         FROM a2d) WHERE rn = 1)
+        |SELECT vec_id, cluster,
+        |  COUNT(*) OVER (PARTITION BY cluster) AS csize
+        |FROM a2 ORDER BY vec_id""".stripMargin,
+
     // mirrors HllSketch exactly: 60-bit md5 hash → (12-bit register
     // index, 48-bit sub-stream), rank = 49 - bitlength, registers =
     // MAX per index, then the HLL estimator with its linear-counting
