@@ -59,10 +59,22 @@ final class SnapshotTable(root: String) {
     manifestDir.resolve(f"v$v%09d.json")
 
   /** Relative data-file listing of snapshot `v` (one path per line —
-    * a listing, not JSON-parsed structure, so no parser dependency). */
+    * a listing, not JSON-parsed structure, so no parser dependency;
+    * `#`-prefixed lines are commit metadata, e.g. the idempotency
+    * tag). */
   private def listing(v: Long): Seq[String] =
     if (v < 0) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq.filter(_.nonEmpty)
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The idempotency tag of snapshot `v`, if it was tagged. */
+  private def tagOf(v: Long): Option[String] =
+    Files.readAllLines(manifestPath(v)).asScala
+      .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
+
+  /** True iff some committed snapshot carries `tag`. */
+  def tagCommitted(tag: String): Boolean =
+    (0L to currentVersion()).exists(v => tagOf(v).contains(tag))
 
   /** Read the latest snapshot. The listing is resolved NOW — the
     * returned DataFrame keeps reading exactly these files however
@@ -84,7 +96,26 @@ final class SnapshotTable(root: String) {
     * version. Data lands invisible first; visibility is the atomic
     * manifest rename, retried under optimistic concurrency. */
   def commit(df: DataFrame, replace: Boolean = false,
-             maxRetries: Int = 20): Long = {
+             maxRetries: Int = 20): Long =
+    doCommit(df, replace, maxRetries, tag = None).get
+
+  /** Idempotent tagged commit — the exactly-once sink primitive: a
+    * commit whose `tag` (e.g. a Structured Streaming batchId) is
+    * already in manifest history is SKIPPED (returns None), so a
+    * micro-batch replayed after a crash-restart appends nothing twice.
+    * The tag rides INSIDE the manifest it commits — one atomic publish
+    * covers data visibility AND the replay marker, closing the torn
+    * window a separate marker file would leave. Replays of the same
+    * tag are assumed sequential (the streaming engine never runs one
+    * batchId concurrently with itself); the tag is re-checked after
+    * every lost version race, so racing DIFFERENT writers stay safe. */
+  def commitOnce(tag: String, df: DataFrame,
+                 replace: Boolean = false): Option[Long] =
+    if (tagCommitted(tag)) None
+    else doCommit(df, replace, maxRetries = 20, tag = Some(tag))
+
+  private def doCommit(df: DataFrame, replace: Boolean,
+                       maxRetries: Int, tag: Option[String]): Option[Long] = {
     // fresh write-once batch dir; name only needs uniqueness within
     // this table, monotonic time + thread id is enough without any
     // coordination (two writers landing the same nanosecond on the
@@ -105,17 +136,32 @@ final class SnapshotTable(root: String) {
 
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
-      val head = currentVersion()
-      val full = if (replace) newFiles else listing(head) ++ newFiles
-      if (publish(head + 1, full)) committed = head + 1
+    var skipped = false
+    while (committed < 0 && !skipped) {
+      // a lost race may mean the winner committed OUR tag (a replayed
+      // batch racing itself across restarts) — re-check before retry
+      if (tag.exists(tagCommitted)) skipped = true
       else {
-        attempt += 1
-        require(attempt <= maxRetries,
-          s"snapshot commit lost $maxRetries races at $root")
+        val head = currentVersion()
+        val full = tag.map(t => s"#tag=$t").toSeq ++
+          (if (replace) newFiles else listing(head) ++ newFiles)
+        if (publish(head + 1, full)) committed = head + 1
+        else {
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"snapshot commit lost $maxRetries races at $root")
+        }
       }
     }
-    committed
+    if (skipped) {
+      // this batch lost to a replay of its own tag: its just-written
+      // files are unreferenced — invisible either way, but tidy them
+      val st = Files.walk(out)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally st.close()
+      None
+    } else Some(committed)
   }
 
   /** Atomic publish of manifest `v`: write a temp file, then link it

@@ -192,6 +192,26 @@ object StreamingJobs {
     * then appends the delta — the reference's insert-if-changed load
     * (dags/bigquery.py:223-333) with exactly-once semantics across
     * restarts (see [[upsertBatch]]). */
+  /** Stream into a transactional [[graft.sources.SnapshotTable]] with
+    * exactly-once appends: each micro-batch is one tagged snapshot
+    * commit (`commitOnce`, tag = batchId), so the at-least-once replay
+    * after a crash-restart finds its tag in manifest history and
+    * appends nothing — and readers only ever see whole micro-batches
+    * (visibility is the atomic manifest publish, never a partial file
+    * listing). This supersedes the marker-file pattern below for sinks
+    * that own their table layout: the replay marker rides INSIDE the
+    * committed manifest, so there is no torn window between "data
+    * appended" and "marker written" at all. */
+  def snapshotSinkWriter(stream: DataFrame,
+                         table: graft.sources.SnapshotTable): DataStreamWriter[Row] =
+    stream
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.commitOnce(s"batch=$batchId", batch): Unit
+      }
+
   def scdUpsertWriter(clean: DataFrame, warehouseDir: String): DataStreamWriter[Row] =
     clean
       .withColumn("scraped_at", to_date(col("scraped_at")))
