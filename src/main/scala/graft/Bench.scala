@@ -64,7 +64,11 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     val omitted = entries.size - kept.size
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
+    // n_queries/sec_per_query: the catalog GROWS across rounds (69 →
+    // 113+), so the total alone is not comparable round-over-round —
+    // the normalized rate is the stable signal
+    val perQ = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(perQ)},"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,87 @@ object StreamingJobs {
     * then appends the delta — the reference's insert-if-changed load
     * (dags/bigquery.py:223-333) with exactly-once semantics across
     * restarts (see [[upsertBatch]]). */
+  /** One doc keyed into one LSH band bucket, with its full MinHash
+    * signature along for the verify estimate. */
+  case class BandedDoc(band: Int, bucket: Long, doc_id: Long, sigs: Seq[Long])
+  /** Docs previously seen in this (band, bucket) — the cross-batch
+    * candidate index. */
+  case class BucketState(docs: List[(Long, Seq[Long])])
+  /** Emitted cross/within-batch candidate pair (d1 < d2) with the
+    * signature-agreement similarity estimate. */
+  case class CandidatePair(band: Int, d1: Long, d2: Long, est_sim: Double)
+
+  /** STREAMING near-dup candidate detection — the cross-batch form of
+    * the batch MinHash-LSH pipeline (TextOps.minhashBands): documents
+    * arrive in micro-batches, and a near-dup of a document ingested
+    * three batches ago must still be caught. The LSH state IS the
+    * band-bucket index, held as flatMapGroupsWithState custom state
+    * keyed by (band, bucket): per key it stores the (doc_id,
+    * signature) list seen so far, pairs each arriving doc against it,
+    * and emits candidates whose signature agreement clears
+    * `simThreshold`.
+    *
+    * Streaming-specific design vs the batch path: signatures are
+    * per-row `array_min(transform(tokens, xxhash64(seed|token)))` —
+    * no vocabulary aggregate (a stream has no final vocabulary) and
+    * no shuffle before the keyed state; the only shuffle is the state
+    * partitioning on (band, bucket), exactly the bucket co-location
+    * the batch join uses. State per bucket grows with genuine near-dup
+    * density; `maxBucketDocs` caps the stored list under adversarial
+    * boilerplate floods (the streaming analogue of the shingle df cap)
+    * — overflow docs still pair against the stored prefix but are not
+    * added, trading recall among the flood for bounded state. The same
+    * pair can surface from multiple bands (downstream distinct, as in
+    * batch LSH).
+    */
+  def streamingNearDupPairs(docs: DataFrame,
+                            numHashes: Int = 8, bands: Int = 4,
+                            simThreshold: Double = 0.5,
+                            maxBucketDocs: Int = 256):
+      org.apache.spark.sql.Dataset[CandidatePair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val toks = array_remove(split(lower(col("text")), " "), "")
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(toks, t =>
+        xxhash64(concat(lit(s"$i|"), t)))).as(s"_s$i")
+    }
+    val banded = docs
+      .select(Seq(col("doc_id")) ++ sigCols: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sigs"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((0 until rows).map(r => col(s"_s${b * rows + r}")): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bucket"), col("doc_id"), col("sigs"))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), it, state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          // deterministic within-batch order (engine group order is not)
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!seen.exists(_._1 == d.doc_id)) {
+              seen.foreach { case (od, osig) =>
+                val agree = osig.lazyZip(d.sigs).count { case (a, b) => a == b }
+                val sim = agree.toDouble / d.sigs.size
+                if (sim >= simThreshold)
+                  out += CandidatePair(band,
+                    math.min(od, d.doc_id), math.max(od, d.doc_id), sim)
+              }
+              if (seen.size < maxBucketDocs) seen = (d.doc_id, d.sigs) :: seen
+            }
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+  }
+
   /** Stream into a transactional [[graft.sources.SnapshotTable]] with
     * exactly-once appends: each micro-batch is one tagged snapshot
     * commit (`commitOnce`, tag = batchId), so the at-least-once replay

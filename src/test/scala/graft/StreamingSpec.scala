@@ -323,4 +323,42 @@ class StreamingSpec extends SparkTestBase {
     assert(sess.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq ===
       Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+  test("streaming LSH near-dup: a duplicate arriving batches later is still caught") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val pairs = StreamingJobs.streamingNearDupPairs(
+      input.toDF().toDF("doc_id", "text"))
+    val ck = Files.createTempDirectory("graft_lshck").toString
+    val q = pairs.writeStream.format("memory").queryName("lsh_pairs")
+      .outputMode("append").option("checkpointLocation", ck).start()
+
+    // batch 1: one base doc + one unrelated doc — no pairs yet
+    input.addData((1L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "one two three four five six seven"))
+    q.processAllAvailable()
+    assert(spark.table("lsh_pairs").count() === 0)
+
+    // batch 2 (a LATER micro-batch): an exact dup of doc 1 and a
+    // near-dup of doc 50 — both must pair against state from batch 1
+    input.addData((2L, "alpha beta gamma delta epsilon zeta"),
+      (51L, "one two three four five six eight"))
+    q.processAllAvailable()
+    val found = spark.table("lsh_pairs")
+      .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)), s"cross-batch exact dup missed: $found")
+    // the near-dup shares 6/7 tokens — most minhashes agree
+    assert(found.contains((50L, 51L)), s"cross-batch near dup missed: $found")
+    // unrelated docs never pair
+    assert(!found.exists { case (a, b) => (a <= 2) != (b <= 2) })
+
+    // batch 3: another copy — pairs with BOTH earlier copies
+    input.addData((3L, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    val f3 = spark.table("lsh_pairs")
+      .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+    assert(f3.contains((1L, 3L)) && f3.contains((2L, 3L)))
+    q.stop()
+  }
 }
