@@ -189,10 +189,14 @@ object VectorOps {
     // keys only. Seeds = the first k vectors; an empty cluster keeps
     // its previous centroid.
     "q_kmeans" -> ((s, d) => {
+      // materialized once: the quantized dim table feeds two assigns
+      // and one centroid update — five subtree references that would
+      // otherwise each rescan and re-explode the embeddings parquet
       val dims = embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
         .select(col("vec_id"), (col("pos") + 1).as("dim"),
           round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .localCheckpoint()
       val c0 = dims.filter(col("vec_id") < 8)
         .select(col("vec_id").as("j"), col("dim").as("cd"), col("qv").as("cval"))
       def assign(cents: DataFrame): DataFrame = {

@@ -100,6 +100,10 @@ object Bucketing {
   def withHilbertKey(df: DataFrame, x: Column, y: Column, out: String,
                      bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val reserved = Seq("_hx", "_hy", "_rx", "_ry", out)
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"withHilbertKey would overwrite input column(s) ${clash.mkString(", ")}")
     var cur = df
       .withColumn("_hx", x.cast("long"))
       .withColumn("_hy", y.cast("long"))

@@ -72,9 +72,22 @@ final class SnapshotTable(root: String) {
     Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
 
+  // incremental tag index: manifests are immutable once committed, so
+  // each version is read at most once per table handle — commitOnce
+  // calls tagCommitted at least twice per commit, and a full-history
+  // rescan there would make streaming-sink cost quadratic in batches
+  private val knownTags = scala.collection.mutable.HashSet.empty[String]
+  private var tagsScannedTo = -1L
+
   /** True iff some committed snapshot carries `tag`. */
-  def tagCommitted(tag: String): Boolean =
-    (0L to currentVersion()).exists(v => tagOf(v).contains(tag))
+  def tagCommitted(tag: String): Boolean = synchronized {
+    val head = currentVersion()
+    while (tagsScannedTo < head) {
+      tagsScannedTo += 1
+      tagOf(tagsScannedTo).foreach(knownTags.add)
+    }
+    knownTags.contains(tag)
+  }
 
   /** Read the latest snapshot. The listing is resolved NOW — the
     * returned DataFrame keeps reading exactly these files however

@@ -237,10 +237,16 @@ object StreamingJobs {
     val rows = numHashes / bands
     val toks = array_remove(split(lower(col("text")), " "), "")
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(toks, t =>
+      array_min(transform(col("_toks"), t =>
         xxhash64(concat(lit(s"$i|"), t)))).as(s"_s$i")
     }
     val banded = docs
+      // tokenless docs (empty/whitespace/null text) have no signature:
+      // array_min([]) is NULL, which would poison the non-nullable
+      // Seq[Long] state encoder and crash-loop the query on replay —
+      // drop them here, as the batch tokenizer does
+      .withColumn("_toks", toks)
+      .filter(size(col("_toks")) > 0)
       .select(Seq(col("doc_id")) ++ sigCols: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sigs"),
         explode(array((0 until bands).map { b =>
@@ -284,14 +290,24 @@ object StreamingJobs {
     * committed manifest, so there is no torn window between "data
     * appended" and "marker written" at all. */
   def snapshotSinkWriter(stream: DataFrame,
-                         table: graft.sources.SnapshotTable): DataStreamWriter[Row] =
+                         table: graft.sources.SnapshotTable,
+                         runId: String): DataStreamWriter[Row] = {
+    // the tag must carry the RUN identity, not just the batchId:
+    // batchIds restart at 0 under a fresh checkpoint (and collide
+    // across two different queries feeding one table), and a bare
+    // "batch=0" tag would silently swallow the new run's first batches
+    // as replays. runId names the checkpoint lineage — same contract
+    // as Delta's (appId, version) txn dedup: reuse it on restart from
+    // the same checkpoint, change it with the checkpoint.
+    require(runId.nonEmpty, "runId must name the checkpoint lineage")
     stream
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.commitOnce(s"batch=$batchId", batch): Unit
+        table.commitOnce(s"$runId/batch=$batchId", batch): Unit
       }
+  }
 
   def scdUpsertWriter(clean: DataFrame, warehouseDir: String): DataStreamWriter[Row] =
     clean

@@ -89,7 +89,7 @@ class SnapshotTableSpec extends SparkTestBase {
       val stream = spark.readStream
         .schema("id LONG")
         .json(src)
-      val q = StreamingJobs.snapshotSinkWriter(stream, t)
+      val q = StreamingJobs.snapshotSinkWriter(stream, t, runId = "run1")
         .option("checkpointLocation", ck)
         .start()
       q.awaitTermination()
@@ -97,7 +97,7 @@ class SnapshotTableSpec extends SparkTestBase {
     drop("d1.json", 0 until 10)
     runOnce()
     assert(t.read(spark).count() === 10)
-    assert(t.tagCommitted("batch=0"))
+    assert(t.tagCommitted("run1/batch=0"))
     drop("d2.json", 10 until 25)
     runOnce()
     assert(t.read(spark).count() === 25)
@@ -110,10 +110,10 @@ class SnapshotTableSpec extends SparkTestBase {
     // side effects landed but before the checkpoint commit — the tag in
     // manifest history must short-circuit the re-append
     val replay = t.readAt(spark, vBefore) // any frame; content irrelevant when skipped
-    assert(t.commitOnce("batch=1", replay).isEmpty)
+    assert(t.commitOnce("run1/batch=1", replay).isEmpty)
     assert(t.read(spark).count() === 25)
     // and a genuinely new tag still commits
-    assert(t.commitOnce("batch=99", df(100 until 103)).nonEmpty)
+    assert(t.commitOnce("run1/batch=99", df(100 until 103)).nonEmpty)
     assert(t.read(spark).count() === 28)
   }
 

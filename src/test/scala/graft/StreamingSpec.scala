@@ -334,9 +334,12 @@ class StreamingSpec extends SparkTestBase {
     val q = pairs.writeStream.format("memory").queryName("lsh_pairs")
       .outputMode("append").option("checkpointLocation", ck).start()
 
-    // batch 1: one base doc + one unrelated doc — no pairs yet
+    // batch 1: one base doc + one unrelated doc — no pairs yet; the
+    // tokenless doc (the poison row that would NULL its signature) must
+    // be dropped, not crash-loop the query
     input.addData((1L, "alpha beta gamma delta epsilon zeta"),
-      (50L, "one two three four five six seven"))
+      (50L, "one two three four five six seven"),
+      (99L, "   "))
     q.processAllAvailable()
     assert(spark.table("lsh_pairs").count() === 0)
 
