@@ -417,6 +417,60 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // PPJoin-style PREFIX-FILTERED exact similarity join (Chaudhuri
+    // et al. SSJoin; Xiao et al. PPJoin): the LOSSLESS scale path for
+    // threshold-Jaccard joins, complementing the df-capped inverted
+    // index above (which trades recall on hot shingles) and MinHash-LSH
+    // (probabilistic). Theorem: under ANY consistent global token
+    // order, two sets with Jaccard >= t must share at least one token
+    // in each other's first L - ceil(t*L) + 1 tokens — so indexing
+    // ONLY that prefix (rarest-first order makes it selective) yields
+    // every qualifying pair with zero recall loss, and candidate
+    // fan-out tracks the df of the RAREST tokens instead of the whole
+    // set. Threshold arithmetic stays integral (5*inter >= 4*union for
+    // t = 0.8; prefix via ceil(4L/5) = (4L+4) div 5) — no float
+    // boundary drift between engines. Verification joins candidates
+    // back to whole-set arrays; at lake scale both joins shuffle on
+    // their natural keys (shingle; then d1/d2) — nothing quadratic in
+    // the corpus, only in genuine near-dup density.
+    "q_setsim_prefix" -> ((s, d) => {
+      val inv = documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)))
+            .as("shingle"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("long").as("sh"))
+      val ranked = inv
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("doc_id").orderBy(col("df"), col("sh")))
+          .cast("long"))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val prefix = ranked
+        .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+        .select(col("doc_id"), col("sh"))
+      val cands = prefix.select(col("doc_id").as("d1"), col("sh"))
+        .join(prefix.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      val sets = inv.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("sh"))).as("shs"),
+          count(lit(1)).as("sz"))
+      val verified = cands
+        .join(sets.select(col("doc_id").as("d1"), col("shs").as("shs1"),
+          col("sz").as("sz1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("shs").as("shs2"),
+          col("sz").as("sz2")), "d2")
+        .withColumn("inter", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
+        .filter(col("inter") * 5 >= (col("sz1") + col("sz2") - col("inter")) * 4)
+      verified
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+        .select(col("d1"), col("d2"), col("inter"), col("uni"), col("jaccard"))
+        .orderBy("d1", "d2")
+    }),
+
     // E10 deterministic stratified sampling: content-keyed md5 bucket
     // per row, keep buckets below the rate threshold — uniform ~20%
     // WITHIN each stratum, reproducible across runs/engines/partitionings
@@ -750,6 +804,40 @@ object TextOps {
         |  list_reduce(list_transform(string_split_regex(text, ''), x -> CAST(ascii(x) AS BIGINT)),
         |              (a, b) -> (a * 31 + b) % 1099511627776) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_setsim_prefix" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |inv AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]), 1, 15)) AS BIGINT)
+        |      AS sh
+        |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 2),
+        |r1 AS (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM inv),
+        |r2 AS (SELECT doc_id, sh, df,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sh) AS rn,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS sz
+        |       FROM r1),
+        |prefix AS (SELECT doc_id, sh FROM r2
+        |           WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN inv x ON x.doc_id = c.d1
+        |  JOIN inv y ON y.doc_id = c.d2 AND y.sh = x.sh
+        |  GROUP BY c.d1, c.d2)
+        |SELECT i.d1, i.d2, i.inter,
+        |  s1.sz + s2.sz - i.inter AS uni,
+        |  ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sizes s1 ON i.d1 = s1.doc_id
+        |JOIN sizes s2 ON i.d2 = s2.doc_id
+        |WHERE i.inter * 5 >= (s1.sz + s2.sz - i.inter) * 4
+        |ORDER BY i.d1, i.d2""".stripMargin,
 
     "q_shingle_jaccard" ->
       """WITH words AS (

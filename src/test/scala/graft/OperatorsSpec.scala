@@ -196,4 +196,26 @@ class OperatorsSpec extends SparkTestBase {
       assert(got(q) === expected, s"query $q")
     }
   }
+  test("q_setsim_prefix is LOSSLESS: matches the brute-force threshold join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingleSet(t: String): Set[String] =
+      t.toLowerCase.split(" ").filter(_.nonEmpty)
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => (id, shingleSet(t)) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if inter * 5 >= uni * 4
+    } yield (a, b)).toSet
+    val got = graft.operators.TextOps.queries("q_setsim_prefix")(spark, sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // the prefix filter may only PRUNE candidates, never drop a
+    // qualifying pair — exact equality against O(n^2) ground truth
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must actually exercise the join")
+  }
 }
