@@ -177,6 +177,35 @@ final class SnapshotTable(root: String) {
     } else Some(committed)
   }
 
+  /** Compact the current snapshot into `files` files — the small-file
+    * treatment a streaming sink needs (every micro-batch commit adds a
+    * file set; a day of 1-minute batches is 1440 tiny file groups, and
+    * at lake scale scan cost is dominated by file count and footer
+    * reads, not bytes). Optionally re-clusters while it rewrites:
+    * pass `sortKey` (e.g. a [[Bucketing.zorderKey]] column) to
+    * range-partition + sort the rewrite, so compaction doubles as the
+    * layout pass and every output file covers a compact key range for
+    * min/max pruning. The rewrite is one ordinary snapshot commit with
+    * `replace = true`: readers pinned to older versions are untouched
+    * (their files are immutable), concurrent appends serialize through
+    * the usual version race, and time travel across the compaction
+    * boundary keeps working. */
+  def compact(spark: SparkSession, files: Int = 8,
+              sortKey: Option[org.apache.spark.sql.Column] = None): Long = {
+    val cur = read(spark)
+    val arranged = sortKey match {
+      case Some(k) =>
+        val keyed = cur.withColumn("_ckey", k)
+        keyed.repartitionByRange(files, keyed.col("_ckey"))
+          .sortWithinPartitions("_ckey").drop("_ckey")
+      case None => cur.repartition(files)
+    }
+    commit(arranged, replace = true)
+  }
+
+  /** Data files referenced by snapshot `v` (for specs/ops visibility). */
+  def fileCount(v: Long): Int = listing(v).size
+
   /** Atomic publish of manifest `v`: write a temp file, then link it
     * under the versioned name. Returns false when a concurrent writer
     * already owns `v` (caller retries on the new head).

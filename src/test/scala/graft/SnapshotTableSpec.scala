@@ -117,6 +117,27 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 28)
   }
 
+  test("compaction: many small commits rewrite into few files, history intact") {
+    val (t, _) = freshTable()
+    // 12 tiny commits = 12+ file groups (the streaming small-file shape)
+    (0 until 12).foreach(i => t.commit(df(i * 10 until i * 10 + 10)))
+    val preVersion = t.currentVersion()
+    val preFiles = t.fileCount(preVersion)
+    assert(preFiles >= 12)
+    // clustered compaction: rewrite sorted by id ranges
+    val v = t.compact(spark, files = 3, sortKey = Some(col("id")))
+    assert(v === preVersion + 1)
+    assert(t.fileCount(v) <= 6, s"still ${t.fileCount(v)} files")
+    // same content, nothing lost or duplicated
+    assert(t.read(spark).count() === 120)
+    assert(t.read(spark).select("id").distinct().count() === 120)
+    // readers pinned before compaction still work (immutable files)
+    assert(t.readAt(spark, preVersion).count() === 120)
+    // appends after compaction continue the lineage
+    t.commit(df(1000 until 1010))
+    assert(t.read(spark).count() === 130)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
