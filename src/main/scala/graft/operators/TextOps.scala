@@ -434,6 +434,9 @@ object TextOps {
     // their natural keys (shingle; then d1/d2) — nothing quadratic in
     // the corpus, only in genuine near-dup density.
     "q_setsim_prefix" -> ((s, d) => {
+      // materialized once: the index feeds the rank windows, the
+      // whole-set aggregation, and (via `ranked`) the prefix join —
+      // without the checkpoint the explode+md5 subtree runs three times
       val inv = documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)))
@@ -441,6 +444,7 @@ object TextOps {
         .select(col("doc_id"),
           conv(substring(md5(col("shingle")), 1, 15), 16, 10)
             .cast("long").as("sh"))
+        .localCheckpoint()
       val ranked = inv
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .withColumn("rn", row_number()
@@ -455,7 +459,7 @@ object TextOps {
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct()
       val sets = inv.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("sh"))).as("shs"),
+        .agg(collect_set(col("sh")).as("shs"),
           count(lit(1)).as("sz"))
       val verified = cands
         .join(sets.select(col("doc_id").as("d1"), col("shs").as("shs1"),
