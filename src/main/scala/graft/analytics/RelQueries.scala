@@ -221,6 +221,44 @@ object RelQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q10 shape: top-20 customers by revenue from RETURNED
+    // items — join facts on the order key, aggregate per customer,
+    // bounded top-k via TakeOrderedAndProject (never a global sort).
+    "q_tpch_q10" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("o_orderdate") < lit(LocalDateTime.of(1996, 7, 1, 0, 0)))
+        .select("o_orderkey", "o_custkey")
+      val c = customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape: conditional aggregation after a fact join —
+    // high/low priority line counts per linestatus (the testdata has
+    // no shipmode column; linestatus plays its grouping role).
+    "q_tpch_q12" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .select("l_orderkey", "l_linestatus")
+        .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // TPC-H Q7 shape: volume shipped between two nations by year —
     // the two-role dimension pattern (nation joined twice under
     // different aliases). Facts shuffle on the order key once; both
@@ -708,6 +746,29 @@ object RelQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000 AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
