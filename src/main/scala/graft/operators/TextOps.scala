@@ -458,15 +458,20 @@ object TextOps {
         .join(prefix.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct()
+      // sorted ONCE per document so every candidate pair verifies by a
+      // codegen'd two-pointer merge (graft_sorted_inter) instead of an
+      // array_intersect hash set built per PAIR
       val sets = inv.groupBy("doc_id")
-        .agg(collect_set(col("sh")).as("shs"),
+        .agg(sort_array(collect_set(col("sh"))).as("shs"),
           count(lit(1)).as("sz"))
       val verified = cands
         .join(sets.select(col("doc_id").as("d1"), col("shs").as("shs1"),
           col("sz").as("sz1")), "d1")
         .join(sets.select(col("doc_id").as("d2"), col("shs").as("shs2"),
           col("sz").as("sz2")), "d2")
-        .withColumn("inter", size(array_intersect(col("shs1"), col("shs2"))).cast("long"))
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount
+            .sortedInterCount(col("shs1"), col("shs2")))
         .filter(col("inter") * 5 >= (col("sz1") + col("sz2") - col("inter")) * 4)
       verified
         .withColumn("uni", col("sz1") + col("sz2") - col("inter"))

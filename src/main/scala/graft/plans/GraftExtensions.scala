@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CmsSketch, DotProduct, HllSketch, KllSketch, NGrams}
+import graft.functions.{CmsSketch, DotProduct, HllSketch, KllSketch, NGrams, SortedIntersectCount}
 
 /** Session extension point for the engine's custom Catalyst pieces
   * (enable with `spark.sql.extensions=graft.plans.GraftExtensions`).
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_inter"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_inter"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllSketch].getName, "graft_hll"),
