@@ -390,6 +390,31 @@ object RelQueries {
         .orderBy("o_orderkey")
     }),
 
+    // PURE interval join (NO equi key) via BIN REPLICATION — the
+    // shape Spark otherwise plans as BroadcastNestedLoop/Cartesian
+    // (O(n·m) probes). Each interval is replicated to the W-wide bins
+    // it covers, each point maps to exactly ONE bin, so the join is a
+    // plain equi-shuffle on the bin id + a residual containment
+    // filter, and every (interval, point) match meets in exactly one
+    // bin — no dedup pass. Replication factor = width/W + 1 (bounded,
+    // tune W toward the median interval width); the oracle states the
+    // SEMANTICS as a brute-force BETWEEN join — physical strategy is
+    // ours to choose.
+    "q_interval_bin_join" -> ((s, d) => {
+      val w = 100L
+      val iv = part(s, d).select(col("p_partkey").as("iv_id"),
+        (col("p_partkey") * 40).as("lo"),
+        (col("p_partkey") * 40 + 100).as("hi"))
+      val binned = iv.select(col("iv_id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div $w"), expr(s"hi div $w"))).as("bin"))
+      val pts = lineitem(s, d).select(col("l_orderkey").as("v"))
+        .withColumn("bin", expr(s"v div $w"))
+      binned.join(pts, "bin")
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy("iv_id").agg(count(lit(1)).as("n_points"))
+        .orderBy("iv_id")
+    }),
+
     // exact interpolated percentiles over integer cents (identical
     // linear-interpolation arithmetic in both engines)
     "q_percentiles" -> ((s, d) =>
@@ -930,6 +955,14 @@ object RelQueries {
         |  SELECT CAST(SUM(CAST(ROUND(i.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_interval_bin_join" ->
+      """WITH iv AS (
+        |  SELECT p_partkey AS iv_id, p_partkey * 40 AS lo, p_partkey * 40 + 100 AS hi
+        |  FROM part)
+        |SELECT iv_id, COUNT(*) AS n_points
+        |FROM iv JOIN lineitem ON l_orderkey BETWEEN lo AND hi
+        |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_in_window

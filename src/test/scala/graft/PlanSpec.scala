@@ -113,6 +113,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1) Project"), "rotation rounds must be codegen'd")
   }
 
+  test("q_interval_bin_join: bin replication plans an equi join, never a nested loop") {
+    val p = plan("q_interval_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the whole point of binning is escaping the O(n*m) interval probe")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi join on the bin id")
+  }
+
   test("q_asof_forward / q_asof_inner: native AsOfJoin with the right mode flags") {
     Seq(("q_asof_forward", "AsOfForward"), ("q_asof_inner", "AsOfBackward"))
       .foreach { case (q, dir) =>
