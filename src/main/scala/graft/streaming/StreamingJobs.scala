@@ -192,6 +192,43 @@ object StreamingJobs {
     * then appends the delta — the reference's insert-if-changed load
     * (dags/bigquery.py:223-333) with exactly-once semantics across
     * restarts (see [[upsertBatch]]). */
+  /** Trending-terms pipeline: watermarked tumbling-window token
+    * counts, ranked top-k per CLOSED window, committed exactly-once to
+    * a transactional snapshot table — the full streaming-analytics
+    * composition (append-mode window aggregate → foreachBatch batch
+    * ranking → tagged snapshot commit). Append mode means a window's
+    * counts are delivered once, complete, when the watermark passes
+    * its end, so the per-window ranking inside foreachBatch sees final
+    * totals (a second streaming aggregation over the first would be
+    * unsupported — the batch hop is the standard shape). Ranking ties
+    * break lexicographically for determinism. */
+  def trendingTermsWriter(docs: DataFrame,
+                          table: graft.sources.SnapshotTable,
+                          runId: String,
+                          windowSec: Int = 60, k: Int = 3,
+                          lateSec: Int = 30): DataStreamWriter[Row] = {
+    require(runId.nonEmpty, "runId must name the checkpoint lineage")
+    val counts = docs
+      .withWatermark("ts", s"$lateSec seconds")
+      .select(col("ts"),
+        explode(array_remove(split(lower(col("text")), " "), "")).as("token"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("token"), col("n"))
+    counts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val byWin = org.apache.spark.sql.expressions.Window
+          .partitionBy("win_start").orderBy(col("n").desc, col("token"))
+        val ranked = batch
+          .withColumn("rk", row_number().over(byWin))
+          .filter(col("rk") <= k)
+          .select(col("win_start"), col("rk").cast("long").as("rk"),
+            col("token"), col("n"))
+        table.commitOnce(s"$runId/batch=$batchId", ranked): Unit
+      }
+  }
+
   /** One doc keyed into one LSH band bucket, with its full MinHash
     * signature along for the verify estimate. */
   case class BandedDoc(band: Int, bucket: Long, doc_id: Long, sigs: Seq[Long])

@@ -364,4 +364,33 @@ class StreamingSpec extends SparkTestBase {
     assert(f3.contains((1L, 3L)) && f3.contains((2L, 3L)))
     q.stop()
   }
+  test("trending terms: closed windows rank top-k exactly-once into a snapshot table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").cast("timestamp").as("ts"), col("_2").as("text"))
+    val table = graft.sources.SnapshotTable(
+      Files.createTempDirectory("graft_trend").toString)
+    val ck = Files.createTempDirectory("graft_trendck").toString
+    val q = StreamingJobs.trendingTermsWriter(docs, table, runId = "trend1",
+        windowSec = 60, k = 2, lateSec = 10)
+      .option("checkpointLocation", ck)
+      .start()
+
+    // window [0, 60): spark x3, flink x2, beam x1 — nothing closed yet
+    input.addData((5L, "spark spark flink"), (20L, "spark flink beam"))
+    q.processAllAvailable()
+    assert(table.read(spark).count() === 0, "open windows must not emit")
+
+    // an event at t=120 pushes the watermark past 60 → window closes,
+    // its FINAL counts rank and commit
+    input.addData((120L, "late window event"))
+    q.processAllAvailable()
+    val rows = table.read(spark)
+      .select("rk", "token", "n").as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "spark", 3L), (2L, "flink", 2L)))
+    q.stop()
+  }
 }
