@@ -453,10 +453,21 @@ object TextOps {
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       val prefix = ranked
         .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-        .select(col("doc_id"), col("sh"))
-      val cands = prefix.select(col("doc_id").as("d1"), col("sh"))
-        .join(prefix.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+        .select(col("doc_id"), col("sh"), col("rn"), col("sz"))
+      // POSITIONAL filter (PPJoin's second prune, still lossless): a
+      // prefix match at positions (rn1, rn2) bounds the overlap by
+      // 1 + min(sz1-rn1, sz2-rn2); Jaccard >= 0.8 needs overlap >=
+      // ceil(4(sz1+sz2)/9) (from inter >= t/(1+t)·(sz1+sz2)), so
+      // candidates whose bound can't reach it are dropped before the
+      // distinct+verify joins ever see them. Integral arithmetic
+      // throughout — ceil(4u/9) = (4u+8) div 9.
+      val cands = prefix.select(col("doc_id").as("d1"), col("sh"),
+          col("rn").as("rn1"), col("sz").as("sz1"))
+        .join(prefix.select(col("doc_id").as("d2"), col("sh"),
+          col("rn").as("rn2"), col("sz").as("sz2")), Seq("sh"))
         .filter(col("d1") < col("d2"))
+        .filter(lit(1L) + least(col("sz1") - col("rn1"), col("sz2") - col("rn2")) >=
+          expr("(4 * (sz1 + sz2) + 8) div 9"))
         .select("d1", "d2").distinct()
       // sorted ONCE per document so every candidate pair verifies by a
       // codegen'd two-pointer merge (graft_sorted_inter) instead of an
