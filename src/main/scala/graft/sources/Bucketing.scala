@@ -134,6 +134,21 @@ object Bucketing {
     cur.drop("_hx", "_hy")
   }
 
+  /** Write Hilbert-ordered: like [[writeZOrdered]] but on the Hilbert
+    * position, so each file's key range is one CONNECTED region of the
+    * grid (Morton ranges can straddle two far-apart half-rectangles at
+    * power-of-two boundaries) — the tightest 2-D min/max pruning at a
+    * given file count. */
+  def writeHilbertOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                          files: Int = 8, bits: Int = 16): Unit = {
+    val keyed = withHilbertKey(df, x, y, "_hkey", bits)
+    keyed.repartitionByRange(files, keyed.col("_hkey"))
+      .sortWithinPartitions("_hkey")
+      .drop("_hkey")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Write z-ordered: range-partition + sort by the interleaved key so
     * each file covers a compact rectangle of the (a, b) grid. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,

@@ -128,4 +128,28 @@ class BucketingSpec extends SparkTestBase {
     }
     assert(mortonJumps > 0)
   }
+
+  test("hilbert-ordered files cover compact sub-spans of the grid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hilb").toString
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256L)).as("cell_x"),
+        pmod(col("o_orderkey"), lit(256L)).as("cell_y"))
+    Bucketing.writeHilbertOrdered(orders, dir, col("cell_x"), col("cell_y"),
+      files = 8, bits = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    assert(files.size >= 2)
+    val rects = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("cell_x"), max("cell_x"), min("cell_y"), max("cell_y")).collect()(0)
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // every file must be a strict sub-span of the 0..255 grid in at
+    // least one dimension (the same bar the z-order layout clears)
+    rects.foreach { case (xs, ys) =>
+      assert(xs < 255 || ys < 255, s"file spans the whole grid ($xs x $ys)")
+    }
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
 }
