@@ -78,9 +78,11 @@ object TextOps {
     *   encode token sets into plain LONG bitmask columns; the pair loop
     *   is popcount(AND) in whole-stage codegen. Right when token sets
     *   saturate a small vocabulary (most pairs genuinely overlap).
-    * - SPARSE vocab (big dictionaries): inverted-index join on
-    *   (source, token) — pair rows exist only where tokens actually
-    *   co-occur, so cost tracks true overlap, not the pair space.
+    * - SPARSE vocab (big dictionaries) and OVERSIZED blocks: PPJoin
+    *   prefix-filtered inverted index ([[prefixCandidates]]) — only
+    *   each set's rarest-first prefix is indexed (lossless), so
+    *   candidate fan-out tracks rare-token df, not hot-token df²,
+    *   and verification is a codegen'd sorted merge per candidate.
     *
     * Both produce identical results (same null-free math; the oracle is
     * strategy-agnostic).
@@ -105,6 +107,74 @@ object TextOps {
     *     relation), so the main job pays no second vocabulary pass and
     *     no global row_number window.
     */
+  /** `(source, doc_id, sz, th)` inverted index over (source, doc_id,
+    * toks): one row per token occurrence, `th` a 60-bit md5-derived
+    * token hash, `sz` the exact (string-space) set size. The 8-byte
+    * long key halves the shuffle volume of the three downstream
+    * sorts/joins vs. raw token strings and makes the verify arrays
+    * `array<long>` for the codegen'd merge (q_shingle_jaccard
+    * precedent; collisions negligible in 2^60, and `sz` stays
+    * string-exact so only `inter` sees the hashed space).
+    * localCheckpoint: the index feeds the df/rank windows AND the
+    * whole-set aggregation — without it the explode+md5 subtree runs
+    * twice. */
+  private[graft] def hashedTokenIndex(dt: DataFrame): DataFrame =
+    dt.select(col("source"), col("doc_id"),
+        explode(col("toks")).as("token"),
+        size(col("toks")).cast("long").as("sz"))
+      .select(col("source"), col("doc_id"), col("sz"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10)
+          .cast("long").as("th"))
+      .localCheckpoint()
+
+  /** LOSSLESS PPJoin candidate generation (Chaudhuri et al. SSJoin;
+    * Xiao et al. PPJoin) over a [[hashedTokenIndex]]: distinct
+    * `(source, d1, d2)` pairs that can possibly reach the (rounded)
+    * Jaccard threshold encoded by `pruneLo` (= floor(100·t) − 1, the
+    * same round(·,4) slack the caller's final filter uses — every
+    * prune below is computed against this LOWER bound, so no pair the
+    * rounded filter would keep is ever dropped).
+    *
+    * Three prunes, all integral arithmetic (no float boundary drift):
+    * - PREFIX: under the global rarest-first token order (df asc,
+    *   hash asc), a qualifying pair must share a token within each
+    *   set's first `sz − ceil(tLo·sz) + 1` tokens, so only that
+    *   prefix is indexed. Hot tokens (max df) sort LAST and fall
+    *   outside every prefix — candidate fan-out tracks the df of the
+    *   RAREST tokens, never the stop-word df that made the naive
+    *   index quadratic.
+    * - SIZE RATIO: |A|·100 ≥ |B|·pruneLo both ways (J ≥ t bounds the
+    *   size ratio).
+    * - POSITIONAL: a prefix match at ranks (rn1, rn2) bounds overlap
+    *   by 1 + min(sz1−rn1, sz2−rn2); J ≥ tLo needs overlap ≥
+    *   ceil(pruneLo·(sz1+sz2)/(100+pruneLo)). The FIRST common token
+    *   in the global order has the loosest bound, so keep-if-any-row-
+    *   passes ≡ the textbook first-match test.
+    *
+    * pruneLo ≤ 0 (thresholds < 0.02) degrades gracefully to the full
+    * index with no positional prune — same output, no pruning. */
+  private[graft] def prefixCandidates(inv: DataFrame, pruneLo: Int): DataFrame = {
+    val ranked = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "th")))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("source", "doc_id").orderBy(col("df"), col("th")))
+        .cast("long"))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - expr(s"($pruneLo * sz + 99) div 100") + 1)
+      .select(col("source"), col("th"), col("doc_id"), col("rn"), col("sz"))
+    val hi = 100 + pruneLo
+    prefix.select(col("source"), col("th"), col("doc_id").as("d1"),
+        col("rn").as("rn1"), col("sz").as("sz1"))
+      .join(prefix.select(col("source"), col("th"), col("doc_id").as("d2"),
+        col("rn").as("rn2"), col("sz").as("sz2")), Seq("source", "th"))
+      .filter(col("d1") < col("d2"))
+      .filter(col("sz1") * 100 >= col("sz2") * pruneLo &&
+              col("sz2") * 100 >= col("sz1") * pruneLo)
+      .filter(lit(1L) + least(col("sz1") - col("rn1"), col("sz2") - col("rn2")) >=
+        expr(s"($pruneLo * (sz1 + sz2) + ${hi - 1}) div $hi"))
+      .select("source", "d1", "d2").distinct()
+  }
+
   def tokenJaccardPairs(dt: DataFrame, threshold: Double,
                         maxMaskWords: Int = 16,
                         maxBlockRows: Long = 10000L,
@@ -161,17 +231,31 @@ object TextOps {
                   col("sz2") * 100 >= col("sz1") * pruneLo)
           .withColumn("inter", interExpr)
       } else {
-        val inv = dt.select(col("source"), col("doc_id"),
-          explode(col("toks")).as("token"), size(col("toks")).cast("long").as("sz"))
-        val a = inv.select(col("source"), col("token"),
-          col("doc_id").as("d1"), col("sz").as("sz1"))
-        val b = inv.select(col("source"), col("token"),
-          col("doc_id").as("d2"), col("sz").as("sz2"))
-        a.join(b, Seq("source", "token")).filter(col("d1") < col("d2"))
-          .filter(col("sz1") * 100 >= col("sz2") * pruneLo &&
-                  col("sz2") * 100 >= col("sz1") * pruneLo)
-          .groupBy("source", "d1", "sz1", "d2", "sz2")
-          .agg(count(lit(1)).as("inter"))
+        // PPJoin prefix-filtered inverted index — the lossless scale
+        // path (see [[prefixCandidates]]). The former plain
+        // (source, token) self-join emitted df²/2 candidate rows per
+        // hot token (a stop word with df = d → d²/2 rows), and this is
+        // the branch LARGE blocks are routed to by the maxBlockRows
+        // gate — at 100 TB it is the live path, so it gets the same
+        // prefix machinery as q_setsim_prefix.
+        val inv = hashedTokenIndex(dt)
+        val cands = prefixCandidates(inv, pruneLo)
+        // sorted ONCE per document; each candidate pair verifies by the
+        // codegen'd two-pointer merge instead of a per-pair hash set.
+        // sz = exploded-row count (string-exact set size, independent
+        // of the 60-bit hash), so only `inter` sees the hashed space.
+        val sets = inv.groupBy("source", "doc_id")
+          .agg(sort_array(collect_set(col("th"))).as("ths"),
+            count(lit(1)).as("sz"))
+        cands
+          .join(sets.select(col("source"), col("doc_id").as("d1"),
+            col("ths").as("ths1"), col("sz").as("sz1")), Seq("source", "d1"))
+          .join(sets.select(col("source"), col("doc_id").as("d2"),
+            col("ths").as("ths2"), col("sz").as("sz2")), Seq("source", "d2"))
+          .withColumn("inter", graft.functions.SortedIntersectCount
+            .sortedInterCount(col("ths1"), col("ths2")))
+          .select(col("source"), col("d1"), col("sz1"),
+            col("d2"), col("sz2"), col("inter"))
       }
 
     val out = pairs

@@ -51,6 +51,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(gated.collect().map(_.toSeq).toSeq === dense.collect().map(_.toSeq).toSeq)
   }
 
+  test("sparse jaccard fallback prefix-filters hot tokens: candidates ≪ d²/2") {
+    import spark.implicits._
+    // 200 docs in one block, ALL sharing 3 hot tokens (df = 200) plus 5
+    // unique tokens each; docs 198/199 are exact token-set duplicates.
+    // The pre-PPJoin inverted index joined on (source, token) would emit
+    // 3 × 200·199/2 = 59 700 candidate rows from the hot tokens alone;
+    // the rarest-first prefix (2 tokens at t = 0.8 for sz = 8) excludes
+    // hot tokens entirely, so candidates arise only from shared RARE
+    // tokens — exactly the engineered duplicate pair.
+    val docs = (0 until 200).map { i =>
+      val uniq = if (i == 199) 198 else i // 199 duplicates 198's set
+      ("s0", i.toLong,
+        Seq("hot1", "hot2", "hot3") ++ (0 until 5).map(k => s"u${uniq}_$k"))
+    }
+    val dt = docs.toDF("source", "doc_id", "toks")
+    val cands = graft.operators.TextOps.prefixCandidates(
+      graft.operators.TextOps.hashedTokenIndex(dt), pruneLo = 79)
+    val nCands = cands.count()
+    assert(nCands <= 10L, s"prefix filter must kill hot-token fan-out, got $nCands")
+    val pairs = graft.operators.TextOps
+      .tokenJaccardPairs(dt, threshold = 0.8, maxMaskWords = 0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((198L, 199L)), "the true duplicate pair must survive")
+  }
+
   test("graft_hll sketch: within 5% of exact, partitioning-invariant merge") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
     def run(df: org.apache.spark.sql.DataFrame) = df

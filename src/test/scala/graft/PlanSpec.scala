@@ -131,6 +131,21 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("sparse jaccard fallback plans the PPJoin shape: sorted-merge verify, no count-agg join") {
+    import spark.implicits._
+    val dt = (0 until 50).map(i =>
+        ("s0", i.toLong, Seq("hot") ++ (0 until 4).map(k => s"u${i}_$k")))
+      .toDF("source", "doc_id", "toks")
+    // maxMaskWords = 0 forces the sparse fallback regardless of vocab
+    val df = graft.operators.TextOps
+      .tokenJaccardPairs(dt, threshold = 0.8, maxMaskWords = 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_sorted_inter"),
+      "verification must be the codegen'd two-pointer merge, not a per-token count agg")
+    assert(!p.contains("bit_count"), "must not pick the dense bitmask path")
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
