@@ -43,7 +43,11 @@ final class SnapshotTable(root: String) {
   Files.createDirectories(dataDir)
   Files.createDirectories(manifestDir)
 
-  private val Manifest = """v(\d{9})\.json""".r
+  // \d{9,}: zero-padded names keep lexicographic order through 9
+  // digits; a width overflow past 1e9 commits is anomalous but must
+  // not make currentVersion silently blind to the head (which would
+  // wedge every subsequent publish on a stale version)
+  private val Manifest = """v(\d{9,})\.json""".r
 
   /** Highest committed snapshot version, or -1 for an empty table. */
   def currentVersion(): Long = {
@@ -72,6 +76,13 @@ final class SnapshotTable(root: String) {
     Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
 
+  /** The schema DDL recorded with snapshot `v` (commits since the
+    * schema line shipped; absent on older manifests). */
+  private def schemaOf(v: Long): Option[String] =
+    if (v < 0) None
+    else Files.readAllLines(manifestPath(v)).asScala
+      .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
+
   // incremental tag index: manifests are immutable once committed, so
   // each version is read at most once per table handle — commitOnce
   // calls tagCommitted at least twice per commit, and a full-history
@@ -80,8 +91,14 @@ final class SnapshotTable(root: String) {
   private var tagsScannedTo = -1L
 
   /** True iff some committed snapshot carries `tag`. */
-  def tagCommitted(tag: String): Boolean = synchronized {
-    val head = currentVersion()
+  def tagCommitted(tag: String): Boolean =
+    tagCommittedUpTo(tag, currentVersion())
+
+  /** Tag check against an explicitly resolved `head` — the commit loop
+    * must scan AFTER resolving the head it is about to publish over,
+    * or a concurrent writer landing the same tag between the scan and
+    * the head read would double-commit (see [[doCommit]]). */
+  private def tagCommittedUpTo(tag: String, head: Long): Boolean = synchronized {
     while (tagsScannedTo < head) {
       tagsScannedTo += 1
       tagOf(tagsScannedTo).foreach(knownTags.add)
@@ -95,13 +112,24 @@ final class SnapshotTable(root: String) {
     * snapshot isolation for the read-modify-write-same-table cycle. */
   def read(spark: SparkSession): DataFrame = readAt(spark, currentVersion())
 
-  /** Time travel: read snapshot `v` as of its commit. */
+  /** Time travel: read snapshot `v` as of its commit.
+    *
+    * A snapshot with an empty file listing (e.g. a replace-commit of
+    * an empty DataFrame) is read back with the TABLE schema persisted
+    * in its manifest, so `select`s on an emptied table still resolve
+    * and the schema matches post-commit reads. Only a table with NO
+    * commits at all (v < 0, nothing ever declared a schema) degrades
+    * to the zero-column `emptyDataFrame`. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
     val files = listing(v).map(rel => Paths.get(root).resolve(rel).toString)
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else
+    if (files.nonEmpty)
       spark.read.option("basePath", dataDir.toString).parquet(files: _*)
+    else schemaOf(v) match {
+      case Some(ddl) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.emptyDataFrame
+    }
   }
 
   /** Commit `df` as the next snapshot: append (new files + previous
@@ -151,12 +179,18 @@ final class SnapshotTable(root: String) {
     var committed = -1L
     var skipped = false
     while (committed < 0 && !skipped) {
-      // a lost race may mean the winner committed OUR tag (a replayed
-      // batch racing itself across restarts) — re-check before retry
-      if (tag.exists(tagCommitted)) skipped = true
+      // resolve the head FIRST, then scan tags up to exactly that
+      // head: a concurrent writer may have committed OUR tag (a
+      // replayed batch racing itself across two drivers) in a version
+      // we haven't scanned — checking against a stale head and then
+      // publishing over a newer one would double-append. With the scan
+      // pinned to the publish target's predecessor, a winner landing
+      // after the scan collides on head+1 and is caught on the retry.
+      val head = currentVersion()
+      if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
-        val head = currentVersion()
         val full = tag.map(t => s"#tag=$t").toSeq ++
+          Seq(s"#schema=${df.schema.toDDL}") ++
           (if (replace) newFiles else listing(head) ++ newFiles)
         if (publish(head + 1, full)) committed = head + 1
         else {
@@ -195,9 +229,14 @@ final class SnapshotTable(root: String) {
     val cur = read(spark)
     val arranged = sortKey match {
       case Some(k) =>
-        val keyed = cur.withColumn("_ckey", k)
-        keyed.repartitionByRange(files, keyed.col("_ckey"))
-          .sortWithinPartitions("_ckey").drop("_ckey")
+        // collision-proof temp name: withColumn would silently
+        // OVERWRITE a user column named "_ckey" and the drop would
+        // then delete it from the compacted snapshot
+        val ck = Iterator.from(0).map(i => s"_ckey$i")
+          .find(n => !cur.columns.contains(n)).get
+        val keyed = cur.withColumn(ck, k)
+        keyed.repartitionByRange(files, keyed.col(ck))
+          .sortWithinPartitions(ck).drop(ck)
       case None => cur.repartition(files)
     }
     commit(arranged, replace = true)

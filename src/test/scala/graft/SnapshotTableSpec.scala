@@ -138,6 +138,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 130)
   }
 
+  test("empty snapshots read back with the committed table schema") {
+    val (t, _) = freshTable()
+    // replace-commit an EMPTY frame: no data files, but the manifest
+    // carries the schema, so selects on the emptied table still resolve
+    t.commit(df(0 until 5))
+    val v = t.commit(df(0 until 5).filter(col("id") < 0), replace = true)
+    val emptied = t.readAt(spark, v)
+    assert(emptied.schema.fieldNames.toSeq === Seq("id"))
+    assert(emptied.select("id").count() === 0) // would throw pre-schema-line
+  }
+
+  test("compact with a sortKey preserves a user column named _ckey0") {
+    val (t, _) = freshTable()
+    t.commit(df(0 until 20).withColumn("_ckey0", col("id") * 2))
+    t.compact(spark, files = 2, sortKey = Some(col("id")))
+    val back = t.read(spark)
+    assert(back.columns.toSet === Set("id", "_ckey0"))
+    assert(back.agg(sum("_ckey0")).as[Long].head === (0 until 20).map(_ * 2).sum)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
