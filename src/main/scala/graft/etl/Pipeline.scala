@@ -90,55 +90,52 @@ object Pipeline {
       .toDF("competitor_name", "scraped_at", "error_details")
       .withColumn("status", Scalars.statusOf(col("error_details")))
       .withColumn("scraped_at", to_date(col("scraped_at")))
-    logRows.write.mode("append").parquet(s"$warehouseDir/logs")
+    graft.sources.SnapshotTable(s"$warehouseDir/logs").commit(logRows)
     results
+  }
+
+  /** Batch-load idempotency key = md5 of the drop's CONTENT (cleaned
+    * NDJSON is small, so a driver-side read is cheap): a retry of the
+    * same drop hits the tag in snapshot history, any regenerated drop
+    * with different content is a new batch — unlike (length, mtime),
+    * which a same-size rewrite within the filesystem's timestamp tick
+    * would falsely dedupe. The Spark json writer produces a DIRECTORY
+    * of part files, so walk it in name order (skipping _SUCCESS/CRC
+    * markers). At lake scale, key on the object store's version/etag
+    * instead of reading bytes. */
+  private def contentKey(path: java.io.File, prefix: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feed)
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        md.update(f.getName.getBytes("UTF-8"))
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+      }
+    feed(path)
+    s"load_${prefix}_" + md.digest().map("%02x".format(_)).mkString
   }
 
   /** Load one competitor's cleaned NDJSON into the warehouse tables
     * (products SCD + packs anti-join), mirroring load_to_bigquery_dag.
     *
-    * Note: this reads warehouse parquet state and appends to the same
-    * directories in one pass — safe against concurrent readers because
-    * loadState snapshots each table's file listing when the DataFrame
-    * is created. RETRY re-entry (withRetry in `run` re-invokes this
-    * whole method after a transient failure) goes through the same
-    * per-batch commit marker as the streaming sink
-    * (StreamingJobs.upsertOnce, keyed by the input file's CONTENT
-    * hash): a retry after the upsert fully succeeded is a no-op. The
-    * same caveat as the streaming sink applies to a crash strictly
-    * inside the four appends: insert-if-absent tables self-heal on
-    * re-entry, version-append tables only while a single version
-    * exists — full mid-append atomicity needs a transactional table
-    * format, which is the cluster-scale upgrade for all of this. The
-    * packs append needs no marker — its anti-join re-staged against
-    * post-append state is naturally empty. */
+    * Every warehouse table is a [[graft.sources.SnapshotTable]]; the
+    * load lands as per-table TAGGED atomic commits
+    * (StreamingJobs.upsertOnce, tag keyed by the input file's content
+    * hash). A crash mid-load leaves each table either untouched — at
+    * its previous committed version, fully readable — or cleanly
+    * advanced; RETRY re-entry (withRetry in `run`) recomputes the
+    * delta against current state and commits exactly the tables whose
+    * tag is missing, while a retry after full success plans no Spark
+    * job at all. This closes the torn-warehouse window the old
+    * append-to-directory writes had. */
   def loadCompetitor(spark: SparkSession, cleanDir: String, warehouseDir: String,
                      competitor: String): Unit = {
     val productsPath = new java.io.File(s"$cleanDir/${competitor}_products.ndjson")
     if (productsPath.exists()) {
       val batch = Tables.ndjson(spark, Schemas.cleanProduct, productsPath.getAbsolutePath)
         .withColumn("scraped_at", to_date(col("scraped_at")))
-      // marker key = md5 of the drop's CONTENT (cleaned NDJSON is
-      // small, so a driver-side read is cheap): a retry of the same
-      // drop hits the marker, any regenerated drop with different
-      // content is a new batch — unlike (length, mtime), which a
-      // same-size rewrite within the filesystem's timestamp tick
-      // would falsely dedupe. The Spark json writer produces a
-      // DIRECTORY of part files, so walk it in name order (skipping
-      // _SUCCESS/CRC markers). At lake scale, key on the object
-      // store's version/etag instead of reading bytes.
-      val key = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def feed(f: java.io.File): Unit =
-          if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(feed)
-          else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
-            md.update(f.getName.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(f.toPath))
-          }
-        feed(productsPath)
-        "load_" + competitor + "_" + md.digest().map("%02x".format(_)).mkString
-      }
-      graft.streaming.StreamingJobs.upsertOnce(batch, key, warehouseDir)
+      graft.streaming.StreamingJobs.upsertOnce(batch,
+        contentKey(productsPath, competitor), warehouseDir)
     }
 
     val packsPath = new java.io.File(s"$cleanDir/${competitor}_packs.ndjson")
@@ -146,9 +143,14 @@ object Pipeline {
       // re-read state so packs see competitors staged above
       val st = graft.streaming.StreamingJobs.loadState(spark, warehouseDir)
       val rawPacks = Tables.ndjson(spark, Schemas.rawPack, packsPath.getAbsolutePath)
-      WarehouseLoad.stagePacks(st, rawPacks)
+      val staged = WarehouseLoad.stagePacks(st, rawPacks)
         .withColumn("scraped_at", to_date(col("scraped_at")))
-        .write.mode("append").parquet(s"$warehouseDir/packs")
+      // tagged atomic commit, same contract as the products tables: the
+      // anti-join is naturally idempotent against committed state, but
+      // the tag also makes a RETRY of an already-landed drop plan no
+      // Spark job at all
+      graft.sources.SnapshotTable(s"$warehouseDir/packs")
+        .commitOnce(contentKey(packsPath, s"packs_$competitor"), staged): Unit
     }
   }
 }

@@ -132,6 +132,23 @@ final class SnapshotTable(root: String) {
     }
   }
 
+  /** Read the latest snapshot under a DECLARED schema (the K4/K5 DDL
+    * contract): columns are pruned/ordered to `schema` and an empty
+    * table yields a typed empty frame — the warehouse-load entry
+    * point, where the caller owns the schema and a zero-column frame
+    * would break every downstream join. */
+  def readAs(spark: SparkSession,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = listing(currentVersion())
+      .map(rel => Paths.get(root).resolve(rel).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .option("basePath", dataDir.toString).parquet(files: _*)
+  }
+
   /** Commit `df` as the next snapshot: append (new files + previous
     * listing) or replace (new files only). Returns the committed
     * version. Data lands invisible first; visibility is the atomic

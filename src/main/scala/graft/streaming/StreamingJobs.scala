@@ -360,54 +360,60 @@ object StreamingJobs {
     * guarantees at-least-once delivery to foreachBatch: after a crash
     * between the sink's side effects and the checkpoint commit, the same
     * (batch, batchId) is delivered again, and a naive append would
-    * double-write the delta. Two layers make the replay safe:
-    *
-    *  1. a commit marker `_graft_commits/<batchId>` (written through the
-    *     Hadoop FS API, so it lands on whatever filesystem the warehouse
-    *     lives on) is created only after ALL table appends succeed; a
-    *     replayed batch whose marker exists is skipped outright;
-    *  2. if the crash hit between the appends and the marker write, the
-    *     replay recomputes the delta against the already-appended state.
-    *     Insert-if-absent tables (competitors, products) self-heal: the
-    *     recomputed delta stages only what is genuinely missing. The
-    *     version-append tables (features, prices) self-heal only while a
-    *     single version exists — under the faithful ASC probe a replayed
-    *     CHANGE compares against the oldest version and would re-stage —
-    *     which is exactly why the marker, not the staging semantics, is
-    *     the exactly-once guarantee.
-    */
+    * double-write the delta. [[upsertOnce]]'s per-table tagged snapshot
+    * commits make the replay safe: the batchId tag rides inside each
+    * table's atomically-published manifest, so a replayed batch skips
+    * every table that already committed it and completes only the
+    * tables the crash left behind. */
   def upsertBatch(batch: DataFrame, batchId: Long, warehouseDir: String): Unit =
     upsertOnce(batch, batchId.toString, warehouseDir)
 
-  /** The marker-guarded SCD append itself, shared by the streaming sink
+  /** The tag-guarded SCD append itself, shared by the streaming sink
     * (markerKey = micro-batch id) and the batch pipeline's retry path
     * (markerKey derived from the input file identity) — any caller that
-    * may deliver the same logical batch twice goes through here. */
+    * may deliver the same logical batch twice goes through here.
+    *
+    * Each warehouse table is a [[graft.sources.SnapshotTable]] and the
+    * batch lands as ONE tagged commit per table (`commitOnce`,
+    * tag = markerKey): a crashed load leaves every table either at its
+    * previous version (the new data files are invisible until the
+    * atomic manifest publish — no torn directory-append state) or
+    * cleanly advanced, and the RETRY re-stages the delta against
+    * current state and commits only the tables whose tag is missing.
+    * Deterministic surrogate keys make the recomputed delta row-
+    * identical, so a partially-landed load self-completes instead of
+    * double-appending — strictly stronger than the former
+    * marker-file-after-four-appends protocol, whose crash window
+    * between the appends and the marker could re-stage a feature/price
+    * version on replay. A fully-replayed batch costs four tag lookups
+    * and plans no Spark job at all. */
   def upsertOnce(batch: DataFrame, markerKey: String, warehouseDir: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$warehouseDir/_graft_commits/$markerKey")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
+    val tables = Seq("competitors", "products", "features", "product_prices")
+      .map(n => n -> graft.sources.SnapshotTable(s"$warehouseDir/$n")).toMap
+    if (!tables.values.forall(_.tagCommitted(markerKey))) {
       val state = loadState(spark, warehouseDir)
       val delta = WarehouseLoad.stageProducts(state, batch)
-      append(delta.competitors, s"$warehouseDir/competitors")
-      append(delta.products, s"$warehouseDir/products")
-      append(delta.features, s"$warehouseDir/features")
-      append(delta.prices, s"$warehouseDir/product_prices")
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+      tables("competitors").commitOnce(markerKey, delta.competitors)
+      tables("products").commitOnce(markerKey, delta.products)
+      tables("features").commitOnce(markerKey, delta.features)
+      tables("product_prices").commitOnce(markerKey, delta.prices)
     }
   }
 
-  private def append(df: DataFrame, path: String): Unit =
-    df.write.mode("append").parquet(path)
-
-  /** Read current warehouse state, tolerating not-yet-created tables. */
+  /** Read current warehouse state, tolerating not-yet-created tables.
+    * Each table is a snapshot table (committed manifest = source of
+    * truth); plain-parquet directories from the pre-snapshot layout
+    * are still readable as a migration path. */
   def loadState(spark: SparkSession, dir: String): WarehouseLoad.State = {
     def tbl(name: String, schema: org.apache.spark.sql.types.StructType) = {
-      val p = new java.io.File(s"$dir/$name")
-      if (p.isDirectory && p.list().exists(_.endsWith(".parquet")))
-        spark.read.schema(schema).parquet(p.getAbsolutePath)
+      val root = s"$dir/$name"
+      val manifests = new java.io.File(s"$root/_manifests")
+      val legacy = new java.io.File(root)
+      if (manifests.isDirectory && manifests.list().exists(_.endsWith(".json")))
+        graft.sources.SnapshotTable(root).readAs(spark, schema)
+      else if (legacy.isDirectory && legacy.list().exists(_.endsWith(".parquet")))
+        spark.read.schema(schema).parquet(root) // pre-snapshot layout
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
     WarehouseLoad.State(

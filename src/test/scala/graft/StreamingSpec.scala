@@ -86,11 +86,12 @@ class StreamingSpec extends SparkTestBase {
     q2.awaitTermination()
     val before = StreamingJobs.loadState(spark, whDir)
     assert(before.prices.count() === 2)
-    assert(new java.io.File(s"$whDir/_graft_commits/1").exists())
+    // batch 1's tag rides inside each table's committed manifest
+    assert(graft.sources.SnapshotTable(s"$whDir/product_prices").tagCommitted("1"))
 
     // simulate the crash-replay: Structured Streaming re-delivers batch 1
-    // (side effects done, checkpoint commit lost) — the commit marker
-    // must short-circuit it
+    // (side effects done, checkpoint commit lost) — the tag in snapshot
+    // history must short-circuit it
     val replayed = graft.etl.CleanJob.cleanProducts(
         spark.read.schema(graft.schema.Schemas.rawProduct).json(s"$rawDir/b2.ndjson"))
       .withColumn("scraped_at", to_date(col("scraped_at")))
@@ -102,7 +103,7 @@ class StreamingSpec extends SparkTestBase {
 
     // the same data under a NEW batchId is a genuine new batch: the
     // faithful ASC probe sees price 25 != oldest 15 and stages again —
-    // proving the marker (not accidental no-op staging) is what made the
+    // proving the tag (not accidental no-op staging) is what made the
     // replay safe
     StreamingJobs.upsertBatch(replayed, batchId = 2L, whDir)
     assert(StreamingJobs.loadState(spark, whDir).prices.count() === 3)
