@@ -263,14 +263,29 @@ object GraphOps {
       .select(col("source").as("block"), col("d1").as("src"), col("d2").as("dst"))
 
   /** (doc_id, comp) over ALL documents: blocked union-find on the
-    * verified pairs, singletons defaulting to their own id. */
-  private def clusters(s: SparkSession, d: String): DataFrame = {
-    val labels = blockedComponents(verifiedPairs(s, d))
-    documents(s, d).select(col("doc_id"))
-      .join(labels, col("doc_id") === col("node"), "left")
-      .select(col("doc_id").as("node"),
-        coalesce(col("comp"), col("doc_id")).as("comp"))
-  }
+    * verified pairs, singletons defaulting to their own id.
+    *
+    * MEMOIZED per (session, input dir) as a localCheckpoint: the
+    * verify pipeline under it (tokenize → candidate join → verify →
+    * union-find) is the most expensive subtree in the catalog, and
+    * THREE queries consume its result (q_dedup_clusters,
+    * q_dedup_survivors, q_dedup_multisignal's text signal) — without
+    * the memo each re-derives the whole pipeline. Sound because the
+    * derivation is deterministic over an input directory read as an
+    * immutable snapshot (the testdata/lake contract); the cached
+    * frame is one row per document, and its lifetime is the session's. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, d), {
+      val labels = blockedComponents(verifiedPairs(s, d))
+      documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id").as("node"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .localCheckpoint()
+    })
 
   /** Embedding-cosine near-dup pairs blocked by `label` — the SECOND
     * dedup signal, with a DIFFERENT blocking key than the text pairs'
@@ -305,8 +320,10 @@ object GraphOps {
             coalesce(col("comp"), col("doc_id")).as(out))
       // one row per doc; materialized ONCE — it feeds the edge
       // derivation, the node set, and the final decode join, and
-      // recomputing it would re-run both pair pipelines per branch
-      val joined = compOf(blockedComponents(verifiedPairs(s, d)), "tcomp")
+      // recomputing it would re-run both pair pipelines per branch.
+      // The text signal is exactly the memoized [[clusters]] labels.
+      val joined = clusters(s, d)
+        .select(col("node").as("doc_id"), col("comp").as("tcomp"))
         .join(compOf(blockedComponents(embeddingPairs(s, d)), "vcomp"), "doc_id")
         .localCheckpoint()
       // distinct namespaces: text comps on even ids, vec comps on odd
