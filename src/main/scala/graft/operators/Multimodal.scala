@@ -56,6 +56,103 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM image header decode — no codec dependency: sniff
+    * the container by magic bytes and read the DECLARED dimensions
+    * from the header. PNG IHDR (big-endian u32), JPEG SOF marker scan
+    * (big-endian u16, height first; APPn/DQT/COM/... segments are
+    * length-skipped, so files with JFIF/EXIF preambles parse), GIF
+    * logical screen descriptor (little-endian u16), BMP info header
+    * (little-endian i32, negative = top-down). This upgrades
+    * [[decodeStub]] to a genuine decode wherever the payload is a real
+    * image container; full pixel decode (the part that truly needs a
+    * codec library) stays out of scope in this container. Unrecognized
+    * or truncated payloads return (0, 0, "unknown") — corrupt rows are
+    * data, not crashes, at lake scale. */
+  object ImageHeaders extends MediaDecoder {
+    private def isSof(m: Int): Boolean =
+      m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+    def decode(p: Array[Byte]): (Int, Int, String) = {
+      def u8(i: Int) = p(i) & 0xff
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+
+      def jpeg(): (Int, Int, String) = {
+        var i = 2
+        while (i + 4 <= p.length) {
+          if (u8(i) != 0xFF) return (0, 0, "unknown")
+          val m = u8(i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone
+          else if (m == 0xDA) return (0, 0, "unknown") // entropy data before any SOF
+          else {
+            val len = be16(i + 2)
+            if (len < 2 || i + 2 + len > p.length) return (0, 0, "unknown")
+            if (isSof(m)) {
+              if (len >= 9) return (be16(i + 7), be16(i + 5), "jpeg")
+              else return (0, 0, "unknown")
+            }
+            i += 2 + len
+          }
+        }
+        (0, 0, "unknown")
+      }
+
+      if (p.length >= 29 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+          u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+          p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        (be32(16), be32(20), "png")
+      else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8)
+        jpeg()
+      else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+               p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        (le16(6), le16(8), "gif")
+      else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+        (le32(18), math.abs(le32(22)), "bmp")
+      else (0, 0, "unknown")
+    }
+  }
+
+  /** Deterministic synthetic image payloads (this container ships no
+    * real media): REAL container headers — valid PNG / JPEG(JFIF+SOF0)
+    * / GIF89a signatures and dimension fields — zero-padded to exactly
+    * 64 bytes. [[ImageHeaders]] exercises genuine multi-byte
+    * big/little-endian header parsing end-to-end, while the expected
+    * dimensions stay a pure arithmetic function of `id` that the
+    * DuckDB oracle reproduces without any binary parsing:
+    * width = 16 + id % 1000, height = 16 + id % 777,
+    * format = id % 3 → png / jpeg / gif. */
+  def syntheticImage(id: Long): Array[Byte] = {
+    val w = (16 + id % 1000).toInt
+    val h = (16 + id % 777).toInt
+    val out = new Array[Byte](64)
+    def put(at: Int, vs: Int*): Unit =
+      vs.zipWithIndex.foreach { case (v, i) => out(at + i) = v.toByte }
+    def be32(at: Int, v: Int): Unit = put(at, v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    def be16(at: Int, v: Int): Unit = put(at, (v >>> 8) & 0xff, v & 0xff)
+    def le16(at: Int, v: Int): Unit = put(at, v & 0xff, (v >>> 8) & 0xff)
+    (id % 3) match {
+      case 0 => // PNG: signature + IHDR with BE32 dims
+        put(0, 0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        be32(8, 13); put(12, 'I', 'H', 'D', 'R')
+        be32(16, w); be32(20, h)
+        put(24, 8, 2) // bit depth, truecolor
+      case 1 => // JPEG: SOI + JFIF APP0 (must be length-skipped) + SOF0 + EOI
+        put(0, 0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10)
+        put(6, 'J', 'F', 'I', 'F', 0x00, 0x01)
+        put(20, 0xFF, 0xC0, 0x00, 0x0B, 0x08) // SOF0, len 11, precision 8
+        be16(25, h); be16(27, w) // height FIRST in SOF
+        put(29, 0x01, 0x01, 0x11, 0x00) // 1 component
+        put(33, 0xFF, 0xD9)
+      case _ => // GIF89a: LE16 logical screen dims
+        put(0, 'G', 'I', 'F', '8', '9', 'a')
+        le16(6, w); le16(8, h)
+    }
+    out
+  }
+
   /** Batched per-partition metadata extraction over a DataFrame of
     * (doc_id long, payload binary, media_source string). */
   def extractMeta(df: DataFrame, decoder: MediaDecoder = decodeStub,

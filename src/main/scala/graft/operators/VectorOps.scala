@@ -175,6 +175,26 @@ object VectorOps {
             col("source").as("media_source")))
         .orderBy("doc_id")),
 
+    // E6 REAL header decode: the payloads are genuine PNG / JFIF+SOF0
+    // JPEG / GIF89a containers (synthesized deterministically — no
+    // media ships in this container) and the dimensions come out of
+    // ImageHeaders' actual byte-level parse: BE32 IHDR fields, a JPEG
+    // marker scan that must length-skip the APP0 preamble, LE16 GIF
+    // screen descriptor. The oracle recomputes the same dims as pure
+    // doc_id arithmetic (the synthesis rule), so any parser bug —
+    // endianness, offset, marker skip — breaks the hash compare.
+    "q_image_headers" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long"), col("source"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          (id, Multimodal.syntheticImage(id), src) })
+        .toDF("doc_id", "payload", "media_source")
+      Multimodal.extractMeta(payloads, Multimodal.ImageHeaders)
+        .orderBy("doc_id")
+    }),
+
     // Lloyd k-means in QUANTIZED integer space — the clustering stage
     // an IVF index or mixture analysis needs, made fully DuckDB-
     // oracle-able by the same move as the cents/PageRank conventions:
@@ -289,6 +309,18 @@ object VectorOps {
         |  ex.exact_docs
         |FROM est JOIN ex ON est.lang = ex.lang
         |ORDER BY est.lang""".stripMargin,
+
+    // mirrors Multimodal.syntheticImage's dimension rule — the Spark
+    // side PARSES real container headers; the oracle recomputes the
+    // dims the headers were built from
+    "q_image_headers" ->
+      """SELECT doc_id, source AS media_source,
+        |  CAST(64 AS BIGINT) AS byte_len,
+        |  CAST(16 + doc_id % 1000 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 777 AS INTEGER) AS height,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format

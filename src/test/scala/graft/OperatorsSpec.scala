@@ -110,6 +110,46 @@ class OperatorsSpec extends SparkTestBase {
     assert(m.getAs[Int]("width") >= 160 && m.getAs[Int]("height") >= 120)
   }
 
+  test("ImageHeaders parses real container headers; corrupt payloads degrade to unknown") {
+    import graft.operators.Multimodal.ImageHeaders
+    def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    // canonical 1x1 PNG header (signature + IHDR)
+    val png1 = bytes(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13,
+      'I', 'H', 'D', 'R', 0, 0, 0, 1, 0, 0, 0, 1, 8, 6, 0, 0, 0)
+    assert(ImageHeaders.decode(png1) === ((1, 1, "png")))
+    // multi-byte BE32 dims: 1280 x 800
+    val png2 = bytes(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13,
+      'I', 'H', 'D', 'R', 0, 0, 0x05, 0x00, 0, 0, 0x03, 0x20, 8, 2, 0, 0, 0)
+    assert(ImageHeaders.decode(png2) === ((1280, 800, "png")))
+    // progressive JPEG (SOF2) behind APP0 and DQT segments that must be
+    // length-skipped; height (7) precedes width (9) in the SOF
+    val jpg = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0, 0,
+      0xFF, 0xDB, 0x00, 0x04, 0, 0,
+      0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x07, 0x00, 0x09, 0x01, 0x01, 0x11, 0x00,
+      0xFF, 0xD9)
+    assert(ImageHeaders.decode(jpg) === ((9, 7, "jpeg")))
+    // GIF87a with little-endian dims 300 x 200
+    val gif = bytes('G', 'I', 'F', '8', '7', 'a', 0x2C, 0x01, 0xC8, 0x00, 0, 0, 0)
+    assert(ImageHeaders.decode(gif) === ((300, 200, "gif")))
+    // BMP 640 x 480 (LE32 at offsets 18/22), and top-down negative height
+    val bmpPre = bytes('B', 'M') ++ new Array[Byte](16)
+    val bmp = bmpPre ++ bytes(0x80, 0x02, 0, 0, 0xE0, 0x01, 0, 0)
+    assert(ImageHeaders.decode(bmp) === ((640, 480, "bmp")))
+    val bmpTopDown = bmpPre ++ bytes(0x80, 0x02, 0, 0, 0x20, 0xFE, 0xFF, 0xFF)
+    assert(ImageHeaders.decode(bmpTopDown) === ((640, 480, "bmp")))
+    // corrupt payloads: empty, text, JPEG with entropy data but no SOF
+    assert(ImageHeaders.decode(Array.emptyByteArray) === ((0, 0, "unknown")))
+    assert(ImageHeaders.decode("not an image".getBytes("UTF-8")) === ((0, 0, "unknown")))
+    assert(ImageHeaders.decode(bytes(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0, 0))
+      === ((0, 0, "unknown")))
+    // synthetic payloads roundtrip: parse recovers the synthesis rule
+    (0L until 60L).foreach { id =>
+      val (w, h, f) = ImageHeaders.decode(graft.operators.Multimodal.syntheticImage(id))
+      assert(w === 16 + (id % 1000).toInt && h === 16 + (id % 777).toInt)
+      assert(f === Seq("png", "jpeg", "gif")((id % 3).toInt))
+    }
+  }
+
   test("multimodal frame-sample / resize / feature-extract plumbing") {
     val df = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
