@@ -278,6 +278,38 @@ object RefQueries {
         col("p_type").as("category"))
       a.unionByName(b, allowMissingColumns = true)
         .orderBy("src", "key")
+    }),
+
+    // E18 transactional snapshot table EXERCISED THROUGH the oracle
+    // gate: build a fresh table from document deltas (append, append,
+    // replace, clustered compaction), then time-travel-read every
+    // version. The output is one aggregate row per version, so the
+    // result is independent of file count/order and the oracle is the
+    // equivalent frozen SELECT per version's defining predicate. v1
+    // is read AFTER the head has moved past it (real time travel, not
+    // a head read), and the v3 row must equal v2's aggregates —
+    // compaction rewrites layout, never content.
+    "q_snapshot_timetravel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v0 = t.commit(docs.filter(col("doc_id") < 250))
+      val v1 = t.commit(docs.filter(col("doc_id") >= 250 && col("doc_id") < 500))
+      val v2 = t.commit(
+        docs.filter(col("doc_id") < 500 && col("n_chars") >= 300), replace = true)
+      val v3 = t.compact(s, files = 2, sortKey = Some(col("doc_id")))
+      def aggAt(v: Long, tag: String): DataFrame =
+        t.readAt(s, v).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .select(lit(tag).as("version"), col("n_docs"),
+            col("sum_chars"), col("n_sources"))
+      aggAt(v0, "v0").unionByName(aggAt(v1, "v1"))
+        .unionByName(aggAt(v2, "v2_replace"))
+        .unionByName(aggAt(v3, "v3_compacted"))
+        .orderBy("version")
     }))
 
   /** DuckDB-dialect oracle SQL. Notes on portability:
@@ -498,5 +530,23 @@ object RefQueries {
         |  SELECT p_partkey AS key, p_name AS name, CAST(NULL AS DOUBLE) AS price,
         |         'part' AS src, p_type AS category
         |  FROM part)
-        |ORDER BY src, key""".stripMargin)
+        |ORDER BY src, key""".stripMargin,
+
+    // each snapshot version's FROZEN defining SELECT; v3 (compaction)
+    // must reproduce v2's aggregates exactly — layout, never content
+    "q_snapshot_timetravel" ->
+      """SELECT 'v0' AS version, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents WHERE doc_id < 250
+        |UNION ALL
+        |SELECT 'v1', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
+        |FROM documents WHERE doc_id < 500
+        |UNION ALL
+        |SELECT 'v2_replace', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
+        |FROM documents WHERE doc_id < 500 AND n_chars >= 300
+        |UNION ALL
+        |SELECT 'v3_compacted', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
+        |FROM documents WHERE doc_id < 500 AND n_chars >= 300
+        |ORDER BY version""".stripMargin)
 }
