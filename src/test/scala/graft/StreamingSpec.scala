@@ -365,6 +365,59 @@ class StreamingSpec extends SparkTestBase {
     assert(f3.contains((1L, 3L)) && f3.contains((2L, 3L)))
     q.stop()
   }
+  test("streaming LSH state survives restart: cross-restart dups caught, nothing re-emitted") {
+    import graft.streaming.StreamingJobs
+    val src = Files.createTempDirectory("graft_lshr_src").toString
+    val out = Files.createTempDirectory("graft_lshr_out").toString
+    val ck = Files.createTempDirectory("graft_lshr_ck").toString
+    def drop(name: String, docs: Seq[(Long, String)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(src, name),
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+    // every call is a FRESH query recovering from the same checkpoint —
+    // a kill/restart at each step. The parquet file sink is
+    // fault-tolerant (its _spark_metadata log admits exactly the
+    // committed files), so re-emitted pairs would be visible as
+    // duplicate rows.
+    def runOnce(): Unit = {
+      val q = StreamingJobs.streamingNearDupPairs(
+          spark.readStream.schema("doc_id LONG, text STRING").json(src))
+        .toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drop("d1.json", Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "one two three four five six seven")))
+    runOnce() // run 1: base docs into state, no pairs
+    // run 2 (restart): an exact dup of doc 1 must pair against state
+    // REBUILT FROM THE CHECKPOINT, not the live process
+    drop("d2.json", Seq((2L, "alpha beta gamma delta epsilon zeta")))
+    runOnce()
+    import spark.implicits._
+    val afterRestart = spark.read.parquet(out)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(afterRestart.toSet === Set((1L, 2L)),
+      s"cross-restart dup must be caught exactly: $afterRestart")
+    // run 3 (restart, nothing new): the replayed recovery must not
+    // re-emit any pair
+    val nBefore = spark.read.parquet(out).count()
+    runOnce()
+    assert(spark.read.parquet(out).count() === nBefore,
+      "restart with no new data re-emitted pairs")
+    // run 4 (restart): a third copy pairs with BOTH earlier copies,
+    // one of which predates two restarts; per-(band, pair) rows stay
+    // unique — nothing across the whole history was delivered twice
+    drop("d3.json", Seq((3L, "alpha beta gamma delta epsilon zeta")))
+    runOnce()
+    val all = spark.read.parquet(out)
+    val pairSet = all.select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+    assert(pairSet === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairSet")
+    assert(all.count() === all.distinct().count(),
+      "duplicate (band, pair) rows across restart boundaries")
+  }
+
   test("trending terms: closed windows rank top-k exactly-once into a snapshot table") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
