@@ -259,6 +259,143 @@ object RelQueries {
         .orderBy("l_linestatus")
     }),
 
+    // TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer
+    // join preserving zero-order customers, then a two-level
+    // aggregation (per-customer count, then histogram of counts). The
+    // outer join shuffles once on custkey; the histogram input is one
+    // row per customer, so the second aggregation is near-free.
+    "q_tpch_q13" -> ((s, d) => {
+      val o = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // nulls not counted
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top supplier by windowed revenue — grouped
+    // revenue, then an EQUALITY probe against its own MAX (the view +
+    // scalar-subquery pattern). Revenue stays in integer 10^-4-dollar
+    // units, so the max comparison is exact integer equality on both
+    // engines — no float boundary can drop or duplicate the winner.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1996, 4, 1, 0, 0)))
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("total_c"))
+      val top = rev.agg(max(col("total_c")).as("m"))
+      rev.join(broadcast(top), col("total_c") === col("m"))
+        .join(supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("total_c").cast("double") / 10000).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape: small-quantity lines vs the per-part average —
+    // the correlated-aggregate subquery decorrelated into a grouped
+    // stats table joined back on the part key. The brand dim filter
+    // broadcasts and prunes the fact FIRST, so the stats aggregation
+    // runs on the restricted set (identical per-part stats, far less
+    // data). The avg comparison is kept integral
+    // (5 · qty · cnt < sum_qty  ⇔  qty < 0.2 · avg) — quantities are
+    // integers, so no engine-specific float rounding can flip a row.
+    "q_tpch_q17" -> ((s, d) => {
+      val bp = part(s, d).filter(col("p_brand") === "Brand#4").select("p_partkey")
+      val li = lineitem(s, d)
+        .join(broadcast(bp), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("sumq"), count(lit(1)).as("cnt"))
+      li.join(stats, "l_partkey")
+        .filter(col("qty") * col("cnt") * 5 < col("sumq"))
+        .agg((sum(col("price_c")).cast("double") / 100 / 7).as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — an IN-subquery on a
+    // grouped HAVING aggregate, decorrelated as an inner join carrying
+    // the aggregate through. One shuffle on orderkey for the quantity
+    // rollup; orders/customer join broadcast-eligible dims after the
+    // selective filter.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape (adapted: no commit/receipt dates in the
+    // testdata — l_returnflag = 'R' marks a "problem" line): suppliers
+    // whose problem lines were the ONLY problem in a finished
+    // multi-supplier order. The correlated EXISTS (another supplier on
+    // the order) and NOT EXISTS (another supplier with a problem)
+    // decorrelate into per-order distinct-supplier counts joined back
+    // — each a single shuffle on the order key, no nested probes.
+    "q_tpch_q21" -> ((s, d) => {
+      val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val multi = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+        .filter(col("nsupp") > 1).select("l_orderkey")
+      val prob = li.filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nprob"))
+        .filter(col("nprob") === 1).select(col("l_orderkey").as("po"))
+      val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(multi, "l_orderkey")
+        .join(prob, col("l_orderkey") === col("po"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape (adapted: custkey % 7 stands in for the phone
+    // country code): positive-balance average as a global scalar
+    // subquery + NOT EXISTS orders as an anti join. The average
+    // comparison is integral (bal_c · cnt > sum_c ⇔ bal > avg) and the
+    // output balance sum goes through integer cents — no
+    // summation-order drift on either side.
+    "q_tpch_q22" -> ((s, d) => {
+      val cust = customer(s, d)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"),
+          (col("c_custkey") % 7).as("cc"))
+        .filter(col("cc").isin(1L, 2L, 4L))
+      val pos = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_c"), count(lit(1)).as("cnt"))
+      cust.crossJoin(broadcast(pos)) // 1-row global aggregate probe
+        .filter(col("bal_c") * col("cnt") > col("sum_c"))
+        // NOT EXISTS over urgent orders (nearly every customer has SOME
+        // order in this testdata; the priority filter keeps the
+        // anti-join selective instead of empty)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cc")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")).cast("double") / 100).as("totacctbal"))
+        .orderBy("cc")
+    }),
+
     // TPC-H Q7 shape: volume shipped between two nations by year —
     // the two-role dimension pattern (nation joined twice under
     // different aliases). Facts shuffle on the order key once; both
@@ -794,6 +931,93 @@ object RelQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |  ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_c AS DOUBLE) / 10000 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_c = (SELECT MAX(total_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')),
+        |stats AS (
+        |  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sumq, COUNT(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(CAST(SUM(price_c) AS BIGINT) AS DOUBLE) / 100 / 7 AS avg_yearly
+        |FROM li JOIN stats USING (l_partkey)
+        |WHERE qty * cnt * 5 < sumq""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH multi AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) > 1),
+        |prob AS (
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) = 1),
+        |rpairs AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM rpairs
+        |JOIN multi USING (l_orderkey)
+        |JOIN prob USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH pos AS (
+        |  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |    COUNT(*) AS cnt
+        |  FROM customer WHERE c_acctbal > 0),
+        |sel AS (
+        |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    c_custkey % 7 AS cc
+        |  FROM customer WHERE c_custkey % 7 IN (1, 2, 4))
+        |SELECT cc, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(bal_c) AS BIGINT) AS DOUBLE) / 100 AS totacctbal
+        |FROM sel, pos
+        |WHERE bal_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY cc ORDER BY cc""".stripMargin,
 
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
