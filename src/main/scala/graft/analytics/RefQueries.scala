@@ -310,6 +310,33 @@ object RefQueries {
         .unionByName(aggAt(v2, "v2_replace"))
         .unionByName(aggAt(v3, "v3_compacted"))
         .orderBy("version")
+    }),
+
+    // E18 INCREMENTAL consumption (CDC): readChanges scans only the
+    // files appended between two versions — the daily-delta read that
+    // replaces full-table rescans for downstream consumers. Exercised
+    // as file-listing diffs over a three-append lineage, including the
+    // bootstrap read (from = -1) and a two-version span; each range's
+    // aggregate must equal the frozen SELECT of exactly the rows that
+    // lineage segment appended.
+    "q_snapshot_changes" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v0 = t.commit(docs.filter(col("doc_id") < 200))
+      val v1 = t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350))
+      val v2 = t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500))
+      def delta(a: Long, b: Long, tag: String): DataFrame =
+        t.readChanges(s, a, b).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .select(lit(tag).as("range"), col("n_docs"), col("sum_chars"))
+      delta(-1L, v0, "bootstrap_v0")
+        .unionByName(delta(v0, v1, "v0_to_v1"))
+        .unionByName(delta(v1, v2, "v1_to_v2"))
+        .unionByName(delta(v0, v2, "v0_to_v2"))
+        .orderBy("range")
     }))
 
   /** DuckDB-dialect oracle SQL. Notes on portability:
@@ -548,5 +575,21 @@ object RefQueries {
         |UNION ALL
         |SELECT 'v3_compacted', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
         |FROM documents WHERE doc_id < 500 AND n_chars >= 300
-        |ORDER BY version""".stripMargin)
+        |ORDER BY version""".stripMargin,
+
+    // each lineage segment's frozen defining SELECT
+    "q_snapshot_changes" ->
+      """SELECT 'bootstrap_v0' AS range, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT 'v0_to_v1', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 350
+        |UNION ALL
+        |SELECT 'v1_to_v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id >= 350 AND doc_id < 500
+        |UNION ALL
+        |SELECT 'v0_to_v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 500
+        |ORDER BY range""".stripMargin)
 }

@@ -158,6 +158,27 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(back.agg(sum("_ckey0")).as[Long].head === (0 until 20).map(_ * 2).sum)
   }
 
+  test("readChanges: appended deltas only; refuses to diff across a replace") {
+    val (t, _) = freshTable()
+    val v0 = t.commit(df(0 until 10))
+    val v1 = t.commit(df(10 until 25))
+    import spark.implicits._
+    // bootstrap (from = -1) reads everything; a mid-lineage range reads
+    // exactly the appended rows, never the base
+    assert(t.readChanges(spark, -1L, v0).count() === 10)
+    assert(t.readChanges(spark, v0, v1).select("id").as[Long].collect().toSet
+      === (10L until 25L).toSet)
+    // same-version range = typed empty delta (not a zero-column frame)
+    val none = t.readChanges(spark, v1, v1)
+    assert(none.schema.fieldNames.toSeq === Seq("id") && none.count() === 0)
+    // a replace rewrites lineage: the file diff is undefined across it
+    val v2 = t.commit(df(100 until 103), replace = true)
+    intercept[IllegalArgumentException] { t.readChanges(spark, v1, v2) }
+    // and resumes cleanly after the rewrite
+    val v3 = t.commit(df(200 until 204))
+    assert(t.readChanges(spark, v2, v3).count() === 4)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
