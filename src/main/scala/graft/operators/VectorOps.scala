@@ -239,9 +239,93 @@ object VectorOps {
       val a2 = assign(update(assign(c0), c0))
       a2.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
         .orderBy("vec_id")
+    }),
+
+    // E4 PRODUCT QUANTIZATION codes — the compression leg of ANN at
+    // lake scale (IVF-PQ): each 64-dim embedding splits into 4
+    // contiguous 16-dim subspaces, each independently k-means-coded
+    // (k = 4 seeds, one Lloyd refinement), so a vector stores as 4
+    // small codes instead of 64 floats — a 32x smaller candidate
+    // table for the re-rank stage. The same integer micro-unit
+    // convention as q_kmeans makes training AND assignment
+    // bit-identical cross-engine, so the emitted codes themselves are
+    // oracle-checked. All subspaces train in ONE dataflow — `sub` is
+    // just another grouping key; no per-subspace driver loop, and the
+    // shuffles stay keyed on (vec, sub) / (sub, code, dim).
+    "q_pq_codes" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), expr("pos div 16").cast("long").as("sub"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .localCheckpoint()
+      val c0 = dims.filter(col("vec_id") < 4)
+        .select(col("sub").as("csub"), col("vec_id").as("j"),
+          col("dim").as("cd"), col("qv").as("cval"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2"), col("j"))
+        dims.join(broadcast(cents),
+            col("sub") === col("csub") && col("dim") === col("cd"))
+          .groupBy("vec_id", "sub", "j")
+          .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("j").as("code"))
+      }
+      def update(asg: DataFrame, cents: DataFrame): DataFrame = {
+        val upd = asg.join(dims, Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("code"), col("dim"))
+          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+          .select(col("sub").as("usub"), col("code").as("j2"),
+            col("dim").as("cd2"), expr("sq div cnt").as("nval"))
+        cents.join(upd, col("csub") === col("usub") && col("j") === col("j2") &&
+            col("cd") === col("cd2"), "left")
+          .select(col("csub"), col("j"), col("cd"),
+            coalesce(col("nval"), col("cval")).as("cval"))
+      }
+      assign(update(assign(c0), c0))
+        .orderBy("vec_id", "sub")
     }))
 
   val oracle: Map[String, String] = Map(
+    // q_kmeans's oracle pattern with the subspace as an extra key in
+    // every join/group — one Lloyd refinement per 16-dim subspace
+    "q_pq_codes" ->
+      """WITH dims AS (
+        |  SELECT vec_id, (d - 1) // 16 AS sub, d AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |c0 AS (SELECT sub AS csub, vec_id AS j, dim AS cd, qv AS cval
+        |       FROM dims WHERE vec_id < 4),
+        |a1d AS (
+        |  SELECT dims.vec_id, dims.sub, c0.j,
+        |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
+        |  FROM dims JOIN c0 ON dims.sub = c0.csub AND dims.dim = c0.cd
+        |  GROUP BY dims.vec_id, dims.sub, c0.j),
+        |a1 AS (SELECT vec_id, sub, j AS code FROM (
+        |         SELECT vec_id, sub, j,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+        |         FROM a1d) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.sub AS usub, a1.code AS j2, dims.dim AS cd2,
+        |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
+        |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id AND dims.sub = a1.sub
+        |  GROUP BY a1.sub, a1.code, dims.dim),
+        |c1 AS (SELECT c0.csub, c0.j, c0.cd, COALESCE(u1.nval, c0.cval) AS cval
+        |       FROM c0 LEFT JOIN u1
+        |       ON u1.usub = c0.csub AND u1.j2 = c0.j AND u1.cd2 = c0.cd),
+        |a2d AS (
+        |  SELECT dims.vec_id, dims.sub, c1.j,
+        |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
+        |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
+        |  GROUP BY dims.vec_id, dims.sub, c1.j)
+        |SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, j AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+        |  FROM a2d) WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+
     "q_kmeans" ->
       """WITH dims AS (
         |  SELECT vec_id, d AS dim,
