@@ -278,6 +278,28 @@ object TextOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token").asc)),
 
+    // E5 n-gram language-model statistics: bigram conditional
+    // probabilities P(w2|w1) = c(w1,w2) / c(w1 ·) — the count tables a
+    // KN/backoff LM trains from and the basis of corpus-level fluency
+    // scoring. Probabilities in integer MICRO-units (c12·1e6 div c1)
+    // per the repo convention, so the table is bit-identical
+    // cross-engine. Shape: one bigram explode (codegen'd NGrams) →
+    // one hash-aggregate; the denominator rides a w1-partitioned
+    // window over the AGGREGATED table (vocab² upper bound, tiny vs
+    // the corpus) rather than a second corpus pass.
+    "q_ngram_lm" -> ((s, d) => {
+      val c = documents(s, d)
+        .select(explode(graft.functions.NGrams.ngrams(wordsOf, 2)).as("bigram"))
+        .select(substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      c.withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+        .filter(col("c12") >= 5)
+        .withColumn("p_micro", expr("c12 * 1000000 div c1"))
+        .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+        .limit(200)
+    }),
+
     // E5 per-document quality scoring (length/stopword/token stats)
     "q_text_quality" -> ((s, d) => {
       val toks = wordsOf
@@ -801,6 +823,24 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_ngram_lm" ->
+      """WITH ws AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM ws),
+        |c AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+        |    COUNT(*) AS c12
+        |  FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY w1)
+        |SELECT w1, w2, c12, c1, c12 * 1000000 // c1 AS p_micro
+        |FROM c JOIN tot USING (w1)
+        |WHERE c12 >= 5
+        |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 200""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (
