@@ -284,6 +284,27 @@ object VectorOps {
       }
       assign(update(assign(c0), c0))
         .orderBy("vec_id", "sub")
+    }),
+
+    // E4 SELF-EVALUATING ANN: recall@3 of the IVF leg against the
+    // exact brute-force leg, per query vector — the measure-don't-
+    // guess loop every approximate index needs before it replaces the
+    // exact path at scale. Both legs ARE the catalog's own
+    // deterministic queries (referenced, not re-implemented), so the
+    // metric itself passes the oracle gate; recall in integer
+    // micro-units per the repo convention.
+    "q_ann_recall" -> ((s, d) => {
+      val exact = queries("q_cosine_topk")(s, d).select("qid", "vid")
+      val approx = queries("q_ivf_topk")(s, d)
+        .select(col("qid").as("aqid"), col("vid").as("avid"))
+      val hits = exact.join(approx,
+          col("qid") === col("aqid") && col("vid") === col("avid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      exact.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_micro", expr("hits * 1000000 div 3"))
+        .orderBy("qid")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -435,39 +456,7 @@ object VectorOps {
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
-    "q_ivf_topk" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    sqrt((SELECT SUM(v[g.i] * v[g.i]) FROM generate_series(1, 64) g(i))) AS nv
-        |  FROM emb),
-        |cents AS (SELECT vec_id AS cid, v AS cv, nv AS nc FROM n WHERE vec_id < 8),
-        |sims AS (
-        |  SELECT n.vec_id, c.cid,
-        |    (SELECT SUM(n.v[g.i] * c.cv[g.i]) FROM generate_series(1, 64) g(i))
-        |      / (n.nv * c.nc) AS sim
-        |  FROM n, cents c),
-        |assign AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-        |    FROM sims)
-        |  WHERE rn = 1),
-        |qs AS (
-        |  SELECT a.vec_id AS qid, a.cell, n.v AS qv, n.nv AS nq
-        |  FROM assign a JOIN n ON a.vec_id = n.vec_id WHERE a.vec_id < 5),
-        |scored AS (
-        |  SELECT q.qid, n.vec_id AS vid,
-        |    (SELECT SUM(q.qv[g.i] * n.v[g.i]) FROM generate_series(1, 64) g(i))
-        |      / (q.nq * n.nv) AS score
-        |  FROM qs q JOIN assign a ON a.cell = q.cell JOIN n ON n.vec_id = a.vec_id
-        |  WHERE a.vec_id <> q.qid),
-        |ranked AS (
-        |  SELECT qid, vid, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
-        |  FROM scored)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
-        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q_ivf_topk" -> ivfTopkOracle,
 
     "q_embed_near_dup" ->
       """WITH emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -482,20 +471,71 @@ object VectorOps {
         |         * sqrt((SELECT SUM(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i)))) >= 0.35
         |ORDER BY a.label, d1, d2""".stripMargin,
 
-    "q_cosine_topk" ->
-      """WITH emb AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.qid, e.vec_id AS vid,
-        |    (SELECT SUM(q.qv[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i))
-        |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i)))
-        |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i)))) AS score
-        |  FROM emb e, q WHERE e.vec_id <> q.qid),
-        |ranked AS (
-        |  SELECT qid, vid, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
-        |  FROM scored)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
-        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin)
+    "q_cosine_topk" -> cosineTopkOracle,
+
+    // recall@3 of the IVF leg against the exact leg — both embedded
+    // verbatim as CTEs, so the metric's oracle can never drift from
+    // the legs' own oracles
+    "q_ann_recall" ->
+      s"""WITH exact AS ($cosineTopkOracle),
+         |approx AS ($ivfTopkOracle),
+         |hits AS (
+         |  SELECT e.qid, COUNT(*) AS hits
+         |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.vid = a.vid
+         |  GROUP BY e.qid)
+         |SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) * 1000000 // 3 AS BIGINT) AS recall_micro
+         |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin)
+
+  private lazy val ivfTopkOracle: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt((SELECT SUM(v[g.i] * v[g.i]) FROM generate_series(1, 64) g(i))) AS nv
+      |  FROM emb),
+      |cents AS (SELECT vec_id AS cid, v AS cv, nv AS nc FROM n WHERE vec_id < 8),
+      |sims AS (
+      |  SELECT n.vec_id, c.cid,
+      |    (SELECT SUM(n.v[g.i] * c.cv[g.i]) FROM generate_series(1, 64) g(i))
+      |      / (n.nv * c.nc) AS sim
+      |  FROM n, cents c),
+      |assign AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+      |    FROM sims)
+      |  WHERE rn = 1),
+      |qs AS (
+      |  SELECT a.vec_id AS qid, a.cell, n.v AS qv, n.nv AS nq
+      |  FROM assign a JOIN n ON a.vec_id = n.vec_id WHERE a.vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, n.vec_id AS vid,
+      |    (SELECT SUM(q.qv[g.i] * n.v[g.i]) FROM generate_series(1, 64) g(i))
+      |      / (q.nq * n.nv) AS score
+      |  FROM qs q JOIN assign a ON a.cell = q.cell JOIN n ON n.vec_id = a.vec_id
+      |  WHERE a.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, vid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private lazy val cosineTopkOracle: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id AS vid,
+      |    (SELECT SUM(q.qv[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i))
+      |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i)))
+      |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i)))) AS score
+      |  FROM emb e, q WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT qid, vid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
+      |  FROM scored)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 }
