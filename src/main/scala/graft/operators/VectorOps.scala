@@ -305,6 +305,35 @@ object VectorOps {
         .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
         .withColumn("recall_micro", expr("hits * 1000000 div 3"))
         .orderBy("qid")
+    }),
+
+    // E2/E13 SKETCH SET ALGEBRA: estimated vocabulary overlap between
+    // two language slices via inclusion-exclusion over mergeable HLL
+    // sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B). This is what
+    // mergeable sketches BUY at 100 TB: per-slice sketches computed
+    // once (map-side combine, constant state) answer cross-slice
+    // overlap questions with no re-scan and no shuffle of raw tokens.
+    // Exact counterparts computed alongside; the portable md5 register
+    // hash makes every estimate oracle-reproducible.
+    "q_hll_overlap" -> ((s, d) => {
+      import graft.functions.HllSketch.hllDistinct
+      val tok = documents(s, d)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+      val a = tok.filter(col("lang") === "en")
+      val b = tok.filter(col("lang") === "de")
+      val ea = a.agg(hllDistinct(col("tk")).as("est_a"),
+        countDistinct(col("tk")).as("exact_a"))
+      val eb = b.agg(hllDistinct(col("tk")).as("est_b"),
+        countDistinct(col("tk")).as("exact_b"))
+      val eu = a.unionByName(b).agg(hllDistinct(col("tk")).as("est_union"))
+      val xi = a.select("tk").distinct()
+        .join(b.select("tk").distinct(), "tk")
+        .agg(count(lit(1)).as("exact_inter"))
+      ea.crossJoin(eb).crossJoin(eu).crossJoin(xi) // four 1-row frames
+        .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+        .select("est_a", "est_b", "est_union", "est_inter",
+          "exact_a", "exact_b", "exact_inter")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -473,6 +502,31 @@ object VectorOps {
 
     "q_cosine_topk" -> cosineTopkOracle,
 
+    "q_hll_overlap" ->
+      s"""WITH tk AS (
+         |  SELECT lang, tk FROM (
+         |    SELECT lang, unnest(string_split(lower(text), ' ')) AS tk
+         |    FROM documents)
+         |  WHERE tk <> ''),
+         |ha AS (SELECT DISTINCT
+         |  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h60
+         |  FROM tk WHERE lang = 'en'),
+         |hb AS (SELECT DISTINCT
+         |  CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h60
+         |  FROM tk WHERE lang = 'de'),
+         |hu AS (SELECT h60 FROM ha UNION SELECT h60 FROM hb),
+         |vals AS (
+         |  SELECT ${hllEstSql("ha")} AS est_a, ${hllEstSql("hb")} AS est_b,
+         |    ${hllEstSql("hu")} AS est_union,
+         |    (SELECT COUNT(DISTINCT tk) FROM tk WHERE lang = 'en') AS exact_a,
+         |    (SELECT COUNT(DISTINCT tk) FROM tk WHERE lang = 'de') AS exact_b,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT DISTINCT tk FROM tk WHERE lang = 'en'
+         |       INTERSECT SELECT DISTINCT tk FROM tk WHERE lang = 'de')) AS exact_inter)
+         |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_inter,
+         |  exact_a, exact_b, exact_inter
+         |FROM vals""".stripMargin,
+
     // recall@3 of the IVF leg against the exact leg — both embedded
     // verbatim as CTEs, so the metric's oracle can never drift from
     // the legs' own oracles
@@ -487,6 +541,24 @@ object VectorOps {
          |  CAST(COALESCE(h.hits, 0) * 1000000 // 3 AS BIGINT) AS recall_micro
          |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
          |ORDER BY q.qid""".stripMargin)
+
+  /** The q_hll_distinct register-rebuild estimator as a scalar
+    * subquery over a CTE named `src` holding DISTINCT h60 hashes —
+    * identical constants/corrections to functions.HllSketch. */
+  private def hllEstSql(src: String): String =
+    s"""(WITH rk AS (
+       |  SELECT CAST(h60 // 281474976710656 AS INTEGER) AS idx,
+       |    CASE WHEN h60 % 281474976710656 = 0 THEN 49
+       |         ELSE 49 - length(bin(h60 % 281474976710656)) END AS rank
+       |  FROM $src),
+       |reg AS (SELECT idx, MAX(rank) AS rg FROM rk GROUP BY idx),
+       |s AS (SELECT SUM(POWER(2.0, -rg)) AS sm, COUNT(*) AS nreg FROM reg),
+       |est AS (
+       |  SELECT (0.7213 / (1 + 1.079/4096)) * 4096 * 4096 / (sm + (4096 - nreg)) AS e,
+       |    4096 - nreg AS zeros
+       |  FROM s)
+       |SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+       |       THEN 4096 * ln(4096.0 / zeros) ELSE e END) AS BIGINT) FROM est)""".stripMargin
 
   private lazy val ivfTopkOracle: String =
     """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
