@@ -36,6 +36,33 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // Volume-anomaly detection: hours whose event count exceeds 1.5×
+    // the trailing-24-observed-hours average per type — the monitoring
+    // pass a pipeline runs over its own ingest rates. One hourly
+    // rollup (shuffle on (type, hour)), then a ROWS-frame trailing
+    // window on the AGGREGATED table — rows-based so silent hours
+    // don't dilute the baseline. The 1.5× rule and the reported ratio
+    // are integral (n·cnt·2 > trail·3; micro-units), so both engines
+    // flag the identical hour set.
+    "q_window_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"))
+      val trail = Window.partitionBy("event_type").orderBy(col("hr"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("trail_n", sum(col("n")).over(trail))
+        .withColumn("trail_cnt", count(col("n")).over(trail))
+        .filter(col("trail_cnt") >= 12) // baseline warm-up
+        .filter(col("n") * col("trail_cnt") * 2 > col("trail_n") * 3)
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n"), col("trail_n"), col("trail_cnt"),
+          expr("n * trail_cnt * 1000000 div trail_n").as("ratio_micro"))
+        .orderBy("event_type", "hour")
+    }),
+
     // Time-grid gap filling: a generated hourly spine (sequence +
     // explode — narrow, no data shuffle) left-joined with observed
     // hourly counts so silent hours appear as zeros. The spine is the
@@ -217,6 +244,24 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_window_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, hr, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_n,
+        |    COUNT(n) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail_cnt
+        |  FROM hourly)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  n, trail_n, trail_cnt,
+        |  n * trail_cnt * 1000000 // trail_n AS ratio_micro
+        |FROM t
+        |WHERE trail_cnt >= 12 AND n * trail_cnt * 2 > trail_n * 3
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q_gap_fill" ->
       """WITH spine AS (
