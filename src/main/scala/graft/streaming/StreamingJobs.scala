@@ -346,6 +346,31 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-static ENRICHMENT against a transactional dimension: each
+    * micro-batch broadcast-joins the dimension's CURRENT committed
+    * snapshot and lands as a tagged exactly-once commit. The join
+    * happens inside foreachBatch deliberately — a plain stream-static
+    * join resolves the static side's file listing ONCE at query start
+    * and is stale forever against a growing dimension; re-resolving
+    * per batch picks up every dimension commit at the next batch
+    * boundary while each batch still sees one consistent snapshot
+    * (no torn mid-batch reads — that's the manifest's atomicity). */
+  def enrichedSinkWriter(stream: DataFrame,
+                         dim: graft.sources.SnapshotTable,
+                         out: graft.sources.SnapshotTable,
+                         joinKeys: Seq[String],
+                         runId: String): DataStreamWriter[Row] = {
+    require(runId.nonEmpty, "runId must name the checkpoint lineage")
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val d = dim.read(batch.sparkSession)
+        out.commitOnce(s"$runId/batch=$batchId",
+          batch.join(broadcast(d), joinKeys, "left")): Unit
+      }
+  }
+
   def scdUpsertWriter(clean: DataFrame, warehouseDir: String): DataStreamWriter[Row] =
     clean
       .withColumn("scraped_at", to_date(col("scraped_at")))

@@ -418,6 +418,46 @@ class StreamingSpec extends SparkTestBase {
       "duplicate (band, pair) rows across restart boundaries")
   }
 
+  test("stream-static enrichment re-resolves the snapshot dim per micro-batch") {
+    import graft.streaming.StreamingJobs
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_enr_src").toString
+    val ck = Files.createTempDirectory("graft_enr_ck").toString
+    val dim = SnapshotTable(Files.createTempDirectory("graft_enr_dim").toString)
+    val out = SnapshotTable(Files.createTempDirectory("graft_enr_out").toString)
+    def drop(name: String, ids: Seq[Long]): Unit =
+      Files.writeString(java.nio.file.Paths.get(src, name),
+        ids.map(i => s"""{"k": $i}""").mkString("\n"))
+    def runOnce(): Unit = {
+      val q = StreamingJobs.enrichedSinkWriter(
+          spark.readStream.schema("k LONG").json(src),
+          dim, out, joinKeys = Seq("k"), runId = "enr1")
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    dim.commit(Seq((1L, "one"), (2L, "two")).toDF("k", "name"))
+    drop("b1.json", Seq(1L, 2L, 3L))
+    runOnce()
+    val r1 = out.read(spark).select("k", "name").as[(Long, Option[String])]
+      .collect().toMap
+    assert(r1 === Map(1L -> Some("one"), 2L -> Some("two"), 3L -> None),
+      "batch 1 must join dim snapshot v0, unmatched keys kept (left)")
+    // dim grows BETWEEN batches: the next batch must see the new commit
+    dim.commit(Seq((3L, "three")).toDF("k", "name"))
+    drop("b2.json", Seq(3L, 4L))
+    runOnce()
+    val r2 = out.read(spark).groupBy("k")
+      .agg(collect_list("name").as("ns")).as[(Long, Seq[String])].collect().toMap
+    assert(r2(3L).contains("three"), "batch 2 must see the dim commit between batches")
+    assert(r2(4L).isEmpty)
+    // replayed restart with nothing new appends nothing
+    val v = out.currentVersion()
+    runOnce()
+    assert(out.currentVersion() === v)
+  }
+
   test("trending terms: closed windows rank top-k exactly-once into a snapshot table") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
