@@ -153,15 +153,19 @@ object TextOps {
     *
     * pruneLo ≤ 0 (thresholds < 0.02) degrades gracefully to the full
     * index with no positional prune — same output, no pruning. */
-  private[graft] def prefixCandidates(inv: DataFrame, pruneLo: Int): DataFrame = {
-    val ranked = inv
+  /** Rarest-first prefix of each document's hashed token set — the
+    * PPJoin index rows (see [[prefixCandidates]] for the theorem). */
+  private[graft] def rankedPrefix(inv: DataFrame, pruneLo: Int): DataFrame =
+    inv
       .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "th")))
       .withColumn("rn", row_number()
         .over(Window.partitionBy("source", "doc_id").orderBy(col("df"), col("th")))
         .cast("long"))
-    val prefix = ranked
       .filter(col("rn") <= col("sz") - expr(s"($pruneLo * sz + 99) div 100") + 1)
       .select(col("source"), col("th"), col("doc_id"), col("rn"), col("sz"))
+
+  private[graft] def prefixCandidates(inv: DataFrame, pruneLo: Int): DataFrame = {
+    val prefix = rankedPrefix(inv, pruneLo)
     val hi = 100 + pruneLo
     prefix.select(col("source"), col("th"), col("doc_id").as("d1"),
         col("rn").as("rn1"), col("sz").as("sz1"))
@@ -597,6 +601,52 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // E3 INCREMENTAL ingest dedup — the daily shape at 100 TB: find
+    // near-dups of NEWLY ARRIVED documents against the existing corpus
+    // WITHOUT comparing the corpus to itself. Asymmetric PPJoin: both
+    // sides index only their rarest-first prefixes (lossless, same
+    // theorem as q_setsim_prefix), but the candidate join pairs
+    // base-side prefixes exclusively with delta-side prefixes, so the
+    // work scales with |delta| · df(rare tokens), never |corpus|².
+    // Boundary doc_id 400 stands in for the snapshot-CDC delta
+    // (readChanges feeds this in production).
+    "q_dedup_incremental" -> ((s, d) => {
+      val pruneLo = 79 // t = 0.8 with the round(·,4) slack
+      val hi = 100 + pruneLo
+      val inv = hashedTokenIndex(
+        documents(s, d).select(col("source"), col("doc_id"),
+          array_distinct(wordsOf).as("toks")))
+      val prefix = rankedPrefix(inv, pruneLo)
+      val base = prefix.filter(col("doc_id") < 400)
+        .select(col("source"), col("th"), col("doc_id").as("d1"),
+          col("rn").as("rn1"), col("sz").as("sz1"))
+      val delta = prefix.filter(col("doc_id") >= 400)
+        .select(col("source"), col("th"), col("doc_id").as("d2"),
+          col("rn").as("rn2"), col("sz").as("sz2"))
+      val cands = base.join(delta, Seq("source", "th"))
+        .filter(col("sz1") * 100 >= col("sz2") * pruneLo &&
+                col("sz2") * 100 >= col("sz1") * pruneLo)
+        .filter(lit(1L) + least(col("sz1") - col("rn1"), col("sz2") - col("rn2")) >=
+          expr(s"($pruneLo * (sz1 + sz2) + ${hi - 1}) div $hi"))
+        .select("source", "d1", "d2").distinct()
+      val sets = inv.groupBy("source", "doc_id")
+        .agg(sort_array(collect_set(col("th"))).as("ths"),
+          count(lit(1)).as("sz"))
+      cands
+        .join(sets.select(col("source"), col("doc_id").as("d1"),
+          col("ths").as("ths1"), col("sz").as("sz1")), Seq("source", "d1"))
+        .join(sets.select(col("source"), col("doc_id").as("d2"),
+          col("ths").as("ths2"), col("sz").as("sz2")), Seq("source", "d2"))
+        .withColumn("inter", graft.functions.SortedIntersectCount
+          .sortedInterCount(col("ths1"), col("ths2")))
+        .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+        .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("source"), col("d1").as("base_id"), col("d2").as("new_id"),
+          col("jaccard"))
+        .orderBy("source", "base_id", "new_id")
+    }),
+
     // E10 deterministic stratified sampling: content-keyed md5 bucket
     // per row, keep buckets below the rate threshold — uniform ~20%
     // WITHIN each stratum, reproducible across runs/engines/partitionings
@@ -823,6 +873,25 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+        |  GROUP BY a.source, a.doc_id, b.doc_id)
+        |SELECT i.source, i.d1 AS base_id, i.d2 AS new_id,
+        |  ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+        |FROM inter i
+        |JOIN sizes s1 ON i.d1 = s1.doc_id
+        |JOIN sizes s2 ON i.d2 = s2.doc_id
+        |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
+        |ORDER BY i.source, base_id, new_id""".stripMargin,
 
     "q_ngram_lm" ->
       """WITH ws AS (
