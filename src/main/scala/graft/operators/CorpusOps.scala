@@ -110,6 +110,55 @@ object CorpusOps {
         .filter(col("rn") <= col("k_take"))
         .select(col("source"), col("doc_id"), col("n_docs"), col("k_take"))
         .orderBy("source", "doc_id")
+    }),
+
+    // Corpus profile: the per-source dashboard row a curation run
+    // starts and ends with — doc/token/vocabulary counts, exact-dup
+    // count via content fingerprints, mean length in integer
+    // micro-tokens. Two aggregations (per-doc stats; vocabulary),
+    // each one shuffle on `source`.
+    "q_corpus_stats" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val perDoc = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          countDistinct("fp").as("n_unique_docs"))
+      val vocab = documents(s, d)
+        .select(col("source"), explode(toks).as("tk"))
+        .groupBy("source").agg(countDistinct("tk").as("n_vocab"))
+      perDoc.join(vocab, Seq("source"))
+        .withColumn("mean_tokens_micro", expr("n_tokens * 1000000 div n_docs"))
+        .withColumn("exact_dup_docs", col("n_docs") - col("n_unique_docs"))
+        .select("source", "n_docs", "n_tokens", "n_vocab",
+          "mean_tokens_micro", "n_unique_docs", "exact_dup_docs")
+        .orderBy("source")
+    }),
+
+    // Composite keep/drop QUALITY FILTER with reason codes — the
+    // decision op that actually writes the curated corpus. First
+    // matching rule wins (too_short → boilerplate-ish chars/token →
+    // no-stopword gibberish → keep); every rule is integral
+    // (n_chars > 8·n_tokens, not a float ratio), so both engines
+    // produce the identical verdict column. Pure projection: stays in
+    // whole-stage codegen, only the output sort shuffles.
+    "q_quality_filter" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val stops = filter(toks, t => t.isInCollection(TextOps.stopwords))
+      documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_stop", size(stops).cast("long"))
+        .withColumn("verdict",
+          when(col("n_tokens") < 25, "drop:too_short")
+            .when(col("n_chars") > col("n_tokens") * 8, "drop:long_tokens")
+            .when(col("n_stop") === 0, "drop:no_stopwords")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_stop"), col("verdict"))
+        .orderBy("doc_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -162,5 +211,42 @@ object CorpusOps {
         |  GREATEST(1, CAST(FLOOR(SQRT(n_docs) * 4) AS BIGINT)) AS k_take
         |FROM sized
         |WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(n_docs) * 4) AS BIGINT))
-        |ORDER BY source, doc_id""".stripMargin)
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH perdoc AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |    COUNT(DISTINCT fp) AS n_unique_docs
+        |  FROM perdoc GROUP BY source),
+        |vocab AS (
+        |  SELECT source, COUNT(DISTINCT tk) AS n_vocab FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> '' GROUP BY source)
+        |SELECT a.source, n_docs, n_tokens, n_vocab,
+        |  n_tokens * 1000000 // n_docs AS mean_tokens_micro,
+        |  n_unique_docs, n_docs - n_unique_docs AS exact_dup_docs
+        |FROM agg a JOIN vocab v ON a.source = v.source
+        |ORDER BY a.source""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CASE WHEN n_tokens < 25 THEN 'drop:too_short'
+        |       WHEN n_chars > n_tokens * 8 THEN 'drop:long_tokens'
+        |       WHEN n_stop = 0 THEN 'drop:no_stopwords'
+        |       ELSE 'keep' END AS verdict
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

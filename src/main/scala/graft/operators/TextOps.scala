@@ -27,7 +27,7 @@ object TextOps {
         explode(array_distinct(wordsOf))
           .as("token"))
 
-  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private[operators] val stopwords = Seq("the", "a", "of", "and", "in")
 
   /** Non-empty lowercase word tokens of the `text` column. array_remove
     * (codegen'd) rather than a filter() lambda: higher-order functions
