@@ -146,6 +146,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("bit_count"), "must not pick the dense bitmask path")
   }
 
+  test("q_dedup_incremental: prefix-filtered candidates, sorted-merge verify") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("graft_sorted_inter"),
+      "delta-vs-corpus verification must be the codegen'd two-pointer merge")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q17: brand dim broadcast semi-prunes the fact before the stats pass") {
+    val p = plan("q_tpch_q17")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the selective dim filter must reach lineitem as a broadcast semi join")
+  }
+
+  test("q_pq_codes: per-subspace centroids broadcast to the dim-exploded vectors") {
+    val p = plan("q_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), "centroid tables must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
