@@ -110,6 +110,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(m.getAs[Int]("width") >= 160 && m.getAs[Int]("height") >= 120)
   }
 
+  test("incremental dedup equals the symmetric join restricted to cross-boundary pairs") {
+    // the asymmetric prefix index may prune candidates differently than
+    // the symmetric path, but the PAIRS it verifies must be exactly the
+    // symmetric result's cross-boundary subset — losslessness of the
+    // delta-vs-corpus specialization
+    val sf = "/root/testdata/sf0.01"
+    val dt = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), " "), t => t =!= "")).as("toks"))
+    val full = graft.operators.TextOps
+      .tokenJaccardPairs(dt, threshold = 0.8, maxMaskWords = 0)
+      .filter(col("d1") < 400 && col("d2") >= 400)
+      .select(col("source"), col("d1"), col("d2"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .select(col("source"), col("base_id"), col("new_id"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("ImageHeaders parses real container headers; corrupt payloads degrade to unknown") {
     import graft.operators.Multimodal.ImageHeaders
     def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
