@@ -293,6 +293,21 @@ final class SnapshotTable(root: String) {
     commit(arranged, replace = true)
   }
 
+  /** Compaction POLICY: rewrite only when the current snapshot
+    * references more than `maxFiles` data files — the check a
+    * streaming sink (or a post-load hook) calls after every commit so
+    * small files never accumulate past a bound, without paying a
+    * rewrite per batch. O(1) decision (manifest line count); returns
+    * the new version when a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, maxFiles: Int, targetFiles: Int = 8,
+                      sortKey: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
+    require(targetFiles < maxFiles,
+      s"targetFiles ($targetFiles) must undercut maxFiles ($maxFiles) or every check compacts")
+    if (fileCount(currentVersion()) > maxFiles)
+      Some(compact(spark, targetFiles, sortKey))
+    else None
+  }
+
   /** Data files referenced by snapshot `v` (for specs/ops visibility). */
   def fileCount(v: Long): Int = listing(v).size
 

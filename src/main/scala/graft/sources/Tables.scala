@@ -46,6 +46,33 @@ object Tables {
              path: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S2 NDJSON scan with a CORRUPT-RECORD AUDIT (the row-level
+    * analogue of the reference's file-level failure logging): malformed
+    * lines land in a quarantine frame instead of silently becoming
+    * all-null rows or failing the job. Returns (clean, quarantine) —
+    * clean rows carry the declared schema; quarantine rows carry the
+    * offending raw line for the audit log. The permissive read is
+    * cached because Spark only materializes `_corrupt_record` for
+    * queries that also project data columns — filtering on the corrupt
+    * column alone against the raw scan is unsupported without it. */
+  def ndjsonAudited(spark: SparkSession,
+                    schema: org.apache.spark.sql.types.StructType,
+                    path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    require(!schema.fieldNames.contains("_graft_corrupt"),
+      "schema may not declare the reserved _graft_corrupt column")
+    val withCorrupt = schema.add("_graft_corrupt", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_graft_corrupt")
+      .json(path)
+      .cache()
+    val clean = raw.filter(col("_graft_corrupt").isNull).drop("_graft_corrupt")
+    val quarantine = raw.filter(col("_graft_corrupt").isNotNull)
+      .select(col("_graft_corrupt").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Typed scrape-contract view (SURVEY.md §1.2): `Dataset[Product]`
     * over a cleaned-products NDJSON — the compile-time analogue of the
     * reference's pydantic validation boundary. Encoder failure = the

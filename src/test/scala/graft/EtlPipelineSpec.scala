@@ -41,6 +41,36 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(mobile.isNullAt(mobile.fieldIndex("upload_speed")))
   }
 
+  test("ndjsonAudited: malformed lines quarantined, clean rows typed, none lost") {
+    val dir = Files.createTempDirectory("graft_audit").toString
+    val f = java.nio.file.Paths.get(dir, "drop.ndjson")
+    Files.writeString(f,
+      Seq(
+        """{"product_name": "a", "competitor_name": "mv", "price": 1.5}""",
+        """{broken json""",
+        """{"product_name": "b", "competitor_name": "mv", "price": 2.5}""",
+        """also not json at all""",
+        """{"product_name": "c", "competitor_name": "mv", "price": 3.5}"""
+      ).mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "product_name STRING, competitor_name STRING, price DOUBLE")
+    val (clean, quarantine) = Tables.ndjsonAudited(spark, schema, f.toString)
+    assert(clean.count() === 3)
+    assert(clean.schema.fieldNames.toSeq ===
+      Seq("product_name", "competitor_name", "price"))
+    import spark.implicits._
+    assert(clean.select("product_name").as[String].collect().sorted.toSeq
+      === Seq("a", "b", "c"))
+    val bad = quarantine.as[String].collect()
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("broken json")), "audit must carry the raw line")
+    // reserved-name collision fails fast instead of silently shadowing
+    intercept[IllegalArgumentException] {
+      Tables.ndjsonAudited(spark,
+        org.apache.spark.sql.types.StructType.fromDDL("_graft_corrupt STRING"), f.toString)
+    }
+  }
+
   test("options raw table: incompatible shapes union-by-name with nulls (A4, dead-end)") {
     val dir = Files.createTempDirectory("graft_opts").toFile.getAbsolutePath
     Files.writeString(java.nio.file.Paths.get(dir, "a.json"),

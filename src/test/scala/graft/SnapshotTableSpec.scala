@@ -158,6 +158,22 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(back.agg(sum("_ckey0")).as[Long].head === (0 until 20).map(_ * 2).sum)
   }
 
+  test("compactIfNeeded: rewrites only past the file bound, no-op below it") {
+    val (t, _) = freshTable()
+    (0 until 5).foreach(i => t.commit(df(i * 10 until i * 10 + 10)))
+    val v = t.currentVersion()
+    assert(t.fileCount(v) <= 20)
+    assert(t.compactIfNeeded(spark, maxFiles = 50).isEmpty, "under the bound: no rewrite")
+    assert(t.currentVersion() === v)
+    val compacted = t.compactIfNeeded(spark, maxFiles = 3, targetFiles = 2)
+    assert(compacted.nonEmpty, "over the bound: must compact")
+    assert(t.fileCount(compacted.get) <= 4)
+    assert(t.read(spark).count() === 50)
+    intercept[IllegalArgumentException] {
+      t.compactIfNeeded(spark, maxFiles = 2, targetFiles = 2) // would thrash
+    }
+  }
+
   test("readChanges: appended deltas only; refuses to diff across a replace") {
     val (t, _) = freshTable()
     val v0 = t.commit(df(0 until 10))
