@@ -299,12 +299,15 @@ final class SnapshotTable(root: String) {
     * small files never accumulate past a bound, without paying a
     * rewrite per batch. O(1) decision (manifest line count); returns
     * the new version when a compaction ran. */
-  def compactIfNeeded(spark: SparkSession, maxFiles: Int, targetFiles: Int = 8,
+  def compactIfNeeded(spark: SparkSession, maxFiles: Int, targetFiles: Int = 0,
                       sortKey: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
-    require(targetFiles < maxFiles,
-      s"targetFiles ($targetFiles) must undercut maxFiles ($maxFiles) or every check compacts")
+    // default target = half the bound, so successive appends have
+    // headroom before the next rewrite
+    val tgt = if (targetFiles > 0) targetFiles else math.max(1, maxFiles / 2)
+    require(tgt < maxFiles,
+      s"targetFiles ($tgt) must undercut maxFiles ($maxFiles) or every check compacts")
     if (fileCount(currentVersion()) > maxFiles)
-      Some(compact(spark, targetFiles, sortKey))
+      Some(compact(spark, tgt, sortKey))
     else None
   }
 

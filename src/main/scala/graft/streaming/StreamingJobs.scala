@@ -328,7 +328,8 @@ object StreamingJobs {
     * appended" and "marker written" at all. */
   def snapshotSinkWriter(stream: DataFrame,
                          table: graft.sources.SnapshotTable,
-                         runId: String): DataStreamWriter[Row] = {
+                         runId: String,
+                         autoCompactAfter: Option[Int] = None): DataStreamWriter[Row] = {
     // the tag must carry the RUN identity, not just the batchId:
     // batchIds restart at 0 under a fresh checkpoint (and collide
     // across two different queries feeding one table), and a bare
@@ -342,7 +343,15 @@ object StreamingJobs {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        table.commitOnce(s"$runId/batch=$batchId", batch): Unit
+        table.commitOnce(s"$runId/batch=$batchId", batch)
+        // auto-compaction (opt-in): O(1) file-count check per batch,
+        // rewrite only past the bound — a day of tiny micro-batches
+        // can't accumulate unbounded small files. The compaction is a
+        // plain replace commit AFTER the tagged append, so a crash
+        // between them loses only the rewrite (the retry re-checks),
+        // never the data, and replays still skip on the tag.
+        autoCompactAfter.foreach(m =>
+          table.compactIfNeeded(batch.sparkSession, maxFiles = m): Unit)
       }
   }
 

@@ -117,6 +117,29 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 28)
   }
 
+  test("streaming sink auto-compaction keeps file count bounded across batches") {
+    import graft.streaming.StreamingJobs
+    val (t, _) = freshTable()
+    val ck = Files.createTempDirectory("graft_acck").toString
+    val src = Files.createTempDirectory("graft_acsrc").toString
+    def drop(name: String, ids: Range): Unit =
+      Files.write(java.nio.file.Paths.get(src, name),
+        ids.map(i => s"""{"id": $i}""").mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamingJobs.snapshotSinkWriter(
+          spark.readStream.schema("id LONG").json(src), t, runId = "ac1",
+          autoCompactAfter = Some(6))
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+    }
+    (0 until 5).foreach { b => drop(s"d$b.json", b * 10 until b * 10 + 10); runOnce() }
+    assert(t.fileCount(t.currentVersion()) <= 10,
+      s"auto-compaction must bound small files, got ${t.fileCount(t.currentVersion())}")
+    assert(t.read(spark).count() === 50)
+    assert(t.read(spark).select("id").distinct().count() === 50)
+  }
+
   test("compaction: many small commits rewrite into few files, history intact") {
     val (t, _) = freshTable()
     // 12 tiny commits = 12+ file groups (the streaming small-file shape)
