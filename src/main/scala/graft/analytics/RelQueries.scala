@@ -259,6 +259,88 @@ object RelQueries {
         .orderBy("l_linestatus")
     }),
 
+    // TPC-H Q8 shape: national market share — the deepest join tree in
+    // the suite (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the
+    // demand side, ⋈ supplier ⋈ nation on the supply side, ⋈ part).
+    // Every dimension chain broadcasts; the facts shuffle once on the
+    // order key. The share is a conditional-sum ratio computed in
+    // integer micro-units over cent-exact revenue — no float
+    // accumulation anywhere.
+    "q_tpch_q8" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+        .join(broadcast(part(s, d).filter(col("p_type") === "STANDARD")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("o_orderdate") < lit(LocalDateTime.of(1998, 1, 1, 0, 0)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val euroCust = customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nation(s, d).join(broadcast(
+            region(s, d).filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val suppNation = supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nation(s, d).select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(euroCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_c"))
+            .otherwise(0L)).as("nation_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(col("o_year"),
+          expr("nation_c * 1000000 div total_c").as("mkt_share_micro"),
+          (col("total_c").cast("double") / 10000).as("total_revenue"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation
+    // after a broadcast dim join, ratio in integer micro-units.
+    "q_tpch_q14" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .select(col("l_partkey"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+        .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L)).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .select(expr("promo_c * 1000000 div total_c").as("promo_share_micro"),
+          (col("promo_c").cast("double") / 10000).as("promo_revenue"),
+          (col("total_c").cast("double") / 10000).as("total_revenue"))),
+
+    // TPC-H Q19 shape: DISJUNCTIVE multi-attribute predicate groups
+    // (brand × size-range × quantity-range alternatives) — the OR-of-
+    // ANDs join predicate that exercises predicate normalization; the
+    // part side stays a broadcast hash join on the key with the
+    // disjunction as a post-join filter.
+    "q_tpch_q19" -> ((s, d) => {
+      val qty = col("l_quantity").cast("long")
+      val hit =
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          qty.between(1L, 20L)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          qty.between(10L, 35L)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(20, 50) &&
+          qty.between(20L, 50L))
+      lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+        .join(broadcast(part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(hit)
+        .agg((sum(col("rev_c")).cast("double") / 10000).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer
     // join preserving zero-order customers, then a two-level
     // aggregation (per-customer count, then histogram of counts). The
@@ -933,6 +1015,70 @@ object RelQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |euroc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_nationkey IN (
+        |    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')),
+        |sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |j AS (
+        |  SELECT o.o_year, sn.supp_nation, li.rev_c
+        |  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        |  JOIN sn ON li.l_suppkey = sn.s_suppkey
+        |  WHERE o.o_custkey IN (SELECT c_custkey FROM euroc)),
+        |agg AS (
+        |  SELECT o_year,
+        |    CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_c,
+        |    CAST(SUM(rev_c) AS BIGINT) AS total_c
+        |  FROM j GROUP BY o_year)
+        |SELECT o_year, nation_c * 1000000 // total_c AS mkt_share_micro,
+        |  CAST(total_c AS DOUBLE) / 10000 AS total_revenue
+        |FROM agg ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |agg AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+        |    CAST(SUM(rev_c) AS BIGINT) AS total_c
+        |  FROM j)
+        |SELECT promo_c * 1000000 // total_c AS promo_share_micro,
+        |  CAST(promo_c AS DOUBLE) / 10000 AS promo_revenue,
+        |  CAST(total_c AS DOUBLE) / 10000 AS total_revenue
+        |FROM agg""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS DOUBLE) / 10000 AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50
+        |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 50)""".stripMargin,
 
     "q_tpch_q13" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
