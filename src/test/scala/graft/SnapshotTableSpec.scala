@@ -117,6 +117,34 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 28)
   }
 
+  test("concurrent same-tag commitOnce: exactly one writer lands, no double append") {
+    // the advisor-flagged race: two drivers replaying the same tagged
+    // batch concurrently could both pass a stale-head tag check and
+    // double-append. The commit loop now scans tags up to the resolved
+    // head inside each attempt; losers either skip on the tag or
+    // collide on the version and re-check.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    for (round <- 0 until 3) {
+      val (t, dir) = freshTable()
+      t.commit(df(0 until 7)) // non-empty head so races have a lineage
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        // each writer gets its OWN handle (independent tag caches) —
+        // the true two-drivers-sharing-a-checkpoint scenario
+        val results = Await.result(
+          Future.sequence((0 until 4).map(_ =>
+            Future(SnapshotTable(dir)
+              .commitOnce(s"replay_$round", df(100 until 110))))), Duration.Inf)
+        assert(results.count(_.nonEmpty) === 1,
+          s"round $round: exactly one same-tag writer must commit, got $results")
+        assert(t.read(spark).count() === 17,
+          s"round $round: double append detected")
+      } finally pool.shutdown()
+    }
+  }
+
   test("streaming sink auto-compaction keeps file count bounded across batches") {
     import graft.streaming.StreamingJobs
     val (t, _) = freshTable()
