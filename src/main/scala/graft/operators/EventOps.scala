@@ -36,6 +36,52 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // ORDERED FUNNEL analysis: users progressing view → click →
+    // purchase, each stage strictly AFTER the previous stage's first
+    // event for that user — the classic product-analytics query, which
+    // a naive per-type count gets wrong (a purchase before the first
+    // view must not count). Decorrelated to one grouped-min per stage
+    // with a time-ordered join back — each stage is one shuffle on
+    // user_id, no per-user iteration.
+    "q_event_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val viewT = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val clickT = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("ub"), col("ts").as("tsb"))
+        .join(viewT, col("ub") === col("user_id") && col("tsb") > col("t_view"))
+        .groupBy(col("ub").as("user_id")).agg(min(col("tsb")).as("t_click"))
+      val buyT = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uc"), col("ts").as("tsc"))
+        .join(clickT, col("uc") === col("user_id") && col("tsc") > col("t_click"))
+        .groupBy(col("uc").as("user_id")).agg(min(col("tsc")).as("t_purchase"))
+      def stage(df: DataFrame, tag: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users")).select(lit(tag).as("stage"), col("n_users"))
+      stage(viewT, "1_view")
+        .unionByName(stage(clickT, "2_click"))
+        .unionByName(stage(buyT, "3_purchase"))
+        .orderBy("stage")
+    }),
+
+    // COHORT RETENTION: users grouped by first-seen ISO week, counted
+    // per week-offset of later activity — the retention triangle. Two
+    // aggregations (first-seen; distinct active weeks) joined on the
+    // user, offsets as integral day-diffs div 7, so the triangle is
+    // bit-identical cross-engine.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      active.join(firstSeen, "user_id")
+        .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(w, cohort_w) div 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Volume-anomaly detection: hours whose event count exceeds 1.5×
     // the trailing-24-observed-hours average per type — the monitoring
     // pass a pipeline runs over its own ingest rates. One hourly
@@ -244,6 +290,36 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH ta AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tb AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN ta ON e.user_id = ta.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > ta.t_view
+        |  GROUP BY e.user_id),
+        |tc AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN tb ON e.user_id = tb.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > tb.t_click
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM ta
+        |UNION ALL SELECT '2_click', COUNT(*) FROM tb
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM tc
+        |ORDER BY stage""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+        |  date_diff('day', cohort_w, w) // 7 AS week_offset,
+        |  COUNT(DISTINCT act.user_id) AS n_active
+        |FROM act JOIN fs ON act.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_window_anomaly" ->
       """WITH hourly AS (
