@@ -429,21 +429,25 @@ object RelQueries {
     // — each a single shuffle on the order key, no nested probes.
     "q_tpch_q21" -> ((s, d) => {
       val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
-      // BOTH per-order counts in one aggregation (conditional
-      // countDistinct — nulls don't count), so the correlated EXISTS
-      // and NOT EXISTS share a single shuffle of lineitem instead of
-      // two
-      val keep = li.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("nprob"))
-        .filter(col("nsupp") > 1 && col("nprob") === 1)
-        .select("l_orderkey")
+      // TWO separate per-order aggregations, deliberately: folding both
+      // distinct counts into one agg (conditional countDistinct) plans
+      // an Expand that doubles the shuffled rows and A/B-measured 1.5x
+      // slower at sf0.1 (0.84s vs 0.56s core); the two 3-column scans
+      // are cheap columnar reads, and the independent aggregations
+      // pipeline as parallel stages.
+      val multi = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+        .filter(col("nsupp") > 1).select("l_orderkey")
+      val prob = li.filter(col("l_returnflag") === "R")
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("nprob"))
+        .filter(col("nprob") === 1).select(col("l_orderkey").as("po"))
       val fOrders = orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"))
       li.filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_suppkey").distinct()
-        .join(keep, "l_orderkey")
+        .join(multi, "l_orderkey")
+        .join(prob, col("l_orderkey") === col("po"))
         .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
