@@ -647,6 +647,31 @@ object TextOps {
         .orderBy("source", "base_id", "new_id")
     }),
 
+    // E13 SKETCH JOIN-SIZE ESTIMATION (AMS/CMS inner product): the
+    // cardinality estimate a cost-based planner wants BEFORE running a
+    // join — est |A ⋈ B| = min over sketch rows of Σ_b cmsA[d][b] ·
+    // cmsB[d][b]. Each side is one mergeable-sketch aggregation over
+    // its own table (map-side combine, constant state, NO shuffle of
+    // the join keys); the estimate itself is a 4×256 dot product on
+    // the driver-sized result. Never undercounts (all collision noise
+    // is positive), asserted in-row against the exact join count.
+    "q_cms_join_size" -> ((s, d) => {
+      val a = orders(s, d).agg(graft.functions.CmsSketch.cms(col("o_custkey")).as("ca"))
+      val b = customer(s, d).agg(graft.functions.CmsSketch.cms(col("c_custkey")).as("cb"))
+      val exact = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      val rowDots = (0 until 4).map { dd =>
+        aggregate(sequence(lit(dd * 256 + 1), lit(dd * 256 + 256)),
+          lit(0L), (acc, i) =>
+            acc + element_at(col("ca"), i.cast("int")) *
+              element_at(col("cb"), i.cast("int")))
+      }
+      a.crossJoin(b).crossJoin(exact) // three 1-row frames
+        .select(least(rowDots: _*).as("est_join_n"), col("exact_n"))
+        .withColumn("no_undercount", col("est_join_n") >= col("exact_n"))
+    }),
+
     // E10 deterministic stratified sampling: content-keyed md5 bucket
     // per row, keep buckets below the rate threshold — uniform ~20%
     // WITHIN each stratum, reproducible across runs/engines/partitionings
@@ -873,6 +898,29 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_cms_join_size" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |ca AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(dd.d || '|' || o_custkey), 1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS n
+        |  FROM orders, dd GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT dd.d,
+        |    CAST(('0x' || substr(md5(dd.d || '|' || c_custkey), 1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS n
+        |  FROM customer, dd GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT ca.d, CAST(SUM(ca.n * cb.n) AS BIGINT) AS dot
+        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+        |  GROUP BY ca.d),
+        |exact AS (
+        |  SELECT COUNT(*) AS exact_n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT (SELECT MIN(dot) FROM dots) AS est_join_n, exact_n,
+        |  (SELECT MIN(dot) FROM dots) >= exact_n AS no_undercount
+        |FROM exact""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH tok AS (
