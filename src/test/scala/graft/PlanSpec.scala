@@ -153,6 +153,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_tpch_q8: every dimension chain broadcasts around one fact shuffle") {
+    val p = plan("q_tpch_q8")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      "part semi, customer-region semi, and supplier-nation joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q15: the max-revenue probe joins broadcast, never a second fact pass") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_tpch_q17: brand dim broadcast semi-prunes the fact before the stats pass") {
     val p = plan("q_tpch_q17")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
