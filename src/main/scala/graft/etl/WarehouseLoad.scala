@@ -171,7 +171,7 @@ object WarehouseLoad {
     // A content-hash tiebreaker pins one, deterministically across runs.
     def top1Stable(df: DataFrame, key: String): DataFrame = {
       val ord = if (orderDesc) col("scraped_at").desc else col("scraped_at").asc
-      val tieBreak = xxhash64(df.columns.map(col): _*)
+      val tieBreak = xxhash64(df.columns.toIndexedSeq.map(col): _*)
       val w = Window.partitionBy(key).orderBy(ord, tieBreak.asc)
       df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     }

@@ -54,7 +54,7 @@ object GraphOps {
     def signature(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)),
           coalesce(bit_xor(xxhash64(col("node"), col("comp"))), lit(0L)))
-        .head.toSeq
+        .head().toSeq
 
     // localCheckpoint each generation: persist alone caches DATA but the
     // logical plan still nests one union+join+agg per round — plan size
@@ -129,7 +129,7 @@ object GraphOps {
     def signature(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)),
           coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
-        .head.toSeq
+        .head().toSeq
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))

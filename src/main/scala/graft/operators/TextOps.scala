@@ -186,7 +186,7 @@ object TextOps {
     val pruneLo = math.floor(threshold * 100).toInt - 1  // slack covers round(·,4)
 
     val maxBlock = dt.groupBy("source").count()
-      .agg(coalesce(max("count"), lit(0L))).head.getLong(0)
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     val vocabCap = maxMaskWords * 64
     val vocabTokens: Option[Array[String]] =
       if (maxBlock > maxBlockRows) None
