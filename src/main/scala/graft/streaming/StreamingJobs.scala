@@ -229,6 +229,72 @@ object StreamingJobs {
       }
   }
 
+  case class FunnelIn(user_id: Long, event_type: String, tsMicros: Long)
+  /** Per-user funnel state: min view time, bounded pending click /
+    * purchase times, and which stages were already emitted. */
+  case class FunnelProgress(viewMin: Option[Long], clicks: List[Long],
+                            buys: List[Long], emittedView: Boolean,
+                            emittedClick: Boolean, emittedBuy: Boolean)
+  case class FunnelHit(user_id: Long, stage: String)
+
+  /** STREAMING ordered funnel (view → click → purchase, each stage
+    * strictly after the previous stage's first event) — the
+    * incremental form of q_event_funnel, keyed per-user state via
+    * flatMapGroupsWithState, emitting each (user, stage) completion
+    * EXACTLY ONCE however events are batched.
+    *
+    * Correct under out-of-order arrival: a view arriving batches late
+    * can only LOWER the first-view time, which only WIDENS which
+    * clicks/purchases qualify — so stage-reached flags are monotone
+    * and the already-emitted markers stay valid. That retroactive
+    * validation is why the state keeps (bounded) pending click /
+    * purchase times instead of discarding ones that don't qualify
+    * yet; `maxPending` caps state per user (smallest-time events kept
+    * — the ones a late view could validate), trading recall under
+    * adversarial floods for bounded state, same policy as the LSH
+    * bucket cap. */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelIn],
+                   maxPending: Int = 64):
+      org.apache.spark.sql.Dataset[FunnelHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(
+            FunnelProgress(None, Nil, Nil, emittedView = false,
+              emittedClick = false, emittedBuy = false))
+          it.foreach { e =>
+            e.event_type match {
+              case "view" => st = st.copy(viewMin =
+                Some(st.viewMin.fold(e.tsMicros)(math.min(_, e.tsMicros))))
+              case "click" => st = st.copy(clicks =
+                (e.tsMicros :: st.clicks).sorted.take(maxPending))
+              case "purchase" => st = st.copy(buys =
+                (e.tsMicros :: st.buys).sorted.take(maxPending))
+              case _ => ()
+            }
+          }
+          // clicks sorted ascending → find = min qualifying time
+          val minValidClick = st.viewMin.flatMap(v => st.clicks.find(_ > v))
+          val reachedBuy = minValidClick.exists(c => st.buys.exists(_ > c))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          if (st.viewMin.isDefined && !st.emittedView) {
+            out += FunnelHit(uid, "1_view"); st = st.copy(emittedView = true)
+          }
+          if (minValidClick.isDefined && !st.emittedClick) {
+            out += FunnelHit(uid, "2_click"); st = st.copy(emittedClick = true)
+          }
+          if (reachedBuy && !st.emittedBuy) {
+            out += FunnelHit(uid, "3_purchase"); st = st.copy(emittedBuy = true)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One doc keyed into one LSH band bucket, with its full MinHash
     * signature along for the verify estimate. */
   case class BandedDoc(band: Int, bucket: Long, doc_id: Long, sigs: Seq[Long])

@@ -418,6 +418,48 @@ class StreamingSpec extends SparkTestBase {
       "duplicate (band, pair) rows across restart boundaries")
   }
 
+  test("streaming funnel: ordered stages across batches, late view retroactively validates") {
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.{FunnelIn, FunnelHit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelIn]
+    val ck = Files.createTempDirectory("graft_funck").toString
+    val q = StreamingJobs.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    def hits(): Set[(Long, String)] =
+      spark.table("funnel_hits").as[FunnelHit].collect()
+        .map(h => (h.user_id, h.stage)).toSet
+
+    // batch 1: user 1 views at t=10 but their only click (t=5) PRECEDES
+    // it — view reached, click not; user 2 clicks with no view at all
+    input.addData(FunnelIn(1L, "view", 10L), FunnelIn(1L, "click", 5L),
+      FunnelIn(2L, "click", 7L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view")))
+
+    // batch 2: a later click qualifies (20 > 10); a purchase at t=15
+    // does NOT (15 < first qualifying click 20)
+    input.addData(FunnelIn(1L, "click", 20L), FunnelIn(1L, "purchase", 15L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click")))
+
+    // batch 3: a LATE view at t=1 lowers first-view; click t=5 becomes
+    // the first qualifying click, which retroactively validates the
+    // t=15 purchase — full funnel, each stage emitted exactly once
+    input.addData(FunnelIn(1L, "view", 1L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click"), (1L, "3_purchase")))
+    val all = spark.table("funnel_hits").as[FunnelHit].collect()
+    assert(all.length === 3, s"stages must emit exactly once, got ${all.toSeq}")
+    q.stop()
+
+    // the state machine agrees with the batch funnel's grouped-min
+    // logic on the same event multiset (view 1, first click after = 5,
+    // first purchase after 5 = 15) — semantics, not coincidence
+  }
+
   test("stream-static enrichment re-resolves the snapshot dim per micro-batch") {
     import graft.streaming.StreamingJobs
     import graft.sources.SnapshotTable
