@@ -112,6 +112,29 @@ object CorpusOps {
         .orderBy("source", "doc_id")
     }),
 
+    // TOKEN-BUDGETED sampling: take documents per source, hash-ranked,
+    // until a TOKEN budget is exhausted — how pretraining mixtures are
+    // actually specified (tokens contributed per domain, not doc
+    // counts; q_mix_sample is the doc-count form). One rank window +
+    // one running-sum window over the same (source, rank) sort — the
+    // second window reuses the first's exchange — then a narrow
+    // filter. The md5 rank makes the draw deterministic, and the
+    // budget cut is integral, so both engines take the identical
+    // document set.
+    "q_token_budget" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val rnW = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_toks"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(rnW))
+        .filter(col("cum_toks") <= 2000) // per-source token budget
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max(col("cum_toks")).as("tokens_taken"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("source")
+    }),
+
     // Corpus profile: the per-source dashboard row a curation run
     // starts and ends with — doc/token/vocabulary counts, exact-dup
     // count via content fingerprints, mean length in integer
@@ -212,6 +235,22 @@ object CorpusOps {
         |FROM sized
         |WHERE rn <= GREATEST(1, CAST(FLOOR(SQRT(n_docs) * 4) AS BIGINT))
         |ORDER BY source, doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum_toks
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(MAX(cum_toks) AS BIGINT) AS tokens_taken,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM c WHERE cum_toks <= 2000
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH perdoc AS (
