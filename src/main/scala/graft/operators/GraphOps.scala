@@ -342,6 +342,36 @@ object GraphOps {
         .select(col("doc_id"), col("comp"), col("csize"))
         .orderBy("doc_id")
     }),
+    // END-TO-END CURATION PIPELINE — the composed artifact the rest of
+    // the catalog's operators exist for: quality gate (the
+    // q_quality_filter rules) ∧ dedup survivorship (cluster
+    // representative, reusing the memoized component labels) ∧
+    // per-source token budget (the q_token_budget cut). Output = the
+    // curated-corpus manifest per source. Every rule stays integral
+    // and every stage is a shuffle on its natural key, so the whole
+    // composition — including the transitive-closure dedup — is
+    // hash-verified against one composed DuckDB oracle.
+    "q_curation_pipeline" -> ((s, d) => {
+      val toksC = array_remove(split(lower(col("text")), " "), "")
+      val quality = documents(s, d)
+        .withColumn("n_tokens", size(toksC).cast("long"))
+        .withColumn("n_stop", size(filter(toksC, t =>
+          t.isInCollection(TextOps.stopwords))).cast("long"))
+        .filter(col("n_tokens") >= 25 && col("n_chars") <= col("n_tokens") * 8 &&
+          col("n_stop") > 0)
+        .select("source", "doc_id", "n_tokens")
+      val survivors = clusters(s, d).filter(col("node") === col("comp"))
+        .select(col("node").as("doc_id"))
+      val kept = quality.join(survivors, "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      kept.withColumn("cum_toks", sum(col("n_tokens")).over(w))
+        .filter(col("cum_toks") <= 1500)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), max(col("cum_toks")).as("tokens_taken"))
+        .orderBy("source")
+    }),
+
     // E3 dedup clustering: every document labeled with its near-dup
     // cluster (min doc_id of the LSH-connected component) + cluster size.
     // Size via a count window on comp, NOT a groupBy+self-join: the join
@@ -554,5 +584,29 @@ object GraphOps {
       """
         |SELECT d.doc_id, d.source, s.csize
         |FROM documents d JOIN sizes s ON d.doc_id = s.comp
-        |ORDER BY d.doc_id""".stripMargin))
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // composed curation oracle: the ccPrelude's transitive closure,
+    // the q_quality_filter rules, and the q_token_budget cut in one
+    // statement — lockstep with the Spark composition by construction
+    "q_curation_pipeline" -> (ccPrelude +
+      """,
+        |qual AS (
+        |  SELECT d.source, d.doc_id,
+        |    CAST(len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  WHERE len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) >= 25
+        |    AND d.n_chars <= len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) * 8
+        |    AND len(list_filter(string_split(lower(d.text), ' '),
+        |          x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0),
+        |surv AS (SELECT node AS doc_id FROM cc WHERE node = comp),
+        |kept AS (SELECT q.* FROM qual q JOIN surv ON q.doc_id = surv.doc_id),
+        |cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum_toks
+        |  FROM kept)
+        |SELECT source, COUNT(*) AS n_docs, CAST(MAX(cum_toks) AS BIGINT) AS tokens_taken
+        |FROM cum WHERE cum_toks <= 1500
+        |GROUP BY source ORDER BY source""".stripMargin))
 }
