@@ -93,6 +93,42 @@ class RandomizedPropertySpec extends SparkTestBase {
       }
   }
 
+  test("ImageHeaders roundtrips random dimensions across all four containers") {
+    import graft.operators.Multimodal.ImageHeaders
+    val rnd = new Random(43)
+    def b(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    def be16(v: Int) = Seq((v >>> 8) & 0xff, v & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >>> 8) & 0xff)
+    def be32(v: Int) = Seq(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+    def le32(v: Int) = Seq(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+    (1 to 200).foreach { i =>
+      // PNG: full 31-bit dimension range through BE32
+      val (pw, ph) = (1 + rnd.nextInt(1 << 24), 1 + rnd.nextInt(1 << 24))
+      val png = b(Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A,
+        0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt) ++
+        be32(pw) ++ be32(ph) ++ Seq(8, 2, 0, 0, 0): _*)
+      assert(ImageHeaders.decode(png) === ((pw, ph, "png")), s"iter $i png")
+      // JPEG: u16 dims behind a random-length APPn segment
+      val (jw, jh) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      val appLen = 2 + rnd.nextInt(12)
+      val jpg = b(Seq(0xFF, 0xD8, 0xFF, 0xE1) ++ be16(appLen) ++
+        Seq.fill(appLen - 2)(0) ++ Seq(0xFF, 0xC0, 0x00, 0x0B, 0x08) ++
+        be16(jh) ++ be16(jw) ++ Seq(0x01, 0x01, 0x11, 0x00, 0xFF, 0xD9): _*)
+      assert(ImageHeaders.decode(jpg) === ((jw, jh, "jpeg")), s"iter $i jpeg")
+      // GIF: u16 little-endian
+      val (gw, gh) = (1 + rnd.nextInt(65535), 1 + rnd.nextInt(65535))
+      val gif = b(Seq('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '9'.toInt, 'a'.toInt) ++
+        le16(gw) ++ le16(gh) ++ Seq(0, 0, 0): _*)
+      assert(ImageHeaders.decode(gif) === ((gw, gh, "gif")), s"iter $i gif")
+      // BMP: i32 little-endian, randomly top-down (negative height)
+      val (bw, bh) = (1 + rnd.nextInt(1 << 24), 1 + rnd.nextInt(1 << 24))
+      val signedH = if (rnd.nextBoolean()) bh else -bh
+      val bmp = b(Seq('B'.toInt, 'M'.toInt) ++ Seq.fill(16)(0) ++
+        le32(bw) ++ le32(signedH): _*)
+      assert(ImageHeaders.decode(bmp) === ((bw, bh, "bmp")), s"iter $i bmp")
+    }
+  }
+
   test("jaccard strategies agree on random documents") {
     for (seed <- Seq(29, 31)) {
       val rnd = new Random(seed)
