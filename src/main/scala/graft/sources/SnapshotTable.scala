@@ -114,21 +114,30 @@ final class SnapshotTable(root: String) {
 
   /** Time travel: read snapshot `v` as of its commit.
     *
-    * A snapshot with an empty file listing (e.g. a replace-commit of
-    * an empty DataFrame) is read back with the TABLE schema persisted
-    * in its manifest, so `select`s on an emptied table still resolve
-    * and the schema matches post-commit reads. Only a table with NO
-    * commits at all (v < 0, nothing ever declared a schema) degrades
-    * to the zero-column `emptyDataFrame`. */
+    * The read uses the SCHEMA persisted in snapshot `v`'s manifest
+    * (the schema of the commit that published it): this is what makes
+    * SCHEMA EVOLUTION deterministic — after an append that added a
+    * column, the listing mixes old and new files, and a bare parquet
+    * read would resolve the schema from whichever footer it samples
+    * first (silently dropping the new column on a bad draw). With the
+    * manifest schema, new columns null-fill in pre-evolution files,
+    * and time travel to an old version reads the OLD shape — each
+    * snapshot keeps the schema it was committed with. Pre-schema-line
+    * manifests (older tables) fall back to footer inference; a
+    * snapshot with an empty listing yields a typed empty frame; only
+    * a table with NO commits at all degrades to the zero-column
+    * `emptyDataFrame`. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
     val files = listing(v).map(rel => Paths.get(root).resolve(rel).toString)
-    if (files.nonEmpty)
-      spark.read.option("basePath", dataDir.toString).parquet(files: _*)
-    else schemaOf(v) match {
-      case Some(ddl) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      case None => spark.emptyDataFrame
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    (files.nonEmpty, schema) match {
+      case (true, Some(sch)) =>
+        spark.read.schema(sch).option("basePath", dataDir.toString).parquet(files: _*)
+      case (true, None) =>
+        spark.read.option("basePath", dataDir.toString).parquet(files: _*)
+      case (false, Some(sch)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case (false, None) => spark.emptyDataFrame
     }
   }
 

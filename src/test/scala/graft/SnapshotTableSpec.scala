@@ -189,6 +189,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 130)
   }
 
+  test("schema evolution: added columns null-fill old files; time travel keeps old shapes") {
+    import spark.implicits._
+    val (t, _) = freshTable()
+    val v0 = t.commit(df(0 until 5))
+    // evolution: a later commit adds a `label` column
+    val v1 = t.commit((5L until 8L).map(i => (i, s"l$i")).toDF("id", "label"))
+    val cur = t.read(spark)
+    assert(cur.schema.fieldNames.toSeq === Seq("id", "label"),
+      "head read must use the committed schema, not a footer lottery")
+    assert(cur.count() === 8)
+    assert(cur.filter(col("label").isNull).count() === 5,
+      "pre-evolution rows must null-fill the new column")
+    assert(cur.filter(col("label") === "l6").count() === 1)
+    // time travel reads each snapshot with the schema it committed
+    assert(t.readAt(spark, v0).schema.fieldNames.toSeq === Seq("id"))
+    assert(t.readAt(spark, v1).schema.fieldNames.toSeq === Seq("id", "label"))
+    // CDC across the evolution carries the new shape
+    assert(t.readChanges(spark, v0, v1).schema.fieldNames.toSeq === Seq("id", "label"))
+  }
+
   test("empty snapshots read back with the committed table schema") {
     val (t, _) = freshTable()
     // replace-commit an EMPTY frame: no data files, but the manifest
