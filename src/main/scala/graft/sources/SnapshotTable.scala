@@ -68,12 +68,20 @@ final class SnapshotTable(root: String) {
     * tag). */
   private def listing(v: Long): Seq[String] =
     if (v < 0) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    else {
+      require(Files.exists(manifestPath(v)),
+        s"snapshot v$v at $root is expired (vacuumed) or was never committed")
+      Files.readAllLines(manifestPath(v)).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
 
-  /** The idempotency tag of snapshot `v`, if it was tagged. */
+  /** The idempotency tag of snapshot `v`, if it was tagged. Expired
+    * (vacuumed) manifests yield None — which means tag memory only
+    * spans the retention window: keep retention longer than any replay
+    * horizon (the same txn-retention contract as Delta's vacuum). */
   private def tagOf(v: Long): Option[String] =
-    Files.readAllLines(manifestPath(v)).asScala
+    if (!Files.exists(manifestPath(v))) None
+    else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
 
   /** The schema DDL recorded with snapshot `v` (commits since the
@@ -318,6 +326,45 @@ final class SnapshotTable(root: String) {
     if (fileCount(currentVersion()) > maxFiles)
       Some(compact(spark, tgt, sortKey))
     else None
+  }
+
+  /** VACUUM: physically delete data files no committed-and-retained
+    * snapshot references, and expire manifests older than the newest
+    * `keepVersions` — the storage-reclaim half of the table format
+    * (compaction rewrites hot data; vacuum reaps what nothing can
+    * read anymore: orphans from crashed writers that never published,
+    * and files only expired history referenced). Time travel to an
+    * expired version refuses cleanly afterwards (its manifest is
+    * gone), current and retained reads are untouched.
+    *
+    * Retention caveat (same contract as Delta/Iceberg's vacuum): a
+    * writer that has WRITTEN data but not yet PUBLISHED its manifest
+    * owns files vacuum sees as orphans — only run with no in-flight
+    * commits, or with `keepVersions` / operational retention long
+    * enough to cover writer latency.
+    *
+    * @return (dataFilesDeleted, manifestsExpired) */
+  def vacuum(keepVersions: Int = 3): (Int, Int) = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val head = currentVersion()
+    val keepFrom = math.max(0L, head - keepVersions + 1)
+    val referenced: Set[String] =
+      (keepFrom to head).flatMap(listing).toSet // relative "data/b…/f.parquet"
+    var dataDeleted = 0
+    val batches = Files.list(dataDir)
+    try batches.iterator().asScala.toSeq.foreach { b =>
+      val fs = Files.list(b)
+      val all = try fs.iterator().asScala.toSeq finally fs.close()
+      val (kept, doomed) = all.partition(p =>
+        referenced.contains(s"data/${b.getFileName}/${p.getFileName}"))
+      doomed.foreach { p => Files.deleteIfExists(p); dataDeleted += 1 }
+      if (kept.isEmpty && all.nonEmpty) Files.deleteIfExists(b) // empty batch dir
+    } finally batches.close()
+    var manifestsExpired = 0
+    (0L until keepFrom).foreach { v =>
+      if (Files.deleteIfExists(manifestPath(v))) manifestsExpired += 1
+    }
+    (dataDeleted, manifestsExpired)
   }
 
   /** Data files referenced by snapshot `v` (for specs/ops visibility). */

@@ -266,6 +266,30 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.readChanges(spark, v2, v3).count() === 4)
   }
 
+  test("vacuum reaps crashed-writer orphans and replaced history; retained reads intact") {
+    val (t, dir) = freshTable()
+    (0 until 5).foreach(i => t.commit(df(i * 10 until i * 10 + 10))) // v0..v4
+    // a crashed writer: data written, manifest never published
+    df(900 until 950).write.parquet(Paths.get(dir, "data", "b_crashed").toString)
+    // a replace supersedes the whole appended lineage
+    val v5 = t.commit(df(1000 until 1003), replace = true)
+    val (dataDeleted, manifestsExpired) = t.vacuum(keepVersions = 1)
+    assert(manifestsExpired === 5, "v0..v4 must expire")
+    assert(dataDeleted >= 6, "appended-lineage files + crashed orphans must be reaped")
+    // the retained head reads exactly its own content
+    assert(t.read(spark).count() === 3)
+    assert(t.readAt(spark, v5).count() === 3)
+    // expired time travel refuses cleanly, with a message — not a
+    // raw NoSuchFileException from the manifest read
+    val ex = intercept[IllegalArgumentException] { t.readAt(spark, 2L) }
+    assert(ex.getMessage.contains("expired"))
+    // a fresh handle's tag scan tolerates the expired range
+    assert(!SnapshotTable(dir).tagCommitted("never_used"))
+    // and the lineage continues: appends after vacuum commit normally
+    t.commit(df(2000 until 2005))
+    assert(t.read(spark).count() === 8)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
