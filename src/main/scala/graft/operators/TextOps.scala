@@ -392,6 +392,26 @@ object TextOps {
         .orderBy("doc_id", "token")
     }),
 
+    // KEY-SKEW DIAGNOSTIC: the distribution report you run BEFORE
+    // choosing a salting strategy — per-key counts, the global
+    // max/avg skew ratio (integral micro-units), and the top hot
+    // keys. One aggregation on the key + one 1-row global rollup
+    // broadcast back; at lake scale this is the cheap probe that
+    // decides between a plain shuffle join, AQE skew split, or the
+    // manual salting below.
+    "q_key_skew" -> ((s, d) => {
+      val counts = lineitem(s, d).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"), max(col("n")).as("max_n"))
+      counts.orderBy(col("n").desc, col("l_suppkey").asc).limit(5)
+        .crossJoin(broadcast(stats)) // 1-row global rollup
+        .select(col("l_suppkey").as("key"), col("n"),
+          col("n_keys"), col("n_rows"),
+          expr("max_n * n_keys * 1000000 div n_rows").as("skew_ratio_micro"))
+        .orderBy(col("n").desc, col("key").asc)
+    }),
+
     // Skew-safe two-phase aggregation: salt the hot grouping key, do the
     // heavy partial aggregation on (key, salt) — spreading one hot key
     // over N reducers — then a cheap final re-agg on key alone. Results
@@ -1012,6 +1032,20 @@ object TextOps {
         |FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
         |ORDER BY i.source, i.d1, i.d2""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH counts AS (
+        |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(MAX(n) AS BIGINT) AS max_n
+        |  FROM counts),
+        |top AS (
+        |  SELECT l_suppkey, n FROM counts ORDER BY n DESC, l_suppkey ASC LIMIT 5)
+        |SELECT top.l_suppkey AS key, top.n, s.n_keys, s.n_rows,
+        |  s.max_n * s.n_keys * 1000000 // s.n_rows AS skew_ratio_micro
+        |FROM top, stats s
+        |ORDER BY top.n DESC, key ASC""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
