@@ -129,6 +129,73 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("snapshot table matches an in-memory model under random op sequences") {
+    import graft.sources.SnapshotTable
+    for (seed <- Seq(7, 13)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_model$seed").toString
+      val t = SnapshotTable(dir)
+      def dfOf(ids: Seq[Long]) =
+        spark.createDataset(ids)(org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+      // model(v) = expected id multiset of snapshot v
+      var model = Vector.empty[Vector[Long]]
+      var nextId = 0L
+      var usedTags = List.empty[String]
+      (1 to 20).foreach { step =>
+        rnd.nextInt(10) match {
+          case k if k < 4 => // append
+            val ids = (nextId until nextId + 1 + rnd.nextInt(15)).toVector
+            nextId += ids.size
+            assert(t.commit(dfOf(ids)) === model.size.toLong)
+            model :+= (model.lastOption.getOrElse(Vector.empty) ++ ids)
+          case 4 | 5 => // replace with a random subset of current content
+            val kept = model.lastOption.getOrElse(Vector.empty)
+              .filter(_ => rnd.nextBoolean())
+            assert(t.commit(dfOf(kept), replace = true) === model.size.toLong)
+            model :+= kept
+          case 6 if model.nonEmpty => // compaction preserves content
+            t.compact(spark, files = 1 + rnd.nextInt(3))
+            model :+= model.last
+          case 7 => // tagged commit: fresh tag appends, replayed tag skips
+            val replay = usedTags.nonEmpty && rnd.nextBoolean()
+            val tag = if (replay) usedTags(rnd.nextInt(usedTags.size)) else s"tag_$step"
+            val ids = (nextId until nextId + 3).toVector
+            val committed = t.commitOnce(tag, dfOf(ids))
+            if (replay) assert(committed.isEmpty, s"seed=$seed step=$step replayed tag re-committed")
+            else {
+              nextId += ids.size
+              assert(committed.contains(model.size.toLong))
+              model :+= (model.lastOption.getOrElse(Vector.empty) ++ ids)
+              usedTags ::= tag
+            }
+          case _ => // read a random committed version against the model
+            if (model.nonEmpty) {
+              val v = rnd.nextInt(model.size)
+              val got = t.readAt(spark, v.toLong).select("id")
+                .collect().map(_.getLong(0)).sorted.toVector
+              assert(got === model(v).sorted, s"seed=$seed step=$step v=$v")
+            }
+        }
+      }
+      // full history sweep, then vacuum and re-sweep the retained tail
+      model.indices.foreach { v =>
+        val got = t.readAt(spark, v.toLong).select("id")
+          .collect().map(_.getLong(0)).sorted.toVector
+        assert(got === model(v).sorted, s"seed=$seed final v=$v")
+      }
+      val keep = 1 + rnd.nextInt(3)
+      t.vacuum(keepVersions = keep)
+      val head = model.size - 1
+      (math.max(0, head - keep + 1) to head).foreach { v =>
+        val got = t.readAt(spark, v.toLong).select("id")
+          .collect().map(_.getLong(0)).sorted.toVector
+        assert(got === model(v).sorted, s"seed=$seed post-vacuum v=$v")
+      }
+      if (head - keep >= 0)
+        intercept[IllegalArgumentException] { t.readAt(spark, (head - keep).toLong) }
+    }
+  }
+
   test("jaccard strategies agree on random documents") {
     for (seed <- Seq(29, 31)) {
       val rnd = new Random(seed)
