@@ -196,6 +196,50 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("streaming funnel equals the batch grouped-min reference under random batching") {
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.{FunnelIn, FunnelHit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    for (seed <- Seq(17, 23)) {
+      val rnd = new Random(seed)
+      val types = Seq("view", "click", "purchase", "error")
+      val events = Seq.fill(120)(FunnelIn(
+        user_id = rnd.nextInt(8).toLong,
+        event_type = types(rnd.nextInt(types.size)),
+        tsMicros = 1L + rnd.nextInt(50)))
+      // batch reference: first view; first click strictly after it;
+      // first purchase strictly after that
+      val expected: Set[(Long, String)] = events.groupBy(_.user_id).toSeq.flatMap {
+        case (u, es) =>
+          val v = es.filter(_.event_type == "view").map(_.tsMicros).minOption
+          val c = v.flatMap(tv => es.filter(e => e.event_type == "click" && e.tsMicros > tv)
+            .map(_.tsMicros).minOption)
+          val p = c.flatMap(tc => es.filter(e => e.event_type == "purchase" && e.tsMicros > tc)
+            .map(_.tsMicros).minOption)
+          v.map(_ => (u, "1_view")) ++ c.map(_ => (u, "2_click")) ++ p.map(_ => (u, "3_purchase"))
+      }.toSet
+      // stream the same events in random batch splits (arbitrary order)
+      val shuffled = rnd.shuffle(events)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelIn]
+      val name = s"funnel_prop_$seed"
+      val q = StreamingJobs.funnelStream(input.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(30)
+        input.addData(rest.take(n))
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      import spark.implicits._
+      val got = spark.table(name).as[FunnelHit].collect()
+        .map(h => (h.user_id, h.stage)).toSeq
+      assert(got.toSet === expected, s"seed=$seed")
+      assert(got.size === got.toSet.size, s"seed=$seed emitted a stage twice")
+      q.stop()
+    }
+  }
+
   test("jaccard strategies agree on random documents") {
     for (seed <- Seq(29, 31)) {
       val rnd = new Random(seed)
