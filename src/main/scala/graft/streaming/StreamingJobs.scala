@@ -290,7 +290,16 @@ object StreamingJobs {
           if (reachedBuy && !st.emittedBuy) {
             out += FunnelHit(uid, "3_purchase"); st = st.copy(emittedBuy = true)
           }
-          state.update(st)
+          // a COMPLETED user's pending lists can never matter again
+          // (every stage emitted; flags alone block re-emission), so
+          // drop them — state per completed user shrinks to three
+          // booleans + one timestamp instead of 2×maxPending longs.
+          // Flags must stay (state.remove would re-emit on the user's
+          // next event); long-idle INCOMPLETE users are the remaining
+          // growth term — at lake scale add an event-time TTL tied to
+          // the funnel's attribution window.
+          state.update(
+            if (st.emittedBuy) st.copy(clicks = Nil, buys = Nil) else st)
           out.iterator
       }
   }
