@@ -259,6 +259,132 @@ object RelQueries {
         .orderBy("l_linestatus")
     }),
 
+    // TPC-H Q2 shape: min-cost supplier per part within a region — the
+    // correlated scalar subquery (cost = regional minimum for that
+    // part) decorrelated into a grouped-min joined back on
+    // (part, cost). Runs over the DERIVED partsupp ([[partsupp]]);
+    // supply costs are integer cents, so the min-equality is exact.
+    "q_tpch_q2" -> ((s, d) => {
+      val euroSupp = supplier(s, d)
+        .join(broadcast(nation(s, d).join(broadcast(
+            region(s, d).filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val sized = part(s, d).filter(col("p_size") === 15)
+        .select("p_partkey", "p_brand")
+      val eps = partsupp(s, d)
+        .join(sized, col("ps_partkey") === col("p_partkey"))
+        .join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eps.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost_c")).as("min_c"))
+      eps.join(broadcast(minCost),
+          col("ps_partkey") === col("mk") && col("ps_supplycost_c") === col("min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          (col("ps_supplycost_c").cast("double") / 100).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+          col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape: product-line profit by nation and year — the
+    // five-table join with an arithmetic measure combining revenue and
+    // supply cost. All money stays in integer 10^-4-dollar units
+    // (revenue = cents × percent; cost = cents × qty × 100), so the
+    // per-nation-year sums are exact.
+    "q_tpch_q9" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+      val selParts = part(s, d).filter(col("p_name").contains("red")).select("p_partkey")
+      val amounts = li
+        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(partsupp(s, d),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .withColumn("amount",
+          col("rev_c") - col("ps_supplycost_c") * col("qty") * 100)
+      amounts
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg((sum(col("amount")).cast("double") / 10000).as("profit"))
+        .orderBy(col("n_name").asc, col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape: important stock — per-part inventory value
+    // probed against a fraction of the GLOBAL value (scalar-subquery
+    // HAVING). The 1/10000 fraction comparison stays integral.
+    "q_tpch_q11" -> ((s, d) => {
+      val natSupp = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val vals = partsupp(s, d)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .withColumn("v_c", col("ps_supplycost_c") * col("ps_availqty"))
+      val byPart = vals.groupBy("ps_partkey").agg(sum(col("v_c")).as("part_v"))
+      val total = vals.agg(sum(col("v_c")).as("tot_v"))
+      byPart.crossJoin(broadcast(total)) // 1-row global aggregate probe
+        .filter(col("part_v") * 10000 > col("tot_v"))
+        .select(col("ps_partkey"), (col("part_v").cast("double") / 100).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey").asc)
+    }),
+
+    // TPC-H Q16 shape: supplier-count distribution per part attribute
+    // combo, with a NOT IN supplier exclusion (negative-balance
+    // suppliers stand in for the comment-based complaint filter the
+    // testdata lacks) — anti join + countDistinct.
+    "q_tpch_q16" -> ((s, d) => {
+      val excluded = supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+      val selParts = part(s, d)
+        .filter(col("p_brand") =!= "Brand#4" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      partsupp(s, d)
+        .join(selParts, col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // TPC-H Q20 shape: suppliers holding excess stock — two nested
+    // correlated subqueries (parts of interest; half the year's moved
+    // quantity per (part, supplier)) decorrelated into a grouped sum
+    // joined on both keys, with the integral 2·avail > qty rule.
+    "q_tpch_q20" -> ((s, d) => {
+      val selParts = part(s, d).filter(col("p_name").contains("small")).select("p_partkey")
+      val moved = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(LocalDateTime.of(1996, 1, 1, 0, 0)) &&
+                col("l_shipdate") < lit(LocalDateTime.of(1997, 1, 1, 0, 0)))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      val excess = partsupp(s, d)
+        .join(broadcast(selParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(moved, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("sum_qty"))
+        .select("ps_suppkey").distinct()
+      val euroSupp = supplier(s, d)
+        .join(broadcast(nation(s, d).join(broadcast(
+            region(s, d).filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+      euroSupp.join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q8 shape: national market share — the deepest join tree in
     // the suite (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the
     // demand side, ⋈ supplier ⋈ nation on the supply side, ⋈ part).
@@ -861,7 +987,140 @@ object RelQueries {
        |FROM g16 ORDER BY hkey, o_orderkey""".stripMargin
   }
 
+  /** DERIVED partsupp relation: the testdata ships no partsupp table,
+    * so the five TPC-H queries that need one (Q2, Q9, Q11, Q16, Q20)
+    * run over a deterministic derivation — four suppliers per part
+    * (consecutive keys mod |supplier|, distinct because every SF ships
+    * ≥ 4 dense 0-based supplier keys), integer-cents supply cost and
+    * availqty as fixed arithmetic on the keys. The oracle derives the
+    * IDENTICAL relation ([[partsuppCte]]), so the five shapes carry
+    * the full hash-compare — the same synthesized-input precedent as
+    * q_convert_speed's speed strings or the PII scrub's raw column. */
+  private def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = broadcast(supplier(s, d)
+      .agg((max(col("s_suppkey")) + lit(1L)).as("n_supp")))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(nSupp)
+      .select(col("p_partkey"), col("n_supp"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") * 4 + col("i"), col("n_supp")).as("ps_suppkey"))
+      .withColumn("ps_supplycost_c",
+        pmod(col("ps_partkey") * 7919 + col("ps_suppkey") * 104729, lit(90000L)) +
+          lit(10000L))
+      .withColumn("ps_availqty",
+        pmod(col("ps_partkey") * 31 + col("ps_suppkey") * 17, lit(9000L)) + lit(1L))
+  }
+
+  /** The [[partsupp]] derivation as DuckDB CTEs (ends with `ps`). */
+  private val partsuppCte =
+    """nsupp AS (SELECT MAX(s_suppkey) + 1 AS n FROM supplier),
+      |ps0 AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey * 4 + i.i) % (SELECT n FROM nsupp) AS ps_suppkey
+      |  FROM part, (SELECT unnest([0, 1, 2, 3]) AS i) i),
+      |ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    (ps_partkey * 7919 + ps_suppkey * 104729) % 90000 + 10000 AS ps_supplycost_c,
+      |    (ps_partkey * 31 + ps_suppkey * 17) % 9000 + 1 AS ps_availqty
+      |  FROM ps0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_tpch_q2" -> (s"WITH $partsuppCte," +
+      """
+        |esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |eps AS (
+        |  SELECT ps.*, p.p_brand, e.s_name, e.s_acctbal, e.n_name
+        |  FROM ps
+        |  JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size = 15
+        |  JOIN esupp e ON ps.ps_suppkey = e.s_suppkey),
+        |mc AS (SELECT ps_partkey AS mk, MIN(ps_supplycost_c) AS min_c
+        |       FROM eps GROUP BY ps_partkey)
+        |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+        |  CAST(ps_supplycost_c AS DOUBLE) / 100 AS supplycost
+        |FROM eps JOIN mc ON ps_partkey = mk AND ps_supplycost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin),
+
+    "q_tpch_q9" -> (s"WITH $partsuppCte," +
+      """
+        |li AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')),
+        |am AS (
+        |  SELECT li.l_orderkey, li.l_suppkey,
+        |    li.rev_c - ps.ps_supplycost_c * li.qty * 100 AS amount
+        |  FROM li JOIN ps
+        |  ON li.l_partkey = ps.ps_partkey AND li.l_suppkey = ps.ps_suppkey)
+        |SELECT n_name,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(SUM(amount) AS BIGINT) AS DOUBLE) / 10000 AS profit
+        |FROM am
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name ASC, o_year DESC""".stripMargin),
+
+    "q_tpch_q11" -> (s"WITH $partsuppCte," +
+      """
+        |nats AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |vals AS (
+        |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v_c
+        |  FROM ps WHERE ps_suppkey IN (SELECT s_suppkey FROM nats)),
+        |bypart AS (
+        |  SELECT ps_partkey, CAST(SUM(v_c) AS BIGINT) AS part_v
+        |  FROM vals GROUP BY ps_partkey),
+        |tot AS (SELECT CAST(SUM(v_c) AS BIGINT) AS tot_v FROM vals)
+        |SELECT ps_partkey, CAST(part_v AS DOUBLE) / 100 AS value
+        |FROM bypart, tot
+        |WHERE part_v * 10000 > tot_v
+        |ORDER BY value DESC, ps_partkey ASC""".stripMargin),
+
+    "q_tpch_q16" -> (s"WITH $partsuppCte" +
+      """
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin),
+
+    "q_tpch_q20" -> (s"WITH $partsuppCte," +
+      """
+        |moved AS (
+        |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_partkey, l_suppkey),
+        |excess AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM ps
+        |  JOIN moved ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%small%')
+        |    AND ps_availqty * 2 > sum_qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        |ORDER BY s_suppkey""".stripMargin),
+
     "q_hilbert_key" -> hilbertOracle,
 
     "q_tpch_q1" ->
