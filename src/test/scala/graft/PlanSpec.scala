@@ -178,6 +178,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_tpch_q9: both-key partsupp join plans as an equi join, never a nested loop") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "the (partkey, suppkey) join must be an equi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "fact-side joins must not degrade to nested loops")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q2 / q_tpch_q11: derived partsupp probes broadcast around one shuffle") {
+    Seq("q_tpch_q2", "q_tpch_q11").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dimension sides must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
