@@ -17,6 +17,25 @@ import graft.sources.Tables._
 object RefQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM scratch root for queries that materialize a throwaway
+    * snapshot table (q_snapshot_timetravel / q_snapshot_changes) —
+    * recursively deleted by a shutdown hook, so repeated bench/verify
+    * runs over the catalog don't accumulate data under /tmp. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally st.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }))
+    p
+  }
+  private def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
   val queries: Map[String, Q] = Map(
     // ---- §2.5 scalar suite, each over a synthesized input column ----
 
@@ -290,7 +309,7 @@ object RefQueries {
     // a head read), and the v3 row must equal v2's aggregates —
     // compaction rewrites layout, never content.
     "q_snapshot_timetravel" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val dir = scratchDir("graft_tt")
       val t = graft.sources.SnapshotTable(dir)
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -320,7 +339,7 @@ object RefQueries {
     // aggregate must equal the frozen SELECT of exactly the rows that
     // lineage segment appended.
     "q_snapshot_changes" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val dir = scratchDir("graft_cdc")
       val t = graft.sources.SnapshotTable(dir)
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))

@@ -190,13 +190,20 @@ final class SnapshotTable(root: String) {
         "the incremental file diff is undefined across a rewrite")
     val added = after.filterNot(before)
       .map(rel => Paths.get(root).resolve(rel).toString)
-    if (added.nonEmpty)
-      spark.read.option("basePath", dataDir.toString).parquet(added: _*)
-    else schemaOf(to) match {
-      case Some(ddl) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      case None => spark.emptyDataFrame
+    // the delta read uses `to`'s manifest schema for the same reason
+    // readAt does: a bootstrap (from = -1) or a range spanning a schema
+    // evolution mixes old- and new-shape files, and a bare footer read
+    // resolves from whichever file Spark samples — silently dropping
+    // the evolved column on a bad draw
+    val schema = schemaOf(to).map(org.apache.spark.sql.types.StructType.fromDDL)
+    (added.nonEmpty, schema) match {
+      case (true, Some(sch)) =>
+        spark.read.schema(sch).option("basePath", dataDir.toString).parquet(added: _*)
+      case (true, None) =>
+        spark.read.option("basePath", dataDir.toString).parquet(added: _*)
+      case (false, Some(sch)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case (false, None) => spark.emptyDataFrame
     }
   }
 
@@ -348,8 +355,14 @@ final class SnapshotTable(root: String) {
     require(keepVersions >= 1, "must retain at least the current version")
     val head = currentVersion()
     val keepFrom = math.max(0L, head - keepVersions + 1)
+    // tolerate already-expired manifests inside the keep window: an
+    // earlier vacuum with SHORTER retention may have deleted v(keepFrom)
+    // itself (vacuum(1) then vacuum(3) before 3 new commits land) — a
+    // missing manifest references nothing, it must not abort the sweep
     val referenced: Set[String] =
-      (keepFrom to head).flatMap(listing).toSet // relative "data/b…/f.parquet"
+      (keepFrom to head)
+        .filter(v => Files.exists(manifestPath(v)))
+        .flatMap(listing).toSet // relative "data/b…/f.parquet"
     var dataDeleted = 0
     val batches = Files.list(dataDir)
     try batches.iterator().asScala.toSeq.foreach { b =>

@@ -250,33 +250,73 @@ object StreamingJobs {
     * validation is why the state keeps (bounded) pending click /
     * purchase times instead of discarding ones that don't qualify
     * yet; `maxPending` caps state per user (smallest-time events kept
-    * — the ones a late view could validate), trading recall under
-    * adversarial floods for bounded state, same policy as the LSH
-    * bucket cap. */
+    * — the ones a late view could validate, PLUS the currently-minimal
+    * qualifying click, which is pinned through truncation because a
+    * falling viewMin can never invalidate it and a pending purchase
+    * needs it), trading recall under adversarial floods for bounded
+    * state, same policy as the LSH bucket cap. Qualification is
+    * evaluated BEFORE truncation, so an event that completes a stage
+    * the moment it arrives is never dropped by a full pending list.
+    *
+    * State EVICTION (`evictAfterSec > 0`): the user-key count
+    * otherwise grows forever — completed users compact to a few
+    * booleans but never leave the store. With eviction on, the input
+    * is watermarked on event time (`lateSec` tolerance) and every
+    * user's state carries an event-time timeout `evictAfterSec` past
+    * the current watermark; a user idle that long is REMOVED. The
+    * documented trade-offs are the standard attribution-window ones:
+    * events older than the watermark are dropped by the engine before
+    * reaching the state function, and a user returning after eviction
+    * starts a fresh funnel (stages can re-emit) — choose
+    * `evictAfterSec` at least as long as the funnel's attribution
+    * horizon. `evictAfterSec = 0` keeps the unbounded NoTimeout
+    * behavior for replayable-determinism tests. */
   def funnelStream(events: org.apache.spark.sql.Dataset[FunnelIn],
-                   maxPending: Int = 64):
+                   maxPending: Int = 64,
+                   evictAfterSec: Long = 0L,
+                   lateSec: Long = 60L):
       org.apache.spark.sql.Dataset[FunnelHit] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    val evict = evictAfterSec > 0
+    val src =
+      if (!evict) events
+      else events
+        .withColumn("event_ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("event_ts", s"$lateSec seconds")
+        .as[FunnelIn]
+    val timeout =
+      if (evict) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         case (uid, it, state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            // idle past the attribution horizon: evict. Nothing to
+            // emit — completions were emitted eagerly when reached.
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(
             FunnelProgress(None, Nil, Nil, emittedView = false,
               emittedClick = false, emittedBuy = false))
+          // accumulate the batch UNtruncated (bounded by micro-batch
+          // size, not stream length), qualify, THEN truncate — so a
+          // just-arrived event that qualifies right now is never lost
+          // to a pending list full of smaller not-yet-valid times
+          var maxTsMicros = Long.MinValue
           it.foreach { e =>
+            maxTsMicros = math.max(maxTsMicros, e.tsMicros)
             e.event_type match {
               case "view" => st = st.copy(viewMin =
                 Some(st.viewMin.fold(e.tsMicros)(math.min(_, e.tsMicros))))
-              case "click" => st = st.copy(clicks =
-                (e.tsMicros :: st.clicks).sorted.take(maxPending))
-              case "purchase" => st = st.copy(buys =
-                (e.tsMicros :: st.buys).sorted.take(maxPending))
+              case "click" => st = st.copy(clicks = e.tsMicros :: st.clicks)
+              case "purchase" => st = st.copy(buys = e.tsMicros :: st.buys)
               case _ => ()
             }
           }
+          st = st.copy(clicks = st.clicks.sorted, buys = st.buys.sorted)
           // clicks sorted ascending → find = min qualifying time
           val minValidClick = st.viewMin.flatMap(v => st.clicks.find(_ > v))
           val reachedBuy = minValidClick.exists(c => st.buys.exists(_ > c))
@@ -290,17 +330,40 @@ object StreamingJobs {
           if (reachedBuy && !st.emittedBuy) {
             out += FunnelHit(uid, "3_purchase"); st = st.copy(emittedBuy = true)
           }
+          // truncate keep-smallest, but PIN the qualifying click: it is
+          // the one a pending purchase must compare against, and a
+          // falling viewMin can only keep it valid — dropping it for a
+          // smaller not-yet-valid click would strictly lose recall
+          def keepSmallest(sorted: List[Long], pin: Option[Long]): List[Long] = {
+            val kept = sorted.take(maxPending)
+            pin match {
+              // pin ∉ kept ⇒ pin > every kept element (kept are the
+              // smallest), so appending keeps ascending order
+              case Some(p) if !kept.contains(p) => kept.take(maxPending - 1) :+ p
+              case _ => kept
+            }
+          }
           // a COMPLETED user's pending lists can never matter again
           // (every stage emitted; flags alone block re-emission), so
           // drop them — state per completed user shrinks to three
           // booleans + one timestamp instead of 2×maxPending longs.
           // Flags must stay (state.remove would re-emit on the user's
-          // next event); long-idle INCOMPLETE users are the remaining
-          // growth term — at lake scale add an event-time TTL tied to
-          // the funnel's attribution window.
+          // next event); long-idle users are evicted by the event-time
+          // timeout when `evictAfterSec` is set.
           state.update(
-            if (st.emittedBuy) st.copy(clicks = Nil, buys = Nil) else st)
+            if (st.emittedBuy) st.copy(clicks = Nil, buys = Nil)
+            else st.copy(clicks = keepSmallest(st.clicks, minValidClick),
+              buys = st.buys.take(maxPending)))
+          // TTL anchored to the user's LAST EVENT in event time (floored
+          // at the watermark, which setTimeoutTimestamp requires): the
+          // user is evicted once the stream's watermark passes their
+          // last activity by the attribution horizon
+          if (evict)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTsMicros / 1000L) +
+                evictAfterSec * 1000L)
           out.iterator
+          }
       }
   }
 

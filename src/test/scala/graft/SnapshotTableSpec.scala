@@ -207,6 +207,16 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.readAt(spark, v1).schema.fieldNames.toSeq === Seq("id", "label"))
     // CDC across the evolution carries the new shape
     assert(t.readChanges(spark, v0, v1).schema.fieldNames.toSeq === Seq("id", "label"))
+    // CDC whose added files MIX shapes (bootstrap from = -1 spans the
+    // evolution) must use the manifest schema of `to`, not whichever
+    // footer Spark samples — the evolved column must survive and
+    // null-fill in pre-evolution files
+    val boot = t.readChanges(spark, -1L, v1)
+    assert(boot.schema.fieldNames.toSeq === Seq("id", "label"),
+      "bootstrap CDC across a schema evolution must not drop the evolved column")
+    assert(boot.count() === 8)
+    assert(boot.filter(col("label").isNull).count() === 5)
+    assert(boot.filter(col("label") === "l6").count() === 1)
   }
 
   test("empty snapshots read back with the committed table schema") {
@@ -288,6 +298,23 @@ class SnapshotTableSpec extends SparkTestBase {
     // and the lineage continues: appends after vacuum commit normally
     t.commit(df(2000 until 2005))
     assert(t.read(spark).count() === 8)
+  }
+
+  test("vacuum with raised retention tolerates manifests an earlier vacuum expired") {
+    val (t, _) = freshTable()
+    (0 until 4).foreach(i => t.commit(df(i * 10 until i * 10 + 10))) // v0..v3
+    t.vacuum(keepVersions = 1) // expires v0..v2
+    // raising retention before 3 new commits land puts already-expired
+    // versions inside the keep window — the reference sweep must treat
+    // them as empty listings, not abort with 'expired or never committed'
+    val (deleted2, expired2) = t.vacuum(keepVersions = 3)
+    assert(deleted2 === 0 && expired2 === 0, "nothing new to reap, and no throw")
+    assert(t.read(spark).count() === 40)
+    // orphan cleanup still works through the raised-retention sweep
+    t.commit(df(100 until 105))
+    val (_, expired3) = t.vacuum(keepVersions = 1)
+    assert(expired3 === 1, "v3 expires once v4 is the head")
+    assert(t.read(spark).count() === 45)
   }
 
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {

@@ -460,6 +460,91 @@ class StreamingSpec extends SparkTestBase {
     // first purchase after 5 = 15) — semantics, not coincidence
   }
 
+  test("streaming funnel: a just-arrived qualifying event survives a full pending list") {
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.{FunnelIn, FunnelHit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelIn]
+    val ck = Files.createTempDirectory("graft_funck2").toString
+    val q = StreamingJobs.funnelStream(input.toDS(), maxPending = 2)
+      .writeStream.format("memory").queryName("funnel_hits2")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    def hits(): Set[(Long, String)] =
+      spark.table("funnel_hits2").as[FunnelHit].collect()
+        .map(h => (h.user_id, h.stage)).toSet
+
+    // batch 1: view at t=100; TWO not-yet-valid clicks (t=10, 20) fill
+    // the pending list to maxPending
+    input.addData(FunnelIn(1L, "view", 100L), FunnelIn(1L, "click", 10L),
+      FunnelIn(1L, "click", 20L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view")))
+
+    // batch 2: a click at t=200 qualifies THE MOMENT it arrives — the
+    // full keep-smallest list must not swallow it (qualification runs
+    // before truncation)
+    input.addData(FunnelIn(1L, "click", 200L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click")),
+      "immediately-valid click was dropped by maxPending truncation")
+
+    // batch 3: the purchase after it must still find the qualifying
+    // click — the pin must have survived truncation across batches
+    input.addData(FunnelIn(1L, "purchase", 300L))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click"), (1L, "3_purchase")),
+      "the pinned qualifying click must persist for purchase attribution")
+    q.stop()
+  }
+
+  test("streaming funnel: event-time TTL evicts idle users, bounding the key count") {
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.{FunnelIn, FunnelHit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def T(s: Long): Long = s * 1000000L // seconds → micros
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FunnelIn]
+    val ck = Files.createTempDirectory("graft_funck3").toString
+    val q = StreamingJobs.funnelStream(input.toDS(),
+        evictAfterSec = 10L, lateSec = 25L)
+      .writeStream.format("memory").queryName("funnel_hits3")
+      .outputMode("append").option("checkpointLocation", ck).start()
+    def stateRows(): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def hits(): Set[(Long, String)] =
+      spark.table("funnel_hits3").as[FunnelHit].collect()
+        .map(h => (h.user_id, h.stage)).toSet
+
+    // batch 1: user 1 completes the funnel (last event t=120); user 2
+    // only views (last event t=100). TTLs: u1 → 130, u2 → 110; the
+    // watermark after the batch is 120−25 = 95, under both — both stay.
+    input.addData(FunnelIn(1L, "view", T(100)), FunnelIn(1L, "click", T(110)),
+      FunnelIn(1L, "purchase", T(120)), FunnelIn(2L, "view", T(100)))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click"), (1L, "3_purchase"),
+      (2L, "1_view")))
+    assert(stateRows() === 2L, s"both users in state, got ${stateRows()}")
+
+    // batch 2: user 3 at t=300 pushes the watermark to 275 — past BOTH
+    // TTLs; users 1 and 2 evict, user 3 remains
+    input.addData(FunnelIn(3L, "view", T(300)))
+    q.processAllAvailable()
+    assert(hits().contains((3L, "1_view")))
+    assert(stateRows() === 1L,
+      s"idle users past the TTL must leave the store, got ${stateRows()}")
+
+    // an event OLDER than the watermark (t=200 < 275) is dropped by the
+    // engine before the state function — the documented trade-off; no
+    // stage re-emission for the evicted user
+    input.addData(FunnelIn(2L, "click", T(200)))
+    q.processAllAvailable()
+    assert(hits() === Set((1L, "1_view"), (1L, "2_click"), (1L, "3_purchase"),
+      (2L, "1_view"), (3L, "1_view")),
+      "late event for an evicted user must be watermark-dropped")
+    q.stop()
+  }
+
   test("stream-static enrichment re-resolves the snapshot dim per micro-batch") {
     import graft.streaming.StreamingJobs
     import graft.sources.SnapshotTable
