@@ -24,12 +24,12 @@ import graft.sources.Tables._
   * Scale notes: every operator here is a narrow per-row projection
   * (regex scrub, canonicalize) or one window/aggregation shuffling on
   * the natural key (canonical URL, source) — no joins, no driver
-  * state, nothing that changes shape at 100 TB. Mixture sampling is
-  * the one that needs care: it ranks WITHIN each source by a hash, so
-  * its shuffle is one hash-partition on `source`; a skewed source
-  * costs one hot partition in the rank window, which is the salted-
-  * window treatment operators/Skew.scala demonstrates if a real
-  * corpus needs it.
+  * state, nothing that changes shape at 100 TB. Mixture sampling and
+  * token budgeting rank WITHIN each source, which naively puts a whole
+  * source through one task's window sort; both instead run the
+  * two-phase distributed scan in [[PrefixSum]], so a skewed source
+  * spreads over its hash buckets and no task holds more than
+  * 1/(sources × buckets) of the corpus.
   */
 object CorpusOps {
   type Q = (SparkSession, String) => DataFrame
@@ -98,15 +98,20 @@ object CorpusOps {
     // big sources are down-weighted, small ones kept whole), selected
     // by md5-hash rank so the draw is deterministic and uniform
     // within each source. sqrt is IEEE-identical cross-engine; the
-    // rank key md5(doc_id) is unique, so no tie ambiguity.
+    // rank key md5(doc_id) is unique, so no tie ambiguity. The rank
+    // is the DISTRIBUTED row number (PrefixSum two-phase scan) and
+    // per-source counts come from a broadcast aggregate — no window
+    // puts a whole source through one task, so a skewed source costs
+    // extra buckets, not a straggler.
     "q_mix_sample" -> ((s, d) => {
-      val bySrc = Window.partitionBy("source")
-      val rnW = bySrc.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      documents(s, d).select(col("source"), col("doc_id"))
-        .withColumn("n_docs", count(lit(1)).over(bySrc))
+      val base = documents(s, d).select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val counts = base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      PrefixSum.rowNumber(base, Seq("source"), Seq(col("h"), col("doc_id")),
+          PrefixSum.hexBucket(col("h")), "rn")
+        .join(broadcast(counts), "source")
         .withColumn("k_take",
           greatest(lit(1L), floor(sqrt(col("n_docs")) * 4).cast("long")))
-        .withColumn("rn", row_number().over(rnW).cast("long"))
         .filter(col("rn") <= col("k_take"))
         .select(col("source"), col("doc_id"), col("n_docs"), col("k_take"))
         .orderBy("source", "doc_id")
@@ -115,19 +120,21 @@ object CorpusOps {
     // TOKEN-BUDGETED sampling: take documents per source, hash-ranked,
     // until a TOKEN budget is exhausted — how pretraining mixtures are
     // actually specified (tokens contributed per domain, not doc
-    // counts; q_mix_sample is the doc-count form). One rank window +
-    // one running-sum window over the same (source, rank) sort — the
-    // second window reuses the first's exchange — then a narrow
-    // filter. The md5 rank makes the draw deterministic, and the
-    // budget cut is integral, so both engines take the identical
-    // document set.
+    // counts; q_mix_sample is the doc-count form). The running total
+    // is the TWO-PHASE distributed prefix sum (operators/PrefixSum):
+    // per-(source, md5-prefix-bucket) totals → broadcast exclusive
+    // offsets → local running sums — identical output to the naive
+    // per-source window, but no task ever sorts a whole source. The
+    // md5 rank makes the draw deterministic, and the budget cut is
+    // integral, so both engines take the identical document set.
     "q_token_budget" -> ((s, d) => {
       val toks = array_remove(split(lower(col("text")), " "), "")
-      val rnW = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      documents(s, d)
-        .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_toks"))
-        .withColumn("cum_toks", sum(col("n_toks")).over(rnW))
+      val sized = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          md5(col("doc_id").cast("string")).as("h"))
+      PrefixSum.runningSum(sized, Seq("source"), Seq(col("h"), col("doc_id")),
+          col("n_toks"), PrefixSum.hexBucket(col("h")), "cum_toks")
         .filter(col("cum_toks") <= 2000) // per-source token budget
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), max(col("cum_toks")).as("tokens_taken"),

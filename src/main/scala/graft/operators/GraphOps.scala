@@ -363,9 +363,12 @@ object GraphOps {
       val survivors = clusters(s, d).filter(col("node") === col("comp"))
         .select(col("node").as("doc_id"))
       val kept = quality.join(survivors, "doc_id")
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      kept.withColumn("cum_toks", sum(col("n_tokens")).over(w))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      // budget stage = the same two-phase distributed prefix sum as
+      // q_token_budget (operators/PrefixSum) — no per-source
+      // single-task window in the composition either
+      PrefixSum.runningSum(kept, Seq("source"), Seq(col("h"), col("doc_id")),
+          col("n_tokens"), PrefixSum.hexBucket(col("h")), "cum_toks")
         .filter(col("cum_toks") <= 1500)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), max(col("cum_toks")).as("tokens_taken"))

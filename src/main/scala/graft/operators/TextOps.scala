@@ -756,17 +756,24 @@ object TextOps {
 
     // E10 sequence packing (LLM pretraining concat-and-chunk): running
     // token offset per source stream assigns every document a pack id
-    // and an offset inside its 512-token block — one ranged window per
-    // stream, no driver state, parallel across streams. At 100 TB the
+    // and an offset inside its 512-token block. The running offset is
+    // the TWO-PHASE distributed prefix sum (operators/PrefixSum) over
+    // doc_id range buckets — bounds from a 1-row broadcast aggregate
+    // probe — so no task ever sorts a whole stream's rows; packs never
+    // cross the stream key so workers never coordinate. At 100 TB the
     // stream key is whatever bounded unit you pack within (shard, day,
-    // source); packs never cross the key so workers never coordinate.
+    // source) and the same scan shape holds.
     "q_seq_pack" -> ((s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, d)
-        .withColumn("n_tokens",
-          size(wordsOf).cast("long"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
+      val sized = documents(s, d)
+        .withColumn("n_tokens", size(wordsOf).cast("long"))
+        .select("source", "doc_id", "n_tokens")
+      val bounds = sized.agg(min("doc_id").as("_mn"), max("doc_id").as("_mx"))
+      val bucketed = sized.crossJoin(broadcast(bounds))
+      graft.operators.PrefixSum.runningSum(bucketed, Seq("source"),
+          Seq(col("doc_id")), col("n_tokens"),
+          graft.operators.PrefixSum.rangeBucket(
+            col("doc_id"), col("_mn"), col("_mx"), 64),
+          "cum")
         .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / 512.0))
         .withColumn("pack_offset", (col("cum") - col("n_tokens")) - col("pack_id") * 512)
         .select(col("source"), col("doc_id"), col("n_tokens"), col("pack_id"),

@@ -304,4 +304,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === want)
     assert(want.nonEmpty, "fixture must actually exercise the join")
   }
+
+  test("PrefixSum two-phase scan equals the naive window on a one-source-dominant fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
+    // 5000-of-5010 rows in one source: exactly the skew shape that
+    // makes a per-source window a single-task straggler
+    val df = ((0 until 5000).map(i => ("big", i.toLong, (i % 7 + 1).toLong)) ++
+        (0 until 10).map(i => ("tiny", (10000 + i).toLong, 3L)))
+      .toDF("source", "doc_id", "w")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val naive = df.withColumn("cum", sum("w").over(
+      Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("source", "doc_id", "cum")
+    val fast = PrefixSum.runningSum(df, Seq("source"),
+        Seq(col("h"), col("doc_id")), col("w"),
+        PrefixSum.hexBucket(col("h")), "cum")
+      .select("source", "doc_id", "cum")
+    assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
+      "two-phase prefix sum must be bucketing-invariant = exactly the naive scan")
+    // the dominant source genuinely spreads across buckets (the
+    // parallelism claim, not just the algebra)
+    val nBuckets = df.filter(col("source") === "big")
+      .select(PrefixSum.hexBucket(col("h"))).distinct().count()
+    assert(nBuckets > 100, s"md5 prefix must fan the hot source out, got $nBuckets")
+    // distributed row number agrees with the window row_number
+    val rnNaive = df.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+      .select("source", "doc_id", "rn")
+    val rnFast = PrefixSum.rowNumber(df, Seq("source"),
+        Seq(col("h"), col("doc_id")), PrefixSum.hexBucket(col("h")), "rn")
+      .select("source", "doc_id", "rn")
+    assert(rnFast.except(rnNaive).count() === 0 &&
+      rnNaive.except(rnFast).count() === 0)
+    // rangeBucket variant (the q_seq_pack shape): numeric order key
+    val withBounds = df.crossJoin(broadcast(
+      df.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))))
+    val rangeFast = PrefixSum.runningSum(withBounds, Seq("source"),
+        Seq(col("doc_id")), col("w"),
+        PrefixSum.rangeBucket(col("doc_id"), col("mn"), col("mx"), 64), "cum")
+      .select("source", "doc_id", "cum")
+    val rangeNaive = df.withColumn("cum", sum("w").over(
+      Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("source", "doc_id", "cum")
+    assert(rangeFast.except(rangeNaive).count() === 0 &&
+      rangeNaive.except(rangeFast).count() === 0)
+  }
 }

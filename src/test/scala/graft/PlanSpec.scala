@@ -195,6 +195,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("budget/packing family: two-phase scan — no full-data window keyed on source alone") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    Seq("q_token_budget", "q_mix_sample", "q_seq_pack", "q_curation_pipeline")
+      .foreach { q =>
+        val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+        val wins = sp.collect { case w: WindowExec => w }
+        // the bucketed local-scan window must exist: partition spec
+        // carries the synthetic prefix-sum bucket next to the stream key
+        assert(wins.exists(_.partitionSpec.exists(
+            _.references.exists(_.name.startsWith("_psb")))),
+          s"$q: missing the (part, bucket)-keyed local running-sum window")
+        // any window keyed on `source` alone must sit above an
+        // aggregate (the tiny per-bucket totals), never the full data —
+        // that single-task-per-source sort is exactly what the
+        // two-phase scan exists to remove
+        wins.foreach { w =>
+          val refs = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+          if (refs == Seq("source")) {
+            assert(w.find {
+                case _: BaseAggregateExec => true
+                case _ => false
+              }.isDefined,
+              s"$q: a source-only window runs over unaggregated data:\n$w")
+          }
+        }
+      }
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
