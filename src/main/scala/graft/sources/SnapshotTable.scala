@@ -91,6 +91,30 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
 
+  // ---- resolution surface for the DSv2 provider (SnapshotSource):
+  // the provider owns none of the transactional logic, it calls these
+
+  private[sources] def dataDirPath: String = dataDir.toString
+
+  /** Absolute data-file paths of snapshot `v`. */
+  private[sources] def resolvedFiles(v: Long): Seq[String] =
+    listing(v).map(rel => Paths.get(root).resolve(rel).toString)
+
+  private[sources] def schemaDdlOf(v: Long): Option[String] = schemaOf(v)
+
+  /** Absolute paths of the files ADDED between `from` (exclusive) and
+    * `to` (inclusive), refusing ranges that cross a replace/compaction
+    * (see [[readChanges]]). */
+  private[sources] def addedFilesBetween(from: Long, to: Long): Seq[String] = {
+    require(from <= to, s"readChanges range inverted: $from > $to")
+    val before = listing(from).toSet
+    val after = listing(to)
+    require(before.subsetOf(after.toSet),
+      s"versions $from..$to cross a replace/compaction commit at $root; " +
+        "the incremental file diff is undefined across a rewrite")
+    after.filterNot(before).map(rel => Paths.get(root).resolve(rel).toString)
+  }
+
   // incremental tag index: manifests are immutable once committed, so
   // each version is read at most once per table handle — commitOnce
   // calls tagCommitted at least twice per commit, and a full-history
@@ -136,17 +160,14 @@ final class SnapshotTable(root: String) {
     * a table with NO commits at all degrades to the zero-column
     * `emptyDataFrame`. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
-    val files = listing(v).map(rel => Paths.get(root).resolve(rel).toString)
+    val files = resolvedFiles(v) // validates the manifest exists
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
-    (files.nonEmpty, schema) match {
-      case (true, Some(sch)) =>
-        spark.read.schema(sch).option("basePath", dataDir.toString).parquet(files: _*)
-      case (true, None) =>
-        spark.read.option("basePath", dataDir.toString).parquet(files: _*)
-      case (false, Some(sch)) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      case (false, None) => spark.emptyDataFrame
-    }
+    if (files.isEmpty && schema.isEmpty) spark.emptyDataFrame // table never committed
+    else
+      // DSv2 read (SnapshotSource): same files + manifest schema, but
+      // as a connector-API Table, so pushed filters and pruned columns
+      // report through the scan node
+      spark.read.format("graft-snapshot").option("version", v).load(root)
   }
 
   /** Read the latest snapshot under a DECLARED schema (the K4/K5 DDL
@@ -156,14 +177,13 @@ final class SnapshotTable(root: String) {
     * would break every downstream join. */
   def readAs(spark: SparkSession,
              schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val files = listing(currentVersion())
-      .map(rel => Paths.get(root).resolve(rel).toString)
-    if (files.isEmpty)
+    val v = currentVersion()
+    if (resolvedFiles(v).isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema)
-        .option("basePath", dataDir.toString).parquet(files: _*)
+      spark.read.format("graft-snapshot").schema(schema)
+        .option("version", v).load(root)
   }
 
   /** INCREMENTAL consumption (CDC-style): the rows ADDED between
@@ -182,14 +202,7 @@ final class SnapshotTable(root: String) {
     * An empty delta returns a typed empty frame via the manifest
     * schema. */
   def readChanges(spark: SparkSession, from: Long, to: Long): DataFrame = {
-    require(from <= to, s"readChanges range inverted: $from > $to")
-    val before = listing(from).toSet
-    val after = listing(to)
-    require(before.subsetOf(after.toSet),
-      s"versions $from..$to cross a replace/compaction commit at $root; " +
-        "the incremental file diff is undefined across a rewrite")
-    val added = after.filterNot(before)
-      .map(rel => Paths.get(root).resolve(rel).toString)
+    val added = addedFilesBetween(from, to) // validates the range
     // the delta read uses `to`'s manifest schema for the same reason
     // readAt does: a bootstrap (from = -1) or a range spanning a schema
     // evolution mixes old- and new-shape files, and a bare footer read
@@ -197,10 +210,9 @@ final class SnapshotTable(root: String) {
     // the evolved column on a bad draw
     val schema = schemaOf(to).map(org.apache.spark.sql.types.StructType.fromDDL)
     (added.nonEmpty, schema) match {
-      case (true, Some(sch)) =>
-        spark.read.schema(sch).option("basePath", dataDir.toString).parquet(added: _*)
-      case (true, None) =>
-        spark.read.option("basePath", dataDir.toString).parquet(added: _*)
+      case (true, _) =>
+        spark.read.format("graft-snapshot")
+          .option("changesFrom", from).option("changesTo", to).load(root)
       case (false, Some(sch)) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       case (false, None) => spark.emptyDataFrame

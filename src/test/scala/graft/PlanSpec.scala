@@ -224,6 +224,32 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("snapshot DSv2 scan: filters push and columns prune through the connector scan node") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2").toString
+    val t = graft.sources.SnapshotTable(dir)
+    t.commit((0L until 1000L).map(i => (i, s"src${i % 3}", i * 7))
+      .toDF("doc_id", "source", "n_chars"))
+    val df = t.read(spark).filter(col("doc_id") < 100).select("doc_id", "source")
+    assert(df.count() === 100)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"snapshot read must plan a DSv2 BatchScan:\n${p.take(600)}")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"filter must push into the snapshot scan:\n${p.take(900)}")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      "unused columns must be pruned from the snapshot scan")
+    // the CDC read path reports through the same connector scan
+    val v1 = t.commit((1000L until 1200L).map(i => (i, s"src${i % 3}", i * 7))
+      .toDF("doc_id", "source", "n_chars"))
+    val cdc = t.readChanges(spark, 0L, v1).filter(col("n_chars") > 7100)
+      .select("doc_id")
+    assert(cdc.count() === 185)
+    val pc = cdc.queryExecution.executedPlan.toString
+    assert(pc.contains("BatchScan") && pc.contains("GreaterThan(n_chars,7100)"),
+      s"CDC delta read must be a DSv2 scan with the filter pushed:\n${pc.take(900)}")
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan
