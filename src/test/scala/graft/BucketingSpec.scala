@@ -103,6 +103,55 @@ class BucketingSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === orders.count())
   }
 
+  test("clustered layouts genuinely SKIP data: scan metrics drop under range predicates") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // rows the parquet scan EMITS = rows in row groups that survived
+    // footer min/max pruning (record-level filtering is off by
+    // default, so surviving groups surface whole) — the direct
+    // measure of "were files/row-groups actually skipped"
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }.head
+      (scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("cell_x", pmod(col("o_custkey"), lit(64L)))
+      .withColumn("cell_y", pmod(col("o_orderkey"), lit(64L)))
+    val total = orders.count()
+
+    // UNCLUSTERED control: hash-shuffled, every file spans the key range
+    orders.repartition(8).write.parquet(s"$base/shuffled")
+    // 1-D range-sorted and 2-D z-ordered layouts of the SAME rows
+    Bucketing.writeRangeSorted(orders, s"$base/ranged", "o_orderkey", files = 8)
+    Bucketing.writeZOrdered(orders, s"$base/zorder",
+      col("cell_x"), col("cell_y"), files = 8)
+
+    // 1-D: a bottom-eighth key-range probe
+    val cut = orders.agg(max("o_orderkey")).collect()(0).getLong(0) / 8
+    val pred1 = col("o_orderkey") <= cut
+    val (rowsShuf, filesShuf) = scanned(spark.read.parquet(s"$base/shuffled").filter(pred1))
+    val (rowsRange, filesRange) = scanned(spark.read.parquet(s"$base/ranged").filter(pred1))
+    assert(filesShuf === filesRange,
+      "both layouts list the same files — the reduction must come from stats skipping")
+    assert(rowsShuf > total / 2,
+      s"control must scan most rows, got $rowsShuf of $total")
+    assert(rowsRange * 4 <= rowsShuf,
+      s"range-sorted layout must skip ≥4× vs shuffled: $rowsRange vs $rowsShuf")
+
+    // 2-D: a 16×16 corner rectangle of the 64×64 grid
+    val pred2 = col("cell_x") < 16 && col("cell_y") < 16
+    val (rectShuf, _) = scanned(spark.read.parquet(s"$base/shuffled").filter(pred2))
+    val (rectZ, _) = scanned(spark.read.parquet(s"$base/zorder").filter(pred2))
+    assert(rectShuf > total / 2,
+      s"control must scan most rows for the rectangle, got $rectShuf of $total")
+    assert(rectZ * 2 <= rectShuf,
+      s"z-ordered layout must skip ≥2× on a 2-D rectangle: $rectZ vs $rectShuf")
+  }
+
   test("hilbert key: bijective on the grid, consecutive positions are adjacent cells") {
     import spark.implicits._
     // full 16x16 grid at bits=4
