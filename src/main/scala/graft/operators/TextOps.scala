@@ -530,12 +530,17 @@ object TextOps {
       val inv = invAll
         .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
         .filter(col("df") <= dfCap)
-        .drop("df")
       val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = inv.select(col("source"), col("doc_id").as("d1"), col("shingle_h"))
-        .join(inv.select(col("source"), col("doc_id").as("d2"), col("shingle_h")),
-          Seq("source", "shingle_h"))
-        .filter(col("d1") < col("d2"))
+      // Pair generation through the skew-aware self-join: keys the cap
+      // KEEPS but whose df exceeds the salt threshold have their
+      // ~df²/2 pair rows decomposed over bucket pairs instead of one
+      // task (Skew.saltedSelfPairs — the skew report's hot-key rule
+      // applied inline). At test scales no key crosses the threshold
+      // and the plan degenerates to the plain join; under boilerplate
+      // floods it bounds every task at ~2·df/g input rows. Output is
+      // provably the plain self-join's, so the oracle is unchanged.
+      val pairs = Skew.saltedSelfPairs(inv, Seq("source", "shingle_h"),
+          id = "doc_id", groupSize = "df", hotAbove = 32, g = 4)
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       pairs
         .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")

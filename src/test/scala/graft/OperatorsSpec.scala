@@ -305,6 +305,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(want.nonEmpty, "fixture must actually exercise the join")
   }
 
+  test("saltedSelfPairs: hot-key pair-join balances task inputs, output equals plain join") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // one boilerplate shingle shared by 60 docs (past the hotAbove=32
+    // threshold, inside the df cap) + a cold background of df=2 keys
+    val rows = (0 until 60).map(i => (100L, i.toLong, 60L)) ++
+      (0 until 40).flatMap(i =>
+        Seq((200L + i, 1000L + i, 2L), (200L + i, 2000L + i, 2L)))
+    val inv = rows.toDF("shingle_h", "doc_id", "df")
+      .withColumn("source", lit("s0"))
+    val g = 4
+    val got = Skew.saltedSelfPairs(inv, Seq("source", "shingle_h"),
+        id = "doc_id", groupSize = "df", hotAbove = 32, g = g)
+      .select("shingle_h", "d1", "d2")
+    val a = inv.select(col("shingle_h"), col("doc_id").as("d1"))
+    val b = inv.select(col("shingle_h"), col("doc_id").as("d2"))
+    val plain = a.join(b, "shingle_h").filter(col("d1") < col("d2"))
+    // exact pair-multiset equality (1832 pairs: 60·59/2 hot + 40 cold)
+    assert(got.count() === plain.count())
+    assert(got.except(plain).count() === 0 && plain.except(got).count() === 0)
+    // BALANCE: per join-task input (rows per (key, i, j) bucket pair)
+    // must shrink from the unsalted 2·df to ~2·df/g
+    val bkt = pmod(xxhash64(col("doc_id")), lit(g.toLong)).cast("int")
+    val perBucket = inv.filter(col("df") > 32).withColumn("b", bkt)
+      .groupBy("shingle_h", "b").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perBucket.length === g, "hot rows must spread over all buckets")
+    val maxJoinInput = (for (i <- perBucket; j <- perBucket) yield i + j).max
+    assert(maxJoinInput <= 120 / 2,
+      s"a bucket-pair task sees $maxJoinInput rows; unsalted would see 120")
+  }
+
   test("PrefixSum two-phase scan equals the naive window on a one-source-dominant fixture") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
