@@ -115,6 +115,212 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM PIXEL codecs — the step past [[ImageHeaders]]: not just
+    * the declared dimensions but the actual pixel payload, decoded
+    * with nothing beyond the JDK. Two containers:
+    *
+    *  - PNG, 8-bit grayscale (color type 0): chunk walk (length-typed,
+    *    CRC32-stamped), IDAT zlib inflate via `java.util.zip.Inflater`,
+    *    then per-scanline FILTER REVERSAL — all five PNG filters
+    *    (none/sub/up/average/paeth) implemented; the encoder cycles
+    *    none/sub/up so round-trips genuinely exercise the reversal.
+    *  - BMP, 24-bit uncompressed: pixel-array offset from the file
+    *    header, BGR byte order, rows bottom-up and padded to 4 bytes —
+    *    every classic layout trap, surfaced as integer luma
+    *    (299r + 587g + 114b) / 1000.
+    *
+    * The catalog query `q_image_phash` feeds these decoders payloads
+    * synthesized by the same deterministic pixel rule the DuckDB
+    * oracle recomputes arithmetically — so a wrong filter reversal,
+    * a missed row pad, or a flipped channel breaks the hash compare.
+    * Decode failures return None (corrupt rows are data, not crashes). */
+  object PixelCodec {
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length); bb.put(t); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+
+    /** Encode an 8-bit grayscale PNG; scanline y uses filter y % 3
+      * (none / sub / up), so decoding requires real filter reversal. */
+    def encodePng(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + w))
+      var prev: Array[Int] = null
+      (0 until h).foreach { y =>
+        val row = Array.tabulate(w)(x => lum(x, y) & 0xff)
+        val f = y % 3
+        raw(y * (1 + w)) = f.toByte
+        (0 until w).foreach { x =>
+          val v = f match {
+            case 0 => row(x)
+            case 1 => row(x) - (if (x > 0) row(x - 1) else 0)
+            case _ => row(x) - (if (prev != null) prev(x) else 0)
+          }
+          raw(y * (1 + w) + 1 + x) = (v & 0xff).toByte
+        }
+        prev = row
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h)
+      ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth 8, grayscale
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Encode a 24-bit uncompressed BMP with r = g = b = luma (so
+      * decoded integer luma is exactly the input), rows bottom-up,
+      * 4-byte padded. */
+    def encodeBmp(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte); bb.put('M'.toByte)
+      bb.putInt(54 + rowSize * h); bb.putInt(0); bb.putInt(54) // pixel offset
+      bb.putInt(40); bb.putInt(w); bb.putInt(h) // positive h = bottom-up
+      bb.putShort(1); bb.putShort(24); bb.putInt(0) // planes, bpp, BI_RGB
+      bb.putInt(rowSize * h); bb.putInt(2835); bb.putInt(2835)
+      bb.putInt(0); bb.putInt(0)
+      (h - 1 to 0 by -1).foreach { y => // bottom row first
+        (0 until w).foreach { x =>
+          val v = (lum(x, y) & 0xff).toByte
+          bb.put(v); bb.put(v); bb.put(v) // B, G, R
+        }
+        (w * 3 until rowSize).foreach(_ => bb.put(0.toByte))
+      }
+      bb.array()
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
+      def be32(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      var i = 8
+      var w = 0; var h = 0; var depth = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      while (i + 8 <= p.length) {
+        val len = be32(i)
+        val tpe = new String(p, i + 4, 4, "ASCII")
+        if (len < 0 || i + 12 + len > p.length) return None
+        tpe match {
+          case "IHDR" =>
+            w = be32(i + 8); h = be32(i + 12)
+            depth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
+          case "IDAT" => idat.write(p, i + 8, len)
+          case _ => ()
+        }
+        i += 12 + len // length + type + data + crc
+      }
+      if (w <= 0 || h <= 0 || depth != 8 || colorType != 0) return None
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val raw = new Array[Byte](h * (1 + w))
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return None
+      val out = new Array[Int](w * h)
+      (0 until h).foreach { y =>
+        val f = raw(y * (1 + w)) & 0xff
+        (0 until w).foreach { x =>
+          val v = raw(y * (1 + w) + 1 + x) & 0xff
+          val left = if (x > 0) out(y * w + x - 1) else 0
+          val up = if (y > 0) out((y - 1) * w + x) else 0
+          val ul = if (x > 0 && y > 0) out((y - 1) * w + x - 1) else 0
+          out(y * w + x) = (f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+            case _ => return None
+          }) & 0xff
+        }
+      }
+      Some((w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getInt(10)
+      val w = bb.getInt(18)
+      val hRaw = bb.getInt(22)
+      val bpp = bb.getShort(28).toInt
+      val compression = bb.getInt(30)
+      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+      val h = math.abs(hRaw)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (off + rowSize * h > p.length) return None
+      val out = new Array[Int](w * h)
+      (0 until h).foreach { y =>
+        val srcRow = if (hRaw > 0) h - 1 - y else y // bottom-up vs top-down
+        (0 until w).foreach { x =>
+          val at = off + srcRow * rowSize + x * 3
+          val (b, g, r) = (p(at) & 0xff, p(at + 1) & 0xff, p(at + 2) & 0xff)
+          out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        }
+      }
+      Some((w, h, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Sniff + decode: (width, height, row-major top-down luma), or
+      * None for anything unrecognized/corrupt. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePng(p)
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+      else None
+  }
+
+  /** The deterministic pixel rule shared by [[syntheticPixelImage]]
+    * and the q_image_phash oracle: luma(x, y) = (7·id + 3x + 5y) mod
+    * 256 on a w×h grid with w = 8·(2 + id mod 4), h = 8·(1 + id mod 3)
+    * — dimensions divisible by 8 so the aHash grid splits evenly. */
+  def syntheticPixelImage(id: Long): Array[Byte] = {
+    val w = 8 * (2 + (id % 4).toInt)
+    val h = 8 * (1 + (id % 3).toInt)
+    def lum(x: Int, y: Int): Int = ((7 * id + 3 * x + 5 * y) % 256).toInt
+    if (id % 2 == 0) PixelCodec.encodePng(w, h, lum)
+    else PixelCodec.encodeBmp(w, h, lum)
+  }
+
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, lum: Array[Int])
+
+  /** Batched per-partition pixel decode over (doc_id, payload) —
+    * same executor-side shape as [[extractMeta]]; undecodable rows
+    * are dropped (they carry no pixels to fingerprint). */
+  def decodeLuma(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        PixelCodec.decode(payload).map { case (w, h, lum) =>
+          DecodedImage(id, w, h, lum)
+        }
+      }).toDF()
+  }
+
   /** Deterministic synthetic image payloads (this container ships no
     * real media): REAL container headers — valid PNG / JPEG(JFIF+SOF0)
     * / GIF89a signatures and dimension fields — zero-padded to exactly

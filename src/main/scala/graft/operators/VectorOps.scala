@@ -195,6 +195,46 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 PIXEL-LEVEL multimodal compute: real grayscale-PNG (zlib
+    // IDAT + filter reversal) and 24-bit BMP (BGR, bottom-up, padded
+    // rows) decodes via Multimodal.PixelCodec, feeding a perceptual
+    // AVERAGE-HASH fingerprint: luma pixels → 8×8 block sums → bit per
+    // block (blockSum·64 > total, all integral) → two 32-bit hash
+    // words. The payloads are synthesized from a deterministic pixel
+    // rule the oracle recomputes arithmetically (no binary parsing
+    // oracle-side), so a wrong PNG filter, missed BMP row pad, or
+    // flipped channel breaks the hash compare. Spark shape: the only
+    // black box is the per-row decode; the fingerprint itself is a
+    // distributed explode + two hash-aggregations keyed on doc_id.
+    "q_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticPixelImage(id))))
+        .toDF("doc_id", "payload")
+      val cells = Multimodal.decodeLuma(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("lum")).as(Seq("pos", "v")))
+        .withColumn("x", expr("pos % width"))
+        .withColumn("y", expr("pos div width"))
+        .withColumn("bi", expr("(y div (height div 8)) * 8 + (x div (width div 8))"))
+        .groupBy("doc_id", "width", "height", "bi")
+        .agg(sum(col("v").cast("long")).as("cellsum"))
+      cells
+        .withColumn("total", sum("cellsum").over(Window.partitionBy("doc_id")))
+        .withColumn("bit",
+          (col("cellsum") * 64 > col("total")).cast("long"))
+        .groupBy("doc_id", "width", "height")
+        .agg(
+          sum(when(col("bi") < 32, expr("shiftleft(bit, cast(bi as int))"))
+            .otherwise(lit(0L))).as("phash_hi"),
+          sum(when(col("bi") >= 32, expr("shiftleft(bit, cast(bi - 32 as int))"))
+            .otherwise(lit(0L))).as("phash_lo"),
+          max(expr("total div (cast(width as bigint) * height)")).as("mean_lum"))
+        .orderBy("doc_id")
+    }),
+
     // Lloyd k-means in QUANTIZED integer space — the clustering stage
     // an IVF index or mixture analysis needs, made fully DuckDB-
     // oracle-able by the same move as the cents/PageRank conventions:
@@ -455,6 +495,39 @@ object VectorOps {
         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
         |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the synthesis pixel rule arithmetically — the Spark
+    // side must recover the identical pixels THROUGH the container
+    // encode/decode for the hashes to agree.
+    "q_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    8 * (2 + doc_id % 4) AS w,
+        |    8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+        |    (7 * doc_id + 3 * gx.x + 5 * gy.y) % 256 AS v
+        |  FROM dims, generate_series(0, 39) gx(x), generate_series(0, 23) gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    (y // (h // 8)) * 8 + (x // (w // 8)) AS bi,
+        |    SUM(v) AS cellsum
+        |  FROM px
+        |  GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        |tot AS (
+        |  SELECT doc_id, w, h, bi, cellsum,
+        |    SUM(cellsum) OVER (PARTITION BY doc_id) AS total
+        |  FROM cells)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(SUM(CASE WHEN bi < 32 AND cellsum * 64 > total
+        |    THEN (CAST(1 AS BIGINT) << CAST(bi AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |  CAST(SUM(CASE WHEN bi >= 32 AND cellsum * 64 > total
+        |    THEN (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo,
+        |  CAST(MAX(total // (w * h)) AS BIGINT) AS mean_lum
+        |FROM tot GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format

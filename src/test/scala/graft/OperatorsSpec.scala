@@ -171,6 +171,73 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("PixelCodec: PNG/BMP roundtrip exact on random pixels; all PNG filters reverse; corrupt → None") {
+    import graft.operators.Multimodal.PixelCodec
+    val rnd = new scala.util.Random(42)
+    // random (not rule-generated) pixels: the roundtrip must be exact
+    // for ANY content, not just the catalog's synthetic gradient
+    Seq((16, 8), (24, 16), (40, 24), (8, 8)).foreach { case (w, h) =>
+      val img = Array.tabulate(h, w)((_, _) => rnd.nextInt(256))
+      def lum(x: Int, y: Int) = img(y)(x)
+      val Some((pw, ph, plum)) = PixelCodec.decode(PixelCodec.encodePng(w, h, lum))
+      assert((pw, ph) === ((w, h)))
+      assert(plum.toSeq === img.flatten.toSeq, s"png roundtrip $w x $h")
+      val Some((bw, bh, blum)) = PixelCodec.decode(PixelCodec.encodeBmp(w, h, lum))
+      assert((bw, bh) === ((w, h)))
+      assert(blum.toSeq === img.flatten.toSeq, s"bmp roundtrip $w x $h")
+    }
+    // hand-build a PNG whose rows use AVERAGE (3) and PAETH (4) —
+    // filters the encoder never emits — via raw zlib of filtered rows
+    val w = 4; val h = 2
+    val px = Array(Array(10, 200, 30, 255), Array(7, 0, 99, 128))
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(3) // row 0: average (left/2 since no up row)
+    var left = 0
+    (0 until w).foreach { x => raw.write((px(0)(x) - left / 2) & 0xff); left = px(0)(x) }
+    raw.write(4) // row 1: paeth
+    (0 until w).foreach { x =>
+      val a = if (x > 0) px(1)(x - 1) else 0
+      val b = px(0)(x)
+      val c = if (x > 0) px(0)(x - 1) else 0
+      val p = a + b - c
+      val pred = // paeth predictor
+        if (math.abs(p - a) <= math.abs(p - b) && math.abs(p - a) <= math.abs(p - c)) a
+        else if (math.abs(p - b) <= math.abs(p - c)) b else c
+      raw.write((px(1)(x) - pred) & 0xff)
+    }
+    val defl = new java.util.zip.Deflater(); defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](512)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    // reuse the encoder's container framing but splice our IDAT
+    val template = PixelCodec.encodePng(w, h, (x, y) => 0)
+    def chunkAt(p: Array[Byte], tpe: String): (Int, Int) = {
+      var i = 8
+      while (i + 8 <= p.length) {
+        val len = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+          ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+        if (new String(p, i + 4, 4, "ASCII") == tpe) return (i, len)
+        i += 12 + len
+      }
+      (-1, 0)
+    }
+    val (idatAt, idatLen) = chunkAt(template, "IDAT")
+    val zb = z.toByteArray
+    val spliced = new java.io.ByteArrayOutputStream()
+    spliced.write(template, 0, idatAt)
+    val lenB = java.nio.ByteBuffer.allocate(4).putInt(zb.length).array()
+    spliced.write(lenB); spliced.write("IDAT".getBytes("ASCII")); spliced.write(zb)
+    spliced.write(Array.fill[Byte](4)(0)) // CRC unchecked by decoder
+    spliced.write(template, idatAt + 12 + idatLen,
+      template.length - (idatAt + 12 + idatLen))
+    val Some((_, _, got34)) = PixelCodec.decode(spliced.toByteArray)
+    assert(got34.toSeq === px.flatten.toSeq, "average/paeth filter reversal")
+    // corrupt payloads are data, not crashes
+    assert(PixelCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PixelCodec.decode(
+      PixelCodec.encodePng(8, 8, (_, _) => 5).take(20)).isEmpty)
+    assert(PixelCodec.decode("BMxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx".getBytes).isEmpty)
+  }
+
   test("multimodal frame-sample / resize / feature-extract plumbing") {
     val df = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
