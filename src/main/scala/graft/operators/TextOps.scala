@@ -903,7 +903,9 @@ object TextOps {
     // length from O(k log n) state per group, beside the exact
     // percentiles for reference. No oracle (KLL compaction is
     // arrival-order dependent, like HLL register state) — rows-gated
-    // here, error-BOUNDED by KllSketchSpec.
+    // here, error-BOUNDED by KllSketchSpec and, across randomized
+    // distributions/arrival orders, by RandomizedPropertySpec's
+    // rank-error ≤ 2% gate.
     "q_kll_quantiles" -> ((s, d) => {
       val nc = col("n_chars").cast("double")
       documents(s, d).groupBy("source")

@@ -141,8 +141,9 @@ object VectorOps {
     }),
 
     // E2 approx distinct count (HLL++). Implementation-specific values →
-    // no DuckDB oracle (driver records rows-only check); correctness vs
-    // exact count is asserted in the ScalaTest spec instead.
+    // no DuckDB oracle (driver records rows-only check); quantitative
+    // gate instead: RandomizedPropertySpec bounds relative error ≤ 3×rsd
+    // vs exact counts across randomized cardinalities and rsd settings.
     "q_approx_distinct" -> ((s, d) =>
       events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),

@@ -259,4 +259,65 @@ class RandomizedPropertySpec extends SparkTestBase {
       assert(dense.nonEmpty, s"seed=$seed should produce some near-dup pairs")
     }
   }
+
+  test("sketch error bounds hold across randomized inputs (the no-oracle rows' quantitative gate)") {
+    // The two catalog rows without a DuckDB oracle (q_approx_distinct:
+    // built-in HLL++ register internals; q_kll_quantiles: arrival-
+    // order-dependent compaction) get their correctness evidence HERE,
+    // as quantitative error bounds vs exact answers over randomized
+    // inputs — not just a rows-only check.
+
+    // HLL++: relative error vs exact distinct count within 3× the
+    // configured rsd (a standard-deviation bound; deterministic for
+    // fixed seeds), across cardinalities and both rsd settings
+    Seq((7, 500), (11, 5000), (13, 20000)).foreach { case (seed, card) =>
+      val rnd = new Random(seed)
+      val rows = Seq.fill(card * 3)(rnd.nextInt(card).toLong)
+      val exact = rows.distinct.size.toLong
+      val r = rows.toDF("user_id").repartition(8)
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("e5"),
+          approx_count_distinct(col("user_id"), 0.02).as("e2"))
+        .head
+      Seq((r.getLong(0), 0.05), (r.getLong(1), 0.02)).foreach { case (est, rsd) =>
+        val rel = math.abs(est - exact).toDouble / exact
+        assert(rel <= 3 * rsd,
+          f"hll++ card=$card rsd=$rsd: rel error $rel%.4f > ${3 * rsd}")
+      }
+    }
+
+    // KLL: rank error ≤ 2% at four quantiles, across seeds,
+    // distribution shapes (uniform, lognormal, heavy discrete ties)
+    // and a sorted adversarial arrival order
+    def rankError(values: Seq[Double], est: Double, q: Double): Double = {
+      val sorted = values.sorted
+      val below = sorted.count(_ < est)
+      val atMost = sorted.count(_ <= est)
+      val target = q * values.length
+      val dist = if (target < below) below - target
+        else if (target > atMost) target - atMost
+        else 0.0
+      dist / values.length
+    }
+    val datasets: Seq[(String, Seq[Double])] =
+      Seq(1, 2).flatMap { seed =>
+        val rnd = new Random(seed)
+        Seq(
+          (s"uniform/$seed", Seq.fill(10000)(rnd.nextDouble() * 1000)),
+          (s"lognormal/$seed", Seq.fill(10000)(math.exp(rnd.nextGaussian() * 2 + 3))),
+          (s"ties/$seed", Seq.fill(10000)(math.floor(100.0 / (1 + rnd.nextInt(50))))))
+      } :+ ("sorted", (1 to 10000).map(_.toDouble))
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    datasets.foreach { case (name, values) =>
+      val ests = values.toDF("v").repartition(16)
+        .agg(graft.functions.KllSketch.kllQuantile(col("v"), qs.head).as("q0"),
+          qs.tail.zipWithIndex.map { case (q, i) =>
+            graft.functions.KllSketch.kllQuantile(col("v"), q).as(s"q${i + 1}")
+          }: _*)
+        .head
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val err = rankError(values, ests.getDouble(i), q)
+        assert(err <= 0.02, f"kll $name q=$q: rank error $err%.4f > 2%%")
+      }
+    }
+  }
 }
