@@ -168,6 +168,28 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // K-ANONYMITY AUDIT — the privacy-side counterpart of the PII
+    // scrub: group documents by a quasi-identifier tuple (source,
+    // lang, coarse size bin) and report, per (source, lang), how many
+    // equivalence classes fall under k = 5 and how many documents a
+    // suppression pass would redact. Everything integral; two
+    // hash-aggregations (class sizes, then the per-(source, lang)
+    // rollup), each one shuffle on its natural key.
+    "q_k_anonymity" -> ((s, d) => {
+      val k = 5
+      documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("n_chars div 200").as("size_bin"))
+        .groupBy("source", "lang", "size_bin")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("small_classes"),
+          sum(when(col("n") < k, col("n")).otherwise(0L)).as("docs_suppressed"),
+          sum(col("n")).as("docs_total"))
+        .orderBy("source", "lang")
+    }),
+
     // Composite keep/drop QUALITY FILTER with reason codes — the
     // decision op that actually writes the curated corpus. First
     // matching rule wins (too_short → boilerplate-ish chars/token →
@@ -280,6 +302,18 @@ object CorpusOps {
         |  n_unique_docs, n_docs - n_unique_docs AS exact_dup_docs
         |FROM agg a JOIN vocab v ON a.source = v.source
         |ORDER BY a.source""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH classes AS (
+        |  SELECT source, lang, n_chars // 200 AS size_bin, COUNT(*) AS n
+        |  FROM documents GROUP BY source, lang, n_chars // 200)
+        |SELECT source, lang,
+        |  COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS docs_suppressed,
+        |  CAST(SUM(n) AS BIGINT) AS docs_total
+        |FROM classes GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
 
     "q_quality_filter" ->
       """WITH t AS (

@@ -916,6 +916,41 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // E5/E9 BM25 RETRIEVAL SCORING (Robertson-Sparck Jones; k1 = 1.2,
+    // b = 0.75) for a fixed query-term set — the lexical-retrieval
+    // scorer of a RAG/data-curation stack beside the tf-idf and ANN
+    // entries. Float determinism follows the repo conventions: ln and
+    // IEEE division are bit-identical cross-engine with identical
+    // parenthesization (the q_tfidf precedent), and the only
+    // order-sensitive step — summing per-term scores per document —
+    // goes through INTEGER MICRO-UNITS (round each term score to a
+    // BIGINT, sum the integers), the cents convention. Shape: one
+    // explode + tf/df/dl hash-aggregations, the corpus constants via
+    // a 1-row broadcast probe; no joins wider than (doc, term).
+    "q_bm25" -> ((s, d) => {
+      val terms = Seq("batch", "scan", "data")
+      val toks = documents(s, d).select(col("doc_id"), explode(wordsOf).as("tk"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tk").isInCollection(terms))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tk").agg(countDistinct(col("doc_id")).as("df"))
+      val term = tf.join(broadcast(dfT), "tk").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("score_micro",
+          round(col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))) * lit(1000000))
+            .cast("long"))
+      term.groupBy("doc_id")
+        .agg(sum(col("score_micro")).as("bm25_micro"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
     // stats (the scale-safe artifact; per-bucket pair expansion is the
     // follow-on narrow job — see GraphOps.q_dedup_clusters)
@@ -927,6 +962,31 @@ object TextOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM toks
+        |       WHERE tk IN ('batch', 'scan', 'data') GROUP BY doc_id, tk),
+        |dft AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tk),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))
+        |      * 1000000) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dft ON tf.tk = dft.tk
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro,
+        |  COUNT(*) AS n_terms
+        |FROM term GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_token_counts" ->
       """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
