@@ -317,6 +317,54 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 45)
   }
 
+  test("incremental stats maintenance: folds only CDC deltas, idempotent, rebuilds past a compaction") {
+    import graft.etl.IncrementalStats
+    import spark.implicits._
+    def docsDf(ids: Range) = ids.map(i =>
+        (i.toLong, s"src${i % 3}", (i * 10).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    def expected(docs: SnapshotTable): Set[(String, Long, Long, Long, Long)] =
+      docs.read(spark).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("c"),
+          min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    def got(stats: SnapshotTable): Set[(String, Long, Long, Long, Long)] =
+      stats.read(spark).select("source", "n_docs", "n_chars", "min_doc", "max_doc")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+
+    val docs = SnapshotTable(Files.createTempDirectory("graft_incsrc").toString)
+    val stats = SnapshotTable(Files.createTempDirectory("graft_incstat").toString)
+    // bootstrap fold
+    docs.commit(docsDf(0 until 30))
+    assert(IncrementalStats.update(spark, docs, stats).nonEmpty)
+    assert(got(stats) === expected(docs))
+    // two more appends, one fold — merges exactly the two deltas
+    docs.commit(docsDf(30 until 50))
+    docs.commit(docsDf(50 until 55))
+    assert(IncrementalStats.update(spark, docs, stats).nonEmpty)
+    assert(got(stats) === expected(docs))
+    // already current: no-op, no new stats version
+    val v = stats.currentVersion()
+    assert(IncrementalStats.update(spark, docs, stats).isEmpty)
+    assert(stats.currentVersion() === v)
+    // replayed run against the same head folds nothing twice (tag)
+    assert(IncrementalStats.update(spark, docs, stats).isEmpty)
+    assert(got(stats) === expected(docs))
+    // a source compaction breaks the file-diff lineage: update refuses
+    // (readChanges contract) and rebuild re-baselines the mark
+    docs.compact(spark, files = 2)
+    docs.commit(docsDf(55 until 60))
+    intercept[IllegalArgumentException] {
+      IncrementalStats.update(spark, docs, stats)
+    }
+    IncrementalStats.rebuild(spark, docs, stats)
+    assert(got(stats) === expected(docs))
+    // and incremental consumption resumes from the rebuilt baseline
+    docs.commit(docsDf(60 until 70))
+    assert(IncrementalStats.update(spark, docs, stats).nonEmpty)
+    assert(got(stats) === expected(docs))
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
