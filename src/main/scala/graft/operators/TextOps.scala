@@ -539,6 +539,9 @@ object TextOps {
       // and the plan degenerates to the plain join; under boilerplate
       // floods it bounds every task at ~2·df/g input rows. Output is
       // provably the plain self-join's, so the oracle is unchanged.
+      // A/B at sf0.1 (warm, 5 reps): salted 1.46/1.47 vs plain
+      // 1.38/1.59 min/med — the cold-path plumbing cost is inside run
+      // noise, so the skew insurance is effectively free.
       val pairs = Skew.saltedSelfPairs(inv, Seq("source", "shingle_h"),
           id = "doc_id", groupSize = "df", hotAbove = 32, g = 4)
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
