@@ -356,6 +356,26 @@ object RefQueries {
         .unionByName(delta(v1, v2, "v1_to_v2"))
         .unionByName(delta(v0, v2, "v0_to_v2"))
         .orderBy("range")
+    }),
+
+    // E18 INCREMENTAL AGGREGATE MAINTENANCE exercised through the
+    // oracle gate: three appends folded by two IncrementalStats.update
+    // runs (bootstrap, then a two-delta fold) — the final stats table,
+    // including the in-band thru_version high-water mark, must equal
+    // the frozen direct aggregation of everything appended. Any bug in
+    // the delta fold, the merge algebra, or the mark handling shifts a
+    // count/sum and breaks the hash.
+    "q_incremental_stats" -> ((s, d) => {
+      val src = graft.sources.SnapshotTable(scratchDir("graft_incq_src"))
+      val stats = graft.sources.SnapshotTable(scratchDir("graft_incq_st"))
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      src.commit(docs.filter(col("doc_id") < 200))
+      graft.etl.IncrementalStats.update(s, src, stats)
+      src.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350))
+      src.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500))
+      graft.etl.IncrementalStats.update(s, src, stats)
+      stats.read(s).orderBy("source")
     }))
 
   /** DuckDB-dialect oracle SQL. Notes on portability:
@@ -610,5 +630,16 @@ object RefQueries {
         |UNION ALL
         |SELECT 'v0_to_v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id >= 200 AND doc_id < 500
-        |ORDER BY range""".stripMargin)
+        |ORDER BY range""".stripMargin,
+
+    // the incremental folds must converge to the direct aggregation,
+    // with the mark at the last folded source version (v2)
+    "q_incremental_stats" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(2 AS BIGINT) AS thru_version
+        |FROM documents WHERE doc_id < 500
+        |GROUP BY source ORDER BY source""".stripMargin)
 }
