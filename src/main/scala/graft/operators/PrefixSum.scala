@@ -32,6 +32,10 @@ import org.apache.spark.sql.expressions.Window
   * oracle hashes of every consumer are unchanged; the only cost is a
   * second scan of the input to build the totals, the standard trade
   * of scan-twice-shuffle-narrow over sort-everything-in-one-task.
+  * (A/B at sf0.1: localCheckpoint-ing the input to avoid the second
+  * scan measured neutral-to-worse — the materialization costs what
+  * the re-scan costs; callers with an EXPENSIVE input subtree should
+  * checkpoint it themselves, as q_curation_pipeline does.)
   */
 object PrefixSum {
 
