@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-v2 `TableCatalog` over a directory warehouse of
+  * [[SnapshotTable]]s — the piece that upgrades the snapshot format
+  * from path-API access to FIRST-CLASS SQL NAMES:
+  *
+  *   spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.snap.warehouse", "/lake")
+  *   spark.sql("SELECT * FROM snap.db.events")                 -- head
+  *   spark.sql("SELECT * FROM snap.db.events VERSION AS OF 3") -- SQL time travel
+  *   spark.sql("CREATE TABLE snap.db.t (k BIGINT) USING graft-snapshot")
+  *
+  * Layout: table `ns.../name` lives at `<warehouse>/ns.../name` (a
+  * directory is a table iff it has a `_manifests/` child). Reads
+  * resolve through the same manifest logic as [[SnapshotSource]] —
+  * pinned listing + manifest schema — and surface as READ-ONLY
+  * connector tables: SQL writes are rejected at analysis, because a
+  * bare file write would land data no manifest references (invisible
+  * by design); mutations go through [[SnapshotTable]] commits, which
+  * is the transactional write path. DDL is supported where it maps
+  * cleanly: CREATE TABLE commits an EMPTY v0 carrying the declared
+  * schema (the K4/K5 if-absent contract — the table is immediately
+  * readable with its schema), DROP deletes the directory, RENAME is a
+  * directory move. ALTER is rejected: schema evolution happens by
+  * committing data with the evolved schema, per-snapshot.
+  *
+  * `VERSION AS OF` maps to [[SnapshotTable.readAt]] semantics;
+  * `TIMESTAMP AS OF` is unsupported (manifests carry no authoritative
+  * commit wall-clock — file mtimes are not a transactional record). */
+class SnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"spark.sql.catalog.$name.warehouse must point at the warehouse directory"))
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(warehouse)(_ resolve _)
+
+  private def isTable(p: Path): Boolean = Files.isDirectory(p.resolve("_manifests"))
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  private def resolve(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val t = SnapshotTable(dir.toString)
+    val v = version.getOrElse(t.currentVersion())
+    require(v <= t.currentVersion(),
+      s"version $v of ${ident.name()} does not exist (head is ${t.currentVersion()})")
+    SnapshotSource.readOnlyTable(dir.toString, v,
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+  }
+
+  override def loadTable(ident: Identifier): Table = resolve(ident, None)
+
+  /** `VERSION AS OF <v>` — SQL time travel onto the pinned snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolve(ident, Some(version.toLong))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables cluster via compact(sortKey), not directory partitions")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val t = SnapshotTable(dirOf(ident).toString)
+    val spark = org.apache.spark.sql.SparkSession.active
+    // commit an empty v0 carrying the declared schema: the if-absent
+    // DDL contract — immediately readable, typed, zero data files
+    t.commit(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables evolve schema per-commit (write with the evolved schema); ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else {
+      val st = Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally st.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+}

@@ -3,8 +3,9 @@ package graft.sources
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -84,5 +85,34 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    makeTable(new CaseInsensitiveStringMap(properties), Option(schema))
+    new SnapshotSource.ReadOnlySnapshotTable(
+      makeTable(new CaseInsensitiveStringMap(properties), Option(schema)))
+}
+
+object SnapshotSource {
+  /** The resolved connector table for snapshot `v` of the table at
+    * `root` — shared by the path provider above and [[SnapshotCatalog]]. */
+  private[sources] def readOnlyTable(root: String, v: Long, name: String): Table = {
+    val t = SnapshotTable(root)
+    val opts = new CaseInsensitiveStringMap(
+      Map("basePath" -> t.dataDirPath).asJava)
+    new ReadOnlySnapshotTable(ParquetTable(name, SparkSession.active, opts,
+      t.resolvedFiles(v), t.schemaDdlOf(v).map(StructType.fromDDL),
+      classOf[ParquetFileFormat]))
+  }
+
+  /** Snapshot tables are READ-ONLY through the connector surface: a
+    * bare file write would land data no manifest references (invisible
+    * by construction) — so the write capability is stripped and SQL
+    * writes fail at analysis. The transactional write path is
+    * [[SnapshotTable.commit]]/[[SnapshotTable.commitOnce]]. */
+  private[sources] final class ReadOnlySnapshotTable(inner: ParquetTable)
+      extends Table with SupportsRead {
+    override def name(): String = inner.name
+    override def schema(): StructType = inner.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      inner.newScanBuilder(options)
+  }
 }

@@ -365,6 +365,51 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(got(stats) === expected(docs))
   }
 
+  test("SQL catalog: snapshot tables resolve by name, time-travel in SQL, DDL maps, writes refused") {
+    val wh = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.snapcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapcat.warehouse", wh)
+    val t = SnapshotTable(s"$wh/db/events")
+    t.commit(df(0 until 10))
+    t.commit(df(10 until 15))
+    // name resolution + head read
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.events").head.getLong(0) === 15)
+    // SQL time travel onto the pinned snapshot
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.events VERSION AS OF 0")
+      .head.getLong(0) === 10)
+    // pushdown reports through the catalog read path too
+    val q = spark.sql("SELECT id FROM snapcat.db.events WHERE id < 3")
+    assert(q.count() === 3)
+    assert(q.queryExecution.executedPlan.toString.contains("LessThan(id,3)"),
+      "filter must push into the catalog-resolved scan")
+    // CREATE TABLE = empty v0 carrying the declared schema (if-absent DDL)
+    spark.sql("CREATE TABLE snapcat.db.fresh (k BIGINT, v STRING) USING `graft-snapshot`")
+    assert(spark.table("snapcat.db.fresh").schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(spark.table("snapcat.db.fresh").count() === 0)
+    // ...and the transactional write path makes data visible by name
+    import spark.implicits._
+    SnapshotTable(s"$wh/db/fresh").commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(spark.sql("SELECT sum(k) FROM snapcat.db.fresh").head.getLong(0) === 3)
+    // SHOW TABLES sees both
+    val names = spark.sql("SHOW TABLES IN snapcat.db")
+      .select("tableName").as[String].collect().toSet
+    assert(names === Set("events", "fresh"))
+    // SQL writes are refused: a bare file write would bypass manifests
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO snapcat.db.events VALUES (99)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("does not support") ||
+      ex.getMessage.toLowerCase.contains("unsupported"), ex.getMessage)
+    // RENAME moves the directory, DROP deletes it
+    spark.sql("ALTER TABLE snapcat.db.fresh RENAME TO db.renamed")
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.renamed").head.getLong(0) === 2)
+    spark.sql("DROP TABLE snapcat.db.renamed")
+    assert(!Files.exists(Paths.get(wh, "db", "renamed")))
+    intercept[Exception] { spark.table("snapcat.db.renamed").count() }
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
