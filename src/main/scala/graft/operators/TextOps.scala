@@ -919,6 +919,43 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // ENTITY RESOLUTION: blocked fuzzy matching by edit distance —
+    // the record-linkage op of a curation stack (match dirty scraped
+    // names to a clean catalog). A dirty side is synthesized by a
+    // deterministic single-character deletion inside the SECOND word
+    // (so the block key survives corruption), then matched back:
+    // block on the first token (equi join — never all-pairs), prune
+    // by the classic |len(a) − len(b)| ≤ dist bound, verify with the
+    // built-in codegen'd levenshtein, keep the best (dist, clean_id)
+    // match per dirty row. At lake scale the block key is whatever
+    // survives the noise model (here the first token; phonetic codes
+    // or length-banded replication are drop-in alternatives) — the
+    // shape stays one equi join + one per-dirty-row top-1.
+    "q_fuzzy_match" -> ((s, d) => {
+      val name = lower(col("p_name"))
+      val clean = part(s, d)
+        .select(col("p_partkey").as("clean_id"), name.as("clean_name"))
+        .withColumn("blk", substring_index(col("clean_name"), " ", 1))
+      val sp = instr(name, " ")
+      val pos = sp + lit(1) + pmod(col("p_partkey"), length(name) - sp)
+      val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(name.substr(lit(1), (pos - 1).cast("int")),
+            name.substr((pos + 1).cast("int"), lit(100))).as("dirty_name"))
+        .withColumn("blk", substring_index(col("dirty_name"), " ", 1))
+      dirty.join(clean, "blk")
+        .filter(abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
+        .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+        .filter(col("dist") <= 2)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))))
+        .filter(col("rk") === 1)
+        .select(col("dirty_id"), col("dirty_name"),
+          col("clean_id").as("matched_id"), col("dist").cast("long").as("dist"),
+          (col("clean_id") === col("dirty_id")).as("self_match"))
+        .orderBy("dirty_id")
+    }),
+
     // E5/E9 BM25 RETRIEVAL SCORING (Robertson-Sparck Jones; k1 = 1.2,
     // b = 0.75) for a fixed query-term set — the lexical-retrieval
     // scorer of a RAG/data-curation stack beside the tf-idf and ANN
@@ -965,6 +1002,33 @@ object TextOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_fuzzy_match" ->
+      """WITH clean AS (
+        |  SELECT p_partkey AS clean_id, lower(p_name) AS clean_name,
+        |    split_part(lower(p_name), ' ', 1) AS blk
+        |  FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    substring(lower(p_name), 1, CAST(pos - 1 AS INTEGER)) ||
+        |    substring(lower(p_name), CAST(pos + 1 AS INTEGER), 100) AS dirty_name
+        |  FROM (
+        |    SELECT p_partkey, p_name,
+        |      instr(lower(p_name), ' ') + 1 +
+        |        (p_partkey % (len(lower(p_name)) - instr(lower(p_name), ' '))) AS pos
+        |    FROM part WHERE p_partkey % 3 = 0)),
+        |d2 AS (SELECT dirty_id, dirty_name, split_part(dirty_name, ' ', 1) AS blk FROM dirty),
+        |cand AS (
+        |  SELECT dirty_id, dirty_name, clean_id,
+        |    levenshtein(dirty_name, clean_name) AS dist
+        |  FROM d2 JOIN clean USING (blk)
+        |  WHERE abs(len(dirty_name) - len(clean_name)) <= 2)
+        |SELECT dirty_id, dirty_name, clean_id AS matched_id,
+        |  CAST(dist AS BIGINT) AS dist, clean_id = dirty_id AS self_match
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |        ORDER BY dist, clean_id) AS rk
+        |      FROM cand WHERE dist <= 2)
+        |WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+
     "q_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
