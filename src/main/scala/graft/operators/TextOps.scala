@@ -919,6 +919,28 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // E10 RAG-STYLE CHUNKING: overlapping token windows (W = 32,
+    // stride 24 → 8-token overlap) per document — the retrieval-
+    // indexing op between cleaning and embedding. Pure narrow
+    // compute: the chunk index materializes as a higher-order
+    // transform over a sequence (no join, no shuffle before the
+    // output sort), chunk identity as an md5 over the joined window
+    // so the oracle compares content, not arrays. Trailing partial
+    // chunks are kept (standard — the tail must be retrievable).
+    "q_chunk_overlap" -> ((s, d) => {
+      val W = 32; val S = 24
+      val words = wordsOf
+      val chunks = transform(
+        sequence(lit(0), floor((size(words) - lit(1)) / lit(S)).cast("int")),
+        i => slice(words, i * S + 1, lit(W)))
+      documents(s, d).filter(size(words) > 0)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ENTITY RESOLUTION: blocked fuzzy matching by edit distance —
     // the record-linkage op of a curation stack (match dirty scraped
     // names to a clean catalog). A dirty side is synthesized by a
@@ -1002,6 +1024,20 @@ object TextOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, g.i AS chunk_idx,
+        |    ws[g.i * 24 + 1 : g.i * 24 + 32] AS chunk
+        |  FROM words, generate_series(0, 1000) g(i)
+        |  WHERE len(ws) > 0 AND g.i <= (len(ws) - 1) // 24)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_fuzzy_match" ->
       """WITH clean AS (
         |  SELECT p_partkey AS clean_id, lower(p_name) AS clean_name,

@@ -34,8 +34,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * committing data with the evolved schema, per-snapshot.
   *
   * `VERSION AS OF` maps to [[SnapshotTable.readAt]] semantics;
-  * `TIMESTAMP AS OF` is unsupported (manifests carry no authoritative
-  * commit wall-clock — file mtimes are not a transactional record). */
+  * `TIMESTAMP AS OF` resolves through the commit wall-clock each
+  * manifest records in-band (`#ts=`, part of the atomic publish —
+  * file mtimes would not be a transactional record). */
 class SnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -84,6 +85,17 @@ class SnapshotCatalog extends TableCatalog {
   /** `VERSION AS OF <v>` — SQL time travel onto the pinned snapshot. */
   override def loadTable(ident: Identifier, version: String): Table =
     resolve(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <t>` — resolved against the commit wall-clock
+    * recorded INSIDE each manifest (part of the atomic publish, so
+    * authoritative — unlike file mtimes, which survive neither copies
+    * nor restores). Spark hands the timestamp in microseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    resolve(ident,
+      Some(SnapshotTable(dir.toString).versionAsOf(timestamp / 1000L)))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -91,6 +91,28 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
 
+  /** Commit wall-clock of snapshot `v` in epoch millis — recorded
+    * INSIDE the manifest, so unlike a file mtime it is part of the
+    * atomic commit and survives copies/restores. Absent on manifests
+    * from before the line shipped. */
+  private def commitTsOf(v: Long): Option[Long] =
+    if (v < 0 || !Files.exists(manifestPath(v))) None
+    else Files.readAllLines(manifestPath(v)).asScala
+      .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
+
+  /** TIMESTAMP-AS-OF resolution: the highest retained version whose
+    * recorded commit time is ≤ `tsMillis`. Versions without a
+    * timestamp line (pre-feature or vacuumed) are skipped; refuses
+    * when nothing qualifies (the table did not exist yet as of that
+    * time, or history has been vacuumed past it). */
+  def versionAsOf(tsMillis: Long): Long = {
+    val head = currentVersion()
+    val hit = (head to 0L by -1).find(v => commitTsOf(v).exists(_ <= tsMillis))
+    require(hit.isDefined,
+      s"no retained snapshot at $root committed at or before epoch-ms $tsMillis")
+    hit.get
+  }
+
   // ---- resolution surface for the DSv2 provider (SnapshotSource):
   // the provider owns none of the transactional logic, it calls these
 
@@ -277,7 +299,8 @@ final class SnapshotTable(root: String) {
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
         val full = tag.map(t => s"#tag=$t").toSeq ++
-          Seq(s"#schema=${df.schema.toDDL}") ++
+          Seq(s"#schema=${df.schema.toDDL}",
+            s"#ts=${System.currentTimeMillis()}") ++
           (if (replace) newFiles else listing(head) ++ newFiles)
         if (publish(head + 1, full)) committed = head + 1
         else {

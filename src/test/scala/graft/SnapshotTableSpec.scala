@@ -372,12 +372,30 @@ class SnapshotTableSpec extends SparkTestBase {
     spark.conf.set("spark.sql.catalog.snapcat.warehouse", wh)
     val t = SnapshotTable(s"$wh/db/events")
     t.commit(df(0 until 10))
+    Thread.sleep(25) // separate the two commits' in-manifest wall-clocks
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(25)
     t.commit(df(10 until 15))
     // name resolution + head read
     assert(spark.sql("SELECT count(*) FROM snapcat.db.events").head.getLong(0) === 15)
     // SQL time travel onto the pinned snapshot
     assert(spark.sql("SELECT count(*) FROM snapcat.db.events VERSION AS OF 0")
       .head.getLong(0) === 10)
+    // TIMESTAMP AS OF resolves via the commit wall-clock recorded
+    // inside the manifest (session tz is UTC, so format as UTC)
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.sql(
+        s"SELECT count(*) FROM snapcat.db.events TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) === 10,
+      "a timestamp between the commits must pin the first snapshot")
+    // before the table existed: clean refusal
+    val early = intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat.db.events TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(early.getMessage.contains("no retained snapshot"), early.getMessage)
     // pushdown reports through the catalog read path too
     val q = spark.sql("SELECT id FROM snapcat.db.events WHERE id < 3")
     assert(q.count() === 3)
