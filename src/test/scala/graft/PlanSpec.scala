@@ -250,6 +250,21 @@ class PlanSpec extends SparkTestBase {
       s"CDC delta read must be a DSv2 scan with the filter pushed:\n${pc.take(900)}")
   }
 
+  test("q_fuzzy_match: blocking plans an equi join, never a nested loop") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the whole point of first-token blocking is escaping the all-pairs distance matrix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "expected an equi join on the block key")
+  }
+
+  test("q_chunk_overlap: narrow chunking — no join, no hash shuffle") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "only the deterministic output sort may shuffle")
+  }
+
   test("scalar suite stays inside whole-stage codegen; only the output sort shuffles") {
     val p = plan("q_convert_speed")
     // "*(n)" prefixes = whole-stage-codegen stage ids in the final plan

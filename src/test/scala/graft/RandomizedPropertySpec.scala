@@ -260,6 +260,31 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("PrefixSum equals the naive window on random groups, values, and bucket granularities") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    Seq(11, 23).foreach { seed =>
+      val rnd = new Random(seed)
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = Seq.fill(2000 + rnd.nextInt(3000))(
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextLong().abs % 1000000L,
+          rnd.nextInt(100).toLong))
+        .distinct // unique (group, id) pairs for a total order
+      val df = rows.toDF("g", "id", "w")
+        .withColumn("h", md5(col("id").cast("string")))
+        .repartition(1 + rnd.nextInt(16))
+      val naive = df.withColumn("cum", sum("w").over(
+          Window.partitionBy("g").orderBy("h", "id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("g", "id", "cum")
+      val fast = PrefixSum.runningSum(df, Seq("g"), Seq(col("h"), col("id")),
+          col("w"), PrefixSum.hexBucket(col("h")), "cum")
+        .select("g", "id", "cum")
+      assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
+        s"seed=$seed groups=$nGroups")
+    }
+  }
+
   test("sketch error bounds hold across randomized inputs (the no-oracle rows' quantitative gate)") {
     // The two catalog rows without a DuckDB oracle (q_approx_distinct:
     // built-in HLL++ register internals; q_kll_quantiles: arrival-
