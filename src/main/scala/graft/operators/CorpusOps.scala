@@ -167,6 +167,40 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // DISTRIBUTION DRIFT between corpus snapshots — the monitoring op
+    // a continuously-ingested corpus needs: per source, compare the
+    // token distribution of the "old" and "new" halves (doc parity
+    // stands in for two snapshot reads) via the cross-scaled L1
+    // distance Σ_t |n_t·N_old − o_t·N_new| — the total-variation
+    // numerator kept in EXACT integers (no ratios, no floats), plus
+    // the most-drifted token per source (max over the (diff, token)
+    // struct — deterministic ties). Shape: one explode + hash-agg on
+    // (source, token), per-source totals broadcast back, one final
+    // aggregation. Nothing wider than the vocabulary per source.
+    "q_source_drift" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        (col("doc_id") % 2 === 0).as("is_old"),
+        explode(array_remove(split(lower(col("text")), " "), "")).as("tk"))
+      val counts = toks.groupBy("source", "tk").agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("o"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n"))
+      val totals = counts.groupBy("source")
+        .agg(sum("o").as("tokens_old"), sum("n").as("tokens_new"))
+      counts.join(broadcast(totals), "source")
+        .withColumn("diff",
+          abs(col("n") * col("tokens_old") - col("o") * col("tokens_new")))
+        .groupBy("source")
+        .agg(max("tokens_old").as("tokens_old"),
+          max("tokens_new").as("tokens_new"),
+          count(lit(1)).as("n_vocab"),
+          sum("diff").as("l1_scaled"),
+          max(struct(col("diff"), col("tk"))).as("top"))
+        .select(col("source"), col("tokens_old"), col("tokens_new"),
+          col("n_vocab"), col("l1_scaled"),
+          col("top.tk").as("top_token"), col("top.diff").as("top_drift"))
+        .orderBy("source")
+    }),
+
     // K-ANONYMITY AUDIT — the privacy-side counterpart of the PII
     // scrub: group documents by a quasi-identifier tuple (source,
     // lang, coarse size bin) and report, per (source, lang), how many
@@ -300,6 +334,42 @@ object CorpusOps {
         |  n_tokens * 1000000 // n_docs AS mean_tokens_micro,
         |  n_unique_docs, n_docs - n_unique_docs AS exact_dup_docs
         |FROM agg a JOIN vocab v ON a.source = v.source
+        |ORDER BY a.source""".stripMargin,
+
+    "q_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id % 2 = 0 AS is_old,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |counts AS (
+        |  SELECT source, tk,
+        |    CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |    CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM toks GROUP BY source, tk),
+        |totals AS (
+        |  SELECT source, SUM(o) AS tokens_old, SUM(n) AS tokens_new
+        |  FROM counts GROUP BY source),
+        |joined AS (
+        |  SELECT c.source, c.tk,
+        |    abs(c.n * t.tokens_old - c.o * t.tokens_new) AS diff
+        |  FROM counts c JOIN totals t ON c.source = t.source),
+        |ranked AS (
+        |  SELECT source, tk, diff,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY diff DESC, tk DESC) AS rk
+        |  FROM joined),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_vocab,
+        |    CAST(SUM(diff) AS BIGINT) AS l1_scaled
+        |  FROM joined GROUP BY source)
+        |SELECT a.source,
+        |  CAST(t.tokens_old AS BIGINT) AS tokens_old,
+        |  CAST(t.tokens_new AS BIGINT) AS tokens_new,
+        |  a.n_vocab, a.l1_scaled,
+        |  r.tk AS top_token, CAST(r.diff AS BIGINT) AS top_drift
+        |FROM agg a
+        |JOIN totals t ON a.source = t.source
+        |JOIN ranked r ON a.source = r.source AND r.rk = 1
         |ORDER BY a.source""".stripMargin,
 
     "q_k_anonymity" ->
