@@ -24,12 +24,8 @@ object RefQueries {
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val st = java.nio.file.Files.walk(p)
-        try st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-        finally st.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try graft.sources.SnapshotTable.deleteRecursively(p)
+      catch { case scala.util.control.NonFatal(_) => () }
     }))
     p
   }

@@ -230,15 +230,20 @@ object Multimodal {
       }
       if (w <= 0 || h <= 0 || depth != 8 || colorType != 0) return None
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
       val raw = new Array[Byte](h * (1 + w))
-      var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        off += n
-      }
-      inf.end()
+      // end() in finally: the early error returns below must not leak
+      // the native zlib context — a corrupt-heavy corpus would
+      // otherwise accumulate one per bad row until finalization
+      val off = try {
+        inf.setInput(idat.toByteArray)
+        var o = 0
+        while (o < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, o, raw.length - o)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          o += n
+        }
+        o
+      } finally inf.end()
       if (off != raw.length) return None
       val out = new Array[Int](w * h)
       (0 until h).foreach { y =>

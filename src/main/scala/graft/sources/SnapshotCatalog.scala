@@ -120,13 +120,7 @@ class SnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!isTable(dir)) false
-    else {
-      val st = Files.walk(dir)
-      try st.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally st.close()
-      true
-    }
+    else { SnapshotTable.deleteRecursively(dir); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

@@ -313,10 +313,7 @@ final class SnapshotTable(root: String) {
     if (skipped) {
       // this batch lost to a replay of its own tag: its just-written
       // files are unreferenced — invisible either way, but tidy them
-      val st = Files.walk(out)
-      try st.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally st.close()
+      SnapshotTable.deleteRecursively(out)
       None
     } else Some(committed)
   }
@@ -444,4 +441,16 @@ final class SnapshotTable(root: String) {
 
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
+
+  /** Depth-first recursive delete — the one implementation shared by
+    * every cleanup path (skipped-commit tidy-up, catalog DROP TABLE,
+    * scratch-dir shutdown hooks), so a future hardening (symlink
+    * safety, retry semantics) lands everywhere at once. */
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally st.close()
+    }
 }

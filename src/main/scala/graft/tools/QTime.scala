@@ -20,7 +20,11 @@ object QTime {
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"QTIME $q min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f reps=$reps")
+      // true median: average the middle two for even rep counts (the
+      // upper-middle element alone would bias quick reps=2 A/Bs high)
+      val med = if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2
+      println(f"QTIME $q min=${ts.head}%.3f med=$med%.3f reps=$reps")
     }
     spark.stop()
   }

@@ -38,7 +38,10 @@ object ScaleRehearsal {
 
     def scaledDir(n: Int): String = {
       if (n == 1) return base
-      val dir = s"/tmp/graft_scale_x$n"
+      // cache key includes the BASE corpus: a rerun against a different
+      // sfDir must not silently reuse a stale scaled corpus
+      val baseTag = java.lang.Integer.toHexString(base.hashCode)
+      val dir = s"/tmp/graft_scale_${baseTag}_x$n"
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         val docs = spark.read.parquet(s"$base/documents.parquet")
         (0 until n).map { k =>
