@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Scalars.cents
@@ -957,7 +957,79 @@ object RelQueries {
             .cast("long").as("cell_y"))
         .withColumn("zkey",
           graft.sources.Bucketing.zorderKey(col("cell_x"), col("cell_y")))
-        .orderBy("zkey", "o_orderkey")))
+        .orderBy("zkey", "o_orderkey")),
+
+    // FREQUENT ITEMSET PAIRS (market-basket co-occurrence): which part
+    // pairs appear together in the same order? A-priori pruning first:
+    // a pair can only clear min-support if BOTH singletons do, so the
+    // item list is semi-joined against the frequent-singleton set
+    // before pair generation — at scale that set is small (broadcast)
+    // and the self-join's fan-out is bounded by order size squared
+    // (≤ ~7 items/order in this schema), never by catalog size. One
+    // shuffle on l_orderkey for the pair-gen, one hash-agg on the pair.
+    "q_itemset_pairs" -> ((s, d) => {
+      val minSupport = 2L
+      val items = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val freq = items.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n1")).filter(col("n1") >= minSupport)
+        .select(col("l_partkey"))
+      val pruned = items.join(broadcast(freq), "l_partkey")
+      val a = pruned.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = pruned.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      a.join(b, "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+    }),
+
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
+    // the classic customer-base cut, with the quintile assignment done
+    // by the distributed two-phase rank (PrefixSum.rowNumber) instead
+    // of a global ntile window: ntile(5) over all customers is a
+    // single-task sort of the whole customer dimension at scale, the
+    // exact shape the prefix-sum machinery exists to break up. Ranks
+    // are total-ordered (metric, custkey) so the quintile formula
+    // (rn-1)*5 DIV n is deterministic and integral on both engines.
+    "q_rfm" -> ((s, d) => {
+      import graft.operators.PrefixSum
+      val cust = orders(s, d).groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(cents(col("o_totalprice"))).as("monetary_cents"))
+      val bounds = broadcast(cust.agg(
+        max(col("last_order")).as("anchor"),
+        count(lit(1)).as("n_cust")))
+      val base = cust.crossJoin(bounds)
+        .withColumn("recency_days",
+          datediff(col("anchor"), col("last_order")).cast("long"))
+        .drop("last_order", "anchor")
+      val mb = broadcast(base.agg(
+        min(col("recency_days")).as("rlo"), max(col("recency_days")).as("rhi"),
+        min(col("frequency")).as("flo"), max(col("frequency")).as("fhi"),
+        min(col("monetary_cents")).as("mlo"), max(col("monetary_cents")).as("mhi")))
+      def rank(df: DataFrame, key: Column, lo: Column, hi: Column,
+               out: String): DataFrame =
+        PrefixSum.rowNumber(df, Seq.empty, Seq(key, col("o_custkey")),
+          PrefixSum.rangeBucket(key, lo, hi, 32), out)
+      // recency ranked DESCENDING (negated key): rank n = most recent
+      // → score 5; frequency / monetary ascending → 5 = best
+      val ranked = rank(rank(rank(base.crossJoin(mb),
+          -col("recency_days"), -col("rhi"), -col("rlo"), "rn_r"),
+          col("frequency"), col("flo"), col("fhi"), "rn_f"),
+          col("monetary_cents"), col("mlo"), col("mhi"), "rn_m")
+      ranked
+        .withColumn("r_score", expr("(rn_r - 1) * 5 DIV n_cust + 1"))
+        .withColumn("f_score", expr("(rn_f - 1) * 5 DIV n_cust + 1"))
+        .withColumn("m_score", expr("(rn_m - 1) * 5 DIV n_cust + 1"))
+        .withColumn("rfm_segment",
+          expr("r_score * 100 + f_score * 10 + m_score"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"), col("r_score"), col("f_score"),
+          col("m_score"), col("rfm_segment"))
+        .orderBy("o_custkey")
+    }))
 
   /** 16 unrolled Hilbert xy2d rounds — generated in lockstep with
     * Bucketing.withHilbertKey (same rotation, same bit planes). The
@@ -1026,6 +1098,47 @@ object RelQueries {
       |  FROM ps0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_itemset_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pruned AS (SELECT i.l_orderkey, i.l_partkey
+        |           FROM items i JOIN freq f USING (l_partkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, support FROM pairs WHERE support >= 2
+        |ORDER BY support DESC, pa, pb""".stripMargin,
+
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT max(last_order) AS anchor, count(*) AS n_cust FROM cust),
+        |base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', last_order, (SELECT anchor FROM b)) AS BIGINT) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM cust),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_days DESC, o_custkey) AS rn_r,
+        |    row_number() OVER (ORDER BY frequency ASC, o_custkey) AS rn_f,
+        |    row_number() OVER (ORDER BY monetary_cents ASC, o_custkey) AS rn_m
+        |  FROM base),
+        |scored AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    (rn_r - 1) * 5 // (SELECT n_cust FROM b) + 1 AS r_score,
+        |    (rn_f - 1) * 5 // (SELECT n_cust FROM b) + 1 AS f_score,
+        |    (rn_m - 1) * 5 // (SELECT n_cust FROM b) + 1 AS m_score
+        |  FROM ranked)
+        |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+
     "q_tpch_q2" -> (s"WITH $partsuppCte," +
       """
         |esupp AS (

@@ -277,9 +277,40 @@ object EventOps {
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           (sum(cents(col("value"))).cast("double") / 100).as("session_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // E8 MARKOV TRANSITION MATRIX: per-user next-event pairs (lead over
+    // a per-user window — bounded partitions, fine at scale), then a
+    // hash-agg to (src, dst) counts with a row-normalized share in
+    // integral ppm. The share window runs over the aggregate (≤
+    // |event_types|² rows), not the data. The behavioral-analytics
+    // complement to the funnel: where does each event type LEAD.
+    "q_event_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("src")))
+        .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+        .drop("tot")
+        .orderBy("src", "dst")
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+        |  FROM events),
+        |t AS (SELECT src, dst, count(*) AS n FROM seq
+        |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS share_ppm
+        |FROM t ORDER BY src, dst""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, event_type,
         |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -274,4 +274,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Exchange rangepartitioning"))
     assert(!p.contains("Exchange hashpartitioning"))
   }
+
+  test("q_itemset_pairs: frequent-singleton prune broadcasts; pair-gen is an equi join") {
+    val p = plan("q_itemset_pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the A-priori singleton filter must broadcast to the item list")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair generation must stay an equi join on l_orderkey")
+  }
+
+  test("q_rfm: quintile ranks run the two-phase scan — no global full-data sort window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("q_rfm")(spark, sf).queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    // the local rank windows carry the synthetic prefix-sum bucket
+    assert(wins.exists(_.partitionSpec.exists(
+        _.references.exists(_.name.startsWith("_psb")))),
+      "missing the bucket-keyed local rank window")
+    // any GLOBAL window (empty partition spec — the exclusive offset
+    // scan) must run over the tiny per-bucket totals aggregate, never
+    // the customer data: that single-task sort is what ntile(5) would
+    // have cost and what the two-phase rank exists to avoid
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.find {
+          case _: BaseAggregateExec => true
+          case _ => false
+        }.isDefined,
+        s"global window over unaggregated data:\n$w")
+    }
+  }
 }
