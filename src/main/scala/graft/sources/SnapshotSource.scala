@@ -46,7 +46,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   private case class Resolved(label: String, files: Seq[String],
-                              manifestSchema: Option[StructType], dataDir: String)
+                              manifestSchema: Option[StructType], dataDir: String,
+                              zoneMaps: Map[String, Map[String, ZoneMaps.ColStat]])
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -60,33 +61,44 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     (from, to) match {
       case (Some(a), Some(b)) =>
         Resolved(s"changes_${a}_$b", t.addedFilesBetween(a, b),
-          t.schemaDdlOf(b).map(StructType.fromDDL), t.dataDirPath)
+          t.schemaDdlOf(b).map(StructType.fromDDL), t.dataDirPath,
+          t.zoneMapsOf(b))
       case _ =>
         val v = Option(options.get("version")).map(_.toLong)
           .getOrElse(t.currentVersion())
         Resolved(s"v$v", t.resolvedFiles(v),
-          t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath)
+          t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
+          t.zoneMapsOf(v))
     }
   }
 
-  private def makeTable(options: CaseInsensitiveStringMap,
-                        userSchema: Option[StructType]): ParquetTable = {
-    val r = resolve(options)
-    // basePath keeps partition discovery rooted above the per-commit
-    // batch dirs (they are opaque, not key=value partitions)
+  /** Factory for the delegate parquet table over an arbitrary subset
+    * of the resolved files — the zone-map scan builder rebuilds
+    * through this after pruning. basePath keeps partition discovery
+    * rooted above the per-commit batch dirs (they are opaque, not
+    * key=value partitions). */
+  private def tableFactory(options: CaseInsensitiveStringMap, label: String,
+                           dataDir: String, userSchema: Option[StructType])
+      : Seq[String] => ParquetTable = {
     val merged = new CaseInsensitiveStringMap(
-      (options.asScala ++ Map("basePath" -> r.dataDir)).asJava)
-    ParquetTable(s"graft_snapshot_${r.label}", SparkSession.active, merged,
-      r.files, userSchema.orElse(r.manifestSchema), classOf[ParquetFileFormat])
+      (options.asScala ++ Map("basePath" -> dataDir)).asJava)
+    files => ParquetTable(s"graft_snapshot_$label", SparkSession.active,
+      merged, files, userSchema, classOf[ParquetFileFormat])
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    makeTable(options, None).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val r = resolve(options)
+    tableFactory(options, r.label, r.dataDir, r.manifestSchema)(r.files).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new SnapshotSource.ReadOnlySnapshotTable(
-      makeTable(new CaseInsensitiveStringMap(properties), Option(schema)))
+                        properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val r = resolve(options)
+    new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
+      tableFactory(options, r.label, r.dataDir,
+        Option(schema).orElse(r.manifestSchema)))
+  }
 }
 
 object SnapshotSource {
@@ -96,23 +108,36 @@ object SnapshotSource {
     val t = SnapshotTable(root)
     val opts = new CaseInsensitiveStringMap(
       Map("basePath" -> t.dataDirPath).asJava)
-    new ReadOnlySnapshotTable(ParquetTable(name, SparkSession.active, opts,
-      t.resolvedFiles(v), t.schemaDdlOf(v).map(StructType.fromDDL),
-      classOf[ParquetFileFormat]))
+    val schema = t.schemaDdlOf(v).map(StructType.fromDDL)
+    new ReadOnlySnapshotTable(t.resolvedFiles(v), t.zoneMapsOf(v),
+      files => ParquetTable(name, SparkSession.active, opts, files, schema,
+        classOf[ParquetFileFormat]))
   }
 
   /** Snapshot tables are READ-ONLY through the connector surface: a
     * bare file write would land data no manifest references (invisible
     * by construction) — so the write capability is stripped and SQL
     * writes fail at analysis. The transactional write path is
-    * [[SnapshotTable.commit]]/[[SnapshotTable.commitOnce]]. */
-  private[sources] final class ReadOnlySnapshotTable(inner: ParquetTable)
+    * [[SnapshotTable.commit]]/[[SnapshotTable.commitOnce]].
+    *
+    * Scans route through [[ZoneMaps.ZoneMapScanBuilder]] when the
+    * manifest carries per-file stats: pushed filters drop provably-
+    * irrelevant files BEFORE the parquet scan plans (manifest-level
+    * data skipping); legacy manifests without stats use the delegate
+    * builder directly. */
+  private[sources] final class ReadOnlySnapshotTable(
+      files: Seq[String],
+      zoneMaps: Map[String, Map[String, ZoneMaps.ColStat]],
+      mk: Seq[String] => ParquetTable)
       extends Table with SupportsRead {
+    private lazy val inner = mk(files)
     override def name(): String = inner.name
     override def schema(): StructType = inner.schema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      inner.newScanBuilder(options)
+      if (zoneMaps.isEmpty) inner.newScanBuilder(options)
+      else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
+        fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options))
   }
 }

@@ -91,6 +91,26 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
 
+  /** The `#zm=` zone-map lines of snapshot `v`'s manifest (raw,
+    * re-emitted verbatim by append commits so a file's stats ride
+    * along for its whole lifetime without re-reading its footer). */
+  private def zmLines(v: Long): Seq[String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.startsWith(ZoneMaps.Prefix))
+
+  /** Decoded per-file zone maps of snapshot `v`, keyed by ABSOLUTE
+    * data-file path (the key the scan builder sees). Missing/legacy
+    * manifests and malformed lines yield empty maps — stats are an
+    * optimization, never a correctness dependency. */
+  private[sources] def zoneMapsOf(v: Long): Map[String, Map[String, ZoneMaps.ColStat]] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
+    else Files.readAllLines(manifestPath(v)).asScala.iterator
+      .filter(_.startsWith(ZoneMaps.Prefix))
+      .flatMap(ZoneMaps.decodeLine)
+      .map { case (rel, st) => Paths.get(root).resolve(rel).toString -> st }
+      .toMap
+
   /** Commit wall-clock of snapshot `v` in epoch millis — recorded
     * INSIDE the manifest, so unlike a file mtime it is part of the
     * atomic commit and survives copies/restores. Absent on manifests
@@ -283,6 +303,17 @@ final class SnapshotTable(root: String) {
         .map(n => s"data/$batch/$n")
       finally st.close()
     }
+    // ZONE MAPS: one footer read per NEW file, at commit time — the
+    // stats ride inside the manifest line protocol (`#zm=` comments),
+    // so reads skip provably-irrelevant files without any footer I/O.
+    // Failures degrade to "no stats for that file", never a lost commit.
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val zmNew: Seq[String] = newFiles.flatMap { rel =>
+      val stats = scala.util.Try(
+        ZoneMaps.collect(hconf, Paths.get(root).resolve(rel).toString))
+        .getOrElse(Map.empty[String, ZoneMaps.ColStat])
+      if (stats.isEmpty) None else Some(ZoneMaps.encodeLine(rel, stats))
+    }
 
     var attempt = 0
     var committed = -1L
@@ -301,6 +332,7 @@ final class SnapshotTable(root: String) {
         val full = tag.map(t => s"#tag=$t").toSeq ++
           Seq(s"#schema=${df.schema.toDDL}",
             s"#ts=${System.currentTimeMillis()}") ++
+          (if (replace) zmNew else zmLines(head) ++ zmNew) ++
           (if (replace) newFiles else listing(head) ++ newFiles)
         if (publish(head + 1, full)) committed = head + 1
         else {

@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MANIFEST ZONE MAPS — file-level data skipping for [[SnapshotTable]],
+  * the same idea as Delta's per-file stats / Iceberg's manifest metrics:
+  * each commit records min/max per column PER DATA FILE inside the
+  * manifest it publishes, and the read path drops whole files whose
+  * [min, max] provably cannot satisfy a pushed filter — BEFORE the scan
+  * plans, so pruned files are never listed, opened, or footer-read.
+  *
+  * This is the layer ABOVE parquet row-group pruning (which still
+  * applies to the files that survive): row-group stats cost a footer
+  * read PER FILE per query, zone maps cost O(pruned decision) driver
+  * work on stats already in the manifest. At 100 TB with clustered
+  * layouts (see [[SnapshotTable.compact]]'s sortKey, [[Bucketing]]),
+  * a selective predicate reads the few files covering its key range
+  * instead of opening every footer in the table.
+  *
+  * Stats collection runs at COMMIT time (one footer read per newly
+  * written file, driver-side, O(new files)) — amortized into the write
+  * exactly like Delta's stats collection, and carried forward by append
+  * commits so a file is footer-read once in its lifetime.
+  *
+  * SOUNDNESS contract (what makes skipping safe, mirrored from Spark's
+  * own parquet filter pushdown):
+  *  - only [[provablyEmpty]] predicates drop a file; anything not
+  *    understood (casts, UDFs, IsNull, missing stats) keeps it;
+  *  - string min/max compare BYTEWISE via [[UTF8String]] — parquet
+  *    UTF8 stats are unsigned-byte-lexicographic, and UTF-16
+  *    `String.compareTo` disagrees with that order beyond the BMP;
+  *  - min/max ignore nulls, which is sound because the comparison
+  *    predicates being pruned on are never null-satisfied.
+  */
+object ZoneMaps {
+
+  /** Per-column file statistics. `kind`: 'l' = integral (INT32/INT64,
+    * incl. date days and timestamp micros), 'd' = floating, 's' =
+    * UTF-8 string. min/max are string-encoded in the stat domain. */
+  final case class ColStat(kind: Char, min: String, max: String)
+
+  // ---- commit-side: footer → stats ----
+
+  /** Read `absPath`'s parquet footer and fold its row-group column
+    * statistics into one per-file [min, max] per eligible column.
+    * A column missing valid stats in ANY row group is dropped —
+    * partial coverage cannot prune soundly. */
+  def collect(conf: org.apache.hadoop.conf.Configuration,
+              absPath: String): Map[String, ColStat] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(absPath), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      val perBlock: Seq[Map[String, ColStat]] = blocks.map { b =>
+        b.getColumns.asScala.iterator.flatMap { c =>
+          val pt = c.getPrimitiveType
+          if (c.getPath.size != 1) None
+          else {
+            val st = c.getStatistics
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else {
+              val isString = pt.getLogicalTypeAnnotation != null &&
+                pt.getLogicalTypeAnnotation.isInstanceOf[
+                  org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              (pt.getPrimitiveTypeName, isString) match {
+                case (INT32 | INT64, _) =>
+                  Some(c.getPath.toDotString ->
+                    ColStat('l', st.genericGetMin.toString, st.genericGetMax.toString))
+                case (FLOAT | DOUBLE, _) =>
+                  Some(c.getPath.toDotString ->
+                    ColStat('d', st.genericGetMin.toString, st.genericGetMax.toString))
+                case (BINARY, true) =>
+                  val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  Some(c.getPath.toDotString ->
+                    ColStat('s', mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                case _ => None // boolean / int96 / decimal-binary: skip
+              }
+            }
+          }
+        }.toMap
+      }
+      // fold: a column survives only if every block has it
+      val common = perBlock.map(_.keySet).reduce(_ intersect _)
+      common.iterator.map { col =>
+        val ss = perBlock.map(_(col))
+        val k = ss.head.kind
+        col -> ColStat(k,
+          ss.map(_.min).reduce((a, b) => if (cmp(k, a, b) <= 0) a else b),
+          ss.map(_.max).reduce((a, b) => if (cmp(k, a, b) >= 0) a else b))
+      }.toMap
+    } finally r.close()
+  }
+
+  // ---- manifest encoding: one `#zm=` comment line per file ----
+  // #zm=<enc path>|<enc col>=<kind>:<enc min>:<enc max>|...
+  // URL-encoding covers the delimiter characters in values.
+
+  val Prefix = "#zm="
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  def encodeLine(relPath: String, stats: Map[String, ColStat]): String =
+    Prefix + enc(relPath) + stats.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"|${enc(c)}=${s.kind}:${enc(s.min)}:${enc(s.max)}"
+    }.mkString
+
+  /** Parse a `#zm=` line back to (relPath, stats); malformed lines
+    * yield None (stats are an optimization, never a read failure). */
+  def decodeLine(line: String): Option[(String, Map[String, ColStat])] =
+    if (!line.startsWith(Prefix)) None
+    else scala.util.Try {
+      val parts = line.stripPrefix(Prefix).split('|')
+      val stats = parts.tail.iterator.map { p =>
+        val eq = p.indexOf('=')
+        val Array(k, mn, mx) = p.substring(eq + 1).split(':')
+        dec(p.substring(0, eq)) -> ColStat(k.head, dec(mn), dec(mx))
+      }.toMap
+      (dec(parts.head), stats)
+    }.toOption
+
+  // ---- read-side: predicate vs [min, max] ----
+
+  private def cmp(kind: Char, a: String, b: String): Int = kind match {
+    case 'l' => java.lang.Long.compare(a.toLong, b.toLong)
+    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _   => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
+
+  /** The literal rendered into the stat domain of `kind`, or None when
+    * the types don't line up (→ conservative keep). Date literals are
+    * Int days, timestamp literals Long micros — both already in the
+    * int32/int64 stat domain parquet uses for those columns. */
+  private def litVal(kind: Char, l: Literal): Option[String] =
+    if (l.value == null) None
+    else (kind, l.value) match {
+      case ('l', v: java.lang.Number) if !v.isInstanceOf[java.lang.Double] &&
+        !v.isInstanceOf[java.lang.Float] => Some(v.longValue.toString)
+      case ('d', v: java.lang.Number) => Some(v.doubleValue.toString)
+      case ('s', v: UTF8String) => Some(v.toString)
+      case _ => None
+    }
+
+  /** True iff conjunct `e` is PROVABLY unsatisfiable on a file whose
+    * column ranges are `stats` — the only license to skip the file. */
+  def provablyEmpty(e: Expression, stats: Map[String, ColStat]): Boolean = {
+    def rangeCheck(a: Attribute, l: Literal)(
+        empty: (ColStat, String) => Boolean): Boolean =
+      stats.get(a.name).exists { s =>
+        litVal(s.kind, l).exists(v => empty(s, v))
+      }
+    e match {
+      case EqualTo(a: Attribute, l: Literal) => outside(a, l, rangeCheck)
+      case EqualTo(l: Literal, a: Attribute) => outside(a, l, rangeCheck)
+      case EqualNullSafe(a: Attribute, l: Literal) if l.value != null =>
+        outside(a, l, rangeCheck)
+      case EqualNullSafe(l: Literal, a: Attribute) if l.value != null =>
+        outside(a, l, rangeCheck)
+      case GreaterThan(a: Attribute, l: Literal) => // a > v: empty iff max <= v
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.max, v) <= 0)
+      case GreaterThan(l: Literal, a: Attribute) => // v > a: empty iff min >= v
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.min, v) >= 0)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.max, v) < 0)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.min, v) > 0)
+      case LessThan(a: Attribute, l: Literal) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.min, v) >= 0)
+      case LessThan(l: Literal, a: Attribute) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.max, v) <= 0)
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.min, v) > 0)
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        rangeCheck(a, l)((s, v) => cmp(s.kind, s.max, v) < 0)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.forall(v => outside(a, v.asInstanceOf[Literal], rangeCheck))
+      case InSet(a: Attribute, vs) if vs.nonEmpty =>
+        stats.get(a.name).exists { s =>
+          vs.forall { v =>
+            litVal(s.kind, Literal(v, a.dataType)).exists(x =>
+              cmp(s.kind, x, s.min) < 0 || cmp(s.kind, x, s.max) > 0)
+          }
+        }
+      case Or(x, y) => provablyEmpty(x, stats) && provablyEmpty(y, stats)
+      case And(x, y) => provablyEmpty(x, stats) || provablyEmpty(y, stats)
+      case _ => false
+    }
+  }
+
+  private def outside(a: Attribute, l: Literal,
+      rc: (Attribute, Literal) => ((ColStat, String) => Boolean) => Boolean): Boolean =
+    rc(a, l)((s, v) => cmp(s.kind, v, s.min) < 0 || cmp(s.kind, v, s.max) > 0)
+
+  /** The connector-side half: a [[ScanBuilder]] that intercepts the
+    * pushed data filters, drops provably-empty files from the resolved
+    * listing, REBUILDS the delegate parquet scan over the survivors,
+    * and forwards every other pushdown capability (column pruning,
+    * aggregate pushdown, the pushed-filter report in explain) to it.
+    * `rebuild` closes over the provider's table factory so the pruned
+    * scan keeps the manifest schema and options of the original. */
+  final class ZoneMapScanBuilder(
+      allFiles: Seq[String],
+      statsByFile: Map[String, Map[String, ColStat]],
+      rebuild: Seq[String] => ScanBuilder)
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+    private var delegate: ScanBuilder = rebuild(allFiles)
+    // re-applied after a rebuild, in case a future Spark version
+    // reorders the pushdown phases (today: filters, then aggregates,
+    // then column pruning)
+    private var prunedTo: Option[StructType] = None
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      val kept = allFiles.filter { f =>
+        val st = statsByFile.getOrElse(f, Map.empty)
+        st.isEmpty || !filters.exists(p => provablyEmpty(p, st))
+      }
+      if (kept.size != allFiles.size) {
+        delegate = rebuild(kept)
+        prunedTo.foreach(pruneColumns)
+      }
+      delegate match {
+        case d: SupportsPushDownCatalystFilters => d.pushFilters(filters)
+        case _ => filters
+      }
+    }
+
+    override def pushedFilters: Array[V2Predicate] = delegate match {
+      case d: SupportsPushDownCatalystFilters => d.pushedFilters
+      case _ => Array.empty
+    }
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      prunedTo = Some(requiredSchema)
+      delegate match {
+        case d: SupportsPushDownRequiredColumns => d.pruneColumns(requiredSchema)
+        case _ => ()
+      }
+    }
+
+    override def pushAggregation(agg: Aggregation): Boolean = delegate match {
+      case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+      case _ => false
+    }
+
+    override def supportCompletePushDown(agg: Aggregation): Boolean = delegate match {
+      case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
+      case _ => false
+    }
+
+    override def build(): Scan = delegate.build()
+  }
+}

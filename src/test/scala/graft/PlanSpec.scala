@@ -275,6 +275,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"))
   }
 
+  test("snapshot DSv2 scan reports statistics: a small snapshot table broadcasts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val t = graft.sources.SnapshotTable(dir)
+    t.commit((0L until 50L).map(i => (i, s"name$i")).toDF("k", "v"))
+    val big = spark.range(0, 500000)
+      .select(col("id").as("k"), (col("id") * 3).as("x"))
+    val j = big.join(t.read(spark), "k") // no broadcast() hint on purpose
+    assert(j.count() === 50)
+    val p = j.queryExecution.executedPlan.toString
+    // FileScan-backed DSv2 estimates sizeInBytes from the resolved
+    // manifest file set, so Catalyst's size-based planning (not a
+    // hint) must choose the broadcast side — the property that makes
+    // snapshot dims behave like first-class tables in big joins
+    assert(p.contains("BroadcastHashJoin"),
+      s"small snapshot side must auto-broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_itemset_pairs: frequent-singleton prune broadcasts; pair-gen is an equi join") {
     val p = plan("q_itemset_pairs")
     assert(p.contains("BroadcastHashJoin"),

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotTable, ZoneMaps}
+
+/** Manifest zone maps: per-file min/max recorded at commit, file-level
+  * skipping before the parquet scan plans. The tests assert three
+  * things no result-hash can: (1) files are actually DROPPED from the
+  * planned scan, (2) pruning never changes results (randomized), and
+  * (3) stats ride append commits without footer re-reads. */
+class ZoneMapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Number of files the planned DSv2 scan will read. */
+  private def plannedFiles(df: DataFrame): Int = {
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.nonEmpty, s"no BatchScan in:\n$plan")
+    scans.map { case f: FileScan => f.fileIndex.inputFiles.length }.sum
+  }
+
+  private def freshTable(): (SnapshotTable, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    val t = SnapshotTable(dir)
+    // 8 files, each covering a tight contiguous k-range (clustered
+    // write — the layout zone maps exist to exploit)
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), (col("id") % 97).as("m"),
+        concat(lit("u"), format_string("%05d", col("id"))).as("s"))
+      .repartitionByRange(8, col("k"))
+    val v = t.commit(df)
+    (t, v)
+  }
+
+  test("selective range predicate reads a fraction of the files; results unchanged") {
+    val (t, _) = freshTable()
+    val all = plannedFiles(t.read(spark))
+    assert(all === 8)
+    val q = t.read(spark).filter(col("k") >= 2000 && col("k") < 3000)
+    assert(plannedFiles(q) <= 2, "a 1/8th range must prune to ~1 file")
+    assert(q.count() === 1000)
+    // equality point lookup: one file
+    val point = t.read(spark).filter(col("k") === 4242L)
+    assert(plannedFiles(point) === 1)
+    assert(point.select("s").as[String].collect() === Array("u04242"))
+  }
+
+  test("string min/max prune bytewise; IN-lists prune; unknown predicates keep files") {
+    val (t, _) = freshTable()
+    val sPrune = t.read(spark).filter(col("s") < "u00500")
+    assert(plannedFiles(sPrune) === 1)
+    assert(sPrune.count() === 500)
+    val inPrune = t.read(spark).filter(col("k").isin(100L, 200L, 7900L))
+    assert(plannedFiles(inPrune) === 2)
+    assert(inPrune.count() === 3)
+    // m spans the full domain in every file: no pruning possible, and
+    // a non-translatable predicate must not drop anything either
+    assert(plannedFiles(t.read(spark).filter(col("m") === 5)) === 8)
+    assert(plannedFiles(t.read(spark).filter(
+      col("k").cast("string").contains("42"))) === 8)
+  }
+
+  test("randomized soundness: pruned scan ≡ unpruned scan under arbitrary conjunctions") {
+    val (t, _) = freshTable()
+    // expectations evaluated driver-side on the collected rows — the
+    // oracle must not itself go through the code under test
+    val full = t.read(spark).select("k", "m", "s").as[(Long, Long, String)]
+      .collect().toSet
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { _ =>
+      val lo = rnd.nextInt(9000) - 500
+      val hi = lo + rnd.nextInt(3000)
+      val (pred, oracle) = rnd.nextInt(4) match {
+        case 0 => (col("k") >= lo && col("k") < hi,
+          (r: (Long, Long, String)) => r._1 >= lo && r._1 < hi)
+        case 1 => (col("k") === lo || col("k") > hi,
+          (r: (Long, Long, String)) => r._1 == lo || r._1 > hi)
+        case 2 => (col("s") >= f"u$lo%05d" && col("s") < f"u$hi%05d",
+          (r: (Long, Long, String)) =>
+            r._3 >= f"u$lo%05d" && r._3 < f"u$hi%05d")
+        case _ => (col("k").between(lo, hi) && col("m") < 50,
+          (r: (Long, Long, String)) => r._1 >= lo && r._1 <= hi && r._2 < 50)
+      }
+      val pruned = t.read(spark).filter(pred)
+        .select("k", "m", "s").as[(Long, Long, String)].collect().toSet
+      assert(pruned === full.filter(oracle), s"pruning changed results for $pred")
+    }
+  }
+
+  test("append carries prior stats forward; CDC delta reads prune on the added files") {
+    val (t, v1) = freshTable()
+    val v2 = t.commit(spark.range(8000, 12000)
+      .select(col("id").as("k"), (col("id") % 97).as("m"),
+        concat(lit("u"), format_string("%05d", col("id"))).as("s"))
+      .repartitionByRange(4, col("k")))
+    // every file of both commits carries stats in the head manifest
+    val zm = {
+      val m = classOf[SnapshotTable].getDeclaredMethod("zoneMapsOf", classOf[Long])
+      m.setAccessible(true)
+      m.invoke(t, java.lang.Long.valueOf(v2))
+        .asInstanceOf[Map[String, Map[String, ZoneMaps.ColStat]]]
+    }
+    assert(zm.size === 12)
+    assert(zm.values.forall(_.keySet === Set("k", "m", "s")))
+    // full-history read prunes across commit boundaries
+    assert(plannedFiles(t.read(spark).filter(col("k") >= 9000 && col("k") < 10000)) <= 2)
+    // the CDC path prunes within the added-file set (range-partitioner
+    // boundaries are sample-estimated, so the 1000-row slice may
+    // straddle one boundary — but never reach all 4 delta files)
+    val delta = t.readChanges(spark, v1, v2).filter(col("k") < 9000)
+    assert(plannedFiles(delta) <= 2)
+    assert(delta.count() === 1000)
+  }
+
+  test("zone-map line codec round-trips delimiter-hostile values; malformed lines drop") {
+    val stats = Map(
+      "we|ird=col" -> ZoneMaps.ColStat('s', "a|b:c", "z=%7C"),
+      "k" -> ZoneMaps.ColStat('l', "-42", "99"))
+    val line = ZoneMaps.encodeLine("data/b1/part 0|x.parquet", stats)
+    assert(ZoneMaps.decodeLine(line) === Some(("data/b1/part 0|x.parquet", stats)))
+    assert(ZoneMaps.decodeLine("#zm=garbage|no-eq-here") === None)
+    assert(ZoneMaps.decodeLine("#schema=whatever") === None)
+  }
+
+  test("all-null and nullable columns never prune wrongly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmn").toString
+    val t = SnapshotTable(dir)
+    t.commit(Seq[(java.lang.Long, String)]((1L, null), (2L, "b"), (null, "c"))
+      .toDF("k", "s").repartition(1))
+    // nulls are outside min/max, but comparison predicates are never
+    // null-satisfied, so [2,2]-style pruning on the non-null range is
+    // sound; IsNull must not be treated as prunable at all
+    assert(t.read(spark).filter(col("s").isNull).count() === 1)
+    assert(t.read(spark).filter(col("k").isNull).count() === 1)
+    assert(t.read(spark).filter(col("k") === 2L).count() === 1)
+    assert(t.read(spark).filter(col("k") === 99L).count() === 0)
+  }
+}
