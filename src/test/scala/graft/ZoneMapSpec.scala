@@ -119,6 +119,23 @@ class ZoneMapSpec extends SparkTestBase {
     assert(delta.count() === 1000)
   }
 
+  test("clustered compaction tightens zone maps: scattered layout prunes nothing, compacted prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmc").toString
+    val t = SnapshotTable(dir)
+    // hash-scattered write: every file spans ~the full k domain, so
+    // zone maps exist but cannot exclude anything — stats are only as
+    // good as the LAYOUT, which is why compact() takes a sortKey
+    t.commit(spark.range(0, 8000)
+      .select(col("id").as("k"),
+        concat(lit("u"), format_string("%05d", col("id"))).as("s"))
+      .repartition(8, col("s")))
+    def q = t.read(spark).filter(col("k") >= 1000 && col("k") < 2000)
+    assert(plannedFiles(q) === 8, "scattered layout: nothing prunable")
+    t.compact(spark, files = 8, sortKey = Some(col("k")))
+    assert(plannedFiles(q) <= 2, "clustered rewrite must make the range prunable")
+    assert(q.count() === 1000)
+  }
+
   test("zone-map line codec round-trips delimiter-hostile values; malformed lines drop") {
     val stats = Map(
       "we|ird=col" -> ZoneMaps.ColStat('s', "a|b:c", "z=%7C"),
