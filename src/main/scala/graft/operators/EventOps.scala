@@ -279,6 +279,36 @@ object EventOps {
         .orderBy("user_id", "session_id")
     }),
 
+    // E8 SESSION PATH MINING: the top entry paths (first ≤3 event
+    // types per 30-min-gap session) — the path-analysis complement to
+    // the funnel. Same per-user sessionization as q_sessionize, then a
+    // bounded per-session prefix: row_number ≤ 3 keeps state O(1) per
+    // session, the path assembly is sort_array over ≤3 structs (the
+    // deterministic collect_list ordering trick), and the final count
+    // is a hash-agg on the path string — O(distinct paths) shuffle.
+    "q_session_path" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val epoch = floor(unix_timestamp(col("ts").cast("timestamp")))
+      val sess = events(s, d)
+        .withColumn("prev_epoch", lag(epoch, 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_epoch").isNull || (epoch - col("prev_epoch")) >= 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      sess.withColumn("rn", row_number().over(bySess))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "session_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+    }),
+
     // E8 MARKOV TRANSITION MATRIX: per-user next-event pairs (lead over
     // a per-user window — bounded partitions, fine at scale), then a
     // hash-agg to (src, dst) counts with a row-normalized share in
@@ -300,6 +330,31 @@ object EventOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_session_path" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+        |    lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS prev_epoch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_epoch IS NULL OR ep - prev_epoch >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |    ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY 1 ORDER BY n_sessions DESC, path""".stripMargin,
+
     "q_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS src,
