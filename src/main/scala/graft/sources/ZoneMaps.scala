@@ -3,10 +3,12 @@ package graft.sources
 import java.net.{URLDecoder, URLEncoder}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -203,6 +205,96 @@ object ZoneMaps {
       rc: (Attribute, Literal) => ((ColStat, String) => Boolean) => Boolean): Boolean =
     rc(a, l)((s, v) => cmp(s.kind, v, s.min) < 0 || cmp(s.kind, v, s.max) > 0)
 
+  // ---- runtime (join-driven) pruning: v1 source filters vs [min, max] ----
+
+  /** External-typed value (what v1 filters carry) rendered into the
+    * stat domain, or None → conservative keep. */
+  private def extVal(kind: Char, value: Any): Option[String] = (kind, value) match {
+    case (_, null) => None
+    case ('l', v: java.lang.Number) if !v.isInstanceOf[java.lang.Double] &&
+      !v.isInstanceOf[java.lang.Float] => Some(v.longValue.toString)
+    case ('d', v: java.lang.Number) => Some(v.doubleValue.toString)
+    case ('s', v: String) => Some(v)
+    case ('s', v: UTF8String) => Some(v.toString)
+    case _ => None
+  }
+
+  /** [[provablyEmpty]] for `org.apache.spark.sql.sources.Filter`s —
+    * the shape runtime filters arrive in (DPP sends `In`). */
+  def provablyEmptySource(f: v1.Filter, stats: Map[String, ColStat]): Boolean = {
+    def out(col: String, value: Any): Boolean = stats.get(col).exists { s =>
+      extVal(s.kind, value).exists(v =>
+        cmp(s.kind, v, s.min) < 0 || cmp(s.kind, v, s.max) > 0)
+    }
+    f match {
+      case v1.EqualTo(c, value) => out(c, value)
+      case v1.EqualNullSafe(c, value) if value != null => out(c, value)
+      case v1.In(c, values) => values.nonEmpty && values.forall(out(c, _))
+      case v1.GreaterThan(c, value) => stats.get(c).exists(s =>
+        extVal(s.kind, value).exists(v => cmp(s.kind, s.max, v) <= 0))
+      case v1.GreaterThanOrEqual(c, value) => stats.get(c).exists(s =>
+        extVal(s.kind, value).exists(v => cmp(s.kind, s.max, v) < 0))
+      case v1.LessThan(c, value) => stats.get(c).exists(s =>
+        extVal(s.kind, value).exists(v => cmp(s.kind, s.min, v) >= 0))
+      case v1.LessThanOrEqual(c, value) => stats.get(c).exists(s =>
+        extVal(s.kind, value).exists(v => cmp(s.kind, s.min, v) > 0))
+      case v1.Or(x, y) =>
+        provablyEmptySource(x, stats) && provablyEmptySource(y, stats)
+      case v1.And(x, y) =>
+        provablyEmptySource(x, stats) || provablyEmptySource(y, stats)
+      case _ => false
+    }
+  }
+
+  /** RUNTIME FILE SKIPPING — the DPP analogue for unpartitioned
+    * snapshot files: when this scan's table is the big side of a join
+    * whose other side is selectively filtered, Spark's dynamic-pruning
+    * rule sees [[filterAttributes]], builds the join-key value set at
+    * runtime, and calls [[filter]] with it; provably-empty files are
+    * dropped and `BatchScanExec` re-plans partitions from the pruned
+    * delegate (it re-calls `toBatch` after `filter`). Iceberg/Delta
+    * implement runtime file pruning through exactly this connector
+    * hook. Static zone-map pruning has already happened in the
+    * builder; this catches what is only knowable at run time. */
+  final class ZoneMapScan(
+      files: Seq[String],
+      statsByFile: Map[String, Map[String, ColStat]],
+      rebuildScan: Seq[String] => Scan,
+      initial: Scan)
+    extends Scan with SupportsRuntimeFiltering {
+
+    private var inner: Scan = initial
+
+    override def readSchema(): StructType = inner.readSchema()
+    override def toBatch: Batch = inner.toBatch
+    override def description(): String = s"${inner.description()} (graft-zonemap)"
+
+    /** Files the CURRENT (post-pruning) delegate will read — spec
+      * observability, mirrors FileScan.fileIndex. */
+    def plannedFileCount: Int = inner match {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.fileIndex.inputFiles.length
+      case _ => files.size
+    }
+
+    // only columns the (pruned) scan still OUTPUTS: the dynamic-pruning
+    // rule resolves these against the relation output and throws on
+    // anything column pruning removed
+    override def filterAttributes(): Array[NamedReference] = {
+      val visible = inner.readSchema().fieldNames.toSet
+      statsByFile.valuesIterator.flatMap(_.keysIterator)
+        .toSet.intersect(visible).toArray.sorted.map(Expressions.column)
+    }
+
+    override def filter(filters: Array[v1.Filter]): Unit = {
+      val kept = files.filter { f =>
+        val st = statsByFile.getOrElse(f, Map.empty[String, ColStat])
+        st.isEmpty || !filters.exists(p => provablyEmptySource(p, st))
+      }
+      if (kept.size != files.size) inner = rebuildScan(kept)
+    }
+  }
+
   /** The connector-side half: a [[ScanBuilder]] that intercepts the
     * pushed data filters, drops provably-empty files from the resolved
     * listing, REBUILDS the delegate parquet scan over the survivors,
@@ -222,13 +314,18 @@ object ZoneMaps {
     // reorders the pushdown phases (today: filters, then aggregates,
     // then column pruning)
     private var prunedTo: Option[StructType] = None
+    private var keptFiles: Seq[String] = allFiles
+    private var pushedExprs: Seq[Expression] = Nil
+    private var aggPushed = false
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      pushedExprs = filters
       val kept = allFiles.filter { f =>
         val st = statsByFile.getOrElse(f, Map.empty)
         st.isEmpty || !filters.exists(p => provablyEmpty(p, st))
       }
       if (kept.size != allFiles.size) {
+        keptFiles = kept
         delegate = rebuild(kept)
         prunedTo.foreach(pruneColumns)
       }
@@ -252,7 +349,8 @@ object ZoneMaps {
     }
 
     override def pushAggregation(agg: Aggregation): Boolean = delegate match {
-      case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+      case d: SupportsPushDownAggregates =>
+        val ok = d.pushAggregation(agg); aggPushed ||= ok; ok
       case _ => false
     }
 
@@ -261,6 +359,28 @@ object ZoneMaps {
       case _ => false
     }
 
-    override def build(): Scan = delegate.build()
+    override def build(): Scan = {
+      // a pushed aggregate reshapes the scan output; a runtime rebuild
+      // would have to replay that pushdown too — not worth the
+      // complexity for a scan that already returns O(groups) rows
+      if (aggPushed) delegate.build()
+      else {
+        val replay: Seq[String] => Scan = fs => {
+          val b = rebuild(fs)
+          b match {
+            case d: SupportsPushDownCatalystFilters if pushedExprs.nonEmpty =>
+              d.pushFilters(pushedExprs)
+            case _ => ()
+          }
+          b match {
+            case d: SupportsPushDownRequiredColumns =>
+              prunedTo.foreach(d.pruneColumns)
+            case _ => ()
+          }
+          b.build()
+        }
+        new ZoneMapScan(keptFiles, statsByFile, replay, delegate.build())
+      }
+    }
   }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
 import org.apache.spark.sql.functions._
 import graft.sources.{SnapshotTable, ZoneMaps}
@@ -14,16 +15,24 @@ import graft.sources.{SnapshotTable, ZoneMaps}
 class ZoneMapSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** All DSv2 scans in an executed plan, descending through AQE query
+    * stages (stage wrappers are leaves to `collect`). */
+  private def batchScans(p: SparkPlan): Seq[BatchScanExec] =
+    p.collect {
+      case b: BatchScanExec => Seq(b)
+      case q: QueryStageExec => batchScans(q.plan)
+      case a: AdaptiveSparkPlanExec => batchScans(a.executedPlan)
+    }.flatten
+
   /** Number of files the planned DSv2 scan will read. */
   private def plannedFiles(df: DataFrame): Int = {
     df.collect() // finalize AQE
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect { case b: BatchScanExec => b.scan }
-    assert(scans.nonEmpty, s"no BatchScan in:\n$plan")
-    scans.map { case f: FileScan => f.fileIndex.inputFiles.length }.sum
+    val scans = batchScans(df.queryExecution.executedPlan).map(_.scan)
+    assert(scans.nonEmpty, s"no BatchScan in:\n${df.queryExecution.executedPlan}")
+    scans.map {
+      case f: FileScan => f.fileIndex.inputFiles.length
+      case z: ZoneMaps.ZoneMapScan => z.plannedFileCount
+    }.sum
   }
 
   private def freshTable(): (SnapshotTable, Long) = {
@@ -134,6 +143,29 @@ class ZoneMapSpec extends SparkTestBase {
     t.compact(spark, files = 8, sortKey = Some(col("k")))
     assert(plannedFiles(q) <= 2, "clustered rewrite must make the range prunable")
     assert(q.count() === 1000)
+  }
+
+  test("runtime file skipping: a selective dim join prunes fact files at run time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmr").toString
+    val t = SnapshotTable(dir)
+    // 16-file clustered fact; the dim's surviving keys all land in one
+    // narrow k-range, but that is only knowable AT RUN TIME (the values
+    // come through a join, not a static predicate on the fact)
+    t.commit(spark.range(0, 64000)
+      .select(col("id").as("k"), (col("id") * 7).as("x"))
+      .repartitionByRange(16, col("k")))
+    val dim = spark.range(0, 40)
+      .select((col("id") * 100 + 8000).as("dk"), (col("id") % 3).as("cat"))
+    val j = t.read(spark).join(dim.filter(col("cat") === 1), col("k") === col("dk"))
+    assert(j.collect().length === 13) // executes THIS plan: runtime filters fire
+    val plan = j.queryExecution.executedPlan
+    val fact = batchScans(plan).filter(_.scan.isInstanceOf[ZoneMaps.ZoneMapScan])
+    assert(fact.nonEmpty, s"fact side must plan the zone-map scan:\n$plan")
+    assert(fact.head.runtimeFilters.nonEmpty,
+      s"dynamic pruning must inject a runtime filter:\n$plan")
+    val planned = fact.head.scan.asInstanceOf[ZoneMaps.ZoneMapScan].plannedFileCount
+    assert(planned <= 2,
+      s"runtime IN-set spans [8000, 12000) → at most 2 of 16 files, planned $planned")
   }
 
   test("zone-map line codec round-trips delimiter-hostile values; malformed lines drop") {
