@@ -178,6 +178,28 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMaps.decodeLine("#schema=whatever") === None)
   }
 
+  test("tagged (streaming-sink) commits collect zone maps; replayed tags add none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zms").toString
+    val t = SnapshotTable(dir)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") * 2).as("x"))
+      .repartitionByRange(2, col("k"))
+    assert(t.commitOnce("b0", batch(0, 1000)).isDefined)
+    assert(t.commitOnce("b0", batch(0, 1000)).isEmpty) // replay skipped
+    assert(t.commitOnce("b1", batch(1000, 2000)).isDefined)
+    val zm = {
+      val m = classOf[SnapshotTable].getDeclaredMethod("zoneMapsOf", classOf[Long])
+      m.setAccessible(true)
+      m.invoke(t, java.lang.Long.valueOf(t.currentVersion()))
+        .asInstanceOf[Map[String, Map[String, ZoneMaps.ColStat]]]
+    }
+    assert(zm.size === 4, "2 files per committed micro-batch, none from the replay")
+    // a point probe into the second batch reads one of the four files
+    val q = t.read(spark).filter(col("k") === 1500L)
+    assert(plannedFiles(q) === 1)
+    assert(q.count() === 1)
+  }
+
   test("all-null and nullable columns never prune wrongly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zmn").toString
     val t = SnapshotTable(dir)
