@@ -971,22 +971,25 @@ object RelQueries {
     // wall-clock (1.57 vs 1.68 s min), but it shuffles the fact twice
     // (both join branches) where this shape shuffles it once — kept
     // the half-shuffle-volume form for the 100 TB case.
-    "q_itemset_pairs" -> ((s, d) => {
-      val minSupport = 2L
-      val items = lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val freq = items.groupBy("l_partkey")
-        .agg(count(lit(1)).as("n1")).filter(col("n1") >= minSupport)
-        .select(col("l_partkey"))
-      val pruned = items.join(broadcast(freq), "l_partkey")
-      pruned.groupBy("l_orderkey")
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("pa"), col("ps"))
-        .select(col("pa"),
-          explode(filter(col("ps"), x => x > col("pa"))).as("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-        .orderBy(col("support").desc, col("pa"), col("pb"))
+    "q_itemset_pairs" -> ((s, d) =>
+      itemsetPairs(s, d)
+        .orderBy(col("support").desc, col("pa"), col("pb"))),
+
+    // ITEM-TO-ITEM RECOMMENDATIONS: top-3 co-occurring parts per part —
+    // the pair counts symmetrized (each pair recommends both ways) and
+    // ranked through the NATIVE top-k-per-group operator: bounded
+    // per-group heaps, shuffle of ≤3 survivors per (item, partition),
+    // no Sort/WindowExec anywhere in the ranking.
+    "q_item_recos" -> ((s, d) => {
+      val p = itemsetPairs(s, d)
+      val sym = p.select(col("pa").as("item"), col("pb").as("reco"), col("support"))
+        .unionByName(
+          p.select(col("pb").as("item"), col("pa").as("reco"), col("support")))
+      graft.plans.TopKPerGroup(sym, Seq(col("item")),
+          Seq(col("support").desc, col("reco").asc), k = 3)
+        .select(col("item"), col("rn").cast("long").as("rank"),
+          col("reco"), col("support"))
+        .orderBy("item", "rank")
     }),
 
     // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
@@ -1064,6 +1067,25 @@ object RelQueries {
        |FROM g16 ORDER BY hkey, o_orderkey""".stripMargin
   }
 
+  /** Frequent part pairs (support ≥ 2) per the q_itemset_pairs
+    * Scaladoc — shared by the pair query and the top-k reco ranking. */
+  private def itemsetPairs(s: SparkSession, d: String): DataFrame = {
+    val minSupport = 2L
+    val items = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = items.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n1")).filter(col("n1") >= minSupport)
+      .select(col("l_partkey"))
+    val pruned = items.join(broadcast(freq), "l_partkey")
+    pruned.groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"),
+        explode(filter(col("ps"), x => x > col("pa"))).as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
   /** DERIVED partsupp relation: the testdata ships no partsupp table,
     * so the five TPC-H queries that need one (Q2, Q9, Q11, Q16, Q20)
     * run over a deterministic derivation — four suppliers per part
@@ -1115,6 +1137,27 @@ object RelQueries {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, support FROM pairs WHERE support >= 2
         |ORDER BY support DESC, pa, pb""".stripMargin,
+
+    "q_item_recos" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pruned AS (SELECT i.l_orderkey, i.l_partkey
+        |           FROM items i JOIN freq f USING (l_partkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT pa AS item, pb AS reco, support FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS item, pa AS reco, support FROM pairs),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY support DESC, reco ASC) AS rank
+        |  FROM sym)
+        |SELECT item, CAST(rank AS BIGINT) AS rank, reco, support
+        |FROM ranked WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
 
     "q_rfm" ->
       """WITH cust AS (

@@ -303,6 +303,13 @@ class PlanSpec extends SparkTestBase {
       "pair generation must stay an equi join on l_orderkey")
   }
 
+  test("q_item_recos: ranking runs the native top-k operator, no Sort/Window") {
+    val p = plan("q_item_recos")
+    assert(p.contains("TopKPerGroup"), "reco ranking must use the native operator")
+    assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+      "must not fall back to the window pipeline")
+  }
+
   test("q_rfm: quintile ranks run the two-phase scan — no global full-data sort window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
