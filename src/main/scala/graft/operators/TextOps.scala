@@ -965,10 +965,24 @@ object TextOps {
           concat(name.substr(lit(1), (pos - 1).cast("int")),
             name.substr((pos + 1).cast("int"), lit(100))).as("dirty_name"))
         .withColumn("blk", substring_index(col("dirty_name"), " ", 1))
-      dirty.join(clean, "blk")
+      // the probe side is TINY (one input split) but the block join
+      // fans out to |block|² candidate pairs — left on input-split
+      // parallelism the whole distance pass lands in ONE task, and
+      // AQE's small-partition coalescing happily merges a countless
+      // repartition right back (the shuffle is a few hundred KB; the
+      // fan-out AFTER it is what costs). The EXPLICIT partition count
+      // opts this shuffle out of coalescing and hands every core a
+      // slice of the fan-out: measured 12.2 → 1.0 s at sf0.1. Sized
+      // by defaultParallelism so a real cluster spreads it further.
+      dirty.repartition(s.sparkContext.defaultParallelism, col("dirty_id"))
+        .join(clean, "blk")
         .filter(abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
-        .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
-        .filter(col("dist") <= 2)
+        // THRESHOLD levenshtein: banded O(τ·n) with early exit
+        // (returns -1 past the threshold) instead of the full DP —
+        // nearly every candidate exceeds τ, so the early exit is
+        // where the time goes
+        .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name"), 2))
+        .filter(col("dist").between(0, 2))
         .withColumn("rk", row_number().over(
           Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))))
         .filter(col("rk") === 1)
