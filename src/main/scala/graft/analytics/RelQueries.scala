@@ -1068,8 +1068,18 @@ object RelQueries {
   }
 
   /** Frequent part pairs (support ≥ 2) per the q_itemset_pairs
-    * Scaladoc — shared by the pair query and the top-k reco ranking. */
-  private def itemsetPairs(s: SparkSession, d: String): DataFrame = {
+    * Scaladoc — shared by the pair query and the top-k reco ranking,
+    * MEMOIZED per (session, dir) like GraphOps' cluster labels (same
+    * soundness argument: deterministic derivation over an immutable
+    * snapshot directory; ~3k rows localCheckpointed, session-lifetime).
+    * Without the memo the reco query re-derives the whole mining
+    * pipeline: 2.29 → ~0.4 s at sf0.1. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The raw mining pipeline, pre-memo — PlanSpec pins ITS shape (the
+    * memoized form executes as a checkpoint scan). */
+  private[graft] def itemsetPairsPlan(s: SparkSession, d: String): DataFrame = {
     val minSupport = 2L
     val items = lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1085,6 +1095,9 @@ object RelQueries {
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  private def itemsetPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, d), itemsetPairsPlan(s, d).localCheckpoint())
 
   /** DERIVED partsupp relation: the testdata ships no partsupp table,
     * so the five TPC-H queries that need one (Q2, Q9, Q11, Q16, Q20)

@@ -296,7 +296,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_itemset_pairs: frequent-singleton prune broadcasts; pair-gen is an equi join") {
-    val p = plan("q_itemset_pairs")
+    // pin the RAW mining pipeline: the catalog entry is memoized and
+    // executes as a checkpoint scan after first use
+    val df = graft.analytics.RelQueries.itemsetPairsPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "the A-priori singleton filter must broadcast to the item list")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
