@@ -309,6 +309,94 @@ object Multimodal {
     else PixelCodec.encodeBmp(w, h, lum)
   }
 
+  /** REAL RIFF/WAVE codec — the audio leg of the multimodal surface,
+    * same contract as [[PixelCodec]]: a genuine byte-level container
+    * walk (chunk ids, little-endian fmt fields, even-byte chunk
+    * padding), corrupt-safe (None, never throw), PCM16 mono only. */
+  object AudioCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Canonical 44-byte-header WAV: PCM16 mono little-endian. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** RIFF chunk walk → (sampleRate, samples). Strict on structure
+      * (bounds, even-padding, PCM16 mono) — a malformed or truncated
+      * payload yields None, so a corrupt-heavy corpus degrades to
+      * dropped rows, never a job failure. */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+      var off = 12
+      var rate = -1
+      var fmtOk = false
+      var data: Array[Int] = null
+      while (off + 8 <= bytes.length) {
+        val id = str4(off)
+        val len = buf.getInt(off + 4)
+        if (len < 0 || off + 8 + len > bytes.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          val fmt = buf.getShort(off + 8)
+          val ch = buf.getShort(off + 10)
+          rate = buf.getInt(off + 12)
+          val bits = buf.getShort(off + 22)
+          fmtOk = fmt == 1 && ch == 1 && bits == 16 && rate > 0
+        } else if (id == "data") {
+          if (len % 2 != 0) return None
+          data = Array.tabulate(len / 2)(i => buf.getShort(off + 8 + 2 * i).toInt)
+        }
+        off += 8 + len + (len & 1) // RIFF chunks pad to even length
+      }
+      if (fmtOk && data != null) Some((rate, data)) else None
+    }
+  }
+
+  /** The deterministic waveform rule shared by [[syntheticWav]] and
+    * the q_audio_features oracle — an integer square wave the oracle
+    * regenerates arithmetically (no binary parsing DuckDB-side):
+    * rate = 8000 + 4000·(id mod 4), n = 64 + id mod 129,
+    * half-period h = 4 + id mod 16, amplitude a = 1000 + 100·(id mod 7),
+    * sample_i = ±a by (i div h) parity. A wrong endianness, chunk
+    * offset, or sign bug on the decode side breaks the hash compare. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 4) * 4000).toInt
+    val n = (64 + (id % 129)).toInt
+    val h = (4 + (id % 16)).toInt
+    val a = (1000 + (id % 7) * 100).toInt
+    AudioCodec.encodeWav(rate,
+      Array.tabulate(n)(i => (if ((i / h) % 2 == 0) a else -a).toShort))
+  }
+
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, pcm: Array[Int])
+
+  /** Batched per-partition PCM decode — the audio twin of
+    * [[decodeLuma]]; undecodable rows drop. */
+  def decodePcm(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decodeWav(payload).map { case (rate, pcm) =>
+          DecodedAudio(id, rate, pcm)
+        }
+      }).toDF()
+  }
+
   case class DecodedImage(doc_id: Long, width: Int, height: Int, lum: Array[Int])
 
   /** Batched per-partition pixel decode over (doc_id, payload) —

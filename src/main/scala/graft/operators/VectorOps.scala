@@ -236,6 +236,36 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 AUDIO multimodal compute: real RIFF/WAVE container walk +
+    // PCM16 little-endian decode (Multimodal.AudioCodec), feeding the
+    // classic audio-curation features — duration, energy (sum of
+    // squares), peak, zero-crossing rate — ALL integral, so the
+    // deterministic-synthesis oracle recomputes them arithmetically
+    // from the waveform rule without touching a byte. Spark shape:
+    // per-row decode is the only black box; the features are a
+    // posexplode + per-doc window (bounded ≤193 samples/doc) + one
+    // hash-aggregation on doc_id.
+    "q_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("doc_id", "payload")
+      val ex = Multimodal.decodePcm(payloads)
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          posexplode(col("pcm")).as(Seq("pos", "v")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      ex.withColumn("prev", lag(col("v"), 1).over(byDoc))
+        .groupBy("doc_id", "sample_rate")
+        .agg(count(lit(1)).as("n_samples"),
+          sum((col("v") * col("v")).cast("long")).as("energy"),
+          max(abs(col("v"))).cast("long").as("peak"),
+          sum(when(col("prev").isNotNull && col("v") * col("prev") < 0, 1L)
+            .otherwise(0L)).as("zero_crossings"))
+        .withColumn("duration_ms", expr("n_samples * 1000 DIV sample_rate"))
+        .orderBy("doc_id")
+    }),
+
     // Lloyd k-means in QUANTIZED integer space — the clustering stage
     // an IVF index or mixture analysis needs, made fully DuckDB-
     // oracle-able by the same move as the cents/PageRank conventions:
@@ -529,6 +559,31 @@ object VectorOps {
         |    THEN (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo,
         |  CAST(MAX(total // (w * h)) AS BIGINT) AS mean_lum
         |FROM tot GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.syntheticWav's waveform rule — the oracle
+    // regenerates the integer square wave arithmetically
+    "q_audio_features" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |    64 + (doc_id % 129) AS n,
+        |    4 + (doc_id % 16) AS h,
+        |    1000 + (doc_id % 7) * 100 AS a
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, sample_rate, i.i AS pos,
+        |    CASE WHEN (i.i // h) % 2 = 0 THEN a ELSE -a END AS v
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i),
+        |x AS (
+        |  SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM s)
+        |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND v * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST((COUNT(*) * 1000) // ANY_VALUE(sample_rate) AS BIGINT) AS duration_ms
+        |FROM x GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin,
 
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format

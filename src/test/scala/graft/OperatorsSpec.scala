@@ -171,6 +171,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("AudioCodec: WAV roundtrip exact on random PCM; chunk padding walks; corrupt → None") {
+    import graft.operators.Multimodal.AudioCodec
+    val rnd = new scala.util.Random(7)
+    Seq(1, 7, 64, 193).foreach { n =>
+      val pcm = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val Some((rate, out)) = AudioCodec.decodeWav(AudioCodec.encodeWav(44100, pcm))
+      assert(rate === 44100)
+      assert(out.toSeq === pcm.map(_.toInt).toSeq, s"pcm roundtrip n=$n")
+    }
+    // an extra odd-length chunk between fmt and data: the walker must
+    // apply RIFF even-byte padding or it misreads everything after
+    val base = AudioCodec.encodeWav(8000, Array[Short](5, -5, 7))
+    val extra = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.take(36) ++ extra ++ base.drop(36)
+    // patch the RIFF size field (LE32 at offset 4)
+    val riffLen = spliced.length - 8
+    (0 until 4).foreach(i => spliced(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte)
+    val dec = AudioCodec.decodeWav(spliced)
+    assert(dec.exists { case (r, p) => r == 8000 && p.toSeq == Seq(5, -5, 7) },
+      s"even-byte chunk padding must keep the walk aligned, got $dec")
+    // corrupt payloads: truncated, wrong magic, odd data length
+    assert(AudioCodec.decodeWav(Array[Byte](1, 2, 3)) === None)
+    assert(AudioCodec.decodeWav("RIFFxxxxWAVX".getBytes("US-ASCII")) === None)
+    val odd = base.clone(); odd(40) = 3 // data len 6 → 3 (odd)
+    assert(AudioCodec.decodeWav(odd.take(44 + 3)) === None)
+  }
+
   test("PixelCodec: PNG/BMP roundtrip exact on random pixels; all PNG filters reverse; corrupt → None") {
     import graft.operators.Multimodal.PixelCodec
     val rnd = new scala.util.Random(42)
