@@ -365,6 +365,123 @@ object Multimodal {
     }
   }
 
+  /** REAL RIFF/AVI walker — the video leg of the multimodal surface.
+    * Same honesty contract as [[AudioCodec]]: genuine nested-RIFF
+    * structure (the AVI form, `LIST hdrl` with the 56-byte `avih`
+    * main header, `LIST movi` with `00db` uncompressed-frame chunks),
+    * little-endian fields at their real offsets, even-byte chunk
+    * padding, corrupt-safe. Frames are raw 8-bit grayscale w×h —
+    * `00db` IS the uncompressed-DIB chunk id real AVIs use. */
+  object VideoCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    def encodeAvi(uspf: Int, w: Int, h: Int,
+                  frames: Array[Array[Byte]]): Array[Byte] = {
+      val frameLen = w * h
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(uspf).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h) // then 16 reserved bytes (zero)
+      val hdrl = chunk("avih", avih.array())
+      val movi = frames.flatMap(f => chunk("00db", f))
+      val body = list("hdrl", hdrl) ++ list("movi", movi)
+      val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("AVI ".getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = ByteBuffer.allocate(8 + payload.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+
+    private def list(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(kind.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+
+    /** → (width, height, totalFrames, raw frames). None on anything
+      * structurally wrong (bad magic, truncated chunk, frame length
+      * not matching the avih dimensions). */
+    def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] = {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (str4(0) != "RIFF" || str4(8) != "AVI ") return None
+      var w = -1; var h = -1; var total = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int): Boolean = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = str4(off)
+          val len = buf.getInt(off + 4)
+          if (len < 0 || off + 8 + len > to) return false
+          if (id == "LIST") {
+            if (len < 4) return false
+            if (!walk(off + 12, off + 8 + len)) return false
+          } else if (id == "avih") {
+            if (len < 40) return false
+            total = buf.getInt(off + 8 + 16)
+            w = buf.getInt(off + 8 + 32)
+            h = buf.getInt(off + 8 + 36)
+          } else if (id == "00db") {
+            frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+          }
+          off += 8 + len + (len & 1)
+        }
+        true
+      }
+      if (!walk(12, bytes.length)) return None
+      if (w <= 0 || h <= 0 || total != frames.length ||
+        frames.exists(_.length != w * h)) None
+      else Some((w, h, total, frames.toArray))
+    }
+  }
+
+  /** The deterministic frame rule shared by [[syntheticAvi]] and the
+    * q_video_frames oracle: frames = 2 + id mod 5, w = 8 + 4·(id mod 3),
+    * h = 6 + 4·(id mod 2), pixel(f, x, y) = (3·id + 11·f + 2x + 7y)
+    * mod 256 — closed-form, so the oracle regenerates the sampled
+    * frames' statistics without parsing a byte. */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val n = (2 + id % 5).toInt
+    val w = (8 + (id % 3) * 4).toInt
+    val h = (6 + (id % 2) * 4).toInt
+    val frames = Array.tabulate(n) { f =>
+      Array.tabulate(w * h) { p =>
+        ((3 * id + 11 * f + 2 * (p % w) + 7 * (p / w)) % 256).toByte
+      }
+    }
+    VideoCodec.encodeAvi(40000 + (id % 3).toInt * 10000, w, h, frames)
+  }
+
+  case class DecodedFrame(doc_id: Long, width: Int, height: Int,
+                          n_frames: Int, frame_idx: Int, pix: Array[Int])
+
+  /** Batched per-partition AVI decode, one row PER FRAME — the
+    * explode happens executor-side so downstream frame sampling and
+    * pixel statistics are ordinary distributed column ops. */
+  def decodeFrames(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        VideoCodec.decodeAvi(payload).toSeq.flatMap { case (w, h, n, fs) =>
+          fs.iterator.zipWithIndex.map { case (f, i) =>
+            DecodedFrame(id, w, h, n, i, f.map(_ & 0xff))
+          }
+        }
+      }).toDF()
+  }
+
   /** The deterministic waveform rule shared by [[syntheticWav]] and
     * the q_audio_features oracle — an integer square wave the oracle
     * regenerates arithmetically (no binary parsing DuckDB-side):

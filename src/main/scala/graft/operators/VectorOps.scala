@@ -266,6 +266,33 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 VIDEO multimodal compute: real RIFF/AVI container walk
+    // (nested LISTs, avih main header, raw 00db frame chunks) +
+    // FRAME SAMPLING — decode emits one row per frame executor-side,
+    // the sampler is an ordinary filter (every 2nd frame), and the
+    // per-frame mean luma is an integral posexplode + hash-agg. The
+    // triad q_image_* / q_audio_features / q_video_frames covers all
+    // three media legs with honest byte-level decodes and arithmetic
+    // oracles.
+    "q_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticAvi(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeFrames(payloads)
+        .filter(col("frame_idx") % 2 === 0) // the frame sampler
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          posexplode(col("pix")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height", "n_frames", "frame_idx")
+        .agg(expr("sum(cast(v as bigint)) DIV (width * height)").as("mean_luma"),
+          max(col("v")).cast("long").as("peak_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Lloyd k-means in QUANTIZED integer space — the clustering stage
     // an IVF index or mixture analysis needs, made fully DuckDB-
     // oracle-able by the same move as the cents/PageRank conventions:
@@ -584,6 +611,31 @@ object VectorOps {
         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND v * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
         |  CAST((COUNT(*) * 1000) // ANY_VALUE(sample_rate) AS BIGINT) AS duration_ms
         |FROM x GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.syntheticAvi's frame rule arithmetically
+    "q_video_frames" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    2 + (doc_id % 5) AS n_frames,
+        |    8 + (doc_id % 3) * 4 AS w,
+        |    6 + (doc_id % 2) * 4 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n_frames, w, h, f.f AS frame_idx
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) f
+        |  WHERE f.f % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, n_frames, w, h, frame_idx,
+        |    (3 * doc_id + 11 * frame_idx + 2 * gx.x + 7 * gy.y) % 256 AS v
+        |  FROM fr, generate_series(0, 15) gx(x), generate_series(0, 9) gy(y)
+        |  WHERE gx.x < w AND gy.y < h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(SUM(v) // (w * h) AS BIGINT) AS mean_luma,
+        |  CAST(MAX(v) AS BIGINT) AS peak_luma
+        |FROM px GROUP BY doc_id, w, h, n_frames, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format

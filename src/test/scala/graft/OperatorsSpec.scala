@@ -198,6 +198,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(AudioCodec.decodeWav(odd.take(44 + 3)) === None)
   }
 
+  test("VideoCodec: AVI roundtrip exact on random frames; nested LIST walk; corrupt → None") {
+    import graft.operators.Multimodal.VideoCodec
+    val rnd = new scala.util.Random(11)
+    Seq((4, 3, 1), (8, 6, 3), (16, 10, 6)).foreach { case (w, h, n) =>
+      val frames = Array.fill(n)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val Some((dw, dh, dn, out)) =
+        VideoCodec.decodeAvi(VideoCodec.encodeAvi(40000, w, h, frames))
+      assert((dw, dh, dn) === ((w, h, n)))
+      frames.zip(out).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+    // odd-sized frames exercise the RIFF even-byte chunk padding
+    // (w*h = 15 → each 00db chunk carries a pad byte the walker must
+    // step over or every later frame is misaligned)
+    val odd = Array.fill(3)(Array.fill(15)(rnd.nextInt(256).toByte))
+    val Some((_, _, _, oddOut)) =
+      VideoCodec.decodeAvi(VideoCodec.encodeAvi(40000, 5, 3, odd))
+    odd.zip(oddOut).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // corrupt: bad magic, truncated mid-chunk, frame/header mismatch
+    assert(VideoCodec.decodeAvi("RIFFxxxxAVIX".getBytes("US-ASCII")) === None)
+    val good = VideoCodec.encodeAvi(40000, 4, 3, Array(Array.fill(12)(1.toByte)))
+    assert(VideoCodec.decodeAvi(good.take(good.length - 3)) === None)
+    val lying = VideoCodec.encodeAvi(40000, 4, 4, Array(Array.fill(12)(1.toByte)))
+    assert(VideoCodec.decodeAvi(lying) === None, "frame length must match avih dims")
+  }
+
   test("PixelCodec: PNG/BMP roundtrip exact on random pixels; all PNG filters reverse; corrupt → None") {
     import graft.operators.Multimodal.PixelCodec
     val rnd = new scala.util.Random(42)
