@@ -361,6 +361,35 @@ object RefQueries {
     // the frozen direct aggregation of everything appended. Any bug in
     // the delta fold, the merge algebra, or the mark handling shifts a
     // count/sum and breaks the hash.
+    // E18 COPY-ON-WRITE MERGE exercised through the oracle gate: a
+    // clustered snapshot table takes one upsert+delete+insert delta
+    // through SnapshotTable.merge, and the FULL post-merge row set is
+    // hash-compared against the frozen relational definition of the
+    // final state. Updates must replace (not duplicate), deletes must
+    // drop, inserts must land, and every untouched row must survive
+    // the file-local rewrite byte-identically — any pruning bug that
+    // drops or double-reads a file shifts rows and breaks the hash.
+    // The compact(sortKey) before the merge is what makes the
+    // zone-map touch detection sharp (files cover disjoint key
+    // ranges), mirroring how a 100 TB table would be laid out.
+    "q_snapshot_merge" -> ((s, d) => {
+      val dir = scratchDir("graft_mrg")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 400))
+      t.compact(s, files = 4, sortKey = Some(col("doc_id")))
+      val delta = docs
+        .filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .withColumn("_deleted", lit(false))
+        .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+          .withColumn("_deleted", lit(false)))
+      t.merge(s, delta, Seq("doc_id"), deleteCol = Some("_deleted"))
+      t.read(s).orderBy("doc_id")
+    }),
+
     "q_incremental_stats" -> ((s, d) => {
       val src = graft.sources.SnapshotTable(scratchDir("graft_incq_src"))
       val stats = graft.sources.SnapshotTable(scratchDir("graft_incq_st"))
@@ -627,6 +656,17 @@ object RefQueries {
         |SELECT 'v0_to_v2', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id >= 200 AND doc_id < 500
         |ORDER BY range""".stripMargin,
+
+    // the post-merge table = the frozen relational MERGE definition:
+    // base rows minus deleted keys, updated keys rebound, inserts in
+    "q_snapshot_merge" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id >= 100 AND doc_id < 150
+        |       THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id < 450
+        |  AND NOT (doc_id >= 200 AND doc_id < 220)
+        |ORDER BY doc_id""".stripMargin,
 
     // the incremental folds must converge to the direct aggregation,
     // with the mark at the last folded source version (v2)

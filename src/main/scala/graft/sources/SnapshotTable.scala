@@ -284,13 +284,16 @@ final class SnapshotTable(root: String) {
     if (tagCommitted(tag)) None
     else doCommit(df, replace, maxRetries = 20, tag = Some(tag))
 
-  private def doCommit(df: DataFrame, replace: Boolean,
-                       maxRetries: Int, tag: Option[String]): Option[Long] = {
-    // fresh write-once batch dir; name only needs uniqueness within
-    // this table, monotonic time + thread id is enough without any
-    // coordination (two writers landing the same nanosecond on the
-    // same thread id is a filesystem-level create collision, which
-    // createDirectory would surface, not silently merge)
+  /** Write `df` as a fresh INVISIBLE batch dir (no manifest references
+    * it yet) and return (batch dir, relative file paths, `#zm=` stat
+    * lines) — the data half of a commit, shared by the append/replace
+    * path and [[merge]]'s rewrite. Batch-dir naming only needs
+    * uniqueness within this table: monotonic time + thread id is
+    * enough without coordination (two writers landing the same
+    * nanosecond on the same thread id is a filesystem-level create
+    * collision, which the directory write would surface, not silently
+    * merge). */
+  private def writeBatch(df: DataFrame): (Path, Seq[String], Seq[String]) = {
     val batch = s"b${System.nanoTime()}_t${Thread.currentThread().getId}"
     val out = dataDir.resolve(batch)
     df.write.parquet(out.toString)
@@ -314,6 +317,12 @@ final class SnapshotTable(root: String) {
         .getOrElse(Map.empty[String, ZoneMaps.ColStat])
       if (stats.isEmpty) None else Some(ZoneMaps.encodeLine(rel, stats))
     }
+    (out, newFiles, zmNew)
+  }
+
+  private def doCommit(df: DataFrame, replace: Boolean,
+                       maxRetries: Int, tag: Option[String]): Option[Long] = {
+    val (out, newFiles, zmNew) = writeBatch(df)
 
     var attempt = 0
     var committed = -1L
@@ -399,6 +408,145 @@ final class SnapshotTable(root: String) {
     else None
   }
 
+  /** COPY-ON-WRITE MERGE — the row-level upsert/delete every lakehouse
+    * format builds on copy-on-write first (Delta/Iceberg/Hudi all
+    * shipped this shape before merge-on-read): current-snapshot rows
+    * whose `keys` match a delta row are REPLACED by that delta row (or
+    * DROPPED when the delta row's `deleteCol` is true); unmatched
+    * delta rows are INSERTED. The work is file-local, in three steps:
+    *
+    *  1. TOUCH DETECTION at zone-map granularity: each file's
+    *     [min, max] for `keys.head` (already in the manifest — zero
+    *     footer I/O) is joined BROADCAST against the delta keys in ONE
+    *     distributed pass over the delta, so a file is rewritten only
+    *     when the delta provably carries a key inside its range. On a
+    *     table clustered by the merge key ([[compact]]'s sortKey) a
+    *     narrow delta touches only the files covering its key range —
+    *     merge cost tracks the TOUCHED data, never the table size,
+    *     which is the property that makes daily upserts viable at
+    *     100 TB. Files without stats (or with a key type the stat
+    *     domain can't compare) are rewritten conservatively.
+    *  2. REWRITE: touched files are read back under the manifest
+    *     schema, matched keys are anti-joined out, the delta's
+    *     non-delete rows are unioned in, and the result lands as a
+    *     fresh invisible batch. Untouched files' manifest lines AND
+    *     zone-map stats carry forward verbatim — no footer re-read,
+    *     no data copy. An insert-only merge (no range overlap)
+    *     rewrites ZERO files and degenerates to an append.
+    *  3. PUBLISH: one atomic manifest put-if-absent against the head
+    *     resolved at merge start. A concurrent commit landing
+    *     mid-merge makes the publish REFUSE (the rewrite's base is
+    *     stale) and clean up its batch, rather than blindly retry —
+    *     rerun the merge against the new head. Delta Lake surfaces
+    *     the same conflict the same way (ConcurrentAppendException).
+    *
+    * Contract: `delta` must be key-unique (one row per key — SQL
+    * MERGE's own rule; duplicate delta keys make the surviving row
+    * nondeterministic) with non-null keys, and its columns must equal
+    * the table's (plus `deleteCol`). `targetFiles` bounds the rewrite
+    * fan-out; 0 = one output file per touched file. */
+  def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
+            deleteCol: Option[String] = None,
+            targetFiles: Int = 0): SnapshotTable.MergeResult = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val v = currentVersion()
+    require(v >= 0, s"merge into $root: table has no committed snapshot")
+    val rels = listing(v)
+    val zm = zoneMapsOf(v)
+    val schema = schemaOf(v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
+    val tableCols = schema.fieldNames.toSeq
+    val deltaCols = delta.columns.toSeq.filterNot(deleteCol.contains)
+    require(deltaCols.toSet == tableCols.toSet,
+      s"merge delta columns (${deltaCols.sorted.mkString(", ")}) must equal " +
+        s"table columns (${tableCols.sorted.mkString(", ")})")
+    require(keys.forall(tableCols.contains),
+      s"merge keys ${keys.mkString(", ")} must be table columns")
+
+    // ---- 1. touch detection ------------------------------------------
+    val pk = keys.head
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    val statsOfPk = rels.flatMap(rel => zm.get(abs(rel)).flatMap(_.get(pk)).map(rel -> _))
+    val kind = statsOfPk.headOption.map(_._2.kind)
+    // files whose pk stat disagrees with the majority kind (schema
+    // drift) prune with nothing and rewrite conservatively
+    val ranged = statsOfPk.filter { case (_, st) => kind.contains(st.kind) }
+    val statless = rels.toSet -- ranged.map(_._1)
+    // the delta key rendered into the stat domain; None = incomparable
+    val probeKey: Option[org.apache.spark.sql.Column] = {
+      import org.apache.spark.sql.types._
+      (kind, delta.schema(pk).dataType) match {
+        case (Some('l'), ByteType | ShortType | IntegerType | LongType) =>
+          Some(col(pk).cast("long"))
+        case (Some('l'), DateType) => Some(unix_date(col(pk)))
+        case (Some('l'), TimestampType) => Some(unix_micros(col(pk)))
+        case (Some('d'), FloatType | DoubleType) => Some(col(pk).cast("double"))
+        case (Some('s'), StringType) => Some(col(pk))
+        case _ => None
+      }
+    }
+    val touched: Set[String] = probeKey match {
+      case Some(k) if ranged.nonEmpty =>
+        import spark.implicits._
+        val rdf = kind.get match {
+          case 'l' => ranged.map { case (r, st) => (r, st.min.toLong, st.max.toLong) }
+            .toDF("rel", "fmin", "fmax")
+          case 'd' => ranged.map { case (r, st) => (r, st.min.toDouble, st.max.toDouble) }
+            .toDF("rel", "fmin", "fmax")
+          case _ => ranged.map { case (r, st) => (r, st.min, st.max) }
+            .toDF("rel", "fmin", "fmax")
+        }
+        // broadcast O(files) ranges to the delta: a single narrow pass,
+        // no shuffle of the delta; string compare is bytewise on both
+        // sides (Spark strings order by UTF8String, like parquet stats)
+        delta.select(k.as("_mk")).where(col("_mk").isNotNull)
+          .join(broadcast(rdf),
+            col("_mk") >= col("fmin") && col("_mk") <= col("fmax"))
+          .select("rel").distinct()
+          .collect().map(_.getString(0)).toSet ++ statless
+      case _ => rels.toSet // no usable stats: rewrite everything
+    }
+    val untouched = rels.filterNot(touched)
+
+    // ---- 2. rewrite ---------------------------------------------------
+    val upserts = deleteCol match {
+      case Some(c) =>
+        delta.filter(!coalesce(col(c).cast("boolean"), lit(false))).drop(c)
+      case None => delta
+    }
+    // matched keys leave the base whether the delta row updates or
+    // deletes them — the upsert rows re-enter through the union
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val survivors =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema).parquet(touched.toSeq.sorted.map(abs): _*)
+          .join(deltaKeys, keys, "left_anti")
+    val rewrite = survivors.unionByName(upserts.select(tableCols.map(col): _*))
+    val nOut = if (targetFiles > 0) targetFiles else math.max(1, touched.size)
+    val (out, newFiles, zmNew) = writeBatch(rewrite.repartition(nOut))
+
+    // ---- 3. publish (refuse, don't retry, on a concurrent commit) ----
+    val untouchedSet = untouched.toSet
+    val zmKept = zmLines(v).filter(l =>
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+    val lines = Seq(s"#schema=${schema.toDDL}",
+        s"#ts=${System.currentTimeMillis()}") ++
+      zmKept ++ zmNew ++ untouched ++ newFiles
+    if (!publish(v + 1, lines)) {
+      SnapshotTable.deleteRecursively(out)
+      throw new IllegalStateException(
+        s"merge at $root lost the publish race: a commit landed during " +
+          "the merge, so the rewrite base is stale — re-run the merge")
+    }
+    SnapshotTable.MergeResult(v + 1, filesRewritten = touched.size,
+      filesUntouched = untouched.size, filesAdded = newFiles.size)
+  }
+
   /** VACUUM: physically delete data files no committed-and-retained
     * snapshot references, and expire manifests older than the newest
     * `keepVersions` — the storage-reclaim half of the table format
@@ -473,6 +621,14 @@ final class SnapshotTable(root: String) {
 
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
+
+  /** What a [[SnapshotTable.merge]] did, for callers and specs: the
+    * committed version plus the file-level work accounting that proves
+    * (or disproves) the copy-on-write pruning — `filesUntouched` are
+    * carried by reference, only `filesRewritten` were read and only
+    * `filesAdded` were written. */
+  final case class MergeResult(version: Long, filesRewritten: Int,
+                               filesUntouched: Int, filesAdded: Int)
 
   /** Depth-first recursive delete — the one implementation shared by
     * every cleanup path (skipped-commit tidy-up, catalog DROP TABLE,

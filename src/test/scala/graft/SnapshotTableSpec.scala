@@ -428,6 +428,76 @@ class SnapshotTableSpec extends SparkTestBase {
     intercept[Exception] { spark.table("snapcat.db.renamed").count() }
   }
 
+  // ---- copy-on-write MERGE ------------------------------------------
+
+  private def kv(ids: Range, tag: String = "a") =
+    ids.map(i => (i.toLong, s"$tag$i")).toDF("id", "val")
+
+  private def manifestLines(dir: String, v: Long): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(dir, "_manifests", f"v$v%09d.json"))
+      .asScala.toSeq
+  }
+  private def dataLines(dir: String, v: Long): Seq[String] =
+    manifestLines(dir, v).filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  test("merge: update + delete + insert land atomically in one commit") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 10))
+    val delta = Seq(
+      (3L, "upd3", false), (4L, "upd4", false), // updates
+      (7L, "x", true),                          // delete
+      (100L, "ins100", false))                  // insert
+      .toDF("id", "val", "_deleted")
+    val r = t.merge(spark, delta, Seq("id"), deleteCol = Some("_deleted"))
+    assert(r.version === 1L)
+    val m = t.read(spark).as[(Long, String)].collect().toMap
+    assert(m.size === 10) // 10 - 1 delete + 1 insert
+    assert(m(3L) === "upd3" && m(4L) === "upd4" && m(100L) === "ins100")
+    assert(!m.contains(7L) && m(0L) === "a0" && m(9L) === "a9")
+    // pre-merge snapshot still time travels to the original content
+    assert(t.readAt(spark, 0L).as[(Long, String)].collect().toMap
+      .apply(3L) === "a3")
+  }
+
+  test("merge: copy-on-write touches only zone-map-overlapping files; untouched carry by reference") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 400))
+    val v1 = t.compact(spark, files = 4, sortKey = Some(col("id")))
+    assert(t.fileCount(v1) === 4)
+    val before = dataLines(dir, v1)
+    // a narrow delta: keys 10..19 live in one clustered file's range
+    val delta = kv(10 until 20, "new")
+    val r = t.merge(spark, delta, Seq("id"))
+    // range-partitioner sampling can shift a boundary, so allow 2 —
+    // but the point is most files are NOT rewritten
+    assert(r.filesRewritten <= 2 && r.filesRewritten >= 1)
+    assert(r.filesUntouched >= 2)
+    assert(r.filesRewritten + r.filesUntouched === 4)
+    // untouched data paths appear VERBATIM in the new manifest (no
+    // data copy), and their zone-map stat lines ride along
+    val after = dataLines(dir, r.version)
+    assert(before.intersect(after).size === r.filesUntouched)
+    assert(manifestLines(dir, r.version)
+      .count(_.startsWith("#zm=")) >= r.filesUntouched)
+    // content: merged rows replaced, everything else intact
+    val m = t.read(spark).as[(Long, String)].collect().toMap
+    assert(m.size === 400)
+    assert((10 until 20).forall(i => m(i.toLong) === s"new$i"))
+    assert(m(0L) === "a0" && m(399L) === "a399")
+  }
+
+  test("merge: insert-only delta rewrites zero files (append degenerate)") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100))
+    t.compact(spark, files = 2, sortKey = Some(col("id")))
+    val r = t.merge(spark, kv(1000 until 1010, "ins"), Seq("id"))
+    assert(r.filesRewritten === 0 && r.filesUntouched === 2)
+    assert(r.filesAdded >= 1)
+    assert(t.read(spark).count() === 110)
+    assert(t.read(spark).filter(col("id") >= 1000).count() === 10)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))
