@@ -1037,6 +1037,44 @@ object RelQueries {
           col("monetary_cents"), col("r_score"), col("f_score"),
           col("m_score"), col("rfm_segment"))
         .orderBy("o_custkey")
+    }),
+
+    // ROBUST OUTLIER DETECTION (median + MAD): flag customers whose
+    // total spend deviates from the median by more than 3× the median
+    // absolute deviation — the robust alternative to mean/stddev
+    // z-scores (one whale shifts a mean; it cannot shift a median).
+    // Exact medians are LOWER medians at rank (n+1) div 2, computed by
+    // the distributed two-phase rank (PrefixSum.rowNumber) — the same
+    // no-global-sort-window shape as q_rfm, twice: once over spend,
+    // once over |spend − median|. Everything stays integral cents, so
+    // both engines agree bit-for-bit; the two median probes are 1-row
+    // broadcast crossJoins (the repo's aggregate-probe pattern).
+    "q_outlier_mad" -> ((s, d) => {
+      import graft.operators.PrefixSum
+      val cust = orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("cents"),
+          count(lit(1)).as("n_orders"))
+      val nb = broadcast(cust.agg(count(lit(1)).as("n"),
+        min(col("cents")).as("clo"), max(col("cents")).as("chi")))
+      val base = cust.crossJoin(nb)
+      val ranked = PrefixSum.rowNumber(base, Seq.empty,
+        Seq(col("cents"), col("o_custkey")),
+        PrefixSum.rangeBucket(col("cents"), col("clo"), col("chi"), 32), "rn")
+      val med = broadcast(ranked.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("cents").as("med")))
+      val dev = base.crossJoin(med)
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val db = broadcast(dev.agg(min(col("dev")).as("dlo"), max(col("dev")).as("dhi")))
+      val dranked = PrefixSum.rowNumber(dev.crossJoin(db), Seq.empty,
+        Seq(col("dev"), col("o_custkey")),
+        PrefixSum.rangeBucket(col("dev"), col("dlo"), col("dhi"), 32), "rn2")
+      val mad = broadcast(dranked.filter(col("rn2") === expr("(n + 1) div 2"))
+        .select(col("dev").as("mad")))
+      dev.crossJoin(mad)
+        .filter(col("dev") > lit(3L) * col("mad"))
+        .select(col("o_custkey"), col("cents"), col("n_orders"),
+          col("dev"), col("med"), col("mad"))
+        .orderBy("o_custkey")
     }))
 
   /** 16 unrolled Hilbert xy2d rounds — generated in lockstep with
@@ -1199,6 +1237,29 @@ object RelQueries {
         |  FROM ranked)
         |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_segment
         |FROM scored ORDER BY o_custkey""".stripMargin,
+
+    // lower medians at rank (n+1)//2 with the same (value, key)
+    // tie-break as the Spark rank — integral cents end to end
+    "q_outlier_mad" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |m AS (SELECT cents AS med FROM (
+        |        SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM c)
+        |      WHERE rn = (SELECT (n + 1) // 2 FROM n)),
+        |d AS (SELECT o_custkey, cents, n_orders,
+        |        abs(cents - (SELECT med FROM m)) AS dev FROM c),
+        |mad AS (SELECT dev AS mad FROM (
+        |          SELECT dev, row_number() OVER (ORDER BY dev, o_custkey) AS rn FROM d)
+        |        WHERE rn = (SELECT (n + 1) // 2 FROM n))
+        |SELECT o_custkey, cents, n_orders, dev,
+        |  (SELECT med FROM m) AS med, (SELECT mad FROM mad) AS mad
+        |FROM d
+        |WHERE dev > 3 * (SELECT mad FROM mad)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_tpch_q2" -> (s"WITH $partsuppCte," +
       """

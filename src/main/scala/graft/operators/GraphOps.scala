@@ -247,6 +247,18 @@ object GraphOps {
       .toDF("node", "comp")
   }
 
+  /** One BFS frontier expansion for [[q_khop_reach]]: the frontier's
+    * out-neighbors minus everything already visited, stamped with
+    * round `h` — exposed un-checkpointed so PlanSpec can pin the round
+    * shape (the query wraps each round in localCheckpoint, which hides
+    * the joins from the final plan). */
+  private[graft] def bfsRound(frontier: DataFrame, edges: DataFrame,
+                              dist: DataFrame, h: Int): DataFrame =
+    frontier.join(edges, frontier("node") === edges("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(dist, Seq("node"), "left_anti")
+      .select(col("node"), lit(h.toLong).as("hops"))
+
   /** VERIFIED near-dup pairs: the edges of the dedup graph are candidate
     * pairs that pass the exact token-set Jaccard threshold — the
     * standard recall-then-verify pipeline (LSH candidates →
@@ -438,6 +450,42 @@ object GraphOps {
       ranks.orderBy("node")
     }),
 
+    // K-HOP REACHABILITY (BFS levels) — "everything within k links of
+    // these seeds", the traversal primitive behind blast-radius
+    // queries (which suppliers does this outage reach in ≤3 tiers?)
+    // and link-graph crawl frontiers. Classic distributed BFS: k
+    // rounds of frontier-expand (join on src — ONE key shuffle per
+    // round), each frontier anti-joined against the visited set so a
+    // node keeps its MINIMUM hop count and rounds shrink as the
+    // reachable set saturates; localCheckpoint truncates the k-deep
+    // lineage like every iterative loop in this file. Work per round
+    // is O(frontier out-edges), never O(nodes²) — the frontier shape
+    // survives 100 TB graphs because nothing ever materializes more
+    // than one hop of expansion. Derived graph: a sparse 5000-node
+    // projection of orders (~3 out-edges/node at sf0.01); seeds =
+    // nodes 0-9. The oracle walks the same graph with a recursive CTE
+    // (UNION-dedup bounds it at nodes × k rows) + MIN(hops).
+    "q_khop_reach" -> ((s, d) => {
+      val k = 3
+      val edges = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(5000L)).as("src"),
+          pmod(col("o_orderkey"), lit(5000L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint() // reused k times: scan once, not per round
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      var dist = nodes.filter(col("node") < 10)
+        .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+      var frontier = dist
+      for (h <- 1 to k) {
+        val next = bfsRound(frontier, edges, dist, h).localCheckpoint()
+        dist = dist.union(next)
+        frontier = next
+      }
+      dist.orderBy("node")
+    }),
+
     // Per-node triangle counts — the local clustering signal (spam/SEO
     // detection in link graphs). One ordered edge list u < v makes the
     // three-way self-join count each triangle exactly once (a<b<c):
@@ -530,6 +578,24 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+
+    // same walk, recursive CTE: UNION (not UNION ALL) dedups (node,
+    // hops) rows so the recursion is bounded at nodes × k regardless
+    // of path multiplicity; MIN(hops) = the BFS level
+    "q_khop_reach" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey % 5000 AS src, o_orderkey % 5000 AS dst
+        |  FROM orders WHERE o_custkey % 5000 <> o_orderkey % 5000),
+        |nodes AS (
+        |  SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |r(node, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM nodes WHERE node < 10
+        |  UNION
+        |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 3)
+        |SELECT node, MIN(hops) AS hops FROM r
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (

@@ -333,6 +333,36 @@ object TextOps {
           (col("guess") === col("lang")).as("hit"))
         .orderBy("doc_id")),
 
+    // E5 UNICODE NFC NORMALIZATION — the canonicalization pass that
+    // runs before tokenization/dedup so visually-identical spellings
+    // (precomposed U+00E9 vs decomposed e + U+0301) stop hashing as
+    // different documents. The corpus is synthetic ASCII, so mixed
+    // normalization forms are INJECTED deterministically per doc_id
+    // (the q_convert_speed synthesized-input precedent): a decomposed
+    // combining-acute suffix, an ANGSTROM SIGN (composes to U+00C5,
+    // same length — only the hash compare catches it), and a
+    // fullwidth A (compatibility-only, NFC must leave it — a negative
+    // control against over-normalizing). Runs through the codegen'd
+    // graft_nfc expression (functions/Normalize.scala); narrow
+    // per-row compute, shuffle-free except the output sort. The
+    // oracle is DuckDB's own Unicode normalizer (nfc_normalize) over
+    // chr()-built literals — two independent implementations of the
+    // Unicode spec agreeing byte-for-byte.
+    "q_unicode_normalize" -> ((s, d) => {
+      val raw = concat(
+        substring(col("text"), 1, 16),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" \u212B")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" \uFF21")).otherwise(lit("")))
+      documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), length(col("raw")).cast("long").as("raw_len"),
+          graft.functions.Nfc.nfc(col("raw")).as("norm"))
+        .withColumn("norm_len", length(col("norm")).cast("long"))
+        .select(col("doc_id"), col("raw_len"), col("norm_len"), col("norm"))
+        .orderBy("doc_id")
+    }),
+
     // E5 document fingerprinting: md5 over normalized text (deterministic
     // cross-engine; xxhash64 is Spark-only so not oracle-comparable)
     "q_doc_fingerprint" -> ((s, d) =>
@@ -1195,6 +1225,23 @@ object TextOps {
         |        WHEN text LIKE '% le %' THEN 'fr'
         |        ELSE 'und' END) = lang AS hit
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr() keeps the SQL ASCII: 769 = U+0301 combining acute,
+    // 8491 = ANGSTROM SIGN, 65313 = FULLWIDTH A; DuckDB's own
+    // nfc_normalize is the independent Unicode implementation
+    "q_unicode_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 16)
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(8491) ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65313) ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len,
+        |  nfc_normalize(raw) AS norm
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint

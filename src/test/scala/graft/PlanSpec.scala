@@ -335,4 +335,36 @@ class PlanSpec extends SparkTestBase {
         s"global window over unaggregated data:\n$w")
     }
   }
+
+  test("q_outlier_mad: both medians run the two-phase rank — no global full-data sort window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("q_outlier_mad")(spark, sf).queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.exists(
+        _.references.exists(_.name.startsWith("_psb")))),
+      "missing the bucket-keyed local rank window")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.find {
+          case _: BaseAggregateExec => true
+          case _ => false
+        }.isDefined,
+        s"global window over unaggregated data:\n$w")
+    }
+  }
+
+  test("q_khop_reach: a BFS round is equi joins on the node id, never nested loops") {
+    // the query localCheckpoints each round (lineage truncation), so
+    // the round shape is pinned on the un-checkpointed round builder
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dist = Seq((1L, 0L)).toDF("node", "hops")
+    val p = graft.operators.GraphOps.bfsRound(dist.select(col("node"), col("hops")),
+      edges, dist, 1).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "frontier expansion must shuffle/broadcast on node equality only")
+    // the anti-join keeps min-hop semantics (visited nodes never re-enter)
+    assert(p.contains("LeftAnti"), s"missing the visited-set anti join:\n$p")
+  }
 }

@@ -119,4 +119,20 @@ class ScalarsSpec extends SparkTestBase {
       .select(cents(col("v")).as("c"))
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(1234567L, -13L, 1L, 99428L))
   }
+
+  test("graft_nfc: composes canonical sequences, leaves compatibility forms, null-safe") {
+    import graft.functions.Nfc
+    // decomposed e + U+0301 -> U+00E9; U+212B ANGSTROM -> U+00C5;
+    // fullwidth A (U+FF21) is compatibility-only: NFC must keep it
+    val rows = Seq(Option("cafe\u0301"), Option("\u212B x \uFF21"),
+        Option("plain ascii"), None)
+      .toDF("v").select(Nfc.nfc(col("v")).as("n")).collect()
+    assert(rows(0).getString(0) === "caf\u00E9")
+    assert(rows(1).getString(0) === "\u00C5 x \uFF21")
+    assert(rows(2).getString(0) === "plain ascii")
+    assert(rows(3).isNullAt(0))
+    // idempotent, and registered for SQL via GraftExtensions
+    val sql = spark.sql("SELECT graft_nfc(graft_nfc('cafe\u0301'))").head.getString(0)
+    assert(sql === "caf\u00E9")
+  }
 }
