@@ -390,6 +390,41 @@ object RefQueries {
       t.read(s).orderBy("doc_id")
     }),
 
+    // E18 PREDICATE DELETE exercised through the oracle gate: three
+    // files with known disjoint key ranges take a retention-shaped
+    // deleteWhere. The output folds the DeleteResult accounting INTO
+    // the compared frame, so the hash check proves not just the final
+    // row set but the classification itself: the fully-covered file
+    // must drop METADATA-ONLY (files_dropped=1 — at 100 TB this is a
+    // retention sweep costing O(manifest), no data I/O), the boundary
+    // file must rewrite (files_rewritten=1), and the file past the
+    // predicate must carry forward untouched (files_untouched=1). Any
+    // regression in the zone-map prover — e.g. losing the null-count
+    // guard and dropping a straddling file, or rewriting everything —
+    // shifts a stat or an aggregate and breaks the hash.
+    "q_snapshot_delete" -> ((s, d) => {
+      val dir = scratchDir("graft_del")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500).repartition(1))
+      val r = t.deleteWhere(s, col("doc_id") < 260)
+      val acct = s.createDataFrame(Seq(
+        ("files_dropped", r.filesDropped.toLong),
+        ("files_rewritten", r.filesRewritten.toLong),
+        ("files_untouched", r.filesUntouched.toLong),
+        ("files_added", r.filesAdded.toLong))).toDF("stat", "value")
+      val after = t.read(s)
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          min(col("doc_id")).as("min_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'min_doc_after', min_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     "q_incremental_stats" -> ((s, d) => {
       val src = graft.sources.SnapshotTable(scratchDir("graft_incq_src"))
       val stats = graft.sources.SnapshotTable(scratchDir("graft_incq_st"))
@@ -667,6 +702,26 @@ object RefQueries {
         |WHERE doc_id < 450
         |  AND NOT (doc_id >= 200 AND doc_id < 220)
         |ORDER BY doc_id""".stripMargin,
+
+    // the delete accounting is deterministic by construction (three
+    // files with known key ranges, predicate straddling the middle
+    // one), so it sits in the oracle as frozen constants; the final
+    // state is the frozen SELECT of the surviving rows
+    "q_snapshot_delete" ->
+      """WITH fin AS (
+        |  SELECT COUNT(*) AS rows_after,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars_after,
+        |         MIN(doc_id) AS min_doc_after
+        |  FROM documents WHERE doc_id >= 260 AND doc_id < 500)
+        |SELECT * FROM (
+        |  SELECT 'files_dropped' AS stat, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'files_rewritten', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'files_added', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'rows_after', rows_after FROM fin
+        |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
+        |  UNION ALL SELECT 'min_doc_after', min_doc_after FROM fin)
+        |ORDER BY stat""".stripMargin,
 
     // the incremental folds must converge to the direct aggregation,
     // with the mark at the last folded source version (v2)

@@ -547,6 +547,111 @@ final class SnapshotTable(root: String) {
       filesUntouched = untouched.size, filesAdded = newFiles.size)
   }
 
+  /** PREDICATE DELETE with three-way zone-map file classification —
+    * the other half of row-level mutation (see [[merge]] for keyed
+    * upserts). Each file of the current snapshot is classified from
+    * its manifest stats, with zero data I/O:
+    *
+    *  - predicate provably matches NO rows → file UNTOUCHED (its
+    *    manifest line and stats carry forward verbatim);
+    *  - predicate provably matches EVERY row → file DROPPED from the
+    *    manifest without ever being read — the METADATA-ONLY delete
+    *    every lakehouse format advertises (Delta/Iceberg partition
+    *    deletes), which at 100 TB is the difference between a
+    *    retention sweep that costs O(manifest) and one that rewrites
+    *    the table. Requires a recorded zero null count on every
+    *    referenced column (a null row matches no predicate and must
+    *    survive), which the `#zm=` lines now carry;
+    *  - anything else (straddling ranges, unknown shapes, missing
+    *    stats) → file REWRITTEN with the non-matching rows kept
+    *    (`NOT coalesce(pred, false)` — null-predicate rows survive,
+    *    standard SQL DELETE semantics).
+    *
+    * On a retention-shaped predicate over a table clustered by that
+    * column ([[compact]]'s sortKey), almost every affected file is in
+    * the drop class and at most the two boundary files rewrite. A
+    * no-op delete (nothing dropped, nothing rewritten) publishes NO
+    * new version. Publish refuses on a concurrent commit, as in
+    * [[merge]]. */
+  def deleteWhere(spark: SparkSession,
+                  condition: org.apache.spark.sql.Column,
+                  targetFiles: Int = 0): SnapshotTable.DeleteResult = {
+    import org.apache.spark.sql.functions._
+    val v = currentVersion()
+    require(v >= 0, s"deleteWhere at $root: table has no committed snapshot")
+    val rels = listing(v)
+    val zm = zoneMapsOf(v)
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+
+    // resolve the user predicate against the table schema (an empty
+    // typed frame — no data touched); analyzed, not optimized, so an
+    // empty-relation rewrite can't swallow the Filter node
+    val probe = schema match {
+      case Some(sch) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case None => readAt(spark, v)
+    }
+    val analyzed: org.apache.spark.sql.catalyst.expressions.Expression =
+      probe.filter(condition).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"deleteWhere: predicate did not analyze to a filter: $condition"))
+    // fold the coercion casts analysis wraps around literals (the
+    // optimizer would do this for pushed scan filters; here the
+    // expression never passes through the optimizer) so comparisons
+    // match the Attribute-vs-Literal shapes the stat prover knows
+    val cond = analyzed.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
+    }
+
+    val (untouched, dropped, rewrites) = {
+      val u = Seq.newBuilder[String]
+      val d = Seq.newBuilder[String]
+      val r = Seq.newBuilder[String]
+      rels.foreach { rel =>
+        val stats = zm.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
+        if (stats.nonEmpty && ZoneMaps.provablyEmpty(cond, stats)) u += rel
+        else if (stats.nonEmpty && ZoneMaps.provablyAllMatch(cond, stats)) d += rel
+        else r += rel
+      }
+      (u.result(), d.result(), r.result())
+    }
+    if (dropped.isEmpty && rewrites.isEmpty)
+      return SnapshotTable.DeleteResult(v, 0, 0, untouched.size, 0)
+
+    val (out, newFiles, zmNew) =
+      if (rewrites.isEmpty) (None, Seq.empty[String], Seq.empty[String])
+      else {
+        val kept = spark.read
+          .schema(schema.getOrElse(
+            spark.read.parquet(rewrites.map(abs): _*).schema))
+          .parquet(rewrites.map(abs): _*)
+          .filter(!coalesce(condition, lit(false)))
+        val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
+        val (o, nf, zn) = writeBatch(kept.repartition(nOut))
+        (Some(o), nf, zn)
+      }
+
+    val untouchedSet = untouched.toSet
+    val zmKept = zmLines(v).filter(l =>
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+    val lines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
+      Seq(s"#ts=${System.currentTimeMillis()}") ++
+      zmKept ++ zmNew ++ untouched ++ newFiles
+    if (!publish(v + 1, lines)) {
+      out.foreach(SnapshotTable.deleteRecursively)
+      throw new IllegalStateException(
+        s"deleteWhere at $root lost the publish race: a commit landed " +
+          "during the delete, so the classification is stale — re-run")
+    }
+    SnapshotTable.DeleteResult(v + 1, filesDropped = dropped.size,
+      filesRewritten = rewrites.size, filesUntouched = untouched.size,
+      filesAdded = newFiles.size)
+  }
+
   /** VACUUM: physically delete data files no committed-and-retained
     * snapshot references, and expire manifests older than the newest
     * `keepVersions` — the storage-reclaim half of the table format
@@ -629,6 +734,14 @@ object SnapshotTable {
     * `filesAdded` were written. */
   final case class MergeResult(version: Long, filesRewritten: Int,
                                filesUntouched: Int, filesAdded: Int)
+
+  /** [[SnapshotTable.deleteWhere]] accounting: `filesDropped` were
+    * removed from the manifest without being read (metadata-only),
+    * `filesRewritten` were filtered and rewritten, `filesUntouched`
+    * carry by reference. A no-op delete keeps the old `version`. */
+  final case class DeleteResult(version: Long, filesDropped: Int,
+                                filesRewritten: Int, filesUntouched: Int,
+                                filesAdded: Int)
 
   /** Depth-first recursive delete — the one implementation shared by
     * every cleanup path (skipped-commit tidy-up, catalog DROP TABLE,

@@ -46,8 +46,15 @@ object ZoneMaps {
 
   /** Per-column file statistics. `kind`: 'l' = integral (INT32/INT64,
     * incl. date days and timestamp micros), 'd' = floating, 's' =
-    * UTF-8 string. min/max are string-encoded in the stat domain. */
-  final case class ColStat(kind: Char, min: String, max: String)
+    * UTF-8 string. min/max are string-encoded in the stat domain.
+    * `nulls` is the file's null count for the column, or -1 when the
+    * footer didn't record one (legacy `#zm=` lines decode as -1 too)
+    * — needed because min/max ignore nulls: proving "every row
+    * matches predicate P" (metadata-only deletes) additionally
+    * requires nulls == 0, since a null row satisfies neither P nor
+    * NOT P and must survive a delete either way. */
+  final case class ColStat(kind: Char, min: String, max: String,
+                           nulls: Long = -1L)
 
   // ---- commit-side: footer → stats ----
 
@@ -75,18 +82,19 @@ object ZoneMaps {
               val isString = pt.getLogicalTypeAnnotation != null &&
                 pt.getLogicalTypeAnnotation.isInstanceOf[
                   org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
               (pt.getPrimitiveTypeName, isString) match {
                 case (INT32 | INT64, _) =>
                   Some(c.getPath.toDotString ->
-                    ColStat('l', st.genericGetMin.toString, st.genericGetMax.toString))
+                    ColStat('l', st.genericGetMin.toString, st.genericGetMax.toString, nulls))
                 case (FLOAT | DOUBLE, _) =>
                   Some(c.getPath.toDotString ->
-                    ColStat('d', st.genericGetMin.toString, st.genericGetMax.toString))
+                    ColStat('d', st.genericGetMin.toString, st.genericGetMax.toString, nulls))
                 case (BINARY, true) =>
                   val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                   val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
                   Some(c.getPath.toDotString ->
-                    ColStat('s', mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                    ColStat('s', mn.toStringUsingUTF8, mx.toStringUsingUTF8, nulls))
                 case _ => None // boolean / int96 / decimal-binary: skip
               }
             }
@@ -100,7 +108,8 @@ object ZoneMaps {
         val k = ss.head.kind
         col -> ColStat(k,
           ss.map(_.min).reduce((a, b) => if (cmp(k, a, b) <= 0) a else b),
-          ss.map(_.max).reduce((a, b) => if (cmp(k, a, b) >= 0) a else b))
+          ss.map(_.max).reduce((a, b) => if (cmp(k, a, b) >= 0) a else b),
+          if (ss.exists(_.nulls < 0)) -1L else ss.map(_.nulls).sum)
       }.toMap
     } finally r.close()
   }
@@ -116,19 +125,23 @@ object ZoneMaps {
 
   def encodeLine(relPath: String, stats: Map[String, ColStat]): String =
     Prefix + enc(relPath) + stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"|${enc(c)}=${s.kind}:${enc(s.min)}:${enc(s.max)}"
+      s"|${enc(c)}=${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}"
     }.mkString
 
   /** Parse a `#zm=` line back to (relPath, stats); malformed lines
-    * yield None (stats are an optimization, never a read failure). */
+    * yield None (stats are an optimization, never a read failure).
+    * Legacy 3-field lines (pre-null-count) decode with nulls = -1. */
   def decodeLine(line: String): Option[(String, Map[String, ColStat])] =
     if (!line.startsWith(Prefix)) None
     else scala.util.Try {
       val parts = line.stripPrefix(Prefix).split('|')
       val stats = parts.tail.iterator.map { p =>
         val eq = p.indexOf('=')
-        val Array(k, mn, mx) = p.substring(eq + 1).split(':')
-        dec(p.substring(0, eq)) -> ColStat(k.head, dec(mn), dec(mx))
+        val st = p.substring(eq + 1).split(':') match {
+          case Array(k, mn, mx) => ColStat(k.head, dec(mn), dec(mx))
+          case Array(k, mn, mx, nl) => ColStat(k.head, dec(mn), dec(mx), nl.toLong)
+        }
+        dec(p.substring(0, eq)) -> st
       }.toMap
       (dec(parts.head), stats)
     }.toOption
@@ -204,6 +217,35 @@ object ZoneMaps {
   private def outside(a: Attribute, l: Literal,
       rc: (Attribute, Literal) => ((ColStat, String) => Boolean) => Boolean): Boolean =
     rc(a, l)((s, v) => cmp(s.kind, v, s.min) < 0 || cmp(s.kind, v, s.max) > 0)
+
+  /** Logical negation of the comparison subset [[provablyEmpty]]
+    * understands, or None when the shape isn't safely negatable.
+    * Orientation-independent (provablyEmpty matches both (attr, lit)
+    * and (lit, attr) orders), so `x` and `y` pass through as-is. */
+  private def negated(e: Expression): Option[Expression] = e match {
+    case EqualTo(x, y) => Some(Or(LessThan(x, y), GreaterThan(x, y)))
+    case GreaterThan(x, y) => Some(LessThanOrEqual(x, y))
+    case GreaterThanOrEqual(x, y) => Some(LessThan(x, y))
+    case LessThan(x, y) => Some(GreaterThanOrEqual(x, y))
+    case LessThanOrEqual(x, y) => Some(GreaterThan(x, y))
+    case Not(x) => Some(x)
+    case And(x, y) => for (nx <- negated(x); ny <- negated(y)) yield Or(nx, ny)
+    case Or(x, y) => for (nx <- negated(x); ny <- negated(y)) yield And(nx, ny)
+    case _ => None
+  }
+
+  /** True iff EVERY row of a file with stats `stats` provably
+    * satisfies `e` — the license for a METADATA-ONLY delete (drop the
+    * whole file without reading it). Requires (a) the negation of `e`
+    * to be provably unsatisfiable on the file's ranges, and (b) a
+    * recorded ZERO null count on every column `e` references — a null
+    * row satisfies neither `e` nor its negation, so with any nulls
+    * (or unknown null counts, legacy lines) the answer is false and
+    * the caller falls back to a rewriting delete. */
+  def provablyAllMatch(e: Expression, stats: Map[String, ColStat]): Boolean =
+    e.references.nonEmpty &&
+      e.references.forall(a => stats.get(a.name).exists(_.nulls == 0L)) &&
+      negated(e).exists(n => provablyEmpty(n, stats))
 
   // ---- runtime (join-driven) pruning: v1 source filters vs [min, max] ----
 

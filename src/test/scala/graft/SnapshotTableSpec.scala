@@ -498,6 +498,54 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).filter(col("id") >= 1000).count() === 10)
   }
 
+  // ---- predicate delete (three-way zone-map classification) ---------
+
+  test("deleteWhere: fully-covered files drop metadata-only; boundary file rewrites; rest untouched") {
+    val (t, dir) = freshTable()
+    // exact file boundaries: one file per commit via repartition(1)
+    t.commit(kv(0 until 100).repartition(1))
+    t.commit(kv(100 until 200).repartition(1))
+    t.commit(kv(200 until 300).repartition(1))
+    val v = t.currentVersion()
+    // spans files 1+2 fully and file 3 partially
+    val r = t.deleteWhere(spark, col("id") < 250)
+    assert(r.filesDropped === 2, "files fully inside the predicate must drop without a read")
+    assert(r.filesRewritten === 1 && r.filesUntouched === 0)
+    val m = t.read(spark).as[(Long, String)].collect().toMap
+    assert(m.keySet === (250 until 300).map(_.toLong).toSet)
+    // pre-delete snapshot still time travels
+    assert(t.readAt(spark, v).count() === 300)
+    // dropped files' data is untouched on disk until vacuum
+    assert(dataLines(dir, v).size === 3)
+  }
+
+  test("deleteWhere: pure metadata-only delete adds zero files; no-op delete publishes nothing") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.commit(kv(100 until 200).repartition(1))
+    val r = t.deleteWhere(spark, col("id") < 100)
+    assert(r.filesDropped === 1 && r.filesRewritten === 0 && r.filesAdded === 0)
+    assert(t.read(spark).count() === 100)
+    // predicate matching nothing: same version, no empty commit
+    val v = t.currentVersion()
+    val noop = t.deleteWhere(spark, col("id") < 0)
+    assert(noop.version === v && t.currentVersion() === v)
+    assert(noop.filesDropped === 0 && noop.filesRewritten === 0)
+  }
+
+  test("deleteWhere: a file with nulls in the predicate column must rewrite, and null rows survive") {
+    val (t, _) = freshTable()
+    val withNull = ((0 until 10).map(i => Option(i.toLong)) :+ None)
+      .toDF("id")
+    t.commit(withNull.repartition(1))
+    // every non-null id matches, but the null row matches NO predicate:
+    // a metadata drop would destroy it — the null count forces a rewrite
+    val r = t.deleteWhere(spark, col("id") < 100)
+    assert(r.filesDropped === 0 && r.filesRewritten === 1)
+    val rows = t.read(spark).collect()
+    assert(rows.length === 1 && rows(0).isNullAt(0))
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))

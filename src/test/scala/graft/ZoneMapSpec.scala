@@ -176,6 +176,13 @@ class ZoneMapSpec extends SparkTestBase {
     assert(ZoneMaps.decodeLine(line) === Some(("data/b1/part 0|x.parquet", stats)))
     assert(ZoneMaps.decodeLine("#zm=garbage|no-eq-here") === None)
     assert(ZoneMaps.decodeLine("#schema=whatever") === None)
+    // legacy 3-field lines (pre-null-count) decode with nulls unknown
+    assert(ZoneMaps.decodeLine("#zm=data%2Fb1%2Ff.parquet|k=l:1:9") ===
+      Some(("data/b1/f.parquet", Map("k" -> ZoneMaps.ColStat('l', "1", "9", -1L)))))
+    // null counts survive the round trip (metadata-only deletes need them)
+    val withNulls = Map("k" -> ZoneMaps.ColStat('l', "1", "9", 0L))
+    assert(ZoneMaps.decodeLine(ZoneMaps.encodeLine("data/b/f.parquet", withNulls)) ===
+      Some(("data/b/f.parquet", withNulls)))
   }
 
   test("tagged (streaming-sink) commits collect zone maps; replayed tags add none") {
