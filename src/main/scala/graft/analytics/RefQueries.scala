@@ -425,6 +425,53 @@ object RefQueries {
       acct.unionByName(after).orderBy("stat")
     }),
 
+    // E18 PREDICATE UPDATE exercised through the oracle gate: the FULL
+    // post-update row set is hash-compared against the frozen CASE WHEN
+    // definition — updated rows must carry the new values (cast back to
+    // the manifest column types), every row outside the predicate must
+    // survive byte-identically, including rows in the rewritten
+    // boundary file that the predicate does not match. File accounting
+    // (only covering files rewrite) is pinned in SnapshotTableSpec.
+    "q_snapshot_update" -> ((s, d) => {
+      val dir = scratchDir("graft_upd")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500).repartition(1))
+      t.updateWhere(s, col("doc_id") >= 300 && col("doc_id") < 460,
+        Map("n_chars" -> (col("n_chars") * 2 + 7),
+          "source" -> concat(lit("u_"), col("source"))))
+      t.read(s).orderBy("doc_id")
+    }),
+
+    // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
+    // count(*) / min / max / null counts computed from the `#zm=`
+    // manifest lines alone — zero data-file I/O — must equal DuckDB's
+    // direct aggregation over the same rows. At 100 TB this answers
+    // "how many rows, what key range" from kilobytes of metadata; the
+    // same numbers feed the DSv2 scan's planning statistics (exact
+    // numRows → correct broadcast-side choices).
+    "q_snapshot_stats" -> ((s, d) => {
+      val dir = scratchDir("graft_tst")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 300).repartition(2))
+      t.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 500).repartition(1))
+      val st = t.tableStats()
+      val id = st.cols("doc_id")
+      val nc = st.cols("n_chars")
+      s.createDataFrame(Seq(
+        ("n_files", st.files.toLong),
+        ("n_rows", st.rows.getOrElse(-1L)),
+        ("min_doc_id", id.min.toLong),
+        ("max_doc_id", id.max.toLong),
+        ("nulls_doc_id", id.nulls),
+        ("min_n_chars", nc.min.toLong),
+        ("max_n_chars", nc.max.toLong))).toDF("stat", "value")
+        .orderBy("stat")
+    }),
+
     "q_incremental_stats" -> ((s, d) => {
       val src = graft.sources.SnapshotTable(scratchDir("graft_incq_src"))
       val stats = graft.sources.SnapshotTable(scratchDir("graft_incq_st"))
@@ -721,6 +768,30 @@ object RefQueries {
         |  UNION ALL SELECT 'rows_after', rows_after FROM fin
         |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
         |  UNION ALL SELECT 'min_doc_after', min_doc_after FROM fin)
+        |ORDER BY stat""".stripMargin,
+
+    // the post-update table = the frozen CASE WHEN definition
+    "q_snapshot_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id >= 300 AND doc_id < 460
+        |       THEN 'u_' || source ELSE source END AS source,
+        |  CASE WHEN doc_id >= 300 AND doc_id < 460
+        |       THEN n_chars * 2 + 7 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+
+    // manifest-derived statistics must equal the direct aggregation
+    // (n_files is deterministic by construction: repartition(2) + 1)
+    "q_snapshot_stats" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 500)
+        |SELECT * FROM (
+        |  SELECT 'n_files' AS stat, CAST(3 AS BIGINT) AS value
+        |  UNION ALL SELECT 'n_rows', COUNT(*) FROM d
+        |  UNION ALL SELECT 'min_doc_id', MIN(doc_id) FROM d
+        |  UNION ALL SELECT 'max_doc_id', MAX(doc_id) FROM d
+        |  UNION ALL SELECT 'nulls_doc_id', COUNT(*) - COUNT(doc_id) FROM d
+        |  UNION ALL SELECT 'min_n_chars', MIN(n_chars) FROM d
+        |  UNION ALL SELECT 'max_n_chars', MAX(n_chars) FROM d)
         |ORDER BY stat""".stripMargin,
 
     // the incremental folds must converge to the direct aggregation,

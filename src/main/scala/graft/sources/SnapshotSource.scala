@@ -47,7 +47,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
   private case class Resolved(label: String, files: Seq[String],
                               manifestSchema: Option[StructType], dataDir: String,
-                              zoneMaps: Map[String, Map[String, ZoneMaps.ColStat]])
+                              zoneMaps: Map[String, ZoneMaps.FileStats])
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -62,13 +62,13 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       case (Some(a), Some(b)) =>
         Resolved(s"changes_${a}_$b", t.addedFilesBetween(a, b),
           t.schemaDdlOf(b).map(StructType.fromDDL), t.dataDirPath,
-          t.zoneMapsOf(b))
+          t.fileStatsOf(b))
       case _ =>
         val v = Option(options.get("version")).map(_.toLong)
           .getOrElse(t.currentVersion())
         Resolved(s"v$v", t.resolvedFiles(v),
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
-          t.zoneMapsOf(v))
+          t.fileStatsOf(v))
     }
   }
 
@@ -109,7 +109,7 @@ object SnapshotSource {
     val opts = new CaseInsensitiveStringMap(
       Map("basePath" -> t.dataDirPath).asJava)
     val schema = t.schemaDdlOf(v).map(StructType.fromDDL)
-    new ReadOnlySnapshotTable(t.resolvedFiles(v), t.zoneMapsOf(v),
+    new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v),
       files => ParquetTable(name, SparkSession.active, opts, files, schema,
         classOf[ParquetFileFormat]))
   }
@@ -127,7 +127,7 @@ object SnapshotSource {
     * builder directly. */
   private[sources] final class ReadOnlySnapshotTable(
       files: Seq[String],
-      zoneMaps: Map[String, Map[String, ZoneMaps.ColStat]],
+      zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable)
       extends Table with SupportsRead {
     private lazy val inner = mk(files)

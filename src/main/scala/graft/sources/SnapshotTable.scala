@@ -104,11 +104,16 @@ final class SnapshotTable(root: String) {
     * manifests and malformed lines yield empty maps — stats are an
     * optimization, never a correctness dependency. */
   private[sources] def zoneMapsOf(v: Long): Map[String, Map[String, ZoneMaps.ColStat]] =
+    fileStatsOf(v).map { case (abs, fs) => abs -> fs.cols }
+
+  /** Full per-file manifest statistics of snapshot `v` (row count +
+    * column stats), keyed by ABSOLUTE data-file path. */
+  private[sources] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
     if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
     else Files.readAllLines(manifestPath(v)).asScala.iterator
       .filter(_.startsWith(ZoneMaps.Prefix))
-      .flatMap(ZoneMaps.decodeLine)
-      .map { case (rel, st) => Paths.get(root).resolve(rel).toString -> st }
+      .flatMap(ZoneMaps.decodeFull)
+      .map { case (rel, fs) => Paths.get(root).resolve(rel).toString -> fs }
       .toMap
 
   /** Commit wall-clock of snapshot `v` in epoch millis — recorded
@@ -314,8 +319,11 @@ final class SnapshotTable(root: String) {
     val zmNew: Seq[String] = newFiles.flatMap { rel =>
       val stats = scala.util.Try(
         ZoneMaps.collect(hconf, Paths.get(root).resolve(rel).toString))
-        .getOrElse(Map.empty[String, ZoneMaps.ColStat])
-      if (stats.isEmpty) None else Some(ZoneMaps.encodeLine(rel, stats))
+        .getOrElse(ZoneMaps.FileStats(-1L, Map.empty))
+      // even a file with no prunable columns carries its exact row
+      // count — that alone makes count(*) a manifest read
+      if (stats.rows < 0 && stats.cols.isEmpty) None
+      else Some(ZoneMaps.encodeLine(rel, stats))
     }
     (out, newFiles, zmNew)
   }
@@ -584,28 +592,7 @@ final class SnapshotTable(root: String) {
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
 
-    // resolve the user predicate against the table schema (an empty
-    // typed frame — no data touched); analyzed, not optimized, so an
-    // empty-relation rewrite can't swallow the Filter node
-    val probe = schema match {
-      case Some(sch) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      case None => readAt(spark, v)
-    }
-    val analyzed: org.apache.spark.sql.catalyst.expressions.Expression =
-      probe.filter(condition).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.getOrElse(throw new IllegalArgumentException(
-        s"deleteWhere: predicate did not analyze to a filter: $condition"))
-    // fold the coercion casts analysis wraps around literals (the
-    // optimizer would do this for pushed scan filters; here the
-    // expression never passes through the optimizer) so comparisons
-    // match the Attribute-vs-Literal shapes the stat prover knows
-    val cond = analyzed.transformUp {
-      case e if e.foldable &&
-          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
-        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
-    }
+    val cond = resolvePredicate(spark, v, condition, schema)
 
     val (untouched, dropped, rewrites) = {
       val u = Seq.newBuilder[String]
@@ -650,6 +637,116 @@ final class SnapshotTable(root: String) {
     SnapshotTable.DeleteResult(v + 1, filesDropped = dropped.size,
       filesRewritten = rewrites.size, filesUntouched = untouched.size,
       filesAdded = newFiles.size)
+  }
+
+  /** Resolve a user predicate `Column` against snapshot `v`'s schema
+    * into a catalyst Expression the zone-map provers understand: the
+    * predicate is analyzed over an EMPTY typed frame (no data touched;
+    * analyzed, not optimized, so an empty-relation rewrite can't
+    * swallow the Filter node), then the coercion casts analysis wraps
+    * around literals are constant-folded — the optimizer would do this
+    * for pushed scan filters, but this expression never passes through
+    * the optimizer, and the stat provers match Attribute-vs-Literal
+    * shapes only. */
+  private def resolvePredicate(spark: SparkSession, v: Long,
+      condition: org.apache.spark.sql.Column,
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val probe = schema match {
+      case Some(sch) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      case None => readAt(spark, v)
+    }
+    val analyzed: org.apache.spark.sql.catalyst.expressions.Expression =
+      probe.filter(condition).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"predicate did not analyze to a filter: $condition"))
+    analyzed.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(), e.dataType)
+    }
+  }
+
+  /** PREDICATE UPDATE (copy-on-write) — `UPDATE t SET ... WHERE p` for
+    * snapshot tables, completing the DML triad with [[merge]] (keyed
+    * upserts) and [[deleteWhere]] (predicate deletes). Files where the
+    * predicate is PROVABLY empty on the manifest zone maps carry
+    * forward by reference — manifest line and stats verbatim, zero
+    * I/O — and only the files that might hold matching rows rewrite,
+    * with each assignment applied under `when(coalesce(p, false))`
+    * (null-predicate rows keep their values: SQL UPDATE semantics).
+    * There is no metadata-only fast path here by nature: a changed
+    * row must be written somewhere. On a clustered table
+    * ([[compact]]'s sortKey) a key-range update rewrites only the
+    * covering files — the 100 TB cost is O(matched files), not
+    * O(table).
+    *
+    * Assignments must target existing columns and are cast back to
+    * the column's manifest type, so the table schema is invariant
+    * under updates (the written files always match the `#schema=`
+    * line). A no-op update (no file could match) publishes NO new
+    * version. Publish refuses on a concurrent commit, as in
+    * [[merge]]. */
+  def updateWhere(spark: SparkSession,
+                  condition: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  targetFiles: Int = 0): SnapshotTable.UpdateResult = {
+    import org.apache.spark.sql.functions._
+    require(set.nonEmpty, s"updateWhere at $root: empty SET clause")
+    val v = currentVersion()
+    require(v >= 0, s"updateWhere at $root: table has no committed snapshot")
+    val rels = listing(v)
+    val zm = zoneMapsOf(v)
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+
+    // validate SET targets up front — even a no-op update must refuse
+    // a typo'd column, not silently "succeed"
+    schema.foreach { sch =>
+      val unknown = set.keySet -- sch.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"updateWhere at $root: SET targets unknown column(s) ${unknown.mkString(", ")}")
+    }
+    val cond = resolvePredicate(spark, v, condition, schema)
+    val (untouched, rewrites) = rels.partition { rel =>
+      val stats = zm.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
+      stats.nonEmpty && ZoneMaps.provablyEmpty(cond, stats)
+    }
+    if (rewrites.isEmpty)
+      return SnapshotTable.UpdateResult(v, 0, untouched.size, 0)
+
+    val sch = schema.getOrElse(spark.read.parquet(rewrites.map(abs): _*).schema)
+    val unknown = set.keySet -- sch.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"updateWhere at $root: SET targets unknown column(s) ${unknown.mkString(", ")}")
+    val pred = coalesce(condition, lit(false))
+    val projected = sch.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(pred, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val updated = spark.read.schema(sch).parquet(rewrites.map(abs): _*)
+      .select(projected.toIndexedSeq: _*)
+    val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
+    val (out, newFiles, zmNew) = writeBatch(updated.repartition(nOut))
+
+    val untouchedSet = untouched.toSet
+    val zmKept = zmLines(v).filter(l =>
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+    val lines = Seq(s"#schema=${sch.toDDL}",
+        s"#ts=${System.currentTimeMillis()}") ++
+      zmKept ++ zmNew ++ untouched ++ newFiles
+    if (!publish(v + 1, lines)) {
+      SnapshotTable.deleteRecursively(out)
+      throw new IllegalStateException(
+        s"updateWhere at $root lost the publish race: a commit landed " +
+          "during the update, so the classification is stale — re-run")
+    }
+    SnapshotTable.UpdateResult(v + 1, filesRewritten = rewrites.size,
+      filesUntouched = untouched.size, filesAdded = newFiles.size)
   }
 
   /** VACUUM: physically delete data files no committed-and-retained
@@ -700,6 +797,37 @@ final class SnapshotTable(root: String) {
   /** Data files referenced by snapshot `v` (for specs/ops visibility). */
   def fileCount(v: Long): Int = listing(v).size
 
+  /** MANIFEST-ONLY table statistics — `count(*)`, per-column min/max
+    * and null counts computed from the `#zm=` lines alone: a pure
+    * driver-side manifest read, ZERO file I/O. At 100 TB this is the
+    * difference between answering `SELECT count(*), min(k), max(k)`
+    * from kilobytes of metadata and launching a full-table scan —
+    * the same trick as Delta's stats-backed `OPTIMIZE`-free
+    * aggregates and Iceberg's manifest `numRecords` sums.
+    *
+    * Honesty contract: `rows` is Some only when EVERY listed file has
+    * a recorded row count, and a column reports only when EVERY file
+    * carries its stats — partial metadata never extrapolates. An
+    * empty table reports Some(0). These are also the numbers the DSv2
+    * scan reports to Catalyst as planning statistics. */
+  def tableStats(version: Long = -1L): SnapshotTable.TableStats = {
+    val v = if (version < 0) currentVersion() else version
+    val rels = listing(v)
+    val fs = fileStatsOf(v)
+    val perFile = rels.map(r => fs.get(Paths.get(root).resolve(r).toString))
+    val rows =
+      if (perFile.forall(_.exists(_.rows >= 0))) Some(perFile.map(_.get.rows).sum)
+      else None
+    val common =
+      if (perFile.isEmpty) Set.empty[String]
+      else perFile.map(_.map(_.cols.keySet).getOrElse(Set.empty[String]))
+        .reduce(_ intersect _)
+    val cols = common.iterator.map { c =>
+      c -> ZoneMaps.fold(perFile.map(_.get.cols(c)))
+    }.toMap
+    SnapshotTable.TableStats(v, rels.size, rows, cols)
+  }
+
   /** Atomic publish of manifest `v`: write a temp file, then link it
     * under the versioned name. Returns false when a concurrent writer
     * already owns `v` (caller retries on the new head).
@@ -734,6 +862,20 @@ object SnapshotTable {
     * `filesAdded` were written. */
   final case class MergeResult(version: Long, filesRewritten: Int,
                                filesUntouched: Int, filesAdded: Int)
+
+  /** [[SnapshotTable.tableStats]] result: exact `rows` when every
+    * file recorded a count (None otherwise — never extrapolated),
+    * table-wide per-column [min, max, nulls] folded over the files
+    * that ALL carry that column. */
+  final case class TableStats(version: Long, files: Int,
+                              rows: Option[Long],
+                              cols: Map[String, ZoneMaps.ColStat])
+
+  /** [[SnapshotTable.updateWhere]] accounting: only files that might
+    * hold predicate-matching rows rewrite; the rest carry forward by
+    * reference. A no-op update keeps the old `version`. */
+  final case class UpdateResult(version: Long, filesRewritten: Int,
+                                filesUntouched: Int, filesAdded: Int)
 
   /** [[SnapshotTable.deleteWhere]] accounting: `filesDropped` were
     * removed from the manifest without being read (metadata-only),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.types.StructType
@@ -56,6 +56,15 @@ object ZoneMaps {
   final case class ColStat(kind: Char, min: String, max: String,
                            nulls: Long = -1L)
 
+  /** Everything the manifest records about one data file: its exact
+    * row count (from the footer's block metadata — parquet always has
+    * it; -1 only when decoding a legacy pre-rowcount `#zm=` line) plus
+    * the per-column [min, max, nulls] stats. Row counts are what turn
+    * the manifest into a statistics catalog: `count(*)` and the DSv2
+    * planning `numRows` estimate become O(manifest) driver reads —
+    * no file I/O — exactly like Delta/Iceberg `numRecords` metrics. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+
   // ---- commit-side: footer → stats ----
 
   /** Read `absPath`'s parquet footer and fold its row-group column
@@ -63,14 +72,15 @@ object ZoneMaps {
     * A column missing valid stats in ANY row group is dropped —
     * partial coverage cannot prune soundly. */
   def collect(conf: org.apache.hadoop.conf.Configuration,
-              absPath: String): Map[String, ColStat] = {
+              absPath: String): FileStats = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(absPath), conf)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return Map.empty
+      val rows = blocks.map(_.getRowCount).sum
+      if (blocks.isEmpty) return FileStats(rows, Map.empty)
       val perBlock: Seq[Map[String, ColStat]] = blocks.map { b =>
         b.getColumns.asScala.iterator.flatMap { c =>
           val pt = c.getPrimitiveType
@@ -103,15 +113,23 @@ object ZoneMaps {
       }
       // fold: a column survives only if every block has it
       val common = perBlock.map(_.keySet).reduce(_ intersect _)
-      common.iterator.map { col =>
-        val ss = perBlock.map(_(col))
-        val k = ss.head.kind
-        col -> ColStat(k,
-          ss.map(_.min).reduce((a, b) => if (cmp(k, a, b) <= 0) a else b),
-          ss.map(_.max).reduce((a, b) => if (cmp(k, a, b) >= 0) a else b),
-          if (ss.exists(_.nulls < 0)) -1L else ss.map(_.nulls).sum)
+      val cols = common.iterator.map { col =>
+        col -> fold(perBlock.map(_(col)))
       }.toMap
+      FileStats(rows, cols)
     } finally r.close()
+  }
+
+  /** Fold several same-column stats into one: min of mins, max of
+    * maxes, null counts sum (unknown if any input is unknown). Used
+    * block→file at commit and file→table in
+    * [[SnapshotTable.tableStats]]. */
+  def fold(ss: Seq[ColStat]): ColStat = {
+    val k = ss.head.kind
+    ColStat(k,
+      ss.map(_.min).reduce((a, b) => if (cmp(k, a, b) <= 0) a else b),
+      ss.map(_.max).reduce((a, b) => if (cmp(k, a, b) >= 0) a else b),
+      if (ss.exists(_.nulls < 0)) -1L else ss.map(_.nulls).sum)
   }
 
   // ---- manifest encoding: one `#zm=` comment line per file ----
@@ -123,28 +141,45 @@ object ZoneMaps {
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
 
-  def encodeLine(relPath: String, stats: Map[String, ColStat]): String =
-    Prefix + enc(relPath) + stats.toSeq.sortBy(_._1).map { case (c, s) =>
-      s"|${enc(c)}=${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}"
-    }.mkString
+  def encodeLine(relPath: String, fs: FileStats): String =
+    Prefix + enc(relPath) +
+      (if (fs.rows >= 0) s"|@=${fs.rows}" else "") +
+      fs.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"|${enc(c)}=${s.kind}:${enc(s.min)}:${enc(s.max)}:${s.nulls}"
+      }.mkString
 
-  /** Parse a `#zm=` line back to (relPath, stats); malformed lines
-    * yield None (stats are an optimization, never a read failure).
-    * Legacy 3-field lines (pre-null-count) decode with nulls = -1. */
-  def decodeLine(line: String): Option[(String, Map[String, ColStat])] =
+  /** Legacy-shape overload (column stats only, row count unknown). */
+  def encodeLine(relPath: String, stats: Map[String, ColStat]): String =
+    encodeLine(relPath, FileStats(-1L, stats))
+
+  /** Parse a `#zm=` line back to (relPath, file stats); malformed
+    * lines yield None (stats are an optimization, never a read
+    * failure). The `@=<rows>` part is the file's exact row count — a
+    * RAW `@` key cannot collide with a column name because column
+    * names are URL-encoded (a real column `@` encodes as `%40`).
+    * Legacy lines decode with rows = -1 (unknown); legacy 3-field
+    * column stats decode with nulls = -1. */
+  def decodeFull(line: String): Option[(String, FileStats)] =
     if (!line.startsWith(Prefix)) None
     else scala.util.Try {
       val parts = line.stripPrefix(Prefix).split('|')
-      val stats = parts.tail.iterator.map { p =>
-        val eq = p.indexOf('=')
-        val st = p.substring(eq + 1).split(':') match {
-          case Array(k, mn, mx) => ColStat(k.head, dec(mn), dec(mx))
-          case Array(k, mn, mx, nl) => ColStat(k.head, dec(mn), dec(mx), nl.toLong)
+      var rows = -1L
+      val stats = parts.tail.iterator.flatMap { p =>
+        if (p.startsWith("@=")) { rows = p.stripPrefix("@=").toLong; None }
+        else {
+          val eq = p.indexOf('=')
+          val st = p.substring(eq + 1).split(':') match {
+            case Array(k, mn, mx) => ColStat(k.head, dec(mn), dec(mx))
+            case Array(k, mn, mx, nl) => ColStat(k.head, dec(mn), dec(mx), nl.toLong)
+          }
+          Some(dec(p.substring(0, eq)) -> st)
         }
-        dec(p.substring(0, eq)) -> st
       }.toMap
-      (dec(parts.head), stats)
+      (dec(parts.head), FileStats(rows, stats))
     }.toOption
+
+  def decodeLine(line: String): Option[(String, Map[String, ColStat])] =
+    decodeFull(line).map { case (p, fs) => (p, fs.cols) }
 
   // ---- read-side: predicate vs [min, max] ----
 
@@ -300,16 +335,41 @@ object ZoneMaps {
     * builder; this catches what is only knowable at run time. */
   final class ZoneMapScan(
       files: Seq[String],
-      statsByFile: Map[String, Map[String, ColStat]],
+      statsByFile: Map[String, FileStats],
       rebuildScan: Seq[String] => Scan,
       initial: Scan)
-    extends Scan with SupportsRuntimeFiltering {
+    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
     private var inner: Scan = initial
+    private var current: Seq[String] = files
 
     override def readSchema(): StructType = inner.readSchema()
     override def toBatch: Batch = inner.toBatch
     override def description(): String = s"${inner.description()} (graft-zonemap)"
+
+    /** Planning statistics Catalyst sees for this scan: the delegate
+      * FileScan's size estimate plus an EXACT `numRows` summed from
+      * the manifest row counts of the files the scan will actually
+      * read — O(manifest) driver work, no file I/O. Exact cardinality
+      * (vs Spark's bytes/row guess) is what lets the planner pick
+      * broadcast sides correctly for snapshot tables. Reported only
+      * when every surviving file recorded a count. */
+    override def estimateStatistics(): Statistics = {
+      val base = inner match {
+        case s: SupportsReportStatistics => s.estimateStatistics()
+        case _ => null
+      }
+      val counts = current.map(f => statsByFile.get(f).map(_.rows).getOrElse(-1L))
+      val exact =
+        if (counts.forall(_ >= 0L)) java.util.OptionalLong.of(counts.sum)
+        else if (base != null) base.numRows()
+        else java.util.OptionalLong.empty()
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          if (base != null) base.sizeInBytes() else java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = exact
+      }
+    }
 
     /** Files the CURRENT (post-pruning) delegate will read — spec
       * observability, mirrors FileScan.fileIndex. */
@@ -324,16 +384,16 @@ object ZoneMaps {
     // anything column pruning removed
     override def filterAttributes(): Array[NamedReference] = {
       val visible = inner.readSchema().fieldNames.toSet
-      statsByFile.valuesIterator.flatMap(_.keysIterator)
+      statsByFile.valuesIterator.flatMap(_.cols.keysIterator)
         .toSet.intersect(visible).toArray.sorted.map(Expressions.column)
     }
 
     override def filter(filters: Array[v1.Filter]): Unit = {
       val kept = files.filter { f =>
-        val st = statsByFile.getOrElse(f, Map.empty[String, ColStat])
+        val st = statsByFile.get(f).map(_.cols).getOrElse(Map.empty[String, ColStat])
         st.isEmpty || !filters.exists(p => provablyEmptySource(p, st))
       }
-      if (kept.size != files.size) inner = rebuildScan(kept)
+      if (kept.size != files.size) { current = kept; inner = rebuildScan(kept) }
     }
   }
 
@@ -346,7 +406,7 @@ object ZoneMaps {
     * scan keeps the manifest schema and options of the original. */
   final class ZoneMapScanBuilder(
       allFiles: Seq[String],
-      statsByFile: Map[String, Map[String, ColStat]],
+      statsByFile: Map[String, FileStats],
       rebuild: Seq[String] => ScanBuilder)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -363,7 +423,7 @@ object ZoneMaps {
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
       val kept = allFiles.filter { f =>
-        val st = statsByFile.getOrElse(f, Map.empty)
+        val st = statsByFile.get(f).map(_.cols).getOrElse(Map.empty[String, ColStat])
         st.isEmpty || !filters.exists(p => provablyEmpty(p, st))
       }
       if (kept.size != allFiles.size) {

@@ -546,6 +546,87 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(rows.length === 1 && rows(0).isNullAt(0))
   }
 
+  // ---- predicate UPDATE (copy-on-write) -----------------------------
+
+  test("updateWhere: only files that can match rewrite; values update under the predicate; history intact") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.commit(kv(100 until 200).repartition(1))
+    t.commit(kv(200 until 300).repartition(1))
+    val v = t.currentVersion()
+    val r = t.updateWhere(spark, col("id") >= 150 && col("id") < 250,
+      Map("val" -> concat(lit("U"), col("id"))))
+    assert(r.filesRewritten === 2 && r.filesUntouched === 1,
+      "the file below the range must carry forward by reference")
+    val m = t.read(spark).as[(Long, String)].collect().toMap
+    assert(m.size === 300)
+    assert(m(150L) === "U150" && m(249L) === "U249")
+    assert(m(149L) === "a149" && m(250L) === "a250")
+    // pre-update snapshot still time travels
+    assert(t.readAt(spark, v).as[(Long, String)].collect().toMap.apply(150L) === "a150")
+  }
+
+  test("updateWhere: assignments cast to the manifest type (schema invariant); no-op publishes nothing") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 50).repartition(1))
+    // int literal assigned to a LONG column must stay LONG
+    t.updateWhere(spark, col("id") < 10, Map("id" -> (col("id") + lit(1000))))
+    assert(t.read(spark).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(t.read(spark).filter(col("id") >= 1000).count() === 10)
+    val v = t.currentVersion()
+    val noop = t.updateWhere(spark, col("id") === 777777L,
+      Map("val" -> lit("never")))
+    assert(noop.version === v && noop.filesRewritten === 0)
+    assert(t.currentVersion() === v)
+    // unknown SET target refuses
+    intercept[IllegalArgumentException] {
+      t.updateWhere(spark, col("id") < 1, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("updateWhere: null-predicate rows keep their values (SQL UPDATE semantics)") {
+    val (t, _) = freshTable()
+    val withNull = ((0 until 5).map(i => (Option(i.toLong), s"a$i")) :+
+      ((None: Option[Long]), "nullrow")).toDF("id", "val")
+    t.commit(withNull.repartition(1))
+    t.updateWhere(spark, col("id") < 100, Map("val" -> lit("hit")))
+    val rows = t.read(spark).as[(Option[Long], String)].collect().toMap
+    assert(rows(Some(0L)) === "hit" && rows(Some(4L)) === "hit")
+    assert(rows(None) === "nullrow", "a null row matches no predicate and must not update")
+  }
+
+  // ---- manifest-only table statistics -------------------------------
+
+  test("tableStats: exact rows and folded min/max/nulls from the manifest alone; DML keeps them true") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.commit(kv(100 until 250).repartition(2))
+    val st = t.tableStats()
+    assert(st.files === 3 && st.rows === Some(250L))
+    val id = st.cols("id")
+    assert(id.min.toLong === 0L && id.max.toLong === 249L && id.nulls === 0L)
+    assert(st.cols.contains("val"))
+    // a metadata-only delete keeps the stats exact without any read
+    t.deleteWhere(spark, col("id") < 100)
+    val st2 = t.tableStats()
+    assert(st2.rows === Some(150L) && st2.cols("id").min.toLong === 100L)
+    // historic stats still resolve per version
+    assert(t.tableStats(st.version).rows === Some(250L))
+  }
+
+  test("tableStats: never extrapolates — a file without recorded stats makes rows None") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 20).repartition(1))
+    // forge a legacy manifest: same listing, zone-map lines stripped
+    val v = t.currentVersion()
+    val legacy = manifestLines(dir, v).filterNot(_.startsWith("#zm="))
+    Files.write(Paths.get(dir, "_manifests", f"v${v + 1}%09d.json"),
+      legacy.mkString("\n").getBytes("UTF-8"))
+    val st = SnapshotTable(dir).tableStats()
+    assert(st.files === 1 && st.rows === None && st.cols.isEmpty)
+  }
+
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
     val (t, dir) = freshTable()
     t.commit(df(0 until 5))

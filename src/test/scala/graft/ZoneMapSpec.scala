@@ -168,6 +168,25 @@ class ZoneMapSpec extends SparkTestBase {
       s"runtime IN-set spans [8000, 12000) → at most 2 of 16 files, planned $planned")
   }
 
+  test("scan reports EXACT numRows from manifest row counts; pruning shrinks the estimate") {
+    val (t, _) = freshTable()
+    def reported(df: DataFrame): java.util.OptionalLong = {
+      df.collect()
+      val stats = batchScans(df.queryExecution.executedPlan).map(_.scan).collect {
+        case z: ZoneMaps.ZoneMapScan => z.estimateStatistics()
+      }
+      assert(stats.size === 1, "expected exactly one zone-map scan")
+      stats.head.numRows()
+    }
+    // full read: the manifest knows the exact table cardinality
+    assert(reported(t.read(spark)).getAsLong === 8000L)
+    // pruned read: numRows is the sum over SURVIVING files only —
+    // the planner sees ~1/8th of the table, not a bytes/row guess
+    val pruned = reported(t.read(spark).filter(col("k") >= 2000 && col("k") < 3000))
+    assert(pruned.isPresent && pruned.getAsLong < 8000L &&
+      pruned.getAsLong >= 1000L)
+  }
+
   test("zone-map line codec round-trips delimiter-hostile values; malformed lines drop") {
     val stats = Map(
       "we|ird=col" -> ZoneMaps.ColStat('s', "a|b:c", "z=%7C"),
