@@ -26,7 +26,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector tables: SQL writes are rejected at analysis, because a
   * bare file write would land data no manifest references (invisible
   * by design); mutations go through [[SnapshotTable]] commits, which
-  * is the transactional write path. DDL is supported where it maps
+  * is the transactional write path. The one SQL DML verb that maps
+  * cleanly is `DELETE FROM` (and `TRUNCATE TABLE`): head loads
+  * implement the connector `SupportsDelete` hook, routing into the
+  * transactional [[SnapshotTable.deleteWhere]] — a real versioned
+  * commit with metadata-only file drops, not a file write. Time-travel
+  * loads are pinned history and stay non-deletable. DDL is supported where it maps
   * cleanly: CREATE TABLE commits an EMPTY v0 carrying the declared
   * schema (the K4/K5 if-absent contract — the table is immediately
   * readable with its schema), DROP deletes the directory, RENAME is a
@@ -77,7 +82,8 @@ class SnapshotCatalog extends TableCatalog {
     require(v <= t.currentVersion(),
       s"version $v of ${ident.name()} does not exist (head is ${t.currentVersion()})")
     SnapshotSource.readOnlyTable(dir.toString, v,
-      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      deletable = version.isEmpty)
   }
 
   override def loadTable(ident: Identifier): Table = resolve(ident, None)

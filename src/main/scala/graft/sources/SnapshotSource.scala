@@ -103,15 +103,91 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
 object SnapshotSource {
   /** The resolved connector table for snapshot `v` of the table at
-    * `root` — shared by the path provider above and [[SnapshotCatalog]]. */
-  private[sources] def readOnlyTable(root: String, v: Long, name: String): Table = {
+    * `root` — shared by the path provider above and [[SnapshotCatalog]].
+    * `deletable` = true only for HEAD loads through the catalog: those
+    * tables additionally accept SQL `DELETE FROM`, which routes into
+    * the transactional [[SnapshotTable.deleteWhere]] (time-travel
+    * loads are pinned history and stay non-deletable). */
+  private[sources] def readOnlyTable(root: String, v: Long, name: String,
+                                     deletable: Boolean = false): Table = {
     val t = SnapshotTable(root)
     val opts = new CaseInsensitiveStringMap(
       Map("basePath" -> t.dataDirPath).asJava)
     val schema = t.schemaDdlOf(v).map(StructType.fromDDL)
-    new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v),
-      files => ParquetTable(name, SparkSession.active, opts, files, schema,
-        classOf[ParquetFileFormat]))
+    val mk = (files: Seq[String]) => ParquetTable(name, SparkSession.active,
+      opts, files, schema, classOf[ParquetFileFormat])
+    if (deletable)
+      new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk)
+    else
+      new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk)
+  }
+
+  /** The v1-filter shapes SQL `DELETE FROM ... WHERE` arrives in,
+    * rendered back to a `Column` predicate for
+    * [[SnapshotTable.deleteWhere]]. None → the filter is not
+    * expressible (nested column, unknown shape) and `canDeleteWhere`
+    * refuses the whole delete — Spark then raises a clean analysis
+    * error instead of a silent partial delete. */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{sources => v1}
+    import org.apache.spark.sql.functions.{col, lit}
+    // dots in a v1 filter reference mean a NESTED field; a flat col()
+    // would silently resolve the wrong thing, so refuse those
+    def flat(c: String): Option[org.apache.spark.sql.Column] =
+      if (c.contains(".")) None else Some(col(s"`$c`"))
+    f match {
+      case v1.AlwaysTrue() => Some(lit(true))
+      case v1.AlwaysFalse() => Some(lit(false))
+      case v1.EqualTo(c, v) => flat(c).map(_ === lit(v))
+      case v1.EqualNullSafe(c, v) => flat(c).map(_ <=> lit(v))
+      case v1.GreaterThan(c, v) => flat(c).map(_ > lit(v))
+      case v1.GreaterThanOrEqual(c, v) => flat(c).map(_ >= lit(v))
+      case v1.LessThan(c, v) => flat(c).map(_ < lit(v))
+      case v1.LessThanOrEqual(c, v) => flat(c).map(_ <= lit(v))
+      case v1.In(c, vs) => flat(c).map(_.isin(vs.toIndexedSeq: _*))
+      case v1.IsNull(c) => flat(c).map(_.isNull)
+      case v1.IsNotNull(c) => flat(c).map(_.isNotNull)
+      case v1.StringStartsWith(c, v) => flat(c).map(_.startsWith(v))
+      case v1.StringEndsWith(c, v) => flat(c).map(_.endsWith(v))
+      case v1.StringContains(c, v) => flat(c).map(_.contains(v))
+      case v1.Not(x) => filterToColumn(x).map(!_)
+      case v1.And(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case v1.Or(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case _ => None
+    }
+  }
+
+  /** Head-of-table catalog load: everything [[ReadOnlySnapshotTable]]
+    * is, plus SQL `DELETE FROM` through the connector
+    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] hook —
+    * the delete routes into the TRANSACTIONAL
+    * [[SnapshotTable.deleteWhere]], so it publishes a new snapshot
+    * (old versions still time travel) and fully-covered files drop
+    * METADATA-ONLY off the manifest. This is not a "write path"
+    * exception to the read-only contract: no bare file ever lands —
+    * the same commit protocol as the Scala API runs underneath.
+    * `TRUNCATE TABLE` arrives as an AlwaysTrue delete and empties the
+    * table in O(manifest). */
+  private final class DeletableSnapshotTable(
+      root: String,
+      files: Seq[String],
+      zoneMaps: Map[String, ZoneMaps.FileStats],
+      mk: Seq[String] => ParquetTable)
+      extends ReadOnlySnapshotTable(files, zoneMaps, mk)
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+    override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters.forall(filterToColumn(_).isDefined)
+
+    override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      import org.apache.spark.sql.functions.lit
+      val cond = filters.toSeq.flatMap(filterToColumn)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      SnapshotTable(root).deleteWhere(SparkSession.active, cond)
+    }
   }
 
   /** Snapshot tables are READ-ONLY through the connector surface: a
@@ -125,7 +201,7 @@ object SnapshotSource {
     * irrelevant files BEFORE the parquet scan plans (manifest-level
     * data skipping); legacy manifests without stats use the delegate
     * builder directly. */
-  private[sources] final class ReadOnlySnapshotTable(
+  private[sources] class ReadOnlySnapshotTable(
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable)

@@ -428,6 +428,37 @@ class SnapshotTableSpec extends SparkTestBase {
     intercept[Exception] { spark.table("snapcat.db.renamed").count() }
   }
 
+  test("SQL DELETE FROM routes through the transactional deleteWhere; history intact; TRUNCATE empties") {
+    val wh = Files.createTempDirectory("graft_cat_del").toString
+    spark.conf.set("spark.sql.catalog.delcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.warehouse", wh)
+    val t = SnapshotTable(s"$wh/db/t")
+    t.commit(df(0 until 100).repartition(1))
+    t.commit(df(100 until 200).repartition(1))
+    val v = t.currentVersion()
+    // predicate delete in SQL — the whole first file drops metadata-only
+    spark.sql("DELETE FROM delcat.db.t WHERE id < 100")
+    assert(spark.sql("SELECT count(*), min(id) FROM delcat.db.t")
+      .as[(Long, Long)].head === ((100L, 100L)))
+    // it was a real transactional commit: a new version, old one travels
+    assert(t.currentVersion() === v + 1)
+    assert(t.readAt(spark, v).count() === 200)
+    // conjunctions and IN-lists translate too
+    spark.sql("DELETE FROM delcat.db.t WHERE id >= 150 AND id IN (150, 151, 777)")
+    assert(spark.sql("SELECT count(*) FROM delcat.db.t").head.getLong(0) === 98)
+    // TRUNCATE = AlwaysTrue delete: O(manifest) empty, schema survives
+    spark.sql("TRUNCATE TABLE delcat.db.t")
+    assert(spark.sql("SELECT count(*) FROM delcat.db.t").head.getLong(0) === 0)
+    assert(spark.table("delcat.db.t").schema.fieldNames.toSeq === Seq("id"))
+    // INSERT is still refused — DELETE is not a write-path exception
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO delcat.db.t VALUES (99)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("does not support") ||
+      ex.getMessage.toLowerCase.contains("unsupported"), ex.getMessage)
+  }
+
   // ---- copy-on-write MERGE ------------------------------------------
 
   private def kv(ids: Range, tag: String = "a") =
