@@ -47,7 +47,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
   private case class Resolved(label: String, files: Seq[String],
                               manifestSchema: Option[StructType], dataDir: String,
-                              zoneMaps: Map[String, ZoneMaps.FileStats])
+                              zoneMaps: Map[String, ZoneMaps.FileStats],
+                              streamRoot: Option[String])
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -62,13 +63,15 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       case (Some(a), Some(b)) =>
         Resolved(s"changes_${a}_$b", t.addedFilesBetween(a, b),
           t.schemaDdlOf(b).map(StructType.fromDDL), t.dataDirPath,
-          t.fileStatsOf(b))
+          t.fileStatsOf(b), None)
       case _ =>
-        val v = Option(options.get("version")).map(_.toLong)
-          .getOrElse(t.currentVersion())
+        val pinned = Option(options.get("version")).map(_.toLong)
+        val v = pinned.getOrElse(t.currentVersion())
+        // only a HEAD load is streamable: a pinned version is frozen
+        // history, there is nothing to tail
         Resolved(s"v$v", t.resolvedFiles(v),
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
-          t.fileStatsOf(v))
+          t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None)
     }
   }
 
@@ -97,7 +100,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     val r = resolve(options)
     new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
       tableFactory(options, r.label, r.dataDir,
-        Option(schema).orElse(r.manifestSchema)))
+        Option(schema).orElse(r.manifestSchema)), r.streamRoot)
   }
 }
 
@@ -116,10 +119,15 @@ object SnapshotSource {
     val schema = t.schemaDdlOf(v).map(StructType.fromDDL)
     val mk = (files: Seq[String]) => ParquetTable(name, SparkSession.active,
       opts, files, schema, classOf[ParquetFileFormat])
+    // head loads (deletable ones) are also the streamable ones: a
+    // pinned VERSION/TIMESTAMP AS OF is frozen history, nothing to tail
+    val streamRoot = if (deletable) Some(root) else None
     if (deletable)
-      new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk)
+      new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk,
+        streamRoot)
     else
-      new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk)
+      new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk,
+        streamRoot)
   }
 
   /** The v1-filter shapes SQL `DELETE FROM ... WHERE` arrives in,
@@ -175,8 +183,9 @@ object SnapshotSource {
       root: String,
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
-      mk: Seq[String] => ParquetTable)
-      extends ReadOnlySnapshotTable(files, zoneMaps, mk)
+      mk: Seq[String] => ParquetTable,
+      streamRoot: Option[String])
+      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot)
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -200,20 +209,35 @@ object SnapshotSource {
     * manifest carries per-file stats: pushed filters drop provably-
     * irrelevant files BEFORE the parquet scan plans (manifest-level
     * data skipping); legacy manifests without stats use the delegate
-    * builder directly. */
+    * builder directly.
+    *
+    * HEAD loads (`streamRoot` = Some) additionally surface
+    * MICRO_BATCH_READ: `spark.readStream` on the same table tails
+    * appended commits as version-offset micro-batches
+    * ([[SnapshotMicroBatchStream]]). */
   private[sources] class ReadOnlySnapshotTable(
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
-      mk: Seq[String] => ParquetTable)
+      mk: Seq[String] => ParquetTable,
+      streamRoot: Option[String] = None)
       extends Table with SupportsRead {
     private lazy val inner = mk(files)
     override def name(): String = inner.name
     override def schema(): StructType = inner.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      if (streamRoot.isDefined)
+        java.util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.MICRO_BATCH_READ)
+      else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    private def streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
+      streamRoot.map { root => () =>
+        new SnapshotMicroBatchStream(root, fs => mk(fs)
+          .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
+      }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (zoneMaps.isEmpty) inner.newScanBuilder(options)
+      if (zoneMaps.isEmpty && streamRoot.isEmpty) inner.newScanBuilder(options)
       else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
-        fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options))
+        fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
+        streamFactory)
   }
 }

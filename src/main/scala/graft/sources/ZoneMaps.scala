@@ -337,8 +337,18 @@ object ZoneMaps {
       files: Seq[String],
       statsByFile: Map[String, FileStats],
       rebuildScan: Seq[String] => Scan,
-      initial: Scan)
+      initial: Scan,
+      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+    /** Micro-batch streaming rides the same scan object: the owning
+      * snapshot table injects a stream factory (version-offset CDC
+      * tailing — see SnapshotMicroBatchStream); non-streamable reads
+      * (time travel, CDC ranges) keep the default refusal. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      streamFactory.map(_()).getOrElse(
+        super.toMicroBatchStream(checkpointLocation))
 
     private var inner: Scan = initial
     private var current: Seq[String] = files
@@ -407,7 +417,8 @@ object ZoneMaps {
   final class ZoneMapScanBuilder(
       allFiles: Seq[String],
       statsByFile: Map[String, FileStats],
-      rebuild: Seq[String] => ScanBuilder)
+      rebuild: Seq[String] => ScanBuilder,
+      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -481,7 +492,8 @@ object ZoneMaps {
           }
           b.build()
         }
-        new ZoneMapScan(keptFiles, statsByFile, replay, delegate.build())
+        new ZoneMapScan(keptFiles, statsByFile, replay, delegate.build(),
+          streamFactory)
       }
     }
   }

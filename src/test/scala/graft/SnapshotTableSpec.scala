@@ -459,6 +459,57 @@ class SnapshotTableSpec extends SparkTestBase {
       ex.getMessage.toLowerCase.contains("unsupported"), ex.getMessage)
   }
 
+  // ---- streaming CDC source -----------------------------------------
+
+  test("streaming source: readStream tails appended commits by version offset, exactly once across restart") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 10))
+    val ck = Files.createTempDirectory("graft_cdc_ck").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def start() = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.select("id").as[Long].collect().toSet); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    import scala.jdk.CollectionConverters._
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      t.commit(kv(10 until 25))
+      t.commit(kv(25 until 30))
+      q.processAllAvailable()
+    } finally q.stop()
+    val collected = batches.asScala.toSeq
+    assert(collected.flatMap(_.toSeq).sorted === (0L until 30L),
+      "every appended row arrives exactly once across micro-batches")
+    assert(collected.head === (0L until 10L).toSet,
+      "the first batch bootstraps the table as of stream start")
+
+    // restart from the checkpoint: ONLY post-checkpoint commits replay
+    batches.clear()
+    t.commit(kv(30 until 34))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.asScala.toSeq.flatMap(_.toSeq).toSet === (30L until 34L).toSet,
+      "a restarted stream must not re-emit checkpointed versions")
+
+    // a rewrite commit breaks the append lineage: the stream fails
+    // with the range refusal instead of re-emitting rewritten rows
+    t.deleteWhere(spark, col("id") < 5)
+    val q3 = start()
+    val ex = intercept[Exception] {
+      q3.processAllAvailable()
+      q3.stop()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(ex).exists(m => m != null && m.contains("cross a replace")),
+      s"expected the CDC range refusal, got: ${causes(ex).mkString(" | ")}")
+  }
+
   // ---- copy-on-write MERGE ------------------------------------------
 
   private def kv(ids: Range, tag: String = "a") =
