@@ -502,6 +502,54 @@ object TextOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token").asc)),
 
+    // E5 DISTRIBUTED BPE VOCABULARY TRAINING — the actual merge-table
+    // induction, not just tokenization: the corpus folds to a word-
+    // frequency dictionary (the classic BPE training input, and at
+    // 100 TB the small derived artifact: vocab ≪ corpus), then each
+    // round counts adjacent symbol pairs DISTRIBUTED (explode +
+    // groupBy, weighted by word frequency), collects the single
+    // argmax row to the driver (count DESC, pair ASC tie-break — the
+    // one-row broadcast every iterative fitter uses, same as the
+    // k-means centroid collect), and applies the merge to the
+    // dictionary. The dictionary is persisted once so the per-round
+    // jobs never re-scan the corpus. Merge application is leftmost
+    // non-overlapping literal string replace over sentinel-spaced
+    // symbol strings — pinned to that semantics precisely because
+    // Spark's `replace` and DuckDB's `replace` agree on it, which is
+    // what lets an 8-round iterative trainer sit inside the oracle
+    // gate at all (symbols are [a-z]+ so no metacharacter hazards).
+    "q_bpe_train" -> ((s, d) => {
+      val rounds = 8
+      val dict0 = documents(s, d)
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("sym",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+        .persist()
+      try {
+        var dict = dict0
+        val merges = Seq.newBuilder[(Long, String, Long)]
+        for (r <- 0 until rounds) {
+          val best = dict
+            .select(col("freq"), split(trim(col("sym")), " ").as("toks"))
+            .filter(size(col("toks")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(slice(toks, 1, size(toks)-1), " +
+                "(t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("pair"))
+            .groupBy("pair").agg(sum("freq").as("cnt"))
+            .orderBy(col("cnt").desc, col("pair").asc)
+            .limit(1).collect()(0)
+          val (pair, cnt) = (best.getString(0), best.getLong(1))
+          merges += ((r.toLong, pair, cnt))
+          dict = dict.withColumn("sym", replace(col("sym"),
+            lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")))
+        }
+        s.createDataFrame(merges.result()).toDF("merge_rank", "pair", "cnt")
+          .orderBy("merge_rank")
+      } finally dict0.unpersist(false)
+    }),
+
     // E5 Karp-Rabin rolling hash over the raw character stream
     // (polynomial base 31 mod 2^40 — exact in both engines' int64)
     "q_rolling_fingerprint" -> ((s, d) =>
@@ -1067,7 +1115,42 @@ object TextOps {
         .orderBy("band_id", "band_key")
     }))
 
+  /** The q_bpe_train oracle: the same `rounds` BPE iterations
+    * unrolled as a materialized CTE chain (w_r = dictionary state,
+    * p_r = distributed pair counts, b_r = the round's argmax merge).
+    * MATERIALIZED is load-bearing: w_r is referenced twice per round,
+    * and inlining would re-derive the whole prefix exponentially. */
+  private def bpeOracle(rounds: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, COUNT(*)::BIGINT AS freq,
+        |         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val steps = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT z[1] || ' ' || z[2] AS pair, SUM(freq)::BIGINT AS cnt
+         |  FROM (SELECT freq,
+         |          unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS z
+         |        FROM (SELECT freq, string_split(trim(sym), ' ') AS toks FROM w$r))
+         |  GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT $r::BIGINT AS merge_rank, pair, cnt FROM p$r
+         |       ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    replace(sym, (SELECT ' '||pair||' ' FROM b$r),
+         |                 (SELECT ' '||replace(pair,' ','')||' ' FROM b$r)) AS sym
+         |  FROM w$r)""".stripMargin
+    }
+    val union = (0 until rounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    (w0 +: steps).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM ($union) ORDER BY merge_rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracle(8),
+
     "q_chunk_overlap" ->
       """WITH words AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
