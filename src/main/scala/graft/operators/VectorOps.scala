@@ -60,6 +60,40 @@ object VectorOps {
       if ((b & 0xff) < 128) 1.0 else -1.0
     }.toArray
 
+  /** Perceptual AVERAGE-HASH per document: real PNG/BMP pixel decode
+    * (Multimodal.PixelCodec) → 8×8 block sums → bit per block
+    * (blockSum·64 > total, all integral) → two 32-bit hash words.
+    * The ONE implementation shared by q_image_phash and the banded
+    * near-dup join so the hash math can't diverge between them.
+    * Returns doc_id, width, height, phash_hi, phash_lo, mean_lum. */
+  private def imagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = documents(s, d)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, Multimodal.syntheticPixelImage(id))))
+      .toDF("doc_id", "payload")
+    val cells = Multimodal.decodeLuma(payloads)
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("pos", "v")))
+      .withColumn("x", expr("pos % width"))
+      .withColumn("y", expr("pos div width"))
+      .withColumn("bi", expr("(y div (height div 8)) * 8 + (x div (width div 8))"))
+      .groupBy("doc_id", "width", "height", "bi")
+      .agg(sum(col("v").cast("long")).as("cellsum"))
+    cells
+      .withColumn("total", sum("cellsum").over(Window.partitionBy("doc_id")))
+      .withColumn("bit",
+        (col("cellsum") * 64 > col("total")).cast("long"))
+      .groupBy("doc_id", "width", "height")
+      .agg(
+        sum(when(col("bi") < 32, expr("shiftleft(bit, cast(bi as int))"))
+          .otherwise(lit(0L))).as("phash_hi"),
+        sum(when(col("bi") >= 32, expr("shiftleft(bit, cast(bi - 32 as int))"))
+          .otherwise(lit(0L))).as("phash_lo"),
+        max(expr("total div (cast(width as bigint) * height)")).as("mean_lum"))
+  }
+
   val queries: Map[String, Q] = Map(
     // E4 brute-force cosine top-k (baseline; exact)
     "q_cosine_topk" -> ((s, d) => {
@@ -207,32 +241,49 @@ object VectorOps {
     // flipped channel breaks the hash compare. Spark shape: the only
     // black box is the per-row decode; the fingerprint itself is a
     // distributed explode + two hash-aggregations keyed on doc_id.
-    "q_image_phash" -> ((s, d) => {
-      import s.implicits._
-      val payloads = documents(s, d)
-        .select(col("doc_id").cast("long")).as[Long]
-        .mapPartitions(_.map(id =>
-          (id, Multimodal.syntheticPixelImage(id))))
-        .toDF("doc_id", "payload")
-      val cells = Multimodal.decodeLuma(payloads)
-        .select(col("doc_id"), col("width"), col("height"),
-          posexplode(col("lum")).as(Seq("pos", "v")))
-        .withColumn("x", expr("pos % width"))
-        .withColumn("y", expr("pos div width"))
-        .withColumn("bi", expr("(y div (height div 8)) * 8 + (x div (width div 8))"))
-        .groupBy("doc_id", "width", "height", "bi")
-        .agg(sum(col("v").cast("long")).as("cellsum"))
-      cells
-        .withColumn("total", sum("cellsum").over(Window.partitionBy("doc_id")))
-        .withColumn("bit",
-          (col("cellsum") * 64 > col("total")).cast("long"))
-        .groupBy("doc_id", "width", "height")
-        .agg(
-          sum(when(col("bi") < 32, expr("shiftleft(bit, cast(bi as int))"))
-            .otherwise(lit(0L))).as("phash_hi"),
-          sum(when(col("bi") >= 32, expr("shiftleft(bit, cast(bi - 32 as int))"))
-            .otherwise(lit(0L))).as("phash_lo"),
-          max(expr("total div (cast(width as bigint) * height)")).as("mean_lum"))
+    "q_image_phash" -> ((s, d) => imagePhash(s, d).orderBy("doc_id")),
+
+    // E6 MULTIMODAL NEAR-DUP: hamming-banded LSH self-join over the
+    // perceptual hashes — the image analogue of q_minhash_lsh. The
+    // 64-bit aHash splits into 4×16-bit bands; by pigeonhole any pair
+    // within hamming distance 3 shares at least one intact band, so a
+    // band-equality join is RECALL-LOSSLESS for the τ=2 filter (never
+    // an approximation), and candidate fan-out is per-band-bucket, not
+    // all-pairs. Hot band buckets (this fixture's structured luma rule
+    // yields a 1420-doc bucket at sf0.1) go through Skew.saltedSelfPairs
+    // — triangle-decomposed g×g sub-blocks, no single straggler task.
+    // The oracle brute-forces all pairs in DuckDB, so the banding's
+    // exactness claim is itself under test: a dropped candidate breaks
+    // the hash compare.
+    "q_image_near_dup" -> ((s, d) => {
+      // decode subtree feeds three consumers (bands + both pair-side
+      // hash lookups) — checkpoint once, the compact per-doc hashes
+      val ph = imagePhash(s, d)
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+        .localCheckpoint()
+      val bands = ph
+        .withColumn("band", explode(sequence(lit(0), lit(3))))
+        .withColumn("bval", expr(
+          """CASE WHEN band < 2 THEN (phash_hi >> (16 * band)) & 65535
+            |ELSE (phash_lo >> (16 * (band - 2))) & 65535 END""".stripMargin))
+        .withColumn("gs",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bval"))))
+        .select(col("band"), col("bval"), col("doc_id"), col("gs"))
+      val cand = Skew.saltedSelfPairs(bands, Seq("band", "bval"),
+          "doc_id", "gs", hotAbove = 256)
+        .select(col("d1"), col("d2")).distinct() // ≤4 band matches/pair
+      val pairs = cand
+        .join(ph.select(col("doc_id").as("d1"),
+          col("phash_hi").as("h1"), col("phash_lo").as("l1")), "d1")
+        .join(ph.select(col("doc_id").as("d2"),
+          col("phash_hi").as("h2"), col("phash_lo").as("l2")), "d2")
+        .withColumn("ham",
+          expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)").cast("long"))
+        .filter(col("ham") <= 2)
+      pairs.select(col("d1").as("doc_id"), col("ham"))
+        .unionAll(pairs.select(col("d2").as("doc_id"), col("ham")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_near_dups"), min(col("ham")).as("min_ham"))
         .orderBy("doc_id")
     }),
 
@@ -586,6 +637,49 @@ object VectorOps {
         |    THEN (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo,
         |  CAST(MAX(total // (w * h)) AS BIGINT) AS mean_lum
         |FROM tot GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // brute-force all-pairs hamming in DuckDB — so the Spark side's
+    // 4×16-band pigeonhole exactness (every ham≤2 pair shares an
+    // intact band) is itself under the hash compare
+    "q_image_near_dup" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    8 * (2 + doc_id % 4) AS w,
+        |    8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, gx.x AS x, gy.y AS y,
+        |    (7 * doc_id + 3 * gx.x + 5 * gy.y) % 256 AS v
+        |  FROM dims, generate_series(0, 39) gx(x), generate_series(0, 23) gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |cells AS (
+        |  SELECT doc_id, w, h,
+        |    (y // (h // 8)) * 8 + (x // (w // 8)) AS bi,
+        |    SUM(v) AS cellsum
+        |  FROM px
+        |  GROUP BY doc_id, w, h, (y // (h // 8)) * 8 + (x // (w // 8))),
+        |tot AS (
+        |  SELECT doc_id, bi, cellsum,
+        |    SUM(cellsum) OVER (PARTITION BY doc_id) AS total
+        |  FROM cells),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bi < 32 AND cellsum * 64 > total
+        |      THEN (CAST(1 AS BIGINT) << CAST(bi AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN bi >= 32 AND cellsum * 64 > total
+        |      THEN (CAST(1 AS BIGINT) << CAST(bi - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM tot GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS ham
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2),
+        |sym AS (
+        |  SELECT d1 AS doc_id, ham FROM pairs
+        |  UNION ALL SELECT d2, ham FROM pairs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+        |  CAST(MIN(ham) AS BIGINT) AS min_ham
+        |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // mirrors Multimodal.syntheticWav's waveform rule — the oracle
     // regenerates the integer square wave arithmetically

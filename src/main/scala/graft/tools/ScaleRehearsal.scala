@@ -2,74 +2,116 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-/** Scale rehearsal for the near-dup/dedup family: runs the four
-  * heaviest dedup queries on the sf0.1 documents table and on a
-  * synthetic ×N corpus, and prints per-query times + the empirical
-  * scaling exponent log(tN/t1)/log(N) — the measurement behind
-  * ARCHITECTURE.md's "nothing quadratic in the corpus" claim.
+/** Scale rehearsal for the heavy operator families: runs each query
+  * on the sf0.1 tables and on a synthetic ×N replica, and prints
+  * per-query times + the empirical scaling exponent
+  * log(tN/t1)/log(N) — the measurement behind ARCHITECTURE.md's
+  * "nothing quadratic in the corpus" claim.
   *
-  * Corpus construction keeps near-dup DENSITY constant: each of the N
-  * copies remaps its vocabulary (token suffix per copy), so documents
-  * only near-dup WITHIN their copy — true pairs scale ×N, not ×N².
-  * A verbatim ×N copy would instead multiply every doc's duplicate
-  * set by N and conflate "more data" with "denser duplicates"; the
-  * prefix/LSH designs are explicitly allowed to cost more when
-  * density genuinely rises (fan-out ∝ near-dup density is the
-  * documented contract), so the fair experiment holds density fixed.
+  * Corpus construction keeps per-key DENSITY constant:
+  *
+  *  - `documents`: each of the N copies remaps its vocabulary (token
+  *    suffix per copy), so documents only near-dup WITHIN their copy —
+  *    true pairs scale ×N, not ×N². A verbatim ×N copy would instead
+  *    multiply every doc's duplicate set by N and conflate "more
+  *    data" with "denser duplicates"; the prefix/LSH designs are
+  *    explicitly allowed to cost more when density genuinely rises
+  *    (fan-out ∝ near-dup density is the documented contract), so the
+  *    fair experiment holds density fixed.
+  *  - `orders`: per-copy o_custkey/o_orderkey offsets — customers
+  *    scale ×N, orders-per-customer stays constant, so the
+  *    per-customer aggregates and the PrefixSum distributed ranks
+  *    (q_rfm, q_outlier_mad) see ×N groups of unchanged size.
+  *  - `lineitem`: per-copy l_orderkey/l_partkey offsets — baskets
+  *    scale ×N with constant size and a disjoint item vocabulary per
+  *    copy, so per-pair support stays constant and the A-priori
+  *    survivor set scales ×N (q_itemset_pairs).
   *
   * For q_dedup_incremental the fixture's base cut (doc_id < 400)
   * keeps the base side constant while the delta side scales ×N —
   * which is precisely the asymmetric-PPJoin claim under test ("scales
   * with |delta|, never |corpus|²").
   *
-  * Usage: runMain graft.tools.ScaleRehearsal [sfDir] [factor]
-  * (defaults /root/testdata/sf0.1, ×10). Single cold run per query
-  * per scale in one JVM after a warmup — the ±20-30% run noise
-  * documented in BENCH notes is irrelevant at the linear-vs-quadratic
-  * (10× vs 100×) discrimination this measures.
+  * q_khop_reach is deliberately NOT in the default set: its edge
+  * builder folds keys through pmod 5000, so the distinct edge set
+  * saturates under any ×N replica and the timing would measure the
+  * fixed 5000-node graph, not scaling.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [sfDir] [factor] [q...]
+  * (defaults /root/testdata/sf0.1, ×10, all queries). Single cold run
+  * per query per scale in one JVM after a warmup — the ±20-30% run
+  * noise documented in BENCH notes is irrelevant at the
+  * linear-vs-quadratic (10× vs 100×) discrimination this measures.
   */
 object ScaleRehearsal {
+  /** query → the tables its scaled directory must contain */
+  val tablesOf: Map[String, Seq[String]] = Map(
+    "q_setsim_prefix" -> Seq("documents"),
+    "q_shingle_jaccard" -> Seq("documents"),
+    "q_dedup_incremental" -> Seq("documents"),
+    "q_dedup_clusters" -> Seq("documents"),
+    "q_bpe_train" -> Seq("documents"),
+    "q_itemset_pairs" -> Seq("lineitem"),
+    "q_rfm" -> Seq("orders"),
+    "q_outlier_mad" -> Seq("orders"),
+  )
+
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    val queries =
+      if (args.length > 2) args.drop(2).toSeq else tablesOf.keys.toSeq.sorted
     val spark = graft.GraftSession.local()
-    val queries = Seq("q_setsim_prefix", "q_shingle_jaccard",
-      "q_dedup_incremental", "q_dedup_clusters")
 
-    def scaledDir(n: Int): String = {
+    val keyOffset = 10000000L // > any sf0.1 key; copies never collide
+
+    def writeScaled(dir: String, n: Int, table: String): Unit = {
+      if (new java.io.File(s"$dir/$table.parquet").exists()) return
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      (0 until n).map { k =>
+        val off = lit(k.toLong * keyOffset)
+        table match {
+          case "documents" =>
+            val copy = src.withColumn("doc_id", col("doc_id") + off)
+            if (k == 0) copy
+            else copy.withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit(s"v$k"))), " "))
+          case "orders" =>
+            src.withColumn("o_custkey", col("o_custkey") + off)
+              .withColumn("o_orderkey", col("o_orderkey") + off)
+          case "lineitem" =>
+            src.withColumn("l_orderkey", col("l_orderkey") + off)
+              .withColumn("l_partkey", col("l_partkey") + off)
+          case other => sys.error(s"no scale recipe for table $other")
+        }
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+
+    def scaledDir(n: Int, tables: Seq[String]): String = {
       if (n == 1) return base
       // cache key includes the BASE corpus: a rerun against a different
       // sfDir must not silently reuse a stale scaled corpus
       val baseTag = java.lang.Integer.toHexString(base.hashCode)
       val dir = s"/tmp/graft_scale_${baseTag}_x$n"
-      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
-        val docs = spark.read.parquet(s"$base/documents.parquet")
-        (0 until n).map { k =>
-          val copy = docs.withColumn("doc_id",
-            col("doc_id") + lit(k.toLong * 10000000L))
-          if (k == 0) copy
-          else copy.withColumn("text", array_join(
-            transform(split(col("text"), " "), t => concat(t, lit(s"v$k"))), " "))
-        }.reduce(_ unionByName _)
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      }
+      tables.foreach(writeScaled(dir, n, _))
       dir
     }
 
     // warmup: JIT + codegen caches, touching the same operator families
     graft.SparkEntry.queries("q_dedup_exact")(spark, base).collect()
 
-    val oneDir = scaledDir(1)
-    val bigDir = scaledDir(factor)
     def time(q: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
     val rows = queries.map { q =>
-      val (t1, n1) = time(q, oneDir)
-      val (tN, nN) = time(q, bigDir)
+      val tables = tablesOf.getOrElse(q, Seq("documents"))
+      val (t1, n1) = time(q, scaledDir(1, tables))
+      val (tN, nN) = time(q, scaledDir(factor, tables))
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       f"""{"query":"$q","t1_sec":$t1%.2f,"t${factor}_sec":$tN%.2f,""" +
         f""""rows1":$n1,"rows$factor":$nN,"exponent":$exp%.2f}"""
