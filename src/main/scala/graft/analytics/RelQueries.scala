@@ -1129,6 +1129,10 @@ object RelQueries {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized mining results — measurement harnesses (ScaleRehearsal)
+    * call this so a timed run can't silently hit the cache. */
+  private[graft] def clearMemos(): Unit = pairCache.clear()
+
   /** The raw mining pipeline, pre-memo — PlanSpec pins ITS shape (the
     * memoized form executes as a checkpoint scan). */
   private[graft] def itemsetPairsPlan(s: SparkSession, d: String): DataFrame = {

@@ -289,6 +289,10 @@ object GraphOps {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized cluster labels — measurement harnesses (ScaleRehearsal)
+    * call this so a timed run can't silently hit the cache. */
+  private[graft] def clearMemos(): Unit = clusterCache.clear()
+
   private def clusters(s: SparkSession, d: String): DataFrame =
     clusterCache.getOrElseUpdate((s, d), {
       val labels = blockedComponents(verifiedPairs(s, d))

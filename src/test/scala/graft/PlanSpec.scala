@@ -367,4 +367,12 @@ class PlanSpec extends SparkTestBase {
     // the anti-join keeps min-hop semantics (visited nodes never re-enter)
     assert(p.contains("LeftAnti"), s"missing the visited-set anti join:\n$p")
   }
+
+  test("q_image_near_dup: band-equality joins only, hamming verified by bit_count") {
+    val p = plan("q_image_near_dup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "banded candidate generation must never fall back to all-pairs")
+    assert(p.contains("bit_count"),
+      "hamming verification must stay a codegen'd bitwise expression")
+  }
 }
