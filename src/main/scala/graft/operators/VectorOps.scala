@@ -272,16 +272,26 @@ object VectorOps {
       val cand = Skew.saltedSelfPairs(bands, Seq("band", "bval"),
           "doc_id", "gs", hotAbove = 256)
         .select(col("d1"), col("d2")).distinct() // ≤4 band matches/pair
+      // the checkpointed per-doc hash table is tiny (one row per doc)
+      // but LogicalRDD stats hide that from the planner — broadcast
+      // explicitly so the lookups never sort-merge the multi-million-
+      // row candidate side
       val pairs = cand
-        .join(ph.select(col("doc_id").as("d1"),
-          col("phash_hi").as("h1"), col("phash_lo").as("l1")), "d1")
-        .join(ph.select(col("doc_id").as("d2"),
-          col("phash_hi").as("h2"), col("phash_lo").as("l2")), "d2")
+        .join(broadcast(ph.select(col("doc_id").as("d1"),
+          col("phash_hi").as("h1"), col("phash_lo").as("l1"))), "d1")
+        .join(broadcast(ph.select(col("doc_id").as("d2"),
+          col("phash_hi").as("h2"), col("phash_lo").as("l2"))), "d2")
         .withColumn("ham",
           expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)").cast("long"))
         .filter(col("ham") <= 2)
-      pairs.select(col("d1").as("doc_id"), col("ham"))
-        .unionAll(pairs.select(col("d2").as("doc_id"), col("ham")))
+      // symmetrize via ONE explode, not unionAll(pairs, pairs) — the
+      // union form re-executes the whole candidate pipeline per branch
+      // (A/B at sf0.1, with the broadcasts above: 4.8 → 2.7 s warm)
+      pairs
+        .select(explode(array(
+          struct(col("d1").as("doc_id"), col("ham")),
+          struct(col("d2").as("doc_id"), col("ham")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.ham").as("ham"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_near_dups"), min(col("ham")).as("min_ham"))
         .orderBy("doc_id")
