@@ -1113,6 +1113,52 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .filter(col("n_docs") > 1)
         .orderBy("band_id", "band_key")
+    }),
+
+    // E3 SELF-EVALUATING LSH RECALL — the text-dedup analogue of
+    // q_ann_recall: how much of the EXACT Jaccard-≥½ pair set does the
+    // 4-band×2-hash MinHash config actually catch? Ground truth is
+    // bounded to a 100-doc probe set (the sampled-queries trick that
+    // keeps the exact side computable at any corpus size: probe×corpus,
+    // never corpus²); the probe side of both joins keeps only b>a, so
+    // each unordered pair counts exactly once. Theoretical recall at
+    // s=0.5 is 1−(1−s²)⁴ ≈ 68% rising steeply with s; the measured
+    // ~89–91% (sf0.01/sf0.1) reflects the corpus's similarity mass
+    // sitting well above the threshold. Everything md5-deterministic
+    // and integral (counts + ppm), so recall itself sits in the oracle.
+    "q_lsh_recall" -> ((s, d) => {
+      val probeN = 100
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val probeTok = tok.filter(col("doc_id") < probeN)
+        .select(col("doc_id").as("d1"), col("token"))
+      val truth = probeTok
+        .join(tok.select(col("doc_id").as("d2"), col("token")), "token")
+        .filter(col("d2") > col("d1"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        // probe-side sizes are ≤probeN rows — broadcast; the d2 side
+        // is one row per corpus doc (NOT broadcastable at lake scale),
+        // so it shuffles on d2 like any fact-dim join
+        .join(broadcast(sizes.filter(col("doc_id") < probeN)
+          .select(col("doc_id").as("d1"), col("sz").as("s1"))), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
+        .select("d1", "d2")
+        .localCheckpoint() // feeds the hit semi-join AND the truth count
+      val bands = minhashBands(documents(s, d))
+      val cand = bands.filter(col("doc_id") < probeN)
+        .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
+        .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
+        .filter(col("d2") > col("d1"))
+        .select("d1", "d2").distinct()
+        .localCheckpoint() // feeds the hit semi-join AND the candidate count
+      val hits = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
     }))
 
   /** The q_bpe_train oracle: the same `rounds` BPE iterations
@@ -1649,5 +1695,47 @@ object TextOps {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM bands GROUP BY band_id, band_key
         |HAVING COUNT(*) > 1
-        |ORDER BY band_id, band_key""".stripMargin)
+        |ORDER BY band_id, band_key""".stripMargin,
+
+    // exact-vs-LSH recall, probe docs < 100, Jaccard >= 1/2; the b>a
+    // orientation filter mirrors the Spark side so each unordered pair
+    // counts once
+    "q_lsh_recall" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |truth AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.token = b.token
+        |    AND a.doc_id < 100 AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |tpairs AS (
+        |  SELECT t.d1, t.d2 FROM truth t
+        |  JOIN sizes s1 ON t.d1 = s1.doc_id JOIN sizes s2 ON t.d2 = s2.doc_id
+        |  WHERE t.inter * 2 >= (s1.sz + s2.sz - t.inter)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0|' || token)) AS h0, MIN(md5('1|' || token)) AS h1,
+        |    MIN(md5('2|' || token)) AS h2, MIN(md5('3|' || token)) AS h3,
+        |    MIN(md5('4|' || token)) AS h4, MIN(md5('5|' || token)) AS h5,
+        |    MIN(md5('6|' || token)) AS h6, MIN(md5('7|' || token)) AS h7
+        |  FROM tok2 GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_key = b.band_key
+        |    AND a.doc_id < 100 AND b.doc_id > a.doc_id),
+        |hit AS (SELECT * FROM tpairs INTERSECT SELECT * FROM cand)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM tpairs) AS BIGINT) AS n_truth,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+        |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
+        |  CAST((SELECT COUNT(*) FROM hit) * 1000000 //
+        |       (SELECT COUNT(*) FROM tpairs) AS BIGINT) AS recall_ppm""".stripMargin)
 }
