@@ -243,57 +243,75 @@ object VectorOps {
     // distributed explode + two hash-aggregations keyed on doc_id.
     "q_image_phash" -> ((s, d) => imagePhash(s, d).orderBy("doc_id")),
 
-    // E6 MULTIMODAL NEAR-DUP: hamming-banded LSH self-join over the
+    // E6 MULTIMODAL NEAR-DUP: hamming-banded LSH join over the
     // perceptual hashes — the image analogue of q_minhash_lsh. The
     // 64-bit aHash splits into 4×16-bit bands; by pigeonhole any pair
     // within hamming distance 3 shares at least one intact band, so a
     // band-equality join is RECALL-LOSSLESS for the τ=2 filter (never
-    // an approximation), and candidate fan-out is per-band-bucket, not
-    // all-pairs. Hot band buckets (this fixture's structured luma rule
-    // yields a 1420-doc bucket at sf0.1) go through Skew.saltedSelfPairs
-    // — triangle-decomposed g×g sub-blocks, no single straggler task.
-    // The oracle brute-forces all pairs in DuckDB, so the banding's
-    // exactness claim is itself under test: a dropped candidate breaks
-    // the hash compare.
+    // an approximation). The join runs over DISTINCT hashes, not docs
+    // (dedup-before-LSH): identical-hash groups — the bulk of real
+    // image-dup mass, 5000 docs → 394 hashes here — contribute
+    // (groupsize−1) hamming-0 neighbors ARITHMETICALLY and never
+    // enter the join, so candidate volume is bounded by distinct-hash
+    // density, immune to exact-dup skew (the 442-doc group that
+    // previously forced a salted 2.2M-pair self-join now costs one
+    // aggregate row). A/B at sf0.1: 2.7 → 1.5 s warm, identical rows.
+    // The oracle brute-forces all DOC pairs in DuckDB, so both the
+    // banding's exactness and the group arithmetic sit under the hash
+    // compare.
     "q_image_near_dup" -> ((s, d) => {
-      // decode subtree feeds three consumers (bands + both pair-side
-      // hash lookups) — checkpoint once, the compact per-doc hashes
+      // decode subtree feeds the group rollup AND the final per-doc
+      // join — checkpoint the compact per-doc hashes once
       val ph = imagePhash(s, d)
         .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
         .localCheckpoint()
-      val bands = ph
+      val groups = ph.groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds both join sides + the per-doc join
+      val bands = groups
         .withColumn("band", explode(sequence(lit(0), lit(3))))
         .withColumn("bval", expr(
           """CASE WHEN band < 2 THEN (phash_hi >> (16 * band)) & 65535
             |ELSE (phash_lo >> (16 * (band - 2))) & 65535 END""".stripMargin))
-        .withColumn("gs",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bval"))))
-        .select(col("band"), col("bval"), col("doc_id"), col("gs"))
-      val cand = Skew.saltedSelfPairs(bands, Seq("band", "bval"),
-          "doc_id", "gs", hotAbove = 256)
-        .select(col("d1"), col("d2")).distinct() // ≤4 band matches/pair
-      // the checkpointed per-doc hash table is tiny (one row per doc)
-      // but LogicalRDD stats hide that from the planner — broadcast
-      // explicitly so the lookups never sort-merge the multi-million-
-      // row candidate side
-      val pairs = cand
-        .join(broadcast(ph.select(col("doc_id").as("d1"),
-          col("phash_hi").as("h1"), col("phash_lo").as("l1"))), "d1")
-        .join(broadcast(ph.select(col("doc_id").as("d2"),
-          col("phash_hi").as("h2"), col("phash_lo").as("l2"))), "d2")
+        .select(col("band"), col("bval"),
+          col("phash_hi").as("h"), col("phash_lo").as("l"), col("cnt"))
+      // distinct-hash pairs sharing a band, canonical (h,l) order;
+      // ham 0 is impossible across distinct hashes, so the filter is
+      // 1..τ by construction
+      val cross = bands
+        .select(col("band"), col("bval"),
+          col("h").as("h1"), col("l").as("l1"), col("cnt").as("c1"))
+        .join(bands.select(col("band"), col("bval"),
+          col("h").as("h2"), col("l").as("l2"), col("cnt").as("c2")),
+          Seq("band", "bval"))
+        .filter(col("h1") < col("h2") ||
+          (col("h1") === col("h2") && col("l1") < col("l2")))
+        .select("h1", "l1", "c1", "h2", "l2", "c2").distinct()
         .withColumn("ham",
           expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)").cast("long"))
         .filter(col("ham") <= 2)
-      // symmetrize via ONE explode, not unionAll(pairs, pairs) — the
-      // union form re-executes the whole candidate pipeline per branch
-      // (A/B at sf0.1, with the broadcasts above: 4.8 → 2.7 s warm)
-      pairs
+      // per-hash cross-group neighbor mass, both directions in one
+      // explode (the unionAll form would re-run the candidate join
+      // per branch)
+      val crossAgg = cross
         .select(explode(array(
-          struct(col("d1").as("doc_id"), col("ham")),
-          struct(col("d2").as("doc_id"), col("ham")))).as("e"))
-        .select(col("e.doc_id").as("doc_id"), col("e.ham").as("ham"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_near_dups"), min(col("ham")).as("min_ham"))
+          struct(col("h1").as("h"), col("l1").as("l"),
+            col("c2").as("oc"), col("ham")),
+          struct(col("h2").as("h"), col("l2").as("l"),
+            col("c1").as("oc"), col("ham")))).as("e"))
+        .select(col("e.h"), col("e.l"), col("e.oc"), col("e.ham"))
+        .groupBy("h", "l")
+        .agg(sum(col("oc")).as("cross_n"), min(col("ham")).as("cross_min"))
+      ph.join(groups, Seq("phash_hi", "phash_lo"))
+        .join(crossAgg,
+          col("phash_hi") === col("h") && col("phash_lo") === col("l"),
+          "left")
+        .withColumn("n_near_dups",
+          col("cnt") - 1 + coalesce(col("cross_n"), lit(0L)))
+        .filter(col("n_near_dups") > 0)
+        .withColumn("min_ham",
+          when(col("cnt") > 1, lit(0L)).otherwise(col("cross_min")))
+        .select(col("doc_id"), col("n_near_dups"), col("min_ham"))
         .orderBy("doc_id")
     }),
 
