@@ -55,8 +55,14 @@ object TextOps {
     * Shared by q_minhash_lsh (bucket stats) and the connected-components
     * dedup clustering (GraphOps), which expands buckets into candidate
     * pairs. */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val t = tokens(docs)
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFromTokens(tokens(docs))
+
+  /** [[minhashBands]] over an already-exploded (doc_id, token) frame —
+    * the ONE signature/banding implementation, so callers that share a
+    * checkpointed token explode (q_lsh_recall) can't diverge from the
+    * q_minhash_lsh contract. */
+  def minhashBandsFromTokens(t: DataFrame): DataFrame = {
     val vocab = t.select("token").distinct()
       .select(col("token") +: (0 until 8).map(i =>
         md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
@@ -1118,7 +1124,7 @@ object TextOps {
     // E3 SELF-EVALUATING LSH RECALL — the text-dedup analogue of
     // q_ann_recall: how much of the EXACT Jaccard-≥½ pair set does the
     // 4-band×2-hash MinHash config actually catch? Ground truth is
-    // bounded to a 100-doc probe set (the sampled-queries trick that
+    // bounded to a 50-doc probe set (the sampled-queries trick that
     // keeps the exact side computable at any corpus size: probe×corpus,
     // never corpus²); the probe side of both joins keeps only b>a, so
     // each unordered pair counts exactly once. Theoretical recall at
@@ -1127,9 +1133,12 @@ object TextOps {
     // sitting well above the threshold. Everything md5-deterministic
     // and integral (counts + ppm), so recall itself sits in the oracle.
     "q_lsh_recall" -> ((s, d) => {
-      val probeN = 100
+      val probeN = 50 // the q_ann_recall sampled-queries size
+      // one token explode feeds the truth join (both sides), sizes,
+      // and the minhash signatures — checkpoint it once
       val tok = documents(s, d)
         .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
+        .localCheckpoint()
       val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val probeTok = tok.filter(col("doc_id") < probeN)
         .select(col("doc_id").as("d1"), col("token"))
@@ -1146,7 +1155,7 @@ object TextOps {
         .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
         .select("d1", "d2")
         .localCheckpoint() // feeds the hit semi-join AND the truth count
-      val bands = minhashBands(documents(s, d))
+      val bands = minhashBandsFromTokens(tok)
       val cand = bands.filter(col("doc_id") < probeN)
         .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
         .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
@@ -1697,7 +1706,7 @@ object TextOps {
         |HAVING COUNT(*) > 1
         |ORDER BY band_id, band_key""".stripMargin,
 
-    // exact-vs-LSH recall, probe docs < 100, Jaccard >= 1/2; the b>a
+    // exact-vs-LSH recall, probe docs < 50, Jaccard >= 1/2; the b>a
     // orientation filter mirrors the Spark side so each unordered pair
     // counts once
     "q_lsh_recall" ->
@@ -1708,7 +1717,7 @@ object TextOps {
         |truth AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
         |  FROM tok2 a JOIN tok2 b ON a.token = b.token
-        |    AND a.doc_id < 100 AND b.doc_id > a.doc_id
+        |    AND a.doc_id < 50 AND b.doc_id > a.doc_id
         |  GROUP BY 1, 2),
         |tpairs AS (
         |  SELECT t.d1, t.d2 FROM truth t
@@ -1730,7 +1739,7 @@ object TextOps {
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM bands a JOIN bands b ON a.band_id = b.band_id
         |    AND a.band_key = b.band_key
-        |    AND a.doc_id < 100 AND b.doc_id > a.doc_id),
+        |    AND a.doc_id < 50 AND b.doc_id > a.doc_id),
         |hit AS (SELECT * FROM tpairs INTERSECT SELECT * FROM cand)
         |SELECT
         |  CAST((SELECT COUNT(*) FROM tpairs) AS BIGINT) AS n_truth,
