@@ -445,6 +445,45 @@ object RefQueries {
       t.read(s).orderBy("doc_id")
     }),
 
+    // E18 ROW-LEVEL VERSION DIFF: the semantic complement of the
+    // file-level readChanges CDC — classify every key as
+    // insert/delete/update between a pinned version and head via two
+    // key-anti-joins + one changed-row inner join over time-travel
+    // reads. Works across ANY lineage (appends, DML rewrites,
+    // compaction) precisely where the append-only file diff refuses;
+    // cost is one join pass over the two snapshots, keyed and
+    // shuffle-partitioned on the table key. The fixture's lineage
+    // exercises all three classes (append batch, predicate delete,
+    // predicate update) and the oracle recomputes the expected diff
+    // arithmetically from the frozen fixture rules.
+    "q_snapshot_diff" -> ((s, d) => {
+      val dir = scratchDir("graft_dif")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 300).repartition(2))
+      val vFrom = t.currentVersion()
+      t.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400).repartition(1))
+      t.deleteWhere(s, col("doc_id") < 50)
+      t.updateWhere(s, col("doc_id") >= 100 && col("doc_id") < 150,
+        Map("n_chars" -> (col("n_chars") + 1000)))
+      val before = t.readAt(s, vFrom)
+      val after = t.read(s)
+      val ins = after.join(before.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("change", lit("insert"))
+      val del = before.join(after.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("change", lit("delete")) // old row values, by contract
+      val upd = after.as("a")
+        .join(before.select(col("doc_id"),
+          col("source").as("b_source"), col("n_chars").as("b_chars")), "doc_id")
+        .filter(col("source") =!= col("b_source") ||
+          col("n_chars") =!= col("b_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("change", lit("update")) // new row values
+      ins.unionByName(del).unionByName(upd)
+        .select(col("change"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("change", "doc_id")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -769,6 +808,21 @@ object RefQueries {
         |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
         |  UNION ALL SELECT 'min_doc_after', min_doc_after FROM fin)
         |ORDER BY stat""".stripMargin,
+
+    // the expected row-level diff, recomputed from the fixture rules:
+    // inserts = the appended batch, deletes = the predicate-dropped
+    // keys (old values), updates = the SET rows (new values)
+    "q_snapshot_diff" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change, doc_id, source, n_chars
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        |  UNION ALL
+        |  SELECT 'delete', doc_id, source, n_chars
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT 'update', doc_id, source, n_chars + 1000
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 150)
+        |ORDER BY change, doc_id""".stripMargin,
 
     // the post-update table = the frozen CASE WHEN definition
     "q_snapshot_update" ->
