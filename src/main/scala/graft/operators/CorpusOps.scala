@@ -116,6 +116,28 @@ object CorpusOps {
         .orderBy("source", "doc_id")
     }),
 
+    // EPOCH-ORDER MATERIALIZATION: the deterministic global shuffle a
+    // training run reads each epoch — order = md5(epoch-salt | doc),
+    // position = the DISTRIBUTED row number over that order (PrefixSum
+    // two-phase scan: per-hex-prefix-bucket totals → broadcast
+    // exclusive offsets → local running sums — a global total order
+    // with NO global single-task sort), shard = round-robin over the
+    // position, so every shard is a balanced iid slice of the
+    // shuffled order. Changing the salt string re-shuffles the next
+    // epoch; at 100 TB the writer partitions by `shard` with each
+    // shard locally ordered by `epoch_pos` — the sort stays
+    // per-bucket-sized throughout.
+    "q_epoch_shuffle" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"),
+        md5(concat(lit("epoch7|"), col("doc_id").cast("string"))).as("shuffle_key"))
+      PrefixSum.rowNumber(base, Seq.empty,
+          Seq(col("shuffle_key"), col("doc_id")),
+          PrefixSum.hexBucket(col("shuffle_key")), "epoch_pos")
+        .withColumn("shard", pmod(col("epoch_pos") - 1, lit(8L)))
+        .select("doc_id", "shuffle_key", "epoch_pos", "shard")
+        .orderBy("epoch_pos")
+    }),
+
     // TOKEN-BUDGETED sampling: take documents per source, hash-ranked,
     // until a TOKEN budget is exhausted — how pretraining mixtures are
     // actually specified (tokens contributed per domain, not doc
@@ -247,6 +269,17 @@ object CorpusOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('epoch7|' || doc_id) AS shuffle_key
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key, doc_id) AS epoch_pos
+        |  FROM keyed)
+        |SELECT doc_id, shuffle_key, epoch_pos, (epoch_pos - 1) % 8 AS shard
+        |FROM pos ORDER BY epoch_pos""".stripMargin,
+
     "q_pii_scrub" ->
       """WITH raw AS (
         |  SELECT doc_id,

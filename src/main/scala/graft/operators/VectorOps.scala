@@ -511,9 +511,113 @@ object VectorOps {
         .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
         .select("est_a", "est_b", "est_union", "est_inter",
           "exact_a", "exact_b", "exact_inter")
+    }),
+
+    // E16/E17 DBSCAN — density clustering over embeddings: exact
+    // eps-neighborhoods (squared L2 in integer micro-units), core =
+    // ≥ minPts neighbors, clusters = connected components of the
+    // core↔core graph, border points adopt the smallest adjacent core
+    // cluster, everything else is noise. Blocking key = `label`, the
+    // family convention (cosinePairs): at dim 64 distance
+    // concentration makes pivot/grid candidate pruning useless (the
+    // within-block distance spread probes at ~15% of its mean, so an
+    // eps-wide pivot bucket holds essentially the whole block) — an
+    // EXACT eps-join rides the blocking key, and approximate
+    // candidate pruning at 100 TB is the ANN family's job
+    // (q_ann_buckets / q_minhash_lsh feed the same union-find).
+    // Components via the one-shuffle blocked union-find; quantized
+    // integer arithmetic end-to-end so the DuckDB oracle reproduces
+    // roles AND cluster ids bit-exactly.
+    "q_dbscan" -> ((s, d) => {
+      val eps2 = 1500000000000L // (micro-unit distance)²; probed ≈ p02 of within-label pairs
+      val minPts = 3
+      val q = embeddings(s, d).select(col("label"), col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1000000).cast("double")).as("qv"))
+        .withColumn("n2", dotFast(col("qv"), col("qv")))
+      val a = q.select(col("label"), col("vec_id").as("u"),
+        col("qv").as("qa"), col("n2").as("na"))
+      val b = q.select(col("label"), col("vec_id").as("v"),
+        col("qv").as("qb"), col("n2").as("nb"))
+      // |x−y|² = |x|²+|y|²−2x·y over codegen'd dotFast; every term is
+      // an integral double (≤ 64·(2e6)² ≈ 2.6e14 < 2^53) so the cast
+      // back to long is exact on both engines
+      val nbr = a.join(b, Seq("label")).filter(col("u") =!= col("v"))
+        .withColumn("d2", (col("na") + col("nb")
+          - lit(2.0) * dotFast(col("qa"), col("qb"))).cast("long"))
+        .filter(col("d2") <= eps2)
+        .select(col("label"), col("u"), col("v"))
+        // post-filter pair set is tiny (~p02 of pairs) and feeds FOUR
+        // consumers (degree, both edge semi-joins, border adoption)
+        .localCheckpoint()
+      val core = nbr.groupBy("label", "u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minPts).select(col("label"), col("u"))
+      val coreU = core.select(col("u"))
+      val edges = nbr
+        .join(coreU, Seq("u"), "left_semi")
+        .join(coreU.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("label").cast("string").as("block"),
+          col("u").as("src"), col("v").as("dst"))
+      // comp = min core id in the cluster; cores whose neighbors are
+      // all non-core never reach an edge → their own id (the coalesce)
+      val coreComp = core.select(col("u").as("node"))
+        .join(GraphOps.blockedComponents(edges), Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("ccomp"))
+      val borderComp = nbr
+        .join(coreU, Seq("u"), "left_anti")
+        .join(coreComp.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u")).agg(min(col("ccomp")).as("bcomp"))
+      embeddings(s, d).select(col("vec_id"), col("label"))
+        .join(coreComp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .join(borderComp.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          when(col("ccomp").isNotNull, lit("core"))
+            .when(col("bcomp").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("ccomp"), col("bcomp"), lit(-1L)).as("cluster"))
+        .orderBy("vec_id")
     }))
 
   val oracle: Map[String, String] = Map(
+    // the same quantize → exact pair distance → degree/core →
+    // min-label components → border adoption pipeline, with the
+    // recursive CTE playing the union-find (seeded from every core so
+    // singleton cores label themselves, exactly the Spark coalesce)
+    "q_dbscan" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nbr AS (
+        |  SELECT a.label AS label, a.vec_id AS u, b.vec_id AS v
+        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE (SELECT SUM((a.qv[g.i] - b.qv[g.i]) * (a.qv[g.i] - b.qv[g.i]))
+        |         FROM generate_series(1, 64) g(i)) <= 1500000000000),
+        |core AS (SELECT u FROM nbr GROUP BY u HAVING count(*) >= 3),
+        |ce AS (
+        |  SELECT n.u AS src, n.v AS dst FROM nbr n
+        |  JOIN core cu ON cu.u = n.u JOIN core cv ON cv.u = n.v),
+        |reach(node, lbl) AS (
+        |  SELECT u, u FROM core
+        |  UNION
+        |  SELECT ce.dst, r.lbl FROM reach r JOIN ce ON ce.src = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+        |bdr AS (
+        |  SELECT n.u AS vec_id, MIN(c.comp) AS comp
+        |  FROM nbr n JOIN cc c ON c.node = n.v
+        |  WHERE n.u NOT IN (SELECT u FROM core)
+        |  GROUP BY n.u)
+        |SELECT q.vec_id, q.label,
+        |  CASE WHEN c.node IS NOT NULL THEN 'core'
+        |       WHEN b.vec_id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(c.comp, b.comp, -1) AS cluster
+        |FROM q
+        |LEFT JOIN cc c ON c.node = q.vec_id
+        |LEFT JOIN bdr b ON b.vec_id = q.vec_id
+        |ORDER BY q.vec_id""".stripMargin,
+
     // q_kmeans's oracle pattern with the subspace as an extra key in
     // every join/group — one Lloyd refinement per 16-dim subspace
     "q_pq_codes" ->

@@ -62,4 +62,30 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(again.select("doc_id").except(out.select("doc_id")).count() === 0)
     out.unpersist()
   }
+
+  test("epoch shuffle: positions are a permutation, shards balanced, order really shuffled") {
+    val q = CorpusOps.queries("q_epoch_shuffle")
+    val out = q(spark, sf).cache()
+    val n = out.count()
+    assert(n === graft.sources.Tables.documents(spark, sf).count())
+    // epoch_pos is exactly the permutation 1..n
+    val p = out.agg(min("epoch_pos"), max("epoch_pos"),
+      countDistinct("epoch_pos")).head
+    assert(p.getLong(0) === 1L && p.getLong(1) === n && p.getLong(2) === n)
+    // round-robin shards: all 8 present, sizes within 1 of each other
+    val sh = out.groupBy("shard").count()
+      .agg(countDistinct("shard"), min("count"), max("count")).head
+    assert(sh.getLong(0) === 8L && sh.getLong(2) - sh.getLong(1) <= 1L)
+    // the md5 order is a genuine shuffle: the first positions are not
+    // simply the smallest doc ids
+    val firstIds = out.orderBy("epoch_pos").limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val smallest = out.orderBy("doc_id").limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(firstIds !== smallest)
+    // deterministic across runs (same epoch salt)
+    val again = q(spark, sf)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+    out.unpersist()
+  }
 }

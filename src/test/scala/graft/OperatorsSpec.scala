@@ -504,4 +504,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(rangeFast.except(rangeNaive).count() === 0 &&
       rangeNaive.except(rangeFast).count() === 0)
   }
+
+  test("dbscan roles and cluster labels match a driver-side model") {
+    // the same quantization as the query: BigDecimal HALF_UP == Spark round()
+    def quant(x: Float): Double =
+      BigDecimal(x.toDouble * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+      .map { case (id, lbl, e) => (id, lbl, e.map(quant)) }
+    val eps2 = 1.5e12; val minPts = 3
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    val nbrs: Map[Long, Set[Long]] = rows.map { case (id, lbl, v) =>
+      id -> rows.collect { case (id2, l2, v2)
+        if id2 != id && l2 == lbl && d2(v, v2) <= eps2 => id2 }.toSet
+    }.toMap
+    val core = nbrs.filter(_._2.size >= minPts).keySet
+    // min-id component label per core, by BFS over core-core adjacency
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    core.toSeq.sorted.foreach { seed =>
+      if (!comp.contains(seed)) {
+        var frontier = Set(seed)
+        while (frontier.nonEmpty) {
+          frontier.foreach(n => comp(n) = seed)
+          frontier = frontier.flatMap(nbrs(_)).filter(core)
+            .diff(comp.keySet)
+        }
+      }
+    }
+    val expected = rows.map { case (id, _, _) =>
+      if (core(id)) id -> ("core", comp(id))
+      else {
+        val adj = nbrs(id).filter(core)
+        if (adj.nonEmpty) id -> ("border", adj.map(comp).min)
+        else id -> ("noise", -1L)
+      }
+    }.toMap
+    val got = VectorOps.queries("q_dbscan")(spark, sf)
+      .select("vec_id", "role", "cluster").as[(Long, String, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === expected)
+    // and the fixture exercises all three roles with >1 cluster
+    val roles = got.values.map(_._1).toSet
+    assert(roles === Set("core", "border", "noise"))
+    assert(got.values.collect { case ("core", c) => c }.toSet.size > 1)
+  }
 }
