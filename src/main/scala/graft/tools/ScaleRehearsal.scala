@@ -54,6 +54,8 @@ object ScaleRehearsal {
     "q_itemset_pairs" -> Seq("lineitem"),
     "q_rfm" -> Seq("orders"),
     "q_outlier_mad" -> Seq("orders"),
+    "q_dbscan" -> Seq("embeddings"),
+    "q_epoch_shuffle" -> Seq("documents"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -83,6 +85,14 @@ object ScaleRehearsal {
           case "lineitem" =>
             src.withColumn("l_orderkey", col("l_orderkey") + off)
               .withColumn("l_partkey", col("l_partkey") + off)
+          case "embeddings" =>
+            // disjoint labels per copy: blocks scale ×N at constant
+            // size, so the within-block eps-join sees ×N blocks, not
+            // ×N² pairs — the same density-constant design as the
+            // documents vocabulary remap
+            src.withColumn("vec_id", col("vec_id") + off)
+              .withColumn("label",
+                (col("label") + lit(k * 1000)).cast("int"))
           case other => sys.error(s"no scale recipe for table $other")
         }
       }.reduce(_ unionByName _)

@@ -198,7 +198,8 @@ class PlanSpec extends SparkTestBase {
   test("budget/packing family: two-phase scan — no full-data window keyed on source alone") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    Seq("q_token_budget", "q_mix_sample", "q_seq_pack", "q_curation_pipeline")
+    Seq("q_token_budget", "q_mix_sample", "q_seq_pack", "q_curation_pipeline",
+        "q_epoch_shuffle")
       .foreach { q =>
         val sp = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
         val wins = sp.collect { case w: WindowExec => w }
@@ -207,13 +208,14 @@ class PlanSpec extends SparkTestBase {
         assert(wins.exists(_.partitionSpec.exists(
             _.references.exists(_.name.startsWith("_psb")))),
           s"$q: missing the (part, bucket)-keyed local running-sum window")
-        // any window keyed on `source` alone must sit above an
+        // any window keyed on `source` alone — or on NOTHING, the
+        // global-order form q_epoch_shuffle uses — must sit above an
         // aggregate (the tiny per-bucket totals), never the full data —
-        // that single-task-per-source sort is exactly what the
-        // two-phase scan exists to remove
+        // that single-task sort is exactly what the two-phase scan
+        // exists to remove
         wins.foreach { w =>
           val refs = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
-          if (refs == Seq("source")) {
+          if (refs == Seq("source") || refs.isEmpty) {
             assert(w.find {
                 case _: BaseAggregateExec => true
                 case _ => false
