@@ -1089,6 +1089,39 @@ object RelQueries {
         .select(col("o_custkey"), col("cents"), col("n_orders"),
           col("dev"), col("med"), col("mad"))
         .orderBy("o_custkey")
+    }),
+
+    // E9 SKYLINE (pareto frontier): customers not dominated on
+    // (total spend, order count) — maximize both. The textbook form is
+    // an O(n²) NOT-EXISTS self-join; this plan is O(n): per-spend max
+    // count, then an EXCLUSIVE suffix max over spend (descending) via
+    // the two-phase distributed prefix scan (PrefixSum) — a customer
+    // survives iff it holds the max order count at its spend level AND
+    // beats every count seen at strictly higher spend. No self-join
+    // and no single-task global window: parallelism = range buckets,
+    // so the dominance test survives a 100 TB fact table. Money in
+    // integer cents keeps the test exact cross-engine.
+    "q_skyline" -> ((s, d) => {
+      import graft.operators.PrefixSum
+      val base = orders(s, d).groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spent_c"),
+          count(lit(1)).as("n_orders"))
+      val perX = base.groupBy("spent_c").agg(max(col("n_orders")).as("max_n"))
+      val bounds = broadcast(perX.agg(
+        min(col("spent_c")).as("xlo"), max(col("spent_c")).as("xhi")))
+      // suffix max over spent DESC == exclusive prefix max over -spent ASC;
+      // spent_c is unique in perX, satisfying runningMaxExclusive's
+      // unique-order-key contract
+      val sfx = PrefixSum.runningMaxExclusive(
+          perX.crossJoin(bounds).withColumn("negx", -col("spent_c")),
+          Seq.empty, Seq(col("negx")), col("max_n"),
+          PrefixSum.rangeBucket(col("negx"), -col("xhi"), -col("xlo"), 32), "sfx")
+        .select(col("spent_c"), col("max_n"), col("sfx"))
+      base.join(sfx, "spent_c")
+        .filter(col("n_orders") === col("max_n") &&
+          (col("sfx").isNull || col("n_orders") > col("sfx")))
+        .select(col("o_custkey"), col("spent_c"), col("n_orders"))
+        .orderBy("o_custkey")
     }))
 
   /** 16 unrolled Hilbert xy2d rounds — generated in lockstep with
@@ -1194,6 +1227,19 @@ object RelQueries {
       |  FROM ps0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spent_c,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT p.o_custkey, p.spent_c, p.n_orders FROM base p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM base q
+        |  WHERE q.spent_c >= p.spent_c AND q.n_orders >= p.n_orders
+        |    AND (q.spent_c > p.spent_c OR q.n_orders > p.n_orders))
+        |ORDER BY p.o_custkey""".stripMargin,
+
     "q_itemset_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),

@@ -163,6 +163,38 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // E12 WINSORIZED length statistics: per-source p10/p90 clamping of
+    // document length — the robust-statistics guard that stops a few
+    // giant or empty documents from skewing per-domain dashboards. The
+    // per-source rank is the DISTRIBUTED row number (PrefixSum
+    // two-phase scan over a length-range bucketing — no per-source
+    // single-task sort), the decile bounds are the exact
+    // rank-ceil(n/10)/ceil(9n/10) rows (integral — no engine-specific
+    // percentile interpolation), broadcast back; the clamp itself is a
+    // pure projection feeding one final per-source hash-agg.
+    "q_winsorize" -> ((s, d) => {
+      val base = documents(s, d).select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("len"))
+      val gb = broadcast(base.agg(min("len").as("glo"), max("len").as("ghi")))
+      val ranked = PrefixSum.rowNumber(base.crossJoin(gb), Seq("source"),
+        Seq(col("len"), col("doc_id")),
+        PrefixSum.rangeBucket(col("len"), col("glo"), col("ghi"), 32), "rn")
+      val counts = base.groupBy("source").agg(count(lit(1)).as("n"))
+      val cuts = ranked.join(broadcast(counts), "source")
+        .withColumn("is_lo", col("rn") === expr("(n + 9) div 10"))
+        .withColumn("is_hi", col("rn") === expr("(9 * n + 9) div 10"))
+        .filter(col("is_lo") || col("is_hi"))
+        .groupBy("source")
+        .agg(min(when(col("is_lo"), col("len"))).as("p10"),
+          max(when(col("is_hi"), col("len"))).as("p90"))
+      base.join(broadcast(cuts), "source")
+        .withColumn("w_len", greatest(col("p10"), least(col("p90"), col("len"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("raw_sum"),
+          sum("w_len").as("wins_sum"), min("p10").as("p10"), max("p90").as("p90"))
+        .orderBy("source")
+    }),
+
     // Corpus profile: the per-source dashboard row a curation run
     // starts and ends with — doc/token/vocabulary counts, exact-dup
     // count via content fingerprints, mean length in integer
@@ -346,6 +378,27 @@ object CorpusOps {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c WHERE cum_toks <= 2000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len FROM documents),
+        |ranked AS (
+        |  SELECT source, len,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base),
+        |cuts AS (
+        |  SELECT source,
+        |    MIN(CASE WHEN rn = (n + 9) // 10 THEN len END) AS p10,
+        |    MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN len END) AS p90
+        |  FROM ranked WHERE rn = (n + 9) // 10 OR rn = (9 * n + 9) // 10
+        |  GROUP BY source)
+        |SELECT b.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(b.len) AS BIGINT) AS raw_sum,
+        |  CAST(SUM(GREATEST(c.p10, LEAST(c.p90, b.len))) AS BIGINT) AS wins_sum,
+        |  MIN(c.p10) AS p10, MAX(c.p90) AS p90
+        |FROM base b JOIN cuts c USING (source)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH perdoc AS (

@@ -36,6 +36,54 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // E8 HOPPING (sliding) window aggregation: 2-hour windows sliding
+    // every hour via Spark's native `window()` — Catalyst's
+    // TimeWindowing rule expands each event into its size/slide = 2
+    // covering windows as a projection (no join, no UDF), then one
+    // hash-agg shuffled on (window, type). Shuffle volume is
+    // O(rows · overlap) before the map-side partial agg, O(windows)
+    // after — the overlap factor is chosen, not emergent, so the
+    // shape holds at 100 TB. String window labels per the
+    // q_event_window cross-engine convention.
+    "q_hopping_window" -> ((s, d) =>
+      events(s, d)
+        .select(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"), cents(col("value")).as("v_c"))
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v_c")).cast("double") / 100).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("w_start", "event_type")),
+
+    // E8/E9 per-key LINEAR TREND: OLS slope/intercept of the daily
+    // event-count series per event type, from the closed-form normal
+    // equations over EXACT integer moment sums (n, Σx, Σy, Σxy, Σx²;
+    // x = epoch day, y = daily count). Integer moments make the
+    // aggregation order-independent and cross-engine exact; the only
+    // float op is the final division (identical long numerator /
+    // denominator in both engines → IEEE-identical, then round 6).
+    // Two cascaded hash-aggs, partial map-side — never a per-key sort,
+    // state O(keys): the streaming-friendly regression shape.
+    "q_regr_trend" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("day") * col("y")).as("sxy"),
+          sum(col("day") * col("day")).as("sxx"))
+        .withColumn("slope",
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / den, 6))
+        .withColumn("intercept",
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den, 6))
+        .select("event_type", "n", "slope", "intercept")
+        .orderBy("event_type")
+    }),
+
     // ORDERED FUNNEL analysis: users progressing view → click →
     // purchase, each stage strictly AFTER the previous stage's first
     // event for that user — the classic product-analytics query, which
@@ -376,6 +424,33 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_hopping_window" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS ws,
+        |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(v_c) AS DOUBLE) / 100 AS total_value
+        |FROM ev GROUP BY ws, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_regr_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(day * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(day * day) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6) AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_event_funnel" ->
       """WITH ta AS (

@@ -74,6 +74,36 @@ object PrefixSum {
                 bucket: Column, out: String): DataFrame =
     runningSum(df, part, order, lit(1L), bucket, out)
 
+  /** EXCLUSIVE running max of `value` (a long expression) over rows
+    * strictly before the current one in `order` within each `part`
+    * group — same two-phase scan as [[runningSum]] (max is just as
+    * associative), null when no predecessor exists. The exclusive
+    * form is what dominance-style consumers (skyline) need: a row
+    * must not see its own value. The ROWS frame makes ties in `order`
+    * nondeterministic — callers must pass an order key that is UNIQUE
+    * within `part` (aggregate per key first, as q_skyline does).
+    * Appends column `out`, null when no predecessor exists. */
+  def runningMaxExclusive(df: DataFrame, part: Seq[String], order: Seq[Column],
+                          value: Column, bucket: Column, out: String): DataFrame = {
+    def free(base: String): String = Iterator.from(0).map(i => s"$base$i")
+      .find(n => !df.columns.contains(n) && n != out).get
+    val b = free("_pmb"); val v = free("_pmv"); val o = free("_pmo")
+    val pc = part.map(col)
+    val withB = df.withColumn(b, bucket).withColumn(v, value)
+    val totals = withB.groupBy(pc :+ col(b): _*).agg(max(col(v)).as(v))
+    // exclusive scan of per-bucket maxes — tiny input, O(buckets)/group
+    val offW = Window.partitionBy(pc: _*).orderBy(col(b))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn(o, max(col(v)).over(offW)) // null for the first bucket
+      .select(pc :+ col(b) :+ col(o): _*)
+    val localW = Window.partitionBy(pc :+ col(b): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), part :+ b)
+      .withColumn(out, greatest(max(col(v)).over(localW), col(o)))
+      .drop(b, v, o)
+  }
+
   /** Order-consistent bucket for an md5-hex sort key: the first two
     * hex characters as an int — 256 buckets, uniform by construction,
     * and lexicographic order of the full digest refines prefix order. */

@@ -288,6 +288,65 @@ object TextOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token").asc)),
 
+    // E5 VOCABULARY TRUNCATION (<unk> folding): tokens below min
+    // support collapse into '<unk>' — the vocab cap every LM tokenizer
+    // applies before id assignment, keeping the embedding table bounded
+    // while the corpus tail grows unbounded. Deliberately JOIN-FREE:
+    // the fold is a re-aggregation of the count table (CASE + second
+    // hash-agg), so the corpus is scanned once and the vocab table —
+    // which at 100 TB no longer broadcasts — is never joined back.
+    "q_unk_vocab" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+        .groupBy("tk").agg(count(lit(1)).as("cnt"))
+        .select(when(col("cnt") < 5, lit("<unk>")).otherwise(col("tk")).as("token"),
+          col("cnt"))
+        .groupBy("token")
+        .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_types"))
+        .orderBy(col("n_total").desc, col("token"))),
+
+    // E5 HASHING-TRICK featurization (the "hashing vectorizer"):
+    // token → md5 bucket mod 64, per-(doc, bucket) counts — fixed-width
+    // sparse features with NO vocabulary pass at all, the featurizer
+    // that needs zero global state at 100 TB. One explode → one
+    // hash-agg, map-side combined; bucket width is a constant, so
+    // downstream joins on (doc, bucket) stay bounded.
+    "q_feature_hash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long"), lit(64L)))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "bucket")),
+
+    // E5 token CO-OCCURRENCE (skip-gram window ±2): the count table
+    // under word-vector / PMI training. lead() pairs over the
+    // doc-partitioned positional window instead of a positional
+    // self-join — the exploded corpus shuffles ONCE keyed on doc_id (a
+    // fine-grained key, no straggler), where the join form would
+    // shuffle it twice. Pair direction folds lexically so (a,b) and
+    // (b,a) count together.
+    "q_cooccur" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
+        .filter(col("tk") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      toks
+        .withColumn("n1", lead(col("tk"), 1).over(w))
+        .withColumn("n2", lead(col("tk"), 2).over(w))
+        .select(col("tk"), explode(array(col("n1"), col("n2"))).as("other"))
+        .filter(col("other").isNotNull)
+        .select(least(col("tk"), col("other")).as("t1"),
+          greatest(col("tk"), col("other")).as("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("n").desc, col("t1"), col("t2"))
+    }),
+
     // E5 n-gram language-model statistics: bigram conditional
     // probabilities P(w2|w1) = c(w1,w2) / c(w1 ·) — the count tables a
     // KN/backoff LM trains from and the basis of corpus-level fluency
@@ -1277,6 +1336,41 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_unk_vocab" ->
+      """WITH counts AS (
+        |  SELECT tk, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |  WHERE tk <> '' GROUP BY tk)
+        |SELECT CASE WHEN cnt < 5 THEN '<unk>' ELSE tk END AS token,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS n_types
+        |FROM counts GROUP BY 1
+        |ORDER BY n_total DESC, token""".stripMargin,
+
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  COUNT(*) AS n
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |WHERE tk <> ''
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, g.tk, g.i
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d,
+        |    LATERAL (SELECT unnest(ws) AS tk, generate_subscripts(ws, 1) AS i) g
+        |  WHERE g.tk <> ''),
+        |tok AS (SELECT doc_id, tk,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+        |        FROM tok0),
+        |pairs AS (
+        |  SELECT LEAST(a.tk, b.tk) AS t1, GREATEST(a.tk, b.tk) AS t2
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2))
+        |SELECT t1, t2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        |HAVING COUNT(*) >= 3
+        |ORDER BY n DESC, t1, t2""".stripMargin,
 
     "q_cms_join_size" ->
       """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),

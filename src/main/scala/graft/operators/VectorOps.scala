@@ -454,13 +454,116 @@ object VectorOps {
           .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
           .select(col("sub").as("usub"), col("code").as("j2"),
             col("dim").as("cd2"), expr("sq div cnt").as("nval"))
-        cents.join(upd, col("csub") === col("usub") && col("j") === col("j2") &&
+        // both sides are ≤ |subs|·k·16 = 256 rows by construction, but the
+        // stats are opaque (checkpoint + agg) — broadcast explicitly
+        cents.join(broadcast(upd), col("csub") === col("usub") && col("j") === col("j2") &&
             col("cd") === col("cd2"), "left")
           .select(col("csub"), col("j"), col("cd"),
             coalesce(col("nval"), col("cval")).as("cval"))
       }
       assign(update(assign(c0), c0))
         .orderBy("vec_id", "sub")
+    }),
+
+    // E4 FUSED IVF-PQ ANN (the FAISS IVFADC shape — the index that
+    // actually serves 100 TB): coarse quantizer (8 seed centroids,
+    // integral L2²) prunes the scan to the query's own cell; within
+    // it, candidates are scored by ASYMMETRIC DISTANCE COMPUTATION —
+    // a per-query lookup table (query sub-vector → each of the 4×4
+    // codebook centroids, 80 rows, broadcast) turns per-candidate
+    // cost into 4 table adds instead of 64 multiplies, against the
+    // 32× smaller code table instead of raw vectors. Codebook = the
+    // q_pq_codes trainer verbatim (same seeds, one Lloyd step).
+    // Integer micro-units end-to-end: the ADC scores themselves are
+    // exact longs, so the oracle hash covers training, assignment,
+    // LUT, and ranking with zero float slack.
+    "q_ivfpq_topk" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), expr("pos div 16").cast("long").as("sub"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .localCheckpoint() // re-read by coarse assign, trainer, codes, LUT
+      // coarse quantizer: nearest of 8 seed centroids by exact L2²
+      val coarse = dims.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("ccid"), col("dim").as("ccd"), col("qv").as("ccval"))
+      val cells = dims.join(broadcast(coarse), col("dim") === col("ccd"))
+        .groupBy("vec_id", "ccid")
+        .agg(sum((col("qv") - col("ccval")) * (col("qv") - col("ccval"))).as("cdist2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cdist2"), col("ccid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid").as("cell"))
+      // PQ codebook: q_pq_codes' trainer (4 seeds/subspace, one Lloyd step)
+      val c0 = dims.filter(col("vec_id") < 4)
+        .select(col("sub").as("csub"), col("vec_id").as("j"),
+          col("dim").as("cd"), col("qv").as("cval"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2"), col("j"))
+        dims.join(broadcast(cents),
+            col("sub") === col("csub") && col("dim") === col("cd"))
+          .groupBy("vec_id", "sub", "j")
+          .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("j").as("code"))
+      }
+      val u1 = assign(c0).join(dims, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("sub").as("usub"), col("code").as("j2"),
+          col("dim").as("cd2"), expr("sq div cnt").as("nval"))
+      val c1 = c0.join(broadcast(u1), col("csub") === col("usub") && col("j") === col("j2") &&
+          col("cd") === col("cd2"), "left")
+        .select(col("csub"), col("j"), col("cd"),
+          coalesce(col("nval"), col("cval")).as("cval"))
+      val codes = assign(c1)
+      // ADC lookup table: query sub-vector × codebook centroid → partial L2²
+      val lut = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("lqid"), col("sub").as("lsub"),
+          col("dim"), col("qv").as("q_qv"))
+        .join(broadcast(c1), col("lsub") === col("csub") && col("dim") === col("cd"))
+        .groupBy("lqid", "lsub", "j")
+        .agg(sum((col("q_qv") - col("cval")) * (col("q_qv") - col("cval"))).as("pd2"))
+      // probe the query's own cell; score = Σ over 4 subspaces of LUT adds
+      val qcells = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cell"))
+      cells.join(broadcast(qcells), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lut), col("qid") === col("lqid") &&
+          col("sub") === col("lsub") && col("code") === col("j"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("pd2")).as("adist2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist2"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("vid"), col("adist2"))
+        .orderBy("qid", "rank")
+    }),
+
+    // E4/E14 RANDOM PROJECTION (Johnson-Lindenstrauss): 64-dim
+    // embeddings compressed to 16 dims through a deterministic ±1 sign
+    // matrix (md5 parity of "rp|p|dim") — the zero-training
+    // dimensionality reduction that fronts ANN indexes and sketches at
+    // lake scale. The sign matrix is 16×64 = 1024 rows built from
+    // range() and BROADCAST to the dim-exploded vectors; each output
+    // component is an exact integral Σ ±qv, so the projection is
+    // hash-compare exact cross-engine. One shuffle, keyed (vec, p).
+    "q_rand_proj" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val signs = s.range(16).select(col("id").as("p"))
+        .crossJoin(s.range(1, 65).select(col("id").as("sdim")))
+        .withColumn("sign",
+          when(substring(md5(concat(lit("rp|"), col("p"), lit("|"), col("sdim"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L)).otherwise(lit(-1L)))
+      dims.join(broadcast(signs), col("dim") === col("sdim"))
+        .groupBy("vec_id", "p")
+        .agg(sum(col("sign") * col("qv")).as("comp"))
+        .orderBy("vec_id", "p")
     }),
 
     // E4 SELF-EVALUATING ANN: recall@3 of the IVF leg against the
@@ -656,6 +759,89 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
         |  FROM a2d) WHERE rn = 1
         |ORDER BY vec_id, sub""".stripMargin,
+
+    "q_rand_proj" ->
+      """WITH dims AS (
+        |  SELECT vec_id, d AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+        |signs AS (
+        |  SELECT p.p, sd.sdim,
+        |    CASE WHEN substr(md5('rp|' || p.p || '|' || sd.sdim), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sign
+        |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+        |       (SELECT unnest(range(1, 65)) AS sdim) sd)
+        |SELECT vec_id, p, CAST(SUM(sign * qv) AS BIGINT) AS comp
+        |FROM dims JOIN signs ON dims.dim = signs.sdim
+        |GROUP BY 1, 2 ORDER BY vec_id, p""".stripMargin,
+
+    // q_pq_codes' trainer CTEs + coarse cells + ADC lookup + ranking —
+    // every stage exact integer arithmetic, zero float slack
+    "q_ivfpq_topk" ->
+      """WITH dims AS (
+        |  SELECT vec_id, (d - 1) // 16 AS sub, d AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |coarse AS (SELECT vec_id AS ccid, dim AS ccd, qv AS ccval
+        |           FROM dims WHERE vec_id < 8),
+        |cellsd AS (
+        |  SELECT dims.vec_id, coarse.ccid,
+        |    SUM((dims.qv - coarse.ccval) * (dims.qv - coarse.ccval)) AS cdist2
+        |  FROM dims JOIN coarse ON dims.dim = coarse.ccd
+        |  GROUP BY dims.vec_id, coarse.ccid),
+        |cells AS (SELECT vec_id, ccid AS cell FROM (
+        |  SELECT vec_id, ccid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist2, ccid) AS rn
+        |  FROM cellsd) WHERE rn = 1),
+        |c0 AS (SELECT sub AS csub, vec_id AS j, dim AS cd, qv AS cval
+        |       FROM dims WHERE vec_id < 4),
+        |a1d AS (
+        |  SELECT dims.vec_id, dims.sub, c0.j,
+        |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
+        |  FROM dims JOIN c0 ON dims.sub = c0.csub AND dims.dim = c0.cd
+        |  GROUP BY dims.vec_id, dims.sub, c0.j),
+        |a1 AS (SELECT vec_id, sub, j AS code FROM (
+        |         SELECT vec_id, sub, j,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+        |         FROM a1d) WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a1.sub AS usub, a1.code AS j2, dims.dim AS cd2,
+        |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
+        |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id AND dims.sub = a1.sub
+        |  GROUP BY a1.sub, a1.code, dims.dim),
+        |c1 AS (SELECT c0.csub, c0.j, c0.cd, COALESCE(u1.nval, c0.cval) AS cval
+        |       FROM c0 LEFT JOIN u1
+        |       ON u1.usub = c0.csub AND u1.j2 = c0.j AND u1.cd2 = c0.cd),
+        |a2d AS (
+        |  SELECT dims.vec_id, dims.sub, c1.j,
+        |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
+        |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
+        |  GROUP BY dims.vec_id, dims.sub, c1.j),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |  SELECT vec_id, sub, j AS code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+        |  FROM a2d) WHERE rn = 1),
+        |lut AS (
+        |  SELECT dims.vec_id AS lqid, dims.sub AS lsub, c1.j,
+        |    CAST(SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS BIGINT) AS pd2
+        |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
+        |  WHERE dims.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |qcells AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist2
+        |  FROM cells c JOIN qcells q ON c.cell = q.cell AND c.vec_id <> q.qid
+        |  JOIN codes k ON k.vec_id = c.vec_id
+        |  JOIN lut l ON l.lqid = q.qid AND l.lsub = k.sub AND l.j = k.code
+        |  GROUP BY 1, 2)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS vid, adist2 FROM (
+        |  SELECT qid, vec_id, adist2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist2, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 3
+        |ORDER BY qid, rank""".stripMargin,
 
     "q_kmeans" ->
       """WITH dims AS (

@@ -21,21 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; with the session-level legacy nanosAsLong conf (set
-    * by GraftSession at build time — a reader must not mutate session
-    * conf) the nanos arrive as long and we rebuild a microsecond
-    * TimestampNTZ (the testdata is µs-precision, so the ns→µs
-    * truncation is lossless). Fails fast with a pointer if the session
-    * wasn't built with the conf. */
+  /** events.ts has shipped in two encodings across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only accepts as a long via the session-level legacy
+    * nanosAsLong conf (set by GraftSession at build time; a reader must
+    * not mutate session conf) — and plain TIMESTAMP(MICROS). Normalize
+    * both to a microsecond TimestampNTZ from the footer schema actually
+    * read (ns→µs truncation is lossless, the data is µs-precision).
+    * Fails fast with a pointer if nanos arrive without the conf. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session via graft.GraftSession " +
-        "(or set spark.sql.legacy.parquet.nanosAsLong=true at session build) before reading events")
-    table(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "events.parquet is TIMESTAMP(NANOS): build the session via graft.GraftSession " +
+            "(or set spark.sql.legacy.parquet.nanosAsLong=true at session build) before reading events")
+        raw.withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

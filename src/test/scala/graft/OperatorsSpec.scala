@@ -505,6 +505,82 @@ class OperatorsSpec extends SparkTestBase {
       rangeNaive.except(rangeFast).count() === 0)
   }
 
+  test("PrefixSum.runningMaxExclusive equals the naive exclusive window, including nulls") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
+    // unique order key per part (the helper's contract); skewed: one
+    // part holds 3000 of 3010 rows
+    val df = spark.range(3010)
+      .select(when(col("id") < 3000, lit("big")).otherwise(lit("tiny")).as("part"),
+        col("id").as("k"), pmod(col("id") * 104729L, lit(997L)).as("v"))
+    val naive = df.withColumn("m", max(col("v")).over(
+        Window.partitionBy("part").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("part", "k", "m")
+    val fast = PrefixSum.runningMaxExclusive(df, Seq("part"), Seq(col("k")),
+        col("v"), PrefixSum.rangeBucket(col("k"), lit(0L), lit(3009L), 32), "m")
+      .select("part", "k", "m")
+    // except() treats null = null, so the two leading-null rows compare
+    assert(fast.count() === 3010)
+    assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
+      "two-phase exclusive prefix max must equal the naive window")
+  }
+
+  test("q_cooccur: lead-window pairs equal the positional self-join form") {
+    import org.apache.spark.sql.expressions.Window
+    val sfd = "/root/testdata/sf0.001"
+    val toks = graft.sources.Tables.documents(spark, sfd)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
+      .filter(col("tk") =!= "")
+      .withColumn("rp", row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val a = toks.select(col("doc_id"), col("rp").as("pa"), col("tk").as("ta"))
+    val b = toks.select(col("doc_id"), col("rp").as("pb"), col("tk").as("tb"))
+    val joined = a.join(b, Seq("doc_id"))
+      .filter(col("pb") - col("pa") === 1 || col("pb") - col("pa") === 2)
+      .select(least(col("ta"), col("tb")).as("t1"),
+        greatest(col("ta"), col("tb")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+    val got = SparkEntry.queries("q_cooccur")(spark, sfd)
+    assert(got.except(joined).count() === 0 && joined.except(got).count() === 0,
+      "lead-window co-occurrence must equal the positional self-join")
+  }
+
+  test("q_skyline matches the quadratic dominance definition") {
+    val sf01 = "/root/testdata/sf0.01"
+    val base = graft.sources.Tables.orders(spark, sf01)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spent_c"),
+        count(lit(1)).as("n_orders"))
+      .localCheckpoint()
+    val dom = base.select(col("spent_c").as("qx"), col("n_orders").as("qy"))
+    val brute = base.join(dom,
+        col("qx") >= col("spent_c") && col("qy") >= col("n_orders") &&
+          (col("qx") > col("spent_c") || col("qy") > col("n_orders")),
+        "left_anti")
+      .select("o_custkey", "spent_c", "n_orders")
+    val sky = SparkEntry.queries("q_skyline")(spark, sf01)
+    assert(sky.count() > 0)
+    assert(sky.except(brute).count() === 0 && brute.except(sky).count() === 0,
+      "prefix-max skyline must equal the O(n²) NOT-EXISTS definition")
+  }
+
+  test("q_ivfpq_topk: ADC ranking is sound — 3 per query, codes from the shared trainer") {
+    val sf01 = "/root/testdata/sf0.01"
+    val res = SparkEntry.queries("q_ivfpq_topk")(spark, sf01).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)), s"q$q ranks")
+      // ADC distances are nonneg, monotone with rank, never self
+      val sorted = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(sorted.head >= 0 && sorted.zip(sorted.tail).forall(p => p._1 <= p._2))
+      assert(!rows.map(_.getLong(2)).contains(q), s"q$q returned itself")
+    }
+  }
+
   test("dbscan roles and cluster labels match a driver-side model") {
     // the same quantization as the query: BigDecimal HALF_UP == Spark round()
     def quant(x: Float): Double =

@@ -226,6 +226,42 @@ class PlanSpec extends SparkTestBase {
       }
   }
 
+  test("q_skyline: dominance via two-phase prefix max — keyless windows only over aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = SparkEntry.queries("q_skyline")(spark, sf).queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    // the bucketed local-scan window exists (runningMaxExclusive's _pmb)
+    assert(wins.exists(_.partitionSpec.exists(
+        _.references.exists(_.name.startsWith("_pmb")))),
+      "missing the bucket-keyed local prefix-max window")
+    // any keyless window (the per-bucket offsets scan) must sit above
+    // an aggregate — never the raw per-customer data
+    wins.foreach { w =>
+      if (w.partitionSpec.isEmpty)
+        assert(w.find {
+            case _: BaseAggregateExec => true
+            case _ => false
+          }.isDefined, s"a keyless window runs over unaggregated data:\n$w")
+    }
+  }
+
+  test("q_ivfpq_topk: codebook, LUT, and probe sides broadcast — no shuffle join on small sides") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val sp = SparkEntry.queries("q_ivfpq_topk")(spark, sf).queryExecution.sparkPlan
+    val bhj = sp.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 4,
+      s"coarse/codebook/LUT/probe joins should all broadcast, got ${bhj.size}")
+    val smj = sp.collect { case j: SortMergeJoinExec => j }
+    // sort-merge is legitimate only for the big⋈big joins — all keyed
+    // on vec_id (training update, probe codes⋈cells); the codebook /
+    // LUT / query-cell sides must never fall out of broadcast
+    smj.foreach { j =>
+      assert(j.leftKeys.forall(_.references.forall(_.name.startsWith("vec_id"))),
+        s"sort-merge join on a non-vec_id key (a small side lost its broadcast):\n$j")
+    }
+  }
+
   test("snapshot DSv2 scan: filters push and columns prune through the connector scan node") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
