@@ -1122,6 +1122,28 @@ object RelQueries {
           (col("sfx").isNull || col("n_orders") > col("sfx")))
         .select(col("o_custkey"), col("spent_c"), col("n_orders"))
         .orderBy("o_custkey")
+    }),
+
+    // E9/E12 EQUI-DEPTH DISCRETIZATION: 4 quantile bins over order value
+    // by exact distributed rank — feature bucketization without
+    // engine-specific percentile interpolation (bin = (rank−1)·k div n,
+    // deterministic down to the orderkey tiebreak). The rank is the
+    // two-phase distributed row number (PrefixSum over a value-range
+    // bucketing): a global total order with NO single-task sort, so the
+    // discretizer survives a 100 TB fact table.
+    "q_quantile_bins" -> ((s, d) => {
+      import graft.operators.PrefixSum
+      val base = orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      val gb = broadcast(base.agg(min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("n")))
+      PrefixSum.rowNumber(base.crossJoin(gb), Seq.empty,
+          Seq(col("cents"), col("o_orderkey")),
+          PrefixSum.rangeBucket(col("cents"), col("lo"), col("hi"), 32), "rn")
+        .withColumn("bin", expr("(rn - 1) * 4 div n"))
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("cents").as("lo_c"), max("cents").as("hi_c"))
+        .orderBy("bin")
     }))
 
   /** 16 unrolled Hilbert xy2d rounds — generated in lockstep with
@@ -1239,6 +1261,20 @@ object RelQueries {
         |  WHERE q.spent_c >= p.spent_c AND q.n_orders >= p.n_orders
         |    AND (q.spent_c > p.spent_c OR q.n_orders > p.n_orders))
         |ORDER BY p.o_custkey""".stripMargin,
+
+    "q_quantile_bins" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM base)
+        |SELECT (rn - 1) * 4 // n AS bin, COUNT(*) AS n_rows,
+        |  MIN(cents) AS lo_c, MAX(cents) AS hi_c
+        |FROM ranked GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_itemset_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

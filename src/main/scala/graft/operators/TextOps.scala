@@ -698,6 +698,58 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // E3 CONTAINMENT similarity (overlap coefficient): |A∩B| /
+    // min(|A|,|B|) — the quote/subset detector that threshold-Jaccard
+    // misses: a short document embedded verbatim in a long one scores
+    // high containment but low Jaccard (the long doc inflates the
+    // union). Rides the family's blocked, df-capped, 60-bit-hashed
+    // inverted index; the only new math is the integral min-size
+    // threshold (10·inter ≥ 3·min ⇔ overlap ≥ 0.3 — zero float in the
+    // filter), so the scale story is q_shingle_jaccard's.
+    "q_containment" -> ((s, d) => {
+      val shingled = documents(s, d).select(col("source"), col("doc_id"),
+        array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)).as("shingles"))
+      val inv = shingled
+        .select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
+        .select(col("source"), col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("long").as("shingle_h"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
+        .filter(col("df") <= 64)
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = inv.select(col("source"), col("shingle_h"), col("doc_id").as("d1"))
+      val b = inv.select(col("source"), col("shingle_h"), col("doc_id").as("d2"))
+      a.join(b, Seq("source", "shingle_h")).filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+        .filter(col("inter") * 10 >= least(col("sz1"), col("sz2")) * 3)
+        .withColumn("overlap_micro", expr("inter * 1000000 div least(sz1, sz2)"))
+        .select("d1", "d2", "inter", "sz1", "sz2", "overlap_micro")
+        .orderBy("d1", "d2")
+    }),
+
+    // E12 MARKUP STRIPPING: tag removal + entity unescape + whitespace
+    // squeeze — the first stage of any web-corpus pipeline. The corpus
+    // ships plain text, so the raw HTML is synthesized deterministically
+    // around it (the q_convert_speed precedent: oracle recomputes the
+    // same synthesis) and the round-trip back to the original text is
+    // asserted INSIDE the oracle-gated output — a regex-engine
+    // difference in either engine breaks the hash. Pure projection:
+    // codegen'd regexp over one scan, no shuffle at all.
+    "q_strip_markup" -> ((s, d) => {
+      val html = concat(lit("<html><body><p class=\"t\">"),
+        regexp_replace(col("text"), " ", "&nbsp;"),
+        lit("</p><br/></body></html>"))
+      val stripped = regexp_replace(
+        regexp_replace(html, "<[^>]+>", " "), "&nbsp;", " ")
+      val clean = trim(regexp_replace(stripped, " +", " "))
+      documents(s, d)
+        .select(col("doc_id"), length(html).as("html_len"), clean.as("clean"),
+          (clean === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    }),
+
     // PPJoin-style PREFIX-FILTERED exact similarity join (Chaudhuri
     // et al. SSJoin; Xiao et al. PPJoin): the LOSSLESS scale path for
     // threshold-Jaccard joins, complementing the df-capped inverted
@@ -1603,6 +1655,47 @@ object TextOps {
         |JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE i.inter * 5 >= (s1.sz + s2.sz - i.inter) * 4
         |ORDER BY i.d1, i.d2""".stripMargin,
+
+    "q_containment" ->
+      """WITH words AS (
+        |  SELECT source, doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh_all AS (
+        |  SELECT DISTINCT source, doc_id,
+        |    CAST(('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2]), 1, 15)) AS BIGINT)
+        |      AS shingle_h
+        |  FROM words, generate_series(1, 1000) g(i) WHERE g.i <= len(ws) - 2),
+        |sh AS (
+        |  SELECT source, doc_id, shingle_h FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle_h) AS df FROM sh_all)
+        |  WHERE df <= 64),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.shingle_h = b.shingle_h
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.d1, p.d2, p.inter, s1.sz AS sz1, s2.sz AS sz2,
+        |  p.inter * 1000000 // LEAST(s1.sz, s2.sz) AS overlap_micro
+        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+        |WHERE p.inter * 10 >= 3 * LEAST(s1.sz, s2.sz)
+        |ORDER BY p.d1, p.d2""".stripMargin,
+
+    "q_strip_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><body><p class="t">' || replace(text, ' ', '&nbsp;') ||
+        |      '</p><br/></body></html>' AS html
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, text, html,
+        |    trim(regexp_replace(
+        |      replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '&nbsp;', ' '),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, CAST(length(html) AS INTEGER) AS html_len, clean,
+        |  clean = text AS roundtrip
+        |FROM st ORDER BY doc_id""".stripMargin,
 
     "q_shingle_jaccard" ->
       """WITH words AS (

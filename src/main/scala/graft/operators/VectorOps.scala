@@ -542,6 +542,44 @@ object VectorOps {
         .orderBy("qid", "rank")
     }),
 
+    // E4 measure-don't-guess for the IVF-PQ leg: recall@3 against the
+    // exact integral-L2 brute force over the same quantized space (the
+    // q_ann_recall pattern). Both legs are deterministic integer
+    // pipelines, so the metric itself is oracle-gated — and the oracle
+    // reuses the SAME CTE text as q_ivfpq_topk's, so the two can never
+    // drift. The exact leg broadcasts the 5 query vectors (bounded by
+    // the probe set, not the corpus). Expect LOW recall here by the
+    // data's nature, not a bug: the synthetic embeddings are iid
+    // random, so distances concentrate (the q_dbscan note) and a 4×4
+    // codebook at nprobe=1 has little signal to preserve — which is
+    // exactly what a self-evaluating metric is for.
+    "q_ivfpq_recall" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val qd = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("dim"), col("qv").as("qqv"))
+      val exact = dims.join(broadcast(qd), Seq("dim"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum((col("qv") - col("qqv")) * (col("qv") - col("qqv"))).as("dist2"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      val approx = queries("q_ivfpq_topk")(s, d)
+        .select(col("qid").as("aqid"), col("vid").as("avid"))
+      val hits = exact.join(approx,
+          col("qid") === col("aqid") && col("vec_id") === col("avid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      exact.select("qid").distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_micro", expr("hits * 1000000 div 3"))
+        .orderBy("qid")
+    }),
+
     // E4/E14 RANDOM PROJECTION (Johnson-Lindenstrauss): 64-dim
     // embeddings compressed to 16 dims through a deterministic ±1 sign
     // matrix (md5 parity of "rp|p|dim") — the zero-training
@@ -681,6 +719,69 @@ object VectorOps {
         .orderBy("vec_id")
     }))
 
+  /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
+    * (qid, vec_id, adist2) — shared by the top-k oracle and the
+    * self-evaluating recall oracle so the two can never drift. */
+  private val ivfpqCte =
+    """WITH dims AS (
+      |  SELECT vec_id, (d - 1) // 16 AS sub, d AS dim,
+      |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |coarse AS (SELECT vec_id AS ccid, dim AS ccd, qv AS ccval
+      |           FROM dims WHERE vec_id < 8),
+      |cellsd AS (
+      |  SELECT dims.vec_id, coarse.ccid,
+      |    SUM((dims.qv - coarse.ccval) * (dims.qv - coarse.ccval)) AS cdist2
+      |  FROM dims JOIN coarse ON dims.dim = coarse.ccd
+      |  GROUP BY dims.vec_id, coarse.ccid),
+      |cells AS (SELECT vec_id, ccid AS cell FROM (
+      |  SELECT vec_id, ccid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist2, ccid) AS rn
+      |  FROM cellsd) WHERE rn = 1),
+      |c0 AS (SELECT sub AS csub, vec_id AS j, dim AS cd, qv AS cval
+      |       FROM dims WHERE vec_id < 4),
+      |a1d AS (
+      |  SELECT dims.vec_id, dims.sub, c0.j,
+      |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
+      |  FROM dims JOIN c0 ON dims.sub = c0.csub AND dims.dim = c0.cd
+      |  GROUP BY dims.vec_id, dims.sub, c0.j),
+      |a1 AS (SELECT vec_id, sub, j AS code FROM (
+      |         SELECT vec_id, sub, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+      |         FROM a1d) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT a1.sub AS usub, a1.code AS j2, dims.dim AS cd2,
+      |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
+      |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id AND dims.sub = a1.sub
+      |  GROUP BY a1.sub, a1.code, dims.dim),
+      |c1 AS (SELECT c0.csub, c0.j, c0.cd, COALESCE(u1.nval, c0.cval) AS cval
+      |       FROM c0 LEFT JOIN u1
+      |       ON u1.usub = c0.csub AND u1.j2 = c0.j AND u1.cd2 = c0.cd),
+      |a2d AS (
+      |  SELECT dims.vec_id, dims.sub, c1.j,
+      |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
+      |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
+      |  GROUP BY dims.vec_id, dims.sub, c1.j),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, j AS code,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
+      |  FROM a2d) WHERE rn = 1),
+      |lut AS (
+      |  SELECT dims.vec_id AS lqid, dims.sub AS lsub, c1.j,
+      |    CAST(SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS BIGINT) AS pd2
+      |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
+      |  WHERE dims.vec_id < 5
+      |  GROUP BY 1, 2, 3),
+      |qcells AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist2
+      |  FROM cells c JOIN qcells q ON c.cell = q.cell AND c.vec_id <> q.qid
+      |  JOIN codes k ON k.vec_id = c.vec_id
+      |  JOIN lut l ON l.lqid = q.qid AND l.lsub = k.sub AND l.j = k.code
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the same quantize → exact pair distance → degree/core →
     // min-label components → border adoption pipeline, with the
@@ -778,70 +879,43 @@ object VectorOps {
 
     // q_pq_codes' trainer CTEs + coarse cells + ADC lookup + ranking —
     // every stage exact integer arithmetic, zero float slack
-    "q_ivfpq_topk" ->
-      """WITH dims AS (
-        |  SELECT vec_id, (d - 1) // 16 AS sub, d AS dim,
-        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
-        |  FROM (SELECT vec_id, unnest(embedding) AS v,
-        |          generate_subscripts(embedding, 1) AS d
-        |        FROM embeddings)),
-        |coarse AS (SELECT vec_id AS ccid, dim AS ccd, qv AS ccval
-        |           FROM dims WHERE vec_id < 8),
-        |cellsd AS (
-        |  SELECT dims.vec_id, coarse.ccid,
-        |    SUM((dims.qv - coarse.ccval) * (dims.qv - coarse.ccval)) AS cdist2
-        |  FROM dims JOIN coarse ON dims.dim = coarse.ccd
-        |  GROUP BY dims.vec_id, coarse.ccid),
-        |cells AS (SELECT vec_id, ccid AS cell FROM (
-        |  SELECT vec_id, ccid,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist2, ccid) AS rn
-        |  FROM cellsd) WHERE rn = 1),
-        |c0 AS (SELECT sub AS csub, vec_id AS j, dim AS cd, qv AS cval
-        |       FROM dims WHERE vec_id < 4),
-        |a1d AS (
-        |  SELECT dims.vec_id, dims.sub, c0.j,
-        |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
-        |  FROM dims JOIN c0 ON dims.sub = c0.csub AND dims.dim = c0.cd
-        |  GROUP BY dims.vec_id, dims.sub, c0.j),
-        |a1 AS (SELECT vec_id, sub, j AS code FROM (
-        |         SELECT vec_id, sub, j,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
-        |         FROM a1d) WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a1.sub AS usub, a1.code AS j2, dims.dim AS cd2,
-        |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
-        |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id AND dims.sub = a1.sub
-        |  GROUP BY a1.sub, a1.code, dims.dim),
-        |c1 AS (SELECT c0.csub, c0.j, c0.cd, COALESCE(u1.nval, c0.cval) AS cval
-        |       FROM c0 LEFT JOIN u1
-        |       ON u1.usub = c0.csub AND u1.j2 = c0.j AND u1.cd2 = c0.cd),
-        |a2d AS (
-        |  SELECT dims.vec_id, dims.sub, c1.j,
-        |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
-        |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
-        |  GROUP BY dims.vec_id, dims.sub, c1.j),
-        |codes AS (SELECT vec_id, sub, code FROM (
-        |  SELECT vec_id, sub, j AS code,
-        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, j) AS rn
-        |  FROM a2d) WHERE rn = 1),
-        |lut AS (
-        |  SELECT dims.vec_id AS lqid, dims.sub AS lsub, c1.j,
-        |    CAST(SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS BIGINT) AS pd2
-        |  FROM dims JOIN c1 ON dims.sub = c1.csub AND dims.dim = c1.cd
-        |  WHERE dims.vec_id < 5
-        |  GROUP BY 1, 2, 3),
-        |qcells AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.qid, c.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adist2
-        |  FROM cells c JOIN qcells q ON c.cell = q.cell AND c.vec_id <> q.qid
-        |  JOIN codes k ON k.vec_id = c.vec_id
-        |  JOIN lut l ON l.lqid = q.qid AND l.lsub = k.sub AND l.j = k.code
-        |  GROUP BY 1, 2)
+    "q_ivfpq_topk" -> (ivfpqCte +
+      """
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS vid, adist2 FROM (
         |  SELECT qid, vec_id, adist2,
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist2, vec_id) AS rank
         |  FROM scored) WHERE rank <= 3
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin),
+
+    // the ADC leg via the shared CTE + an exact integral-L2 leg; recall
+    // = |approx top-3 ∩ exact top-3| per query, in integer micro-units
+    "q_ivfpq_recall" -> (ivfpqCte +
+      """,
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist2, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 3),
+        |exd AS (
+        |  SELECT q.vec_id AS qid, v.vec_id,
+        |    SUM((v.qv - q.qv) * (v.qv - q.qv)) AS dist2
+        |  FROM dims v JOIN dims q ON v.dim = q.dim AND q.vec_id < 5
+        |  WHERE v.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, vec_id) AS rank
+        |    FROM exd) WHERE rank <= 3),
+        |hits AS (
+        |  SELECT e.qid, COUNT(*) AS hits
+        |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+        |  GROUP BY 1)
+        |SELECT q.qid, COALESCE(h.hits, 0) AS hits,
+        |  COALESCE(h.hits, 0) * 1000000 // 3 AS recall_micro
+        |FROM (SELECT DISTINCT qid FROM exact) q
+        |LEFT JOIN hits h ON q.qid = h.qid
+        |ORDER BY q.qid""".stripMargin),
 
     "q_kmeans" ->
       """WITH dims AS (
