@@ -133,6 +133,57 @@ object TextOps {
           .cast("long").as("th"))
       .localCheckpoint()
 
+  /** df-capped, 60-bit-hashed word-3-gram shingle inverted index —
+    * the shared feature space of q_shingle_jaccard and q_containment.
+    *
+    * - 3-grams via the codegen'd graft_ngrams expression — one tight
+    *   generated loop per row. (History of this hot path: transform +
+    *   element_at re-evaluated the split per ELEMENT, 17 s at sf0.1;
+    *   the zip_with-shifted-slices chain fixed that but HOFs stay
+    *   interpreted, ~1.1 s of pure construction; NGrams compiles it.)
+    * - Document-frequency cap 64: a shingle shared by df docs
+    *   contributes df·(df−1)/2 pair rows to the self-join —
+    *   boilerplate shingles (headers, licence blocks) make that
+    *   quadratic per hot key at 100 TB. Dropping df > cap bounds every
+    *   key's fan-out at cap²/2 AND is semantically standard (hot
+    *   shingles carry no near-dup signal); both consumers recount
+    *   sizes post-filter, mirrored exactly in their oracles. cap ≫
+    *   observed max df at test scales, so test output is unchanged.
+    * - 60-bit md5 hash key, not the ~25-byte string: the index is
+    *   shuffled and sorted three times (df window, self-join both
+    *   sides) and the 8-byte key halves that volume; collisions
+    *   negligible in 2^60 and the oracles apply the SAME hash.
+    * - df as a count window over (source, shingle): one shuffle+sort
+    *   of the index, after which the filter is free (a hash-agg df
+    *   table joined back was measured ~2× slower at sf0.1 — the join
+    *   re-materializes the exploded index where the window reuses its
+    *   own sorted exchange).
+    *
+    * MEMOIZED per (session, dir) like GraphOps' cluster labels (same
+    * soundness: deterministic derivation over an immutable snapshot
+    * directory; localCheckpoint, session lifetime) — the two consumers
+    * pay the explode+hash+window once between them. */
+  private[graft] def shingleIndexPlan(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)))
+          .as("shingle"))
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("shingle_h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
+      .filter(col("df") <= 64)
+
+  private val shingleIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleIdxCache.getOrElseUpdate((s, d), shingleIndexPlan(s, d).localCheckpoint())
+
+  /** Drop memoized indexes — measurement harnesses (ScaleRehearsal)
+    * call this so a timed run can't silently hit the cache. */
+  private[graft] def clearMemos(): Unit = shingleIdxCache.clear()
+
   /** LOSSLESS PPJoin candidate generation (Chaudhuri et al. SSJoin;
     * Xiao et al. PPJoin) over a [[hashedTokenIndex]]: distinct
     * `(source, d1, d2)` pairs that can possibly reach the (rounded)
@@ -635,44 +686,7 @@ object TextOps {
     // blocker, but this synthetic corpus's tiny vocab makes shingles
     // collide corpus-wide, so the block bounds the pair space.
     "q_shingle_jaccard" -> ((s, d) => {
-      // 3-grams via the codegen'd graft_ngrams expression — one tight
-      // generated loop per row. (History of this hot path: transform +
-      // element_at re-evaluated the split per ELEMENT, 17s at sf0.1;
-      // the zip_with-shifted-slices chain fixed that but HOFs stay
-      // interpreted, ~1.1s of pure construction; NGrams compiles it.)
-      val words = wordsOf
-      val shingled = documents(s, d).select(col("source"), col("doc_id"),
-        array_distinct(graft.functions.NGrams.ngrams(words, 3)).as("shingles"))
-      // Document-frequency cap: a shingle shared by df docs contributes
-      // df·(df-1)/2 pair rows to the self-join — boilerplate shingles
-      // (headers, licence blocks) make that quadratic per hot key at
-      // 100 TB. Dropping shingles with df > cap bounds every key's fan-out
-      // at cap²/2 AND is semantically standard (hot shingles carry no
-      // near-dup signal). Jaccard is then computed over the capped
-      // feature space (sizes recounted post-filter), mirrored exactly in
-      // the DuckDB oracle. cap=64 ≫ the observed max df at test scales
-      // (3 at sf0.01, 6 at sf0.1), so test output is unchanged.
-      val dfCap = 64
-      // Join on a 60-bit md5-derived shingle HASH, not the ~25-byte
-      // shingle string: the inverted index is shuffled and sorted three
-      // times (df window, self-join both sides), and an 8-byte long key
-      // roughly halves that volume and makes every comparison a single
-      // integer op. 490k shingles in a 2^60 space make collisions
-      // negligible — and the oracle applies the SAME hash, so both
-      // engines see the identical feature space either way.
-      val invAll = shingled
-        .select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("source"), col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-            .cast("long").as("shingle_h"))
-      // df computed as a count window over (source, shingle): one
-      // shuffle+sort of the index, after which the filter is free.
-      // (A hash-agg df table + equi-join back was tried and measured
-      // ~2x slower at sf0.1 — the join re-materializes the exploded
-      // index where the window reuses its own sorted exchange.)
-      val inv = invAll
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
-        .filter(col("df") <= dfCap)
+      val inv = shingleIndex(s, d)
       val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // Pair generation through the skew-aware self-join: keys the cap
       // KEEPS but whose df exceeds the salt threshold have their
@@ -707,15 +721,7 @@ object TextOps {
     // threshold (10·inter ≥ 3·min ⇔ overlap ≥ 0.3 — zero float in the
     // filter), so the scale story is q_shingle_jaccard's.
     "q_containment" -> ((s, d) => {
-      val shingled = documents(s, d).select(col("source"), col("doc_id"),
-        array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)).as("shingles"))
-      val inv = shingled
-        .select(col("source"), col("doc_id"), explode(col("shingles")).as("shingle"))
-        .select(col("source"), col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-            .cast("long").as("shingle_h"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("source", "shingle_h")))
-        .filter(col("df") <= 64)
+      val inv = shingleIndex(s, d)
       val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = inv.select(col("source"), col("shingle_h"), col("doc_id").as("d1"))
       val b = inv.select(col("source"), col("shingle_h"), col("doc_id").as("d2"))

@@ -56,6 +56,17 @@ object ScaleRehearsal {
     "q_outlier_mad" -> Seq("orders"),
     "q_dbscan" -> Seq("embeddings"),
     "q_epoch_shuffle" -> Seq("documents"),
+    // round-6 additions: the prefix-max/rank family over orders (the
+    // skyline's frontier and the discretizer's global rank both scale
+    // ×N), the windowed/joined text shapes, and the IVF-PQ index build
+    // (probe set fixed at copy-0's 5 queries, corpus ×N — measures
+    // index construction + a ×N/8 probed cell)
+    "q_skyline" -> Seq("orders"),
+    "q_quantile_bins" -> Seq("orders"),
+    "q_cooccur" -> Seq("documents"),
+    "q_winsorize" -> Seq("documents"),
+    "q_containment" -> Seq("documents"),
+    "q_ivfpq_topk" -> Seq("embeddings"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -117,6 +128,7 @@ object ScaleRehearsal {
       // the exponent to a meaningless 2.25
       graft.analytics.RelQueries.clearMemos()
       graft.operators.GraphOps.clearMemos()
+      graft.operators.TextOps.clearMemos()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
