@@ -195,6 +195,34 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // E12 NULL IMPUTATION: per-source exact-median fill of a numeric
+    // feature — the cleaning pass before any training join. The corpus
+    // ships no nulls, so they are synthesized deterministically
+    // (doc_id % 7 == 0; the q_convert_speed raw-column precedent — the
+    // oracle recomputes the same rule) and the fill value is the EXACT
+    // per-source lower median of surviving lengths via the distributed
+    // two-phase rank (no single-task sort, no percentile-interpolation
+    // ambiguity). Fill table is O(sources), broadcast back.
+    "q_impute" -> ((s, d) => {
+      val base = documents(s, d).select(col("source"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(null))
+          .otherwise(col("n_chars")).cast("long").as("len"))
+      val present = base.filter(col("len").isNotNull)
+      val gb = broadcast(present.agg(min("len").as("glo"), max("len").as("ghi")))
+      val ranked = PrefixSum.rowNumber(present.crossJoin(gb), Seq("source"),
+        Seq(col("len"), col("doc_id")),
+        PrefixSum.rangeBucket(col("len"), col("glo"), col("ghi"), 32), "rn")
+      val counts = present.groupBy("source").agg(count(lit(1)).as("n"))
+      val med = ranked.join(broadcast(counts), "source")
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("source"), col("len").as("med"))
+      base.join(broadcast(med), "source")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("len"), col("med")).as("len_filled"),
+          col("len").isNull.as("was_null"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Corpus profile: the per-source dashboard row a curation run
     // starts and ends with — doc/token/vocabulary counts, exact-dup
     // count via content fingerprints, mean length in integer
@@ -399,6 +427,25 @@ object CorpusOps {
         |  MIN(c.p10) AS p10, MAX(c.p90) AS p90
         |FROM base b JOIN cuts c USING (source)
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_impute" ->
+      """WITH base AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE CAST(n_chars AS BIGINT) END AS len
+        |  FROM documents),
+        |present AS (SELECT * FROM base WHERE len IS NOT NULL),
+        |ranked AS (
+        |  SELECT source, len,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM present),
+        |med AS (SELECT source, len AS med FROM ranked WHERE rn = (n + 1) // 2)
+        |SELECT b.source, b.doc_id,
+        |  COALESCE(b.len, m.med) AS len_filled,
+        |  b.len IS NULL AS was_null
+        |FROM base b JOIN med m ON b.source = m.source
+        |ORDER BY b.source, b.doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH perdoc AS (

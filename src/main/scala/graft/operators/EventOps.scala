@@ -84,6 +84,26 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // E8/E10 TRAINING-SEQUENCE construction: per-user chronological
+    // event-type sequences truncated to the LAST 8 events — the input
+    // shape sequence models (next-event prediction, session
+    // embeddings) train on. One user-keyed shuffle; per-user state is
+    // bounded by the truncation, so the collect_list never holds an
+    // unbounded history (and at lake scale the same shape runs
+    // incrementally as flatMapGroupsWithState). event_id tiebreak
+    // makes the order total, hence cross-engine exact.
+    "q_user_sequences" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))).as("evs"))
+        .select(col("user_id"), col("n_events"),
+          concat_ws(">", expr(
+            "transform(slice(evs, greatest(1, size(evs) - 7), 8), e -> e.event_type)"))
+            .as("seq"))
+        .orderBy("user_id")),
+
     // ORDERED FUNNEL analysis: users progressing view → click →
     // purchase, each stage strictly AFTER the previous stage's first
     // event for that user — the classic product-analytics query, which
@@ -451,6 +471,15 @@ object EventOps {
         |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
         |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6) AS intercept
         |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_user_sequences" ->
+      """WITH seqs AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(event_type ORDER BY ts, event_id) AS evs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  array_to_string(list_slice(evs, GREATEST(1, len(evs) - 7), len(evs)), '>') AS seq
+        |FROM seqs ORDER BY user_id""".stripMargin,
 
     "q_event_funnel" ->
       """WITH ta AS (

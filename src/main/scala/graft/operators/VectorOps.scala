@@ -542,6 +542,30 @@ object VectorOps {
         .orderBy("qid", "rank")
     }),
 
+    // E4 RETRIEVAL EVAL (mean-reciprocal-rank leg): for each probe
+    // vector, the reciprocal rank of the first top-k neighbor sharing
+    // the probe's label — the relevance-judged eval loop a retrieval
+    // index ships with (labels are the judgment proxy). Composes the
+    // catalog's own exact top-k (referenced, not re-implemented), so
+    // the metric rides that query's oracle; reciprocal rank in integer
+    // micro-units (1e6 div rank), 0 = no relevant hit in the top-k.
+    "q_mrr" -> ((s, d) => {
+      val topk = queries("q_cosine_topk")(s, d).select("qid", "rank", "vid")
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val hit = topk
+        .join(broadcast(lab.select(col("vec_id").as("qid"), col("label").as("qlab"))), "qid")
+        .join(broadcast(lab.select(col("vec_id").as("vid"), col("label").as("vlab"))), "vid")
+        .filter(col("qlab") === col("vlab"))
+        .groupBy("qid").agg(min(col("rank")).as("first_hit"))
+      topk.select("qid").distinct()
+        .join(hit, Seq("qid"), "left")
+        .withColumn("first_hit", coalesce(col("first_hit"), lit(0L)))
+        .withColumn("rr_micro",
+          coalesce(expr("1000000 div nullif(first_hit, 0)"), lit(0L)))
+        .select("qid", "first_hit", "rr_micro")
+        .orderBy("qid")
+    }),
+
     // E4 measure-don't-guess for the IVF-PQ leg: recall@3 against the
     // exact integral-L2 brute force over the same quantized space (the
     // q_ann_recall pattern). Both legs are deterministic integer
@@ -1193,6 +1217,23 @@ object VectorOps {
          |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_inter,
          |  exact_a, exact_b, exact_inter
          |FROM vals""".stripMargin,
+
+    "q_mrr" ->
+      s"""WITH topk AS ($cosineTopkOracle),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |hit AS (
+         |  SELECT t.qid, MIN(t.rank) AS first_hit
+         |  FROM topk t
+         |  JOIN lab ql ON ql.vec_id = t.qid
+         |  JOIN lab vl ON vl.vec_id = t.vid
+         |  WHERE ql.label = vl.label
+         |  GROUP BY t.qid)
+         |SELECT q.qid, CAST(COALESCE(h.first_hit, 0) AS BIGINT) AS first_hit,
+         |  CAST(CASE WHEN h.first_hit IS NULL THEN 0
+         |       ELSE 1000000 // h.first_hit END AS BIGINT) AS rr_micro
+         |FROM (SELECT DISTINCT qid FROM topk) q
+         |LEFT JOIN hit h ON q.qid = h.qid
+         |ORDER BY q.qid""".stripMargin,
 
     // recall@3 of the IVF leg against the exact leg — both embedded
     // verbatim as CTEs, so the metric's oracle can never drift from
