@@ -195,6 +195,32 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // E10 CLASS-BALANCED OVERSAMPLING: every label upsampled to the
+    // majority count by whole-row repetition — the imbalance fix
+    // before classifier training. Copy `rep` of a row survives iff
+    // (rep−1)·n_label + rank ≤ target, where rank is the DISTRIBUTED
+    // per-label md5 row number (two-phase scan — labels are coarse
+    // keys, exactly the straggler shape the scan removes): every label
+    // lands on exactly `target` rows, the draw is deterministic and
+    // hash-unbiased, and the repetition factor rides a broadcast
+    // O(labels) plan table — the corpus is scanned once.
+    "q_class_balance" -> ((s, d) => {
+      val base = embeddings(s, d).select(col("vec_id"), col("label"))
+      val counts = base.groupBy("label").agg(count(lit(1)).as("n_l"))
+      val planned = counts
+        .crossJoin(broadcast(counts.agg(max(col("n_l")).as("target"))))
+        .withColumn("factor", expr("(target + n_l - 1) div n_l"))
+      val withH = base.withColumn("h", md5(col("vec_id").cast("string")))
+      val ranked = PrefixSum.rowNumber(withH, Seq("label"),
+        Seq(col("h"), col("vec_id")), PrefixSum.hexBucket(col("h")), "rk")
+      ranked.join(broadcast(planned), "label")
+        .select(col("label"), col("vec_id"), col("rk"), col("n_l"), col("target"),
+          explode(sequence(lit(1L), col("factor"))).as("rep"))
+        .filter((col("rep") - 1) * col("n_l") + col("rk") <= col("target"))
+        .select(col("label"), col("vec_id"), col("rep"))
+        .orderBy("label", "vec_id", "rep")
+    }),
+
     // E12 NULL IMPUTATION: per-source exact-median fill of a numeric
     // feature — the cleaning pass before any training join. The corpus
     // ships no nulls, so they are synthesized deterministically
@@ -427,6 +453,24 @@ object CorpusOps {
         |  MIN(c.p10) AS p10, MAX(c.p90) AS p90
         |FROM base b JOIN cuts c USING (source)
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_class_balance" ->
+      """WITH base AS (SELECT vec_id, label FROM embeddings),
+        |counts AS (SELECT label, COUNT(*) AS n_l FROM base GROUP BY 1),
+        |t AS (SELECT MAX(n_l) AS target FROM counts),
+        |ranked AS (
+        |  SELECT vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM base),
+        |reps AS (
+        |  SELECT r.label, r.vec_id, r.rk, c.n_l, t.target, g.rep
+        |  FROM ranked r JOIN counts c USING (label), t,
+        |    LATERAL (SELECT unnest(range(1,
+        |      CAST((t.target + c.n_l - 1) // c.n_l AS BIGINT) + 1)) AS rep) g)
+        |SELECT label, vec_id, CAST(rep AS BIGINT) AS rep
+        |FROM reps WHERE (rep - 1) * n_l + rk <= target
+        |ORDER BY label, vec_id, rep""".stripMargin,
 
     "q_impute" ->
       """WITH base AS (

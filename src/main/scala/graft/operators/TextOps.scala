@@ -449,6 +449,26 @@ object TextOps {
           (col("guess") === col("lang")).as("hit"))
         .orderBy("doc_id")),
 
+    // E5 SELF-EVALUATING language-ID: the confusion matrix of the
+    // heuristic classifier against the corpus's lang column, with
+    // per-class precision/recall in integral ppm on the diagonal —
+    // the measure-don't-guess loop (q_ann_recall's pattern) applied
+    // to the text family. Composes the catalog's own q_lang_id; two
+    // tiny hash-aggs + broadcast margins, O(classes²) output.
+    "q_langid_eval" -> ((s, d) => {
+      val conf = queries("q_lang_id")(s, d)
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+      val byGuess = conf.groupBy("guess").agg(sum("n").as("n_pred"))
+      val byLang = conf.groupBy("lang").agg(sum("n").as("n_true"))
+      conf.join(broadcast(byGuess), "guess").join(broadcast(byLang), "lang")
+        .withColumn("prec_ppm",
+          when(col("lang") === col("guess"), expr("n * 1000000 div n_pred")))
+        .withColumn("recall_ppm",
+          when(col("lang") === col("guess"), expr("n * 1000000 div n_true")))
+        .select("lang", "guess", "n", "n_pred", "n_true", "prec_ppm", "recall_ppm")
+        .orderBy("lang", "guess")
+    }),
+
     // E5 UNICODE NFC NORMALIZATION — the canonicalization pass that
     // runs before tokenization/dedup so visually-identical spellings
     // (precomposed U+00E9 vs decomposed e + U+0301) stop hashing as
@@ -1515,6 +1535,23 @@ object TextOps {
         |        WHEN text LIKE '% le %' THEN 'fr'
         |        ELSE 'und' END) = lang AS hit
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_langid_eval" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr'
+        |         ELSE 'und' END AS guess
+        |  FROM documents),
+        |conf AS (SELECT lang, guess, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+        |bg AS (SELECT guess, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY 1)
+        |SELECT c.lang, c.guess, c.n, g.n_pred, l.n_true,
+        |  CASE WHEN c.lang = c.guess THEN c.n * 1000000 // g.n_pred END AS prec_ppm,
+        |  CASE WHEN c.lang = c.guess THEN c.n * 1000000 // l.n_true END AS recall_ppm
+        |FROM conf c JOIN bg g USING (guess) JOIN bl l USING (lang)
+        |ORDER BY c.lang, c.guess""".stripMargin,
 
     // chr() keeps the SQL ASCII: 769 = U+0301 combining acute,
     // 8491 = ANGSTROM SIGN, 65313 = FULLWIDTH A; DuckDB's own

@@ -542,6 +542,31 @@ object VectorOps {
         .orderBy("qid", "rank")
     }),
 
+    // E4 HARD-NEGATIVE MINING for contrastive training: the top-3
+    // most-similar DIFFERENT-label neighbors per probe — the negatives
+    // that actually move an InfoNCE/triplet loss (random negatives are
+    // trivially separable; these sit at the decision boundary). Same
+    // broadcast-probe shape as the exact top-k with the label
+    // inequality filtered BEFORE ranking; at lake scale the probe side
+    // is the training batch (bounded), never the corpus.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", normFast(col("v")))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("v").as("qv"), col("nv").as("nq"))
+      emb.join(broadcast(q), col("vec_id") =!= col("qid") && col("label") =!= col("qlab"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
+          round(col("score"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // E4 RETRIEVAL EVAL (mean-reciprocal-rank leg): for each probe
     // vector, the reciprocal rank of the first top-k neighbor sharing
     // the probe's label — the relevance-judged eval loop a retrieval
@@ -1217,6 +1242,23 @@ object VectorOps {
          |SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_inter,
          |  exact_a, exact_b, exact_inter
          |FROM vals""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlab, v AS qv FROM emb WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS vid,
+        |    (SELECT SUM(q.qv[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i))
+        |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i)))
+        |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i)))) AS score
+        |  FROM emb e, q WHERE e.vec_id <> q.qid AND e.label <> q.qlab),
+        |ranked AS (
+        |  SELECT qid, vid, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid ASC) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q_mrr" ->
       s"""WITH topk AS ($cosineTopkOracle),
