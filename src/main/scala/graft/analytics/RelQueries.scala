@@ -1092,34 +1092,17 @@ object RelQueries {
     }),
 
     // E9 SKYLINE (pareto frontier): customers not dominated on
-    // (total spend, order count) — maximize both. The textbook form is
-    // an O(n²) NOT-EXISTS self-join; this plan is O(n): per-spend max
-    // count, then an EXCLUSIVE suffix max over spend (descending) via
-    // the two-phase distributed prefix scan (PrefixSum) — a customer
-    // survives iff it holds the max order count at its spend level AND
-    // beats every count seen at strictly higher spend. No self-join
-    // and no single-task global window: parallelism = range buckets,
-    // so the dominance test survives a 100 TB fact table. Money in
-    // integer cents keeps the test exact cross-engine.
+    // (total spend, order count) — maximize both, via the O(n)
+    // prefix-max dominance operator (operators/Skyline: per-x max +
+    // exclusive distributed suffix max — no self-join, no single-task
+    // sort; randomized brute-force equivalence in
+    // RandomizedPropertySpec). Money in integer cents keeps the test
+    // exact cross-engine.
     "q_skyline" -> ((s, d) => {
-      import graft.operators.PrefixSum
       val base = orders(s, d).groupBy("o_custkey")
         .agg(sum(cents(col("o_totalprice"))).as("spent_c"),
           count(lit(1)).as("n_orders"))
-      val perX = base.groupBy("spent_c").agg(max(col("n_orders")).as("max_n"))
-      val bounds = broadcast(perX.agg(
-        min(col("spent_c")).as("xlo"), max(col("spent_c")).as("xhi")))
-      // suffix max over spent DESC == exclusive prefix max over -spent ASC;
-      // spent_c is unique in perX, satisfying runningMaxExclusive's
-      // unique-order-key contract
-      val sfx = PrefixSum.runningMaxExclusive(
-          perX.crossJoin(bounds).withColumn("negx", -col("spent_c")),
-          Seq.empty, Seq(col("negx")), col("max_n"),
-          PrefixSum.rangeBucket(col("negx"), -col("xhi"), -col("xlo"), 32), "sfx")
-        .select(col("spent_c"), col("max_n"), col("sfx"))
-      base.join(sfx, "spent_c")
-        .filter(col("n_orders") === col("max_n") &&
-          (col("sfx").isNull || col("n_orders") > col("sfx")))
+      graft.operators.Skyline.pareto2D(base, "spent_c", "n_orders")
         .select(col("o_custkey"), col("spent_c"), col("n_orders"))
         .orderBy("o_custkey")
     }),

@@ -285,6 +285,50 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("runningMaxExclusive equals the naive exclusive window on random inputs") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    Seq(5, 17).foreach { seed =>
+      val rnd = new Random(seed)
+      val nGroups = 1 + rnd.nextInt(5)
+      val rows = Seq.fill(1500 + rnd.nextInt(2000))(
+          (s"g${rnd.nextInt(nGroups)}", rnd.nextLong().abs % 100000L,
+            rnd.nextInt(1000).toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique order key per group
+      val df = rows.toDF("g", "k", "v").repartition(1 + rnd.nextInt(16))
+      val naive = df.withColumn("m", max("v").over(
+          Window.partitionBy("g").orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("g", "k", "m")
+      val fast = PrefixSum.runningMaxExclusive(df, Seq("g"), Seq(col("k")),
+          col("v"), PrefixSum.rangeBucket(col("k"), lit(0L), lit(99999L),
+            1 + rnd.nextInt(64)), "m")
+        .select("g", "k", "m")
+      assert(fast.except(naive).count() === 0 && naive.except(fast).count() === 0,
+        s"seed=$seed groups=$nGroups")
+    }
+  }
+
+  test("Skyline.pareto2D equals the brute-force dominance filter on random point sets") {
+    import graft.operators.Skyline
+    Seq(3, 29).foreach { seed =>
+      val rnd = new Random(seed)
+      // SMALL value ranges force heavy x and y ties — the semantics
+      // edge (equal points are mutually non-dominating, same-x points
+      // dominate strictly on y)
+      val pts = Seq.tabulate(800)(i =>
+        (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val df = pts.toDF("id", "x", "y").repartition(1 + rnd.nextInt(8))
+      val got = Skyline.pareto2D(df, "x", "y", buckets = 1 + rnd.nextInt(16))
+        .select("id").as[Long].collect().toSet
+      val want = pts.filter { case (_, px, py) =>
+        !pts.exists { case (_, qx, qy) =>
+          qx >= px && qy >= py && (qx > px || qy > py) }
+      }.map(_._1).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("sketch error bounds hold across randomized inputs (the no-oracle rows' quantitative gate)") {
     // The two catalog rows without a DuckDB oracle (q_approx_distinct:
     // built-in HLL++ register internals; q_kll_quantiles: arrival-
