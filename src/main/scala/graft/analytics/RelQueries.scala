@@ -959,6 +959,25 @@ object RelQueries {
           graft.sources.Bucketing.zorderKey(col("cell_x"), col("cell_y")))
         .orderBy("zkey", "o_orderkey")),
 
+    // E14 3-D Z-ORDER layout key: (customer, day, price-bucket) mapped
+    // to a 1024³ grid and Morton-interleaved — the layout for probes
+    // that mix entity, time, and magnitude predicates. Projection-only
+    // (no shuffle; the writer sorts by the key); the pure-bitwise
+    // cascade is replicated verbatim in the DuckDB oracle, so a single
+    // wrong mask or shift breaks the hash.
+    "q_zorder3_key" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(1024L)).as("cx"),
+          pmod(datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+            .cast("long"), lit(1024L)).as("cy"),
+          pmod(expr("cast(round(o_totalprice * 100) as bigint) div 100000"),
+            lit(1024L)).as("cz"))
+        .withColumn("zkey3",
+          graft.sources.Bucketing.zorder3Key(col("cx"), col("cy"), col("cz")))
+        .orderBy("zkey3", "o_orderkey")),
+
     // FREQUENT ITEMSET PAIRS (market-basket co-occurrence): which part
     // pairs appear together in the same order? A-priori pruning first:
     // a pair can only clear min-support if BOTH singletons do, so the
@@ -1957,6 +1976,32 @@ object RelQueries {
         |UNION ALL
         |SELECT p_partkey, 'retail' AS metric, retail AS value FROM p
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_zorder3_key" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    o_custkey % 1024 AS cx,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      % 1024 AS cy,
+        |    (CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) % 1024 AS cz
+        |  FROM orders WHERE o_orderkey < 2000),
+        |g0 AS (SELECT o_orderkey, cx, cy, cz,
+        |         cx & 1023 AS a, cy & 1023 AS b, cz & 1023 AS c FROM base),
+        |g1 AS (SELECT o_orderkey, cx, cy, cz,
+        |         (a | (a << 16)) & 50331903 AS a, (b | (b << 16)) & 50331903 AS b,
+        |         (c | (c << 16)) & 50331903 AS c FROM g0),
+        |g2 AS (SELECT o_orderkey, cx, cy, cz,
+        |         (a | (a << 8)) & 50393103 AS a, (b | (b << 8)) & 50393103 AS b,
+        |         (c | (c << 8)) & 50393103 AS c FROM g1),
+        |g3 AS (SELECT o_orderkey, cx, cy, cz,
+        |         (a | (a << 4)) & 51130563 AS a, (b | (b << 4)) & 51130563 AS b,
+        |         (c | (c << 4)) & 51130563 AS c FROM g2),
+        |g4 AS (SELECT o_orderkey, cx, cy, cz,
+        |         (a | (a << 2)) & 153391689 AS a, (b | (b << 2)) & 153391689 AS b,
+        |         (c | (c << 2)) & 153391689 AS c FROM g3)
+        |SELECT o_orderkey, cx, cy, cz,
+        |  CAST(a | (b << 1) | (c << 2) AS BIGINT) AS zkey3
+        |FROM g4 ORDER BY zkey3, o_orderkey""".stripMargin,
 
     "q_zorder_key" ->
       """WITH base AS (

@@ -732,6 +732,39 @@ object TextOps {
         .orderBy("d1", "d2")
     }),
 
+    // E12 EXACT SUBSTRING-DEDUP STATS — the fixed-width token-window
+    // pass of the "deduplicating training data" recipe: every
+    // 10-token window is hashed; a window whose hash appears in MORE
+    // THAN ONE document marks its 10 tokens duplicated, and each doc
+    // reports duplicated-token coverage in integral ppm. Corpus-WIDE
+    // (boilerplate hunts across sources). Shapes that survive 100 TB:
+    // one codegen'd n-gram explode → hash-agg df → equi-join back →
+    // ONE doc-keyed window; coverage is computed as the interval-union
+    // length of the duplicated [p, p+9] spans via lead() arithmetic
+    // (min(W, next−p)), never a per-token explode.
+    "q_substring_dup" -> ((s, d) => {
+      val W = 10L
+      val grams = documents(s, d).select(col("doc_id"),
+          posexplode(graft.functions.NGrams.ngrams(wordsOf, W.toInt))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      val nd = grams.groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+      val dups = grams.join(nd, "h").filter(col("ndocs") > 1).select("doc_id", "p")
+      val wdoc = Window.partitionBy("doc_id").orderBy("p")
+      val cov = dups.withColumn("nxt", lead(col("p"), 1).over(wdoc))
+        .withColumn("contrib", least(lit(W), coalesce(col("nxt") - col("p"), lit(W))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_windows"), sum("contrib").as("covered"))
+      documents(s, d).select(col("doc_id"), size(wordsOf).cast("long").as("n_toks"))
+        .join(cov, Seq("doc_id"), "left")
+        .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0L)))
+        .withColumn("covered", coalesce(col("covered"), lit(0L)))
+        .withColumn("cov_ppm",
+          coalesce(expr("covered * 1000000 div nullif(n_toks, 0)"), lit(0L)))
+        .orderBy("doc_id")
+    }),
+
     // E3 CONTAINMENT similarity (overlap coefficient): |A∩B| /
     // min(|A|,|B|) — the quote/subset detector that threshold-Jaccard
     // misses: a short document embedded verbatim in a long one scores
@@ -1698,6 +1731,31 @@ object TextOps {
         |JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE i.inter * 5 >= (s1.sz + s2.sz - i.inter) * 4
         |ORDER BY i.d1, i.d2""".stripMargin,
+
+    "q_substring_dup" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, g.i AS p,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[g.i:g.i+9], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM words, generate_series(1, 2000) g(i) WHERE g.i <= len(ws) - 9),
+        |nd AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |dups AS (SELECT doc_id, p FROM grams JOIN nd USING (h)),
+        |cov AS (
+        |  SELECT doc_id, COUNT(*) AS n_dup_windows,
+        |    CAST(SUM(LEAST(10, COALESCE(nxt - p, 10))) AS BIGINT) AS covered
+        |  FROM (SELECT doc_id, p,
+        |          LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+        |        FROM dups)
+        |  GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks FROM words)
+        |SELECT s.doc_id, s.n_toks,
+        |  COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(c.covered, 0) AS covered,
+        |  COALESCE(COALESCE(c.covered, 0) * 1000000 // NULLIF(s.n_toks, 0), 0) AS cov_ppm
+        |FROM sizes s LEFT JOIN cov c USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_containment" ->
       """WITH words AS (

@@ -73,6 +73,29 @@ object Bucketing {
   def zorderKey(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** Bit-spread for the 3-D Morton key: bit i of a 10-bit value lands
+    * at position 3i (mask cascade validated exhaustively over the full
+    * 0..1023 domain in OperatorsSpec). */
+  private def spread3x10(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x3ffL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x030000FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x0300F00FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x030C30C3L))
+    x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 3-D Z-order (Morton) key over three LONG grid coordinates mapped
+    * to a 1024³ grid — bit i of `a` at position 3i, of `b` at 3i+1, of
+    * `c` at 3i+2. The three-column layout key for (entity, time,
+    * magnitude)-shaped probes: files sorted by this key are compact
+    * boxes in all THREE dimensions, so parquet min/max footers prune
+    * on any combination of the three predicates (same contract and
+    * caller grid-mapping discipline as [[zorderKey]]). */
+  def zorder3Key(a: Column, b: Column, c: Column): Column =
+    spread3x10(a)
+      .bitwiseOR(shiftleft(spread3x10(b), 1))
+      .bitwiseOR(shiftleft(spread3x10(c), 2))
+
   /** Hilbert-curve position of grid cell (x, y) — the stronger 2-D
     * layout key: unlike Morton order (whose bit-interleave "jumps"
     * across the grid at power-of-two boundaries, so a file of

@@ -548,6 +548,19 @@ class OperatorsSpec extends SparkTestBase {
       "lead-window co-occurrence must equal the positional self-join")
   }
 
+  test("zorder3Key: exhaustive bit-spread over the full 10-bit domain, dims disjoint") {
+    import spark.implicits._
+    def ref(v: Long): Long = (0 until 10).map(i => ((v >> i) & 1L) << (3 * i)).sum
+    val df = spark.range(1024)
+    df.withColumn("k", graft.sources.Bucketing.zorder3Key(col("id"), lit(0L), lit(0L)))
+      .select("id", "k").as[(Long, Long)].collect()
+      .foreach { case (v, k) => assert(k === ref(v), s"spread v=$v") }
+    df.withColumn("k", graft.sources.Bucketing.zorder3Key(col("id"), col("id"), col("id")))
+      .select("id", "k").as[(Long, Long)].collect()
+      .foreach { case (v, k) =>
+        assert(k === (ref(v) | (ref(v) << 1) | (ref(v) << 2)), s"interleave v=$v") }
+  }
+
   test("q_skyline matches the quadratic dominance definition") {
     val sf01 = "/root/testdata/sf0.01"
     val base = graft.sources.Tables.orders(spark, sf01)
