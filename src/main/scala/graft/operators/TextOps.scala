@@ -398,6 +398,80 @@ object TextOps {
         .orderBy(col("n").desc, col("t1"), col("t2"))
     }),
 
+    // E5 PMI COLLOCATIONS — adjacent-bigram association strength:
+    // lift(w1,w2) = P(w1 w2) / (P(w1) P(w2)), the monotone core of
+    // pointwise mutual information, in integral ppm (c12·N·1e6 div
+    // c1·c2 — identical operand order both engines) so the ranking is
+    // bit-identical cross-engine with no log() in sight. min-count 2
+    // and lift ≥ 2 bound the output to genuine collocations. Shape:
+    // one positional explode → lead(1) bigrams → two hash-aggregates
+    // (bigram, unigram) → two word-keyed equi-joins on the AGGREGATED
+    // tables (vocab-sized, a fraction of corpus volume) → broadcast
+    // 1-row total. Nothing rescans raw text after the first explode.
+    "q_pmi_colloc" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
+        .filter(col("tk") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = toks.withColumn("nxt", lead(col("tk"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tk").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 2)
+      val uni = toks.groupBy("tk").agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      bi.join(uni.select(col("tk").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tk").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm", expr("c12 * n_tok * 1000000 div (c1 * c2)"))
+        .filter(col("lift_ppm") >= 2000000)
+        .select("w1", "w2", "c12", "c1", "c2", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    }),
+
+    // E5 WINNOWING FINGERPRINTS (the MOSS scheme): hash every k=5
+    // token shingle, then from each run of w=4 consecutive hashes keep
+    // the MINIMUM, rightmost on ties. The classic guarantee follows:
+    // any verbatim match of ≥ k+w−1 = 8 tokens shares at least one
+    // selected fingerprint, at ~2/(w+1) the density of the full
+    // shingle set. The (hash asc, position desc) argmin rides ONE
+    // packed BIGINT — key = h·2²¹ + (2²¹−1−p) — so a plain ROWS-frame
+    // MIN is the rightmost-min selection in BOTH engines, with no
+    // struct-ordering semantics to reconcile (positions are bounded
+    // by 2²¹ shingles/doc; docs beyond that split upstream). Shape:
+    // codegen'd n-gram explode → ONE doc-keyed window → distinct →
+    // hash-agg; the cross-doc sharing join runs on the fingerprint
+    // table (~2/(w+1) of shingle volume), never on raw grams.
+    "q_winnow_fingerprint" -> ((s, d) => {
+      val K = 5; val W = 4; val SH = 2097152L
+      val grams = documents(s, d).select(col("doc_id"),
+          posexplode(graft.functions.NGrams.ngrams(wordsOf, K)).as(Seq("p0", "gram")))
+        .select(col("doc_id"), col("p0").cast("long").as("p"),
+          conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
+      val wdoc = Window.partitionBy("doc_id").orderBy("p")
+      val sel = grams
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("key", min(col("h") * SH + (lit(SH - 1) - col("p")))
+          .over(wdoc.rowsBetween(Window.currentRow, W - 1)))
+        .filter(col("p") <= col("ng") - W) // full windows only
+      val fp = sel.select(col("doc_id"), expr("key div 2097152").as("h"),
+          (lit(SH - 1) - pmod(col("key"), lit(SH))).as("fp_pos"))
+        .distinct()
+      val nd = fp.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+      val per = fp.join(nd, "h").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
+      documents(s, d).select(col("doc_id"),
+          greatest(size(wordsOf) - (K - 1), lit(0)).cast("long").as("n_grams"))
+        .join(per, Seq("doc_id"), "left")
+        .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+        .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
+        .withColumn("shared_ppm",
+          coalesce(expr("n_shared_fp * 1000000 div nullif(n_fp, 0)"), lit(0L)))
+        .orderBy("doc_id")
+    }),
+
     // E5 n-gram language-model statistics: bigram conditional
     // probabilities P(w2|w1) = c(w1,w2) / c(w1 ·) — the count tables a
     // KN/backoff LM trains from and the basis of corpus-level fluency
@@ -1482,6 +1556,58 @@ object TextOps {
         |SELECT t1, t2, COUNT(*) AS n FROM pairs GROUP BY 1, 2
         |HAVING COUNT(*) >= 3
         |ORDER BY n DESC, t1, t2""".stripMargin,
+
+    "q_pmi_colloc" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, g.tk, g.i
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d,
+        |    LATERAL (SELECT unnest(ws) AS tk, generate_subscripts(ws, 1) AS i) g
+        |  WHERE g.tk <> ''),
+        |tok AS (SELECT doc_id, tk,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+        |        FROM tok0),
+        |bi AS (
+        |  SELECT a.tk AS w1, b.tk AS w2, COUNT(*) AS c12
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |uni AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+        |tot AS (SELECT COUNT(*) AS n_tok FROM tok)
+        |SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
+        |  bi.c12 * tot.n_tok * 1000000 // (u1.c * u2.c) AS lift_ppm
+        |FROM bi JOIN uni u1 ON u1.tk = bi.w1
+        |        JOIN uni u2 ON u2.tk = bi.w2, tot
+        |WHERE bi.c12 * tot.n_tok * 1000000 // (u1.c * u2.c) >= 2000000
+        |ORDER BY lift_ppm DESC, w1, w2""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[g.i:g.i+4], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM words, generate_series(1, 2000) g(i) WHERE g.i <= len(ws) - 4),
+        |sel AS (
+        |  SELECT doc_id, p,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+        |    MIN(h * 2097152 + (2097151 - p)) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+        |  FROM grams),
+        |fp AS (SELECT DISTINCT doc_id, key // 2097152 AS h,
+        |         2097151 - (key % 2097152) AS fp_pos
+        |       FROM sel WHERE p <= ng - 4),
+        |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM fp GROUP BY h),
+        |per AS (SELECT doc_id, COUNT(*) AS n_fp,
+        |         CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fp
+        |       FROM fp JOIN nd USING (h) GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, CAST(GREATEST(len(ws) - 4, 0) AS BIGINT) AS n_grams FROM words)
+        |SELECT s.doc_id, s.n_grams,
+        |  COALESCE(p.n_fp, 0) AS n_fp,
+        |  COALESCE(p.n_shared_fp, 0) AS n_shared_fp,
+        |  COALESCE(COALESCE(p.n_shared_fp, 0) * 1000000 // NULLIF(p.n_fp, 0), 0) AS shared_ppm
+        |FROM sizes s LEFT JOIN per p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_cms_join_size" ->
       """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),

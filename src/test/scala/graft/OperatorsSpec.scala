@@ -642,4 +642,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(roles === Set("core", "border", "noise"))
     assert(got.values.collect { case ("core", c) => c }.toSet.size > 1)
   }
+
+  test("q_winnow_fingerprint: the winnowing guarantee — every verbatim 8-token match shares a fingerprint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toFile
+    dir.deleteOnExit()
+    val rnd = new scala.util.Random(77)
+    def tokens(n: Int) = Seq.fill(n)("w" + rnd.nextInt(5000))
+    // one 8-token run (= k+w-1 at k=5, w=4: the guarantee threshold)
+    // injected into docs 0-9 at RANDOM offsets; docs 10-39 are pure
+    // noise (vocab 5000 makes accidental 5-gram repeats implausible)
+    val run = tokens(8)
+    val docs = (0L until 40L).map { i =>
+      val base = tokens(60)
+      val cut = 5 + rnd.nextInt(50)
+      val text = (if (i < 10) base.take(cut) ++ run ++ base.drop(cut)
+                  else base).mkString(" ")
+      (i, text, "en", "synthetic", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    val out = graft.operators.TextOps.queries("q_winnow_fingerprint")(
+        spark, dir.getAbsolutePath)
+      .select("doc_id", "n_grams", "n_fp", "n_shared_fp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    (0L until 40L).foreach { i =>
+      val (_, ng, nfp, nshared) = out(i)
+      if (i < 10) assert(nshared >= 1, s"doc $i holds the shared run but no shared fingerprint")
+      else assert(nshared === 0, s"noise doc $i reports a shared fingerprint")
+      // coverage floor: one window's min can serve at most w=4 windows,
+      // so selections number at least ceil(n_windows / 4)
+      val nWin = ng - 3
+      assert(nfp >= (nWin + 3) / 4 && nfp <= nWin,
+        s"doc $i fingerprint density out of bounds: ng=$ng nfp=$nfp")
+    }
+  }
 }
