@@ -195,6 +195,37 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // QUANTILE NORMALIZATION — map every doc's length to the GLOBAL
+    // distribution's value at the same within-source quantile (the
+    // batch-effect correction that makes per-source features
+    // comparable before mixing). Exact rank form, no interpolation:
+    // within-source rank r of n_s → the global value at rank
+    // (r·N) div n_s. BOTH rankings are the two-phase distributed scan
+    // (source is a coarse key; the global ranking has ONE key — the
+    // worst straggler shape of all, which is precisely what the
+    // bucketed scan exists for). The final lookup is an equi-join on
+    // the target rank: rank keys are near-uniform by construction, so
+    // it shuffles clean with no skew.
+    "q_quantile_normalize" -> ((s, d) => {
+      val base = documents(s, d).select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("len"))
+      val gb = broadcast(base.agg(min("len").as("glo"), max("len").as("ghi"),
+        count(lit(1)).as("n_all")))
+      val bucket = PrefixSum.rangeBucket(col("len"), col("glo"), col("ghi"), 32)
+      val ord = Seq(col("len"), col("doc_id"))
+      val ranked = PrefixSum.rowNumber(base.crossJoin(gb), Seq("source"), ord,
+        bucket, "rn")
+      val counts = base.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val glob = PrefixSum.rowNumber(base.crossJoin(gb), Seq.empty, ord,
+          bucket, "grank")
+        .select(col("grank"), col("len").as("norm_len"))
+      ranked.join(broadcast(counts), "source")
+        .withColumn("grank", expr("rn * n_all div n_src"))
+        .join(glob, "grank")
+        .select(col("doc_id"), col("source"), col("len"), col("norm_len"))
+        .orderBy("doc_id")
+    }),
+
     // E10 CLASS-BALANCED OVERSAMPLING: every label upsampled to the
     // majority count by whole-row repetition — the imbalance fix
     // before classifier training. Copy `rep` of a row survives iff
@@ -285,6 +316,44 @@ object CorpusOps {
     // struct — deterministic ties). Shape: one explode + hash-agg on
     // (source, token), per-source totals broadcast back, one final
     // aggregation. Nothing wider than the vocabulary per source.
+    // KOLMOGOROV–SMIRNOV drift statistic — the distribution-level
+    // companion of the L1 vocabulary drift below: per source, compare
+    // the old half (even doc_id) and new half of the doc-LENGTH
+    // distribution by the max ECDF gap. All integral: at each length
+    // value, D_scaled = |cum_old·n_new − cum_new·n_old| (the KS D
+    // times n_old·n_new), maximized over values; ks_ppm divides back.
+    // The running tie-inclusive cumulative counts are TWO two-phase
+    // distributed prefix sums (PrefixSum.runningSum — source is a
+    // coarse key, exactly the straggler shape the scan removes); the
+    // per-length collapse takes MAX of the running count within each
+    // (source, len), i.e. the count at the tie-group's last row, so
+    // ECDF ties resolve exactly as RANGE frames would — with ROWS
+    // arithmetic both engines agree on.
+    "q_ks_drift" -> ((s, d) => {
+      val base = documents(s, d).select(col("source"), col("doc_id"),
+        col("n_chars").cast("long").as("len"),
+        (col("doc_id") % 2 === 0).as("is_old"))
+      val gb = broadcast(base.agg(min("len").as("glo"), max("len").as("ghi")))
+      val bucket = PrefixSum.rangeBucket(col("len"), col("glo"), col("ghi"), 32)
+      val ord = Seq(col("len"), col("doc_id"))
+      val cumO = PrefixSum.runningSum(base.crossJoin(gb), Seq("source"), ord,
+        when(col("is_old"), 1L).otherwise(0L), bucket, "cum_o")
+      val cum = PrefixSum.runningSum(cumO, Seq("source"), ord,
+        when(col("is_old"), 0L).otherwise(1L), bucket, "cum_n")
+      val byLen = cum.groupBy("source", "len")
+        .agg(max("cum_o").as("cum_o"), max("cum_n").as("cum_n"))
+      val tot = base.groupBy("source").agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_old"), 0L).otherwise(1L)).as("n_new"))
+      byLen.join(broadcast(tot), "source")
+        .groupBy("source")
+        .agg(max("n_old").as("n_old"), max("n_new").as("n_new"),
+          max(abs(col("cum_o") * col("n_new") - col("cum_n") * col("n_old")))
+            .as("ks_scaled"))
+        .withColumn("ks_ppm", expr("ks_scaled * 1000000 div (n_old * n_new)"))
+        .orderBy("source")
+    }),
+
     "q_source_drift" -> ((s, d) => {
       val toks = documents(s, d).select(col("source"),
         (col("doc_id") % 2 === 0).as("is_old"),
@@ -512,6 +581,51 @@ object CorpusOps {
         |  n_unique_docs, n_docs - n_unique_docs AS exact_dup_docs
         |FROM agg a JOIN vocab v ON a.source = v.source
         |ORDER BY a.source""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    doc_id % 2 = 0 AS is_old
+        |  FROM documents),
+        |cum AS (
+        |  SELECT source, len,
+        |    SUM(CASE WHEN is_old THEN 1 ELSE 0 END) OVER w AS cum_o,
+        |    SUM(CASE WHEN is_old THEN 0 ELSE 1 END) OVER w AS cum_n
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY source ORDER BY len, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |by_len AS (
+        |  SELECT source, len, MAX(cum_o) AS cum_o, MAX(cum_n) AS cum_n
+        |  FROM cum GROUP BY source, len),
+        |tot AS (
+        |  SELECT source,
+        |    CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        |  FROM base GROUP BY source)
+        |SELECT b.source, MAX(t.n_old) AS n_old, MAX(t.n_new) AS n_new,
+        |  CAST(MAX(ABS(b.cum_o * t.n_new - b.cum_n * t.n_old)) AS BIGINT) AS ks_scaled,
+        |  CAST(MAX(ABS(b.cum_o * t.n_new - b.cum_n * t.n_old)) AS BIGINT)
+        |    * 1000000 // (MAX(t.n_old) * MAX(t.n_new)) AS ks_ppm
+        |FROM by_len b JOIN tot t USING (source)
+        |GROUP BY b.source
+        |ORDER BY b.source""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS len FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, len,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n_src,
+        |    COUNT(*) OVER () AS n_all
+        |  FROM base),
+        |gl AS (
+        |  SELECT len AS norm_len,
+        |    ROW_NUMBER() OVER (ORDER BY len, doc_id) AS grank
+        |  FROM base)
+        |SELECT r.doc_id, r.source, r.len, gl.norm_len
+        |FROM r JOIN gl ON gl.grank = r.rn * r.n_all // r.n_src
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_source_drift" ->
       """WITH toks AS (
