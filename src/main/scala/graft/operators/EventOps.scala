@@ -36,6 +36,25 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // E8 HALF-LIFE DECAYED COUNTS — recency-weighted per-user
+    // engagement: an event aged `a` whole weeks (against the corpus
+    // max day) weighs 2^−a, held EXACTLY in binary micro-units (2²⁰ =
+    // full weight, floor 2⁰ at 20+ weeks), so the decayed total is a
+    // right-shift plus an integral SUM — order-independent, no float
+    // pow(), bit-identical cross-engine. One broadcast 1-row max-date,
+    // one user-keyed hash-agg with map-side partials; shape-invariant
+    // at any scale.
+    "q_decayed_counts" -> ((s, d) => {
+      val maxd = broadcast(events(s, d).agg(max(to_date(col("ts"))).as("maxd")))
+      events(s, d).select(col("user_id"), col("ts"))
+        .crossJoin(maxd)
+        .withColumn("w_u", expr(
+          "shiftright(1048576L, cast(least(datediff(maxd, to_date(ts)) div 7, 20) as int))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("w_u").as("decayed_u"))
+        .orderBy("user_id")
+    }),
+
     // E8 HOPPING (sliding) window aggregation: 2-hour windows sliding
     // every hour via Spark's native `window()` — Catalyst's
     // TimeWindowing rule expands each event into its size/slide = 2
@@ -444,6 +463,18 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_decayed_counts" ->
+      """WITH base AS (
+        |  SELECT user_id,
+        |    1048576 >> LEAST(
+        |      date_diff('day', CAST(ts AS DATE),
+        |        (SELECT MAX(CAST(ts AS DATE)) FROM events)) // 7, 20) AS w_u
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(w_u) AS BIGINT) AS decayed_u
+        |FROM base GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_hopping_window" ->
       """WITH ev AS (

@@ -492,6 +492,47 @@ object GraphOps {
 
     // Per-node triangle counts — the local clustering signal (spam/SEO
     // detection in link graphs). One ordered edge list u < v makes the
+    // E16 LINK PREDICTION — common-neighbor / Jaccard candidate edges:
+    // for every NON-adjacent pair sharing ≥2 neighbors, score
+    // |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| in integral ppm and keep each node's
+    // top-3 via the native TopKPerGroup operator (map-side bounded
+    // heaps — the output is ≤3 rows/node regardless of density, so the
+    // result never explodes as the graph densifies across SFs). The
+    // wedge self-join shuffles on node id with Σdeg² fan-out — the
+    // standard distributed common-neighbor shape; on power-law graphs
+    // the 100 TB refinement is a hub cap (drop/degrade nodes above a
+    // degree bound, as the text family's df-cap does for hot tokens).
+    "q_link_predict" -> ((s, d) => {
+      val raw = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("p"),
+          pmod(col("o_orderkey"), lit(2000L)).as("q"))
+        .filter(col("p") =!= col("q"))
+      val e = raw.select(least(col("p"), col("q")).as("u"),
+        greatest(col("p"), col("q")).as("v")).distinct()
+      val adj = e.select(col("u").as("n"), col("v").as("nb"))
+        .union(e.select(col("v").as("n"), col("u").as("nb")))
+      val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+      val cn = adj.as("x").join(adj.as("y"),
+          col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+        .select(col("x.nb").as("a"), col("y.nb").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      val cand = cn.join(e,
+        cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+      val sym = cand.select(col("a").as("node"), col("b").as("other"), col("cn"))
+        .unionByName(
+          cand.select(col("b").as("node"), col("a").as("other"), col("cn")))
+      val scored = sym
+        .join(deg.select(col("n").as("node"), col("deg").as("deg_n")), "node")
+        .join(deg.select(col("n").as("other"), col("deg").as("deg_o")), "other")
+        .withColumn("jaccard_ppm", expr("cn * 1000000 div (deg_n + deg_o - cn)"))
+      graft.plans.TopKPerGroup(scored, Seq(col("node")),
+          Seq(col("jaccard_ppm").desc, col("cn").desc, col("other").asc), k = 3)
+        .select(col("node"), col("rn").cast("long").as("rank"), col("other"),
+          col("cn"), col("deg_n"), col("deg_o"), col("jaccard_ppm"))
+        .orderBy("node", "rank")
+    }),
+
     // three-way self-join count each triangle exactly once (a<b<c):
     // wedge join (e1.v = e2.u) then closure probe (e3 = (a, c)). Both
     // joins are equi-joins shuffling on node ids — no pair explosion
@@ -600,6 +641,36 @@ object GraphOps {
         |  WHERE r.hops < 3)
         |SELECT node, MIN(hops) AS hops FROM r
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH raw AS (
+        |  SELECT (o_custkey % 2000) AS p, (o_orderkey % 2000) AS q
+        |  FROM orders WHERE (o_custkey % 2000) <> (o_orderkey % 2000)),
+        |e AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+        |cn AS (
+        |  SELECT x.nb AS a, y.nb AS b, COUNT(*) AS cn
+        |  FROM adj x JOIN adj y ON x.n = y.n AND x.nb < y.nb
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |cand AS (
+        |  SELECT c.a, c.b, c.cn FROM cn c
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)),
+        |sym AS (
+        |  SELECT a AS node, b AS other, cn FROM cand
+        |  UNION ALL SELECT b, a, cn FROM cand),
+        |scored AS (
+        |  SELECT s.node, s.other, s.cn, da.deg AS deg_n, db.deg AS deg_o,
+        |    s.cn * 1000000 // (da.deg + db.deg - s.cn) AS jaccard_ppm
+        |  FROM sym s JOIN deg da ON da.n = s.node
+        |             JOIN deg db ON db.n = s.other),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY node ORDER BY jaccard_ppm DESC, cn DESC, other) AS rank
+        |  FROM scored)
+        |SELECT node, CAST(rank AS BIGINT) AS rank, other, cn, deg_n, deg_o, jaccard_ppm
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY node, rank""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (
