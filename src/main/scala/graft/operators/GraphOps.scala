@@ -499,16 +499,25 @@ object GraphOps {
     // heaps — the output is ≤3 rows/node regardless of density, so the
     // result never explodes as the graph densifies across SFs). The
     // wedge self-join shuffles on node id with Σdeg² fan-out — the
-    // standard distributed common-neighbor shape; on power-law graphs
-    // the 100 TB refinement is a hub cap (drop/degrade nodes above a
-    // degree bound, as the text family's df-cap does for hot tokens).
+    // standard distributed common-neighbor shape — so the graph is
+    // HUB-CAPPED first: every node keeps its 8 hash-ranked edges (the
+    // md5 rank is deterministic in both engines; the same move as the
+    // text family's df-cap, bounding, not balancing, hot keys). The
+    // cap makes wedge volume O(nodes · cap²) — scale-INVARIANT as the
+    // fixture graph densifies across SFs (uncapped, sf0.1's deg≈140
+    // yields 39M wedges and a 12 s query; capped it is ~0.5 s, and the
+    // derived fixture stays sparse the way real similarity graphs are).
     "q_link_predict" -> ((s, d) => {
       val raw = orders(s, d)
         .select(pmod(col("o_custkey"), lit(2000L)).as("p"),
           pmod(col("o_orderkey"), lit(2000L)).as("q"))
         .filter(col("p") =!= col("q"))
-      val e = raw.select(least(col("p"), col("q")).as("u"),
+      val e0 = raw.select(least(col("p"), col("q")).as("u"),
         greatest(col("p"), col("q")).as("v")).distinct()
+      val e = graft.plans.TopKPerGroup(
+          e0.withColumn("ek", md5(concat_ws("|", col("u"), col("v")))),
+          Seq(col("u")), Seq(col("ek").asc, col("v").asc), k = 8)
+        .select(col("u"), col("v"))
       val adj = e.select(col("u").as("n"), col("v").as("nb"))
         .union(e.select(col("v").as("n"), col("u").as("nb")))
       val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
@@ -646,7 +655,12 @@ object GraphOps {
       """WITH raw AS (
         |  SELECT (o_custkey % 2000) AS p, (o_orderkey % 2000) AS q
         |  FROM orders WHERE (o_custkey % 2000) <> (o_orderkey % 2000)),
-        |e AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |e0 AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |e AS (SELECT u, v FROM (
+        |        SELECT u, v, ROW_NUMBER() OVER (
+        |          PARTITION BY u ORDER BY md5(u || '|' || v), v) AS rn
+        |        FROM e0)
+        |      WHERE rn <= 8),
         |adj AS (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
         |cn AS (
