@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables._
 
 /** Corpus-curation operators a training-data pipeline runs between
@@ -322,30 +323,30 @@ object CorpusOps {
     // distribution by the max ECDF gap. All integral: at each length
     // value, D_scaled = |cum_old·n_new − cum_new·n_old| (the KS D
     // times n_old·n_new), maximized over values; ks_ppm divides back.
-    // The running tie-inclusive cumulative counts are TWO two-phase
-    // distributed prefix sums (PrefixSum.runningSum — source is a
-    // coarse key, exactly the straggler shape the scan removes); the
-    // per-length collapse takes MAX of the running count within each
-    // (source, len), i.e. the count at the tie-group's last row, so
-    // ECDF ties resolve exactly as RANGE frames would — with ROWS
-    // arithmetic both engines agree on.
+    // Shape note: the ECDF only needs PER-LENGTH counts, so the corpus
+    // collapses through one (source, len) hash-aggregate BEFORE any
+    // ordered scan — the running sums then window over the aggregate,
+    // whose size is bounded by the length DOMAIN (not the corpus), so
+    // the per-source window never holds more than O(distinct lengths)
+    // rows at any data scale. (A first cut ran two chained two-phase
+    // prefix sums over the raw rows instead: correct, but the chained
+    // lineage rescanned the corpus ~6× and measured near-LINEAR, 0.82,
+    // in the ×10 rehearsal — aggregate-first measures flat.)
     "q_ks_drift" -> ((s, d) => {
-      val base = documents(s, d).select(col("source"), col("doc_id"),
+      val base = documents(s, d).select(col("source"),
         col("n_chars").cast("long").as("len"),
         (col("doc_id") % 2 === 0).as("is_old"))
-      val gb = broadcast(base.agg(min("len").as("glo"), max("len").as("ghi")))
-      val bucket = PrefixSum.rangeBucket(col("len"), col("glo"), col("ghi"), 32)
-      val ord = Seq(col("len"), col("doc_id"))
-      val cumO = PrefixSum.runningSum(base.crossJoin(gb), Seq("source"), ord,
-        when(col("is_old"), 1L).otherwise(0L), bucket, "cum_o")
-      val cum = PrefixSum.runningSum(cumO, Seq("source"), ord,
-        when(col("is_old"), 0L).otherwise(1L), bucket, "cum_n")
-      val byLen = cum.groupBy("source", "len")
-        .agg(max("cum_o").as("cum_o"), max("cum_n").as("cum_n"))
-      val tot = base.groupBy("source").agg(
-        sum(when(col("is_old"), 1L).otherwise(0L)).as("n_old"),
-        sum(when(col("is_old"), 0L).otherwise(1L)).as("n_new"))
-      byLen.join(broadcast(tot), "source")
+      val counts = base.groupBy("source", "len").agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("o"),
+        sum(when(col("is_old"), 0L).otherwise(1L)).as("n"))
+      val w = Window.partitionBy("source").orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum_o", sum("o").over(w))
+        .withColumn("cum_n", sum("n").over(w))
+      val tot = counts.groupBy("source")
+        .agg(sum("o").as("n_old"), sum("n").as("n_new"))
+      cum.join(broadcast(tot), "source")
         .groupBy("source")
         .agg(max("n_old").as("n_old"), max("n_new").as("n_new"),
           max(abs(col("cum_o") * col("n_new") - col("cum_n") * col("n_old")))
@@ -399,6 +400,27 @@ object CorpusOps {
           sum(col("n")).as("docs_total"))
         .orderBy("source", "lang")
     }),
+
+    // L-DIVERSITY AUDIT — the attribute-disclosure half of the privacy
+    // pair: k-anonymity bounds re-identification, but a class whose
+    // SENSITIVE attribute (lang, here) is homogeneous still discloses
+    // it to anyone who can place a person in the class. Classes are
+    // the q_k_anonymity quasi-identifier minus the sensitive column; a
+    // class with < l = 2 distinct sensitive values is flagged and its
+    // documents counted for suppression. Two hash-aggregates, each one
+    // shuffle on its natural key — shape-invariant at scale.
+    "q_l_diversity" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), expr("n_chars div 200").as("size_bin"),
+          col("lang"))
+        .groupBy("source", "size_bin")
+        .agg(countDistinct("lang").as("l_div"), count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_classes"),
+          min("l_div").as("min_diversity"),
+          sum(when(col("l_div") < 2, 1L).otherwise(0L)).as("low_div_classes"),
+          sum(when(col("l_div") < 2, col("n")).otherwise(0L)).as("docs_at_risk"))
+        .orderBy("source")),
 
     // Composite keep/drop QUALITY FILTER with reason codes — the
     // decision op that actually writes the curated corpus. First
@@ -662,6 +684,19 @@ object CorpusOps {
         |JOIN totals t ON a.source = t.source
         |JOIN ranked r ON a.source = r.source AND r.rk = 1
         |ORDER BY a.source""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH classes AS (
+        |  SELECT source, n_chars // 200 AS size_bin,
+        |    COUNT(DISTINCT lang) AS l_div, COUNT(*) AS n
+        |  FROM documents GROUP BY source, n_chars // 200)
+        |SELECT source,
+        |  COUNT(*) AS n_classes,
+        |  MIN(l_div) AS min_diversity,
+        |  CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT) AS low_div_classes,
+        |  CAST(SUM(CASE WHEN l_div < 2 THEN n ELSE 0 END) AS BIGINT) AS docs_at_risk
+        |FROM classes GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH classes AS (

@@ -183,4 +183,18 @@ object Bucketing {
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
   }
+
+  /** Write 3-D z-ordered: each file covers a compact BOX of the
+    * (a, b, c) grid, so parquet footer min/max prune on any mix of
+    * the three predicates (see [[zorder3Key]]). */
+  def writeZOrdered3(df: DataFrame, path: String,
+                     a: Column, b: Column, c: Column,
+                     files: Int = 8): Unit = {
+    val keyed = df.withColumn("_zkey", zorder3Key(a, b, c))
+    keyed.repartitionByRange(files, keyed.col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
 }

@@ -67,6 +67,21 @@ object ScaleRehearsal {
     "q_winsorize" -> Seq("documents"),
     "q_containment" -> Seq("documents"),
     "q_ivfpq_topk" -> Seq("embeddings"),
+    // this session's additions. The vocabulary remap keeps cross-copy
+    // n-gram collisions at zero, so duplicated windows / shared
+    // fingerprints / collocation pairs scale ×N, never ×N². The
+    // drift/normalize pair grows each SOURCE ×N — exactly the coarse
+    //-key straggler shape the two-phase prefix scan exists for.
+    // q_link_predict is deliberately absent for the q_khop_reach
+    // reason: its edge builder folds keys through pmod 2000, so the
+    // (hub-capped) graph saturates under any replica and the timing
+    // would measure a fixed 2000-node graph, not scaling.
+    "q_substring_dup" -> Seq("documents"),
+    "q_winnow_fingerprint" -> Seq("documents"),
+    "q_pmi_colloc" -> Seq("documents"),
+    "q_ks_drift" -> Seq("documents"),
+    "q_quantile_normalize" -> Seq("documents"),
+    "q_decayed_counts" -> Seq("events"),
   )
 
   def main(args: Array[String]): Unit = {
@@ -96,6 +111,11 @@ object ScaleRehearsal {
           case "lineitem" =>
             src.withColumn("l_orderkey", col("l_orderkey") + off)
               .withColumn("l_partkey", col("l_partkey") + off)
+          case "events" =>
+            // per-copy user offset: users scale ×N at constant
+            // per-user event volume (the decayed-count group key)
+            src.withColumn("user_id", col("user_id") + off)
+              .withColumn("event_id", col("event_id") + off)
           case "embeddings" =>
             // disjoint labels per copy: blocks scale ×N at constant
             // size, so the within-block eps-join sees ×N blocks, not

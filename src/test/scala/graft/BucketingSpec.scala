@@ -150,6 +150,25 @@ class BucketingSpec extends SparkTestBase {
       s"control must scan most rows for the rectangle, got $rectShuf of $total")
     assert(rectZ * 2 <= rectShuf,
       s"z-ordered layout must skip ≥2× on a 2-D rectangle: $rectZ vs $rectShuf")
+
+    // 3-D: an 8×8×8 corner box of a 32×32×32 grid — the zorder3Key
+    // layout must prune on the CONJUNCTION of all three predicates
+    // (each file is a compact Morton box, so off-corner octants fail
+    // at least one column's min/max and never surface)
+    val o3 = orders
+      .withColumn("cx", pmod(col("o_custkey"), lit(32L)))
+      .withColumn("cy", pmod(col("o_orderkey"), lit(32L)))
+      .withColumn("cz", pmod(expr("cast(o_totalprice * 100 as bigint) div 10000"), lit(32L)))
+    o3.repartition(8).write.parquet(s"$base/shuffled3")
+    Bucketing.writeZOrdered3(o3, s"$base/zorder3",
+      col("cx"), col("cy"), col("cz"), files = 8)
+    val pred3 = col("cx") < 8 && col("cy") < 8 && col("cz") < 8
+    val (boxShuf, _) = scanned(spark.read.parquet(s"$base/shuffled3").filter(pred3))
+    val (boxZ, _) = scanned(spark.read.parquet(s"$base/zorder3").filter(pred3))
+    assert(boxShuf > total / 2,
+      s"control must scan most rows for the 3-D box, got $boxShuf of $total")
+    assert(boxZ * 2 <= boxShuf,
+      s"3-D z-ordered layout must skip ≥2× on a corner box: $boxZ vs $boxShuf")
   }
 
   test("hilbert key: bijective on the grid, consecutive positions are adjacent cells") {
