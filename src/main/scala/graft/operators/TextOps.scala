@@ -398,33 +398,33 @@ object TextOps {
         .orderBy(col("n").desc, col("t1"), col("t2"))
     }),
 
-    // E5 PMI COLLOCATIONS — adjacent-bigram association strength:
-    // lift(w1,w2) = P(w1 w2) / (P(w1) P(w2)), the monotone core of
-    // pointwise mutual information, in integral ppm (c12·N·1e6 div
-    // c1·c2 — identical operand order both engines) so the ranking is
-    // bit-identical cross-engine with no log() in sight. min-count 2
-    // and lift ≥ 2 bound the output to genuine collocations. Shape:
-    // one positional explode → lead(1) bigrams → two hash-aggregates
-    // (bigram, unigram) → two word-keyed equi-joins on the AGGREGATED
-    // tables (vocab-sized, a fraction of corpus volume) → broadcast
-    // 1-row total. Nothing rescans raw text after the first explode.
+    // E5 PMI COLLOCATIONS — adjacent-bigram association strength over
+    // the bigram event space: lift(w1,w2) = P(w1,w2)/(P(w1·)P(·w2))
+    // with MARGINAL counts c1 = Σ_w c12(w1,w), c2 = Σ_w c12(w,w2) —
+    // the textbook bigram-PMI formulation, in integral ppm
+    // (c12·N·1e6 div c1·c2, identical operand order both engines) so
+    // the ranking is bit-identical with no log() in sight. min-count
+    // 2 and lift ≥ 2 bound the output to genuine collocations.
+    // Shape: ONE codegen'd bigram explode → one (w1,w2) hash-agg →
+    // both marginals as windows over the AGGREGATED vocab²-bounded
+    // table → broadcast 1-row total (computed from doc lengths, no
+    // second explode). The first cut joined the bigram table against
+    // raw unigram counts instead — three corpus explodes, two
+    // corpus-volume shuffles — and measured 23 s at the ×30
+    // rehearsal; this form never rescans text after the explode.
     "q_pmi_colloc" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
-        .filter(col("tk") =!= "")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bi = toks.withColumn("nxt", lead(col("tk"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("tk").as("w1"), col("nxt").as("w2"))
-        .agg(count(lit(1)).as("c12"))
+      val bi = documents(s, d)
+        .select(explode(graft.functions.NGrams.ngrams(wordsOf, 2)).as("bigram"))
+        .select(substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val tot = broadcast(documents(s, d)
+        .agg(sum(greatest(size(wordsOf) - 1, lit(0)).cast("long")).as("n_pairs")))
+      bi.withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+        .withColumn("c2", sum(col("c12")).over(Window.partitionBy("w2")))
         .filter(col("c12") >= 2)
-      val uni = toks.groupBy("tk").agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).as("n_tok"))
-      bi.join(uni.select(col("tk").as("w1"), col("c").as("c1")), "w1")
-        .join(uni.select(col("tk").as("w2"), col("c").as("c2")), "w2")
-        .crossJoin(broadcast(tot))
-        .withColumn("lift_ppm", expr("c12 * n_tok * 1000000 div (c1 * c2)"))
+        .crossJoin(tot)
+        .withColumn("lift_ppm", expr("c12 * n_pairs * 1000000 div (c1 * c2)"))
         .filter(col("lift_ppm") >= 2000000)
         .select("w1", "w2", "c12", "c1", "c2", "lift_ppm")
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
@@ -492,6 +492,40 @@ object TextOps {
         .withColumn("p_micro", expr("c12 * 1000000 div c1"))
         .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
         .limit(200)
+    }),
+
+    // E5 LM SURPRISAL SCORING — the perplexity-filter shape with the
+    // corpus's own bigram LM as the model: a doc's fluency signal is
+    // the fraction of its bigrams whose conditional probability
+    // P(w2|w1) (integer micro-units, as q_ngram_lm) falls under a
+    // rarity threshold. No log() anywhere: "count of low-probability
+    // continuations" is the integral, threshold-monotone stand-in for
+    // mean negative log-likelihood, so the score is bit-identical
+    // cross-engine. Shape: one bigram explode reused for BOTH the LM
+    // aggregate and the scoring pass; scoring joins the corpus
+    // bigrams against the aggregated vocab²-bounded LM table on
+    // (w1, w2), then one doc-keyed hash-agg.
+    "q_lm_surprisal" -> ((s, d) => {
+      val bi = documents(s, d).select(col("doc_id"),
+          explode(graft.functions.NGrams.ngrams(wordsOf, 2)).as("bigram"))
+        .select(col("doc_id"),
+          substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+      val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .withColumn("c1", sum(col("c12")).over(Window.partitionBy("w1")))
+        .withColumn("p_micro", expr("c12 * 1000000 div c1"))
+        .select("w1", "w2", "p_micro")
+      val per = bi.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("p_micro") < 2000, 1L).otherwise(0L)).as("n_surprising"))
+      documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+        .withColumn("n_surprising", coalesce(col("n_surprising"), lit(0L)))
+        .withColumn("surprisal_ppm",
+          coalesce(expr("n_surprising * 1000000 div nullif(n_bigrams, 0)"), lit(0L)))
+        .orderBy("doc_id")
     }),
 
     // E5 per-document quality scoring (length/stopword/token stats)
@@ -1558,25 +1592,25 @@ object TextOps {
         |ORDER BY n DESC, t1, t2""".stripMargin,
 
     "q_pmi_colloc" ->
-      """WITH tok0 AS (
-        |  SELECT doc_id, g.tk, g.i
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents) d,
-        |    LATERAL (SELECT unnest(ws) AS tk, generate_subscripts(ws, 1) AS i) g
-        |  WHERE g.tk <> ''),
-        |tok AS (SELECT doc_id, tk,
-        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos
-        |        FROM tok0),
-        |bi AS (
-        |  SELECT a.tk AS w1, b.tk AS w2, COUNT(*) AS c12
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |uni AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
-        |tot AS (SELECT COUNT(*) AS n_tok FROM tok)
-        |SELECT bi.w1, bi.w2, bi.c12, u1.c AS c1, u2.c AS c2,
-        |  bi.c12 * tot.n_tok * 1000000 // (u1.c * u2.c) AS lift_ppm
-        |FROM bi JOIN uni u1 ON u1.tk = bi.w1
-        |        JOIN uni u2 ON u2.tk = bi.w2, tot
-        |WHERE bi.c12 * tot.n_tok * 1000000 // (u1.c * u2.c) >= 2000000
+      """WITH ws AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi0 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM ws),
+        |c AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+        |    COUNT(*) AS c12
+        |  FROM bi0 GROUP BY 1, 2),
+        |m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_pairs FROM c)
+        |SELECT c.w1, c.w2, c.c12, m1.c1, m2.c2,
+        |  c.c12 * tot.n_pairs * 1000000 // (m1.c1 * m2.c2) AS lift_ppm
+        |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+        |WHERE c.c12 >= 2
+        |  AND c.c12 * tot.n_pairs * 1000000 // (m1.c1 * m2.c2) >= 2000000
         |ORDER BY lift_ppm DESC, w1, w2""".stripMargin,
 
     "q_winnow_fingerprint" ->
@@ -1668,6 +1702,34 @@ object TextOps {
         |FROM c JOIN tot USING (w1)
         |WHERE c12 >= 5
         |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 200""".stripMargin,
+
+    "q_lm_surprisal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |  FROM ws),
+        |b2 AS (
+        |  SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2
+        |  FROM bi),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM b2 GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY w1),
+        |lm AS (
+        |  SELECT w1, w2, c12 * 1000000 // c1 AS p_micro
+        |  FROM c JOIN tot USING (w1)),
+        |per AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN p_micro < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_surprising
+        |  FROM b2 b JOIN lm USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(p.n_surprising, 0) AS n_surprising,
+        |  COALESCE(p.n_surprising * 1000000 // NULLIF(p.n_bigrams, 0), 0) AS surprisal_ppm
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (

@@ -79,6 +79,7 @@ object ScaleRehearsal {
     "q_substring_dup" -> Seq("documents"),
     "q_winnow_fingerprint" -> Seq("documents"),
     "q_pmi_colloc" -> Seq("documents"),
+    "q_lm_surprisal" -> Seq("documents"),
     "q_ks_drift" -> Seq("documents"),
     "q_quantile_normalize" -> Seq("documents"),
     "q_decayed_counts" -> Seq("events"),
