@@ -36,6 +36,28 @@ object TextOps {
   private[operators] def wordsOf: Column =
     array_remove(split(lower(col("text")), " "), "")
 
+  /** Winnowing fingerprint table (doc_id, h, fp_pos): k=5-token
+    * shingle hashes, rightmost-min of each w=4 window selected via the
+    * packed-BIGINT frame MIN (see q_winnow_fingerprint's doc) — ONE
+    * definition shared by the per-doc stats and the near-dup join so
+    * the two passes can never disagree on the selection. */
+  private def winnowFp(s: SparkSession, d: String): DataFrame = {
+    val K = 5; val W = 4; val SH = 2097152L
+    val grams = documents(s, d).select(col("doc_id"),
+        posexplode(graft.functions.NGrams.ngrams(wordsOf, K)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), col("p0").cast("long").as("p"),
+        conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
+    val wdoc = Window.partitionBy("doc_id").orderBy("p")
+    grams
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("key", min(col("h") * SH + (lit(SH - 1) - col("p")))
+        .over(wdoc.rowsBetween(Window.currentRow, W - 1)))
+      .filter(col("p") <= col("ng") - W) // full windows only
+      .select(col("doc_id"), expr("key div 2097152").as("h"),
+        (lit(SH - 1) - pmod(col("key"), lit(SH))).as("fp_pos"))
+      .distinct()
+  }
+
   /** Fixed-width 8-word passages over a word array (trailing partial
     * passage included) — ONE definition shared by q_passage_dedup and
     * q_passage_scrub so the dedup pass and the reconstruction pass can
@@ -444,32 +466,41 @@ object TextOps {
     // hash-agg; the cross-doc sharing join runs on the fingerprint
     // table (~2/(w+1) of shingle volume), never on raw grams.
     "q_winnow_fingerprint" -> ((s, d) => {
-      val K = 5; val W = 4; val SH = 2097152L
-      val grams = documents(s, d).select(col("doc_id"),
-          posexplode(graft.functions.NGrams.ngrams(wordsOf, K)).as(Seq("p0", "gram")))
-        .select(col("doc_id"), col("p0").cast("long").as("p"),
-          conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long").as("h"))
-      val wdoc = Window.partitionBy("doc_id").orderBy("p")
-      val sel = grams
-        .withColumn("ng", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("key", min(col("h") * SH + (lit(SH - 1) - col("p")))
-          .over(wdoc.rowsBetween(Window.currentRow, W - 1)))
-        .filter(col("p") <= col("ng") - W) // full windows only
-      val fp = sel.select(col("doc_id"), expr("key div 2097152").as("h"),
-          (lit(SH - 1) - pmod(col("key"), lit(SH))).as("fp_pos"))
-        .distinct()
+      val fp = winnowFp(s, d)
       val nd = fp.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
       val per = fp.join(nd, "h").groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"),
           sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_fp"))
       documents(s, d).select(col("doc_id"),
-          greatest(size(wordsOf) - (K - 1), lit(0)).cast("long").as("n_grams"))
+          greatest(size(wordsOf) - 4, lit(0)).cast("long").as("n_grams")) // K-1 = 4
         .join(per, Seq("doc_id"), "left")
         .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
         .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
         .withColumn("shared_ppm",
           coalesce(expr("n_shared_fp * 1000000 div nullif(n_fp, 0)"), lit(0L)))
         .orderBy("doc_id")
+    }),
+
+    // E3 WINNOWING NEAR-DUP JOIN — the MOSS similarity pass on top of
+    // the fingerprint table: docs sharing ≥ 3 selected fingerprints
+    // are candidate near-dups. Because winnowing keeps ~2/(w+1) of the
+    // shingles, the pair join runs over a fingerprint index a fraction
+    // the size of the full shingle inverted index (the cheap screen
+    // before an exact verify like q_setsim_prefix). Same df-cap
+    // discipline as the shingle family: fingerprints living in > 64
+    // docs (boilerplate) leave the index, bounding per-key fan-out at
+    // cap²/2 regardless of corpus skew.
+    "q_dedup_winnow" -> ((s, d) => {
+      val fp = winnowFp(s, d).select("doc_id", "h").distinct()
+      val dfc = fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("h")
+      val capped = fp.join(dfc, "h")
+      capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("d1", "d2")
     }),
 
     // E5 n-gram language-model statistics: bigram conditional
@@ -1612,6 +1643,30 @@ object TextOps {
         |WHERE c.c12 >= 2
         |  AND c.c12 * tot.n_pairs * 1000000 // (m1.c1 * m2.c2) >= 2000000
         |ORDER BY lift_ppm DESC, w1, w2""".stripMargin,
+
+    "q_dedup_winnow" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[g.i:g.i+4], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM words, generate_series(1, 2000) g(i) WHERE g.i <= len(ws) - 4),
+        |sel AS (
+        |  SELECT doc_id, p,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+        |    MIN(h * 2097152 + (2097151 - p)) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+        |  FROM grams),
+        |fp AS (SELECT DISTINCT doc_id, key // 2097152 AS h
+        |       FROM sel WHERE p <= ng - 4),
+        |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 64),
+        |cap AS (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h))
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+        |FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY d1, d2""".stripMargin,
 
     "q_winnow_fingerprint" ->
       """WITH words AS (

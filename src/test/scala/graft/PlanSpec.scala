@@ -345,6 +345,15 @@ class PlanSpec extends SparkTestBase {
       "pair generation must stay an equi join on l_orderkey")
   }
 
+  test("q_link_predict: hub cap and ranking both run the native top-k; anti join stays LeftAnti") {
+    val p = plan("q_link_predict")
+    assert(p.contains("TopKPerGroup"), "edge cap / ranking must use the native operator")
+    assert(!p.contains("WindowGroupLimit") && !p.contains(" Window "),
+      "must not fall back to the window pipeline")
+    assert(p.contains("LeftAnti"), "existing-edge exclusion must stay an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_item_recos: ranking runs the native top-k operator, no Sort/Window") {
     val p = plan("q_item_recos")
     assert(p.contains("TopKPerGroup"), "reco ranking must use the native operator")
