@@ -229,6 +229,53 @@ object StreamingJobs {
       }
   }
 
+  /** STREAMING DISTRIBUTION-DRIFT MONITOR — the incremental consumer
+    * of the q_ks_drift statistic: each micro-batch's per-source length
+    * distribution is KS-compared against a STATIC reference (the
+    * last-known-good counts), and one drift row per (batch, observed
+    * source) lands exactly-once in a snapshot table via the
+    * tagged-commit sink — the alerting shape of an ingest pipeline
+    * ("today's crawl of source X suddenly ships different documents").
+    * Same integral arithmetic as the batch form (|cum_b·n_r −
+    * cum_r·n_b| maximized over lengths, ppm divided back), and the
+    * same scale shape: the ordered window runs over the per-(source,
+    * length) AGGREGATE, bounded by the length domain, never the batch
+    * volume. */
+  def driftMonitorWriter(docs: DataFrame, reference: DataFrame,
+                         table: graft.sources.SnapshotTable,
+                         runId: String): DataStreamWriter[Row] = {
+    require(runId.nonEmpty, "runId must name the checkpoint lineage")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val W = org.apache.spark.sql.expressions.Window
+        val b = batch.groupBy("source", "len").agg(count(lit(1)).as("nb"))
+        val r = reference.groupBy("source", "len").agg(count(lit(1)).as("nr"))
+        val merged = b.join(r, Seq("source", "len"), "full_outer")
+          .select(col("source"), col("len"),
+            coalesce(col("nb"), lit(0L)).as("nb"),
+            coalesce(col("nr"), lit(0L)).as("nr"))
+        val cumW = W.partitionBy("source").orderBy("len")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val cum = merged
+          .withColumn("cum_b", sum("nb").over(cumW))
+          .withColumn("cum_r", sum("nr").over(cumW))
+        val tot = merged.groupBy("source")
+          .agg(sum("nb").as("n_batch"), sum("nr").as("n_ref"))
+        val drift = cum.join(broadcast(tot), "source")
+          .groupBy("source")
+          .agg(max("n_batch").as("n_batch"), max("n_ref").as("n_ref"),
+            max(abs(col("cum_b") * col("n_ref") - col("cum_r") * col("n_batch")))
+              .as("ks_scaled"))
+          .filter(col("n_batch") > 0) // report only sources seen this batch
+          .withColumn("ks_ppm", coalesce(
+            expr("ks_scaled * 1000000 div nullif(n_batch * n_ref, 0)"), lit(0L)))
+          .withColumn("batch_id", lit(batchId))
+          .select("batch_id", "source", "n_batch", "n_ref", "ks_ppm")
+        table.commitOnce(s"$runId/batch=$batchId", drift): Unit
+      }
+  }
+
   case class FunnelIn(user_id: Long, event_type: String, tsMicros: Long)
   /** Per-user funnel state: min view time, bounded pending click /
     * purchase times, and which stages were already emitted. */

@@ -614,4 +614,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, "spark", 3L), (2L, "flink", 2L)))
     q.stop()
   }
+
+  test("drift monitor: per-batch KS vs a static reference, exactly-once snapshot rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val docs = input.toDF().select(col("_1").as("source"), col("_2").as("len"))
+    // reference: 10 docs at each of lengths 10/20/30/40
+    val ref = Seq.tabulate(40)(i => ("s", (i % 4 + 1) * 10L)).toDF("source", "len")
+    val table = graft.sources.SnapshotTable(
+      Files.createTempDirectory("graft_drift").toString)
+    val ck = Files.createTempDirectory("graft_driftck").toString
+    val q = StreamingJobs.driftMonitorWriter(docs, ref, table, runId = "drift1")
+      .option("checkpointLocation", ck)
+      .start()
+    // batch 0 matches the reference shape exactly → zero drift
+    input.addData(("s", 10L), ("s", 20L), ("s", 30L), ("s", 40L))
+    q.processAllAvailable()
+    // batch 1 ships a disjoint length distribution → full drift
+    input.addData(("s", 100L), ("s", 100L))
+    q.processAllAvailable()
+    val rows = table.read(spark)
+      .select("batch_id", "source", "n_batch", "n_ref", "ks_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._3, r._5)).toSeq ===
+      Seq((0L, 4L, 0L), (1L, 2L, 1000000L)),
+      "identical shape must score 0; disjoint support must score 1e6 ppm")
+    assert(rows.forall(_._4 === 40L))
+    q.stop()
+  }
 }
