@@ -559,6 +559,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // E5 χ² FEATURE SELECTION — token↔class association over the
+    // document-presence contingency table: for the 50 highest-df
+    // tokens, the 2×2 chi-square of (token present) × (lang = 'en'),
+    // the classic feature ranker for text classifiers. Scaled-integer
+    // form: χ²·1e6 = n·(ad−bc)²/(r1·r2·c1·c2), evaluated in ONE
+    // documented operand order (identical div/mul sequence in both
+    // engines, div-by-zero → null → 0 for the token-in-every-doc
+    // degenerate case), so the ranking is bit-identical cross-engine
+    // with no floats. Shape: one distinct-token explode → df hash-agg
+    // → broadcast deterministic top-50 → per-token class counts →
+    // broadcast 1-row class totals. The contingency arithmetic runs
+    // on 50 aggregated rows, never the corpus.
+    "q_chi2_features" -> ((s, d) => {
+      val pres = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(wordsOf)).as("token"))
+      val top = pres.groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(50)
+      val tot = broadcast(documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en")))
+      pres.join(broadcast(top), "token")
+        .groupBy("token", "df")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("b"))
+        .crossJoin(tot)
+        .withColumn("c", col("n_en") - col("a"))
+        .withColumn("dd", col("n_docs") - col("n_en") - col("b"))
+        .withColumn("chi2_micro", coalesce(expr(
+          "((a*dd - b*c) * (a*dd - b*c) div (a + b)) * 1000000" +
+            " div (c + dd) div (a + c) * n_docs div (b + dd)"), lit(0L)))
+        .select("token", "df", "a", "b", "c", "dd", "chi2_micro")
+        .orderBy(col("chi2_micro").desc, col("token"))
+    }),
+
     // E5 per-document quality scoring (length/stopword/token stats)
     "q_text_quality" -> ((s, d) => {
       val toks = wordsOf
@@ -1757,6 +1792,35 @@ object TextOps {
         |FROM c JOIN tot USING (w1)
         |WHERE c12 >= 5
         |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 200""".stripMargin,
+
+    "q_chi2_features" ->
+      """WITH pres AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> ''))) AS token
+        |  FROM documents),
+        |top AS (
+        |  SELECT token, COUNT(*) AS df FROM pres GROUP BY 1
+        |  ORDER BY df DESC, token LIMIT 50),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |  FROM documents),
+        |cc AS (
+        |  SELECT p.token, t.df,
+        |    CAST(SUM(CASE WHEN p.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN p.lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM pres p JOIN top t USING (token) GROUP BY 1, 2),
+        |x AS (
+        |  SELECT cc.token, cc.df, cc.a, cc.b,
+        |    tot.n_en - cc.a AS c, tot.n_docs - tot.n_en - cc.b AS dd,
+        |    tot.n_docs, tot.n_en
+        |  FROM cc, tot)
+        |SELECT token, df, a, b, c, dd,
+        |  COALESCE(((a*dd - b*c) * (a*dd - b*c) // (a + b)) * 1000000
+        |    // NULLIF(c + dd, 0) // (a + c) * n_docs // (b + dd), 0) AS chi2_micro
+        |FROM x
+        |ORDER BY chi2_micro DESC, token""".stripMargin,
 
     "q_lm_surprisal" ->
       """WITH ws AS (
