@@ -157,6 +157,35 @@ object RelQueries {
           round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
         .orderBy("l_returnflag")),
 
+    // COLUMN PROFILER — the data-quality sweep every ingest runs
+    // first: per column, row/null/distinct counts and min/max, in ONE
+    // scan (a single 17-measure aggregate, unpivoted afterwards with
+    // stack() over the 1-row result — never one pass per column). The
+    // date column profiles through an explicit DATE cast so the
+    // min/max strings render identically cross-engine; n_distinct is
+    // exact here — at lake scale the drop-in is the catalog's own
+    // graft_hll sketch, per column, same single-scan shape.
+    "q_profile" -> ((s, d) => {
+      val o = orders(s, d).withColumn("o_orderdate",
+        to_date(col("o_orderdate")))
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu$i"),
+          countDistinct(col(c)).as(s"nd$i"),
+          min(col(c)).cast("string").as(s"mn$i"),
+          max(col(c)).cast("string").as(s"mx$i"))
+        }
+      o.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          "stack(4, " + cols.zipWithIndex.map { case (c, i) =>
+            s"'$c', nu$i, nd$i, mn$i, mx$i" }.mkString(", ") +
+            ") as (col_name, n_null, n_distinct, min_val, max_val)")
+        .select("col_name", "n_rows", "n_null", "n_distinct",
+          "min_val", "max_val")
+        .orderBy("col_name")
+    }),
+
     // A1 at k>1 through the NATIVE whole-operator (graft.plans
     // .TopKPerGroup): 3 earliest orders per customer with their rank.
     // The oracle is the equivalent row_number() SQL — the hash gate
@@ -1542,6 +1571,30 @@ object RelQueries {
         |  CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS lo,
         |  CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu0,
+        |    COUNT(DISTINCT o_custkey) AS nd0,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS mn0, CAST(MAX(o_custkey) AS VARCHAR) AS mx0,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+        |    COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS nd1,
+        |    CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn1,
+        |    CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx1,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+        |    COUNT(DISTINCT o_orderkey) AS nd2,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn2, CAST(MAX(o_orderkey) AS VARCHAR) AS mx2,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
+        |    COUNT(DISTINCT o_orderstatus) AS nd3,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS mn3, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx3
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, n_rows, nu0 AS n_null, nd0 AS n_distinct,
+        |  mn0 AS min_val, mx0 AS max_val FROM a
+        |UNION ALL SELECT 'o_orderdate', n_rows, nu1, nd1, mn1, mx1 FROM a
+        |UNION ALL SELECT 'o_orderkey', n_rows, nu2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, nu3, nd3, mn3, mx3 FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

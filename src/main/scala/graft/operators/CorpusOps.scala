@@ -401,6 +401,32 @@ object CorpusOps {
         .orderBy("source", "lang")
     }),
 
+    // RENDEZVOUS (highest-random-weight) SHARDING — the assignment
+    // rule whose guarantee is MINIMAL MIGRATION: doc → argmax_k
+    // md5(doc|k), so growing 8 → 9 shards moves only the docs whose
+    // new shard wins the argmax, ≈ 1/9 of the corpus (a mod-N rehash
+    // moves 8/9). The argmax rides the packed-BIGINT trick (key =
+    // 56-bit hash·16 + k, one MAX per doc — no struct-ordering
+    // semantics to reconcile cross-engine); both assignments and the
+    // per-doc moved flag are exact and oracle-gated, and the ≈1/9
+    // migration-rate guarantee itself is property-asserted in
+    // OperatorsSpec. One explode (9 rows/doc over the doc-id
+    // PROJECTION, not the text) → one doc-keyed hash-agg.
+    "q_rendezvous_shards" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+          explode(sequence(lit(0), lit(8))).as("k"))
+        .withColumn("key",
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("k"))), 1, 14), 16, 10)
+            .cast("long") * 16 + col("k"))
+        .groupBy("doc_id")
+        .agg(max(when(col("k") < 8, col("key"))).as("k8"),
+          max(col("key")).as("k9"))
+        .select(col("doc_id"),
+          pmod(col("k8"), lit(16L)).as("shard8"),
+          pmod(col("k9"), lit(16L)).as("shard9"))
+        .withColumn("moved", (col("shard8") =!= col("shard9")).cast("long"))
+        .orderBy("doc_id")),
+
     // L-DIVERSITY AUDIT — the attribute-disclosure half of the privacy
     // pair: k-anonymity bounds re-identification, but a class whose
     // SENSITIVE attribute (lang, here) is homogeneous still discloses
@@ -684,6 +710,20 @@ object CorpusOps {
         |JOIN totals t ON a.source = t.source
         |JOIN ranked r ON a.source = r.source AND r.rk = 1
         |ORDER BY a.source""".stripMargin,
+
+    "q_rendezvous_shards" ->
+      """WITH ex AS (
+        |  SELECT doc_id, k.k,
+        |    CAST(('0x' || substr(md5(doc_id || '|' || k.k), 1, 14)) AS BIGINT) * 16 + k.k AS key
+        |  FROM documents, (SELECT unnest(generate_series(0, 8)) AS k) k),
+        |agg AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN k < 8 THEN key END) AS k8,
+        |    MAX(key) AS k9
+        |  FROM ex GROUP BY doc_id)
+        |SELECT doc_id, k8 % 16 AS shard8, k9 % 16 AS shard9,
+        |  CAST((k8 % 16) <> (k9 % 16) AS BIGINT) AS moved
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_l_diversity" ->
       """WITH classes AS (

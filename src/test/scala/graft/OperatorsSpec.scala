@@ -643,6 +643,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.collect { case ("core", c) => c }.toSet.size > 1)
   }
 
+  test("q_rendezvous_shards: 8→9 growth migrates ~1/9 of docs, and shards stay balanced") {
+    import spark.implicits._
+    val rows = graft.operators.CorpusOps.queries("q_rendezvous_shards")(spark, sf)
+      .select("shard8", "moved").as[(Long, Long)].collect()
+    val frac = rows.map(_._2).sum.toDouble / rows.length
+    assert(frac > 0.04 && frac < 0.22,
+      f"rendezvous migration should be ≈1/9 (a mod-N rehash moves 8/9), got $frac%.3f")
+    val byShard = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(byShard.size === 8, "all 8 shards must be used")
+    val avg = rows.length / 8.0
+    byShard.foreach { case (s8, n) =>
+      assert(n > avg * 0.5 && n < avg * 1.7, s"shard $s8 unbalanced: $n of ${rows.length}")
+    }
+  }
+
   test("q_winnow_fingerprint: the winnowing guarantee — every verbatim 8-token match shares a fingerprint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toFile
