@@ -594,6 +594,33 @@ object TextOps {
         .orderBy(col("chi2_micro").desc, col("token"))
     }),
 
+    // E5 VOCAB COVERAGE CURVE — the tokenizer-budget diagnostic: per
+    // lang, the smallest frequency-ranked vocabulary covering 90 / 95
+    // / 99 % of token occurrences (the curve that decides vocab size
+    // before a BPE train). Integral thresholds (cum·100 ≥ total·p, no
+    // float division); ranking and running sum are windows over the
+    // AGGREGATED (lang, token) table — vocab-bounded, never corpus-
+    // volume, the same aggregate-first shape as q_ks_drift.
+    "q_vocab_coverage" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(col("lang"), explode(wordsOf).as("tk"))
+        .groupBy("lang", "tk").agg(count(lit(1)).as("n"))
+      val ord = Window.partitionBy("lang").orderBy(col("n").desc, col("tk"))
+      val cum = counts
+        .withColumn("rk", row_number().over(ord).cast("long"))
+        .withColumn("cum", sum("n").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = counts.groupBy("lang")
+        .agg(sum("n").as("n_tok"), count(lit(1)).as("vocab"))
+      cum.join(broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(max("n_tok").as("n_tokens"), max("vocab").as("vocab_size"),
+          min(when(col("cum") * 100 >= col("n_tok") * 90, col("rk"))).as("k90"),
+          min(when(col("cum") * 100 >= col("n_tok") * 95, col("rk"))).as("k95"),
+          min(when(col("cum") * 100 >= col("n_tok") * 99, col("rk"))).as("k99"))
+        .orderBy("lang")
+    }),
+
     // E5 per-document quality scoring (length/stopword/token stats)
     "q_text_quality" -> ((s, d) => {
       val toks = wordsOf
@@ -1849,6 +1876,31 @@ object TextOps {
         |  COALESCE(p.n_surprising * 1000000 // NULLIF(p.n_bigrams, 0), 0) AS surprisal_ppm
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT lang, tk, COUNT(*) AS n
+        |  FROM (SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x <> '')) AS tk
+        |        FROM documents)
+        |  GROUP BY lang, tk),
+        |cum AS (
+        |  SELECT lang, n,
+        |    ROW_NUMBER() OVER w AS rk,
+        |    SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, tk
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM counts
+        |  WINDOW w AS (PARTITION BY lang ORDER BY n DESC, tk)),
+        |tot AS (
+        |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tok, COUNT(*) AS vocab
+        |  FROM counts GROUP BY lang)
+        |SELECT c.lang, MAX(t.n_tok) AS n_tokens, MAX(t.vocab) AS vocab_size,
+        |  MIN(CASE WHEN c.cum * 100 >= t.n_tok * 90 THEN c.rk END) AS k90,
+        |  MIN(CASE WHEN c.cum * 100 >= t.n_tok * 95 THEN c.rk END) AS k95,
+        |  MIN(CASE WHEN c.cum * 100 >= t.n_tok * 99 THEN c.rk END) AS k99
+        |FROM cum c JOIN tot t USING (lang)
+        |GROUP BY c.lang
+        |ORDER BY c.lang""".stripMargin,
 
     "q_text_quality" ->
       """WITH t AS (
