@@ -55,6 +55,65 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // E8 ENGAGEMENT CONCENTRATION (Gini) — how unevenly activity
+    // spreads over users, by the exact rank formula G = (2·Σ rk·n −
+    // (N+1)·Σn) / (N·Σn) in integral ppm: rank users by event count
+    // ascending (total order, user_id tie-break) with the two-phase
+    // distributed row number — the single-key global ranking that
+    // would otherwise be one task's sort — then three sums. The whole
+    // statistic is one aggregate over the user table; nothing rescans
+    // events after the first groupBy.
+    "q_engagement_gini" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val gb = broadcast(users.agg(min("n").as("glo"), max("n").as("ghi")))
+      val ranked = graft.operators.PrefixSum.rowNumber(
+        users.crossJoin(gb), Seq.empty,
+        Seq(col("n"), col("user_id")),
+        graft.operators.PrefixSum.rangeBucket(col("n"), col("glo"), col("ghi"), 32),
+        "rk")
+      ranked.agg(count(lit(1)).as("n_users"), sum("n").as("total"),
+          sum(col("rk") * col("n")).as("rk_weighted"))
+        .withColumn("gini_ppm", expr(
+          "(2 * rk_weighted - (n_users + 1) * total) * 1000000 div (n_users * total)"))
+        .select("n_users", "total", "gini_ppm")
+    }),
+
+    // E8 TEMPORAL TRAIN/TEST SPLIT + LEAKAGE AUDIT — the eval-hygiene
+    // cut for sequence models: train = strictly before the corpus's
+    // 80%-point day (exact distributed rank over DAYS, not a
+    // wall-clock guess), test = after; the audit reports the user
+    // overlap between splits — the population a user-level holdout
+    // would have to drop, and the first number a reviewer asks for.
+    // Day ranking runs over the per-day aggregate (bounded by the
+    // calendar); the overlap is a semi-join of two user sets.
+    "q_temporal_split" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val days = ev.groupBy("day").agg(count(lit(1)).as("n"))
+      val wd = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = days
+        .withColumn("cum", sum("n").over(wd))
+        .crossJoin(broadcast(days.agg(sum("n").as("tot"))))
+        .filter(col("cum") * 100 >= col("tot") * 80)
+        .agg(min("day").as("cut_day"))
+      val tagged = ev.crossJoin(broadcast(cut))
+        .withColumn("split", when(col("day") < col("cut_day"), "train")
+          .otherwise("test"))
+      val trainU = tagged.filter(col("split") === "train")
+        .select("user_id").distinct()
+      val testU = tagged.filter(col("split") === "test")
+        .select("user_id").distinct()
+      val overlap = trainU.join(testU, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("leak_users"))
+      tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          min("day").cast("string").as("from_day"),
+          max("day").cast("string").as("to_day"))
+        .crossJoin(broadcast(overlap))
+        .orderBy("split")
+    }),
+
     // E8 HOPPING (sliding) window aggregation: 2-hour windows sliding
     // every hour via Spark's native `window()` — Catalyst's
     // TimeWindowing rule expands each event into its size/slide = 2
@@ -463,6 +522,37 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_engagement_gini" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk FROM u)
+        |SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS total,
+        |  (2 * CAST(SUM(rk * n) AS BIGINT) - (COUNT(*) + 1) * CAST(SUM(n) AS BIGINT))
+        |    * 1000000 // (COUNT(*) * CAST(SUM(n) AS BIGINT)) AS gini_ppm
+        |FROM r""".stripMargin,
+
+    "q_temporal_split" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |days AS (SELECT day, COUNT(*) AS n FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT day, SUM(n) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM days),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM days),
+        |cut AS (SELECT MIN(day) AS cut_day FROM cum, tot WHERE cum * 100 >= tot * 80),
+        |tagged AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN day < (SELECT cut_day FROM cut) THEN 'train' ELSE 'test' END AS split
+        |  FROM ev),
+        |leak AS (
+        |  SELECT COUNT(*) AS leak_users FROM (
+        |    SELECT DISTINCT user_id FROM tagged WHERE split = 'train'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM tagged WHERE split = 'test'))
+        |SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(MIN(day) AS VARCHAR) AS from_day, CAST(MAX(day) AS VARCHAR) AS to_day,
+        |  (SELECT leak_users FROM leak) AS leak_users
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
 
     "q_decayed_counts" ->
       """WITH base AS (
