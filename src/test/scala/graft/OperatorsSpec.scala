@@ -643,6 +643,80 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.collect { case ("core", c) => c }.toSet.size > 1)
   }
 
+  test("q_substring_dup: ppm coverage equals brute-force window marking on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(991)
+    // wide vocab (no accidental repeats) + INJECTED shared runs of
+    // 12-25 tokens at random offsets in a third of the docs — long
+    // enough to span several overlapping 10-windows, short enough to
+    // leave every carrier only PARTIALLY covered
+    def tokens(n: Int) = Seq.fill(n)("t" + rnd.nextInt(100000))
+    val runs = Seq.fill(4)(tokens(12 + rnd.nextInt(14)))
+    val docs = (0L until 30L).map { i =>
+      val base = tokens(20 + rnd.nextInt(40))
+      val ws = if (i % 3 == 0) {
+        val r = runs(rnd.nextInt(runs.size))
+        val cut = rnd.nextInt(base.size)
+        base.take(cut) ++ r ++ base.drop(cut)
+      } else base
+      val text = ws.mkString(" ")
+      (i, text, "en", "synthetic", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_subdup").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    // brute force: hash every 10-token window, mark tokens of windows
+    // whose text occurs in >1 document, count marked tokens per doc
+    val words = docs.map { case (id, text, _, _, _) => id -> text.split(" ").toSeq }.toMap
+    val winDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    words.foreach { case (id, ws) =>
+      ws.sliding(10).filter(_.size == 10).foreach { w =>
+        winDocs.getOrElseUpdate(w.mkString(" "), scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val expected = words.map { case (id, ws) =>
+      val marked = Array.fill(ws.size)(false)
+      ws.sliding(10).zipWithIndex.filter(_._1.size == 10).foreach { case (w, p) =>
+        if (winDocs(w.mkString(" ")).size > 1)
+          (p until p + 10).foreach(marked(_) = true)
+      }
+      val covered = marked.count(identity).toLong
+      id -> (ws.size.toLong, covered,
+        if (ws.nonEmpty) covered * 1000000L / ws.size else 0L)
+    }
+    val got = graft.operators.TextOps.queries("q_substring_dup")(
+        spark, dir.getAbsolutePath)
+      .select("doc_id", "n_toks", "covered", "cov_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === expected)
+    // the fixture must actually exercise duplication AND partial coverage
+    assert(expected.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "fixture needs a partially-covered doc")
+  }
+
+  test("q_quantile_normalize: a single-source corpus normalizes to itself (identity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (0L until 200L).map { i =>
+      val len = 50L + rnd.nextInt(500)
+      (i, "x", "en", "only_source", len)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_qn").toFile
+    dir.deleteOnExit()
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath + "/documents.parquet")
+    // with one source, within-source rank r of n maps to global rank
+    // r·N div n = r — the doc's own position — so norm_len must equal
+    // len everywhere; any off-by-one in either ranking breaks this
+    val out = graft.operators.CorpusOps.queries("q_quantile_normalize")(
+        spark, dir.getAbsolutePath)
+      .select("len", "norm_len").as[(Long, Long)].collect()
+    assert(out.length === 200)
+    out.foreach { case (len, norm) => assert(norm === len) }
+  }
+
   test("q_rendezvous_shards: 8→9 growth migrates ~1/9 of docs, and shards stay balanced") {
     import spark.implicits._
     val rows = graft.operators.CorpusOps.queries("q_rendezvous_shards")(spark, sf)
