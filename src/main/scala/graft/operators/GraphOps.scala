@@ -492,6 +492,45 @@ object GraphOps {
 
     // Per-node triangle counts — the local clustering signal (spam/SEO
     // detection in link graphs). One ordered edge list u < v makes the
+    // E16 CLUSTERING MODULARITY — Newman's Q for the dedup clustering,
+    // measured over the WINNOW-SCREEN edge set rather than the edges
+    // that induced the clusters (those would be trivially all-intra):
+    // Q tells you how coherently the cheap fingerprint screen agrees
+    // with the verified-Jaccard communities — inter-community winnow
+    // pairs are exactly the screen's false merges. (On the testdata it
+    // measures Q ≈ 0.003 with 1/25 pairs intra: the ≥3-fingerprint
+    // screen is deliberately much looser than 0.8-Jaccard verification
+    // — a high-recall screen feeding a strict verify, and the metric
+    // is what QUANTIFIES that gap instead of guessing.) Integral, ONE
+    // terminal division: Q·1e6 = Σ_c (4m·e_c − deg_c²) · 1e6 div 4m².
+    // Everything runs on aggregates (degrees, per-community sums); the
+    // only corpus-volume work is the shared memoized pipelines.
+    "q_dedup_modularity" -> ((s, d) => {
+      val wp = TextOps.winnowPairs(s, d).select("d1", "d2")
+      val nodeComp = clusters(s, d) // (node, comp), every doc labeled
+      val mdf = broadcast(wp.agg(count(lit(1)).as("m")))
+      val deg = wp.select(col("d1").as("node"))
+        .union(wp.select(col("d2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val degC = deg.join(nodeComp, "node")
+        .groupBy("comp").agg(sum("deg").as("deg_c"))
+      val eC = wp
+        .join(nodeComp.select(col("node").as("d1"), col("comp").as("c1")), "d1")
+        .join(nodeComp.select(col("node").as("d2"), col("comp").as("c2")), "d2")
+        .filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("comp")).agg(count(lit(1)).as("e_c"))
+      degC.join(eC, Seq("comp"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(mdf)
+        .agg(max("m").as("m"), count(lit(1)).as("n_comms"),
+          sum("e_c").as("intra_edges"),
+          sum(expr("4 * m * e_c - deg_c * deg_c")).as("q_num"))
+        .select(coalesce(col("m"), lit(0L)).as("m"), col("n_comms"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          coalesce(expr("q_num * 1000000 div nullif(4 * m * m, 0)"), lit(0L))
+            .as("modularity_ppm"))
+    }),
+
     // E16 LINK PREDICTION — common-neighbor / Jaccard candidate edges:
     // for every NON-adjacent pair sharing ≥2 neighbors, score
     // |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| in integral ppm and keep each node's
@@ -650,6 +689,25 @@ object GraphOps {
         |  WHERE r.hops < 3)
         |SELECT node, MIN(hops) AS hops FROM r
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_dedup_modularity" -> (ccPrelude + ",\n" + TextOps.winnowPairsCte + """,
+      |wm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM wpairs),
+      |wdeg AS (SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT d1 AS node FROM wpairs
+      |    UNION ALL SELECT d2 FROM wpairs) GROUP BY node),
+      |degc AS (SELECT cc.comp, CAST(SUM(w.deg) AS BIGINT) AS deg_c
+      |         FROM wdeg w JOIN cc ON cc.node = w.node GROUP BY cc.comp),
+      |ec AS (SELECT c1.comp, COUNT(*) AS e_c
+      |       FROM wpairs p JOIN cc c1 ON c1.node = p.d1
+      |                     JOIN cc c2 ON c2.node = p.d2
+      |       WHERE c1.comp = c2.comp GROUP BY c1.comp),
+      |percomp AS (SELECT d.comp, d.deg_c, COALESCE(e.e_c, 0) AS e_c
+      |            FROM degc d LEFT JOIN ec e USING (comp))
+      |SELECT (SELECT m FROM wm) AS m, COUNT(*) AS n_comms,
+      |  COALESCE(CAST(SUM(e_c) AS BIGINT), 0) AS intra_edges,
+      |  COALESCE(CAST(SUM(4 * (SELECT m FROM wm) * e_c - deg_c * deg_c) AS BIGINT) * 1000000
+      |    // NULLIF(4 * (SELECT m FROM wm) * (SELECT m FROM wm), 0), 0) AS modularity_ppm
+      |FROM percomp""".stripMargin),
 
     "q_link_predict" ->
       """WITH raw AS (

@@ -58,6 +58,49 @@ object TextOps {
       .distinct()
   }
 
+  /** Winnowing near-dup candidate pairs (d1, d2, n_shared ≥ 3) over
+    * the df-capped fingerprint index — shared by q_dedup_winnow and
+    * GraphOps' modularity metric so the screen and its evaluation can
+    * never disagree on the edge set. */
+  private[operators] def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFp(s, d).select("doc_id", "h").distinct()
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("h")
+    val capped = fp.join(dfc, "h")
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** Winnow pair-generation CTE chain (words → … → wpairs), the SQL
+    * twin of [[winnowPairs]] — one string consumed by the
+    * q_dedup_winnow oracle AND GraphOps' modularity oracle. */
+  private[operators] val winnowPairsCte: String =
+    """words AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
+      |    CAST(('0x' || substr(md5(array_to_string(ws[g.i:g.i+4], ' ')), 1, 10)) AS BIGINT) AS h
+      |  FROM words, generate_series(1, 2000) g(i) WHERE g.i <= len(ws) - 4),
+      |sel AS (
+      |  SELECT doc_id, p,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+      |    MIN(h * 2097152 + (2097151 - p)) OVER (
+      |      PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
+      |  FROM grams),
+      |wfp AS (SELECT DISTINCT doc_id, key // 2097152 AS h
+      |        FROM sel WHERE p <= ng - 4),
+      |dfc AS (SELECT h FROM wfp GROUP BY h HAVING COUNT(*) <= 64),
+      |wcap AS (SELECT f.doc_id, f.h FROM wfp f JOIN dfc USING (h)),
+      |wpairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+      |  FROM wcap a JOIN wcap b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+
   /** Fixed-width 8-word passages over a word array (trailing partial
     * passage included) — ONE definition shared by q_passage_dedup and
     * q_passage_scrub so the dedup pass and the reconstruction pass can
@@ -490,18 +533,7 @@ object TextOps {
     // discipline as the shingle family: fingerprints living in > 64
     // docs (boilerplate) leave the index, bounding per-key fan-out at
     // cap²/2 regardless of corpus skew.
-    "q_dedup_winnow" -> ((s, d) => {
-      val fp = winnowFp(s, d).select("doc_id", "h").distinct()
-      val dfc = fp.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 64).select("h")
-      val capped = fp.join(dfc, "h")
-      capped.as("a").join(capped.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("d1", "d2")
-    }),
+    "q_dedup_winnow" -> ((s, d) => winnowPairs(s, d).orderBy("d1", "d2")),
 
     // E5 n-gram language-model statistics: bigram conditional
     // probabilities P(w2|w1) = c(w1,w2) / c(w1 ·) — the count tables a
@@ -1707,28 +1739,9 @@ object TextOps {
         |ORDER BY lift_ppm DESC, w1, w2""".stripMargin,
 
     "q_dedup_winnow" ->
-      """WITH words AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p,
-        |    CAST(('0x' || substr(md5(array_to_string(ws[g.i:g.i+4], ' ')), 1, 10)) AS BIGINT) AS h
-        |  FROM words, generate_series(1, 2000) g(i) WHERE g.i <= len(ws) - 4),
-        |sel AS (
-        |  SELECT doc_id, p,
-        |    COUNT(*) OVER (PARTITION BY doc_id) AS ng,
-        |    MIN(h * 2097152 + (2097151 - p)) OVER (
-        |      PARTITION BY doc_id ORDER BY p
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS key
-        |  FROM grams),
-        |fp AS (SELECT DISTINCT doc_id, key // 2097152 AS h
-        |       FROM sel WHERE p <= ng - 4),
-        |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 64),
-        |cap AS (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h))
-        |SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
-        |FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY d1, d2""".stripMargin,
+      ("WITH " + winnowPairsCte + "\n" +
+        """SELECT d1, d2, n_shared FROM wpairs
+          |ORDER BY d1, d2""".stripMargin),
 
     "q_winnow_fingerprint" ->
       """WITH words AS (
