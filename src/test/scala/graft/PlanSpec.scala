@@ -345,6 +345,13 @@ class PlanSpec extends SparkTestBase {
       "pair generation must stay an equi join on l_orderkey")
   }
 
+  test("q_profile: all four columns profile through ONE parquet scan") {
+    // AQE's toString prints Final AND Initial plans — count only the final
+    val p = plan("q_profile").split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"profiler must be a single-pass aggregate, found $scans scans")
+  }
+
   test("q_link_predict: hub cap and ranking both run the native top-k; anti join stays LeftAnti") {
     val p = plan("q_link_predict")
     assert(p.contains("TopKPerGroup"), "edge cap / ranking must use the native operator")
