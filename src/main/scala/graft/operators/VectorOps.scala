@@ -96,6 +96,24 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     // E4 brute-force cosine top-k (baseline; exact)
+    // E4 LABEL CENTROIDS (class prototypes): per-label dimension-wise
+    // mean embedding — the prototype table behind nearest-class-mean
+    // classification and the class anchors of contrastive training.
+    // Exact integer micro-unit sums (order-independent; float sums
+    // would hash-differ across partitionings) with truncating-div
+    // means, one (label, dim)-keyed hash-aggregate over the
+    // dim-exploded vectors — map-side partials absorb the 64× explode.
+    "q_label_centroids" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"), sum("qv").as("sum_qv"))
+        .withColumn("centroid_qv", expr("sum_qv div n_vecs"))
+        .select("label", "dim", "n_vecs", "centroid_qv")
+        .orderBy("label", "dim")),
+
     "q_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -965,6 +983,18 @@ object VectorOps {
         |FROM (SELECT DISTINCT qid FROM exact) q
         |LEFT JOIN hits h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin),
+
+    "q_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, CAST(d AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings))
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(qv) AS BIGINT) // COUNT(*) AS centroid_qv
+        |FROM dims GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     "q_kmeans" ->
       """WITH dims AS (
