@@ -114,6 +114,34 @@ object VectorOps {
         .select("label", "dim", "n_vecs", "centroid_qv")
         .orderBy("label", "dim")),
 
+    // E4 NEAREST-CLASS-MEAN EVAL — the self-evaluating consumer of the
+    // prototype table: classify every vector by its nearest label
+    // centroid (exact integral L2² in micro-units, row_number argmin
+    // with the (dist, label) tie-break) and report the confusion
+    // matrix against the true labels. Centroids broadcast (labels×64
+    // rows); the distance aggregate shuffles on (vec, label) — fine
+    // keys — and the argmin window partitions per vector. On
+    // iid-random test embeddings the diagonal is honestly weak, which
+    // is exactly what a measure-don't-guess eval is for.
+    "q_ncm_eval" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val cents = dims.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+        .agg(expr("sum(qv) div count(1)").as("cqv"))
+      val dist = dims.join(broadcast(cents), col("dim") === col("cdim"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(expr("(qv - cqv) * (qv - cqv)")).as("dist2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("clabel"))
+      dist.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    }),
+
     "q_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -983,6 +1011,30 @@ object VectorOps {
         |FROM (SELECT DISTINCT qid FROM exact) q
         |LEFT JOIN hits h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin),
+
+    "q_ncm_eval" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, CAST(d AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |cents AS (
+        |  SELECT label AS clabel, dim AS cdim,
+        |    CAST(SUM(qv) AS BIGINT) // COUNT(*) AS cqv
+        |  FROM dims GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT d.vec_id, d.label, c.clabel,
+        |    CAST(SUM((d.qv - c.cqv) * (d.qv - c.cqv)) AS BIGINT) AS dist2
+        |  FROM dims d JOIN cents c ON d.dim = c.cdim
+        |  GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT vec_id, label, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+        |  FROM dist)
+        |SELECT label AS true_label, clabel AS pred_label, COUNT(*) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_label_centroids" ->
       """WITH dims AS (
