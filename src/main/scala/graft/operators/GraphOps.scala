@@ -492,6 +492,33 @@ object GraphOps {
 
     // Per-node triangle counts — the local clustering signal (spam/SEO
     // detection in link graphs). One ordered edge list u < v makes the
+    // E11 NEAR-DUP-AWARE SPLIT — the leakage-controlled train/test
+    // cut: an 80/20 md5 split is only honest if no train document is a
+    // near-duplicate of a test document, so any train doc sharing a
+    // verified dedup CLUSTER with a test doc is dropped (the
+    // cluster-transitive generalization of per-pair decontamination —
+    // a train doc two hops from a test doc leaks too). Composes the
+    // memoized cluster labels; the leak check is one semi-join of
+    // cluster ids. Output: train / test / dropped_leak counts plus the
+    // count of affected clusters.
+    "q_split_leakage" -> ((s, d) => {
+      val cl = clusters(s, d) // (node, comp)
+        .withColumn("is_test",
+          pmod(conv(substring(md5(concat(lit("split|"),
+            col("node").cast("string"))), 1, 8), 16, 10).cast("long"), lit(5L)) === 0)
+      val testComps = cl.filter(col("is_test")).select("comp").distinct()
+      val tagged = cl.join(testComps.withColumn("leaky", lit(true)),
+          Seq("comp"), "left")
+        .withColumn("bucket",
+          when(col("is_test"), "test")
+            .when(coalesce(col("leaky"), lit(false)), "dropped_leak")
+            .otherwise("train"))
+      tagged.groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("comp").as("n_clusters"))
+        .orderBy("bucket")
+    }),
+
     // E16 CLUSTERING MODULARITY — Newman's Q for the dedup clustering,
     // measured over the WINNOW-SCREEN edge set rather than the edges
     // that induced the clusters (those would be trivially all-intra):
@@ -689,6 +716,22 @@ object GraphOps {
         |  WHERE r.hops < 3)
         |SELECT node, MIN(hops) AS hops FROM r
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_split_leakage" -> (ccPrelude + """,
+      |lbl AS (
+      |  SELECT node, comp,
+      |    CAST(('0x' || substr(md5('split|' || node), 1, 8)) AS BIGINT) % 5 = 0 AS is_test
+      |  FROM cc),
+      |tcomps AS (SELECT DISTINCT comp FROM lbl WHERE is_test),
+      |tagged AS (
+      |  SELECT l.node, l.comp,
+      |    CASE WHEN l.is_test THEN 'test'
+      |         WHEN t.comp IS NOT NULL THEN 'dropped_leak'
+      |         ELSE 'train' END AS bucket
+      |  FROM lbl l LEFT JOIN tcomps t ON t.comp = l.comp)
+      |SELECT bucket, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_clusters
+      |FROM tagged GROUP BY bucket
+      |ORDER BY bucket""".stripMargin),
 
     "q_dedup_modularity" -> (ccPrelude + ",\n" + TextOps.winnowPairsCte + """,
       |wm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM wpairs),
