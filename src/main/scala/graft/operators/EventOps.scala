@@ -36,6 +36,33 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // E7 JSON SCHEMA PROFILE — key-presence discovery over a
+    // semi-structured column: explode each record's key set
+    // (json_object_keys / json_keys — no schema assumed, the real
+    // schema-drift primitive for feeds whose payload evolves) and
+    // report per-key presence in integral ppm. The testdata's props
+    // is single-key, so a richer payload is DERIVED deterministically
+    // from row values first (the q_pii_scrub convention: both engines
+    // construct the identical string, so the optional-key share is
+    // genuine). One explode → one key-keyed hash-agg → broadcast
+    // 1-row total.
+    "q_json_profile" -> ((s, d) => {
+      val js = concat(lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+        lit(", \"ev\": \""), col("event_type"), lit("\""),
+        when(col("value") > 50,
+          concat(lit(", \"v\": "), cents(col("value")).cast("string")))
+          .otherwise(lit("")),
+        lit("}"))
+      val ev = events(s, d).select(js.as("js"))
+      val tot = broadcast(ev.agg(count(lit(1)).as("n_events")))
+      ev.select(explode(expr("json_object_keys(js)")).as("json_key"))
+        .groupBy("json_key").agg(count(lit(1)).as("n_present"))
+        .crossJoin(tot)
+        .withColumn("presence_ppm", expr("n_present * 1000000 div n_events"))
+        .select("json_key", "n_present", "presence_ppm")
+        .orderBy("json_key")
+    }),
+
     // E8 HALF-LIFE DECAYED COUNTS — recency-weighted per-user
     // engagement: an event aged `a` whole weeks (against the corpus
     // max day) weighs 2^−a, held EXACTLY in binary micro-units (2²⁰ =
@@ -522,6 +549,22 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_json_profile" ->
+      """WITH ev AS (
+        |  SELECT '{"k": ' || json_extract_string(props, '$.k')
+        |    || ', "ev": "' || event_type || '"'
+        |    || CASE WHEN value > 50
+        |         THEN ', "v": ' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+        |         ELSE '' END
+        |    || '}' AS js
+        |  FROM events),
+        |tot AS (SELECT COUNT(*) AS n_events FROM ev),
+        |keys AS (SELECT unnest(json_keys(js)) AS json_key FROM ev)
+        |SELECT json_key, COUNT(*) AS n_present,
+        |  COUNT(*) * 1000000 // (SELECT n_events FROM tot) AS presence_ppm
+        |FROM keys GROUP BY json_key
+        |ORDER BY json_key""".stripMargin,
 
     "q_engagement_gini" ->
       """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
