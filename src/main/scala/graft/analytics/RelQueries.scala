@@ -795,6 +795,47 @@ object RelQueries {
         .orderBy("iv_id")
     }),
 
+    // SPATIAL RADIUS SELF-JOIN via grid-cell bucketing — the
+    // fixed-radius near-neighbor join (geo dedup, store-catchment
+    // overlap, trajectory contact tracing) in its scale shape: bucket
+    // points into cells of side ≥ r, explode ONE side to its 3×3 cell
+    // neighborhood, equi-join on the cell key, then exact distance
+    // filter. Every within-r pair lands in exactly one (neighbor-cell,
+    // own-cell) combination, so no distinct is needed; the oracle is
+    // the brute-force O(n²) distance join, proving the grid loses
+    // nothing. Coordinates are md5-derived integers (the portable-
+    // randomness convention — an LCG lattice was tried first and
+    // produced ZERO within-radius pairs at every SF: multiplicative
+    // lattices have a large minimum pair distance, exactly the
+    // structure hashing destroys). Everything stays integral. Scale:
+    // the cross join is gone — cost is 9 index rows/point and a hash
+    // join on cell density, the textbook fixed-radius shape (cf.
+    // ann/minhash bucketing above).
+    "q_spatial_join" -> ((s, d) => {
+      val r2 = 750L * 750L // radius 750 < cell side 1000
+      def coord(salt: String): Column =
+        conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 8),
+          16, 10).cast("long") % 50000
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+        coord("x").as("x"), coord("y").as("y"))
+      val probe = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          explode(sequence(lit(-1), lit(1))).as("dx"))
+        .select(col("a_id"), col("ax"), col("ay"), col("dx"),
+          explode(sequence(lit(-1), lit(1))).as("dy"))
+        .select(col("a_id"), col("ax"), col("ay"),
+          ((expr("ax div 1000") + col("dx")) * 1024
+            + expr("ay div 1000") + col("dy")).as("cell"))
+      val build = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+        (expr("x div 1000") * 1024 + expr("y div 1000")).as("cell"))
+      probe.join(build, "cell")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist2", (col("ax") - col("bx")) * (col("ax") - col("bx"))
+          + (col("ay") - col("by")) * (col("ay") - col("by")))
+        .filter(col("dist2") <= r2)
+        .select(col("a_id"), col("b_id"), col("dist2"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // exact interpolated percentiles over integer cents (identical
     // linear-interpolation arithmetic in both engines)
     "q_percentiles" -> ((s, d) =>
@@ -1988,6 +2029,20 @@ object RelQueries {
         |SELECT iv_id, COUNT(*) AS n_points
         |FROM iv JOIN lineitem ON l_orderkey BETWEEN lo AND hi
         |GROUP BY iv_id ORDER BY iv_id""".stripMargin,
+
+    // brute-force distance join: proves the Spark grid loses no pair
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(('0x' || substr(md5(c_custkey || 'x'), 1, 8)) AS BIGINT) % 50000 AS x,
+        |    CAST(('0x' || substr(md5(c_custkey || 'y'), 1, 8)) AS BIGINT) % 50000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+        |    AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 562500
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_in_window

@@ -401,6 +401,46 @@ object CorpusOps {
         .orderBy("source", "lang")
     }),
 
+    // T-CLOSENESS — the third leg of the release-audit trio
+    // (k-anonymity bounds re-identification, l-diversity bounds
+    // attribute disclosure by COUNT, t-closeness bounds it by
+    // DISTRIBUTION): per equivalence class (source, size_bin), the
+    // total-variation distance between the class's sensitive-value
+    // (lang) distribution and the corpus-wide one — for categorical
+    // sensitives, EMD reduces to TV = ½·Σ_l |p_g(l) − p(l)|. Kept
+    // EXACT in integers over the common denominator n_g·N:
+    //   t = Σ_l |n_gl·N − n_l·n_g| / (2·n_g·N),
+    // with absent-langs folding to the closed form (N − Σ_present n_l)·n_g
+    // so no lang×class dense cross join is materialized. One
+    // hash-aggregate over the data (cell counts); every later join
+    // runs on the aggregate (≤ classes×langs rows) with the lang and
+    // corpus totals broadcast — shape-invariant at 100 TB.
+    "q_t_closeness" -> ((s, d) => {
+      val cell = documents(s, d)
+        .select(col("source"), expr("n_chars div 200").as("size_bin"),
+          col("lang"))
+        .groupBy("source", "size_bin", "lang")
+        .agg(count(lit(1)).as("n_gl"))
+      val g = cell.groupBy("source", "size_bin").agg(sum("n_gl").as("n_g"))
+      val l = cell.groupBy("lang").agg(sum("n_gl").as("n_l"))
+      val tot = cell.agg(sum("n_gl").as("n_total"))
+      val grp = cell
+        .join(broadcast(l), "lang")
+        .join(g, Seq("source", "size_bin"))
+        .crossJoin(broadcast(tot)) // 1-row aggregate probe
+        .groupBy(col("source"), col("size_bin"), col("n_g"), col("n_total"))
+        .agg(sum(abs(col("n_gl") * col("n_total") - col("n_l") * col("n_g")))
+            .as("s_term"),
+          sum(col("n_l")).as("s_nl"))
+      grp
+        .withColumn("t_micro",
+          expr("(s_term + (n_total - s_nl) * n_g) * 1000000 div (2 * n_g * n_total)"))
+        .select(col("source"), col("size_bin"), col("n_g"),
+          col("t_micro"),
+          (col("t_micro") > 300000).cast("long").as("breach"))
+        .orderBy("source", "size_bin")
+    }),
+
     // RENDEZVOUS (highest-random-weight) SHARDING — the assignment
     // rule whose guarantee is MINIMAL MIGRATION: doc → argmax_k
     // md5(doc|k), so growing 8 → 9 shards moves only the docs whose
@@ -749,6 +789,30 @@ object CorpusOps {
         |  CAST(SUM(n) AS BIGINT) AS docs_total
         |FROM classes GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT source, n_chars // 200 AS size_bin, lang, COUNT(*) AS n_gl
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT source, size_bin, SUM(n_gl) AS n_g FROM cell GROUP BY 1, 2),
+        |l AS (SELECT lang, SUM(n_gl) AS n_l FROM cell GROUP BY 1),
+        |tot AS (SELECT SUM(n_gl) AS n_total FROM cell),
+        |grp AS (
+        |  SELECT c.source, c.size_bin, g.n_g, tot.n_total,
+        |    SUM(ABS(c.n_gl * tot.n_total - l.n_l * g.n_g)) AS s_term,
+        |    SUM(l.n_l) AS s_nl
+        |  FROM cell c
+        |  JOIN l ON l.lang = c.lang
+        |  JOIN g ON g.source = c.source AND g.size_bin = c.size_bin
+        |  CROSS JOIN tot
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT source, size_bin, CAST(n_g AS BIGINT) AS n_g,
+        |  CAST((s_term + (n_total - s_nl) * n_g) * 1000000
+        |       // (2 * n_g * n_total) AS BIGINT) AS t_micro,
+        |  CAST(CASE WHEN (s_term + (n_total - s_nl) * n_g) * 1000000
+        |                 // (2 * n_g * n_total) > 300000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM grp ORDER BY source, size_bin""".stripMargin,
 
     "q_quality_filter" ->
       """WITH t AS (

@@ -812,6 +812,105 @@ object VectorOps {
             .otherwise(lit("noise")).as("role"),
           coalesce(col("ccomp"), col("bcomp"), lit(-1L)).as("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // E4/E9 CLASSIFIER EVAL: one-vs-rest ROC-AUC of the
+    // nearest-class-mean scorer (score = integral dot with the label
+    // centroid, the q_ncm_eval quantization) via the tie-aware
+    // Mann-Whitney identity — AUC·2·P·N = Σ_s pos(s)·(2·cumneg(<s) +
+    // neg(s)) over score-grouped counts. Exact integers end-to-end
+    // (qv·cqv ≤ 64·(3e5)² ≈ 6e12 < 2^63), so the metric itself is
+    // oracle-gated. Scale shape: one hash-agg to score-grouped counts
+    // (card. ≤ distinct scores), then the running negative count runs
+    // through the two-phase [[PrefixSum]] scan — no single-task
+    // per-label sort survives a 100 TB eval set.
+    "q_auc_eval" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val cents = dims.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+        .agg(expr("sum(qv) div count(1)").as("cqv"))
+      val scored = dims.join(broadcast(cents), col("dim") === col("cdim"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("qv") * col("cqv")).as("score"))
+      val grp = scored.groupBy("clabel", "score")
+        .agg(sum(when(col("label") === col("clabel"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("label") =!= col("clabel"), 1L).otherwise(0L)).as("n_neg"))
+      val bounds = broadcast(grp.groupBy(col("clabel").as("blabel"))
+        .agg(min(col("score")).as("slo"), max(col("score")).as("shi")))
+      val cum = PrefixSum.runningSum(
+        grp.join(bounds, col("clabel") === col("blabel")).drop("blabel"),
+        Seq("clabel"), Seq(col("score")), col("n_neg"),
+        PrefixSum.rangeBucket(col("score"), col("slo"), col("shi"), 32),
+        "cum_neg")
+      cum.groupBy("clabel")
+        .agg(sum("n_pos").as("n_pos"), sum("n_neg").as("n_neg"),
+          sum(col("n_pos") * (lit(2L) * col("cum_neg") - col("n_neg"))).as("u2"))
+        .select(col("clabel").cast("long").as("clabel"),
+          col("n_pos"), col("n_neg"),
+          expr("u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_micro"))
+        .orderBy("clabel")
+    }),
+
+    // E4/E9 CALIBRATION (reliability diagram) for the same
+    // centroid scorer: 10 equal-width score bins per one-vs-rest
+    // label, each reporting volume, empirical positive rate, and mean
+    // score — the table a probability-calibration pass (Platt /
+    // isotonic) consumes. Bin edges from the per-label broadcast
+    // min/max, bin math all-integral so both engines agree
+    // bit-for-bit. One data-shuffle (the score hash-agg); the binning
+    // aggregates the aggregate.
+    "q_calibration" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val cents = dims.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+        .agg(expr("sum(qv) div count(1)").as("cqv"))
+      val scored = dims.join(broadcast(cents), col("dim") === col("cdim"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("qv") * col("cqv")).as("score"))
+      val bounds = broadcast(scored.groupBy(col("clabel").as("blabel"))
+        .agg(min(col("score")).as("slo"), max(col("score")).as("shi")))
+      scored.join(bounds, col("clabel") === col("blabel"))
+        .withColumn("bin", expr("(score - slo) * 10 div (shi - slo + 1)"))
+        .groupBy("clabel", "bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label") === col("clabel"), 1L).otherwise(0L)).as("n_pos"),
+          sum("score").as("s_score"))
+        .select(col("clabel").cast("long").as("clabel"), col("bin"), col("n"),
+          expr("n_pos * 1000000 div n").as("pos_rate_micro"),
+          expr("s_score div n").as("avg_score"))
+        .orderBy("clabel", "bin")
+    }),
+
+    // E4 RANKED-RETRIEVAL QUALITY: nDCG@3 per probe over the
+    // catalog's own exact top-k (same composition as q_mrr — the
+    // metric rides q_cosine_topk's oracle), binary relevance = label
+    // match. The discount weights 1e6/log2(rank+1) are PINNED INTEGER
+    // LITERALS (1000000, 630930, 500000) so no float log crosses the
+    // engine boundary; every label has ≥ 3 corpus members, so the
+    // ideal DCG is the constant full-relevance prefix and
+    // ndcg = dcg/Σw exactly.
+    "q_ndcg" -> ((s, d) => {
+      val topk = queries("q_cosine_topk")(s, d).select("qid", "rank", "vid")
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      topk
+        .join(broadcast(lab.select(col("vec_id").as("qid"), col("label").as("qlab"))), "qid")
+        .join(broadcast(lab.select(col("vec_id").as("vid"), col("label").as("vlab"))), "vid")
+        .withColumn("w",
+          when(col("rank") === 1, 1000000L).when(col("rank") === 2, 630930L)
+            .otherwise(500000L))
+        .groupBy("qid")
+        .agg(sum(when(col("qlab") === col("vlab"), col("w")).otherwise(0L)).as("dcg"))
+        .select(col("qid"), col("dcg"),
+          expr("dcg * 1000000 div 2130930").as("ndcg_micro"))
+        .orderBy("qid")
     }))
 
   /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
@@ -877,7 +976,61 @@ object VectorOps {
       |  JOIN lut l ON l.lqid = q.qid AND l.lsub = k.sub AND l.j = k.code
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The nearest-class-mean scorer as DuckDB CTEs ending with
+    * `scored` (vec_id, label, clabel, score) — shared by the AUC and
+    * calibration oracles so the two can never drift (the ivfpqCte /
+    * cosineTopkOracle convention). Same quantization as q_ncm_eval. */
+  private val centroidScoredCte =
+    """WITH dims AS (
+      |  SELECT vec_id, label, CAST(d AS BIGINT) AS dim,
+      |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |cents AS (
+      |  SELECT label AS clabel, dim AS cdim,
+      |    CAST(SUM(qv) AS BIGINT) // COUNT(*) AS cqv
+      |  FROM dims GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.vec_id, d.label, c.clabel, SUM(d.qv * c.cqv) AS score
+      |  FROM dims d JOIN cents c ON d.dim = c.cdim
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_auc_eval" ->
+      s"""$centroidScoredCte,
+         |grp AS (
+         |  SELECT clabel, score,
+         |    SUM(CASE WHEN label = clabel THEN 1 ELSE 0 END) AS n_pos,
+         |    SUM(CASE WHEN label <> clabel THEN 1 ELSE 0 END) AS n_neg
+         |  FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT clabel, n_pos, n_neg,
+         |    SUM(n_neg) OVER (PARTITION BY clabel ORDER BY score) AS cum_neg
+         |  FROM grp)
+         |SELECT CAST(clabel AS BIGINT) AS clabel,
+         |  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+         |  CAST(SUM(n_pos * (2 * cum_neg - n_neg)) * 1000000
+         |       // (2 * SUM(n_pos) * SUM(n_neg)) AS BIGINT) AS auc_micro
+         |FROM cum GROUP BY 1 ORDER BY clabel""".stripMargin,
+
+    "q_calibration" ->
+      s"""$centroidScoredCte,
+         |bounds AS (
+         |  SELECT clabel AS blabel, MIN(score) AS slo, MAX(score) AS shi
+         |  FROM scored GROUP BY 1),
+         |binned AS (
+         |  SELECT s.clabel, (s.score - b.slo) * 10 // (b.shi - b.slo + 1) AS bin,
+         |    s.label, s.score
+         |  FROM scored s JOIN bounds b ON s.clabel = b.blabel)
+         |SELECT CAST(clabel AS BIGINT) AS clabel, CAST(bin AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN label = clabel THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) AS BIGINT) AS pos_rate_micro,
+         |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score
+         |FROM binned GROUP BY 1, 2 ORDER BY clabel, bin""".stripMargin,
+
     // the same quantize → exact pair distance → degree/core →
     // min-label components → border adoption pipeline, with the
     // recursive CTE playing the union-find (seeded from every core so
@@ -1358,6 +1511,22 @@ object VectorOps {
          |FROM (SELECT DISTINCT qid FROM topk) q
          |LEFT JOIN hit h ON q.qid = h.qid
          |ORDER BY q.qid""".stripMargin,
+
+    "q_ndcg" ->
+      s"""WITH topk AS ($cosineTopkOracle),
+         |lab AS (SELECT vec_id, label FROM embeddings)
+         |SELECT t.qid,
+         |  CAST(SUM(CASE WHEN ql.label = vl.label THEN
+         |    CASE t.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |    ELSE 500000 END ELSE 0 END) AS BIGINT) AS dcg,
+         |  CAST(SUM(CASE WHEN ql.label = vl.label THEN
+         |    CASE t.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |    ELSE 500000 END ELSE 0 END) * 1000000 // 2130930 AS BIGINT)
+         |    AS ndcg_micro
+         |FROM topk t
+         |JOIN lab ql ON ql.vec_id = t.qid
+         |JOIN lab vl ON vl.vec_id = t.vid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
 
     // recall@3 of the IVF leg against the exact leg — both embedded
     // verbatim as CTEs, so the metric's oracle can never drift from

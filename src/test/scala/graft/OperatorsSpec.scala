@@ -766,4 +766,113 @@ class OperatorsSpec extends SparkTestBase {
         s"doc $i fingerprint density out of bounds: ng=$ng nfp=$nfp")
     }
   }
+
+  test("q_auc_eval: distributed Mann-Whitney equals brute-force pair counting") {
+    // independent recompute: same quantization, then literal pair
+    // semantics — every (pos, neg) pair scores 2/1/0 for >/=/<
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val qv = emb.map { case (id, lab, v) =>
+      (id, lab, v.map(x => math.round(x * 1000000)).toArray)
+    }
+    val labels = qv.map(_._2).distinct.sorted
+    val cents = labels.map { l =>
+      val vs = qv.filter(_._2 == l)
+      l -> Array.tabulate(vs.head._3.length) { i =>
+        vs.map(_._3(i)).sum / vs.length // Long /: truncates like div
+      }
+    }.toMap
+    val expected = labels.map { l =>
+      val c = cents(l)
+      val scores = qv.map { case (_, lab, v) =>
+        (lab == l, v.zip(c).map { case (a, b) => a * b }.sum)
+      }
+      val pos = scores.filter(_._1).map(_._2)
+      val neg = scores.filterNot(_._1).map(_._2)
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      (l.toLong, pos.length.toLong, neg.length.toLong,
+        u2 * 1000000L / (2L * pos.length * neg.length))
+    }
+    val got = VectorOps.queries("q_auc_eval")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected.toSeq)
+    // sanity: a self-centroid scorer must beat chance on every label
+    assert(got.forall(_._4 > 500000), s"AUC at or below chance: $got")
+  }
+
+  test("q_ndcg: rides the exact top-k — full-relevance probes score exactly 1e6") {
+    val lab = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val topk = VectorOps.queries("q_cosine_topk")(spark, sf)
+      .select("qid", "rank", "vid").as[(Long, Long, Long)].collect()
+    val expected = topk.groupBy(_._1).map { case (qid, rows) =>
+      val dcg = rows.map { case (_, r, vid) =>
+        if (lab(vid) == lab(qid))
+          (if (r == 1) 1000000L else if (r == 2) 630930L else 500000L)
+        else 0L
+      }.sum
+      (qid, dcg, dcg * 1000000L / 2130930L)
+    }.toSeq.sortBy(_._1)
+    val got = VectorOps.queries("q_ndcg")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.forall { case (_, dcg, nd) => dcg <= 2130930L && nd <= 1000000L })
+    // the constant-ideal shortcut is only valid while every label has
+    // ≥ 3 members in the candidate pool — pin that precondition
+    val byLabel = lab.values.groupBy(identity).map(_._2.size)
+    assert(byLabel.forall(_ >= 3), "a label with < 3 members breaks idcg = Σw")
+  }
+
+  test("q_spatial_join: grid-cell join equals brute-force distance join") {
+    def coord(k: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((k.toString + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 50000
+    }
+    val pts = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey")).as[Long].collect()
+      .map(k => (k, coord(k, "x"), coord(k, "y")))
+    val expected = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= 562500L
+    } yield (a, b, d2)).toSeq.sorted
+    val got = graft.analytics.RelQueries.queries("q_spatial_join")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no within-radius pairs")
+  }
+
+  test("q_t_closeness: TV distance is exact, bounded, and zero for the global distribution") {
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = graft.operators.CorpusOps.queries("q_t_closeness")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, bin, ng, t, breach) =>
+      assert(t >= 0 && t <= 1000000, s"($src,$bin) t=$t out of [0,1e6]")
+      assert(breach === (if (t > 300000) 1L else 0L))
+      assert(ng > 0)
+    }
+    // brute-force recompute from raw counts over the same class key
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(c("source"), expr("n_chars div 200"), c("lang"))
+      .as[(String, Long, String)].collect()
+    val n = docs.length.toLong
+    val langTot = docs.groupBy(_._3).map { case (l, xs) => l -> xs.length.toLong }
+    val expected = docs.groupBy(x => (x._1, x._2)).map { case ((src, bin), xs) =>
+      val ng = xs.length.toLong
+      val cell = xs.groupBy(_._3).map { case (l, ys) => l -> ys.length.toLong }
+      val num = langTot.map { case (l, nl) =>
+        math.abs(cell.getOrElse(l, 0L) * n - nl * ng)
+      }.sum
+      (src, bin) -> (num * 1000000L / (2L * ng * n))
+    }
+    rows.foreach { case (src, bin, _, t, _) =>
+      assert(t === expected((src, bin)), s"($src,$bin)")
+    }
+  }
 }
