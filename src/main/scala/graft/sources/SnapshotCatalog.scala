@@ -22,21 +22,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Layout: table `ns.../name` lives at `<warehouse>/ns.../name` (a
   * directory is a table iff it has a `_manifests/` child). Reads
   * resolve through the same manifest logic as [[SnapshotSource]] —
-  * pinned listing + manifest schema — and surface as READ-ONLY
-  * connector tables: SQL writes are rejected at analysis, because a
-  * bare file write would land data no manifest references (invisible
-  * by design); mutations go through [[SnapshotTable]] commits, which
-  * is the transactional write path. The one SQL DML verb that maps
-  * cleanly is `DELETE FROM` (and `TRUNCATE TABLE`): head loads
-  * implement the connector `SupportsDelete` hook, routing into the
-  * transactional [[SnapshotTable.deleteWhere]] — a real versioned
-  * commit with metadata-only file drops, not a file write. Time-travel
-  * loads are pinned history and stay non-deletable. DDL is supported where it maps
-  * cleanly: CREATE TABLE commits an EMPTY v0 carrying the declared
-  * schema (the K4/K5 if-absent contract — the table is immediately
-  * readable with its schema), DROP deletes the directory, RENAME is a
-  * directory move. ALTER is rejected: schema evolution happens by
-  * committing data with the evolved schema, per-snapshot.
+  * pinned listing + manifest schema. HEAD loads carry the SQL DML
+  * verbs that map onto the transactional commit protocol: `INSERT
+  * INTO` / `INSERT OVERWRITE` / CTAS (connector `SupportsWrite`, the
+  * V1Write fallback → [[SnapshotTable.commit]] — staged files +
+  * atomic manifest publish, never a bare file write) and `DELETE
+  * FROM` / `TRUNCATE TABLE` (connector `SupportsDelete` →
+  * [[SnapshotTable.deleteWhere]], a versioned commit with
+  * metadata-only file drops). Time-travel loads are pinned history:
+  * read-only, non-deletable, non-writable. DDL is supported where it
+  * maps cleanly: CREATE TABLE commits an EMPTY v0 carrying the
+  * declared schema (the K4/K5 if-absent contract — the table is
+  * immediately readable with its schema), DROP deletes the directory,
+  * RENAME is a directory move. ALTER is rejected: schema evolution
+  * happens by committing data with the evolved schema, per-snapshot.
   *
   * `VERSION AS OF` maps to [[SnapshotTable.readAt]] semantics;
   * `TIMESTAMP AS OF` resolves through the commit wall-clock each

@@ -169,16 +169,29 @@ object SnapshotSource {
   }
 
   /** Head-of-table catalog load: everything [[ReadOnlySnapshotTable]]
-    * is, plus SQL `DELETE FROM` through the connector
-    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] hook —
-    * the delete routes into the TRANSACTIONAL
-    * [[SnapshotTable.deleteWhere]], so it publishes a new snapshot
-    * (old versions still time travel) and fully-covered files drop
-    * METADATA-ONLY off the manifest. This is not a "write path"
-    * exception to the read-only contract: no bare file ever lands —
-    * the same commit protocol as the Scala API runs underneath.
-    * `TRUNCATE TABLE` arrives as an AlwaysTrue delete and empties the
-    * table in O(manifest). */
+    * is, plus the SQL DML verbs that map cleanly onto the
+    * transactional commit protocol:
+    *
+    *  - `DELETE FROM` / `TRUNCATE TABLE` through the connector
+    *    [[org.apache.spark.sql.connector.catalog.SupportsDelete]] hook
+    *    → [[SnapshotTable.deleteWhere]]: a versioned commit with
+    *    METADATA-ONLY drops of fully-covered files;
+    *  - `INSERT INTO` / `INSERT OVERWRITE` / CTAS through
+    *    [[org.apache.spark.sql.connector.catalog.SupportsWrite]] with
+    *    the [[org.apache.spark.sql.connector.write.V1Write]] fallback
+    *    → [[SnapshotTable.commit]] (replace = true for OVERWRITE via
+    *    the builder's `truncate()`): the driver-side commit is exactly
+    *    the Scala API's — staged files + atomic put-if-absent manifest
+    *    publish, zone maps collected, schema recorded. The V1 fallback
+    *    is deliberate: the alternative (executor-side DataWriters)
+    *    re-implements parquet encoding for zero gain, while V1Write
+    *    hands the planned DataFrame to the same code path every other
+    *    writer in the repo uses.
+    *
+    * Neither verb is a "bare file write" exception to the read-only
+    * contract: no file ever lands without a manifest that references
+    * it, and old versions keep time traveling. Time-travel loads
+    * (`VERSION/TIMESTAMP AS OF`) stay read-only pinned history. */
   private final class DeletableSnapshotTable(
       root: String,
       files: Seq[String],
@@ -186,7 +199,8 @@ object SnapshotSource {
       mk: Seq[String] => ParquetTable,
       streamRoot: Option[String])
       extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot)
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       filters.forall(filterToColumn(_).isDefined)
@@ -197,12 +211,41 @@ object SnapshotSource {
         .reduceOption(_ && _).getOrElse(lit(true))
       SnapshotTable(root).deleteWhere(SparkSession.active, cond)
     }
+
+    override def capabilities(): java.util.Set[TableCapability] = {
+      val caps = java.util.EnumSet.copyOf(super.capabilities())
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps
+    }
+
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var replace = false
+        override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+          replace = true; this
+        }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                SnapshotTable(root).commit(data, replace = replace || overwrite)
+                ()
+              }
+          }
+      }
   }
 
-  /** Snapshot tables are READ-ONLY through the connector surface: a
-    * bare file write would land data no manifest references (invisible
-    * by construction) — so the write capability is stripped and SQL
-    * writes fail at analysis. The transactional write path is
+  /** The read surface shared by every snapshot load. PATH loads and
+    * pinned time-travel loads are READ-ONLY: a bare file write would
+    * land data no manifest references (invisible by construction), and
+    * pinned versions are frozen history — so the write capability is
+    * stripped and SQL writes fail at analysis. HEAD loads through the
+    * catalog extend this with transactional SQL DML
+    * ([[DeletableSnapshotTable]]); the Scala write path is
     * [[SnapshotTable.commit]]/[[SnapshotTable.commitOnce]].
     *
     * Scans route through [[ZoneMaps.ZoneMapScanBuilder]] when the

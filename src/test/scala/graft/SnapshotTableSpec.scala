@@ -365,7 +365,7 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(got(stats) === expected(docs))
   }
 
-  test("SQL catalog: snapshot tables resolve by name, time-travel in SQL, DDL maps, writes refused") {
+  test("SQL catalog: snapshot tables resolve by name, time-travel in SQL, DDL maps") {
     val wh = Files.createTempDirectory("graft_cat").toString
     spark.conf.set("spark.sql.catalog.snapcat",
       classOf[graft.sources.SnapshotCatalog].getName)
@@ -414,12 +414,10 @@ class SnapshotTableSpec extends SparkTestBase {
     val names = spark.sql("SHOW TABLES IN snapcat.db")
       .select("tableName").as[String].collect().toSet
     assert(names === Set("events", "fresh"))
-    // SQL writes are refused: a bare file write would bypass manifests
-    val ex = intercept[Exception] {
-      spark.sql("INSERT INTO snapcat.db.events VALUES (99)")
-    }
-    assert(ex.getMessage.toLowerCase.contains("does not support") ||
-      ex.getMessage.toLowerCase.contains("unsupported"), ex.getMessage)
+    // SQL INSERT INTO is a transactional append (full coverage in the
+    // dedicated write-path test below)
+    spark.sql("INSERT INTO snapcat.db.events VALUES (99)")
+    assert(spark.sql("SELECT count(*) FROM snapcat.db.events").head.getLong(0) === 16)
     // RENAME moves the directory, DROP deletes it
     spark.sql("ALTER TABLE snapcat.db.fresh RENAME TO db.renamed")
     assert(spark.sql("SELECT count(*) FROM snapcat.db.renamed").head.getLong(0) === 2)
@@ -451,12 +449,48 @@ class SnapshotTableSpec extends SparkTestBase {
     spark.sql("TRUNCATE TABLE delcat.db.t")
     assert(spark.sql("SELECT count(*) FROM delcat.db.t").head.getLong(0) === 0)
     assert(spark.table("delcat.db.t").schema.fieldNames.toSeq === Seq("id"))
-    // INSERT is still refused — DELETE is not a write-path exception
+    // the table stays writable after TRUNCATE: append lands on the
+    // empty head as a fresh version
+    spark.sql("INSERT INTO delcat.db.t VALUES (99)")
+    assert(spark.sql("SELECT count(*) FROM delcat.db.t").head.getLong(0) === 1)
+  }
+
+  test("SQL INSERT INTO/OVERWRITE and CTAS are transactional commits; pinned history stays read-only") {
+    val wh = Files.createTempDirectory("graft_cat_wr").toString
+    spark.conf.set("spark.sql.catalog.wrcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wrcat.warehouse", wh)
+    spark.sql("CREATE TABLE wrcat.db.t (id BIGINT) USING `graft-snapshot`")
+    val t = SnapshotTable(s"$wh/db/t")
+    val v0 = t.currentVersion() // the empty DDL snapshot
+    // INSERT INTO = append commit: new version, old version time-travels
+    spark.sql("INSERT INTO wrcat.db.t VALUES (1), (2), (3)")
+    assert(t.currentVersion() === v0 + 1)
+    assert(spark.sql("SELECT sum(id) FROM wrcat.db.t").head.getLong(0) === 6)
+    spark.sql("INSERT INTO wrcat.db.t SELECT id + 10 FROM wrcat.db.t")
+    assert(spark.sql("SELECT count(*) FROM wrcat.db.t").head.getLong(0) === 6)
+    assert(spark.sql(s"SELECT count(*) FROM wrcat.db.t VERSION AS OF ${v0 + 1}")
+      .head.getLong(0) === 3, "pre-insert snapshot must stay readable")
+    // INSERT OVERWRITE = replace commit: head swaps, history intact
+    spark.sql("INSERT OVERWRITE wrcat.db.t VALUES (100)")
+    assert(spark.sql("SELECT count(*), max(id) FROM wrcat.db.t")
+      .as[(Long, Long)].head === ((1L, 100L)))
+    assert(spark.sql(s"SELECT count(*) FROM wrcat.db.t VERSION AS OF ${v0 + 2}")
+      .head.getLong(0) === 6, "overwrite must not destroy prior versions")
+    // the commits recorded zone maps: the insert path is the full
+    // commit protocol, not a bare write (stats power file skipping)
+    assert(t.tableStats().rows === Some(1L))
+    // CTAS: create + write through the same connector surface
+    spark.sql(
+      "CREATE TABLE wrcat.db.derived USING `graft-snapshot` AS SELECT id * 2 AS dbl FROM wrcat.db.t")
+    assert(spark.sql("SELECT dbl FROM wrcat.db.derived").head.getLong(0) === 200)
+    assert(Files.isDirectory(Paths.get(wh, "db", "derived", "_manifests")),
+      "CTAS must land as a manifest-published snapshot table")
+    // writes into pinned history are refused at analysis
     val ex = intercept[Exception] {
-      spark.sql("INSERT INTO delcat.db.t VALUES (99)")
+      spark.sql("INSERT INTO wrcat.db.t VERSION AS OF 1 VALUES (7)")
     }
-    assert(ex.getMessage.toLowerCase.contains("does not support") ||
-      ex.getMessage.toLowerCase.contains("unsupported"), ex.getMessage)
+    assert(ex.getMessage.nonEmpty)
   }
 
   // ---- streaming CDC source -----------------------------------------
