@@ -32,6 +32,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins over bucketed snapshot tables
+      // (sources/BucketedScan.scala): lets KeyGroupedPartitioning
+      // scans join shuffle-free when both sides share the bucket spec
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
   }

@@ -41,9 +41,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `TIMESTAMP AS OF` resolves through the commit wall-clock each
   * manifest records in-band (`#ts=`, part of the atomic publish —
   * file mtimes would not be a transactional record). */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
+
+  /** The one catalog function: the v2 `bucket` transform that
+    * bucketed snapshot scans report through KeyGroupedPartitioning —
+    * Catalyst resolves the transform here when planning storage-
+    * partitioned joins (see [[GraftBucketFunction]]). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

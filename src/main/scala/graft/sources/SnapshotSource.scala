@@ -122,12 +122,23 @@ object SnapshotSource {
     // head loads (deletable ones) are also the streamable ones: a
     // pinned VERSION/TIMESTAMP AS OF is frozen history, nothing to tail
     val streamRoot = if (deletable) Some(root) else None
+    // bucketed layout → report KeyGroupedPartitioning through the scan
+    // (keys supported by the v2 bucket function only; others read as
+    // unbucketed). The file→bucket map is normalized to URI-style
+    // paths, the form PartitionedFile paths come back in.
+    val bucketing = t.bucketingOf(v).filter { case (key, _) =>
+      schema.forall(s => s.fields.find(_.name == key)
+        .exists(f => GraftBucketFunction.supported(f.dataType)))
+    }.map { case (key, n) =>
+      (key, n, t.fileBucketsOf(v).map { case (abs, b) =>
+        new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
+    }
     if (deletable)
       new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot)
+        streamRoot, bucketing)
     else
       new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot)
+        streamRoot, bucketing)
   }
 
   /** The v1-filter shapes SQL `DELETE FROM ... WHERE` arrives in,
@@ -197,8 +208,9 @@ object SnapshotSource {
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable,
-      streamRoot: Option[String])
-      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot)
+      streamRoot: Option[String],
+      bucketing: Option[(String, Int, Map[String, Int])] = None)
+      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing)
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -262,7 +274,8 @@ object SnapshotSource {
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable,
-      streamRoot: Option[String] = None)
+      streamRoot: Option[String] = None,
+      bucketing: Option[(String, Int, Map[String, Int])] = None)
       extends Table with SupportsRead {
     private lazy val inner = mk(files)
     override def name(): String = inner.name
@@ -278,9 +291,10 @@ object SnapshotSource {
           .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
       }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (zoneMaps.isEmpty && streamRoot.isEmpty) inner.newScanBuilder(options)
+      if (zoneMaps.isEmpty && streamRoot.isEmpty && bucketing.isEmpty)
+        inner.newScanBuilder(options)
       else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
         fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
-        streamFactory)
+        streamFactory, bucketing)
   }
 }

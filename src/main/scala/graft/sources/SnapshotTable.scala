@@ -116,6 +116,49 @@ final class SnapshotTable(root: String) {
       .map { case (rel, fs) => Paths.get(root).resolve(rel).toString -> fs }
       .toMap
 
+  /** Bucketing spec of snapshot `v`: Some((key, nBuckets)) iff the
+    * manifest declares `#bucketing=` AND every listed file carries a
+    * `#fb=` bucket assignment. The second condition makes the property
+    * self-invalidating: any manifest assembled without bucket lines
+    * (plain appends, merge/delete/update rewrites, compaction) simply
+    * reads as unbucketed — bucketing is a layout OPTIMIZATION the scan
+    * may report, never a correctness dependency. */
+  def bucketingOf(v: Long): Option[(String, Int)] =
+    if (v < 0 || !Files.exists(manifestPath(v))) None
+    else {
+      val spec = Files.readAllLines(manifestPath(v)).asScala
+        .find(_.startsWith("#bucketing=")).map(_.stripPrefix("#bucketing="))
+        .flatMap { s =>
+          val i = s.lastIndexOf(':')
+          if (i < 0) None else scala.util.Try((s.substring(0, i), s.substring(i + 1).toInt)).toOption
+        }
+      spec.filter { _ =>
+        val fb = fbRel(v)
+        listing(v).forall(fb.contains)
+      }
+    }
+
+  /** `#fb=` file→bucket lines of snapshot `v` (raw, re-emitted by
+    * compatible bucketed appends, the `#zm=` convention). */
+  private def fbLines(v: Long): Seq[String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.startsWith("#fb="))
+
+  private def fbRel(v: Long): Map[String, Int] =
+    fbLines(v).flatMap { l =>
+      val body = l.stripPrefix("#fb=")
+      val i = body.lastIndexOf(':')
+      if (i < 0) None
+      else scala.util.Try(body.substring(0, i) -> body.substring(i + 1).toInt).toOption
+    }.toMap
+
+  /** Per-file bucket ids of snapshot `v`, keyed by ABSOLUTE path (the
+    * key the scan builder sees). */
+  private[sources] def fileBucketsOf(v: Long): Map[String, Int] =
+    fbRel(v).map { case (rel, b) =>
+      Paths.get(root).resolve(rel).toString -> b }
+
   /** Commit wall-clock of snapshot `v` in epoch millis — recorded
     * INSIDE the manifest, so unlike a file mtime it is part of the
     * atomic commit and survives copies/restores. Absent on manifests
@@ -274,6 +317,23 @@ final class SnapshotTable(root: String) {
              maxRetries: Int = 20): Long =
     doCommit(df, replace, maxRetries, tag = None).get
 
+  /** Commit `df` BUCKETED on `key` into `buckets` hash buckets — the
+    * pay-the-shuffle-once layout for co-located equi-joins: the commit
+    * repartitions on the key (bucket = pmod(murmur3(key), n), Spark's
+    * own hash partitioning), records each file's bucket in the
+    * manifest, and catalog scans of the table then report
+    * KeyGroupedPartitioning so joins/aggregations on the key between
+    * same-spec tables plan with NO exchange on either side (storage-
+    * partitioned joins; needs spark.sql.sources.v2.bucketing.enabled,
+    * set by GraftSession). At 100 TB this removes the dominant cost of
+    * every fact⋈fact join on the bucket key. Appends must match the
+    * head's spec; any unbucketed mutation (plain commit, merge,
+    * compaction) safely demotes the table to unbucketed reads. */
+  def commitBucketed(df: DataFrame, key: String, buckets: Int,
+                     replace: Boolean = false): Long =
+    doCommit(df, replace, maxRetries = 20, tag = None,
+      bucketing = Some((key, buckets))).get
+
   /** Idempotent tagged commit — the exactly-once sink primitive: a
     * commit whose `tag` (e.g. a Structured Streaming batchId) is
     * already in manifest history is SKIPPED (returns None), so a
@@ -298,10 +358,23 @@ final class SnapshotTable(root: String) {
     * nanosecond on the same thread id is a filesystem-level create
     * collision, which the directory write would surface, not silently
     * merge). */
-  private def writeBatch(df: DataFrame): (Path, Seq[String], Seq[String]) = {
+  private def writeBatch(df: DataFrame, bucketBy: Option[(String, Int)] = None)
+      : (Path, Seq[String], Seq[String], Seq[String]) = {
     val batch = s"b${System.nanoTime()}_t${Thread.currentThread().getId}"
     val out = dataDir.resolve(batch)
-    df.write.parquet(out.toString)
+    // bucketed layout: repartition(n, key) IS the bucket function —
+    // Spark places each row in partition pmod(murmur3(key), n), and
+    // FileFormatWriter names that partition's file part-<n>-..., so
+    // the file→bucket map falls out of the part index with no extra
+    // column in the data and no partition directories to pollute the
+    // schema. The explicit count also opts the shuffle out of AQE
+    // coalescing (the q_fuzzy_match lesson), so empty buckets aside,
+    // one file per bucket lands.
+    val toWrite = bucketBy match {
+      case Some((key, n)) => df.repartition(n, df.col(key))
+      case None => df
+    }
+    toWrite.write.parquet(out.toString)
     val newFiles = {
       val st = Files.list(out)
       try st.iterator().asScala
@@ -325,12 +398,25 @@ final class SnapshotTable(root: String) {
       if (stats.rows < 0 && stats.cols.isEmpty) None
       else Some(ZoneMaps.encodeLine(rel, stats))
     }
-    (out, newFiles, zmNew)
+    val PartIdx = """part-(\d+)\b.*""".r
+    val fbNew: Seq[String] = if (bucketBy.isEmpty) Seq.empty
+    else newFiles.map { rel =>
+      Paths.get(rel).getFileName.toString match {
+        case PartIdx(i) =>
+          require(i.toInt < bucketBy.get._2,
+            s"part index $i exceeds bucket count ${bucketBy.get._2}")
+          s"#fb=$rel:${i.toInt}"
+        case other => throw new IllegalStateException(
+          s"bucketed write produced an unparsable file name: $other")
+      }
+    }
+    (out, newFiles, zmNew, fbNew)
   }
 
   private def doCommit(df: DataFrame, replace: Boolean,
-                       maxRetries: Int, tag: Option[String]): Option[Long] = {
-    val (out, newFiles, zmNew) = writeBatch(df)
+                       maxRetries: Int, tag: Option[String],
+                       bucketing: Option[(String, Int)] = None): Option[Long] = {
+    val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing)
 
     var attempt = 0
     var committed = -1L
@@ -346,9 +432,26 @@ final class SnapshotTable(root: String) {
       val head = currentVersion()
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
+        // bucketing lines: the header + per-file assignments ride the
+        // manifest only when THIS commit is bucketed — an append must
+        // land on an empty or same-spec bucketed head (anything else
+        // would silently mix layouts under one header), and a plain
+        // commit onto a bucketed head simply drops the header, which
+        // bucketingOf reads as "no longer bucketed" (self-invalidating
+        // by design — see bucketingOf)
+        val bucketLines: Seq[String] = bucketing match {
+          case Some((k, n)) =>
+            require(replace || listing(head).isEmpty ||
+                bucketingOf(head).contains((k, n)),
+              s"cannot append a bucketed($k, $n) batch onto a head with a " +
+                "different layout; commitBucketed(replace = true) or match the spec")
+            Seq(s"#bucketing=$k:$n") ++ (if (replace) fbNew else fbLines(head) ++ fbNew)
+          case None => Seq.empty
+        }
         val full = tag.map(t => s"#tag=$t").toSeq ++
           Seq(s"#schema=${df.schema.toDDL}",
             s"#ts=${System.currentTimeMillis()}") ++
+          bucketLines ++
           (if (replace) zmNew else zmLines(head) ++ zmNew) ++
           (if (replace) newFiles else listing(head) ++ newFiles)
         if (publish(head + 1, full)) committed = head + 1
@@ -536,7 +639,7 @@ final class SnapshotTable(root: String) {
           .join(deltaKeys, keys, "left_anti")
     val rewrite = survivors.unionByName(upserts.select(tableCols.map(col): _*))
     val nOut = if (targetFiles > 0) targetFiles else math.max(1, touched.size)
-    val (out, newFiles, zmNew) = writeBatch(rewrite.repartition(nOut))
+    val (out, newFiles, zmNew, _) = writeBatch(rewrite.repartition(nOut))
 
     // ---- 3. publish (refuse, don't retry, on a concurrent commit) ----
     val untouchedSet = untouched.toSet
@@ -618,7 +721,7 @@ final class SnapshotTable(root: String) {
           .parquet(rewrites.map(abs): _*)
           .filter(!coalesce(condition, lit(false)))
         val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
-        val (o, nf, zn) = writeBatch(kept.repartition(nOut))
+        val (o, nf, zn, _) = writeBatch(kept.repartition(nOut))
         (Some(o), nf, zn)
       }
 
@@ -731,7 +834,7 @@ final class SnapshotTable(root: String) {
     val updated = spark.read.schema(sch).parquet(rewrites.map(abs): _*)
       .select(projected.toIndexedSeq: _*)
     val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
-    val (out, newFiles, zmNew) = writeBatch(updated.repartition(nOut))
+    val (out, newFiles, zmNew, _) = writeBatch(updated.repartition(nOut))
 
     val untouchedSet = untouched.toSet
     val zmKept = zmLines(v).filter(l =>

@@ -338,8 +338,31 @@ object ZoneMaps {
       statsByFile: Map[String, FileStats],
       rebuildScan: Seq[String] => Scan,
       initial: Scan,
-      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
-    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+      bucketing: Option[(String, Int, Map[String, Int])] = None)
+    extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+    /** Storage-partitioned-join surface: a bucketed snapshot reports
+      * `KeyGroupedPartitioning(bucket(n, key), n)` and serves its rows
+      * through [[KeyGroupedBucketBatch]] — one partition per bucket,
+      * keyed, ALWAYS all n of them (so both sides of a join stay
+      * aligned after this scan's own file pruning). Catalyst resolves
+      * the transform against the catalog's [[GraftBucketFunction]];
+      * unbucketed snapshots report unknown partitioning and plan
+      * exactly as before. Only reported while the key column survives
+      * pruning — Spark resolves the transform's reference against the
+      * scan OUTPUT, so a key-less projection must degrade to unknown
+      * rather than fail analysis. */
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      bucketing match {
+        case Some((key, n, _)) if readSchema().fieldNames.contains(key) =>
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(Expressions.bucket(n, key)), n)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+      }
 
     /** Micro-batch streaming rides the same scan object: the owning
       * snapshot table injects a stream factory (version-offset CDC
@@ -354,7 +377,11 @@ object ZoneMaps {
     private var current: Seq[String] = files
 
     override def readSchema(): StructType = inner.readSchema()
-    override def toBatch: Batch = inner.toBatch
+    override def toBatch: Batch = bucketing match {
+      case Some((key, n, byPath)) if readSchema().fieldNames.contains(key) =>
+        new KeyGroupedBucketBatch(inner.toBatch, n, byPath)
+      case _ => inner.toBatch
+    }
     override def description(): String = s"${inner.description()} (graft-zonemap)"
 
     /** Planning statistics Catalyst sees for this scan: the delegate
@@ -418,7 +445,8 @@ object ZoneMaps {
       allFiles: Seq[String],
       statsByFile: Map[String, FileStats],
       rebuild: Seq[String] => ScanBuilder,
-      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+      bucketing: Option[(String, Int, Map[String, Int])] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -493,7 +521,7 @@ object ZoneMaps {
           b.build()
         }
         new ZoneMapScan(keptFiles, statsByFile, replay, delegate.build(),
-          streamFactory)
+          streamFactory, bucketing)
       }
     }
   }

@@ -493,6 +493,75 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(ex.getMessage.nonEmpty)
   }
 
+  test("commitBucketed: storage-partitioned join and bucket-key aggregation plan shuffle-free") {
+    val wh = Files.createTempDirectory("graft_spj").toString
+    spark.conf.set("spark.sql.catalog.spj",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.warehouse", wh)
+    val a = SnapshotTable(s"$wh/db/a")
+    val b = SnapshotTable(s"$wh/db/b")
+    val dfa = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    val dfb = spark.range(0, 1000, 2).selectExpr("id AS k", "id * 10 AS vb")
+    a.commitBucketed(dfa, "k", 8)
+    b.commitBucketed(dfb, "k", 8)
+    assert(a.bucketingOf(a.currentVersion()) === Some(("k", 8)))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the co-located join: no exchange on EITHER side
+      val j = spark.sql(
+        "SELECT a.k, va, vb FROM spj.db.a a JOIN spj.db.b b ON a.k = b.k")
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n$jPlan")
+      assert(j.count() === 500)
+      // values identical to the unbucketed reference join
+      val ref = dfa.join(dfb, "k").selectExpr("k", "va", "vb")
+        .collect().map(_.toSeq).toSet
+      assert(j.selectExpr("k", "va", "vb").collect().map(_.toSeq).toSet === ref)
+      // aggregation clustered on the bucket key: KeyGroupedPartitioning
+      // satisfies the distribution, so the final hash-agg needs no
+      // exchange either
+      val agg = spark.sql("SELECT k, count(*) AS n FROM spj.db.a GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString)
+      assert(agg.count() === 1000)
+      // key-less projections must degrade to unknown partitioning, not
+      // fail transform resolution
+      assert(spark.sql("SELECT count(*) FROM spj.db.a").head.getLong(0) === 1000)
+      assert(spark.sql("SELECT sum(va) FROM spj.db.a").head.getLong(0) ===
+        (0L until 1000L).map(_ * 2).sum)
+      // zone-map file pruning composes: a selective filter still
+      // answers correctly through the regrouped batch
+      assert(spark.sql("SELECT count(*) FROM spj.db.a WHERE k < 10")
+        .head.getLong(0) === 10)
+      // compatible bucketed APPEND keeps the layout and the join shape
+      a.commitBucketed(spark.range(1000, 1100)
+        .selectExpr("id AS k", "id * 2 AS va"), "k", 8)
+      assert(a.bucketingOf(a.currentVersion()) === Some(("k", 8)))
+      val j2 = spark.sql(
+        "SELECT a.k, va, vb FROM spj.db.a a JOIN spj.db.b b ON a.k = b.k")
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(j2.count() === 500)
+      // incompatible bucketed append is refused outright
+      val exm = intercept[IllegalArgumentException] {
+        a.commitBucketed(dfa, "k", 16)
+      }
+      assert(exm.getMessage.contains("different layout"))
+      // a PLAIN append demotes the table to unbucketed: the property
+      // self-invalidates, the join re-plans with shuffles, values hold
+      a.commit(spark.range(5000, 5010).selectExpr("id AS k", "id * 2 AS va"))
+      assert(a.bucketingOf(a.currentVersion()).isEmpty)
+      val j3 = spark.sql(
+        "SELECT a.k, va, vb FROM spj.db.a a JOIN spj.db.b b ON a.k = b.k")
+      assert(j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "demoted table must fall back to a shuffle join")
+      assert(j3.count() === 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   // ---- streaming CDC source -----------------------------------------
 
   test("streaming source: readStream tails appended commits by version offset, exactly once across restart") {
