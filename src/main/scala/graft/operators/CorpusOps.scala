@@ -441,6 +441,37 @@ object CorpusOps {
         .orderBy("source", "size_bin")
     }),
 
+    // DETERMINISTIC POISSON BOOTSTRAP — the standard large-scale
+    // bootstrap (resampling-by-weights, as in "a scalable bootstrap
+    // for massive data"-style pipelines): replicate b assigns each
+    // document an iid Poisson(1)-distributed integer weight, and the
+    // spread of the 32 replicate means IS the sampling-error estimate
+    // for the corpus mean — no second pass, no per-replicate shuffle
+    // of the data. Weights come from md5(doc|b) against the exact
+    // cumulative-Poisson integer thresholds (e^-1, 2e^-1, 2.5e^-1 of
+    // 2^32, truncated at w=3), so both engines draw the identical
+    // "randomness" and the whole statistic is oracle-gated. Scale:
+    // the ×32 explode rides a 2-column projection and aggregates
+    // immediately — partial (map-side) aggregation means the shuffle
+    // carries 32 rows per partition, not 32× the corpus.
+    "q_bootstrap_ci" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("b"))), 1, 8),
+            16, 10).cast("long"))
+        .withColumn("w",
+          when(col("u") < 1580030168L, 0L)
+            .when(col("u") < 3160060337L, 1L)
+            .when(col("u") < 3950075421L, 2L).otherwise(3L))
+        .groupBy("b")
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("s_chars"))
+        .select(col("b").cast("long").as("b"), col("n_eff"),
+          expr("s_chars * 1000000 div n_eff").as("mean_micro"))
+        .orderBy("b")),
+
     // RENDEZVOUS (highest-random-weight) SHARDING — the assignment
     // rule whose guarantee is MINIMAL MIGRATION: doc → argmax_k
     // md5(doc|k), so growing 8 → 9 shards moves only the docs whose
@@ -789,6 +820,21 @@ object CorpusOps {
         |  CAST(SUM(n) AS BIGINT) AS docs_total
         |FROM classes GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH ex AS (
+        |  SELECT doc_id, n_chars, b.b,
+        |    CAST(('0x' || substr(md5(doc_id || '|' || b.b), 1, 8)) AS BIGINT) AS u
+        |  FROM documents, (SELECT unnest(generate_series(0, 31)) AS b) b),
+        |w AS (
+        |  SELECT b, n_chars,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2 ELSE 3 END AS w
+        |  FROM ex)
+        |SELECT CAST(b AS BIGINT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |  CAST(SUM(w * n_chars) * 1000000 // SUM(w) AS BIGINT) AS mean_micro
+        |FROM w GROUP BY b ORDER BY b""".stripMargin,
 
     "q_t_closeness" ->
       """WITH cell AS (

@@ -36,6 +36,30 @@ object EventOps {
           (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
         .orderBy("hour", "event_type")),
 
+    // E8 SEASONAL DECOMPOSITION (classical means method): per
+    // (event_type, hour-of-day), the seasonal baseline = mean value
+    // over the 30-day window, plus residual magnitude stats against
+    // it — the decomposition an on-call anomaly rule consumes
+    // ("is tonight's error rate abnormal FOR 3 AM?"; complements
+    // q_window_anomaly, which scores against a rolling window rather
+    // than the seasonal profile). Integral micro-units end-to-end.
+    // Scale: one hash-agg to the 24×|types| baseline, broadcast back,
+    // one second hash-agg for the residuals — two map-side-combined
+    // shuffles of O(groups), no windows, no sort.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 1000000).cast("long").as("v"))
+      val base = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), expr("sum(v) div count(1)").as("baseline_micro"))
+      ev.join(broadcast(base), Seq("event_type", "hr"))
+        .withColumn("resid", abs(col("v") - col("baseline_micro")))
+        .groupBy(col("event_type"), col("hr"), col("n"), col("baseline_micro"))
+        .agg(max(col("resid")).as("max_resid_micro"),
+          expr("sum(resid) div count(1)").as("mad_micro"))
+        .orderBy("event_type", "hr")
+    }),
+
     // E7 JSON SCHEMA PROFILE — key-presence discovery over a
     // semi-structured column: explode each record's key set
     // (json_object_keys / json_keys — no schema assumed, the real
@@ -549,6 +573,22 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
         |FROM events GROUP BY 1, event_type
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(ROUND(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, hr, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) // COUNT(*) AS baseline_micro
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT e.event_type, e.hr, b.n, b.baseline_micro,
+        |  CAST(MAX(ABS(e.v - b.baseline_micro)) AS BIGINT) AS max_resid_micro,
+        |  CAST(SUM(ABS(e.v - b.baseline_micro)) // COUNT(*) AS BIGINT) AS mad_micro
+        |FROM ev e JOIN base b ON e.event_type = b.event_type AND e.hr = b.hr
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY e.event_type, e.hr""".stripMargin,
 
     "q_json_profile" ->
       """WITH ev AS (

@@ -889,6 +889,56 @@ object VectorOps {
         .orderBy("clabel", "bin")
     }),
 
+    // E4/E9 SPLIT-CONFORMAL CALIBRATION — the distribution-free
+    // prediction-set recipe: hold out a calibration split (vec_id % 5),
+    // score every vector by its nonconformity (integral L2² to the own
+    // -label centroid, the q_ncm_eval quantization), take the
+    // ceil((n+1)(1−α))-th smallest calibration score as the per-label
+    // threshold (α = 0.1), and report empirical coverage on the rest —
+    // the finite-sample ≥ 1−α guarantee, measured. The exact-rank
+    // selection runs through the two-phase [[PrefixSum]] scan (no
+    // single-task per-label sort); everything else is hash-aggs with
+    // broadcast probes. Exact integers end-to-end → oracle-gated.
+    "q_conformal" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val cents = dims.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+        .agg(expr("sum(qv) div count(1)").as("cqv"))
+      val score = dims
+        .join(broadcast(cents),
+          col("label") === col("clabel") && col("dim") === col("cdim"))
+        .groupBy("vec_id", "label")
+        .agg(sum((col("qv") - col("cqv")) * (col("qv") - col("cqv"))).as("score"))
+      val calib = score.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      val bounds = broadcast(calib.groupBy(col("label").as("blabel"))
+        .agg(min(col("score")).as("slo"), max(col("score")).as("shi"),
+          count(lit(1)).as("n_calib")))
+      val ranked = PrefixSum.rowNumber(
+        calib.join(bounds, col("label") === col("blabel")).drop("blabel"),
+        Seq("label"), Seq(col("score"), col("vec_id")),
+        PrefixSum.rangeBucket(col("score"), col("slo"), col("shi"), 32), "rn")
+      val thr = ranked
+        .withColumn("k",
+          least(expr("(9 * (n_calib + 1) + 9) div 10"), col("n_calib")))
+        .filter(col("rn") === col("k"))
+        .select(col("label"), col("n_calib"), col("k"),
+          col("score").as("thr_micro"))
+      score.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+        .join(broadcast(thr), "label")
+        .groupBy(col("label"), col("n_calib"), col("k"), col("thr_micro"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("score") <= col("thr_micro"), 1L).otherwise(0L))
+            .as("covered"))
+        .select(col("label").cast("long").as("label"), col("n_calib"),
+          col("k"), col("thr_micro"), col("n_eval"), col("covered"),
+          expr("covered * 1000000 div n_eval").as("cov_micro"))
+        .orderBy("label")
+    }),
+
     // E4 RANKED-RETRIEVAL QUALITY: nDCG@3 per probe over the
     // catalog's own exact top-k (same composition as q_mrr — the
     // metric rides q_cosine_topk's oracle), binary relevance = label
@@ -1014,6 +1064,45 @@ object VectorOps {
          |  CAST(SUM(n_pos * (2 * cum_neg - n_neg)) * 1000000
          |       // (2 * SUM(n_pos) * SUM(n_neg)) AS BIGINT) AS auc_micro
          |FROM cum GROUP BY 1 ORDER BY clabel""".stripMargin,
+
+    "q_conformal" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, CAST(d AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |cents AS (
+        |  SELECT label AS clabel, dim AS cdim,
+        |    CAST(SUM(qv) AS BIGINT) // COUNT(*) AS cqv
+        |  FROM dims GROUP BY 1, 2),
+        |score AS (
+        |  SELECT d.vec_id, d.label,
+        |    SUM((d.qv - c.cqv) * (d.qv - c.cqv)) AS score
+        |  FROM dims d JOIN cents c ON d.label = c.clabel AND d.dim = c.cdim
+        |  GROUP BY 1, 2),
+        |calib AS (
+        |  SELECT label, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY score, vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS n_calib
+        |  FROM score WHERE vec_id % 5 = 0),
+        |thr AS (
+        |  SELECT label, n_calib,
+        |    LEAST((9 * (n_calib + 1) + 9) // 10, n_calib) AS k,
+        |    score AS thr_micro
+        |  FROM calib
+        |  WHERE rn = LEAST((9 * (n_calib + 1) + 9) // 10, n_calib))
+        |SELECT CAST(s.label AS BIGINT) AS label,
+        |  CAST(t.n_calib AS BIGINT) AS n_calib, CAST(t.k AS BIGINT) AS k,
+        |  CAST(t.thr_micro AS BIGINT) AS thr_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(CASE WHEN s.score <= t.thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  CAST(SUM(CASE WHEN s.score <= t.thr_micro THEN 1 ELSE 0 END) * 1000000
+        |       // COUNT(*) AS BIGINT) AS cov_micro
+        |FROM score s JOIN thr t ON s.label = t.label
+        |WHERE s.vec_id % 5 <> 0
+        |GROUP BY 1, 2, 3, 4 ORDER BY label""".stripMargin,
 
     "q_calibration" ->
       s"""$centroidScoredCte,

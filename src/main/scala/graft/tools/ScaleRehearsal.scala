@@ -83,6 +83,31 @@ object ScaleRehearsal {
     "q_ks_drift" -> Seq("documents"),
     "q_quantile_normalize" -> Seq("documents"),
     "q_decayed_counts" -> Seq("events"),
+    // this session's additions. q_spatial_join is deliberately absent
+    // for the q_khop_reach reason: its coordinates are md5(key) over a
+    // FIXED 50000² domain, so a ×N replica raises point density ×N and
+    // true within-radius pairs ×N² by construction — the timing would
+    // measure the fixture's densification, not the grid join (whose
+    // cost contract, Σ_cell occupancy², is pinned by the brute-force
+    // equality spec instead). The eval family runs on the labels-
+    // CONSTANT embeddings variant (`cls`): classes grow in SIZE, so
+    // q_auc_eval's claim under test is the interesting one — AUC cost
+    // stays ×N through the rank identity even though the pair count
+    // grows ×N².
+    "q_bootstrap_ci" -> Seq("documents"),
+    "q_t_closeness" -> Seq("documents"),
+    "q_seasonal_decompose" -> Seq("events"),
+    "q_auc_eval" -> Seq("embeddings"),
+    "q_conformal" -> Seq("embeddings"),
+  )
+
+  /** Per-query scaled-corpus variant: queries listed here get their
+    * tables written with the named recipe variant into a variant-keyed
+    * scaled directory (so e.g. q_dbscan's disjoint-labels embeddings
+    * and the eval family's labels-constant embeddings coexist). */
+  val variantOf: Map[String, String] = Map(
+    "q_auc_eval" -> "cls",
+    "q_conformal" -> "cls",
   )
 
   def main(args: Array[String]): Unit = {
@@ -94,7 +119,8 @@ object ScaleRehearsal {
 
     val keyOffset = 10000000L // > any sf0.1 key; copies never collide
 
-    def writeScaled(dir: String, n: Int, table: String): Unit = {
+    def writeScaled(dir: String, n: Int, table: String,
+                    variant: String): Unit = {
       if (new java.io.File(s"$dir/$table.parquet").exists()) return
       val src = spark.read.parquet(s"$base/$table.parquet")
       (0 until n).map { k =>
@@ -117,6 +143,11 @@ object ScaleRehearsal {
             // per-user event volume (the decayed-count group key)
             src.withColumn("user_id", col("user_id") + off)
               .withColumn("event_id", col("event_id") + off)
+          case "embeddings" if variant == "cls" =>
+            // labels CONSTANT: classes grow ×N in size — the
+            // density-rises recipe the eval family's linearity claim
+            // is about (scored set ×N, pair count ×N²)
+            src.withColumn("vec_id", col("vec_id") + off)
           case "embeddings" =>
             // disjoint labels per copy: blocks scale ×N at constant
             // size, so the within-block eps-join sees ×N blocks, not
@@ -132,13 +163,14 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
     }
 
-    def scaledDir(n: Int, tables: Seq[String]): String = {
+    def scaledDir(n: Int, tables: Seq[String], variant: String): String = {
       if (n == 1) return base
       // cache key includes the BASE corpus: a rerun against a different
       // sfDir must not silently reuse a stale scaled corpus
       val baseTag = java.lang.Integer.toHexString(base.hashCode)
-      val dir = s"/tmp/graft_scale_${baseTag}_x$n"
-      tables.foreach(writeScaled(dir, n, _))
+      val vTag = if (variant.isEmpty) "" else s"_$variant"
+      val dir = s"/tmp/graft_scale_${baseTag}_x$n$vTag"
+      tables.foreach(writeScaled(dir, n, _, variant))
       dir
     }
 
@@ -156,13 +188,14 @@ object ScaleRehearsal {
     }
     val rows = queries.map { q =>
       val tables = tablesOf.getOrElse(q, Seq("documents"))
+      val variant = variantOf.getOrElse(q, "")
       // warm THIS query's operator path on the base dir first: a cold
       // first-query run is dominated by JIT + codegen compilation
       // (measured 5.7 s cold vs 2.5 s warm on q_bpe_train), which
       // would masquerade as negative scaling exponents
-      time(q, scaledDir(1, tables))
-      val (t1, n1) = time(q, scaledDir(1, tables))
-      val (tN, nN) = time(q, scaledDir(factor, tables))
+      time(q, scaledDir(1, tables, variant))
+      val (t1, n1) = time(q, scaledDir(1, tables, variant))
+      val (tN, nN) = time(q, scaledDir(factor, tables, variant))
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       f"""{"query":"$q","t1_sec":$t1%.2f,"t${factor}_sec":$tN%.2f,""" +
         f""""rows1":$n1,"rows$factor":$nN,"exponent":$exp%.2f}"""

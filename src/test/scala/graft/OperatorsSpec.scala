@@ -847,6 +847,56 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture produced no within-radius pairs")
   }
 
+  test("q_bootstrap_ci: replicate weights behave like Poisson(1) and means bracket the truth") {
+    val rows = graft.operators.CorpusOps.queries("q_bootstrap_ci")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 32)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    val trueMean = graft.sources.Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).as[Long].head() * 1000000L / nDocs
+    rows.foreach { case (_, nEff, _) =>
+      // E[Σw] = n; at n = 500 the spread is ~2·√500 ≈ 45
+      assert(math.abs(nEff - nDocs) < nDocs / 4, s"n_eff=$nEff vs n=$nDocs")
+    }
+    val means = rows.map(_._3).sorted
+    assert(means.head <= trueMean && trueMean <= means.last,
+      s"32 replicate means [${means.head}, ${means.last}] should bracket $trueMean")
+    // and the interval is a genuine interval, not a point
+    assert(means.last > means.head)
+  }
+
+  test("q_conformal: thresholds are exact order statistics and coverage honors the guarantee") {
+    val out = graft.operators.VectorOps.queries("q_conformal")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // recompute nonconformity scores brute-force
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val qv = emb.map { case (id, l, v) => (id, l, v.map(x => math.round(x * 1000000))) }
+    val cents = qv.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length)(i => vs.map(_._3(i)).sum / vs.length)
+    }
+    val scores = qv.map { case (id, l, v) =>
+      (id, l, v.zip(cents(l)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    out.foreach { case (l, nCalib, k, thr, nEval, covered, covMicro) =>
+      val calib = scores.filter(s => s._2 == l && s._1 % 5 == 0).map(_._3).sorted
+      assert(nCalib === calib.length)
+      assert(k === math.min((9 * (nCalib + 1) + 9) / 10, nCalib))
+      assert(thr === calib((k - 1).toInt), s"label $l threshold")
+      val eval = scores.filter(s => s._2 == l && s._1 % 5 != 0).map(_._3)
+      assert(nEval === eval.length)
+      assert(covered === eval.count(_ <= thr))
+      assert(covMicro === covered * 1000000L / nEval)
+    }
+    // aggregate empirical coverage should sit near (or above) 1 − α,
+    // with finite-sample slack for the small per-label eval sets
+    val tot = out.map(_._5).sum.toDouble
+    val cov = out.map(_._6).sum / tot
+    assert(cov > 0.8, s"aggregate coverage $cov way below the 0.9 target")
+  }
+
   test("q_t_closeness: TV distance is exact, bounded, and zero for the global distribution") {
     import org.apache.spark.sql.functions.{col => c}
     val rows = graft.operators.CorpusOps.queries("q_t_closeness")(spark, sf)
