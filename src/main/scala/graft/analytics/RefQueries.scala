@@ -327,6 +327,48 @@ object RefQueries {
         .orderBy("version")
     }),
 
+    // E18 STORAGE-PARTITIONED JOIN exercised THROUGH the oracle gate:
+    // build two snapshot tables bucketed on the join key with the same
+    // spec (pay-the-shuffle-once at ingest), register a throwaway
+    // catalog, and join them in SQL. The MERGE hint rules out a
+    // broadcast plan, so the join must come out of KeyGroupedPartitioning
+    // co-location — and the builder REQUIRES the executed plan to be
+    // exchange-free before returning, so the oracle gate itself pins
+    // the scale shape (a future regression that re-introduces a
+    // shuffle fails verify, not just a spec). Values are checked
+    // against the plain per-customer aggregate join in DuckDB.
+    "q_bucketed_join" -> ((s, d) => {
+      val wh = scratchDir("graft_spjq")
+      s.conf.set("spark.sql.catalog.graft_spjq",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_spjq.warehouse", wh)
+      val tc = graft.sources.SnapshotTable(s"$wh/db/cust")
+      val to = graft.sources.SnapshotTable(s"$wh/db/ords")
+      tc.commitBucketed(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", 8)
+      to.commitBucketed(
+        orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("spend_cents")),
+        "o_custkey", 8)
+      val j = s.sql(
+        """SELECT /*+ MERGE(c, o) */ c.c_custkey, c.c_mktsegment,
+          |  o.n_orders, o.spend_cents
+          |FROM graft_spjq.db.cust c
+          |JOIN graft_spjq.db.ords o ON c.c_custkey = o.o_custkey
+          |ORDER BY c.c_custkey""".stripMargin)
+      // the deterministic-output ORDER BY legitimately plans one
+      // rangepartitioning exchange AFTER the join; what must never
+      // appear is a join-side shuffle or broadcast
+      val plan = j.queryExecution.executedPlan.toString
+      if (plan.contains("Exchange hashpartitioning") ||
+          plan.contains("BroadcastExchange")) throw new IllegalStateException(
+        "bucketed snapshot join planned a join-side exchange — " +
+          s"storage-partitioned join regressed:\n$plan")
+      j
+    }),
+
     // E18 INCREMENTAL consumption (CDC): readChanges scans only the
     // files appended between two versions — the daily-delta read that
     // replaces full-table rescans for downstream consumers. Exercised
@@ -761,6 +803,18 @@ object RefQueries {
         |SELECT 'v3_compacted', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
         |FROM documents WHERE doc_id < 500 AND n_chars >= 300
         |ORDER BY version""".stripMargin,
+
+    // the same join over the raw tables — values must be identical to
+    // the shuffle-free storage-partitioned plan's
+    "q_bucketed_join" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, c.c_mktsegment, o.n_orders, o.spend_cents
+        |FROM customer c JOIN ords o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
 
     // each lineage segment's frozen defining SELECT
     "q_snapshot_changes" ->
