@@ -1479,6 +1479,92 @@ object TextOps {
         .orderBy("dirty_id")
     }),
 
+    // SKIP-GRAM TRAINING PAIRS with deterministic negative sampling —
+    // the embedding-training data generator (word2vec-style): ±2
+    // window contexts per center token, grouped to a (center,
+    // context, count) co-occurrence table, each pair carrying one
+    // md5-drawn negative from the frequency-ranked vocabulary (the
+    // portable-randomness convention — both engines draw the same
+    // negative, so the sampler itself is oracle-gated). Scale shape:
+    // window pairs come from an EQUI-join on (doc, pos+offset) — the
+    // 1-D grid pattern, never a theta join; the vocabulary rank runs
+    // through the two-phase [[PrefixSum]] scan (count-range buckets)
+    // and joins back broadcast. Cost ∝ tokens × window, vocab-rank
+    // ∝ vocab — nothing quadratic.
+    "q_skipgram_pairs" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), " "), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      val ctr = toks.select(col("doc_id"), col("pos"), col("tok").as("center"))
+        .withColumn("off", explode(array(lit(-2), lit(-1), lit(1), lit(2))))
+        .select(col("doc_id"), (col("pos") + col("off")).as("cpos"), col("center"))
+      val pairs = ctr
+        .join(toks.select(col("doc_id"), col("pos").as("cpos"),
+          col("tok").as("context")), Seq("doc_id", "cpos"))
+        .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val vb = broadcast(vocab.agg(max(col("cnt")).as("chi"),
+        min(col("cnt")).as("clo"), count(lit(1)).as("vsz")))
+      val ranked = graft.operators.PrefixSum.rowNumber(
+        vocab.crossJoin(vb), Seq.empty, Seq(-col("cnt"), col("tok")),
+        graft.operators.PrefixSum.rangeBucket(-col("cnt"), -col("chi"), -col("clo"), 8),
+        "rv")
+      pairs.crossJoin(vb.select(col("vsz"))) // 1-row aggregate probe
+        .withColumn("nid", lit(1) + pmod(
+          conv(substring(md5(concat_ws("|", col("center"), col("context"))), 1, 14),
+            16, 10).cast("long"), col("vsz")))
+        .join(broadcast(ranked.select(col("rv"), col("tok").as("neg_tok"))),
+          col("nid") === col("rv"))
+        .select(col("center"), col("context"), col("n_pairs"), col("neg_tok"))
+        .orderBy("center", "context")
+    }),
+
+    // SORTED-NEIGHBORHOOD BLOCKING — the other classic entity-
+    // resolution blocking family, complementing q_fuzzy_match's
+    // equi-blocking: sort ALL records (clean ∪ corrupted) by the name
+    // itself, and only compare records within a rank window (w = 4).
+    // Where equi-blocking misses any record whose BLOCKING KEY is the
+    // corrupted part (here: deletions can hit the first token),
+    // sorted-neighborhood still lands lexicographic near-misses
+    // adjacently; its own known recall gap (early-position corruption
+    // moves a record far in sort order) is why production ER runs
+    // multiple passes with different sort keys. Scale shape: the
+    // global rank is the two-phase [[PrefixSum]] scan (bucketed by the
+    // 2-char name prefix — order-consistent with the sort key, no
+    // single-task sort), and the windowed self-join is the 1-D
+    // grid-cell join (rank-group g = rn div w, probe side emits g and
+    // g − 1, equi-join, |Δrn| ≤ w filter): each pair lands exactly
+    // once, cost ∝ records × w, never records². Verification is the
+    // banded threshold levenshtein.
+    "q_sorted_neighborhood" -> ((s, d) => {
+      val name = lower(col("p_name"))
+      val clean = part(s, d)
+        .select(lit(0L).as("side"), col("p_partkey").as("id"), name.as("nm"))
+      // deletion at ANY position — including inside the first token,
+      // the case equi-blocking structurally misses
+      val pos = lit(1) + pmod(col("p_partkey"), length(name))
+      val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
+        .select(lit(1L).as("side"), col("p_partkey").as("id"),
+          concat(name.substr(lit(1), (pos - 1).cast("int")),
+            name.substr((pos + 1).cast("int"), lit(200))).as("nm"))
+      val all = clean.unionByName(dirty)
+      val ranked = graft.operators.PrefixSum.rowNumber(all, Seq.empty,
+          Seq(col("nm"), col("side"), col("id")), substring(col("nm"), 1, 2), "rn")
+        .withColumn("g", expr("rn div 4"))
+      val a = ranked.select(col("side").as("a_side"), col("id").as("a_id"),
+        col("nm").as("a_nm"), col("rn").as("a_rn"), col("g"))
+      val b = ranked.select(col("side").as("b_side"), col("id").as("b_id"),
+          col("nm").as("b_nm"), col("rn").as("b_rn"),
+          explode(array(col("g"), col("g") - 1)).as("g"))
+      a.join(b, "g")
+        .filter(col("b_rn") > col("a_rn") && col("b_rn") <= col("a_rn") + 4)
+        .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), 2))
+        .filter(col("dist").between(0, 2))
+        .select(col("a_side"), col("a_id"), col("b_side"), col("b_id"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("a_side", "a_id", "b_side", "b_id")
+    }),
+
     // E5/E9 BM25 RETRIEVAL SCORING (Robertson-Sparck Jones; k1 = 1.2,
     // b = 0.75) for a fixed query-term set — the lexical-retrieval
     // scorer of a RAG/data-curation stack beside the tf-idf and ANN
@@ -1622,6 +1708,53 @@ object TextOps {
         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_skipgram_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, u.tok, u.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok,
+        |      generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) AS pos
+        |    FROM documents) u(doc_id, tok, pos)),
+        |pairs AS (
+        |  SELECT a.tok AS center, b.tok AS context, COUNT(*) AS n_pairs
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id
+        |    AND b.pos - a.pos IN (-2, -1, 1, 2)
+        |  GROUP BY 1, 2),
+        |vocab AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |ranked AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rv FROM vocab),
+        |vs AS (SELECT COUNT(*) AS vsz FROM vocab)
+        |SELECT p.center, p.context, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+        |  r.tok AS neg_tok
+        |FROM pairs p CROSS JOIN vs
+        |JOIN ranked r ON r.rv = 1 +
+        |  (CAST(('0x' || substr(md5(p.center || '|' || p.context), 1, 14)) AS BIGINT)
+        |   % vs.vsz)
+        |ORDER BY center, context""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH clean AS (
+        |  SELECT 0 AS side, p_partkey AS id, lower(p_name) AS nm FROM part),
+        |dirty AS (
+        |  SELECT 1 AS side, p_partkey AS id,
+        |    substring(nm, 1, CAST(pos - 1 AS INTEGER)) ||
+        |    substring(nm, CAST(pos + 1 AS INTEGER), 200) AS nm
+        |  FROM (
+        |    SELECT p_partkey, lower(p_name) AS nm,
+        |      1 + (p_partkey % len(lower(p_name))) AS pos
+        |    FROM part WHERE p_partkey % 3 = 0)),
+        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+        |r AS (
+        |  SELECT side, id, nm,
+        |    ROW_NUMBER() OVER (ORDER BY nm, side, id) AS rn
+        |  FROM allr)
+        |SELECT CAST(a.side AS BIGINT) AS a_side, a.id AS a_id,
+        |  CAST(b.side AS BIGINT) AS b_side, b.id AS b_id,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY a_side, a_id, b_side, b_id""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH clean AS (

@@ -889,6 +889,45 @@ object VectorOps {
         .orderBy("clabel", "bin")
     }),
 
+    // E16 SEMI-SUPERVISED LABEL PROPAGATION — spread scarce labels
+    // (seeds = vec_id < 100) over the similarity graph: edges join
+    // vectors sharing a 6-plane LSH signature (64 buckets — the
+    // q_ann_buckets machinery densified into a candidate graph), and
+    // two synchronized rounds adopt the MIN neighbor label (the
+    // deterministic tie-break; labeled nodes never change). The
+    // workhorse of weak-supervision bootstrapping: label 20% by hand,
+    // propagate to the near-duplicate neighborhood. Each round is one
+    // edge-keyed shuffle + one hash-agg — O(edges) per round, edges
+    // bucket-bounded (never all-pairs), rounds fixed at 2 so the
+    // oracle unrolls exactly.
+    "q_label_prop" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      def planeSig(p: Int): Column =
+        when(dot(col("v"), typedLit(planeWeights(p))) >= 0, lit(1L)).otherwise(lit(0L))
+      val nodes = emb.withColumn("bucket",
+        (0 until 6).map(p => planeSig(p) * (1L << p)).reduce(_ + _))
+        .select(col("vec_id"), col("label"), col("bucket"))
+        .localCheckpoint() // feeds the edge self-join AND both rounds
+      val edges = nodes.select(col("vec_id").as("u"), col("bucket"))
+        .join(nodes.select(col("vec_id").as("v"), col("bucket")), "bucket")
+        .filter(col("u") =!= col("v"))
+        .select("u", "v")
+      val seed = nodes.select(col("vec_id"),
+        when(col("vec_id") < 100, col("label")).otherwise(lit(null)).as("l"))
+      def step(cur: DataFrame): DataFrame = {
+        val nb = edges
+          .join(cur.select(col("vec_id").as("v"), col("l").as("nl")), "v")
+          .groupBy(col("u")).agg(min(col("nl")).as("nbmin"))
+        cur.join(nb.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"), coalesce(col("l"), col("nbmin")).as("l"))
+      }
+      step(step(seed))
+        .select(col("vec_id"),
+          coalesce(col("l"), lit(-1)).cast("long").as("prop_label"))
+        .orderBy("vec_id")
+    }),
+
     // E4/E9 SPLIT-CONFORMAL CALIBRATION — the distribution-free
     // prediction-set recipe: hold out a calibration split (vec_id % 5),
     // score every vector by its nonconformity (integral L2² to the own
@@ -1523,6 +1562,39 @@ object VectorOps {
          |b AS (SELECT vec_id, $sig AS bucket FROM emb)
          |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    // same plane literals, 6 planes; the two propagation rounds
+    // unroll as CTEs (min ignores NULL neighbor labels in both engines)
+    "q_label_prop" -> {
+      val sig = (0 until 6).map { p =>
+        val arr = planeWeights(p).map(w => if (w > 0) "1" else "-1")
+          .mkString("[", ",", "]")
+        s"""(CASE WHEN (SELECT SUM(v[g.i] * ($arr::DOUBLE[])[g.i])
+           |  FROM generate_series(1, 64) g(i)) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH emb AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |nodes AS (SELECT vec_id, label, $sig AS bucket FROM emb),
+         |edges AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM nodes a JOIN nodes b
+         |  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |l0 AS (
+         |  SELECT vec_id, CASE WHEN vec_id < 100 THEN label END AS l
+         |  FROM nodes),
+         |l1 AS (
+         |  SELECT c.vec_id,
+         |    COALESCE(c.l, (SELECT MIN(n.l) FROM edges e JOIN l0 n ON n.vec_id = e.v
+         |                   WHERE e.u = c.vec_id)) AS l
+         |  FROM l0 c),
+         |l2 AS (
+         |  SELECT c.vec_id,
+         |    COALESCE(c.l, (SELECT MIN(n.l) FROM edges e JOIN l1 n ON n.vec_id = e.v
+         |                   WHERE e.u = c.vec_id)) AS l
+         |  FROM l1 c)
+         |SELECT vec_id, CAST(COALESCE(l, -1) AS BIGINT) AS prop_label
+         |FROM l2 ORDER BY vec_id""".stripMargin
     },
 
     "q_ivf_topk" -> ivfTopkOracle,

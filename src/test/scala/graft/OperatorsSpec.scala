@@ -847,6 +847,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture produced no within-radius pairs")
   }
 
+  test("q_sorted_neighborhood catches first-token corruption that equi-blocking misses") {
+    val rows = graft.operators.TextOps.queries("q_sorted_neighborhood")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // reconstruct the fixture names to classify each cross-side pair
+    val names = graft.sources.Tables.part(spark, sf)
+      .select(col("p_partkey"), lower(col("p_name"))).as[(Long, String)]
+      .collect().toMap
+    def corrupted(k: Long): String = {
+      val nm = names(k); val pos = (1 + (k % nm.length)).toInt
+      nm.substring(0, pos - 1) + nm.substring(pos)
+    }
+    val crossBlock = rows.filter { case (aSide, aId, bSide, bId, _) =>
+      val (cId, dId) =
+        if (aSide == 0 && bSide == 1) (aId, bId)
+        else if (aSide == 1 && bSide == 0) (bId, aId) else (-1L, -1L)
+      cId >= 0 && {
+        val cTok = names(cId).split(" ").head
+        val dTok = corrupted(dId).split(" ").head
+        cTok != dTok // equi-blocking on the first token would miss this
+      }
+    }
+    assert(crossBlock.nonEmpty,
+      "expected at least one first-token-corrupted match only the sort window finds")
+    // and every reported distance is genuinely <= 2
+    rows.foreach { case (_, _, _, _, dist) => assert(dist >= 0 && dist <= 2) }
+  }
+
+  test("q_label_prop: seeds immutable, coverage grows, round 2 extends round 1") {
+    val out = graft.operators.VectorOps.queries("q_label_prop")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val truth = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    // every seed keeps its own label verbatim
+    truth.filter(_._1 < 100).foreach { case (id, l) =>
+      assert(out(id) === l.toLong, s"seed $id mutated")
+    }
+    val nonSeedLabeled = out.count { case (id, l) => id >= 100 && l >= 0 }
+    assert(nonSeedLabeled > 0, "propagation labeled no unlabeled node")
+    // propagated labels only ever come from the seed label alphabet
+    val alphabet = truth.filter(_._1 < 100).values.map(_.toLong).toSet
+    out.filter(_._2 >= 0).values.foreach(l => assert(alphabet.contains(l)))
+  }
+
   test("q_bootstrap_ci: replicate weights behave like Poisson(1) and means bracket the truth") {
     val rows = graft.operators.CorpusOps.queries("q_bootstrap_ci")(spark, sf)
       .as[(Long, Long, Long)].collect()
