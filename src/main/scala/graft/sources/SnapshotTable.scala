@@ -334,6 +334,18 @@ final class SnapshotTable(root: String) {
     doCommit(df, replace, maxRetries = 20, tag = None,
       bucketing = Some((key, buckets))).get
 
+  /** [[commitOnce]] × [[commitBucketed]]: the exactly-once STREAMING
+    * sink for a bucketed table — each micro-batch appends with the
+    * same bucket spec (compatible appends carry the layout forward),
+    * so downstream joins on the key stay storage-partitioned across
+    * the whole stream lineage; replays of a committed batchId tag
+    * append nothing twice. */
+  def commitBucketedOnce(tag: String, df: DataFrame, key: String,
+                         buckets: Int): Option[Long] =
+    if (tagCommitted(tag)) None
+    else doCommit(df, replace = false, maxRetries = 20, tag = Some(tag),
+      bucketing = Some((key, buckets)))
+
   /** Idempotent tagged commit — the exactly-once sink primitive: a
     * commit whose `tag` (e.g. a Structured Streaming batchId) is
     * already in manifest history is SKIPPED (returns None), so a

@@ -429,4 +429,46 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("bit_count"),
       "hamming verification must stay a codegen'd bitwise expression")
   }
+
+  test("q_spatial_join: grid-cell equi join — the distance predicate never plans a theta join") {
+    val p = plan("q_spatial_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"radius join must ride the cell key, not all pairs:\n${p.take(1500)}")
+    // the exact distance filter runs AFTER the equi join as a plain
+    // codegen'd condition, visible as the join condition/filter on dist
+    assert(p.contains("Join") || p.contains("join"), "expected a join in the plan")
+  }
+
+  test("q_skipgram_pairs: window pairing is an equi join on (doc, pos+offset)") {
+    val p = plan("q_skipgram_pairs")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must never plan the |pos diff| theta form")
+    // the only nested-loop joins allowed are the deliberate 1-row
+    // aggregate-probe cross joins (vocab bounds / vocab size); the
+    // data-plane pairing must never appear as an Inner/Outer BNLJ
+    p.split('\n').filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"non-probe nested loop join:\n$l")
+    }
+  }
+
+  test("q_sorted_neighborhood: global rank runs the two-phase scan; window join is equi") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = SparkEntry.queries("q_sorted_neighborhood")(spark, sf)
+    val sp = df.queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.exists(
+        _.references.exists(_.name.startsWith("_psb")))),
+      "missing the bucket-keyed local rank window")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.find {
+          case _: BaseAggregateExec => true
+          case _ => false
+        }.isDefined,
+        s"global window over unaggregated data:\n$w")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rank-window candidates must come from the 1-D grid equi join")
+  }
 }

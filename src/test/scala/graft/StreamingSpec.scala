@@ -644,4 +644,54 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.forall(_._4 === 40L))
     q.stop()
   }
+
+  test("bucketed streaming sink: micro-batches keep the layout, joins stay storage-partitioned") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_spj_stream").toString
+    spark.conf.set("spark.sql.catalog.spjs",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjs.warehouse", wh)
+    val facts = graft.sources.SnapshotTable(s"$wh/db/facts")
+    val dim = graft.sources.SnapshotTable(s"$wh/db/dim")
+    dim.commitBucketed(
+      spark.range(0, 100).selectExpr("id AS k", "id * 7 AS dv"), "k", 4)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val ck = Files.createTempDirectory("graft_spjs_ck").toString
+    val q = input.toDF().select(col("_1").as("k"), col("_2").as("v"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        facts.commitBucketedOnce(s"spjs/batch=$id", batch, "k", 4); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    input.addData((1L, 10L), (2L, 20L))
+    q.processAllAvailable()
+    input.addData((3L, 30L), (1L, 11L))
+    q.processAllAvailable()
+    q.stop()
+
+    // the whole multi-batch lineage is still one bucketed layout...
+    assert(facts.bucketingOf(facts.currentVersion()) === Some(("k", 4)))
+    // ...so the stream-accumulated table joins the dim shuffle-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT f.k, f.v, d.dv FROM spjs.db.facts f JOIN spjs.db.dim d ON f.k = d.k")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        j.queryExecution.executedPlan.toString)
+      assert(j.count() === 4)
+      // a replayed batch tag appends nothing (exactly-once holds for
+      // the bucketed variant too)
+      val before = facts.currentVersion()
+      assert(facts.commitBucketedOnce("spjs/batch=1",
+        Seq((9L, 99L)).toDF("k", "v"), "k", 4).isEmpty)
+      assert(facts.currentVersion() === before)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
