@@ -155,7 +155,7 @@ final class SnapshotTable(root: String) {
 
   /** Per-file bucket ids of snapshot `v`, keyed by ABSOLUTE path (the
     * key the scan builder sees). */
-  private[sources] def fileBucketsOf(v: Long): Map[String, Int] =
+  private[graft] def fileBucketsOf(v: Long): Map[String, Int] =
     fbRel(v).map { case (rel, b) =>
       Paths.get(root).resolve(rel).toString -> b }
 

@@ -389,4 +389,55 @@ class RandomizedPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("bucket function agrees with write placement on random keys, counts, and types") {
+    // THE storage-partitioned-join soundness invariant: the v2 bucket
+    // function the catalog serves (GraftBucketFunction.produceResult)
+    // must compute exactly the bucket commitBucketed's repartition
+    // placed each row in — if they ever diverge, a shuffle-one-side
+    // SPJ plan would co-locate wrong partitions and silently drop
+    // join matches. Checked end-to-end: commit random data, read each
+    // FILE of the manifest, and compare every contained key's
+    // function value against the file's recorded bucket id.
+    import graft.sources.{GraftBucketFunction, SnapshotTable}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new Random(42)
+    for (trial <- 0 until 3) {
+      val n = Seq(3, 8, 16)(trial)
+      val longTable = SnapshotTable(
+        java.nio.file.Files.createTempDirectory(s"graft_bfl$trial").toString)
+      val keys = Seq.fill(300)(rnd.nextLong() % 100000)
+      longTable.commitBucketed(keys.toDF("k"), "k", n)
+      val fb = longTable.fileBucketsOf(longTable.currentVersion())
+      assert(fb.nonEmpty)
+      val f = GraftBucketFunction.bind(new StructType()
+        .add("n", IntegerType).add("k", LongType))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      fb.foreach { case (path, bucket) =>
+        spark.read.parquet(path).as[Long].collect().foreach { k =>
+          val got = f.produceResult(
+            new GenericInternalRow(Array[Any](n, k))).intValue()
+          assert(got === bucket, s"long key $k: function says $got, file says $bucket")
+        }
+      }
+      // string keys through the same machinery
+      val strTable = SnapshotTable(
+        java.nio.file.Files.createTempDirectory(s"graft_bfs$trial").toString)
+      val skeys = Seq.fill(200)(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+      strTable.commitBucketed(skeys.toDF("k"), "k", n)
+      val sfb = strTable.fileBucketsOf(strTable.currentVersion())
+      val g = GraftBucketFunction.bind(new StructType()
+        .add("n", IntegerType).add("k", StringType))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      sfb.foreach { case (path, bucket) =>
+        spark.read.parquet(path).as[String].collect().foreach { k =>
+          val got = g.produceResult(
+            new GenericInternalRow(Array[Any](n, UTF8String.fromString(k)))).intValue()
+          assert(got === bucket, s"string key $k: function says $got, file says $bucket")
+        }
+      }
+    }
+  }
 }
