@@ -888,35 +888,27 @@ object TextOps {
     // what lets an 8-round iterative trainer sit inside the oracle
     // gate at all (symbols are [a-z]+ so no metacharacter hazards).
     "q_bpe_train" -> ((s, d) => {
-      val rounds = 8
-      val dict0 = documents(s, d)
-        .select(explode(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+"), lit(0))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("sym",
-          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
-        .persist()
-      try {
-        var dict = dict0
-        val merges = Seq.newBuilder[(Long, String, Long)]
-        for (r <- 0 until rounds) {
-          val best = dict
-            .select(col("freq"), split(trim(col("sym")), " ").as("toks"))
-            .filter(size(col("toks")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(slice(toks, 1, size(toks)-1), " +
-                "(t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("pair"))
-            .groupBy("pair").agg(sum("freq").as("cnt"))
-            .orderBy(col("cnt").desc, col("pair").asc)
-            .limit(1).collect()(0)
-          val (pair, cnt) = (best.getString(0), best.getLong(1))
-          merges += ((r.toLong, pair, cnt))
-          dict = dict.withColumn("sym", replace(col("sym"),
-            lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")))
-        }
-        s.createDataFrame(merges.result()).toDF("merge_rank", "pair", "cnt")
-          .orderBy("merge_rank")
-      } finally dict0.unpersist(false)
+      val (merges, _, unpersist) = bpeFit(s, d, rounds = 8)
+      try s.createDataFrame(merges).toDF("merge_rank", "pair", "cnt")
+        .orderBy("merge_rank")
+      finally unpersist()
+    }),
+
+    // E5 BPE ENCODE — the apply half of the train→apply pair: run the
+    // same 8 fitted merges over the word dictionary and emit each
+    // word's final segmentation + token count (the compression the
+    // trained vocab buys; Σ freq·n_tokens is the corpus's encoded
+    // length). Shares [[bpeFit]] with q_bpe_train so trainer and
+    // encoder can never drift; the oracle re-derives the identical
+    // state from the shared unrolled-CTE prefix.
+    "q_bpe_encode" -> ((s, d) => {
+      val (_, dict, unpersist) = bpeFit(s, d, rounds = 8)
+      try dict.select(col("word"), col("freq"),
+          size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"),
+          trim(col("sym")).as("encoded"))
+        .orderBy("word")
+        .localCheckpoint() // materialize before the shared input unpersists
+      finally unpersist()
     }),
 
     // E5 Karp-Rabin rolling hash over the raw character stream
@@ -1659,6 +1651,41 @@ object TextOps {
         .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
     }))
 
+  /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
+    * iterations of distributed pair counting + one-row argmax collect
+    * + leftmost non-overlapping merge application over the persisted
+    * word dictionary. Returns (merge table rows, final dictionary
+    * state, unpersist thunk) — the caller must invoke the thunk after
+    * materializing its result. */
+  private def bpeFit(s: SparkSession, d: String, rounds: Int)
+      : (Seq[(Long, String, Long)], DataFrame, () => Unit) = {
+    val dict0 = documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      .persist()
+    var dict = dict0
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 0 until rounds) {
+      val best = dict
+        .select(col("freq"), split(trim(col("sym")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(slice(toks, 1, size(toks)-1), " +
+            "(t, i) -> concat(t, ' ', element_at(toks, i + 2)))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val (pair, cnt) = (best.getString(0), best.getLong(1))
+      merges += ((r.toLong, pair, cnt))
+      dict = dict.withColumn("sym", replace(col("sym"),
+        lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")))
+    }
+    (merges.result(), dict, () => { dict0.unpersist(false); () })
+  }
+
   /** The q_bpe_train oracle: the same `rounds` BPE iterations
     * unrolled as a materialized CTE chain (w_r = dictionary state,
     * p_r = distributed pair counts, b_r = the round's argmax merge).
@@ -1692,8 +1719,24 @@ object TextOps {
       s"\nSELECT * FROM ($union) ORDER BY merge_rank"
   }
 
+  /** The q_bpe_encode oracle: the SAME unrolled CTE chain as
+    * [[bpeOracle]] (copied prefix — the two stay in lockstep because
+    * both are emitted from this one builder pair), but the final
+    * SELECT reads the post-merge dictionary state w_rounds instead of
+    * the merge table. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val full = bpeOracle(rounds)
+    val prefix = full.substring(0, full.lastIndexOf("\nSELECT"))
+    prefix +
+      s"""\nSELECT word, freq,
+         |  CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tokens,
+         |  trim(sym) AS encoded
+         |FROM w$rounds ORDER BY word""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
 
     "q_chunk_overlap" ->
       """WITH words AS (

@@ -418,6 +418,35 @@ object VectorOps {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // E6 VIDEO SCENE-CUT DETECTION — the temporal leg on top of the
+    // frame decode: per-frame mean luma (all frames this time), then
+    // a per-video lag window flags frames whose luma jumps ≥ 10 from
+    // the previous frame — the shot-boundary heuristic a video
+    // curation pass runs before sampling keyframes. Window partitions
+    // by doc_id (fine-grained key, bounded frames per video), so no
+    // single-task sort; everything integral, oracle mirrors the
+    // synthetic frame rule arithmetically.
+    "q_video_scenes" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticAvi(id))))
+        .toDF("doc_id", "payload")
+      val luma = Multimodal.decodeFrames(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("frame_idx"),
+          posexplode(col("pix")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height", "n_frames", "frame_idx")
+        .agg(expr("sum(cast(v as bigint)) DIV (width * height)").as("mean_luma"))
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      luma
+        .withColumn("delta", abs(col("mean_luma") - lag(col("mean_luma"), 1).over(w)))
+        .groupBy(col("doc_id"), col("n_frames").cast("long").as("n_frames"))
+        .agg(sum(when(col("delta") >= 10, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("delta")).as("max_delta"))
+        .orderBy("doc_id")
+    }),
+
     // Lloyd k-means in QUANTIZED integer space — the clustering stage
     // an IVF index or mixture analysis needs, made fully DuckDB-
     // oracle-able by the same move as the cents/PageRank conventions:
@@ -1534,6 +1563,36 @@ object VectorOps {
         |  CAST(MAX(v) AS BIGINT) AS peak_luma
         |FROM px GROUP BY doc_id, w, h, n_frames, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the scene-cut oracle extends the frame rule with a LAG window
+    "q_video_scenes" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    2 + (doc_id % 5) AS n_frames,
+        |    8 + (doc_id % 3) * 4 AS w,
+        |    6 + (doc_id % 2) * 4 AS h
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n_frames, w, h, f.f AS frame_idx
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) f),
+        |px AS (
+        |  SELECT doc_id, n_frames, w, h, frame_idx,
+        |    (3 * doc_id + 11 * frame_idx + 2 * gx.x + 7 * gy.y) % 256 AS v
+        |  FROM fr, generate_series(0, 15) gx(x), generate_series(0, 9) gy(y)
+        |  WHERE gx.x < w AND gy.y < h),
+        |luma AS (
+        |  SELECT doc_id, n_frames, frame_idx,
+        |    CAST(SUM(v) // (w * h) AS BIGINT) AS mean_luma
+        |  FROM px GROUP BY doc_id, n_frames, w, h, frame_idx),
+        |d AS (
+        |  SELECT doc_id, n_frames,
+        |    ABS(mean_luma - LAG(mean_luma) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        |  FROM luma)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN delta >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  CAST(MAX(delta) AS BIGINT) AS max_delta
+        |FROM d GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
 
     // mirrors Multimodal.decodeStub: first md5 byte of the payload
     // (== the text's UTF-8 bytes) drives width/height/format
