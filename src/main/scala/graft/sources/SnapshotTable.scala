@@ -91,13 +91,13 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
 
-  /** The `#zm=` zone-map lines of snapshot `v`'s manifest (raw,
-    * re-emitted verbatim by append commits so a file's stats ride
-    * along for its whole lifetime without re-reading its footer). */
+  /** The `#zm=` zone-map + `#bfl=` bloom lines of snapshot `v`'s
+    * manifest (raw, re-emitted verbatim by append commits so a file's
+    * stats ride along for its whole lifetime without re-reading). */
   private def zmLines(v: Long): Seq[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
     else Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(_.startsWith(ZoneMaps.Prefix))
+      .filter(l => l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
 
   /** Decoded per-file zone maps of snapshot `v`, keyed by ABSOLUTE
     * data-file path (the key the scan builder sees). Missing/legacy
@@ -107,14 +107,28 @@ final class SnapshotTable(root: String) {
     fileStatsOf(v).map { case (abs, fs) => abs -> fs.cols }
 
   /** Full per-file manifest statistics of snapshot `v` (row count +
-    * column stats), keyed by ABSOLUTE data-file path. */
+    * column stats + per-column blooms), keyed by ABSOLUTE path. */
   private[sources] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
     if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
-    else Files.readAllLines(manifestPath(v)).asScala.iterator
-      .filter(_.startsWith(ZoneMaps.Prefix))
-      .flatMap(ZoneMaps.decodeFull)
-      .map { case (rel, fs) => Paths.get(root).resolve(rel).toString -> fs }
-      .toMap
+    else {
+      val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+      val zm = lines.iterator
+        .filter(_.startsWith(ZoneMaps.Prefix))
+        .flatMap(ZoneMaps.decodeFull)
+        .map { case (rel, fs) => rel -> fs }
+        .toMap
+      val bf = lines.iterator
+        .filter(_.startsWith(ZoneMaps.BloomPrefix))
+        .flatMap(ZoneMaps.decodeBloomLine)
+        .toSeq.groupBy(_._1)
+        .map { case (rel, xs) =>
+          rel -> xs.map { case (_, c, k, b) => c -> ((k, b)) }.toMap }
+      (zm.keySet ++ bf.keySet).iterator.map { rel =>
+        val base = zm.getOrElse(rel, ZoneMaps.FileStats(-1L, Map.empty))
+        Paths.get(root).resolve(rel).toString ->
+          base.copy(blooms = bf.getOrElse(rel, Map.empty))
+      }.toMap
+    }
 
   /** Bucketing spec of snapshot `v`: Some((key, nBuckets)) iff the
     * manifest declares `#bucketing=` AND every listed file carries a
@@ -334,6 +348,24 @@ final class SnapshotTable(root: String) {
     doCommit(df, replace, maxRetries = 20, tag = None,
       bucketing = Some((key, buckets))).get
 
+  /** Commit with PER-FILE BLOOM FILTERS over `bloomKeys` — the
+    * point-lookup complement to zone maps: uniform high-cardinality
+    * keys give every file the same [min, max] (range stats prune
+    * nothing), but an equality probe for a value a file's bloom
+    * provably lacks skips the file before the scan plans. Opt-in
+    * because the build reads the key columns back (one distributed
+    * aggregation per key per batch) and the bits ride inline in the
+    * manifest; size with `expectedItemsPerFile` (bits = items × 10 ≈
+    * 1% fpp — at 1M+ rows/file move the bits to sidecar files, which
+    * the `#bfl=` line format was shaped to allow). Integral and
+    * string keys; appends carry prior files' blooms forward like zone
+    * maps. Requires the graft_bloom_agg extension (GraftSession). */
+  def commitWithBlooms(df: DataFrame, bloomKeys: Seq[String],
+                       replace: Boolean = false,
+                       expectedItemsPerFile: Int = 10000): Long =
+    doCommit(df, replace, maxRetries = 20, tag = None,
+      bloomKeys = bloomKeys, bloomItems = expectedItemsPerFile).get
+
   /** [[commitOnce]] × [[commitBucketed]]: the exactly-once STREAMING
     * sink for a bucketed table — each micro-batch appends with the
     * same bucket spec (compatible appends carry the layout forward),
@@ -370,7 +402,8 @@ final class SnapshotTable(root: String) {
     * nanosecond on the same thread id is a filesystem-level create
     * collision, which the directory write would surface, not silently
     * merge). */
-  private def writeBatch(df: DataFrame, bucketBy: Option[(String, Int)] = None)
+  private def writeBatch(df: DataFrame, bucketBy: Option[(String, Int)] = None,
+                         bloomKeys: Seq[String] = Nil, bloomItems: Int = 10000)
       : (Path, Seq[String], Seq[String], Seq[String]) = {
     val batch = s"b${System.nanoTime()}_t${Thread.currentThread().getId}"
     val out = dataDir.resolve(batch)
@@ -410,6 +443,38 @@ final class SnapshotTable(root: String) {
       if (stats.rows < 0 && stats.cols.isEmpty) None
       else Some(ZoneMaps.encodeLine(rel, stats))
     }
+    // PER-FILE BLOOM FILTERS (opt-in, see ZoneMaps.BloomPrefix): one
+    // distributed aggregation per key over the just-written batch,
+    // grouped by _metadata.file_path — the key column is read back
+    // once, hashed in its canonical domain (integral → bigint), and
+    // each file's bits land as a manifest line beside its zone maps.
+    val bfNew: Seq[String] = if (bloomKeys.isEmpty) Seq.empty else {
+      val spark = df.sparkSession
+      val batchDf = spark.read.parquet(out.toString)
+      val bits = math.max(64L, bloomItems.toLong * 10L) // ≈1% fpp
+      bloomKeys.flatMap { k =>
+        val (kind, hashSql) = batchDf.schema(k).dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+            ('l', s"xxhash64(cast(`$k` as bigint))")
+          case org.apache.spark.sql.types.StringType => ('s', s"xxhash64(`$k`)")
+          case other => throw new IllegalArgumentException(
+            s"bloom key $k: unsupported type $other (integral and string keys only)")
+        }
+        batchDf
+          .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("_gp"),
+            org.apache.spark.sql.functions.expr(hashSql).as("_gh"))
+          .filter(org.apache.spark.sql.functions.col("_gh").isNotNull)
+          .groupBy("_gp")
+          .agg(org.apache.spark.sql.functions
+            .expr(s"graft_bloom_agg(_gh, ${bloomItems}L, ${bits}L)").as("bf"))
+          .collect().toSeq.map { r =>
+            val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+            ZoneMaps.encodeBloomLine(s"data/$batch/$name", k, kind,
+              r.getAs[Array[Byte]](1))
+          }
+      }
+    }
     val PartIdx = """part-(\d+)\b.*""".r
     val fbNew: Seq[String] = if (bucketBy.isEmpty) Seq.empty
     else newFiles.map { rel =>
@@ -422,13 +487,15 @@ final class SnapshotTable(root: String) {
           s"bucketed write produced an unparsable file name: $other")
       }
     }
-    (out, newFiles, zmNew, fbNew)
+    (out, newFiles, zmNew ++ bfNew, fbNew)
   }
 
   private def doCommit(df: DataFrame, replace: Boolean,
                        maxRetries: Int, tag: Option[String],
-                       bucketing: Option[(String, Int)] = None): Option[Long] = {
-    val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing)
+                       bucketing: Option[(String, Int)] = None,
+                       bloomKeys: Seq[String] = Nil,
+                       bloomItems: Int = 10000): Option[Long] = {
+    val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing, bloomKeys, bloomItems)
 
     var attempt = 0
     var committed = -1L

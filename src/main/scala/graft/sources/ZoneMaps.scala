@@ -63,7 +63,8 @@ object ZoneMaps {
     * the manifest into a statistics catalog: `count(*)` and the DSv2
     * planning `numRows` estimate become O(manifest) driver reads —
     * no file I/O — exactly like Delta/Iceberg `numRecords` metrics. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+  final case class FileStats(rows: Long, cols: Map[String, ColStat],
+                             blooms: Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)] = Map.empty)
 
   // ---- commit-side: footer → stats ----
 
@@ -137,6 +138,102 @@ object ZoneMaps {
   // URL-encoding covers the delimiter characters in values.
 
   val Prefix = "#zm="
+
+  /** PER-FILE BLOOM FILTERS — the point-lookup complement to min/max
+    * zone maps (Delta's bloom-filter index / parquet bloom filters at
+    * the manifest level): uniform high-cardinality keys give every
+    * file the same [min, max], so range stats prune nothing, but a
+    * per-file bloom over `xxhash64(key)` rejects files that provably
+    * lack an equality probe's value. Lines are
+    * `#bfl=<rel>:<col>:<base64(spark BloomFilter)>`, opt-in per
+    * commit ([[SnapshotTable.commitWithBlooms]]) because the build
+    * reads the key column back (one distributed aggregation per
+    * batch) and the bits ride inline in the manifest — right up to a
+    * few hundred KB per file; past that (1M+ rows/file at 1% fpp) the
+    * honest design moves the bits to sidecar files referenced from
+    * the manifest, which this line format was shaped to allow. */
+  val BloomPrefix = "#bfl="
+
+  /** `kind` is the hash domain the bloom was BUILT over — 'l' =
+    * integral keys hashed as `xxhash64(cast(k as bigint))`, 's' =
+    * strings hashed as `xxhash64(k)`. Recording it (instead of
+    * trusting probe-literal types) is what makes the skip safe: an
+    * int32 column probed with a long literal still hashes into the
+    * same canonical domain the build used. */
+  def encodeBloomLine(relPath: String, col: String, kind: Char,
+                      bytes: Array[Byte]): String =
+    BloomPrefix + enc(relPath) + ":" + enc(col) + ":" + kind + ":" +
+      java.util.Base64.getEncoder.encodeToString(bytes)
+
+  /** Parse a `#bfl=` line → (relPath, col, kind, parsed bloom);
+    * malformed lines yield None (blooms are an optimization, never a
+    * read failure). */
+  def decodeBloomLine(line: String)
+      : Option[(String, String, Char, org.apache.spark.util.sketch.BloomFilter)] =
+    if (!line.startsWith(BloomPrefix)) None
+    else scala.util.Try {
+      val Array(rel, col, kind, b64) = line.stripPrefix(BloomPrefix).split(':')
+      (dec(rel), dec(col), kind.charAt(0),
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64))))
+    }.toOption
+
+  /** The canonical bloom hash of an equality-probe value in `kind`'s
+    * domain, or None when the value does not coerce (no skip). */
+  private def bloomHash(kind: Char, value: Any): Option[Long] = (kind, value) match {
+    case (_, null) => None
+    case ('l', v: java.lang.Number) if !v.isInstanceOf[java.lang.Double] &&
+      !v.isInstanceOf[java.lang.Float] =>
+      Some(XxHash64(Seq(Literal(v.longValue)), 42L).eval(null).asInstanceOf[Long])
+    case ('s', v: UTF8String) =>
+      Some(XxHash64(Seq(Literal(v, org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long])
+    case ('s', v: String) =>
+      Some(XxHash64(Seq(Literal(UTF8String.fromString(v),
+        org.apache.spark.sql.types.StringType)), 42L).eval(null).asInstanceOf[Long])
+    case _ => None
+  }
+
+  private def bloomMiss(blooms: Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)],
+                        col: String, value: Any): Boolean =
+    blooms.get(col).exists { case (kind, bf) =>
+      bloomHash(kind, value).exists(h => !bf.mightContainLong(h))
+    }
+
+  /** True iff equality-shaped conjunct `e` is PROVABLY unsatisfiable
+    * on a file whose per-column blooms are `blooms` — no false
+    * negatives in the bloom means a miss is a proof of absence. */
+  def bloomEmpty(e: Expression,
+                 blooms: Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]): Boolean =
+    if (blooms.isEmpty) false
+    else e match {
+      case EqualTo(a: Attribute, l: Literal) => bloomMiss(blooms, a.name, l.value)
+      case EqualTo(l: Literal, a: Attribute) => bloomMiss(blooms, a.name, l.value)
+      case EqualNullSafe(a: Attribute, l: Literal) if l.value != null =>
+        bloomMiss(blooms, a.name, l.value)
+      case EqualNullSafe(l: Literal, a: Attribute) if l.value != null =>
+        bloomMiss(blooms, a.name, l.value)
+      case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.forall(v => bloomMiss(blooms, a.name, v.asInstanceOf[Literal].value))
+      case InSet(a: Attribute, vs) if vs.nonEmpty =>
+        vs.forall(v => bloomMiss(blooms, a.name, v))
+      case And(x, y) => bloomEmpty(x, blooms) || bloomEmpty(y, blooms)
+      case Or(x, y) => bloomEmpty(x, blooms) && bloomEmpty(y, blooms)
+      case _ => false
+    }
+
+  /** [[bloomEmpty]] for v1 `Filter`s (the runtime-filtering shape). */
+  def bloomEmptySource(f: v1.Filter,
+                       blooms: Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]): Boolean =
+    if (blooms.isEmpty) false
+    else f match {
+      case v1.EqualTo(c, value) => bloomMiss(blooms, c, value)
+      case v1.EqualNullSafe(c, value) if value != null => bloomMiss(blooms, c, value)
+      case v1.In(c, values) => values.nonEmpty && values.forall(bloomMiss(blooms, c, _))
+      case v1.And(x, y) => bloomEmptySource(x, blooms) || bloomEmptySource(y, blooms)
+      case v1.Or(x, y) => bloomEmptySource(x, blooms) && bloomEmptySource(y, blooms)
+      case _ => false
+    }
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
@@ -427,8 +524,8 @@ object ZoneMaps {
 
     override def filter(filters: Array[v1.Filter]): Unit = {
       val kept = files.filter { f =>
-        val st = statsByFile.get(f).map(_.cols).getOrElse(Map.empty[String, ColStat])
-        st.isEmpty || !filters.exists(p => provablyEmptySource(p, st))
+        statsByFile.get(f).forall(fs =>
+          !filters.exists(p => provablyEmptySource(p, fs.cols) || bloomEmptySource(p, fs.blooms)))
       }
       if (kept.size != files.size) { current = kept; inner = rebuildScan(kept) }
     }
@@ -462,8 +559,8 @@ object ZoneMaps {
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
       val kept = allFiles.filter { f =>
-        val st = statsByFile.get(f).map(_.cols).getOrElse(Map.empty[String, ColStat])
-        st.isEmpty || !filters.exists(p => provablyEmpty(p, st))
+        statsByFile.get(f).forall(fs =>
+          !filters.exists(p => provablyEmpty(p, fs.cols) || bloomEmpty(p, fs.blooms)))
       }
       if (kept.size != allFiles.size) {
         keptFiles = kept

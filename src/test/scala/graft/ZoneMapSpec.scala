@@ -239,4 +239,46 @@ class ZoneMapSpec extends SparkTestBase {
     assert(t.read(spark).filter(col("k") === 2L).count() === 1)
     assert(t.read(spark).filter(col("k") === 99L).count() === 0)
   }
+
+  test("bloom skipping: point probes on hash-scattered keys skip files ranges cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf").toString
+    val t = SnapshotTable(dir)
+    // keys SCATTERED across files (hash repartition): every file's
+    // [min, max] spans nearly the whole domain, so zone maps prune
+    // NOTHING on equality — the blind spot blooms exist for
+    val df = spark.range(0, 8000)
+      .select(col("id").as("k"), concat(lit("u"), col("id")).as("s"))
+      .repartition(8, col("k"))
+    t.commitWithBlooms(df, Seq("k", "s"), expectedItemsPerFile = 2000)
+    assert(plannedFiles(t.read(spark)) === 8)
+    // a long point probe: the value lives in one file; blooms prove
+    // absence for (nearly) all others — allow a false positive or two
+    val p1 = t.read(spark).filter(col("k") === 4242L)
+    assert(plannedFiles(p1) <= 3,
+      "bloom must skip files a range check cannot (all ranges overlap)")
+    assert(p1.count() === 1)
+    // string key probes skip through their own bloom
+    val p2 = t.read(spark).filter(col("s") === "u123")
+    assert(plannedFiles(p2) <= 3)
+    assert(p2.count() === 1)
+    // an ABSENT value prunes everything (no false negatives = proof
+    // of absence; fp chance per file is ~1%)
+    assert(plannedFiles(t.read(spark).filter(col("k") === 999999L)) <= 1)
+    assert(t.read(spark).filter(col("k") === 999999L).count() === 0)
+    // IN-lists prune only when every member misses
+    assert(t.read(spark).filter(col("k").isin(4242L, 999999L)).count() === 1)
+    // appends carry prior blooms; the new unbloomed file is never skipped
+    t.commit(spark.range(90000, 90100)
+      .select(col("id").as("k"), concat(lit("u"), col("id")).as("s")))
+    val mixed = t.read(spark).filter(col("k") === 4242L)
+    assert(plannedFiles(mixed) <= 4, "old files keep their blooms after an append")
+    assert(mixed.count() === 1)
+    assert(t.read(spark).filter(col("k") === 90042L).count() === 1,
+      "rows in the bloom-less appended file must stay visible")
+    // soundness sweep: every present key answers 1 through the pruned scan
+    val sample = Seq(0L, 7L, 1234L, 4999L, 7999L, 90000L)
+    sample.foreach { k =>
+      assert(t.read(spark).filter(col("k") === k).count() === 1, s"k=$k")
+    }
+  }
 }
