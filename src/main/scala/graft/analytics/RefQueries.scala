@@ -369,6 +369,44 @@ object RefQueries {
       j
     }),
 
+    // E18 BLOOM-INDEXED POINT LOOKUPS through the oracle gate: build a
+    // snapshot table whose customer keys are HASH-SCATTERED across 8
+    // files (every file's [min, max] spans the domain — zone maps
+    // cannot prune equality probes), commit with per-file blooms, and
+    // run a batch of point lookups. The builder REQUIRES the planned
+    // scan to have skipped files for a present key and (modulo bloom
+    // fp) all files for an absent one — so a regression in bloom
+    // skipping fails verify itself; values hash-check against plain
+    // SELECTs in DuckDB.
+    "q_bloom_point_lookup" -> ((s, d) => {
+      val dir = scratchDir("graft_bfq")
+      val t = graft.sources.SnapshotTable(dir)
+      t.commitWithBlooms(
+        customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+          .repartition(8, col("c_custkey")),
+        Seq("c_custkey"), expectedItemsPerFile = 4000)
+      def lookup(k: Long) = t.read(s).filter(col("c_custkey") === k)
+      def planned(df: DataFrame): Int = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collect {
+              case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+            }.head
+        }.collectFirst { case z: graft.sources.ZoneMaps.ZoneMapScan =>
+          z.plannedFileCount
+        }.getOrElse(8)
+      }
+      val present = planned(lookup(42L))
+      val absent = planned(lookup(999999999L))
+      if (present > 4 || absent > 2) throw new IllegalStateException(
+        s"bloom point-lookup skipping regressed: present=$present absent=$absent files planned")
+      lookup(42L).unionByName(lookup(77L)).unionByName(lookup(999999999L))
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // E18 INCREMENTAL consumption (CDC): readChanges scans only the
     // files appended between two versions — the daily-delta read that
     // replaces full-table rescans for downstream consumers. Exercised
@@ -803,6 +841,14 @@ object RefQueries {
         |SELECT 'v3_compacted', COUNT(*), CAST(SUM(n_chars) AS BIGINT), COUNT(DISTINCT source)
         |FROM documents WHERE doc_id < 500 AND n_chars >= 300
         |ORDER BY version""".stripMargin,
+
+    // the same point lookups over the raw table — blooms are a
+    // no-false-negative prefilter, so the pruned scan must return
+    // exactly the plain SELECT's rows
+    "q_bloom_point_lookup" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (42, 77, 999999999)
+        |ORDER BY c_custkey""".stripMargin,
 
     // the same join over the raw tables — values must be identical to
     // the shuffle-free storage-partitioned plan's

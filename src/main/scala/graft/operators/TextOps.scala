@@ -1471,6 +1471,37 @@ object TextOps {
         .orderBy("dirty_id")
     }),
 
+    // COMPOSED ENTITY-RESOLUTION PIPELINE — the production ER shape:
+    // run BOTH blocking families (equi-blocking q_fuzzy_match +
+    // sorted-neighborhood q_sorted_neighborhood — multi-pass blocking,
+    // the standard recall fix for any single blocking's blind spots),
+    // pool their verified candidate pairs, and resolve each dirty
+    // record to its best clean match (min distance, min id tiebreak),
+    // tagging which strategy(ies) found the winner. Composes the two
+    // catalog queries directly (the q_mrr precedent), so this rides
+    // their oracles and can never drift from them.
+    "q_er_pipeline" -> ((s, d) => {
+      val equi = queries("q_fuzzy_match")(s, d)
+        .select(col("dirty_id"), col("matched_id").as("clean_id"),
+          col("dist"), lit(1L).as("by_equi"), lit(0L).as("by_sorted"))
+      val sorted = queries("q_sorted_neighborhood")(s, d)
+        .filter(col("a_side") =!= col("b_side"))
+        .select(
+          when(col("a_side") === 1, col("a_id")).otherwise(col("b_id")).as("dirty_id"),
+          when(col("a_side") === 0, col("a_id")).otherwise(col("b_id")).as("clean_id"),
+          col("dist"), lit(0L).as("by_equi"), lit(1L).as("by_sorted"))
+      val pooled = equi.unionByName(sorted)
+        .groupBy("dirty_id", "clean_id", "dist")
+        .agg(max("by_equi").as("by_equi"), max("by_sorted").as("by_sorted"))
+      val w = Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))
+      pooled.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("dirty_id"), col("clean_id"), col("dist"),
+          when(col("by_equi") === 1 && col("by_sorted") === 1, "both")
+            .when(col("by_equi") === 1, "equi").otherwise("sorted").as("found_by"))
+        .orderBy("dirty_id")
+    }),
+
     // SKIP-GRAM TRAINING PAIRS with deterministic negative sampling —
     // the embedding-training data generator (word2vec-style): ±2
     // window contexts per center token, grouped to a (center,
@@ -1734,6 +1765,59 @@ object TextOps {
          |FROM w$rounds ORDER BY word""".stripMargin
   }
 
+  /** q_fuzzy_match's oracle, shared verbatim with the composed
+    * q_er_pipeline oracle so the pipeline can never drift from the
+    * blocking it pools. */
+  private val fuzzyMatchOracle =
+    """WITH clean AS (
+        |  SELECT p_partkey AS clean_id, lower(p_name) AS clean_name,
+        |    split_part(lower(p_name), ' ', 1) AS blk
+        |  FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    substring(lower(p_name), 1, CAST(pos - 1 AS INTEGER)) ||
+        |    substring(lower(p_name), CAST(pos + 1 AS INTEGER), 100) AS dirty_name
+        |  FROM (
+        |    SELECT p_partkey, p_name,
+        |      instr(lower(p_name), ' ') + 1 +
+        |        (p_partkey % (len(lower(p_name)) - instr(lower(p_name), ' '))) AS pos
+        |    FROM part WHERE p_partkey % 3 = 0)),
+        |d2 AS (SELECT dirty_id, dirty_name, split_part(dirty_name, ' ', 1) AS blk FROM dirty),
+        |cand AS (
+        |  SELECT dirty_id, dirty_name, clean_id,
+        |    levenshtein(dirty_name, clean_name) AS dist
+        |  FROM d2 JOIN clean USING (blk)
+        |  WHERE abs(len(dirty_name) - len(clean_name)) <= 2)
+        |SELECT dirty_id, dirty_name, clean_id AS matched_id,
+        |  CAST(dist AS BIGINT) AS dist, clean_id = dirty_id AS self_match
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |        ORDER BY dist, clean_id) AS rk
+        |      FROM cand WHERE dist <= 2)
+        |WHERE rk = 1 ORDER BY dirty_id""".stripMargin
+
+  private val sortedNeighborhoodOracle =
+    """WITH clean AS (
+        |  SELECT 0 AS side, p_partkey AS id, lower(p_name) AS nm FROM part),
+        |dirty AS (
+        |  SELECT 1 AS side, p_partkey AS id,
+        |    substring(nm, 1, CAST(pos - 1 AS INTEGER)) ||
+        |    substring(nm, CAST(pos + 1 AS INTEGER), 200) AS nm
+        |  FROM (
+        |    SELECT p_partkey, lower(p_name) AS nm,
+        |      1 + (p_partkey % len(lower(p_name))) AS pos
+        |    FROM part WHERE p_partkey % 3 = 0)),
+        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+        |r AS (
+        |  SELECT side, id, nm,
+        |    ROW_NUMBER() OVER (ORDER BY nm, side, id) AS rn
+        |  FROM allr)
+        |SELECT CAST(a.side AS BIGINT) AS a_side, a.id AS a_id,
+        |  CAST(b.side AS BIGINT) AS b_side, b.id AS b_id,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY a_side, a_id, b_side, b_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -1776,55 +1860,35 @@ object TextOps {
         |   % vs.vsz)
         |ORDER BY center, context""".stripMargin,
 
-    "q_sorted_neighborhood" ->
-      """WITH clean AS (
-        |  SELECT 0 AS side, p_partkey AS id, lower(p_name) AS nm FROM part),
-        |dirty AS (
-        |  SELECT 1 AS side, p_partkey AS id,
-        |    substring(nm, 1, CAST(pos - 1 AS INTEGER)) ||
-        |    substring(nm, CAST(pos + 1 AS INTEGER), 200) AS nm
-        |  FROM (
-        |    SELECT p_partkey, lower(p_name) AS nm,
-        |      1 + (p_partkey % len(lower(p_name))) AS pos
-        |    FROM part WHERE p_partkey % 3 = 0)),
-        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
-        |r AS (
-        |  SELECT side, id, nm,
-        |    ROW_NUMBER() OVER (ORDER BY nm, side, id) AS rn
-        |  FROM allr)
-        |SELECT CAST(a.side AS BIGINT) AS a_side, a.id AS a_id,
-        |  CAST(b.side AS BIGINT) AS b_side, b.id AS b_id,
-        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
-        |WHERE levenshtein(a.nm, b.nm) <= 2
-        |ORDER BY a_side, a_id, b_side, b_id""".stripMargin,
+    "q_sorted_neighborhood" -> sortedNeighborhoodOracle,
 
-    "q_fuzzy_match" ->
-      """WITH clean AS (
-        |  SELECT p_partkey AS clean_id, lower(p_name) AS clean_name,
-        |    split_part(lower(p_name), ' ', 1) AS blk
-        |  FROM part),
-        |dirty AS (
-        |  SELECT p_partkey AS dirty_id,
-        |    substring(lower(p_name), 1, CAST(pos - 1 AS INTEGER)) ||
-        |    substring(lower(p_name), CAST(pos + 1 AS INTEGER), 100) AS dirty_name
-        |  FROM (
-        |    SELECT p_partkey, p_name,
-        |      instr(lower(p_name), ' ') + 1 +
-        |        (p_partkey % (len(lower(p_name)) - instr(lower(p_name), ' '))) AS pos
-        |    FROM part WHERE p_partkey % 3 = 0)),
-        |d2 AS (SELECT dirty_id, dirty_name, split_part(dirty_name, ' ', 1) AS blk FROM dirty),
-        |cand AS (
-        |  SELECT dirty_id, dirty_name, clean_id,
-        |    levenshtein(dirty_name, clean_name) AS dist
-        |  FROM d2 JOIN clean USING (blk)
-        |  WHERE abs(len(dirty_name) - len(clean_name)) <= 2)
-        |SELECT dirty_id, dirty_name, clean_id AS matched_id,
-        |  CAST(dist AS BIGINT) AS dist, clean_id = dirty_id AS self_match
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
-        |        ORDER BY dist, clean_id) AS rk
-        |      FROM cand WHERE dist <= 2)
-        |WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+    // pools BOTH blockings' verified pairs, then best-match per dirty
+    "q_er_pipeline" ->
+      s"""WITH equi AS ($fuzzyMatchOracle),
+         |srt AS ($sortedNeighborhoodOracle),
+         |pooled AS (
+         |  SELECT dirty_id, matched_id AS clean_id, dist,
+         |    1 AS by_equi, 0 AS by_sorted
+         |  FROM equi
+         |  UNION ALL
+         |  SELECT CASE WHEN a_side = 1 THEN a_id ELSE b_id END,
+         |         CASE WHEN a_side = 0 THEN a_id ELSE b_id END,
+         |         dist, 0, 1
+         |  FROM srt WHERE a_side <> b_side),
+         |grp AS (
+         |  SELECT dirty_id, clean_id, dist,
+         |    MAX(by_equi) AS be, MAX(by_sorted) AS bs
+         |  FROM pooled GROUP BY 1, 2, 3),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rk
+         |  FROM grp)
+         |SELECT dirty_id, clean_id, dist,
+         |  CASE WHEN be = 1 AND bs = 1 THEN 'both'
+         |       WHEN be = 1 THEN 'equi' ELSE 'sorted' END AS found_by
+         |FROM rk WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+
+    "q_fuzzy_match" -> fuzzyMatchOracle,
 
     "q_bm25" ->
       """WITH toks AS (
