@@ -1081,6 +1081,78 @@ object RelQueries {
         .orderBy("item", "rank")
     }),
 
+    // FREQUENT ITEMSET TRIPLES — the Apriori level-3 pass: candidate
+    // (a < b < c) triples are generated ONLY from items that survive
+    // the frequent-PAIR screen (the level-wise prune that makes
+    // Apriori scale: an item outside every frequent pair cannot be in
+    // any frequent triple, so pruning it changes no reported row —
+    // only candidate volume). Reuses the memoized pair mining; the
+    // triple-gen is the same one-shuffle basket collect + chained
+    // narrow explodes as the pair query, fan-out ≤ basket³/6, bounded
+    // by order size, never catalog size.
+    "q_itemset_triples" -> ((s, d) => {
+      val minSupport = 2L
+      val pairs = itemsetPairs(s, d)
+      val pairItems = pairs.select(col("pa").as("l_partkey"))
+        .union(pairs.select(col("pb").as("l_partkey"))).distinct()
+      val items = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .join(broadcast(pairItems), "l_partkey")
+      items.groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"),
+          explode(filter(col("ps"), x => x > col("pa"))).as("pb"), col("ps"))
+        .select(col("pa"), col("pb"),
+          explode(filter(col("ps"), x => x > col("pb"))).as("pc"))
+        .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+    }),
+
+    // DATA-QUALITY EXPECTATION SUITE (the Deequ/Great-Expectations
+    // shape): a declarative battery of constraints — completeness,
+    // key uniqueness, value bounds, domain membership, referential
+    // integrity — evaluated in ONE aggregation pass over the fact
+    // (every metric is an agg expression sharing the same scan) plus
+    // one anti-join for the foreign-key check, emitted as the
+    // (check, metric, passed) report a pipeline gate consumes. All
+    // metrics integral (discount bound in cents); uniqueness via an
+    // injective bigint key encode (linenumber < 8), not a struct
+    // distinct, so both engines count the identical domain.
+    "q_expectations" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val agg = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_ok"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey") * 8 + col("l_linenumber")).as("n_key"),
+        min(col("l_quantity")).cast("long").as("min_qty"),
+        expr("cast(round(max(l_discount) * 100) as bigint)").as("max_disc_c"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("bad_flag"))
+      val orphans = li.select("l_orderkey").distinct()
+        .join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      agg.join(orphans) // 1-row × 1-row
+        .select(explode(array(
+          struct(lit("completeness:l_orderkey").as("check_name"),
+            col("null_ok").as("metric"), (col("null_ok") === 0).as("passed")),
+          struct(lit("uniqueness:l_orderkey+l_linenumber").as("check_name"),
+            (col("n") - col("n_key")).as("metric"), (col("n") === col("n_key")).as("passed")),
+          struct(lit("min:l_quantity>=1").as("check_name"),
+            col("min_qty").as("metric"), (col("min_qty") >= 1).as("passed")),
+          struct(lit("max:l_discount<=0.10").as("check_name"),
+            col("max_disc_c").as("metric"), (col("max_disc_c") <= 10).as("passed")),
+          struct(lit("domain:l_returnflag").as("check_name"),
+            col("bad_flag").as("metric"), (col("bad_flag") === 0).as("passed")),
+          struct(lit("referential:l_orderkey->orders").as("check_name"),
+            col("n_orphans").as("metric"), (col("n_orphans") === 0).as("passed"))))
+          .as("e"))
+        .select(col("e.check_name"), col("e.metric"), col("e.passed"))
+        .orderBy("check_name")
+    }),
+
     // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
     // the classic customer-base cut, with the quintile assignment done
     // by the distributed two-phase rank (PrefixSum.rowNumber) instead
@@ -1360,6 +1432,53 @@ object RelQueries {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, support FROM pairs WHERE support >= 2
         |ORDER BY support DESC, pa, pb""".stripMargin,
+
+    "q_itemset_triples" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |f1 AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pi AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN f1 USING (l_partkey)),
+        |p2 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM pi a JOIN pi b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pitems AS (SELECT pa AS k FROM p2 UNION SELECT pb FROM p2),
+        |pruned AS (SELECT * FROM items WHERE l_partkey IN (SELECT k FROM pitems)),
+        |t AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc
+        |  FROM pruned a
+        |  JOIN pruned b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN pruned c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey)
+        |SELECT pa, pb, pc, count(*) AS support FROM t
+        |GROUP BY pa, pb, pc HAVING count(*) >= 2
+        |ORDER BY support DESC, pa, pb, pc""".stripMargin,
+
+    "q_expectations" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+        |    COUNT(*) AS n,
+        |    COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS n_key,
+        |    CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        |    CAST(ROUND(MAX(l_discount) * 100) AS BIGINT) AS max_disc_c,
+        |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS bad_flag
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM (
+        |    SELECT DISTINCT l_orderkey FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |SELECT * FROM (
+        |  SELECT 'completeness:l_orderkey' AS check_name, null_ok AS metric,
+        |    null_ok = 0 AS passed FROM a
+        |  UNION ALL SELECT 'uniqueness:l_orderkey+l_linenumber', n - n_key,
+        |    n = n_key FROM a
+        |  UNION ALL SELECT 'min:l_quantity>=1', min_qty, min_qty >= 1 FROM a
+        |  UNION ALL SELECT 'max:l_discount<=0.10', max_disc_c, max_disc_c <= 10 FROM a
+        |  UNION ALL SELECT 'domain:l_returnflag', bad_flag, bad_flag = 0 FROM a
+        |  UNION ALL SELECT 'referential:l_orderkey->orders', n_orphans,
+        |    n_orphans = 0 FROM o)
+        |ORDER BY check_name""".stripMargin,
 
     "q_item_recos" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

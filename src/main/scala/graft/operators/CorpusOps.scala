@@ -540,9 +540,79 @@ object CorpusOps {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("n_stop"), col("verdict"))
         .orderBy("doc_id")
+    }),
+
+    // K-FOLD CROSS-VALIDATION ASSIGNMENT + stratification audit — the
+    // split primitive evaluation pipelines need beyond one train/test
+    // cut: every document lands in a deterministic md5-hash fold
+    // (restartable, shard-order-independent — the q_split_leakage
+    // convention), and the output is the per-(fold, lang) doc/token
+    // balance sheet that tells you whether 5-fold metrics are
+    // comparable before any model runs. Pure projection + one
+    // hash-agg on (fold, lang) — shape-invariant at scale.
+    "q_crossval_folds" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("fold",
+          pmod(conv(substring(md5(concat(lit("cv|"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(5L)))
+        .withColumn("n_tokens",
+          size(array_remove(split(lower(col("text")), " "), "")).cast("long"))
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("fold", "lang")),
+
+    // PAIRWISE SOURCE VOCABULARY OVERLAP — Jaccard between each source
+    // pair's token vocabularies: the corpus-composition diagnostic that
+    // catches two "different" scrapes of the same site before mixture
+    // weights are chosen. The join is on TOKEN over the (source, token)
+    // vocabulary projection — fan-out per token is at most sources²,
+    // and the vocabulary is sublinear in the corpus, so the pair table
+    // never scales with raw data volume. Jaccard via |A|+|B|−|A∩B|
+    // (one count per source, one per pair — no union materialized).
+    "q_source_overlap" -> ((s, d) => {
+      val v = documents(s, d)
+        .select(col("source"),
+          explode(array_distinct(array_remove(split(lower(col("text")), " "), "")))
+            .as("token"))
+        .distinct()
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("sz"))
+      v.select(col("source").as("s1"), col("token"))
+        .join(v.select(col("source").as("s2"), col("token")), "token")
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
+        .select(col("s1"), col("s2"), col("inter"), col("sz1"), col("sz2"),
+          round(col("inter").cast("double") /
+            (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+        .orderBy("s1", "s2")
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_crossval_folds" ->
+      """WITH f AS (
+        |  SELECT CAST(('0x' || substr(md5('cv|' || doc_id), 1, 8)) AS BIGINT) % 5 AS fold,
+        |    lang,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents)
+        |SELECT fold, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, tk AS token FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |  WHERE tk <> ''),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM v GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+        |  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.s1, p.s2, p.inter, z1.sz AS sz1, z2.sz AS sz2,
+        |  ROUND(CAST(p.inter AS DOUBLE) / (z1.sz + z2.sz - p.inter), 4) AS jaccard
+        |FROM pairs p JOIN sz z1 ON z1.source = p.s1 JOIN sz z2 ON z2.source = p.s2
+        |ORDER BY p.s1, p.s2""".stripMargin,
+
     "q_epoch_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5('epoch7|' || doc_id) AS shuffle_key

@@ -454,6 +454,46 @@ object GraphOps {
       ranks.orderBy("node")
     }),
 
+    // HITS hubs & authorities (Kleinberg) — the other classic
+    // link-analysis fixpoint: a good HUB points at good authorities, a
+    // good AUTHORITY is pointed at by good hubs. Two UNNORMALIZED
+    // rounds in pure BIGINT (the pagerank integer convention without
+    // even a division: a_{k} = Σ_in h_{k-1}, h_k = Σ_out a_k are plain
+    // integral sums, so the fixed-round values are bit-identical in
+    // any engine — per-round normalization only rescales the ranking
+    // and would force FP). Per half-round the dataflow is one join +
+    // one aggregation shuffling on the node id, the CC/pagerank shape;
+    // magnitudes are bounded by deg^4 · n — safe in bigint for any
+    // graph whose degrees fit an int. Derived graph: a 400-node
+    // orders projection (distinct from pagerank's 500 so the two
+    // queries don't share a cached subtree by accident).
+    "q_hits" -> ((s, d) => {
+      val edges = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(400L)).as("src"),
+          pmod(col("o_orderkey"), lit(400L)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint() // feeds 4 half-rounds: scan once
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      var hubs = nodes.select(col("node"), lit(1L).as("h"))
+      var auths: DataFrame = null
+      for (_ <- 1 to 2) {
+        val aIn = edges.join(hubs, edges("src") === hubs("node"))
+          .groupBy(col("dst")).agg(sum("h").as("a"))
+        auths = nodes.join(aIn, col("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
+        val hOut = edges.join(auths.select(col("node").as("an"), col("a")),
+            edges("dst") === col("an"))
+          .groupBy(col("src")).agg(sum("a").as("h"))
+        hubs = nodes.join(hOut, col("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+      }
+      hubs.join(auths, "node")
+        .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+        .orderBy("node")
+    }),
+
     // K-HOP REACHABILITY (BFS levels) — "everything within k links of
     // these seeds", the traversal primitive behind blast-radius
     // queries (which suppliers does this outage reach in ≤3 tiers?)
@@ -696,8 +736,33 @@ object GraphOps {
        |SELECT node, rank FROM r4 ORDER BY node""".stripMargin
   }
 
+  /** 2 unrolled HITS rounds — lockstep with the Spark loop above
+    * (same init h0=1, same sum order-independence; no normalization,
+    * no division anywhere). */
+  private lazy val hitsOracle: String = {
+    val rounds = (1 to 2).map { k =>
+      s"""a$k AS (SELECT n.node,
+         |          CAST(COALESCE((SELECT SUM(h.h) FROM e JOIN h${k - 1} h ON h.node = e.src
+         |                         WHERE e.dst = n.node), 0) AS BIGINT) AS a
+         |        FROM nodes n),
+         |h$k AS (SELECT n.node,
+         |          CAST(COALESCE((SELECT SUM(a.a) FROM e JOIN a$k a ON a.node = e.dst
+         |                         WHERE e.src = n.node), 0) AS BIGINT) AS h
+         |        FROM nodes n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT (o_custkey % 400) AS src, (o_orderkey % 400) AS dst
+       |  FROM orders WHERE (o_custkey % 400) <> (o_orderkey % 400)),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT h2.node, h2.h AS hub, a2.a AS auth
+       |FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_hits" -> hitsOracle,
 
     // same walk, recursive CTE: UNION (not UNION ALL) dedups (node,
     // hops) rows so the recursion is bounded at nodes × k regardless

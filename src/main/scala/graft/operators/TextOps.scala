@@ -404,6 +404,66 @@ object TextOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token").asc)),
 
+    // E5 PER-SOURCE TOKEN ENTROPY — Shannon entropy of each source's
+    // unigram distribution, the corpus-diversity diagnostic (a
+    // scraped-boilerplate source shows up as an entropy CRATER long
+    // before any dedup runs). Algebra chosen for distribution:
+    // H = ln N − (Σ c·ln c)/N needs only the per-token COUNTS — one
+    // explode + hash-agg on (source, token), then a per-source fold —
+    // never a p·ln p pass that would rescan the corpus. ln() is
+    // IEEE-identical cross-engine on these inputs (the tf-idf
+    // precedent); rounded to 6.
+    "q_token_entropy" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(wordsOf).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      tf.groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("s_clnc"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(log(col("n_tokens").cast("double")) - col("s_clnc") / col("n_tokens"), 6)
+            .as("entropy_nats"))
+        .orderBy("source")
+    }),
+
+    // E5 MUTUAL INFORMATION feature selection — MI(token-presence;
+    // source) for every token with corpus df ≥ 50: the
+    // information-theoretic complement to q_chi2_features (chi2 ranks
+    // by deviation-from-independence, MI by the nats the token
+    // actually carries about the label). All inputs are integral
+    // doc-presence COUNTS; the (token × source) grid is completed by a
+    // broadcast of the tiny source dimension so zero-count cells still
+    // contribute their absence term — at 100 TB the grid is (vocab
+    // above df-threshold) × (handful of sources), never corpus-sized.
+    // Per-token MI sums a handful of FP terms; rounded to 6.
+    "q_mutual_info" -> ((s, d) => {
+      val docsrc = documents(s, d).select("doc_id", "source")
+      val pres = tokens(documents(s, d))
+        .groupBy("token", "source").agg(countDistinct("doc_id").as("n_ts"))
+      val srcTot = docsrc.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nTot = docsrc.agg(count(lit(1)).as("n"))
+      val toks = pres.groupBy("token").agg(sum("n_ts").as("df"))
+        .filter(col("df") >= 50)
+      val cells = toks.join(broadcast(srcTot))
+        .join(pres, Seq("token", "source"), "left")
+        .withColumn("n_ts", coalesce(col("n_ts"), lit(0L)))
+        .join(broadcast(nTot))
+      val t1 = when(col("n_ts") > 0,
+        (col("n_ts").cast("double") / col("n")) *
+          log(col("n_ts").cast("double") * col("n") / (col("df") * col("n_s"))))
+        .otherwise(lit(0.0))
+      val a0 = col("n_s") - col("n_ts")
+      val t0 = when(a0 > 0 && (col("n") - col("df")) > 0,
+        (a0.cast("double") / col("n")) *
+          log(a0.cast("double") * col("n") / ((col("n") - col("df")) * col("n_s"))))
+        .otherwise(lit(0.0))
+      cells.withColumn("term", t1 + t0)
+        .groupBy("token", "df")
+        .agg(round(sum(col("term")), 6).as("mi_nats"))
+        .select("token", "df", "mi_nats")
+        .orderBy("token")
+    }),
+
     // E5 VOCABULARY TRUNCATION (<unk> folding): tokens below min
     // support collapse into '<unk>' — the vocab cap every LM tokenizer
     // applies before id assignment, keeping the embedding table bounded
@@ -1920,6 +1980,44 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT source, tk, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |  WHERE tk <> '' GROUP BY source, tk)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |        SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_nats
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH pres AS (
+        |  SELECT tk AS token, source, COUNT(DISTINCT doc_id) AS n_ts FROM (
+        |    SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> '' GROUP BY tk, source),
+        |src AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |toks AS (SELECT token, CAST(SUM(n_ts) AS BIGINT) AS df FROM pres
+        |         GROUP BY token HAVING SUM(n_ts) >= 50),
+        |cells AS (
+        |  SELECT t.token, t.df, s.source, s.n_s,
+        |    COALESCE(p.n_ts, 0) AS n_ts, (SELECT n FROM tot) AS n
+        |  FROM toks t CROSS JOIN src s
+        |  LEFT JOIN pres p ON p.token = t.token AND p.source = s.source),
+        |terms AS (
+        |  SELECT token, df,
+        |    CASE WHEN n_ts > 0
+        |      THEN (CAST(n_ts AS DOUBLE) / n) *
+        |           ln(CAST(n_ts AS DOUBLE) * n / (df * n_s)) ELSE 0.0 END
+        |    + CASE WHEN (n_s - n_ts) > 0 AND (n - df) > 0
+        |      THEN (CAST(n_s - n_ts AS DOUBLE) / n) *
+        |           ln(CAST(n_s - n_ts AS DOUBLE) * n / ((n - df) * n_s)) ELSE 0.0 END
+        |      AS term
+        |  FROM cells)
+        |SELECT token, df, ROUND(SUM(term), 6) AS mi_nats
+        |FROM terms GROUP BY token, df ORDER BY token""".stripMargin,
 
     "q_unk_vocab" ->
       """WITH counts AS (
