@@ -969,4 +969,78 @@ class OperatorsSpec extends SparkTestBase {
       assert(t === expected((src, bin)), s"($src,$bin)")
     }
   }
+
+  test("q_hits: both fixpoint rounds match a brute-force recompute of the derived graph") {
+    val out = graft.operators.GraphOps.queries("q_hits")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val edges = graft.sources.Tables.orders(spark, sf)
+      .select(expr("o_custkey % 400"), expr("o_orderkey % 400"))
+      .as[(Long, Long)].collect().toSet.toSeq
+      .filter(e => e._1 != e._2)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      a = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      h = nodes.map(u => u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+    }
+    assert(out.length === nodes.length)
+    out.foreach { case (node, hub, auth) =>
+      assert(hub === h(node), s"hub($node)")
+      assert(auth === a(node), s"auth($node)")
+    }
+  }
+
+  test("q_token_entropy: bounded by ln(vocab), exact on a uniform fixture") {
+    graft.operators.TextOps.queries("q_token_entropy")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().foreach {
+        case (src, n, vocab, ent) =>
+          assert(ent >= 0.0 && ent <= math.log(vocab.toDouble) + 1e-9,
+            s"$src entropy $ent outside [0, ln($vocab)]")
+          assert(n >= vocab)
+      }
+    // uniform distribution achieves the ln(vocab) maximum exactly
+    val uni = Seq.tabulate(32)(i => (i.toLong, s"w$i w$i", "x", "u", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    uni.createOrReplaceTempView("_ent_uni")
+    val tf = spark.table("_ent_uni")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("source", "t").count()
+    val got = tf.groupBy("source")
+      .agg((log(sum("count").cast("double")) -
+        sum(col("count").cast("double") * log(col("count").cast("double"))) /
+          sum("count")).as("h"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(got - math.log(32.0)) < 1e-12)
+  }
+
+  test("q_mutual_info: MI is nonnegative and bounded by the label entropy") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect()
+    val n = docs.map(_._2).sum.toDouble
+    val hLabel = -docs.map { case (_, c) => c / n * math.log(c / n) }.sum
+    val rows = graft.operators.TextOps.queries("q_mutual_info")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tok, df, mi) =>
+      assert(mi >= -1e-9, s"$tok MI $mi negative")
+      assert(mi <= hLabel + 1e-9, s"$tok MI $mi exceeds H(source)=$hLabel")
+      assert(df >= 50)
+    }
+  }
+
+  test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
+    val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val pairs = graft.analytics.RelQueries.queries("q_itemset_pairs")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    triples.foreach { case (a, b, c, s) =>
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairs.contains(p), s"triple ($a,$b,$c) sub-pair $p not frequent")
+        assert(pairs(p) >= s, s"pair $p support ${pairs(p)} < triple support $s")
+      }
+    }
+  }
 }

@@ -471,4 +471,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "rank-window candidates must come from the 1-D grid equi join")
   }
+
+  test("q_itemset_triples: pair-screen prune broadcasts; triple-gen is explode-only") {
+    val p = plan("q_itemset_triples")
+    assert(p.contains("BroadcastHashJoin"),
+      "the pair-item prune must broadcast against the fact")
+    assert(!p.contains("SortMergeJoin"),
+      "triple generation must come from basket explodes, not a self-join")
+    assert(p.contains("Generate explode"), "missing the chained explode pipeline")
+  }
+
+  test("q_mutual_info: source dimension and total broadcast to the vocab grid") {
+    val p = plan("q_mutual_info")
+    assert(!p.contains("CartesianProduct"))
+    // the source-dim and N probes ride broadcast; only vocab-sized
+    // exchanges remain (token hash-aggs + the token-keyed cell join)
+    assert(p.split("BroadcastNestedLoopJoin").length >= 2 ||
+      p.split("BroadcastHashJoin").length >= 2,
+      "grid completion must broadcast the small sides")
+  }
+
+  test("q_hits: every half-round is an equi join + hash agg, never a nested loop") {
+    val p = plan("q_hits")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "HITS rounds must plan as equi joins on the node id")
+  }
 }
