@@ -32,10 +32,25 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // GC attribution per query: a multi-second entry whose time is NOT
+    // GC is real work; one whose time IS GC is the JVM amortizing the
+    // whole catalog's garbage onto whichever query ran when the
+    // collector fired — the diagnostic that separates "this operator
+    // is slow" from "this operator drew the short straw" when a bench
+    // entry swings run-over-run (documented ±20-30% noise).
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val gcPer = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      gcPer(name) = gcMs - g0
+      name -> dt
     }
     // The driver parses this line out of a BOUNDED TAIL (2000 chars) of
     // captured stdout: ~90 queries at full double precision overflow
@@ -47,8 +62,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val gcJson = gcPer.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"gc_ms":$gcJson,"sf":"$sfDir"}""")
     catch { case e: Throwable =>
       // the stdout line below omits the cheapest queries; losing their
       // only full record deserves a visible (non-fatal) trace

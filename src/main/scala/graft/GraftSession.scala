@@ -38,6 +38,21 @@ object GraftSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // scratch I/O (shuffle files, disk-spilled checkpoint blocks,
+      // broadcast disk store) on tmpfs when the host provides one: a
+      // single-box local[n] run otherwise funnels every shuffle file
+      // of a multi-hundred-query session through the (virtualized)
+      // system disk, and the resulting I/O stalls land on whichever
+      // query is running when the flush hits. On a real cluster this
+      // maps to the standard practice of pointing spark.local.dir at
+      // fast local SSDs, not the OS disk. Override/disable with
+      // SPARK_GRAFT_LOCAL_DIR; falls back to the JVM default tmp when
+      // no tmpfs is available.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isWritable(shm)) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir")
+      }))
   }
 
   def local(cores: String = "*"): SparkSession = {

@@ -1110,6 +1110,33 @@ object RelQueries {
         .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
     }),
 
+    // BENFORD'S-LAW AUDIT — first-significant-digit distribution of
+    // order totals vs the log10(1+1/d) expectation: the classic
+    // fabricated-numbers screen (synthetic uniform-ish prices FAIL it,
+    // which is exactly what the chi-square column shows — the test
+    // quantifies the deviation either way). Digit extraction is pure
+    // string-of-integer arithmetic (no FP log on data); the expected
+    // shares are 9 CONSTANTS, so the only FP is one deterministic
+    // per-digit expression over integral counts. One hash-agg on a
+    // 9-value key + a 1-row broadcast total: shape-free at scale.
+    "q_benford" -> ((s, d) => {
+      val digits = orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("total"))
+      digits.join(broadcast(tot))
+        .withColumn("expected_ppm",
+          expr("cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"))
+        .withColumn("observed_ppm", expr("n * 1000000 div total"))
+        .withColumn("chi2_part", expr(
+          """round(((n - total * expected_ppm / 1000000.0) *
+            |       (n - total * expected_ppm / 1000000.0)) /
+            |      (total * expected_ppm / 1000000.0), 4)""".stripMargin))
+        .select("digit", "n", "observed_ppm", "expected_ppm", "chi2_part")
+        .orderBy("digit")
+    }),
+
     // DATA-QUALITY EXPECTATION SUITE (the Deequ/Great-Expectations
     // shape): a declarative battery of constraints — completeness,
     // key uniqueness, value bounds, domain membership, referential
@@ -1452,6 +1479,21 @@ object RelQueries {
         |SELECT pa, pb, pc, count(*) AS support FROM t
         |GROUP BY pa, pb, pc HAVING count(*) >= 2
         |ORDER BY support DESC, pa, pb, pc""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT g.digit, g.n,
+        |  g.n * 1000000 // t.total AS observed_ppm,
+        |  CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) AS expected_ppm,
+        |  ROUND(((g.n - t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0) *
+        |         (g.n - t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0)) /
+        |        (t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0), 4) AS chi2_part
+        |FROM g CROSS JOIN t ORDER BY g.digit""".stripMargin,
 
     "q_expectations" ->
       """WITH a AS (

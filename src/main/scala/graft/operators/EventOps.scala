@@ -412,6 +412,69 @@ object EventOps {
         .orderBy("purchase_id")
     }),
 
+    // TWO-PROPORTION Z-TEST (A/B readout) — did cohort A convert
+    // better than cohort B? Deterministic assignment (user_id parity),
+    // conversion = user has ≥1 purchase, pooled-variance z statistic.
+    // Everything up to the final 1-row expression is integral counts
+    // (one user-keyed agg + one 4-value conditional pivot); the z
+    // itself is a single deterministic FP expression over those
+    // integers, rounded to 6 — the statistical-rigor family's
+    // (bootstrap/conformal) hypothesis-test sibling.
+    "q_ab_ztest" -> ((s, d) => {
+      val users = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      val p0 = col("c0").cast("double") / col("n0")
+      val p1 = col("c1").cast("double") / col("n1")
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      users.groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+        .agg(max(when(col("cohort") === 0, col("n"))).as("n0"),
+          max(when(col("cohort") === 0, col("conv"))).as("c0"),
+          max(when(col("cohort") === 1, col("n"))).as("n1"),
+          max(when(col("cohort") === 1, col("conv"))).as("c1"))
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+          round((p0 - p1) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+    }),
+
+    // LAST-TOUCH MARKETING ATTRIBUTION — the composed business query
+    // the as-of machinery exists for: every purchase is credited to
+    // the user's latest click within a 7-day lookback (clicks carry a
+    // campaign id derived from their props JSON); purchases with no
+    // in-window click report as campaign -1 ("organic"). One native
+    // sort-merge as-of join (both sides shuffle once on user_id) +
+    // one campaign-keyed aggregation — at scale this is the shape
+    // that replaces the classic O(clicks × purchases) range self-join.
+    // Revenue in integer cents (the money convention).
+    "q_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"),
+          expr("cast(round(value * 100) as bigint)").as("rev_c"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("cuser"),
+          col("ts").as("cts"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8L))
+            .as("campaign"))
+      val gap = floor(unix_timestamp(col("pts").cast("timestamp"))).cast("long") -
+        floor(unix_timestamp(col("cts").cast("timestamp"))).cast("long")
+      graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("purchase_id")), Seq(col("cts"), col("click_id")))
+        .withColumn("credit",
+          when(col("cts").isNotNull && gap <= 7L * 86400L, col("campaign"))
+            .otherwise(lit(-1L)))
+        .groupBy(col("credit").as("campaign"))
+        .agg(count(lit(1)).as("n_conversions"), sum("rev_c").as("revenue_cents"))
+        .orderBy("campaign")
+    }),
+
     // FORWARD as-of through the native operator: for each purchase the
     // FIRST click strictly AFTER it (post-purchase engagement). Same
     // sort-merge shape as backward — the cursor consumes rows
@@ -772,6 +835,53 @@ object EventOps {
         |FROM ce
         |WHERE event_type = 'purchase' AND click_ev IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    user_id % 2 AS cohort
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT cohort, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+        |      FROM u GROUP BY cohort),
+        |w AS (
+        |  SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN cohort = 0 THEN conv END) AS c0,
+        |    MAX(CASE WHEN cohort = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN cohort = 1 THEN conv END) AS c1
+        |  FROM s)
+        |SELECT n0, c0, n1, c1,
+        |  ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+        |  ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+        |  ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1) /
+        |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |         (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+        |         (1.0 / n0 + 1.0 / n1)), 6) AS z
+        |FROM w""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS rev_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id AS cuser, ts AS cts,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.purchase_id, p.rev_c,
+        |    CASE WHEN l.cts IS NOT NULL
+        |          AND CAST(FLOOR(epoch(p.pts)) AS BIGINT) -
+        |              CAST(FLOOR(epoch(l.cts)) AS BIGINT) <= 7 * 86400
+        |         THEN l.campaign ELSE -1 END AS campaign
+        |  FROM p LEFT JOIN LATERAL (
+        |    SELECT campaign, cts FROM c
+        |    WHERE c.cuser = p.user_id
+        |      AND (c.cts < p.pts OR (c.cts = p.pts AND c.click_id < p.purchase_id))
+        |    ORDER BY c.cts DESC, c.click_id DESC LIMIT 1) l ON TRUE)
+        |SELECT campaign, COUNT(*) AS n_conversions,
+        |  CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+        |FROM m GROUP BY campaign ORDER BY campaign""".stripMargin,
 
     "q_asof_within" ->
       """WITH p AS (

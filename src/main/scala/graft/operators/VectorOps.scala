@@ -65,8 +65,26 @@ object VectorOps {
     * (blockSum·64 > total, all integral) → two 32-bit hash words.
     * The ONE implementation shared by q_image_phash and the banded
     * near-dup join so the hash math can't diverge between them.
-    * Returns doc_id, width, height, phash_hi, phash_lo, mean_lum. */
-  private def imagePhash(s: SparkSession, d: String): DataFrame = {
+    * Returns doc_id, width, height, phash_hi, phash_lo, mean_lum.
+    *
+    * MEMOIZED per (session, dir), the cluster-label / itemset-pair
+    * precedent (same soundness argument: deterministic derivation over
+    * an immutable input directory, one compact localCheckpoint for the
+    * session): the pixel decode + block rollup is the expensive half of
+    * every image query, and without the memo each consumer re-decodes
+    * the corpus. */
+  private val phashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Drop the memoized phash table — timed harnesses (ScaleRehearsal)
+    * call clearMemos so measurements can't silently hit the cache. */
+  private[graft] def clearMemos(): Unit = phashCache.clear()
+
+  private def imagePhash(s: SparkSession, d: String): DataFrame =
+    phashCache.getOrElseUpdate((s, d), imagePhashPlan(s, d).localCheckpoint())
+
+  /** The raw decode pipeline, pre-memo (PlanSpec pins THIS shape). */
+  private[graft] def imagePhashPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = documents(s, d)
       .select(col("doc_id").cast("long")).as[Long]
@@ -306,11 +324,10 @@ object VectorOps {
     // banding's exactness and the group arithmetic sit under the hash
     // compare.
     "q_image_near_dup" -> ((s, d) => {
-      // decode subtree feeds the group rollup AND the final per-doc
-      // join — checkpoint the compact per-doc hashes once
+      // the memoized phash table is already a checkpoint scan — the
+      // 3-column projection off it is cheap to re-evaluate per branch
       val ph = imagePhash(s, d)
         .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
-        .localCheckpoint()
       val groups = ph.groupBy("phash_hi", "phash_lo")
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // feeds both join sides + the per-doc join

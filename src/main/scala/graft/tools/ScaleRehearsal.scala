@@ -182,6 +182,7 @@ object ScaleRehearsal {
       graft.analytics.RelQueries.clearMemos()
       graft.operators.GraphOps.clearMemos()
       graft.operators.TextOps.clearMemos()
+      graft.operators.VectorOps.clearMemos()
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
