@@ -561,6 +561,28 @@ object CorpusOps {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
         .orderBy("fold", "lang")),
 
+    // LEAVE-ONE-OUT TARGET ENCODING — the classic high-cardinality
+    // categorical feature: each row's `source` is encoded as the
+    // smoothed mean of the target over the OTHER rows of its source
+    // ((Σ_src y − y_self + m·global_mean) / (n_src − 1 + m), m = 10),
+    // which is what prevents the encode-then-train leakage a plain
+    // group mean causes. All aggregates are integral sums; the
+    // per-row encode is ONE deterministic FP expression (identical
+    // operand order in both engines), rounded 4. Shape: one source
+    // aggregation broadcast back + a 1-row global — corpus scanned
+    // twice, never shuffled on anything wider than `source`.
+    "q_target_encoding" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("y"))
+      val g = broadcast(docs.agg(sum("y").as("gsum"), count(lit(1)).as("gn")))
+      val st = docs.groupBy("source").agg(sum("y").as("ssum"), count(lit(1)).as("sn"))
+      docs.join(broadcast(st), "source").join(g)
+        .select(col("doc_id"), col("source"),
+          round((col("ssum") - col("y") + lit(10.0) * col("gsum") / col("gn")) /
+            (col("sn") - 1 + lit(10.0)), 4).as("te_loo"))
+        .orderBy("doc_id")
+    }),
+
     // PAIRWISE SOURCE VOCABULARY OVERLAP — Jaccard between each source
     // pair's token vocabularies: the corpus-composition diagnostic that
     // catches two "different" scrapes of the same site before mixture
@@ -597,6 +619,18 @@ object CorpusOps {
         |  FROM documents)
         |SELECT fold, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
+    "q_target_encoding" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS y FROM documents),
+        |g AS (SELECT CAST(SUM(y) AS BIGINT) AS gsum, COUNT(*) AS gn FROM d),
+        |st AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ssum, COUNT(*) AS sn
+        |       FROM d GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  ROUND((st.ssum - d.y + 10.0 * g.gsum / g.gn) / (st.sn - 1 + 10.0), 4)
+        |    AS te_loo
+        |FROM d JOIN st USING (source) CROSS JOIN g
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_source_overlap" ->
       """WITH v AS (

@@ -412,6 +412,58 @@ object EventOps {
         .orderBy("purchase_id")
     }),
 
+    // MULTI-TOUCH (LINEAR) ATTRIBUTION — the q_attribution
+    // counterpart that splits each conversion's credit EVENLY across
+    // every click in the 7-day lookback instead of crediting only the
+    // last: credits in integral ppm (1e6 div n_touches — truncating
+    // div, deterministic cross-engine). The touch set is one equi join
+    // on user_id + a window filter — per-purchase fan-out is the
+    // user's week of clicks, bounded per user at any corpus size —
+    // then a per-purchase count window and one campaign-keyed agg.
+    "q_multitouch_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8L))
+            .as("campaign"))
+      val gap = floor(unix_timestamp(col("pts").cast("timestamp"))).cast("long") -
+        floor(unix_timestamp(col("cts").cast("timestamp"))).cast("long")
+      purchases.join(clicks, "user_id")
+        .filter(col("cts") < col("pts") && gap <= 7L * 86400L)
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy("purchase_id")))
+        .groupBy("campaign")
+        .agg(sum(expr("1000000 div n_touch")).as("credit_ppm"),
+          count(lit(1)).as("n_touches"))
+        .orderBy("campaign")
+    }),
+
+    // CHURN LABELING — the label-engineering pass of a retention
+    // model: per-user activity features (event/purchase counts,
+    // recency vs the dataset horizon) + a 7-day-inactivity churn flag.
+    // One user-keyed aggregation + a 1-row broadcast horizon — the
+    // per-user feature-table shape that stays one shuffle at any
+    // event volume.
+    "q_churn_label" -> ((s, d) => {
+      val ev = events(s, d)
+      val mx = broadcast(ev.agg(max(col("ts")).as("tmax")))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          max(col("ts")).as("last_ts"))
+        .join(mx)
+        .select(col("user_id"), col("n_events"), col("n_purchases"),
+          (floor(unix_timestamp(col("tmax").cast("timestamp"))).cast("long") -
+            floor(unix_timestamp(col("last_ts").cast("timestamp"))).cast("long"))
+            .as("recency_s"))
+        .withColumn("churned", col("recency_s") > 7L * 86400L)
+        .orderBy("user_id")
+    }),
+
     // TWO-PROPORTION Z-TEST (A/B readout) — did cohort A convert
     // better than cohort B? Deterministic assignment (user_id parity),
     // conversion = user has ≥1 purchase, pooled-variance z statistic.
@@ -835,6 +887,42 @@ object EventOps {
         |FROM ce
         |WHERE event_type = 'purchase' AND click_ev IS NOT NULL
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_multitouch_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cuser, ts AS cts,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.purchase_id, c.campaign
+        |  FROM p JOIN c ON c.cuser = p.user_id
+        |  WHERE c.cts < p.pts
+        |    AND CAST(FLOOR(epoch(p.pts)) AS BIGINT) -
+        |        CAST(FLOOR(epoch(c.cts)) AS BIGINT) <= 7 * 86400),
+        |n AS (SELECT purchase_id, COUNT(*) AS n_touch FROM t GROUP BY purchase_id)
+        |SELECT t.campaign,
+        |  CAST(SUM(1000000 // n.n_touch) AS BIGINT) AS credit_ppm,
+        |  COUNT(*) AS n_touches
+        |FROM t JOIN n USING (purchase_id)
+        |GROUP BY t.campaign ORDER BY t.campaign""".stripMargin,
+
+    "q_churn_label" ->
+      """WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+        |u AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchases,
+        |    MAX(ts) AS last_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, n_purchases,
+        |  CAST(FLOOR(epoch((SELECT tmax FROM mx))) AS BIGINT) -
+        |    CAST(FLOOR(epoch(last_ts)) AS BIGINT) AS recency_s,
+        |  (CAST(FLOOR(epoch((SELECT tmax FROM mx))) AS BIGINT) -
+        |    CAST(FLOOR(epoch(last_ts)) AS BIGINT)) > 7 * 86400 AS churned
+        |FROM u ORDER BY user_id""".stripMargin,
 
     "q_ab_ztest" ->
       """WITH u AS (

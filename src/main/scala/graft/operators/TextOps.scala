@@ -61,8 +61,19 @@ object TextOps {
   /** Winnowing near-dup candidate pairs (d1, d2, n_shared ≥ 3) over
     * the df-capped fingerprint index — shared by q_dedup_winnow and
     * GraphOps' modularity metric so the screen and its evaluation can
-    * never disagree on the edge set. */
-  private[operators] def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    * never disagree on the edge set. MEMOIZED per (session, dir) like
+    * the cluster labels / itemset pairs / phash table (deterministic
+    * derivation over an immutable snapshot directory; the winnow
+    * selection's per-doc window sort is the expensive stage and was
+    * paid once per CONSUMER before the memo). */
+  private val winnowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowCache.getOrElseUpdate((s, d), winnowPairsPlan(s, d).localCheckpoint())
+
+  /** The raw pair pipeline, pre-memo (plan pins target THIS shape). */
+  private[operators] def winnowPairsPlan(s: SparkSession, d: String): DataFrame = {
     val fp = winnowFp(s, d).select("doc_id", "h").distinct()
     val dfc = fp.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select("h")
@@ -247,7 +258,10 @@ object TextOps {
 
   /** Drop memoized indexes — measurement harnesses (ScaleRehearsal)
     * call this so a timed run can't silently hit the cache. */
-  private[graft] def clearMemos(): Unit = shingleIdxCache.clear()
+  private[graft] def clearMemos(): Unit = {
+    shingleIdxCache.clear()
+    winnowCache.clear()
+  }
 
   /** LOSSLESS PPJoin candidate generation (Chaudhuri et al. SSJoin;
     * Xiao et al. PPJoin) over a [[hashedTokenIndex]]: distinct
