@@ -1110,6 +1110,34 @@ object RelQueries {
         .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
     }),
 
+    // APPROXIMATE QUERY PROCESSING (sampling estimator, self-
+    // evaluated) — the answer-in-sample-time pattern for 100 TB
+    // aggregates: a deterministic 1-in-32 md5 row sample (portable-
+    // randomness convention, so the SAMPLE itself is oracle-stable),
+    // the Horvitz-Thompson scale-up (sample_sum × 32), and the
+    // realized relative error vs the exact answer per group — the
+    // q_ann_recall pattern of an operator that measures its own
+    // approximation. Revenue in integer cents throughout; at lake
+    // scale the exact branch is dropped and the sample is a
+    // pre-materialized table — the estimator column is what ships.
+    "q_aqp_sum" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          (conv(substring(md5(concat(lit("aqp|"),
+            (col("l_orderkey") * 8 + col("l_linenumber")).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 32 === 0).as("in_sample"))
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+          sum("cents").as("exact_cents"),
+          (sum(when(col("in_sample"), col("cents")).otherwise(0L)) * 32)
+            .as("est_cents"))
+        .withColumn("rel_err_ppm",
+          expr("abs(est_cents - exact_cents) * 1000000 div exact_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // BENFORD'S-LAW AUDIT — first-significant-digit distribution of
     // order totals vs the log10(1+1/d) expectation: the classic
     // fabricated-numbers screen (synthetic uniform-ish prices FAIL it,
@@ -1479,6 +1507,24 @@ object RelQueries {
         |SELECT pa, pb, pc, count(*) AS support FROM t
         |GROUP BY pa, pb, pc HAVING count(*) >= 2
         |ORDER BY support DESC, pa, pb, pc""".stripMargin,
+
+    "q_aqp_sum" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(('0x' || substr(md5('aqp|' || (l_orderkey * 8 + l_linenumber)), 1, 8))
+        |      AS BIGINT) % 32 = 0 AS in_sample
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        |    CAST(SUM(cents) AS BIGINT) AS exact_cents,
+        |    CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) * 32 AS BIGINT)
+        |      AS est_cents
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows, n_sample, exact_cents, est_cents,
+        |  abs(est_cents - exact_cents) * 1000000 // exact_cents AS rel_err_ppm
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_benford" ->
       """WITH d AS (

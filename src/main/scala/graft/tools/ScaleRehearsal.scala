@@ -99,6 +99,24 @@ object ScaleRehearsal {
     "q_seasonal_decompose" -> Seq("events"),
     "q_auc_eval" -> Seq("embeddings"),
     "q_conformal" -> Seq("embeddings"),
+    // round-6 batch. q_hits is deliberately absent for the
+    // q_khop_reach reason (edges fold through pmod 400 — the graph
+    // saturates under any replica). The lineitem recipe's disjoint
+    // per-copy item vocabulary keeps pair/triple support constant, so
+    // the Apriori survivor sets scale ×N; the events recipe's per-copy
+    // user offset keeps the attribution join's per-user fan-out
+    // constant; the documents vocabulary remap keeps the MI grid and
+    // entropy vocab ×N with per-token df constant.
+    "q_itemset_triples" -> Seq("lineitem"),
+    "q_er_pipeline" -> Seq("part"),
+    "q_attribution" -> Seq("events"),
+    "q_multitouch_attribution" -> Seq("events"),
+    "q_churn_label" -> Seq("events"),
+    "q_token_entropy" -> Seq("documents"),
+    "q_mutual_info" -> Seq("documents"),
+    "q_target_encoding" -> Seq("documents"),
+    "q_aqp_sum" -> Seq("lineitem"),
+    "q_expectations" -> Seq("lineitem", "orders"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
@@ -143,6 +161,17 @@ object ScaleRehearsal {
             // per-user event volume (the decayed-count group key)
             src.withColumn("user_id", col("user_id") + off)
               .withColumn("event_id", col("event_id") + off)
+          case "part" =>
+            // per-copy name-word remap (the documents recipe applied
+            // to p_name): ER blocking keys stay disjoint across
+            // copies, so blocks scale ×N at constant size — the fair
+            // density-constant experiment for the blocked
+            // edit-distance join
+            val copy = src.withColumn("p_partkey", col("p_partkey") + off)
+            if (k == 0) copy
+            else copy.withColumn("p_name", array_join(
+              transform(split(col("p_name"), " "),
+                t => concat(t, lit(s"v$k"))), " "))
           case "embeddings" if variant == "cls" =>
             // labels CONSTANT: classes grow ×N in size — the
             // density-rises recipe the eval family's linearity claim

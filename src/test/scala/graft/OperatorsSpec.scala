@@ -1030,6 +1030,41 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_multitouch_attribution: per-purchase credits never exceed 1e6 ppm; totals reconcile with last-touch") {
+    val multi = graft.operators.EventOps.queries("q_multitouch_attribution")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val last = graft.operators.EventOps.queries("q_attribution")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(multi.nonEmpty && last.nonEmpty)
+    // each purchase distributes at most 1e6 ppm (truncating div loses
+    // at most n_touch-1 ppm) — so total credit ≤ 1e6 × touched
+    // purchases, and touched purchases = last-touch non-organic count
+    val touched = last.filter(_._1 >= 0).map(_._2).sum
+    val totalCredit = multi.map(_._2).sum
+    assert(totalCredit <= 1000000L * touched,
+      s"credit $totalCredit exceeds ${1000000L * touched}")
+    // multi-touch credits only real campaigns (0..7); organic rows
+    // exist only in the last-touch view (untouched purchases simply
+    // don't appear in the multi-touch table)
+    assert(multi.map(_._1).forall(c => c >= 0 && c < 8))
+  }
+
+  test("q_target_encoding: encode excludes self, converges to group mean as m->0 (brute force)") {
+    val rows = graft.operators.CorpusOps.queries("q_target_encoding")(spark, sf)
+      .as[(Long, String, Double)].collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"))
+      .as[(Long, String, Long)].collect()
+    val g = docs.map(_._3).sum.toDouble / docs.length
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { case (id, src, te) =>
+      val xs = bySrc(src)
+      val y = docs.find(_._1 == id).get._3
+      val expected = (xs.map(_._3).sum - y + 10.0 * g) / (xs.length - 1 + 10.0)
+      assert(math.abs(te - expected) < 5e-4, s"doc $id: $te vs $expected")
+    }
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
