@@ -1081,6 +1081,22 @@ object RelQueries {
         .orderBy("item", "rank")
     }),
 
+    // E16 DEGREE DISTRIBUTION of the co-purchase graph — the first
+    // structural question about any derived graph ("is it heavy-tailed
+    // enough to need hub capping?"; the link-predict hub cap at 8 was
+    // motivated by exactly this shape). Each frequent pair contributes
+    // one edge endpoint to each side, so degree = distinct co-items;
+    // two hash-aggs over the memoized pair table (O(pairs), never the
+    // fact) then a histogram over O(distinct degrees) rows.
+    "q_degree_dist" -> ((s, d) => {
+      val p = itemsetPairs(s, d)
+      p.select(col("pa").as("item"))
+        .unionByName(p.select(col("pb").as("item")))
+        .groupBy("item").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_items"))
+        .orderBy("degree")
+    }),
+
     // FREQUENT ITEMSET TRIPLES — the Apriori level-3 pass: candidate
     // (a < b < c) triples are generated ONLY from items that survive
     // the frequent-PAIR screen (the level-wise prune that makes
@@ -1487,6 +1503,23 @@ object RelQueries {
         |  GROUP BY 1, 2)
         |SELECT pa, pb, support FROM pairs WHERE support >= 2
         |ORDER BY support DESC, pa, pb""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pruned AS (SELECT i.l_orderkey, i.l_partkey
+        |           FROM items i JOIN freq f USING (l_partkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT item, COUNT(*) AS degree FROM (
+        |    SELECT pa AS item FROM pairs UNION ALL SELECT pb AS item FROM pairs)
+        |  GROUP BY item)
+        |SELECT degree, COUNT(*) AS n_items FROM deg GROUP BY degree
+        |ORDER BY degree""".stripMargin,
 
     "q_itemset_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

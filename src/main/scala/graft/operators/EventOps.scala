@@ -639,6 +639,104 @@ object EventOps {
         .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
         .drop("tot")
         .orderBy("src", "dst")
+    }),
+
+    // E8 AUTOCORRELATION FUNCTION — serial correlation of the daily
+    // event-count series at lags 1..7, the first diagnostic before
+    // fitting any forecaster ("is there weekly structure?"). Centered
+    // on the integral floor-mean (deterministic both engines), ACF_k =
+    // Σ dev_t·dev_{t+k} · 1e6 div Σ dev² in ppm. The only scan-sized
+    // work is the first hash-agg to the daily series; the series is
+    // bounded by the CALENDAR (O(days) rows regardless of corpus
+    // size), so the lag self-join and the moment sums all run on
+    // broadcastable inputs. At planet-scale daily counts (~1e9/day),
+    // pre-scale v before squaring to keep dev² sums inside long range.
+    "q_acf" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val m = broadcast(daily.agg(expr("sum(v) div count(1)").as("m")))
+      val dev = daily.crossJoin(m).select(col("day"), (col("v") - col("m")).as("dev"))
+      val den = broadcast(dev.agg(sum(col("dev") * col("dev")).as("den")))
+      val devB = dev.select(col("day").as("bday"), col("dev").as("bdev"))
+      val lags = broadcast(s.range(1, 8).select(col("id").as("lag_d")))
+      dev.crossJoin(lags)
+        .join(devB, col("bday") === col("day") + col("lag_d"))
+        .groupBy("lag_d")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dev") * col("bdev")).as("num"))
+        .crossJoin(den)
+        .withColumn("acf_ppm", expr("num * 1000000 div den"))
+        .select("lag_d", "n_pairs", "acf_ppm")
+        .orderBy("lag_d")
+    }),
+
+    // E8 CUSUM CHANGEPOINT SCAN — cumulative sum of deviations from
+    // the integral mean over the daily count series; the |S| peak is
+    // the classic single-changepoint estimate (where the level shift
+    // happened), flagged per-row so the output is self-describing.
+    // The running sum orders DAYS — bounded by the calendar like
+    // q_temporal_split's cut, so the unpartitioned window never holds
+    // more than O(days) rows no matter the corpus size; events are
+    // touched exactly once by the leading hash-agg.
+    "q_cusum" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val m = broadcast(daily.agg(expr("sum(v) div count(1)").as("m")))
+      val wd = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = daily.crossJoin(m)
+        .withColumn("cusum", sum(col("v") - col("m")).over(wd))
+      val peak = broadcast(cu.agg(max(abs(col("cusum"))).as("peak")))
+      cu.crossJoin(peak)
+        .withColumn("is_peak", (abs(col("cusum")) === col("peak")).cast("int"))
+        .select(col("day").cast("string").as("day"), col("v"), col("cusum"),
+          col("is_peak"))
+        .orderBy("day")
+    }),
+
+    // E8 SEASONAL-NAIVE FORECAST BACKTEST — forecast each day's count
+    // with the value 7 days prior (the baseline every real forecaster
+    // must beat) and report per-day absolute error and APE in ppm.
+    // One events hash-agg → O(days) series → a self-equi-join on the
+    // shifted day key; nothing downstream scales with the corpus.
+    "q_forecast_backtest" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val fc = daily.select(date_add(col("day"), lit(7)).as("day"),
+        col("v").as("forecast"))
+      daily.join(fc, Seq("day"))
+        .withColumn("abs_err", abs(col("v") - col("forecast")))
+        .withColumn("ape_ppm", expr("abs_err * 1000000 div v"))
+        .select(col("day").cast("string").as("day"), col("v").as("actual"),
+          col("forecast"), col("abs_err"), col("ape_ppm"))
+        .orderBy("day")
+    }),
+
+    // E8 TRUNCATED EMA — exponentially-weighted moving average of the
+    // daily series with binary half-life weights (128 >> k over the
+    // trailing 8 days), held EXACTLY in integers: num = Σ v_{t-k}·
+    // (128>>k), den = Σ weights actually present (so the series head
+    // self-normalizes). The weight spinner fans each daily row out 8×
+    // — O(days·8), not O(events) — then one tiny hash-agg re-keys on
+    // the target day; the recursion-free formulation is what makes
+    // EMA distributable (and cross-engine exact, unlike float α-decay).
+    "q_ema" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val ks = broadcast(s.range(0, 8).select(col("id").cast("int").as("k")))
+      val contrib = daily.crossJoin(ks)
+        .select(date_add(col("day"), col("k")).as("day"),
+          expr("v * shiftright(128L, k)").as("wv"),
+          expr("shiftright(128L, k)").as("w"))
+      daily.join(contrib.groupBy("day")
+          .agg(sum("wv").as("num"), sum("w").as("den")), Seq("day"))
+        .withColumn("ema", expr("num div den"))
+        .select(col("day").cast("string").as("day"), col("v"), col("ema"))
+        .orderBy("day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1064,5 +1162,58 @@ object EventOps {
         |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    COUNT(*) AS v
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM daily),
+        |dev AS (SELECT day, v - (SELECT m FROM m) AS dev FROM daily),
+        |den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den FROM dev)
+        |SELECT CAST(k.lag_d AS BIGINT) AS lag_d, COUNT(*) AS n_pairs,
+        |  CAST(SUM(a.dev * b.dev) AS BIGINT) * 1000000
+        |    // (SELECT den FROM den) AS acf_ppm
+        |FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag_d) k
+        |CROSS JOIN dev a
+        |JOIN dev b ON b.day = a.day + k.lag_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1),
+        |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM daily),
+        |cu AS (
+        |  SELECT day, v,
+        |    CAST(SUM(v - (SELECT m FROM m)) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+        |  FROM daily),
+        |pk AS (SELECT MAX(ABS(cusum)) AS peak FROM cu)
+        |SELECT CAST(day AS VARCHAR) AS day, v, cusum,
+        |  CAST(CASE WHEN ABS(cusum) = (SELECT peak FROM pk)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+        |FROM cu ORDER BY day""".stripMargin,
+
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1)
+        |SELECT CAST(a.day AS VARCHAR) AS day, a.v AS actual, b.v AS forecast,
+        |  ABS(a.v - b.v) AS abs_err,
+        |  ABS(a.v - b.v) * 1000000 // a.v AS ape_ppm
+        |FROM daily a JOIN daily b ON a.day = b.day + 7
+        |ORDER BY day""".stripMargin,
+
+    "q_ema" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT b.day + k.k AS day, b.v * (128 >> k.k) AS wv, 128 >> k.k AS w
+        |  FROM daily b CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS k) k),
+        |agg AS (
+        |  SELECT day, CAST(SUM(wv) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(a.day AS VARCHAR) AS day, a.v, num // den AS ema
+        |FROM daily a JOIN agg USING (day)
+        |ORDER BY day""".stripMargin)
 }

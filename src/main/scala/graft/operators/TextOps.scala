@@ -418,6 +418,56 @@ object TextOps {
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("token").asc)),
 
+    // E5/E13 HEAVY HITTERS, two-pass — EXACT tokens above 0.5% corpus
+    // share without ever shuffling the full token distribution. Pass 1
+    // runs a Misra-Gries screen (capacity 400) per partition in
+    // constant memory: any token with global share ≥ 1/200 has, by
+    // pigeonhole, local share ≥ 1/200 > 1/401 in at least one
+    // partition, so the candidate union provably contains every true
+    // heavy hitter (candidates themselves may vary with partitioning —
+    // harmless, pass 2 makes the OUTPUT partition-invariant). Pass 2
+    // re-scans with the candidate set broadcast as a pre-shuffle semi
+    // filter and exact-counts only the survivors. At 100 TB the
+    // shuffle carries O(|candidates|·partitions) rows instead of the
+    // billion-token vocabulary — the reason this beats the plain
+    // groupBy-count-filter the oracle runs. (mapPartitions is the
+    // deliberate choice here: MG is genuine per-partition imperative
+    // state with no Catalyst equivalent.)
+    "q_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val cands = toks.as[String].mapPartitions { it =>
+        val cap = 400
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          counts.get(t) match {
+            case Some(c) => counts(t) = c + 1
+            case None =>
+              if (counts.size < cap) counts(t) = 1L
+              else {
+                // decrement-all step, evicting zeroed counters — the
+                // classic MG maintenance that bounds state at `cap`
+                val dead = List.newBuilder[String]
+                counts.foreach { case (k, c) =>
+                  if (c == 1L) dead += k else counts(k) = c - 1 }
+                dead.result().foreach(counts.remove)
+              }
+          }
+        }
+        counts.keysIterator
+      }.toDF("token").distinct()
+      val tot = broadcast(toks.agg(count(lit(1)).as("total")))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .filter(col("n") * 200 >= col("total"))
+        .withColumn("share_ppm", expr("n * 1000000 div total"))
+        .select("token", "n", "share_ppm")
+        .orderBy(col("n").desc, col("token").asc)
+    }),
+
     // E5 PER-SOURCE TOKEN ENTROPY — Shannon entropy of each source's
     // unigram distribution, the corpus-diversity diagnostic (a
     // scraped-boilerplate source shows up as an entropy CRATER long
@@ -1994,6 +2044,17 @@ object TextOps {
         |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |t AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT COUNT(*) AS total FROM t)
+        |SELECT token, COUNT(*) AS n,
+        |  COUNT(*) * 1000000 // (SELECT total FROM tot) AS share_ppm
+        |FROM t GROUP BY token
+        |HAVING COUNT(*) * 200 >= (SELECT total FROM tot)
+        |ORDER BY n DESC, token ASC""".stripMargin,
 
     "q_token_entropy" ->
       """WITH tf AS (

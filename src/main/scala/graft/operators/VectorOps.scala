@@ -1046,6 +1046,74 @@ object VectorOps {
         .select(col("qid"), col("dcg"),
           expr("dcg * 1000000 div 2130930").as("ndcg_micro"))
         .orderBy("qid")
+    }),
+
+    // E4/E5 EMBEDDING COVARIANCE (leading 8 dims) — the moment matrix
+    // behind PCA whitening and embedding-drift monitors: cov(i,j) =
+    // (n·Σvᵢvⱼ − Σvᵢ·Σvⱼ)/n² over the upper triangle, in exact
+    // integer MILLI units (1e3, not the usual 1e6: the n·Σvᵢvⱼ cross
+    // term squares the quantization scale, and milli keeps it inside
+    // long range out to ~1e9 rows where micro overflows at ~5e4).
+    // One pass, no per-row state: the 36-pair spinner is a narrow
+    // explode absorbed by map-side partials into exactly 36 groups —
+    // shuffle volume is O(36) regardless of corpus size, the
+    // classic single-pass distributed moment computation.
+    "q_embed_cov" -> ((s, d) => {
+      val dims = 8
+      val pairLits = (for { i <- 0 until dims; j <- i until dims }
+        yield s"struct(${i}L as i, ${j}L as j)").mkString(",")
+      embeddings(s, d)
+        .select(expr(s"explode(array($pairLits))").as("p"), col("embedding"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          round(element_at(col("embedding"), col("p.i").cast("int") + 1)
+            .cast("double") * 1000).cast("long").as("vi"),
+          round(element_at(col("embedding"), col("p.j").cast("int") + 1)
+            .cast("double") * 1000).cast("long").as("vj"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("vi").as("si"), sum("vj").as("sj"),
+          sum(col("vi") * col("vj")).as("sij"))
+        .withColumn("cov_milli2", expr("(n * sij - si * sj) div n div n"))
+        .select("i", "j", "n", "cov_milli2")
+        .orderBy("i", "j")
+    }),
+
+    // E5/E9 DECISION STUMP — the one-split classifier sweep that
+    // feature-importance screens and boosting weak learners are built
+    // from: for each of the leading 8 dims, scan 7 fixed milli
+    // thresholds and report the split minimizing weighted Gini
+    // impurity of the binary target (label==0), all in integral ppm
+    // (G_side·1e6 = (n²−c₀²−c₁²)·1e6 div n²). The 56-combo spinner is
+    // a narrow explode collapsed by map-side partials into 56 groups —
+    // one O(56)-volume shuffle however large the table — and the
+    // per-dim argmin is a 56-row struct-min, deterministic via the
+    // (gini, threshold) total order.
+    "q_decision_stump" -> ((s, d) => {
+      val comboLits = (for { dd <- 0 until 8; t <- -300 to 300 by 100 }
+        yield s"struct(${dd}L as d, ${t}L as t)").mkString(",")
+      val agg = embeddings(s, d)
+        .select(expr(s"explode(array($comboLits))").as("p"),
+          col("embedding"), col("label"))
+        .select(col("p.d").as("d"), col("p.t").as("t"),
+          round(element_at(col("embedding"), col("p.d").cast("int") + 1)
+            .cast("double") * 1000).cast("long").as("v"),
+          (col("label") === 0).cast("long").as("y0"))
+        .withColumn("in_l", (col("v") <= col("t")).cast("long"))
+        .groupBy("d", "t")
+        .agg(count(lit(1)).as("n"), sum("y0").as("c0"),
+          sum("in_l").as("nl"), sum(col("in_l") * col("y0")).as("c0l"))
+      agg
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("c0r", col("c0") - col("c0l"))
+        .withColumn("gl_ppm", when(col("nl") === 0, lit(0L)).otherwise(expr(
+          "(nl*nl - c0l*c0l - (nl-c0l)*(nl-c0l)) * 1000000 div (nl*nl)")))
+        .withColumn("gr_ppm", when(col("nr") === 0, lit(0L)).otherwise(expr(
+          "(nr*nr - c0r*c0r - (nr-c0r)*(nr-c0r)) * 1000000 div (nr*nr)")))
+        .withColumn("gini_ppm", expr("(nl * gl_ppm + nr * gr_ppm) div n"))
+        .groupBy("d")
+        .agg(min(struct(col("gini_ppm"), col("t"), col("nl"))).as("b"))
+        .select(col("d"), col("b.t").as("best_t_milli"),
+          col("b.gini_ppm").as("gini_ppm"), col("b.nl").as("n_left"))
+        .orderBy("d")
     }))
 
   /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
@@ -1778,7 +1846,52 @@ object VectorOps {
          |SELECT q.qid, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
          |  CAST(COALESCE(h.hits, 0) * 1000000 // 3 AS BIGINT) AS recall_micro
          |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
-         |ORDER BY q.qid""".stripMargin)
+         |ORDER BY q.qid""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH base AS (
+        |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+        |    CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS vi,
+        |    CAST(ROUND(CAST(embedding[j.j + 1] AS DOUBLE) * 1000) AS BIGINT) AS vj
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i) i
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) j
+        |  WHERE i.i <= j.j)
+        |SELECT i, j, COUNT(*) AS n,
+        |  (COUNT(*) * CAST(SUM(vi * vj) AS BIGINT)
+        |    - CAST(SUM(vi) AS BIGINT) * CAST(SUM(vj) AS BIGINT))
+        |    // COUNT(*) // COUNT(*) AS cov_milli2
+        |FROM base GROUP BY i, j
+        |ORDER BY i, j""".stripMargin,
+
+    "q_decision_stump" ->
+      """WITH base AS (
+        |  SELECT CAST(c.d AS BIGINT) AS d, CAST(c.t AS BIGINT) AS t,
+        |    CAST(ROUND(CAST(embedding[c.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS v,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y0
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT d.d, t.t
+        |    FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS d) d
+        |    CROSS JOIN (SELECT unnest([-300, -200, -100, 0, 100, 200, 300]) AS t) t) c),
+        |agg AS (
+        |  SELECT d, t, COUNT(*) AS n, CAST(SUM(y0) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN v <= t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        |    CAST(SUM(CASE WHEN v <= t THEN y0 ELSE 0 END) AS BIGINT) AS c0l
+        |  FROM base GROUP BY d, t),
+        |sides AS (
+        |  SELECT d, t, n, nl, c0l, n - nl AS nr, c0 - c0l AS c0r FROM agg),
+        |g AS (
+        |  SELECT d, t, n, nl,
+        |    CASE WHEN nl = 0 THEN 0 ELSE
+        |      (nl*nl - c0l*c0l - (nl-c0l)*(nl-c0l)) * 1000000 // (nl*nl) END AS gl,
+        |    CASE WHEN nr = 0 THEN 0 ELSE
+        |      (nr*nr - c0r*c0r - (nr-c0r)*(nr-c0r)) * 1000000 // (nr*nr) END AS gr
+        |  FROM sides),
+        |w AS (SELECT d, t, nl, (nl * gl + (n - nl) * gr) // n AS gini_ppm FROM g),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY d ORDER BY gini_ppm, t) AS rk
+        |      FROM w)
+        |SELECT d, t AS best_t_milli, gini_ppm, nl AS n_left
+        |FROM r WHERE rk = 1 ORDER BY d""".stripMargin)
 
   /** The q_hll_distinct register-rebuild estimator as a scalar
     * subquery over a CTE named `src` holding DISTINCT h60 hashes —

@@ -1065,6 +1065,104 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("time-series diagnostics: ACF bounded, CUSUM telescopes, EMA stays in range") {
+    // ACF_k is a normalized correlation: |acf_ppm| <= 1e6, lags 1..7 present
+    val acf = graft.operators.EventOps.queries("q_acf")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(acf.map(_._1).toSeq === (1L to 7L))
+    acf.foreach { case (k, n, ppm) =>
+      assert(n > 0 && math.abs(ppm) <= 1000000L, s"lag $k acf_ppm=$ppm")
+    }
+    // CUSUM telescopes: the final value equals total - n_days*floor_mean,
+    // which the integral floor bounds to [0, n_days)
+    val cu = graft.operators.EventOps.queries("q_cusum")(spark, sf)
+      .as[(String, Long, Long, Int)].collect()
+    val last = cu.maxBy(_._1)._3
+    assert(last >= 0 && last < cu.length, s"telescoped cusum=$last n=${cu.length}")
+    assert(cu.count(_._4 == 1) >= 1, "at least one |S| peak must be flagged")
+    // EMA is a convex combination of trailing values: min(v) <= ema <= max(v)
+    val ema = graft.operators.EventOps.queries("q_ema")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val (lo, hi) = (ema.map(_._2).min, ema.map(_._2).max)
+    ema.foreach { case (day, _, e) =>
+      assert(e >= lo - 1 && e <= hi, s"$day ema=$e outside [$lo,$hi]")
+    }
+    // seasonal-naive backtest: APE is nonnegative and forecast rows only
+    // exist where a day-7 ancestor exists
+    val fb = graft.operators.EventOps.queries("q_forecast_backtest")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(fb.nonEmpty && fb.forall { case (_, a, f, ae, ppm) =>
+      ae == math.abs(a - f) && ppm >= 0 })
+    assert(fb.length == cu.length - 7, "exactly the first 7 days lack a forecast")
+  }
+
+  test("q_heavy_hitters: output is partition-invariant and equals brute force") {
+    val hh = graft.operators.TextOps.queries("q_heavy_hitters")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    // brute force: full count + filter, no screen
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val total = toks.count()
+    val brute = toks.groupBy("token").count()
+      .filter(col("count") * 200 >= total)
+      .as[(String, Long)].collect()
+      .map { case (t, n) => (t, n, n * 1000000L / total) }.toSet
+    assert(hh === brute, "MG screen must not lose any true heavy hitter")
+    assert(hh.nonEmpty)
+    // a different physical partitioning yields different MG candidates
+    // but must yield the identical final answer
+    val skewed = graft.sources.Tables.documents(spark, sf).repartition(2)
+    val toks2 = skewed
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    assert(toks2.count() === total)
+  }
+
+  test("q_embed_cov: variances on the diagonal are nonnegative, n constant") {
+    val rows = graft.operators.VectorOps.queries("q_embed_cov")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length === 36)
+    val ns = rows.map(_._3).distinct
+    assert(ns.length === 1, s"n must be constant across cells, got $ns")
+    rows.filter(r => r._1 == r._2).foreach { case (i, _, _, v) =>
+      assert(v >= 0, s"var(dim $i) = $v < 0")
+    }
+  }
+
+  test("q_decision_stump: reported split beats every other candidate threshold (brute force)") {
+    val best = graft.operators.VectorOps.queries("q_decision_stump")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("embedding"), col("label")).collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    def gini(d: Int, t: Long): Long = {
+      val vs = embs.map { case (e, l) =>
+        (math.round(e(d).toDouble * 1000), if (l == 0) 1L else 0L) }
+      val n = vs.length.toLong
+      val (nl, c0l) = (vs.count(_._1 <= t).toLong, vs.filter(_._1 <= t).map(_._2).sum)
+      val (nr, c0r) = (n - nl, vs.map(_._2).sum - c0l)
+      def side(m: Long, c0: Long) =
+        if (m == 0) 0L else (m * m - c0 * c0 - (m - c0) * (m - c0)) * 1000000L / (m * m)
+      (nl * side(nl, c0l) + nr * side(nr, c0r)) / n
+    }
+    (0 until 8).foreach { d =>
+      val (bt, bg) = best(d.toLong)
+      assert(gini(d, bt) === bg, s"dim $d reported gini mismatch")
+      (-300L to 300L by 100L).foreach { t =>
+        assert(bg <= gini(d, t), s"dim $d: threshold $t beats reported $bt")
+      }
+    }
+  }
+
+  test("q_degree_dist: histogram mass equals twice the frequent-pair count") {
+    val hist = graft.analytics.RelQueries.queries("q_degree_dist")(spark, sf)
+      .as[(Long, Long)].collect()
+    val nPairs = graft.analytics.RelQueries.queries("q_itemset_pairs")(spark, sf).count()
+    assert(hist.map(h => h._1 * h._2).sum === 2 * nPairs,
+      "sum(degree * n_items) must equal 2|E|")
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
