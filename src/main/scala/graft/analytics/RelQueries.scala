@@ -1097,6 +1097,37 @@ object RelQueries {
         .orderBy("degree")
     }),
 
+    // E9 USER-USER COLLABORATIVE FILTERING — q_item_recos' dual: top-3
+    // most-similar customers by co-purchased parts, the neighborhood
+    // behind user-kNN recommenders and audience look-alikes. The
+    // part-keyed inverted index carries a DETERMINISTIC popularity
+    // band [2, 32]: a part every customer buys is pure fan-out noise
+    // (its pairs say nothing about affinity — the IDF intuition), and
+    // dropping it also caps per-key pair fan-out at 32²/2, the same
+    // skew bound as the shingle df-cap. One fact shuffle (groupBy
+    // part → customer set), narrow chained explodes, then the native
+    // bounded-heap top-k — never a per-customer sort.
+    "q_user_cf" -> ((s, d) => {
+      val cp = orders(s, d).join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val band = cp.groupBy("p").agg(count(lit(1)).as("nc"))
+        .filter(col("nc").between(2, 32)).select("p")
+      val pairs = cp.join(broadcast(band), Seq("p"))
+        .groupBy("p").agg(collect_set(col("c")).as("cs"))
+        .select(explode(col("cs")).as("ca"), col("cs"))
+        .select(col("ca"), explode(filter(col("cs"), x => x > col("ca"))).as("cb"))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("co"))
+      val sym = pairs.select(col("ca").as("cust"), col("cb").as("peer"), col("co"))
+        .unionByName(pairs.select(col("cb").as("cust"), col("ca").as("peer"), col("co")))
+      graft.plans.TopKPerGroup(sym, Seq(col("cust")),
+          Seq(col("co").desc, col("peer").asc), k = 3)
+        .select(col("cust"), col("rn").cast("long").as("rank"),
+          col("peer"), col("co"))
+        .orderBy("cust", "rank")
+    }),
+
     // FREQUENT ITEMSET TRIPLES — the Apriori level-3 pass: candidate
     // (a < b < c) triples are generated ONLY from items that survive
     // the frequent-PAIR screen (the level-wise prune that makes
@@ -1520,6 +1551,28 @@ object RelQueries {
         |  GROUP BY item)
         |SELECT degree, COUNT(*) AS n_items FROM deg GROUP BY degree
         |ORDER BY degree""".stripMargin,
+
+    "q_user_cf" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |band AS (
+        |  SELECT p FROM cp GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 32),
+        |pairs AS (
+        |  SELECT a.c AS ca, b.c AS cb, COUNT(*) AS co
+        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |  JOIN band ON band.p = a.p
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT ca AS cust, cb AS peer, co FROM pairs
+        |  UNION ALL SELECT cb, ca, co FROM pairs),
+        |r AS (
+        |  SELECT cust, peer, co,
+        |    ROW_NUMBER() OVER (PARTITION BY cust ORDER BY co DESC, peer ASC) AS rank
+        |  FROM sym)
+        |SELECT cust, CAST(rank AS BIGINT) AS rank, peer, co
+        |FROM r WHERE rank <= 3
+        |ORDER BY cust, rank""".stripMargin,
 
     "q_itemset_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

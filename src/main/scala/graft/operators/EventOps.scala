@@ -737,6 +737,41 @@ object EventOps {
         .withColumn("ema", expr("num div den"))
         .select(col("day").cast("string").as("day"), col("v"), col("ema"))
         .orderBy("day")
+    }),
+
+    // E8 CROSS-CORRELATION of two event series — does clicking LEAD
+    // purchasing, and by how many days? Cross-covariance of the daily
+    // click and purchase counts at lags −3..+3 (positive lag =
+    // purchases shifted later), each series centered on its integral
+    // floor-mean; the peak-|xcov| lag is flagged. Unnormalized on
+    // purpose: the lags share one scale, so the argmax — the decision
+    // output — is unaffected, and the statistic stays exactly integral
+    // (a cross-engine sqrt of the two variances would not be). Same
+    // scale shape as q_acf: one conditional hash-agg to the calendar-
+    // bounded series, everything after is O(days·7) on broadcasts.
+    "q_xcorr" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("a"),
+          sum((col("event_type") === "purchase").cast("long")).as("b"))
+      val m = broadcast(daily.agg(expr("sum(a) div count(1)").as("ma"),
+        expr("sum(b) div count(1)").as("mb")))
+      val dev = daily.crossJoin(m)
+        .select(col("day"), (col("a") - col("ma")).as("da"),
+          (col("b") - col("mb")).as("db"))
+      val devB = dev.select(col("day").as("bday"), col("db").as("bdb"))
+      val lags = broadcast(s.range(-3, 4).select(col("id").as("lag_d")))
+      val xc = dev.crossJoin(lags)
+        .join(devB, col("bday") === col("day") + col("lag_d"))
+        .groupBy("lag_d")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("da") * col("bdb")).as("xcov"))
+      val peak = broadcast(xc.agg(max(abs(col("xcov"))).as("peak")))
+      xc.crossJoin(peak)
+        .withColumn("is_peak", (abs(col("xcov")) === col("peak")).cast("int"))
+        .select("lag_d", "n_pairs", "xcov", "is_peak")
+        .orderBy("lag_d")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1215,5 +1250,28 @@ object EventOps {
         |  FROM c GROUP BY 1)
         |SELECT CAST(a.day AS VARCHAR) AS day, a.v, num // den AS ema
         |FROM daily a JOIN agg USING (day)
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+
+    "q_xcorr" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |m AS (SELECT CAST(SUM(a) AS BIGINT) // COUNT(*) AS ma,
+        |             CAST(SUM(b) AS BIGINT) // COUNT(*) AS mb FROM daily),
+        |dev AS (SELECT day, a - (SELECT ma FROM m) AS da,
+        |               b - (SELECT mb FROM m) AS db FROM daily),
+        |xc AS (
+        |  SELECT CAST(k.lag_d AS BIGINT) AS lag_d, COUNT(*) AS n_pairs,
+        |    CAST(SUM(p.da * q.db) AS BIGINT) AS xcov
+        |  FROM (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag_d) k
+        |  CROSS JOIN dev p
+        |  JOIN dev q ON q.day = p.day + k.lag_d
+        |  GROUP BY 1),
+        |pk AS (SELECT MAX(ABS(xcov)) AS peak FROM xc)
+        |SELECT lag_d, n_pairs, xcov,
+        |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+        |FROM xc ORDER BY lag_d""".stripMargin)
 }

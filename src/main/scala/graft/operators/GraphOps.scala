@@ -677,6 +677,43 @@ object GraphOps {
       nodes.join(perNode, Seq("node"), "left")
         .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
         .orderBy("node")
+    }),
+
+    // E16 LOCAL CLUSTERING COEFFICIENT — per node, how close its
+    // neighborhood is to a clique: c(v) = 2·T(v)·1e6 div deg(v)·
+    // (deg(v)−1) in ppm (0 where deg < 2), over the same derived
+    // graph as q_triangles. The community-structure diagnostic that
+    // separates "hub in a random graph" from "hub inside a cluster".
+    // Adds one degree hash-agg to the triangle plan — the join-based
+    // triangle count stays the dominant cost and keeps its bounded-
+    // fan-out shape; everything else is O(nodes).
+    "q_clustering_coeff" -> ((s, d) => {
+      val raw = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("p"),
+          pmod(col("o_orderkey"), lit(2000L)).as("q"))
+        .filter(col("p") =!= col("q"))
+      val e = raw.select(least(col("p"), col("q")).as("u"),
+          greatest(col("p"), col("q")).as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+      val tri = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val perNode = tri.select(col("a").as("node"))
+        .union(tri.select(col("b").as("node")))
+        .union(tri.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("node"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("lcc_ppm", when(col("deg") < 2, lit(0L))
+          .otherwise(expr("2 * n_tri * 1000000 div (deg * (deg - 1))")))
+        .select("node", "deg", "n_tri", "lcc_ppm")
+        .orderBy("node")
     }))
 
   /** Shared oracle prelude: verified Jaccard pairs (same math as the
@@ -872,6 +909,33 @@ object GraphOps {
         |SELECT n.node, COALESCE(p.n_tri, 0) AS n_tri
         |FROM nodes n LEFT JOIN per_node p ON p.node = n.node
         |ORDER BY n.node""".stripMargin,
+
+    "q_clustering_coeff" ->
+      """WITH raw AS (
+        |  SELECT (o_custkey % 2000) AS p, (o_orderkey % 2000) AS q
+        |  FROM orders WHERE (o_custkey % 2000) <> (o_orderkey % 2000)),
+        |e AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |per_node AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) t
+        |  GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0
+        |    ELSE 2 * COALESCE(p.n_tri, 0) * 1000000 // (d.deg * (d.deg - 1))
+        |  END AS lcc_ppm
+        |FROM deg d LEFT JOIN per_node p ON p.node = d.node
+        |ORDER BY d.node""".stripMargin,
 
     // components over the text ∪ embedding edge union; the closure is
 

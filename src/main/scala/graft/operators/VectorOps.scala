@@ -1114,6 +1114,28 @@ object VectorOps {
         .select(col("d"), col("b.t").as("best_t_milli"),
           col("b.gini_ppm").as("gini_ppm"), col("b.nl").as("n_left"))
         .orderBy("d")
+    }),
+
+    // E4 MAP@3 — average precision per probe over the exact top-k,
+    // completing the retrieval-eval trio (q_mrr rewards the FIRST hit,
+    // q_ndcg discounts by position, AP integrates precision at every
+    // hit): AP@3 = Σ_{i hit} prec@i / 3 with prec@i = hits≤i · 1e6
+    // div i, exactly integral. Rides the memo-free q_cosine_topk
+    // (15 rows out) — the window below orders ≤3 rows per probe, so
+    // cost is the top-k's, not the window's.
+    "q_map_eval" -> ((s, d) => {
+      val topk = queries("q_cosine_topk")(s, d).select("qid", "rank", "vid")
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val byQ = Window.partitionBy("qid").orderBy("rank")
+      topk
+        .join(broadcast(lab.select(col("vec_id").as("qid"), col("label").as("qlab"))), "qid")
+        .join(broadcast(lab.select(col("vec_id").as("vid"), col("label").as("vlab"))), "vid")
+        .withColumn("rel", (col("qlab") === col("vlab")).cast("long"))
+        .withColumn("cum_hits", sum(col("rel")).over(byQ))
+        .withColumn("contrib", expr("rel * (cum_hits * 1000000 div rank)"))
+        .groupBy("qid")
+        .agg(sum("rel").as("n_hits"), expr("sum(contrib) div 3").as("ap_micro"))
+        .orderBy("qid")
     }))
 
   /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
@@ -1891,7 +1913,24 @@ object VectorOps {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY d ORDER BY gini_ppm, t) AS rk
         |      FROM w)
         |SELECT d, t AS best_t_milli, gini_ppm, nl AS n_left
-        |FROM r WHERE rk = 1 ORDER BY d""".stripMargin)
+        |FROM r WHERE rk = 1 ORDER BY d""".stripMargin,
+
+    "q_map_eval" ->
+      s"""WITH topk AS ($cosineTopkOracle),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |scored AS (
+         |  SELECT t.qid, t.rank,
+         |    CASE WHEN ql.label = vl.label THEN 1 ELSE 0 END AS rel
+         |  FROM topk t
+         |  JOIN lab ql ON ql.vec_id = t.qid
+         |  JOIN lab vl ON vl.vec_id = t.vid),
+         |cum AS (
+         |  SELECT qid, rank, rel,
+         |    CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS BIGINT) AS cum_hits
+         |  FROM scored)
+         |SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
+         |  CAST(SUM(rel * (cum_hits * 1000000 // rank)) AS BIGINT) // 3 AS ap_micro
+         |FROM cum GROUP BY qid ORDER BY qid""".stripMargin)
 
   /** The q_hll_distinct register-rebuild estimator as a scalar
     * subquery over a CTE named `src` holding DISTINCT h60 hashes —

@@ -1163,6 +1163,75 @@ class OperatorsSpec extends SparkTestBase {
       "sum(degree * n_items) must equal 2|E|")
   }
 
+  test("q_xcorr: pair counts shrink with |lag| and exactly one peak family is flagged") {
+    val xc = graft.operators.EventOps.queries("q_xcorr")(spark, sf)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(xc.map(_._1).toSeq === (-3L to 3L))
+    val n0 = xc.find(_._1 == 0L).get._2
+    xc.foreach { case (k, n, _, _) =>
+      assert(n === n0 - math.abs(k), s"lag $k should have ${n0 - math.abs(k)} pairs")
+    }
+    assert(xc.count(_._4 == 1) >= 1)
+  }
+
+  test("q_map_eval agrees with q_mrr: AP bounds follow the first hit") {
+    val ap = graft.operators.VectorOps.queries("q_map_eval")(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val mrr = graft.operators.VectorOps.queries("q_mrr")(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ap.keySet === mrr.keySet)
+    ap.foreach { case (qid, (hits, apMicro)) =>
+      assert(apMicro >= 0 && apMicro <= 1000000L)
+      if (hits == 3) assert(apMicro === 1000000L, s"qid $qid: 3/3 hits must score 1.0")
+      if (hits == 0) assert(apMicro === 0L)
+      if (mrr(qid) == 1L) assert(apMicro >= 333333L,
+        s"qid $qid: rank-1 hit alone contributes 1/3")
+    }
+  }
+
+  test("q_user_cf: neighbor counts match a brute-force banded co-purchase model") {
+    val got = graft.analytics.RelQueries.queries("q_user_cf")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val cp = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byPart = cp.groupBy(_._2).filter { case (_, xs) =>
+      xs.length >= 2 && xs.length <= 32 }
+    val co = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    byPart.values.foreach { xs =>
+      val cs = xs.map(_._1).distinct.sorted
+      for (i <- cs.indices; j <- (i + 1) until cs.length)
+        co((cs(i), cs(j))) = co.getOrElse((cs(i), cs(j)), 0L) + 1
+    }
+    got.foreach { case (cust, _, peer, c) =>
+      val key = (math.min(cust, peer), math.max(cust, peer))
+      assert(co.get(key).contains(c), s"($cust,$peer) co=$c vs ${co.get(key)}")
+    }
+    // top-3 is genuinely maximal: no unreported peer beats a reported one
+    val reported = got.groupBy(_._1)
+    reported.foreach { case (cust, rows) =>
+      val worst = rows.map(_._4).min
+      val all = co.collect { case ((a, b), c) if a == cust || b == cust => c }
+      if (rows.length == 3)
+        assert(all.count(_ > worst) < 3, s"cust $cust: missed a better peer")
+    }
+  }
+
+  test("q_clustering_coeff: ppm bounded, triangle counts equal q_triangles") {
+    val lcc = graft.operators.GraphOps.queries("q_clustering_coeff")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val tri = graft.operators.GraphOps.queries("q_triangles")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(lcc.length === tri.size)
+    lcc.foreach { case (node, deg, nTri, ppm) =>
+      assert(ppm >= 0 && ppm <= 1000000L, s"node $node lcc=$ppm")
+      assert(tri(node) === nTri, s"node $node triangle count drifted")
+      if (deg < 2) assert(ppm === 0L)
+    }
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
