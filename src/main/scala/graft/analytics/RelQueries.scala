@@ -1128,6 +1128,43 @@ object RelQueries {
         .orderBy("cust", "rank")
     }),
 
+    // E10 NEGATIVE SAMPLING — the recsys-training counterpart of the
+    // positives table: 4 hash-proposed candidate items per customer,
+    // anti-joined against true interactions (propose-and-reject, the
+    // standard trick that avoids materializing the user × item
+    // complement — which at catalog scale is the single most common
+    // OOM in naive implementations). Proposals are md5-derived, so
+    // the sample is deterministic and cross-engine exact; rejected
+    // collisions (a proposal the customer actually bought) are simply
+    // dropped — with |interactions/user| ≪ |items| the loss is a few
+    // ppm, and a training loader re-proposes with k+1. The dense part
+    // index uses the two-phase distributed rank (no single-task sort
+    // even though parts is dimension-sized); the anti join is
+    // (c, item)-keyed — one shuffle of O(4·customers).
+    "q_negative_sampling" -> ((s, d) => {
+      val pos = orders(s, d).join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val parts = part(s, d).select(col("p_partkey"))
+      val gb = broadcast(parts.agg(count(lit(1)).as("np"),
+        min("p_partkey").as("klo"), max("p_partkey").as("khi")))
+      val idx = graft.operators.PrefixSum.rowNumber(
+        parts.crossJoin(gb), Seq.empty, Seq(col("p_partkey")),
+        graft.operators.PrefixSum.rangeBucket(col("p_partkey"),
+          col("klo"), col("khi"), 32), "pidx")
+        .select(col("p_partkey"), col("pidx"), col("np"))
+      val cands = pos.select("c").distinct()
+        .select(col("c"), explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("h", conv(substring(md5(concat(lit("neg|"), col("c"),
+          lit("|"), col("k"))), 1, 8), 16, 10).cast("long"))
+      cands.join(broadcast(idx), pmod(col("h"), col("np")) + 1 === col("pidx"))
+        .select(col("c"), col("k").cast("long").as("k"),
+          col("p_partkey").as("neg_p"))
+        .join(pos.withColumnRenamed("p", "neg_p"), Seq("c", "neg_p"), "left_anti")
+        .orderBy("c", "k")
+    }),
+
     // FREQUENT ITEMSET TRIPLES — the Apriori level-3 pass: candidate
     // (a < b < c) triples are generated ONLY from items that survive
     // the frequent-PAIR screen (the level-wise prune that makes
@@ -1573,6 +1610,29 @@ object RelQueries {
         |SELECT cust, CAST(rank AS BIGINT) AS rank, peer, co
         |FROM r WHERE rank <= 3
         |ORDER BY cust, rank""".stripMargin,
+
+    "q_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |np AS (SELECT COUNT(*) AS np FROM part),
+        |idx AS (
+        |  SELECT p_partkey,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS pidx
+        |  FROM part),
+        |cands AS (
+        |  SELECT cu.c, CAST(k.k AS BIGINT) AS k,
+        |    (CAST(('0x' || substr(md5('neg|' || cu.c || '|' || k.k), 1, 8)) AS BIGINT)
+        |      % (SELECT np FROM np)) + 1 AS pidx
+        |  FROM (SELECT DISTINCT c FROM pos) cu
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k),
+        |neg AS (
+        |  SELECT ca.c, ca.k, i.p_partkey AS neg_p
+        |  FROM cands ca JOIN idx i USING (pidx))
+        |SELECT c, k, neg_p FROM neg
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pos WHERE pos.c = neg.c AND pos.p = neg.neg_p)
+        |ORDER BY c, k""".stripMargin,
 
     "q_itemset_triples" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

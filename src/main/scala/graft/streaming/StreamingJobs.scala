@@ -229,6 +229,67 @@ object StreamingJobs {
       }
   }
 
+  /** One token routed to its hash bucket (the caller picks the bucket
+    * function; buckets partition the vocabulary). */
+  case class TokIn(bucket: Int, token: String)
+  /** Per-bucket Misra-Gries summary row: a surviving candidate with
+    * its maintained (under-)count and the bucket's lifetime total. */
+  case class MgOut(bucket: Int, token: String, mgCount: Long, bucketSeen: Long)
+  /** Per-bucket MG state: bounded at `cap` counters + one total. */
+  case class MgState(counts: Map[String, Long], seen: Long)
+
+  /** STREAMING HEAVY HITTERS — the incremental form of
+    * q_heavy_hitters' Misra-Gries screen: per hash bucket of the
+    * vocabulary, a bounded MG summary maintained across micro-batches
+    * via flatMapGroupsWithState, re-emitted (Update mode) whenever the
+    * bucket sees data. State is B·cap counters TOTAL by construction —
+    * NoTimeout is sound here because the key space is the FIXED bucket
+    * set, not an unbounded population (contrast the funnel's per-user
+    * keys, which need event-time eviction). The MG deficiency bound
+    * carries over batches: a candidate's true bucket count c satisfies
+    * mgCount ≤ c ≤ mgCount + seen/(cap+1), so any token with bucket
+    * share > 1/(cap+1) is guaranteed present — the consumer turns the
+    * summaries into exact answers with one targeted recount, exactly
+    * like the batch operator's pass 2. Buckets also make the screen
+    * sharper than one global MG: each bucket's deficiency scales with
+    * ITS seen, so a vocabulary split over B buckets tolerates ~B×
+    * smaller heavy-hitter shares at the same total state. */
+  def heavyHittersStream(tokens: org.apache.spark.sql.Dataset[TokIn],
+                         cap: Int = 64):
+      org.apache.spark.sql.Dataset[MgOut] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.groupByKey(_.bucket)
+      .flatMapGroupsWithState[MgState, MgOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket, it, state) =>
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          counts ++= prev.counts
+          var seen = prev.seen
+          it.foreach { t =>
+            seen += 1
+            counts.get(t.token) match {
+              case Some(c) => counts(t.token) = c + 1
+              case None =>
+                if (counts.size < cap) counts(t.token) = 1L
+                else {
+                  // decrement-all, evicting zeroed counters (classic
+                  // MG maintenance; deficiency grows ≤ 1/(cap+1) of
+                  // the tokens processed)
+                  val dead = List.newBuilder[String]
+                  counts.foreach { case (k, c) =>
+                    if (c == 1L) dead += k else counts(k) = c - 1 }
+                  dead.result().foreach(counts.remove)
+                }
+            }
+          }
+          state.update(MgState(counts.toMap, seen))
+          counts.iterator.map { case (t, c) => MgOut(bucket, t, c, seen) }
+      }
+  }
+
   /** STREAMING DISTRIBUTION-DRIFT MONITOR — the incremental consumer
     * of the q_ks_drift statistic: each micro-batch's per-source length
     * distribution is KS-compared against a STATIC reference (the

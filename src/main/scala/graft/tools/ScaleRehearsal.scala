@@ -117,6 +117,23 @@ object ScaleRehearsal {
     "q_target_encoding" -> Seq("documents"),
     "q_aqp_sum" -> Seq("lineitem"),
     "q_expectations" -> Seq("lineitem", "orders"),
+    // this session's batch. q_clustering_coeff is deliberately absent
+    // for the q_khop_reach reason (pmod-2000 graph saturates under
+    // replicas). The vocabulary remap makes each copy's token
+    // distribution private, so the MG screen sees ×N distinct tokens
+    // at constant per-partition density (its candidate state stays
+    // capped at 400/partition by construction — the claim under
+    // test); the cov/stump single-pass moment aggregates must be flat
+    // ×N scans with O(36)/O(56) shuffles; q_user_cf's banded inverted
+    // index keeps per-part fan-out ≤ 32²/2 per copy, so pairs scale
+    // ×N; the time-series family reduces ×N events onto the SAME
+    // calendar (the series stays 30 days), so its cost is the leading
+    // hash-agg — the flattest shape in the catalog.
+    "q_heavy_hitters" -> Seq("documents"),
+    "q_embed_cov" -> Seq("embeddings"),
+    "q_decision_stump" -> Seq("embeddings"),
+    "q_user_cf" -> Seq("lineitem", "orders"),
+    "q_acf" -> Seq("events"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
@@ -126,6 +143,9 @@ object ScaleRehearsal {
   val variantOf: Map[String, String] = Map(
     "q_auc_eval" -> "cls",
     "q_conformal" -> "cls",
+    // labels constant so the y0 target class scales ×N with the corpus
+    // (the disjoint-labels recipe would starve it to copy 0 only)
+    "q_decision_stump" -> "cls",
   )
 
   def main(args: Array[String]): Unit = {

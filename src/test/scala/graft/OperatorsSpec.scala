@@ -1232,6 +1232,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_negative_sampling: negatives never collide with positives, ≤4 per customer, deterministic") {
+    val neg = graft.analytics.RelQueries.queries("q_negative_sampling")(spark, sf)
+      .select("c", "k", "neg_p").as[(Long, Long, Long)].collect()
+    val pos = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(neg.nonEmpty)
+    neg.foreach { case (c, _, p) =>
+      assert(!pos.contains((c, p)), s"sampled positive ($c,$p) as a negative")
+    }
+    val perCust = neg.groupBy(_._1)
+    perCust.values.foreach(rs => assert(rs.length <= 4))
+    // propose-and-reject: a customer can lose all 4 proposals to
+    // collisions, but only with probability (pos-share)^4 — coverage
+    // stays near-total and never exceeds the purchasing population
+    val buyers = pos.map(_._1)
+    assert(perCust.keySet.subsetOf(buyers))
+    assert(perCust.size * 10 >= buyers.size * 9,
+      s"coverage ${perCust.size}/${buyers.size} below 90%")
+    // hash-derived → rerunning yields the identical sample
+    val again = graft.analytics.RelQueries.queries("q_negative_sampling")(spark, sf)
+      .select("c", "k", "neg_p").as[(Long, Long, Long)].collect()
+    assert(neg.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

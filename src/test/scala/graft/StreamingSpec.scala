@@ -694,4 +694,55 @@ class StreamingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("streaming heavy hitters: MG bounds hold across batches, state stays capped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    import graft.streaming.StreamingJobs.{MgOut, TokIn}
+    val cap = 8
+    val nBuckets = 4
+    // real corpus tokens, routed to buckets exactly as a caller would
+    val toks = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "").as[String].collect()
+      .map(t => TokIn((t.hashCode & Int.MaxValue) % nBuckets, t))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TokIn]
+    val out = StreamingJobs.heavyHittersStream(input.toDS(), cap = cap)
+    val q = out.writeStream.format("memory").outputMode("update")
+      .queryName("mg_hh").start()
+    // three uneven batches — the summary must survive the batch cuts
+    val cuts = Seq(toks.length / 5, toks.length / 2, toks.length)
+    var from = 0
+    cuts.foreach { to =>
+      input.addData(toks.slice(from, to).toIndexedSeq); from = to
+      q.processAllAvailable()
+    }
+    val rows = spark.table("mg_hh").as[MgOut].collect()
+    q.stop()
+    // final summary per bucket = the rows from its last (largest-seen) emission
+    val finalSeen = rows.groupBy(_.bucket).map { case (b, rs) =>
+      b -> rs.map(_.bucketSeen).max }
+    val fin = rows.filter(r => r.bucketSeen == finalSeen(r.bucket))
+    val exact = toks.groupBy(t => (t.bucket, t.token))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val bucketTotals = toks.groupBy(_.bucket).map { case (b, xs) => b -> xs.length.toLong }
+    fin.groupBy(_.bucket).foreach { case (b, rs) =>
+      assert(rs.length <= cap, s"bucket $b summary exceeds cap: ${rs.length}")
+      assert(rs.head.bucketSeen === bucketTotals(b))
+    }
+    // deficiency bound: mgCount <= true <= mgCount + seen/(cap+1)
+    fin.foreach { r =>
+      val truth = exact((r.bucket, r.token))
+      assert(r.mgCount <= truth, s"${r.token}: mg=${r.mgCount} > true=$truth")
+      assert(truth <= r.mgCount + r.bucketSeen / (cap + 1),
+        s"${r.token}: deficiency bound violated")
+    }
+    // completeness: every token above its bucket's 1/(cap+1) share survives
+    val finToks = fin.map(r => (r.bucket, r.token)).toSet
+    exact.foreach { case ((b, t), c) =>
+      if (c > bucketTotals(b) / (cap + 1))
+        assert(finToks.contains((b, t)), s"true heavy hitter '$t' lost by the screen")
+    }
+  }
 }
