@@ -1128,6 +1128,34 @@ object RelQueries {
         .orderBy("cust", "rank")
     }),
 
+    // E9 ASSOCIATION RULES — the Apriori endgame: directed rules a→b
+    // over the memoized frequent pairs with confidence supp(ab)/
+    // supp(a) and lift supp(ab)·N/(supp(a)·supp(b)), both integral
+    // ppm (lift > 1e6 = genuinely associated, < 1e6 = co-occurrence
+    // below independence). Item supports are one more hash-agg over
+    // the distinct (order, item) projection; the rule join probes the
+    // broadcast support table twice — O(pairs) work end to end, the
+    // fact is never rescanned.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s1"))
+      val norders = broadcast(items.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val p = itemsetPairs(s, d)
+      val rules = p.select(col("pa").as("ante"), col("pb").as("cons"), col("support"))
+        .unionByName(
+          p.select(col("pb").as("ante"), col("pa").as("cons"), col("support")))
+      rules
+        .join(broadcast(supp.select(col("l_partkey").as("ante"), col("s1").as("sa"))), "ante")
+        .join(broadcast(supp.select(col("l_partkey").as("cons"), col("s1").as("sc"))), "cons")
+        .crossJoin(norders)
+        .withColumn("conf_ppm", expr("support * 1000000 div sa"))
+        .withColumn("lift_ppm", expr("support * n_orders * 1000000 div (sa * sc)"))
+        .select("ante", "cons", "support", "conf_ppm", "lift_ppm")
+        .orderBy(col("conf_ppm").desc, col("ante"), col("cons"))
+    }),
+
     // E10 NEGATIVE SAMPLING — the recsys-training counterpart of the
     // positives table: 4 hash-proposed candidate items per customer,
     // anti-joined against true interactions (propose-and-reject, the
@@ -1610,6 +1638,30 @@ object RelQueries {
         |SELECT cust, CAST(rank AS BIGINT) AS rank, peer, co
         |FROM r WHERE rank <= 3
         |ORDER BY cust, rank""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pruned AS (SELECT i.l_orderkey, i.l_partkey
+        |           FROM items i JOIN freq f USING (l_partkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |supp AS (SELECT l_partkey, COUNT(*) AS s1 FROM items GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        |rules AS (
+        |  SELECT pa AS ante, pb AS cons, support FROM pairs
+        |  UNION ALL SELECT pb, pa, support FROM pairs)
+        |SELECT r.ante, r.cons, r.support,
+        |  r.support * 1000000 // sa.s1 AS conf_ppm,
+        |  r.support * (SELECT n_orders FROM n) * 1000000
+        |    // (sa.s1 * sc.s1) AS lift_ppm
+        |FROM rules r
+        |JOIN supp sa ON sa.l_partkey = r.ante
+        |JOIN supp sc ON sc.l_partkey = r.cons
+        |ORDER BY conf_ppm DESC, ante, cons""".stripMargin,
 
     "q_negative_sampling" ->
       """WITH pos AS (

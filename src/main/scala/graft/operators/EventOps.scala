@@ -739,6 +739,27 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // E8/E10 INVERSE-PROPENSITY ESTIMATE — off-policy evaluation over
+    // the event log treated as logged bandit feedback: each event
+    // type's logging propensity p = n/N in ppm, and its contribution
+    // to the IPS value of a uniform target policy over the 5 actions,
+    // Σ r/(5p) = sum_value·N div (5n), in exact cents (sums grouped
+    // per action BEFORE the reweighting division, so the estimate is
+    // order-independent and hash-exact — the per-event r/p fold would
+    // not be). One hash-agg to 5 rows + a broadcast 1-row total: the
+    // estimator's cost is the scan, at any scale.
+    "q_propensity" -> ((s, d) => {
+      val byType = events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_vc"))
+      val tot = broadcast(byType.agg(sum("n").as("big_n")))
+      byType.crossJoin(tot)
+        .withColumn("propensity_ppm", expr("n * 1000000 div big_n"))
+        .withColumn("ips_contrib_c", expr("sum_vc * big_n div (5 * n)"))
+        .select("event_type", "n", "propensity_ppm", "sum_vc", "ips_contrib_c")
+        .orderBy("event_type")
+    }),
+
     // E8 CROSS-CORRELATION of two event series — does clicking LEAD
     // purchasing, and by how many days? Cross-covariance of the daily
     // click and purchase counts at lags −3..+3 (positive lag =
@@ -1251,6 +1272,18 @@ object EventOps {
         |SELECT CAST(a.day AS VARCHAR) AS day, a.v, num // den AS ema
         |FROM daily a JOIN agg USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_propensity" ->
+      """WITH t AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM t)
+        |SELECT event_type, n,
+        |  n * 1000000 // (SELECT big_n FROM tot) AS propensity_ppm,
+        |  sum_vc,
+        |  sum_vc * (SELECT big_n FROM tot) // (5 * n) AS ips_contrib_c
+        |FROM t ORDER BY event_type""".stripMargin,
 
     "q_xcorr" ->
       """WITH daily AS (

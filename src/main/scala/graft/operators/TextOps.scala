@@ -468,6 +468,53 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
     }),
 
+    // E5 SIMPSON DIVERSITY — per-source repeat-probability of the
+    // unigram distribution: D = Σc(c−1) / N(N−1) in ppm (the chance
+    // two tokens drawn without replacement coincide; 1/D is the
+    // "effective vocabulary"). The entropy crater's exact-arithmetic
+    // sibling: unlike H it needs NO ln, so the whole statistic is
+    // integral and hash-exact. One (source, token) hash-agg then a
+    // per-source fold — never a p² pass over the corpus. At planet
+    // scale pre-scale c before squaring (the q_acf caveat).
+    "q_simpson_diversity" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(col("c") * (col("c") - 1)).as("rep"))
+        .withColumn("simpson_ppm",
+          expr("rep * 1000000 div (n_tokens * (n_tokens - 1))"))
+        .select("source", "n_tokens", "vocab", "simpson_ppm")
+        .orderBy("source")),
+
+    // E5 READABILITY (LIX) — per-source läsbarhetsindex from three
+    // integral counts: words/sentence + 100·longwords/words, held in
+    // milli units (LIX needs no syllable model, which is what makes
+    // it exactly computable cross-engine; >6-char words are the
+    // standard cut). Sentence ends counted by the length-difference
+    // trick (len − len(strip '.','!','?')) — pure projection
+    // arithmetic, no regex scan; everything reduces in ONE per-source
+    // hash-agg with map-side partials, the flattest text statistic in
+    // the catalog.
+    "q_readability" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"),
+          size(filter(split(lower(col("text")), " "), t => t =!= ""))
+            .cast("long").as("words"),
+          size(filter(split(lower(col("text")), " "),
+            t => length(t) > 6)).cast("long").as("longwords"),
+          (length(col("text")) - length(
+            regexp_replace(col("text"), "[.!?]", ""))).cast("long").as("sents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("words").as("words"),
+          sum("sents").as("sents"), sum("longwords").as("longwords"))
+        .withColumn("lix_milli", expr(
+          "words * 1000 div greatest(sents, 1L) + longwords * 100000 div words"))
+        .select("source", "n_docs", "words", "sents", "longwords", "lix_milli")
+        .orderBy("source")),
+
     // E5 PER-SOURCE TOKEN ENTROPY — Shannon entropy of each source's
     // unigram distribution, the corpus-diversity diagnostic (a
     // scraped-boilerplate source shows up as an entropy CRATER long
@@ -2055,6 +2102,32 @@ object TextOps {
         |FROM t GROUP BY token
         |HAVING COUNT(*) * 200 >= (SELECT total FROM tot)
         |ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_simpson_diversity" ->
+      """WITH tf AS (
+        |  SELECT source, tk, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |  WHERE tk <> '' GROUP BY source, tk)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+        |  CAST(SUM(c * (c - 1)) AS BIGINT) * 1000000
+        |    // (CAST(SUM(c) AS BIGINT) * (CAST(SUM(c) AS BIGINT) - 1)) AS simpson_ppm
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS words,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 6)) AS BIGINT) AS longwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS sents
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(words) AS BIGINT) AS words,
+        |    CAST(SUM(sents) AS BIGINT) AS sents,
+        |    CAST(SUM(longwords) AS BIGINT) AS longwords
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, words, sents, longwords,
+        |  words * 1000 // GREATEST(sents, 1) + longwords * 100000 // words AS lix_milli
+        |FROM agg ORDER BY source""".stripMargin,
 
     "q_token_entropy" ->
       """WITH tf AS (

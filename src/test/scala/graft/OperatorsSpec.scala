@@ -1259,6 +1259,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(neg.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("q_assoc_rules: lift is direction-symmetric, confidence is not; rules mirror the pairs") {
+    val rules = graft.analytics.RelQueries.queries("q_assoc_rules")(spark, sf)
+      .select("ante", "cons", "support", "conf_ppm", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDir = rules.map(r => (r._1, r._2) -> r).toMap
+    rules.foreach { case (a, c, supp, _, lift) =>
+      val rev = byDir((c, a))
+      assert(rev._3 === supp, s"support must be undirected for ($a,$c)")
+      assert(rev._5 === lift, s"lift must be direction-symmetric for ($a,$c)")
+      assert(supp >= 2)
+    }
+    val nPairs = graft.analytics.RelQueries.queries("q_itemset_pairs")(spark, sf).count()
+    assert(rules.length.toLong === 2 * nPairs, "one rule per direction per frequent pair")
+  }
+
+  test("diversity + readability: Simpson agrees with the entropy scan's counts, LIX components reconcile") {
+    val simp = graft.operators.TextOps.queries("q_simpson_diversity")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val ent = graft.operators.TextOps.queries("q_token_entropy")(spark, sf)
+      .select("source", "n_tokens", "vocab")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    simp.foreach { case (src, n, v, ppm) =>
+      assert(ent(src) === ((n, v)), s"$src: token/vocab counts drifted from the entropy scan")
+      assert(ppm >= 0 && ppm <= 1000000L)
+      // Simpson of a distribution over `v` types is minimized by uniformity
+      assert(ppm >= (n / v - 1) * 1000000 / math.max(n - 1, 1), s"$src below uniform floor")
+    }
+    val lix = graft.operators.TextOps.queries("q_readability")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    lix.foreach { case (src, nDocs, words, sents, longw, milli) =>
+      assert(nDocs > 0 && words > 0 && longw <= words, src)
+      assert(milli === words * 1000 / math.max(sents, 1) + longw * 100000 / words)
+    }
+  }
+
+  test("q_propensity: shares sum to ~1e6 ppm and the IPS reweighting identity holds") {
+    val rows = graft.operators.EventOps.queries("q_propensity")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val bigN = rows.map(_._2).sum
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L,
+      s"ppm shares sum to $shareSum")
+    rows.foreach { case (t, n, _, sumVc, ips) =>
+      assert(ips === sumVc * bigN / (5 * n), s"$t IPS identity")
+    }
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
