@@ -1128,6 +1128,21 @@ object RelQueries {
         .orderBy("cust", "rank")
     }),
 
+    // E9 RECOMMENDATION CATALOG COVERAGE — the first health metric of
+    // any recommender: what share of the purchasable catalog ever
+    // appears in a top-3 list (a popularity-biased model craters
+    // this long before accuracy metrics move). Rides the memoized
+    // pair mining through q_item_recos; two count-distinct aggregates
+    // and a 1-row broadcast — O(pairs), the fact is never rescanned.
+    "q_reco_coverage" -> ((s, d) => {
+      val recos = queries("q_item_recos")(s, d)
+      val items = lineitem(s, d).select(col("l_partkey")).distinct()
+      recos.agg(countDistinct(col("reco")).as("n_recommended"))
+        .crossJoin(broadcast(items.agg(count(lit(1)).as("n_items"))))
+        .withColumn("coverage_ppm", expr("n_recommended * 1000000 div n_items"))
+        .select("n_recommended", "n_items", "coverage_ppm")
+    }),
+
     // E9 ASSOCIATION RULES — the Apriori endgame: directed rules a→b
     // over the memoized frequent pairs with confidence supp(ab)/
     // supp(a) and lift supp(ab)·N/(supp(a)·supp(b)), both integral
@@ -1638,6 +1653,31 @@ object RelQueries {
         |SELECT cust, CAST(rank AS BIGINT) AS rank, peer, co
         |FROM r WHERE rank <= 3
         |ORDER BY cust, rank""".stripMargin,
+
+    "q_reco_coverage" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+        |pruned AS (SELECT i.l_orderkey, i.l_partkey
+        |           FROM items i JOIN freq f USING (l_partkey)),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+        |  FROM pruned a JOIN pruned b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT pa AS item, pb AS reco, support FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS item, pa AS reco, support FROM pairs),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY support DESC, reco ASC) AS rank
+        |  FROM sym),
+        |cov AS (SELECT COUNT(DISTINCT reco) AS n_recommended
+        |        FROM ranked WHERE rank <= 3),
+        |uni AS (SELECT COUNT(DISTINCT l_partkey) AS n_items FROM items)
+        |SELECT n_recommended, n_items,
+        |  n_recommended * 1000000 // n_items AS coverage_ppm
+        |FROM cov, uni""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

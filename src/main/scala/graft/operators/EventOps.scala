@@ -739,6 +739,27 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // E8 FANO FACTOR — per-type overdispersion of the daily count
+    // series: var/mean in milli (population variance, so the whole
+    // statistic is the exact integral (n·Σx²−(Σx)²) div (n·Σx) — no
+    // float moment in sight). 1000 = Poisson-consistent arrivals;
+    // materially above = bursty (incident retries, scraper storms);
+    // below = rate-limited. Two cascaded hash-aggs, the q_regr_trend
+    // streaming-moment shape.
+    "q_fano" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("mean_milli", expr("sx * 1000 div n_days"))
+        .withColumn("fano_milli",
+          expr("(n_days * sxx - sx * sx) * 1000 div (n_days * sx)"))
+        .select("event_type", "n_days", "mean_milli", "fano_milli")
+        .orderBy("event_type")
+    }),
+
     // E8/E10 INVERSE-PROPENSITY ESTIMATE — off-policy evaluation over
     // the event log treated as logged bandit feedback: each event
     // type's logging propensity p = n/N in ppm, and its contribution
@@ -1272,6 +1293,18 @@ object EventOps {
         |SELECT CAST(a.day AS VARCHAR) AS day, a.v, num // den AS ema
         |FROM daily a JOIN agg USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sx * 1000 // n_days AS mean_milli,
+        |  (n_days * sxx - sx * sx) * 1000 // (n_days * sx) AS fano_milli
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_propensity" ->
       """WITH t AS (

@@ -714,6 +714,39 @@ object GraphOps {
           .otherwise(expr("2 * n_tri * 1000000 div (deg * (deg - 1))")))
         .select("node", "deg", "n_tri", "lcc_ppm")
         .orderBy("node")
+    }),
+
+    // E16 DEGREE ASSORTATIVITY — do hubs attach to hubs? Pearson r of
+    // the endpoint-degree pairs over the SYMMETRIZED edge list (so
+    // Σx = Σy and one moment pass suffices: r = (mΣxy − (Σx)²) /
+    // (mΣxx − (Σx)²)). Every moment is an exact integer sum — degrees
+    // are ints — so the only float op is the final division, rounded 6
+    // (the q_regr_trend convention; at graphs where m·Σxy nears long
+    // range, pre-scale degrees). Broadcast degree lookup on both
+    // endpoints; cost is the edge scan.
+    "q_assortativity" -> ((s, d) => {
+      val raw = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(2000L)).as("p"),
+          pmod(col("o_orderkey"), lit(2000L)).as("q"))
+        .filter(col("p") =!= col("q"))
+      val e = raw.select(least(col("p"), col("q")).as("u"),
+          greatest(col("p"), col("q")).as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dirE = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      dirE
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+        .agg(count(lit(1)).as("m"), sum("da").as("sx"),
+          sum(col("da") * col("da")).as("sxx"),
+          sum(col("da") * col("db")).as("sxy"))
+        .withColumn("assortativity", round(
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+        .select("m", "assortativity")
     }))
 
   /** Shared oracle prelude: verified Jaccard pairs (same math as the
@@ -936,6 +969,27 @@ object GraphOps {
         |  END AS lcc_ppm
         |FROM deg d LEFT JOIN per_node p ON p.node = d.node
         |ORDER BY d.node""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH raw AS (
+        |  SELECT (o_custkey % 2000) AS p, (o_orderkey % 2000) AS q
+        |  FROM orders WHERE (o_custkey % 2000) <> (o_orderkey % 2000)),
+        |e AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+        |  GROUP BY node),
+        |dire AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |mm AS (
+        |  SELECT COUNT(*) AS m, CAST(SUM(da.deg) AS BIGINT) AS sx,
+        |    CAST(SUM(da.deg * da.deg) AS BIGINT) AS sxx,
+        |    CAST(SUM(da.deg * db.deg) AS BIGINT) AS sxy
+        |  FROM dire
+        |  JOIN deg da ON da.node = dire.a
+        |  JOIN deg db ON db.node = dire.b)
+        |SELECT m, ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+        |  / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+        |FROM mm""".stripMargin,
 
     // components over the text ∪ embedding edge union; the closure is
 

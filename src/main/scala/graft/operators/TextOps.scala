@@ -515,6 +515,33 @@ object TextOps {
         .select("source", "n_docs", "words", "sents", "longwords", "lix_milli")
         .orderBy("source")),
 
+    // E5 ZIPF FIT — the power-law exponent of the corpus frequency
+    // spectrum: OLS of ln(freq) on ln(rank) over the top-100 tokens
+    // (a healthy natural-language corpus slopes ≈ −1; boilerplate and
+    // template spam bend the head of the curve — this is the scalar
+    // that catches it). The top-100 come from the NATIVE bounded-heap
+    // top-k (constant group) — never a global sort of the vocabulary —
+    // and the regression then runs on 100 rows; per the entropy/tf-idf
+    // precedent the ln-moment sums are IEEE-stable at this size with
+    // the final slope rounded to 6.
+    "q_zipf_fit" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("c"))
+      val top = graft.plans.TopKPerGroup(counts.withColumn("g", lit(1)),
+          Seq(col("g")), Seq(col("c").desc, col("token").asc), k = 100)
+        .select(col("c"), col("rn").cast("long").as("rank"))
+      val x = log(col("rank").cast("double"))
+      val y = log(col("c").cast("double"))
+      top.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .withColumn("zipf_exp", round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .select("n", "zipf_exp")
+    }),
+
     // E5 PER-SOURCE TOKEN ENTROPY — Shannon entropy of each source's
     // unigram distribution, the corpus-diversity diagnostic (a
     // scraped-boilerplate source shows up as an entropy CRATER long
@@ -2102,6 +2129,21 @@ object TextOps {
         |FROM t GROUP BY token
         |HAVING COUNT(*) * 200 >= (SELECT total FROM tot)
         |ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT token, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rank FROM c),
+        |t AS (SELECT CAST(c AS DOUBLE) AS c, CAST(rank AS DOUBLE) AS rank
+        |      FROM r WHERE rank <= 100),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(ln(rank)) AS sx, SUM(ln(c)) AS sy,
+        |    SUM(ln(rank) * ln(c)) AS sxy, SUM(ln(rank) * ln(rank)) AS sxx
+        |  FROM t)
+        |SELECT n, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_exp
+        |FROM m""".stripMargin,
 
     "q_simpson_diversity" ->
       """WITH tf AS (

@@ -1306,6 +1306,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("spectrum + graph scalars: zipf slope negative, assortativity in [-1,1], fano vs poisson, coverage bounded") {
+    val (nTop, zipf) = graft.operators.TextOps.queries("q_zipf_fit")(spark, sf)
+      .as[(Long, Double)].collect().head
+    val vocab = graft.operators.TextOps.queries("q_token_counts")(spark, sf).count()
+    assert(nTop === math.min(100L, vocab), s"fit over min(100, vocab=$vocab)")
+    assert(zipf < 0, s"frequency must fall with rank, slope=$zipf")
+    assert(zipf > -3 && zipf < -0.1, s"implausible zipf exponent $zipf")
+    val (m, r) = graft.operators.GraphOps.queries("q_assortativity")(spark, sf)
+      .as[(Long, Double)].collect().head
+    assert(m > 0 && r >= -1.0 && r <= 1.0, s"assortativity $r out of range")
+    val fano = graft.operators.EventOps.queries("q_fano")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    fano.foreach { case (t, n, mean, f) =>
+      assert(n > 0 && mean > 0 && f >= 0, s"$t fano=$f")
+      // daily counts of a uniform-ish generator sit near Poisson:
+      // variance cannot exceed mean by orders of magnitude here
+      assert(f < 100 * 1000L, s"$t absurd overdispersion $f")
+    }
+    val (nRec, nItems, cov) = graft.analytics.RelQueries.queries("q_reco_coverage")(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(nRec <= nItems && cov <= 1000000L && cov > 0)
+    // coverage counts exactly the distinct items appearing in any top-3 list
+    val distinctRecos = graft.analytics.RelQueries.queries("q_item_recos")(spark, sf)
+      .select("reco").distinct().count()
+    assert(nRec === distinctRecos)
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
