@@ -739,6 +739,78 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // E8 KAPLAN-MEIER SURVIVAL — time from a user's first event to
+    // first purchase, right-censored at the corpus horizon: per event
+    // day t, at-risk n_t (users whose observed time ≥ t), events d_t,
+    // and the product-limit survival S(t) = Π_{u≤t}(1 − d_u/n_u),
+    // realized as exp(Σ ln((n−d)/n)) over the calendar-bounded day
+    // grid (the ln-sum precedent; round 6). The at-risk counts come
+    // from ONE cumulative window over the per-day observation counts
+    // (at_risk = N − removed-before-t) — never a per-user scan per
+    // day. Corpus-sized work = two user-keyed hash-aggs; everything
+    // after is O(days).
+    "q_survival" -> ((s, d) => {
+      val ev = events(s, d)
+      val maxd = broadcast(ev.agg(max(to_date(col("ts"))).as("maxd")))
+      val users = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("entry"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("first_p"))
+        .crossJoin(maxd)
+        .select(col("user_id"),
+          coalesce(datediff(col("first_p"), col("entry")),
+            datediff(col("maxd"), col("entry"))).cast("long").as("obs"),
+          col("first_p").isNotNull.cast("long").as("ev"))
+      val n = broadcast(users.agg(count(lit(1)).as("big_n")))
+      val byDay = users.groupBy("obs")
+        .agg(count(lit(1)).as("removed"), sum("ev").as("d"))
+      val wAsc = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val grid = byDay.crossJoin(n)
+        .withColumn("at_risk",
+          col("big_n") - coalesce(sum(col("removed")).over(wAsc), lit(0L)))
+        .filter(col("d") > 0)
+      val wCum = Window.orderBy("obs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // at_risk == d can only happen on the terminal step (someone must
+      // remain at risk for any later step to exist): S hits exactly 0
+      // there, which ln cannot express — flag it instead of ln(0)
+      grid
+        .withColumn("ln_term", when(col("at_risk") > col("d"),
+          log((col("at_risk") - col("d")).cast("double") /
+            col("at_risk").cast("double"))))
+        .withColumn("hit_zero",
+          max((col("at_risk") === col("d")).cast("int")).over(wCum))
+        .withColumn("surv", when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("ln_term")).over(wCum)), 6)))
+        .select(col("obs").as("day"), col("at_risk"), col("d").as("events"),
+          col("surv"))
+        .orderBy("day")
+    }),
+
+    // E8 MAX DRAWDOWN — peak-to-current decline of the daily revenue
+    // series in exact cents, with the worst day flagged: the
+    // degradation scalar ops reviews ask for ("how far below the best
+    // day are we, and when was it worst"). Running max over the
+    // calendar-bounded daily aggregate (the q_cusum argument), one
+    // corpus-sized hash-agg total.
+    "q_drawdown" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("rev_c"))
+      val wd = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("peak_c", max(col("rev_c")).over(wd))
+        .withColumn("drawdown_c", col("peak_c") - col("rev_c"))
+      val mx = broadcast(dd.agg(max(col("drawdown_c")).as("mdd")))
+      dd.crossJoin(mx)
+        .withColumn("is_max_dd", (col("drawdown_c") === col("mdd")).cast("int"))
+        .select(col("day").cast("string").as("day"), col("rev_c"),
+          col("peak_c"), col("drawdown_c"), col("is_max_dd"))
+        .orderBy("day")
+    }),
+
     // E8 FANO FACTOR — per-type overdispersion of the daily count
     // series: var/mean in milli (population variance, so the whole
     // statistic is the exact integral (n·Σx²−(Σx)²) div (n·Σx) — no
@@ -1293,6 +1365,61 @@ object EventOps {
         |SELECT CAST(a.day AS VARCHAR) AS day, a.v, num // den AS ema
         |FROM daily a JOIN agg USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |maxd AS (SELECT MAX(day) AS maxd FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(COALESCE(
+        |      date_diff('day', MIN(day),
+        |        MIN(CASE WHEN event_type = 'purchase' THEN day END)),
+        |      date_diff('day', MIN(day), (SELECT maxd FROM maxd))) AS BIGINT) AS obs,
+        |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN day END) IS NULL
+        |      THEN 0 ELSE 1 END AS ev
+        |  FROM ev GROUP BY user_id),
+        |n AS (SELECT COUNT(*) AS big_n FROM users),
+        |byday AS (
+        |  SELECT obs, COUNT(*) AS removed, CAST(SUM(ev) AS BIGINT) AS d
+        |  FROM users GROUP BY 1),
+        |grid AS (
+        |  SELECT obs, d,
+        |    (SELECT big_n FROM n) - CAST(COALESCE(SUM(removed) OVER (ORDER BY obs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+        |  FROM byday),
+        |g2 AS (SELECT obs, at_risk, d FROM grid WHERE d > 0),
+        |g3 AS (
+        |  SELECT obs, at_risk, d,
+        |    CASE WHEN at_risk > d
+        |      THEN LN(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE))
+        |    END AS ln_term,
+        |    MAX(CASE WHEN at_risk = d THEN 1 ELSE 0 END) OVER (ORDER BY obs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero
+        |  FROM g2)
+        |SELECT obs AS day, at_risk, d AS events,
+        |  CASE WHEN hit_zero = 1 THEN 0.0
+        |    ELSE ROUND(EXP(SUM(ln_term) OVER (ORDER BY obs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |  END AS surv
+        |FROM g3 ORDER BY day""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events GROUP BY 1),
+        |dd AS (
+        |  SELECT day, rev_c,
+        |    CAST(MAX(rev_c) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak_c
+        |  FROM daily),
+        |d2 AS (SELECT day, rev_c, peak_c, peak_c - rev_c AS drawdown_c FROM dd),
+        |mx AS (SELECT MAX(drawdown_c) AS mdd FROM d2)
+        |SELECT CAST(day AS VARCHAR) AS day, rev_c, peak_c, drawdown_c,
+        |  CAST(CASE WHEN drawdown_c = (SELECT mdd FROM mx)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_max_dd
+        |FROM d2 ORDER BY day""".stripMargin,
 
     "q_fano" ->
       """WITH daily AS (

@@ -515,6 +515,44 @@ object TextOps {
         .select("source", "n_docs", "words", "sents", "longwords", "lix_milli")
         .orderBy("source")),
 
+    // E5 TRENDING TERMS (batch) — the batch sibling of the streaming
+    // trendingTermsWriter: split the corpus into two halves at the
+    // doc_id midpoint (the testdata's ingest-order proxy), compute
+    // each token's occurrence rate per million tokens in each half,
+    // and rank the top-20 movers by |rate delta|. Rates rather than
+    // raw counts, so unequal half sizes don't fake a trend; a full
+    // outer join keeps terms that appear or vanish entirely (the most
+    // interesting movers). One (half, token) hash-agg + a vocabulary-
+    // keyed self-join; the top-20 is the native bounded heap, never a
+    // vocabulary sort.
+    "q_trending_terms" -> ((s, d) => {
+      val docs = documents(s, d)
+      val mid = broadcast(docs.agg(
+        expr("(min(doc_id) + max(doc_id)) div 2").as("mid")))
+      val toks = docs.crossJoin(mid)
+        .select(when(col("doc_id") <= col("mid"), lit(1)).otherwise(lit(2))
+          .as("half"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tot = toks.groupBy("half").agg(count(lit(1)).as("n"))
+      val rated = toks.groupBy("half", "token").agg(count(lit(1)).as("c"))
+        .join(broadcast(tot), "half")
+        .withColumn("rate_ppm", expr("c * 1000000 div n"))
+      val h1 = rated.filter(col("half") === 1)
+        .select(col("token"), col("rate_ppm").as("r1"))
+      val h2 = rated.filter(col("half") === 2)
+        .select(col("token"), col("rate_ppm").as("r2"))
+      val joined = h1.join(h2, Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("r1"), lit(0L)).as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+        .withColumn("delta_ppm", col("r2") - col("r1"))
+      graft.plans.TopKPerGroup(joined.withColumn("g", lit(1)), Seq(col("g")),
+          Seq(abs(col("delta_ppm")).desc, col("token").asc), k = 20)
+        .select(col("rn").cast("long").as("rank"), col("token"),
+          col("r1"), col("r2"), col("delta_ppm"))
+        .orderBy("rank")
+    }),
+
     // E5 ZIPF FIT — the power-law exponent of the corpus frequency
     // spectrum: OLS of ln(freq) on ln(rank) over the top-100 tokens
     // (a healthy natural-language corpus slopes ≈ −1; boilerplate and
@@ -987,6 +1025,35 @@ object TextOps {
           round((col("tf_raw").cast("double") / col("len")) *
             log(col("n_docs") / col("df")), 6).as("tfidf"))
         .orderBy("doc_id", "token")
+    }),
+
+    // E5 KEYWORD EXTRACTION — top-3 tf-idf terms per document, the
+    // per-doc summary field every search index and doc-card UI wants:
+    // the same score pipeline as q_tfidf (per-row IEEE-deterministic,
+    // so the cross-engine ranking comparisons agree bit-for-bit),
+    // ranked through the NATIVE bounded-heap top-k-per-doc — 3
+    // survivors per (doc, partition) cross the wire, never the full
+    // doc×vocab score table, and no Sort/WindowExec appears anywhere.
+    "q_keywords" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val perDoc = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_raw"))
+      val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val df = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = perDoc
+        .join(docLen, "doc_id")
+        .join(broadcast(df), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", (col("tf_raw").cast("double") / col("len")) *
+          log(col("n_docs") / col("df")))
+      graft.plans.TopKPerGroup(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("token").asc), k = 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rank"),
+          col("token"), round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
     }),
 
     // KEY-SKEW DIAGNOSTIC: the distribution report you run BEFORE
@@ -2129,6 +2196,58 @@ object TextOps {
         |FROM t GROUP BY token
         |HAVING COUNT(*) * 200 >= (SELECT total FROM tot)
         |ORDER BY n DESC, token ASC""".stripMargin,
+
+    "q_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |per_doc AS (SELECT doc_id, token, COUNT(*) AS tf_raw FROM toks GROUP BY 1, 2),
+        |doc_len AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+        |df AS (SELECT token, COUNT(*) AS df FROM per_doc GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT p.doc_id, p.token,
+        |    (CAST(p.tf_raw AS DOUBLE) / l.len)
+        |      * ln((SELECT n_docs FROM nd) / d.df) AS score
+        |  FROM per_doc p JOIN doc_len l USING (doc_id) JOIN df d USING (token)),
+        |ranked AS (
+        |  SELECT doc_id, token, score, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+        |  ROUND(score, 6) AS tfidf
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_trending_terms" ->
+      """WITH mid AS (
+        |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents),
+        |t AS (
+        |  SELECT half, token FROM (
+        |    SELECT CASE WHEN doc_id <= (SELECT mid FROM mid) THEN 1 ELSE 2 END AS half,
+        |      unnest(string_split(lower(text), ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |tot AS (SELECT half, COUNT(*) AS n FROM t GROUP BY 1),
+        |rated AS (
+        |  SELECT p.half, p.token, p.c * 1000000 // tot.n AS rate_ppm
+        |  FROM (SELECT half, token, COUNT(*) AS c FROM t GROUP BY 1, 2) p
+        |  JOIN tot USING (half)),
+        |j AS (
+        |  SELECT COALESCE(a.token, b.token) AS token,
+        |    COALESCE(a.rate_ppm, 0) AS r1, COALESCE(b.rate_ppm, 0) AS r2
+        |  FROM (SELECT token, rate_ppm FROM rated WHERE half = 1) a
+        |  FULL OUTER JOIN (SELECT token, rate_ppm FROM rated WHERE half = 2) b
+        |    ON a.token = b.token),
+        |ranked AS (
+        |  SELECT token, r1, r2, r2 - r1 AS delta_ppm,
+        |    ROW_NUMBER() OVER (ORDER BY ABS(r2 - r1) DESC, token ASC) AS rank
+        |  FROM j)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, r1, r2, delta_ppm
+        |FROM ranked WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
 
     "q_zipf_fit" ->
       """WITH c AS (

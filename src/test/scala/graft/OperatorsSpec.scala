@@ -1333,6 +1333,89 @@ class OperatorsSpec extends SparkTestBase {
     assert(nRec === distinctRecos)
   }
 
+  test("q_survival: product-limit curve matches a driver-side KM recompute") {
+    val got = graft.operators.EventOps.queries("q_survival")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    // driver-side model from raw events
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").cast("date").cast("string"))
+      .as[(Long, String, String)].collect()
+    val maxd = ev.map(_._3).max
+    def days(a: String, b: String) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(a), java.time.LocalDate.parse(b))
+    val users = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val entry = es.map(_._3).min
+      val fp = es.filter(_._2 == "purchase").map(_._3).sorted.headOption
+      (fp.map(days(entry, _)).getOrElse(days(entry, maxd)), fp.isDefined)
+    }
+    val n = users.size.toLong
+    val byDay = users.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = n; var s = 1.0
+    val model = byDay.flatMap { case (day, us) =>
+      val d = us.count(_._2).toLong
+      val row = if (d > 0) {
+        s *= (atRisk - d).toDouble / atRisk
+        Some((day, atRisk, d, math.rint(s * 1e6) / 1e6))
+      } else None
+      atRisk -= us.size
+      row
+    }
+    assert(got.length === model.length)
+    got.zip(model).foreach { case (g, m) =>
+      assert(g._1 === m._1 && g._2 === m._2 && g._3 === m._3, s"$g vs $m")
+      assert(math.abs(g._4 - m._4) < 2e-6, s"surv ${g._4} vs ${m._4} at day ${g._1}")
+    }
+    // curve sanity: S nonincreasing in (0, 1]
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 + 1e-9); assert(b._2 < a._2)
+    }
+  }
+
+  test("q_drawdown: drawdown is peak minus current, never negative, worst day flagged") {
+    val dd = graft.operators.EventOps.queries("q_drawdown")(spark, sf)
+      .as[(String, Long, Long, Long, Int)].collect()
+    var peak = Long.MinValue
+    dd.foreach { case (day, rev, p, draw, _) =>
+      peak = math.max(peak, rev)
+      assert(p === peak, s"$day running peak drifted")
+      assert(draw === p - rev && draw >= 0)
+    }
+    assert(dd.count(_._5 == 1) >= 1)
+    assert(dd.filter(_._5 == 1).map(_._4).distinct.length === 1)
+  }
+
+  test("q_trending_terms: top movers are maximal against a brute-force delta table") {
+    val got = graft.operators.TextOps.queries("q_trending_terms")(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSeq === (1L to got.length))
+    got.foreach { case (_, _, r1, r2, delta) =>
+      assert(r1 >= 0 && r1 <= 1000000L && r2 >= 0 && r2 <= 1000000L)
+      assert(delta === r2 - r1)
+    }
+    // brute force all deltas at this scale and confirm maximality
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mid = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    def toks(half: Int) = docs.filter(d => (d._1 <= mid) == (half == 1))
+      .flatMap(_._2.toLowerCase.split(" ")).filter(_.nonEmpty)
+    val (t1, t2) = (toks(1), toks(2))
+    def rates(ts: Array[String]) = {
+      val n = ts.length.toLong
+      ts.groupBy(identity).map { case (t, xs) => t -> xs.length * 1000000L / n }
+    }
+    val (m1, m2) = (rates(t1), rates(t2))
+    val deltas = (m1.keySet ++ m2.keySet).map { t =>
+      t -> (m2.getOrElse(t, 0L) - m1.getOrElse(t, 0L)) }.toMap
+    val worstListed = got.map(r => math.abs(r._5)).min
+    val beaten = deltas.count { case (t, dl) =>
+      math.abs(dl) > worstListed && !got.exists(_._2 == t) }
+    assert(beaten === 0, s"$beaten unlisted tokens beat the listed movers")
+    got.foreach { case (_, t, r1, r2, _) =>
+      assert(m1.getOrElse(t, 0L) === r1 && m2.getOrElse(t, 0L) === r2, t)
+    }
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

@@ -58,6 +58,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("session batch rides the native top-k: keywords/user_cf/trending, no window fallback") {
+    Seq("q_keywords", "q_user_cf", "q_trending_terms").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), s"$q must use the native bounded heap")
+      assert(!p.contains("WindowGroupLimit"),
+        s"$q should not fall back to the window-group-limit pipeline")
+    }
+  }
+
+  test("moment-aggregate family: one hash-agg pair, no Sort, no Window") {
+    Seq("q_embed_cov", "q_decision_stump", "q_fano", "q_propensity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains(" Window "), s"$q must not plan a window")
+      assert(p.contains("HashAggregate"), s"$q must hash-aggregate")
+    }
+  }
+
   test("q_filter_contains: StringContains pushed to the scan") {
     assert(plan("q_filter_contains").contains("StringContains(text,sort merge)"))
   }
