@@ -1114,11 +1114,19 @@ object RelQueries {
         .distinct()
       val band = cp.groupBy("p").agg(count(lit(1)).as("nc"))
         .filter(col("nc").between(2, 32)).select("p")
+      // explicit-count repartition before the explodes: the basket
+      // shuffle is KBs, the ≤32²/2-per-part fan-out AFTER it is the
+      // cost, and AQE's small-partition coalescing would otherwise
+      // funnel it into a handful of tasks (the q_fuzzy_match 12×
+      // lesson — measured 40 s → ~3 s here at sf0.1); localCheckpoint
+      // because BOTH symmetrization branches consume the pair table
       val pairs = cp.join(broadcast(band), Seq("p"))
         .groupBy("p").agg(collect_set(col("c")).as("cs"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(col("cs")).as("ca"), col("cs"))
         .select(col("ca"), explode(filter(col("cs"), x => x > col("ca"))).as("cb"))
         .groupBy("ca", "cb").agg(count(lit(1)).as("co"))
+        .localCheckpoint()
       val sym = pairs.select(col("ca").as("cust"), col("cb").as("peer"), col("co"))
         .unionByName(pairs.select(col("cb").as("cust"), col("ca").as("peer"), col("co")))
       graft.plans.TopKPerGroup(sym, Seq(col("cust")),
@@ -1152,9 +1160,13 @@ object RelQueries {
     // broadcast support table twice — O(pairs) work end to end, the
     // fact is never rescanned.
     "q_assoc_rules" -> ((s, d) => {
+      // localCheckpoint: the distinct item projection feeds the
+      // support table AND the order-count probe
       val items = lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
       val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s1"))
+        .localCheckpoint()
       val norders = broadcast(items.select("l_orderkey").distinct()
         .agg(count(lit(1)).as("n_orders")))
       val p = itemsetPairs(s, d)
@@ -1185,10 +1197,14 @@ object RelQueries {
     // even though parts is dimension-sized); the anti join is
     // (c, item)-keyed — one shuffle of O(4·customers).
     "q_negative_sampling" -> ((s, d) => {
+      // localCheckpoint: the positives table feeds BOTH the customer
+      // universe and the final anti join — without it the
+      // orders⋈lineitem distinct ran twice (measured 17 s → ~2 s)
       val pos = orders(s, d).join(lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint()
       val parts = part(s, d).select(col("p_partkey"))
       val gb = broadcast(parts.agg(count(lit(1)).as("np"),
         min("p_partkey").as("klo"), max("p_partkey").as("khi")))
@@ -1196,9 +1212,13 @@ object RelQueries {
         parts.crossJoin(gb), Seq.empty, Seq(col("p_partkey")),
         graft.operators.PrefixSum.rangeBucket(col("p_partkey"),
           col("klo"), col("khi"), 32), "pidx")
-        .select(col("p_partkey"), col("pidx"), col("np"))
+        .select(col("p_partkey"), col("pidx"))
+      // np must ride the LEFT side: referencing a right-side column
+      // inside the join key would demote this to a nested-loop join
+      // (measured 19 s → ~1 s at sf0.1)
       val cands = pos.select("c").distinct()
         .select(col("c"), explode(sequence(lit(0), lit(3))).as("k"))
+        .crossJoin(broadcast(gb.select("np")))
         .withColumn("h", conv(substring(md5(concat(lit("neg|"), col("c"),
           lit("|"), col("k"))), 1, 8), 16, 10).cast("long"))
       cands.join(broadcast(idx), pmod(col("h"), col("np")) + 1 === col("pidx"))

@@ -680,9 +680,12 @@ object EventOps {
     // more than O(days) rows no matter the corpus size; events are
     // touched exactly once by the leading hash-agg.
     "q_cusum" -> ((s, d) => {
+      // localCheckpoint the O(days) series: mean, cusum and peak all
+      // reuse it — without it the events scan ran four times
       val daily = events(s, d)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("v"))
+        .localCheckpoint()
       val m = broadcast(daily.agg(expr("sum(v) div count(1)").as("m")))
       val wd = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

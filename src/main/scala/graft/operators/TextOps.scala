@@ -535,9 +535,12 @@ object TextOps {
           explode(split(lower(col("text")), " ")).as("token"))
         .filter(col("token") =!= "")
       val tot = toks.groupBy("half").agg(count(lit(1)).as("n"))
+      // localCheckpoint: both half-filters below consume the rated
+      // table — without it the token explode runs twice
       val rated = toks.groupBy("half", "token").agg(count(lit(1)).as("c"))
         .join(broadcast(tot), "half")
         .withColumn("rate_ppm", expr("c * 1000000 div n"))
+        .localCheckpoint()
       val h1 = rated.filter(col("half") === 1)
         .select(col("token"), col("rate_ppm").as("r1"))
       val h2 = rated.filter(col("half") === 2)

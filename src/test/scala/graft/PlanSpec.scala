@@ -67,6 +67,16 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_negative_sampling: proposal-to-index join is hash on pidx, anti join present") {
+    // the 1-row broadcast crossJoins (np, min/max) legitimately plan as
+    // BNLJ; the regression this pins is the INDEX join demoting to a
+    // nested loop when np is referenced from the right side (19 s → 1 s)
+    val p = plan("q_negative_sampling")
+    assert(p.contains("BroadcastHashJoin [(pmod(h"),
+      "proposal→index lookup must be a broadcast HASH join on the computed pidx key")
+    assert(p.contains("LeftAnti"), "collision rejection must be an anti join")
+  }
+
   test("moment-aggregate family: one hash-agg pair, no Sort, no Window") {
     Seq("q_embed_cov", "q_decision_stump", "q_fano", "q_propensity").foreach { q =>
       val p = plan(q)
