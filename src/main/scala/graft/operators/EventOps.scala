@@ -814,6 +814,73 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // E8 EMPIRICAL-BAYES SMOOTHED CTR — per-user click-through rate
+    // shrunk toward the global rate with prior strength m=10 (the
+    // q_target_encoding formula applied to behavioral rates): naive
+    // per-user CTRs rank a 1-view-1-click user above a 99/100 power
+    // user; the shrinkage fixes exactly that. smoothed_ppm =
+    // (clicks·1e6 + 10·global_ppm) div (views + 10), every term
+    // integral. One user-keyed hash-agg + a broadcast 1-row global.
+    "q_ctr_smoothed" -> ((s, d) => {
+      val uv = events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(sum((col("event_type") === "view").cast("long")).as("views"),
+          sum((col("event_type") === "click").cast("long")).as("clicks"))
+        .filter(col("views") > 0)
+      val g = broadcast(uv.agg(
+        expr("sum(clicks) * 1000000 div sum(views)").as("global_ppm")))
+      uv.crossJoin(g)
+        .withColumn("raw_ppm", expr("clicks * 1000000 div views"))
+        .withColumn("smoothed_ppm",
+          expr("(clicks * 1000000 + 10 * global_ppm) div (views + 10)"))
+        .select("user_id", "views", "clicks", "raw_ppm", "smoothed_ppm")
+        .orderBy("user_id")
+    }),
+
+    // E8 NEW-USER RATE — per day, the share of active users seen for
+    // the FIRST time (the growth-analytics novelty curve; a cliff
+    // here is an acquisition outage long before totals move). First-
+    // seen day is one user-keyed min; the day join is O(days). Both
+    // aggregates are map-side-combined single shuffles.
+    "q_new_user_rate" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val dau = ev.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      dau.join(first, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("novelty_ppm", expr("new_users * 1000000 div dau"))
+        .select(col("day").cast("string").as("day"), col("dau"),
+          col("new_users"), col("novelty_ppm"))
+        .orderBy("day")
+    }),
+
+    // E8 PARETO SHARE — how much of all activity the top decile of
+    // users generates (the "80/20" concentration scalar; q_engagement
+    // _gini's decision-ready sibling). Users are ranked by event count
+    // DESC through the two-phase distributed row number (never one
+    // task's sort), the decile cut is an exact integral rank bound,
+    // and the shares are two sums. Output is one row.
+    "q_pareto_share" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n"))
+      val gb = broadcast(users.agg(min("n").as("glo"), max("n").as("ghi"),
+        count(lit(1)).as("n_users"), sum("n").as("total")))
+      val ranked = graft.operators.PrefixSum.rowNumber(
+        users.crossJoin(gb), Seq.empty,
+        Seq(col("n").desc, col("user_id").asc),
+        graft.operators.PrefixSum.rangeBucket(-col("n"), -col("ghi"),
+          -col("glo"), 32), "rk")
+      ranked
+        .withColumn("in_top", (col("rk") * 10 <= col("n_users")).cast("long"))
+        .agg(max(col("n_users")).as("n_users"), max(col("total")).as("total"),
+          sum(col("in_top")).as("top_users"),
+          sum(col("in_top") * col("n")).as("top_events"))
+        .withColumn("pareto_ppm", expr("top_events * 1000000 div total"))
+        .select("n_users", "top_users", "total", "top_events", "pareto_ppm")
+    }),
+
     // E8 FANO FACTOR — per-type overdispersion of the daily count
     // series: var/mean in milli (population variance, so the whole
     // statistic is the exact integral (n·Σx²−(Σx)²) div (n·Σx) — no
@@ -1423,6 +1490,48 @@ object EventOps {
         |  CAST(CASE WHEN drawdown_c = (SELECT mdd FROM mx)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_max_dd
         |FROM d2 ORDER BY day""".stripMargin,
+
+    "q_ctr_smoothed" ->
+      """WITH uv AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+        |u2 AS (SELECT * FROM uv WHERE views > 0),
+        |g AS (SELECT CAST(SUM(clicks) AS BIGINT) * 1000000
+        |        // CAST(SUM(views) AS BIGINT) AS global_ppm FROM u2)
+        |SELECT user_id, views, clicks,
+        |  clicks * 1000000 // views AS raw_ppm,
+        |  (clicks * 1000000 + 10 * (SELECT global_ppm FROM g))
+        |    // (views + 10) AS smoothed_ppm
+        |FROM u2 ORDER BY user_id""".stripMargin,
+
+    "q_new_user_rate" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ev GROUP BY 1),
+        |f AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+        |nu AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(d.day AS VARCHAR) AS day, d.dau,
+        |  CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(COALESCE(nu.new_users, 0) AS BIGINT) * 1000000 // d.dau AS novelty_ppm
+        |FROM dau d LEFT JOIN nu ON nu.day = d.day
+        |ORDER BY day""".stripMargin,
+
+    "q_pareto_share" ->
+      """WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rk
+        |      FROM u),
+        |tot AS (SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS total FROM u)
+        |SELECT (SELECT n_users FROM tot) AS n_users,
+        |  CAST(SUM(CASE WHEN rk * 10 <= (SELECT n_users FROM tot)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS top_users,
+        |  (SELECT total FROM tot) AS total,
+        |  CAST(SUM(CASE WHEN rk * 10 <= (SELECT n_users FROM tot)
+        |    THEN n ELSE 0 END) AS BIGINT) AS top_events,
+        |  CAST(SUM(CASE WHEN rk * 10 <= (SELECT n_users FROM tot)
+        |    THEN n ELSE 0 END) AS BIGINT) * 1000000
+        |    // (SELECT total FROM tot) AS pareto_ppm
+        |FROM r""".stripMargin,
 
     "q_fano" ->
       """WITH daily AS (

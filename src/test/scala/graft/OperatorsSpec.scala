@@ -1416,6 +1416,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("engagement scalars: CTR shrinkage orders correctly, novelty telescopes, pareto beats uniform") {
+    // shrinkage: smoothed sits strictly between raw and global (unless equal)
+    val ctr = graft.operators.EventOps.queries("q_ctr_smoothed")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val gv = ctr.map(_._2).sum; val gc = ctr.map(_._3).sum
+    val global = gc * 1000000L / gv
+    ctr.foreach { case (u, v, c, raw, sm) =>
+      assert(sm === (c * 1000000L + 10 * global) / (v + 10), s"user $u formula")
+      if (raw < global) assert(sm >= raw && sm <= global + 1, s"user $u shrink up")
+      if (raw > global) assert(sm <= raw && sm >= global - 1, s"user $u shrink down")
+    }
+    // novelty: day-1 is 100% new, and new_users sums to the user universe
+    val nu = graft.operators.EventOps.queries("q_new_user_rate")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(nu.head._4 === 1000000L, "every first-day active user is new")
+    val totalUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(nu.map(_._3).sum === totalUsers)
+    // pareto: the top decile's share must be at least its population share
+    val (nUsers, topUsers, total, topEvents, ppm) =
+      graft.operators.EventOps.queries("q_pareto_share")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(topUsers === nUsers / 10)
+    assert(topEvents <= total && ppm >= topUsers * 1000000L / nUsers,
+      s"top decile below uniform share: $ppm")
+  }
+
   test("q_itemset_triples: every frequent triple's sub-pairs are frequent (Apriori property)") {
     val triples = graft.analytics.RelQueries.queries("q_itemset_triples")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
