@@ -1196,37 +1196,7 @@ object RelQueries {
     // index uses the two-phase distributed rank (no single-task sort
     // even though parts is dimension-sized); the anti join is
     // (c, item)-keyed — one shuffle of O(4·customers).
-    "q_negative_sampling" -> ((s, d) => {
-      // localCheckpoint: the positives table feeds BOTH the customer
-      // universe and the final anti join — without it the
-      // orders⋈lineitem distinct ran twice (measured 17 s → ~2 s)
-      val pos = orders(s, d).join(lineitem(s, d),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-        .localCheckpoint()
-      val parts = part(s, d).select(col("p_partkey"))
-      val gb = broadcast(parts.agg(count(lit(1)).as("np"),
-        min("p_partkey").as("klo"), max("p_partkey").as("khi")))
-      val idx = graft.operators.PrefixSum.rowNumber(
-        parts.crossJoin(gb), Seq.empty, Seq(col("p_partkey")),
-        graft.operators.PrefixSum.rangeBucket(col("p_partkey"),
-          col("klo"), col("khi"), 32), "pidx")
-        .select(col("p_partkey"), col("pidx"))
-      // np must ride the LEFT side: referencing a right-side column
-      // inside the join key would demote this to a nested-loop join
-      // (measured 19 s → ~1 s at sf0.1)
-      val cands = pos.select("c").distinct()
-        .select(col("c"), explode(sequence(lit(0), lit(3))).as("k"))
-        .crossJoin(broadcast(gb.select("np")))
-        .withColumn("h", conv(substring(md5(concat(lit("neg|"), col("c"),
-          lit("|"), col("k"))), 1, 8), 16, 10).cast("long"))
-      cands.join(broadcast(idx), pmod(col("h"), col("np")) + 1 === col("pidx"))
-        .select(col("c"), col("k").cast("long").as("k"),
-          col("p_partkey").as("neg_p"))
-        .join(pos.withColumnRenamed("p", "neg_p"), Seq("c", "neg_p"), "left_anti")
-        .orderBy("c", "k")
-    }),
+    "q_negative_sampling" -> ((s, d) => negativeSampling(s, d)),
 
     // FREQUENT ITEMSET TRIPLES — the Apriori level-3 pass: candidate
     // (a < b < c) triples are generated ONLY from items that survive
@@ -1304,11 +1274,17 @@ object RelQueries {
         .withColumn("expected_ppm",
           expr("cast(round(log10(1.0 + 1.0 / digit) * 1000000) as bigint)"))
         .withColumn("observed_ppm", expr("n * 1000000 div total"))
-        .withColumn("chi2_part", expr(
-          """round(((n - total * expected_ppm / 1000000.0) *
-            |       (n - total * expected_ppm / 1000000.0)) /
-            |      (total * expected_ppm / 1000000.0), 4)""".stripMargin))
-        .select("digit", "n", "observed_ppm", "expected_ppm", "chi2_part")
+        // χ² carried in integral milli (multiply-before-divide in
+        // bigint, the modularity pattern): E3 = milli expected count,
+        // D = milli deviation, chi2·1000 = D² div E3. Both engines
+        // truncate identically — no half-ulp double rounding to
+        // disagree on. Overflow bound: D ≤ n·1000, D² ≤ 9.2e18 for
+        // n ≤ 3e7 per digit; beyond that drop to centi.
+        .withColumn("chi2_milli", expr(
+          """(n * 1000 - (total * expected_ppm) div 1000) *
+            |(n * 1000 - (total * expected_ppm) div 1000) div
+            |((total * expected_ppm) div 1000)""".stripMargin))
+        .select("digit", "n", "observed_ppm", "expected_ppm", "chi2_milli")
         .orderBy("digit")
     }),
 
@@ -1554,7 +1530,53 @@ object RelQueries {
   }
 
   private def itemsetPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d), itemsetPairsPlan(s, d).localCheckpoint())
+    pairCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("itemset_pairs")(itemsetPairsPlan(s, d).localCheckpoint()))
+
+  /** q_negative_sampling body, parameterized so PlanSpec can pin BOTH
+    * join strategies. The item-index probe is equi-keyed
+    * (`pmod(h, np) + 1 === pidx`), so the broadcast hint is an
+    * optimization, not a requirement — and at a 10⁸-item catalog an
+    * unconditional hint would itself be the scale-killer (round-6
+    * verdict). The hint is therefore gated on the index row count
+    * (known from one cheap single-column dimension count; ~16 B/row,
+    * so the default cap ≈ 32 MB broadcast): small catalog →
+    * broadcast-hash probe with zero shuffle of the 4·|customers|
+    * candidate side; large catalog → plain equi shuffle join, which
+    * partitions both sides by the key and scales with the data. */
+  private[graft] def negativeSampling(s: SparkSession, d: String,
+      broadcastMaxRows: Long = 2000000L): DataFrame = {
+    // localCheckpoint: the positives table feeds BOTH the customer
+    // universe and the final anti join — without it the
+    // orders⋈lineitem distinct ran twice (measured 17 s → ~2 s)
+    val pos = orders(s, d).join(lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val parts = part(s, d).select(col("p_partkey"))
+    val gb = broadcast(parts.agg(count(lit(1)).as("np"),
+      min("p_partkey").as("klo"), max("p_partkey").as("khi")))
+    val idx = graft.operators.PrefixSum.rowNumber(
+      parts.crossJoin(gb), Seq.empty, Seq(col("p_partkey")),
+      graft.operators.PrefixSum.rangeBucket(col("p_partkey"),
+        col("klo"), col("khi"), 32), "pidx")
+      .select(col("p_partkey"), col("pidx"))
+    val idxSide = if (parts.count() <= broadcastMaxRows) broadcast(idx) else idx
+    // np must ride the LEFT side: referencing a right-side column
+    // inside the join key would demote this to a nested-loop join
+    // (measured 19 s → ~1 s at sf0.1)
+    val cands = pos.select("c").distinct()
+      .select(col("c"), explode(sequence(lit(0), lit(3))).as("k"))
+      .crossJoin(broadcast(gb.select("np")))
+      .withColumn("h", conv(substring(md5(concat(lit("neg|"), col("c"),
+        lit("|"), col("k"))), 1, 8), 16, 10).cast("long"))
+    cands.join(idxSide, pmod(col("h"), col("np")) + 1 === col("pidx"))
+      .select(col("c"), col("k").cast("long").as("k"),
+        col("p_partkey").as("neg_p"))
+      .join(pos.withColumnRenamed("p", "neg_p"), Seq("c", "neg_p"), "left_anti")
+      .orderBy("c", "k")
+  }
 
   /** DERIVED partsupp relation: the testdata ships no partsupp table,
     * so the five TPC-H queries that need one (Q2, Q9, Q11, Q16, Q20)
@@ -1794,9 +1816,9 @@ object RelQueries {
         |SELECT g.digit, g.n,
         |  g.n * 1000000 // t.total AS observed_ppm,
         |  CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) AS expected_ppm,
-        |  ROUND(((g.n - t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0) *
-        |         (g.n - t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0)) /
-        |        (t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT) / 1000000.0), 4) AS chi2_part
+        |  (g.n * 1000 - (t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT)) // 1000) *
+        |  (g.n * 1000 - (t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT)) // 1000) //
+        |  ((t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT)) // 1000) AS chi2_milli
         |FROM g CROSS JOIN t ORDER BY g.digit""".stripMargin,
 
     "q_expectations" ->

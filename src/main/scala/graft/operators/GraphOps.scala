@@ -294,7 +294,7 @@ object GraphOps {
   private[graft] def clearMemos(): Unit = clusterCache.clear()
 
   private def clusters(s: SparkSession, d: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, d), {
+    clusterCache.getOrElseUpdate((s, d), graft.MemoStats.timed("cluster_labels") {
       val labels = blockedComponents(verifiedPairs(s, d))
       documents(s, d).select(col("doc_id"))
         .join(labels, col("doc_id") === col("node"), "left")

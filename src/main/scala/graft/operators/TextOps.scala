@@ -70,7 +70,8 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[operators] def winnowPairs(s: SparkSession, d: String): DataFrame =
-    winnowCache.getOrElseUpdate((s, d), winnowPairsPlan(s, d).localCheckpoint())
+    winnowCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("winnow_pairs")(winnowPairsPlan(s, d).localCheckpoint()))
 
   /** The raw pair pipeline, pre-memo (plan pins target THIS shape). */
   private[operators] def winnowPairsPlan(s: SparkSession, d: String): DataFrame = {
@@ -254,13 +255,63 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    shingleIdxCache.getOrElseUpdate((s, d), shingleIndexPlan(s, d).localCheckpoint())
+    shingleIdxCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("shingle_index")(shingleIndexPlan(s, d).localCheckpoint()))
 
   /** Drop memoized indexes — measurement harnesses (ScaleRehearsal)
     * call this so a timed run can't silently hit the cache. */
   private[graft] def clearMemos(): Unit = {
     shingleIdxCache.clear()
     winnowCache.clear()
+  }
+
+  /** Two-pass exact heavy hitters over a `token` column (q_heavy_hitters
+    * body, parameterized so the spec can drive alternate partitionings
+    * and gates). Completeness invariant: MG capacity `cap` must be at
+    * least 2·shareDenom (i.e. cap ≥ 2/share). The provable pigeonhole
+    * bound needs only cap + 1 > shareDenom — a token with global share
+    * ≥ 1/shareDenom has local share ≥ 1/shareDenom > 1/(cap+1) in at
+    * least one partition, so its MG counter stays positive there — and
+    * the enforced 2× is deliberate margin so a user tightening the
+    * share gate without growing the cap gets a loud error instead of a
+    * silently incomplete candidate set. */
+  private[graft] def heavyHitters(toks: DataFrame, shareDenom: Long = 200L,
+      cap: Int = 400): DataFrame = {
+    require(cap.toLong >= 2L * shareDenom,
+      s"MG capacity $cap < 2*shareDenom=${2 * shareDenom}: the screen could " +
+        "drop a true heavy hitter (completeness needs cap+1 > shareDenom; " +
+        "the 2x is the enforced safety margin)")
+    val s = toks.sparkSession
+    import s.implicits._
+    val cands = toks.select(col("token")).as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None =>
+            if (counts.size < cap) counts(t) = 1L
+            else {
+              // decrement-all step, evicting zeroed counters — the
+              // classic MG maintenance that bounds state at `cap`.
+              // Keys are snapshotted first: removing/updating a scala
+              // mutable map while iterating it is formally undefined.
+              counts.keys.toArray.foreach { k =>
+                val c = counts(k)
+                if (c == 1L) counts.remove(k) else counts(k) = c - 1
+              }
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val tot = broadcast(toks.agg(count(lit(1)).as("total")))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .filter(col("n") * shareDenom >= col("total"))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .select("token", "n", "share_ppm")
+      .orderBy(col("n").desc, col("token").asc)
   }
 
   /** LOSSLESS PPJoin candidate generation (Chaudhuri et al. SSJoin;
@@ -433,40 +484,10 @@ object TextOps {
     // groupBy-count-filter the oracle runs. (mapPartitions is the
     // deliberate choice here: MG is genuine per-partition imperative
     // state with no Catalyst equivalent.)
-    "q_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      val toks = documents(s, d)
+    "q_heavy_hitters" -> ((s, d) =>
+      heavyHitters(documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("token"))
-        .filter(col("token") =!= "")
-      val cands = toks.as[String].mapPartitions { it =>
-        val cap = 400
-        val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach { t =>
-          counts.get(t) match {
-            case Some(c) => counts(t) = c + 1
-            case None =>
-              if (counts.size < cap) counts(t) = 1L
-              else {
-                // decrement-all step, evicting zeroed counters — the
-                // classic MG maintenance that bounds state at `cap`
-                val dead = List.newBuilder[String]
-                counts.foreach { case (k, c) =>
-                  if (c == 1L) dead += k else counts(k) = c - 1 }
-                dead.result().foreach(counts.remove)
-              }
-          }
-        }
-        counts.keysIterator
-      }.toDF("token").distinct()
-      val tot = broadcast(toks.agg(count(lit(1)).as("total")))
-      toks.join(broadcast(cands), Seq("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-        .crossJoin(tot)
-        .filter(col("n") * 200 >= col("total"))
-        .withColumn("share_ppm", expr("n * 1000000 div total"))
-        .select("token", "n", "share_ppm")
-        .orderBy(col("n").desc, col("token").asc)
-    }),
+        .filter(col("token") =!= ""))),
 
     // E5 SIMPSON DIVERSITY — per-source repeat-probability of the
     // unigram distribution: D = Σc(c−1) / N(N−1) in ppm (the chance

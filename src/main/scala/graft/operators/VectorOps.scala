@@ -81,7 +81,8 @@ object VectorOps {
   private[graft] def clearMemos(): Unit = phashCache.clear()
 
   private def imagePhash(s: SparkSession, d: String): DataFrame =
-    phashCache.getOrElseUpdate((s, d), imagePhashPlan(s, d).localCheckpoint())
+    phashCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("image_phash")(imagePhashPlan(s, d).localCheckpoint()))
 
   /** The raw decode pipeline, pre-memo (PlanSpec pins THIS shape). */
   private[graft] def imagePhashPlan(s: SparkSession, d: String): DataFrame = {

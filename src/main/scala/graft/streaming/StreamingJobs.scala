@@ -277,11 +277,13 @@ object StreamingJobs {
                 else {
                   // decrement-all, evicting zeroed counters (classic
                   // MG maintenance; deficiency grows ≤ 1/(cap+1) of
-                  // the tokens processed)
-                  val dead = List.newBuilder[String]
-                  counts.foreach { case (k, c) =>
-                    if (c == 1L) dead += k else counts(k) = c - 1 }
-                  dead.result().foreach(counts.remove)
+                  // the tokens processed). Keys snapshotted first:
+                  // mutating a scala mutable map while iterating it
+                  // is formally undefined.
+                  counts.keys.toArray.foreach { k =>
+                    val c = counts(k)
+                    if (c == 1L) counts.remove(k) else counts(k) = c - 1
+                  }
                 }
             }
           }

@@ -1111,12 +1111,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(hh === brute, "MG screen must not lose any true heavy hitter")
     assert(hh.nonEmpty)
     // a different physical partitioning yields different MG candidates
-    // but must yield the identical final answer
+    // but the FULL pipeline (screen + exact recount) must yield the
+    // identical final answer — run it end-to-end on the alternate
+    // partitioning, don't just count tokens
     val skewed = graft.sources.Tables.documents(spark, sf).repartition(2)
     val toks2 = skewed
       .select(explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
-    assert(toks2.count() === total)
+    val hh2 = graft.operators.TextOps.heavyHitters(toks2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(hh2 === brute,
+      "heavy-hitter output must be invariant to physical partitioning")
+    // ...and at the minimal legal capacity (cap = 2*shareDenom, the
+    // enforced invariant boundary) completeness still holds
+    val hhMin = graft.operators.TextOps.heavyHitters(toks2, cap = 400,
+      shareDenom = 200L).as[(String, Long, Long)].collect().toSet
+    assert(hhMin === brute)
+    // tightening the share gate without growing the cap must fail loud
+    // (cap >= 2*shareDenom), not silently lose heavy hitters
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextOps.heavyHitters(toks2, shareDenom = 1000L, cap = 400)
+    }
   }
 
   test("q_embed_cov: variances on the diagonal are nonnegative, n constant") {
