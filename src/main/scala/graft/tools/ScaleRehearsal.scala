@@ -134,6 +134,18 @@ object ScaleRehearsal {
     "q_decision_stump" -> Seq("embeddings"),
     "q_user_cf" -> Seq("lineitem", "orders"),
     "q_acf" -> Seq("events"),
+    // round-7 batch: the round-6 heavy bench tail (verdict item 7).
+    // q_assoc_rules inherits the lineitem disjoint-vocab recipe, so
+    // frequent pairs and the rules derived from them scale ×N at
+    // constant support. q_lsh_recall's embeddings replica repeats the
+    // SAME vectors with new ids — bucket occupancy rises ×N, but the
+    // eval is probe-bounded (50 queries), so cost is probe×occupancy
+    // = ×N, the linearity claim under test. q_image_near_dup's
+    // payloads derive from doc_id, which the replica offsets — hash
+    // distribution (and band-collision density) stays constant.
+    "q_assoc_rules" -> Seq("lineitem"),
+    "q_lsh_recall" -> Seq("embeddings"),
+    "q_image_near_dup" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

@@ -283,6 +283,18 @@ class OperatorsSpec extends SparkTestBase {
       template.length - (idatAt + 12 + idatLen))
     val Some((_, _, got34)) = PixelCodec.decode(spliced.toByteArray)
     assert(got34.toSeq === px.flatten.toSeq, "average/paeth filter reversal")
+    // the catalog's q_image_phash fixture is a REAL zlib stream: the
+    // first DEFLATE block uses Huffman coding (BTYPE 01/10), not
+    // stored (00), and the compressed body beats the raw scanlines —
+    // i.e. the decode path exercises genuine DEFLATE, not a stored-
+    // block shortcut
+    val fix = graft.operators.Multimodal.syntheticPixelImage(4L) // even id → PNG
+    val (fAt, fLen) = chunkAt(fix, "IDAT")
+    assert(fAt > 0, "fixture must carry an IDAT chunk")
+    val btype = ((fix(fAt + 8 + 2) & 0xff) >> 1) & 0x3 // after 2-byte zlib hdr
+    assert(btype == 1 || btype == 2,
+      s"fixture IDAT must be Huffman-compressed, got BTYPE=$btype")
+    assert(fLen < 16 * (1 + 16), "compressed IDAT must beat raw scanline bytes")
     // corrupt payloads are data, not crashes
     assert(PixelCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(PixelCodec.decode(
