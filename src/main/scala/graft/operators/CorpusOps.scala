@@ -608,6 +608,64 @@ object CorpusOps {
           round(col("inter").cast("double") /
             (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
         .orderBy("s1", "s2")
+    }),
+
+    // TEMPERATURE-MIXED BUDGET ALLOCATION — the mixture-weights table a
+    // training config consumes: source weights ∝ n^(1/2) (temperature
+    // 2 up-weights small sources relative to proportional sampling),
+    // then a fixed token budget split by LARGEST-REMAINDER apportionment
+    // so the integral allocations sum EXACTLY to the budget (floor-only
+    // truncation would silently under-allocate by up to |sources|-1).
+    // All integral: floor(sqrt(n)) is exact in both engines (IEEE sqrt
+    // is correctly rounded), and the remainder ranking is bigint mod.
+    // The whole query is one O(sources) aggregate — the corpus is
+    // touched once for counts; the apportionment window runs over the
+    // source DIMENSION (O(1) rows), never the data.
+    "q_temperature_mix" -> ((s, d) => {
+      val budget = 1000000L
+      val counts = documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val tot = broadcast(counts.agg(sum("w").as("tot_w")))
+      val sized = counts.crossJoin(tot)
+        .withColumn("alloc_floor", expr(s"$budget * w div tot_w"))
+        .withColumn("rem", expr(s"($budget * w) % tot_w"))
+      val deficit = broadcast(sized.agg(
+        (lit(budget) - sum("alloc_floor")).as("r")))
+      val wr = Window.orderBy(col("rem").desc, col("source").asc)
+      sized.withColumn("rr", row_number().over(wr)).crossJoin(deficit)
+        .withColumn("alloc",
+          col("alloc_floor") + when(col("rr") <= col("r"), 1L).otherwise(0L))
+        .withColumn("weight_ppm", expr("w * 1000000 div tot_w"))
+        .select("source", "n_docs", "w", "weight_ppm", "alloc")
+        .orderBy("source")
+    }),
+
+    // RANDOMIZED RESPONSE — the local-differential-privacy collection
+    // primitive: each user reports their sensitive bit truthfully with
+    // p = 3/4, otherwise reports a fixed coin — and the aggregate
+    // debiases back to an unbiased rate estimate t̂ = (8·yes − n)/(6·n).
+    // Both coins are md5-derived (portable across engines), the truth
+    // bit is key arithmetic, and the estimator is pure bigint — the
+    // privacy mechanism AND its calibration error are oracle-exact.
+    // One narrow projection + one aggregate; nothing per-user survives
+    // the query, which is the point of the mechanism.
+    "q_randomized_response" -> ((s, d) => {
+      val users = events(s, d).select(col("user_id")).distinct()
+        .withColumn("t", (col("user_id") % 3 === 0).cast("long"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("rr|"), col("user_id"))), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("report",
+          when(col("h") % 4 < 3, col("t")).otherwise((expr("h div 4") % 2)))
+      users.agg(
+          count(lit(1)).as("n"),
+          sum("t").as("n_true"),
+          sum("report").as("n_yes"))
+        .withColumn("actual_ppm", expr("n_true * 1000000 div n"))
+        .withColumn("est_ppm", expr("(8 * n_yes - n) * 1000000 div (6 * n)"))
+        .withColumn("abs_err_ppm", abs(col("est_ppm") - col("actual_ppm")))
+        .select("n", "n_true", "n_yes", "actual_ppm", "est_ppm", "abs_err_ppm")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -977,5 +1035,48 @@ object CorpusOps {
         |       WHEN n_chars > n_tokens * 8 THEN 'drop:long_tokens'
         |       WHEN n_stop = 0 THEN 'drop:no_stopwords'
         |       ELSE 'keep' END AS verdict
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM c),
+        |s AS (
+        |  SELECT c.source, c.n_docs, c.w,
+        |    1000000 * c.w // t.tot_w AS alloc_floor,
+        |    (1000000 * c.w) % t.tot_w AS rem,
+        |    c.w * 1000000 // t.tot_w AS weight_ppm
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT 1000000 - CAST(SUM(alloc_floor) AS BIGINT) AS deficit FROM s),
+        |k AS (
+        |  SELECT s.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr
+        |  FROM s)
+        |SELECT k.source, k.n_docs, k.w, k.weight_ppm,
+        |  k.alloc_floor + CASE WHEN k.rr <= r.deficit THEN 1 ELSE 0 END AS alloc
+        |FROM k CROSS JOIN r ORDER BY k.source""".stripMargin,
+
+    "q_randomized_response" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(('0x' || substr(md5('rr|' || user_id), 1, 8)) AS BIGINT) AS h
+        |  FROM u),
+        |rep AS (
+        |  SELECT t,
+        |    CASE WHEN h % 4 < 3 THEN t ELSE (h // 4) % 2 END AS report
+        |  FROM b),
+        |a AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS n_true,
+        |    CAST(SUM(report) AS BIGINT) AS n_yes
+        |  FROM rep)
+        |SELECT n, n_true, n_yes,
+        |  n_true * 1000000 // n AS actual_ppm,
+        |  (8 * n_yes - n) * 1000000 // (6 * n) AS est_ppm,
+        |  abs((8 * n_yes - n) * 1000000 // (6 * n) - n_true * 1000000 // n)
+        |    AS abs_err_ppm
+        |FROM a""".stripMargin)
 }

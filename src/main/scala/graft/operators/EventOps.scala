@@ -956,6 +956,27 @@ object EventOps {
         .withColumn("is_peak", (abs(col("xcov")) === col("peak")).cast("int"))
         .select("lag_d", "n_pairs", "xcov", "is_peak")
         .orderBy("lag_d")
+    }),
+
+    // DAU/WAU STICKINESS — the product-health ratio (what share of the
+    // week's active users showed up each day), integral ppm. Two
+    // distinct-user rollups (day- and week-grained) that shuffle on
+    // (period, user); the per-period outputs are calendar-bounded
+    // (O(days), O(weeks)), so the week side broadcasts into the day
+    // table no matter how large the event volume — the classic
+    // aggregate-then-join shape that never re-shuffles raw events.
+    "q_stickiness" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      val dau = ev.distinct()
+        .groupBy("day", "week").agg(count(lit(1)).as("dau"))
+      val wau = ev.select("week", "user_id").distinct()
+        .groupBy("week").agg(count(lit(1)).as("wau"))
+      dau.join(broadcast(wau), "week")
+        .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
+        .select("day", "week", "dau", "wau", "stickiness_ppm")
+        .orderBy("day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -1578,5 +1599,17 @@ object EventOps {
         |SELECT lag_d, n_pairs, xcov,
         |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
-        |FROM xc ORDER BY lag_d""".stripMargin)
+        |FROM xc ORDER BY lag_d""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |    strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+        |  FROM events),
+        |dau AS (SELECT day, week, COUNT(*) AS dau FROM e GROUP BY 1, 2),
+        |wau AS (
+        |  SELECT week, COUNT(DISTINCT user_id) AS wau FROM e GROUP BY 1)
+        |SELECT d.day, d.week, d.dau, w.wau,
+        |  d.dau * 1000000 // w.wau AS stickiness_ppm
+        |FROM dau d JOIN wau w ON d.week = w.week ORDER BY d.day""".stripMargin)
 }

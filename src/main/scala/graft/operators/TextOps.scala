@@ -1969,6 +1969,113 @@ object TextOps {
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
+    }),
+
+    // E4/E5 SPARSE LEXICAL RETRIEVAL — tf-idf-weighted cosine top-3
+    // per probe doc over the INVERTED INDEX: the lexical complement to
+    // the dense-embedding ANN family (BM25 ranks query terms; this
+    // ranks whole-document sparse vectors — the classic near-dup /
+    // related-doc scorer). Terms are BIGRAM shingles (the unigram
+    // vocabulary of the synthetic corpus is 31 words with near-total
+    // df — no unigram discriminates; bigrams are the smallest shingle
+    // with a real idf spectrum, and shingled tf-idf is the standard
+    // near-dup feature anyway). Weights are integral (tf × milli-
+    // quantized idf), so norms and dots are exact bigint sums; the
+    // only FP is the final correctly-rounded sqrt/divide, rounded to
+    // 6 places. Candidate generation joins probes to the index ON
+    // TERM with a df CAP (idf ≥ 1.0, i.e. df ≤ n/e): stopword-grade
+    // terms carry ~zero weight but dominate fan-out, so dropping them
+    // bounds the probe cost at Σ df(informative terms) — the standard
+    // impact-ordered-index trade, and the reason this stays
+    // computable when the corpus (and its stopword df) grows 1000×.
+    "q_tfidf_cosine" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x != '')").as("a"))
+        .select(col("doc_id"), explode(expr(
+          """case when size(a) >= 2
+            |then transform(sequence(1, size(a) - 1),
+            |               i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))
+            |else cast(array() as array<string>) end""".stripMargin)).as("token"))
+      val perDoc = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val nDocs = broadcast(documents(s, d).agg(count(lit(1)).as("n_docs")))
+      val idf = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .withColumn("idf_milli",
+          expr("cast(round(ln(cast(n_docs as double) / df) * 1000) as bigint)"))
+        .filter(col("idf_milli") >= 1000)
+        .select("token", "idf_milli")
+      val w = perDoc.join(idf, "token")
+        .select(col("doc_id"), col("token"),
+          (col("tf") * col("idf_milli")).as("w"))
+        .localCheckpoint() // feeds norms, probes AND the index join
+      val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+      val probes = w.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("token"), col("w").as("wq"))
+      val dots = w.join(broadcast(probes), "token")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(sum(col("w") * col("wq")).as("dot"))
+      val scored = dots
+        .join(broadcast(norms.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("n2").as("q2"))), "qid")
+        .join(norms, "doc_id")
+        .withColumn("cosine", round(col("dot").cast("double") /
+          (sqrt(col("q2").cast("double")) * sqrt(col("n2").cast("double"))), 6))
+      val wr = Window.partitionBy("qid").orderBy(col("cosine").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id").as("vid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // E5 MULTINOMIAL NAIVE BAYES — the classic supervised quality/
+    // domain classifier a curation pipeline trains on its own corpus:
+    // per-source token likelihoods with Laplace smoothing, docs scored
+    // by ln-prior + Σ multiplicity·ln P(token|source), reported as the
+    // training confusion matrix. Log-probs are QUANTIZED to integral
+    // ppm per (class, token) BEFORE summing, so the per-doc score is
+    // an exact bigint sum — order-independent across partitions and
+    // engines (a raw double Σln would be reassociation-sensitive); the
+    // argmax tie-break is (score desc, class asc). Shape: one token
+    // explode, (class, token)-keyed model aggregate, and a doc×classes
+    // fan-out bounded by |classes| (the O(1) source dimension) — the
+    // model table shuffles on (class, token), never the corpus².
+    "q_naive_bayes" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .localCheckpoint() // feeds model counts AND per-doc features
+      val docTok = toks.groupBy("doc_id", "source", "token")
+        .agg(count(lit(1)).as("m"))
+      val counts = toks.groupBy(col("source").as("cs"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val vocab = toks.select("token").distinct().agg(count(lit(1)).as("v"))
+      val dens = broadcast(counts.groupBy("cs").agg(sum("c").as("tot"))
+        .crossJoin(broadcast(vocab))
+        .select(col("cs"), (col("tot") + col("v")).as("den")))
+      val docsPer = documents(s, d).groupBy(col("source").as("cs"))
+        .agg(count(lit(1)).as("nd"))
+      val priors = broadcast(docsPer
+        .crossJoin(broadcast(docsPer.agg(sum("nd").as("ndt"))))
+        .select(col("cs"),
+          round(log(col("nd").cast("double") / col("ndt")) * 1000000)
+            .cast("long").as("lprior")))
+      val scoredTok = docTok.crossJoin(dens)
+        .join(counts, Seq("cs", "token"), "left")
+        .withColumn("lp",
+          round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+            col("den")) * 1000000).cast("long"))
+        .groupBy("doc_id", "source", "cs")
+        .agg(sum(col("m") * col("lp")).as("score_tok"))
+      val wb = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cs").asc)
+      scoredTok.join(priors, "cs")
+        .withColumn("score", col("lprior") + col("score_tok"))
+        .withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
+        .groupBy(col("source").as("true_source"), col("cs").as("pred_source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_source", "pred_source")
     }))
 
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
@@ -3077,5 +3184,91 @@ object TextOps {
         |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
         |  CAST((SELECT COUNT(*) FROM hit) * 1000000 //
-        |       (SELECT COUNT(*) FROM tpairs) AS BIGINT) AS recall_ppm""".stripMargin)
+        |       (SELECT COUNT(*) FROM tpairs) AS BIGINT) AS recall_ppm""".stripMargin,
+
+    "q_tfidf_cosine" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(a)),
+        |                          i -> a[i] || ' ' || a[i + 1])) AS token
+        |  FROM arr),
+        |per_doc AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |idf AS (
+        |  SELECT token,
+        |    CAST(ROUND(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*))
+        |      * 1000) AS BIGINT) AS idf_milli
+        |  FROM per_doc GROUP BY token),
+        |w AS (
+        |  SELECT p.doc_id, p.token, p.tf * i.idf_milli AS w
+        |  FROM per_doc p JOIN idf i ON p.token = i.token
+        |  WHERE i.idf_milli >= 1000),
+        |norms AS (
+        |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+        |probes AS (SELECT doc_id AS qid, token, w AS wq FROM w WHERE doc_id < 3),
+        |dots AS (
+        |  SELECT p.qid, w.doc_id, CAST(SUM(w.w * p.wq) AS BIGINT) AS dot
+        |  FROM w JOIN probes p ON w.token = p.token
+        |  WHERE w.doc_id <> p.qid GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.doc_id,
+        |    ROUND(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))), 6)
+        |      AS cosine
+        |  FROM dots d
+        |  JOIN norms nq ON nq.doc_id = d.qid
+        |  JOIN norms nd ON nd.doc_id = d.doc_id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id AS vid, cosine FROM (
+        |  SELECT qid, doc_id, cosine,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cosine DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, t AS token
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |doctok AS (
+        |  SELECT doc_id, source, token, COUNT(*) AS m
+        |  FROM toks GROUP BY 1, 2, 3),
+        |counts AS (
+        |  SELECT source AS cs, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+        |dens AS (
+        |  SELECT cs, CAST(SUM(c) AS BIGINT) + (SELECT v FROM vocab) AS den
+        |  FROM counts GROUP BY cs),
+        |priors AS (
+        |  SELECT source AS cs,
+        |    CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) /
+        |      (SELECT COUNT(*) FROM documents)) * 1000000) AS BIGINT) AS lprior
+        |  FROM documents GROUP BY source),
+        |scoredtok AS (
+        |  SELECT dt.doc_id, dt.source, dn.cs,
+        |    CAST(SUM(dt.m * CAST(ROUND(ln(
+        |      CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / dn.den) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS score_tok
+        |  FROM doctok dt CROSS JOIN dens dn
+        |  LEFT JOIN counts c ON c.cs = dn.cs AND c.token = dt.token
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT st.doc_id, st.source, st.cs,
+        |    p.lprior + st.score_tok AS score
+        |  FROM scoredtok st JOIN priors p ON p.cs = st.cs),
+        |pred AS (
+        |  SELECT doc_id, source, cs FROM (
+        |    SELECT doc_id, source, cs,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY score DESC, cs ASC) AS rb
+        |    FROM scored) WHERE rb = 1)
+        |SELECT source AS true_source, cs AS pred_source, COUNT(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1137,6 +1137,71 @@ object VectorOps {
         .groupBy("qid")
         .agg(sum("rel").as("n_hits"), expr("sum(contrib) div 3").as("ap_micro"))
         .orderBy("qid")
+    }),
+
+    // E4 INT8 SCALAR QUANTIZATION — the cheapest vector-compression
+    // leg (8× over float32, vs PQ's 32×): per-dimension [min, max]
+    // over the corpus → affine code in [0, 255], reported with the
+    // reconstruction-error profile per dimension (sum/max absolute
+    // error in micro-units) that tells a retrieval stack whether SQ
+    // suffices or PQ is needed. All integral: micro-unit quantize,
+    // bigint min/max, truncating-div code and dequantize — exact in
+    // both engines. One explode + two hash-aggs (dim-keyed partials
+    // absorb the 64× fan-out); the [min,max] table is O(dims) and
+    // broadcasts — at 100 TB this is two linear scans, no shuffle of
+    // the raw vectors.
+    "q_sq_codes" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val ranges = dims.groupBy("dim")
+        .agg(min("qv").as("minq"), max("qv").as("maxq"))
+      dims.join(broadcast(ranges), "dim")
+        .withColumn("code",
+          when(col("maxq") === col("minq"), 0L)
+            .otherwise(expr("(qv - minq) * 255 div (maxq - minq)")))
+        .withColumn("deq",
+          expr("minq + code * (maxq - minq) div 255"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), max("minq").as("minq"), max("maxq").as("maxq"),
+          sum(abs(col("qv") - col("deq"))).as("sum_abs_err"),
+          max(abs(col("qv") - col("deq"))).as("max_abs_err"))
+        .withColumn("mean_abs_err", expr("sum_abs_err div n"))
+        .select("dim", "n", "minq", "maxq", "sum_abs_err", "max_abs_err", "mean_abs_err")
+        .orderBy("dim")
+    }),
+
+    // E4 kNN MAJORITY-VOTE CLASSIFIER — the third eval leg after
+    // nearest-class-mean (q_ncm_eval) and first-hit MRR: exact top-3
+    // neighbors per probe in integral micro-unit L2², then a label
+    // vote with the (votes desc, label asc) deterministic tie-break.
+    // Probe-bounded (5 query vectors broadcast against the corpus —
+    // the sampled-queries trick that stays computable at any scale);
+    // the vote is O(probes · k) driver-free window work.
+    "q_knn_classify" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val probes = dims.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("dim").as("qdim"), col("qv").as("qqv"))
+      val dist = dims.join(broadcast(probes), col("dim") === col("qdim"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "qlab", "vec_id", "label")
+        .agg(sum(expr("(qv - qqv) * (qv - qqv)")).as("dist2"))
+      val wk = Window.partitionBy("qid").orderBy(col("dist2").asc, col("vec_id").asc)
+      val votes = dist.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= 3)
+        .groupBy("qid", "qlab", "label").agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy("qid").orderBy(col("n_votes").desc, col("label").asc)
+      votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+        .select(col("qid"), col("qlab").cast("long").as("true_label"),
+          col("label").cast("long").as("pred_label"), col("n_votes"),
+          (col("qlab") === col("label")).as("hit"))
+        .orderBy("qid")
     }))
 
   /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
@@ -1931,7 +1996,64 @@ object VectorOps {
          |  FROM scored)
          |SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
          |  CAST(SUM(rel * (cum_hits * 1000000 // rank)) AS BIGINT) // 3 AS ap_micro
-         |FROM cum GROUP BY qid ORDER BY qid""".stripMargin)
+         |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_sq_codes" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(d AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |r AS (
+        |  SELECT dim, CAST(MIN(qv) AS BIGINT) AS minq, CAST(MAX(qv) AS BIGINT) AS maxq
+        |  FROM dims GROUP BY dim),
+        |coded AS (
+        |  SELECT dims.dim, r.minq, r.maxq, dims.qv,
+        |    CASE WHEN r.maxq = r.minq THEN 0
+        |         ELSE (dims.qv - r.minq) * 255 // (r.maxq - r.minq) END AS code
+        |  FROM dims JOIN r ON dims.dim = r.dim),
+        |e AS (
+        |  SELECT dim, minq, maxq, qv,
+        |    minq + code * (maxq - minq) // 255 AS deq
+        |  FROM coded)
+        |SELECT dim, COUNT(*) AS n, MAX(minq) AS minq, MAX(maxq) AS maxq,
+        |  CAST(SUM(abs(qv - deq)) AS BIGINT) AS sum_abs_err,
+        |  CAST(MAX(abs(qv - deq)) AS BIGINT) AS max_abs_err,
+        |  CAST(SUM(abs(qv - deq)) AS BIGINT) // COUNT(*) AS mean_abs_err
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, d AS dim,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |probes AS (
+        |  SELECT vec_id AS qid, label AS qlab, dim AS qdim, qv AS qqv
+        |  FROM dims WHERE vec_id < 5),
+        |dist AS (
+        |  SELECT p.qid, p.qlab, d.vec_id, d.label,
+        |    SUM((d.qv - p.qqv) * (d.qv - p.qqv)) AS dist2
+        |  FROM dims d JOIN probes p ON d.dim = p.qdim
+        |  WHERE d.vec_id <> p.qid
+        |  GROUP BY 1, 2, 3, 4),
+        |topk AS (
+        |  SELECT qid, qlab, label FROM (
+        |    SELECT qid, qlab, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) AS rk
+        |    FROM dist) WHERE rk <= 3),
+        |votes AS (
+        |  SELECT qid, qlab, label, COUNT(*) AS n_votes FROM topk GROUP BY 1, 2, 3),
+        |win AS (
+        |  SELECT qid, qlab, label, n_votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label ASC) AS vr
+        |  FROM votes)
+        |SELECT qid, CAST(qlab AS BIGINT) AS true_label,
+        |  CAST(label AS BIGINT) AS pred_label, n_votes,
+        |  qlab = label AS hit
+        |FROM win WHERE vr = 1 ORDER BY qid""".stripMargin)
 
   /** The q_hll_distinct register-rebuild estimator as a scalar
     * subquery over a CTE named `src` holding DISTINCT h60 hashes —

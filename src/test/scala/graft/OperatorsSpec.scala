@@ -10,6 +10,45 @@ class OperatorsSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q_temperature_mix: largest-remainder allocations sum EXACTLY to the budget") {
+    val rows = graft.operators.CorpusOps.queries("q_temperature_mix")(spark, sf)
+      .select("source", "n_docs", "alloc").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum === 1000000L,
+      "apportionment must hand out the whole budget, no floor shortfall")
+    // temperature 2 flattens: allocation shares sit between uniform and
+    // proportional for every source
+    val nTot = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, n, alloc) =>
+      val prop = n / nTot
+      val unif = 1.0 / rows.length
+      val share = alloc / 1000000.0
+      val (lo, hi) = (math.min(prop, unif), math.max(prop, unif))
+      assert(share >= lo - 0.02 && share <= hi + 0.02,
+        s"$src share=$share outside [${lo}, ${hi}]")
+    }
+  }
+
+  test("q_knn_classify: vote matches the brute-force neighbor majority") {
+    val got = graft.operators.VectorOps.queries("q_knn_classify")(spark, sf)
+      .select("qid", "pred_label").as[(Long, Long)].collect().toMap
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1000000)).toArray,
+        r.getInt(2).toLong))
+    (0L until 5L).foreach { q =>
+      val qv = embs.find(_._1 == q).get._2
+      val top3 = embs.filter(_._1 != q)
+        .map { case (id, v, lab) =>
+          (id, lab, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy(t => (t._3, t._1)).take(3)
+      val vote = top3.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (lab, n) => (-n, lab) }.head._1
+      assert(got(q) === vote, s"probe $q")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact per event_type") {
     val approx = VectorOps.queries("q_approx_distinct")(spark, sf)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap

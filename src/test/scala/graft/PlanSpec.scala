@@ -418,6 +418,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_tfidf_cosine: inverted-index probe is a broadcast equi join on token") {
+    val p = plan("q_tfidf_cosine")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("token")),
+      s"probe side must broadcast-equi-join the index on token:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_profile: all four columns profile through ONE parquet scan") {
     // AQE's toString prints Final AND Initial plans — count only the final
     val p = plan("q_profile").split("== Initial Plan ==").head
