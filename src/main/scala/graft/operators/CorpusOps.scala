@@ -641,6 +641,37 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // T5-STYLE SPAN CORRUPTION — the training-objective mask table: per
+    // doc, ~5% of token positions start a 3-token masked span, placed
+    // by md5-derived offsets inside disjoint stride buckets (span i
+    // lives in [i·stride, (i+1)·stride), offset ≤ stride−3), so spans
+    // PROVABLY never overlap without any interval join — the property
+    // that lets a loader apply masks independently per span. Pure key
+    // arithmetic end to end (deterministic, cross-engine exact, and
+    // reproducible per epoch by salting the hash). One narrow
+    // projection + a ≤ n/20-wide explode; nothing shuffles but the
+    // output sort.
+    "q_span_corruption" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"),
+          size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+            .cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 4)
+        .withColumn("k", greatest(lit(1L), expr("n_tokens div 20")))
+        .withColumn("stride", expr("n_tokens div k"))
+      docs.select(col("doc_id"), col("n_tokens"), col("stride"),
+          explode(expr("sequence(0L, k - 1)")).as("span_id"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("span|"), col("doc_id"),
+            lit("|"), col("span_id"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("start_tok", col("span_id") * col("stride") +
+          pmod(col("h"), greatest(lit(1L), col("stride") - 2)))
+        .withColumn("span_len",
+          least(lit(3L), col("n_tokens") - col("start_tok")))
+        .select("doc_id", "n_tokens", "span_id", "start_tok", "span_len")
+        .orderBy("doc_id", "span_id")
+    }),
+
     // RANDOMIZED RESPONSE — the local-differential-privacy collection
     // primitive: each user reports their sensitive bit truthfully with
     // p = 3/4, otherwise reports a fixed coin — and the aggregate
@@ -1056,6 +1087,28 @@ object CorpusOps {
         |SELECT k.source, k.n_docs, k.w, k.weight_ppm,
         |  k.alloc_floor + CASE WHEN k.rr <= r.deficit THEN 1 ELSE 0 END AS alloc
         |FROM k CROSS JOIN r ORDER BY k.source""".stripMargin,
+
+    "q_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    GREATEST(1, n_tokens // 20) AS k,
+        |    n_tokens // GREATEST(1, n_tokens // 20) AS stride
+        |  FROM t WHERE n_tokens >= 4),
+        |sp AS (
+        |  SELECT p.doc_id, p.n_tokens, s.i AS span_id, p.stride,
+        |    CAST(('0x' || substr(md5('span|' || p.doc_id || '|' || s.i), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM p, range(0, 1000) s(i) WHERE s.i < p.k)
+        |SELECT doc_id, n_tokens, span_id,
+        |  span_id * stride + h % GREATEST(1, stride - 2) AS start_tok,
+        |  LEAST(3, n_tokens - (span_id * stride + h % GREATEST(1, stride - 2)))
+        |    AS span_len
+        |FROM sp ORDER BY doc_id, span_id""".stripMargin,
 
     "q_randomized_response" ->
       """WITH u AS (

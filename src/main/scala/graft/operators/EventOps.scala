@@ -958,6 +958,38 @@ object EventOps {
         .orderBy("lag_d")
     }),
 
+    // BINARY-SEGMENTATION CHANGEPOINT — the single best level-shift
+    // split of the daily event series: argmax over split s of
+    // (Σx_l)²/n_l + (Σx_r)²/n_r (equivalent to minimizing total SSE
+    // for a two-segment piecewise-constant fit). The statistic is
+    // carried in integral milli (cross-multiplied bigint, truncating
+    // div — identical in both engines), and every candidate split is
+    // reported with its score plus the is_best flag, so the argmax is
+    // auditable. All heavy work is the daily rollup (one shuffle of
+    // events onto the calendar); the scan/window runs over the
+    // O(days) aggregate — the q_cusum precedent. At planetary counts
+    // pre-scale x before squaring (the q_acf caveat).
+    "q_changepoint" -> ((s, d) => {
+      val daily = events(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("day") // calendar-bounded aggregate
+      val n = broadcast(daily.agg(count(lit(1)).as("n_days"), sum("x").as("tot")))
+      val g = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("x").over(w))
+        .crossJoin(n)
+        .filter(col("i") <= col("n_days") - 1)
+        .withColumn("g_milli", expr(
+          """(cum * cum * 1000) div i +
+            |((tot - cum) * (tot - cum) * 1000) div (n_days - i)""".stripMargin))
+      val best = broadcast(g.agg(max("g_milli").as("gbest")))
+      g.crossJoin(best)
+        .select(col("day").as("split_after"), col("i").as("n_left"),
+          col("cum").as("sum_left"), col("g_milli"),
+          (col("g_milli") === col("gbest")).cast("int").as("is_best"))
+        .orderBy("split_after")
+    }),
+
     // DAU/WAU STICKINESS — the product-health ratio (what share of the
     // week's active users showed up each day), integral ppm. Two
     // distinct-user rollups (day- and week-grained) that shuffle on
@@ -1600,6 +1632,26 @@ object EventOps {
         |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
         |FROM xc ORDER BY lag_d""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM events GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_days, CAST(SUM(x) AS BIGINT) AS tot FROM daily),
+        |c AS (
+        |  SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS cum
+        |  FROM daily),
+        |g AS (
+        |  SELECT c.day, c.i, c.cum,
+        |    (c.cum * c.cum * 1000) // c.i +
+        |    ((n.tot - c.cum) * (n.tot - c.cum) * 1000) // (n.n_days - c.i)
+        |      AS g_milli
+        |  FROM c, n WHERE c.i <= n.n_days - 1),
+        |b AS (SELECT MAX(g_milli) AS gbest FROM g)
+        |SELECT g.day AS split_after, g.i AS n_left, g.cum AS sum_left, g.g_milli,
+        |  CAST(CASE WHEN g.g_milli = b.gbest THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_best
+        |FROM g, b ORDER BY split_after""".stripMargin,
 
     "q_stickiness" ->
       """WITH e AS (

@@ -1139,6 +1139,37 @@ object VectorOps {
         .orderBy("qid")
     }),
 
+    // E6 IMAGE HISTOGRAM STATS — per-image luma-histogram Shannon
+    // entropy + mean luminance over the REAL pixel decode path (the
+    // same PNG-inflate/BMP-walk codec as q_image_phash): the
+    // blur/blank/synthetic-content screen an image-curation pipeline
+    // runs (near-zero entropy = flat or corrupt frame). Entropy uses
+    // the count-only H = ln N − (Σ c·ln c)/N form (q_token_entropy
+    // precedent, rounded 6); mean luma is integral. The histogram
+    // aggregate is (doc, level)-keyed with ≤ 256 levels per doc —
+    // map-side partials absorb the pixel explode, nothing scales
+    // beyond O(docs · 256) past the first shuffle.
+    "q_image_entropy" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticPixelImage(id))))
+        .toDF("doc_id", "payload")
+      val hist = Multimodal.decodeLuma(payloads)
+        .select(col("doc_id"), posexplode(col("lum")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "v").agg(count(lit(1)).as("c"))
+      hist.groupBy("doc_id")
+        .agg(sum("c").as("n_px"), count(lit(1)).as("n_levels"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("s_clnc"),
+          sum(col("v").cast("long") * col("c")).as("s_lum"))
+        .select(col("doc_id"), col("n_px"), col("n_levels"),
+          expr("s_lum div n_px").as("mean_lum"),
+          round(log(col("n_px").cast("double")) - col("s_clnc") / col("n_px"), 6)
+            .as("entropy_nats"))
+        .orderBy("doc_id")
+    }),
+
     // E4 INT8 SCALAR QUANTIZATION — the cheapest vector-compression
     // leg (8× over float32, vs PQ's 32×): per-dimension [min, max]
     // over the corpus → affine code in [0, 255], reported with the
@@ -1997,6 +2028,22 @@ object VectorOps {
          |SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
          |  CAST(SUM(rel * (cum_hits * 1000000 // rank)) AS BIGINT) // 3 AS ap_micro
          |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_image_entropy" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 40) t(x)),
+        |ys AS (SELECT y FROM range(0, 32) t(y)),
+        |px AS (
+        |  SELECT d.doc_id, (7 * d.doc_id + 3 * xs.x + 5 * ys.y) % 256 AS v
+        |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+        |hist AS (SELECT doc_id, v, COUNT(*) AS c FROM px GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_px, COUNT(*) AS n_levels,
+        |  CAST(SUM(v * c) AS BIGINT) // CAST(SUM(c) AS BIGINT) AS mean_lum,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |        SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_nats
+        |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_sq_codes" ->
       """WITH dims AS (

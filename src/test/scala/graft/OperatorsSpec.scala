@@ -29,6 +29,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_span_corruption: spans never overlap and stay inside the doc") {
+    val rows = graft.operators.CorpusOps.queries("q_span_corruption")(spark, sf)
+      .select("doc_id", "n_tokens", "span_id", "start_tok", "span_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._3)
+      sorted.foreach { case (_, n, _, st, len) =>
+        assert(st >= 0 && st + len <= n, s"doc $doc span [$st,+$len) outside doc")
+        assert(len >= 1 && len <= 3)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, s1, l1), (_, _, _, s2, _)) =>
+          assert(s1 + l1 <= s2, s"doc $doc spans overlap: [$s1,+$l1) vs $s2")
+        case _ => ()
+      }
+    }
+  }
+
   test("q_knn_classify: vote matches the brute-force neighbor majority") {
     val got = graft.operators.VectorOps.queries("q_knn_classify")(spark, sf)
       .select("qid", "pred_label").as[(Long, Long)].collect().toMap
