@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Scalars.cents
@@ -958,6 +958,111 @@ object EventOps {
         .orderBy("lag_d")
     }),
 
+    // SAMPLE-RATIO MISMATCH — the experiment-hygiene gate run before
+    // ANY A/B readout: a 1-df χ² of the realized 50/50 assignment
+    // counts, in exact integral milli via the closed form
+    // (2·n_a − n)²/n, flagged against the 5% critical value 3.841.
+    // An SRM flag means the assignment (q_ab_ztest's parity cohorts)
+    // is biased and every downstream lift number is garbage — the
+    // cheapest, highest-value check in the experimentation family.
+    // One distinct + one aggregate; O(1) output.
+    "q_ab_srm" -> ((s, d) => {
+      val users = events(s, d).select(col("user_id")).distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      users.agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+          count(lit(1)).as("n"))
+        .withColumn("chi2_milli",
+          expr("((2 * n_a - n) * (2 * n_a - n) * 1000) div n"))
+        .withColumn("srm_flag", (col("chi2_milli") > 3841L).cast("int"))
+        .select("n_a", "n_b", "n", "chi2_milli", "srm_flag")
+    }),
+
+    // CUPED VARIANCE REDUCTION — the pre-experiment-covariate
+    // adjustment every mature experimentation platform applies:
+    // θ = cov(pre, post)/var(pre) over per-user revenue split at the
+    // series midpoint, and ρ² (the variance fraction CUPED removes).
+    // All five moments are EXACT bigint sums of integer cents; the
+    // two ratios are single deterministic IEEE expressions over those
+    // exact moments, rounded 6 (the q_regr_trend convention — the
+    // only floats are final divisions). One user-keyed aggregate +
+    // one O(1) moment row; nothing rescans events.
+    "q_cuped" -> ((s, d) => {
+      val ev = events(s, d)
+      val m0 = broadcast(ev.agg(min(to_date(col("ts"))).as("d0")))
+      val ux = ev.crossJoin(m0)
+        .select(col("user_id"),
+          when(datediff(to_date(col("ts")), col("d0")) < 15,
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L).as("xc"),
+          when(datediff(to_date(col("ts")), col("d0")) >= 15,
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L).as("yc"))
+        .groupBy("user_id").agg(sum("xc").as("x"), sum("yc").as("y"))
+      ux.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("n"), col("cov_n"), col("var_x"), col("var_y"),
+          round(col("cov_n").cast("double") / col("var_x"), 6).as("theta"),
+          round((col("cov_n").cast("double") * col("cov_n").cast("double")) /
+            (col("var_x").cast("double") * col("var_y").cast("double")), 6)
+            .as("rho2"))
+    }),
+
+    // FUNNEL STAGE LATENCY — how long users take between funnel
+    // stages: per purchase the last same-user click at-or-before it,
+    // per click the last view, both through the NATIVE sort-merge
+    // as-of join (the q_attribution shape — one merge pass, never the
+    // O(a·b) range self-join), with the latency profile reported as
+    // integral threshold buckets (<1 min / <1 h / <1 d in ppm) plus
+    // min/max/mean seconds — bucket counts give the latency shape
+    // without any global percentile sort. Two as-of joins + one
+    // O(stages) aggregate.
+    "q_funnel_latency" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuser"),
+          col("ts").as("cts"))
+      val clicksL = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid2"), col("user_id").as("cuser2"),
+          col("ts").as("cts2"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), col("user_id").as("vuser"),
+          col("ts").as("vts"))
+      def secs(a: Column, b: Column): Column =
+        floor(unix_timestamp(a.cast("timestamp"))).cast("long") -
+          floor(unix_timestamp(b.cast("timestamp"))).cast("long")
+      val pc = graft.plans.AsOfJoin(purchases, clicks,
+          Seq(col("user_id")), Seq(col("cuser")),
+          Seq(col("pts"), col("pid")), Seq(col("cts"), col("cid")))
+        .filter(col("cts").isNotNull)
+        .select(lit("click_to_purchase").as("stage"),
+          secs(col("pts"), col("cts")).as("lat_s"))
+      val cv = graft.plans.AsOfJoin(clicksL, views,
+          Seq(col("cuser2")), Seq(col("vuser")),
+          Seq(col("cts2"), col("cid2")), Seq(col("vts"), col("vid")))
+        .filter(col("vts").isNotNull)
+        .select(lit("view_to_click").as("stage"),
+          secs(col("cts2"), col("vts")).as("lat_s"))
+      pc.unionByName(cv)
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n"), min("lat_s").as("min_s"),
+          max("lat_s").as("max_s"),
+          expr("sum(lat_s) div count(1)").as("mean_s"),
+          expr("sum(case when lat_s < 60 then 1 else 0 end) * 1000000 div count(1)")
+            .as("lt_1m_ppm"),
+          expr("sum(case when lat_s < 3600 then 1 else 0 end) * 1000000 div count(1)")
+            .as("lt_1h_ppm"),
+          expr("sum(case when lat_s < 86400 then 1 else 0 end) * 1000000 div count(1)")
+            .as("lt_1d_ppm"))
+        .orderBy("stage")
+    }),
+
     // BINARY-SEGMENTATION CHANGEPOINT — the single best level-shift
     // split of the daily event series: argmax over split s of
     // (Σx_l)²/n_l + (Σx_r)²/n_r (equivalent to minimizing total SSE
@@ -1632,6 +1737,85 @@ object EventOps {
         |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
         |FROM xc ORDER BY lag_d""".stripMargin,
+
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    COUNT(*) AS n
+        |  FROM u)
+        |SELECT n_a, n_b, n,
+        |  ((2 * n_a - n) * (2 * n_a - n) * 1000) // n AS chi2_milli,
+        |  CAST(CASE WHEN ((2 * n_a - n) * (2 * n_a - n) * 1000) // n > 3841
+        |    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        |FROM a""".stripMargin,
+
+    "q_cuped" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |ux AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN date_diff('day', (SELECT d0 FROM d0),
+        |                                 CAST(ts AS DATE)) < 15
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN date_diff('day', (SELECT d0 FROM d0),
+        |                                 CAST(ts AS DATE)) >= 15
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM ux)
+        |SELECT n, n * sxy - sx * sy AS cov_n, n * sxx - sx * sx AS var_x,
+        |  n * syy - sy * sy AS var_y,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+        |    AS theta,
+        |  ROUND((CAST(n * sxy - sx * sy AS DOUBLE) *
+        |         CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2
+        |FROM m""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS cid, user_id AS cuser, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT event_id AS vid, user_id AS vuser, ts AS vts FROM events
+        |  WHERE event_type = 'view'),
+        |pc AS (
+        |  SELECT 'click_to_purchase' AS stage,
+        |    CAST(FLOOR(epoch(p.pts)) AS BIGINT) -
+        |    CAST(FLOOR(epoch(l.cts)) AS BIGINT) AS lat_s
+        |  FROM p JOIN LATERAL (
+        |    SELECT cts FROM c
+        |    WHERE c.cuser = p.user_id
+        |      AND (c.cts < p.pts OR (c.cts = p.pts AND c.cid < p.pid))
+        |    ORDER BY c.cts DESC, c.cid DESC LIMIT 1) l ON TRUE),
+        |cv AS (
+        |  SELECT 'view_to_click' AS stage,
+        |    CAST(FLOOR(epoch(c.cts)) AS BIGINT) -
+        |    CAST(FLOOR(epoch(l.vts)) AS BIGINT) AS lat_s
+        |  FROM c JOIN LATERAL (
+        |    SELECT vts FROM v
+        |    WHERE v.vuser = c.cuser
+        |      AND (v.vts < c.cts OR (v.vts = c.cts AND v.vid < c.cid))
+        |    ORDER BY v.vts DESC, v.vid DESC LIMIT 1) l ON TRUE),
+        |u AS (SELECT * FROM pc UNION ALL SELECT * FROM cv)
+        |SELECT stage, COUNT(*) AS n, MIN(lat_s) AS min_s, MAX(lat_s) AS max_s,
+        |  CAST(SUM(lat_s) AS BIGINT) // COUNT(*) AS mean_s,
+        |  CAST(SUM(CASE WHEN lat_s < 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS lt_1m_ppm,
+        |  CAST(SUM(CASE WHEN lat_s < 3600 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS lt_1h_ppm,
+        |  CAST(SUM(CASE WHEN lat_s < 86400 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS lt_1d_ppm
+        |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (
