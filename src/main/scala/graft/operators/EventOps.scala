@@ -958,6 +958,94 @@ object EventOps {
         .orderBy("lag_d")
     }),
 
+    // MARKOV STEADY-STATE PROBE — two power-iteration steps of the
+    // event-type transition chain from the uniform start: where user
+    // behavior concentrates after a couple of moves (the numerical
+    // companion to q_event_transitions' raw probabilities, and the
+    // 2-step view of what q_pagerank does on the doc graph). Each step
+    // is π(j) ← Σᵢ π(i)·p_ppm(i→j) div 1e6 — pure bigint on the
+    // O(types²) aggregated matrix, so the iteration costs nothing at
+    // any corpus scale; mass lost to truncation/absorbing rows stays
+    // visible in the reported sums rather than being renormalized
+    // away. Heavy work = the one per-user lead() shuffle both
+    // transition queries share.
+    "q_markov_stationary" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = events(s, d)
+        .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("src")))
+        .withColumn("p_ppm", expr("n * 1000000 div tot"))
+        .select("src", "dst", "p_ppm")
+        .localCheckpoint() // O(types²) rows; feeds both iteration steps
+      val states = trans.select(col("src").as("state"))
+        .union(trans.select(col("dst"))).distinct()
+      val pi0 = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+        .select(col("state"), expr("1000000 div k").as("p0_ppm"))
+      def step(pi: DataFrame, pcol: String, out: String): DataFrame =
+        pi.join(trans, pi("state") === trans("src"))
+          .groupBy(col("dst"))
+          .agg(expr(s"sum($pcol * p_ppm) div 1000000").as(out))
+          .select(col("dst").as("state"), col(out))
+      val pi1 = step(pi0, "p0_ppm", "p1_ppm")
+      val pi2 = step(pi1, "p1_ppm", "p2_ppm")
+      pi0.join(pi1, Seq("state"), "left").join(pi2, Seq("state"), "left")
+        .select(col("state"), col("p0_ppm"),
+          coalesce(col("p1_ppm"), lit(0L)).as("p1_ppm"),
+          coalesce(col("p2_ppm"), lit(0L)).as("p2_ppm"))
+        .orderBy("state")
+    }),
+
+    // COHORT LTV CURVE — cumulative revenue per user by signup cohort
+    // and week offset: the revenue companion of q_cohort_retention's
+    // activity triangle (the curve a growth team reads payback periods
+    // off). Integer cents end to end; the running sum is a window over
+    // the (cohort, offset) AGGREGATE — O(weeks²) rows regardless of
+    // event volume — and cohort sizes broadcast.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = events(s, d)
+      val firstSeen = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+      val rev = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"),
+          expr("cast(round(value * 100) as bigint)").as("rev_c"))
+        .join(firstSeen, "user_id")
+        .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(w, cohort_w) div 7").as("week_offset"))
+        .agg(sum("rev_c").as("rev_c"))
+      val sizes = firstSeen
+        .groupBy(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_n"))
+      val wc = Window.partitionBy("cohort_week").orderBy("week_offset")
+      rev.withColumn("cum_rev_c", sum("rev_c").over(wc))
+        .join(broadcast(sizes), "cohort_week")
+        .withColumn("ltv_c_per_user", expr("cum_rev_c div cohort_n"))
+        .select("cohort_week", "week_offset", "rev_c", "cum_rev_c",
+          "cohort_n", "ltv_c_per_user")
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // POWER ANALYSIS — required sample size per arm to detect a 10%
+    // relative lift on the measured conversion rate at α=5%/power=80%:
+    // n = (z_{α/2}+z_β)²·p(1−p)/(0.1p)² = 784·(1−p)/p, evaluated in
+    // integral ppm from the measured base rate (the constants are the
+    // standard normal quantiles, folded to 784 — no distribution math
+    // at runtime). The planning companion to q_ab_ztest/q_ab_srm; one
+    // user-keyed aggregate, O(1) output.
+    "q_power_analysis" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      users.agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        .withColumn("p_ppm", expr("n_conv * 1000000 div n_users"))
+        .withColumn("mde_rel_ppm", lit(100000L))
+        .withColumn("n_per_arm", expr("784 * (1000000 - p_ppm) div p_ppm"))
+        .select("n_users", "n_conv", "p_ppm", "mde_rel_ppm", "n_per_arm")
+    }),
+
     // SAMPLE-RATIO MISMATCH — the experiment-hygiene gate run before
     // ANY A/B readout: a 1-df χ² of the realized 50/50 assignment
     // counts, in exact integral milli via the closed form
@@ -1737,6 +1825,79 @@ object EventOps {
         |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
         |FROM xc ORDER BY lag_d""".stripMargin,
+
+    "q_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst
+        |  FROM events),
+        |tr AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM seq
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |trp AS (
+        |  SELECT src, dst,
+        |    n * 1000000 // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+        |      AS p_ppm
+        |  FROM tr),
+        |states AS (
+        |  SELECT DISTINCT state FROM (
+        |    SELECT src AS state FROM trp UNION SELECT dst FROM trp)),
+        |k AS (SELECT COUNT(*) AS k FROM states),
+        |pi0 AS (SELECT state, 1000000 // (SELECT k FROM k) AS p0_ppm FROM states),
+        |pi1 AS (
+        |  SELECT t.dst AS state,
+        |    CAST(SUM(p.p0_ppm * t.p_ppm) AS BIGINT) // 1000000 AS p1_ppm
+        |  FROM pi0 p JOIN trp t ON t.src = p.state GROUP BY 1),
+        |pi2 AS (
+        |  SELECT t.dst AS state,
+        |    CAST(SUM(p.p1_ppm * t.p_ppm) AS BIGINT) // 1000000 AS p2_ppm
+        |  FROM pi1 p JOIN trp t ON t.src = p.state GROUP BY 1)
+        |SELECT s.state, p0.p0_ppm,
+        |  COALESCE(p1.p1_ppm, 0) AS p1_ppm, COALESCE(p2.p2_ppm, 0) AS p2_ppm
+        |FROM states s
+        |JOIN pi0 p0 ON p0.state = s.state
+        |LEFT JOIN pi1 p1 ON p1.state = s.state
+        |LEFT JOIN pi2 p2 ON p2.state = s.state
+        |ORDER BY s.state""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH fs AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+        |  FROM events GROUP BY 1),
+        |rev AS (
+        |  SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+        |    date_diff('day', f.cohort_w, date_trunc('week', e.ts)) // 7
+        |      AS week_offset,
+        |    CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events e JOIN fs f ON e.user_id = f.user_id
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+        |    COUNT(*) AS cohort_n
+        |  FROM fs GROUP BY 1)
+        |SELECT r.cohort_week, r.week_offset, r.rev_c,
+        |  CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_week
+        |                          ORDER BY r.week_offset) AS BIGINT) AS cum_rev_c,
+        |  s.cohort_n,
+        |  CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_week
+        |                          ORDER BY r.week_offset) AS BIGINT)
+        |    // s.cohort_n AS ltv_c_per_user
+        |FROM rev r JOIN sizes s ON s.cohort_week = r.cohort_week
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv FROM u)
+        |SELECT n_users, n_conv, n_conv * 1000000 // n_users AS p_ppm,
+        |  CAST(100000 AS BIGINT) AS mde_rel_ppm,
+        |  784 * (1000000 - n_conv * 1000000 // n_users)
+        |    // (n_conv * 1000000 // n_users) AS n_per_arm
+        |FROM a""".stripMargin,
 
     "q_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
