@@ -1288,6 +1288,45 @@ object RelQueries {
         .orderBy("digit")
     }),
 
+    // PRICE ELASTICITY — per-brand OLS of ln(quantity) on ln(unit
+    // price), the classic log-log demand fit (slope = elasticity, r²
+    // alongside). Inputs are micro-quantized ln values (bigint), then
+    // CENTERED on the integral floor-mean before the moment sums (the
+    // q_acf overflow discipline: n·Σxy on raw micro-units would
+    // overflow bigint at sf0.1; centered deviations keep every sum
+    // < 1e18), so the only FP is two final divisions over exact
+    // bigints, rounded 6, zero-variance groups guarded to NULL. One
+    // broadcast dim join + two brand-keyed hash-aggs.
+    "q_price_elasticity" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .join(broadcast(part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("""cast(round(ln(cast(l_extendedprice as double) /
+                 cast(l_quantity as double)) * 1000000) as bigint)""").as("x"),
+          expr("cast(round(ln(cast(l_quantity as double)) * 1000000) as bigint)")
+            .as("y"))
+      val means = li.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), expr("sum(x) div count(1)").as("mx"),
+          expr("sum(y) div count(1)").as("my"))
+      li.join(broadcast(means), "p_brand")
+        .select(col("p_brand"), col("n"),
+          (col("x") - col("mx")).as("dx"), (col("y") - col("my")).as("dy"))
+        .groupBy("p_brand", "n")
+        .agg(sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("p_brand"), col("n"), col("sxy"), col("sxx"),
+          when(col("sxx") === 0 || col("syy") === 0, lit(null))
+            .otherwise(round(col("sxy").cast("double") / col("sxx"), 6))
+            .as("elasticity"),
+          when(col("sxx") === 0 || col("syy") === 0, lit(null))
+            .otherwise(round((col("sxy").cast("double") * col("sxy").cast("double")) /
+              (col("sxx").cast("double") * col("syy").cast("double")), 6))
+            .as("r2"))
+        .orderBy("p_brand")
+    }),
+
     // DATA-QUALITY EXPECTATION SUITE (the Deequ/Great-Expectations
     // shape): a declarative battery of constraints — completeness,
     // key uniqueness, value bounds, domain membership, referential
@@ -1820,6 +1859,35 @@ object RelQueries {
         |  (g.n * 1000 - (t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT)) // 1000) //
         |  ((t.total * CAST(ROUND(log10(1.0 + 1.0 / g.digit) * 1000000) AS BIGINT)) // 1000) AS chi2_milli
         |FROM g CROSS JOIN t ORDER BY g.digit""".stripMargin,
+
+    "q_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT p.p_brand,
+        |    CAST(ROUND(ln(CAST(l.l_extendedprice AS DOUBLE) /
+        |               CAST(l.l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(ROUND(ln(CAST(l.l_quantity AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |m AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+        |    CAST(SUM(y) AS BIGINT) // COUNT(*) AS my
+        |  FROM li GROUP BY 1),
+        |dev AS (
+        |  SELECT li.p_brand, m.n, li.x - m.mx AS dx, li.y - m.my AS dy
+        |  FROM li JOIN m ON li.p_brand = m.p_brand),
+        |a AS (
+        |  SELECT p_brand, n, CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+        |  FROM dev GROUP BY 1, 2)
+        |SELECT p_brand, n, sxy, sxx,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |       ELSE ROUND(CAST(sxy AS DOUBLE) / sxx, 6) END AS elasticity,
+        |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+        |       ELSE ROUND((CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)) /
+        |                  (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+        |  END AS r2
+        |FROM a ORDER BY p_brand""".stripMargin,
 
     "q_expectations" ->
       """WITH a AS (

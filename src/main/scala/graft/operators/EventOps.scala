@@ -958,6 +958,55 @@ object EventOps {
         .orderBy("lag_d")
     }),
 
+    // BEHAVIORAL ENTROPY — per-user event-type Shannon entropy (how
+    // varied is each user's behavior), aggregated to the A/B cohorts
+    // as a mean. The per-user H comes from integral counts via the
+    // count-only form and is QUANTIZED to micro-nats (bigint) before
+    // the cohort mean — so the mean is an exact integral sum/div, not
+    // an order-sensitive double fold (the q_naive_bayes quantize-
+    // before-sum rule applied to an aggregate of aggregates). Two
+    // hash-aggs on (user, type) and (user); O(cohorts) output.
+    "q_behavior_entropy" -> ((s, d) => {
+      val perType = events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val perUser = perType.groupBy("user_id")
+        .agg(sum("c").as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("s_clnc"))
+        .withColumn("h_unats",
+          round((log(col("n").cast("double")) - col("s_clnc") / col("n")) * 1000000)
+            .cast("long"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      perUser.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(h_unats) div count(1)").as("mean_h_unats"),
+          max("h_unats").as("max_h_unats"))
+        .orderBy("cohort")
+    }),
+
+    // SHIPPING-DELAY PROFILE — days between order placement and line
+    // shipment, profiled per order priority in integral buckets (≤7 /
+    // ≤30 days ppm) plus mean/max: the ops-SLA readout. One broadcast-
+    // dim-free equi join orders⋈lineitem shuffling on the order key,
+    // then an O(priorities) aggregate.
+    "q_ship_delay" -> ((s, d) => {
+      val oj = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_d",
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      oj.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(delay_d) div count(1)").as("mean_days"),
+          max("delay_d").as("max_days"),
+          expr("sum(case when delay_d <= 7 then 1 else 0 end) * 1000000 div count(1)")
+            .as("le_7d_ppm"),
+          expr("sum(case when delay_d <= 30 then 1 else 0 end) * 1000000 div count(1)")
+            .as("le_30d_ppm"))
+        .orderBy("o_orderpriority")
+    }),
+
     // MARKOV STEADY-STATE PROBE — two power-iteration steps of the
     // event-type transition chain from the uniform start: where user
     // behavior concentrates after a couple of moves (the numerical
@@ -1825,6 +1874,33 @@ object EventOps {
         |  CAST(CASE WHEN ABS(xcov) = (SELECT peak FROM pk)
         |    THEN 1 ELSE 0 END AS INTEGER) AS is_peak
         |FROM xc ORDER BY lag_d""".stripMargin,
+
+    "q_behavior_entropy" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(ROUND((ln(CAST(SUM(c) AS DOUBLE)) -
+        |                SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)) * 1000000)
+        |      AS BIGINT) AS h_unats
+        |  FROM pt GROUP BY 1)
+        |SELECT user_id % 2 AS cohort, COUNT(*) AS n_users,
+        |  CAST(SUM(h_unats) AS BIGINT) // COUNT(*) AS mean_h_unats,
+        |  MAX(h_unats) AS max_h_unats
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ship_delay" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+        |    // COUNT(*) AS mean_days,
+        |  CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+        |    AS max_days,
+        |  CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS le_7d_ppm,
+        |  CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS le_30d_ppm
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_markov_stationary" ->
       """WITH seq AS (
