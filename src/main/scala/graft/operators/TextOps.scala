@@ -263,6 +263,104 @@ object TextOps {
   private[graft] def clearMemos(): Unit = {
     shingleIdxCache.clear()
     winnowCache.clear()
+    fuzzyCache.clear()
+    sortedNbrCache.clear()
+  }
+
+  /** Verified ER pair tables, memoized per (session, dataset): both
+    * blocking families are consumed standalone AND pooled by
+    * q_er_pipeline, so each match table localCheckpoints once (the
+    * cluster-labels precedent — bounded verified-pair outputs shared
+    * across consumers; build wall-clock lands in memo_build_ms). */
+  private val fuzzyCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sortedNbrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def fuzzyMatches(s: SparkSession, d: String): DataFrame =
+    fuzzyCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("fuzzy_pairs")(fuzzyMatchPlan(s, d).localCheckpoint()))
+
+  private def sortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    sortedNbrCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("sorted_pairs")(
+        sortedNeighborhoodPlan(s, d).localCheckpoint()))
+
+  /** The raw equi-blocked fuzzy-match pipeline, pre-memo (PlanSpec
+    * pins THIS shape). Blocks on the first token (equi join — never
+    * all-pairs), prunes by the |len(a) − len(b)| ≤ τ bound, verifies
+    * with the banded early-exit levenshtein, keeps the best
+    * (dist, clean_id) per dirty row. */
+  private[graft] def fuzzyMatchPlan(s: SparkSession, d: String): DataFrame = {
+    val name = lower(col("p_name"))
+    val clean = part(s, d)
+      .select(col("p_partkey").as("clean_id"), name.as("clean_name"))
+      .withColumn("blk", substring_index(col("clean_name"), " ", 1))
+    val sp = instr(name, " ")
+    val pos = sp + lit(1) + pmod(col("p_partkey"), length(name) - sp)
+    val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("dirty_id"),
+        concat(name.substr(lit(1), (pos - 1).cast("int")),
+          name.substr((pos + 1).cast("int"), lit(100))).as("dirty_name"))
+      .withColumn("blk", substring_index(col("dirty_name"), " ", 1))
+    // the probe side is TINY (one input split) but the block join
+    // fans out to |block|² candidate pairs — left on input-split
+    // parallelism the whole distance pass lands in ONE task, and
+    // AQE's small-partition coalescing happily merges a countless
+    // repartition right back (the shuffle is a few hundred KB; the
+    // fan-out AFTER it is what costs). The EXPLICIT partition count
+    // opts this shuffle out of coalescing and hands every core a
+    // slice of the fan-out: measured 12.2 → 1.0 s at sf0.1. Sized
+    // by defaultParallelism so a real cluster spreads it further.
+    dirty.repartition(s.sparkContext.defaultParallelism, col("dirty_id"))
+      .join(clean, "blk")
+      .filter(abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
+      // THRESHOLD levenshtein: banded O(τ·n) with early exit
+      // (returns -1 past the threshold) instead of the full DP —
+      // nearly every candidate exceeds τ, so the early exit is
+      // where the time goes
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name"), 2))
+      .filter(col("dist").between(0, 2))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))))
+      .filter(col("rk") === 1)
+      .select(col("dirty_id"), col("dirty_name"),
+        col("clean_id").as("matched_id"), col("dist").cast("long").as("dist"),
+        (col("clean_id") === col("dirty_id")).as("self_match"))
+      .orderBy("dirty_id")
+  }
+
+  /** The raw sorted-neighborhood pipeline, pre-memo (PlanSpec pins
+    * THIS shape): global lexicographic rank via the two-phase
+    * distributed scan, then a window join over rank groups. Catches
+    * first-token corruption that equi-blocking structurally misses. */
+  private[graft] def sortedNeighborhoodPlan(s: SparkSession, d: String): DataFrame = {
+    val name = lower(col("p_name"))
+    val clean = part(s, d)
+      .select(lit(0L).as("side"), col("p_partkey").as("id"), name.as("nm"))
+    // deletion at ANY position — including inside the first token,
+    // the case equi-blocking structurally misses
+    val pos = lit(1) + pmod(col("p_partkey"), length(name))
+    val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
+      .select(lit(1L).as("side"), col("p_partkey").as("id"),
+        concat(name.substr(lit(1), (pos - 1).cast("int")),
+          name.substr((pos + 1).cast("int"), lit(200))).as("nm"))
+    val all = clean.unionByName(dirty)
+    val ranked = graft.operators.PrefixSum.rowNumber(all, Seq.empty,
+        Seq(col("nm"), col("side"), col("id")), substring(col("nm"), 1, 2), "rn")
+      .withColumn("g", expr("rn div 4"))
+    val a = ranked.select(col("side").as("a_side"), col("id").as("a_id"),
+      col("nm").as("a_nm"), col("rn").as("a_rn"), col("g"))
+    val b = ranked.select(col("side").as("b_side"), col("id").as("b_id"),
+        col("nm").as("b_nm"), col("rn").as("b_rn"),
+        explode(array(col("g"), col("g") - 1)).as("g"))
+    a.join(b, "g")
+      .filter(col("b_rn") > col("a_rn") && col("b_rn") <= col("a_rn") + 4)
+      .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), 2))
+      .filter(col("dist").between(0, 2))
+      .select(col("a_side"), col("a_id"), col("b_side"), col("b_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("a_side", "a_id", "b_side", "b_id")
   }
 
   /** Two-pass exact heavy hitters over a `token` column (q_heavy_hitters
@@ -1721,44 +1819,7 @@ object TextOps {
     // survives the noise model (here the first token; phonetic codes
     // or length-banded replication are drop-in alternatives) — the
     // shape stays one equi join + one per-dirty-row top-1.
-    "q_fuzzy_match" -> ((s, d) => {
-      val name = lower(col("p_name"))
-      val clean = part(s, d)
-        .select(col("p_partkey").as("clean_id"), name.as("clean_name"))
-        .withColumn("blk", substring_index(col("clean_name"), " ", 1))
-      val sp = instr(name, " ")
-      val pos = sp + lit(1) + pmod(col("p_partkey"), length(name) - sp)
-      val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
-        .select(col("p_partkey").as("dirty_id"),
-          concat(name.substr(lit(1), (pos - 1).cast("int")),
-            name.substr((pos + 1).cast("int"), lit(100))).as("dirty_name"))
-        .withColumn("blk", substring_index(col("dirty_name"), " ", 1))
-      // the probe side is TINY (one input split) but the block join
-      // fans out to |block|² candidate pairs — left on input-split
-      // parallelism the whole distance pass lands in ONE task, and
-      // AQE's small-partition coalescing happily merges a countless
-      // repartition right back (the shuffle is a few hundred KB; the
-      // fan-out AFTER it is what costs). The EXPLICIT partition count
-      // opts this shuffle out of coalescing and hands every core a
-      // slice of the fan-out: measured 12.2 → 1.0 s at sf0.1. Sized
-      // by defaultParallelism so a real cluster spreads it further.
-      dirty.repartition(s.sparkContext.defaultParallelism, col("dirty_id"))
-        .join(clean, "blk")
-        .filter(abs(length(col("dirty_name")) - length(col("clean_name"))) <= 2)
-        // THRESHOLD levenshtein: banded O(τ·n) with early exit
-        // (returns -1 past the threshold) instead of the full DP —
-        // nearly every candidate exceeds τ, so the early exit is
-        // where the time goes
-        .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name"), 2))
-        .filter(col("dist").between(0, 2))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))))
-        .filter(col("rk") === 1)
-        .select(col("dirty_id"), col("dirty_name"),
-          col("clean_id").as("matched_id"), col("dist").cast("long").as("dist"),
-          (col("clean_id") === col("dirty_id")).as("self_match"))
-        .orderBy("dirty_id")
-    }),
+    "q_fuzzy_match" -> ((s, d) => fuzzyMatches(s, d)),
 
     // COMPOSED ENTITY-RESOLUTION PIPELINE — the production ER shape:
     // run BOTH blocking families (equi-blocking q_fuzzy_match +
@@ -1848,34 +1909,7 @@ object TextOps {
     // g − 1, equi-join, |Δrn| ≤ w filter): each pair lands exactly
     // once, cost ∝ records × w, never records². Verification is the
     // banded threshold levenshtein.
-    "q_sorted_neighborhood" -> ((s, d) => {
-      val name = lower(col("p_name"))
-      val clean = part(s, d)
-        .select(lit(0L).as("side"), col("p_partkey").as("id"), name.as("nm"))
-      // deletion at ANY position — including inside the first token,
-      // the case equi-blocking structurally misses
-      val pos = lit(1) + pmod(col("p_partkey"), length(name))
-      val dirty = part(s, d).filter(col("p_partkey") % 3 === 0)
-        .select(lit(1L).as("side"), col("p_partkey").as("id"),
-          concat(name.substr(lit(1), (pos - 1).cast("int")),
-            name.substr((pos + 1).cast("int"), lit(200))).as("nm"))
-      val all = clean.unionByName(dirty)
-      val ranked = graft.operators.PrefixSum.rowNumber(all, Seq.empty,
-          Seq(col("nm"), col("side"), col("id")), substring(col("nm"), 1, 2), "rn")
-        .withColumn("g", expr("rn div 4"))
-      val a = ranked.select(col("side").as("a_side"), col("id").as("a_id"),
-        col("nm").as("a_nm"), col("rn").as("a_rn"), col("g"))
-      val b = ranked.select(col("side").as("b_side"), col("id").as("b_id"),
-          col("nm").as("b_nm"), col("rn").as("b_rn"),
-          explode(array(col("g"), col("g") - 1)).as("g"))
-      a.join(b, "g")
-        .filter(col("b_rn") > col("a_rn") && col("b_rn") <= col("a_rn") + 4)
-        .withColumn("dist", levenshtein(col("a_nm"), col("b_nm"), 2))
-        .filter(col("dist").between(0, 2))
-        .select(col("a_side"), col("a_id"), col("b_side"), col("b_id"),
-          col("dist").cast("long").as("dist"))
-        .orderBy("a_side", "a_id", "b_side", "b_id")
-    }),
+    "q_sorted_neighborhood" -> ((s, d) => sortedNeighborhood(s, d)),
 
     // E5/E9 BM25 RETRIEVAL SCORING (Robertson-Sparck Jones; k1 = 1.2,
     // b = 0.75) for a fixed query-term set — the lexical-retrieval

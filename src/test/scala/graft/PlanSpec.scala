@@ -316,7 +316,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_fuzzy_match: blocking plans an equi join, never a nested loop") {
-    val p = plan("q_fuzzy_match")
+    // pin the RAW pipeline: the catalog entry is memoized and executes
+    // as a checkpoint scan after first use (the itemsetPairsPlan rule)
+    val df = graft.operators.TextOps.fuzzyMatchPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the whole point of first-token blocking is escaping the all-pairs distance matrix")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
@@ -535,7 +539,8 @@ class PlanSpec extends SparkTestBase {
   test("q_sorted_neighborhood: global rank runs the two-phase scan; window join is equi") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    val df = SparkEntry.queries("q_sorted_neighborhood")(spark, sf)
+    // the RAW pipeline (catalog entry memoizes to a checkpoint scan)
+    val df = graft.operators.TextOps.sortedNeighborhoodPlan(spark, sf)
     val sp = df.queryExecution.sparkPlan
     val wins = sp.collect { case w: WindowExec => w }
     assert(wins.exists(_.partitionSpec.exists(
