@@ -641,6 +641,35 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // MANN-WHITNEY U — the nonparametric two-sample location test
+    // (does one half of the corpus run longer documents?), computed
+    // from EXACT global ranks via the two-phase distributed scan — no
+    // single-task sort at any corpus size. Ranks are made unique with
+    // the (n_chars, doc_id) tie-break, so this is the deterministic
+    // tie-broken U (documented variant — the classical mid-rank
+    // correction needs fractional ranks; the tie-break keeps every
+    // quantity bigint and both engines identical). z² in integral
+    // milli with the divisions in ONE documented operand order (the
+    // q_chi2_features rule) to stay inside bigint.
+    "q_mann_whitney" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(2L)).as("cohort"))
+      val b = broadcast(docs.agg(min("n_chars").as("lo"), max("n_chars").as("hi")))
+      val ranked = PrefixSum.rowNumber(docs.crossJoin(b), Seq.empty,
+        Seq(col("n_chars"), col("doc_id")),
+        PrefixSum.rangeBucket(col("n_chars"), col("lo"), col("hi"), 32), "rk")
+      ranked.groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum("rk").as("r"))
+        .agg(max(when(col("cohort") === 0, col("n"))).as("n1"),
+          max(when(col("cohort") === 0, col("r"))).as("r1"),
+          max(when(col("cohort") === 1, col("n"))).as("n2"))
+        .withColumn("u1", expr("r1 - n1 * (n1 + 1) div 2"))
+        .withColumn("z2_milli", expr(
+          """((2 * u1 - n1 * n2) * (2 * u1 - n1 * n2) div (n1 * n2)) * 3000
+            |div (n1 + n2 + 1)""".stripMargin))
+        .select("n1", "n2", "r1", "u1", "z2_milli")
+    }),
+
     // T5-STYLE SPAN CORRUPTION — the training-objective mask table: per
     // doc, ~5% of token positions start a 3-token masked span, placed
     // by md5-derived offsets inside disjoint stride buckets (span i
@@ -1087,6 +1116,25 @@ object CorpusOps {
         |SELECT k.source, k.n_docs, k.w, k.weight_ppm,
         |  k.alloc_floor + CASE WHEN k.rr <= r.deficit THEN 1 ELSE 0 END AS alloc
         |FROM k CROSS JOIN r ORDER BY k.source""".stripMargin,
+
+    "q_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT doc_id % 2 AS cohort,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT cohort, COUNT(*) AS n, CAST(SUM(rk) AS BIGINT) AS r
+        |  FROM r GROUP BY 1),
+        |w AS (
+        |  SELECT MAX(CASE WHEN cohort = 0 THEN n END) AS n1,
+        |    MAX(CASE WHEN cohort = 0 THEN r END) AS r1,
+        |    MAX(CASE WHEN cohort = 1 THEN n END) AS n2
+        |  FROM g),
+        |u AS (SELECT n1, n2, r1, r1 - n1 * (n1 + 1) // 2 AS u1 FROM w)
+        |SELECT n1, n2, r1, u1,
+        |  ((2 * u1 - n1 * n2) * (2 * u1 - n1 * n2) // (n1 * n2)) * 3000
+        |    // (n1 + n2 + 1) AS z2_milli
+        |FROM u""".stripMargin,
 
     "q_span_corruption" ->
       """WITH t AS (

@@ -1095,6 +1095,57 @@ object EventOps {
         .select("n_users", "n_conv", "p_ppm", "mde_rel_ppm", "n_per_arm")
     }),
 
+    // SEQUENTIAL A/B MONITOR — the daily peeking view of the parity
+    // experiment: cumulative users and converters per cohort by day,
+    // the two-proportion z² at each peek (exact cross-multiplied
+    // integral milli — z² = (ca·nb − cb·na)²·n / (na·nb·c·(n−c))),
+    // and a crossed flag against the 9.0 boundary (±3σ, the classic
+    // conservative always-peek threshold — naive daily peeking at
+    // 3.84 is exactly the error the sequential boundary exists to
+    // prevent). Cumulative counts run as windows over the DAY GRID
+    // (O(days·cohorts) rows built from per-user first-event
+    // aggregates), so the peek table costs two user-keyed aggs no
+    // matter the event volume; degenerate peeks (no conversions yet,
+    // or all) report NULL rather than a fake statistic.
+    "q_sequential_test" -> ((s, d) => {
+      val ev = events(s, d)
+      val firstSeen = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("fs"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      val firstPur = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("fp"))
+      val u = firstSeen.join(firstPur, Seq("user_id"), "left")
+        .localCheckpoint() // feeds both histograms
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      val grid = days.crossJoin(broadcast(u.select("cohort").distinct()))
+      val seenH = u.groupBy(col("fs").as("day"), col("cohort"))
+        .agg(count(lit(1)).as("ns"))
+      val purH = u.filter(col("fp").isNotNull)
+        .groupBy(col("fp").as("day"), col("cohort"))
+        .agg(count(lit(1)).as("np"))
+      val w = Window.partitionBy("cohort").orderBy("day")
+      val cum = grid
+        .join(seenH, Seq("day", "cohort"), "left")
+        .join(purH, Seq("day", "cohort"), "left")
+        .withColumn("n", sum(coalesce(col("ns"), lit(0L))).over(w))
+        .withColumn("c", sum(coalesce(col("np"), lit(0L))).over(w))
+        .select("day", "cohort", "n", "c")
+      cum.groupBy("day").agg(
+          max(when(col("cohort") === 0, col("n"))).as("na"),
+          max(when(col("cohort") === 0, col("c"))).as("ca"),
+          max(when(col("cohort") === 1, col("n"))).as("nb"),
+          max(when(col("cohort") === 1, col("c"))).as("cb"))
+        .withColumn("z2_milli", expr(
+          """case when na > 0 and nb > 0 and (ca + cb) > 0
+            |      and (ca + cb) < (na + nb)
+            |then ((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb) * 1000)
+            |     div (na * nb * (ca + cb) * (na + nb - ca - cb))
+            |else null end""".stripMargin))
+        .withColumn("crossed",
+          (coalesce(col("z2_milli"), lit(0L)) > 9000L).cast("int"))
+        .select("day", "na", "ca", "nb", "cb", "z2_milli", "crossed")
+        .orderBy("day")
+    }),
+
     // SAMPLE-RATIO MISMATCH — the experiment-hygiene gate run before
     // ANY A/B readout: a 1-df χ² of the realized 50/50 assignment
     // counts, in exact integral milli via the closed form
@@ -1974,6 +2025,50 @@ object EventOps {
         |  784 * (1000000 - n_conv * 1000000 // n_users)
         |    // (n_conv * 1000000 // n_users) AS n_per_arm
         |FROM a""".stripMargin,
+
+    "q_sequential_test" ->
+      """WITH fs AS (
+        |  SELECT user_id, user_id % 2 AS cohort, MIN(CAST(ts AS DATE)) AS fsd
+        |  FROM events GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fpd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (SELECT fs.user_id, fs.cohort, fs.fsd, fp.fpd
+        |      FROM fs LEFT JOIN fp ON fs.user_id = fp.user_id),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |grid AS (SELECT d.day, c.cohort
+        |         FROM days d CROSS JOIN (SELECT DISTINCT cohort FROM u) c),
+        |sh AS (SELECT fsd AS day, cohort, COUNT(*) AS ns FROM u GROUP BY 1, 2),
+        |ph AS (SELECT fpd AS day, cohort, COUNT(*) AS np FROM u
+        |       WHERE fpd IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g.day, g.cohort,
+        |    CAST(SUM(COALESCE(sh.ns, 0)) OVER (PARTITION BY g.cohort
+        |      ORDER BY g.day) AS BIGINT) AS n,
+        |    CAST(SUM(COALESCE(ph.np, 0)) OVER (PARTITION BY g.cohort
+        |      ORDER BY g.day) AS BIGINT) AS c
+        |  FROM grid g
+        |  LEFT JOIN sh ON sh.day = g.day AND sh.cohort = g.cohort
+        |  LEFT JOIN ph ON ph.day = g.day AND ph.cohort = g.cohort),
+        |wide AS (
+        |  SELECT day,
+        |    MAX(CASE WHEN cohort = 0 THEN n END) AS na,
+        |    MAX(CASE WHEN cohort = 0 THEN c END) AS ca,
+        |    MAX(CASE WHEN cohort = 1 THEN n END) AS nb,
+        |    MAX(CASE WHEN cohort = 1 THEN c END) AS cb
+        |  FROM cum GROUP BY day),
+        |z AS (
+        |  SELECT day, na, ca, nb, cb,
+        |    CASE WHEN na > 0 AND nb > 0 AND (ca + cb) > 0
+        |          AND (ca + cb) < (na + nb)
+        |    THEN ((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb) * 1000)
+        |         // (na * nb * (ca + cb) * (na + nb - ca - cb))
+        |    ELSE NULL END AS z2_milli
+        |  FROM wide)
+        |SELECT day, na, ca, nb, cb, z2_milli,
+        |  CAST(CASE WHEN COALESCE(z2_milli, 0) > 9000 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS crossed
+        |FROM z ORDER BY day""".stripMargin,
 
     "q_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -1139,6 +1139,32 @@ object VectorOps {
         .orderBy("qid")
     }),
 
+    // E4 RECIPROCAL-RANK FUSION — the hybrid-search combiner: fuse the
+    // exact cosine ranking with the IVF-PQ ADC ranking per probe via
+    // RRF (Σ 1/(60+rank), held in integral micro-units — k=60 is the
+    // canonical constant). Composes the two catalog queries directly
+    // (the q_mrr precedent — rides their oracles, can never drift),
+    // full-outer on (query, item) so a hit in either list scores, and
+    // the fused top-3 uses the (score desc, item asc) tie-break. At
+    // scale both input rankings are probe-bounded, so fusion is
+    // O(probes · k) — the cheapest stage of the stack it sits on.
+    "q_retrieval_fusion" -> ((s, d) => {
+      val ex = queries("q_cosine_topk")(s, d)
+        .select(col("qid"), col("vid").as("item"), col("rank").as("r_exact"))
+      val adc = queries("q_ivfpq_topk")(s, d)
+        .select(col("qid"), col("vid").as("item"), col("rank").as("r_adc"))
+      val fused = ex.join(adc, Seq("qid", "item"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + r_exact)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_adc)"), lit(0L)))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("item").asc)
+      fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+        .filter(col("fused_rank") <= 3)
+        .select("qid", "fused_rank", "item", "rrf_micro", "r_exact", "r_adc")
+        .orderBy("qid", "fused_rank")
+    }),
+
     // E6 IMAGE HISTOGRAM STATS — per-image luma-histogram Shannon
     // entropy + mean luminance over the REAL pixel decode path (the
     // same PNG-inflate/BMP-walk codec as q_image_phash): the
@@ -2028,6 +2054,31 @@ object VectorOps {
          |SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
          |  CAST(SUM(rel * (cum_hits * 1000000 // rank)) AS BIGINT) // 3 AS ap_micro
          |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_retrieval_fusion" -> (ivfpqCte +
+      s""",
+        |adc AS (
+        |  SELECT qid, vec_id AS item, CAST(rank AS BIGINT) AS r_adc FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist2, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 3),
+        |ex AS (SELECT qid, vid AS item, rank AS r_exact
+        |       FROM ($cosineTopkOracle) e),
+        |fused AS (
+        |  SELECT COALESCE(ex.qid, adc.qid) AS qid,
+        |    COALESCE(ex.item, adc.item) AS item,
+        |    ex.r_exact, adc.r_adc,
+        |    COALESCE(1000000 // (60 + ex.r_exact), 0) +
+        |    COALESCE(1000000 // (60 + adc.r_adc), 0) AS rrf_micro
+        |  FROM ex FULL OUTER JOIN adc
+        |    ON ex.qid = adc.qid AND ex.item = adc.item)
+        |SELECT qid, CAST(fr AS BIGINT) AS fused_rank, item, rrf_micro,
+        |  r_exact, r_adc
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY rrf_micro DESC, item ASC) AS fr
+        |  FROM fused) WHERE fr <= 3
+        |ORDER BY qid, fused_rank""".stripMargin),
 
     "q_image_entropy" ->
       """WITH dims AS (
