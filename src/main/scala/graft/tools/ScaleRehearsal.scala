@@ -146,6 +146,14 @@ object ScaleRehearsal {
     "q_assoc_rules" -> Seq("lineitem"),
     "q_lsh_recall" -> Seq("embeddings"),
     "q_image_near_dup" -> Seq("documents"),
+    // round-7 batch-2: the new heavy entries. The vocabulary remap
+    // gives each copy a private vocabulary, so the NB model table
+    // (class × token) scales ×N at constant per-token counts and the
+    // doc×classes scoring fan-out stays |classes|-bounded;
+    // q_tfidf_cosine's probes are copy-0's 3 docs (probe-bounded), so
+    // cost is index build ×N plus a fixed probe join.
+    "q_naive_bayes" -> Seq("documents"),
+    "q_tfidf_cosine" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
