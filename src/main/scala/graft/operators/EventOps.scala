@@ -1095,6 +1095,58 @@ object EventOps {
         .select("n_users", "n_conv", "p_ppm", "mde_rel_ppm", "n_per_arm")
     }),
 
+    // QUANTILE TREATMENT EFFECT — the distributional readout a mean
+    // lift hides: per-cohort exact p50/p90 of per-user revenue and
+    // their differences (a treatment moving only the tail shows a
+    // zero median QTE and a large p90 QTE). Revenue in integer cents;
+    // quantiles via the exact per-group percentile over the per-USER
+    // aggregate (O(users) rows, cohort-keyed — never a global sort of
+    // raw events), rounded 4 like the q_percentiles precedent.
+    "q_qte" -> ((s, d) => {
+      val rev = events(s, d)
+        .groupBy("user_id")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("rev_c"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      rev.groupBy("cohort").agg(
+          expr("percentile(rev_c, 0.5)").as("p50"),
+          expr("percentile(rev_c, 0.9)").as("p90"))
+        .agg(
+          max(when(col("cohort") === 0, col("p50"))).as("p50_a"),
+          max(when(col("cohort") === 1, col("p50"))).as("p50_b"),
+          max(when(col("cohort") === 0, col("p90"))).as("p90_a"),
+          max(when(col("cohort") === 1, col("p90"))).as("p90_b"))
+        .select(round(col("p50_a"), 4).as("p50_a"),
+          round(col("p50_b"), 4).as("p50_b"),
+          round(col("p50_b") - col("p50_a"), 4).as("qte_p50"),
+          round(col("p90_a"), 4).as("p90_a"),
+          round(col("p90_b"), 4).as("p90_b"),
+          round(col("p90_b") - col("p90_a"), 4).as("qte_p90"))
+    }),
+
+    // STRATIFIED SRM — the assignment-balance audit per first-seen-day
+    // stratum: a day-localized randomization bug (one day's traffic
+    // routed 70/30) can pool to a healthy-looking global ratio, so the
+    // per-stratum χ² contributions AND their pooled sum (df = #strata)
+    // are both reported, all in the same exact integral milli as
+    // q_ab_srm. One user-keyed agg + one O(days) aggregate.
+    "q_stratified_srm" -> ((s, d) => {
+      val u = events(s, d).groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("fs"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      val strata = u.groupBy("fs").agg(
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+          count(lit(1)).as("n"))
+        .withColumn("chi2_milli",
+          expr("((2 * n_a - n) * (2 * n_a - n) * 1000) div n"))
+      val tot = broadcast(strata.agg(
+        sum("chi2_milli").as("chi2_total_milli"), count(lit(1)).as("df")))
+      strata.crossJoin(tot)
+        .select(col("fs").as("stratum_day"), col("n_a"),
+          (col("n") - col("n_a")).as("n_b"), col("chi2_milli"),
+          col("chi2_total_milli"), col("df"))
+        .orderBy("stratum_day")
+    }),
+
     // SEQUENTIAL A/B MONITOR — the daily peeking view of the parity
     // experiment: cumulative users and converters per cohort by day,
     // the two-proportion z² at each peek (exact cross-multiplied
@@ -2025,6 +2077,46 @@ object EventOps {
         |  784 * (1000000 - n_conv * 1000000 // n_users)
         |    // (n_conv * 1000000 // n_users) AS n_per_arm
         |FROM a""".stripMargin,
+
+    "q_qte" ->
+      """WITH rev AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events GROUP BY 1, 2),
+        |q AS (
+        |  SELECT cohort, quantile_cont(rev_c, 0.5) AS p50,
+        |    quantile_cont(rev_c, 0.9) AS p90
+        |  FROM rev GROUP BY 1),
+        |w AS (
+        |  SELECT MAX(CASE WHEN cohort = 0 THEN p50 END) AS p50_a,
+        |    MAX(CASE WHEN cohort = 1 THEN p50 END) AS p50_b,
+        |    MAX(CASE WHEN cohort = 0 THEN p90 END) AS p90_a,
+        |    MAX(CASE WHEN cohort = 1 THEN p90 END) AS p90_b
+        |  FROM q)
+        |SELECT ROUND(p50_a, 4) AS p50_a, ROUND(p50_b, 4) AS p50_b,
+        |  ROUND(p50_b - p50_a, 4) AS qte_p50,
+        |  ROUND(p90_a, 4) AS p90_a, ROUND(p90_b, 4) AS p90_b,
+        |  ROUND(p90_b - p90_a, 4) AS qte_p90
+        |FROM w""".stripMargin,
+
+    "q_stratified_srm" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS cohort, MIN(CAST(ts AS DATE)) AS fs
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT fs,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    COUNT(*) AS n
+        |  FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT fs, n_a, n - n_a AS n_b,
+        |    ((2 * n_a - n) * (2 * n_a - n) * 1000) // n AS chi2_milli
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(chi2_milli) AS BIGINT) AS chi2_total_milli,
+        |        COUNT(*) AS df FROM c)
+        |SELECT c.fs AS stratum_day, c.n_a, c.n_b, c.chi2_milli,
+        |  t.chi2_total_milli, t.df
+        |FROM c, t ORDER BY stratum_day""".stripMargin,
 
     "q_sequential_test" ->
       """WITH fs AS (
