@@ -641,6 +641,43 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // DATASET CARD — the one-row datasheet a corpus release ships:
+    // volume (docs/tokens/vocab), composition (sources, langs, lang
+    // entropy), and hygiene headlines (exact-dup ppm via md5-text
+    // identity, short-doc ppm at the q_quality_filter threshold).
+    // Everything integral except the lang entropy (count-only form,
+    // quantized to milli-nats). Three shared-scan aggregates (doc
+    // stats, vocab, lang histogram) joined as 1-row broadcasts — the
+    // whole card costs two corpus scans regardless of size.
+    "q_dataset_card" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("h"),
+        size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .cast("long").as("n_toks"))
+      val base = t.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum("n_toks").as("total_tokens"),
+        sum(when(col("n_toks") < 25, 1L).otherwise(0L)).as("n_short"))
+      val vocab = documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+        .agg(countDistinct(col("tk")).as("vocab"))
+      val langH = t.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+        .select(round((log(col("n").cast("double")) - col("s") / col("n")) * 1000)
+          .cast("long").as("lang_entropy_milli"))
+      base.crossJoin(broadcast(vocab)).crossJoin(broadcast(langH))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_tokens"), col("vocab"),
+          expr("total_tokens div n_docs").as("mean_doc_tokens"),
+          expr("(n_docs - n_unique_texts) * 1000000 div n_docs").as("exact_dup_ppm"),
+          expr("n_short * 1000000 div n_docs").as("short_docs_ppm"),
+          col("lang_entropy_milli"))
+    }),
+
     // MANN-WHITNEY U — the nonparametric two-sample location test
     // (does one half of the corpus run longer documents?), computed
     // from EXACT global ranks via the two-phase distributed scan — no
@@ -1116,6 +1153,36 @@ object CorpusOps {
         |SELECT k.source, k.n_docs, k.w, k.weight_ppm,
         |  k.alloc_floor + CASE WHEN k.rr <= r.deficit THEN 1 ELSE 0 END AS alloc
         |FROM k CROSS JOIN r ORDER BY k.source""".stripMargin,
+
+    "q_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, md5(text) AS h,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |         x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT h) AS n_unique_texts,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN n_toks < 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short
+        |  FROM t),
+        |v AS (
+        |  SELECT COUNT(DISTINCT tk) AS vocab FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tk FROM documents)
+        |  WHERE tk <> ''),
+        |lh AS (
+        |  SELECT CAST(ROUND((ln(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c)) * 1000) AS BIGINT)
+        |    AS lang_entropy_milli
+        |  FROM (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang))
+        |SELECT b.n_docs, b.n_sources, b.n_langs, b.total_tokens, v.vocab,
+        |  b.total_tokens // b.n_docs AS mean_doc_tokens,
+        |  (b.n_docs - b.n_unique_texts) * 1000000 // b.n_docs AS exact_dup_ppm,
+        |  b.n_short * 1000000 // b.n_docs AS short_docs_ppm,
+        |  lh.lang_entropy_milli
+        |FROM base b, v, lh""".stripMargin,
 
     "q_mann_whitney" ->
       """WITH r AS (

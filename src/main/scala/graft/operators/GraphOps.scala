@@ -408,6 +408,29 @@ object GraphOps {
         .select(col("node").as("doc_id"), col("comp"), col("csize"))
         .orderBy("doc_id")),
 
+    // E3 DEDUP RATE BY SOURCE — the curation-report rollup: per source,
+    // how many docs sit in multi-doc near-dup clusters, the dup rate in
+    // integral ppm, and how many distinct clusters the source touches
+    // (clusters span sources, so touched-clusters is the honest figure
+    // — not a per-source survivor count). Rides the memoized cluster
+    // labels like every other consumer; two O(docs) joins + an
+    // O(sources) aggregate.
+    "q_dedup_rate" -> ((s, d) => {
+      val cc = clusters(s, d)
+      val sizes = cc.groupBy("comp").agg(count(lit(1)).as("csize"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(cc, col("doc_id") === col("node"))
+        .join(sizes, "comp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_in_multi"),
+          countDistinct(col("comp")).as("n_clusters_touched"))
+        .withColumn("dup_rate_ppm", expr("n_in_multi * 1000000 div n_docs"))
+        .select("source", "n_docs", "n_in_multi", "dup_rate_ppm",
+          "n_clusters_touched")
+        .orderBy("source")
+    }),
+
     // E3 dedup survivors: one representative per cluster (the min
     // doc_id), with how many near-dups it absorbed — the actual "write
     // the deduplicated corpus" output of the pipeline
@@ -1026,6 +1049,19 @@ object GraphOps {
         |SELECT c.node AS doc_id, c.comp, s.csize
         |FROM cc c JOIN sizes s ON c.comp = s.comp
         |ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_rate" -> (ccPrelude +
+      """
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_multi,
+        |  CAST(SUM(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS dup_rate_ppm,
+        |  COUNT(DISTINCT c.comp) AS n_clusters_touched
+        |FROM documents d
+        |JOIN cc c ON c.node = d.doc_id
+        |JOIN sizes s ON s.comp = c.comp
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "q_dedup_survivors" -> (ccPrelude +
       """

@@ -1139,6 +1139,28 @@ object VectorOps {
         .orderBy("qid")
     }),
 
+    // E4 EMBEDDING NORM PROFILE — per-label L2² norm stats in exact
+    // integer micro²-units: the vector-QA pass run before any
+    // similarity work (collapsed or exploded norms per class flag a
+    // broken encoder batch; cosine needs non-degenerate norms). One
+    // dim-exploded hash-agg to per-vector norms, one O(labels) rollup.
+    "q_embed_norms" -> ((s, d) => {
+      val norms = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("qv") * col("qv")).as("norm2"))
+      norms.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("norm2").as("min_norm2"),
+          max("norm2").as("max_norm2"),
+          expr("sum(norm2) div count(1)").as("mean_norm2"))
+        .select(col("label").cast("long").as("label"), col("n_vecs"),
+          col("min_norm2"), col("mean_norm2"), col("max_norm2"))
+        .orderBy("label")
+    }),
+
     // E4 RECIPROCAL-RANK FUSION — the hybrid-search combiner: fuse the
     // exact cosine ranking with the IVF-PQ ADC ranking per probe via
     // RRF (Σ 1/(60+rank), held in integral micro-units — k=60 is the
@@ -2054,6 +2076,20 @@ object VectorOps {
          |SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_hits,
          |  CAST(SUM(rel * (cum_hits * 1000000 // rank)) AS BIGINT) // 3 AS ap_micro
          |FROM cum GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "q_embed_norms" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)),
+        |n AS (
+        |  SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS norm2
+        |  FROM dims GROUP BY 1, 2)
+        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+        |  MIN(norm2) AS min_norm2,
+        |  CAST(SUM(norm2) AS BIGINT) // COUNT(*) AS mean_norm2,
+        |  MAX(norm2) AS max_norm2
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "q_retrieval_fusion" -> (ivfpqCte +
       s""",
