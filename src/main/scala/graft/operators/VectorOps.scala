@@ -511,6 +511,38 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    // E4 CLUSTER PURITY — the external-validity eval of the k-means
+    // assignment against the label column: per-cluster majority label
+    // + purity in integral ppm, and the corpus-level purity (Σ
+    // majority / n). Composes the catalog's own q_kmeans (the q_mrr
+    // rule — rides its oracle via the shared kmeansCte, so clustering
+    // and eval can never drift); the eval itself is two O(k·labels)
+    // aggregates. Honestly mediocre purity on iid-random embeddings —
+    // which is what a measure-don't-guess eval is for.
+    "q_cluster_purity" -> ((s, d) => {
+      val asg = queries("q_kmeans")(s, d).select("vec_id", "cluster")
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val grid = asg.join(lab, "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      val per = grid
+        .withColumn("csize", sum("n").over(Window.partitionBy("cluster")))
+        .withColumn("rn", row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("n").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("csize"),
+          col("label").cast("long").as("majority_label"),
+          col("n").as("n_majority"),
+          expr("n * 1000000 div csize").as("purity_ppm"))
+      val tot = broadcast(per.agg(sum("n_majority").as("sum_maj"),
+        sum("csize").as("n_total")))
+      per.crossJoin(tot)
+        .withColumn("overall_purity_ppm",
+          expr("sum_maj * 1000000 div n_total"))
+        .select("cluster", "csize", "majority_label", "n_majority",
+          "purity_ppm", "overall_purity_ppm")
+        .orderBy("cluster")
+    }),
+
     // E4 PRODUCT QUANTIZATION codes — the compression leg of ANN at
     // lake scale (IVF-PQ): each 64-dim embedding splits into 4
     // contiguous 16-dim subspaces, each independently k-means-coded
@@ -1283,6 +1315,41 @@ object VectorOps {
         .orderBy("qid")
     }))
 
+  /** The q_kmeans two-Lloyd-round pipeline as DuckDB CTEs ending with
+    * `a2` (vec_id, cluster) — shared by the kmeans oracle and the
+    * purity eval so the two can never drift (the ivfpqCte rule). */
+  private lazy val kmeansCte =
+    """WITH dims AS (
+      |  SELECT vec_id, d AS dim,
+      |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS d
+      |        FROM embeddings)),
+      |c0 AS (SELECT vec_id AS j, dim, qv AS cval FROM dims WHERE vec_id < 8),
+      |a1d AS (
+      |  SELECT dims.vec_id, c0.j,
+      |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
+      |  FROM dims JOIN c0 ON dims.dim = c0.dim GROUP BY dims.vec_id, c0.j),
+      |a1 AS (SELECT vec_id, j AS cluster FROM (
+      |         SELECT vec_id, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+      |         FROM a1d) WHERE rn = 1),
+      |u1 AS (
+      |  SELECT a1.cluster AS j, dims.dim,
+      |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
+      |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id
+      |  GROUP BY a1.cluster, dims.dim),
+      |c1 AS (SELECT c0.j, c0.dim, COALESCE(u1.nval, c0.cval) AS cval
+      |       FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.dim = c0.dim),
+      |a2d AS (
+      |  SELECT dims.vec_id, c1.j,
+      |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
+      |  FROM dims JOIN c1 ON dims.dim = c1.dim GROUP BY dims.vec_id, c1.j),
+      |a2 AS (SELECT vec_id, j AS cluster FROM (
+      |         SELECT vec_id, j,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+      |         FROM a2d) WHERE rn = 1)""".stripMargin
+
   /** The q_ivfpq_topk pipeline as DuckDB CTEs, ending with `scored`
     * (qid, vec_id, adist2) — shared by the top-k oracle and the
     * self-evaluating recall oracle so the two can never drift. */
@@ -1610,40 +1677,36 @@ object VectorOps {
         |FROM dims GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
 
-    "q_kmeans" ->
-      """WITH dims AS (
-        |  SELECT vec_id, d AS dim,
-        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
-        |  FROM (SELECT vec_id, unnest(embedding) AS v,
-        |          generate_subscripts(embedding, 1) AS d
-        |        FROM embeddings)),
-        |c0 AS (SELECT vec_id AS j, dim, qv AS cval FROM dims WHERE vec_id < 8),
-        |a1d AS (
-        |  SELECT dims.vec_id, c0.j,
-        |    SUM((dims.qv - c0.cval) * (dims.qv - c0.cval)) AS dist2
-        |  FROM dims JOIN c0 ON dims.dim = c0.dim GROUP BY dims.vec_id, c0.j),
-        |a1 AS (SELECT vec_id, j AS cluster FROM (
-        |         SELECT vec_id, j,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
-        |         FROM a1d) WHERE rn = 1),
-        |u1 AS (
-        |  SELECT a1.cluster AS j, dims.dim,
-        |    CAST(SUM(dims.qv) AS BIGINT) // COUNT(*) AS nval
-        |  FROM a1 JOIN dims ON dims.vec_id = a1.vec_id
-        |  GROUP BY a1.cluster, dims.dim),
-        |c1 AS (SELECT c0.j, c0.dim, COALESCE(u1.nval, c0.cval) AS cval
-        |       FROM c0 LEFT JOIN u1 ON u1.j = c0.j AND u1.dim = c0.dim),
-        |a2d AS (
-        |  SELECT dims.vec_id, c1.j,
-        |    SUM((dims.qv - c1.cval) * (dims.qv - c1.cval)) AS dist2
-        |  FROM dims JOIN c1 ON dims.dim = c1.dim GROUP BY dims.vec_id, c1.j),
-        |a2 AS (SELECT vec_id, j AS cluster FROM (
-        |         SELECT vec_id, j,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
-        |         FROM a2d) WHERE rn = 1)
+    "q_kmeans" -> (kmeansCte +
+      """
         |SELECT vec_id, cluster,
         |  COUNT(*) OVER (PARTITION BY cluster) AS csize
-        |FROM a2 ORDER BY vec_id""".stripMargin,
+        |FROM a2 ORDER BY vec_id""".stripMargin),
+
+    "q_cluster_purity" -> (kmeansCte +
+      """,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |grid AS (
+        |  SELECT a2.cluster, lab.label, COUNT(*) AS n
+        |  FROM a2 JOIN lab ON lab.vec_id = a2.vec_id GROUP BY 1, 2),
+        |per AS (
+        |  SELECT cluster,
+        |    CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS csize,
+        |    label, n,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |                       ORDER BY n DESC, label ASC) AS rn
+        |  FROM grid),
+        |p1 AS (
+        |  SELECT cluster, csize, CAST(label AS BIGINT) AS majority_label,
+        |    CAST(n AS BIGINT) AS n_majority,
+        |    n * 1000000 // csize AS purity_ppm
+        |  FROM per WHERE rn = 1),
+        |t AS (SELECT CAST(SUM(n_majority) AS BIGINT) AS sum_maj,
+        |        CAST(SUM(csize) AS BIGINT) AS n_total FROM p1)
+        |SELECT p1.cluster, p1.csize, p1.majority_label, p1.n_majority,
+        |  p1.purity_ppm,
+        |  t.sum_maj * 1000000 // t.n_total AS overall_purity_ppm
+        |FROM p1, t ORDER BY p1.cluster""".stripMargin),
 
     // mirrors HllSketch exactly: 60-bit md5 hash → (12-bit register
     // index, 48-bit sub-stream), rank = 49 - bitlength, registers =
