@@ -641,6 +641,51 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // JENSEN-SHANNON DIVERGENCE — pairwise distance between sources'
+    // token distributions (symmetric, bounded [0, ln 2] — the
+    // distribution-drift complement of q_ks_drift's numeric test and
+    // q_source_overlap's set view). Each per-token contribution is
+    // QUANTIZED to nano-nats before summing, so the pair total is an
+    // exact bigint — order-independent across partitions and engines
+    // (the q_naive_bayes rule). The grid is source-pairs × union
+    // vocabulary: pairs are O(sources²) broadcasts and the vocabulary
+    // is corpus-sublinear, so the whole eval never touches raw docs
+    // after the one (source, token) hash-agg.
+    "q_js_divergence" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals, both join legs and the vocab
+      val tot = tf.groupBy("source").agg(sum("c").as("n"))
+      val pairs = tot.select(col("source").as("s1"), col("n").as("n1"))
+        .crossJoin(tot.select(col("source").as("s2"), col("n").as("n2")))
+        .filter(col("s1") < col("s2"))
+      val grid = broadcast(pairs)
+        .crossJoin(tf.select("tk").distinct())
+        .join(tf.select(col("source").as("s1"), col("tk"), col("c").as("c1")),
+          Seq("s1", "tk"), "left")
+        .join(tf.select(col("source").as("s2"), col("tk"), col("c").as("c2")),
+          Seq("s2", "tk"), "left")
+        .withColumn("c1", coalesce(col("c1"), lit(0L)))
+        .withColumn("c2", coalesce(col("c2"), lit(0L)))
+        .filter(col("c1") + col("c2") > 0)
+      grid.withColumn("term_nano", expr(
+          """cast(round((
+            |  case when c1 > 0 then (cast(c1 as double) / n1) *
+            |    ln((cast(c1 as double) / n1) /
+            |       ((cast(c1 as double) / n1 + cast(c2 as double) / n2) / 2))
+            |  else 0.0 end +
+            |  case when c2 > 0 then (cast(c2 as double) / n2) *
+            |    ln((cast(c2 as double) / n2) /
+            |       ((cast(c1 as double) / n1 + cast(c2 as double) / n2) / 2))
+            |  else 0.0 end) / 2 * 1000000000.0) as bigint)""".stripMargin))
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(sum("term_nano").as("jsd_nano"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("jsd_nano"))
+        .orderBy("s1", "s2")
+    }),
+
     // DATASET CARD — the one-row datasheet a corpus release ships:
     // volume (docs/tokens/vocab), composition (sources, langs, lang
     // entropy), and hygiene headlines (exact-dup ppm via md5-text
@@ -1153,6 +1198,39 @@ object CorpusOps {
         |SELECT k.source, k.n_docs, k.w, k.weight_ppm,
         |  k.alloc_floor + CASE WHEN k.rr <= r.deficit THEN 1 ELSE 0 END AS alloc
         |FROM k CROSS JOIN r ORDER BY k.source""".stripMargin,
+
+    "q_js_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, tk, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> '' GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+        |voc AS (SELECT DISTINCT tk FROM tf),
+        |grid AS (
+        |  SELECT p.s1, p.s2, p.n1, p.n2, v.tk,
+        |    COALESCE(t1.c, 0) AS c1, COALESCE(t2.c, 0) AS c2
+        |  FROM pairs p CROSS JOIN voc v
+        |  LEFT JOIN tf t1 ON t1.source = p.s1 AND t1.tk = v.tk
+        |  LEFT JOIN tf t2 ON t2.source = p.s2 AND t2.tk = v.tk
+        |  WHERE COALESCE(t1.c, 0) + COALESCE(t2.c, 0) > 0),
+        |terms AS (
+        |  SELECT s1, s2, n1, n2,
+        |    CAST(ROUND((
+        |      CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n1) *
+        |        ln((CAST(c1 AS DOUBLE) / n1) /
+        |           ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+        |      ELSE 0.0 END +
+        |      CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n2) *
+        |        ln((CAST(c2 AS DOUBLE) / n2) /
+        |           ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2))
+        |      ELSE 0.0 END) / 2 * 1000000000.0) AS BIGINT) AS term_nano
+        |  FROM grid)
+        |SELECT s1, s2, n1, n2, CAST(SUM(term_nano) AS BIGINT) AS jsd_nano
+        |FROM terms GROUP BY 1, 2, 3, 4 ORDER BY s1, s2""".stripMargin,
 
     "q_dataset_card" ->
       """WITH t AS (
