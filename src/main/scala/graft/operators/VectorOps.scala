@@ -78,7 +78,119 @@ object VectorOps {
 
   /** Drop the memoized phash table — timed harnesses (ScaleRehearsal)
     * call clearMemos so measurements can't silently hit the cache. */
-  private[graft] def clearMemos(): Unit = phashCache.clear()
+  private[graft] def clearMemos(): Unit = {
+    phashCache.clear()
+    cosTopkCache.clear()
+    ivfpqCache.clear()
+  }
+
+  /** Memoized retrieval result tables: the exact cosine top-k feeds
+    * five evals (MRR, NDCG, MAP, ANN recall, RRF fusion) and the ADC
+    * top-k feeds three — each a 15-row table whose recomputation was
+    * the whole brute-force/index pipeline per consumer. Same contract
+    * as every other memo: deterministic over an immutable snapshot
+    * dir, build wall-clock in memo_build_ms, cleared by harnesses. */
+  private val cosTopkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cosineTopk(s: SparkSession, d: String): DataFrame =
+    cosTopkCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("cosine_topk")(cosineTopkPlan(s, d).localCheckpoint()))
+
+  private def ivfpqTopk(s: SparkSession, d: String): DataFrame =
+    ivfpqCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("ivfpq_topk")(ivfpqTopkPlan(s, d).localCheckpoint()))
+
+  /** The raw brute-force cosine top-k, pre-memo (PlanSpec pins THIS
+    * shape — the codegen'd graft_dot probe join). */
+  private[graft] def cosineTopkPlan(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // norm once per vector, not once per pair
+      .withColumn("nv", normFast(col("v")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      // long rank: row_number is int32 in Spark, int64 in DuckDB
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
+        round(col("score"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The raw fused IVF-PQ pipeline, pre-memo (PlanSpec pins THIS
+    * shape): coarse-cell pruning + ADC scoring against a broadcast
+    * per-query LUT. */
+  private[graft] def ivfpqTopkPlan(s: SparkSession, d: String): DataFrame = {
+    val dims = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+      .select(col("vec_id"), expr("pos div 16").cast("long").as("sub"),
+        (col("pos") + 1).cast("long").as("dim"),
+        round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      .localCheckpoint() // re-read by coarse assign, trainer, codes, LUT
+    // coarse quantizer: nearest of 8 seed centroids by exact L2²
+    val coarse = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("ccid"), col("dim").as("ccd"), col("qv").as("ccval"))
+    val cells = dims.join(broadcast(coarse), col("dim") === col("ccd"))
+      .groupBy("vec_id", "ccid")
+      .agg(sum((col("qv") - col("ccval")) * (col("qv") - col("ccval"))).as("cdist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdist2"), col("ccid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    // PQ codebook: q_pq_codes' trainer (4 seeds/subspace, one Lloyd step)
+    val c0 = dims.filter(col("vec_id") < 4)
+      .select(col("sub").as("csub"), col("vec_id").as("j"),
+        col("dim").as("cd"), col("qv").as("cval"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2"), col("j"))
+      dims.join(broadcast(cents),
+          col("sub") === col("csub") && col("dim") === col("cd"))
+        .groupBy("vec_id", "sub", "j")
+        .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("j").as("code"))
+    }
+    val u1 = assign(c0).join(dims, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("sub").as("usub"), col("code").as("j2"),
+        col("dim").as("cd2"), expr("sq div cnt").as("nval"))
+    val c1 = c0.join(broadcast(u1), col("csub") === col("usub") && col("j") === col("j2") &&
+        col("cd") === col("cd2"), "left")
+      .select(col("csub"), col("j"), col("cd"),
+        coalesce(col("nval"), col("cval")).as("cval"))
+    val codes = assign(c1)
+    // ADC lookup table: query sub-vector × codebook centroid → partial L2²
+    val lut = dims.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("lqid"), col("sub").as("lsub"),
+        col("dim"), col("qv").as("q_qv"))
+      .join(broadcast(c1), col("lsub") === col("csub") && col("dim") === col("cd"))
+      .groupBy("lqid", "lsub", "j")
+      .agg(sum((col("q_qv") - col("cval")) * (col("q_qv") - col("cval"))).as("pd2"))
+    // probe the query's own cell; score = Σ over 4 subspaces of LUT adds
+    val qcells = cells.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cell"))
+    cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), col("qid") === col("lqid") &&
+        col("sub") === col("lsub") && col("code") === col("j"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pd2")).as("adist2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("vid"), col("adist2"))
+      .orderBy("qid", "rank")
+  }
 
   private def imagePhash(s: SparkSession, d: String): DataFrame =
     phashCache.getOrElseUpdate((s, d),
@@ -161,24 +273,7 @@ object VectorOps {
         .orderBy("true_label", "pred_label")
     }),
 
-    "q_cosine_topk" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        // norm once per vector, not once per pair
-        .withColumn("nv", normFast(col("v")))
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
-      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        // long rank: row_number is int32 in Spark, int64 in DuckDB
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("vid"),
-          round(col("score"), 6).as("cosine"))
-        .orderBy("qid", "rank")
-    }),
+    "q_cosine_topk" -> ((s, d) => cosineTopk(s, d)),
 
     // E4 scale path: LSH bucketing by hyperplane-sign sketch over 4
     // deterministic pseudo-hyperplanes (sign of sum of md5-seeded
@@ -602,70 +697,7 @@ object VectorOps {
     // Integer micro-units end-to-end: the ADC scores themselves are
     // exact longs, so the oracle hash covers training, assignment,
     // LUT, and ranking with zero float slack.
-    "q_ivfpq_topk" -> ((s, d) => {
-      val dims = embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
-        .select(col("vec_id"), expr("pos div 16").cast("long").as("sub"),
-          (col("pos") + 1).cast("long").as("dim"),
-          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
-        .localCheckpoint() // re-read by coarse assign, trainer, codes, LUT
-      // coarse quantizer: nearest of 8 seed centroids by exact L2²
-      val coarse = dims.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("ccid"), col("dim").as("ccd"), col("qv").as("ccval"))
-      val cells = dims.join(broadcast(coarse), col("dim") === col("ccd"))
-        .groupBy("vec_id", "ccid")
-        .agg(sum((col("qv") - col("ccval")) * (col("qv") - col("ccval"))).as("cdist2"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cdist2"), col("ccid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("ccid").as("cell"))
-      // PQ codebook: q_pq_codes' trainer (4 seeds/subspace, one Lloyd step)
-      val c0 = dims.filter(col("vec_id") < 4)
-        .select(col("sub").as("csub"), col("vec_id").as("j"),
-          col("dim").as("cd"), col("qv").as("cval"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist2"), col("j"))
-        dims.join(broadcast(cents),
-            col("sub") === col("csub") && col("dim") === col("cd"))
-          .groupBy("vec_id", "sub", "j")
-          .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("sub"), col("j").as("code"))
-      }
-      val u1 = assign(c0).join(dims, Seq("vec_id", "sub"))
-        .groupBy(col("sub"), col("code"), col("dim"))
-        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
-        .select(col("sub").as("usub"), col("code").as("j2"),
-          col("dim").as("cd2"), expr("sq div cnt").as("nval"))
-      val c1 = c0.join(broadcast(u1), col("csub") === col("usub") && col("j") === col("j2") &&
-          col("cd") === col("cd2"), "left")
-        .select(col("csub"), col("j"), col("cd"),
-          coalesce(col("nval"), col("cval")).as("cval"))
-      val codes = assign(c1)
-      // ADC lookup table: query sub-vector × codebook centroid → partial L2²
-      val lut = dims.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("lqid"), col("sub").as("lsub"),
-          col("dim"), col("qv").as("q_qv"))
-        .join(broadcast(c1), col("lsub") === col("csub") && col("dim") === col("cd"))
-        .groupBy("lqid", "lsub", "j")
-        .agg(sum((col("q_qv") - col("cval")) * (col("q_qv") - col("cval"))).as("pd2"))
-      // probe the query's own cell; score = Σ over 4 subspaces of LUT adds
-      val qcells = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("cell"))
-      cells.join(broadcast(qcells), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .join(codes, Seq("vec_id"))
-        .join(broadcast(lut), col("qid") === col("lqid") &&
-          col("sub") === col("lsub") && col("code") === col("j"))
-        .groupBy("qid", "vec_id")
-        .agg(sum(col("pd2")).as("adist2"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adist2"), col("vec_id"))))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("rank").cast("long").as("rank"),
-          col("vec_id").as("vid"), col("adist2"))
-        .orderBy("qid", "rank")
-    }),
+    "q_ivfpq_topk" -> ((s, d) => ivfpqTopk(s, d)),
 
     // E4 HARD-NEGATIVE MINING for contrastive training: the top-3
     // most-similar DIFFERENT-label neighbors per probe — the negatives

@@ -100,7 +100,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_cosine_topk: codegen'd graft_dot in the plan, not interpreted lambdas") {
-    val p = plan("q_cosine_topk")
+    // pin the RAW pipeline (catalog entry memoizes to a checkpoint scan)
+    val df = graft.operators.VectorOps.cosineTopkPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("graft_dot"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "query side must be broadcast")
@@ -275,7 +278,9 @@ class PlanSpec extends SparkTestBase {
 
   test("q_ivfpq_topk: codebook, LUT, and probe sides broadcast — no shuffle join on small sides") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
-    val sp = SparkEntry.queries("q_ivfpq_topk")(spark, sf).queryExecution.sparkPlan
+    // the RAW pipeline (catalog entry memoizes to a checkpoint scan)
+    val sp = graft.operators.VectorOps.ivfpqTopkPlan(spark, sf)
+      .queryExecution.sparkPlan
     val bhj = sp.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.size >= 4,
       s"coarse/codebook/LUT/probe joins should all broadcast, got ${bhj.size}")
