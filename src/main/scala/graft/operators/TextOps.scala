@@ -265,6 +265,7 @@ object TextOps {
     winnowCache.clear()
     fuzzyCache.clear()
     sortedNbrCache.clear()
+    bandCache.clear()
   }
 
   /** Verified ER pair tables, memoized per (session, dataset): both
@@ -276,6 +277,18 @@ object TextOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sortedNbrCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized MinHash band table (doc_id, band_id, band_key) — shared
+    * by the banding query and the self-evaluating recall (identical by
+    * construction: min over a multiset equals min over its set, so the
+    * distinct-token and raw-token explodes band identically). */
+  private val bandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashBandsMemo(s: SparkSession, d: String): DataFrame =
+    bandCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("minhash_bands")(
+        minhashBands(documents(s, d)).localCheckpoint()))
 
   private def fuzzyMatches(s: SparkSession, d: String): DataFrame =
     fuzzyCache.getOrElseUpdate((s, d),
@@ -1950,7 +1963,7 @@ object TextOps {
     // stats (the scale-safe artifact; per-bucket pair expansion is the
     // follow-on narrow job — see GraphOps.q_dedup_clusters)
     "q_minhash_lsh" -> ((s, d) => {
-      minhashBands(documents(s, d)).groupBy("band_id", "band_key")
+      minhashBandsMemo(s, d).groupBy("band_id", "band_key")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .filter(col("n_docs") > 1)
         .orderBy("band_id", "band_key")
@@ -1990,7 +2003,7 @@ object TextOps {
         .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
         .select("d1", "d2")
         .localCheckpoint() // feeds the hit semi-join AND the truth count
-      val bands = minhashBandsFromTokens(tok)
+      val bands = minhashBandsMemo(s, d)
       val cand = bands.filter(col("doc_id") < probeN)
         .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
         .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
