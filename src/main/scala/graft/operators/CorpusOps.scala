@@ -164,6 +164,38 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // MIXTURE MATERIALIZATION — the step after q_temperature_mix
+    // chooses weights: take documents per source in md5-rank order
+    // until the source's √n-proportional share of the token budget is
+    // filled, reporting docs/tokens taken and the fill rate. The
+    // running token count is the DISTRIBUTED two-phase prefix sum
+    // (like q_token_budget, but with per-source DYNAMIC budgets joined
+    // from the broadcast weight table instead of one constant). A
+    // source whose allocation rounds to zero (or whose first doc
+    // overshoots it) simply takes nothing — deterministic in both
+    // engines, and the honest outcome of a hard budget.
+    "q_mix_materialize" -> ((s, d) => {
+      val budget = 100000L
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val sized = documents(s, d)
+        .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_toks"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val counts = sized.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val tot = broadcast(counts.agg(sum("w").as("tot_w")))
+      val alloc = broadcast(counts.crossJoin(tot)
+        .select(col("source"), expr(s"$budget * w div tot_w").as("alloc_toks")))
+      PrefixSum.runningSum(sized, Seq("source"), Seq(col("h"), col("doc_id")),
+          col("n_toks"), PrefixSum.hexBucket(col("h")), "cum_toks")
+        .join(alloc, "source")
+        .filter(col("cum_toks") <= col("alloc_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_taken"), max("cum_toks").as("tokens_taken"),
+          max("alloc_toks").as("alloc_toks"))
+        .withColumn("fill_ppm", expr("tokens_taken * 1000000 div alloc_toks"))
+        .orderBy("source")
+    }),
+
     // E12 WINSORIZED length statistics: per-source p10/p90 clamping of
     // document length — the robust-statistics guard that stops a few
     // giant or empty documents from skewing per-domain dashboards. The
@@ -924,6 +956,34 @@ object CorpusOps {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c WHERE cum_toks <= 2000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mix_materialize" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t GROUP BY source),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot_w FROM c0),
+        |al AS (
+        |  SELECT c0.source, 100000 * c0.w // tw.tot_w AS alloc_toks
+        |  FROM c0 CROSS JOIN tw),
+        |cum AS (
+        |  SELECT t.source, t.doc_id, t.n_toks,
+        |    SUM(t.n_toks) OVER (PARTITION BY t.source
+        |      ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) AS cum_toks
+        |  FROM t)
+        |SELECT c.source, COUNT(*) AS n_docs_taken,
+        |  CAST(MAX(c.cum_toks) AS BIGINT) AS tokens_taken,
+        |  CAST(MAX(a.alloc_toks) AS BIGINT) AS alloc_toks,
+        |  CAST(MAX(c.cum_toks) AS BIGINT) * 1000000 //
+        |    CAST(MAX(a.alloc_toks) AS BIGINT) AS fill_ppm
+        |FROM cum c JOIN al a ON a.source = c.source
+        |WHERE c.cum_toks <= a.alloc_toks
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "q_winsorize" ->
       """WITH base AS (

@@ -408,6 +408,27 @@ object GraphOps {
         .select(col("node").as("doc_id"), col("comp"), col("csize"))
         .orderBy("doc_id")),
 
+    // E3 SURVIVOR-BY-QUALITY — the alternative survivorship policy:
+    // instead of the min-id representative (q_dedup_survivors), keep
+    // each cluster's LONGEST document (n_chars, the quality proxy the
+    // curation family already uses) with the (quality desc, id asc)
+    // deterministic tie-break — the policy a production dedup actually
+    // ships, since near-dup clusters usually contain one full document
+    // and several truncated scrapes. Rides the memoized labels; one
+    // join + one per-cluster argmax window over the O(docs) table.
+    "q_dedup_best_quality" -> ((s, d) => {
+      val cc = clusters(s, d)
+      val j = documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(cc, col("doc_id") === col("node"))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      j.withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("comp"), col("csize"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_n_chars"))
+        .orderBy("comp")
+    }),
+
     // E3 DEDUP RATE BY SOURCE — the curation-report rollup: per source,
     // how many docs sit in multi-doc near-dup clusters, the dup rate in
     // integral ppm, and how many distinct clusters the source touches
@@ -1049,6 +1070,21 @@ object GraphOps {
         |SELECT c.node AS doc_id, c.comp, s.csize
         |FROM cc c JOIN sizes s ON c.comp = s.comp
         |ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_best_quality" -> (ccPrelude +
+      """,
+        |jd AS (
+        |  SELECT c.comp, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+        |  FROM documents d JOIN cc c ON c.node = d.doc_id)
+        |SELECT j.comp, s.csize, j.doc_id AS survivor_id,
+        |  j.n_chars AS survivor_n_chars
+        |FROM (
+        |  SELECT comp, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY comp
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM jd) j
+        |JOIN sizes s ON s.comp = j.comp
+        |WHERE j.rn = 1 ORDER BY j.comp""".stripMargin),
 
     "q_dedup_rate" -> (ccPrelude +
       """
