@@ -164,6 +164,62 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // CURRICULUM ORDERING — rank documents easy→hard by rare-token
+    // ratio (share of tokens whose corpus df < 1% of docs, in integral
+    // ppm; the rarity signal perplexity-based curricula approximate)
+    // and cut the global order into three training phases. The global
+    // rank is the two-phase distributed scan bucketed on the rarity
+    // score — no single-task sort — and the phase cut is pure rank
+    // arithmetic ((rank−1)·3 div n), so phase sizes are balanced to
+    // ±1 by construction. One explode + df join, then O(docs) narrow.
+    "q_curriculum" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
+        .filter(col("tk") =!= "")
+      val nDocs = broadcast(documents(s, d).agg(count(lit(1)).as("n_docs")))
+      val dfT = toks.select("doc_id", "tk").distinct()
+        .groupBy("tk").agg(count(lit(1)).as("df"))
+      val perDoc = toks.join(dfT.crossJoin(nDocs)
+          .select(col("tk"), (col("df") * 100 < col("n_docs")).as("rare")), "tk")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("rare").cast("long")).as("n_rare"))
+        .withColumn("rarity_ppm", expr("n_rare * 1000000 div n_toks"))
+      val ranked = PrefixSum.rowNumber(
+        perDoc.crossJoin(broadcast(perDoc.agg(
+          min("rarity_ppm").as("lo"), max("rarity_ppm").as("hi")))),
+        Seq.empty, Seq(col("rarity_ppm"), col("n_toks"), col("doc_id")),
+        PrefixSum.rangeBucket(col("rarity_ppm"), col("lo"), col("hi"), 32), "rank")
+      ranked.crossJoin(broadcast(perDoc.agg(count(lit(1)).as("n"))))
+        .withColumn("phase", expr("(rank - 1) * 3 div n"))
+        .select("doc_id", "n_toks", "rarity_ppm", "rank", "phase")
+        .orderBy("doc_id")
+    }),
+
+    // LICENSE COMPLIANCE FILTER — the legal gate of a corpus build:
+    // per-document license (md5-derived here — deterministic synthetic
+    // metadata, both engines tag identically), the allowlist verdict
+    // (cc-* passes, proprietary/unknown drops), and the per-license
+    // retention report with token volumes — what a release audit
+    // actually consumes. One narrow projection + one O(licenses) agg.
+    "q_license_filter" -> ((s, d) => {
+      val lic = expr(
+        """case pmod(cast(conv(substring(md5(concat('lic|', doc_id)), 1, 8), 16, 10)
+          |  as bigint), 10)
+          |when 0 then 'proprietary' when 1 then 'unknown'
+          |when 2 then 'cc-by-sa' when 3 then 'cc-by-sa'
+          |else 'cc-by' end""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"),
+          size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+            .cast("long").as("n_toks"), lic.as("license"))
+        .withColumn("allowed",
+          col("license").startsWith("cc-").cast("int"))
+        .groupBy("license", "allowed")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .orderBy("license")
+    }),
+
     // MIXTURE MATERIALIZATION — the step after q_temperature_mix
     // chooses weights: take documents per source in md5-rank order
     // until the source's √n-proportional share of the token budget is
@@ -956,6 +1012,50 @@ object CorpusOps {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM c WHERE cum_toks <= 2000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tk FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> ''),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |dft AS (
+        |  SELECT tk, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tk),
+        |pd AS (
+        |  SELECT t.doc_id, COUNT(*) AS n_toks,
+        |    CAST(SUM(CASE WHEN d.df * 100 < (SELECT n_docs FROM nd)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM toks t JOIN dft d ON d.tk = t.tk
+        |  GROUP BY t.doc_id),
+        |r AS (
+        |  SELECT doc_id, n_toks,
+        |    n_rare * 1000000 // n_toks AS rarity_ppm
+        |  FROM pd),
+        |rk AS (
+        |  SELECT doc_id, n_toks, rarity_ppm,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rarity_ppm, n_toks, doc_id)
+        |      AS BIGINT) AS rank
+        |  FROM r)
+        |SELECT doc_id, n_toks, rarity_ppm, rank,
+        |  (rank - 1) * 3 // (SELECT COUNT(*) FROM rk) AS phase
+        |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "q_license_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_toks,
+        |    CASE CAST(('0x' || substr(md5('lic|' || doc_id), 1, 8)) AS BIGINT) % 10
+        |      WHEN 0 THEN 'proprietary' WHEN 1 THEN 'unknown'
+        |      WHEN 2 THEN 'cc-by-sa' WHEN 3 THEN 'cc-by-sa'
+        |      ELSE 'cc-by' END AS license
+        |  FROM documents)
+        |SELECT license,
+        |  CAST(CASE WHEN license LIKE 'cc-%' THEN 1 ELSE 0 END AS INTEGER)
+        |    AS allowed,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY license""".stripMargin,
 
     "q_mix_materialize" ->
       """WITH t AS (
