@@ -266,6 +266,7 @@ object TextOps {
     fuzzyCache.clear()
     sortedNbrCache.clear()
     bandCache.clear()
+    nbCache.clear()
   }
 
   /** Verified ER pair tables, memoized per (session, dataset): both
@@ -289,6 +290,54 @@ object TextOps {
     bandCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("minhash_bands")(
         minhashBands(documents(s, d)).localCheckpoint()))
+
+  /** Memoized multinomial-NB score table (doc_id, source, cs, score in
+    * integral ppm log-prob units) — the trained model applied to the
+    * corpus, consumed by the confusion matrix AND the active-learning
+    * margin queue. */
+  private val nbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def nbScores(s: SparkSession, d: String): DataFrame =
+    nbCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("nb_scores")(nbScoresPlan(s, d).localCheckpoint()))
+
+  /** The raw NB train-and-score pipeline, pre-memo: Laplace-smoothed
+    * per-class token likelihoods quantized to integral ppm BEFORE
+    * summing (exact bigint per-doc scores, order-independent across
+    * partitions and engines), plus the ln-prior. */
+  private[graft] def nbScoresPlan(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint() // feeds model counts AND per-doc features
+    val docTok = toks.groupBy("doc_id", "source", "token")
+      .agg(count(lit(1)).as("m"))
+    val counts = toks.groupBy(col("source").as("cs"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = toks.select("token").distinct().agg(count(lit(1)).as("v"))
+    val dens = broadcast(counts.groupBy("cs").agg(sum("c").as("tot"))
+      .crossJoin(broadcast(vocab))
+      .select(col("cs"), (col("tot") + col("v")).as("den")))
+    val docsPer = documents(s, d).groupBy(col("source").as("cs"))
+      .agg(count(lit(1)).as("nd"))
+    val priors = broadcast(docsPer
+      .crossJoin(broadcast(docsPer.agg(sum("nd").as("ndt"))))
+      .select(col("cs"),
+        round(log(col("nd").cast("double") / col("ndt")) * 1000000)
+          .cast("long").as("lprior")))
+    val scoredTok = docTok.crossJoin(dens)
+      .join(counts, Seq("cs", "token"), "left")
+      .withColumn("lp",
+        round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          col("den")) * 1000000).cast("long"))
+      .groupBy("doc_id", "source", "cs")
+      .agg(sum(col("m") * col("lp")).as("score_tok"))
+    scoredTok.join(priors, "cs")
+      .withColumn("score", col("lprior") + col("score_tok"))
+      .select("doc_id", "source", "cs", "score")
+  }
 
   private def fuzzyMatches(s: SparkSession, d: String): DataFrame =
     fuzzyCache.getOrElseUpdate((s, d),
@@ -2088,41 +2137,75 @@ object TextOps {
     // fan-out bounded by |classes| (the O(1) source dimension) — the
     // model table shuffles on (class, token), never the corpus².
     "q_naive_bayes" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(lower(col("text")), " ")).as("token"))
-        .filter(col("token") =!= "")
-        .localCheckpoint() // feeds model counts AND per-doc features
-      val docTok = toks.groupBy("doc_id", "source", "token")
-        .agg(count(lit(1)).as("m"))
-      val counts = toks.groupBy(col("source").as("cs"), col("token"))
-        .agg(count(lit(1)).as("c"))
-      val vocab = toks.select("token").distinct().agg(count(lit(1)).as("v"))
-      val dens = broadcast(counts.groupBy("cs").agg(sum("c").as("tot"))
-        .crossJoin(broadcast(vocab))
-        .select(col("cs"), (col("tot") + col("v")).as("den")))
-      val docsPer = documents(s, d).groupBy(col("source").as("cs"))
-        .agg(count(lit(1)).as("nd"))
-      val priors = broadcast(docsPer
-        .crossJoin(broadcast(docsPer.agg(sum("nd").as("ndt"))))
-        .select(col("cs"),
-          round(log(col("nd").cast("double") / col("ndt")) * 1000000)
-            .cast("long").as("lprior")))
-      val scoredTok = docTok.crossJoin(dens)
-        .join(counts, Seq("cs", "token"), "left")
-        .withColumn("lp",
-          round(log((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
-            col("den")) * 1000000).cast("long"))
-        .groupBy("doc_id", "source", "cs")
-        .agg(sum(col("m") * col("lp")).as("score_tok"))
       val wb = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("cs").asc)
-      scoredTok.join(priors, "cs")
-        .withColumn("score", col("lprior") + col("score_tok"))
+      nbScores(s, d)
         .withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
         .groupBy(col("source").as("true_source"), col("cs").as("pred_source"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_source", "pred_source")
+    }),
+
+    // E5 INTER-ANNOTATOR AGREEMENT — Cohen's κ between two independent
+    // deterministic labelers (the q_lang_id contains-priority heuristic
+    // vs a marker-count argmax), the metric every labeling pipeline
+    // reports before trusting its annotations. Exact bigint end to
+    // end: observed/expected agreement cross-multiplied from the
+    // confusion marginals, κ in integral milli, the degenerate
+    // all-one-label case NULL-guarded. O(labels²) aggregates after one
+    // narrow projection.
+    "q_annotation_agreement" -> ((s, d) => {
+      val lab = documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("a",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr").otherwise("und"))
+        .withColumn("cen", (size(split(col("text"), " the ")) - 1).cast("long"))
+        .withColumn("cde", (size(split(col("text"), " der ")) - 1).cast("long"))
+        .withColumn("cfr", (size(split(col("text"), " le ")) - 1).cast("long"))
+        .withColumn("b",
+          when(col("cen") + col("cde") + col("cfr") === 0, "und")
+            .when(col("cen") >= col("cde") && col("cen") >= col("cfr"), "en")
+            .when(col("cde") >= col("cfr"), "de").otherwise("fr"))
+      val conf = lab.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint() // O(labels²) rows; feeds four tiny aggregates
+      val n = conf.agg(sum("n_ab").as("n"))
+      val agree = conf.filter(col("a") === col("b"))
+        .agg(coalesce(sum("n_ab"), lit(0L)).as("agree"))
+      val pe = conf.groupBy("a").agg(sum("n_ab").as("ra"))
+        .join(conf.groupBy("b").agg(sum("n_ab").as("cb")),
+          col("a") === col("b"))
+        .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("pe_n2"))
+      broadcast(n).crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+        .select(col("n"), col("agree"),
+          expr("agree * 1000000 div n").as("po_ppm"),
+          expr("pe_n2 * 1000000 div (n * n)").as("pe_ppm"),
+          expr("""case when n * n = pe_n2 then null
+                 else (agree * n - pe_n2) * 1000 div (n * n - pe_n2)
+                 end""").as("kappa_milli"))
+    }),
+
+    // E5 ACTIVE-LEARNING MARGIN SAMPLING — the label-next queue: the 20
+    // documents where the NB classifier is LEAST sure (smallest top-1 −
+    // top-2 score margin, in the same integral ppm log-prob units as
+    // the memoized score table), with true and predicted class so an
+    // annotation round can be audited. Margin via two window ranks over
+    // the O(docs·classes) scored table; global bottom-20 plans as
+    // TakeOrdered, never a full sort.
+    "q_active_learning" -> ((s, d) => {
+      val wb = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cs").asc)
+      val ranked = nbScores(s, d).withColumn("rb", row_number().over(wb))
+      val top1 = ranked.filter(col("rb") === 1)
+        .select(col("doc_id"), col("source").as("true_source"),
+          col("cs").as("pred_source"), col("score").as("s1"))
+      val top2 = ranked.filter(col("rb") === 2)
+        .select(col("doc_id"), col("score").as("s2"))
+      top1.join(top2, "doc_id")
+        .withColumn("margin_lp_ppm", col("s1") - col("s2"))
+        .orderBy(col("margin_lp_ppm").asc, col("doc_id").asc)
+        .limit(20)
+        .select("doc_id", "true_source", "pred_source", "margin_lp_ppm")
     }))
 
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
@@ -3277,39 +3360,41 @@ object TextOps {
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
-    "q_naive_bayes" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, t AS token
-        |  FROM (SELECT doc_id, source,
-        |          unnest(string_split(lower(text), ' ')) AS t
-        |        FROM documents)
-        |  WHERE t <> ''),
-        |doctok AS (
-        |  SELECT doc_id, source, token, COUNT(*) AS m
-        |  FROM toks GROUP BY 1, 2, 3),
-        |counts AS (
-        |  SELECT source AS cs, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
-        |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
-        |dens AS (
-        |  SELECT cs, CAST(SUM(c) AS BIGINT) + (SELECT v FROM vocab) AS den
-        |  FROM counts GROUP BY cs),
-        |priors AS (
-        |  SELECT source AS cs,
-        |    CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) /
-        |      (SELECT COUNT(*) FROM documents)) * 1000000) AS BIGINT) AS lprior
-        |  FROM documents GROUP BY source),
-        |scoredtok AS (
-        |  SELECT dt.doc_id, dt.source, dn.cs,
-        |    CAST(SUM(dt.m * CAST(ROUND(ln(
-        |      CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / dn.den) * 1000000)
-        |      AS BIGINT)) AS BIGINT) AS score_tok
-        |  FROM doctok dt CROSS JOIN dens dn
-        |  LEFT JOIN counts c ON c.cs = dn.cs AND c.token = dt.token
-        |  GROUP BY 1, 2, 3),
-        |scored AS (
-        |  SELECT st.doc_id, st.source, st.cs,
-        |    p.lprior + st.score_tok AS score
-        |  FROM scoredtok st JOIN priors p ON p.cs = st.cs),
+    "q_annotation_agreement" ->
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr' ELSE 'und' END AS a,
+        |    CAST(len(string_split(text, ' the ')) - 1 AS BIGINT) AS cen,
+        |    CAST(len(string_split(text, ' der ')) - 1 AS BIGINT) AS cde,
+        |    CAST(len(string_split(text, ' le ')) - 1 AS BIGINT) AS cfr
+        |  FROM documents),
+        |lab2 AS (
+        |  SELECT doc_id, a,
+        |    CASE WHEN cen + cde + cfr = 0 THEN 'und'
+        |         WHEN cen >= cde AND cen >= cfr THEN 'en'
+        |         WHEN cde >= cfr THEN 'de' ELSE 'fr' END AS b
+        |  FROM lab),
+        |conf AS (SELECT a, b, COUNT(*) AS n_ab FROM lab2 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM conf),
+        |ag AS (SELECT CAST(COALESCE(SUM(n_ab), 0) AS BIGINT) AS agree
+        |       FROM conf WHERE a = b),
+        |pe AS (
+        |  SELECT CAST(COALESCE(SUM(r.ra * c.cb), 0) AS BIGINT) AS pe_n2
+        |  FROM (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS ra FROM conf GROUP BY a) r
+        |  JOIN (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS cb FROM conf GROUP BY b) c
+        |    ON r.a = c.b)
+        |SELECT t.n, ag.agree,
+        |  ag.agree * 1000000 // t.n AS po_ppm,
+        |  pe.pe_n2 * 1000000 // (t.n * t.n) AS pe_ppm,
+        |  CASE WHEN t.n * t.n = pe.pe_n2 THEN NULL
+        |       ELSE (ag.agree * t.n - pe.pe_n2) * 1000 // (t.n * t.n - pe.pe_n2)
+        |  END AS kappa_milli
+        |FROM tot t, ag, pe""".stripMargin,
+
+    "q_naive_bayes" -> (nbScoredCte +
+      """,
         |pred AS (
         |  SELECT doc_id, source, cs FROM (
         |    SELECT doc_id, source, cs,
@@ -3317,5 +3402,59 @@ object TextOps {
         |                         ORDER BY score DESC, cs ASC) AS rb
         |    FROM scored) WHERE rb = 1)
         |SELECT source AS true_source, cs AS pred_source, COUNT(*) AS n
-        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_active_learning" -> (nbScoredCte +
+      """,
+        |rk AS (
+        |  SELECT doc_id, source, cs, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cs ASC) AS rb
+        |  FROM scored),
+        |t1 AS (SELECT doc_id, source AS true_source, cs AS pred_source,
+        |         score AS s1 FROM rk WHERE rb = 1),
+        |t2 AS (SELECT doc_id, score AS s2 FROM rk WHERE rb = 2)
+        |SELECT t1.doc_id, t1.true_source, t1.pred_source,
+        |  t1.s1 - t2.s2 AS margin_lp_ppm
+        |FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+        |ORDER BY margin_lp_ppm ASC, t1.doc_id ASC LIMIT 20""".stripMargin))
+
+  /** The NB train-and-score pipeline as DuckDB CTEs ending with
+    * `scored` (doc_id, source, cs, score) — shared by the confusion
+    * oracle and the active-learning margin oracle (the kmeansCte
+    * rule). Kept in lockstep with [[nbScoresPlan]]. */
+  private lazy val nbScoredCte =
+    """WITH toks AS (
+      |  SELECT doc_id, source, t AS token
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents)
+      |  WHERE t <> ''),
+      |doctok AS (
+      |  SELECT doc_id, source, token, COUNT(*) AS m
+      |  FROM toks GROUP BY 1, 2, 3),
+      |counts AS (
+      |  SELECT source AS cs, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+      |dens AS (
+      |  SELECT cs, CAST(SUM(c) AS BIGINT) + (SELECT v FROM vocab) AS den
+      |  FROM counts GROUP BY cs),
+      |priors AS (
+      |  SELECT source AS cs,
+      |    CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE) /
+      |      (SELECT COUNT(*) FROM documents)) * 1000000) AS BIGINT) AS lprior
+      |  FROM documents GROUP BY source),
+      |scoredtok AS (
+      |  SELECT dt.doc_id, dt.source, dn.cs,
+      |    CAST(SUM(dt.m * CAST(ROUND(ln(
+      |      CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / dn.den) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS score_tok
+      |  FROM doctok dt CROSS JOIN dens dn
+      |  LEFT JOIN counts c ON c.cs = dn.cs AND c.token = dt.token
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT st.doc_id, st.source, st.cs,
+      |    p.lprior + st.score_tok AS score
+      |  FROM scoredtok st JOIN priors p ON p.cs = st.cs)""".stripMargin
+
 }
