@@ -53,9 +53,21 @@ object Bench {
     catalog.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // Warmup built memos keyed by warmDir — irrelevant to the timed
-    // dataset. Reset the accounting so memo_build_ms covers sfDir only.
-    MemoStats.clear()
+    if (warmDir == sfDir) {
+      // Degenerate case (no sf0.001 sibling): the warmup already built
+      // every memo FOR THE TIMED DATASET — clearing only the accounting
+      // would zero memo_build_ms and silently vanish the shared-build
+      // cost from the report (round-7 ADVICE). Full reset instead, so
+      // pass 1 rebuilds the memos and attributes them.
+      Blocks.reset(spark)
+    } else {
+      // Warmup built memos keyed by warmDir — irrelevant to the timed
+      // dataset (they stay alive + protected; sf0.001-sized). Reset the
+      // accounting so memo_build_ms covers sfDir only, and sweep the
+      // warmup's transient checkpoints out of the block manager.
+      MemoStats.clear()
+      Blocks.sweep(spark)
+    }
 
     // GC attribution per query: a multi-second entry whose time is NOT
     // GC is real work; one whose time IS GC is the JVM amortizing the
@@ -67,11 +79,20 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val order = catalog.toSeq.sortBy(_._1)
+    // Sweep transient checkpoints AFTER each query's timed window
+    // (round-7 verdict item 1): without it the block manager accumulates
+    // hundreds of per-query checkpoint RDDs over 2×300 executions and
+    // mid/late-alphabet entries pay 2–5× eviction/spill contention in
+    // BOTH passes — inflation min-of-2 cannot reject. The sweep spares
+    // the protected memo checkpoints (live, lineage-free by design) and
+    // runs outside the timing, so entries measure the query, not the
+    // harness.
     def timedPass(): Seq[(String, Double, Long)] = order.map { case (name, fn) =>
       val g0 = gcMs
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      Blocks.sweep(spark)
       (name, dt, gcMs - g0)
     }
     val pass1 = timedPass()
@@ -123,7 +144,7 @@ object Bench {
     // rate is the stable signal. memo_build_sec is the one-time shared
     // subtree cost, reported separately from the per-query entries.
     val perQ = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(perQ)},"protocol":"min_of_2_passes","memo_build_sec":${fmt(memoTotalMs / 1000.0)},"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(perQ)},"protocol":"min_of_2_passes+sweep","memo_build_sec":${fmt(memoTotalMs / 1000.0)},"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

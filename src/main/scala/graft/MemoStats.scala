@@ -15,12 +15,20 @@ package graft
 object MemoStats {
   private val builds = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** Run `build`, accumulate its wall-clock under `name`, return its result. */
+  /** Run `build`, accumulate its wall-clock under `name`, return its result.
+    * If the result is a Dataset (every memo site checkpoints one), its
+    * backing checkpoint RDDs are registered with [[Blocks.protect]] so the
+    * between-queries [[Blocks.sweep]] keeps the memo alive — the memo data
+    * has no lineage to recompute from once its checkpoint is dropped. */
   def timed[T](name: String)(build: => T): T = {
     val t0 = System.nanoTime()
     val r = build
     val ms = (System.nanoTime() - t0) / 1000000L
     builds.updateWith(name) { prev => Some(prev.getOrElse(0L) + ms) }
+    r match {
+      case d: org.apache.spark.sql.Dataset[_] => Blocks.protect(d)
+      case _ => ()
+    }
     r
   }
 

@@ -24,6 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop each query's transient checkpoints (memos stay protected):
+      // over a 300-query dump the accumulated blocks otherwise inflate
+      // the tail of the run the same way they inflated the bench.
+      Blocks.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

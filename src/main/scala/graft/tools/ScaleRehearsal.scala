@@ -248,10 +248,10 @@ object ScaleRehearsal {
       // would otherwise let a timed run reread a checkpoint the warmup
       // paid for — t1 0.05 s vs a real 2.7 s mining pass, inflating
       // the exponent to a meaningless 2.25
-      graft.analytics.RelQueries.clearMemos()
-      graft.operators.GraphOps.clearMemos()
-      graft.operators.TextOps.clearMemos()
-      graft.operators.VectorOps.clearMemos()
+      // Blocks.reset also SWEEPS the previous run's transient
+      // checkpoints: rehearsal times must not pay (or dodge) block-
+      // manager state another query left behind (round-7 verdict item 1)
+      graft.Blocks.reset(spark)
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
