@@ -1452,11 +1452,13 @@ object CorpusOps {
         |    GREATEST(1, n_tokens // 20) AS k,
         |    n_tokens // GREATEST(1, n_tokens // 20) AS stride
         |  FROM t WHERE n_tokens >= 4),
+        |sp0 AS (
+        |  SELECT doc_id, n_tokens, stride, unnest(range(0, k)) AS span_id FROM p),
         |sp AS (
-        |  SELECT p.doc_id, p.n_tokens, s.i AS span_id, p.stride,
-        |    CAST(('0x' || substr(md5('span|' || p.doc_id || '|' || s.i), 1, 8))
+        |  SELECT doc_id, n_tokens, span_id, stride,
+        |    CAST(('0x' || substr(md5('span|' || doc_id || '|' || span_id), 1, 8))
         |      AS BIGINT) AS h
-        |  FROM p, range(0, 1000) s(i) WHERE s.i < p.k)
+        |  FROM sp0)
         |SELECT doc_id, n_tokens, span_id,
         |  span_id * stride + h % GREATEST(1, stride - 2) AS start_tok,
         |  LEAST(3, n_tokens - (span_id * stride + h % GREATEST(1, stride - 2)))

@@ -1091,7 +1091,12 @@ object EventOps {
       users.agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
         .withColumn("p_ppm", expr("n_conv * 1000000 div n_users"))
         .withColumn("mde_rel_ppm", lit(100000L))
-        .withColumn("n_per_arm", expr("784 * (1000000 - p_ppm) div p_ppm"))
+        // zero purchases ⇒ p_ppm = 0: Spark's div yields NULL but
+        // DuckDB's // RAISES — the kappa_milli convention: explicit
+        // NULL on both engines (round-7 ADVICE)
+        .withColumn("n_per_arm", expr(
+          "case when p_ppm = 0 then null " +
+            "else 784 * (1000000 - p_ppm) div p_ppm end"))
         .select("n_users", "n_conv", "p_ppm", "mde_rel_ppm", "n_per_arm")
     }),
 
@@ -2074,8 +2079,9 @@ object EventOps {
         |  SELECT COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv FROM u)
         |SELECT n_users, n_conv, n_conv * 1000000 // n_users AS p_ppm,
         |  CAST(100000 AS BIGINT) AS mde_rel_ppm,
-        |  784 * (1000000 - n_conv * 1000000 // n_users)
-        |    // (n_conv * 1000000 // n_users) AS n_per_arm
+        |  CASE WHEN n_conv * 1000000 // n_users = 0 THEN NULL
+        |    ELSE 784 * (1000000 - n_conv * 1000000 // n_users)
+        |      // (n_conv * 1000000 // n_users) END AS n_per_arm
         |FROM a""".stripMargin,
 
     "q_qte" ->

@@ -787,9 +787,15 @@ object GraphOps {
         .agg(count(lit(1)).as("m"), sum("da").as("sx"),
           sum(col("da") * col("da")).as("sxx"),
           sum(col("da") * col("db")).as("sxy"))
-        .withColumn("assortativity", round(
+        // degree-REGULAR graph ⇒ m·sxx − sx² = 0 exactly (every deg
+        // equal): 0/0 would be NaN here but an ERROR-or-NULL in the
+        // oracle — an explicit NULL sentinel on BOTH engines, the
+        // q_clustering_coeff deg<2 convention (round-7 verdict item 2)
+        .withColumn("assortativity", when(
+          col("m") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double")).otherwise(round(
           (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
-            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)))
         .select("m", "assortativity")
     }))
 
@@ -1031,8 +1037,9 @@ object GraphOps {
         |  FROM dire
         |  JOIN deg da ON da.node = dire.a
         |  JOIN deg db ON db.node = dire.b)
-        |SELECT m, ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
-        |  / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+        |SELECT m, CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+        |  ELSE ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m * sxx - sx * sx AS DOUBLE), 6) END AS assortativity
         |FROM mm""".stripMargin,
 
     // components over the text ∪ embedding edge union; the closure is

@@ -691,8 +691,13 @@ object TextOps {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("words").as("words"),
           sum("sents").as("sents"), sum("longwords").as("longwords"))
+        // greatest(words, 1): an all-empty-doc source has words = 0 and
+        // the longword share is then vacuously 0/1 = 0 — an explicit
+        // floor on BOTH engines rather than a silently-null lix row
+        // (round-7 verdict item 3; longwords = 0 whenever words = 0)
         .withColumn("lix_milli", expr(
-          "words * 1000 div greatest(sents, 1L) + longwords * 100000 div words"))
+          "words * 1000 div greatest(sents, 1L) " +
+            "+ longwords * 100000 div greatest(words, 1L)"))
         .select("source", "n_docs", "words", "sents", "longwords", "lix_milli")
         .orderBy("source")),
 
@@ -758,9 +763,14 @@ object TextOps {
       val y = log(col("c").cast("double"))
       top.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
           sum(x * y).as("sxy"), sum(x * x).as("sxx"))
-        .withColumn("zipf_exp", round(
+        // single-token vocabulary ⇒ n·sxx − sx² = 1·0 − 0 = exactly 0
+        // (ln 1 = 0): NULL sentinel on both engines instead of a
+        // NaN-vs-error divergence (round-7 verdict item 2)
+        .withColumn("zipf_exp", when(
+          col("n") < 2 || col("n") * col("sxx") - col("sx") * col("sx") === 0,
+          lit(null).cast("double")).otherwise(round(
           (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)))
         .select("n", "zipf_exp")
     }),
 
@@ -2522,7 +2532,8 @@ object TextOps {
         |  SELECT COUNT(*) AS n, SUM(ln(rank)) AS sx, SUM(ln(c)) AS sy,
         |    SUM(ln(rank) * ln(c)) AS sxy, SUM(ln(rank) * ln(rank)) AS sxx
         |  FROM t)
-        |SELECT n, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_exp
+        |SELECT n, CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+        |  ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS zipf_exp
         |FROM m""".stripMargin,
 
     "q_simpson_diversity" ->
@@ -2548,7 +2559,8 @@ object TextOps {
         |    CAST(SUM(longwords) AS BIGINT) AS longwords
         |  FROM d GROUP BY source)
         |SELECT source, n_docs, words, sents, longwords,
-        |  words * 1000 // GREATEST(sents, 1) + longwords * 100000 // words AS lix_milli
+        |  words * 1000 // GREATEST(sents, 1)
+        |    + longwords * 100000 // GREATEST(words, 1) AS lix_milli
         |FROM agg ORDER BY source""".stripMargin,
 
     "q_token_entropy" ->
