@@ -290,10 +290,13 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Sniff + decode: (width, height, row-major top-down luma), or
-      * None for anything unrecognized/corrupt. */
+      * None for anything unrecognized/corrupt. JPEG routes to the
+      * baseline sequential DCT+Huffman decoder ([[JpegCodec]]). */
     def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
       if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePng(p)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8)
+        JpegCodec.decode(p)
       else None
   }
 
@@ -307,6 +310,21 @@ object Multimodal {
     def lum(x: Int, y: Int): Int = ((7 * id + 3 * x + 5 * y) % 256).toInt
     if (id % 2 == 0) PixelCodec.encodePng(w, h, lum)
     else PixelCodec.encodeBmp(w, h, lum)
+  }
+
+  /** Deterministic synthetic JPEG payload — the [[JpegCodec]] sibling
+    * of [[syntheticPixelImage]]: every 8×8 block is CONSTANT
+    * luma(bx, by) = (7·id + 11·bx + 13·by) mod 256, which makes the
+    * lossy codec exact (all AC coefficients are exactly 0 and the DC
+    * coefficient is a multiple of its quant step — see JpegCodec doc),
+    * so the q_jpeg_decode oracle recomputes the DECODED pixels
+    * arithmetically while the payload stays a real Huffman-coded
+    * baseline JPEG with DC prediction across blocks. */
+  def syntheticJpegImage(id: Long): Array[Byte] = {
+    val w = 8 * (2 + (id % 4).toInt)
+    val h = 8 * (1 + (id % 3).toInt)
+    JpegCodec.encode(w, h,
+      (x, y) => ((7 * id + 11 * (x / 8) + 13 * (y / 8)) % 256).toInt)
   }
 
   /** REAL RIFF/WAVE codec — the audio leg of the multimodal surface,

@@ -1282,6 +1282,39 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 BASELINE JPEG DECODE — the third real pixel codec (after the
+    // PNG Inflater path and the BMP walk): per-doc synthetic payloads
+    // are genuine Huffman-coded sequential-DCT JPEGs (JpegCodec, DC
+    // prediction across blocks, byte stuffing, Annex K tables) whose
+    // 8×8-block-constant pixels make the lossy pipeline EXACT — all AC
+    // coefficients are exactly 0 and DC is a multiple of its quant
+    // step — so the oracle recomputes the decoded pixels
+    // arithmetically. The position-weighted checksum pins pixel
+    // PLACEMENT (a transposed or cropped decode changes it even when
+    // the histogram survives). Same scale shape as q_image_entropy:
+    // decode per partition, (doc)-keyed aggregate, nothing beyond
+    // O(docs) past the first shuffle.
+    "q_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticJpegImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeLuma(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("lum")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("v").cast("long")).as("lum_sum"),
+          sum(col("v").cast("long") * (col("pos").cast("long") + 1))
+            .as("pos_checksum"))
+        .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("lum_sum"), expr("lum_sum div n_px").as("mean_lum"),
+          col("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // E4 INT8 SCALAR QUANTIZATION — the cheapest vector-compression
     // leg (8× over float32, vs PQ's 32×): per-dimension [min, max]
     // over the corpus → affine code in [0, 255], reported with the
@@ -2226,6 +2259,26 @@ object VectorOps {
         |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
         |        SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy_nats
         |FROM hist GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the block-constant rule the Spark side must recover
+    // THROUGH the entropy-coded JPEG (Huffman decode → dequant → IDCT):
+    // any codec error — wrong DC prediction, run-length slip, IDCT
+    // scale — shifts lum_sum or the position-weighted checksum.
+    "q_jpeg_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 * (2 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 40) t(x)),
+        |ys AS (SELECT y FROM range(0, 24) t(y)),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, ys.y * d.w + xs.x AS pos,
+        |    (7 * d.doc_id + 11 * (xs.x // 8) + 13 * (ys.y // 8)) % 256 AS v
+        |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_lum,
+        |  CAST(SUM(v * (pos + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "q_sq_codes" ->
       """WITH dims AS (

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{JpegCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG codec correctness. The decoder is cross-checked
+  * against the JDK's INDEPENDENT ImageIO JPEG implementation (present
+  * in every JDK, no external codec): ImageIO-encoded files carry JFIF
+  * APP0 preambles and the Annex K standard tables, so decoding them
+  * proves the segment walk, canonical Huffman construction, and
+  * entropy decode against a stream this codebase did not produce.
+  * IDCT implementations legitimately differ by ±1–2 luma steps
+  * (libjpeg fixed-point vs float), hence the tolerance on lossy
+  * comparisons; the block-constant fixture path must be BIT-exact.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def imageIoDecode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = Array.tabulate(w * h)(i => img.getRaster.getSample(i % w, i / w, 0))
+    (w, h, out)
+  }
+
+  private def imageIoEncode(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.getRaster.setSample(x, y, 0, lum(x, y) & 0xff)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    bos.toByteArray
+  }
+
+  test("block-constant images round-trip bit-exactly (the oracle contract)") {
+    Seq(0L, 1L, 5L, 42L, 997L).foreach { id =>
+      val bytes = Multimodal.syntheticJpegImage(id)
+      // a real JPEG: SOI..entropy-coded scan..EOI, not a header stub
+      assert((bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8)
+      assert((bytes(bytes.length - 2) & 0xff) == 0xFF &&
+        (bytes(bytes.length - 1) & 0xff) == 0xD9)
+      val Some((w, h, lum)) = JpegCodec.decode(bytes)
+      assert(w == 8 * (2 + (id % 4).toInt) && h == 8 * (1 + (id % 3).toInt))
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val expect = ((7 * id + 11 * (x / 8) + 13 * (y / 8)) % 256).toInt
+        assert(lum(y * w + x) == expect,
+          s"id=$id ($x,$y): got ${lum(y * w + x)}, want $expect")
+      })
+    }
+  }
+
+  test("own encoder output with real AC content: decoder agrees with ImageIO") {
+    val (w, h) = (40, 24)
+    def lum(x: Int, y: Int): Int = (x * 37 + y * 91 + (x * y) % 17) % 256
+    val bytes = JpegCodec.encode(w, h, lum)
+    val Some((dw, dh, mine)) = JpegCodec.decode(bytes)
+    val (iw, ih, theirs) = imageIoDecode(bytes)
+    assert((dw, dh) == (w, h) && (iw, ih) == (w, h))
+    val maxDiff = mine.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2, s"IDCT divergence $maxDiff > 2 luma steps")
+  }
+
+  test("ImageIO-encoded stream (JFIF preamble, standard tables) decodes within tolerance") {
+    val (w, h) = (32, 32)
+    def lum(x: Int, y: Int): Int = (x * 5 + y * 11) % 256
+    val bytes = imageIoEncode(w, h, lum)
+    val Some((dw, dh, mine)) = JpegCodec.decode(bytes)
+    val (_, _, theirs) = imageIoDecode(bytes)
+    assert((dw, dh) == (w, h))
+    val maxDiff = mine.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2, s"IDCT divergence $maxDiff > 2 luma steps")
+  }
+
+  test("non-multiple-of-8 dimensions: edge blocks crop correctly") {
+    val (w, h) = (21, 13)
+    def lum(x: Int, y: Int): Int = (x * 7 + y * 3) % 256
+    val bytes = JpegCodec.encode(w, h, lum)
+    val Some((dw, dh, mine)) = JpegCodec.decode(bytes)
+    assert((dw, dh) == (w, h) && mine.length == w * h)
+    val (_, _, theirs) = imageIoDecode(bytes)
+    val maxDiff = mine.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2)
+  }
+
+  test("corrupt and unsupported payloads are data, not crashes") {
+    val good = Multimodal.syntheticJpegImage(3L)
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty) // truncated scan
+    assert(JpegCodec.decode(good.take(8)).isEmpty)               // header only
+    assert(JpegCodec.decode(Array[Byte](0x12, 0x34)).isEmpty)    // not a JPEG
+    val noise = Array.tabulate[Byte](256)(i => (i * 37 % 251).toByte)
+    assert(JpegCodec.decode(Array[Byte](0xFF.toByte, 0xD8.toByte) ++ noise).isEmpty)
+  }
+
+  test("PixelCodec sniff routes JPEG payloads to the baseline decoder") {
+    val bytes = Multimodal.syntheticJpegImage(7L)
+    val Some((sw, sh, slum)) = Multimodal.PixelCodec.decode(bytes)
+    val Some((jw, jh, jlum)) = JpegCodec.decode(bytes)
+    assert((sw, sh) == (jw, jh) && slum.sameElements(jlum))
+  }
+}
