@@ -219,6 +219,93 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(boot.filter(col("label") === "l6").count() === 1)
   }
 
+  test("column-narrowing evolution: head uses the narrowed schema, history keeps the wide one") {
+    // the other direction of evolution-by-commit: a later commit with
+    // FEWER columns narrows the manifest schema; the wide pre-evolution
+    // files must PROJECT under it (parquet column pruning), while time
+    // travel and pre-narrowing CDC keep the wide shape they committed
+    val (t, _) = freshTable()
+    val v0 = t.commit((0L until 5L).map(i => (i, s"v$i")).toDF("id", "wide"))
+    val v1 = t.commit(df(5 until 8))
+    val head = t.read(spark)
+    assert(head.schema.fieldNames.toSeq === Seq("id"),
+      "head read must use the narrowed manifest schema")
+    assert(head.count() === 8, "wide files must project, not drop")
+    assert(t.readAt(spark, v0).schema.fieldNames.toSeq === Seq("id", "wide"))
+    assert(t.readAt(spark, v0).filter(col("wide") === "v3").count() === 1)
+    // CDC: the range ending at the narrow commit emits the narrow shape
+    assert(t.readChanges(spark, v0, v1).schema.fieldNames.toSeq === Seq("id"))
+    assert(t.readChanges(spark, v0, v1).count() === 3)
+  }
+
+  test("streaming CDC across a mid-stream schema evolution keeps the pinned shape") {
+    // SnapshotStream doc contract: the batch schema is PINNED at stream
+    // creation — a mid-stream additive evolution keeps emitting the
+    // stream's declared shape (evolved columns project away) instead of
+    // changing a running query's schema, which Structured Streaming
+    // cannot represent. Restart from a fresh checkpoint to adopt the
+    // evolved schema.
+    val (t, dir) = freshTable()
+    t.commit(df(0 until 5)) // stream starts with schema (id)
+    val ck = Files.createTempDirectory("graft_evo_ck").toString
+    val shapes = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        shapes.add(bdf.schema.fieldNames.toSeq)
+        rows.add(bdf.select("id").as[Long].collect().toSet); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      q.processAllAvailable()
+      // evolved commit lands while the stream runs
+      t.commit((5L until 9L).map(i => (i, s"l$i")).toDF("id", "label"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(shapes.asScala.toSeq.forall(_ == Seq("id")),
+      s"every batch must keep the stream-creation schema, got ${shapes.asScala.toSeq}")
+    assert(rows.asScala.toSeq.flatMap(_.toSeq).sorted === (0L until 9L),
+      "rows from evolved commits still arrive exactly once, projected")
+    // a NEW stream (fresh checkpoint) adopts the evolved head schema
+    val ck2 = Files.createTempDirectory("graft_evo_ck2").toString
+    val shapes2 = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val q2 = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        shapes2.add(bdf.schema.fieldNames.toSeq); ()
+      }
+      .option("checkpointLocation", ck2)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(shapes2.asScala.toSeq.forall(_ == Seq("id", "label")),
+      s"a fresh stream must read the evolved schema, got ${shapes2.asScala.toSeq}")
+  }
+
+  test("SQL: time travel keeps pre-evolution shape; ALTER TABLE is the refusal path") {
+    val wh = Files.createTempDirectory("graft_cat_evo").toString
+    spark.conf.set("spark.sql.catalog.snapevo",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapevo.warehouse", wh)
+    val t = SnapshotTable(s"$wh/db/ev")
+    t.commit(df(0 until 5))
+    t.commit((5L until 8L).map(i => (i, s"l$i")).toDF("id", "label"))
+    assert(spark.sql("SELECT * FROM snapevo.db.ev").schema.fieldNames.toSeq
+      === Seq("id", "label"))
+    assert(spark.sql("SELECT * FROM snapevo.db.ev VERSION AS OF 0")
+      .schema.fieldNames.toSeq === Seq("id"),
+      "SQL time travel must read the snapshot's own committed schema")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE snapevo.db.ev ADD COLUMN z INT")
+    }
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    assert(causes(ex).exists(_.contains("ALTER TABLE is not supported")),
+      s"expected the evolve-by-commit refusal, got: ${causes(ex).mkString(" | ")}")
+  }
+
   test("empty snapshots read back with the committed table schema") {
     val (t, _) = freshTable()
     // replace-commit an EMPTY frame: no data files, but the manifest
