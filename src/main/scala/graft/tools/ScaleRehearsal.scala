@@ -154,6 +154,24 @@ object ScaleRehearsal {
     // cost is index build ×N plus a fixed probe join.
     "q_naive_bayes" -> Seq("documents"),
     "q_tfidf_cosine" -> Seq("documents"),
+    // round-8 batch: the remaining round-7 additions (verdict item 6)
+    // plus the new JPEG decode. The vocabulary remap keeps each copy's
+    // df table private, so q_curriculum's rarity join and global
+    // three-phase rank run over ×N docs with constant per-token df;
+    // q_mix_materialize's per-source prefix-sum take sees each source
+    // grow ×N at a fixed token budget (the dynamic-budget claim);
+    // q_cluster_purity rides the kmeans CTE — k fixed, Lloyd scans ×N
+    // points — and its contingency table stays k×labels;
+    // q_retrieval_fusion composes the two memoized top-k tables, so
+    // its own cost is the RRF join over 2×15 rows with the index
+    // builds attributed to the memos; q_jpeg_decode decodes one
+    // payload per doc (payloads derive from the offset doc_id), the
+    // embarrassingly-parallel per-partition shape.
+    "q_curriculum" -> Seq("documents"),
+    "q_mix_materialize" -> Seq("documents"),
+    "q_cluster_purity" -> Seq("embeddings"),
+    "q_retrieval_fusion" -> Seq("embeddings"),
+    "q_jpeg_decode" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
