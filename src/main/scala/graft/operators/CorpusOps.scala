@@ -395,6 +395,103 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // LENGTH-BUCKET PACKING REPORT — the pad-efficiency audit a
+    // sequence-batching pipeline runs before training: documents
+    // assigned to power-of-2 token-length buckets (the standard
+    // length-grouped batching scheme), with per-bucket padding waste
+    // in integral ppm (Σ(bucket − n_toks) over n_docs·bucket). A high
+    // waste bucket means the ladder needs a finer rung there; the
+    // whole report is one narrow projection + an 11-ary CASE + one
+    // hash-agg — the flattest possible shape, and the bucket ladder is
+    // a shared literal CASE so both engines bin identically.
+    "q_length_buckets" -> ((s, d) => {
+      val bucketCase =
+        """case when n_toks <= 16 then 16 when n_toks <= 32 then 32
+          |when n_toks <= 64 then 64 when n_toks <= 128 then 128
+          |when n_toks <= 256 then 256 when n_toks <= 512 then 512
+          |when n_toks <= 1024 then 1024 when n_toks <= 2048 then 2048
+          |when n_toks <= 4096 then 4096 when n_toks <= 8192 then 8192
+          |else 16384 end""".stripMargin
+      documents(s, d)
+        .select(size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+          .cast("long").as("n_toks"))
+        .withColumn("bucket", expr(bucketCase).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum(expr("bucket - n_toks")).as("pad_tokens"))
+        .withColumn("pad_ppm",
+          expr("pad_tokens * 1000000 div (n_docs * bucket)"))
+        .select("bucket", "n_docs", "n_tokens", "pad_tokens", "pad_ppm")
+        .orderBy("bucket")
+    }),
+
+    // POPULATION STABILITY INDEX — the drift score credit/ML monitoring
+    // standardized on, computed per source against the REST of the
+    // corpus over fixed doc-length bins: PSI = Σ_bins (p−q)·ln(p/q).
+    // Laplace-smoothed bin counts keep every ln argument positive (the
+    // convention that also keeps the NB likelihoods total), shares in
+    // integral ppm, each ln quantized to ppm as a SINGLE term (the
+    // conventions memo's allowed form), so psi_p12 = Σ (p_ppm −
+    // q_ppm)·lr_ppm is an exact bigint in both engines. The bin domain
+    // is FIXED (11 rungs of the n_chars ladder), so past the one
+    // (source, bin) hash-agg everything is O(sources · 11).
+    "q_psi_drift" -> ((s, d) => {
+      val binCase =
+        """case when n_chars <= 100 then 0 when n_chars <= 200 then 1
+          |when n_chars <= 400 then 2 when n_chars <= 800 then 3
+          |when n_chars <= 1600 then 4 when n_chars <= 3200 then 5
+          |when n_chars <= 6400 then 6 when n_chars <= 12800 then 7
+          |when n_chars <= 25600 then 8 when n_chars <= 51200 then 9
+          |else 10 end""".stripMargin
+      val binned = documents(s, d)
+        .select(col("source"), expr(binCase).cast("long").as("bin"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      // complete the (source × bin) grid so absent bins still
+      // contribute their smoothed term on both sides
+      val bins = broadcast(s.range(0, 11).select(col("id").as("bin")))
+      val grid = binned.select("source").distinct()
+        .crossJoin(bins)
+        .join(binned, Seq("source", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = grid.groupBy("source").agg(sum("c").as("n_s"))
+        .crossJoin(broadcast(binned.agg(sum("c").as("n_all"))))
+      val perBin = binned.groupBy("bin").agg(sum("c").as("c_all"))
+      val rest = grid.join(broadcast(perBin), Seq("bin"), "left")
+        .select(col("source"), col("bin"), col("c"),
+          (coalesce(col("c_all"), lit(0L)) - col("c")).as("c_rest"))
+      rest.join(tot, "source")
+        .withColumn("p_ppm",
+          expr("(c + 1) * 1000000 div (n_s + 11)"))
+        .withColumn("q_ppm",
+          expr("(c_rest + 1) * 1000000 div (n_all - n_s + 11)"))
+        .withColumn("lr_ppm", expr(
+          "cast(round(ln(cast(p_ppm as double) / q_ppm) * 1000000) as bigint)"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bins"),
+          sum(expr("(p_ppm - q_ppm) * lr_ppm")).as("psi_p12"))
+        .orderBy("source")
+    }),
+
+    // LEXICAL DIVERSITY — type-token ratio and hapax-legomenon share
+    // per source: the boilerplate/template detector that needs no
+    // model (a scraped-template source shows a TTR crater and a hapax
+    // drought long before perplexity filters run). One explode + two
+    // hash-aggs, all integral ppm.
+    "q_lexical_diversity" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"),
+          explode(array_remove(split(lower(col("text")), " "), "")).as("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+      tf.groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+        .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
+        .select("source", "n_tokens", "n_types", "n_hapax",
+          "ttr_ppm", "hapax_ppm")
+        .orderBy("source")
+    }),
+
     // DISTRIBUTION DRIFT between corpus snapshots — the monitoring op
     // a continuously-ingested corpus needs: per source, compare the
     // token distribution of the "old" and "new" halves (doc parity
@@ -1164,6 +1261,76 @@ object CorpusOps {
         |  n_unique_docs, n_docs - n_unique_docs AS exact_dup_docs
         |FROM agg a JOIN vocab v ON a.source = v.source
         |ORDER BY a.source""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_toks, CAST(
+        |    CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+        |    WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
+        |    WHEN n_toks <= 256 THEN 256 WHEN n_toks <= 512 THEN 512
+        |    WHEN n_toks <= 1024 THEN 1024 WHEN n_toks <= 2048 THEN 2048
+        |    WHEN n_toks <= 4096 THEN 4096 WHEN n_toks <= 8192 THEN 8192
+        |    ELSE 16384 END AS BIGINT) AS bucket
+        |  FROM d)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bucket - n_toks) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(bucket - n_toks) AS BIGINT) * 1000000
+        |    // (COUNT(*) * bucket) AS pad_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH binned AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN n_chars <= 100 THEN 0 WHEN n_chars <= 200 THEN 1
+        |    WHEN n_chars <= 400 THEN 2 WHEN n_chars <= 800 THEN 3
+        |    WHEN n_chars <= 1600 THEN 4 WHEN n_chars <= 3200 THEN 5
+        |    WHEN n_chars <= 6400 THEN 6 WHEN n_chars <= 12800 THEN 7
+        |    WHEN n_chars <= 25600 THEN 8 WHEN n_chars <= 51200 THEN 9
+        |    ELSE 10 END AS BIGINT) AS bin,
+        |    COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |bins AS (SELECT unnest(range(0, 11)) AS bin),
+        |srcs AS (SELECT DISTINCT source FROM binned),
+        |grid AS (
+        |  SELECT s.source, b.bin, CAST(COALESCE(x.c, 0) AS BIGINT) AS c
+        |  FROM srcs s CROSS JOIN bins b
+        |  LEFT JOIN binned x ON x.source = s.source AND x.bin = b.bin),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |        FROM grid GROUP BY 1),
+        |alln AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM binned),
+        |perbin AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c_all
+        |           FROM binned GROUP BY 1),
+        |shares AS (
+        |  SELECT g.source,
+        |    (g.c + 1) * 1000000 // (t.n_s + 11) AS p_ppm,
+        |    (COALESCE(p.c_all, 0) - g.c + 1) * 1000000
+        |      // (a.n_all - t.n_s + 11) AS q_ppm
+        |  FROM grid g LEFT JOIN perbin p ON g.bin = p.bin
+        |  JOIN tot t ON g.source = t.source CROSS JOIN alln a)
+        |SELECT source, COUNT(*) AS n_bins,
+        |  CAST(SUM((p_ppm - q_ppm) *
+        |    CAST(ROUND(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 1000000) AS BIGINT))
+        |    AS BIGINT) AS psi_p12
+        |FROM shares GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_lexical_diversity" ->
+      """WITH tf AS (
+        |  SELECT source, tk, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  COUNT(*) * 1000000 // CAST(SUM(c) AS BIGINT) AS ttr_ppm,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS hapax_ppm
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
 
     "q_ks_drift" ->
       """WITH base AS (

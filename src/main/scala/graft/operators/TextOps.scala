@@ -2216,6 +2216,69 @@ object TextOps {
         .orderBy(col("margin_lp_ppm").asc, col("doc_id").asc)
         .limit(20)
         .select("doc_id", "true_source", "pred_source", "margin_lp_ppm")
+    }),
+
+    // E5 LABEL-NOISE SCREEN (confident-learning-lite) — the mirror of
+    // the active-learning queue: the 20 documents whose NB prediction
+    // DISAGREES with the recorded label by the LARGEST confidence gap
+    // (score of predicted class − score of the labeled class, integral
+    // ppm log-prob) — the docs most likely mislabeled at ingest, the
+    // first list a labeling-pipeline audit pulls. Rides the memoized
+    // score table; the gap join is O(docs) against the |classes|-wide
+    // scored table and the global top-20 plans as TakeOrdered.
+    "q_label_noise" -> ((s, d) => {
+      val wb = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cs").asc)
+      val top1 = nbScores(s, d).withColumn("rb", row_number().over(wb))
+        .filter(col("rb") === 1)
+        .select(col("doc_id"), col("source").as("true_source"),
+          col("cs").as("pred_source"), col("score").as("sp"))
+      val own = nbScores(s, d).filter(col("cs") === col("source"))
+        .select(col("doc_id"), col("score").as("st"))
+      top1.filter(col("pred_source") =!= col("true_source"))
+        .join(own, "doc_id")
+        .withColumn("conf_gap_ppm", col("sp") - col("st"))
+        .orderBy(col("conf_gap_ppm").desc, col("doc_id").asc)
+        .limit(20)
+        .select("doc_id", "true_source", "pred_source", "conf_gap_ppm")
+    }),
+
+    // E5 ROUGE-2 OVERLAP (probe-bounded) — distinct-bigram recall of
+    // each candidate document against 3 probe documents: the summary/
+    // paraphrase-evaluation metric, run the scale-safe way — the probe
+    // bigram sets broadcast against the corpus bigram index (an
+    // equi join on the bigram, the q_tfidf_cosine shape), so cost is
+    // index-build + probe-bounded join, never corpus². Recall in
+    // integral ppm (match count over the probe's distinct-bigram
+    // count); top-5 per probe via the per-probe window over the
+    // already-tiny scored set.
+    "q_rouge_overlap" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), ' '), x -> x != '')").as("a"))
+        .select(col("doc_id"), explode(expr(
+          """case when size(a) >= 2
+            |then transform(sequence(1, size(a) - 1),
+            |               i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))
+            |else cast(array() as array<string>) end""".stripMargin)).as("bigram"))
+        .distinct()
+        .localCheckpoint() // feeds probe sets, probe sizes AND the index join
+      val probes = bg.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("bigram"))
+      val probeSz = bg.filter(col("doc_id") < 3)
+        .groupBy(col("doc_id").as("qid")).agg(count(lit(1)).as("nq"))
+      val inter = bg.join(broadcast(probes), "bigram")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_match"))
+      val scored = inter.join(broadcast(probeSz), "qid")
+        .withColumn("recall_ppm", expr("n_match * 1000000 div nq"))
+      val wr = Window.partitionBy("qid")
+        .orderBy(col("recall_ppm").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id").as("cand"), col("n_match"), col("recall_ppm"))
+        .orderBy("qid", "rank")
     }))
 
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
@@ -3429,7 +3492,52 @@ object TextOps {
         |SELECT t1.doc_id, t1.true_source, t1.pred_source,
         |  t1.s1 - t2.s2 AS margin_lp_ppm
         |FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
-        |ORDER BY margin_lp_ppm ASC, t1.doc_id ASC LIMIT 20""".stripMargin))
+        |ORDER BY margin_lp_ppm ASC, t1.doc_id ASC LIMIT 20""".stripMargin),
+
+    "q_label_noise" -> (nbScoredCte +
+      """,
+        |rk AS (
+        |  SELECT doc_id, source, cs, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cs ASC) AS rb
+        |  FROM scored),
+        |t1 AS (SELECT doc_id, source AS true_source, cs AS pred_source,
+        |         score AS sp FROM rk WHERE rb = 1),
+        |own AS (SELECT doc_id, score AS st FROM scored WHERE cs = source)
+        |SELECT t1.doc_id, t1.true_source, t1.pred_source,
+        |  t1.sp - own.st AS conf_gap_ppm
+        |FROM t1 JOIN own ON t1.doc_id = own.doc_id
+        |WHERE t1.pred_source <> t1.true_source
+        |ORDER BY conf_gap_ppm DESC, t1.doc_id ASC LIMIT 20""".stripMargin),
+
+    "q_rouge_overlap" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(a)),
+        |                          i -> a[i] || ' ' || a[i + 1])) AS bigram
+        |  FROM arr),
+        |probes AS (SELECT doc_id AS qid, bigram FROM bg WHERE doc_id < 3),
+        |psz AS (SELECT qid, COUNT(*) AS nq FROM probes GROUP BY qid),
+        |inter AS (
+        |  SELECT p.qid, bg.doc_id, COUNT(*) AS n_match
+        |  FROM bg JOIN probes p ON bg.bigram = p.bigram
+        |  WHERE bg.doc_id <> p.qid GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.qid, i.doc_id, i.n_match,
+        |    i.n_match * 1000000 // s.nq AS recall_ppm
+        |  FROM inter i JOIN psz s ON i.qid = s.qid)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id AS cand,
+        |  n_match, recall_ppm
+        |FROM (
+        |  SELECT qid, doc_id, n_match, recall_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY recall_ppm DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
 
   /** The NB train-and-score pipeline as DuckDB CTEs ending with
     * `scored` (doc_id, source, cs, score) — shared by the confusion
