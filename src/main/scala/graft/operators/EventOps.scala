@@ -1233,6 +1233,48 @@ object EventOps {
     // exact moments, rounded 6 (the q_regr_trend convention — the
     // only floats are final divisions). One user-keyed aggregate +
     // one O(1) moment row; nothing rescans events.
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout when
+    // assignment isn't randomized at treatment start: per-user mean
+    // purchase revenue (integer cents, fixed per-group user
+    // denominator) in the pre/post windows (the q_cuped day-15 split
+    // from the first observed day) for the treated (user_id % 3 = 0,
+    // the randomized_response convention) vs control group; DiD =
+    // (T_post − T_pre) − (C_post − C_pre). All integral cents and
+    // counts — one user-distinct aggregate + one 4-cell aggregate,
+    // O(1) output.
+    "q_diff_in_diff" -> ((s, d) => {
+      val ev = events(s, d)
+      val m0 = broadcast(ev.agg(min(to_date(col("ts"))).as("d0")))
+      val base = ev.crossJoin(m0)
+        .select(col("user_id"),
+          (col("user_id") % 3 === 0).as("treat"),
+          (datediff(to_date(col("ts")), col("d0")) < 15).as("pre"),
+          when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(0L).as("rev_c"))
+      val users = base.select("user_id", "treat").distinct()
+        .groupBy("treat").agg(count(lit(1)).as("n_users"))
+      val cell = base.groupBy("treat", "pre").agg(sum("rev_c").as("rev_c"))
+        .join(broadcast(users), "treat")
+        .withColumn("mean_c", expr("rev_c div n_users"))
+      val m = cell.agg(
+        coalesce(sum(when(col("treat") && col("pre"), col("mean_c"))), lit(0L))
+          .as("t_pre_c"),
+        coalesce(sum(when(col("treat") && !col("pre"), col("mean_c"))), lit(0L))
+          .as("t_post_c"),
+        coalesce(sum(when(!col("treat") && col("pre"), col("mean_c"))), lit(0L))
+          .as("c_pre_c"),
+        coalesce(sum(when(!col("treat") && !col("pre"), col("mean_c"))), lit(0L))
+          .as("c_post_c"))
+      val u2 = users.agg(
+        coalesce(sum(when(col("treat"), col("n_users"))), lit(0L)).as("n_treat"),
+        coalesce(sum(when(!col("treat"), col("n_users"))), lit(0L)).as("n_ctrl"))
+      m.crossJoin(broadcast(u2))
+        .withColumn("did_c",
+          expr("(t_post_c - t_pre_c) - (c_post_c - c_pre_c)"))
+        .select("n_treat", "n_ctrl", "t_pre_c", "t_post_c",
+          "c_pre_c", "c_post_c", "did_c")
+    }),
+
     "q_cuped" -> ((s, d) => {
       val ev = events(s, d)
       val m0 = broadcast(ev.agg(min(to_date(col("ts"))).as("d0")))
@@ -2181,6 +2223,45 @@ object EventOps {
         |  CAST(CASE WHEN ((2 * n_a - n) * (2 * n_a - n) * 1000) // n > 3841
         |    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
         |FROM a""".stripMargin,
+
+    "q_diff_in_diff" ->
+      """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        |base AS (
+        |  SELECT user_id, user_id % 3 = 0 AS treat,
+        |    date_diff('day', (SELECT d0 FROM d0), CAST(ts AS DATE)) < 15 AS pre,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+        |  FROM events),
+        |users AS (
+        |  SELECT treat, COUNT(*) AS n_users FROM (
+        |    SELECT DISTINCT user_id, treat FROM base) GROUP BY treat),
+        |cell AS (
+        |  SELECT b.treat, b.pre,
+        |    CAST(SUM(b.rev_c) AS BIGINT) // u.n_users AS mean_c
+        |  FROM base b JOIN users u ON b.treat = u.treat
+        |  GROUP BY b.treat, b.pre, u.n_users),
+        |m AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN treat AND pre THEN mean_c END), 0)
+        |      AS BIGINT) AS t_pre_c,
+        |    CAST(COALESCE(SUM(CASE WHEN treat AND NOT pre THEN mean_c END), 0)
+        |      AS BIGINT) AS t_post_c,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treat AND pre THEN mean_c END), 0)
+        |      AS BIGINT) AS c_pre_c,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treat AND NOT pre THEN mean_c END), 0)
+        |      AS BIGINT) AS c_post_c
+        |  FROM cell),
+        |u2 AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN treat THEN n_users END), 0) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treat THEN n_users END), 0) AS BIGINT)
+        |      AS n_ctrl
+        |  FROM users)
+        |SELECT u2.n_treat, u2.n_ctrl, m.t_pre_c, m.t_post_c,
+        |  m.c_pre_c, m.c_post_c,
+        |  (m.t_post_c - m.t_pre_c) - (m.c_post_c - m.c_pre_c) AS did_c
+        |FROM m, u2""".stripMargin,
 
     "q_cuped" ->
       """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),

@@ -140,18 +140,26 @@ object TextOps {
     * checkpointed token explode (q_lsh_recall) can't diverge from the
     * q_minhash_lsh contract. */
   def minhashBandsFromTokens(t: DataFrame): DataFrame = {
-    val vocab = t.select("token").distinct()
-      .select(col("token") +: (0 until 8).map(i =>
-        md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
-    val hashed = t.join(broadcast(vocab), "token")
-    val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    val sig = minhashSigsFromTokens(t)
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("band_key"))): _*))
         .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_key"))
+  }
+
+  /** The 8-permutation MinHash SIGNATURE table (doc_id, h0..h7) the
+    * bands derive from — exposed separately so the estimation-error
+    * eval (q_minhash_est) compares the exact per-permutation matches
+    * the banding actually hashes, never a reimplementation. */
+  def minhashSigsFromTokens(t: DataFrame): DataFrame = {
+    val vocab = t.select("token").distinct()
+      .select(col("token") +: (0 until 8).map(i =>
+        md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
+    val hashed = t.join(broadcast(vocab), "token")
+    val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
+    hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
   /** Blocked token-set Jaccard near-dup pairs over
@@ -2077,6 +2085,53 @@ object TextOps {
         .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
     }),
 
+    // E3 MINHASH ESTIMATION ERROR — the companion eval to
+    // q_lsh_recall: for the probe-bounded pairs with exact Jaccard
+    // ≥ 0.1, how far is the 8-permutation MinHash ESTIMATE
+    // (matching-signature share, granularity 1/8 = 125000 ppm) from
+    // the exact value? Reports mean/max absolute error in ppm — the
+    // number that tells a dedup pipeline whether its permutation count
+    // suffices at its similarity threshold. The signature table is
+    // the SAME minhashSigsFromTokens the banding derives from, so the
+    // eval measures the production sketch, not a reimplementation;
+    // everything is md5-deterministic and integral, so the error
+    // itself sits in the oracle. Probe-bounded exactly like
+    // q_lsh_recall: probe×corpus, never corpus².
+    "q_minhash_est" -> ((s, d) => {
+      val probeN = 50
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
+        .localCheckpoint() // feeds the exact join (both sides), sizes, sigs
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val exact = tok.filter(col("doc_id") < probeN)
+        .select(col("doc_id").as("d1"), col("token"))
+        .join(tok.select(col("doc_id").as("d2"), col("token")), "token")
+        .filter(col("d2") > col("d1"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.filter(col("doc_id") < probeN)
+          .select(col("doc_id").as("d1"), col("sz").as("s1"))), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .withColumn("exact_ppm", expr("inter * 1000000 div (s1 + s2 - inter)"))
+        .filter(col("exact_ppm") >= 100000)
+      val sig = minhashSigsFromTokens(tok)
+      val sa = sig.filter(col("doc_id") < probeN)
+        .select(col("doc_id").as("d1") +:
+          (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("d2") +:
+        (0 until 8).map(i => col(s"h$i").as(s"b$i")): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      exact.join(broadcast(sa), "d1").join(sb, "d2")
+        .withColumn("est_ppm", matches * lit(125000L))
+        .withColumn("abs_err", expr("abs(est_ppm - exact_ppm)"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(exact_ppm) div count(1)").as("mean_exact_ppm"),
+          expr("sum(est_ppm) div count(1)").as("mean_est_ppm"),
+          expr("sum(abs_err) div count(1)").as("mean_abs_err_ppm"),
+          max("abs_err").as("max_abs_err_ppm"))
+    }),
+
     // E4/E5 SPARSE LEXICAL RETRIEVAL — tf-idf-weighted cosine top-3
     // per probe doc over the INVERTED INDEX: the lexical complement to
     // the dense-embedding ANN family (BM25 ranks query terms; this
@@ -3390,6 +3445,50 @@ object TextOps {
         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
         |  CAST((SELECT COUNT(*) FROM hit) * 1000000 //
         |       (SELECT COUNT(*) FROM tpairs) AS BIGINT) AS recall_ppm""".stripMargin,
+
+    "q_minhash_est" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |ex AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.token = b.token
+        |    AND a.doc_id < 50 AND b.doc_id > a.doc_id
+        |  GROUP BY 1, 2),
+        |exj AS (
+        |  SELECT e.d1, e.d2,
+        |    e.inter * 1000000 // (s1.sz + s2.sz - e.inter) AS exact_ppm
+        |  FROM ex e JOIN sizes s1 ON e.d1 = s1.doc_id
+        |            JOIN sizes s2 ON e.d2 = s2.doc_id
+        |  WHERE e.inter * 1000000 // (s1.sz + s2.sz - e.inter) >= 100000),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0|' || token)) AS h0, MIN(md5('1|' || token)) AS h1,
+        |    MIN(md5('2|' || token)) AS h2, MIN(md5('3|' || token)) AS h3,
+        |    MIN(md5('4|' || token)) AS h4, MIN(md5('5|' || token)) AS h5,
+        |    MIN(md5('6|' || token)) AS h6, MIN(md5('7|' || token)) AS h7
+        |  FROM tok2 GROUP BY doc_id),
+        |est AS (
+        |  SELECT x.exact_ppm,
+        |    CAST(((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) * 125000 AS BIGINT)
+        |      AS est_ppm
+        |  FROM exj x JOIN sig sa ON sa.doc_id = x.d1
+        |             JOIN sig sb ON sb.doc_id = x.d2)
+        |SELECT COUNT(*) AS n_pairs,
+        |  CAST(SUM(exact_ppm) AS BIGINT) // COUNT(*) AS mean_exact_ppm,
+        |  CAST(SUM(est_ppm) AS BIGINT) // COUNT(*) AS mean_est_ppm,
+        |  CAST(SUM(abs(est_ppm - exact_ppm)) AS BIGINT) // COUNT(*)
+        |    AS mean_abs_err_ppm,
+        |  CAST(MAX(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+        |FROM est""".stripMargin,
 
     "q_tfidf_cosine" ->
       """WITH arr AS (

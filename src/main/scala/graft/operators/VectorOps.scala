@@ -574,36 +574,35 @@ object VectorOps {
     // keys only. Seeds = the first k vectors; an empty cluster keeps
     // its previous centroid.
     "q_kmeans" -> ((s, d) => {
-      // materialized once: the quantized dim table feeds two assigns
-      // and one centroid update — five subtree references that would
-      // otherwise each rescan and re-explode the embeddings parquet
-      val dims = embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
-        .select(col("vec_id"), (col("pos") + 1).as("dim"),
-          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
-        .localCheckpoint()
-      val c0 = dims.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("j"), col("dim").as("cd"), col("qv").as("cval"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("j"))
-        dims.join(broadcast(cents), col("dim") === col("cd"))
-          .groupBy("vec_id", "j")
-          .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("j").as("cluster"))
-      }
-      def update(asg: DataFrame, cents: DataFrame): DataFrame = {
-        val upd = asg.join(dims, "vec_id")
-          .groupBy(col("cluster"), col("dim"))
-          .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
-          .select(col("cluster").as("j2"), col("dim").as("cd2"),
-            expr("sq div cnt").as("nval"))
-        cents.join(upd, col("j") === col("j2") && col("cd") === col("cd2"), "left")
-          .select(col("j"), col("cd"), coalesce(col("nval"), col("cval")).as("cval"))
-      }
-      val a2 = assign(update(assign(c0), c0))
+      val (_, a2) = kmeansParts(s, d)
       a2.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
         .orderBy("vec_id")
+    }),
+
+    // E4 SIMPLIFIED SILHOUETTE — the internal-validity companion of
+    // q_cluster_purity: per vector, a = dist² to its OWN final
+    // centroid, b = min dist² to any OTHER centroid, s = (b−a)/max(a,b)
+    // in integral milli (milli, not ppm: b is a 64-dim micro-unit
+    // dist², up to ~2.6e14, so a ppm multiplier would overflow bigint).
+    // The centroid-based form costs one O(vecs·k) distance table —
+    // the one the assignment already computes, shared via kmeansParts,
+    // so eval and clustering cannot drift — where full silhouette
+    // would cost vecs² pairwise distances; at lake scale only the
+    // centroid form survives, which is why it is the one implemented.
+    "q_silhouette" -> ((s, d) => {
+      val (d2, a2) = kmeansParts(s, d)
+      val ab = d2.join(a2, "vec_id")
+        .groupBy("vec_id", "cluster")
+        .agg(sum(when(col("j") === col("cluster"), col("dist2"))).as("a2d"),
+          min(when(col("j") =!= col("cluster"), col("dist2"))).as("b2d"))
+      ab.withColumn("s_milli", expr(
+          """case when greatest(a2d, b2d) = 0 then 0
+            |else (b2d - a2d) * 1000 div greatest(a2d, b2d) end""".stripMargin))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum("s_milli").as("ssum"))
+        .withColumn("mean_sil_milli", expr("ssum div n_vecs"))
+        .select("cluster", "n_vecs", "mean_sil_milli")
+        .orderBy("cluster")
     }),
 
     // E4 CLUSTER PURITY — the external-validity eval of the k-means
@@ -1383,6 +1382,47 @@ object VectorOps {
   /** The q_kmeans two-Lloyd-round pipeline as DuckDB CTEs ending with
     * `a2` (vec_id, cluster) — shared by the kmeans oracle and the
     * purity eval so the two can never drift (the ivfpqCte rule). */
+  /** The shared Lloyd pipeline (q_kmeans / q_silhouette): quantized
+    * micro-unit dim table, seeds = first 8 vectors, one assignment +
+    * one centroid update, then the full (vec × centroid) distance
+    * table under the FINAL centroids and the final assignment picked
+    * from it — returned as (finalDists, finalAssignment) so the
+    * silhouette eval rides the exact integer math the clustering ran
+    * (the kmeansCte lockstep rule). The dim table is materialized
+    * once: it feeds two distance tables and the centroid update —
+    * subtree references that would otherwise each rescan and
+    * re-explode the embeddings parquet; the final distance table is
+    * materialized because both its consumers (the rank pick and the
+    * a/b silhouette fold) scan it. */
+  private def kmeansParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val dims = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      .localCheckpoint()
+    val c0 = dims.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("j"), col("dim").as("cd"), col("qv").as("cval"))
+    def dists(cents: DataFrame): DataFrame =
+      dims.join(broadcast(cents), col("dim") === col("cd"))
+        .groupBy("vec_id", "j")
+        .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+    def pick(dd: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("j"))
+      dd.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("j").as("cluster"))
+    }
+    val a1 = pick(dists(c0))
+    val upd = a1.join(dims, "vec_id")
+      .groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("cluster").as("j2"), col("dim").as("cd2"),
+        expr("sq div cnt").as("nval"))
+    val c1 = c0.join(upd, col("j") === col("j2") && col("cd") === col("cd2"), "left")
+      .select(col("j"), col("cd"), coalesce(col("nval"), col("cval")).as("cval"))
+    val d2 = dists(c1).localCheckpoint()
+    (d2, pick(d2))
+  }
+
   private lazy val kmeansCte =
     """WITH dims AS (
       |  SELECT vec_id, d AS dim,
@@ -1772,6 +1812,28 @@ object VectorOps {
         |  p1.purity_ppm,
         |  t.sum_maj * 1000000 // t.n_total AS overall_purity_ppm
         |FROM p1, t ORDER BY p1.cluster""".stripMargin),
+
+    // rides a2d — the final-centroid distance table the assignment is
+    // picked from — so the silhouette's a/b use the clustering's own
+    // integer distances
+    "q_silhouette" -> (kmeansCte +
+      """,
+        |ab AS (
+        |  SELECT a2d.vec_id, a2.cluster,
+        |    CAST(SUM(CASE WHEN a2d.j = a2.cluster THEN a2d.dist2 END)
+        |      AS BIGINT) AS a2v,
+        |    CAST(MIN(CASE WHEN a2d.j <> a2.cluster THEN a2d.dist2 END)
+        |      AS BIGINT) AS b2v
+        |  FROM a2d JOIN a2 ON a2d.vec_id = a2.vec_id
+        |  GROUP BY a2d.vec_id, a2.cluster),
+        |sil AS (
+        |  SELECT cluster,
+        |    CASE WHEN GREATEST(a2v, b2v) = 0 THEN 0
+        |      ELSE (b2v - a2v) * 1000 // GREATEST(a2v, b2v) END AS s_milli
+        |  FROM ab)
+        |SELECT cluster, COUNT(*) AS n_vecs,
+        |  CAST(SUM(s_milli) AS BIGINT) // COUNT(*) AS mean_sil_milli
+        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin),
 
     // mirrors HllSketch exactly: 60-bit md5 hash → (12-bit register
     // index, 48-bit sub-stream), rank = 49 - bitlength, registers =
