@@ -408,6 +408,20 @@ object GraphOps {
         .select(col("node").as("doc_id"), col("comp"), col("csize"))
         .orderBy("doc_id")),
 
+    // E3 CLUSTER-SIZE DISTRIBUTION — the dedup-health histogram: how
+    // many clusters of each size, and how many documents they hold (a
+    // heavy tail of large clusters means template spam; all-singletons
+    // means the near-dup thresholds are too tight). Rides the memoized
+    // labels; two tiny hash-aggs, output bounded by the distinct-size
+    // domain.
+    "q_dedup_cluster_sizes" -> ((s, d) =>
+      clusters(s, d).groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("csize") * col("n_clusters"))
+        .select("csize", "n_clusters", "n_docs")
+        .orderBy("csize")),
+
     // E3 SURVIVOR-BY-QUALITY — the alternative survivorship policy:
     // instead of the min-id representative (q_dedup_survivors), keep
     // each cluster's LONGEST document (n_chars, the quality proxy the
@@ -1077,6 +1091,12 @@ object GraphOps {
         |SELECT c.node AS doc_id, c.comp, s.csize
         |FROM cc c JOIN sizes s ON c.comp = s.comp
         |ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_cluster_sizes" -> (ccPrelude +
+      """
+        |SELECT csize, COUNT(*) AS n_clusters,
+        |  CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin),
 
     "q_dedup_best_quality" -> (ccPrelude +
       """,

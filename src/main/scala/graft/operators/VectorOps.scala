@@ -275,6 +275,61 @@ object VectorOps {
 
     "q_cosine_topk" -> ((s, d) => cosineTopk(s, d)),
 
+    // E4 MMR DIVERSIFIED RE-RANK — maximal marginal relevance over the
+    // brute-force candidate pool: greedily pick 3 of the top-10 per
+    // query, each round scoring 7·rel − 3·max-sim-to-selected (λ = 0.7
+    // in integral ppm — relevance and redundancy both ppm-quantized
+    // cosines, so the greedy argmax is an exact bigint compare with a
+    // (score desc, vid asc) tie-break both engines replay). The
+    // candidate-candidate similarity table is pool² WITHIN each query
+    // (≤ 10·9 rows per probe), never corpus²; the greedy loop is 3
+    // fixed dataflow rounds (the kmeans pattern) — no driver-side
+    // collect. The oracle unrolls the same 3 rounds as CTEs.
+    "q_mmr_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", normFast(col("v")))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid").asc)
+      val pool = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vid"),
+          round(col("score") * 1000000).cast("long").as("rel_ppm"))
+        .localCheckpoint() // feeds the pair-sim table AND all 3 greedy rounds
+      val pv = pool.select(col("qid"), col("vid"))
+        .join(emb.select(col("vec_id").as("vid"), col("v"), col("nv")), "vid")
+      val pv2 = pv.select(col("qid"), col("vid").as("v2"),
+        col("v").as("w2"), col("nv").as("n2"))
+      val simcc = pv.join(pv2, "qid").filter(col("vid") =!= col("v2"))
+        .select(col("qid"), col("vid"), col("v2"),
+          round((dotFast(col("v"), col("w2")) / (col("nv") * col("n2")))
+            * 1000000).cast("long").as("sim_ppm"))
+        .localCheckpoint() // re-read by rounds 2 and 3
+      val wpick = Window.partitionBy("qid").orderBy(col("mmr").desc, col("vid").asc)
+      def pick(cands: DataFrame): DataFrame =
+        cands.withColumn("rn", row_number().over(wpick)).filter(col("rn") === 1)
+          .select(col("qid"), col("vid"), col("rel_ppm"), col("mmr"))
+      var selected = pick(pool.withColumn("mmr", col("rel_ppm") * 7))
+        .withColumn("round", lit(1L))
+      for (r <- 2 to 3) {
+        val cand = pool
+          .join(selected.select("qid", "vid"), Seq("qid", "vid"), "left_anti")
+          .join(simcc, Seq("qid", "vid"))
+          .join(selected.select(col("qid"), col("vid").as("v2")),
+            Seq("qid", "v2"), "left_semi")
+          .groupBy("qid", "vid", "rel_ppm").agg(max("sim_ppm").as("maxsim"))
+          .withColumn("mmr", col("rel_ppm") * 7 - col("maxsim") * 3)
+        selected = selected
+          .unionByName(pick(cand).withColumn("round", lit(r.toLong)))
+      }
+      selected.select("qid", "round", "vid", "rel_ppm", "mmr")
+        .orderBy("qid", "round")
+    }),
+
     // E4 scale path: LSH bucketing by hyperplane-sign sketch over 4
     // deterministic pseudo-hyperplanes (sign of sum of md5-seeded
     // ±1 weights × components — portable across engines). Emits bucket
@@ -2114,6 +2169,78 @@ object VectorOps {
         |ORDER BY a.label, d1, d2""".stripMargin,
 
     "q_cosine_topk" -> cosineTopkOracle,
+
+    // the same 3 greedy rounds the Spark side runs, unrolled as CTEs;
+    // pool and pair sims recomputed with the cosineTopkOracle dot
+    // convention
+    "q_mmr_rerank" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+        |scoredq AS (
+        |  SELECT q.qid, e.vec_id AS vid,
+        |    (SELECT SUM(q.qv[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i))
+        |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i]) FROM generate_series(1, 64) g(i)))
+        |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i]) FROM generate_series(1, 64) g(i)))) AS score
+        |  FROM emb e, q WHERE e.vec_id <> q.qid),
+        |pool AS (
+        |  SELECT qid, vid, CAST(ROUND(score * 1000000) AS BIGINT) AS rel_ppm
+        |  FROM (SELECT qid, vid, score,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY score DESC, vid ASC) AS rank
+        |        FROM scoredq)
+        |  WHERE rank <= 10),
+        |pe AS (SELECT p.qid, p.vid, e.v FROM pool p
+        |       JOIN emb e ON e.vec_id = p.vid),
+        |simcc AS (
+        |  SELECT a.qid, a.vid, b.vid AS v2,
+        |    CAST(ROUND(
+        |      (SELECT SUM(a.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))
+        |      / (sqrt((SELECT SUM(a.v[g.i] * a.v[g.i]) FROM generate_series(1, 64) g(i)))
+        |         * sqrt((SELECT SUM(b.v[g.i] * b.v[g.i]) FROM generate_series(1, 64) g(i))))
+        |      * 1000000) AS BIGINT) AS sim_ppm
+        |  FROM pe a JOIN pe b ON a.qid = b.qid AND a.vid <> b.vid),
+        |s1 AS (
+        |  SELECT qid, vid, rel_ppm, rel_ppm * 7 AS mmr FROM (
+        |    SELECT qid, vid, rel_ppm,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY rel_ppm * 7 DESC, vid ASC) AS rn
+        |    FROM pool) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT p.qid, p.vid, p.rel_ppm,
+        |    p.rel_ppm * 7 - 3 * MAX(s.sim_ppm) AS mmr
+        |  FROM pool p
+        |  JOIN simcc s ON s.qid = p.qid AND s.vid = p.vid
+        |  JOIN s1 ON s1.qid = s.qid AND s1.vid = s.v2
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+        |                    WHERE x.qid = p.qid AND x.vid = p.vid)
+        |  GROUP BY p.qid, p.vid, p.rel_ppm),
+        |p2 AS (
+        |  SELECT qid, vid, rel_ppm, mmr FROM (
+        |    SELECT qid, vid, rel_ppm, mmr,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY mmr DESC, vid ASC) AS rn
+        |    FROM c2) WHERE rn = 1),
+        |sel2 AS (SELECT qid, vid FROM s1 UNION ALL SELECT qid, vid FROM p2),
+        |c3 AS (
+        |  SELECT p.qid, p.vid, p.rel_ppm,
+        |    p.rel_ppm * 7 - 3 * MAX(s.sim_ppm) AS mmr
+        |  FROM pool p
+        |  JOIN simcc s ON s.qid = p.qid AND s.vid = p.vid
+        |  JOIN sel2 ON sel2.qid = s.qid AND sel2.vid = s.v2
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+        |                    WHERE x.qid = p.qid AND x.vid = p.vid)
+        |  GROUP BY p.qid, p.vid, p.rel_ppm),
+        |p3 AS (
+        |  SELECT qid, vid, rel_ppm, mmr FROM (
+        |    SELECT qid, vid, rel_ppm, mmr,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY mmr DESC, vid ASC) AS rn
+        |    FROM c3) WHERE rn = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS round, vid, rel_ppm, mmr FROM s1
+        |UNION ALL SELECT qid, CAST(2 AS BIGINT), vid, rel_ppm, mmr FROM p2
+        |UNION ALL SELECT qid, CAST(3 AS BIGINT), vid, rel_ppm, mmr FROM p3
+        |ORDER BY qid, round""".stripMargin,
 
     "q_hll_overlap" ->
       s"""WITH tk AS (
