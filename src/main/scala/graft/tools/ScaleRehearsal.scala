@@ -172,6 +172,22 @@ object ScaleRehearsal {
     "q_cluster_purity" -> Seq("embeddings"),
     "q_retrieval_fusion" -> Seq("embeddings"),
     "q_jpeg_decode" -> Seq("documents"),
+    // round-8 batch-2: the round's own heavy additions. The bigram
+    // index under q_rouge_overlap scales ×N with private vocabularies
+    // while its probe join stays fixed at 3 docs; q_minhash_est pays
+    // the ×N signature build against a 50-probe-bounded exact side;
+    // q_label_noise re-pays the cleared NB memo (the (class × token)
+    // model ×N at constant per-token counts); q_silhouette rides the
+    // kmeans distance table (k fixed, ×N points); q_mmr_rerank's
+    // greedy rounds are pool-bounded (10 per probe), so ×N pays only
+    // the brute-force pool scan; q_psi_drift collapses to an
+    // O(sources · 11) grid after one hash-agg — the flattest shape.
+    "q_rouge_overlap" -> Seq("documents"),
+    "q_minhash_est" -> Seq("documents"),
+    "q_label_noise" -> Seq("documents"),
+    "q_psi_drift" -> Seq("documents"),
+    "q_silhouette" -> Seq("embeddings"),
+    "q_mmr_rerank" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
