@@ -587,4 +587,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "HITS rounds must plan as equi joins on the node id")
   }
+
+  test("q_rouge_overlap: probe bigram sets broadcast against the corpus index") {
+    val p = plan("q_rouge_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe join must broadcast the bounded probe side, never shuffle the index")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "probe-bounded retrieval must not shuffle-join the bigram index:\n" + p.take(800))
+  }
+
+  test("q_minhash_est: probe-bounded — exact side and signature compare join on keys") {
+    val p = plan("q_minhash_est")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe signature side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_psi_drift: documents scan prunes to (source, n_chars) — text never read") {
+    val p = plan("q_psi_drift")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+      .filter(_.contains("struct"))
+    assert(reads.nonEmpty)
+    assert(reads.forall(!_.contains("text")),
+      s"the length ladder needs no text column:\n${reads.mkString("\n")}")
+  }
+
+  test("q_jpeg_decode: documents scan prunes to doc_id — payloads derive, text never read") {
+    val p = plan("q_jpeg_decode")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+      .filter(_.contains("struct"))
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains("text") && !r.contains("source")),
+      s"decode synthesizes payloads from doc_id alone:\n${reads.mkString("\n")}")
+  }
 }
