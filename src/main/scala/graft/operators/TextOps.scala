@@ -1202,6 +1202,47 @@ object TextOps {
           array_distinct(wordsOf).as("toks")),
         threshold = 0.8)),
 
+    // E3 THRESHOLD SWEEP — the knob-tuning report a dedup rollout runs
+    // BEFORE committing to a cutoff: pair counts per Jaccard decile
+    // from 0.5 up, with the cumulative count a given threshold would
+    // keep. One run of the 0.5-threshold pair pipeline (the same
+    // lossless prefix-filtered join as q_dedup_fuzzy — candidates
+    // track rare-token df at every threshold), then a ≤6-row decile
+    // aggregate; the cumulative window runs on those 6 rows, not the
+    // pairs.
+    "q_dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = tokenJaccardPairs(
+        documents(s, d).select(col("source"), col("doc_id"),
+          array_distinct(wordsOf).as("toks")),
+        threshold = 0.5)
+      val wcum = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.withColumn("bucket", expr("cast(floor(jaccard * 10) as bigint)"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs", sum("n_pairs").over(wcum))
+        .select("bucket", "n_pairs", "cum_pairs")
+        .orderBy("bucket")
+    }),
+
+    // E3 DEDUP AUDIT QUEUE — margin sampling for the dedup threshold:
+    // the 20 pairs CLOSEST to the 0.8 cutoff (|jaccard − 0.8|
+    // ascending, deterministic pair-id tie-break) — the ones a human
+    // review round actually adjudicates, since pairs far from the
+    // boundary are decided either way. Runs the 0.7-threshold pair
+    // pipeline (the band only needs pairs ≥ 0.75); global top-20 plans
+    // as TakeOrdered.
+    "q_dedup_audit_queue" -> ((s, d) => {
+      tokenJaccardPairs(
+        documents(s, d).select(col("source"), col("doc_id"),
+          array_distinct(wordsOf).as("toks")),
+        threshold = 0.7)
+        .filter(col("jaccard") >= 0.75 && col("jaccard") < 0.85)
+        .withColumn("dist_to_cut", abs(col("jaccard") - 0.8))
+        .orderBy(col("dist_to_cut").asc, col("d1").asc, col("d2").asc)
+        .limit(20)
+        .select("source", "d1", "d2", "inter", "uni", "jaccard")
+    }),
+
     // E5 tf-idf: term frequency × inverse document frequency via two
     // aggregations + a broadcast join of the (tiny) df table. The corpus
     // size rides along as a broadcast 1-row aggregate (the plan's own
@@ -3040,6 +3081,53 @@ object TextOps {
         |FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
         |WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.8
         |ORDER BY i.source, i.d1, i.d2""".stripMargin,
+
+    "q_dedup_threshold_sweep" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4)
+        |    AS jaccard
+        |  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+        |               JOIN sizes s2 ON i.d2 = s2.doc_id
+        |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.5),
+        |b AS (SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket FROM pairs)
+        |SELECT bucket, COUNT(*) AS n_pairs,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_dedup_audit_queue" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT i.source, i.d1, i.d2, i.inter,
+        |    s1.sz + s2.sz - i.inter AS uni,
+        |    ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) AS jaccard
+        |  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+        |               JOIN sizes s2 ON i.d2 = s2.doc_id)
+        |SELECT source, d1, d2, inter, uni, jaccard
+        |FROM pairs
+        |WHERE jaccard >= 0.75 AND jaccard < 0.85
+        |ORDER BY abs(jaccard - 0.8) ASC, d1 ASC, d2 ASC
+        |LIMIT 20""".stripMargin,
 
     "q_key_skew" ->
       """WITH counts AS (
