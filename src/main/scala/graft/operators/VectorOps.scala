@@ -634,6 +634,37 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    // E4 IVF CELL-BALANCE REPORT — index health for the coarse
+    // quantizer: occupancy per cell under the seed centroids (the
+    // assignment an IVF build starts from), each cell's corpus share,
+    // and the global imbalance factor max/mean in ppm — the number
+    // that predicts probe-latency skew (a 10× hot cell means 10× worst
+    // -case probe cost; the fix is re-seeding or splitting, and this
+    // report is how you notice). One broadcast-assign + an O(k)
+    // aggregate; shares and imbalance all integral.
+    "q_ivf_cell_balance" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val c0 = dims.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("j"), col("dim").as("cd"), col("qv").as("cval"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("j"))
+      val asg = dims.join(broadcast(c0), col("dim") === col("cd"))
+        .groupBy("vec_id", "j")
+        .agg(sum((col("qv") - col("cval")) * (col("qv") - col("cval"))).as("dist2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("j").as("cell"))
+      val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = broadcast(occ.agg(sum("n_vecs").as("n_total"),
+        max("n_vecs").as("n_max"), count(lit(1)).as("k")))
+      occ.crossJoin(tot)
+        .withColumn("share_ppm", expr("n_vecs * 1000000 div n_total"))
+        .withColumn("imbalance_ppm", expr("n_max * k * 1000000 div n_total"))
+        .select("cell", "n_vecs", "share_ppm", "imbalance_ppm")
+        .orderBy("cell")
+    }),
+
     // E4 SIMPLIFIED SILHOUETTE — the internal-validity companion of
     // q_cluster_purity: per vector, a = dist² to its OWN final
     // centroid, b = min dist² to any OTHER centroid, s = (b−a)/max(a,b)
@@ -1867,6 +1898,21 @@ object VectorOps {
         |  p1.purity_ppm,
         |  t.sum_maj * 1000000 // t.n_total AS overall_purity_ppm
         |FROM p1, t ORDER BY p1.cluster""".stripMargin),
+
+    // rides kmeansCte's a1 — the assignment to the raw seed centroids,
+    // which IS the IVF coarse quantizer
+    "q_ivf_cell_balance" -> (kmeansCte +
+      """,
+        |occ AS (SELECT cluster AS cell, COUNT(*) AS n_vecs
+        |        FROM a1 GROUP BY cluster),
+        |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        |          CAST(MAX(n_vecs) AS BIGINT) AS n_max,
+        |          COUNT(*) AS k
+        |        FROM occ)
+        |SELECT occ.cell, occ.n_vecs,
+        |  occ.n_vecs * 1000000 // t.n_total AS share_ppm,
+        |  t.n_max * t.k * 1000000 // t.n_total AS imbalance_ppm
+        |FROM occ, tot t ORDER BY occ.cell""".stripMargin),
 
     // rides a2d — the final-centroid distance table the assignment is
     // picked from — so the silhouette's a/b use the clustering's own
