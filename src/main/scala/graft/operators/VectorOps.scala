@@ -784,6 +784,40 @@ object VectorOps {
     // LUT, and ranking with zero float slack.
     "q_ivfpq_topk" -> ((s, d) => ivfpqTopk(s, d)),
 
+    // E4 RANK CORRELATION (Kendall τ) between the exact cosine ranking
+    // and the IVF-PQ ADC ranking over their common top-k docs — the
+    // rank-AGREEMENT eval that complements set-overlap recall (an index
+    // can recall all the right docs in the wrong order; recall won't
+    // see it, τ will). Composes the two memoized top-k tables; pairs
+    // are (common docs)² WITHIN each probe query — ≤ k² rows — and τ
+    // is exact integral: (2·concordant − pairs)·1e6 div pairs, NULL
+    // when fewer than 2 common docs (the kappa convention).
+    "q_rank_tau" -> ((s, d) => {
+      val a = cosineTopk(s, d).select(col("qid"), col("vid"), col("rank").as("ra"))
+      val b = ivfpqTopk(s, d).select(col("qid"), col("vid"), col("rank").as("rb"))
+      val common = a.join(b, Seq("qid", "vid"))
+      val c1 = common.select(col("qid"), col("vid").as("v1"),
+        col("ra").as("ra1"), col("rb").as("rb1"))
+      val c2 = common.select(col("qid"), col("vid").as("v2"),
+        col("ra").as("ra2"), col("rb").as("rb2"))
+      val prs = c1.join(c2, "qid").filter(col("v1") < col("v2"))
+        .select(col("qid"),
+          when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2")) > 0, 1L)
+            .otherwise(0L).as("conc"))
+      val agg = prs.groupBy("qid")
+        .agg(count(lit(1)).as("n_pairs"), sum("conc").as("concordant"))
+      val cnt = common.groupBy("qid").agg(count(lit(1)).as("n_common"))
+      cnt.join(agg, Seq("qid"), "left")
+        .select(col("qid"), col("n_common"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("concordant"), lit(0L)).as("concordant"),
+          coalesce(col("n_pairs") - col("concordant"), lit(0L)).as("discordant"),
+          expr("""case when coalesce(n_pairs, 0L) = 0L then null
+                 else (2 * concordant - n_pairs) * 1000000 div n_pairs
+                 end""").as("tau_ppm"))
+        .orderBy("qid")
+    }),
+
     // E4 HARD-NEGATIVE MINING for contrastive training: the top-3
     // most-similar DIFFERENT-label neighbors per probe — the negatives
     // that actually move an InfoNCE/triplet loss (random negatives are
@@ -1801,6 +1835,40 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist2, vec_id) AS rank
         |  FROM scored) WHERE rank <= 3
         |ORDER BY qid, rank""".stripMargin),
+
+    // the two rankings via their own oracle pipelines (the ADC scored
+    // CTE + the nested exact-cosine oracle), then exact integral τ
+    "q_rank_tau" -> (ivfpqCte + s""",
+        |ivk AS (
+        |  SELECT qid, vec_id AS vid, rank AS rb FROM (
+        |    SELECT qid, vec_id, adist2,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |                         ORDER BY adist2, vec_id) AS rank
+        |    FROM scored) WHERE rank <= 3),
+        |ex AS ($cosineTopkOracle),
+        |common AS (
+        |  SELECT e.qid, e.vid, e.rank AS ra, i.rb
+        |  FROM ex e JOIN ivk i ON i.qid = e.qid AND i.vid = e.vid),
+        |prs AS (
+        |  SELECT c1.qid,
+        |    CASE WHEN (c1.ra - c2.ra) * (c1.rb - c2.rb) > 0
+        |      THEN 1 ELSE 0 END AS conc
+        |  FROM common c1 JOIN common c2
+        |    ON c1.qid = c2.qid AND c1.vid < c2.vid),
+        |agg AS (
+        |  SELECT qid, COUNT(*) AS n_pairs,
+        |    CAST(SUM(conc) AS BIGINT) AS concordant
+        |  FROM prs GROUP BY qid),
+        |cnt AS (SELECT qid, COUNT(*) AS n_common FROM common GROUP BY qid)
+        |SELECT c.qid, c.n_common,
+        |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(a.concordant, 0) AS BIGINT) AS concordant,
+        |  CAST(COALESCE(a.n_pairs - a.concordant, 0) AS BIGINT) AS discordant,
+        |  CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN NULL
+        |    ELSE (2 * a.concordant - a.n_pairs) * 1000000 // a.n_pairs
+        |    END AS tau_ppm
+        |FROM cnt c LEFT JOIN agg a ON a.qid = c.qid
+        |ORDER BY c.qid""".stripMargin),
 
     // the ADC leg via the shared CTE + an exact integral-L2 leg; recall
     // = |approx top-3 ∩ exact top-3| per query, in integer micro-units
