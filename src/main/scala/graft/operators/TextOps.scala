@@ -2126,6 +2126,68 @@ object TextOps {
         .withColumn("recall_ppm", expr("n_hits * 1000000 div n_truth"))
     }),
 
+    // E3 CROSS-SOURCE DUPLICATION — the contamination report the
+    // within-source dedup family deliberately cannot produce (every
+    // other near-dup op blocks on `source`): MinHash-banded candidate
+    // pairs whose endpoints live in DIFFERENT sources, verified by
+    // exact token Jaccard ≥ 0.5, rolled up per source pair. This is
+    // how mirror sites and cross-crawl duplication surface. Candidates
+    // come from the memoized band table (collision-bounded, never
+    // corpus²); verification joins tokens only for candidate
+    // endpoints (a candidate-bounded semi-join shape).
+    "q_cross_source_dup" -> ((s, d) => {
+      val bands = minhashBandsMemo(s, d)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      val cand = bands
+        .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
+        .join(bands.select(col("doc_id").as("d2"), col("band_id"),
+          col("band_key")), Seq("band_id", "band_key"))
+        .filter(col("d2") > col("d1"))
+        .select("d1", "d2").distinct()
+        .join(src.select(col("doc_id").as("d1"), col("source").as("src_a")), "d1")
+        .join(src.select(col("doc_id").as("d2"), col("source").as("src_b")), "d2")
+        .filter(col("src_a") =!= col("src_b"))
+        .localCheckpoint() // feeds both sides of the verification join
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = cand.select("d1", "d2")
+        .join(tok.select(col("doc_id").as("d1"), col("token")), "d1")
+        .join(tok.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("d1", "d2"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+        .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
+        .select(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_dups"))
+        .orderBy("src_lo", "src_hi")
+    }),
+
+    // E5 TEMPLATE-PREFIX DETECTOR — per source, the most common
+    // 5-token document prefix and its share: scraped-template spam
+    // shows up as one prefix owning a large share of a source long
+    // before any pairwise dedup runs (this is the O(docs) smell test;
+    // the pairwise ops are the confirmation). One narrow projection +
+    // two hash-aggs + a per-source top-1.
+    "q_template_prefix" -> ((s, d) => {
+      val pref = documents(s, d)
+        .select(col("source"),
+          array_join(slice(expr(
+            "filter(split(lower(text), ' '), x -> x != '')"), 1, 5), " ")
+            .as("prefix"))
+      val counts = pref.groupBy("source", "prefix").agg(count(lit(1)).as("n"))
+      val tot = pref.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("prefix").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(broadcast(tot), "source")
+        .withColumn("share_ppm", expr("n * 1000000 div n_docs"))
+        .select("source", "prefix", "n", "n_docs", "share_ppm")
+        .orderBy("source")
+    }),
+
     // E3 MINHASH ESTIMATION ERROR — the companion eval to
     // q_lsh_recall: for the probe-bounded pairs with exact Jaccard
     // ≥ 0.1, how far is the 8-permutation MinHash ESTIMATE
@@ -3533,6 +3595,67 @@ object TextOps {
         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
         |  CAST((SELECT COUNT(*) FROM hit) * 1000000 //
         |       (SELECT COUNT(*) FROM tpairs) AS BIGINT) AS recall_ppm""".stripMargin,
+
+    "q_cross_source_dup" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0|' || token)) AS h0, MIN(md5('1|' || token)) AS h1,
+        |    MIN(md5('2|' || token)) AS h2, MIN(md5('3|' || token)) AS h3,
+        |    MIN(md5('4|' || token)) AS h4, MIN(md5('5|' || token)) AS h5,
+        |    MIN(md5('6|' || token)) AS h6, MIN(md5('7|' || token)) AS h7
+        |  FROM tok2 GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |    AND a.band_key = b.band_key
+        |  WHERE b.doc_id > a.doc_id),
+        |cs AS (
+        |  SELECT c.d1, c.d2, da.source AS src_a, db.source AS src_b
+        |  FROM cand c JOIN documents da ON da.doc_id = c.d1
+        |              JOIN documents db ON db.doc_id = c.d2
+        |  WHERE da.source <> db.source),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT cs.d1, cs.d2, COUNT(*) AS inter
+        |  FROM cs JOIN tok2 a ON a.doc_id = cs.d1
+        |          JOIN tok2 b ON b.doc_id = cs.d2 AND b.token = a.token
+        |  GROUP BY cs.d1, cs.d2),
+        |ver AS (
+        |  SELECT cs.src_a, cs.src_b
+        |  FROM cs JOIN inter i ON i.d1 = cs.d1 AND i.d2 = cs.d2
+        |  JOIN sizes s1 ON s1.doc_id = cs.d1
+        |  JOIN sizes s2 ON s2.doc_id = cs.d2
+        |  WHERE i.inter * 2 >= s1.sz + s2.sz - i.inter)
+        |SELECT LEAST(src_a, src_b) AS src_lo,
+        |  GREATEST(src_a, src_b) AS src_hi, COUNT(*) AS n_dups
+        |FROM ver GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_template_prefix" ->
+      """WITH pref AS (
+        |  SELECT source,
+        |    array_to_string(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')[1:5], ' ') AS prefix
+        |  FROM documents),
+        |counts AS (SELECT source, prefix, COUNT(*) AS n
+        |           FROM pref GROUP BY 1, 2),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM pref GROUP BY 1),
+        |top AS (SELECT source, prefix, n FROM (
+        |  SELECT source, prefix, n,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n DESC, prefix ASC) AS rn
+        |  FROM counts) WHERE rn = 1)
+        |SELECT t.source, t.prefix, t.n, o.n_docs,
+        |  t.n * 1000000 // o.n_docs AS share_ppm
+        |FROM top t JOIN tot o ON t.source = o.source
+        |ORDER BY t.source""".stripMargin,
 
     "q_minhash_est" ->
       """WITH tok AS (
