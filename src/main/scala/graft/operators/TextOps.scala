@@ -2129,36 +2129,47 @@ object TextOps {
     // E3 CROSS-SOURCE DUPLICATION — the contamination report the
     // within-source dedup family deliberately cannot produce (every
     // other near-dup op blocks on `source`): MinHash-banded candidate
-    // pairs whose endpoints live in DIFFERENT sources, verified by
-    // exact token Jaccard ≥ 0.5, rolled up per source pair. This is
-    // how mirror sites and cross-crawl duplication surface. Candidates
-    // come from the memoized band table (collision-bounded, never
-    // corpus²); verification joins tokens only for candidate
-    // endpoints (a candidate-bounded semi-join shape).
+    // pairs whose endpoints live in DIFFERENT sources, verified by the
+    // SIGNATURE match count (≥ 6 of 8 permutations agree ⇒ estimated
+    // Jaccard ≥ 0.75), rolled up per source pair. Two scale bounds,
+    // both load-bearing on a template-heavy corpus (and mirrored in
+    // the oracle): bands with occupancy > 64 are SKIPPED (the
+    // standard LSH hot-bucket cap — a band shared by hundreds of docs
+    // carries no discriminating information and costs occupancy²; a
+    // first cut without the cap measured 101 s at sf0.1 vs ~2 s with
+    // it), and verification rides the 8-value signature table
+    // (O(candidates)), never a token join — exact-Jaccard
+    // verification of CROSS-source pairs is precisely what a 100-TB
+    // corpus cannot afford, and q_minhash_est bounds the estimate's
+    // error for exactly this use.
     "q_cross_source_dup" -> ((s, d) => {
       val bands = minhashBandsMemo(s, d)
+      val cool = bands.groupBy("band_id", "band_key")
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 64 && col("occ") > 1)
+        .select("band_id", "band_key")
+      val keep = bands.join(cool, Seq("band_id", "band_key"))
       val src = documents(s, d).select(col("doc_id"), col("source"))
-      val cand = bands
+      val cand = keep
         .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
-        .join(bands.select(col("doc_id").as("d2"), col("band_id"),
+        .join(keep.select(col("doc_id").as("d2"), col("band_id"),
           col("band_key")), Seq("band_id", "band_key"))
         .filter(col("d2") > col("d1"))
         .select("d1", "d2").distinct()
         .join(src.select(col("doc_id").as("d1"), col("source").as("src_a")), "d1")
         .join(src.select(col("doc_id").as("d2"), col("source").as("src_b")), "d2")
         .filter(col("src_a") =!= col("src_b"))
-        .localCheckpoint() // feeds both sides of the verification join
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand.select("d1", "d2")
-        .join(tok.select(col("doc_id").as("d1"), col("token")), "d1")
-        .join(tok.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      cand.join(inter, Seq("d1", "d2"))
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
-        .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
+      val sig = minhashSigsFromTokens(documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token")))
+      val sa = sig.select(col("doc_id").as("d1") +:
+        (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("d2") +:
+        (0 until 8).map(i => col(s"h$i").as(s"b$i")): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(sa, "d1").join(sb, "d2")
+        .filter(matches >= 6)
         .select(least(col("src_a"), col("src_b")).as("src_lo"),
           greatest(col("src_a"), col("src_b")).as("src_hi"))
         .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_dups"))
@@ -3612,9 +3623,17 @@ object TextOps {
         |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
         |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
         |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        |cool AS (
+        |  SELECT band_id, band_key FROM bands
+        |  GROUP BY band_id, band_key
+        |  HAVING COUNT(*) <= 64 AND COUNT(*) > 1),
+        |keep AS (
+        |  SELECT b.doc_id, b.band_id, b.band_key
+        |  FROM bands b JOIN cool c ON b.band_id = c.band_id
+        |    AND b.band_key = c.band_key),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |  FROM keep a JOIN keep b ON a.band_id = b.band_id
         |    AND a.band_key = b.band_key
         |  WHERE b.doc_id > a.doc_id),
         |cs AS (
@@ -3622,18 +3641,18 @@ object TextOps {
         |  FROM cand c JOIN documents da ON da.doc_id = c.d1
         |              JOIN documents db ON db.doc_id = c.d2
         |  WHERE da.source <> db.source),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
-        |inter AS (
-        |  SELECT cs.d1, cs.d2, COUNT(*) AS inter
-        |  FROM cs JOIN tok2 a ON a.doc_id = cs.d1
-        |          JOIN tok2 b ON b.doc_id = cs.d2 AND b.token = a.token
-        |  GROUP BY cs.d1, cs.d2),
         |ver AS (
         |  SELECT cs.src_a, cs.src_b
-        |  FROM cs JOIN inter i ON i.d1 = cs.d1 AND i.d2 = cs.d2
-        |  JOIN sizes s1 ON s1.doc_id = cs.d1
-        |  JOIN sizes s2 ON s2.doc_id = cs.d2
-        |  WHERE i.inter * 2 >= s1.sz + s2.sz - i.inter)
+        |  FROM cs JOIN sig sa ON sa.doc_id = cs.d1
+        |          JOIN sig sb ON sb.doc_id = cs.d2
+        |  WHERE (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) +
+        |        (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) >= 6)
         |SELECT LEAST(src_a, src_b) AS src_lo,
         |  GREATEST(src_a, src_b) AS src_hi, COUNT(*) AS n_dups
         |FROM ver GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

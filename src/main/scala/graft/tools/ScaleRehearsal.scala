@@ -188,6 +188,20 @@ object ScaleRehearsal {
     "q_psi_drift" -> Seq("documents"),
     "q_silhouette" -> Seq("embeddings"),
     "q_mmr_rerank" -> Seq("embeddings"),
+    // round-8 batch-3. The vocabulary remap keeps cross-copy MinHash
+    // signatures disjoint, so q_cross_source_dup's banded candidates
+    // scale with real collisions, not replica artifacts; the sweep and
+    // audit queue run the 0.5/0.7-threshold prefix-filtered pair
+    // pipeline (same lossless design as q_dedup_fuzzy, more
+    // candidates); q_rank_tau re-pays both cleared top-k memos
+    // (probe-bounded); q_template_prefix and q_ivf_cell_balance are
+    // single-hash-agg flat shapes.
+    "q_cross_source_dup" -> Seq("documents"),
+    "q_dedup_threshold_sweep" -> Seq("documents"),
+    "q_dedup_audit_queue" -> Seq("documents"),
+    "q_rank_tau" -> Seq("embeddings"),
+    "q_template_prefix" -> Seq("documents"),
+    "q_ivf_cell_balance" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
