@@ -641,6 +641,61 @@ object EventOps {
         .orderBy("src", "dst")
     }),
 
+    // E8 TRIGRAM BEHAVIOR PATTERNS — the order-3 extension of the
+    // transition matrix: the top-20 consecutive event-type trigrams by
+    // global support. 2-grams see A→B; trigrams are the shortest
+    // window that distinguishes browse→cart→purchase from
+    // browse→cart→abandon — the pattern a funnel design starts from.
+    // Two leads over the per-user ordered window, one hash-agg over a
+    // |types|³-bounded key space, global top-20 via TakeOrdered.
+    "q_event_trigrams" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+        .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram").asc)
+        .limit(20)
+    }),
+
+    // E8 INTER-EVENT GAP HISTOGRAM — the distribution that JUSTIFIES a
+    // sessionization timeout instead of assuming one: consecutive
+    // same-user gaps in seconds, bucketed on a fixed log-ish ladder,
+    // with each bucket's share. A session cut belongs in the valley
+    // between the within-session mass and the between-visit mass —
+    // this is how you find it. One lead + one 7-bucket hash-agg;
+    // epoch seconds are exact integers in both engines (UTC session).
+    "q_event_gap_hist" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gaps = events(s, d)
+        // exact integral microseconds (unix_micros ↔ epoch_us) — an
+        // epoch-SECONDS cast would truncate sub-second components with
+        // engine-specific rounding
+        .withColumn("t1", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("t2", lead(col("t1"), 1).over(byUser))
+        .filter(col("t2").isNotNull)
+        .select((col("t2") - col("t1")).as("gap_us"))
+      val bucketCase =
+        """case when gap_us <= 10000000L then 10L
+          |when gap_us <= 60000000L then 60L
+          |when gap_us <= 600000000L then 600L
+          |when gap_us <= 1800000000L then 1800L
+          |when gap_us <= 3600000000L then 3600L
+          |when gap_us <= 86400000000L then 86400L
+          |else 999999999L end""".stripMargin
+      val hist = gaps.withColumn("bucket_s", expr(bucketCase))
+        .groupBy("bucket_s").agg(count(lit(1)).as("n_gaps"))
+      hist.crossJoin(broadcast(hist.agg(sum("n_gaps").as("n_total"))))
+        .withColumn("share_ppm", expr("n_gaps * 1000000 div n_total"))
+        .select("bucket_s", "n_gaps", "share_ppm")
+        .orderBy("bucket_s")
+    }),
+
     // E8 AUTOCORRELATION FUNCTION — serial correlation of the daily
     // event-count series at lags 1..7, the first diagnostic before
     // fitting any forecaster ("is there weekly structure?"). Centered
@@ -1439,6 +1494,41 @@ object EventOps {
         |SELECT src, dst, n,
         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS share_ppm
         |FROM t ORDER BY src, dst""".stripMargin,
+
+    "q_event_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |tg AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS trigram FROM seq
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT trigram, COUNT(*) AS n FROM tg GROUP BY trigram
+        |ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin,
+
+    "q_event_gap_hist" ->
+      """WITH g AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) AS t1,
+        |    lead(CAST(epoch_us(ts) AS BIGINT), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t2
+        |  FROM events),
+        |gaps AS (SELECT t2 - t1 AS gap_us FROM g WHERE t2 IS NOT NULL),
+        |hist AS (
+        |  SELECT CAST(CASE WHEN gap_us <= 10000000 THEN 10
+        |    WHEN gap_us <= 60000000 THEN 60
+        |    WHEN gap_us <= 600000000 THEN 600
+        |    WHEN gap_us <= 1800000000 THEN 1800
+        |    WHEN gap_us <= 3600000000 THEN 3600
+        |    WHEN gap_us <= 86400000000 THEN 86400
+        |    ELSE 999999999 END AS BIGINT) AS bucket_s,
+        |    COUNT(*) AS n_gaps
+        |  FROM gaps GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS n_total FROM hist)
+        |SELECT h.bucket_s, h.n_gaps,
+        |  h.n_gaps * 1000000 // t.n_total AS share_ppm
+        |FROM hist h, t ORDER BY h.bucket_s""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, event_type,

@@ -1120,6 +1120,31 @@ object TextOps {
           (col("guess") === col("lang")).as("hit"))
         .orderBy("doc_id")),
 
+    // E5 LANGUAGE MIX per source — the governance rollup over the
+    // q_lang_id heuristic: per (source, language) doc counts, shares
+    // in ppm, and the majority flag — the table a multilingual-corpus
+    // datasheet prints and a mixture designer reads before setting
+    // per-language sampling weights. One narrow projection + two
+    // hash-aggs; the per-source top-1 window runs over the (source ×
+    // languages) aggregate, never the corpus.
+    "q_lang_mix" -> ((s, d) => {
+      val lab = documents(s, d)
+        .withColumn("guess",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr")
+            .otherwise("und"))
+      val counts = lab.groupBy("source", "guess").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("source").agg(sum("n").as("n_docs"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("guess").asc)
+      counts.join(broadcast(tot), "source")
+        .withColumn("share_ppm", expr("n * 1000000 div n_docs"))
+        .withColumn("is_majority", row_number().over(w) === 1)
+        .select("source", "guess", "n", "n_docs", "share_ppm", "is_majority")
+        .orderBy("source", "guess")
+    }),
+
     // E5 SELF-EVALUATING language-ID: the confusion matrix of the
     // heuristic classifier against the corpus's lang column, with
     // per-class precision/recall in integral ppm on the diagonal —
@@ -3092,6 +3117,25 @@ object TextOps {
         |        WHEN text LIKE '% le %' THEN 'fr'
         |        ELSE 'und' END) = lang AS hit
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_mix" ->
+      """WITH lab AS (
+        |  SELECT source,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr'
+        |         ELSE 'und' END AS guess
+        |  FROM documents),
+        |counts AS (SELECT source, guess, COUNT(*) AS n
+        |           FROM lab GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs
+        |        FROM counts GROUP BY 1)
+        |SELECT c.source, c.guess, c.n, t.n_docs,
+        |  c.n * 1000000 // t.n_docs AS share_ppm,
+        |  row_number() OVER (PARTITION BY c.source
+        |                     ORDER BY c.n DESC, c.guess ASC) = 1 AS is_majority
+        |FROM counts c JOIN tot t ON c.source = t.source
+        |ORDER BY c.source, c.guess""".stripMargin,
 
     "q_langid_eval" ->
       """WITH pred AS (
