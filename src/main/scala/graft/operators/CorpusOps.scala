@@ -472,6 +472,53 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // SOURCE CURATION SCORECARD — the one-table answer to "which
+    // sources do we keep": per source, the three cheap health signals
+    // (type-token ratio, exact-duplicate share via content
+    // fingerprint, majority-language share) folded into a composite
+    // score and a global rank. The signals are each one hash-agg over
+    // a narrow projection; the fold and rank run over the O(sources)
+    // aggregate. Deliberately simple signals — the scorecard's job is
+    // triage ordering, and every input is integral ppm so the rank is
+    // engine-exact.
+    "q_source_scorecard" -> ((s, d) => {
+      val docs = documents(s, d)
+      val ttr = docs
+        .select(col("source"),
+          explode(array_remove(split(lower(col("text")), " "), "")).as("tk"))
+        .groupBy("source", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(expr("count(1) * 1000000 div sum(c)").as("ttr_ppm"))
+      val dup = docs
+        .select(col("source"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(count(1) - count(distinct fp)) * 1000000 div count(1)")
+            .as("dup_ppm"))
+      val maj = docs
+        .withColumn("guess",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr")
+            .otherwise("und"))
+        .groupBy("source", "guess").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(col("n").desc, col("guess").asc)))
+        .filter(col("rn") === 1)
+        .join(docs.groupBy("source").agg(count(lit(1)).as("nd")), "source")
+        .select(col("source"), expr("n * 1000000 div nd").as("maj_ppm"))
+      val scored = ttr.join(dup, "source").join(maj, "source")
+        .withColumn("score_ppm",
+          expr("(ttr_ppm + (1000000 - dup_ppm) + maj_ppm) div 3"))
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("score_ppm").desc, col("source").asc))
+          .cast("long"))
+        .select("rank", "source", "n_docs", "ttr_ppm", "dup_ppm",
+          "maj_ppm", "score_ppm")
+        .orderBy("rank")
+    }),
+
     // LEXICAL DIVERSITY — type-token ratio and hapax-legomenon share
     // per source: the boilerplate/template detector that needs no
     // model (a scraped-template source shows a TTR crater and a hapax
@@ -1317,6 +1364,51 @@ object CorpusOps {
         |    CAST(ROUND(ln(CAST(p_ppm AS DOUBLE) / q_ppm) * 1000000) AS BIGINT))
         |    AS BIGINT) AS psi_p12
         |FROM shares GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_source_scorecard" ->
+      """WITH tf AS (
+        |  SELECT source, tk, COUNT(*) AS c FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tk
+        |    FROM documents)
+        |  WHERE tk <> '' GROUP BY 1, 2),
+        |ttr AS (
+        |  SELECT source,
+        |    COUNT(*) * 1000000 // CAST(SUM(c) AS BIGINT) AS ttr_ppm
+        |  FROM tf GROUP BY source),
+        |dup AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    (COUNT(*) - COUNT(DISTINCT
+        |       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))))
+        |      * 1000000 // COUNT(*) AS dup_ppm
+        |  FROM documents GROUP BY source),
+        |lab AS (
+        |  SELECT source,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr'
+        |         ELSE 'und' END AS guess
+        |  FROM documents),
+        |mc AS (SELECT source, guess, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT m.source, m.n * 1000000 // t.nd AS maj_ppm
+        |  FROM (SELECT source, guess, n,
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY n DESC, guess ASC) AS rn
+        |        FROM mc) m
+        |  JOIN (SELECT source, COUNT(*) AS nd FROM documents GROUP BY 1) t
+        |    ON m.source = t.source
+        |  WHERE m.rn = 1),
+        |scored AS (
+        |  SELECT ttr.source, dup.n_docs, ttr.ttr_ppm, dup.dup_ppm,
+        |    maj.maj_ppm,
+        |    (ttr.ttr_ppm + (1000000 - dup.dup_ppm) + maj.maj_ppm) // 3
+        |      AS score_ppm
+        |  FROM ttr JOIN dup ON ttr.source = dup.source
+        |           JOIN maj ON ttr.source = maj.source)
+        |SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, source ASC)
+        |    AS BIGINT) AS rank,
+        |  source, n_docs, ttr_ppm, dup_ppm, maj_ppm, score_ppm
+        |FROM scored ORDER BY rank""".stripMargin,
 
     "q_lexical_diversity" ->
       """WITH tf AS (
