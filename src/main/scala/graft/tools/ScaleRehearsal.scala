@@ -202,6 +202,14 @@ object ScaleRehearsal {
     "q_rank_tau" -> Seq("embeddings"),
     "q_template_prefix" -> Seq("documents"),
     "q_ivf_cell_balance" -> Seq("embeddings"),
+    // round-8 batch-4: the per-user lead() windows see ×N users of
+    // constant history (the events recipe), so the sort-within-user
+    // cost scales with rows; the scorecard and lang rollup collapse to
+    // O(sources) after one hash-agg each.
+    "q_event_trigrams" -> Seq("events"),
+    "q_event_gap_hist" -> Seq("events"),
+    "q_lang_mix" -> Seq("documents"),
+    "q_source_scorecard" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
