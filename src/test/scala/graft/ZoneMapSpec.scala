@@ -141,7 +141,13 @@ class ZoneMapSpec extends SparkTestBase {
     def q = t.read(spark).filter(col("k") >= 1000 && col("k") < 2000)
     assert(plannedFiles(q) === 8, "scattered layout: nothing prunable")
     t.compact(spark, files = 8, sortKey = Some(col("k")))
-    assert(plannedFiles(q) <= 2, "clustered rewrite must make the range prunable")
+    // range-partitioner boundaries are SAMPLE-estimated (seeded by RDD
+    // id, which shifts with suite ordering), so the 1000-row probe span
+    // can straddle two boundaries and touch a third file — the
+    // invariant is "clustering makes the range prunable", not a
+    // particular boundary draw (the CDC case above documents the same
+    // margin)
+    assert(plannedFiles(q) <= 3, "clustered rewrite must make the range prunable")
     assert(q.count() === 1000)
   }
 
