@@ -220,6 +220,40 @@ object CorpusOps {
         .orderBy("license")
     }),
 
+    // BLOCKLIST CONTENT FILTER (the C4 badwords stage): per document,
+    // the share of tokens matching a small curated lexicon; a document
+    // is blocked when that share reaches 6% — share-based, not
+    // any-hit, because on a natural corpus a single incidental match
+    // must not nuke a long document. Per-source report: docs, blocked
+    // count, retention ppm, and the mean flagged share — the table
+    // that tells a curation pass WHICH source carries the problem.
+    // Scale shape: one O(tokens) explode folded by doc (map-side
+    // partials absorb it), then an O(sources) rollup; the lexicon is
+    // a literal IN-list the scan evaluates inline — a real blocklist
+    // (hundreds of terms) would broadcast identically.
+    "q_toxicity_filter" -> ((s, d) => {
+      val per = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_remove(split(lower(col("text")), " "), "")).as("t"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("t").isin("slow", "big", "bad"), 1L).otherwise(0L))
+            .as("n_flagged"))
+        .withColumn("share_ppm", expr("n_flagged * 1000000 div n_toks"))
+        .withColumn("blocked",
+          (col("share_ppm") >= 60000L).cast("int"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("blocked").cast("long")).as("n_blocked"),
+          sum("share_ppm").as("share_sum"))
+        .withColumn("retained_ppm",
+          expr("(n_docs - n_blocked) * 1000000 div n_docs"))
+        .withColumn("mean_share_ppm", expr("share_sum div n_docs"))
+        .select("source", "n_docs", "n_blocked", "retained_ppm",
+          "mean_share_ppm")
+        .orderBy("source")
+    }),
+
     // MIXTURE MATERIALIZATION — the step after q_temperature_mix
     // chooses weights: take documents per source in md5-rank order
     // until the source's √n-proportional share of the token budget is
@@ -1200,6 +1234,30 @@ object CorpusOps {
         |    AS allowed,
         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
         |FROM t GROUP BY 1, 2 ORDER BY license""".stripMargin,
+
+    "q_toxicity_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, t
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |per AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_toks,
+        |    CAST(SUM(CASE WHEN t IN ('slow', 'big', 'bad') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_flagged
+        |  FROM toks GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT source, n_flagged * 1000000 // n_toks AS share_ppm,
+        |    CASE WHEN n_flagged * 1000000 // n_toks >= 60000
+        |         THEN 1 ELSE 0 END AS blocked
+        |  FROM per)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+        |  (COUNT(*) - CAST(SUM(blocked) AS BIGINT)) * 1000000
+        |    // COUNT(*) AS retained_ppm,
+        |  CAST(SUM(share_ppm) AS BIGINT) // COUNT(*) AS mean_share_ppm
+        |FROM p2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mix_materialize" ->
       """WITH t AS (

@@ -2350,6 +2350,118 @@ object TextOps {
         .orderBy("true_source", "pred_source")
     }),
 
+    // E5 PER-CLASS PRECISION / RECALL / F1 — the eval table one level
+    // up from q_naive_bayes' raw confusion grid: tp/fp/fn per class
+    // and the three integral-ppm scores every classifier report
+    // leads with. Rides the memoized NB score table (the
+    // active_learning rule), folds it to O(classes) marginals in two
+    // hash-aggs, and NULL-guards the never-predicted /
+    // never-true degenerate denominators on both engines (the
+    // kappa_milli convention). F1 in ppm is exact bigint:
+    // 2·tp·1e6 div (2·tp + fp + fn) — no float harmonic mean.
+    "q_class_prf" -> ((s, d) => {
+      val wb = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cs").asc)
+      val pred = nbScores(s, d)
+        .withColumn("rb", row_number().over(wb)).filter(col("rb") === 1)
+        .select(col("source").as("t"), col("cs").as("p"))
+      val byTrue = pred.groupBy(col("t").as("cls"))
+        .agg(sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("t") =!= col("p"), 1L).otherwise(0L)).as("fn"))
+      val byPred = pred.groupBy(col("p").as("cls"))
+        .agg(sum(when(col("t") =!= col("p"), 1L).otherwise(0L)).as("fp"))
+      byTrue.join(byPred, Seq("cls"), "full_outer")
+        .withColumn("tp", coalesce(col("tp"), lit(0L)))
+        .withColumn("fn", coalesce(col("fn"), lit(0L)))
+        .withColumn("fp", coalesce(col("fp"), lit(0L)))
+        .withColumn("precision_ppm", expr(
+          "case when tp + fp = 0 then null else tp * 1000000 div (tp + fp) end"))
+        .withColumn("recall_ppm", expr(
+          "case when tp + fn = 0 then null else tp * 1000000 div (tp + fn) end"))
+        .withColumn("f1_ppm", expr(
+          """case when 2 * tp + fp + fn = 0 then null
+            |else 2 * tp * 1000000 div (2 * tp + fp + fn) end""".stripMargin))
+        .select("cls", "tp", "fn", "fp", "precision_ppm", "recall_ppm", "f1_ppm")
+        .orderBy("cls")
+    }),
+
+    // E5 DSIR IMPORTANCE WEIGHTS (data selection via importance
+    // resampling, Xie et al. 2023): score every document by how much
+    // more likely its HASHED-UNIGRAM bag is under a target-domain
+    // language model (here: the lang='en' slice) than under the raw
+    // corpus model — the standard cheap proxy for "train-on-this-
+    // first" data selection. Features are md5-hashed token buckets
+    // (B=256, the feature-hashing trick: vocab-independent, so the
+    // model is a FIXED-SIZE table no matter the corpus); both models
+    // are add-one-smoothed unigram LMs; each per-bucket log-ratio is
+    // ppm-quantized BEFORE the per-doc weighted sum (the naive_bayes
+    // bigint-sum convention — order-independent across partitions and
+    // engines). Scale shape: one O(tokens) explode, two ≤256-row
+    // bucket aggregates broadcast back, one per-doc hash-agg — the
+    // corpus is scanned once and nothing quadratic exists. Output is
+    // the per-source selection report (mean weight, positive-weight
+    // share) a mixture designer reads.
+    "q_dsir_weights" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(wordsOf).as("token"))
+        .withColumn("b", expr(
+          "pmod(cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint), 256)"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      val totals = broadcast(raw.agg(sum("cr").as("nr"))
+        .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))))
+      val ratio = raw.join(tgt, Seq("b"), "left")
+        .withColumn("ct", coalesce(col("ct"), lit(0L)))
+        .crossJoin(totals)
+        .withColumn("lr", expr(
+          """cast(round(ln(cast(ct + 1 as double) / (nt + 256)) * 1000000) as bigint)
+            |- cast(round(ln(cast(cr + 1 as double) / (nr + 256)) * 1000000) as bigint)"""
+            .stripMargin))
+        .select("b", "lr")
+      toks.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("m"))
+        .join(broadcast(ratio), "b")
+        .groupBy("doc_id", "source").agg(sum(col("m") * col("lr")).as("w"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum("w").as("sum_w"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_selected"))
+        .withColumn("mean_w", expr("sum_w div n_docs"))
+        .withColumn("selected_ppm", expr("n_selected * 1000000 div n_docs"))
+        .select("source", "n_docs", "sum_w", "mean_w", "n_selected",
+          "selected_ppm")
+        .orderBy("source")
+    }),
+
+    // E5 TOKENIZER FERTILITY — BPE tokens emitted per whitespace word,
+    // per source: THE quick health metric of a trained tokenizer on a
+    // corpus slice (fertility near 1 = vocabulary fits the text;
+    // high fertility = the source fragments into sub-word shrapnel
+    // and will eat context budget). Rides the catalog's own 8-round
+    // trained BPE via the shared [[bpeFit]] (the bpe_encode lockstep
+    // rule — fertility can never disagree with the encoder it
+    // measures), then one O(tokens) explode folded to (source, word)
+    // counts joined against the BROADCAST dictionary — a trained
+    // vocab is a bounded design artifact, never corpus-sized.
+    "q_tokenizer_fertility" -> ((s, d) => {
+      val (_, dict, unpersist) = bpeFit(s, d, rounds = 8)
+      try {
+        val enc = dict.select(col("word"),
+          size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"))
+        documents(s, d)
+          .select(col("source"), explode(wordsOf).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("m"))
+          .join(broadcast(enc), "word")
+          .groupBy("source")
+          .agg(sum("m").as("n_words"),
+            sum(expr("m * n_tokens")).as("n_bpe_tokens"))
+          .withColumn("fertility_ppm",
+            expr("n_bpe_tokens * 1000000 div n_words"))
+          .orderBy("source")
+          .localCheckpoint() // materialize before the shared input unpersists
+      } finally unpersist()
+    }),
+
     // E5 INTER-ANNOTATOR AGREEMENT — Cohen's κ between two independent
     // deterministic labelers (the q_lang_id contains-priority heuristic
     // vs a marker-count argmax), the metric every labeling pipeline
@@ -3851,6 +3963,94 @@ object TextOps {
         |    FROM scored) WHERE rb = 1)
         |SELECT source AS true_source, cs AS pred_source, COUNT(*) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_class_prf" -> (nbScoredCte +
+      """,
+        |pred AS (
+        |  SELECT source AS t, cs AS p FROM (
+        |    SELECT source, cs,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY score DESC, cs ASC) AS rb
+        |    FROM scored) WHERE rb = 1),
+        |bt AS (
+        |  SELECT t AS cls,
+        |    CAST(SUM(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN t <> p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM pred GROUP BY 1),
+        |bp AS (
+        |  SELECT p AS cls,
+        |    CAST(SUM(CASE WHEN t <> p THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM pred GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(bt.cls, bp.cls) AS cls,
+        |    COALESCE(tp, 0) AS tp, COALESCE(fn, 0) AS fn,
+        |    COALESCE(fp, 0) AS fp
+        |  FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls)
+        |SELECT cls, tp, fn, fp,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |       ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+        |FROM m ORDER BY cls""".stripMargin),
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang, t AS token
+        |  FROM (SELECT doc_id, source, lang,
+        |          unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |tb AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM toks),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY 1),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+        |    (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt),
+        |ratio AS (
+        |  SELECT raw.b,
+        |    CAST(ROUND(ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+        |      / (tot.nt + 256)) * 1000000) AS BIGINT)
+        |    - CAST(ROUND(ln(CAST(raw.cr + 1 AS DOUBLE)
+        |      / (tot.nr + 256)) * 1000000) AS BIGINT) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+        |docw AS (
+        |  SELECT db.doc_id, db.source, CAST(SUM(db.m * ratio.lr) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, source, b, COUNT(*) AS m
+        |        FROM tb GROUP BY 1, 2, 3) db
+        |  JOIN ratio ON db.b = ratio.b GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w,
+        |  CAST(SUM(w) AS BIGINT) // COUNT(*) AS mean_w,
+        |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+        |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // COUNT(*) AS selected_ppm
+        |FROM docw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tokenizer_fertility" -> {
+      val full = bpeOracle(8)
+      full.substring(0, full.lastIndexOf("\nSELECT")) +
+        """,
+          |srctok AS (
+          |  SELECT source, t AS word
+          |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+          |        FROM documents)
+          |  WHERE t <> ''),
+          |sc AS (SELECT source, word, COUNT(*) AS m FROM srctok GROUP BY 1, 2),
+          |enc AS (SELECT word,
+          |          CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tokens
+          |        FROM w8)
+          |SELECT sc.source, CAST(SUM(sc.m) AS BIGINT) AS n_words,
+          |  CAST(SUM(sc.m * enc.n_tokens) AS BIGINT) AS n_bpe_tokens,
+          |  CAST(SUM(sc.m * enc.n_tokens) AS BIGINT) * 1000000
+          |    // CAST(SUM(sc.m) AS BIGINT) AS fertility_ppm
+          |FROM sc JOIN enc ON sc.word = enc.word
+          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_active_learning" -> (nbScoredCte +
       """,

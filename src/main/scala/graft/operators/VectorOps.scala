@@ -723,6 +723,54 @@ object VectorOps {
         .orderBy("cluster")
     }),
 
+    // E3/E4 SEMANTIC DEDUP (SemDeDup) — the embedding-space companion
+    // of the lexical near-dup family: cluster the corpus with the
+    // catalog's own k-means (kmeansParts — the cluster_purity lockstep
+    // rule, so dedup and clustering can never drift), then look for
+    // near-duplicates ONLY within a cluster. That within-cluster
+    // restriction is the whole scale argument: k grows with the corpus
+    // so expected occupancy stays bounded, and pairwise cost is
+    // Σ occ² — never corpus². Belt-and-braces, the candidate window
+    // per cluster is additionally capped at the 64 members CLOSEST to
+    // their centroid (rank by (dist², vec_id) — the cross_source_dup
+    // hot-bucket rule; a runaway cluster degrades to a bounded sample
+    // instead of a quadratic task). A member is dropped when some
+    // lower-ranked window member has cosine ≥ 0.35 with it (keep the
+    // most-central representative — SemDeDup's policy). Cosine uses
+    // the embed_near_dup double-fold convention; output is the
+    // per-cluster retention report a curation pass reads.
+    "q_semdedup" -> ((s, d) => {
+      val (d2, a2) = kmeansParts(s, d)
+      val own = d2.as("dd").join(a2.as("aa"),
+        col("dd.vec_id") === col("aa.vec_id") && col("dd.j") === col("aa.cluster"))
+        .select(col("aa.vec_id"), col("aa.cluster"), col("dd.dist2"))
+      val win = own.withColumn("rnk", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rnk") <= 64)
+        .select("cluster", "vec_id", "rnk")
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", normFast(col("v")))
+      val a = win.join(emb, "vec_id")
+        .select(col("cluster"), col("rnk").as("ra"),
+          col("v").as("va"), col("nv").as("na"))
+      val b = win.join(emb, "vec_id")
+        .select(col("cluster"), col("vec_id").as("vb"), col("rnk").as("rb"),
+          col("v").as("vc"), col("nv").as("nb"))
+      val drops = a.join(b, Seq("cluster"))
+        .filter(col("ra") < col("rb"))
+        .filter(dotFast(col("va"), col("vc")) / (col("na") * col("nb")) >= 0.35)
+        .select(col("cluster"), col("vb")).distinct()
+        .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+      win.groupBy("cluster").agg(count(lit(1)).as("n_window"))
+        .join(drops, Seq("cluster"), "left")
+        .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+        .withColumn("kept_ppm",
+          expr("(n_window - n_dropped) * 1000000 div n_window"))
+        .select("cluster", "n_window", "n_dropped", "kept_ppm")
+        .orderBy("cluster")
+    }),
+
     // E4 PRODUCT QUANTIZATION codes — the compression leg of ANN at
     // lake scale (IVF-PQ): each 64-dim embedding splits into 4
     // contiguous 16-dim subspaces, each independently k-means-coded
@@ -1966,6 +2014,35 @@ object VectorOps {
         |  p1.purity_ppm,
         |  t.sum_maj * 1000000 // t.n_total AS overall_purity_ppm
         |FROM p1, t ORDER BY p1.cluster""".stripMargin),
+
+    "q_semdedup" -> (kmeansCte +
+      """,
+        |own AS (
+        |  SELECT a2.vec_id, a2.cluster, d.dist2
+        |  FROM a2 JOIN a2d d ON d.vec_id = a2.vec_id AND d.j = a2.cluster),
+        |win AS (
+        |  SELECT cluster, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |                       ORDER BY dist2, vec_id) AS rnk
+        |  FROM own),
+        |cap AS (SELECT * FROM win WHERE rnk <= 64),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |drops AS (
+        |  SELECT cluster, COUNT(DISTINCT vb) AS n_dropped FROM (
+        |    SELECT a.cluster, b.vec_id AS vb
+        |    FROM cap a JOIN cap b ON a.cluster = b.cluster AND a.rnk < b.rnk
+        |    JOIN emb ea ON ea.vec_id = a.vec_id
+        |    JOIN emb eb ON eb.vec_id = b.vec_id
+        |    WHERE (SELECT SUM(ea.v[g.i] * eb.v[g.i]) FROM generate_series(1, 64) g(i))
+        |      / (sqrt((SELECT SUM(ea.v[g.i] * ea.v[g.i]) FROM generate_series(1, 64) g(i)))
+        |         * sqrt((SELECT SUM(eb.v[g.i] * eb.v[g.i]) FROM generate_series(1, 64) g(i))))
+        |      >= 0.35) GROUP BY cluster)
+        |SELECT c.cluster, COUNT(*) AS n_window,
+        |  CAST(COALESCE(MAX(dr.n_dropped), 0) AS BIGINT) AS n_dropped,
+        |  (COUNT(*) - CAST(COALESCE(MAX(dr.n_dropped), 0) AS BIGINT)) * 1000000
+        |    // COUNT(*) AS kept_ppm
+        |FROM cap c LEFT JOIN drops dr ON dr.cluster = c.cluster
+        |GROUP BY c.cluster ORDER BY c.cluster""".stripMargin),
 
     // rides kmeansCte's a1 — the assignment to the raw seed centroids,
     // which IS the IVF coarse quantizer
