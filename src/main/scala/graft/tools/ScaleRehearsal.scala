@@ -210,6 +210,21 @@ object ScaleRehearsal {
     "q_event_gap_hist" -> Seq("events"),
     "q_lang_mix" -> Seq("documents"),
     "q_source_scorecard" -> Seq("documents"),
+    // round-8 batch-5: the session's last additions. The blocklist
+    // filter and DSIR selection are single-scan hash-agg shapes
+    // (DSIR's two unigram LMs are ≤256-row feature-hashed tables
+    // broadcast back, no matter the corpus); q_class_prf re-pays the
+    // cleared NB score memo then folds to O(classes) marginals;
+    // q_tokenizer_fertility re-trains the 8-round BPE ×N (the
+    // q_bpe_train shape) and broadcasts the fitted dict; q_semdedup
+    // rides the kmeans memo — k fixed, the per-cluster candidate
+    // window is hard-capped at 64 members, so the pairwise leg is
+    // k·64²/2 regardless of corpus size.
+    "q_toxicity_filter" -> Seq("documents"),
+    "q_class_prf" -> Seq("documents"),
+    "q_dsir_weights" -> Seq("documents"),
+    "q_tokenizer_fertility" -> Seq("documents"),
+    "q_semdedup" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
