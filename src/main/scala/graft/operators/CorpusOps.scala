@@ -164,6 +164,41 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // CONTEXT-LENGTH PACKING EFFICIENCY — the design table behind the
+    // choice of training sequence length: for max_len ∈ {128, 256,
+    // 512}, how much of the token budget one-doc-per-sequence padding
+    // burns versus cross-doc greedy packing (q_seq_pack's regime).
+    // Per level: padded sequence count Σ ceil(n/L), waste ppm, and the
+    // packed lower bound ceil(N/L) — reading the two waste columns
+    // side by side is how a pipeline decides packing is worth its
+    // doc-boundary contamination. Pure integral arithmetic off ONE
+    // corpus scan exploded ×3 levels; the rollup is O(levels).
+    // Degenerate all-empty-corpus denominators NULL-guarded on both
+    // engines (the kappa_milli convention).
+    "q_pack_efficiency" -> ((s, d) => {
+      documents(s, d)
+        .select(size(array_remove(split(lower(col("text")), " "), ""))
+          .cast("long").as("n"))
+        .select(explode(array(lit(128L), lit(256L), lit(512L))).as("max_len"),
+          col("n"))
+        .withColumn("n_seqs", expr("(n + max_len - 1) div max_len"))
+        .groupBy("max_len")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum("n_seqs").as("n_seqs_padded"))
+        .withColumn("waste_ppm", expr(
+          """case when n_seqs_padded = 0 then null
+            |else (n_seqs_padded * max_len - n_tokens) * 1000000
+            |  div (n_seqs_padded * max_len) end""".stripMargin))
+        .withColumn("n_seqs_packed", expr("(n_tokens + max_len - 1) div max_len"))
+        .withColumn("packed_waste_ppm", expr(
+          """case when n_seqs_packed = 0 then null
+            |else (n_seqs_packed * max_len - n_tokens) * 1000000
+            |  div (n_seqs_packed * max_len) end""".stripMargin))
+        .select("max_len", "n_docs", "n_tokens", "n_seqs_padded", "waste_ppm",
+          "n_seqs_packed", "packed_waste_ppm")
+        .orderBy("max_len")
+    }),
+
     // CURRICULUM ORDERING — rank documents easy→hard by rare-token
     // ratio (share of tokens whose corpus df < 1% of docs, in integral
     // ppm; the rarity signal perplexity-based curricula approximate)
@@ -1258,6 +1293,29 @@ object CorpusOps {
         |    // COUNT(*) AS retained_ppm,
         |  CAST(SUM(share_ppm) AS BIGINT) // COUNT(*) AS mean_share_ppm
         |FROM p2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pack_efficiency" ->
+      """WITH sized AS (
+        |  SELECT len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |ex AS (
+        |  SELECT CAST(l.max_len AS BIGINT) AS max_len, n,
+        |    (n + l.max_len - 1) // l.max_len AS n_seqs
+        |  FROM sized CROSS JOIN (SELECT unnest([128, 256, 512]) AS max_len) l),
+        |agg AS (
+        |  SELECT max_len, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_seqs) AS BIGINT) AS n_seqs_padded
+        |  FROM ex GROUP BY 1)
+        |SELECT max_len, n_docs, n_tokens, n_seqs_padded,
+        |  CASE WHEN n_seqs_padded = 0 THEN NULL
+        |       ELSE (n_seqs_padded * max_len - n_tokens) * 1000000
+        |         // (n_seqs_padded * max_len) END AS waste_ppm,
+        |  (n_tokens + max_len - 1) // max_len AS n_seqs_packed,
+        |  CASE WHEN (n_tokens + max_len - 1) // max_len = 0 THEN NULL
+        |       ELSE (((n_tokens + max_len - 1) // max_len) * max_len - n_tokens)
+        |         * 1000000 // (((n_tokens + max_len - 1) // max_len) * max_len)
+        |       END AS packed_waste_ppm
+        |FROM agg ORDER BY max_len""".stripMargin,
 
     "q_mix_materialize" ->
       """WITH t AS (

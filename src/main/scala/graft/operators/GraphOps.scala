@@ -552,6 +552,45 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // K-CORE DECOMPOSITION (3-core peel) — the density filter link
+    // analysis runs before anything expensive: iteratively delete
+    // nodes of degree < k until only the k-core remains (spam/quality
+    // heuristics, community pre-filters, graph sparsification all
+    // start here). Six fixed peel rounds, each ONE degree hash-agg
+    // (undirected: every edge feeds both endpoints) + two semi-joins
+    // restricting edges to surviving endpoints — the per-round
+    // dataflow shuffles on the node id only, the pagerank/CC shape,
+    // and work SHRINKS monotonically as the graph peels. Pure counts
+    // end-to-end (no division anywhere), so rounds are bit-identical
+    // in any engine; the per-round (nodes, edges) trajectory is the
+    // output — the curve that says when the peel converged. Derived
+    // graph: a 600-node orders projection (distinct modulus from
+    // pagerank's 500 / HITS' 400 so no accidental subtree sharing).
+    "q_kcore" -> ((s, d) => {
+      val k = 3
+      var edges = orders(s, d)
+        .select(pmod(col("o_custkey"), lit(600L)).as("a"),
+          pmod(col("o_orderkey"), lit(600L)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint() // feeds round 1's degree agg + edge restrict
+      val rounds = (1 to 6).map { r =>
+        val deg = edges.select(col("a").as("n"))
+          .unionAll(edges.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val surv = deg.filter(col("deg") >= k).select("n")
+        edges = edges
+          .join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .localCheckpoint() // truncate the per-round lineage doubling
+        surv.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
     // K-HOP REACHABILITY (BFS levels) — "everything within k links of
     // these seeds", the traversal primitive behind blast-radius
     // queries (which suppliers does this outage reach in ≤3 tiers?)
@@ -894,9 +933,35 @@ object GraphOps {
        |FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY h2.node""".stripMargin
   }
 
+  /** 6 unrolled 3-core peel rounds — lockstep with the Spark loop
+    * (same undirected degree fold, same ≥3 survivor cut, pure counts
+    * so no division semantics in play). */
+  private lazy val kcoreOracle: String = {
+    val rounds = (1 to 6).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT n, COUNT(*) AS deg FROM (
+         |          SELECT a AS n FROM $prev UNION ALL SELECT b FROM $prev)
+         |        GROUP BY n),
+         |s$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 3),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+         |        JOIN s$r x ON e.a = x.n JOIN s$r y ON e.b = y.n),
+         |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |          (SELECT CAST(COUNT(*) AS BIGINT) FROM s$r) AS n_nodes,
+         |          (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT (o_custkey % 600) AS a, (o_orderkey % 600) AS b
+       |  FROM orders WHERE (o_custkey % 600) <> (o_orderkey % 600)),
+       |$rounds
+       |SELECT * FROM (
+       |  ${(1 to 6).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")})
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
     "q_hits" -> hitsOracle,
+    "q_kcore" -> kcoreOracle,
 
     // same walk, recursive CTE: UNION (not UNION ALL) dedups (node,
     // hops) rows so the recursion is bounded at nodes × k regardless

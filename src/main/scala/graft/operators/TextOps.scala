@@ -995,6 +995,31 @@ object TextOps {
         .limit(200)
     }),
 
+    // E5 CROSS-SOURCE N-GRAM NOVELTY — per source, the share of its
+    // distinct word trigrams that appear in NO other source: the
+    // marginal-contribution signal a mixture designer reads next to
+    // q_source_overlap (doc-level) and q_js_divergence (unigram
+    // distribution) — a source can look distributionally close yet
+    // still contribute mostly-novel phrases, and this is the column
+    // that says so. Shape: one O(tokens) trigram explode folded to
+    // the (trigram, source) grid, one vocab-bounded window for the
+    // per-trigram source count, one O(sources) rollup — the grid is
+    // corpus-vocabulary-sized, never corpus-sized, and nothing
+    // pairwise exists.
+    "q_ngram_novelty" -> ((s, d) => {
+      val gs = documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.NGrams.ngrams(wordsOf, 3)).as("g"))
+        .groupBy("g", "source").agg(count(lit(1)).as("n_occ"))
+      gs.withColumn("n_src", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum("n_occ").as("n_occurrences"),
+          sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_trigrams"))
+        .orderBy("source")
+    }),
+
     // E5 LM SURPRISAL SCORING — the perplexity-filter shape with the
     // corpus's own bigram LM as the model: a doc's fluency signal is
     // the fraction of its bigrams whose conditional probability
@@ -3121,6 +3146,25 @@ object TextOps {
         |FROM c JOIN tot USING (w1)
         |WHERE c12 >= 5
         |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 200""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH ws AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT source, unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        |  FROM ws),
+        |gs AS (SELECT g, source, COUNT(*) AS n_occ FROM tri GROUP BY 1, 2),
+        |ns AS (SELECT g, source, n_occ,
+        |         COUNT(*) OVER (PARTITION BY g) AS n_src FROM gs)
+        |SELECT source, COUNT(*) AS n_trigrams,
+        |  CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+        |  CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS novelty_ppm
+        |FROM ns GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_chi2_features" ->
       """WITH pres AS (

@@ -998,6 +998,49 @@ object VectorOps {
         .orderBy("qid")
     }),
 
+    // E4 MATRYOSHKA TRUNCATION RECALL — recall@3 of brute-force cosine
+    // over the leading m ∈ {8, 16, 32} dimensions against the
+    // memoized full-64-dim exact top-k: the design table behind
+    // matryoshka-style dimension truncation (store/search a prefix of
+    // the vector, keep most of the ranking). At 100 TB this is the
+    // measurement that licenses cutting index memory 2-8× BEFORE
+    // buying an IVF/PQ stage — and it composes with them (the
+    // ivfpq_recall pattern). Shape: one corpus scan exploded ×3
+    // truncation levels, a broadcast probe join (≤15 probe rows),
+    // per-level top-3, then a semi-join against the exact memo —
+    // probe-bounded everywhere, never corpus².
+    "q_mrl_recall" -> ((s, d) => {
+      val exact = cosineTopk(s, d).select(col("qid"), col("vid"))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v64"))
+        .select(col("vec_id"),
+          explode(array(lit(8L), lit(16L), lit(32L))).as("m"), col("v64"))
+        .select(col("vec_id"), col("m"),
+          slice(col("v64"), lit(1), col("m").cast("int")).as("v"))
+        .withColumn("nv", normFast(col("v")))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("m").as("qm"), col("vec_id").as("qid"),
+          col("v").as("qv"), col("nv").as("nq"))
+      val scored = emb.join(broadcast(q),
+          col("m") === col("qm") && col("vec_id") =!= col("qid"))
+        .select(col("m"), col("qid"), col("vec_id").as("vid"),
+          (dotFast(col("qv"), col("v")) / (col("nq") * col("nv"))).as("score"))
+      val w = Window.partitionBy("m", "qid")
+        .orderBy(col("score").desc, col("vid").asc)
+      val approx = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).select("m", "qid", "vid")
+      val hits = approx.join(exact
+            .select(col("qid").as("eqid"), col("vid").as("evid")),
+          col("qid") === col("eqid") && col("vid") === col("evid"), "left_semi")
+        .groupBy("m", "qid").agg(count(lit(1)).as("hits"))
+      q.select(col("qm").as("m"), col("qid")).distinct()
+        .join(hits, Seq("m", "qid"), "left")
+        .select(col("m").as("dims"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_micro", expr("hits * 1000000 div 3"))
+        .orderBy("dims", "qid")
+    }),
+
     // E2/E13 SKETCH SET ALGEBRA: estimated vocabulary overlap between
     // two language slices via inclusion-exclusion over mergeable HLL
     // sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B). This is what
@@ -1307,6 +1350,44 @@ object VectorOps {
         .withColumn("cov_milli2", expr("(n * sij - si * sj) div n div n"))
         .select("i", "j", "n", "cov_milli2")
         .orderBy("i", "j")
+    }),
+
+    // E4 PCA TOP COMPONENT — the dominant eigenvector of q_embed_cov's
+    // 8-dim covariance via 6 fixed power-iteration rounds, plus its
+    // Rayleigh-quotient eigenvalue: the embedding-health diagnostic
+    // (anisotropy / rogue-dimension detection) every embedding
+    // pipeline runs before trusting cosine distances. The iteration
+    // runs ON THE 36-ROW COVARIANCE AGGREGATE — at 100 TB the corpus
+    // is scanned once (by the referenced q_embed_cov) and every
+    // subsequent round is an O(dims²) join however large the data.
+    // Integer lockstep throughout (matvec in bigint, per-round
+    // renormalization to max|x| = 1000 by integral division), so 6
+    // rounds are bit-identical cross-engine — the pagerank
+    // convention; the all-zero-matrix degenerate denominator is
+    // NULL-guarded on both engines.
+    "q_pca_power" -> ((s, d) => {
+      val cov = queries("q_embed_cov")(s, d).select("i", "j", "cov_milli2")
+      val m = cov.unionAll(cov.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cov_milli2")))
+        .localCheckpoint() // feeds 7 matvec rounds: build once
+      var v = m.select(col("i").as("d")).distinct()
+        .select(col("d"), lit(1000L).as("x"))
+      def matvec(vv: DataFrame): DataFrame =
+        m.join(vv, m("j") === vv("d")).groupBy(m("i"))
+          .agg(sum(expr("cov_milli2 * x")).as("w"))
+      for (_ <- 1 to 6) {
+        val w = matvec(v)
+        val ma = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("ma"))
+        v = w.crossJoin(ma)
+          .select(col("i").as("d"), expr("w * 1000 div ma").as("x"))
+      }
+      val lam = matvec(v).join(v.select(col("d"), col("x")), col("i") === col("d"))
+        .agg(sum(expr("x * w")).as("num"), sum(expr("x * x")).as("den"))
+        .select(expr("case when den = 0 then null else num div den end")
+          .as("lambda_milli2"))
+      v.crossJoin(lam)
+        .select(col("d").as("dim"), col("x").as("eig_milli"), col("lambda_milli2"))
+        .orderBy("dim")
     }),
 
     // E5/E9 DECISION STUMP — the one-split classifier sweep that
@@ -2523,21 +2604,41 @@ object VectorOps {
          |FROM (SELECT DISTINCT qid FROM exact) q LEFT JOIN hits h ON q.qid = h.qid
          |ORDER BY q.qid""".stripMargin,
 
-    "q_embed_cov" ->
-      """WITH base AS (
-        |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
-        |    CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS vi,
-        |    CAST(ROUND(CAST(embedding[j.j + 1] AS DOUBLE) * 1000) AS BIGINT) AS vj
-        |  FROM embeddings
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i) i
-        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) j
-        |  WHERE i.i <= j.j)
-        |SELECT i, j, COUNT(*) AS n,
-        |  (COUNT(*) * CAST(SUM(vi * vj) AS BIGINT)
-        |    - CAST(SUM(vi) AS BIGINT) * CAST(SUM(vj) AS BIGINT))
-        |    // COUNT(*) // COUNT(*) AS cov_milli2
-        |FROM base GROUP BY i, j
-        |ORDER BY i, j""".stripMargin,
+    "q_embed_cov" -> embedCovOracle,
+
+    "q_pca_power" -> pcaPowerOracle,
+
+    "q_mrl_recall" ->
+      (s"""WITH ex AS ($cosineTopkOracle),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |lv AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS m),
+         |q AS (SELECT l.m, e.vec_id AS qid, e.v AS qv
+         |      FROM emb e CROSS JOIN lv l WHERE e.vec_id < 5),
+         |scored AS (
+         |  SELECT q.m, q.qid, e.vec_id AS vid,
+         |    (SELECT SUM(q.qv[g.i] * e.v[g.i])
+         |     FROM generate_series(1, 64) g(i) WHERE g.i <= q.m)
+         |    / (sqrt((SELECT SUM(q.qv[g.i] * q.qv[g.i])
+         |             FROM generate_series(1, 64) g(i) WHERE g.i <= q.m))
+         |       * sqrt((SELECT SUM(e.v[g.i] * e.v[g.i])
+         |               FROM generate_series(1, 64) g(i) WHERE g.i <= q.m))) AS score
+         |  FROM emb e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT m, qid, vid,
+         |    row_number() OVER (PARTITION BY m, qid
+         |                       ORDER BY score DESC, vid ASC) AS rank
+         |  FROM scored),
+         |ap AS (SELECT m, qid, vid FROM ranked WHERE rank <= 3),
+         |hits AS (
+         |  SELECT ap.m, ap.qid, COUNT(*) AS hits
+         |  FROM ap JOIN ex ON ex.qid = ap.qid AND ex.vid = ap.vid
+         |  GROUP BY 1, 2)
+         |SELECT k.m AS dims, k.qid AS qid,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000 // 3 AS recall_micro
+         |FROM (SELECT DISTINCT m, qid FROM q) k
+         |LEFT JOIN hits h ON h.m = k.m AND h.qid = k.qid
+         |ORDER BY dims, qid""".stripMargin),
 
     "q_decision_stump" ->
       """WITH base AS (
@@ -2768,6 +2869,49 @@ object VectorOps {
       |  FROM scored)
       |SELECT qid, CAST(rank AS BIGINT) AS rank, vid, ROUND(score, 6) AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private lazy val embedCovOracle: String =
+    """WITH base AS (
+      |  SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+      |    CAST(ROUND(CAST(embedding[i.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS vi,
+      |    CAST(ROUND(CAST(embedding[j.j + 1] AS DOUBLE) * 1000) AS BIGINT) AS vj
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i) i
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS j) j
+      |  WHERE i.i <= j.j)
+      |SELECT i, j, COUNT(*) AS n,
+      |  (COUNT(*) * CAST(SUM(vi * vj) AS BIGINT)
+      |    - CAST(SUM(vi) AS BIGINT) * CAST(SUM(vj) AS BIGINT))
+      |    // COUNT(*) // COUNT(*) AS cov_milli2
+      |FROM base GROUP BY i, j
+      |ORDER BY i, j""".stripMargin
+
+  /** 6 unrolled power-iteration rounds over the embed_cov aggregate —
+    * lockstep with the Spark loop (same ×1000 init, same integral
+    * renormalization to max|x| = 1000, same truncating division). */
+  private lazy val pcaPowerOracle: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""w$r AS (SELECT m.i, CAST(SUM(m.c * v.x) AS BIGINT) AS w
+         |        FROM m JOIN v${r - 1} v ON v.d = m.j GROUP BY m.i),
+         |v$r AS (SELECT i AS d,
+         |          w * 1000 // (SELECT GREATEST(MAX(ABS(w)), 1) FROM w$r) AS x
+         |        FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cov AS ($embedCovOracle),
+       |m AS (SELECT i, j, cov_milli2 AS c FROM cov
+       |      UNION ALL
+       |      SELECT j, i, cov_milli2 FROM cov WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS d, CAST(1000 AS BIGINT) AS x FROM m),
+       |$rounds,
+       |w7 AS (SELECT m.i, CAST(SUM(m.c * v.x) AS BIGINT) AS w
+       |       FROM m JOIN v6 v ON v.d = m.j GROUP BY m.i),
+       |lam AS (SELECT CASE WHEN CAST(SUM(v.x * v.x) AS BIGINT) = 0 THEN NULL
+       |          ELSE CAST(SUM(v.x * w.w) AS BIGINT)
+       |            // CAST(SUM(v.x * v.x) AS BIGINT) END AS lambda_milli2
+       |        FROM w7 w JOIN v6 v ON v.d = w.i)
+       |SELECT v.d AS dim, v.x AS eig_milli, lam.lambda_milli2
+       |FROM v6 v CROSS JOIN lam ORDER BY dim""".stripMargin
+  }
 
   private lazy val cosineTopkOracle: String =
     """WITH emb AS (
