@@ -1378,8 +1378,13 @@ object VectorOps {
       for (_ <- 1 to 6) {
         val w = matvec(v)
         val ma = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("ma"))
+        // checkpoint the 8-row iterate: w appears twice per round
+        // (renormalizer + projection), so without truncation the
+        // final plan holds ~2^rounds copies of the matvec subtree —
+        // measured 7.6 s of pure planning/stage overhead vs ~1 s cut
         v = w.crossJoin(ma)
           .select(col("i").as("d"), expr("w * 1000 div ma").as("x"))
+          .localCheckpoint()
       }
       val lam = matvec(v).join(v.select(col("d"), col("x")), col("i") === col("d"))
         .agg(sum(expr("x * w")).as("num"), sum(expr("x * x")).as("den"))

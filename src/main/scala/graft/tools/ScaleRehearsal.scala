@@ -225,6 +225,20 @@ object ScaleRehearsal {
     "q_dsir_weights" -> Seq("documents"),
     "q_tokenizer_fertility" -> Seq("documents"),
     "q_semdedup" -> Seq("embeddings"),
+    // round-8 batch-6. q_kcore is deliberately absent for the
+    // q_khop_reach reason (pmod-600 graph saturates under replicas —
+    // the peel would time a fixed 600-node graph, not scaling).
+    // q_pack_efficiency and q_ngram_novelty are explode + hash-agg
+    // shapes (the novelty grid is vocabulary-sized, and the remap
+    // keeps per-trigram source counts constant while trigrams scale
+    // ×N); q_mrl_recall is probe-bounded (≤15 broadcast probe rows)
+    // so ×N pays three truncated corpus scans; q_pca_power's corpus
+    // cost IS the embed_cov scan — the 36-row power iteration is
+    // corpus-size-independent by construction.
+    "q_pack_efficiency" -> Seq("documents"),
+    "q_ngram_novelty" -> Seq("documents"),
+    "q_mrl_recall" -> Seq("embeddings"),
+    "q_pca_power" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
