@@ -1365,6 +1365,48 @@ object RelQueries {
     }),
 
     // RFM SEGMENTATION (recency / frequency / monetary quintiles) —
+    // PRICE INDEX (Laspeyres / Paasche / Fisher) — the classic
+    // composite-price time series over the order book: monthly
+    // basket-weighted price level vs the first month, base-weighted
+    // (Laspeyres), current-weighted (Paasche), and their geometric
+    // mean (Fisher). Unit prices in integral milli-cents (rev·1000
+    // div qty), every index a cross-multiplied bigint ratio in ppm,
+    // Fisher via floor(sqrt(L·P)) — IEEE sqrt is correctly rounded so
+    // the floor is engine-exact (the q_temperature_mix precedent).
+    // Shape: ONE (month, part) hash-agg over lineitem (map-side
+    // partials absorb the scan), a broadcast of the base-month
+    // basket, then an O(months) rollup — no shuffle larger than the
+    // month-part aggregate, and the base basket is a dimension-sized
+    // broadcast at any scale.
+    "q_price_index" -> ((s, d) => {
+      val pm = lineitem(s, d)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("rev_c"))
+        .groupBy("month", "l_partkey")
+        .agg(sum("qty").as("qty"), sum("rev_c").as("rev_c"))
+        .withColumn("p_milli", expr("rev_c * 1000 div qty"))
+      val base = pm
+        .crossJoin(broadcast(pm.agg(min("month").as("m0"))))
+        .filter(col("month") === col("m0"))
+        .select(col("l_partkey"), col("qty").as("q0"), col("p_milli").as("p0"))
+      pm.join(broadcast(base), "l_partkey")
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(expr("q0 * p_milli")).as("lnum"), sum(expr("q0 * p0")).as("lden"),
+          sum(expr("qty * p_milli")).as("pnum"), sum(expr("qty * p0")).as("pden"))
+        .withColumn("laspeyres_ppm", expr(
+          "case when lden = 0 then null else lnum * 1000000 div lden end"))
+        .withColumn("paasche_ppm", expr(
+          "case when pden = 0 then null else pnum * 1000000 div pden end"))
+        .withColumn("fisher_ppm", expr(
+          """case when laspeyres_ppm is null or paasche_ppm is null then null
+            |else cast(floor(sqrt(cast(laspeyres_ppm as double)
+            |  * cast(paasche_ppm as double))) as bigint) end""".stripMargin))
+        .select("month", "n_parts", "laspeyres_ppm", "paasche_ppm", "fisher_ppm")
+        .orderBy("month")
+    }),
+
     // the classic customer-base cut, with the quintile assignment done
     // by the distributed two-phase rank (PrefixSum.rowNumber) instead
     // of a global ntile window: ntile(5) over all customers is a
@@ -1972,6 +2014,37 @@ object RelQueries {
         |  FROM sym)
         |SELECT item, CAST(rank AS BIGINT) AS rank, reco, support
         |FROM ranked WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
+
+    "q_price_index" ->
+      """WITH pm AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month, l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT month, l_partkey, qty, rev_c * 1000 // qty AS p_milli FROM pm),
+        |base AS (
+        |  SELECT l_partkey, qty AS q0, p_milli AS p0 FROM pp
+        |  WHERE month = (SELECT MIN(month) FROM pp)),
+        |agg AS (
+        |  SELECT pp.month, COUNT(*) AS n_parts,
+        |    CAST(SUM(b.q0 * pp.p_milli) AS BIGINT) AS lnum,
+        |    CAST(SUM(b.q0 * b.p0) AS BIGINT) AS lden,
+        |    CAST(SUM(pp.qty * pp.p_milli) AS BIGINT) AS pnum,
+        |    CAST(SUM(pp.qty * b.p0) AS BIGINT) AS pden
+        |  FROM pp JOIN base b ON b.l_partkey = pp.l_partkey
+        |  GROUP BY pp.month),
+        |idx AS (
+        |  SELECT month, n_parts,
+        |    CASE WHEN lden = 0 THEN NULL ELSE lnum * 1000000 // lden END
+        |      AS laspeyres_ppm,
+        |    CASE WHEN pden = 0 THEN NULL ELSE pnum * 1000000 // pden END
+        |      AS paasche_ppm
+        |  FROM agg)
+        |SELECT month, n_parts, laspeyres_ppm, paasche_ppm,
+        |  CASE WHEN laspeyres_ppm IS NULL OR paasche_ppm IS NULL THEN NULL
+        |       ELSE CAST(FLOOR(SQRT(CAST(laspeyres_ppm AS DOUBLE)
+        |         * CAST(paasche_ppm AS DOUBLE))) AS BIGINT) END AS fisher_ppm
+        |FROM idx ORDER BY month""".stripMargin,
 
     "q_rfm" ->
       """WITH cust AS (

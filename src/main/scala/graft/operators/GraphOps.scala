@@ -422,6 +422,40 @@ object GraphOps {
         .select("csize", "n_clusters", "n_docs")
         .orderBy("csize")),
 
+    // E3 DEDUP CLUSTER DENSITY — transitivity audit of the union-find
+    // clustering: per cluster size (2..64), how many of the C(size,2)
+    // member pairs were DIRECTLY verified near-dups vs merely
+    // transitively connected. Density near 1e6 = tight duplicate sets;
+    // low density at large sizes = chain-merge clusters (A~B~C where
+    // A≁C) — the signal that the survivorship policy is about to
+    // collapse non-duplicates and the threshold needs raising. Rides
+    // the memoized cluster labels; the direct-pair leg re-joins the
+    // verified pairs (every pair's endpoints share a comp by
+    // construction, so ONE side of the pair suffices for attribution);
+    // the rollup is O(cluster sizes) after two hash-aggs. Clusters
+    // above 64 members are excluded (the hot-bucket rule: a runaway
+    // cluster's C(size,2) is its own report — q_dedup_cluster_sizes
+    // already surfaces it).
+    "q_dedup_density" -> ((s, d) => {
+      val cc = clusters(s, d)
+      val direct = verifiedPairs(s, d)
+        .join(cc.select(col("node"), col("comp")), col("src") === col("node"))
+        .groupBy("comp").agg(count(lit(1)).as("n_direct"))
+      cc.groupBy("comp").agg(count(lit(1)).as("csize"))
+        .filter(col("csize").between(2, 64))
+        .join(direct, Seq("comp"), "left")
+        .withColumn("n_direct", coalesce(col("n_direct"), lit(0L)))
+        .groupBy("csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("n_direct").as("n_direct_pairs"),
+          sum(expr("csize * (csize - 1) div 2")).as("n_possible_pairs"))
+        .withColumn("density_ppm",
+          expr("n_direct_pairs * 1000000 div n_possible_pairs"))
+        .select("csize", "n_clusters", "n_direct_pairs", "n_possible_pairs",
+          "density_ppm")
+        .orderBy("csize")
+    }),
+
     // E3 SURVIVOR-BY-QUALITY — the alternative survivorship policy:
     // instead of the min-id representative (q_dedup_survivors), keep
     // each cluster's LONGEST document (n_chars, the quality proxy the
@@ -1162,6 +1196,22 @@ object GraphOps {
         |SELECT csize, COUNT(*) AS n_clusters,
         |  CAST(csize * COUNT(*) AS BIGINT) AS n_docs
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin),
+
+    "q_dedup_density" -> (ccPrelude +
+      """,
+        |direct AS (
+        |  SELECT c.comp, COUNT(*) AS n_direct
+        |  FROM tpairs t JOIN cc c ON c.node = t.src GROUP BY c.comp),
+        |f AS (
+        |  SELECT s.comp, s.csize, COALESCE(d.n_direct, 0) AS n_direct
+        |  FROM sizes s LEFT JOIN direct d ON d.comp = s.comp
+        |  WHERE s.csize BETWEEN 2 AND 64)
+        |SELECT csize, COUNT(*) AS n_clusters,
+        |  CAST(SUM(n_direct) AS BIGINT) AS n_direct_pairs,
+        |  CAST(SUM(csize * (csize - 1) // 2) AS BIGINT) AS n_possible_pairs,
+        |  CAST(SUM(n_direct) AS BIGINT) * 1000000
+        |    // CAST(SUM(csize * (csize - 1) // 2) AS BIGINT) AS density_ppm
+        |FROM f GROUP BY csize ORDER BY csize""".stripMargin),
 
     "q_dedup_best_quality" -> (ccPrelude +
       """,

@@ -27,6 +27,20 @@ object TextOps {
         explode(array_distinct(wordsOf))
           .as("token"))
 
+  /** 16-bit SimHash fingerprints per doc (doc_id, source,
+    * fingerprint) — shared by q_simhash and q_simhash_eval so the
+    * eval measures exactly the hash the catalog ships. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(documents(s, d)).withColumn("h", md5(col("token")))
+    val bitSums = (1 to 16).map(i =>
+      sum(when(substring(col("h"), i, 1).between("8", "f"), 1).otherwise(-1))
+        .as(s"s$i"))
+    t.groupBy("doc_id", "source").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("source"),
+        concat((1 to 16).map(i =>
+          when(col(s"s$i") >= 0, "1").otherwise("0")): _*).as("fingerprint"))
+  }
+
   private[operators] val stopwords = Seq("the", "a", "of", "and", "in")
 
   /** Non-empty lowercase word tokens of the `text` column. array_remove
@@ -1020,6 +1034,48 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // E5 VOCABULARY GROWTH (Heaps' law curve) — distinct token types
+    // vs cumulative corpus size at 25/50/75/100% of the corpus, plus
+    // the local Heaps exponent β between consecutive points: the
+    // curve that says whether a vocabulary (or BPE budget, or hash
+    // feature space) will saturate or keep growing at 10× the data.
+    // The "corpus prefix" is a DETERMINISTIC HASH SPLIT (md5(doc_id)
+    // quartile — the train_split convention), so cumulative distinct
+    // counts need no global sort: a type's first-appearance quartile
+    // is min(bucket) per token, and cumulative types at k = types
+    // with min ≤ k. One explode, two vocab-bounded hash-aggs, a
+    // 4-row window. β quantized as a ratio of two ppm-quantized lns
+    // (integral division — engine-exact), NULL-guarded at the first
+    // point and on degenerate denominators.
+    "q_vocab_growth" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), expr(
+          "1 + pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 4)")
+          .as("b"), explode(wordsOf).as("token"))
+      val perB = toks.groupBy("b")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("doc_id").as("n_docs"))
+      val newTypes = toks.groupBy("token").agg(min("b").as("mb"))
+        .groupBy("mb").agg(count(lit(1)).as("new_types"))
+      val wc = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.orderBy("b")
+      perB.join(newTypes, col("b") === col("mb"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("docs_cum", sum("n_docs").over(wc))
+        .withColumn("tokens_cum", sum("n_tokens").over(wc))
+        .withColumn("types_cum", sum("new_types").over(wc))
+        .withColumn("pt", lag("tokens_cum", 1).over(wl))
+        .withColumn("pv", lag("types_cum", 1).over(wl))
+        .withColumn("heaps_beta_micro", expr(
+          """case when pt is null or pt = 0 or pv = 0 or tokens_cum = pt then null
+            |else cast(round(ln(cast(types_cum as double) / pv) * 1000000) as bigint)
+            |  * 1000000
+            |  div cast(round(ln(cast(tokens_cum as double) / pt) * 1000000) as bigint)
+            |end""".stripMargin))
+        .select("b", "docs_cum", "tokens_cum", "types_cum", "heaps_beta_micro")
+        .orderBy("b")
+    }),
+
     // E5 LM SURPRISAL SCORING — the perplexity-filter shape with the
     // corpus's own bigram LM as the model: a doc's fluency signal is
     // the fraction of its bigrams whose conditional probability
@@ -1406,17 +1462,63 @@ object TextOps {
     // bit_i = sign of Σ_tokens (±1 by whether hex digit i of md5(token)
     // is >= '8'). One explode + 16 conditional sums — a single
     // hash-aggregate, no pair joins; hamming-prefix bucket for blocking.
-    "q_simhash" -> ((s, d) => {
-      val t = tokens(documents(s, d)).withColumn("h", md5(col("token")))
-      val bitSums = (1 to 16).map(i =>
-        sum(when(substring(col("h"), i, 1).between("8", "f"), 1).otherwise(-1))
-          .as(s"s$i"))
-      t.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          concat((1 to 16).map(i =>
-            when(col(s"s$i") >= 0, "1").otherwise("0")): _*).as("fingerprint"))
+    // Fingerprints via the shared [[simhashFp]] (q_simhash_eval rides
+    // the same pipeline, so the eval can never drift from the hash it
+    // measures).
+    "q_simhash" -> ((s, d) =>
+      simhashFp(s, d)
+        .select(col("doc_id"), col("fingerprint"))
         .withColumn("bucket", substring(col("fingerprint"), 1, 8))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // E3 SIMHASH QUALITY EVAL — precision/recall of the simhash
+    // blocking scheme (same source + 8-bit bucket, hamming ≤ 3 over
+    // the full 16-bit fingerprint) against exact token-Jaccard ≥ 0.5
+    // truth: the measure-don't-guess loop that decides whether the
+    // one-scan sketch can replace the pair-verified dedup path at
+    // scale — the ANN-recall pattern applied to text dedup. Candidate
+    // buckets are hard-capped at 64 members (deterministic doc_id
+    // rank — the cross_source_dup hot-bucket rule on this
+    // template-heavy corpus), so the pair leg is Σ min(occ,64)²/2;
+    // the truth leg is the same lossless prefix-filtered pipeline the
+    // threshold sweep runs. Both sides reduce to three counts and two
+    // ppm ratios, NULL-guarded on empty sides.
+    "q_simhash_eval" -> ((s, d) => {
+      val fp = simhashFp(s, d)
+        .withColumn("bucket", substring(col("fingerprint"), 1, 8))
+      val wb = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      val capped = fp.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 64)
+        .select("source", "bucket", "doc_id", "fingerprint")
+      val a = capped.select(col("source"), col("bucket"),
+        col("doc_id").as("d1"), col("fingerprint").as("f1"))
+      val b = capped.select(col("source"), col("bucket"),
+        col("doc_id").as("d2"), col("fingerprint").as("f2"))
+      val ham = (1 to 16).map(i =>
+        when(substring(col("f1"), i, 1) =!= substring(col("f2"), i, 1), 1L)
+          .otherwise(0L)).reduce(_ + _)
+      val cand = a.join(b, Seq("source", "bucket"))
+        .filter(col("d1") < col("d2"))
+        .withColumn("hamming", ham).filter(col("hamming") <= 3)
+        .select("d1", "d2")
+        .localCheckpoint() // feeds the count AND the hit join: pay once
+      val truth = tokenJaccardPairs(
+          documents(s, d).select(col("source"), col("doc_id"),
+            array_distinct(wordsOf).as("toks")),
+          threshold = 0.5)
+        .select(col("d1").as("t1"), col("d2").as("t2"))
+        .localCheckpoint() // same: two consumers
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nh = cand.join(truth,
+          col("d1") === col("t1") && col("d2") === col("t2"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nc.crossJoin(nt).crossJoin(nh)
+        .withColumn("precision_ppm", expr(
+          "case when n_candidates = 0 then null else n_hits * 1000000 div n_candidates end"))
+        .withColumn("recall_ppm", expr(
+          "case when n_truth = 0 then null else n_hits * 1000000 div n_truth end"))
+        .select("n_candidates", "n_truth", "n_hits", "precision_ppm", "recall_ppm")
     }),
 
     // E5 BPE-ish regex tokenization (word + punctuation-run tokens)
@@ -3166,6 +3268,43 @@ object TextOps {
         |    * 1000000 // COUNT(*) AS novelty_ppm
         |FROM ns GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 4 AS b,
+        |    t AS token
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |perb AS (
+        |  SELECT b, COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM toks GROUP BY b),
+        |newt AS (
+        |  SELECT mb, COUNT(*) AS new_types FROM (
+        |    SELECT MIN(b) AS mb FROM toks GROUP BY token) GROUP BY mb),
+        |cum AS (
+        |  SELECT p.b,
+        |    CAST(SUM(p.n_docs) OVER w AS BIGINT) AS docs_cum,
+        |    CAST(SUM(p.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+        |    CAST(SUM(COALESCE(n.new_types, 0)) OVER w AS BIGINT) AS types_cum
+        |  FROM perb p LEFT JOIN newt n ON n.mb = p.b
+        |  WINDOW w AS (ORDER BY p.b ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |lagd AS (
+        |  SELECT b, docs_cum, tokens_cum, types_cum,
+        |    LAG(tokens_cum) OVER (ORDER BY b) AS pt,
+        |    LAG(types_cum) OVER (ORDER BY b) AS pv
+        |  FROM cum)
+        |SELECT b, docs_cum, tokens_cum, types_cum,
+        |  CASE WHEN pt IS NULL OR pt = 0 OR pv = 0 OR tokens_cum = pt THEN NULL
+        |       ELSE CAST(ROUND(ln(CAST(types_cum AS DOUBLE) / pv) * 1000000)
+        |              AS BIGINT) * 1000000
+        |         // CAST(ROUND(ln(CAST(tokens_cum AS DOUBLE) / pt) * 1000000)
+        |              AS BIGINT)
+        |  END AS heaps_beta_micro
+        |FROM lagd ORDER BY b""".stripMargin,
+
     "q_chi2_features" ->
       """WITH pres AS (
         |  SELECT doc_id, lang,
@@ -3455,6 +3594,61 @@ object TextOps {
          |sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
          |SELECT doc_id, $fp AS fingerprint, substring($fp, 1, 8) AS bucket
          |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_simhash_eval" -> {
+      val sums = (1 to 16).map(i =>
+        s"SUM(CASE WHEN substring(h, $i, 1) BETWEEN '8' AND 'f' THEN 1 ELSE -1 END) AS s$i")
+        .mkString(", ")
+      val fp = (1 to 16).map(i => s"CASE WHEN s$i >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      val ham = (1 to 16).map(i =>
+        s"CASE WHEN substring(a.fingerprint, $i, 1) <> substring(b.fingerprint, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, source,
+         |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
+         |tok2 AS MATERIALIZED (SELECT * FROM tok WHERE token <> ''),
+         |hashed AS (SELECT doc_id, source, md5(token) AS h FROM tok2),
+         |sums AS (SELECT doc_id, source, $sums FROM hashed GROUP BY doc_id, source),
+         |fps AS (SELECT doc_id, source, $fp AS fingerprint FROM sums),
+         |capped AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT doc_id, source, fingerprint,
+         |      substring(fingerprint, 1, 8) AS bucket,
+         |      row_number() OVER (PARTITION BY source, substring(fingerprint, 1, 8)
+         |                         ORDER BY doc_id) AS rnk
+         |    FROM fps) WHERE rnk <= 64),
+         |cand AS MATERIALIZED (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM capped a JOIN capped b
+         |    ON a.source = b.source AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id AND ($ham) <= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT i.d1, i.d2
+         |  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+         |               JOIN sizes s2 ON i.d2 = s2.doc_id
+         |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4)
+         |    >= 0.5),
+         |nums AS (
+         |  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |    (SELECT COUNT(*) FROM truth) AS n_truth,
+         |    (SELECT COUNT(*) FROM cand JOIN truth
+         |       ON truth.d1 = cand.d1 AND truth.d2 = cand.d2) AS n_hits)
+         |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_truth AS BIGINT) AS n_truth, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |       ELSE CAST(n_hits AS BIGINT) * 1000000 // n_candidates
+         |  END AS precision_ppm,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE CAST(n_hits AS BIGINT) * 1000000 // n_truth
+         |  END AS recall_ppm
+         |FROM nums""".stripMargin
     },
 
     "q_token_bpe" ->

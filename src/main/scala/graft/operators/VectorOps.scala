@@ -1395,6 +1395,44 @@ object VectorOps {
         .orderBy("dim")
     }),
 
+    // E4 EMBEDDING GROUP DRIFT — per-dimension two-sample shift report
+    // between the even- and odd-label halves of the corpus: mean and
+    // variance per group (integral milli / milli², the embed_cov
+    // convention) and the absolute mean shift — the train/serve-skew
+    // diagnostic run before trusting a similarity index built on one
+    // half against queries from the other. ONE corpus scan folded to
+    // an O(dims) aggregate by map-side partials; everything after is
+    // arithmetic on 8 rows. Degenerate empty-group denominators
+    // NULL-guarded on both engines.
+    "q_embed_drift" -> ((s, d) => {
+      val base = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "fv")))
+        .filter(col("pos") < 8)
+        .select((col("label") % 2 === 0).as("even"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fv").cast("double") * 1000).cast("long").as("v"))
+      base.groupBy("dim")
+        .agg(
+          count(when(col("even"), 1)).as("na"),
+          sum(when(col("even"), col("v"))).as("sa"),
+          sum(when(col("even"), col("v") * col("v"))).as("qa"),
+          count(when(!col("even"), 1)).as("nb"),
+          sum(when(!col("even"), col("v"))).as("sb"),
+          sum(when(!col("even"), col("v") * col("v"))).as("qb"))
+        .withColumn("mean_even_milli",
+          expr("case when na = 0 then null else sa div na end"))
+        .withColumn("mean_odd_milli",
+          expr("case when nb = 0 then null else sb div nb end"))
+        .withColumn("var_even_milli2",
+          expr("case when na = 0 then null else (na * qa - sa * sa) div na div na end"))
+        .withColumn("var_odd_milli2",
+          expr("case when nb = 0 then null else (nb * qb - sb * sb) div nb div nb end"))
+        .withColumn("shift_milli", abs(col("mean_even_milli") - col("mean_odd_milli")))
+        .select("dim", "na", "nb", "mean_even_milli", "mean_odd_milli",
+          "var_even_milli2", "var_odd_milli2", "shift_milli")
+        .orderBy("dim")
+    }),
+
     // E5/E9 DECISION STUMP — the one-split classifier sweep that
     // feature-importance screens and boosting weak learners are built
     // from: for each of the leading 8 dims, scan 7 fixed milli
@@ -2612,6 +2650,35 @@ object VectorOps {
     "q_embed_cov" -> embedCovOracle,
 
     "q_pca_power" -> pcaPowerOracle,
+
+    "q_embed_drift" ->
+      """WITH base AS (
+        |  SELECT (label % 2 = 0) AS even, CAST(p.i + 1 AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(embedding[p.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i) p),
+        |agg AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN even THEN v END) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN even THEN v * v END) AS BIGINT) AS qa,
+        |    CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN NOT even THEN v END) AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN NOT even THEN v * v END) AS BIGINT) AS qb
+        |  FROM base GROUP BY dim),
+        |m AS (
+        |  SELECT dim, na, nb,
+        |    CASE WHEN na = 0 THEN NULL ELSE sa // na END AS mean_even_milli,
+        |    CASE WHEN nb = 0 THEN NULL ELSE sb // nb END AS mean_odd_milli,
+        |    CASE WHEN na = 0 THEN NULL
+        |         ELSE (na * qa - sa * sa) // na // na END AS var_even_milli2,
+        |    CASE WHEN nb = 0 THEN NULL
+        |         ELSE (nb * qb - sb * sb) // nb // nb END AS var_odd_milli2
+        |  FROM agg)
+        |SELECT dim, na, nb, mean_even_milli, mean_odd_milli,
+        |  var_even_milli2, var_odd_milli2,
+        |  ABS(mean_even_milli - mean_odd_milli) AS shift_milli
+        |FROM m ORDER BY dim""".stripMargin,
 
     "q_mrl_recall" ->
       (s"""WITH ex AS ($cosineTopkOracle),
