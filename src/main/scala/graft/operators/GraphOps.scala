@@ -456,6 +456,35 @@ object GraphOps {
         .orderBy("csize")
     }),
 
+    // E3 DEDUP SAVINGS — the business-case table for the whole dedup
+    // family: per source, documents and characters before vs after
+    // min-id survivorship (the q_dedup_survivors policy: a doc
+    // survives iff it IS its component's label), and the storage/
+    // compute share dedup reclaims in ppm. Rides the memoized cluster
+    // labels; one join + one O(sources) hash-agg. The all-empty-
+    // source denominator is NULL-guarded on both engines.
+    "q_dedup_savings" -> ((s, d) => {
+      val cc = clusters(s, d)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .join(cc, col("doc_id") === col("node"))
+        .withColumn("kept", (col("doc_id") === col("comp")).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_before"),
+          sum(col("kept").cast("long")).as("docs_after"),
+          sum("n_chars").as("chars_before"),
+          sum(expr("case when kept = 1 then n_chars else 0 end"))
+            .as("chars_after"))
+        .withColumn("savings_ppm", expr(
+          """case when chars_before = 0 then null
+            |else (chars_before - chars_after) * 1000000 div chars_before
+            |end""".stripMargin))
+        .select("source", "docs_before", "docs_after", "chars_before",
+          "chars_after", "savings_ppm")
+        .orderBy("source")
+    }),
+
     // E3 SURVIVOR-BY-QUALITY — the alternative survivorship policy:
     // instead of the min-id representative (q_dedup_survivors), keep
     // each cluster's LONGEST document (n_chars, the quality proxy the
@@ -1196,6 +1225,24 @@ object GraphOps {
         |SELECT csize, COUNT(*) AS n_clusters,
         |  CAST(csize * COUNT(*) AS BIGINT) AS n_docs
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin),
+
+    "q_dedup_savings" -> (ccPrelude +
+      """,
+        |j AS (
+        |  SELECT d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |    CASE WHEN d.doc_id = c.comp THEN 1 ELSE 0 END AS kept
+        |  FROM documents d JOIN cc c ON c.node = d.doc_id)
+        |SELECT source, COUNT(*) AS docs_before,
+        |  CAST(SUM(kept) AS BIGINT) AS docs_after,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+        |  CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_after,
+        |  CASE WHEN CAST(SUM(n_chars) AS BIGINT) = 0 THEN NULL
+        |       ELSE (CAST(SUM(n_chars) AS BIGINT)
+        |             - CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+        |               AS BIGINT)) * 1000000 // CAST(SUM(n_chars) AS BIGINT)
+        |  END AS savings_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
 
     "q_dedup_density" -> (ccPrelude +
       """,

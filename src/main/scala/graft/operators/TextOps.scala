@@ -1471,6 +1471,69 @@ object TextOps {
         .withColumn("bucket", substring(col("fingerprint"), 1, 8))
         .orderBy("doc_id")),
 
+    // E3 LSH BAND TUNING — the S-curve design table behind the
+    // banding choice: for band counts b ∈ {2, 4, 8} over the SAME
+    // 8-permutation MinHash signatures (rows-per-band r = 8/b),
+    // candidate volume, precision and recall against exact global
+    // Jaccard ≥ 0.5 truth. b=4/r=2 is what q_minhash_lsh ships; this
+    // is the measurement that says whether to trade candidates for
+    // recall at the next scale-up. Signatures via the shared
+    // [[minhashSigsFromTokens]] (the q_minhash_est lockstep rule);
+    // every band bucket is hard-capped at 64 members (hot-bucket
+    // rule — r=1 buckets on a template-heavy corpus are exactly the
+    // runaway case); the truth leg is the UNBLOCKED prefix-filtered
+    // pair pipeline (constant blocking key → the PPJoin sparse path,
+    // the live path at 100 TB).
+    "q_lsh_tuning" -> ((s, d) => {
+      val sig = minhashSigsFromTokens(tokens(documents(s, d)))
+        .localCheckpoint() // three band configs ride one signature build
+      val cands = Seq(2, 4, 8).map { nb =>
+        val r = 8 / nb
+        val bandCols = (0 until nb).map(i =>
+          struct(lit(i).as("band_id"),
+            md5(concat_ws("|",
+              (0 until r).map(j => col(s"h${i * r + j}")): _*)).as("band_key")))
+        val bands = sig.select(col("doc_id"),
+            explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band_id"), col("bb.band_key"))
+        val wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        val capped = bands.withColumn("rnk", row_number().over(wb))
+          .filter(col("rnk") <= 64)
+        val a = capped.select(col("band_id"), col("band_key"),
+          col("doc_id").as("d1"))
+        val b2 = capped.select(col("band_id"), col("band_key"),
+          col("doc_id").as("d2"))
+        a.join(b2, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2")).distinct()
+          .select(lit(nb.toLong).as("n_bands"), col("d1"), col("d2"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val truth = tokenJaccardPairs(
+          documents(s, d).select(lit("all").as("source"), col("doc_id"),
+            array_distinct(wordsOf).as("toks")),
+          threshold = 0.5)
+        .select(col("d1").as("t1"), col("d2").as("t2"))
+        .localCheckpoint() // consumed by the hit join AND the count
+      val base = s.createDataset(Seq(2L, 4L, 8L))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("n_bands")
+      val nCand = cands.groupBy("n_bands").agg(count(lit(1)).as("n_candidates"))
+      val nHits = cands.join(truth,
+          col("d1") === col("t1") && col("d2") === col("t2"), "left_semi")
+        .groupBy("n_bands").agg(count(lit(1)).as("n_hits"))
+      base.join(nCand, Seq("n_bands"), "left")
+        .join(nHits, Seq("n_bands"), "left")
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("rows_per_band", expr("8 div n_bands"))
+        .withColumn("precision_ppm", expr(
+          "case when n_candidates = 0 then null else n_hits * 1000000 div n_candidates end"))
+        .withColumn("recall_ppm", expr(
+          "case when n_truth = 0 then null else n_hits * 1000000 div n_truth end"))
+        .select("n_bands", "rows_per_band", "n_candidates", "n_hits", "n_truth",
+          "precision_ppm", "recall_ppm")
+        .orderBy("n_bands")
+    }),
+
     // E3 SIMHASH QUALITY EVAL — precision/recall of the simhash
     // blocking scheme (same source + 8-bit bucket, hamming ≤ 3 over
     // the full 16-bit fingerprint) against exact token-Jaccard ≥ 0.5
@@ -3594,6 +3657,67 @@ object TextOps {
          |sums AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
          |SELECT doc_id, $fp AS fingerprint, substring($fp, 1, 8) AS bucket
          |FROM sums ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lsh_tuning" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"MIN(md5('$i|' || token)) AS h$i").mkString(", ")
+      def bandsFor(b: Int): String = {
+        val r = 8 / b
+        (0 until b).map { i =>
+          val key = (0 until r).map(j => s"h${i * r + j}").mkString(" || '|' || ")
+          s"SELECT doc_id, $i AS band_id, md5($key) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+      }
+      val cfgCtes = Seq(2, 4, 8).map { b =>
+        s"""cap$b AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT doc_id, band_id, band_key,
+           |      row_number() OVER (PARTITION BY band_id, band_key
+           |                         ORDER BY doc_id) AS rnk
+           |    FROM (${bandsFor(b)})) WHERE rnk <= 64),
+           |cand$b AS MATERIALIZED (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM cap$b x JOIN cap$b y
+           |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+           |  WHERE x.doc_id < y.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val countRows = Seq(2, 4, 8).map { b =>
+        s"""SELECT $b AS n_bands,
+           |    (SELECT COUNT(*) FROM cand$b) AS n_candidates,
+           |    (SELECT COUNT(*) FROM cand$b c JOIN truth t
+           |       ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_hits""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |tok2 AS MATERIALIZED (SELECT * FROM tok WHERE token <> ''),
+         |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM tok2 GROUP BY doc_id),
+         |$cfgCtes,
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+         |truth AS MATERIALIZED (
+         |  SELECT i.d1, i.d2
+         |  FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |        FROM tok2 a JOIN tok2 b ON a.token = b.token
+         |        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+         |  JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
+         |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4)
+         |    >= 0.5),
+         |counts AS (
+         |  $countRows)
+         |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+         |  CAST(8 // n_bands AS BIGINT) AS rows_per_band,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |       ELSE CAST(n_hits AS BIGINT) * 1000000 // n_candidates
+         |  END AS precision_ppm,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |       ELSE CAST(n_hits AS BIGINT) * 1000000
+         |         // (SELECT COUNT(*) FROM truth)
+         |  END AS recall_ppm
+         |FROM counts ORDER BY n_bands""".stripMargin
     },
 
     "q_simhash_eval" -> {

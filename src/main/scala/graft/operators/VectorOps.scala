@@ -1395,6 +1395,27 @@ object VectorOps {
         .orderBy("dim")
     }),
 
+    // E4 ANISOTROPY REPORT — how much of the embedding variance the
+    // top principal component owns: λ_top / trace(C) in ppm, composing
+    // the catalog's own q_pca_power and q_embed_cov (referenced, not
+    // re-implemented — the q_ann_recall rule). Near-1e6 = the space
+    // has collapsed to a line and cosine similarity is meaningless;
+    // the go/no-go check before shipping any similarity index. Cost
+    // is the two referenced aggregates; the composition itself is
+    // arithmetic on one row, NULL-guarded on the zero-trace and
+    // NULL-λ degenerates.
+    "q_anisotropy" -> ((s, d) => {
+      val tr = queries("q_embed_cov")(s, d).filter(col("i") === col("j"))
+        .agg(sum("cov_milli2").as("trace_milli2"))
+      val lam = queries("q_pca_power")(s, d)
+        .agg(min("lambda_milli2").as("lambda_milli2"))
+      tr.crossJoin(lam)
+        .withColumn("anisotropy_ppm", expr(
+          """case when trace_milli2 <= 0 or lambda_milli2 is null then null
+            |else lambda_milli2 * 1000000 div trace_milli2 end""".stripMargin))
+        .select("trace_milli2", "lambda_milli2", "anisotropy_ppm")
+    }),
+
     // E4 EMBEDDING GROUP DRIFT — per-dimension two-sample shift report
     // between the even- and odd-label halves of the corpus: mean and
     // variance per group (integral milli / milli², the embed_cov
@@ -2650,6 +2671,18 @@ object VectorOps {
     "q_embed_cov" -> embedCovOracle,
 
     "q_pca_power" -> pcaPowerOracle,
+
+    "q_anisotropy" ->
+      (s"""WITH pca AS ($pcaPowerOracle),
+         |cov AS ($embedCovOracle),
+         |tr AS (SELECT CAST(SUM(cov_milli2) AS BIGINT) AS trace_milli2
+         |       FROM cov WHERE i = j),
+         |lm AS (SELECT MIN(lambda_milli2) AS lambda_milli2 FROM pca)
+         |SELECT tr.trace_milli2, lm.lambda_milli2,
+         |  CASE WHEN tr.trace_milli2 <= 0 OR lm.lambda_milli2 IS NULL THEN NULL
+         |       ELSE lm.lambda_milli2 * 1000000 // tr.trace_milli2
+         |  END AS anisotropy_ppm
+         |FROM tr, lm""".stripMargin),
 
     "q_embed_drift" ->
       """WITH base AS (

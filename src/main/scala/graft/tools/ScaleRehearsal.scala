@@ -239,6 +239,20 @@ object ScaleRehearsal {
     "q_ngram_novelty" -> Seq("documents"),
     "q_mrl_recall" -> Seq("embeddings"),
     "q_pca_power" -> Seq("embeddings"),
+    // round-8 batch-7. The vocabulary remap keeps per-copy near-dup
+    // pairs private, so q_simhash_eval's truth and candidate sets
+    // both scale ×N (buckets stay ≤64-capped) and q_dedup_density
+    // re-pays the cleared cluster-labels memo over ×N components of
+    // constant size; q_vocab_growth's type table scales ×N at
+    // constant per-bucket shares; q_price_index's (month, part)
+    // aggregate scales ×N parts at constant per-part volume (the
+    // lineitem recipe) with a ×N base-basket broadcast;
+    // q_embed_drift is a single O(dims) moment aggregate.
+    "q_simhash_eval" -> Seq("documents"),
+    "q_dedup_density" -> Seq("documents"),
+    "q_vocab_growth" -> Seq("documents"),
+    "q_price_index" -> Seq("lineitem"),
+    "q_embed_drift" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

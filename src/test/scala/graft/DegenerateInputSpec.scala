@@ -52,6 +52,18 @@ class DegenerateInputSpec extends SparkTestBase {
     spark.createDataFrame(
       spark.sparkContext.parallelize(evs, 1), evSchema)
       .write.parquet(s"$d/events.parquet")
+    // embeddings: CONSTANT vectors ⇒ the covariance matrix is all
+    // zeros ⇒ the power iteration collapses to the zero vector and
+    // its Rayleigh denominator Σx² = 0
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embs = (1L to 4L).map(i =>
+      Row(i, Seq.fill(64)(0.5f), (i % 2).toInt))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(embs, 1), embSchema)
+      .write.parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -102,5 +114,60 @@ class DegenerateInputSpec extends SparkTestBase {
       docSchema).write.parquet(s"$d/documents.parquet")
     val sparkRows = SparkEntry.queries("q_span_corruption")(spark, d).count()
     assert(sparkRows == 1200L, s"expected k = 24000/20 spans, got $sparkRows")
+  }
+
+  test("q_pca_power: all-zero covariance yields zero vector + NULL eigenvalue") {
+    val rows = SparkEntry.queries("q_pca_power")(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("eig_milli") == 0L),
+      "zero matrix must collapse the iterate to the zero vector")
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("lambda_milli2"))),
+      "Rayleigh quotient with zero denominator must be NULL, not a crash")
+  }
+
+  test("q_embed_drift: constant vectors yield zero variance and zero shift") {
+    val rows = SparkEntry.queries("q_embed_drift")(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("var_even_milli2") == 0L))
+    assert(rows.forall(_.getAs[Long]("shift_milli") == 0L))
+  }
+
+  test("q_kcore: all degrees < k peels to the empty graph in round 1 and stays there") {
+    val rows = SparkEntry.queries("q_kcore")(spark, dir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Long]("n_nodes") == 0L))
+    assert(rows.forall(_.getAs[Long]("n_edges") == 0L))
+  }
+
+  test("q_pack_efficiency: all-empty corpus NULL-guards both waste ratios") {
+    val d = java.nio.file.Files.createTempDirectory("graft_packdeg").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "   ", "en", "s", 3L), Row(2L, " ", "en", "s", 1L)), 1),
+      docSchema).write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q_pack_efficiency")(spark, d).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 0L)
+      assert(r.isNullAt(r.fieldIndex("waste_ppm")))
+      assert(r.isNullAt(r.fieldIndex("packed_waste_ppm")))
+    }
+  }
+
+  test("q_simhash_eval: identical doc pair is both candidate and truth — P = R = 1e6") {
+    val rows = SparkEntry.queries("q_simhash_eval")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // docs 1 and 2 are the identical "tok" document in the same source:
+    // hamming 0 ⇒ candidate; jaccard 1.0 ⇒ truth
+    assert(r.getAs[Long]("n_candidates") == 1L)
+    assert(r.getAs[Long]("n_truth") == 1L)
+    assert(r.getAs[Long]("n_hits") == 1L)
+    assert(r.getAs[Long]("precision_ppm") == 1000000L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
   }
 }

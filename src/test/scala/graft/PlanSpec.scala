@@ -612,6 +612,54 @@ class PlanSpec extends SparkTestBase {
       s"the length ladder needs no text column:\n${reads.mkString("\n")}")
   }
 
+  test("q_price_index: base basket broadcasts, lineitem scan prunes to 4 columns") {
+    val p = plan("q_price_index")
+    assert(p.contains("BroadcastHashJoin"),
+      "the base-month basket is dimension-sized and must broadcast")
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq.filter(_.contains("struct"))
+    assert(reads.nonEmpty)
+    assert(reads.forall(!_.contains("l_orderkey")),
+      s"the index needs only shipdate/partkey/quantity/extendedprice:\n${reads.mkString("\n")}")
+  }
+
+  test("q_mrl_recall: truncated probe rows broadcast against the corpus scan") {
+    val p = plan("q_mrl_recall")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤15 probe rows must broadcast; the corpus side never shuffles for scoring")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dsir_weights: both ≤256-row LM ratio tables broadcast to the token scan") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the feature-hashed ratio table is O(buckets) and must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_kcore: per-round peel is semi joins + hash aggs, never a nested loop on edges") {
+    // the per-round edge restriction executes eagerly inside each
+    // round's localCheckpoint, so the RETURNED frame's plan only shows
+    // the checkpointed summaries — pin the round dataflow directly
+    import org.apache.spark.sql.functions._
+    val edges = graft.sources.Tables.orders(spark, sf)
+      .select(pmod(col("o_custkey"), lit(600L)).as("a"),
+        pmod(col("o_orderkey"), lit(600L)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val surv = deg.filter(col("deg") >= 3).select("n")
+    val restricted = edges
+      .join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
+      .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
+    restricted.collect()
+    val p = restricted.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), "edge restriction must plan as semi joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // and the returned summary frame stays cartesian-free
+    assert(!plan("q_kcore").contains("CartesianProduct"))
+  }
+
   test("q_jpeg_decode: documents scan prunes to doc_id — payloads derive, text never read") {
     val p = plan("q_jpeg_decode")
     val reads = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
