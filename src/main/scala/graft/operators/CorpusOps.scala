@@ -942,6 +942,45 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // MIXTURE ENTROPY — what the √n temperature actually buys: Shannon
+    // entropy (micro-nats) and Pielou evenness of the source
+    // distribution under proportional weights vs under
+    // q_temperature_mix's √n weights, in one row. Evenness moving
+    // toward 1e6 is the point of temperature sampling; this is the
+    // metric that justifies (or refutes) the temperature choice
+    // before a training run commits to it. Each −p·ln p term is
+    // quantized to micro-nats BEFORE the sum (the naive_bayes bigint
+    // order-independence rule); the whole query is one O(sources)
+    // aggregate off one corpus-count scan. ln(S)=0 single-source
+    // degenerate NULL-guarded on both engines.
+    "q_mix_entropy" -> ((s, d) => {
+      val counts = documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val tot = broadcast(counts.agg(sum("n_docs").as("nn"),
+        sum("w").as("tw"), count(lit(1)).as("n_sources")))
+      counts.crossJoin(tot)
+        .select(col("n_sources"),
+          expr("""cast(round(-(cast(n_docs as double) / nn)
+                 * ln(cast(n_docs as double) / nn) * 1000000) as bigint)""")
+            .as("tb"),
+          expr("""cast(round(-(cast(w as double) / tw)
+                 * ln(cast(w as double) / tw) * 1000000) as bigint)""")
+            .as("ta"))
+        .groupBy("n_sources")
+        .agg(sum("tb").as("h_before_micro"), sum("ta").as("h_after_micro"))
+        .withColumn("ln_s_micro",
+          expr("cast(round(ln(cast(n_sources as double)) * 1000000) as bigint)"))
+        .withColumn("evenness_before_ppm", expr(
+          """case when ln_s_micro = 0 then null
+            |else h_before_micro * 1000000 div ln_s_micro end""".stripMargin))
+        .withColumn("evenness_after_ppm", expr(
+          """case when ln_s_micro = 0 then null
+            |else h_after_micro * 1000000 div ln_s_micro end""".stripMargin))
+        .select("n_sources", "h_before_micro", "h_after_micro", "ln_s_micro",
+          "evenness_before_ppm", "evenness_after_ppm")
+    }),
+
     // JENSEN-SHANNON DIVERGENCE — pairwise distance between sources'
     // token distributions (symmetric, bounded [0, ln 2] — the
     // distribution-drift complement of q_ks_drift's numeric test and
@@ -1713,6 +1752,35 @@ object CorpusOps {
         |       WHEN n_stop = 0 THEN 'drop:no_stopwords'
         |       ELSE 'keep' END AS verdict
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_mix_entropy" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+        |        CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n_sources
+        |        FROM counts),
+        |terms AS (
+        |  SELECT t.n_sources,
+        |    CAST(ROUND(-(CAST(n_docs AS DOUBLE) / nn)
+        |      * ln(CAST(n_docs AS DOUBLE) / nn) * 1000000) AS BIGINT) AS tb,
+        |    CAST(ROUND(-(CAST(w AS DOUBLE) / tw)
+        |      * ln(CAST(w AS DOUBLE) / tw) * 1000000) AS BIGINT) AS ta
+        |  FROM counts c CROSS JOIN tot t),
+        |h AS (SELECT n_sources, CAST(SUM(tb) AS BIGINT) AS h_before_micro,
+        |      CAST(SUM(ta) AS BIGINT) AS h_after_micro
+        |      FROM terms GROUP BY n_sources),
+        |f AS (SELECT *, CAST(ROUND(ln(CAST(n_sources AS DOUBLE)) * 1000000)
+        |        AS BIGINT) AS ln_s_micro FROM h)
+        |SELECT n_sources, h_before_micro, h_after_micro, ln_s_micro,
+        |  CASE WHEN ln_s_micro = 0 THEN NULL
+        |       ELSE h_before_micro * 1000000 // ln_s_micro
+        |  END AS evenness_before_ppm,
+        |  CASE WHEN ln_s_micro = 0 THEN NULL
+        |       ELSE h_after_micro * 1000000 // ln_s_micro
+        |  END AS evenness_after_ppm
+        |FROM f""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH c AS (

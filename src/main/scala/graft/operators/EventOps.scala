@@ -591,6 +591,45 @@ object EventOps {
         .orderBy("user_id", "session_id")
     }),
 
+    // E8 SESSION GAP TUNING — the design table behind q_sessionize's
+    // 30-minute constant: sessionize at gap ∈ {10, 30, 60} minutes
+    // and report session count, events/session, mean duration, and
+    // the single-event-session share per gap — the curve that says
+    // whether the gap is fragmenting real visits (high singleton
+    // share) or gluing separate ones (durations jump). ONE shuffle on
+    // (gap, user_id) over the ×3-exploded stream, then narrow window
+    // ops within partitions — the q_sessionize shape paid three times
+    // in one pass, never three passes.
+    "q_session_gap_sweep" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        .select(explode(array(lit(600L), lit(1800L), lit(3600L))).as("gap_s"),
+          col("user_id"), col("event_id"), col("ts"))
+      val byUser = Window.partitionBy("gap_s", "user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val epoch = floor(unix_timestamp(col("ts").cast("timestamp"))).cast("long")
+      ev.withColumn("ep", epoch)
+        .withColumn("prev", lag(col("ep"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("ep") - col("prev") >= col("gap_s"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("gap_s", "user_id", "session_id")
+        .agg(count(lit(1)).as("n_ev"), (max("ep") - min("ep")).as("dur_s"))
+        .groupBy("gap_s")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_ev").as("n_events"),
+          sum("dur_s").as("total_dur_s"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .withColumn("events_per_session_ppm",
+          expr("n_events * 1000000 div n_sessions"))
+        .withColumn("mean_dur_s", expr("total_dur_s div n_sessions"))
+        .withColumn("singleton_ppm", expr("n_singletons * 1000000 div n_sessions"))
+        .select("gap_s", "n_sessions", "n_events", "events_per_session_ppm",
+          "mean_dur_s", "n_singletons", "singleton_ppm")
+        .orderBy("gap_s")
+    }),
+
     // E8 SESSION PATH MINING: the top entry paths (first ≤3 event
     // types per 30-min-gap session) — the path-analysis complement to
     // the funnel. Same per-user sessionization as q_sessionize, then a
@@ -1917,6 +1956,43 @@ object EventOps {
         |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_gap_sweep" ->
+      """WITH ex AS (
+        |  SELECT g.gap_s, user_id, event_id, ts,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events
+        |  CROSS JOIN (SELECT CAST(unnest([600, 1800, 3600]) AS BIGINT) AS gap_s) g),
+        |lagged AS (
+        |  SELECT *, lag(ep) OVER (PARTITION BY gap_s, user_id
+        |                          ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM ex),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ep - prev >= gap_s
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY gap_s, user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM flagged),
+        |per AS (
+        |  SELECT gap_s, user_id, session_id, COUNT(*) AS n_ev,
+        |    MAX(ep) - MIN(ep) AS dur_s
+        |  FROM sess GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT gap_s, COUNT(*) AS n_sessions,
+        |    CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |    CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+        |    CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_singletons
+        |  FROM per GROUP BY gap_s)
+        |SELECT gap_s, n_sessions, n_events,
+        |  n_events * 1000000 // n_sessions AS events_per_session_ppm,
+        |  total_dur_s // n_sessions AS mean_dur_s,
+        |  n_singletons, n_singletons * 1000000 // n_sessions AS singleton_ppm
+        |FROM agg ORDER BY gap_s""".stripMargin,
 
     "q_acf" ->
       """WITH daily AS (

@@ -1474,16 +1474,18 @@ object TextOps {
     // E3 LSH BAND TUNING — the S-curve design table behind the
     // banding choice: for band counts b ∈ {2, 4, 8} over the SAME
     // 8-permutation MinHash signatures (rows-per-band r = 8/b),
-    // candidate volume, precision and recall against exact global
-    // Jaccard ≥ 0.5 truth. b=4/r=2 is what q_minhash_lsh ships; this
-    // is the measurement that says whether to trade candidates for
-    // recall at the next scale-up. Signatures via the shared
-    // [[minhashSigsFromTokens]] (the q_minhash_est lockstep rule);
-    // every band bucket is hard-capped at 64 members (hot-bucket
-    // rule — r=1 buckets on a template-heavy corpus are exactly the
-    // runaway case); the truth leg is the UNBLOCKED prefix-filtered
-    // pair pipeline (constant blocking key → the PPJoin sparse path,
-    // the live path at 100 TB).
+    // candidate volume, candidate PRECISION (every capped candidate
+    // pair is directly verified — candidates are bounded, so
+    // verification is a bounded join, never a corpus-pair pipeline)
+    // and RECALL against the 50-probe exact truth (the q_lsh_recall
+    // probe-bounding rule — an unblocked global truth measured 23 s
+    // at sf0.1; probe truth is the scale-stable estimator of the same
+    // curve). b=4/r=2 is what q_minhash_lsh ships. Signatures via the
+    // shared [[minhashSigsFromTokens]] (the q_minhash_est lockstep
+    // rule); every band bucket is hard-capped at 64 members
+    // (hot-bucket rule — r=1 buckets on a template-heavy corpus are
+    // exactly the runaway case). Jaccard ≥ 0.5 tests are the pure
+    // integer 2·inter ≥ union — no float anywhere in this query.
     "q_lsh_tuning" -> ((s, d) => {
       val sig = minhashSigsFromTokens(tokens(documents(s, d)))
         .localCheckpoint() // three band configs ride one signature build
@@ -1506,31 +1508,46 @@ object TextOps {
         a.join(b2, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2")).distinct()
           .select(lit(nb.toLong).as("n_bands"), col("d1"), col("d2"))
-      }.reduce(_ unionByName _).localCheckpoint()
-      val truth = tokenJaccardPairs(
-          documents(s, d).select(lit("all").as("source"), col("doc_id"),
-            array_distinct(wordsOf).as("toks")),
-          threshold = 0.5)
-        .select(col("d1").as("t1"), col("d2").as("t2"))
-        .localCheckpoint() // consumed by the hit join AND the count
+      }.reduce(_ unionByName _)
+      val toksets = documents(s, d)
+        .select(col("doc_id"), array_distinct(wordsOf).as("toks"))
+        .withColumn("sz", size(col("toks")).cast("long"))
+        .localCheckpoint() // feeds candidate verification + probe truth
+      val verified = cands
+        .join(toksets.select(col("doc_id").as("d1"), col("toks").as("t1"),
+          col("sz").as("sz1")), Seq("d1"))
+        .join(toksets.select(col("doc_id").as("d2"), col("toks").as("t2"),
+          col("sz").as("sz2")), Seq("d2"))
+        .withColumn("inter", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+        .withColumn("is_true",
+          (col("inter") * 2 >= col("sz1") + col("sz2") - col("inter")).cast("long"))
+        .select("n_bands", "d1", "d2", "is_true")
+        .localCheckpoint() // counts + probe-hit leg
+      val probes = toksets.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("p1"), col("toks").as("pt"), col("sz").as("psz"))
+      val truthN = toksets.join(broadcast(probes), col("doc_id") > col("p1"))
+        .withColumn("inter", size(array_intersect(col("pt"), col("toks"))).cast("long"))
+        .filter(col("inter") * 2 >= col("psz") + col("sz") - col("inter"))
+        .agg(count(lit(1)).as("probe_truth"))
       val base = s.createDataset(Seq(2L, 4L, 8L))(
         org.apache.spark.sql.Encoders.scalaLong).toDF("n_bands")
-      val nCand = cands.groupBy("n_bands").agg(count(lit(1)).as("n_candidates"))
-      val nHits = cands.join(truth,
-          col("d1") === col("t1") && col("d2") === col("t2"), "left_semi")
-        .groupBy("n_bands").agg(count(lit(1)).as("n_hits"))
-      base.join(nCand, Seq("n_bands"), "left")
-        .join(nHits, Seq("n_bands"), "left")
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      val perCfg = verified.groupBy("n_bands")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum("is_true").as("n_true_cand"),
+          sum(when(col("d1") < 50 && col("is_true") === 1, 1L).otherwise(0L))
+            .as("probe_hits"))
+      base.join(perCfg, Seq("n_bands"), "left")
+        .crossJoin(truthN)
         .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
-        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("n_true_cand", coalesce(col("n_true_cand"), lit(0L)))
+        .withColumn("probe_hits", coalesce(col("probe_hits"), lit(0L)))
         .withColumn("rows_per_band", expr("8 div n_bands"))
         .withColumn("precision_ppm", expr(
-          "case when n_candidates = 0 then null else n_hits * 1000000 div n_candidates end"))
+          "case when n_candidates = 0 then null else n_true_cand * 1000000 div n_candidates end"))
         .withColumn("recall_ppm", expr(
-          "case when n_truth = 0 then null else n_hits * 1000000 div n_truth end"))
-        .select("n_bands", "rows_per_band", "n_candidates", "n_hits", "n_truth",
-          "precision_ppm", "recall_ppm")
+          "case when probe_truth = 0 then null else probe_hits * 1000000 div probe_truth end"))
+        .select("n_bands", "rows_per_band", "n_candidates", "n_true_cand",
+          "probe_hits", "probe_truth", "precision_ppm", "recall_ppm")
         .orderBy("n_bands")
     }),
 
@@ -2691,6 +2708,44 @@ object TextOps {
                  end""").as("kappa_milli"))
     }),
 
+    // E5 McNEMAR PAIRED TEST — is labeler A actually better than
+    // labeler B on the same documents? The paired-classifier
+    // significance test every "new model beats old model" claim
+    // needs: discordant counts b (A right, B wrong) and c (A wrong,
+    // B right) against the lang ground truth, continuity-corrected
+    // χ²_milli = (|b−c|−1)²·1000 div (b+c) as ONE cross-multiplied
+    // bigint (the q_ab_srm convention — never round(double) a test
+    // statistic), NULL on the b+c=0 degenerate. Labelers are the
+    // exact q_annotation_agreement pair, so agreement and
+    // significance read the same predictions. One corpus scan folded
+    // to four counts.
+    "q_mcnemar" -> ((s, d) => {
+      val lab = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("la",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr").otherwise("und"))
+        .withColumn("cen", (size(split(col("text"), " the ")) - 1).cast("long"))
+        .withColumn("cde", (size(split(col("text"), " der ")) - 1).cast("long"))
+        .withColumn("cfr", (size(split(col("text"), " le ")) - 1).cast("long"))
+        .withColumn("lb",
+          when(col("cen") + col("cde") + col("cfr") === 0, "und")
+            .when(col("cen") >= col("cde") && col("cen") >= col("cfr"), "en")
+            .when(col("cde") >= col("cfr"), "de").otherwise("fr"))
+      lab.agg(count(lit(1)).as("n"),
+          sum(when(col("la") === col("lang") && col("lb") === col("lang"), 1L)
+            .otherwise(0L)).as("both_right"),
+          sum(when(col("la") === col("lang") && col("lb") =!= col("lang"), 1L)
+            .otherwise(0L)).as("a_only"),
+          sum(when(col("la") =!= col("lang") && col("lb") === col("lang"), 1L)
+            .otherwise(0L)).as("b_only"))
+        .withColumn("chi2_milli", expr(
+          """case when a_only + b_only = 0 then null
+            |else (abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+            |  * 1000 div (a_only + b_only) end""".stripMargin))
+        .select("n", "both_right", "a_only", "b_only", "chi2_milli")
+    }),
+
     // E5 ACTIVE-LEARNING MARGIN SAMPLING — the label-next queue: the 20
     // documents where the NB classifier is LEAST sure (smallest top-1 −
     // top-2 score margin, in the same integral ppm log-prob units as
@@ -3680,41 +3735,55 @@ object TextOps {
            |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
            |  FROM cap$b x JOIN cap$b y
            |    ON x.band_id = y.band_id AND x.band_key = y.band_key
-           |  WHERE x.doc_id < y.doc_id)""".stripMargin
+           |  WHERE x.doc_id < y.doc_id),
+           |ver$b AS MATERIALIZED (
+           |  SELECT c.d1, c.d2,
+           |    CASE WHEN 2 * COALESCE(iv.inter, 0)
+           |           >= s1.sz + s2.sz - COALESCE(iv.inter, 0)
+           |         THEN 1 ELSE 0 END AS is_true
+           |  FROM cand$b c
+           |  JOIN sizes s1 ON s1.doc_id = c.d1
+           |  JOIN sizes s2 ON s2.doc_id = c.d2
+           |  LEFT JOIN iv ON iv.d1 = c.d1 AND iv.d2 = c.d2)""".stripMargin
       }.mkString(",\n")
       val countRows = Seq(2, 4, 8).map { b =>
         s"""SELECT $b AS n_bands,
-           |    (SELECT COUNT(*) FROM cand$b) AS n_candidates,
-           |    (SELECT COUNT(*) FROM cand$b c JOIN truth t
-           |       ON t.d1 = c.d1 AND t.d2 = c.d2) AS n_hits""".stripMargin
+           |    (SELECT COUNT(*) FROM ver$b) AS n_candidates,
+           |    (SELECT CAST(COALESCE(SUM(is_true), 0) AS BIGINT) FROM ver$b)
+           |      AS n_true_cand,
+           |    (SELECT CAST(COALESCE(SUM(is_true), 0) AS BIGINT) FROM ver$b
+           |     WHERE d1 < 50) AS probe_hits""".stripMargin
       }.mkString("\n  UNION ALL ")
       s"""WITH tok AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
          |  FROM documents),
          |tok2 AS MATERIALIZED (SELECT * FROM tok WHERE token <> ''),
          |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM tok2 GROUP BY doc_id),
+         |sizes AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+         |iv AS MATERIALIZED (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         |  FROM tok2 a JOIN tok2 b ON a.token = b.token
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
          |$cfgCtes,
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
          |truth AS MATERIALIZED (
          |  SELECT i.d1, i.d2
-         |  FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-         |        FROM tok2 a JOIN tok2 b ON a.token = b.token
-         |        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+         |  FROM iv i
          |  JOIN sizes s1 ON i.d1 = s1.doc_id JOIN sizes s2 ON i.d2 = s2.doc_id
-         |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4)
-         |    >= 0.5),
+         |  WHERE i.d1 < 50 AND 2 * i.inter >= s1.sz + s2.sz - i.inter),
          |counts AS (
          |  $countRows)
          |SELECT CAST(n_bands AS BIGINT) AS n_bands,
          |  CAST(8 // n_bands AS BIGINT) AS rows_per_band,
          |  CAST(n_candidates AS BIGINT) AS n_candidates,
-         |  CAST(n_hits AS BIGINT) AS n_hits,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  CAST(n_true_cand AS BIGINT) AS n_true_cand,
+         |  CAST(probe_hits AS BIGINT) AS probe_hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS probe_truth,
          |  CASE WHEN n_candidates = 0 THEN NULL
-         |       ELSE CAST(n_hits AS BIGINT) * 1000000 // n_candidates
+         |       ELSE CAST(n_true_cand AS BIGINT) * 1000000 // n_candidates
          |  END AS precision_ppm,
          |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
-         |       ELSE CAST(n_hits AS BIGINT) * 1000000
+         |       ELSE CAST(probe_hits AS BIGINT) * 1000000
          |         // (SELECT COUNT(*) FROM truth)
          |  END AS recall_ppm
          |FROM counts ORDER BY n_bands""".stripMargin
@@ -4314,6 +4383,38 @@ object TextOps {
         |       ELSE (ag.agree * t.n - pe.pe_n2) * 1000 // (t.n * t.n - pe.pe_n2)
         |  END AS kappa_milli
         |FROM tot t, ag, pe""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH lab AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr' ELSE 'und' END AS la,
+        |    CAST(len(string_split(text, ' the ')) - 1 AS BIGINT) AS cen,
+        |    CAST(len(string_split(text, ' der ')) - 1 AS BIGINT) AS cde,
+        |    CAST(len(string_split(text, ' le ')) - 1 AS BIGINT) AS cfr
+        |  FROM documents),
+        |lab2 AS (
+        |  SELECT doc_id, lang, la,
+        |    CASE WHEN cen + cde + cfr = 0 THEN 'und'
+        |         WHEN cen >= cde AND cen >= cfr THEN 'en'
+        |         WHEN cde >= cfr THEN 'de' ELSE 'fr' END AS lb
+        |  FROM lab),
+        |agg AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN la = lang AND lb = lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_right,
+        |    CAST(SUM(CASE WHEN la = lang AND lb <> lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a_only,
+        |    CAST(SUM(CASE WHEN la <> lang AND lb = lang THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b_only
+        |  FROM lab2)
+        |SELECT n, both_right, a_only, b_only,
+        |  CASE WHEN a_only + b_only = 0 THEN NULL
+        |       ELSE (ABS(a_only - b_only) - 1) * (ABS(a_only - b_only) - 1)
+        |         * 1000 // (a_only + b_only)
+        |  END AS chi2_milli
+        |FROM agg""".stripMargin,
 
     "q_naive_bayes" -> (nbScoredCte +
       """,

@@ -389,6 +389,63 @@ object VectorOps {
         .orderBy("qid", "rank")
     }),
 
+    // E4 IVF PROBE TUNING — the nprobe sweep behind q_ivf_topk's
+    // single-cell constant: for nprobe ∈ {1, 2, 4} of 8 coarse cells,
+    // recall@3 against the memoized exact top-k AND the candidate
+    // count actually scanned — the recall-vs-cost curve every IVF
+    // deployment reads before fixing its probe width (the q_lsh_tuning
+    // analog for the embedding index). The corpus-side cell assignment
+    // is built ONCE and checkpointed; the three probe widths differ
+    // only in which ≤4 of 8 broadcast probe rows they keep, so ×3
+    // costs probe-join fan-out, never extra corpus scans.
+    "q_ivf_tuning" -> ((s, d) => {
+      val exact = cosineTopk(s, d)
+        .select(col("qid").as("eqid"), col("vid").as("evid"))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", normFast(col("v")))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("nc"))
+      val assign = emb.join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("sim", dotFast(col("v"), col("cv")) / (col("nv") * col("nc")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nv"))
+        .localCheckpoint() // shared by all three probe widths
+      val qranks = emb.filter(col("vec_id") < 5)
+        .join(broadcast(cents), col("vec_id") =!= lit(-1))
+        .withColumn("sim", dotFast(col("v"), col("cv")) / (col("nv") * col("nc")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)))
+        .select(col("vec_id").as("qid"), col("cid").as("cell"), col("crank"),
+          col("v").as("qv"), col("nv").as("nq"))
+      val probes = qranks
+        .withColumn("np", explode(array(lit(1L), lit(2L), lit(4L))))
+        .filter(col("crank") <= col("np"))
+      val scored = assign.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", dotFast(col("qv"), col("v")) / (col("nq") * col("nv")))
+        .select("np", "qid", "vec_id", "score")
+        .localCheckpoint() // feeds the rank leg AND the scanned count
+      val top3 = scored.withColumn("rank", row_number().over(
+          Window.partitionBy("np", "qid").orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("np"), col("qid"), col("vec_id").as("vid"))
+      val hits = top3.join(exact,
+          col("qid") === col("eqid") && col("vid") === col("evid"), "left_semi")
+        .groupBy("np", "qid").agg(count(lit(1)).as("hits"))
+      val scanned = scored.groupBy("np", "qid").agg(count(lit(1)).as("n_scanned"))
+      probes.select("np", "qid").distinct()
+        .join(scanned, Seq("np", "qid"), "left")
+        .join(hits, Seq("np", "qid"), "left")
+        .select(col("np"), col("qid"),
+          coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_micro", expr("hits * 1000000 div 3"))
+        .orderBy("np", "qid")
+    }),
+
     // E2 approx distinct count (HLL++). Implementation-specific values →
     // no DuckDB oracle (driver records rows-only check); quantitative
     // gate instead: RandomizedPropertySpec bounds relative error ≤ 3×rsd
@@ -2490,6 +2547,64 @@ object VectorOps {
     },
 
     "q_ivf_topk" -> ivfTopkOracle,
+
+    "q_ivf_tuning" ->
+      (s"""WITH ex AS ($cosineTopkOracle),
+         |temb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tn AS (
+         |  SELECT vec_id, v,
+         |    sqrt((SELECT SUM(v[g.i] * v[g.i]) FROM generate_series(1, 64) g(i)))
+         |      AS nv
+         |  FROM temb),
+         |tcents AS (SELECT vec_id AS cid, v AS cv, nv AS nc FROM tn
+         |           WHERE vec_id < 8),
+         |tsims AS (
+         |  SELECT tn.vec_id, c.cid,
+         |    (SELECT SUM(tn.v[g.i] * c.cv[g.i]) FROM generate_series(1, 64) g(i))
+         |      / (tn.nv * c.nc) AS sim
+         |  FROM tn, tcents c),
+         |tassign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, cid ASC) AS rn
+         |    FROM tsims) WHERE rn = 1),
+         |tqranks AS (
+         |  SELECT vec_id AS qid, cid AS cell, crank FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, cid ASC) AS crank
+         |    FROM tsims WHERE vec_id < 5)),
+         |tprobes AS (
+         |  SELECT l.np, q.qid, q.cell FROM tqranks q
+         |  CROSS JOIN (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np) l
+         |  WHERE q.crank <= l.np),
+         |tscored AS (
+         |  SELECT p.np, p.qid, a.vec_id AS vid,
+         |    (SELECT SUM(qn.v[g.i] * vn.v[g.i])
+         |     FROM generate_series(1, 64) g(i)) / (qn.nv * vn.nv) AS score
+         |  FROM tprobes p JOIN tassign a ON a.cell = p.cell
+         |  JOIN tn qn ON qn.vec_id = p.qid JOIN tn vn ON vn.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.qid),
+         |ttop3 AS (
+         |  SELECT np, qid, vid FROM (
+         |    SELECT np, qid, vid,
+         |      row_number() OVER (PARTITION BY np, qid
+         |                         ORDER BY score DESC, vid ASC) AS rank
+         |    FROM tscored) WHERE rank <= 3),
+         |thits AS (
+         |  SELECT t.np, t.qid, COUNT(*) AS hits FROM ttop3 t
+         |  JOIN ex ON ex.qid = t.qid AND ex.vid = t.vid GROUP BY 1, 2),
+         |tscanned AS (SELECT np, qid, COUNT(*) AS n_scanned FROM tscored
+         |             GROUP BY 1, 2)
+         |SELECT k.np, k.qid,
+         |  CAST(COALESCE(s.n_scanned, 0) AS BIGINT) AS n_scanned,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000 // 3 AS recall_micro
+         |FROM (SELECT DISTINCT np, qid FROM tprobes) k
+         |LEFT JOIN tscanned s ON s.np = k.np AND s.qid = k.qid
+         |LEFT JOIN thits h ON h.np = k.np AND h.qid = k.qid
+         |ORDER BY k.np, k.qid""".stripMargin),
 
     "q_embed_near_dup" ->
       """WITH emb AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -253,6 +253,15 @@ object ScaleRehearsal {
     "q_vocab_growth" -> Seq("documents"),
     "q_price_index" -> Seq("lineitem"),
     "q_embed_drift" -> Seq("embeddings"),
+    // round-8 batch-8. q_lsh_tuning pays one ×N signature build +
+    // three ≤64-capped band configs + the unblocked prefix-filtered
+    // truth (linear in true pairs, the simhash_eval contract);
+    // q_dedup_savings re-pays the cluster-labels memo then one
+    // O(sources) hash-agg; q_anisotropy composes the two referenced
+    // O(dims²) aggregates — corpus cost is two embed_cov scans.
+    "q_lsh_tuning" -> Seq("documents"),
+    "q_dedup_savings" -> Seq("documents"),
+    "q_anisotropy" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their
