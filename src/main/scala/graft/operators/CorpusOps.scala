@@ -1148,7 +1148,46 @@ object CorpusOps {
         .withColumn("est_ppm", expr("(8 * n_yes - n) * 1000000 div (6 * n)"))
         .withColumn("abs_err_ppm", abs(col("est_ppm") - col("actual_ppm")))
         .select("n", "n_true", "n_yes", "actual_ppm", "est_ppm", "abs_err_ppm")
-    }))
+    }),
+
+    // DP HISTOGRAM (geometric mechanism) — per-source document counts
+    // released under the discrete-Laplace/geometric mechanism with
+    // p = 1/2 (ε = ln 2): P(Z = z) = (1/3)·2^{−|z|}, the central-DP
+    // companion to q_randomized_response's local mechanism. The noise
+    // draw is EXACT inverse-CDF on a deterministic md5 uniform — every
+    // threshold is a dyadic rational over the 3·2²⁰ lattice (see
+    // [[dlapCase]], shared verbatim with the oracle), so no engine
+    // ever touches a float; tails beyond |z| = 8 (mass 2⁻¹⁸) fold to
+    // 0. Truthful n, noise, clamped release, and per-source L1 error
+    // in one O(sources) aggregate over a single corpus scan.
+    "q_dp_histogram" -> ((s, d) =>
+      documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp|"), col("source"))), 1, 8), 16, 10)
+            .cast("long") % 3145728)
+        .withColumn("noise", expr(dlapCase).cast("long"))
+        .withColumn("noisy_n", greatest(col("n_docs") + col("noise"), lit(0L)))
+        .withColumn("abs_err", abs(col("noisy_n") - col("n_docs")))
+        .select("source", "n_docs", "noise", "noisy_n", "abs_err")
+        .orderBy("source")))
+
+  /** Exact inverse-CDF of the two-sided geometric distribution with
+    * p = 1/2 over a uniform u ∈ [0, 3·2²⁰): P(0) = 1/3 (the first
+    * 2²⁰ lattice points), then ±k alternating with width 2^{20−k}
+    * each for k = 1..8; the 2¹³-point residue returns 0. One CASE
+    * string, generated once and shared by the Spark expr AND the
+    * DuckDB oracle so the thresholds cannot drift. */
+  private lazy val dlapCase: String = {
+    val buf = new StringBuilder("case when u < 1048576 then 0")
+    var c = 1048576L
+    for (k <- 1 to 8) {
+      val w = 1048576L >> k
+      c += w; buf ++= s" when u < $c then $k"
+      c += w; buf ++= s" when u < $c then -$k"
+    }
+    buf ++= " else 0 end"
+    buf.toString
+  }
 
   val oracle: Map[String, String] = Map(
     "q_crossval_folds" ->
@@ -1929,5 +1968,18 @@ object CorpusOps {
         |  (8 * n_yes - n) * 1000000 // (6 * n) AS est_ppm,
         |  abs((8 * n_yes - n) * 1000000 // (6 * n) - n_true * 1000000 // n)
         |    AS abs_err_ppm
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+
+    "q_dp_histogram" ->
+      s"""WITH src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |h AS (
+         |  SELECT source, n_docs,
+         |    CAST(('0x' || substr(md5('dp|' || source), 1, 8)) AS BIGINT)
+         |      % 3145728 AS u
+         |  FROM src),
+         |n AS (SELECT source, n_docs, CAST($dlapCase AS BIGINT) AS noise FROM h)
+         |SELECT source, n_docs, noise,
+         |  GREATEST(n_docs + noise, 0) AS noisy_n,
+         |  abs(GREATEST(n_docs + noise, 0) - n_docs) AS abs_err
+         |FROM n ORDER BY source""".stripMargin)
 }

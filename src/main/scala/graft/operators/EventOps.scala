@@ -1495,6 +1495,216 @@ object EventOps {
         .withColumn("stickiness_ppm", expr("dau * 1000000 div wau"))
         .select("day", "week", "dau", "wau", "stickiness_ppm")
         .orderBy("day")
+    }),
+
+    // THEIL–SEN ROBUST TREND — the median of all pairwise slopes of
+    // the daily purchase-count series: the robust alternative to
+    // q_regr_trend's OLS line (a single outlier day moves OLS but not
+    // the pairwise median; breakdown point 29%). Slopes in integral
+    // micro-units/day (truncating div — Spark `div` and DuckDB `//`
+    // both truncate toward zero, verified on negative slopes); the
+    // median is the exact rank-selected element (odd n) or the floor
+    // mean of the two middle elements (even n), never a double
+    // percentile. Scale: the pair set is O(days²) of the CALENDAR —
+    // bounded by the observation window, not the event volume (the
+    // q_markov_stationary convention) — so the single-partition rank
+    // window holds a few thousand rows at any SF; raw events fold to
+    // O(days) in one map-side-combined hash-agg first.
+    "q_theil_sen" -> ((s, d) => {
+      val daily = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // O(days) rows; feeds the self-join twice
+      val later = daily.select(col("day").as("d2"), col("y").as("y2"))
+      val slopes = daily.join(later, col("d2") > col("day"))
+        .select(col("day").as("d1"), col("d2"),
+          expr("(y2 - y) * 1000000 div (d2 - d1)").as("slope_micro"))
+      val ranked = slopes.withColumn("rk", row_number().over(
+        Window.orderBy(col("slope_micro"), col("d1"), col("d2"))))
+      val stats = broadcast(slopes.agg(count(lit(1)).as("n_pairs"),
+        min(col("slope_micro")).as("min_slope_micro"),
+        max(col("slope_micro")).as("max_slope_micro")))
+      ranked.crossJoin(stats)
+        .filter(expr("rk = (n_pairs + 1) div 2 or rk = n_pairs div 2 + 1"))
+        .groupBy("n_pairs", "min_slope_micro", "max_slope_micro")
+        .agg(expr("sum(slope_micro) div count(1)").as("median_slope_micro"))
+        .select("n_pairs", "median_slope_micro", "min_slope_micro",
+          "max_slope_micro")
+    }),
+
+    // BRADLEY–TERRY PREFERENCE STRENGTHS — the model behind every
+    // RLHF preference dataset and ranked-eval leaderboard: pairwise
+    // comparisons (event types competing on same-user-same-day spend)
+    // fold to a win matrix, then 3 fixed MM rounds
+    // π_i ← W_i / Σ_j n_ij/(π_i+π_j) solve for latent strengths.
+    // Entirely integral: strengths live in micro-units, each MM term
+    // n_ij·10¹² div (π_i+π_j) is floored identically on both engines
+    // before the sum (the quantize-before-sum rule), so the fixed-
+    // round values are bit-identical. Scale: raw events fold once to
+    // O(users·days·types) daily spend, the comparison join is keyed
+    // on (user, day) — co-partitioned, never a cross — and everything
+    // after lives on the O(types²) win matrix (≤ tens of rows, the
+    // q_pagerank iterate shape with broadcast-sized state).
+    "q_bradley_terry" -> ((s, d) => {
+      val dayv = events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(cents(col("value"))).as("v"))
+      val rhs = dayv.select(col("user_id"), col("day"),
+        col("event_type").as("tb"), col("v").as("vb"))
+      val comp = dayv.select(col("user_id"), col("day"),
+          col("event_type").as("ta"), col("v").as("va"))
+        .join(rhs, Seq("user_id", "day"))
+        .filter(col("ta") < col("tb") && col("va") =!= col("vb"))
+        .groupBy("ta", "tb")
+        .agg(sum(when(col("va") > col("vb"), 1L).otherwise(0L)).as("wa"),
+          sum(when(col("vb") > col("va"), 1L).otherwise(0L)).as("wb"))
+        .localCheckpoint() // O(types²) rows; feeds wins + 3 MM rounds
+      val edges = comp.select(col("ta").as("i"), col("tb").as("j"),
+          (col("wa") + col("wb")).as("nij"))
+        .union(comp.select(col("tb").as("i"), col("ta").as("j"),
+          (col("wa") + col("wb")).as("nij")))
+      val wins = comp.select(col("ta").as("i"), col("wa").as("w"))
+        .union(comp.select(col("tb").as("i"), col("wb").as("w")))
+        .groupBy("i").agg(sum("w").as("w"))
+      var pi = wins.select(col("i"), lit(1000000L).as("pi"))
+      for (_ <- 1 to 3) {
+        val pj = pi.select(col("i").as("j"), col("pi").as("pj"))
+        val den = edges.join(pi, "i").join(pj, "j")
+          .select(col("i"),
+            expr("nij * 1000000000000 div (pi + pj)").as("term"))
+          .groupBy("i").agg(sum("term").as("den"))
+        pi = wins.join(den, "i")
+          // greatest(den,1): a type with zero wins drives π to 0; the
+          // guard keeps the degenerate fixpoint division-safe
+          .select(col("i"),
+            expr("w * 1000000000000 div greatest(den, 1)").as("pi"))
+      }
+      wins.join(pi, "i")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pi").desc, col("i"))).cast("long"))
+        .select(col("i").as("event_type"), col("w").as("wins"),
+          col("pi").as("pi_micro"), col("rank"))
+        .orderBy("rank")
+    }),
+
+    // UCB1 BANDIT SCOREBOARD — the explore/exploit readout an
+    // experimentation platform serves next-allocation decisions from:
+    // four policy arms (user_id mod 4), reward = purchase, score =
+    // empirical mean + sqrt(2·ln N / n_i) exploration bonus. The mean
+    // is exact integral milli; the bonus is the one sanctioned double
+    // (sqrt∘ln, rounded to milli — the q_naive_bayes quantize-at-the-
+    // boundary rule; IEEE sqrt is exact and the ln quantization is the
+    // proven-green convention). One map-side-combined hash-agg to
+    // O(arms) rows; everything after is broadcast arithmetic.
+    "q_ucb_arms" -> ((s, d) => {
+      val arms = events(s, d)
+        .groupBy(pmod(col("user_id"), lit(4L)).as("arm"))
+        .agg(count(lit(1)).as("n_pulls"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_rewards"))
+      val tot = broadcast(arms.agg(sum("n_pulls").as("big_n")))
+      arms.crossJoin(tot)
+        .withColumn("mean_milli", expr("n_rewards * 1000 div n_pulls"))
+        .withColumn("bonus_milli", expr(
+          "cast(round(sqrt(2 * ln(cast(big_n as double)) / n_pulls) * 1000) as bigint)"))
+        .withColumn("ucb_milli", col("mean_milli") + col("bonus_milli"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("ucb_milli").desc, col("arm").asc)).cast("long"))
+        .select("arm", "n_pulls", "n_rewards", "mean_milli", "bonus_milli",
+          "ucb_milli", "rank")
+        .orderBy("arm")
+    }),
+
+    // PROPENSITY-SCORE MATCHING — the ATT estimator q_propensity's
+    // weighting view doesn't give: each treated user (odd user_id)
+    // matched to its nearest control by purchase-rate score within a
+    // ±25-milli caliper, then the average treated-minus-control spend
+    // gap over matched pairs. Scale: matching is a BUCKETED candidate
+    // join (score div 25, each treated probing its own and the two
+    // adjacent buckets) — fan-out is bounded by the caliper, never
+    // treated×control — and the nearest-pick window partitions per
+    // treated user. No all-users sort, no single-partition window.
+    "q_psm_match" -> ((s, d) => {
+      val users = events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          sum((col("event_type") === "purchase").cast("long")).as("n_buy"),
+          sum(when(col("event_type") === "purchase", cents(col("value")))
+            .otherwise(0L)).as("spend_c"))
+        .withColumn("score_milli", expr("n_buy * 1000 div n_ev"))
+        .withColumn("bucket", expr("score_milli div 25"))
+        .localCheckpoint() // feeds both sides of the match + the count
+      val treated = users.filter(pmod(col("user_id"), lit(2L)) === 1)
+        .select(col("user_id").as("uid_t"), col("score_milli").as("score_t"),
+          col("spend_c").as("spend_t"), col("bucket"))
+      val control = users.filter(pmod(col("user_id"), lit(2L)) === 0)
+        .select(col("user_id").as("uid_c"), col("score_milli").as("score_c"),
+          col("spend_c").as("spend_ctl"), col("bucket").as("bucket_c"))
+      val nt = broadcast(treated.agg(count(lit(1)).as("n_treated")))
+      val best = treated
+        .withColumn("nb", explode(array(col("bucket") - 1, col("bucket"),
+          col("bucket") + 1)))
+        .join(control, col("nb") === col("bucket_c"))
+        .withColumn("gap", abs(col("score_t") - col("score_c")))
+        .filter(col("gap") <= 25)
+        .withColumn("rn", row_number().over(Window.partitionBy("uid_t")
+          .orderBy(col("gap").asc, col("uid_c").asc)))
+        .filter(col("rn") === 1)
+      best.agg(count(lit(1)).as("n_matched"),
+          sum(col("spend_t") - col("spend_ctl")).as("sum_diff_c"),
+          sum("gap").as("sum_gap"))
+        .crossJoin(nt)
+        .select(col("n_treated"), col("n_matched"),
+          expr("case when n_matched = 0 then null else sum_diff_c div n_matched end")
+            .as("att_cents"),
+          expr("case when n_matched = 0 then null else sum_gap div n_matched end")
+            .as("mean_gap_milli"))
+    }),
+
+    // GRANGER-STYLE LEAD TEST — does yesterday's CLICK series improve
+    // the prediction of today's PURCHASES beyond purchases' own
+    // history? SSR of the restricted AR(1) fit vs the full lag-1
+    // bivariate fit, both in closed form over centered integral sums
+    // (deviations from the floor-mean, the q_xcorr convention), the
+    // single division per SSR floored identically on both engines.
+    // The directional companion to q_xcorr's symmetric lag scan.
+    // Scale: one hash-agg to the calendar-bounded daily series, one
+    // day-keyed lag join, one 7-sum aggregate — O(days) everything;
+    // deviation magnitudes are bounded by daily counts (pre-scale the
+    // series before squaring if a deployment's daily volumes push the
+    // quartic products toward 2⁶³).
+    "q_granger" -> ((s, d) => {
+      val daily = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      val m = broadcast(daily.agg(expr("sum(x) div count(1)").as("mx"),
+        expr("sum(y) div count(1)").as("my")))
+      val dev = daily.crossJoin(m)
+        .select(col("day"), (col("x") - col("mx")).as("dx"),
+          (col("y") - col("my")).as("dy"))
+      val prev = dev.select((col("day") + 1).as("day"),
+        col("dx").as("v"), col("dy").as("u"))
+      dev.select(col("day"), col("dy").as("w")).join(prev, "day")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("w * w")).as("sww"), sum(expr("u * u")).as("suu"),
+          sum(expr("v * v")).as("svv"), sum(expr("u * w")).as("suw"),
+          sum(expr("v * w")).as("svw"), sum(expr("u * v")).as("suv"))
+        .withColumn("ssr_restricted", expr(
+          "case when suu = 0 then null else sww - suw * suw div suu end"))
+        .withColumn("det", expr("suu * svv - suv * suv"))
+        .withColumn("ssr_full", expr(
+          """case when det = 0 then null
+            |else sww - (suw * suw * svv + svw * svw * suu
+            |            - 2 * suw * svw * suv) div det end""".stripMargin))
+        .withColumn("improvement_ppm", expr(
+          """case when ssr_restricted is null or ssr_full is null
+            |       or ssr_restricted <= 0 then null
+            |else (ssr_restricted - ssr_full) * 1000000 div ssr_restricted
+            |end""".stripMargin))
+        .select("n_pairs", "ssr_restricted", "ssr_full", "improvement_ppm")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2524,5 +2734,174 @@ object EventOps {
         |  SELECT week, COUNT(DISTINCT user_id) AS wau FROM e GROUP BY 1)
         |SELECT d.day, d.week, d.dau, w.wau,
         |  d.dau * 1000000 // w.wau AS stickiness_ppm
-        |FROM dau d JOIN wau w ON d.week = w.week ORDER BY d.day""".stripMargin)
+        |FROM dau d JOIN wau w ON d.week = w.week ORDER BY d.day""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    COUNT(*) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (
+        |  SELECT a.day AS d1, b.day AS d2,
+        |    (b.y - a.y) * 1000000 // (b.day - a.day) AS slope_micro
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |r AS (
+        |  SELECT slope_micro,
+        |    ROW_NUMBER() OVER (ORDER BY slope_micro, d1, d2) AS rk
+        |  FROM p),
+        |n AS (SELECT COUNT(*) AS n_pairs,
+        |        CAST(MIN(slope_micro) AS BIGINT) AS min_slope_micro,
+        |        CAST(MAX(slope_micro) AS BIGINT) AS max_slope_micro
+        |      FROM p)
+        |SELECT n.n_pairs,
+        |  CAST(SUM(r.slope_micro) // COUNT(*) AS BIGINT) AS median_slope_micro,
+        |  n.min_slope_micro, n.max_slope_micro
+        |FROM r, n
+        |WHERE r.rk = (n.n_pairs + 1) // 2 OR r.rk = n.n_pairs // 2 + 1
+        |GROUP BY n.n_pairs, n.min_slope_micro, n.max_slope_micro""".stripMargin,
+
+    "q_bradley_terry" -> bradleyTerryOracle,
+
+    "q_ucb_arms" ->
+      """WITH arms AS (
+        |  SELECT user_id % 4 AS arm, COUNT(*) AS n_pulls,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rewards
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS big_n FROM arms),
+        |sc AS (
+        |  SELECT a.arm, a.n_pulls, a.n_rewards,
+        |    a.n_rewards * 1000 // a.n_pulls AS mean_milli,
+        |    CAST(ROUND(sqrt(2 * ln(CAST(t.big_n AS DOUBLE)) / a.n_pulls) * 1000)
+        |      AS BIGINT) AS bonus_milli
+        |  FROM arms a, tot t)
+        |SELECT arm, n_pulls, n_rewards, mean_milli, bonus_milli,
+        |  mean_milli + bonus_milli AS ucb_milli,
+        |  ROW_NUMBER() OVER (ORDER BY mean_milli + bonus_milli DESC, arm ASC)
+        |    AS rank
+        |FROM sc ORDER BY arm""".stripMargin,
+
+    "q_psm_match" ->
+      """WITH users AS (
+        |  SELECT user_id, COUNT(*) AS n_ev,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_buy,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS spend_c
+        |  FROM events GROUP BY user_id),
+        |scored AS (
+        |  SELECT user_id, spend_c,
+        |    n_buy * 1000 // n_ev AS score_milli,
+        |    (n_buy * 1000 // n_ev) // 25 AS bucket
+        |  FROM users),
+        |t AS (SELECT user_id AS uid_t, score_milli AS score_t,
+        |        spend_c AS spend_t, bucket
+        |      FROM scored WHERE user_id % 2 = 1),
+        |c AS (SELECT user_id AS uid_c, score_milli AS score_c,
+        |        spend_c AS spend_ctl, bucket AS bucket_c
+        |      FROM scored WHERE user_id % 2 = 0),
+        |nt AS (SELECT COUNT(*) AS n_treated FROM t),
+        |cand AS (
+        |  SELECT t.uid_t, t.spend_t, c.uid_c, c.spend_ctl,
+        |    abs(t.score_t - c.score_c) AS gap
+        |  FROM t CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) o
+        |  JOIN c ON c.bucket_c = t.bucket + o.o
+        |  WHERE abs(t.score_t - c.score_c) <= 25),
+        |best AS (
+        |  SELECT uid_t, spend_t, uid_c, spend_ctl, gap FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY uid_t
+        |                ORDER BY gap ASC, uid_c ASC) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_matched,
+        |    CAST(SUM(spend_t - spend_ctl) AS BIGINT) AS sum_diff_c,
+        |    CAST(SUM(gap) AS BIGINT) AS sum_gap
+        |  FROM best)
+        |SELECT nt.n_treated, a.n_matched,
+        |  CASE WHEN a.n_matched = 0 THEN NULL
+        |       ELSE a.sum_diff_c // a.n_matched END AS att_cents,
+        |  CASE WHEN a.n_matched = 0 THEN NULL
+        |       ELSE a.sum_gap // a.n_matched END AS mean_gap_milli
+        |FROM agg a, nt""".stripMargin,
+
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |m AS (SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS mx,
+        |        CAST(SUM(y) AS BIGINT) // COUNT(*) AS my FROM daily),
+        |dev AS (SELECT day, x - m.mx AS dx, y - m.my AS dy FROM daily, m),
+        |tri AS (
+        |  SELECT a.dy AS w, b.dy AS u, b.dx AS v
+        |  FROM dev a JOIN dev b ON a.day = b.day + 1),
+        |s AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    CAST(SUM(w * w) AS BIGINT) AS sww, CAST(SUM(u * u) AS BIGINT) AS suu,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv, CAST(SUM(u * w) AS BIGINT) AS suw,
+        |    CAST(SUM(v * w) AS BIGINT) AS svw, CAST(SUM(u * v) AS BIGINT) AS suv
+        |  FROM tri),
+        |f AS (
+        |  SELECT n_pairs,
+        |    CASE WHEN suu = 0 THEN NULL
+        |         ELSE sww - suw * suw // suu END AS ssr_restricted,
+        |    CASE WHEN suu * svv - suv * suv = 0 THEN NULL
+        |         ELSE sww - (suw * suw * svv + svw * svw * suu
+        |                     - 2 * suw * svw * suv)
+        |           // (suu * svv - suv * suv) END AS ssr_full
+        |  FROM s)
+        |SELECT n_pairs, ssr_restricted, ssr_full,
+        |  CASE WHEN ssr_restricted IS NULL OR ssr_full IS NULL
+        |         OR ssr_restricted <= 0 THEN NULL
+        |       ELSE (ssr_restricted - ssr_full) * 1000000 // ssr_restricted
+        |  END AS improvement_ppm
+        |FROM f""".stripMargin)
+
+  /** 3 unrolled Bradley–Terry MM rounds — lockstep with the Spark
+    * loop above (same micro-unit init, same per-term floor before the
+    * sum, same greatest(den,1) zero-win guard). */
+  private lazy val bradleyTerryOracle: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS (
+         |  SELECT e.i,
+         |    CAST(SUM(e.nij * 1000000000000 // (pa.pi + pb.pi)) AS BIGINT) AS den
+         |  FROM edges e JOIN p${k - 1} pa ON pa.i = e.i
+         |    JOIN p${k - 1} pb ON pb.i = e.j
+         |  GROUP BY e.i),
+         |p$k AS (
+         |  SELECT w.i,
+         |    CAST(w.w * 1000000000000 // GREATEST(d.den, 1) AS BIGINT) AS pi
+         |  FROM wins w JOIN d$k d ON d.i = w.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dayv AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+       |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+       |comp AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb,
+       |    CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+       |    CAST(SUM(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS wb
+       |  FROM dayv a JOIN dayv b
+       |    ON a.user_id = b.user_id AND a.day = b.day
+       |    AND a.event_type < b.event_type
+       |  WHERE a.v <> b.v
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT ta AS i, tb AS j, wa + wb AS nij FROM comp
+       |  UNION ALL SELECT tb, ta, wa + wb FROM comp),
+       |wins AS (
+       |  SELECT i, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT ta AS i, wa AS w FROM comp
+       |    UNION ALL SELECT tb, wb FROM comp) u GROUP BY i),
+       |p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM wins),
+       |$rounds
+       |SELECT w.i AS event_type, w.w AS wins, p.pi AS pi_micro,
+       |  ROW_NUMBER() OVER (ORDER BY p.pi DESC, w.i) AS rank
+       |FROM wins w JOIN p3 p ON p.i = w.i
+       |ORDER BY rank""".stripMargin
+  }
 }

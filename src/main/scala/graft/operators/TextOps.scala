@@ -2830,6 +2830,123 @@ object TextOps {
         .select(col("qid"), col("rank").cast("long").as("rank"),
           col("doc_id").as("cand"), col("n_match"), col("recall_ppm"))
         .orderBy("qid", "rank")
+    }),
+
+    // E5 FLEISS' KAPPA — inter-annotator agreement generalized to
+    // THREE raters (Cohen's κ, q_annotation_agreement, stops at two):
+    // the q_lang_id contains-priority labeler, the marker-count
+    // argmax, and a third earliest-marker-position labeler vote per
+    // document; κ measures agreement above chance across the panel.
+    // Entirely integral via the overflow-safe ppm form: per-item
+    // Σn_ij(n_ij−1) folds to po_ppm, category marginals quantize to
+    // ppm SHARES before squaring (so nothing ever squares a corpus-
+    // sized count — safe at any N, unlike the raw (Nr)² form), and
+    // κ_milli cross-multiplies with the q_annotation_agreement
+    // degenerate NULL guard. One corpus scan → O(docs·4) label
+    // explode → two tiny hash-aggs.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val lab = documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("a",
+          when(col("text").contains(" the "), "en")
+            .when(col("text").contains(" der "), "de")
+            .when(col("text").contains(" le "), "fr").otherwise("und"))
+        .withColumn("cen", (size(split(col("text"), " the ")) - 1).cast("long"))
+        .withColumn("cde", (size(split(col("text"), " der ")) - 1).cast("long"))
+        .withColumn("cfr", (size(split(col("text"), " le ")) - 1).cast("long"))
+        .withColumn("b",
+          when(col("cen") + col("cde") + col("cfr") === 0, "und")
+            .when(col("cen") >= col("cde") && col("cen") >= col("cfr"), "en")
+            .when(col("cde") >= col("cfr"), "de").otherwise("fr"))
+        .withColumn("pen", instr(col("text"), " the ").cast("long"))
+        .withColumn("pde", instr(col("text"), " der ").cast("long"))
+        .withColumn("pfr", instr(col("text"), " le ").cast("long"))
+        .withColumn("c",
+          when(col("pen") + col("pde") + col("pfr") === 0, "und")
+            .when(col("pen") > 0 &&
+              (col("pde") === 0 || col("pen") <= col("pde")) &&
+              (col("pfr") === 0 || col("pen") <= col("pfr")), "en")
+            .when(col("pde") > 0 &&
+              (col("pfr") === 0 || col("pde") <= col("pfr")), "de")
+            .otherwise("fr"))
+      val nij = lab.select(col("doc_id"),
+          explode(array(col("a"), col("b"), col("c"))).as("cat"))
+        .groupBy("doc_id", "cat").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // O(docs·cats) rows; feeds both aggregates
+      // T = N·r (3 votes/doc); P_o numerator Σ n_ij(n_ij−1) over
+      // N·r·(r−1) = 2T; category shares quantized to ppm pre-square.
+      val tot = nij.agg(sum("nij").as("t"),
+        sum(expr("nij * (nij - 1)")).as("a2"))
+      val pe = nij.groupBy("cat").agg(sum("nij").as("cj"))
+        .crossJoin(broadcast(tot.select("t")))
+        .agg(sum(expr("(cj * 1000000 div t) * (cj * 1000000 div t)")).as("s2"))
+        .select(expr("s2 div 1000000").as("pe_ppm"))
+      broadcast(tot).crossJoin(broadcast(pe))
+        .select(expr("t div 3").as("n_items"),
+          expr("a2 * 1000000 div (2 * t)").as("po_ppm"),
+          col("pe_ppm"),
+          expr("""case when pe_ppm = 1000000 then null
+                 else (a2 * 1000000 div (2 * t) - pe_ppm) * 1000
+                   div (1000000 - pe_ppm) end""").as("kappa_milli"))
+    }),
+
+    // E5 TERM BURSTINESS (Church–Gale) — content words BURST (many
+    // occurrences concentrated in few documents: cf/df ≫ 1) while
+    // function words spread evenly (cf/df ≈ 1): the corpus statistic
+    // behind stopword induction and topical-keyword screens, and the
+    // complement of q_zipf_fit's rank view. Pure integer: burst_ppm =
+    // cf·10⁶ div df plus the max single-doc count as the concentration
+    // witness; df ≥ 5 floor keeps hapax noise out, global top-30 by
+    // burstiness. One explode → (token, doc) hash-agg → token
+    // hash-agg; the top-30 plans as TakeOrdered, never a full sort.
+    "q_burstiness" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(wordsOf).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("m"))
+        .groupBy("token").agg(sum("m").as("cf"), count(lit(1)).as("df"),
+          max("m").as("max_in_doc"))
+        .filter(col("df") >= 5)
+        .withColumn("burst_ppm", expr("cf * 1000000 div df"))
+        .orderBy(col("burst_ppm").desc, col("token").asc)
+        .limit(30)
+        .select("token", "cf", "df", "max_in_doc", "burst_ppm")),
+
+    // E5 SELF-BLEU DIVERSITY — the mode-collapse alarm for generated
+    // or scraped corpora: for each probe document, what share of its
+    // distinct bigrams also appears in ANOTHER document of the same
+    // source? High self-BLEU = the source repeats itself (template
+    // farms, boilerplate mills); low = genuine diversity. The inverse
+    // view of q_rouge_overlap (which FINDS the overlapping pairs).
+    // Scale: probe-bounded (the ≤-10-probe-docs convention) — the
+    // corpus-side bigram stream is FILTERED by the broadcast probe
+    // bigram set before its distinct/agg, so the index is
+    // O(probe-bigrams), never corpus-sized, and coverage needs only
+    // n_docs ≥ 2 (the probe itself accounts for the first).
+    "q_self_bleu" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(lower(text), ' '), x -> x != '')").as("a"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """case when size(a) >= 2
+            |then transform(sequence(1, size(a) - 1),
+            |               i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))
+            |else cast(array() as array<string>) end""".stripMargin)).as("bigram"))
+        .distinct()
+        .localCheckpoint() // feeds probes AND the filtered corpus index
+      val probes = bg.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("source"), col("bigram"))
+      val pset = probes.select("source", "bigram").distinct()
+      val idx = bg.join(broadcast(pset), Seq("source", "bigram"))
+        .groupBy("source", "bigram").agg(count(lit(1)).as("n_docs"))
+      val nq = probes.groupBy("qid", "source").agg(count(lit(1)).as("n_bigrams"))
+      val cov = probes
+        .join(broadcast(idx.filter(col("n_docs") >= 2)), Seq("source", "bigram"))
+        .groupBy("qid", "source").agg(count(lit(1)).as("n_covered"))
+      nq.join(cov, Seq("qid", "source"), "left")
+        .select(col("qid").as("doc_id"), col("source"), col("n_bigrams"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          expr("coalesce(n_covered, CAST(0 AS BIGINT)) * 1000000 div n_bigrams")
+            .as("self_bleu_ppm"))
+        .orderBy("doc_id")
     }))
 
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
@@ -4573,7 +4690,94 @@ object TextOps {
         |    row_number() OVER (PARTITION BY qid
         |                       ORDER BY recall_ppm DESC, doc_id ASC) AS rank
         |  FROM scored)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_fleiss_kappa" ->
+      """WITH lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text LIKE '% the %' THEN 'en'
+        |         WHEN text LIKE '% der %' THEN 'de'
+        |         WHEN text LIKE '% le %' THEN 'fr' ELSE 'und' END AS a,
+        |    CAST(len(string_split(text, ' the ')) - 1 AS BIGINT) AS cen,
+        |    CAST(len(string_split(text, ' der ')) - 1 AS BIGINT) AS cde,
+        |    CAST(len(string_split(text, ' le ')) - 1 AS BIGINT) AS cfr,
+        |    CAST(strpos(text, ' the ') AS BIGINT) AS pen,
+        |    CAST(strpos(text, ' der ') AS BIGINT) AS pde,
+        |    CAST(strpos(text, ' le ') AS BIGINT) AS pfr
+        |  FROM documents),
+        |lab2 AS (
+        |  SELECT doc_id, a,
+        |    CASE WHEN cen + cde + cfr = 0 THEN 'und'
+        |         WHEN cen >= cde AND cen >= cfr THEN 'en'
+        |         WHEN cde >= cfr THEN 'de' ELSE 'fr' END AS b,
+        |    CASE WHEN pen + pde + pfr = 0 THEN 'und'
+        |         WHEN pen > 0 AND (pde = 0 OR pen <= pde)
+        |           AND (pfr = 0 OR pen <= pfr) THEN 'en'
+        |         WHEN pde > 0 AND (pfr = 0 OR pde <= pfr) THEN 'de'
+        |         ELSE 'fr' END AS c
+        |  FROM lab),
+        |v AS (SELECT doc_id, unnest([a, b, c]) AS cat FROM lab2),
+        |nij AS (SELECT doc_id, cat, COUNT(*) AS nij FROM v GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS t,
+        |          CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a2 FROM nij),
+        |pe AS (
+        |  SELECT CAST(SUM((m.cj * 1000000 // t.t) * (m.cj * 1000000 // t.t))
+        |           // 1000000 AS BIGINT) AS pe_ppm
+        |  FROM (SELECT cat, CAST(SUM(nij) AS BIGINT) AS cj
+        |        FROM nij GROUP BY cat) m, tot t)
+        |SELECT t.t // 3 AS n_items,
+        |  t.a2 * 1000000 // (2 * t.t) AS po_ppm,
+        |  pe.pe_ppm,
+        |  CASE WHEN pe.pe_ppm = 1000000 THEN NULL
+        |       ELSE (t.a2 * 1000000 // (2 * t.t) - pe.pe_ppm) * 1000
+        |         // (1000000 - pe.pe_ppm)
+        |  END AS kappa_milli
+        |FROM tot t, pe""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)
+        |  WHERE t <> ''),
+        |m AS (SELECT token, doc_id, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT token, CAST(SUM(m) AS BIGINT) AS cf, COUNT(*) AS df,
+        |    CAST(MAX(m) AS BIGINT) AS max_in_doc
+        |  FROM m GROUP BY token HAVING COUNT(*) >= 5)
+        |SELECT token, cf, df, max_in_doc, cf * 1000000 // df AS burst_ppm
+        |FROM agg ORDER BY burst_ppm DESC, token LIMIT 30""".stripMargin,
+
+    "q_self_bleu" ->
+      """WITH arr AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+        |  FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(a)),
+        |                          i -> a[i] || ' ' || a[i + 1])) AS bigram
+        |  FROM arr),
+        |probes AS (
+        |  SELECT doc_id AS qid, source, bigram FROM bg WHERE doc_id < 10),
+        |idx AS (
+        |  SELECT b.source, b.bigram, COUNT(*) AS n_docs
+        |  FROM bg b JOIN (SELECT DISTINCT source, bigram FROM probes) p
+        |    ON b.source = p.source AND b.bigram = p.bigram
+        |  GROUP BY 1, 2),
+        |nq AS (SELECT qid, source, COUNT(*) AS n_bigrams
+        |       FROM probes GROUP BY 1, 2),
+        |cov AS (
+        |  SELECT p.qid, p.source, COUNT(*) AS n_covered
+        |  FROM probes p JOIN idx i
+        |    ON i.source = p.source AND i.bigram = p.bigram AND i.n_docs >= 2
+        |  GROUP BY 1, 2)
+        |SELECT n.qid AS doc_id, n.source, n.n_bigrams,
+        |  CAST(COALESCE(c.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(COALESCE(c.n_covered, 0) * 1000000 // n.n_bigrams AS BIGINT)
+        |    AS self_bleu_ppm
+        |FROM nq n LEFT JOIN cov c ON c.qid = n.qid AND c.source = n.source
+        |ORDER BY doc_id""".stripMargin)
 
   /** The NB train-and-score pipeline as DuckDB CTEs ending with
     * `scored` (doc_id, source, cs, score) — shared by the confusion

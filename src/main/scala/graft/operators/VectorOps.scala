@@ -1747,6 +1747,45 @@ object VectorOps {
           col("label").cast("long").as("pred_label"), col("n_votes"),
           (col("qlab") === col("label")).as("hit"))
         .orderBy("qid")
+    }),
+
+    // E4 MAXSIM LATE INTERACTION (ColBERT-style) — multi-vector
+    // retrieval scoring: each embedding splits into 4×16-dim
+    // subvectors (the q_pq_codes subspace framing reused as a
+    // multi-vector surrogate), and score(q, doc) =
+    // Σ_{query sub} max_{doc sub} ⟨·,·⟩ — each query subvector finds
+    // its best-matching doc subvector, unlike single-vector cosine
+    // which forces one global alignment. Deliberately UNNORMALIZED
+    // (the q_hits convention): components micro-quantize once, every
+    // dot/max/sum after that is exact bigint — no sqrt anywhere.
+    // Scale: probe-bounded (≤3 query vectors broadcast as 192
+    // components); the corpus-side fan-out is a fixed 16 subvector
+    // pairs per doc, folded by two hash-aggs; top-5 per probe plans
+    // as TakeOrdered inside each qid partition, never a global sort.
+    "q_maxsim" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), expr("pos div 16").as("m"),
+          expr("pos % 16").as("r"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val probes = dims.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("m").as("mq"), col("r").as("qr"),
+          col("qv").as("qqv"))
+      val pairdot = dims
+        .join(broadcast(probes),
+          col("r") === col("qr") && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"), col("mq"), col("m").as("md"))
+        .agg(sum(expr("qv * qqv")).as("dot_u2"))
+      val scored = pairdot.groupBy("qid", "vec_id", "mq")
+        .agg(max("dot_u2").as("best"))
+        .groupBy("qid", "vec_id").agg(sum("best").as("maxsim_micro2"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("maxsim_micro2").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("vid"),
+          col("maxsim_micro2"))
+        .orderBy("qid", "rank")
     }))
 
   /** The q_kmeans two-Lloyd-round pipeline as DuckDB CTEs ending with
@@ -3036,7 +3075,33 @@ object VectorOps {
         |SELECT qid, CAST(qlab AS BIGINT) AS true_label,
         |  CAST(label AS BIGINT) AS pred_label, n_votes,
         |  qlab = label AS hit
-        |FROM win WHERE vr = 1 ORDER BY qid""".stripMargin)
+        |FROM win WHERE vr = 1 ORDER BY qid""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH dims AS (
+        |  SELECT vec_id, CAST(d - 1 AS BIGINT) AS pos,
+        |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+        |dd AS (SELECT vec_id, pos // 16 AS m, pos % 16 AS r, qv FROM dims),
+        |probes AS (
+        |  SELECT vec_id AS qid, m AS mq, r, qv AS qqv FROM dd WHERE vec_id < 3),
+        |pd AS (
+        |  SELECT p.qid, e.vec_id, p.mq, e.m AS md,
+        |    CAST(SUM(e.qv * p.qqv) AS BIGINT) AS dot_u2
+        |  FROM dd e JOIN probes p ON e.r = p.r AND e.vec_id <> p.qid
+        |  GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT qid, vec_id, mq, CAST(MAX(dot_u2) AS BIGINT) AS best
+        |       FROM pd GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, vec_id, CAST(SUM(best) AS BIGINT) AS maxsim_micro2
+        |       FROM mx GROUP BY 1, 2)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS vid, maxsim_micro2
+        |FROM (SELECT qid, vec_id, maxsim_micro2,
+        |        row_number() OVER (PARTITION BY qid
+        |                           ORDER BY maxsim_micro2 DESC, vec_id ASC)
+        |          AS rank
+        |      FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
 
   /** The q_hll_distinct register-rebuild estimator as a scalar
     * subquery over a CTE named `src` holding DISTINCT h60 hashes —

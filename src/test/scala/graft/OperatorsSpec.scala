@@ -1541,4 +1541,274 @@ class OperatorsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_theil_sen: median slope matches an exact Scala recompute of all pairs") {
+    val (nPairs, median, mn, mx) =
+      graft.operators.EventOps.queries("q_theil_sen")(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().head
+    val daily = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("y")).as[(Long, Long)].collect().sortBy(_._1)
+    val slopes = (for {
+      Array((d1, y1), (d2, y2)) <- daily.combinations(2)
+    } yield (y2 - y1) * 1000000L / (d2 - d1)).toArray.sorted
+    assert(nPairs === slopes.length.toLong)
+    assert(mn === slopes.head && mx === slopes.last)
+    val n = slopes.length
+    val expected =
+      if (n % 2 == 1) slopes(n / 2)
+      else {
+        val s = slopes(n / 2 - 1) + slopes(n / 2)
+        // floor mean of the two middle elements, truncating like `div`
+        if (s >= 0) s / 2 else -((-s) / 2)
+      }
+    assert(median === expected, s"median $median != recompute $expected")
+  }
+
+  test("q_bradley_terry: MM fixpoint matches an exact Scala replay of 3 rounds") {
+    val rows = graft.operators.EventOps.queries("q_bradley_terry")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sorted.sameElements(1L to rows.length))
+    // replay: trust Spark for the daily-spend aggregation (plain
+    // groupBy), replay the comparison fold + 3 MM rounds exactly
+    val dayv = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(graft.functions.Scalars.cents(col("value"))).as("v"))
+      .as[(Long, java.sql.Date, String, Long)].collect()
+    val comp = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    dayv.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      for (a <- g; b <- g if a._3 < b._3 && a._4 != b._4) {
+        val k = (a._3, b._3)
+        val (wa, wb) = comp.getOrElse(k, (0L, 0L))
+        comp(k) = if (a._4 > b._4) (wa + 1, wb) else (wa, wb + 1)
+      }
+    }
+    val edges = comp.toSeq.flatMap { case ((i, j), (wa, wb)) =>
+      Seq((i, j, wa + wb), (j, i, wa + wb)) }
+    val wins = comp.toSeq.flatMap { case ((i, j), (wa, wb)) =>
+      Seq(i -> wa, j -> wb) }.groupMapReduce(_._1)(_._2)(_ + _)
+    var pi = wins.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val den = edges.groupMapReduce(_._1)(e =>
+        e._3 * 1000000000000L / (pi(e._1) + pi(e._2)))(_ + _)
+      pi = wins.map { case (i, w) =>
+        i -> w * 1000000000000L / math.max(den(i), 1L) }
+    }
+    rows.foreach { case (t, w, p, _) =>
+      assert(w === wins(t), s"$t wins")
+      assert(p === pi(t), s"$t pi: query $p vs replay ${pi(t)}")
+    }
+  }
+
+  test("q_fleiss_kappa: kappa matches an exact Scala recompute of the 3-rater panel") {
+    val (nItems, po, pe, kappa) =
+      graft.operators.TextOps.queries("q_fleiss_kappa")(spark, sf)
+        .as[(Long, Long, Long, Option[Long])].collect().head
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(nItems === docs.length.toLong)
+    // split-based counts (non-overlapping, like Spark split / DuckDB
+    // string_split), NOT sliding-window occurrence counts
+    def markers(t: String) = Seq(" the " -> "en", " der " -> "de", " le " -> "fr")
+      .map { case (m, l) =>
+        (l, t.split(java.util.regex.Pattern.quote(m), -1).length - 1L,
+          t.indexOf(m) + 1L) }
+    val votes = docs.flatMap { case (_, t) =>
+      val m = markers(t)
+      val a = if (t.contains(" the ")) "en"
+        else if (t.contains(" der ")) "de"
+        else if (t.contains(" le ")) "fr" else "und"
+      val b = if (m.map(_._2).sum == 0) "und"
+        else m.maxBy { case (l, c, _) => (c, -Seq("en", "de", "fr").indexOf(l)) }._1
+      val present = m.filter(_._3 > 0)
+      val c = if (present.isEmpty) "und"
+        else present.minBy { case (l, _, p) => (p, Seq("en", "de", "fr").indexOf(l)) }._1
+      Seq(a, b, c)
+    }
+    val t = votes.length.toLong
+    val perItem = docs.indices.map(i => votes.slice(3 * i, 3 * i + 3)
+      .groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum)
+    val a2 = perItem.sum
+    val poExp = a2 * 1000000L / (2 * t)
+    val peExp = votes.groupBy(identity).values
+      .map(g => { val s = g.length.toLong * 1000000L / t; s * s }).sum / 1000000L
+    assert(po === poExp && pe === peExp)
+    val kExp = if (peExp == 1000000L) None
+      else Some((poExp - peExp) * 1000L / (1000000L - peExp))
+    assert(kappa === kExp)
+    assert(kappa.forall(_ <= 1000L))
+  }
+
+  test("q_burstiness: invariants — cf bounds, df floor, descending order") {
+    val rows = graft.operators.TextOps.queries("q_burstiness")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (tok, cf, df, mx, burst) =>
+      assert(df >= 5, s"$tok df floor")
+      assert(cf >= df && mx <= cf && cf <= df * mx,
+        s"$tok count bounds violated: cf=$cf df=$df max=$mx")
+      assert(burst === cf * 1000000L / df)
+      assert(burst >= 1000000L, "a term occurs at least once per containing doc")
+    }
+    assert(rows.map(r => (-r._5, r._1)).sameElements(
+      rows.map(r => (-r._5, r._1)).sorted), "sorted by burstiness desc, token asc")
+  }
+
+  test("q_ucb_arms: scores match an exact recompute; bonus shrinks with pulls") {
+    val rows = graft.operators.EventOps.queries("q_ucb_arms")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bigN = rows.map(_._2).sum
+    rows.foreach { case (arm, n, r, mean, bonus, ucb, _) =>
+      assert(mean === r * 1000L / n, s"arm $arm mean")
+      assert(bonus === math.round(math.sqrt(2 * math.log(bigN.toDouble) / n) * 1000),
+        s"arm $arm bonus")
+      assert(ucb === mean + bonus)
+    }
+    assert(rows.map(_._7).sorted.sameElements(1L to rows.length))
+    // more pulls, smaller exploration bonus
+    rows.sortBy(_._2).map(_._5).sliding(2).foreach {
+      case Array(b1, b2) => assert(b1 >= b2)
+      case _ => ()
+    }
+  }
+
+  test("q_psm_match: ATT matches a brute-force nearest-control matching") {
+    val (nT, nM, att, gap) =
+      graft.operators.EventOps.queries("q_psm_match")(spark, sf)
+        .as[(Long, Long, Option[Long], Option[Long])].collect().head
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_buy"),
+        sum(when(col("event_type") === "purchase",
+          graft.functions.Scalars.cents(col("value"))).otherwise(0L)).as("spend"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, n, b, sp) => (u, b * 1000 / n, sp) }
+    val treated = users.filter(_._1 % 2 == 1)
+    val control = users.filter(_._1 % 2 == 0)
+    assert(nT === treated.length.toLong)
+    val matches = treated.flatMap { case (ut, st, spt) =>
+      val cands = control.map { case (uc, sc, spc) => (math.abs(st - sc), uc, spc) }
+        .filter(_._1 <= 25)
+      if (cands.isEmpty) None else Some {
+        val (g, _, spc) = cands.min
+        (g, spt - spc)
+      }
+    }
+    assert(nM === matches.length.toLong)
+    if (matches.nonEmpty) {
+      assert(att.get === matches.map(_._2).sum / matches.length)
+      assert(gap.get === matches.map(_._1).sum / matches.length)
+    } else assert(att.isEmpty && gap.isEmpty)
+  }
+
+  test("q_granger: SSRs match an exact closed-form recompute; full model never fits worse") {
+    val (n, ssrR, ssrF, imp) =
+      graft.operators.EventOps.queries("q_granger")(spark, sf)
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect().head
+    val daily = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val mx = daily.map(_._2).sum / daily.length
+    val my = daily.map(_._3).sum / daily.length
+    val dev = daily.map { case (d, x, y) => (d, x - mx, y - my) }
+    val byDay = dev.map(t => t._1 -> t).toMap
+    val tri = dev.flatMap { case (d, _, w) =>
+      byDay.get(d - 1).map { case (_, v, u) => (w, u, v) } }
+    assert(n === tri.length.toLong)
+    val (sww, suu, svv) = (tri.map(t => t._1 * t._1).sum,
+      tri.map(t => t._2 * t._2).sum, tri.map(t => t._3 * t._3).sum)
+    val (suw, svw, suv) = (tri.map(t => t._2 * t._1).sum,
+      tri.map(t => t._3 * t._1).sum, tri.map(t => t._2 * t._3).sum)
+    val expR = if (suu == 0) None else Some(sww - suw * suw / suu)
+    val det = suu * svv - suv * suv
+    val expF = if (det == 0) None
+      else Some(sww - (suw * suw * svv + svw * svw * suu - 2 * suw * svw * suv) / det)
+    assert(ssrR === expR && ssrF === expF)
+    for (r <- ssrR; f <- ssrF) {
+      // full model can only reduce SSR (up to ±1 floor-division noise)
+      assert(f <= r + 1, s"full SSR $f above restricted $r")
+      if (r > 0) assert(imp.get === (r - f) * 1000000L / r)
+    }
+  }
+
+  test("q_dp_histogram: noise replays from the hash lattice, release is clamped") {
+    val rows = graft.operators.CorpusOps.queries("q_dp_histogram")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (src, n, noise, noisy, err) =>
+      val hex = md.digest(s"dp|$src".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16) % 3145728L
+      // inverse-CDF replay of the dyadic lattice
+      var (c, z) = (1048576L, 0L)
+      var k = 1
+      var found = u < c
+      while (!found && k <= 8) {
+        val w = 1048576L >> k
+        if (u < c + w) { z = k; found = true }
+        else if (u < c + 2 * w) { z = -k; found = true }
+        else { c += 2 * w; k += 1 }
+      }
+      assert(noise === (if (found) z else 0L), s"$src noise replay")
+      assert(math.abs(noise) <= 8 && noisy === math.max(n + noise, 0L))
+      assert(err === math.abs(noisy - n))
+    }
+  }
+
+  test("q_maxsim: late-interaction scores match a brute-force subvector recompute") {
+    val rows = graft.operators.VectorOps.queries("q_maxsim")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1000000)).toArray }
+    val probes = emb.filter(_._1 < 3)
+    def sub(v: Array[Long], m: Int) = v.slice(16 * m, 16 * m + 16)
+    val expected = probes.flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid).map { case (vid, dv) =>
+        val score = (0 until 4).map { mq =>
+          (0 until 4).map { md =>
+            sub(qv, mq).zip(sub(dv, md)).map { case (a, b) => a * b }.sum
+          }.max
+        }.sum
+        (qid, vid, score)
+      }.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((q, v, sc), i) => (q, i + 1L, v, sc) }
+    }.toSet
+    assert(rows.toSet === expected)
+  }
+
+  test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
+    val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def bigrams(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }
+    val bySrc = docs.groupBy(_._2)
+    rows.foreach { case (qid, src, nBg, nCov, ppm) =>
+      val probe = bigrams(docs.find(_._1 == qid).get._3)
+      assert(nBg === probe.size.toLong)
+      val others = bySrc(src).filter(_._1 != qid)
+        .foldLeft(Set.empty[String])((s, d) => s ++ (bigrams(d._3) & probe))
+      assert(nCov === others.size.toLong,
+        s"probe $qid coverage: query $nCov vs brute force ${others.size}")
+      assert(ppm === nCov * 1000000L / nBg && ppm <= 1000000L)
+    }
+  }
 }
