@@ -1169,6 +1169,74 @@ object CorpusOps {
         .withColumn("noisy_n", greatest(col("n_docs") + col("noise"), lit(0L)))
         .withColumn("abs_err", abs(col("noisy_n") - col("n_docs")))
         .select("source", "n_docs", "noise", "noisy_n", "abs_err")
+        .orderBy("source")),
+
+    // REJECTION SAMPLING TO A TARGET MIX — flatten the source
+    // distribution by per-document hash acceptance: source s keeps
+    // each doc with p = min(1, uniform-share / actual-share), the
+    // one-pass streaming alternative to q_mix_materialize's exact
+    // prefix-sum take (no ranking, no budget state — each doc decides
+    // from its own hash, so the filter pushes into any scan and
+    // parallelizes embarrassingly; the price is binomial wobble,
+    // which the realized-vs-target gap column REPORTS). Acceptance
+    // thresholds are exact integral ppm; the md5 uniform is the
+    // q_randomized_response lattice. Two corpus scans: one to the
+    // O(sources) share table (broadcast back), one filtered fold.
+    "q_rejection_sampling" -> ((s, d) => {
+      val src = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = broadcast(src.agg(sum("n_docs").as("big_n"),
+        count(lit(1)).as("k")))
+      val p = broadcast(src.crossJoin(tot)
+        .withColumn("p_accept_ppm",
+          least(lit(1000000L), expr("big_n * 1000000 div (k * n_docs)"))))
+      val acc = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("rs|"), col("doc_id"))), 1, 8), 16, 10)
+            .cast("long") % 1000000)
+        .join(p.select(col("source"), col("p_accept_ppm")), "source")
+        .filter(col("u") < col("p_accept_ppm"))
+        .groupBy("source").agg(count(lit(1)).as("n_accepted"))
+      val tota = broadcast(acc.agg(sum("n_accepted").as("tot_acc")))
+      p.join(acc, Seq("source"), "left")
+        .withColumn("n_accepted", coalesce(col("n_accepted"), lit(0L)))
+        .crossJoin(tota)
+        .select(col("source"), col("n_docs"), col("p_accept_ppm"),
+          col("n_accepted"),
+          expr("n_accepted * 1000000 div tot_acc").as("realized_ppm"),
+          expr("1000000 div k").as("target_ppm"),
+          expr("abs(n_accepted * 1000000 div tot_acc - 1000000 div k)")
+            .as("gap_ppm"))
+        .orderBy("source")
+    }),
+
+    // SFT PAIR CONSTRUCTION — the fine-tuning prep stage: split each
+    // document at its token midpoint into a (prompt, continuation)
+    // pair — the causal-continuation construction used when a corpus
+    // carries no instruction markup (this one is punctuation-free) —
+    // drop docs too short to yield both halves, and profile the pairs
+    // per source: counts, mean prompt/completion token lengths, and
+    // the share fitting a 128-token completion cap (the budget
+    // question a fine-tune run asks before packing). Integral token
+    // arithmetic only. One scan, one O(sources) hash-agg.
+    "q_sft_pairs" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_toks",
+          size(expr("filter(split(lower(text), ' '), x -> x != '')"))
+            .cast("long"))
+        .filter(col("n_toks") >= 2)
+        .withColumn("p_toks", expr("n_toks div 2"))
+        .withColumn("c_toks", col("n_toks") - col("p_toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("p_toks").as("sum_prompt_toks"),
+          sum("c_toks").as("sum_completion_toks"),
+          sum(when(col("c_toks") <= 128, 1L).otherwise(0L)).as("n_fit"))
+        .withColumn("mean_prompt_toks", expr("sum_prompt_toks div n_pairs"))
+        .withColumn("mean_completion_toks",
+          expr("sum_completion_toks div n_pairs"))
+        .withColumn("fit_ppm", expr("n_fit * 1000000 div n_pairs"))
+        .select("source", "n_pairs", "mean_prompt_toks",
+          "mean_completion_toks", "n_fit", "fit_ppm")
         .orderBy("source")))
 
   /** Exact inverse-CDF of the two-sided geometric distribution with
@@ -1981,5 +2049,50 @@ object CorpusOps {
          |SELECT source, n_docs, noise,
          |  GREATEST(n_docs + noise, 0) AS noisy_n,
          |  abs(GREATEST(n_docs + noise, 0) - n_docs) AS abs_err
-         |FROM n ORDER BY source""".stripMargin)
+         |FROM n ORDER BY source""".stripMargin,
+
+    "q_rejection_sampling" ->
+      """WITH src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS big_n, COUNT(*) AS k
+        |        FROM src),
+        |p AS (SELECT s.source, s.n_docs, t.k,
+        |        LEAST(1000000, t.big_n * 1000000 // (t.k * s.n_docs))
+        |          AS p_accept_ppm
+        |      FROM src s, tot t),
+        |acc AS (
+        |  SELECT d.source, COUNT(*) AS n_accepted
+        |  FROM documents d JOIN p ON p.source = d.source
+        |  WHERE CAST(('0x' || substr(md5('rs|' || doc_id), 1, 8)) AS BIGINT)
+        |          % 1000000 < p.p_accept_ppm
+        |  GROUP BY 1),
+        |ta AS (SELECT CAST(COALESCE(SUM(n_accepted), 0) AS BIGINT) AS tot_acc
+        |       FROM acc)
+        |SELECT p.source, p.n_docs, p.p_accept_ppm,
+        |  CAST(COALESCE(a.n_accepted, 0) AS BIGINT) AS n_accepted,
+        |  COALESCE(a.n_accepted, 0) * 1000000 // ta.tot_acc AS realized_ppm,
+        |  1000000 // p.k AS target_ppm,
+        |  abs(COALESCE(a.n_accepted, 0) * 1000000 // ta.tot_acc
+        |      - 1000000 // p.k) AS gap_ppm
+        |FROM p LEFT JOIN acc a ON a.source = p.source CROSS JOIN ta
+        |ORDER BY p.source""".stripMargin,
+
+    "q_sft_pairs" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT source, n_toks // 2 AS p_toks,
+        |    n_toks - n_toks // 2 AS c_toks
+        |  FROM tk WHERE n_toks >= 2)
+        |SELECT source, COUNT(*) AS n_pairs,
+        |  CAST(SUM(p_toks) AS BIGINT) // COUNT(*) AS mean_prompt_toks,
+        |  CAST(SUM(c_toks) AS BIGINT) // COUNT(*) AS mean_completion_toks,
+        |  CAST(SUM(CASE WHEN c_toks <= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fit,
+        |  CAST(SUM(CASE WHEN c_toks <= 128 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS fit_ppm
+        |FROM sp
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

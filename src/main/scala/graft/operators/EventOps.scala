@@ -1619,11 +1619,15 @@ object EventOps {
     // weighting view doesn't give: each treated user (odd user_id)
     // matched to its nearest control by purchase-rate score within a
     // ±25-milli caliper, then the average treated-minus-control spend
-    // gap over matched pairs. Scale: matching is a BUCKETED candidate
-    // join (score div 25, each treated probing its own and the two
-    // adjacent buckets) — fan-out is bounded by the caliper, never
-    // treated×control — and the nearest-pick window partitions per
-    // treated user. No all-users sort, no single-partition window.
+    // gap over matched pairs. Scale: the nearest pick is min by
+    // (gap, uid_c), so only the min-uid control AT EACH SCORE can ever
+    // win — controls first fold to one representative per score point
+    // (the score lattice is ≤1001 integral milli values by
+    // construction), and the caliper join probes that BROADCAST
+    // lattice with ±1-bucket fan-out. Cost is two user-keyed
+    // hash-aggs + a broadcast probe: linear in users, never
+    // treated×control (a direct caliper join would be quadratic —
+    // every control shares one bounded score axis).
     "q_psm_match" -> ((s, d) => {
       val users = events(s, d)
         .groupBy("user_id")
@@ -1632,19 +1636,22 @@ object EventOps {
           sum(when(col("event_type") === "purchase", cents(col("value")))
             .otherwise(0L)).as("spend_c"))
         .withColumn("score_milli", expr("n_buy * 1000 div n_ev"))
-        .withColumn("bucket", expr("score_milli div 25"))
         .localCheckpoint() // feeds both sides of the match + the count
       val treated = users.filter(pmod(col("user_id"), lit(2L)) === 1)
         .select(col("user_id").as("uid_t"), col("score_milli").as("score_t"),
-          col("spend_c").as("spend_t"), col("bucket"))
+          col("spend_c").as("spend_t"), expr("score_milli div 25").as("bucket"))
+      // dominant representative per control score: min uid wins every
+      // (gap, uid) tie-break among equals, so the fold is lossless
       val control = users.filter(pmod(col("user_id"), lit(2L)) === 0)
-        .select(col("user_id").as("uid_c"), col("score_milli").as("score_c"),
-          col("spend_c").as("spend_ctl"), col("bucket").as("bucket_c"))
+        .groupBy(col("score_milli").as("score_c"))
+        .agg(min("user_id").as("uid_c"),
+          expr("min_by(spend_c, user_id)").as("spend_ctl"))
+        .withColumn("bucket_c", expr("score_c div 25"))
       val nt = broadcast(treated.agg(count(lit(1)).as("n_treated")))
       val best = treated
         .withColumn("nb", explode(array(col("bucket") - 1, col("bucket"),
           col("bucket") + 1)))
-        .join(control, col("nb") === col("bucket_c"))
+        .join(broadcast(control), col("nb") === col("bucket_c"))
         .withColumn("gap", abs(col("score_t") - col("score_c")))
         .filter(col("gap") <= 25)
         .withColumn("rn", row_number().over(Window.partitionBy("uid_t")
@@ -2798,9 +2805,12 @@ object EventOps {
         |t AS (SELECT user_id AS uid_t, score_milli AS score_t,
         |        spend_c AS spend_t, bucket
         |      FROM scored WHERE user_id % 2 = 1),
-        |c AS (SELECT user_id AS uid_c, score_milli AS score_c,
-        |        spend_c AS spend_ctl, bucket AS bucket_c
-        |      FROM scored WHERE user_id % 2 = 0),
+        |c AS (SELECT score_milli AS score_c,
+        |        CAST(MIN(user_id) AS BIGINT) AS uid_c,
+        |        CAST(arg_min(spend_c, user_id) AS BIGINT) AS spend_ctl,
+        |        score_milli // 25 AS bucket_c
+        |      FROM scored WHERE user_id % 2 = 0
+        |      GROUP BY score_milli),
         |nt AS (SELECT COUNT(*) AS n_treated FROM t),
         |cand AS (
         |  SELECT t.uid_t, t.spend_t, c.uid_c, c.spend_ctl,

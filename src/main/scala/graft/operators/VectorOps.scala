@@ -1786,6 +1786,54 @@ object VectorOps {
         .select(col("qid"), col("rank"), col("vec_id").as("vid"),
           col("maxsim_micro2"))
         .orderBy("qid", "rank")
+    }),
+
+    // E4 K-CENTER CORESET (farthest-point sampling) — the 2-approx
+    // coverage coreset behind kmeans++ seeding and diversity-first
+    // data selection: seed at vec_id 0, then 3 greedy rounds each
+    // adding the point FARTHEST from the chosen set; the would-be
+    // 5th pick's distance is exactly the 4-center coverage radius, so
+    // it ships as the radius row. Entirely integral (micro-quantized
+    // components, exact bigint L2² — the q_knn_classify convention),
+    // so the greedy argmax is a deterministic (dist² desc, vec_id
+    // asc) compare both engines replay. Scale: per round one corpus
+    // scan against the ≤4×64-component BROADCAST center set, folded
+    // by two hash-aggs; the argmax plans as TakeOrdered(1). O(k·N)
+    // total — the exploded table is checkpointed once and re-read by
+    // all rounds.
+    "q_coreset_kcenter" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("pos"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+        .localCheckpoint() // feeds 4 distance rounds + 4 comp extracts
+      var comp = dims.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("cid"), col("pos").as("cpos"),
+          col("qv").as("cqv"))
+        .localCheckpoint()
+      var meta = comp.select(col("cid").as("vec_id")).distinct()
+        .select(lit(0L).as("rank"), col("vec_id"), lit(0L).as("dist2_micro2"),
+          lit(true).as("is_center"))
+        .localCheckpoint()
+      for (r <- 1 to 4) {
+        val mind = dims.join(broadcast(comp), col("pos") === col("cpos"))
+          .groupBy("vec_id", "cid")
+          .agg(sum(expr("(qv - cqv) * (qv - cqv)")).as("d2"))
+          .groupBy("vec_id").agg(min("d2").as("mind2"))
+        val next = mind
+          .orderBy(col("mind2").desc, col("vec_id").asc).limit(1)
+          .select(lit(r.toLong).as("rank"), col("vec_id"),
+            col("mind2").as("dist2_micro2"), lit(r < 4).as("is_center"))
+          .localCheckpoint()
+        meta = meta.union(next).localCheckpoint()
+        if (r < 4)
+          comp = comp.union(
+            dims.join(broadcast(next.select(col("vec_id").as("cid"))),
+              col("vec_id") === col("cid"))
+              .select(col("cid"), col("pos").as("cpos"), col("qv").as("cqv")))
+            .localCheckpoint()
+      }
+      meta.orderBy("rank")
     }))
 
   /** The q_kmeans two-Lloyd-round pipeline as DuckDB CTEs ending with
@@ -3101,7 +3149,53 @@ object VectorOps {
         |                           ORDER BY maxsim_micro2 DESC, vec_id ASC)
         |          AS rank
         |      FROM sc)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_coreset_kcenter" -> coresetOracle)
+
+  /** 4 unrolled farthest-point rounds — lockstep with the Spark loop
+    * above (same seed, same exact-bigint L2², same (dist² desc, id
+    * asc) argmax; the rank-0 row derives from comp1 so the degenerate
+    * no-vec-0 input stays empty on both engines). */
+  private lazy val coresetOracle: String = {
+    val rounds = (1 to 4).map { r =>
+      val base =
+        s"""dc$r AS (
+           |  SELECT e.vec_id, c.cid,
+           |    CAST(SUM((e.qv - c.cqv) * (e.qv - c.cqv)) AS BIGINT) AS d2
+           |  FROM dims e JOIN comp$r c ON c.cpos = e.pos GROUP BY 1, 2),
+           |mind$r AS (SELECT vec_id, CAST(MIN(d2) AS BIGINT) AS mind2
+           |           FROM dc$r GROUP BY 1),
+           |next$r AS (SELECT vec_id, mind2 FROM mind$r
+           |           ORDER BY mind2 DESC, vec_id ASC LIMIT 1)""".stripMargin
+      val ext = if (r < 4)
+        s""",
+           |comp${r + 1} AS (
+           |  SELECT c.cid, c.cpos, c.cqv FROM comp$r c
+           |  UNION ALL
+           |  SELECT d.vec_id, d.pos, d.qv
+           |  FROM dims d JOIN next$r n ON n.vec_id = d.vec_id)""".stripMargin
+      else ""
+      base + ext
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(d - 1 AS BIGINT) AS pos,
+       |    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          generate_subscripts(embedding, 1) AS d FROM embeddings)),
+       |comp1 AS (SELECT vec_id AS cid, pos AS cpos, qv AS cqv
+       |          FROM dims WHERE vec_id = 0),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT DISTINCT CAST(0 AS BIGINT) AS rank, cid AS vec_id,
+       |    CAST(0 AS BIGINT) AS dist2_micro2, TRUE AS is_center
+       |  FROM comp1
+       |  UNION ALL SELECT 1, vec_id, mind2, TRUE FROM next1
+       |  UNION ALL SELECT 2, vec_id, mind2, TRUE FROM next2
+       |  UNION ALL SELECT 3, vec_id, mind2, TRUE FROM next3
+       |  UNION ALL SELECT 4, vec_id, mind2, FALSE FROM next4)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** The q_hll_distinct register-rebuild estimator as a scalar
     * subquery over a CTE named `src` holding DISTINCT h60 hashes —

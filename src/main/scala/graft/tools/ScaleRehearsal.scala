@@ -262,6 +262,35 @@ object ScaleRehearsal {
     "q_lsh_tuning" -> Seq("documents"),
     "q_dedup_savings" -> Seq("documents"),
     "q_anisotropy" -> Seq("embeddings"),
+    // round-8 batch-9. The events recipe scales users ×N on the same
+    // 30-day calendar: q_theil_sen/q_granger fold to the constant
+    // daily series (cost = the leading hash-agg, the q_acf shape);
+    // q_bradley_terry's comparison join is (user, day)-keyed with
+    // ≤|types|² fan-out per key and an O(types²) MM iterate;
+    // q_psm_match folds controls to the ≤1001-point score lattice
+    // before its broadcast caliper probe (the lossless min-uid
+    // dominance fold — a direct caliper join would be ×N²).
+    // q_fleiss_kappa/q_burstiness are explode + hash-agg flat shapes;
+    // q_self_bleu's corpus bigram stream is filtered by the broadcast
+    // copy-0 probe set before any aggregation; q_maxsim is
+    // probe-bounded (3 queries × 64 components broadcast, fixed
+    // 12-pair fan-out per corpus component).
+    "q_theil_sen" -> Seq("events"),
+    "q_granger" -> Seq("events"),
+    "q_bradley_terry" -> Seq("events"),
+    "q_psm_match" -> Seq("events"),
+    "q_fleiss_kappa" -> Seq("documents"),
+    "q_burstiness" -> Seq("documents"),
+    "q_self_bleu" -> Seq("documents"),
+    "q_maxsim" -> Seq("embeddings"),
+    // round-8 batch-10. q_coreset_kcenter is O(k·N) by construction —
+    // 4 corpus scans against a ≤4×64-component broadcast center set
+    // (the checkpointed exploded table is re-read, not re-exploded);
+    // q_rejection_sampling and q_sft_pairs are two- and one-scan
+    // hash-agg shapes with O(sources) state.
+    "q_coreset_kcenter" -> Seq("embeddings"),
+    "q_rejection_sampling" -> Seq("documents"),
+    "q_sft_pairs" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

@@ -1790,6 +1790,82 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.toSet === expected)
   }
 
+  test("q_coreset_kcenter: greedy picks match a brute-force farthest-point replay") {
+    val rows = graft.operators.VectorOps.queries("q_coreset_kcenter")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.length === 5)
+    assert(rows.map(_._1).sameElements(0L to 4L))
+    assert(rows.init.forall(_._4) && !rows.last._4, "ranks 0-3 centers, rank 4 radius")
+    // selection distances are non-increasing (the k-center invariant)
+    rows.drop(1).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ => ()
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1000000)).toArray }
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector(0L)
+    val replay = (1 to 4).map { r =>
+      val (vid, dist) = emb.toSeq
+        .map { case (id, v) => (id, centers.map(c => d2(v, emb(c))).min) }
+        .minBy { case (id, dd) => (-dd, id) }
+      if (r < 4) centers :+= vid
+      (r.toLong, vid, dist)
+    }
+    assert(rows.drop(1).map(t => (t._1, t._2, t._3)).sameElements(replay))
+  }
+
+  test("q_rejection_sampling: acceptance replays the hash lattice; shares flatten") {
+    val rows = graft.operators.CorpusOps.queries("q_rejection_sampling")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val bigN = docs.length.toLong
+    val k = bySrc.size.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (s2, n, p, acc, realized, target, gap) =>
+      assert(n === bySrc(s2).length.toLong)
+      assert(p === math.min(1000000L, bigN * 1000000L / (k * n)))
+      val expAcc = bySrc(s2).count { id =>
+        val hex = md.digest(s"rs|$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % 1000000L < p
+      }.toLong
+      assert(acc === expAcc, s"$s2 acceptance replay")
+      assert(target === 1000000L / k && gap === math.abs(realized - target))
+    }
+    // flattening: every realized share within 3% of the uniform target
+    rows.foreach { case (s2, _, _, _, _, _, gap) =>
+      assert(gap <= 30000L, s"$s2 realized share off target by $gap ppm")
+    }
+  }
+
+  test("q_sft_pairs: midpoint split conserves tokens and caps completions") {
+    val rows = graft.operators.CorpusOps.queries("q_sft_pairs")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+      .map { case (s2, t) => (s2, t.toLowerCase.split(" ").count(_.nonEmpty).toLong) }
+      .filter(_._2 >= 2)
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { case (s2, n, mp, mc, nFit, fitPpm) =>
+      val toks = bySrc(s2).map(_._2)
+      assert(n === toks.length.toLong)
+      val (ps, cs) = (toks.map(_ / 2), toks.map(t => t - t / 2))
+      assert(mp === ps.sum / n && mc === cs.sum / n)
+      assert(mc >= mp, "completion half takes the ceil")
+      assert(nFit === cs.count(_ <= 128).toLong)
+      assert(fitPpm === nFit * 1000000L / n)
+    }
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()

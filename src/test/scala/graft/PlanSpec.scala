@@ -668,4 +668,31 @@ class PlanSpec extends SparkTestBase {
     assert(reads.forall(r => !r.contains("text") && !r.contains("source")),
       s"decode synthesizes payloads from doc_id alone:\n${reads.mkString("\n")}")
   }
+
+  test("q_maxsim: probe components broadcast; corpus side never shuffle-joins") {
+    val p = plan("q_maxsim")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤192-component probe side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "probe-bounded late interaction must not shuffle the corpus:\n" + p.take(800))
+  }
+
+  test("q_psm_match: the score-lattice control side broadcasts into the caliper probe") {
+    val p = plan("q_psm_match")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤1001-row control lattice must broadcast, never shuffle treated users")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_burstiness: global top-30 plans as TakeOrdered, never a full sort") {
+    val p = plan("q_burstiness")
+    assert(p.contains("TakeOrderedAndProject(limit=30"), p.take(600))
+  }
+
+  test("q_self_bleu: probe bigram set and filtered index both broadcast") {
+    val p = plan("q_self_bleu")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the probe-filtered index is bounded — it must broadcast:\n" + p.take(800))
+  }
 }
