@@ -1237,7 +1237,53 @@ object CorpusOps {
         .withColumn("fit_ppm", expr("n_fit * 1000000 div n_pairs"))
         .select("source", "n_pairs", "mean_prompt_toks",
           "mean_completion_toks", "n_fit", "fit_ppm")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // CURATION FUNNEL — the stage-by-stage attrition table behind
+    // q_quality_filter's verdicts: how many documents survive each
+    // NESTED filter stage (length → char/token ratio → stopword →
+    // known language), with per-stage retention vs the raw corpus and
+    // drop rate vs the previous stage — the chart every data-curation
+    // review opens with (q_curation_pipeline composes a KEEP set;
+    // this reports WHERE the losses happen). One corpus scan folds
+    // each doc to its deepest-stage ordinal; everything after runs on
+    // the 5-row stage table. Same thresholds as q_quality_filter so
+    // the funnel and the verdicts can never disagree.
+    "q_filter_funnel" -> ((s, d) => {
+      val toksC = array_remove(split(lower(col("text")), " "), "")
+      val p1 = col("n_tokens") >= 25
+      val p2 = p1 && col("n_chars") <= col("n_tokens") * 8
+      val p3 = p2 && col("n_stop") > 0
+      val p4 = p3 && col("lang") =!= "und"
+      val st = documents(s, d)
+        .withColumn("n_tokens", size(toksC).cast("long"))
+        .withColumn("n_stop", size(filter(toksC, t =>
+          t.isInCollection(TextOps.stopwords))).cast("long"))
+        .select((when(p1, 1L).otherwise(0L) + when(p2, 1L).otherwise(0L) +
+          when(p3, 1L).otherwise(0L) + when(p4, 1L).otherwise(0L))
+          .as("stage_reached"))
+      val bys = st.groupBy("stage_reached").agg(count(lit(1)).as("n"))
+      val stages = broadcast(s.range(0, 5).select(col("id").as("stage")))
+      val cum = stages.join(bys, col("stage_reached") >= col("stage"), "left")
+        .groupBy("stage").agg(coalesce(sum("n"), lit(0L)).as("n_docs"))
+        .localCheckpoint() // 5 rows; read as current, previous and total
+      val tot = broadcast(cum.filter(col("stage") === 0)
+        .select(col("n_docs").as("n0")))
+      val prev = cum.select((col("stage") + 1).as("stage"),
+        col("n_docs").as("prev_docs"))
+      cum.join(prev, Seq("stage"), "left").crossJoin(tot)
+        .withColumn("stage_name", expr(
+          """case stage when 0 then 'all' when 1 then 'min_length'
+            |when 2 then 'char_ratio' when 3 then 'stopword'
+            |else 'lang_known' end""".stripMargin))
+        .select(col("stage"), col("stage_name"), col("n_docs"),
+          expr("case when n0 = 0 then null else n_docs * 1000000 div n0 end")
+            .as("retained_ppm"),
+          expr("""case when prev_docs is null or prev_docs = 0 then null
+                 |else (prev_docs - n_docs) * 1000000 div prev_docs end"""
+            .stripMargin).as("dropped_ppm"))
+        .orderBy("stage")
+    }))
 
   /** Exact inverse-CDF of the two-sided geometric distribution with
     * p = 1/2 over a uniform u ∈ [0, 3·2²⁰): P(0) = 1/3 (the first
@@ -2094,5 +2140,44 @@ object CorpusOps {
         |  CAST(SUM(CASE WHEN c_toks <= 128 THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // COUNT(*) AS fit_ppm
         |FROM sp
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(
+        |      CASE WHEN n_tokens >= 25 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 25 AND n_chars <= n_tokens * 8
+        |           THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 25 AND n_chars <= n_tokens * 8
+        |           AND n_stop > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 25 AND n_chars <= n_tokens * 8
+        |           AND n_stop > 0 AND lang <> 'und' THEN 1 ELSE 0 END
+        |    AS BIGINT) AS stage_reached
+        |  FROM t),
+        |bys AS (SELECT stage_reached, COUNT(*) AS n FROM st GROUP BY 1),
+        |stages AS (SELECT unnest(generate_series(0, 4)) AS stage),
+        |cum AS (
+        |  SELECT s.stage, CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS n_docs
+        |  FROM stages s LEFT JOIN bys b ON b.stage_reached >= s.stage
+        |  GROUP BY s.stage),
+        |tot AS (SELECT n_docs AS n0 FROM cum WHERE stage = 0)
+        |SELECT c.stage,
+        |  CASE c.stage WHEN 0 THEN 'all' WHEN 1 THEN 'min_length'
+        |    WHEN 2 THEN 'char_ratio' WHEN 3 THEN 'stopword'
+        |    ELSE 'lang_known' END AS stage_name,
+        |  c.n_docs,
+        |  CASE WHEN t.n0 = 0 THEN NULL
+        |       ELSE c.n_docs * 1000000 // t.n0 END AS retained_ppm,
+        |  CASE WHEN p.n_docs IS NULL OR p.n_docs = 0 THEN NULL
+        |       ELSE (p.n_docs - c.n_docs) * 1000000 // p.n_docs
+        |  END AS dropped_ppm
+        |FROM cum c LEFT JOIN cum p ON p.stage = c.stage - 1 CROSS JOIN tot t
+        |ORDER BY c.stage""".stripMargin)
 }

@@ -1712,6 +1712,232 @@ object EventOps {
             |else (ssr_restricted - ssr_full) * 1000000 div ssr_restricted
             |end""".stripMargin))
         .select("n_pairs", "ssr_restricted", "ssr_full", "improvement_ppm")
+    }),
+
+    // E8 HOLT LINEAR-TREND SMOOTHING — the double-exponential
+    // counterpart to q_ema: level and trend update jointly
+    // (α = β = 1/2 via truncating halving, held EXACTLY in integral
+    // micro-units), so the one-step-ahead forecast l+b tracks a
+    // drifting series where the flat EMA lags. The recursion is
+    // inherently sequential, but only over the CALENDAR-BOUNDED daily
+    // aggregate: one events hash-agg collapses the corpus to O(days)
+    // rows, a single `aggregate()` fold replays the recursion over the
+    // sorted series (≤ a few thousand structs even at decade spans —
+    // driver-free, one task), and the forecast lag is an O(days)
+    // window. Corpus-sized work = exactly one scan.
+    "q_holt" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg((count(lit(1)) * 1000000L).as("v"))
+      val folded = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("vs"))
+        .filter(size(col("vs")) > 0)
+        .select(explode(expr(
+          """aggregate(
+            |  slice(vs, 2, greatest(size(vs) - 1, 0)),
+            |  named_struct('l', vs[0].v, 'b', cast(0 as bigint),
+            |    'out', array(named_struct('day', vs[0].day, 'v', vs[0].v,
+            |      'l', vs[0].v, 'b', cast(0 as bigint)))),
+            |  (acc, x) -> named_struct(
+            |    'l', (x.v + acc.l + acc.b) div 2,
+            |    'b', ((x.v + acc.l + acc.b) div 2 - acc.l + acc.b) div 2,
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'v', x.v,
+            |      'l', (x.v + acc.l + acc.b) div 2,
+            |      'b', ((x.v + acc.l + acc.b) div 2 - acc.l + acc.b) div 2))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+      folded.select(col("r.day").as("d"), col("r.v").as("v_micro"),
+          col("r.l").as("level_micro"), col("r.b").as("trend_micro"))
+        .withColumn("forecast_micro",
+          lag(col("level_micro") + col("trend_micro"), 1)
+            .over(Window.orderBy("d")))
+        .select(col("d").cast("string").as("day"),
+          expr("v_micro div 1000000").as("v"),
+          col("level_micro"), col("trend_micro"), col("forecast_micro"))
+        .orderBy("day")
+    }),
+
+    // E8 WALD–WOLFOWITZ RUNS TEST — is the daily series random noise
+    // around its median, or trending/oscillating? Days are signed
+    // above/below the exact lower median (ties at the median dropped,
+    // the classical convention), runs counted by one lag over the day
+    // order, and the normal approximation reported as z² in integral
+    // milli (μ and σ² are rational in n₀/n₁ — no float anywhere).
+    // Everything after the first hash-agg is O(days): the median rank,
+    // the sign sequence, and the one-row moment arithmetic.
+    "q_runs_test" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+        .localCheckpoint() // median rank + sign sequence reuse it
+      val nd = broadcast(daily.agg(count(lit(1)).as("nd")))
+      val med = broadcast(daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("day"))))
+        .crossJoin(nd).filter(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("v").as("med")))
+      val signed = daily.crossJoin(med).filter(col("v") =!= col("med"))
+        .withColumn("s", (col("v") > col("med")).cast("long"))
+      val lagS = lag(col("s"), 1).over(Window.orderBy("day"))
+      signed
+        .withColumn("chg",
+          when(lagS.isNull || lagS =!= col("s"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("m"),
+          coalesce(sum("s"), lit(0L)).as("n1"),
+          coalesce(sum("chg"), lit(0L)).as("runs"))
+        .withColumn("n0", col("m") - col("n1"))
+        .withColumn("mu_milli",
+          expr("case when m = 0 then null else 1000 + 2000 * n1 * n0 div m end"))
+        .withColumn("var_micro", expr(
+          """case when m <= 1 then null
+            |else 2 * n1 * n0 * (2 * n1 * n0 - m) * 1000000
+            |     div (m * m * (m - 1)) end""".stripMargin))
+        .withColumn("z2_milli", expr(
+          """case when var_micro is null or var_micro <= 0 then null
+            |else (1000 * runs - mu_milli) * (1000 * runs - mu_milli) * 1000
+            |     div var_micro end""".stripMargin))
+        .select(col("m").as("n_days"), col("n1").as("n_above"),
+          col("n0").as("n_below"), col("runs"), col("mu_milli"),
+          col("var_micro"), col("z2_milli"))
+    }),
+
+    // QINI / UPLIFT CURVE — the causal counterpart to q_auc_eval: rank
+    // the population by a targeting score (pre-conversion activity, the
+    // proxy an uplift model would emit), split into deciles, and report
+    // the CUMULATIVE treated-vs-control conversion gap per decile —
+    // uplift_ppm (rate gap) and the Qini increment ct − cc·Nt/Nc in
+    // milli, whose terminal row is the overall incremental-conversions
+    // estimate. The global score ranking uses the two-phase distributed
+    // PrefixSum row number (never one task's sort); everything after is
+    // a 10-row window. Treatment = the q_ab_ztest cohort hash.
+    "q_qini" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      val gb = broadcast(users.agg(count(lit(1)).as("n_users"),
+        min("score").as("glo"), max("score").as("ghi")))
+      val ranked = graft.operators.PrefixSum.rowNumber(
+        users.crossJoin(gb), Seq.empty,
+        Seq(col("score"), col("user_id")),
+        graft.operators.PrefixSum.rangeBucket(col("score"), col("glo"),
+          col("ghi"), 32),
+        "rk")
+      val dec = ranked
+        .withColumn("decile", expr("(n_users - rk) * 10 div n_users"))
+        .groupBy("decile")
+        .agg(sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("cohort") === 1, col("converted")).otherwise(0L))
+            .as("ct"),
+          sum(when(col("cohort") === 0, col("converted")).otherwise(0L))
+            .as("cc"))
+      val wd = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("nt_cum", sum("nt").over(wd))
+        .withColumn("nc_cum", sum("nc").over(wd))
+        .withColumn("ct_cum", sum("ct").over(wd))
+        .withColumn("cc_cum", sum("cc").over(wd))
+        .withColumn("uplift_ppm", expr(
+          """case when nt_cum = 0 or nc_cum = 0 then null
+            |else ct_cum * 1000000 div nt_cum - cc_cum * 1000000 div nc_cum
+            |end""".stripMargin))
+        .withColumn("qini_milli", expr(
+          """case when nc_cum = 0 then null
+            |else ct_cum * 1000 - cc_cum * 1000 * nt_cum div nc_cum
+            |end""".stripMargin))
+        .select("decile", "nt_cum", "nc_cum", "ct_cum", "cc_cum",
+          "uplift_ppm", "qini_milli")
+        .orderBy("decile")
+    }),
+
+    // ISOTONIC CALIBRATION (min-max formulation) — fit the monotone
+    // step function that PAVA would produce over 20 equal-width score
+    // bins, via the closed form iso(i) = max_{j≤i} min_{k≥i} of the
+    // POOLED rate over bins [j,k] (weighted by bin mass — equivalent
+    // to pool-adjacent-violators, but expressible as pure joins with
+    // no sequential pooling stack, so the oracle is plain SQL). The
+    // corpus collapses to ≤20 (bin, n, conv) rows in one hash-agg;
+    // the O(bins³) interval grid that follows is a few thousand
+    // broadcast-joined rows regardless of corpus size.
+    "q_isotonic" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val gb = broadcast(users.agg(min("score").as("slo"),
+        max("score").as("shi")))
+      val bins = users.crossJoin(gb)
+        .withColumn("bin", expr("(score - slo) * 20 div (shi - slo + 1)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("conv"))
+        .localCheckpoint() // feeds the interval grid 3×, all tiny
+      val iv = bins.select(col("bin").as("j"))
+        .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
+        .join(bins.select(col("bin").as("m"), col("n"), col("conv")),
+          col("m") >= col("j") && col("m") <= col("k"))
+        .groupBy("j", "k")
+        .agg(expr("sum(conv) * 1000000 div sum(n)").as("rate_ppm"))
+      val mn = iv.join(bins.select(col("bin").as("i")),
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("j", "i").agg(min("rate_ppm").as("mn"))
+      val iso = mn.groupBy("i").agg(max("mn").as("iso_ppm"))
+      bins.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("conv"),
+          expr("conv * 1000000 div n").as("raw_ppm"), col("iso_ppm"))
+        .orderBy("bin")
+    }),
+
+    // SHAPLEY CHANNEL ATTRIBUTION — the game-theoretic upgrade to
+    // q_multitouch_attribution's linear split: coalition value v(S) =
+    // conversion rate among users exposed ONLY to channels in S
+    // (subset cumulation over exposure bitmasks), and each channel's
+    // Shapley value φ_c = Σ_S w(|S|)·(v(S∪c) − v(S)) with the exact
+    // 4-player weights held as 24ths (6,2,2,6 — rational, no float).
+    // The corpus collapses to ≤16 (mask, n, conv) rows in one
+    // user-keyed hash-agg; the 16-coalition × 4-channel grid after it
+    // is constant-size broadcast arithmetic at any corpus scale.
+    "q_shapley_attribution" -> ((s, d) => {
+      val users = events(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"),
+          expr("""cast(
+              max(case when event_type = 'click'  then 1 else 0 end)
+            + 2 * max(case when event_type = 'error'  then 1 else 0 end)
+            + 4 * max(case when event_type = 'signup' then 1 else 0 end)
+            + 8 * max(case when event_type = 'view'   then 1 else 0 end)
+            as bigint)""").as("mask"))
+      val coal = users.groupBy("mask")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val vS = s.range(16).select(col("id").as("smask"))
+        .join(broadcast(coal), expr("(mask | smask) = smask"), "left")
+        .groupBy("smask")
+        .agg(coalesce(sum("n"), lit(0L)).as("ns"),
+          coalesce(sum("c"), lit(0L)).as("cs"))
+        .withColumn("v_ppm",
+          expr("case when ns = 0 then 0 else cs * 1000000 div ns end"))
+        .select("smask", "v_ppm")
+      val chans = s.createDataFrame(Seq(
+          ("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L)))
+        .toDF("channel", "bit")
+      chans.join(broadcast(vS).withColumnRenamed("smask", "s0")
+            .withColumnRenamed("v_ppm", "v0"),
+          expr("(s0 & bit) = 0"))
+        .join(broadcast(vS).withColumnRenamed("smask", "s1")
+            .withColumnRenamed("v_ppm", "v1"),
+          expr("s1 = (s0 | bit)"))
+        .withColumn("sz", expr(
+          """(s0 & 1) + (shiftright(s0, 1) & 1)
+            |+ (shiftright(s0, 2) & 1) + (shiftright(s0, 3) & 1)""".stripMargin))
+        .withColumn("w24", expr(
+          "case sz when 0 then 6 when 1 then 2 when 2 then 2 else 6 end"))
+        .groupBy("channel")
+        .agg(sum(expr("w24 * (v1 - v0)")).as("phi24"))
+        .withColumn("phi_ppm", expr("phi24 div 24"))
+        .select("channel", "phi_ppm")
+        .orderBy("channel")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -2869,7 +3095,7 @@ object EventOps {
         |         OR ssr_restricted <= 0 THEN NULL
         |       ELSE (ssr_restricted - ssr_full) * 1000000 // ssr_restricted
         |  END AS improvement_ppm
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin) ++ batch12Oracle
 
   /** 3 unrolled Bradley–Terry MM rounds — lockstep with the Spark
     * loop above (same micro-unit init, same per-term floor before the
@@ -2914,4 +3140,170 @@ object EventOps {
        |FROM wins w JOIN p3 p ON p.i = w.i
        |ORDER BY rank""".stripMargin
   }
+
+  private lazy val batch12Oracle: Map[String, String] = Map(
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) * 1000000 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+        |h AS (
+        |  SELECT i, day, v, v AS l, CAST(0 AS BIGINT) AS b FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.day, d.v,
+        |    (d.v + h.l + h.b) // 2 AS l,
+        |    ((d.v + h.l + h.b) // 2 - h.l + h.b) // 2 AS b
+        |  FROM h JOIN idx d ON d.i = h.i + 1)
+        |SELECT CAST(day AS VARCHAR) AS day, v // 1000000 AS v,
+        |  l AS level_micro, b AS trend_micro,
+        |  lag(l + b) OVER (ORDER BY day) AS forecast_micro
+        |FROM h ORDER BY day""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS v FROM events GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS nd FROM daily),
+        |med AS (
+        |  SELECT v AS med FROM (
+        |    SELECT v, ROW_NUMBER() OVER (ORDER BY v, day) AS rn FROM daily)
+        |  WHERE rn = ((SELECT nd FROM nd) + 1) // 2),
+        |sgn AS (
+        |  SELECT day, CASE WHEN v > (SELECT med FROM med) THEN 1 ELSE 0 END AS s
+        |  FROM daily WHERE v <> (SELECT med FROM med)),
+        |ch AS (
+        |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+        |    OR lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS chg
+        |  FROM sgn),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n1,
+        |    CAST(COALESCE(SUM(chg), 0) AS BIGINT) AS runs
+        |  FROM ch),
+        |mo AS (
+        |  SELECT m, n1, m - n1 AS n0, runs,
+        |    CASE WHEN m = 0 THEN NULL
+        |      ELSE 1000 + 2000 * n1 * (m - n1) // m END AS mu_milli,
+        |    CASE WHEN m <= 1 THEN NULL
+        |      ELSE 2 * n1 * (m - n1) * (2 * n1 * (m - n1) - m) * 1000000
+        |        // (m * m * (m - 1)) END AS var_micro
+        |  FROM agg)
+        |SELECT m AS n_days, n1 AS n_above, n0 AS n_below, runs,
+        |  mu_milli, var_micro,
+        |  CASE WHEN var_micro IS NULL OR var_micro <= 0 THEN NULL
+        |    ELSE (1000 * runs - mu_milli) * (1000 * runs - mu_milli) * 1000
+        |      // var_micro END AS z2_milli
+        |FROM mo""".stripMargin,
+
+    "q_qini" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted,
+        |    user_id % 2 AS cohort
+        |  FROM events GROUP BY user_id),
+        |nu AS (SELECT COUNT(*) AS n_users FROM users),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY score, user_id) AS rk
+        |  FROM users),
+        |dec AS (
+        |  SELECT ((SELECT n_users FROM nu) - rk) * 10
+        |      // (SELECT n_users FROM nu) AS decile,
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS ct,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS cc
+        |  FROM ranked GROUP BY 1),
+        |cum AS (
+        |  SELECT decile,
+        |    CAST(SUM(nt) OVER w AS BIGINT) AS nt_cum,
+        |    CAST(SUM(nc) OVER w AS BIGINT) AS nc_cum,
+        |    CAST(SUM(ct) OVER w AS BIGINT) AS ct_cum,
+        |    CAST(SUM(cc) OVER w AS BIGINT) AS cc_cum
+        |  FROM dec
+        |  WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, nt_cum, nc_cum, ct_cum, cc_cum,
+        |  CASE WHEN nt_cum = 0 OR nc_cum = 0 THEN NULL
+        |    ELSE ct_cum * 1000000 // nt_cum - cc_cum * 1000000 // nc_cum
+        |  END AS uplift_ppm,
+        |  CASE WHEN nc_cum = 0 THEN NULL
+        |    ELSE ct_cum * 1000 - cc_cum * 1000 * nt_cum // nc_cum
+        |  END AS qini_milli
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    "q_isotonic" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |bins AS (
+        |  SELECT (score - (SELECT MIN(score) FROM users)) * 20
+        |      // ((SELECT MAX(score) FROM users)
+        |         - (SELECT MIN(score) FROM users) + 1) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS conv
+        |  FROM users GROUP BY 1),
+        |iv AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    CAST(SUM(m.conv) AS BIGINT) * 1000000
+        |      // CAST(SUM(m.n) AS BIGINT) AS rate_ppm
+        |  FROM bins j JOIN bins k ON j.bin <= k.bin
+        |  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+        |  GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT iv.j, i.bin AS i, MIN(iv.rate_ppm) AS mn
+        |  FROM iv JOIN bins i ON iv.j <= i.bin AND iv.k >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, MAX(mn) AS iso_ppm FROM mn GROUP BY i)
+        |SELECT b.bin, b.n, b.conv, b.conv * 1000000 // b.n AS raw_ppm,
+        |  iso.iso_ppm
+        |FROM bins b JOIN iso ON iso.i = b.bin
+        |ORDER BY b.bin""".stripMargin,
+
+    "q_shapley_attribution" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv,
+        |    CAST(MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+        |     + 2 * MAX(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END)
+        |     + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |     + 8 * MAX(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS mask
+        |  FROM events GROUP BY user_id),
+        |coal AS (
+        |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(conv) AS BIGINT) AS c
+        |  FROM users GROUP BY mask),
+        |masks AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT)
+        |  AS smask),
+        |vs AS (
+        |  SELECT m.smask,
+        |    CASE WHEN COALESCE(SUM(t.n), 0) = 0 THEN 0
+        |      ELSE CAST(COALESCE(SUM(t.c), 0) AS BIGINT) * 1000000
+        |        // CAST(SUM(t.n) AS BIGINT) END AS v_ppm
+        |  FROM masks m LEFT JOIN coal t ON (t.mask | m.smask) = m.smask
+        |  GROUP BY m.smask),
+        |chans AS (
+        |  SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+        |    ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+        |    ('view', CAST(8 AS BIGINT))) AS t(channel, bit)),
+        |marg AS (
+        |  SELECT ch.channel,
+        |    CASE ((v0.smask & 1) + ((v0.smask >> 1) & 1)
+        |        + ((v0.smask >> 2) & 1) + ((v0.smask >> 3) & 1))
+        |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+        |      * (v1.v_ppm - v0.v_ppm) AS wd
+        |  FROM chans ch
+        |  JOIN vs v0 ON (v0.smask & ch.bit) = 0
+        |  JOIN vs v1 ON v1.smask = (v0.smask | ch.bit))
+        |SELECT channel, CAST(SUM(wd) AS BIGINT) // 24 AS phi_ppm
+        |FROM marg GROUP BY channel ORDER BY channel""".stripMargin)
 }

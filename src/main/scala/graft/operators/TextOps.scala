@@ -2845,29 +2845,7 @@ object TextOps {
     // degenerate NULL guard. One corpus scan → O(docs·4) label
     // explode → two tiny hash-aggs.
     "q_fleiss_kappa" -> ((s, d) => {
-      val lab = documents(s, d).select(col("doc_id"), col("text"))
-        .withColumn("a",
-          when(col("text").contains(" the "), "en")
-            .when(col("text").contains(" der "), "de")
-            .when(col("text").contains(" le "), "fr").otherwise("und"))
-        .withColumn("cen", (size(split(col("text"), " the ")) - 1).cast("long"))
-        .withColumn("cde", (size(split(col("text"), " der ")) - 1).cast("long"))
-        .withColumn("cfr", (size(split(col("text"), " le ")) - 1).cast("long"))
-        .withColumn("b",
-          when(col("cen") + col("cde") + col("cfr") === 0, "und")
-            .when(col("cen") >= col("cde") && col("cen") >= col("cfr"), "en")
-            .when(col("cde") >= col("cfr"), "de").otherwise("fr"))
-        .withColumn("pen", instr(col("text"), " the ").cast("long"))
-        .withColumn("pde", instr(col("text"), " der ").cast("long"))
-        .withColumn("pfr", instr(col("text"), " le ").cast("long"))
-        .withColumn("c",
-          when(col("pen") + col("pde") + col("pfr") === 0, "und")
-            .when(col("pen") > 0 &&
-              (col("pde") === 0 || col("pen") <= col("pde")) &&
-              (col("pfr") === 0 || col("pen") <= col("pfr")), "en")
-            .when(col("pde") > 0 &&
-              (col("pfr") === 0 || col("pde") <= col("pfr")), "de")
-            .otherwise("fr"))
+      val lab = panelLabels(s, d)
       val nij = lab.select(col("doc_id"),
           explode(array(col("a"), col("b"), col("c"))).as("cat"))
         .groupBy("doc_id", "cat").agg(count(lit(1)).as("nij"))
@@ -2947,7 +2925,74 @@ object TextOps {
           expr("coalesce(n_covered, CAST(0 AS BIGINT)) * 1000000 div n_bigrams")
             .as("self_bleu_ppm"))
         .orderBy("doc_id")
+    }),
+
+    // E5 WEAK SUPERVISION (label model) — the Snorkel-style vote:
+    // the three panel labelers become labeling FUNCTIONS whose 'und'
+    // output means ABSTAIN, and each document takes the majority
+    // label among its non-abstaining votes ((count desc, label asc)
+    // deterministic tie-break; zero votes → 'unlabeled'). The report
+    // is the label model's health readout per emitted label: volume,
+    // unanimity rate, and mean active-voter count — coverage vs
+    // confidence, the first table a weak-supervision pipeline
+    // inspects before training on its own pseudo-labels. One panel
+    // scan (shared with q_fleiss_kappa, the lockstep rule), one
+    // explode, two hash-aggs.
+    "q_weak_supervision" -> ((s, d) => {
+      val lab = panelLabels(s, d)
+      val nv = lab.select(col("doc_id"),
+        (when(col("a") =!= "und", 1L).otherwise(0L) +
+          when(col("b") =!= "und", 1L).otherwise(0L) +
+          when(col("c") =!= "und", 1L).otherwise(0L)).as("n_voters"))
+      val tally = lab.select(col("doc_id"),
+          explode(array(col("a"), col("b"), col("c"))).as("lf"))
+        .filter(col("lf") =!= "und")
+        .groupBy("doc_id", "lf").agg(count(lit(1)).as("cnt"))
+      val picked = tally.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("lf").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lf").as("label"), col("cnt").as("top_cnt"))
+      nv.join(picked, Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), lit("unlabeled")))
+        .withColumn("top_cnt", coalesce(col("top_cnt"), lit(0L)))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("top_cnt") === col("n_voters") && col("n_voters") > 0,
+            1L).otherwise(0L)).as("n_unanimous"),
+          expr("sum(n_voters) * 1000 div count(1)").as("mean_voters_milli"))
+        .orderBy("label")
     }))
+
+  /** The shared 3-labeler panel (doc_id, a, b, c): contains-priority,
+    * marker-count argmax, earliest-marker-position — consumed by
+    * q_fleiss_kappa AND q_weak_supervision so agreement and the label
+    * model read the same votes (the nbScores lockstep rule). 'und'
+    * doubles as the abstain token. */
+  private def panelLabels(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("a",
+        when(col("text").contains(" the "), "en")
+          .when(col("text").contains(" der "), "de")
+          .when(col("text").contains(" le "), "fr").otherwise("und"))
+      .withColumn("cen", (size(split(col("text"), " the ")) - 1).cast("long"))
+      .withColumn("cde", (size(split(col("text"), " der ")) - 1).cast("long"))
+      .withColumn("cfr", (size(split(col("text"), " le ")) - 1).cast("long"))
+      .withColumn("b",
+        when(col("cen") + col("cde") + col("cfr") === 0, "und")
+          .when(col("cen") >= col("cde") && col("cen") >= col("cfr"), "en")
+          .when(col("cde") >= col("cfr"), "de").otherwise("fr"))
+      .withColumn("pen", instr(col("text"), " the ").cast("long"))
+      .withColumn("pde", instr(col("text"), " der ").cast("long"))
+      .withColumn("pfr", instr(col("text"), " le ").cast("long"))
+      .withColumn("c",
+        when(col("pen") + col("pde") + col("pfr") === 0, "und")
+          .when(col("pen") > 0 &&
+            (col("pde") === 0 || col("pen") <= col("pde")) &&
+            (col("pfr") === 0 || col("pen") <= col("pfr")), "en")
+          .when(col("pde") > 0 &&
+            (col("pfr") === 0 || col("pde") <= col("pfr")), "de")
+          .otherwise("fr"))
+      .select("doc_id", "a", "b", "c")
 
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
     * iterations of distributed pair counting + one-row argmax collect
@@ -4692,30 +4737,8 @@ object TextOps {
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    "q_fleiss_kappa" ->
-      """WITH lab AS (
-        |  SELECT doc_id,
-        |    CASE WHEN text LIKE '% the %' THEN 'en'
-        |         WHEN text LIKE '% der %' THEN 'de'
-        |         WHEN text LIKE '% le %' THEN 'fr' ELSE 'und' END AS a,
-        |    CAST(len(string_split(text, ' the ')) - 1 AS BIGINT) AS cen,
-        |    CAST(len(string_split(text, ' der ')) - 1 AS BIGINT) AS cde,
-        |    CAST(len(string_split(text, ' le ')) - 1 AS BIGINT) AS cfr,
-        |    CAST(strpos(text, ' the ') AS BIGINT) AS pen,
-        |    CAST(strpos(text, ' der ') AS BIGINT) AS pde,
-        |    CAST(strpos(text, ' le ') AS BIGINT) AS pfr
-        |  FROM documents),
-        |lab2 AS (
-        |  SELECT doc_id, a,
-        |    CASE WHEN cen + cde + cfr = 0 THEN 'und'
-        |         WHEN cen >= cde AND cen >= cfr THEN 'en'
-        |         WHEN cde >= cfr THEN 'de' ELSE 'fr' END AS b,
-        |    CASE WHEN pen + pde + pfr = 0 THEN 'und'
-        |         WHEN pen > 0 AND (pde = 0 OR pen <= pde)
-        |           AND (pfr = 0 OR pen <= pfr) THEN 'en'
-        |         WHEN pde > 0 AND (pfr = 0 OR pde <= pfr) THEN 'de'
-        |         ELSE 'fr' END AS c
-        |  FROM lab),
+    "q_fleiss_kappa" -> (panelCte +
+      """,
         |v AS (SELECT doc_id, unnest([a, b, c]) AS cat FROM lab2),
         |nij AS (SELECT doc_id, cat, COUNT(*) AS nij FROM v GROUP BY 1, 2),
         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS t,
@@ -4732,7 +4755,7 @@ object TextOps {
         |       ELSE (t.a2 * 1000000 // (2 * t.t) - pe.pe_ppm) * 1000
         |         // (1000000 - pe.pe_ppm)
         |  END AS kappa_milli
-        |FROM tot t, pe""".stripMargin,
+        |FROM tot t, pe""".stripMargin),
 
     "q_burstiness" ->
       """WITH tok AS (
@@ -4777,7 +4800,65 @@ object TextOps {
         |  CAST(COALESCE(c.n_covered, 0) * 1000000 // n.n_bigrams AS BIGINT)
         |    AS self_bleu_ppm
         |FROM nq n LEFT JOIN cov c ON c.qid = n.qid AND c.source = n.source
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_weak_supervision" -> (panelCte +
+      """,
+        |nv AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN a <> 'und' THEN 1 ELSE 0 END
+        |       + CASE WHEN b <> 'und' THEN 1 ELSE 0 END
+        |       + CASE WHEN c <> 'und' THEN 1 ELSE 0 END AS BIGINT) AS n_voters
+        |  FROM lab2),
+        |tally AS (
+        |  SELECT doc_id, lf, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, unnest([a, b, c]) AS lf FROM lab2)
+        |  WHERE lf <> 'und' GROUP BY 1, 2),
+        |picked AS (
+        |  SELECT doc_id, lf AS label, cnt AS top_cnt FROM (
+        |    SELECT doc_id, lf, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                         ORDER BY cnt DESC, lf ASC) AS rn
+        |    FROM tally) WHERE rn = 1),
+        |lv AS (
+        |  SELECT nv.doc_id, nv.n_voters,
+        |    COALESCE(p.label, 'unlabeled') AS label,
+        |    CAST(COALESCE(p.top_cnt, 0) AS BIGINT) AS top_cnt
+        |  FROM nv LEFT JOIN picked p ON p.doc_id = nv.doc_id)
+        |SELECT label, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN top_cnt = n_voters AND n_voters > 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+        |  CAST(SUM(n_voters) AS BIGINT) * 1000 // COUNT(*)
+        |    AS mean_voters_milli
+        |FROM lv GROUP BY label ORDER BY label""".stripMargin))
+
+  /** The 3-labeler panel as DuckDB CTEs ending with `lab2`
+    * (doc_id, a, b, c) — shared by the Fleiss and weak-supervision
+    * oracles, in lockstep with [[panelLabels]]. */
+  private lazy val panelCte =
+    """WITH lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text LIKE '% the %' THEN 'en'
+      |         WHEN text LIKE '% der %' THEN 'de'
+      |         WHEN text LIKE '% le %' THEN 'fr' ELSE 'und' END AS a,
+      |    CAST(len(string_split(text, ' the ')) - 1 AS BIGINT) AS cen,
+      |    CAST(len(string_split(text, ' der ')) - 1 AS BIGINT) AS cde,
+      |    CAST(len(string_split(text, ' le ')) - 1 AS BIGINT) AS cfr,
+      |    CAST(strpos(text, ' the ') AS BIGINT) AS pen,
+      |    CAST(strpos(text, ' der ') AS BIGINT) AS pde,
+      |    CAST(strpos(text, ' le ') AS BIGINT) AS pfr
+      |  FROM documents),
+      |lab2 AS (
+      |  SELECT doc_id, a,
+      |    CASE WHEN cen + cde + cfr = 0 THEN 'und'
+      |         WHEN cen >= cde AND cen >= cfr THEN 'en'
+      |         WHEN cde >= cfr THEN 'de' ELSE 'fr' END AS b,
+      |    CASE WHEN pen + pde + pfr = 0 THEN 'und'
+      |         WHEN pen > 0 AND (pde = 0 OR pen <= pde)
+      |           AND (pfr = 0 OR pen <= pfr) THEN 'en'
+      |         WHEN pde > 0 AND (pfr = 0 OR pde <= pfr) THEN 'de'
+      |         ELSE 'fr' END AS c
+      |  FROM lab)""".stripMargin
 
   /** The NB train-and-score pipeline as DuckDB CTEs ending with
     * `scored` (doc_id, source, cs, score) — shared by the confusion

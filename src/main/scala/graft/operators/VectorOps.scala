@@ -686,7 +686,7 @@ object VectorOps {
     // keys only. Seeds = the first k vectors; an empty cluster keeps
     // its previous centroid.
     "q_kmeans" -> ((s, d) => {
-      val (_, a2) = kmeansParts(s, d)
+      val (_, a2, _) = kmeansParts(s, d)
       a2.withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
         .orderBy("vec_id")
     }),
@@ -733,7 +733,7 @@ object VectorOps {
     // would cost vecs² pairwise distances; at lake scale only the
     // centroid form survives, which is why it is the one implemented.
     "q_silhouette" -> ((s, d) => {
-      val (d2, a2) = kmeansParts(s, d)
+      val (d2, a2, _) = kmeansParts(s, d)
       val ab = d2.join(a2, "vec_id")
         .groupBy("vec_id", "cluster")
         .agg(sum(when(col("j") === col("cluster"), col("dist2"))).as("a2d"),
@@ -797,7 +797,7 @@ object VectorOps {
     // the embed_near_dup double-fold convention; output is the
     // per-cluster retention report a curation pass reads.
     "q_semdedup" -> ((s, d) => {
-      val (d2, a2) = kmeansParts(s, d)
+      val (d2, a2, _) = kmeansParts(s, d)
       val own = d2.as("dd").join(a2.as("aa"),
         col("dd.vec_id") === col("aa.vec_id") && col("dd.j") === col("aa.cluster"))
         .select(col("aa.vec_id"), col("aa.cluster"), col("dd.dist2"))
@@ -1667,6 +1667,14 @@ object VectorOps {
       import s.implicits._
       val payloads = documents(s, d)
         .select(col("doc_id").cast("long")).as[Long]
+        // the id column is a few KB per parquet split, so the scan
+        // yields ONE partition — but the work here is the per-row
+        // DCT+Huffman decode, not the scan. Spread rows round-robin
+        // across the executor cores first or the whole decode runs
+        // serially on one thread (measured 13.5 s → ~1 s at sf0.1/32;
+        // the same rule at lake scale: partition by COMPUTE, not by
+        // input splits, when the payload synthesis is row-local).
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map(id =>
           (id, Multimodal.syntheticJpegImage(id))))
         .toDF("doc_id", "payload")
@@ -1834,6 +1842,103 @@ object VectorOps {
             .localCheckpoint()
       }
       meta.orderBy("rank")
+    }),
+
+    // E4 RESIDUAL QUANTIZATION — the third codec after PQ (q_pq_codes)
+    // and SQ (q_sq_codes): stage 1 assigns each vector to its Lloyd
+    // cluster (the SHARED kmeans pipeline, so codec and clustering
+    // cannot drift), stage 2 int8-quantizes the RESIDUAL v − centroid
+    // per dimension with the exact q_sq_codes range formulas. The
+    // report is the codec's own accounting: per cluster, the mean
+    // stage-1 error (‖v−c‖², straight from the shared distance table)
+    // vs the mean error AFTER the residual stage, and the ppm of
+    // stage-1 error the residual codebook recovers. All exact bigint.
+    // Scale: the kmeans legs are the proven Lloyd shapes; the
+    // residual pass is one centroid-broadcast join + one O(dims)
+    // range broadcast over a single exploded scan.
+    "q_residual_quantize" -> ((s, d) => {
+      val (d2, a2, c1) = kmeansParts(s, d)
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val res = dims.join(a2, "vec_id")
+        .join(broadcast(c1),
+          col("cluster") === col("j") && col("dim") === col("cd"))
+        .select(col("vec_id"), col("cluster"), col("dim"),
+          (col("qv") - col("cval")).as("r"))
+        .localCheckpoint() // feeds the range table AND the coded pass
+      val ranges = res.groupBy("dim")
+        .agg(min("r").as("minr"), max("r").as("maxr"))
+      val e2 = res.join(broadcast(ranges), "dim")
+        .withColumn("code",
+          when(col("maxr") === col("minr"), 0L)
+            .otherwise(expr("(r - minr) * 255 div (maxr - minr)")))
+        .withColumn("deq", expr("minr + code * (maxr - minr) div 255"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum(expr("(r - deq) * (r - deq)")).as("e2"))
+      val e1 = d2.join(a2, Seq("vec_id"))
+        .filter(col("j") === col("cluster"))
+        .select(col("vec_id"), col("dist2").as("e1"))
+      e2.join(e1, "vec_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(e1) div count(1)").as("mean_e1_micro2"),
+          expr("sum(e2) div count(1)").as("mean_e2_micro2"))
+        // ratio over the per-cluster MEANS in milli: the means are
+        // bounded by per-vector magnitudes (corpus-size-independent),
+        // so the cross-multiply can't overflow — the raw error SUMS
+        // × 10⁶ already exceed int64 at sf0.01
+        .withColumn("recovered_milli", expr(
+          """case when mean_e1_micro2 = 0 then null
+            |else (mean_e1_micro2 - mean_e2_micro2) * 1000
+            |  div mean_e1_micro2 end""".stripMargin))
+        .select("cluster", "n_vecs", "mean_e1_micro2", "mean_e2_micro2",
+          "recovered_milli")
+        .orderBy("cluster")
+    }),
+
+    // E4 HUBNESS AUDIT — the high-dimensional pathology check: in a
+    // hubby embedding space a few vectors appear in EVERYONE's
+    // nearest-neighbor lists (and anti-hubs in nobody's), which
+    // silently skews kNN classifiers, dedup and retrieval. Measures
+    // the k-occurrence distribution (how often each vector shows up
+    // in others' top-3) within each Lloyd cluster's ≤64-member
+    // window — the q_semdedup cap, which bounds the pairwise leg at
+    // k·64²/2 REGARDLESS of corpus size — in exact micro-unit L2²
+    // (array-fold on quantized components, no explode needed at pair
+    // scope). Output: the k-occurrence histogram + its max (the
+    // biggest hub's in-degree).
+    "q_hubness" -> ((s, d) => {
+      val (d2, a2, _) = kmeansParts(s, d)
+      val own = d2.join(a2.withColumnRenamed("cluster", "jown"),
+          Seq("vec_id"))
+        .filter(col("j") === col("jown"))
+        .select(col("vec_id"), col("j").as("cluster"), col("dist2"))
+      val win = own.withColumn("rnk", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rnk") <= 64)
+        .select("cluster", "vec_id")
+      val qemb = embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+            .as("qv"))
+      val wa = win.join(qemb, "vec_id")
+        .select(col("cluster"), col("vec_id").as("va"), col("qv").as("qa"))
+      val wb = win.join(qemb, "vec_id")
+        .select(col("cluster"), col("vec_id").as("vb"), col("qv").as("qb"))
+      val top3 = wa.join(wb, "cluster").filter(col("va") =!= col("vb"))
+        .withColumn("pd2", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("rk", row_number().over(Window.partitionBy("cluster", "va")
+          .orderBy(col("pd2").asc, col("vb").asc)))
+        .filter(col("rk") <= 3)
+      val kocc = win.join(
+          top3.groupBy(col("vb").as("vec_id")).agg(count(lit(1)).as("k_occ")),
+          Seq("vec_id"), "left")
+        .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))
+      kocc.groupBy("k_occ").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("k_occ")
     }))
 
   /** The q_kmeans two-Lloyd-round pipeline as DuckDB CTEs ending with
@@ -1851,7 +1956,8 @@ object VectorOps {
     * re-explode the embeddings parquet; the final distance table is
     * materialized because both its consumers (the rank pick and the
     * a/b silhouette fold) scan it. */
-  private def kmeansParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def kmeansParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val dims = embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
@@ -1877,7 +1983,9 @@ object VectorOps {
     val c1 = c0.join(upd, col("j") === col("j2") && col("cd") === col("cd2"), "left")
       .select(col("j"), col("cd"), coalesce(col("nval"), col("cval")).as("cval"))
     val d2 = dists(c1).localCheckpoint()
-    (d2, pick(d2))
+    // c1 (j, cd, cval) rides along so residual codecs quantize against
+    // the EXACT centroids the assignment used (the lockstep rule)
+    (d2, pick(d2), c1)
   }
 
   private lazy val kmeansCte =
@@ -3151,7 +3259,78 @@ object VectorOps {
         |      FROM sc)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
-    "q_coreset_kcenter" -> coresetOracle)
+    "q_coreset_kcenter" -> coresetOracle,
+
+    "q_residual_quantize" -> (kmeansCte +
+      """,
+        |res AS (
+        |  SELECT dims.vec_id, a2.cluster, dims.dim, dims.qv - c1.cval AS r
+        |  FROM dims JOIN a2 ON a2.vec_id = dims.vec_id
+        |  JOIN c1 ON c1.j = a2.cluster AND c1.dim = dims.dim),
+        |rng AS (SELECT dim, CAST(MIN(r) AS BIGINT) AS minr,
+        |          CAST(MAX(r) AS BIGINT) AS maxr
+        |        FROM res GROUP BY 1),
+        |coded AS (
+        |  SELECT res.vec_id, res.cluster, res.r, rng.minr, rng.maxr,
+        |    CASE WHEN rng.maxr = rng.minr THEN 0
+        |         ELSE (res.r - rng.minr) * 255 // (rng.maxr - rng.minr)
+        |    END AS code
+        |  FROM res JOIN rng ON rng.dim = res.dim),
+        |e2 AS (
+        |  SELECT vec_id, cluster,
+        |    CAST(SUM((r - (minr + code * (maxr - minr) // 255))
+        |           * (r - (minr + code * (maxr - minr) // 255))) AS BIGINT) AS e2
+        |  FROM coded GROUP BY 1, 2),
+        |e1 AS (
+        |  SELECT a2d.vec_id, CAST(a2d.dist2 AS BIGINT) AS e1
+        |  FROM a2d JOIN a2 ON a2.vec_id = a2d.vec_id AND a2.cluster = a2d.j),
+        |g AS (
+        |  SELECT e2.cluster, COUNT(*) AS n_vecs,
+        |    CAST(SUM(e1.e1) AS BIGINT) // COUNT(*) AS mean_e1_micro2,
+        |    CAST(SUM(e2.e2) AS BIGINT) // COUNT(*) AS mean_e2_micro2
+        |  FROM e2 JOIN e1 ON e1.vec_id = e2.vec_id GROUP BY 1)
+        |SELECT cluster, n_vecs, mean_e1_micro2, mean_e2_micro2,
+        |  CASE WHEN mean_e1_micro2 = 0 THEN NULL
+        |       ELSE (mean_e1_micro2 - mean_e2_micro2) * 1000
+        |         // mean_e1_micro2 END AS recovered_milli
+        |FROM g ORDER BY cluster""".stripMargin),
+
+    "q_hubness" -> (kmeansCte +
+      """,
+        |own AS (SELECT a2d.vec_id, a2d.j AS cluster,
+        |          CAST(a2d.dist2 AS BIGINT) AS dist2
+        |        FROM a2d JOIN a2 ON a2.vec_id = a2d.vec_id
+        |          AND a2.cluster = a2d.j),
+        |win AS (SELECT cluster, vec_id FROM (
+        |          SELECT cluster, vec_id,
+        |            ROW_NUMBER() OVER (PARTITION BY cluster
+        |                               ORDER BY dist2, vec_id) AS rnk
+        |          FROM own) WHERE rnk <= 64),
+        |qv AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |pairs AS (
+        |  SELECT a.cluster, a.vec_id AS va, b.vec_id AS vb,
+        |    (SELECT CAST(SUM((qa.q[g.i] - qb.q[g.i]) * (qa.q[g.i] - qb.q[g.i]))
+        |       AS BIGINT) FROM generate_series(1, 64) g(i)) AS pd2
+        |  FROM win a JOIN win b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |  JOIN qv qa ON qa.vec_id = a.vec_id
+        |  JOIN qv qb ON qb.vec_id = b.vec_id),
+        |top3 AS (SELECT cluster, va, vb FROM (
+        |           SELECT cluster, va, vb,
+        |             ROW_NUMBER() OVER (PARTITION BY cluster, va
+        |                                ORDER BY pd2 ASC, vb ASC) AS rk
+        |           FROM pairs) WHERE rk <= 3),
+        |ko AS (
+        |  SELECT w.vec_id,
+        |    CAST(COALESCE(o.k_occ, 0) AS BIGINT) AS k_occ
+        |  FROM win w LEFT JOIN (
+        |    SELECT vb AS vec_id, COUNT(*) AS k_occ FROM top3 GROUP BY vb) o
+        |    ON o.vec_id = w.vec_id)
+        |SELECT k_occ, COUNT(*) AS n_vectors
+        |FROM ko GROUP BY k_occ ORDER BY k_occ""".stripMargin))
 
   /** 4 unrolled farthest-point rounds — lockstep with the Spark loop
     * above (same seed, same exact-bigint L2², same (dist² desc, id

@@ -291,6 +291,27 @@ object ScaleRehearsal {
     "q_coreset_kcenter" -> Seq("embeddings"),
     "q_rejection_sampling" -> Seq("documents"),
     "q_sft_pairs" -> Seq("documents"),
+    // round-8 batch-11. q_residual_quantize pays the Lloyd legs plus
+    // one centroid-broadcast residual scan and an O(dims) range
+    // broadcast; q_hubness rides the same Lloyd legs with its
+    // pairwise stage hard-capped at k·64²/2 by the semdedup window;
+    // q_weak_supervision and q_filter_funnel are one-scan panel /
+    // funnel folds with O(labels)/O(stages) state.
+    "q_residual_quantize" -> Seq("embeddings"),
+    "q_hubness" -> Seq("embeddings"),
+    "q_weak_supervision" -> Seq("documents"),
+    "q_filter_funnel" -> Seq("documents"),
+    // round-8 batch-12: q_holt and q_runs_test collapse to the
+    // calendar-bounded daily series in one hash-agg (the fold/window
+    // after it is O(days)); q_qini is one user hash-agg + the
+    // two-phase PrefixSum rank + a 10-row window; q_isotonic and
+    // q_shapley_attribution are one user hash-agg each, then
+    // constant-size grids (20-bin intervals / 16-coalition lattice).
+    "q_holt" -> Seq("events"),
+    "q_runs_test" -> Seq("events"),
+    "q_qini" -> Seq("events"),
+    "q_isotonic" -> Seq("events"),
+    "q_shapley_attribution" -> Seq("events"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

@@ -1866,6 +1866,227 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_residual_quantize: totals close, residual stage bounded by the SQ step") {
+    val rows = graft.operators.VectorOps.queries("q_residual_quantize")(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === nVecs, "every vector coded exactly once")
+    rows.foreach { case (c, n, e1, e2, rec) =>
+      assert(n > 0 && e1 >= 0 && e2 >= 0)
+      rec.foreach(r => assert(r <= 1000L, s"cluster $c recovery above 100%"))
+    }
+    // the residual codebook must recover most of the stage-1 error
+    // overall (the codec's reason to exist)
+    val (se1, se2) = (rows.map(r => r._3 * r._2).sum, rows.map(r => r._4 * r._2).sum)
+    assert(se2 * 5 < se1, s"residual stage recovered too little: e1~$se1 e2~$se2")
+  }
+
+  test("q_hubness: k-occurrence mass closes against the semdedup windows") {
+    val hist = graft.operators.VectorOps.queries("q_hubness")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(hist.nonEmpty)
+    val windows = graft.operators.VectorOps.queries("q_semdedup")(spark, sf)
+      .select("cluster", "n_window").as[(Long, Long)].collect()
+    assert(hist.map(_._2).sum === windows.map(_._2).sum,
+      "every window member gets exactly one k-occurrence row")
+    // each member emits min(3, |win|-1) neighbor edges; all credit lands in-window
+    val expectedEdges = windows.map { case (_, w) => w * math.min(3, w - 1) }.sum
+    assert(hist.map(t => t._1 * t._2).sum === expectedEdges,
+      "total k-occurrence must equal total emitted top-3 edges")
+  }
+
+  test("q_weak_supervision: label-model vote matches an exact panel replay") {
+    val rows = graft.operators.TextOps.queries("q_weak_supervision")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def count2(t: String, m: String) =
+      t.split(java.util.regex.Pattern.quote(m), -1).length - 1L
+    val perDoc = docs.map { case (_, t) =>
+      val a = if (t.contains(" the ")) "en"
+        else if (t.contains(" der ")) "de"
+        else if (t.contains(" le ")) "fr" else "und"
+      val cnts = Seq("en" -> count2(t, " the "), "de" -> count2(t, " der "),
+        "fr" -> count2(t, " le "))
+      val b = if (cnts.map(_._2).sum == 0) "und"
+        else cnts.maxBy { case (l, c) => (c, -Seq("en", "de", "fr").indexOf(l)) }._1
+      val pos = Seq("en" -> (t.indexOf(" the ") + 1L),
+        "de" -> (t.indexOf(" der ") + 1L), "fr" -> (t.indexOf(" le ") + 1L))
+      val present = pos.filter(_._2 > 0)
+      val c = if (present.isEmpty) "und"
+        else present.minBy { case (l, p) => (p, Seq("en", "de", "fr").indexOf(l)) }._1
+      val votes = Seq(a, b, c).filter(_ != "und")
+      val label = if (votes.isEmpty) "unlabeled"
+        else votes.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, n) => (-n, l) }._1
+      val top = if (votes.isEmpty) 0 else votes.count(_ == label)
+      (label, votes.length.toLong, top.toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (l, g) =>
+      (l, g.length.toLong,
+        g.count(t => t._3 == t._2 && t._2 > 0).toLong,
+        g.map(_._2).sum * 1000L / g.length)
+    }.toSet
+    assert(rows.toSet === expected)
+  }
+
+  test("q_filter_funnel: stages nest monotonically and agree with the quality verdicts") {
+    val rows = graft.operators.CorpusOps.queries("q_filter_funnel")(spark, sf)
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0L to 4L))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3, "funnel must be non-increasing")
+      case _ => ()
+    }
+    val n0 = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.head._3 === n0)
+    // stage 3 is exactly q_quality_filter's keep set (lockstep thresholds)
+    val keeps = graft.operators.CorpusOps.queries("q_quality_filter")(spark, sf)
+      .filter(col("verdict") === "keep").count()
+    assert(rows(3)._3 === keeps,
+      s"funnel stage 3 (${rows(3)._3}) != quality keep count ($keeps)")
+    rows.foreach { case (_, _, n, ret, _) =>
+      assert(ret.get === n * 1000000L / n0)
+    }
+  }
+
+  test("q_holt: level/trend replay the integer recursion exactly") {
+    val rows = graft.operators.EventOps.queries("q_holt")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    var l = daily.head._2 * 1000000L
+    var b = 0L
+    val exp = scala.collection.mutable.ArrayBuffer(
+      (daily.head._1, daily.head._2, l, 0L, Option.empty[Long]))
+    for ((day, n) <- daily.drop(1)) {
+      val f = l + b
+      val v = n * 1000000L
+      val l2 = (v + l + b) / 2 // Long / truncates toward zero, like div
+      val b2 = (l2 - l + b) / 2
+      exp += ((day, n, l2, b2, Some(f)))
+      l = l2; b = b2
+    }
+    assert(rows.toSeq === exp.toSeq)
+  }
+
+  test("q_runs_test: moments replay the above/below-median sign sequence") {
+    val row = graft.operators.EventOps.queries("q_runs_test")(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val nd = daily.length
+    val med = daily.sortBy(t => (t._2, t._1)).apply((nd + 1) / 2 - 1)._2
+    val sgn = daily.filter(_._2 != med).map(t => if (t._2 > med) 1L else 0L)
+    val m = sgn.length.toLong
+    val n1 = sgn.sum
+    val n0 = m - n1
+    val runs =
+      if (sgn.isEmpty) 0L
+      else 1L + sgn.iterator.sliding(2).withPartial(false)
+        .count(w => w(0) != w(1))
+    assert((row._1, row._2, row._3, row._4) === ((m, n1, n0, runs)))
+    if (m > 1) {
+      val mu = 1000L + 2000L * n1 * n0 / m
+      val va = 2 * n1 * n0 * (2 * n1 * n0 - m) * 1000000L / (m * m * (m - 1))
+      assert(row._5.get === mu)
+      assert(row._6.get === va)
+      if (va > 0)
+        assert(row._7.get ===
+          (1000L * runs - mu) * (1000L * runs - mu) * 1000L / va)
+    }
+  }
+
+  test("q_qini: deciles complete and terminal row closes on cohort totals") {
+    val rows = graft.operators.EventOps.queries("q_qini")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0L to 9L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5,
+          "cumulative columns must be non-decreasing")
+      case _ => ()
+    }
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      .select("cohort", "conv").as[(Long, Long)].collect()
+    val (nt, nc) = (users.count(_._1 == 1L).toLong, users.count(_._1 == 0L).toLong)
+    val ct = users.filter(_._1 == 1L).map(_._2).sum
+    val cc = users.filter(_._1 == 0L).map(_._2).sum
+    val last = rows.last
+    assert((last._2, last._3, last._4, last._5) === ((nt, nc, ct, cc)))
+    assert(last._7.get === ct * 1000L - cc * 1000L * nt / nc,
+      "terminal Qini must be the overall incremental-conversions estimate")
+  }
+
+  test("q_isotonic: fit is monotone and matches the brute-force min-max replay") {
+    val rows = graft.operators.EventOps.queries("q_isotonic")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._5 >= a._5, "isotonic fit must be monotone")
+      case _ => ()
+    }
+    val bins = rows.map(r => (r._2, r._3)) // (n, conv) in bin order
+    def rate(j: Int, k: Int): Long = {
+      val s = bins.slice(j, k + 1)
+      s.map(_._2).sum * 1000000L / s.map(_._1).sum
+    }
+    val iso = bins.indices.map { i =>
+      (0 to i).map(j => (i until bins.length).map(k => rate(j, k)).min).max
+    }
+    assert(rows.map(_._5).toSeq === iso)
+    rows.foreach(r => assert(r._4 === r._3 * 1000000L / r._2))
+  }
+
+  test("q_shapley_attribution: exact 16-coalition replay; efficiency holds in 24ths") {
+    val rows = graft.operators.EventOps
+      .queries("q_shapley_attribution")(spark, sf)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array("click", "error", "signup", "view")))
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"),
+        expr("""cast(
+            max(case when event_type = 'click'  then 1 else 0 end)
+          + 2 * max(case when event_type = 'error'  then 1 else 0 end)
+          + 4 * max(case when event_type = 'signup' then 1 else 0 end)
+          + 8 * max(case when event_type = 'view'   then 1 else 0 end)
+          as bigint)""").as("mask"))
+      .select("mask", "conv").as[(Long, Long)].collect()
+    val coal = users.groupBy(_._1).map { case (m, g) =>
+      (m, (g.length.toLong, g.map(_._2).sum))
+    }
+    def v(s: Long): Long = {
+      val sub = coal.filter { case (m, _) => (m | s) == s }.values
+      val n = sub.map(_._1).sum
+      if (n == 0) 0L else sub.map(_._2).sum * 1000000L / n
+    }
+    val bits = Map("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+    val w24 = Seq(6L, 2L, 2L, 6L)
+    val phi24 = bits.map { case (c, bit) =>
+      c -> (0L until 16L).filter(s => (s & bit) == 0).map { s =>
+        w24(java.lang.Long.bitCount(s)) * (v(s | bit) - v(s))
+      }.sum
+    }
+    rows.foreach { case (c, p) => assert(p === phi24(c) / 24) }
+    // the Shapley efficiency identity holds for ANY v, exactly in 24ths
+    assert(phi24.values.sum === 24L * (v(15) - v(0)))
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
