@@ -843,6 +843,57 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // GOPHER-STYLE RULE PANEL — the per-rule health readout behind a
+    // composite quality filter (complements q_quality_filter's single
+    // verdict and q_filter_funnel's staged retention): five classic
+    // pretraining-curation rules, each reported PER (source, rule) as
+    // violation counts + ppm so a curator sees WHICH rule bites WHICH
+    // source before composing thresholds. Rules: too-short (<25
+    // tokens), mean-token-length outside [3,10] (milli), symbol share
+    // >10% of non-space chars, <2 stopword hits, and top-token share
+    // >20% (the repetition rule — the only one needing a second
+    // hash-agg, on (doc, token)). One corpus scan + one token explode;
+    // the unpivot is stack() over per-doc flags, and the report is a
+    // (sources × 5)-row aggregate — shape-invariant at scale.
+    "q_gopher_rules" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val top = documents(s, d)
+        .select(col("doc_id"), explode(toks).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("topc"))
+      val flags = documents(s, d)
+        .withColumn("n_words", size(toks).cast("long"))
+        .withColumn("nonspace",
+          length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("letters",
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(toks, t => t.isInCollection(TextOps.stopwords)))
+            .cast("long"))
+        .join(top, Seq("doc_id"), "left")
+        .withColumn("mwl_milli",
+          expr("nonspace * 1000 div greatest(n_words, 1)"))
+        .withColumn("sym_ppm", expr(
+          "(nonspace - letters) * 1000000 div greatest(nonspace, 1)"))
+        .withColumn("top_ppm", expr(
+          "coalesce(topc, CAST(0 AS BIGINT)) * 1000000 div greatest(n_words, 1)"))
+        .selectExpr("source",
+          """stack(5,
+            'r1_short',      case when n_words < 25 then 1 else 0 end,
+            'r2_word_len',   case when mwl_milli < 3000
+                                    or mwl_milli > 10000 then 1 else 0 end,
+            'r3_symbol',     case when sym_ppm > 100000 then 1 else 0 end,
+            'r4_stopword',   case when n_stop < 2 then 1 else 0 end,
+            'r5_repetition', case when top_ppm > 200000 then 1 else 0 end)
+            as (rule, violate)""")
+      flags.groupBy("source", "rule")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("violate").cast("long").as("n_violations"))
+        .withColumn("violation_ppm",
+          expr("n_violations * 1000000 div n_docs"))
+        .orderBy("source", "rule")
+    }),
+
     // K-FOLD CROSS-VALIDATION ASSIGNMENT + stratification audit — the
     // split primitive evaluation pipelines need beyond one train/test
     // cut: every document lands in a deterministic md5-hash fold
@@ -1905,6 +1956,50 @@ object CorpusOps {
         |       WHEN n_stop = 0 THEN 'drop:no_stopwords'
         |       ELSE 'keep' END AS verdict
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH top AS (
+        |  SELECT doc_id, MAX(c) AS topc FROM (
+        |    SELECT doc_id, tk, COUNT(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest(list_filter(string_split(lower(text), ' '),
+        |          x -> x <> '')) AS tk
+        |      FROM documents)
+        |    GROUP BY doc_id, tk)
+        |  GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.source,
+        |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS nonspace,
+        |    CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS letters,
+        |    CAST(len(list_filter(string_split(lower(d.text), ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop,
+        |    CAST(COALESCE(t.topc, 0) AS BIGINT) AS topc
+        |  FROM documents d LEFT JOIN top t ON t.doc_id = d.doc_id),
+        |m AS (
+        |  SELECT source, n_words, n_stop,
+        |    nonspace * 1000 // GREATEST(n_words, 1) AS mwl_milli,
+        |    (nonspace - letters) * 1000000 // GREATEST(nonspace, 1) AS sym_ppm,
+        |    topc * 1000000 // GREATEST(n_words, 1) AS top_ppm
+        |  FROM f),
+        |u AS (
+        |  SELECT source, 'r1_short' AS rule,
+        |    CASE WHEN n_words < 25 THEN 1 ELSE 0 END AS violate FROM m
+        |  UNION ALL SELECT source, 'r2_word_len',
+        |    CASE WHEN mwl_milli < 3000 OR mwl_milli > 10000 THEN 1 ELSE 0 END
+        |    FROM m
+        |  UNION ALL SELECT source, 'r3_symbol',
+        |    CASE WHEN sym_ppm > 100000 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT source, 'r4_stopword',
+        |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END FROM m
+        |  UNION ALL SELECT source, 'r5_repetition',
+        |    CASE WHEN top_ppm > 200000 THEN 1 ELSE 0 END FROM m)
+        |SELECT source, rule, COUNT(*) AS n_docs,
+        |  CAST(SUM(violate) AS BIGINT) AS n_violations,
+        |  CAST(SUM(violate) AS BIGINT) * 1000000 // COUNT(*) AS violation_ppm
+        |FROM u GROUP BY source, rule ORDER BY source, rule""".stripMargin,
 
     "q_mix_entropy" ->
       """WITH counts AS (

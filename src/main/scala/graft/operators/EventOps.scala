@@ -1938,6 +1938,265 @@ object EventOps {
         .withColumn("phi_ppm", expr("phi24 div 24"))
         .select("channel", "phi_ppm")
         .orderBy("channel")
+    }),
+
+    // BOT / AUTOMATION DETECTION — the traffic-hygiene gate run before
+    // any engagement analytics: per user, event rate (events per
+    // active day, milli) and inter-event gap REGULARITY (population
+    // variance of gap seconds — machines are fast AND metronomic,
+    // humans are slow and bursty). Flags are RELATIVE to the corpus
+    // (above-mean rate AND below-mean gap variance — on production
+    // traffic tighten the multipliers; the report shape is the
+    // deliverable), so the rule ports across scale factors without
+    // retuning. One
+    // user-keyed window for the gaps (per-user sequences, the
+    // sessionize shape), two hash-aggs, a broadcast 1-row corpus
+    // profile — and a 2-row verdict rollup, never a per-user output.
+    "q_bot_detect" -> ((s, d) => {
+      val ep = floor(unix_timestamp(col("ts").cast("timestamp"))).cast("long")
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), ep.as("ep"))
+        .withColumn("gap", col("ep") - lag(col("ep"), 1).over(wu))
+      val users = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          count(col("gap")).as("n_gaps"),
+          coalesce(sum("gap"), lit(0L)).as("sg"),
+          coalesce(sum(expr("gap * gap")), lit(0L)).as("sgg"))
+        .withColumn("rate_milli", expr("n_events * 1000 div active_days"))
+        .withColumn("gap_var", expr(
+          "case when n_gaps = 0 then null " +
+            "else (n_gaps * sgg - sg * sg) div (n_gaps * n_gaps) end"))
+      val prof = broadcast(users.agg(
+        expr("sum(rate_milli) div count(1)").as("mean_rate_milli"),
+        expr("sum(coalesce(gap_var, CAST(0 AS BIGINT))) div count(1)")
+          .as("mean_gap_var")))
+      users.crossJoin(prof)
+        .withColumn("is_bot",
+          when(col("rate_milli") > col("mean_rate_milli") &&
+            col("gap_var").isNotNull &&
+            col("gap_var") < col("mean_gap_var"), 1L).otherwise(0L))
+        .groupBy("is_bot")
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(rate_milli) div count(1)").as("avg_rate_milli"),
+          expr("sum(coalesce(gap_var, CAST(0 AS BIGINT))) div count(1)")
+            .as("avg_gap_var"))
+        .orderBy("is_bot")
+    }),
+
+    // SIMPSON'S PARADOX CHECK — does the activity→conversion
+    // association FLIP SIGN when stratified by cohort? The aggregate
+    // and the per-stratum 2×2 tables come out of ONE rollup (cohort →
+    // null = 'all'): high = user activity ≥ the global mean, and each
+    // stratum reports its high/low conversion rates and gap in ppm
+    // with an explicit sign column, so the paradox is a 3-row visual
+    // diff. Everything reduces to a user hash-agg + a broadcast 1-row
+    // mean + a 3-group rollup — O(users) once, O(1) after.
+    "q_simpson" -> ((s, d) => {
+      // conv = ABOVE-MEAN purchase count, not any-purchase: nearly every
+      // synthetic user purchases at least once, so the binary-outcome
+      // form saturates at 1.0 and the detector reads nothing.
+      val users = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+      // the mean probe is an independent two-level aggregate (its own
+      // events scan) — a users.agg self-join would trip Spark's
+      // ambiguous-self-join detection at the rollup below
+      val m = broadcast(events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("s2"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n2"))
+        .agg(expr("sum(s2) div count(1)").as("mean_score"),
+          expr("sum(n2) div count(1)").as("mean_np")))
+      users.crossJoin(m)
+        .withColumn("conv", when(col("np") > col("mean_np"), 1L).otherwise(0L))
+        .withColumn("high",
+          when(col("score") >= col("mean_score"), 1L).otherwise(0L))
+        // rollup(col(...)), not rollup("cohort"): the String overload
+        // resolves against the Dataset and tags the attribute with a
+        // dataset id, which trips DetectAmbiguousSelfJoin above the
+        // crossJoin of this table with its own aggregate
+        .rollup(col("cohort"))
+        .agg(sum(when(col("high") === 1, 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("high") === 0, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("high") === 1, col("conv")).otherwise(0L))
+            .as("conv_high"),
+          sum(when(col("high") === 0, col("conv")).otherwise(0L))
+            .as("conv_low"))
+        .withColumn("stratum",
+          when(col("cohort").isNull, "all")
+            .otherwise(concat(lit("cohort_"), col("cohort").cast("string"))))
+        .withColumn("rate_high_ppm", expr(
+          "case when n_high = 0 then null " +
+            "else conv_high * 1000000 div n_high end"))
+        .withColumn("rate_low_ppm", expr(
+          "case when n_low = 0 then null " +
+            "else conv_low * 1000000 div n_low end"))
+        .withColumn("gap_ppm", expr(
+          "case when n_high = 0 or n_low = 0 then null " +
+            "else conv_high * 1000000 div n_high " +
+            "   - conv_low * 1000000 div n_low end"))
+        .withColumn("sign", expr(
+          "case when gap_ppm is null then null when gap_ppm > 0 then 1 " +
+            "when gap_ppm < 0 then -1 else 0 end"))
+        .select("stratum", "n_high", "n_low", "conv_high", "conv_low",
+          "rate_high_ppm", "rate_low_ppm", "gap_ppm", "sign")
+        .orderBy("stratum")
+    }),
+
+    // MEDIATION ANALYSIS (product-of-coefficients) — decompose the
+    // cohort's total effect on conversion into the path THROUGH click
+    // activity (indirect = a·b) and the remainder (direct = c − a·b):
+    // a = T→M slope, b = M→Y slope CONTROLLING T (the partial
+    // regression via the 2-var normal equations, the q_granger det
+    // shape), c = the total T→Y slope. All moments are one user-keyed
+    // hash-agg + one 1-row fold; the ratios follow the q_ab_ztest
+    // float convention (identical operand order both engines,
+    // ROUND 6). Zero-variance determinants return null, not NaN.
+    "q_mediation" -> ((s, d) => {
+      // y = purchase COUNT (the binary any-purchase outcome saturates
+      // at 1 on the synthetic corpus and zeroes every slope)
+      val users = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("m"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .withColumn("t", pmod(col("user_id"), lit(2L)))
+      users.agg(count(lit(1)).as("n"),
+          sum("t").as("st"), sum("m").as("sm"), sum("y").as("sy"),
+          sum(expr("t * t")).as("stt"), sum(expr("m * m")).as("smm"),
+          sum(expr("t * m")).as("stm"), sum(expr("t * y")).as("sty"),
+          sum(expr("m * y")).as("smy"))
+        .withColumn("ctt", expr("n * stt - st * st"))
+        .withColumn("cmm", expr("n * smm - sm * sm"))
+        .withColumn("ctm", expr("n * stm - st * sm"))
+        .withColumn("cty", expr("n * sty - st * sy"))
+        .withColumn("cmy", expr("n * smy - sm * sy"))
+        .withColumn("a", expr(
+          "case when ctt = 0 then null " +
+            "else round(cast(ctm as double) / ctt, 6) end"))
+        .withColumn("b", expr(
+          """case when cast(ctt as double) * cmm - cast(ctm as double) * ctm = 0
+            |  then null
+            |  else round((cast(ctt as double) * cmy - cast(ctm as double) * cty)
+            |    / (cast(ctt as double) * cmm - cast(ctm as double) * ctm), 6)
+            |end""".stripMargin))
+        .withColumn("c", expr(
+          "case when ctt = 0 then null " +
+            "else round(cast(cty as double) / ctt, 6) end"))
+        .withColumn("indirect", expr(
+          "case when a is null or b is null then null else round(a * b, 6) end"))
+        .withColumn("direct", expr(
+          "case when c is null or a is null or b is null then null " +
+            "else round(c - a * b, 6) end"))
+        .select("n", "a", "b", "c", "indirect", "direct")
+    }),
+
+    // GRADIENT-BOOSTED STUMPS (3 rounds, squared loss, lr = ½) — the
+    // ensemble upgrade to q_decision_stump: predict per-user purchase
+    // count from the 4 activity features, each round fitting the best
+    // (feature, threshold) stump to the CURRENT residuals and adding
+    // half its leaf means to the prediction. Everything is integral
+    // milli: init = the global mean, leaf means are truncating divs,
+    // lr = ½ is one more truncating div — both engines replay the
+    // identical arithmetic, so round summaries sit in the oracle gate.
+    // Split gain = Σ_l r·m̄_l + Σ_r r·m̄_r computed as (s div n)·s —
+    // mean-first, so no s² overflow at any user count. Per round: one
+    // 28-candidate spinner (4 features × 7 thresholds) collapsed
+    // map-side into 28 groups, a 1-row deterministic argmax
+    // ((gain desc, f, t) total order), and a broadcast update joined
+    // back — O(users) work per round, 3 rounds, lineage cut by one
+    // checkpoint per round (the PCA-iterate precedent).
+    "q_gbm_stumps" -> ((s, d) => {
+      val base = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("f0"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("f2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .as("f3"),
+          (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            * 1000L).as("y_milli"))
+        .localCheckpoint()
+      val m0 = broadcast(base.agg(
+        expr("sum(y_milli) div count(1)").as("p0")))
+      var users = base.crossJoin(m0)
+        .withColumn("pred", col("p0"))
+        .withColumn("r", col("y_milli") - col("pred"))
+        .select("user_id", "f0", "f1", "f2", "f3", "y_milli", "pred", "r")
+      val comboLits = (for { f <- 0 until 4; t <- Seq(1, 2, 3, 5, 8, 13, 21) }
+        yield s"struct(${f}L as f, ${t}L as t)").mkString(",")
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (k <- 1 to 3) {
+        val cand = users
+          .select(expr(s"explode(array($comboLits))").as("p"),
+            col("f0"), col("f1"), col("f2"), col("f3"), col("r"))
+          .withColumn("v", expr(
+            "case p.f when 0 then f0 when 1 then f1 when 2 then f2 " +
+              "else f3 end"))
+          .withColumn("in_l", (col("v") <= col("p.t")).cast("long"))
+          .groupBy(col("p.f").as("f"), col("p.t").as("t"))
+          .agg(count(lit(1)).as("n"), sum("in_l").as("nl"),
+            sum(expr("in_l * r")).as("sl"), sum("r").as("stot"))
+          .withColumn("nr", col("n") - col("nl"))
+          .withColumn("sr", col("stot") - col("sl"))
+          .withColumn("ml", expr("case when nl = 0 then 0 else sl div nl end"))
+          .withColumn("mr", expr("case when nr = 0 then 0 else sr div nr end"))
+          .withColumn("gain", expr("ml * sl + mr * sr"))
+        val best = broadcast(cand
+          .agg(min(struct((-col("gain")).as("ng"), col("f").as("f"),
+            col("t").as("t"), col("nl").as("nl"), col("nr").as("nr"),
+            col("ml").as("ml"), col("mr").as("mr"))).as("b"))
+          .select(col("b.f").as("bf"), col("b.t").as("bt"),
+            col("b.nl").as("bnl"), col("b.nr").as("bnr"),
+            col("b.ml").as("bml"), col("b.mr").as("bmr"),
+            (-col("b.ng")).as("bgain")))
+        rounds += best.withColumn("round", lit(k.toLong))
+        users = users.crossJoin(best)
+          .withColumn("v", expr(
+            "case bf when 0 then f0 when 1 then f1 when 2 then f2 " +
+              "else f3 end"))
+          .withColumn("pred", expr(
+            "pred + (case when v <= bt then bml else bmr end) div 2"))
+          .withColumn("r", col("y_milli") - col("pred"))
+          .select("user_id", "f0", "f1", "f2", "f3", "y_milli", "pred", "r")
+          .localCheckpoint()
+      }
+      rounds.reduce(_ unionByName _)
+        .select(col("round"), col("bf").as("feature"),
+          col("bt").as("threshold"), col("bnl").as("n_left"),
+          col("bnr").as("n_right"), col("bml").as("mean_left_milli"),
+          col("bmr").as("mean_right_milli"), col("bgain").as("gain"))
+        .orderBy("round")
+    }),
+
+    // E8 PAGE–HINKLEY DRIFT DETECTOR — the sequential upward-drift
+    // test that complements q_cusum (two-sided peak) and
+    // q_changepoint (retrospective split): PH_t = cum_t − min_{i≤t}
+    // cum_i over the mean-centered daily series, alarm when the
+    // excursion exceeds λ = one mean day of volume. Recursion-free —
+    // a cumulative sum plus a RUNNING MIN are both one O(days)
+    // window over the calendar-bounded daily aggregate, so the
+    // sequential test distributes trivially.
+    "q_page_hinkley" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val m = broadcast(daily.agg(expr("sum(v) div count(1)").as("m")))
+      val wd = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(m)
+        .withColumn("cum", sum(col("v") - col("m")).over(wd))
+        .withColumn("ph", col("cum") - min(col("cum")).over(wd))
+        .withColumn("alarm", (col("ph") > col("m")).cast("long"))
+        .select(col("day").cast("string").as("day"), col("v"), col("cum"),
+          col("ph"), col("alarm"))
+        .orderBy("day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -3141,7 +3400,97 @@ object EventOps {
        |ORDER BY rank""".stripMargin
   }
 
+  /** 3 unrolled boosting rounds — lockstep with the Spark loop above
+    * (same milli residuals, same mean-first gain, same truncating
+    * lr = ½ div, same (gain desc, f, t) argmax order). */
+  private lazy val gbmOracle: String = {
+    def vOf(a: String, f: String) =
+      s"(CASE $f WHEN 0 THEN $a.f0 WHEN 1 THEN $a.f1 " +
+        s"WHEN 2 THEN $a.f2 ELSE $a.f3 END)"
+    val rounds = (1 to 3).map { k =>
+      val p = k - 1
+      s"""cand$k AS (
+         |  SELECT c.f, c.t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN ${vOf("u", "c.f")} <= c.t
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(SUM(CASE WHEN ${vOf("u", "c.f")} <= c.t
+         |      THEN u.r ELSE 0 END) AS BIGINT) AS sl,
+         |    CAST(SUM(u.r) AS BIGINT) AS stot
+         |  FROM u$p u CROSS JOIN cands c GROUP BY c.f, c.t),
+         |g$k AS (
+         |  SELECT f, t, nl, n - nl AS nr, sl, stot - sl AS sr,
+         |    CASE WHEN nl = 0 THEN 0 ELSE sl // nl END AS ml,
+         |    CASE WHEN n - nl = 0 THEN 0
+         |      ELSE (stot - sl) // (n - nl) END AS mr
+         |  FROM cand$k),
+         |b$k AS (
+         |  SELECT f, t, nl, nr, ml, mr, ml * sl + mr * sr AS gain
+         |  FROM g$k ORDER BY gain DESC, f, t LIMIT 1),
+         |u$k AS (
+         |  SELECT u.user_id, u.f0, u.f1, u.f2, u.f3, u.y_milli,
+         |    u.pred + (CASE WHEN ${vOf("u", "b.f")} <= b.t
+         |      THEN b.ml ELSE b.mr END) // 2 AS pred,
+         |    u.y_milli - (u.pred + (CASE WHEN ${vOf("u", "b.f")} <= b.t
+         |      THEN b.ml ELSE b.mr END) // 2) AS r
+         |  FROM u$p u CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 3).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, f AS feature, t AS threshold,
+         |  nl AS n_left, nr AS n_right, ml AS mean_left_milli,
+         |  mr AS mean_right_milli, gain FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f0,
+       |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f1,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f2,
+       |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS f3,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      * 1000 AS BIGINT) AS y_milli
+       |  FROM events GROUP BY user_id),
+       |m AS (SELECT CAST(SUM(y_milli) AS BIGINT) // COUNT(*) AS p0 FROM base),
+       |cands AS (
+       |  SELECT CAST(f.f AS BIGINT) AS f, CAST(t.t AS BIGINT) AS t
+       |  FROM (SELECT unnest([0, 1, 2, 3]) AS f) f
+       |  CROSS JOIN (SELECT unnest([1, 2, 3, 5, 8, 13, 21]) AS t) t),
+       |u0 AS (
+       |  SELECT user_id, f0, f1, f2, f3, y_milli,
+       |    (SELECT p0 FROM m) AS pred,
+       |    y_milli - (SELECT p0 FROM m) AS r
+       |  FROM base),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   private lazy val batch12Oracle: Map[String, String] = Map(
+    "q_gbm_stumps" -> gbmOracle,
+
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS v
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS m FROM daily),
+        |c AS (
+        |  SELECT day, v,
+        |    CAST(SUM(v - (SELECT m FROM m)) OVER w AS BIGINT) AS cum
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT day, v, cum,
+        |    cum - CAST(MIN(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ph
+        |  FROM c)
+        |SELECT CAST(day AS VARCHAR) AS day, v, cum, ph,
+        |  CAST(CASE WHEN ph > (SELECT m FROM m) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alarm
+        |FROM p ORDER BY day""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
@@ -3305,5 +3654,135 @@ object EventOps {
         |  JOIN vs v0 ON (v0.smask & ch.bit) = 0
         |  JOIN vs v1 ON v1.smask = (v0.smask | ch.bit))
         |SELECT channel, CAST(SUM(wd) AS BIGINT) // 24 AS phi_ppm
-        |FROM marg GROUP BY channel ORDER BY channel""".stripMargin)
+        |FROM marg GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_bot_detect" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(FLOOR(epoch(ts)) AS BIGINT))
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |users AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT day) AS BIGINT) AS active_days,
+        |    CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+        |    CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sg,
+        |    CAST(COALESCE(SUM(gap * gap), 0) AS BIGINT) AS sgg
+        |  FROM g GROUP BY user_id),
+        |u2 AS (
+        |  SELECT *, n_events * 1000 // active_days AS rate_milli,
+        |    CASE WHEN n_gaps = 0 THEN NULL
+        |      ELSE (n_gaps * sgg - sg * sg) // (n_gaps * n_gaps)
+        |    END AS gap_var
+        |  FROM users),
+        |prof AS (
+        |  SELECT CAST(SUM(rate_milli) AS BIGINT) // COUNT(*)
+        |      AS mean_rate_milli,
+        |    CAST(SUM(COALESCE(gap_var, 0)) AS BIGINT) // COUNT(*)
+        |      AS mean_gap_var
+        |  FROM u2),
+        |v AS (
+        |  SELECT u2.*,
+        |    CASE WHEN u2.rate_milli > p.mean_rate_milli
+        |      AND u2.gap_var IS NOT NULL
+        |      AND u2.gap_var < p.mean_gap_var
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_bot
+        |  FROM u2 CROSS JOIN prof p)
+        |SELECT is_bot, COUNT(*) AS n_users,
+        |  CAST(SUM(rate_milli) AS BIGINT) // COUNT(*) AS avg_rate_milli,
+        |  CAST(SUM(COALESCE(gap_var, 0)) AS BIGINT) // COUNT(*) AS avg_gap_var
+        |FROM v GROUP BY is_bot ORDER BY is_bot""".stripMargin,
+
+    "q_simpson" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    user_id % 2 AS cohort
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT CAST(SUM(score) AS BIGINT) // COUNT(*) AS mean_score,
+        |        CAST(SUM(np) AS BIGINT) // COUNT(*) AS mean_np
+        |      FROM users),
+        |h AS (
+        |  SELECT cohort,
+        |    CASE WHEN np > (SELECT mean_np FROM m)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS conv,
+        |    CASE WHEN score >= (SELECT mean_score FROM m)
+        |      THEN 1 ELSE 0 END AS high
+        |  FROM users),
+        |r AS (
+        |  SELECT cohort,
+        |    CAST(SUM(CASE WHEN high = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_high,
+        |    CAST(SUM(CASE WHEN high = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_low,
+        |    CAST(SUM(CASE WHEN high = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_high,
+        |    CAST(SUM(CASE WHEN high = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_low
+        |  FROM h GROUP BY ROLLUP (cohort)),
+        |s AS (
+        |  SELECT CASE WHEN cohort IS NULL THEN 'all'
+        |      ELSE 'cohort_' || CAST(cohort AS VARCHAR) END AS stratum,
+        |    n_high, n_low, conv_high, conv_low,
+        |    CASE WHEN n_high = 0 THEN NULL
+        |      ELSE conv_high * 1000000 // n_high END AS rate_high_ppm,
+        |    CASE WHEN n_low = 0 THEN NULL
+        |      ELSE conv_low * 1000000 // n_low END AS rate_low_ppm,
+        |    CASE WHEN n_high = 0 OR n_low = 0 THEN NULL
+        |      ELSE conv_high * 1000000 // n_high
+        |         - conv_low * 1000000 // n_low END AS gap_ppm
+        |  FROM r)
+        |SELECT stratum, n_high, n_low, conv_high, conv_low,
+        |  rate_high_ppm, rate_low_ppm, gap_ppm,
+        |  CASE WHEN gap_ppm IS NULL THEN NULL WHEN gap_ppm > 0 THEN 1
+        |    WHEN gap_ppm < 0 THEN -1 ELSE 0 END AS sign
+        |FROM s ORDER BY stratum""".stripMargin,
+
+    "q_mediation" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 AS t
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(m) AS BIGINT) AS sm,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(t * t) AS BIGINT) AS stt,
+        |    CAST(SUM(m * m) AS BIGINT) AS smm,
+        |    CAST(SUM(t * m) AS BIGINT) AS stm,
+        |    CAST(SUM(t * y) AS BIGINT) AS sty,
+        |    CAST(SUM(m * y) AS BIGINT) AS smy
+        |  FROM users),
+        |c AS (
+        |  SELECT n, n * stt - st * st AS ctt, n * smm - sm * sm AS cmm,
+        |    n * stm - st * sm AS ctm, n * sty - st * sy AS cty,
+        |    n * smy - sm * sy AS cmy
+        |  FROM s),
+        |k AS (
+        |  SELECT n,
+        |    CASE WHEN ctt = 0 THEN NULL
+        |      ELSE ROUND(CAST(ctm AS DOUBLE) / ctt, 6) END AS a,
+        |    CASE WHEN CAST(ctt AS DOUBLE) * cmm
+        |        - CAST(ctm AS DOUBLE) * ctm = 0 THEN NULL
+        |      ELSE ROUND((CAST(ctt AS DOUBLE) * cmy
+        |          - CAST(ctm AS DOUBLE) * cty)
+        |        / (CAST(ctt AS DOUBLE) * cmm - CAST(ctm AS DOUBLE) * ctm), 6)
+        |    END AS b,
+        |    CASE WHEN ctt = 0 THEN NULL
+        |      ELSE ROUND(CAST(cty AS DOUBLE) / ctt, 6) END AS c
+        |  FROM c)
+        |SELECT n, a, b, c,
+        |  CASE WHEN a IS NULL OR b IS NULL THEN NULL
+        |    ELSE ROUND(a * b, 6) END AS indirect,
+        |  CASE WHEN c IS NULL OR a IS NULL OR b IS NULL THEN NULL
+        |    ELSE ROUND(c - a * b, 6) END AS direct
+        |FROM k""".stripMargin)
 }

@@ -2299,6 +2299,94 @@ object TextOps {
         .limit(20)
     }),
 
+    // E4 RM3 QUERY EXPANSION — pseudo-relevance feedback over the
+    // q_bm25 ranking (lockstep scoring formula): the top-10 retrieved
+    // documents become the relevance model, and every non-query term
+    // is weighted by Σ over those docs of tf(term, doc) · bm25(doc)
+    // (the occurrence-sum realizes the tf product with no extra agg).
+    // Output = the 8 expansion terms a second-pass retrieval would add,
+    // with deterministic (weight desc, term) ranking. The feedback
+    // join is PROBE-BOUNDED by construction: top-10 via TakeOrdered
+    // (never a global sort), broadcast back over the token table — the
+    // expansion leg touches only 10 documents' tokens at any corpus
+    // size.
+    "q_rm3_expansion" -> ((s, d) => {
+      val qterms = Seq("batch", "scan", "data")
+      val toks = documents(s, d).select(col("doc_id"), explode(wordsOf).as("tk"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tk").isInCollection(qterms))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("tk").agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(dfT), "tk").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score_micro",
+          round(log((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)) * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl") / col("avgdl")))) * lit(1000000))
+            .cast("long"))
+        .groupBy("doc_id").agg(sum(col("score_micro")).as("bm25_micro"))
+      val top10 = broadcast(
+        scored.orderBy(col("bm25_micro").desc, col("doc_id")).limit(10))
+      toks.join(top10, "doc_id")
+        .filter(!col("tk").isInCollection(qterms))
+        .groupBy(col("tk").as("term"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum("bm25_micro").as("weight_micro"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("weight_micro").desc, col("term").asc)))
+        .filter(col("rank") <= 8)
+        .select(col("term"), col("n_docs"), col("weight_micro"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
+    // E4 RAKE KEYPHRASES — multi-word keyword extraction by the
+    // Rapid-Automatic-Keyword-Extraction recipe (complements the
+    // unigram tf-idf q_keywords): candidate phrases are maximal token
+    // runs between stopword/empty boundaries, each word scores
+    // degree/frequency (degree = Σ length of phrases containing it —
+    // co-occurrence favors words that live in long phrases), and a
+    // phrase scores the sum of its members, all in integral milli.
+    // Segmentation is one per-doc positional window (bounded by doc
+    // length, the q_cooccur shape); word stats and the phrase rollup
+    // are token-/phrase-keyed hash-aggs — nothing is ever all-pairs.
+    "q_rake_keywords" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
+      val marked = toks.withColumn("b",
+        (col("tk") === "" || col("tk").isInCollection(stopwords))
+          .cast("long"))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val seg0 = marked.withColumn("seg", sum("b").over(wd))
+        .filter(col("b") === 0)
+        .select("doc_id", "seg", "pos", "tk")
+      // candidate phrases cap at 4 words (the standard RAKE bound —
+      // longer runs are prose fragments, not keyphrases)
+      val plen = seg0.groupBy("doc_id", "seg").agg(count(lit(1)).as("plen"))
+        .filter(col("plen") <= 4)
+      val seg = seg0.join(plen, Seq("doc_id", "seg"))
+      val wstat = seg
+        .groupBy("tk").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("wscore", expr("deg * 1000 div freq"))
+      val ph = seg.join(wstat.select("tk", "wscore"), "tk")
+        .groupBy("doc_id", "seg")
+        .agg(array_join(transform(sort_array(collect_list(
+            struct(col("pos"), col("tk")))), x => x.getField("tk")), " ")
+            .as("phrase"),
+          sum("wscore").as("score_milli"))
+      ph.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occur"), max("score_milli").as("score_milli"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_milli").desc, col("phrase").asc))
+          .cast("long"))
+        .filter(col("rank") <= 15)
+        .select("phrase", "n_occur", "score_milli", "rank")
+        .orderBy("rank")
+    }),
+
     // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
     // stats (the scale-safe artifact; per-bucket pair expansion is the
     // follow-on narrow job — see GraphOps.q_dedup_clusters)
@@ -3226,6 +3314,86 @@ object TextOps {
         |  COUNT(*) AS n_terms
         |FROM term GROUP BY doc_id
         |ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_rm3_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM toks
+        |       WHERE tk IN ('batch', 'scan', 'data') GROUP BY doc_id, tk),
+        |dft AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tk),
+        |term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))
+        |      * 1000000) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dft ON tf.tk = dft.tk
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+        |  FROM term GROUP BY doc_id),
+        |top10 AS (
+        |  SELECT doc_id, bm25_micro FROM scored
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 10),
+        |exp AS (
+        |  SELECT t.tk AS term, COUNT(DISTINCT t.doc_id) AS n_docs,
+        |    CAST(SUM(s.bm25_micro) AS BIGINT) AS weight_micro
+        |  FROM toks t JOIN top10 s USING (doc_id)
+        |  WHERE t.tk NOT IN ('batch', 'scan', 'data')
+        |  GROUP BY t.tk)
+        |SELECT term, n_docs, weight_micro,
+        |  ROW_NUMBER() OVER (ORDER BY weight_micro DESC, term) AS rank
+        |FROM exp
+        |QUALIFY rank <= 8
+        |ORDER BY rank""".stripMargin,
+
+    "q_rake_keywords" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, g.tk, g.i
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents) d,
+        |    LATERAL (SELECT unnest(ws) AS tk,
+        |             generate_subscripts(ws, 1) AS i) g),
+        |mk AS (
+        |  SELECT doc_id, tk, i,
+        |    CASE WHEN tk = '' OR tk IN ('the', 'a', 'of', 'and', 'in')
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok0),
+        |seg0 AS (
+        |  SELECT doc_id, tk, i, b,
+        |    CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS seg
+        |  FROM mk),
+        |segA AS (SELECT doc_id, tk, i, seg FROM seg0 WHERE b = 0),
+        |plen AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS plen
+        |         FROM segA GROUP BY 1, 2 HAVING COUNT(*) <= 4),
+        |seg AS (SELECT s.doc_id, s.tk, s.i, s.seg, p.plen
+        |        FROM segA s JOIN plen p USING (doc_id, seg)),
+        |wstat AS (
+        |  SELECT tk, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg
+        |  FROM seg GROUP BY tk),
+        |ws AS (SELECT tk, deg * 1000 // freq AS wscore FROM wstat),
+        |ph AS (
+        |  SELECT s.doc_id, s.seg,
+        |    string_agg(s.tk, ' ' ORDER BY s.i) AS phrase,
+        |    CAST(SUM(w.wscore) AS BIGINT) AS score_milli
+        |  FROM seg s JOIN ws w ON w.tk = s.tk GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT phrase, COUNT(*) AS n_occur, MAX(score_milli) AS score_milli
+        |  FROM ph GROUP BY phrase)
+        |SELECT phrase, n_occur, score_milli,
+        |  ROW_NUMBER() OVER (ORDER BY score_milli DESC, phrase) AS rank
+        |FROM agg
+        |QUALIFY rank <= 15
+        |ORDER BY rank""".stripMargin,
 
     "q_token_counts" ->
       """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs

@@ -312,6 +312,26 @@ object ScaleRehearsal {
     "q_qini" -> Seq("events"),
     "q_isotonic" -> Seq("events"),
     "q_shapley_attribution" -> Seq("events"),
+    // round-8 batch-13. q_gopher_rules is one corpus scan + one
+    // (doc, token) hash-agg, then a sources×5 rollup; q_rm3_expansion
+    // is the bm25 legs + a broadcast 10-doc probe join (probe-bounded
+    // by construction); q_bot_detect is one per-user window + two
+    // hash-aggs; q_simpson and q_mediation collapse to a user hash-agg
+    // and a 1-row moment fold.
+    "q_gopher_rules" -> Seq("documents"),
+    "q_rm3_expansion" -> Seq("documents"),
+    "q_bot_detect" -> Seq("events"),
+    "q_simpson" -> Seq("events"),
+    "q_mediation" -> Seq("events"),
+    // round-8 batch-14. q_gbm_stumps: 3 rounds × (28-candidate spinner
+    // hash-agg + 1-row argmax + broadcast update) — O(users) per
+    // round, checkpoint-bounded lineage; q_rake_keywords: per-doc
+    // positional window + token-/phrase-keyed hash-aggs;
+    // q_page_hinkley: one hash-agg to the daily series + O(days)
+    // windows.
+    "q_gbm_stumps" -> Seq("events"),
+    "q_rake_keywords" -> Seq("documents"),
+    "q_page_hinkley" -> Seq("events"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

@@ -2087,6 +2087,223 @@ class OperatorsSpec extends SparkTestBase {
     assert(phi24.values.sum === 24L * (v(15) - v(0)))
   }
 
+  test("q_gopher_rules: panel closes per source and verdicts replay") {
+    val rows = graft.operators.CorpusOps.queries("q_gopher_rules")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._1)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    bySource.foreach { case (src, g) =>
+      assert(g.map(_._2).sorted.sameElements(Array("r1_short", "r2_word_len",
+        "r3_symbol", "r4_stopword", "r5_repetition")), s"$src rule set")
+      g.foreach { case (_, _, n, v, ppm) =>
+        assert(n === docs(src))
+        assert(v >= 0 && v <= n)
+        assert(ppm === v * 1000000L / n)
+      }
+    }
+    // replay one rule end-to-end (r5 repetition: top token share > 20%)
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val expR5 = texts.groupBy(_._1).map { case (src, g) =>
+      src -> g.count { case (_, t) =>
+        val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) false
+        else {
+          val top = toks.groupBy(identity).values.map(_.size).max
+          top * 1000000L / toks.length > 200000L
+        }
+      }.toLong
+    }
+    bySource.foreach { case (src, g) =>
+      assert(g.find(_._2 == "r5_repetition").get._4 === expR5(src))
+    }
+  }
+
+  test("q_rm3_expansion: expansion weights replay against the bm25 top-10") {
+    val rows = graft.operators.TextOps.queries("q_rm3_expansion")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    assert(rows.map(_._4).sorted.sameElements(1L to 8L))
+    // expansion terms never include the query terms
+    assert(!rows.exists(r => Set("batch", "scan", "data")(r._1)))
+    // weights replay: Σ tf(term, doc) · bm25(doc) over the q_bm25 top-10
+    val top = graft.operators.TextOps.queries("q_bm25")(spark, sf)
+      .limit(10).select("doc_id", "bm25_micro").as[(Long, Long)].collect().toMap
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .filter(t => top.contains(t._1))
+    val w = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach { case (id, t) =>
+      t.toLowerCase.split(" ").filter(_.nonEmpty)
+        .filterNot(Set("batch", "scan", "data")).foreach { tk =>
+          w(tk) = w.getOrElse(tk, 0L) + top(id)
+        }
+    }
+    val expTop = w.toSeq.sortBy { case (t, wt) => (-wt, t) }.take(8)
+    assert(rows.sortBy(_._4).map(r => (r._1, r._3)).toSeq === expTop)
+  }
+
+  test("q_bot_detect: verdict groups partition the users and profile closes") {
+    val rows = graft.operators.EventOps.queries("q_bot_detect")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).forall(b => b == 0L || b == 1L))
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === nUsers, "groups must partition all users")
+    rows.foreach { case (_, n, rate, v) =>
+      assert(n > 0 && rate > 0 && v >= 0)
+    }
+  }
+
+  test("q_simpson: strata counts close and signs are consistent with gaps") {
+    val rows = graft.operators.EventOps.queries("q_simpson")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Int])].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array("all", "cohort_0", "cohort_1")))
+    val all = rows.head
+    val strata = rows.tail
+    assert(strata.map(_._2).sum === all._2 && strata.map(_._3).sum === all._3)
+    assert(strata.map(_._4).sum === all._4 && strata.map(_._5).sum === all._5)
+    rows.foreach { r =>
+      (r._8, r._9) match {
+        case (Some(g), Some(s)) => assert(s === g.signum)
+        case (None, None) => ()
+        case other => fail(s"gap/sign mismatch: $other")
+      }
+      if (r._2 > 0)
+        assert(r._6.get === r._4 * 1000000L / r._2)
+    }
+  }
+
+  test("q_mediation: paths replay the moment arithmetic exactly") {
+    val row = graft.operators.EventOps.queries("q_mediation")(spark, sf)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("m"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .withColumn("t", pmod(col("user_id"), lit(2L)))
+      .select("t", "m", "y").as[(Long, Long, Long)].collect()
+    val n = users.length.toLong
+    val st = users.map(_._1).sum; val sm = users.map(_._2).sum
+    val sy = users.map(_._3).sum
+    val stt = users.map(u => u._1 * u._1).sum
+    val smm = users.map(u => u._2 * u._2).sum
+    val stm = users.map(u => u._1 * u._2).sum
+    val sty = users.map(u => u._1 * u._3).sum
+    val smy = users.map(u => u._2 * u._3).sum
+    val (ctt, cmm) = (n * stt - st * st, n * smm - sm * sm)
+    val (ctm, cty, cmy) = (n * stm - st * sm, n * sty - st * sy,
+      n * smy - sm * sy)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row._1 === n)
+    val a = r6(ctm.toDouble / ctt)
+    val b = r6((ctt.toDouble * cmy - ctm.toDouble * cty) /
+      (ctt.toDouble * cmm - ctm.toDouble * ctm))
+    val c = r6(cty.toDouble / ctt)
+    assert(row._2.get === a && row._3.get === b && row._4.get === c)
+    assert(row._5.get === r6(a * b) && row._6.get === r6(c - a * b))
+  }
+
+  test("q_gbm_stumps: three rounds replay the boosting recursion exactly") {
+    val rows = graft.operators.EventOps.queries("q_gbm_stumps")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to 3L))
+    val users = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("f0"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("f2"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("f3"),
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          * 1000L).as("y"))
+      .select("f0", "f1", "f2", "f3", "y")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = users.length
+    val p0 = users.map(_._5).sum / n
+    var pred = Array.fill(n)(p0)
+    val feats = users.map(u => Array(u._1, u._2, u._3, u._4))
+    val y = users.map(_._5)
+    for (round <- 0 until 3) {
+      val r = Array.tabulate(n)(i => y(i) - pred(i))
+      val cands = for { f <- 0 until 4; t <- Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L) }
+        yield {
+          val left = (0 until n).filter(i => feats(i)(f) <= t)
+          val right = (0 until n).filterNot(i => feats(i)(f) <= t)
+          val sl = left.map(r).sum; val sr = right.map(r).sum
+          val ml = if (left.isEmpty) 0L else sl / left.size
+          val mr = if (right.isEmpty) 0L else sr / right.size
+          (f.toLong, t, left.size.toLong, right.size.toLong, ml, mr,
+            ml * sl + mr * sr)
+        }
+      val best = cands.minBy { case (f, t, _, _, _, _, g) => (-g, f, t) }
+      val row = rows(round)
+      assert((row._2, row._3, row._4, row._5, row._6, row._7, row._8) === best,
+        s"round ${round + 1}")
+      pred = Array.tabulate(n) { i =>
+        val m = if (feats(i)(best._1.toInt) <= best._2) best._5 else best._6
+        pred(i) + m / 2
+      }
+    }
+    // gains must be non-increasing: each round explains residual left over
+    assert(rows(0)._8 >= rows(1)._8 && rows(1)._8 >= rows(2)._8)
+  }
+
+  test("q_rake_keywords: phrase scores replay degree/frequency word stats") {
+    val rows = graft.operators.TextOps.queries("q_rake_keywords")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(rows.nonEmpty && rows.map(_._4).sameElements(1L to rows.length))
+    val stop = Set("the", "a", "of", "and", "in")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+    // segment every doc into stopword-bounded runs, cap 4 words
+    val phrases = docs.flatMap { t =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      t.toLowerCase.split(" ", -1).foreach { tk =>
+        if (tk.isEmpty || stop(tk)) { if (cur.nonEmpty) out += cur.reverse; cur = Nil }
+        else cur ::= tk
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.filter(_.length <= 4)
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      p.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1
+        deg(w) = deg.getOrElse(w, 0L) + p.length
+      }
+    }
+    def score(p: List[String]): Long = p.map(w => deg(w) * 1000L / freq(w)).sum
+    val agg = phrases.groupBy(_.mkString(" ")).map { case (ph, g) =>
+      (ph, g.length.toLong, score(g.head))
+    }
+    val expTop = agg.toSeq.sortBy { case (ph, _, s) => (-s, ph) }.take(15)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq === expTop)
+  }
+
+  test("q_page_hinkley: excursion is cum minus running min, never negative") {
+    val rows = graft.operators.EventOps.queries("q_page_hinkley")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    val m = rows.map(_._2).sum / rows.length
+    var cum = 0L; var runmin = Long.MaxValue
+    rows.foreach { case (_, v, c, ph, alarm) =>
+      cum += v - m
+      runmin = math.min(runmin, cum)
+      assert(c === cum)
+      assert(ph === cum - runmin && ph >= 0)
+      assert(alarm === (if (ph > m) 1L else 0L))
+    }
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
