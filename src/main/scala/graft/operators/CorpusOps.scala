@@ -894,6 +894,43 @@ object CorpusOps {
         .orderBy("source", "rule")
     }),
 
+    // LEAVE-ONE-SOURCE-OUT ABLATION — "which source is dragging the
+    // corpus down?": for each source, the quality profile of the
+    // corpus WITHOUT it (keep rate under the q_quality_filter verdict,
+    // lockstep thresholds; token volume) against the full corpus, so
+    // the delta column reads directly as remove-this-source lift in
+    // ppm. Additive metrics make the ablation FREE: one per-source
+    // hash-agg + a broadcast 1-row total, complements by subtraction —
+    // the corpus is scanned once no matter how many sources exist.
+    "q_source_ablation" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val stops = filter(toks, t => t.isInCollection(TextOps.stopwords))
+      val docs = documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("keep",
+          when(col("n_tokens") >= 25 &&
+            col("n_chars") <= col("n_tokens") * 8 &&
+            size(stops) > 0, 1L).otherwise(0L))
+      val bySrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("keep").as("k"),
+          sum("n_tokens").as("tk"))
+      val tot = broadcast(bySrc.agg(sum("n").as("tn"), sum("k").as("tkeep"),
+        sum("tk").as("ttok")))
+      bySrc.crossJoin(tot)
+        .withColumn("full_keep_ppm", expr("tkeep * 1000000 div tn"))
+        .withColumn("comp_keep_ppm", expr(
+          "case when tn = n then null " +
+            "else (tkeep - k) * 1000000 div (tn - n) end"))
+        .withColumn("delta_ppm", expr(
+          "case when tn = n then null " +
+            "else (tkeep - k) * 1000000 div (tn - n) " +
+            "   - tkeep * 1000000 div tn end"))
+        .select(col("source"), col("n").as("n_docs_removed"),
+          (col("ttok") - col("tk")).as("comp_tokens"),
+          col("full_keep_ppm"), col("comp_keep_ppm"), col("delta_ppm"))
+        .orderBy("source")
+    }),
+
     // K-FOLD CROSS-VALIDATION ASSIGNMENT + stratification audit — the
     // split primitive evaluation pipelines need beyond one train/test
     // cut: every document lands in a deterministic md5-hash fold
@@ -2000,6 +2037,38 @@ object CorpusOps {
         |  CAST(SUM(violate) AS BIGINT) AS n_violations,
         |  CAST(SUM(violate) AS BIGINT) * 1000000 // COUNT(*) AS violation_ppm
         |FROM u GROUP BY source, rule ORDER BY source, rule""".stripMargin,
+
+    "q_source_ablation" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS n_stop,
+        |    n_chars
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN n_tokens >= 25 AND n_chars <= n_tokens * 8
+        |      AND n_stop > 0 THEN 1 ELSE 0 END AS keep
+        |  FROM t),
+        |bysrc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(keep) AS BIGINT) AS k,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tk
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |    CAST(SUM(k) AS BIGINT) AS tkeep,
+        |    CAST(SUM(tk) AS BIGINT) AS ttok FROM bysrc)
+        |SELECT source, n AS n_docs_removed, ttok - tk AS comp_tokens,
+        |  tkeep * 1000000 // tn AS full_keep_ppm,
+        |  CASE WHEN tn = n THEN NULL
+        |    ELSE (tkeep - k) * 1000000 // (tn - n) END AS comp_keep_ppm,
+        |  CASE WHEN tn = n THEN NULL
+        |    ELSE (tkeep - k) * 1000000 // (tn - n)
+        |       - tkeep * 1000000 // tn END AS delta_ppm
+        |FROM bysrc CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_mix_entropy" ->
       """WITH counts AS (

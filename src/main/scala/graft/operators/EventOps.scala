@@ -2197,6 +2197,208 @@ object EventOps {
         .select(col("day").cast("string").as("day"), col("v"), col("cum"),
           col("ph"), col("alarm"))
         .orderBy("day")
+    }),
+
+    // COEC POSITION-BIAS CORRECTION — clicks-over-expected-clicks, the
+    // standard de-biasing for ranked impressions: a campaign shown
+    // mostly at position 0 earns raw CTR it does not deserve. Views
+    // carry a deterministic display position (props k mod 4) and
+    // campaign (k mod 8); the 4-row global position-CTR curve is the
+    // expectation model, and each campaign's expected clicks =
+    // Σ_pos views·ctr_pos. COEC > 1000 milli = better than its
+    // positions predict. Two event scans collapse to a campaign×
+    // position grid (≤32 rows); the curve broadcasts — shape-invariant
+    // at any event volume.
+    "q_coec" -> ((s, d) => {
+      def tagged(t: String) = events(s, d)
+        .filter(col("event_type") === t)
+        .select(pmod(get_json_object(col("props"), "$.k").cast("long"),
+            lit(4L)).as("pos"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8L))
+            .as("campaign"))
+      val views = tagged("view").groupBy("campaign", "pos")
+        .agg(count(lit(1)).as("nv"))
+      val clicks = tagged("click").groupBy("campaign", "pos")
+        .agg(count(lit(1)).as("nc"))
+      val grid = views.join(clicks, Seq("campaign", "pos"), "left")
+        .withColumn("nc", coalesce(col("nc"), lit(0L)))
+      val curve = broadcast(grid.groupBy("pos")
+        .agg(expr("sum(nc) * 1000000 div sum(nv)").as("ctr_pos_ppm")))
+      grid.join(curve, "pos")
+        .groupBy("campaign")
+        .agg(sum("nv").as("n_views"), sum("nc").as("n_clicks"),
+          sum(expr("nv * ctr_pos_ppm")).as("expected_micro"))
+        .withColumn("ctr_ppm", expr("n_clicks * 1000000 div n_views"))
+        .withColumn("expected_clicks_milli", expr("expected_micro div 1000"))
+        .withColumn("coec_milli", expr(
+          "case when expected_micro = 0 then null " +
+            "else n_clicks * 1000000000 div expected_micro end"))
+        .select("campaign", "n_views", "n_clicks", "ctr_ppm",
+          "expected_clicks_milli", "coec_milli")
+        .orderBy("campaign")
+    }),
+
+    // ABSORBING-CHAIN TIME-TO-CONVERSION — the fundamental-matrix
+    // readout q_markov_stationary's long-run view cannot give: with
+    // 'purchase' absorbing, per start state report the probability of
+    // converting within 8 steps and the (truncated) expected journey
+    // length E[T] = Σ_k P(T > k), via 8 unrolled survival-vector
+    // multiplications s_{k+1} = Q·s_k in integral ppm (the
+    // p1/p2_ppm convention). The transition table is O(types²) and
+    // checkpointed once; each multiplication is a ≤types²-row join —
+    // constant work after the one corpus-sized window.
+    "q_absorbing_chain" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = events(s, d)
+        .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+        .filter(col("dst").isNotNull)
+        .filter(col("event_type") =!= "purchase")
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("src")))
+        .withColumn("p_ppm", expr("n * 1000000 div tot"))
+        .localCheckpoint() // O(types²); feeds all 8 iteration joins
+      val q = trans.filter(col("dst") =!= "purchase")
+        .select("src", "dst", "p_ppm")
+      // all non-absorbing sources — from trans, not q: a state whose
+      // every transition absorbs must still report (t = 1 step)
+      val states = trans.select(col("src").as("state")).distinct()
+      val direct = trans.filter(col("dst") === "purchase")
+        .select(col("src").as("state"), col("p_ppm").as("p_direct_ppm"))
+      var sv = states.withColumn("s", lit(1000000L))
+      var acc = states.withColumn("t_micro", lit(1000000L)) // s_0 term
+      for (k <- 1 to 8) {
+        sv = q.join(sv.select(col("state").as("dst"), col("s")), "dst")
+          .groupBy(col("src").as("state"))
+          .agg(expr("sum(p_ppm * s) div 1000000").as("s"))
+        if (k < 8)
+          acc = acc.join(sv.select(col("state"), col("s").as("sk")),
+              Seq("state"), "left")
+            .withColumn("t_micro",
+              col("t_micro") + coalesce(col("sk"), lit(0L)))
+            .select("state", "t_micro")
+      }
+      acc.join(sv.select(col("state"), col("s").as("s8")), Seq("state"), "left")
+        .join(direct, Seq("state"), "left")
+        .select(col("state"),
+          coalesce(col("p_direct_ppm"), lit(0L)).as("p_direct_ppm"),
+          (lit(1000000L) - coalesce(col("s8"), lit(0L))).as("absorb8_ppm"),
+          col("t_micro").as("t_micro_trunc"))
+        .orderBy("state")
+    }),
+
+    // mRMR FEATURE SELECTION (3 greedy rounds) — pick the activity
+    // features that are maximally informative about conversion while
+    // minimally redundant with each other: relevance = MI(feature
+    // bins; above-mean-purchase label), redundancy = pairwise MI
+    // between feature bins, greedy argmax of relevance − mean
+    // redundancy to the already-selected set (the classic Peng/Ding
+    // criterion). MI follows the q_mutual_info float convention
+    // (identical operand order, ROUND 6); argmaxes are 1-row
+    // deterministic struct-mins ((score desc, feature) order). The
+    // corpus collapses to one user hash-agg; every MI table after it
+    // is a ≤(4·4·2 ∪ 6·16)-cell grid — constant-size arithmetic at
+    // any event volume.
+    "q_mrmr" -> ((s, d) => {
+      val meanNp = broadcast(events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np2"))
+        .agg(expr("sum(np2) div count(1)").as("mnp")))
+      val users = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("f0"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("f2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .as("f3"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        .crossJoin(meanNp)
+        .withColumn("y", (col("np") > col("mnp")).cast("long"))
+        .selectExpr("y", "least(f0 div 8, 3) as b0", "least(f1 div 8, 3) as b1",
+          "least(f2 div 8, 3) as b2", "least(f3 div 8, 3) as b3")
+        .localCheckpoint() // feeds the relevance AND redundancy grids
+      val nRow = broadcast(users.select(lit(1L).as("one"))
+        .agg(count(lit(1)).as("n")))
+      // relevance: MI(bin_f; y) per feature over the 4×4×2 cell grid
+      val longF = users.selectExpr("y",
+        "stack(4, 0L, b0, 1L, b1, 2L, b2, 3L, b3) as (f, b)")
+      val cells = longF.groupBy("f", "b", "y").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤32 rows; feeds 2 marginals + the term sum
+      val margB = cells.groupBy("f", "b").agg(sum("c").as("cb"))
+      val margY = cells.groupBy("f", "y").agg(sum("c").as("cy"))
+      val rel = cells.join(margB, Seq("f", "b")).join(margY, Seq("f", "y"))
+        .crossJoin(nRow)
+        .withColumn("term",
+          (col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") * col("n") /
+              (col("cb").cast("double") * col("cy"))))
+        .groupBy("f").agg(round(sum("term"), 6).as("rel"))
+        .localCheckpoint() // 4 rows; reused by all three rounds
+      // redundancy: MI(bin_i; bin_j) per unordered pair, symmetrized
+      val pairLits = (for { i <- 0 until 4; j <- 0 until 4 if i < j }
+        yield s"struct(${i}L as i, ${j}L as j)").mkString(",")
+      val longP = users
+        .select(expr(s"explode(array($pairLits))").as("p"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          expr("case p.i when 0 then b0 when 1 then b1 when 2 then b2 " +
+            "else b3 end").as("bi"),
+          expr("case p.j when 0 then b0 when 1 then b1 when 2 then b2 " +
+            "else b3 end").as("bj"))
+      val pc = longP.groupBy("i", "j", "bi", "bj").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤96 rows
+      val mi = pc.groupBy("i", "j", "bi").agg(sum("c").as("ci"))
+      val mj = pc.groupBy("i", "j", "bj").agg(sum("c").as("cj"))
+      val redPair = pc.join(mi, Seq("i", "j", "bi"))
+        .join(mj, Seq("i", "j", "bj")).crossJoin(nRow)
+        .withColumn("term",
+          (col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") * col("n") /
+              (col("ci").cast("double") * col("cj"))))
+        .groupBy("i", "j").agg(round(sum("term"), 6).as("red"))
+      val red = redPair.select(col("i").as("fa"), col("j").as("fb"),
+          col("red"))
+        .unionByName(redPair.select(col("j").as("fa"), col("i").as("fb"),
+          col("red")))
+        .localCheckpoint() // 12 rows; joined by rounds 2 and 3
+      val b1 = broadcast(rel
+        .agg(min(struct((-col("rel")).as("ns"), col("f").as("f"),
+          col("rel").as("rel"))).as("x"))
+        .select(col("x.f").as("s1"), col("x.rel").as("rel1")))
+      val r2 = rel.crossJoin(b1).filter(col("f") =!= col("s1"))
+        .join(red, col("fa") === col("f") && col("fb") === col("s1"))
+        .withColumn("score", round(col("rel") - col("red"), 6))
+      val b2 = broadcast(r2
+        .agg(min(struct((-col("score")).as("ns"), col("f").as("f"),
+          col("rel").as("rel"), col("red").as("red"),
+          col("score").as("score"))).as("x"))
+        .select(col("x.f").as("s2"), col("x.rel").as("rel2"),
+          col("x.red").as("red2"), col("x.score").as("score2")))
+      val redA = red.select(col("fa").as("fA1"), col("fb").as("t1"),
+        col("red").as("redb1"))
+      val redB = red.select(col("fa").as("fA2"), col("fb").as("t2"),
+        col("red").as("redb2"))
+      val r3 = rel.crossJoin(b1).crossJoin(b2)
+        .filter(col("f") =!= col("s1") && col("f") =!= col("s2"))
+        .join(redA, col("f") === col("fA1") && col("t1") === col("s1"))
+        .join(redB, col("f") === col("fA2") && col("t2") === col("s2"))
+        .withColumn("redm", round((col("redb1") + col("redb2")) / 2, 6))
+        .withColumn("score", round(col("rel") - col("redm"), 6))
+      val b3 = broadcast(r3
+        .agg(min(struct((-col("score")).as("ns"), col("f").as("f"),
+          col("rel").as("rel"), col("redm").as("redm"),
+          col("score").as("score"))).as("x"))
+        .select(col("x.f").as("s3"), col("x.rel").as("rel3"),
+          col("x.redm").as("red3"), col("x.score").as("score3")))
+      b1.crossJoin(b2).crossJoin(b3).selectExpr(
+        """stack(3,
+          1L, s1, rel1, cast(0.0 as double), rel1,
+          2L, s2, rel2, red2, score2,
+          3L, s3, rel3, red3, score3)
+          as (rank, feature, rel_nats, red_nats, score_nats)""")
+        .orderBy("rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -3467,8 +3669,142 @@ object EventOps {
        |ORDER BY round""".stripMargin
   }
 
+  /** 8 unrolled survival-vector multiplications — lockstep with the
+    * q_absorbing_chain Spark loop (same ppm floors, same missing-state
+    * = 0 convention). */
+  private lazy val absorbingOracle: String = {
+    val steps = (1 to 8).map { k =>
+      s"""s$k AS (
+         |  SELECT q.src AS state,
+         |    CAST(SUM(q.p_ppm * s.s) AS BIGINT) // 1000000 AS s
+         |  FROM q JOIN s${k - 1} s ON s.state = q.dst
+         |  GROUP BY q.src)""".stripMargin
+    }.mkString(",\n")
+    val accJoins = (1 to 7).map(k =>
+      s"LEFT JOIN s$k ON s$k.state = st.state").mkString("\n")
+    val accSum = (1 to 7).map(k => s"COALESCE(s$k.s, 0)").mkString(" + ")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |tr AS (
+       |  SELECT src, dst, COUNT(*) AS n FROM seq
+       |  WHERE dst IS NOT NULL AND src <> 'purchase' GROUP BY 1, 2),
+       |tr2 AS (
+       |  SELECT src, dst,
+       |    CAST(n * 1000000 AS BIGINT)
+       |      // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+       |  FROM tr),
+       |q AS (SELECT src, dst, p_ppm FROM tr2 WHERE dst <> 'purchase'),
+       |states AS (SELECT DISTINCT src AS state FROM tr2),
+       |direct AS (SELECT src AS state, p_ppm AS p_direct_ppm
+       |           FROM tr2 WHERE dst = 'purchase'),
+       |s0 AS (SELECT state, CAST(1000000 AS BIGINT) AS s FROM states),
+       |$steps
+       |SELECT st.state,
+       |  CAST(COALESCE(d.p_direct_ppm, 0) AS BIGINT) AS p_direct_ppm,
+       |  1000000 - CAST(COALESCE(s8.s, 0) AS BIGINT) AS absorb8_ppm,
+       |  1000000 + CAST($accSum AS BIGINT) AS t_micro_trunc
+       |FROM states st
+       |LEFT JOIN direct d ON d.state = st.state
+       |LEFT JOIN s8 ON s8.state = st.state
+       |$accJoins
+       |ORDER BY st.state""".stripMargin
+  }
+
   private lazy val batch12Oracle: Map[String, String] = Map(
     "q_gbm_stumps" -> gbmOracle,
+    "q_absorbing_chain" -> absorbingOracle,
+
+    "q_mrmr" ->
+      """WITH uf AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f0,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f2,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f3,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events GROUP BY user_id),
+        |mnp AS (SELECT CAST(SUM(np) AS BIGINT) // COUNT(*) AS mnp FROM uf),
+        |users AS (
+        |  SELECT CAST(CASE WHEN np > (SELECT mnp FROM mnp)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS y,
+        |    LEAST(f0 // 8, 3) AS b0, LEAST(f1 // 8, 3) AS b1,
+        |    LEAST(f2 // 8, 3) AS b2, LEAST(f3 // 8, 3) AS b3
+        |  FROM uf),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users),
+        |longf AS (
+        |  SELECT y, CAST(0 AS BIGINT) AS f, b0 AS b FROM users
+        |  UNION ALL SELECT y, CAST(1 AS BIGINT), b1 FROM users
+        |  UNION ALL SELECT y, CAST(2 AS BIGINT), b2 FROM users
+        |  UNION ALL SELECT y, CAST(3 AS BIGINT), b3 FROM users),
+        |cells AS (SELECT f, b, y, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM longf GROUP BY 1, 2, 3),
+        |margb AS (SELECT f, b, CAST(SUM(c) AS BIGINT) AS cb
+        |          FROM cells GROUP BY 1, 2),
+        |margy AS (SELECT f, y, CAST(SUM(c) AS BIGINT) AS cy
+        |          FROM cells GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT c.f,
+        |    ROUND(SUM((CAST(c.c AS DOUBLE) / n.n)
+        |      * ln(CAST(c.c AS DOUBLE) * n.n
+        |        / (CAST(cb AS DOUBLE) * cy))), 6) AS rel
+        |  FROM cells c JOIN margb USING (f, b) JOIN margy USING (f, y)
+        |  CROSS JOIN n GROUP BY c.f),
+        |longp AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(1 AS BIGINT) AS j,
+        |    b0 AS bi, b1 AS bj FROM users
+        |  UNION ALL SELECT 0, 2, b0, b2 FROM users
+        |  UNION ALL SELECT 0, 3, b0, b3 FROM users
+        |  UNION ALL SELECT 1, 2, b1, b2 FROM users
+        |  UNION ALL SELECT 1, 3, b1, b3 FROM users
+        |  UNION ALL SELECT 2, 3, b2, b3 FROM users),
+        |pc AS (SELECT i, j, bi, bj, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM longp GROUP BY 1, 2, 3, 4),
+        |mi AS (SELECT i, j, bi, CAST(SUM(c) AS BIGINT) AS ci
+        |       FROM pc GROUP BY 1, 2, 3),
+        |mj AS (SELECT i, j, bj, CAST(SUM(c) AS BIGINT) AS cj
+        |       FROM pc GROUP BY 1, 2, 3),
+        |redp AS (
+        |  SELECT p.i, p.j,
+        |    ROUND(SUM((CAST(p.c AS DOUBLE) / n.n)
+        |      * ln(CAST(p.c AS DOUBLE) * n.n
+        |        / (CAST(ci AS DOUBLE) * cj))), 6) AS red
+        |  FROM pc p JOIN mi USING (i, j, bi) JOIN mj USING (i, j, bj)
+        |  CROSS JOIN n GROUP BY p.i, p.j),
+        |red AS (SELECT i AS fa, j AS fb, red FROM redp
+        |        UNION ALL SELECT j, i, red FROM redp),
+        |b1 AS (SELECT f AS s1, rel AS rel1 FROM rel
+        |       ORDER BY rel DESC, f LIMIT 1),
+        |r2 AS (
+        |  SELECT r.f, r.rel, rd.red, ROUND(r.rel - rd.red, 6) AS score
+        |  FROM rel r CROSS JOIN b1
+        |  JOIN red rd ON rd.fa = r.f AND rd.fb = b1.s1
+        |  WHERE r.f <> b1.s1),
+        |b2 AS (SELECT f AS s2, rel AS rel2, red AS red2, score AS score2
+        |       FROM r2 ORDER BY score DESC, f LIMIT 1),
+        |r3a AS (
+        |  SELECT r.f, r.rel, ROUND((ra.red + rb.red) / 2, 6) AS redm
+        |  FROM rel r CROSS JOIN b1 CROSS JOIN b2
+        |  JOIN red ra ON ra.fa = r.f AND ra.fb = b1.s1
+        |  JOIN red rb ON rb.fa = r.f AND rb.fb = b2.s2
+        |  WHERE r.f <> b1.s1 AND r.f <> b2.s2),
+        |r3 AS (SELECT f, rel, redm, ROUND(rel - redm, 6) AS score FROM r3a),
+        |b3 AS (SELECT f AS s3, rel AS rel3, redm AS red3, score AS score3
+        |       FROM r3 ORDER BY score DESC, f LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, s1 AS feature,
+        |    rel1 AS rel_nats, CAST(0.0 AS DOUBLE) AS red_nats,
+        |    rel1 AS score_nats FROM b1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), s2, rel2, red2, score2 FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), s3, rel3, red3, score3 FROM b3)
+        |ORDER BY rank""".stripMargin,
 
     "q_page_hinkley" ->
       """WITH daily AS (
@@ -3491,6 +3827,37 @@ object EventOps {
         |  CAST(CASE WHEN ph > (SELECT m FROM m) THEN 1 ELSE 0 END AS BIGINT)
         |    AS alarm
         |FROM p ORDER BY day""".stripMargin,
+
+    "q_coec" ->
+      """WITH tagged AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS pos,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 8
+        |      AS campaign
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |v AS (SELECT campaign, pos, CAST(COUNT(*) AS BIGINT) AS nv
+        |      FROM tagged WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT campaign, pos, CAST(COUNT(*) AS BIGINT) AS nc
+        |      FROM tagged WHERE event_type = 'click' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT v.campaign, v.pos, v.nv, COALESCE(c.nc, 0) AS nc
+        |  FROM v LEFT JOIN c ON c.campaign = v.campaign AND c.pos = v.pos),
+        |curve AS (
+        |  SELECT pos, CAST(SUM(nc) AS BIGINT) * 1000000
+        |      // CAST(SUM(nv) AS BIGINT) AS ctr_pos_ppm
+        |  FROM grid GROUP BY pos),
+        |agg AS (
+        |  SELECT g.campaign, CAST(SUM(g.nv) AS BIGINT) AS n_views,
+        |    CAST(SUM(g.nc) AS BIGINT) AS n_clicks,
+        |    CAST(SUM(g.nv * cu.ctr_pos_ppm) AS BIGINT) AS expected_micro
+        |  FROM grid g JOIN curve cu ON cu.pos = g.pos
+        |  GROUP BY g.campaign)
+        |SELECT campaign, n_views, n_clicks,
+        |  n_clicks * 1000000 // n_views AS ctr_ppm,
+        |  expected_micro // 1000 AS expected_clicks_milli,
+        |  CASE WHEN expected_micro = 0 THEN NULL
+        |    ELSE n_clicks * 1000000000 // expected_micro END AS coec_milli
+        |FROM agg ORDER BY campaign""".stripMargin,
     "q_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

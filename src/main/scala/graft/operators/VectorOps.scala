@@ -1923,9 +1923,16 @@ object VectorOps {
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
             .as("qv"))
-      val wa = win.join(qemb, "vec_id")
+      // cut the Lloyd lineage ONCE at the ≤ k·64-row window table:
+      // wa, wb and the k-occurrence rollup all consume it, and without
+      // the checkpoint each consumer re-executes the whole kmeans DAG
+      // (measured 14.5 s → the pairwise stage alone)
+      val weq = win.join(qemb, "vec_id")
+        .select(col("cluster"), col("vec_id"), col("qv"))
+        .localCheckpoint()
+      val wa = weq
         .select(col("cluster"), col("vec_id").as("va"), col("qv").as("qa"))
-      val wb = win.join(qemb, "vec_id")
+      val wb = weq
         .select(col("cluster"), col("vec_id").as("vb"), col("qv").as("qb"))
       val top3 = wa.join(wb, "cluster").filter(col("va") =!= col("vb"))
         .withColumn("pd2", expr(
@@ -1933,7 +1940,7 @@ object VectorOps {
         .withColumn("rk", row_number().over(Window.partitionBy("cluster", "va")
           .orderBy(col("pd2").asc, col("vb").asc)))
         .filter(col("rk") <= 3)
-      val kocc = win.join(
+      val kocc = weq.select("vec_id").join(
           top3.groupBy(col("vb").as("vec_id")).agg(count(lit(1)).as("k_occ")),
           Seq("vec_id"), "left")
         .withColumn("k_occ", coalesce(col("k_occ"), lit(0L)))

@@ -332,6 +332,17 @@ object ScaleRehearsal {
     "q_gbm_stumps" -> Seq("events"),
     "q_rake_keywords" -> Seq("documents"),
     "q_page_hinkley" -> Seq("events"),
+    // round-8 batch-15. q_coec collapses both event legs to a
+    // campaign×position grid (≤32 rows) with a broadcast 4-row curve;
+    // q_source_ablation is one corpus scan + subtraction from a 1-row
+    // total; q_absorbing_chain pays one per-user window then 8
+    // constant-size (types²) vector multiplications.
+    "q_coec" -> Seq("events"),
+    "q_source_ablation" -> Seq("documents"),
+    "q_absorbing_chain" -> Seq("events"),
+    // q_mrmr: one user hash-agg, then constant-size MI grids (4·4·2
+    // relevance cells, 6·16 redundancy cells) and three 1-row argmaxes.
+    "q_mrmr" -> Seq("events"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

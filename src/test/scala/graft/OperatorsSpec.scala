@@ -2304,6 +2304,139 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q_coec: expectation model replays and closes on click totals") {
+    val rows = graft.operators.EventOps.queries("q_coec")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(4L))
+          .as("pos"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8L))
+          .as("campaign"))
+      .as[(String, Long, Long)].collect()
+    val views = ev.filter(_._1 == "view").groupBy(e => (e._3, e._2))
+      .view.mapValues(_.length.toLong).toMap
+    val clicks = ev.filter(_._1 == "click").groupBy(e => (e._3, e._2))
+      .view.mapValues(_.length.toLong).toMap
+    // the grid is view-anchored: clicks at (c,pos) with no views drop
+    val ctrPos = views.keys.map(_._2).toSeq.distinct.map { p =>
+      val v = views.collect { case ((_, pp), n) if pp == p => n }.sum
+      val c = views.keys.collect {
+        case k @ (_, pp) if pp == p => clicks.getOrElse(k, 0L) }.sum
+      p -> c * 1000000L / v
+    }.toMap
+    rows.foreach { case (camp, nv, nc, ctr, expMilli, coec) =>
+      val vs = views.collect { case ((cc, p), n) if cc == camp => (p, n) }
+      assert(nv === vs.map(_._2).sum)
+      assert(nc === views.keys.collect {
+        case k @ (cc, _) if cc == camp => clicks.getOrElse(k, 0L) }.sum)
+      val expMicro = vs.map { case (p, n) => n * ctrPos(p) }.sum
+      assert(expMilli === expMicro / 1000)
+      assert(ctr === nc * 1000000L / nv)
+      if (expMicro > 0) assert(coec.get === nc * 1000000000L / expMicro)
+    }
+  }
+
+  test("q_source_ablation: complements close by subtraction from totals") {
+    val rows = graft.operators.CorpusOps.queries("q_source_ablation")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    val full = rows.head._4
+    assert(rows.forall(_._4 == full), "full-corpus rate is one number")
+    val totDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === totDocs)
+    rows.foreach { r =>
+      (r._5, r._6) match {
+        case (Some(comp), Some(delta)) => assert(delta === comp - full)
+        case (None, None) => assert(r._2 === totDocs)
+        case other => fail(s"comp/delta mismatch: $other")
+      }
+    }
+  }
+
+  test("q_absorbing_chain: eight survival steps replay the ppm recursion") {
+    val rows = graft.operators.EventOps.queries("q_absorbing_chain")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val trans = graft.sources.Tables.events(spark, sf)
+      .withColumn("dst", lead(col("event_type"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .filter(col("dst").isNotNull && col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val tots = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val pppm = trans.map { case (s0, d0, n) =>
+      ((s0, d0), n * 1000000L / tots(s0)) }.toMap
+    val states = tots.keys.toSeq.sorted
+    var sv = states.map(_ -> 1000000L).toMap
+    val acc = scala.collection.mutable.Map(states.map(_ -> 1000000L): _*)
+    for (k <- 1 to 8) {
+      sv = states.map { st =>
+        st -> states.filter(d0 => pppm.contains((st, d0)))
+          .map(d0 => pppm((st, d0)) * sv(d0)).sum / 1000000L
+      }.toMap
+      if (k < 8) states.foreach(st => acc(st) += sv(st))
+    }
+    rows.foreach { case (st, pd, ab8, t) =>
+      assert(pd === pppm.getOrElse((st, "purchase"), 0L))
+      assert(ab8 === 1000000L - sv(st))
+      assert(t === acc(st))
+    }
+  }
+
+  test("q_mrmr: greedy selection replays relevance minus mean redundancy") {
+    val rows = graft.operators.EventOps.queries("q_mrmr")(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to 3L))
+    assert(rows.map(_._2).distinct.length === 3, "features must be distinct")
+    val users0 = graft.sources.Tables.events(spark, sf).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("f0"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("f1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("f2"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("f3"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select("f0", "f1", "f2", "f3", "np")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val mnp = users0.map(_._5).sum / users0.length
+    val rows2 = users0.map { u =>
+      (if (u._5 > mnp) 1L else 0L,
+        Array(u._1, u._2, u._3, u._4).map(f => math.min(f / 8, 3)))
+    }
+    val n = rows2.length.toLong
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mi(key: ((Long, Array[Long])) => (Long, Long)): Double = {
+      val cells = rows2.groupBy(key).view.mapValues(_.length.toLong).toMap
+      val ma = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val mb = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      r6(cells.map { case ((a, b), c) =>
+        (c.toDouble / n) * math.log(c.toDouble * n / (ma(a).toDouble * mb(b)))
+      }.sum)
+    }
+    val rel = (0 until 4).map(f => f.toLong -> mi(r => (r._2(f), r._1))).toMap
+    def red(i: Int, j: Int): Double = mi(r => (r._2(i), r._2(j)))
+    val s1 = rel.toSeq.minBy { case (f, r) => (-r, f) }._1
+    val c2 = (0L until 4L).filterNot(_ == s1)
+      .map(f => (f, r6(rel(f) - red(f.toInt, s1.toInt))))
+    val s2 = c2.minBy { case (f, sc) => (-sc, f) }._1
+    val c3 = (0L until 4L).filterNot(f => f == s1 || f == s2).map { f =>
+      val rm = r6((red(f.toInt, s1.toInt) + red(f.toInt, s2.toInt)) / 2)
+      (f, rm, r6(rel(f) - rm))
+    }
+    val (s3, red3, score3) = c3.minBy { case (f, _, sc) => (-sc, f) }
+    assert(rows(0)._2 === s1 && rows(0)._3 === rel(s1) &&
+      rows(0)._5 === rel(s1))
+    assert(rows(1)._2 === s2 &&
+      rows(1)._5 === c2.find(_._1 == s2).get._2)
+    assert(rows(2)._2 === s3 && rows(2)._4 === red3 && rows(2)._5 === score3)
+    // the MI replay is exact on the float path too (same operand order)
+    assert(rows(1)._4 === r6(red(s2.toInt, s1.toInt)))
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
