@@ -2399,6 +2399,90 @@ object EventOps {
           3L, s3, rel3, red3, score3)
           as (rank, feature, rel_nats, red_nats, score_nats)""")
         .orderBy("rank")
+    }),
+
+    // E8 HOLT–WINTERS (additive, period 7) — the seasonal upgrade to
+    // q_holt: level, trend AND a 7-slot weekly seasonal vector update
+    // jointly (α=β=γ=½ as truncating halvings, exact integral micro),
+    // initialized from the first week (l₀ = week-1 mean, s₀ = week-1
+    // deviations). The one-step forecast l+b+s[next] is what a weekly-
+    // seasonal series needs where q_holt's flat trend aliases the
+    // cycle. Same scale shape as q_holt: the corpus collapses to the
+    // calendar-bounded daily series, one `aggregate()` fold carries
+    // the (l, b, seas[7]) state — the oracle carries the identical
+    // state through a recursive CTE with a LIST column.
+    "q_holt_winters" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg((count(lit(1)) * 1000000L).as("v"))
+      val folded = daily
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("vs"))
+        .filter(size(col("vs")) >= 8)
+        .withColumn("l0", expr(
+          "aggregate(slice(vs, 1, 7), cast(0 as bigint), (a, x) -> a + x.v) div 7"))
+        .withColumn("seas0", expr("transform(slice(vs, 1, 7), x -> x.v - l0)"))
+        .select(explode(expr(
+          """aggregate(
+            |  slice(vs, 8, greatest(size(vs) - 7, 0)),
+            |  named_struct('l', l0, 'b', cast(0 as bigint), 'seas', seas0,
+            |    'out', cast(array() as array<struct<day:date, v:bigint,
+            |      l:bigint, b:bigint, su:bigint, f:bigint>>)),
+            |  (acc, x) -> named_struct(
+            |    'l', (x.v - element_at(acc.seas, 1) + acc.l + acc.b) div 2,
+            |    'b', (((x.v - element_at(acc.seas, 1) + acc.l + acc.b) div 2)
+            |      - acc.l + acc.b) div 2,
+            |    'seas', concat(slice(acc.seas, 2, 6), array(
+            |      (x.v - ((x.v - element_at(acc.seas, 1) + acc.l + acc.b)
+            |        div 2) + element_at(acc.seas, 1)) div 2)),
+            |    'out', array_append(acc.out, named_struct(
+            |      'day', x.day, 'v', x.v,
+            |      'l', (x.v - element_at(acc.seas, 1) + acc.l + acc.b) div 2,
+            |      'b', (((x.v - element_at(acc.seas, 1) + acc.l + acc.b)
+            |        div 2) - acc.l + acc.b) div 2,
+            |      'su', element_at(acc.seas, 1),
+            |      'f', acc.l + acc.b + element_at(acc.seas, 1)))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+      folded.select(col("r.day").cast("string").as("day"),
+          expr("r.v div 1000000").as("v"),
+          col("r.l").as("level_micro"), col("r.b").as("trend_micro"),
+          col("r.su").as("season_micro"), col("r.f").as("forecast_micro"))
+        .orderBy("day")
+    }),
+
+    // IPS OFF-POLICY EVALUATION — score a NEW serving policy from
+    // logged bandit feedback without deploying it: impressions are
+    // view/click events on campaign k%8 (click = reward 1), the
+    // logging propensity is each campaign's empirical traffic share,
+    // the target policy is rank-weighted toward historically better
+    // campaigns (w = (9−rank)/36 — deterministic, no softmax float),
+    // and each campaign's IPS term is clicks·w·1e6/(36·share) in exact
+    // integral ppm. Σ ips_term_ppm = the estimated reward rate under
+    // the new policy. Everything collapses to an 8-row campaign table
+    // in one hash-agg; the ranking is an 8-row window.
+    "q_ips_eval" -> ((s, d) => {
+      val impr = events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .select(pmod(get_json_object(col("props"), "$.k").cast("long"),
+            lit(8L)).as("campaign"),
+          (col("event_type") === "click").cast("long").as("r"))
+      val camp = impr.groupBy("campaign")
+        .agg(count(lit(1)).as("n_impr"), sum("r").as("clicks"))
+        .withColumn("rate_ppm", expr("clicks * 1000000 div n_impr"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rate_ppm").desc, col("campaign").asc))
+          .cast("long"))
+        .withColumn("w36", lit(9L) - col("rank"))
+      val tot = broadcast(camp.agg(sum("n_impr").as("n")))
+      camp.crossJoin(tot)
+        .withColumn("p_log_ppm", expr("n_impr * 1000000 div n"))
+        // the traffic share cancels: (1/n)·Σ r·π/p with p = n_impr/n
+        // reduces to clicks·w/(36·n_impr) — no n in the product, so no
+        // overflow at any impression volume
+        .withColumn("ips_term_ppm", expr(
+          "clicks * w36 * 1000000 div (36 * n_impr)"))
+        .select("campaign", "n_impr", "clicks", "rate_ppm", "rank", "w36",
+          "p_log_ppm", "ips_term_ppm")
+        .orderBy("campaign")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -3716,6 +3800,62 @@ object EventOps {
   private lazy val batch12Oracle: Map[String, String] = Map(
     "q_gbm_stumps" -> gbmOracle,
     "q_absorbing_chain" -> absorbingOracle,
+
+    "q_ips_eval" ->
+      """WITH impr AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 8
+        |      AS campaign,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |camp AS (
+        |  SELECT campaign, CAST(COUNT(*) AS BIGINT) AS n_impr,
+        |    CAST(SUM(r) AS BIGINT) AS clicks
+        |  FROM impr GROUP BY campaign),
+        |rk AS (
+        |  SELECT *, clicks * 1000000 // n_impr AS rate_ppm,
+        |    ROW_NUMBER() OVER (ORDER BY clicks * 1000000 // n_impr DESC,
+        |      campaign) AS rank
+        |  FROM camp),
+        |tot AS (SELECT CAST(SUM(n_impr) AS BIGINT) AS n FROM camp)
+        |SELECT campaign, n_impr, clicks, rate_ppm,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(9 - rank AS BIGINT) AS w36,
+        |  n_impr * 1000000 // (SELECT n FROM tot) AS p_log_ppm,
+        |  clicks * (9 - rank) * 1000000 // (36 * n_impr) AS ips_term_ppm
+        |FROM rk ORDER BY campaign""".stripMargin,
+
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) * 1000000 AS BIGINT) AS v
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS i
+        |        FROM daily),
+        |l0t AS (SELECT CAST(SUM(v) AS BIGINT) // 7 AS l0 FROM idx
+        |        WHERE i <= 7),
+        |init AS (
+        |  SELECT (SELECT l0 FROM l0t) AS l0,
+        |    list(v - (SELECT l0 FROM l0t) ORDER BY i) AS seas0
+        |  FROM idx WHERE i <= 7),
+        |h AS (
+        |  SELECT CAST(7 AS BIGINT) AS i, CAST(NULL AS DATE) AS day,
+        |    CAST(0 AS BIGINT) AS v, (SELECT l0 FROM init) AS l,
+        |    CAST(0 AS BIGINT) AS b, (SELECT seas0 FROM init) AS seas,
+        |    CAST(NULL AS BIGINT) AS su, CAST(NULL AS BIGINT) AS f
+        |  UNION ALL
+        |  SELECT d.i, d.day, d.v,
+        |    (d.v - h.seas[1] + h.l + h.b) // 2 AS l,
+        |    (((d.v - h.seas[1] + h.l + h.b) // 2) - h.l + h.b) // 2 AS b,
+        |    list_append(h.seas[2:7],
+        |      (d.v - ((d.v - h.seas[1] + h.l + h.b) // 2) + h.seas[1]) // 2)
+        |      AS seas,
+        |    h.seas[1] AS su,
+        |    h.l + h.b + h.seas[1] AS f
+        |  FROM h JOIN idx d ON d.i = h.i + 1)
+        |SELECT CAST(day AS VARCHAR) AS day, v // 1000000 AS v,
+        |  l AS level_micro, b AS trend_micro,
+        |  su AS season_micro, f AS forecast_micro
+        |FROM h WHERE i > 7 ORDER BY day""".stripMargin,
 
     "q_mrmr" ->
       """WITH uf AS (

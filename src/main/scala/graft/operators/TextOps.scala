@@ -2387,6 +2387,98 @@ object TextOps {
         .orderBy("rank")
     }),
 
+    // E12 PREFIX-CACHE POTENTIAL (depth sweep) — the KV-cache
+    // prefix-sharing estimate an LLM-serving (or dedup-aware training)
+    // pipeline runs: at each cache depth L = 1..4 tokens, group
+    // documents by their first-L-token prefix GLOBALLY (a prefix cache
+    // spans requests) and report how many prompt-prefix tokens a
+    // shared cache would not recompute (every group member after the
+    // first reuses the prefix). The output is the depth-vs-savings
+    // curve a cache-budget decision reads. One scan fans out ×4 depths
+    // → prefix-keyed hash-agg → 4-row rollup; prefix keys are bounded,
+    // never document-length-scaled.
+    "q_prefix_cache" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        array_remove(split(lower(col("text")), " "), "").as("toks"))
+        .select(size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+      val byDepth = docs
+        .select(explode(expr("array(1, 2, 3, 4)")).as("depth"),
+          col("n_tokens"), col("toks"))
+        .select(col("depth").cast("long").as("depth"), col("n_tokens"),
+          expr("array_join(slice(toks, 1, depth), ' ')").as("prefix"),
+          least(size(col("toks")), col("depth")).cast("long").as("plen"))
+      val groups = byDepth.groupBy("depth", "prefix", "plen")
+        .agg(count(lit(1)).as("cnt"), sum("n_tokens").as("tk"))
+      groups.groupBy("depth")
+        .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_groups"),
+          sum("tk").as("total_tokens"),
+          sum(expr("(cnt - 1) * plen")).as("saved_tokens"))
+        .withColumn("saved_ppm",
+          expr("saved_tokens * 1000000 div greatest(total_tokens, 1)"))
+        .orderBy("depth")
+    }),
+
+    // E5 SPECULATIVE-DECODING DRAFT ACCEPTANCE — how good is a bigram
+    // LM as a draft model? Per adjacent token pair, the draft proposes
+    // argmax_b count(a→b) ((count desc, token asc) deterministic);
+    // acceptance = the share of real next-tokens the draft would have
+    // produced — the direct estimator of speculative-decoding speedup
+    // on this corpus. Two token-keyed hash-aggs (pair counts, argmax)
+    // + one broadcast-free join back on the context token; per-doc
+    // adjacency comes from one bounded positional window.
+    "q_spec_decode_accept" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"),
+        posexplode(array_remove(split(lower(col("text")), " "), ""))
+          .as(Seq("pos", "tk")))
+      val pairs = toks.withColumn("nxt", lead(col("tk"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tk").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // vocab²-bounded; feeds argmax AND the rate
+      val draft = pairs
+        .groupBy("a")
+        .agg(min(struct((-col("c")).as("nc"), col("b").as("b"))).as("x"))
+        .select(col("a"), col("x.b").as("draft_b"))
+      pairs.join(draft, "a")
+        .agg(sum("c").as("n_pairs"),
+          sum(when(col("b") === col("draft_b"), col("c")).otherwise(0L))
+            .as("n_accepted"),
+          countDistinct("a").as("n_contexts"))
+        .withColumn("accept_ppm",
+          expr("n_accepted * 1000000 div n_pairs"))
+        .select("n_pairs", "n_accepted", "n_contexts", "accept_ppm")
+    }),
+
+    // KNEE / ELBOW DETECTION — pick the operating threshold off the
+    // q_dedup_threshold_sweep curve (composes the catalog query, the
+    // retrieval-fusion rule): the knee is the point with maximum
+    // perpendicular distance to the first→last chord, computed as the
+    // exact integer cross-product |Δx·(y₁−y₀) − (x₁−x₀)·Δy| — no
+    // float geometry, (dist desc, bucket asc) deterministic. The
+    // sweep is already O(buckets); the chord arithmetic is a
+    // broadcast 1-row join.
+    "q_elbow" -> ((s, d) => {
+      val sweep = queries("q_dedup_threshold_sweep")(s, d)
+        .select(col("bucket").cast("long").as("x"),
+          col("cum_pairs").cast("long").as("y"))
+      val ends = broadcast(sweep.agg(
+        min(struct(col("x"), col("y"))).as("p0"),
+        max(struct(col("x"), col("y"))).as("p1")))
+      val scored = sweep.crossJoin(ends)
+        .withColumn("cross2", abs(
+          (col("p1.x") - col("p0.x")) * (col("y") - col("p0.y")) -
+            (col("x") - col("p0.x")) * (col("p1.y") - col("p0.y"))))
+      val knee = broadcast(scored.agg(
+        min(struct((-col("cross2")).as("nc"), col("x").as("kx"))).as("k"))
+        .select(col("k.kx").as("knee_x")))
+      scored.crossJoin(knee)
+        .withColumn("is_knee", (col("x") === col("knee_x")).cast("long"))
+        .select(col("x").as("bucket"), col("y").as("cum_pairs"),
+          col("cross2").as("chord_dist2"), col("is_knee"))
+        .orderBy("bucket")
+    }),
+
     // E3 MinHash-LSH banding via [[minhashBands]]; emits band-bucket
     // stats (the scale-safe artifact; per-bucket pair expansion is the
     // follow-on narrow job — see GraphOps.q_dedup_clusters)
@@ -3965,6 +4057,94 @@ object TextOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_pairs
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_prefix_cache" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT CAST(dep.depth AS BIGINT) AS depth,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    array_to_string(toks[1:dep.depth], ' ') AS prefix,
+        |    CAST(LEAST(len(toks), dep.depth) AS BIGINT) AS plen
+        |  FROM d CROSS JOIN
+        |    (SELECT unnest([1, 2, 3, 4]) AS depth) dep),
+        |g AS (
+        |  SELECT depth, prefix, plen, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS tk
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT depth, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_groups,
+        |  CAST(SUM(tk) AS BIGINT) AS total_tokens,
+        |  CAST(SUM((cnt - 1) * plen) AS BIGINT) AS saved_tokens,
+        |  CAST(SUM((cnt - 1) * plen) AS BIGINT) * 1000000
+        |    // GREATEST(CAST(SUM(tk) AS BIGINT), 1) AS saved_ppm
+        |FROM g GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q_spec_decode_accept" ->
+      """WITH t AS (
+        |  SELECT doc_id, u.tok, u.pos FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> '')) AS tok,
+        |      generate_subscripts(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> ''), 1) AS pos
+        |    FROM documents) u(doc_id, tok, pos)),
+        |pairs AS (
+        |  SELECT a.tok AS a, b.tok AS b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |draft AS (
+        |  SELECT a, b AS draft_b FROM (
+        |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a
+        |      ORDER BY c DESC, b) AS rn FROM pairs)
+        |  WHERE rn = 1)
+        |SELECT CAST(SUM(p.c) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN p.b = d.draft_b THEN p.c ELSE 0 END) AS BIGINT)
+        |    AS n_accepted,
+        |  CAST(COUNT(DISTINCT p.a) AS BIGINT) AS n_contexts,
+        |  CAST(SUM(CASE WHEN p.b = d.draft_b THEN p.c ELSE 0 END) AS BIGINT)
+        |    * 1000000 // CAST(SUM(p.c) AS BIGINT) AS accept_ppm
+        |FROM pairs p JOIN draft d ON d.a = p.a""".stripMargin,
+
+    "q_elbow" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok2 GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.source, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM tok2 a JOIN tok2 b ON a.source = b.source AND a.token = b.token
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.source, a.doc_id, b.doc_id),
+        |prs AS (
+        |  SELECT ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4)
+        |    AS jaccard
+        |  FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+        |               JOIN sizes s2 ON i.d2 = s2.doc_id
+        |  WHERE ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 4) >= 0.5),
+        |bk AS (SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket FROM prs),
+        |sweep AS (
+        |  SELECT bucket, CAST(SUM(COUNT(*)) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs
+        |  FROM bk GROUP BY bucket),
+        |pts AS (SELECT CAST(bucket AS BIGINT) AS x, cum_pairs AS y FROM sweep),
+        |p0 AS (SELECT x AS x0, y AS y0 FROM pts ORDER BY x, y LIMIT 1),
+        |p1 AS (SELECT x AS x1, y AS y1 FROM pts ORDER BY x DESC, y DESC LIMIT 1),
+        |scored AS (
+        |  SELECT pts.x, pts.y,
+        |    ABS((p1.x1 - p0.x0) * (pts.y - p0.y0)
+        |      - (pts.x - p0.x0) * (p1.y1 - p0.y0)) AS cross2
+        |  FROM pts CROSS JOIN p0 CROSS JOIN p1),
+        |knee AS (SELECT x AS knee_x FROM scored
+        |         ORDER BY cross2 DESC, x LIMIT 1)
+        |SELECT s.x AS bucket, s.y AS cum_pairs, s.cross2 AS chord_dist2,
+        |  CAST(CASE WHEN s.x = k.knee_x THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_knee
+        |FROM scored s CROSS JOIN knee k ORDER BY bucket""".stripMargin,
 
     "q_dedup_audit_queue" ->
       """WITH tok AS (

@@ -343,6 +343,17 @@ object ScaleRehearsal {
     // q_mrmr: one user hash-agg, then constant-size MI grids (4·4·2
     // relevance cells, 6·16 redundancy cells) and three 1-row argmaxes.
     "q_mrmr" -> Seq("events"),
+    // round-8 batch-17. q_holt_winters/q_ips_eval collapse to the
+    // daily series / 8-row campaign table in one hash-agg;
+    // q_prefix_cache is a ×4 depth fan-out into prefix-keyed
+    // hash-aggs; q_spec_decode_accept is two vocab-bounded hash-aggs
+    // over adjacent-token pairs; q_elbow rides the threshold sweep
+    // plus O(buckets) chord arithmetic.
+    "q_holt_winters" -> Seq("events"),
+    "q_ips_eval" -> Seq("events"),
+    "q_prefix_cache" -> Seq("documents"),
+    "q_spec_decode_accept" -> Seq("documents"),
+    "q_elbow" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

@@ -2437,6 +2437,105 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(1)._4 === r6(red(s2.toInt, s1.toInt)))
   }
 
+  test("q_holt_winters: the (l, b, seas) state replays the integer fold") {
+    val rows = graft.operators.EventOps.queries("q_holt_winters")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(rows.length === math.max(daily.length - 7, 0))
+    if (daily.length >= 8) {
+      val v = daily.map(_._2 * 1000000L)
+      var l = v.take(7).sum / 7
+      var b = 0L
+      var seas = v.take(7).map(_ - l)
+      rows.zip(daily.drop(7)).foreach { case (row, (day, n)) =>
+        val su = seas.head
+        val f = l + b + su
+        val l2 = (v(daily.indexWhere(_._1 == day)) - su + l + b) / 2
+        val b2 = (l2 - l + b) / 2
+        val snew = (n * 1000000L - l2 + su) / 2
+        assert(row === ((day, n, l2, b2, su, f)))
+        l = l2; b = b2; seas = seas.drop(1) :+ snew
+      }
+    }
+  }
+
+  test("q_ips_eval: terms replay and the share cancellation holds") {
+    val rows = graft.operators.EventOps.queries("q_ips_eval")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 8)
+    assert(rows.map(_._5).sorted.sameElements(1L to 8L), "ranks complete")
+    val n = rows.map(_._2).sum
+    rows.foreach { case (_, ni, cl, rate, rank, w36, plog, ips) =>
+      assert(rate === cl * 1000000L / ni)
+      assert(w36 === 9L - rank)
+      assert(plog === ni * 1000000L / n)
+      assert(ips === cl * w36 * 1000000L / (36L * ni))
+    }
+    // ranks order by rate desc
+    val byRank = rows.sortBy(_._5)
+    byRank.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4)
+      case _ => ()
+    }
+  }
+
+  test("q_prefix_cache: depth curve replays exact global prefix grouping") {
+    val rows = graft.operators.TextOps.queries("q_prefix_cache")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1L to 4L))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.toLowerCase.split(" ").filter(_.nonEmpty))
+    rows.foreach { case (depth, nDocs, nGroups, tot, saved, ppm) =>
+      assert(nDocs === docs.length)
+      assert(tot === docs.map(_.length.toLong).sum)
+      val groups = docs.groupBy(_.take(depth.toInt).mkString(" "))
+      assert(nGroups === groups.size)
+      val expSaved = groups.values.map { g =>
+        (g.length - 1).toLong * math.min(g.head.length, depth.toInt)
+      }.sum
+      assert(saved === expSaved)
+      assert(ppm === saved * 1000000L / math.max(tot, 1))
+    }
+  }
+
+  test("q_spec_decode_accept: bigram draft acceptance replays exactly") {
+    val row = graft.operators.TextOps
+      .queries("q_spec_decode_accept")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.toLowerCase.split(" ").filter(_.nonEmpty))
+    val pairs = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val draft = pairs.keys.map(_._1).toSeq.distinct.map { a =>
+      a -> pairs.collect { case ((aa, b), c) if aa == a => (b, c) }
+        .toSeq.minBy { case (b, c) => (-c, b) }._1
+    }.toMap
+    val nPairs = pairs.values.sum
+    val nAcc = pairs.collect { case ((a, b), c) if draft(a) == b => c }.sum
+    assert(row._1 === nPairs && row._2 === nAcc)
+    assert(row._3 === draft.size)
+    assert(row._4 === nAcc * 1000000L / nPairs)
+  }
+
+  test("q_elbow: knee maximizes the exact chord cross-product") {
+    val rows = graft.operators.TextOps.queries("q_elbow")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum === 1L, "exactly one knee")
+    val (x0, y0) = (rows.head._1, rows.head._2)
+    val (x1, y1) = (rows.last._1, rows.last._2)
+    rows.foreach { case (x, y, c2, _) =>
+      assert(c2 === math.abs((x1 - x0) * (y - y0) - (x - x0) * (y1 - y0)))
+    }
+    val knee = rows.minBy(r => (-r._3, r._1))
+    assert(knee._4 === 1L)
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
