@@ -931,6 +931,63 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // BENJAMINI–HOCHBERG FDR — the multiple-testing gate run before
+    // anyone acts on "source X's quality differs": each source's
+    // keep-rate (q_quality_filter verdict, lockstep) is two-proportion
+    // z²-tested against the rest of the corpus, ranked, and stepped up
+    // against the χ²(1) critical grid for α·k/m (α = 5%, m = 20, the
+    // corpus's source fan-out; the grid is precomputed math constants,
+    // the q_power_analysis 784 convention — for corpora with fewer
+    // sources the m = 20 grid is conservative). Everything after the
+    // one corpus scan is a ≤sources-row window + a broadcast 20-row
+    // critical table.
+    "q_bh_fdr" -> ((s, d) => {
+      val toks = array_remove(split(lower(col("text")), " "), "")
+      val stops = filter(toks, t => t.isInCollection(TextOps.stopwords))
+      val docs = documents(s, d)
+        .withColumn("nt", size(toks).cast("long"))
+        .withColumn("keep",
+          when(col("nt") >= 25 && col("n_chars") <= col("nt") * 8 &&
+            size(stops) > 0, 1L).otherwise(0L))
+      val bySrc = docs.groupBy("source")
+        .agg(count(lit(1)).as("n1"), sum("keep").as("k1"))
+      val tot = broadcast(bySrc.agg(sum("n1").as("tn"), sum("k1").as("tk")))
+      val z = bySrc.crossJoin(tot)
+        .withColumn("n2", col("tn") - col("n1"))
+        .withColumn("k2", col("tk") - col("k1"))
+        .withColumn("p1_ppm", expr("k1 * 1000000 div n1"))
+        .withColumn("pp_ppm", expr("tk * 1000000 div tn"))
+        .withColumn("denom", expr(
+          """case when n2 = 0 then null
+            |else pp_ppm * (1000000 - pp_ppm) div 1000000
+            |   * (1000000 div n1 + 1000000 div n2) end""".stripMargin))
+        .withColumn("z2_milli", expr(
+          """case when denom is null or denom <= 0 then null
+            |else (k1 * 1000000 div n1 - k2 * 1000000 div n2)
+            |   * (k1 * 1000000 div n1 - k2 * 1000000 div n2) * 1000
+            |   div denom end""".stripMargin))
+      val crit = s.createDataFrame(Seq(
+          (1L, 9141L), (2L, 7879L), (3L, 7149L), (4L, 6635L), (5L, 6239L),
+          (6L, 5916L), (7L, 5646L), (8L, 5412L), (9L, 5207L), (10L, 5024L),
+          (11L, 4859L), (12L, 4709L), (13L, 4572L), (14L, 4445L),
+          (15L, 4328L), (16L, 4218L), (17L, 4115L), (18L, 4019L),
+          (19L, 3928L), (20L, 3841L)))
+        .toDF("rank", "crit_milli")
+      val ranked = z
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("z2_milli").desc_nulls_last, col("source")))
+          .cast("long"))
+        .join(broadcast(crit), Seq("rank"), "left")
+      val kmax = broadcast(ranked.agg(coalesce(
+        max(when(col("z2_milli") >= col("crit_milli"), col("rank"))),
+        lit(0L)).as("kmax")))
+      ranked.crossJoin(kmax)
+        .withColumn("significant", (col("rank") <= col("kmax")).cast("long"))
+        .select("source", "n1", "k1", "p1_ppm", "z2_milli", "rank",
+          "crit_milli", "significant")
+        .orderBy("rank")
+    }),
+
     // K-FOLD CROSS-VALIDATION ASSIGNMENT + stratification audit — the
     // split primitive evaluation pipelines need beyond one train/test
     // cut: every document lands in a deterministic md5-hash fold
@@ -2069,6 +2126,65 @@ object CorpusOps {
         |    ELSE (tkeep - k) * 1000000 // (tn - n)
         |       - tkeep * 1000000 // tn END AS delta_ppm
         |FROM bysrc CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS n_stop,
+        |    n_chars
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CASE WHEN nt >= 25 AND n_chars <= nt * 8 AND n_stop > 0
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM t),
+        |bysrc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+        |    CAST(SUM(keep) AS BIGINT) AS k1
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS tn,
+        |        CAST(SUM(k1) AS BIGINT) AS tk FROM bysrc),
+        |z AS (
+        |  SELECT source, n1, k1,
+        |    k1 * 1000000 // n1 AS p1_ppm,
+        |    CASE WHEN tn - n1 = 0 THEN NULL
+        |      ELSE (tk * 1000000 // tn) * (1000000 - tk * 1000000 // tn)
+        |        // 1000000
+        |        * (1000000 // n1 + 1000000 // (tn - n1)) END AS denom,
+        |    CASE WHEN tn - n1 = 0 THEN NULL
+        |      ELSE k1 * 1000000 // n1 - (tk - k1) * 1000000 // (tn - n1)
+        |    END AS diff
+        |  FROM bysrc CROSS JOIN tot),
+        |z2 AS (
+        |  SELECT source, n1, k1, p1_ppm,
+        |    CASE WHEN denom IS NULL OR denom <= 0 THEN NULL
+        |      ELSE diff * diff * 1000 // denom END AS z2_milli
+        |  FROM z),
+        |crit AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(9141 AS BIGINT)), (2, 7879), (3, 7149),
+        |  (4, 6635), (5, 6239), (6, 5916), (7, 5646), (8, 5412), (9, 5207),
+        |  (10, 5024), (11, 4859), (12, 4709), (13, 4572), (14, 4445),
+        |  (15, 4328), (16, 4218), (17, 4115), (18, 4019), (19, 3928),
+        |  (20, 3841)) AS c(rank, crit_milli)),
+        |ranked AS (
+        |  SELECT z2.*,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY z2_milli DESC NULLS LAST,
+        |      source) AS BIGINT) AS rank
+        |  FROM z2),
+        |rc AS (
+        |  SELECT r.*, c.crit_milli
+        |  FROM ranked r LEFT JOIN crit c ON c.rank = r.rank),
+        |kmax AS (
+        |  SELECT COALESCE(MAX(CASE WHEN z2_milli >= crit_milli
+        |    THEN rank END), 0) AS kmax FROM rc)
+        |SELECT source, n1, k1, p1_ppm, z2_milli, rank, crit_milli,
+        |  CAST(CASE WHEN rank <= (SELECT kmax FROM kmax)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM rc ORDER BY rank""".stripMargin,
 
     "q_mix_entropy" ->
       """WITH counts AS (

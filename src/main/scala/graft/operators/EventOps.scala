@@ -2483,6 +2483,44 @@ object EventOps {
         .select("campaign", "n_impr", "clicks", "rate_ppm", "rank", "w36",
           "p_log_ppm", "ips_term_ppm")
         .orderBy("campaign")
+    }),
+
+    // MAHALANOBIS OUTLIERS — the bivariate upgrade to q_outlier_mad:
+    // users scored by the exact covariance-aware distance over
+    // (activity, purchases), so a user who is unremarkable on each
+    // axis but OFF THE CORRELATION LINE surfaces. 2×2 inverse via the
+    // adjugate — d² ∝ c_yy·dx² − 2·c_xy·dx·dy + c_xx·dy², all held in
+    // integral milli (deviations vs the floored milli mean, covariance
+    // in milli² — products bounded by the feature range⁴, not the
+    // corpus). One user hash-agg + a broadcast 1-row moment table +
+    // TakeOrdered(20) — never a global sort.
+    "q_mahalanobis" -> ((s, d) => {
+      def userAgg = events(s, d).groupBy("user_id")
+        .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val stats = broadcast(userAgg
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+        .withColumn("mx_milli", expr("sx * 1000 div n"))
+        .withColumn("my_milli", expr("sy * 1000 div n"))
+        .withColumn("cxx", expr("(n * sxx - sx * sx) * 1000000 div (n * n)"))
+        .withColumn("cyy", expr("(n * syy - sy * sy) * 1000000 div (n * n)"))
+        .withColumn("cxy", expr("(n * sxy - sx * sy) * 1000000 div (n * n)"))
+        .withColumn("det", expr("cxx * cyy - cxy * cxy"))
+        .select("mx_milli", "my_milli", "cxx", "cyy", "cxy", "det"))
+      userAgg.crossJoin(stats)
+        .withColumn("dx", col("x") * 1000 - col("mx_milli"))
+        .withColumn("dy", col("y") * 1000 - col("my_milli"))
+        .withColumn("d2_milli", expr(
+          """case when det <= 0 then null
+            |else (cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy)
+            |     div greatest(det div 1000, 1) end""".stripMargin))
+        .select("user_id", "x", "y", "dx", "dy", "d2_milli")
+        .orderBy(col("d2_milli").desc_nulls_last, col("user_id").asc)
+        .limit(20)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -3800,6 +3838,44 @@ object EventOps {
   private lazy val batch12Oracle: Map[String, String] = Map(
     "q_gbm_stumps" -> gbmOracle,
     "q_absorbing_chain" -> absorbingOracle,
+
+    "q_mahalanobis" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM u),
+        |m AS (
+        |  SELECT sx * 1000 // n AS mx_milli, sy * 1000 // n AS my_milli,
+        |    (n * sxx - sx * sx) * 1000000 // (n * n) AS cxx,
+        |    (n * syy - sy * sy) * 1000000 // (n * n) AS cyy,
+        |    (n * sxy - sx * sy) * 1000000 // (n * n) AS cxy
+        |  FROM s),
+        |m2 AS (SELECT *, cxx * cyy - cxy * cxy AS det FROM m),
+        |sc AS (
+        |  SELECT u.user_id, u.x, u.y,
+        |    u.x * 1000 - m2.mx_milli AS dx,
+        |    u.y * 1000 - m2.my_milli AS dy,
+        |    CASE WHEN m2.det <= 0 THEN NULL
+        |      ELSE (m2.cyy * (u.x * 1000 - m2.mx_milli)
+        |              * (u.x * 1000 - m2.mx_milli)
+        |          - 2 * m2.cxy * (u.x * 1000 - m2.mx_milli)
+        |              * (u.y * 1000 - m2.my_milli)
+        |          + m2.cxx * (u.y * 1000 - m2.my_milli)
+        |              * (u.y * 1000 - m2.my_milli))
+        |        // GREATEST(m2.det // 1000, 1) END AS d2_milli
+        |  FROM u CROSS JOIN m2)
+        |SELECT user_id, x, y, dx, dy, d2_milli FROM sc
+        |ORDER BY d2_milli DESC NULLS LAST, user_id LIMIT 20""".stripMargin,
 
     "q_ips_eval" ->
       """WITH impr AS (

@@ -2459,9 +2459,14 @@ object TextOps {
     // sweep is already O(buckets); the chord arithmetic is a
     // broadcast 1-row join.
     "q_elbow" -> ((s, d) => {
+      // checkpoint the O(buckets) sweep table: the chord arithmetic
+      // consumes it four times (ends, scored, knee, final), and each
+      // uncheckpointed reference re-ran the whole near-dup sweep
+      // (measured ×10 exponent 1.32 → the sweep's own 1.02 after)
       val sweep = queries("q_dedup_threshold_sweep")(s, d)
         .select(col("bucket").cast("long").as("x"),
           col("cum_pairs").cast("long").as("y"))
+        .localCheckpoint()
       val ends = broadcast(sweep.agg(
         min(struct(col("x"), col("y"))).as("p0"),
         max(struct(col("x"), col("y"))).as("p1")))

@@ -1267,6 +1267,63 @@ object VectorOps {
         .orderBy("clabel", "bin")
     }),
 
+    // E4/E9 YOUDEN OPERATING POINT — turn the q_calibration reliability
+    // table into a DECISION: per one-vs-rest label, sweep the 10 bin
+    // thresholds ("positive if bin ≥ t") and pick the one maximizing
+    // Youden's J = TPR − FPR (milli, exact integers; (J desc, bin asc)
+    // deterministic). The classic threshold choice when one must be
+    // picked without a cost matrix. Rides the same centroid-scorer
+    // binning as q_calibration (lockstep legs); the sweep is a 10-row
+    // window per label over the bin AGGREGATE — nothing here rescans
+    // data.
+    "q_youden" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val cents = dims.groupBy(col("label").as("clabel"), col("dim").as("cdim"))
+        .agg(expr("sum(qv) div count(1)").as("cqv"))
+      val scored = dims.join(broadcast(cents), col("dim") === col("cdim"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum(col("qv") * col("cqv")).as("score"))
+      val bounds = broadcast(scored.groupBy(col("clabel").as("blabel"))
+        .agg(min(col("score")).as("slo"), max(col("score")).as("shi")))
+      val bins = scored.join(bounds, col("clabel") === col("blabel"))
+        .withColumn("bin", expr("(score - slo) * 10 div (shi - slo + 1)"))
+        .groupBy("clabel", "bin")
+        .agg(sum(when(col("label") === col("clabel"), 1L).otherwise(0L))
+            .as("np"),
+          sum(when(col("label") =!= col("clabel"), 1L).otherwise(0L))
+            .as("nn"))
+      val wd = Window.partitionBy("clabel").orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy("clabel")
+      bins
+        .withColumn("tp", sum("np").over(wd))
+        .withColumn("fp", sum("nn").over(wd))
+        .withColumn("p", sum("np").over(wall))
+        .withColumn("n", sum("nn").over(wall))
+        .withColumn("tpr_milli", expr(
+          "case when p = 0 then null else tp * 1000 div p end"))
+        .withColumn("fpr_milli", expr(
+          "case when n = 0 then null else fp * 1000 div n end"))
+        .withColumn("j_milli", expr(
+          """case when p = 0 or n = 0 then null
+            |else tp * 1000 div p - fp * 1000 div n end""".stripMargin))
+        .filter(col("j_milli").isNotNull) // degenerate one-class labels
+        .groupBy(col("clabel"))
+        .agg(min(struct((-col("j_milli")).as("nj"), col("bin").as("bin"),
+          col("tp").as("tp"), col("fp").as("fp"),
+          col("tpr_milli").as("tpr"), col("fpr_milli").as("fpr"))).as("x"))
+        .select(col("clabel").cast("long").as("clabel"),
+          col("x.bin").as("best_bin"), col("x.tp").as("tp"),
+          col("x.fp").as("fp"), col("x.tpr").as("tpr_milli"),
+          col("x.fpr").as("fpr_milli"), (-col("x.nj")).as("j_milli"))
+        .orderBy("clabel")
+    }),
+
     // E16 SEMI-SUPERVISED LABEL PROPAGATION — spread scarce labels
     // (seeds = vec_id < 100) over the similarity graph: edges join
     // vectors sharing a 6-plane LSH signature (64 buckets — the
@@ -2183,6 +2240,46 @@ object VectorOps {
          |       // COUNT(*) AS BIGINT) AS pos_rate_micro,
          |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score
          |FROM binned GROUP BY 1, 2 ORDER BY clabel, bin""".stripMargin,
+
+    "q_youden" ->
+      s"""$centroidScoredCte,
+         |bounds AS (
+         |  SELECT clabel AS blabel, MIN(score) AS slo, MAX(score) AS shi
+         |  FROM scored GROUP BY 1),
+         |bins AS (
+         |  SELECT s.clabel,
+         |    (s.score - b.slo) * 10 // (b.shi - b.slo + 1) AS bin,
+         |    CAST(SUM(CASE WHEN s.label = s.clabel THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN s.label <> s.clabel THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nn
+         |  FROM scored s JOIN bounds b ON s.clabel = b.blabel
+         |  GROUP BY 1, 2),
+         |sw AS (
+         |  SELECT clabel, bin,
+         |    CAST(SUM(np) OVER wdesc AS BIGINT) AS tp,
+         |    CAST(SUM(nn) OVER wdesc AS BIGINT) AS fp,
+         |    CAST(SUM(np) OVER wall AS BIGINT) AS p,
+         |    CAST(SUM(nn) OVER wall AS BIGINT) AS n
+         |  FROM bins
+         |  WINDOW wdesc AS (PARTITION BY clabel ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wall AS (PARTITION BY clabel)),
+         |j AS (
+         |  SELECT clabel, bin, tp, fp,
+         |    CASE WHEN p = 0 THEN NULL ELSE tp * 1000 // p END AS tpr_milli,
+         |    CASE WHEN n = 0 THEN NULL ELSE fp * 1000 // n END AS fpr_milli,
+         |    CASE WHEN p = 0 OR n = 0 THEN NULL
+         |      ELSE tp * 1000 // p - fp * 1000 // n END AS j_milli
+         |  FROM sw),
+         |best AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY clabel
+         |    ORDER BY j_milli DESC, bin) AS rn
+         |  FROM j WHERE j_milli IS NOT NULL)
+         |SELECT CAST(clabel AS BIGINT) AS clabel,
+         |  CAST(bin AS BIGINT) AS best_bin, tp, fp,
+         |  tpr_milli, fpr_milli, j_milli
+         |FROM best WHERE rn = 1 ORDER BY clabel""".stripMargin,
 
     // the same quantize → exact pair distance → degree/core →
     // min-label components → border adoption pipeline, with the

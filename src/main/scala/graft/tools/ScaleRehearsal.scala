@@ -354,6 +354,14 @@ object ScaleRehearsal {
     "q_prefix_cache" -> Seq("documents"),
     "q_spec_decode_accept" -> Seq("documents"),
     "q_elbow" -> Seq("documents"),
+    // round-8 batch-18. q_youden rides the calibration bin aggregate
+    // (10-row windows per label); q_mahalanobis is one user hash-agg +
+    // a broadcast 1-row moment table + TakeOrdered(20); q_bh_fdr is
+    // one corpus scan, a ≤sources-row window and a 20-row broadcast
+    // critical grid.
+    "q_youden" -> Seq("embeddings"),
+    "q_mahalanobis" -> Seq("events"),
+    "q_bh_fdr" -> Seq("documents"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

