@@ -2450,6 +2450,46 @@ object TextOps {
         .select("n_pairs", "n_accepted", "n_contexts", "accept_ppm")
     }),
 
+    // E3 CONTENT-DEFINED CHUNKING (CDC) DEDUP — the storage-layer
+    // dedup primitive (restic/borg-style) lifted to the token stream:
+    // chunk boundaries fall where the rolling 4-token fingerprint
+    // (md5, the q_crossval_folds hash convention) hits ≡ 0 mod 16
+    // (mean chunk ≈ 16 tokens), so an insertion early in a document
+    // shifts ONE chunk instead of re-chunking everything after it —
+    // the property fixed-size blocks lack. Per source: chunk count,
+    // distinct-chunk count, duplicate share, mean length. One token
+    // explode, three per-doc bounded windows (the lag 4-gram), one
+    // (doc, chunk) rollup and a chunk-hash-keyed dedup agg.
+    "q_cdc_chunks" -> ((s, d) => {
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = documents(s, d).select(col("doc_id"), col("source"),
+        posexplode(array_remove(split(lower(col("text")), " "), ""))
+          .as(Seq("pos", "tk")))
+      val marked = toks
+        .withColumn("g", concat_ws(" ", lag(col("tk"), 3).over(wd),
+          lag(col("tk"), 2).over(wd), lag(col("tk"), 1).over(wd), col("tk")))
+        .withColumn("b", when(col("pos") >= 3 &&
+          expr("pmod(conv(substring(md5(g), 1, 8), 16, 10), 16)") === 0, 1L)
+          .otherwise(0L))
+        .withColumn("cid", coalesce(sum("b").over(
+          wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val chunks = marked.groupBy("doc_id", "source", "cid")
+        .agg(count(lit(1)).as("clen"),
+          md5(array_join(transform(sort_array(collect_list(
+            struct(col("pos"), col("tk")))), x => x.getField("tk")), " "))
+            .as("chash"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("chash").as("n_distinct"),
+          sum("clen").as("n_tokens"))
+        .withColumn("dup_ppm",
+          expr("(n_chunks - n_distinct) * 1000000 div n_chunks"))
+        .withColumn("mean_len_milli", expr("n_tokens * 1000 div n_chunks"))
+        .select("source", "n_chunks", "n_distinct", "n_tokens", "dup_ppm",
+          "mean_len_milli")
+        .orderBy("source")
+    }),
+
     // KNEE / ELBOW DETECTION — pick the operating threshold off the
     // q_dedup_threshold_sweep curve (composes the catalog query, the
     // retrieval-fusion rule): the knee is the point with maximum
@@ -4112,6 +4152,44 @@ object TextOps {
         |  CAST(SUM(CASE WHEN p.b = d.draft_b THEN p.c ELSE 0 END) AS BIGINT)
         |    * 1000000 // CAST(SUM(p.c) AS BIGINT) AS accept_ppm
         |FROM pairs p JOIN draft d ON d.a = p.a""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, u.tok, u.pos FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> '')) AS tok,
+        |      generate_subscripts(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> ''), 1) AS pos
+        |    FROM documents) u(doc_id, source, tok, pos)),
+        |m AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    concat_ws(' ', lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+        |      lag(tok, 1) OVER w, tok) AS g
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |m2 AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    CASE WHEN pos >= 4 AND
+        |      CAST('0x' || substring(md5(g), 1, 8) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM m),
+        |m3 AS (
+        |  SELECT doc_id, source, tok, pos,
+        |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cid
+        |  FROM m2),
+        |chunks AS (
+        |  SELECT doc_id, source, cid, CAST(COUNT(*) AS BIGINT) AS clen,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+        |  FROM m3 GROUP BY 1, 2, 3)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(clen) AS BIGINT) AS n_tokens,
+        |  (COUNT(*) - COUNT(DISTINCT chash)) * 1000000 // COUNT(*)
+        |    AS dup_ppm,
+        |  CAST(SUM(clen) AS BIGINT) * 1000 // COUNT(*) AS mean_len_milli
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin,
 
     "q_elbow" ->
       """WITH tok AS (

@@ -1324,6 +1324,52 @@ object VectorOps {
         .orderBy("clabel")
     }),
 
+    // E9 ADVERSARIAL VALIDATION — "can a classifier tell train from
+    // validation?": split the corpus by vec_id parity, score every
+    // vector on the exact integral mean-difference direction
+    // w = μ₀ − μ₁, and report the split-separation ROC-AUC via the
+    // same tie-aware Mann-Whitney identity as q_auc_eval. AUC ≈ ½ =
+    // the splits are exchangeable (what a sound random split should
+    // show); a big deviation means leakage or covariate shift, the
+    // check run before trusting any eval number. One dim-exploded
+    // hash-agg → O(dims) broadcast direction → score hash-agg → the
+    // two-phase PrefixSum running negative count — no single-task
+    // sort at any size.
+    "q_adversarial_validation" -> ((s, d) => {
+      val dims = embeddings(s, d)
+        .select(pmod(col("vec_id"), lit(2L)).as("h"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "fval")))
+        .select(col("h"), col("vec_id"), col("pos").cast("long").as("dim"),
+          round(col("fval").cast("double") * 1000000).cast("long").as("qv"))
+      val w = broadcast(dims.groupBy("dim")
+        .agg(expr("sum(case when h = 0 then qv else 0 end) " +
+            "div greatest(sum(case when h = 0 then 1 else 0 end), 1)")
+            .as("m0"),
+          expr("sum(case when h = 1 then qv else 0 end) " +
+            "div greatest(sum(case when h = 1 then 1 else 0 end), 1)")
+            .as("m1"))
+        .select(col("dim"), (col("m0") - col("m1")).as("wq")))
+      val scored = dims.join(w, "dim")
+        .groupBy("vec_id", "h")
+        .agg(sum(expr("qv * wq")).as("score"))
+      val grp = scored.groupBy("score")
+        .agg(sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_neg"))
+      val bounds = broadcast(grp.agg(min("score").as("slo"),
+        max("score").as("shi")))
+      val cum = PrefixSum.runningSum(
+        grp.crossJoin(bounds), Seq.empty, Seq(col("score")), col("n_neg"),
+        PrefixSum.rangeBucket(col("score"), col("slo"), col("shi"), 32),
+        "cum_neg")
+      cum.agg(sum("n_pos").as("n_pos"), sum("n_neg").as("n_neg"),
+          sum(col("n_pos") * (lit(2L) * col("cum_neg") - col("n_neg")))
+            .as("u2"))
+        .withColumn("auc_micro",
+          expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+        .withColumn("abs_dev_micro", abs(col("auc_micro") - lit(500000L)))
+        .select("n_pos", "n_neg", "auc_micro", "abs_dev_micro")
+    }),
+
     // E16 SEMI-SUPERVISED LABEL PROPAGATION — spread scarce labels
     // (seeds = vec_id < 100) over the similarity graph: edges join
     // vectors sharing a 6-plane LSH signature (64 buckets — the
@@ -2240,6 +2286,49 @@ object VectorOps {
          |       // COUNT(*) AS BIGINT) AS pos_rate_micro,
          |  CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score
          |FROM binned GROUP BY 1, 2 ORDER BY clabel, bin""".stripMargin,
+
+    "q_adversarial_validation" ->
+      """WITH q AS (
+        |  SELECT vec_id, vec_id % 2 AS h,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT h, vec_id, u.i AS dim, u.v FROM (
+        |    SELECT h, vec_id, unnest(qv) AS v,
+        |      generate_subscripts(qv, 1) AS i
+        |    FROM q) u(h, vec_id, v, i)),
+        |w AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN h = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      // GREATEST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END), 1)
+        |    - CAST(SUM(CASE WHEN h = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      // GREATEST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END), 1)
+        |      AS wq
+        |  FROM dims GROUP BY dim),
+        |scored AS (
+        |  SELECT d.vec_id, d.h, CAST(SUM(d.v * w.wq) AS BIGINT) AS score
+        |  FROM dims d JOIN w ON w.dim = d.dim
+        |  GROUP BY d.vec_id, d.h),
+        |grp AS (
+        |  SELECT score,
+        |    CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM scored GROUP BY score),
+        |cum AS (
+        |  SELECT *, CAST(SUM(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_neg
+        |  FROM grp),
+        |agg AS (
+        |  SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |    CAST(SUM(n_pos * (2 * cum_neg - n_neg)) AS BIGINT) AS u2
+        |  FROM cum)
+        |SELECT n_pos, n_neg,
+        |  u2 * 1000000 // (2 * n_pos * n_neg) AS auc_micro,
+        |  ABS(u2 * 1000000 // (2 * n_pos * n_neg) - 500000) AS abs_dev_micro
+        |FROM agg""".stripMargin,
 
     "q_youden" ->
       s"""$centroidScoredCte,

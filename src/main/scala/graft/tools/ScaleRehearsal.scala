@@ -362,6 +362,12 @@ object ScaleRehearsal {
     "q_youden" -> Seq("embeddings"),
     "q_mahalanobis" -> Seq("events"),
     "q_bh_fdr" -> Seq("documents"),
+    // round-8 batch-19. q_cdc_chunks: one token explode + 3 bounded
+    // per-doc windows + chunk-hash hash-aggs; q_adversarial_validation:
+    // dim-exploded hash-agg + O(dims) broadcast direction + the
+    // PrefixSum running count.
+    "q_cdc_chunks" -> Seq("documents"),
+    "q_adversarial_validation" -> Seq("embeddings"),
   )
 
   /** Per-query scaled-corpus variant: queries listed here get their

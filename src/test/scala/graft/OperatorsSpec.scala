@@ -2613,6 +2613,79 @@ class OperatorsSpec extends SparkTestBase {
     rows.foreach(r => assert(r._8 === (if (r._6 <= kmax) 1L else 0L)))
   }
 
+  test("q_cdc_chunks: chunking replays and token mass closes per source") {
+    val rows = graft.operators.TextOps.queries("q_cdc_chunks")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    // replay the boundary rule: md5 of the rolling 4-gram, % 16 == 0
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      var nChunks = 0L; var nTokens = 0L
+      val hashes = scala.collection.mutable.Set.empty[String]
+      var distinct = 0L
+      g.foreach { case (_, t) =>
+        val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+        val bounds = toks.indices.filter { i =>
+          i >= 3 && (java.lang.Long.parseLong(
+            md5hex(toks.slice(i - 3, i + 1).mkString(" ")).take(8),
+            16) % 16) == 0
+        }
+        // cid = count of boundaries strictly BEFORE each position
+        val chunks = toks.indices.groupBy(i => bounds.count(_ < i))
+        chunks.values.foreach { idxs =>
+          nChunks += 1; nTokens += idxs.length
+          val h = md5hex(idxs.map(toks).mkString(" "))
+          if (hashes.add(h)) distinct += 1
+        }
+      }
+      src -> ((nChunks, distinct, nTokens))
+    }
+    rows.foreach { case (src, nc, nd, nt, dup, ml) =>
+      val (enc, end, ent) = expected(src)
+      assert((nc, nd, nt) === ((enc, end, ent)), src)
+      assert(dup === (nc - nd) * 1000000L / nc)
+      assert(ml === nt * 1000L / nc)
+    }
+  }
+
+  test("q_adversarial_validation: AUC replays the Mann-Whitney identity") {
+    val row = graft.operators.VectorOps
+      .queries("q_adversarial_validation")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val q = emb.map { case (id, v) =>
+      (id % 2, v.map(x => math.round(x.toDouble * 1000000)))
+    }
+    val dims = q.head._2.length
+    val wq = (0 until dims).map { k =>
+      def m(h: Long) = {
+        val g = q.filter(_._1 == h)
+        g.map(_._2(k)).sum / math.max(g.length, 1)
+      }
+      m(0) - m(1)
+    }
+    val scored = q.map { case (h, v) =>
+      (h, (0 until dims).map(k => v(k) * wq(k)).sum)
+    }
+    val grp = scored.groupBy(_._2).view.mapValues { g =>
+      (g.count(_._1 == 0L).toLong, g.count(_._1 == 1L).toLong)
+    }.toSeq.sortBy(_._1)
+    var cum = 0L; var u2 = 0L
+    grp.foreach { case (_, (np, nn)) =>
+      cum += nn
+      u2 += np * (2 * cum - nn)
+    }
+    val nPos = grp.map(_._2._1).sum; val nNeg = grp.map(_._2._2).sum
+    assert(row._1 === nPos && row._2 === nNeg)
+    assert(row._3 === u2 * 1000000L / (2 * nPos * nNeg))
+    assert(row._4 === math.abs(row._3 - 500000L))
+  }
+
   test("q_self_bleu: coverage matches a brute-force bigram recompute per probe") {
     val rows = graft.operators.TextOps.queries("q_self_bleu")(spark, sf)
       .as[(Long, String, Long, Long, Long)].collect()
