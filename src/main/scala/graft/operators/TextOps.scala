@@ -2313,7 +2313,12 @@ object TextOps {
     "q_rm3_expansion" -> ((s, d) => {
       val qterms = Seq("batch", "scan", "data")
       val toks = documents(s, d).select(col("doc_id"), explode(wordsOf).as("tk"))
+      // checkpoint the per-doc length table: stats, the score join and
+      // (through them) the top-10 selection all reuse it, and each
+      // uncheckpointed reference re-ran the token explode (measured
+      // 18 s → ~each rescan ≈ the bm25 leg itself)
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       val tf = toks.filter(col("tk").isInCollection(qterms))

@@ -380,6 +380,11 @@ object ScaleRehearsal {
     // labels constant so the y0 target class scales ×N with the corpus
     // (the disjoint-labels recipe would starve it to copy 0 only)
     "q_decision_stump" -> "cls",
+    // one-vs-rest sweep over the FIXED label space: the disjoint-label
+    // replica would grow clabels ×N and fan the vec×label scoring to
+    // ×N² — an artifact of the remap, not the operator (measured 1.23
+    // under the default recipe, 10→100 output rows)
+    "q_youden" -> "cls",
   )
 
   def main(args: Array[String]): Unit = {
