@@ -117,9 +117,9 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, gcMs - g0)
         }
         val (t1, g1) = once()
-        Blocks.sweep(spark)
+        Blocks.sweep(spark, blocking = true)
         val (t2, g2) = once()
-        Blocks.sweep(spark)
+        Blocks.sweep(spark, blocking = true)
         if (i % 10 == 9) { System.gc(); Thread.sleep(3000) }
         (name, t1, g1, t2, g2)
       }

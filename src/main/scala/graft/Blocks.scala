@@ -47,14 +47,22 @@ object Blocks {
   }
 
   /** Unpersist every persistent RDD except protected memo checkpoints.
-    * Returns the number of RDDs dropped. Non-blocking: the block
-    * manager reclaims asynchronously, which is fine between queries. */
-  def sweep(spark: SparkSession): Int = {
+    * Returns the number of RDDs dropped.
+    *
+    * `blocking`: ad-hoc sessions keep the non-blocking default (the
+    * block manager reclaims asynchronously, fine between unrelated
+    * queries). TIMED harnesses must pass `blocking = true` — under the
+    * back-to-back bench protocol the async reclaim of run 1's large
+    * checkpoint blocks otherwise lands INSIDE run 2's timed window
+    * (measured: q_lsh_tuning, 3 checkpoints per execution, run 1
+    * 34 s / run 2 187 s; blocking sweeps put the reclaim between the
+    * windows where it belongs). */
+  def sweep(spark: SparkSession, blocking: Boolean = false): Int = {
     val persistent = spark.sparkContext.getPersistentRDDs
     var dropped = 0
     persistent.foreach { case (id, rdd) =>
       if (!protectedIds.contains(id)) {
-        rdd.unpersist(blocking = false)
+        rdd.unpersist(blocking = blocking)
         dropped += 1
       }
     }
