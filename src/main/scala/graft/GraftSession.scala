@@ -38,15 +38,22 @@ object GraftSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // ContextCleaner hygiene for long local sessions with a big
-      // heap: broadcast/shuffle cleanup is driven by weak references,
-      // which a 32 GiB heap may not GC for many minutes — dead
-      // broadcast blocks and shuffle files then pile up in the block
-      // manager and later queries pay eviction contention (measured:
-      // repeated q_user_cf drifting 2.4 s → 45 s without GC; stable
-      // 2.4-5 s with it). Spark's default periodic GC is 30min —
-      // far too lazy for a 300-query catalog session.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // ContextCleaner hygiene: broadcast/shuffle cleanup is driven by
+      // weak references, which a 32 GiB heap may not GC for many
+      // minutes — in LONG-CATALOG sessions dead broadcast blocks and
+      // shuffle files pile up in the block manager and later queries
+      // pay eviction contention (measured: repeated q_user_cf drifting
+      // 2.4 s → 45 s without GC; stable 2.4-5 s with it). The
+      // aggressive 1-minute periodicGC interval that fixes that is NOT
+      // set here (round-8 ADVICE: a driver-wide full System.gc every
+      // minute punishes ad-hoc and test sessions, and any timed
+      // harness that forgets to override it re-creates the mid-query
+      // stall the bench protocol documents). Sessions that need it opt
+      // in explicitly: Verify sets 1min (long catalog, untimed);
+      // Bench pins 24h and drives cleanup deterministically between
+      // timed windows via Blocks.sweep; ScaleRehearsal sweeps via
+      // Blocks.reset between batches. Everything else keeps Spark's
+      // 30min default.
       // scratch I/O (shuffle files, disk-spilled checkpoint blocks,
       // broadcast disk store) on tmpfs when the host provides one: a
       // single-box local[n] run otherwise funnels every shuffle file
