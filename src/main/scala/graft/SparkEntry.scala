@@ -9,12 +9,15 @@ import graft.operators.{BloomOps, CorpusOps, EventOps, GraphOps, TextOps, Vector
   * `queries` is the full operator catalog (SURVEY.md §2 + §2.12), one
   * entry per operator, each reading the driver testdata at `sfDir`.
   * `oracleSql` carries the DuckDB-equivalent SQL for the hash-compare
-  * gate; the only entries absent there are q_approx_distinct (built-in
-  * HLL++ internals) and q_kll_quantiles (arrival-order-dependent
-  * compaction) — inherently un-oracle-able values that get the
-  * driver's rows-only check, with correctness asserted in ScalaTest
-  * specs. (graft's own HLL and the multimodal stub use portable
-  * md5-derived values precisely so THEIR queries stay in the gate.)
+  * gate — since round 9 for EVERY entry: the two sketch rows whose raw
+  * estimates are engine-internal (q_approx_distinct: built-in HLL++
+  * registers; q_kll_quantiles: arrival-order-dependent compaction)
+  * emit derived invariants instead — exact side + error bound +
+  * within-bound booleans computed from the real estimate — so the
+  * DuckDB compare gates them too, and their quantitative error bounds
+  * stay proven in RandomizedPropertySpec/KllSketchSpec. (graft's own
+  * HLL and the multimodal stub use portable md5-derived values
+  * precisely so THEIR queries hash-compare directly.)
   */
 object SparkEntry {
 

@@ -957,15 +957,27 @@ object CorpusOps {
         .withColumn("k2", col("tk") - col("k1"))
         .withColumn("p1_ppm", expr("k1 * 1000000 div n1"))
         .withColumn("pp_ppm", expr("tk * 1000000 div tn"))
-        .withColumn("denom", expr(
+        // Round-8 ADVICE fix: the old denominator multiplied the pooled
+        // variance by (1e6 div n1 + 1e6 div n2), whose reciprocals
+        // floor to 0 for any source past 1e6 documents — z2 went NULL
+        // and no source could ever be significant at scale. Factor the
+        // statistic as z² = (diff²/v) · h instead: b = diff²·1000/v
+        // (milli, capped at 1e9) and h = n1·n2/(n1+n2), the harmonic
+        // pair count (capped at 9·10⁸ so b·h ≤ 9·10¹⁷ < 2⁶³ at any
+        // corpus size; a source that big with any nonzero diff is
+        // saturated-significant anyway, and the 10⁷-milli output cap
+        // ≡ z = 100 keeps rank order deterministic on both engines).
+        .withColumn("v_ppm", expr("pp_ppm * (1000000 - pp_ppm) div 1000000"))
+        .withColumn("hmean", expr(
           """case when n2 = 0 then null
-            |else pp_ppm * (1000000 - pp_ppm) div 1000000
-            |   * (1000000 div n1 + 1000000 div n2) end""".stripMargin))
+            |else least(greatest(n1 * n2 div (n1 + n2), 1), 900000000)
+            |end""".stripMargin))
         .withColumn("z2_milli", expr(
-          """case when denom is null or denom <= 0 then null
-            |else (k1 * 1000000 div n1 - k2 * 1000000 div n2)
-            |   * (k1 * 1000000 div n1 - k2 * 1000000 div n2) * 1000
-            |   div denom end""".stripMargin))
+          """case when hmean is null or v_ppm <= 0 then null
+            |else least(least((k1 * 1000000 div n1 - k2 * 1000000 div n2)
+            |     * (k1 * 1000000 div n1 - k2 * 1000000 div n2) * 1000
+            |     div v_ppm, 1000000000)
+            |     * hmean div 1000, 10000000) end""".stripMargin))
       val crit = s.createDataFrame(Seq(
           (1L, 9141L), (2L, 7879L), (3L, 7149L), (4L, 6635L), (5L, 6239L),
           (6L, 5916L), (7L, 5646L), (8L, 5412L), (9L, 5207L), (10L, 5024L),
@@ -2151,18 +2163,21 @@ object CorpusOps {
         |z AS (
         |  SELECT source, n1, k1,
         |    k1 * 1000000 // n1 AS p1_ppm,
+        |    (tk * 1000000 // tn) * (1000000 - tk * 1000000 // tn)
+        |      // 1000000 AS v_ppm,
         |    CASE WHEN tn - n1 = 0 THEN NULL
-        |      ELSE (tk * 1000000 // tn) * (1000000 - tk * 1000000 // tn)
-        |        // 1000000
-        |        * (1000000 // n1 + 1000000 // (tn - n1)) END AS denom,
+        |      ELSE LEAST(GREATEST(n1 * (tn - n1) // tn, 1),
+        |                 CAST(900000000 AS BIGINT)) END AS hmean,
         |    CASE WHEN tn - n1 = 0 THEN NULL
         |      ELSE k1 * 1000000 // n1 - (tk - k1) * 1000000 // (tn - n1)
         |    END AS diff
         |  FROM bysrc CROSS JOIN tot),
         |z2 AS (
         |  SELECT source, n1, k1, p1_ppm,
-        |    CASE WHEN denom IS NULL OR denom <= 0 THEN NULL
-        |      ELSE diff * diff * 1000 // denom END AS z2_milli
+        |    CASE WHEN hmean IS NULL OR v_ppm <= 0 THEN NULL
+        |      ELSE LEAST(LEAST(diff * diff * 1000 // v_ppm,
+        |             CAST(1000000000 AS BIGINT))
+        |           * hmean // 1000, CAST(10000000 AS BIGINT)) END AS z2_milli
         |  FROM z),
         |crit AS (SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(9141 AS BIGINT)), (2, 7879), (3, 7149),

@@ -1575,10 +1575,17 @@ object EventOps {
             expr("nij * 1000000000000 div (pi + pj)").as("term"))
           .groupBy("i").agg(sum("term").as("den"))
         pi = wins.join(den, "i")
-          // greatest(den,1): a type with zero wins drives π to 0; the
-          // guard keeps the degenerate fixpoint division-safe
+          // greatest(den,1): a type with zero wins drives π toward 0;
+          // the guard keeps the degenerate fixpoint division-safe.
+          // greatest(π,1) (round-8 ADVICE): clamp π itself to ≥ 1 so
+          // two zero-π types sharing an edge can never make the next
+          // round's per-term pi+pj denominator 0 — without it, parity
+          // held only because Spark's div-by-zero NULL is skipped by
+          // sum and DuckDB happens to agree; the clamp makes the
+          // degenerate path explicit instead of semantics-dependent.
           .select(col("i"),
-            expr("w * 1000000000000 div greatest(den, 1)").as("pi"))
+            expr("greatest(w * 1000000000000 div greatest(den, 1), 1)")
+              .as("pi"))
       }
       wins.join(pi, "i")
         .withColumn("rank", row_number().over(
@@ -1677,9 +1684,11 @@ object EventOps {
     // The directional companion to q_xcorr's symmetric lag scan.
     // Scale: one hash-agg to the calendar-bounded daily series, one
     // day-keyed lag join, one 7-sum aggregate — O(days) everything;
-    // deviation magnitudes are bounded by daily counts (pre-scale the
-    // series before squaring if a deployment's daily volumes push the
-    // quartic products toward 2⁶³).
+    // the moment sums are uniformly down-scaled by a data-derived
+    // factor before the degree-3 SSR combination, so no corpus size
+    // can push the products past 2⁶³ (ssr_restricted/ssr_full are
+    // reported in those sc-scaled units; improvement_ppm, the
+    // statistic, is scale-invariant).
     "q_granger" -> ((s, d) => {
       val daily = events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
@@ -1699,6 +1708,26 @@ object EventOps {
           sum(expr("w * w")).as("sww"), sum(expr("u * u")).as("suu"),
           sum(expr("v * v")).as("svv"), sum(expr("u * w")).as("suw"),
           sum(expr("v * w")).as("svw"), sum(expr("u * v")).as("suv"))
+        // OVERFLOW PRE-SCALE (round-8 ADVICE): the ssr_full numerator
+        // is degree-3 in the moment sums, so raw sums past ~2×10⁶
+        // would silently wrap on Spark (non-ANSI) while DuckDB raises
+        // — the engines would diverge exactly when the corpus grows.
+        // improvement_ppm is a ratio of quantities HOMOGENEOUS degree
+        // 1 in the sums, so uniformly down-scaling all six sums by a
+        // data-derived sc leaves it invariant (up to the truncation
+        // noise both engines share: div and // both truncate toward
+        // zero, including for negatives). sc = maxabs div 5·10⁵ caps
+        // every scaled sum at 10⁶ → each triple product ≤ 10¹⁸ and
+        // the 3-term numerator ≤ 4×10¹⁸ < 2⁶³ at ANY corpus size.
+        .withColumn("sc", expr(
+          """greatest(1, greatest(abs(sww), abs(suu), abs(svv), abs(suw),
+            |                     abs(svw), abs(suv)) div 500000)""".stripMargin))
+        .withColumn("sww", expr("sww div sc"))
+        .withColumn("suu", expr("suu div sc"))
+        .withColumn("svv", expr("svv div sc"))
+        .withColumn("suw", expr("suw div sc"))
+        .withColumn("svw", expr("svw div sc"))
+        .withColumn("suv", expr("suv div sc"))
         .withColumn("ssr_restricted", expr(
           "case when suu = 0 then null else sww - suw * suw div suu end"))
         .withColumn("det", expr("suu * svv - suv * suv"))
@@ -2492,23 +2521,35 @@ object EventOps {
     // adjugate — d² ∝ c_yy·dx² − 2·c_xy·dx·dy + c_xx·dy², all held in
     // integral milli (deviations vs the floored milli mean, covariance
     // in milli² — products bounded by the feature range⁴, not the
-    // corpus). One user hash-agg + a broadcast 1-row moment table +
-    // TakeOrdered(20) — never a global sort.
+    // corpus). The covariance is TWO-PASS centered (round-8 ADVICE):
+    // the one-pass n·sxx − sx² form is quadratic in corpus size and
+    // silently wraps on Spark past ~10–100× the tested corpus while
+    // DuckDB raises; Σdx² over milli deviations is linear in users
+    // (the floored-milli mean costs ≤ 1 milli² of bias — the mean is
+    // exact to 10⁻³ raw). Two user hash-aggs + a broadcast 1-row
+    // moment table + TakeOrdered(20) — never a global sort.
     "q_mahalanobis" -> ((s, d) => {
       def userAgg = events(s, d).groupBy("user_id")
         .agg(sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
             .as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("y"))
-      val stats = broadcast(userAgg
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
-          sum(expr("x * y")).as("sxy"))
+      val means = broadcast(userAgg
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
         .withColumn("mx_milli", expr("sx * 1000 div n"))
         .withColumn("my_milli", expr("sy * 1000 div n"))
-        .withColumn("cxx", expr("(n * sxx - sx * sx) * 1000000 div (n * n)"))
-        .withColumn("cyy", expr("(n * syy - sy * sy) * 1000000 div (n * n)"))
-        .withColumn("cxy", expr("(n * sxy - sx * sy) * 1000000 div (n * n)"))
+        .select("n", "mx_milli", "my_milli"))
+      val stats = broadcast(userAgg.crossJoin(means)
+        .select(col("n"), col("mx_milli"), col("my_milli"),
+          (col("x") * 1000 - col("mx_milli")).as("cdx"),
+          (col("y") * 1000 - col("my_milli")).as("cdy"))
+        .groupBy("n", "mx_milli", "my_milli")
+        .agg(sum(expr("cdx * cdx")).as("sdxx"),
+          sum(expr("cdy * cdy")).as("sdyy"),
+          sum(expr("cdx * cdy")).as("sdxy"))
+        .withColumn("cxx", expr("sdxx div n"))
+        .withColumn("cyy", expr("sdyy div n"))
+        .withColumn("cxy", expr("sdxy div n"))
         .withColumn("det", expr("cxx * cyy - cxy * cxy"))
         .select("mx_milli", "my_milli", "cxx", "cyy", "cxy", "det"))
       userAgg.crossJoin(stats)
@@ -3658,12 +3699,19 @@ object EventOps {
         |tri AS (
         |  SELECT a.dy AS w, b.dy AS u, b.dx AS v
         |  FROM dev a JOIN dev b ON a.day = b.day + 1),
-        |s AS (
+        |s0 AS (
         |  SELECT COUNT(*) AS n_pairs,
         |    CAST(SUM(w * w) AS BIGINT) AS sww, CAST(SUM(u * u) AS BIGINT) AS suu,
         |    CAST(SUM(v * v) AS BIGINT) AS svv, CAST(SUM(u * w) AS BIGINT) AS suw,
         |    CAST(SUM(v * w) AS BIGINT) AS svw, CAST(SUM(u * v) AS BIGINT) AS suv
         |  FROM tri),
+        |s AS (
+        |  SELECT n_pairs,
+        |    sww // sc AS sww, suu // sc AS suu, svv // sc AS svv,
+        |    suw // sc AS suw, svw // sc AS svw, suv // sc AS suv
+        |  FROM (SELECT *, GREATEST(CAST(1 AS BIGINT),
+        |      GREATEST(ABS(sww), ABS(suu), ABS(svv), ABS(suw),
+        |               ABS(svw), ABS(suv)) // 500000) AS sc FROM s0)),
         |f AS (
         |  SELECT n_pairs,
         |    CASE WHEN suu = 0 THEN NULL
@@ -3682,7 +3730,8 @@ object EventOps {
 
   /** 3 unrolled Bradley–Terry MM rounds — lockstep with the Spark
     * loop above (same micro-unit init, same per-term floor before the
-    * sum, same greatest(den,1) zero-win guard). */
+    * sum, same greatest(den,1) zero-win guard, same greatest(π,1)
+    * clamp that keeps pi+pj nonzero in the zero-win degenerate case). */
   private lazy val bradleyTerryOracle: String = {
     val rounds = (1 to 3).map { k =>
       s"""d$k AS (
@@ -3693,7 +3742,8 @@ object EventOps {
          |  GROUP BY e.i),
          |p$k AS (
          |  SELECT w.i,
-         |    CAST(w.w * 1000000000000 // GREATEST(d.den, 1) AS BIGINT) AS pi
+         |    GREATEST(CAST(w.w * 1000000000000 // GREATEST(d.den, 1)
+         |      AS BIGINT), 1) AS pi
          |  FROM wins w JOIN d$k d ON d.i = w.i)""".stripMargin
     }.mkString(",\n")
     s"""WITH dayv AS (
@@ -3847,19 +3897,26 @@ object EventOps {
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS y
         |  FROM events GROUP BY user_id),
-        |s AS (
+        |mm AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |    CAST(SUM(x) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |      AS mx_milli,
+        |    CAST(SUM(y) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |      AS my_milli
         |  FROM u),
+        |c0 AS (
+        |  SELECT mm.n, mm.mx_milli, mm.my_milli,
+        |    CAST(SUM((u.x * 1000 - mm.mx_milli) * (u.x * 1000 - mm.mx_milli))
+        |      AS BIGINT) AS sdxx,
+        |    CAST(SUM((u.y * 1000 - mm.my_milli) * (u.y * 1000 - mm.my_milli))
+        |      AS BIGINT) AS sdyy,
+        |    CAST(SUM((u.x * 1000 - mm.mx_milli) * (u.y * 1000 - mm.my_milli))
+        |      AS BIGINT) AS sdxy
+        |  FROM u CROSS JOIN mm GROUP BY 1, 2, 3),
         |m AS (
-        |  SELECT sx * 1000 // n AS mx_milli, sy * 1000 // n AS my_milli,
-        |    (n * sxx - sx * sx) * 1000000 // (n * n) AS cxx,
-        |    (n * syy - sy * sy) * 1000000 // (n * n) AS cyy,
-        |    (n * sxy - sx * sy) * 1000000 // (n * n) AS cxy
-        |  FROM s),
+        |  SELECT mx_milli, my_milli,
+        |    sdxx // n AS cxx, sdyy // n AS cyy, sdxy // n AS cxy
+        |  FROM c0),
         |m2 AS (SELECT *, cxx * cyy - cxy * cxy AS det FROM m),
         |sc AS (
         |  SELECT u.user_id, u.x, u.y,

@@ -446,14 +446,25 @@ object VectorOps {
         .orderBy("np", "qid")
     }),
 
-    // E2 approx distinct count (HLL++). Implementation-specific values →
-    // no DuckDB oracle (driver records rows-only check); quantitative
-    // gate instead: RandomizedPropertySpec bounds relative error ≤ 3×rsd
-    // vs exact counts across randomized cardinalities and rsd settings.
+    // E2 approx distinct count (HLL++). The raw estimate is
+    // implementation-specific (built-in HLL++ register internals), so
+    // it cannot be hash-compared cross-engine — instead the query
+    // emits the DERIVED INVARIANT the estimate must satisfy (round-8
+    // verdict item 6): exact count, the 3×rsd error bound the
+    // RandomizedPropertySpec gate proves (rsd 5% default → 150000
+    // ppm), and a within_bound boolean computed FROM the estimate.
+    // The DuckDB oracle recomputes the exact side in plain SQL and
+    // asserts within_bound = true, so an out-of-bound estimate now
+    // FAILS the driver gate instead of being a permanent skip.
     "q_approx_distinct" -> ((s, d) =>
       events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .withColumn("bound_ppm", lit(150000L))
+        .withColumn("within_bound", expr(
+          "abs(approx_users - exact_users) * 1000000 <= bound_ppm * exact_users"))
+        .select("event_type", "exact_users", "n", "bound_ppm", "within_bound")
         .orderBy("event_type")),
 
     // E2 stretch: graft's own mergeable HLL sketch aggregate
@@ -2670,6 +2681,18 @@ object VectorOps {
         |SELECT cluster, COUNT(*) AS n_vecs,
         |  CAST(SUM(s_milli) AS BIGINT) // COUNT(*) AS mean_sil_milli
         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin),
+
+    // derived-invariant oracle (round-8 verdict item 6): the HLL++
+    // estimate itself is engine-internal, but the exact side is plain
+    // SQL and within_bound must be true — Spark computes it from the
+    // real estimate, so an out-of-bound estimate hash-mismatches here
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(150000 AS BIGINT) AS bound_ppm,
+        |  true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors HllSketch exactly: 60-bit md5 hash → (12-bit register
     // index, 48-bit sub-stream), rank = 49 - bitlength, registers =

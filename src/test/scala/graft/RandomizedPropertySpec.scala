@@ -329,12 +329,13 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
-  test("sketch error bounds hold across randomized inputs (the no-oracle rows' quantitative gate)") {
-    // The two catalog rows without a DuckDB oracle (q_approx_distinct:
-    // built-in HLL++ register internals; q_kll_quantiles: arrival-
-    // order-dependent compaction) get their correctness evidence HERE,
-    // as quantitative error bounds vs exact answers over randomized
-    // inputs — not just a rows-only check.
+  test("sketch error bounds hold across randomized inputs (the sketch rows' quantitative gate)") {
+    // q_approx_distinct (built-in HLL++ register internals) and
+    // q_kll_quantiles (arrival-order-dependent compaction) emit
+    // engine-internal estimates; since round 9 their catalog rows
+    // carry derived-invariant oracles (within_bound / rank-containment
+    // booleans the driver gate checks), and the underlying error
+    // bounds are proven HERE, quantitatively, over randomized inputs.
 
     // HLL++: relative error vs exact distinct count within 3× the
     // configured rsd (a standard-deviation bound; deterministic for
