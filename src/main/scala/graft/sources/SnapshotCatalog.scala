@@ -26,10 +26,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * verbs that map onto the transactional commit protocol: `INSERT
   * INTO` / `INSERT OVERWRITE` / CTAS (connector `SupportsWrite`, the
   * V1Write fallback → [[SnapshotTable.commit]] — staged files +
-  * atomic manifest publish, never a bare file write) and `DELETE
+  * atomic manifest publish, never a bare file write), `DELETE
   * FROM` / `TRUNCATE TABLE` (connector `SupportsDelete` →
   * [[SnapshotTable.deleteWhere]], a versioned commit with
-  * metadata-only file drops). Time-travel loads are pinned history:
+  * metadata-only file drops), and `MERGE INTO` in the canonical
+  * upsert shape (planner strategy
+  * [[graft.plans.MergeIntoSnapshotStrategy]] →
+  * [[SnapshotTable.merge]], copy-on-write with zone-map touch
+  * detection). Time-travel loads are pinned history:
   * read-only, non-deletable, non-writable. DDL is supported where it
   * maps cleanly: CREATE TABLE commits an EMPTY v0 carrying the
   * declared schema (the K4/K5 if-absent contract — the table is

@@ -212,7 +212,10 @@ object SnapshotSource {
       bucketing: Option[(String, Int, Map[String, Int])] = None)
       extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing)
       with org.apache.spark.sql.connector.catalog.SupportsDelete
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with GraftMergeable {
+
+    override def mergeRoot: String = root
 
     override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
       filters.forall(filterToColumn(_).isDefined)
@@ -298,3 +301,10 @@ object SnapshotSource {
         streamFactory, bucketing)
   }
 }
+
+/** Marker surfaced by writable HEAD catalog loads so the injected
+  * MERGE INTO planner strategy ([[graft.plans.MergeIntoSnapshotStrategy]])
+  * can recognize a mergeable snapshot table and recover its root path.
+  * Pinned time-travel loads deliberately do NOT carry it — MERGE into
+  * frozen history stays unsupported, like every other write. */
+trait GraftMergeable { def mergeRoot: String }

@@ -580,6 +580,64 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(ex.getMessage.nonEmpty)
   }
 
+  test("SQL MERGE INTO: upsert routes to copy-on-write merge; untouched files carry by reference") {
+    val wh = Files.createTempDirectory("graft_cat_mg").toString
+    spark.conf.set("spark.sql.catalog.mgcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgcat.warehouse", wh)
+    spark.sql("CREATE TABLE mgcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val dir = s"$wh/db/t"
+    val t = SnapshotTable(dir)
+    t.commit(kv(0 until 400))
+    val v1 = t.compact(spark, files = 4, sortKey = Some(col("id")))
+    val before = dataLines(dir, v1)
+    kv(10 until 20, "new").union(kv(1000 until 1005, "ins"))
+      .createOrReplaceTempView("mg_src")
+    spark.sql(
+      """MERGE INTO mgcat.db.t t USING mg_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v2 = t.currentVersion()
+    assert(v2 === v1 + 1, "SQL MERGE must land as ONE atomic commit")
+    // zone-map touch detection: the matched keys 10..19 live in one
+    // clustered file's range (±1 for sampling-shifted boundaries), so
+    // untouched data paths appear VERBATIM in the new manifest
+    val after = dataLines(dir, v2)
+    assert(before.intersect(after).size >= 2,
+      "untouched files must carry by reference, not be rewritten")
+    val m = spark.sql("SELECT id, val FROM mgcat.db.t")
+      .as[(Long, String)].collect().toMap
+    assert(m.size === 405)
+    assert((10 until 20).forall(i => m(i.toLong) === s"new$i"))
+    assert((1000 until 1005).forall(i => m(i.toLong) === s"ins$i"))
+    assert(m(0L) === "a0" && m(399L) === "a399")
+    // pre-merge snapshot still time travels
+    assert(spark.sql(
+      s"SELECT val FROM mgcat.db.t VERSION AS OF $v1 WHERE id = 10")
+      .head.getString(0) === "a10")
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    // shapes with no SnapshotTable.merge mapping are refused with the
+    // explicit contract, never silently misapplied
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mgcat.db.t t USING mg_src s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(causes(ex).exists(_.contains("canonical copy-on-write upsert")),
+      s"expected the supported-shape contract, got: ${causes(ex).mkString(" | ")}")
+    // non-graft targets fall through to Spark's own handling
+    val ex2 = intercept[Exception] {
+      spark.range(3).createOrReplaceTempView("mg_plain")
+      spark.sql(
+        """MERGE INTO mg_plain t USING mg_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(causes(ex2).forall(!_.contains("canonical copy-on-write upsert")),
+      "the graft strategy must not claim non-graft targets")
+  }
+
   test("commitBucketed: storage-partitioned join and bucket-key aggregation plan shuffle-free") {
     val wh = Files.createTempDirectory("graft_spj").toString
     spark.conf.set("spark.sql.catalog.spj",
