@@ -327,6 +327,43 @@ object Multimodal {
       (x, y) => ((7 * id + 11 * (x / 8) + 13 * (y / 8)) % 256).toInt)
   }
 
+  /** COLOR sibling of [[syntheticJpegImage]]: (Y, Cb, Cr) CONSTANT per
+    * 16×16 macroblock — constant over every luma 8×8 block AND over
+    * every quarter-res chroma block in BOTH subsampling layouts, so
+    * the lossy pipeline stays exact end-to-end (the q_jpeg_decode
+    * trick, extended to three interleaved components). Even ids take
+    * 4:2:0, odd ids 4:4:4 — both MCU layouts exercised in one corpus.
+    * The q_jpeg_color oracle recomputes the decoded RGB through the
+    * same integer [[JpegCodec.yccToRgb]] arithmetic. */
+  def syntheticColorJpegImage(id: Long): Array[Byte] = {
+    val w = 16 * (1 + (id % 3).toInt)
+    val h = 16 * (1 + (id % 2).toInt)
+    def ycc(x: Int, y: Int): (Int, Int, Int) = {
+      val mx = x / 16; val my = y / 16
+      (((7 * id + 11 * mx + 13 * my) % 256).toInt,
+        ((5 * id + 17 * mx + 19 * my) % 256).toInt,
+        ((3 * id + 23 * mx + 29 * my) % 256).toInt)
+    }
+    JpegCodec.encodeColor(w, h, ycc, chroma420 = id % 2 == 0)
+  }
+
+  case class DecodedRgb(doc_id: Long, width: Int, height: Int, rgb: Array[Int])
+
+  /** [[decodeLuma]]'s color sibling: (doc_id, payload) → packed
+    * 0xRRGGBB pixel rows via [[JpegCodec.decodeColor]]; undecodable
+    * payloads drop (corrupt-is-data). */
+  def decodeRgb(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        JpegCodec.decodeColor(payload).map { case (w, h, rgb) =>
+          DecodedRgb(id, w, h, rgb)
+        }
+      }).toDF()
+  }
+
   /** REAL RIFF/WAVE codec — the audio leg of the multimodal surface,
     * same contract as [[PixelCodec]]: a genuine byte-level container
     * walk (chunk ids, little-endian fmt fields, even-byte chunk

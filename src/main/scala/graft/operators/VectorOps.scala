@@ -1806,6 +1806,41 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 COLOR JPEG DECODE (round-8 verdict item 3) — the YCbCr
+    // upgrade to q_jpeg_decode: per-doc payloads are genuine
+    // interleaved-MCU baseline color JPEGs (even ids 4:2:0 — four Y
+    // blocks then Cb then Cr per 16×16 MCU, quarter-res chroma,
+    // replicate upsampling; odd ids 4:4:4), with (Y, Cb, Cr) constant
+    // per macroblock so Huffman→dequant→IDCT→upsample is EXACT, and
+    // the YCbCr→RGB step is integer fixed-point (JpegCodec.yccToRgb)
+    // so the oracle recomputes the decoded RGB arithmetically. The
+    // position-weighted channel checksum pins placement AND channel
+    // order (a swapped Cb/Cr or transposed decode shifts it). Scale
+    // shape = q_jpeg_decode: decode per partition after a compute
+    // repartition, one (doc)-keyed aggregate.
+    "q_jpeg_color" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticColorJpegImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeRgb(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("rgb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("px div 65536").cast("long").as("r"),
+          expr("px div 256 % 256").cast("long").as("g"),
+          expr("px % 256").cast("long").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum("r").as("r_sum"), sum("g").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(r * 4 + g * 2 + b) * (pos + 1)")).as("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // E4 INT8 SCALAR QUANTIZATION — the cheapest vector-compression
     // leg (8× over float32, vs PQ's 32×): per-dimension [min, max]
     // over the corpus → affine code in [0, 255], reported with the
@@ -3390,6 +3425,41 @@ object VectorOps {
         |  COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS lum_sum,
         |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mean_lum,
         |  CAST(SUM(v * (pos + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // Recomputes the macroblock-constant YCbCr rule the Spark side
+    // must recover THROUGH the interleaved entropy-coded color scan
+    // (per-component DC prediction, chroma upsampling), then the SAME
+    // integer fixed-point YCbCr→RGB (micro-unit BT.601, +500000,
+    // truncating //, clamp) — any codec error (component order slip,
+    // swapped Cb/Cr, wrong upsample) shifts a channel sum or the
+    // position-weighted checksum.
+    "q_jpeg_color" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 48) t(x)),
+        |ys AS (SELECT y FROM range(0, 32) t(y)),
+        |ycc AS (
+        |  SELECT d.doc_id, d.w, d.h, ys.y * d.w + xs.x AS pos,
+        |    (7 * d.doc_id + 11 * (xs.x // 16) + 13 * (ys.y // 16)) % 256 AS yv,
+        |    (5 * d.doc_id + 17 * (xs.x // 16) + 19 * (ys.y // 16)) % 256 AS cb,
+        |    (3 * d.doc_id + 23 * (xs.x // 16) + 29 * (ys.y // 16)) % 256 AS cr
+        |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h),
+        |px AS (
+        |  SELECT doc_id, w, h, pos,
+        |    LEAST(GREATEST((1000000 * yv + 1402000 * (cr - 128)
+        |      + 500000) // 1000000, 0), 255) AS r,
+        |    LEAST(GREATEST((1000000 * yv - 344136 * (cb - 128)
+        |      - 714136 * (cr - 128) + 500000) // 1000000, 0), 255) AS g,
+        |    LEAST(GREATEST((1000000 * yv + 1772000 * (cb - 128)
+        |      + 500000) // 1000000, 0), 255) AS b
+        |  FROM ycc)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "q_sq_codes" ->

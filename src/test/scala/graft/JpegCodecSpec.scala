@@ -97,4 +97,93 @@ class JpegCodecSpec extends AnyFunSuite {
     val Some((jw, jh, jlum)) = JpegCodec.decode(bytes)
     assert((sw, sh) == (jw, jh) && slum.sameElements(jlum))
   }
+
+  // ------------------------------------------------------------ color
+
+  private def imageIoDecodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    (w, h, Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xffffff))
+  }
+
+  /** (max, mean) per-channel divergence. Two tolerances because 4:2:0
+    * chroma upsampling is implementation-defined: this codec uses
+    * sample REPLICATION (the choice the macroblock-constant oracle
+    * fixture's exactness depends on — any interpolation would blend
+    * chroma across macroblock borders), libjpeg/ImageIO use triangular
+    * "fancy" upsampling — so at chroma block borders a few pixels
+    * legitimately differ by several steps while the mean divergence
+    * stays near zero. */
+  private def channelDiff(a: Array[Int], b: Array[Int]): (Int, Double) = {
+    val ds = a.zip(b).flatMap { case (p, q) =>
+      Seq(math.abs((p >> 16 & 0xff) - (q >> 16 & 0xff)),
+        math.abs((p >> 8 & 0xff) - (q >> 8 & 0xff)),
+        math.abs((p & 0xff) - (q & 0xff)))
+    }
+    (ds.max, ds.sum.toDouble / ds.length)
+  }
+
+  test("macroblock-constant COLOR images round-trip exactly through both subsamplings") {
+    Seq(0L, 1L, 2L, 5L, 42L, 997L).foreach { id => // even = 4:2:0, odd = 4:4:4
+      val bytes = Multimodal.syntheticColorJpegImage(id)
+      val Some((w, h, rgb)) = JpegCodec.decodeColor(bytes)
+      assert(w == 16 * (1 + (id % 3).toInt) && h == 16 * (1 + (id % 2).toInt))
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val mx = x / 16; val my = y / 16
+        val (er, eg, eb) = JpegCodec.yccToRgb(
+          ((7 * id + 11 * mx + 13 * my) % 256).toInt,
+          ((5 * id + 17 * mx + 19 * my) % 256).toInt,
+          ((3 * id + 23 * mx + 29 * my) % 256).toInt)
+        val expect = (er << 16) | (eg << 8) | eb
+        assert(rgb(y * w + x) == expect,
+          s"id=$id ($x,$y): got ${rgb(y * w + x).toHexString}, want ${expect.toHexString}")
+      })
+      // the gray decode surface hands back the full-res Y plane
+      val Some((_, _, lum)) = JpegCodec.decode(bytes)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        assert(lum(y * w + x) == ((7 * id + 11 * (x / 16) + 13 * (y / 16)) % 256).toInt)
+      })
+    }
+  }
+
+  test("own color encoder with real AC content: ImageIO agrees, both 4:4:4 and 4:2:0") {
+    val (w, h) = (48, 32)
+    // smooth gradients: IDCT/conversion implementations differ by a
+    // couple of steps, ringing-free content keeps that bounded
+    def ycc(x: Int, y: Int): (Int, Int, Int) =
+      (40 + 3 * x + 2 * y, 60 + 2 * x + y, 200 - 2 * x - y)
+    Seq(false, true).foreach { sub =>
+      val bytes = JpegCodec.encodeColor(w, h, ycc, chroma420 = sub)
+      val Some((dw, dh, mine)) = JpegCodec.decodeColor(bytes)
+      val (iw, ih, theirs) = imageIoDecodeRgb(bytes)
+      assert((dw, dh) == (w, h) && (iw, ih) == (w, h))
+      val (dMax, dMean) = channelDiff(mine, theirs)
+      val tol = if (sub) 8 else 4 // 4:2:0 border pixels: upsampler choice
+      assert(dMax <= tol && dMean <= 1.5,
+        s"chroma420=$sub: RGB divergence max=$dMax mean=$dMean vs ImageIO")
+    }
+  }
+
+  test("ImageIO-encoded COLOR stream (its own subsampling choice) decodes within tolerance") {
+    val (w, h) = (40, 40)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, ((x * 5 + 30) << 16) | ((y * 5 + 20) << 8) | (250 - 3 * x))
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val Some((dw, dh, mine)) = JpegCodec.decodeColor(bytes)
+    val (_, _, theirs) = imageIoDecodeRgb(bytes)
+    assert((dw, dh) == (w, h))
+    // ImageIO writes 4:2:0 by default, and this fixture has a STEEP
+    // chroma gradient (several steps per pixel) — replicate vs fancy
+    // upsampling then differs by ~slope/2 on ordinary pixels, not just
+    // at borders, so the mean bound is looser here than in the
+    // own-encoder test above (whose 4:2:0 leg holds mean ≤ 1.5)
+    val (dMax, dMean) = channelDiff(mine, theirs)
+    assert(dMax <= 10 && dMean <= 2.5,
+      s"RGB divergence max=$dMax mean=$dMean vs ImageIO's own decode")
+  }
 }
