@@ -455,7 +455,12 @@ object VectorOps {
     // ppm), and a within_bound boolean computed FROM the estimate.
     // The DuckDB oracle recomputes the exact side in plain SQL and
     // asserts within_bound = true, so an out-of-bound estimate now
-    // FAILS the driver gate instead of being a permanent skip.
+    // FAILS the driver gate instead of being a permanent skip. The
+    // exact countDistinct leg exists FOR the gate; the production form
+    // of this operator is the estimate alone (fixed-size partial
+    // aggregate per partition — the whole point of the sketch at
+    // 100 TB), and the sketch's own error bounds stay proven in
+    // RandomizedPropertySpec.
     "q_approx_distinct" -> ((s, d) =>
       events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),

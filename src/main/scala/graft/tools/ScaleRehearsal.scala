@@ -172,6 +172,16 @@ object ScaleRehearsal {
     "q_cluster_purity" -> Seq("embeddings"),
     "q_retrieval_fusion" -> Seq("embeddings"),
     "q_jpeg_decode" -> Seq("documents"),
+    // round-9: q_jpeg_color is the q_jpeg_decode shape with three
+    // interleaved components (3× the per-row decode, same per-partition
+    // parallelism); q_approx_distinct now carries its derived-invariant
+    // exact leg (one countDistinct beside the sketch — the gate form;
+    // production callers keep the estimate alone); q_kendall_tau rides
+    // the two memoized ranking tables with a probe-bounded concordance
+    // count over ≤15×15 pairs per probe.
+    "q_jpeg_color" -> Seq("documents"),
+    "q_approx_distinct" -> Seq("events"),
+    "q_kendall_tau" -> Seq("embeddings"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies
     // while its probe join stays fixed at 3 docs; q_minhash_est pays

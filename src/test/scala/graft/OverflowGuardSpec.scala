@@ -12,19 +12,21 @@ package graft
   * Magnitude receipts (old formulas, on these fixtures):
   *  - q_granger: suu ≈ 2×10¹¹ ⇒ suw²·svv ≈ 10³³ ≫ 2⁶³ (wrapped);
   *    new path scales the six sums to ≤10⁶ before the degree-3 mix.
-  *  - q_mahalanobis: n·sxx·10⁶ ≈ 1.2×10¹⁹ > 2⁶³ (wrapped); new
-  *    two-pass Σdx² ≈ 10¹⁵ — linear in users, not quadratic.
+  *  - q_mahalanobis: n·sxx·10⁶ ≈ 1.4×10¹⁹ > 2⁶³ (wrapped); new
+  *    two-pass Σdx² ≈ 10¹³ — linear in users, not quadratic (its own
+  *    fixture: big means wrap the old form, small deviations honor the
+  *    query's documented range⁴ det contract).
   *  - q_bh_fdr: n1 > 10⁶ ⇒ old 10⁶ div n1 = 0 ⇒ z² NULL for every
   *    source (floor degeneracy, not overflow); new b×h split keeps
   *    the statistic defined and bounded at any corpus size.
   */
 class OverflowGuardSpec extends SparkTestBase {
 
-  /** ~3.2M events: user x-counts up to ~3.5k (wraps old n·sxx·1e6),
+  /** ~3.6M events: user x-counts up to ~3.5k (wraps old n·sxx·1e6),
     * triangular day weights (wraps old degree-6 granger numerator). */
   private lazy val bigEventsDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_overflow").toString
-    spark.range(3200000L).selectExpr(
+    spark.range(3600000L).selectExpr(
       "id AS event_id",
       // triangular day weights: day k ∈ [0,9] gets (k+1)/55 of rows
       """timestamp'2024-01-01 00:00:00'
@@ -33,7 +35,12 @@ class OverflowGuardSpec extends SparkTestBase {
         |      0, 0, 0) AS ts""".stripMargin,
       // user u gets ~2u+1 rows → x spans 1..~3578 (huge variance)
       "cast(floor(sqrt(cast(id AS double))) AS long) AS user_id",
-      "CASE WHEN id % 13 = 0 THEN 'purchase' ELSE 'click' END AS event_type",
+      // purchase RATE varies with the day coordinate (id % 55 maps to
+      // the day): a flat `id % 13` rate would make daily purchases
+      // exactly proportional to daily clicks — collinear deviation
+      // series, det ≈ 0, and the regression reference itself becomes
+      // ill-conditioned noise
+      "CASE WHEN id % (2 + (id % 55) % 7) = 0 THEN 'purchase' ELSE 'click' END AS event_type",
       "cast(1.0 AS double) AS value",
       "'{}' AS props")
       .write.parquet(s"$d/events.parquet")
@@ -62,7 +69,11 @@ class OverflowGuardSpec extends SparkTestBase {
     val sww = tri.map(t => t._1 * t._1).sum; val suu = tri.map(t => t._2 * t._2).sum
     val svv = tri.map(t => t._3 * t._3).sum; val suw = tri.map(t => t._2 * t._1).sum
     val svw = tri.map(t => t._3 * t._1).sum; val suv = tri.map(t => t._2 * t._3).sum
-    assert(suu > 1e10, s"fixture too small to have wrapped the old form: suu=$suu")
+    // the degree-3 terms the OLD form computed raw: suw²·svv etc. —
+    // svv (click-side, 12/13 of the volume) dominates; purchases (suu)
+    // are 13× smaller. Past 2⁶³ means the unscaled mix wrapped here.
+    assert(math.abs(suw * suw * svv) > math.pow(2, 63),
+      s"fixture too small to have wrapped the old form: suw²·svv=${suw * suw * svv}")
     val ssrR = sww - suw * suw / suu
     val det = suu * svv - suv * suv
     val ssrF = sww - (suw * suw * svv + svw * svw * suu - 2 * suw * svw * suv) / det
@@ -72,12 +83,37 @@ class OverflowGuardSpec extends SparkTestBase {
       s"improvement_ppm $imp vs double reference $expected")
   }
 
+  /** Mahalanobis needs a DIFFERENT shape than granger: the old
+    * formula's n·sxx·1e6 wraps on large MEANS (n·x̄ > 3×10⁶), while the
+    * query's own documented range⁴ contract caps the DEVIATION spread
+    * (σx·σy ≲ 2600 raw — det = cxx·cyy − cxy² must fit int64). So:
+    * 1200 users × ~3.4k events each (big means, wraps the old form),
+    * per-user totals and purchase counts drawn from two small
+    * independent lattices (u·53 mod 67 dropped rows, u·37 mod 61
+    * purchases) — deviations ≤ ~70, det > 0 and comfortably in range. */
+  private lazy val mahalanobisDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_mahal").toString
+    spark.range(4200000L).selectExpr(
+      "id AS event_id",
+      "timestamp'2024-01-01 00:00:00' AS ts",
+      "id % 1200 AS user_id",
+      "id div 1200 AS seq",
+      """CASE WHEN id div 1200 < 300 + (id % 1200) * 37 % 61
+        |  THEN 'purchase' ELSE 'click' END AS event_type""".stripMargin,
+      "cast(1.0 AS double) AS value",
+      "'{}' AS props")
+      .filter("seq < 3500 - (id % 1200) * 53 % 67")
+      .drop("seq")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
   test("q_mahalanobis: two-pass covariance survives corpora that wrapped n·sxx·1e6") {
     import org.apache.spark.sql.functions._
-    val rows = SparkEntry.queries("q_mahalanobis")(spark, bigEventsDir).collect()
+    val rows = SparkEntry.queries("q_mahalanobis")(spark, mahalanobisDir).collect()
     assert(rows.length == 20)
     // exact double reference over the same user aggregate
-    val users = graft.sources.Tables.events(spark, bigEventsDir)
+    val users = graft.sources.Tables.events(spark, mahalanobisDir)
       .groupBy("user_id")
       .agg(sum(expr("cast(event_type <> 'purchase' as long)")).as("x"),
         sum(expr("cast(event_type = 'purchase' as long)")).as("y"))
