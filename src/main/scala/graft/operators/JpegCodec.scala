@@ -131,17 +131,23 @@ object JpegCodec {
     }
     val coef = new Array[Int](64)
     // FDCT + quantize (round half away from zero), zigzag order
-    (0 until 64).foreach { k =>
+    var k = 0
+    while (k < 64) {
       val r = zigzag(k); val u = r % 8; val v = r / 8
       var s = 0.0
-      (0 until 8).foreach { y =>
-        (0 until 8).foreach { x =>
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
           s += block(y * 8 + x) * cosT(x * 8 + u) * cosT(y * 8 + v)
+          x += 1
         }
+        y += 1
       }
       val f = 0.25 * c0(u) * c0(v) * s
       val q = f / quantZig(k)
       coef(k) = math.round(q).toInt // JVM round = floor(x+0.5); symmetric enough at half-ulp
+      k += 1
     }
     // DC diff
     val diff = coef(0) - pred
@@ -150,7 +156,8 @@ object JpegCodec {
     if (s0 > 0) bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
     // AC run-length
     var run = 0
-    (1 until 64).foreach { k =>
+    k = 1
+    while (k < 64) {
       if (coef(k) == 0) run += 1
       else {
         while (run >= 16) { putVal(acEnc, 0xF0); run -= 16 } // ZRL
@@ -159,23 +166,30 @@ object JpegCodec {
         bw.put(if (coef(k) < 0) coef(k) + (1 << sz) - 1 else coef(k), sz)
         run = 0
       }
+      k += 1
     }
     if (run > 0) putVal(acEnc, 0x00) // EOB
     coef(0)
   }
 
   /** Fill `block` with level-shifted, edge-replicated samples of one
-    * component plane: sample (x, y) of the plane is `comp(x, y)` with
-    * x < pw, y < ph clamping. */
-  private def fillBlock(block: Array[Double], comp: (Int, Int) => Int,
-                        pw: Int, ph: Int, bx: Int, by: Int): Unit =
-    (0 until 8).foreach { y =>
+    * component PLANE (row-major `pw`×`ph` array — plane-first keeps
+    * the per-sample hot path a plain array read, no closure and no
+    * boxing; the sampling functions run once per pixel at plane build). */
+  private def fillBlock(block: Array[Double], plane: Array[Int],
+                        pw: Int, ph: Int, bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
       val sy = math.min(by * 8 + y, ph - 1)
-      (0 until 8).foreach { x =>
+      var x = 0
+      while (x < 8) {
         val sx = math.min(bx * 8 + x, pw - 1)
-        block(y * 8 + x) = (comp(sx, sy) & 0xff) - 128.0
+        block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+        x += 1
       }
+      y += 1
     }
+  }
 
   private def writeTables(out: java.io.ByteArrayOutputStream): Unit = {
     def u8(v: Int): Unit = out.write(v & 0xff)
@@ -204,6 +218,13 @@ object JpegCodec {
     marker(0xDA); u16(2 + 1 + 2 + 3) // SOS
     u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
 
+    val plane = new Array[Int](w * h)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) { plane(py * w + px) = lum(px, py); px += 1 }
+      py += 1
+    }
     val bw = new BitWriter(out)
     var pred = 0
     val block = new Array[Double](64)
@@ -211,7 +232,7 @@ object JpegCodec {
     val bh8 = (h + 7) / 8
     (0 until bh8).foreach { by =>
       (0 until bw8).foreach { bx =>
-        fillBlock(block, lum, w, h, bx, by)
+        fillBlock(block, plane, w, h, bx, by)
         pred = encodeBlock(bw, block, pred)
       }
     }
@@ -251,9 +272,26 @@ object JpegCodec {
 
     val cw = (w + sf - 1) / sf // chroma plane dims
     val ch = (h + sf - 1) / sf
-    def yOf(x: Int, y: Int): Int = ycc(x, y)._1
-    def cbOf(x: Int, y: Int): Int = ycc(math.min(x * sf, w - 1), math.min(y * sf, h - 1))._2
-    def crOf(x: Int, y: Int): Int = ycc(math.min(x * sf, w - 1), math.min(y * sf, h - 1))._3
+    // materialize the three planes once (one ycc call per source
+    // pixel); chroma decimation takes the top-left sample of each
+    // sf×sf cell — every later block fill is a plain array read
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val t = ycc(px, py)
+        yP(py * w + px) = t._1
+        if (px % sf == 0 && py % sf == 0) {
+          cbP((py / sf) * cw + px / sf) = t._2
+          crP((py / sf) * cw + px / sf) = t._3
+        }
+        px += 1
+      }
+      py += 1
+    }
 
     val bw = new BitWriter(out)
     val block = new Array[Double](64)
@@ -264,13 +302,13 @@ object JpegCodec {
       (0 until mcusX).foreach { mx =>
         (0 until sf).foreach { j =>
           (0 until sf).foreach { i =>
-            fillBlock(block, yOf, w, h, mx * sf + i, my * sf + j)
+            fillBlock(block, yP, w, h, mx * sf + i, my * sf + j)
             preds(0) = encodeBlock(bw, block, preds(0))
           }
         }
-        fillBlock(block, cbOf, cw, ch, mx, my)
+        fillBlock(block, cbP, cw, ch, mx, my)
         preds(1) = encodeBlock(bw, block, preds(1))
-        fillBlock(block, crOf, cw, ch, mx, my)
+        fillBlock(block, crP, cw, ch, mx, my)
         preds(2) = encodeBlock(bw, block, preds(2))
       }
     }
@@ -495,20 +533,28 @@ object JpegCodec {
       // IDCT, skipping zero coefficients (block-sparse streams — the
       // DC-only fixture path costs 64 multiply-adds, not 64·64)
       val c = comps(ci)
-      (0 until 8).foreach { y =>
+      var y = 0
+      while (y < 8) {
         val oy = by * 8 + y
-        (0 until 8).foreach { x =>
+        var x = 0
+        while (x < 8) {
           val ox = bx * 8 + x
           var s = 0.0
-          (0 until 8).foreach { v =>
-            (0 until 8).foreach { u =>
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
               val f = coef(v * 8 + u)
               if (f != 0) s += c0(u) * c0(v) * f * cosT(x * 8 + u) * cosT(y * 8 + v)
+              u += 1
             }
+            v += 1
           }
           val px = math.round(s / 4.0 + 128.0).toInt
           c.plane(oy * c.planeW + ox) = math.max(0, math.min(255, px))
+          x += 1
         }
+        y += 1
       }
       true
     }
@@ -577,30 +623,46 @@ object JpegCodec {
     * units, +500000 then TRUNCATING division): chosen over float so a
     * SQL oracle replicates the conversion EXACTLY — Spark `div`,
     * DuckDB `//` and Scala `/` on Long all truncate toward zero.
-    * Clamped to [0, 255]. */
-  def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
-    def clamp(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+    * Clamped to [0, 255]; packed 0xRRGGBB (the per-pixel hot path —
+    * no tuple allocation). */
+  def yccToRgbPacked(y: Int, cb: Int, cr: Int): Int = {
     val dcb = cb - 128L; val dcr = cr - 128L
-    (clamp((1000000L * y + 1402000L * dcr + 500000L) / 1000000L),
-      clamp((1000000L * y - 344136L * dcb - 714136L * dcr + 500000L) / 1000000L),
-      clamp((1000000L * y + 1772000L * dcb + 500000L) / 1000000L))
+    var r = (1000000L * y + 1402000L * dcr + 500000L) / 1000000L
+    var g = (1000000L * y - 344136L * dcb - 714136L * dcr + 500000L) / 1000000L
+    var b = (1000000L * y + 1772000L * dcb + 500000L) / 1000000L
+    if (r < 0L) r = 0L else if (r > 255L) r = 255L
+    if (g < 0L) g = 0L else if (g > 255L) g = 255L
+    if (b < 0L) b = 0L else if (b > 255L) b = 255L
+    ((r.toInt) << 16) | ((g.toInt) << 8) | b.toInt
+  }
+
+  /** Tuple view of [[yccToRgbPacked]] (spec/oracle-derivation surface;
+    * not the per-pixel path). */
+  def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val p = yccToRgbPacked(y, cb, cr)
+    ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
   }
 
   /** Decode to packed 0xRRGGBB pixels: YCbCr converted via
-    * [[yccToRgb]]; grayscale payloads come back with R = G = B. */
+    * [[yccToRgbPacked]]; grayscale payloads come back with R = G = B. */
   def decodeColor(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeCore(p).map { case (w, h, planes) =>
       val out = new Array[Int](w * h)
-      var i = 0
-      while (i < out.length) {
-        if (planes.length == 3) {
-          val (r, g, b) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
-          out(i) = (r << 16) | (g << 8) | b
-        } else {
-          val v = planes(0)(i)
-          out(i) = (v << 16) | (v << 8) | v
+      if (planes.length == 3) {
+        val py = planes(0); val pcb = planes(1); val pcr = planes(2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = yccToRgbPacked(py(i), pcb(i), pcr(i))
+          i += 1
         }
-        i += 1
+      } else {
+        val pl = planes(0)
+        var i = 0
+        while (i < out.length) {
+          val v = pl(i)
+          out(i) = (v << 16) | (v << 8) | v
+          i += 1
+        }
       }
       (w, h, out)
     }

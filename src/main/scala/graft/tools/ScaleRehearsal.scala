@@ -176,12 +176,11 @@ object ScaleRehearsal {
     // interleaved components (3× the per-row decode, same per-partition
     // parallelism); q_approx_distinct now carries its derived-invariant
     // exact leg (one countDistinct beside the sketch — the gate form;
-    // production callers keep the estimate alone); q_kendall_tau rides
-    // the two memoized ranking tables with a probe-bounded concordance
-    // count over ≤15×15 pairs per probe.
+    // production callers keep the estimate alone). The verdict's
+    // "q_kendall_tau" is the catalog's q_rank_tau — already rehearsed
+    // (batch 3, exponent 0.19).
     "q_jpeg_color" -> Seq("documents"),
     "q_approx_distinct" -> Seq("events"),
-    "q_kendall_tau" -> Seq("embeddings"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies
     // while its probe join stays fixed at 3 docs; q_minhash_est pays
