@@ -3,15 +3,17 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, AttributeReference, EqualTo, Expression}
+  And, Attribute, AttributeReference, EqualTo, Expression, Literal,
+  SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
-  UpdateAction}
+  UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{
   DataSourceV2Relation, DataSourceV2ScanRelation}
-import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 import graft.sources.{GraftMergeable, SnapshotTable}
 
 /** SQL `MERGE INTO` for snapshot tables (round-8 verdict item 4 — the
@@ -60,7 +62,7 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
 
   /** The connector table behind the target, whether the optimizer has
     * already pushed the relation down to a scan or not. */
-  private def tableOf(p: LogicalPlan): Option[org.apache.spark.sql.connector.catalog.Table] =
+  private[plans] def tableOf(p: LogicalPlan): Option[org.apache.spark.sql.connector.catalog.Table] =
     unwrap(p) match {
       case r: DataSourceV2Relation => Some(r.table)
       case r: DataSourceV2ScanRelation => Some(r.relation.table)
@@ -127,6 +129,82 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
         case _ => Nil
       }
     case _ => Nil
+  }
+}
+
+/** SQL `UPDATE` for snapshot tables — the same planner seam as MERGE
+  * (Spark's analyzer resolves `UpdateTable` for any v2 relation; only
+  * the planner rejects it without row-level-operation support), routed
+  * into the existing [[SnapshotTable.updateWhere]]: zone-map file
+  * classification (only files the predicate can match rewrite),
+  * schema-invariant copy-on-write SET, atomic publish. Supports any
+  * WHERE predicate and any SET expressions over the table's own
+  * top-level columns (`SET v = v + 1` works — assignment values are
+  * re-bound by NAME against the rewrite scan); nested-field targets
+  * and subqueries are refused explicitly; non-graft targets fall
+  * through to Spark's own handling. */
+object UpdateSnapshotStrategy extends SparkStrategy {
+  private def fail(why: String): Nothing =
+    throw new UnsupportedOperationException(
+      "UPDATE on a graft-snapshot table supports SET <top-level col> = " +
+        "<expression over the table's columns> [WHERE <predicate over " +
+        s"the table's columns>] — subquery-free. Unsupported here: $why")
+
+  /** Re-bind a resolved expression by column NAME so it can apply to
+    * the rewrite-time scan (whose attribute ids differ from the
+    * analyzed plan's). */
+  private def unbind(e: Expression, scope: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+                     what: String): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) fail(s"$what carries a subquery")
+    e.transform {
+      case a: AttributeReference if scope.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference =>
+        fail(s"$what references `${a.name}` from outside the table")
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case u: UpdateTable =>
+      MergeIntoSnapshotStrategy.tableOf(u.table) match {
+        case Some(gm: GraftMergeable) =>
+          val scope = u.table.outputSet
+          val topLevel = u.table.output.map(_.name).toSet
+          val set = u.assignments.map {
+            case Assignment(k: AttributeReference, v)
+                if scope.contains(k) && topLevel.contains(k.name) =>
+              k.name -> unbind(v, scope, s"SET ${k.name}")
+            case a => fail(s"assignment target `${a.key.sql}` is not a top-level table column")
+          }
+          val cond = u.condition
+            .map(unbind(_, scope, "WHERE"))
+            .getOrElse(Literal.TrueLiteral)
+          UpdateSnapshotExec(gm.mergeRoot, set, cond) :: Nil
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+}
+
+/** Driver-side command exec for SQL UPDATE: one transactional
+  * [[SnapshotTable.updateWhere]] call (the rewrite itself is the
+  * ordinary distributed scan-and-write). */
+case class UpdateSnapshotExec(root: String, set: Seq[(String, Expression)],
+                              cond: Expression) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+
+  @transient private lazy val done: Array[InternalRow] = {
+    val spark = SparkSession.active
+    SnapshotTable(root).updateWhere(spark, ColumnBridge.column(cond),
+      set.map { case (n, e) => n -> ColumnBridge.column(e) }.toMap)
+    Array.empty[InternalRow]
+  }
+
+  override def executeCollect(): Array[InternalRow] = done
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.parallelize(Seq.empty[InternalRow], 1)
   }
 }
 

@@ -638,6 +638,47 @@ class SnapshotTableSpec extends SparkTestBase {
       "the graft strategy must not claim non-graft targets")
   }
 
+  test("SQL UPDATE: copy-on-write SET routes to updateWhere; only matching files rewrite") {
+    val wh = Files.createTempDirectory("graft_cat_up").toString
+    spark.conf.set("spark.sql.catalog.upcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.upcat.warehouse", wh)
+    spark.sql("CREATE TABLE upcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val dir = s"$wh/db/t"
+    val t = SnapshotTable(dir)
+    t.commit(kv(0 until 400))
+    val v1 = t.compact(spark, files = 4, sortKey = Some(col("id")))
+    val before = dataLines(dir, v1)
+    // self-referencing SET over a narrow zone-map range
+    spark.sql(
+      "UPDATE upcat.db.t SET val = concat(val, '!'), id = id + 1000 WHERE id >= 10 AND id < 20")
+    val v2 = t.currentVersion()
+    assert(v2 === v1 + 1, "SQL UPDATE must land as ONE atomic commit")
+    val after = dataLines(dir, v2)
+    assert(before.intersect(after).size >= 2,
+      "files the predicate provably misses must carry by reference")
+    val m = spark.sql("SELECT id, val FROM upcat.db.t")
+      .as[(Long, String)].collect().toMap
+    assert(m.size === 400)
+    assert((10 until 20).forall(i => m(i + 1000L) === s"a$i!"))
+    assert((10 until 20).forall(i => !m.contains(i.toLong)))
+    assert(m(0L) === "a0" && m(399L) === "a399")
+    // pre-update snapshot still time travels
+    assert(spark.sql(
+      s"SELECT val FROM upcat.db.t VERSION AS OF $v1 WHERE id = 10")
+      .head.getString(0) === "a10")
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    // subqueries have no updateWhere mapping — refused explicitly
+    val ex = intercept[Exception] {
+      spark.sql(
+        "UPDATE upcat.db.t SET val = 'x' WHERE id IN (SELECT id FROM upcat.db.t WHERE id < 5)")
+    }
+    assert(causes(ex).exists(c =>
+        c.contains("subquery") || c.contains("UPDATE on a graft-snapshot")),
+      s"expected the supported-shape contract, got: ${causes(ex).mkString(" | ")}")
+  }
+
   test("commitBucketed: storage-partitioned join and bucket-key aggregation plan shuffle-free") {
     val wh = Files.createTempDirectory("graft_spj").toString
     spark.conf.set("spark.sql.catalog.spj",
