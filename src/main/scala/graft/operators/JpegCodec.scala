@@ -1,6 +1,6 @@
 package graft.operators
 
-/** Pure-JVM BASELINE JPEG codec (ITU-T T.81 sequential DCT, Huffman
+/** Pure-JVM JPEG codec (ITU-T T.81 sequential + progressive DCT, Huffman
   * entropy coding) — the third real pixel codec beside the PNG
   * Inflater path and the BMP walk in [[Multimodal.PixelCodec]], built
   * with nothing beyond the JDK (round-7 verdict item 4).
@@ -16,8 +16,15 @@ package graft.operators
   * de-zigzag, float 2-D IDCT with coefficient-sparsity skip, level
   * shift + clamp, replicate chroma upsampling, integer fixed-point
   * YCbCr→RGB ([[yccToRgb]], SQL-mirrorable by construction), and edge
-  * crop for non-multiple-of-MCU dimensions. Anything outside baseline
-  * sequential (progressive SOF2, arithmetic coding, CMYK, sampling
+  * crop for non-multiple-of-MCU dimensions. PROGRESSIVE (SOF2) frames
+  * decode too (round 9): multi-scan accumulation into per-component
+  * quantized-coefficient stores — DC first/refinement (interleaved or
+  * single-component), AC first/refinement with EOB-run coding over the
+  * component's true (non-MCU-padded) block grid, successive
+  * approximation, per-scan table redefinition, restart markers — then
+  * one dequant + IDCT pass (cross-checked against ImageIO-produced
+  * SOF2 streams, gray and subsampled color, in JpegCodecSpec).
+  * Anything outside those (arithmetic coding, lossless, CMYK, sampling
   * factors > 2) returns None — corrupt or unsupported rows are data,
   * not crashes, the PixelCodec contract.
   *
@@ -393,12 +400,51 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Per-component frame state: sampling factors from SOF0, entropy
-    * table ids from SOS, and the decode-time plane. */
+  /** Float 2-D IDCT of one DEQUANTIZED raster-order block into `plane`
+    * at block coords (bx, by), zero-coefficient skip, level shift +
+    * clamp. Shared by the baseline scan and the progressive final pass. */
+  private def idctBlock(coef: Array[Int], plane: Array[Int], planeW: Int,
+                        bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      val oy = by * 8 + y
+      var x = 0
+      while (x < 8) {
+        val ox = bx * 8 + x
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val f = coef(v * 8 + u)
+            if (f != 0) s += c0(u) * c0(v) * f * cosT(x * 8 + u) * cosT(y * 8 + v)
+            u += 1
+          }
+          v += 1
+        }
+        val px = math.round(s / 4.0 + 128.0).toInt
+        plane(oy * planeW + ox) = math.max(0, math.min(255, px))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Per-component frame state: sampling factors from SOF0/SOF2,
+    * entropy table ids from the current SOS, the decode-time plane,
+    * and (progressive only) the quantized-coefficient store every scan
+    * accumulates into before the final dequant + IDCT pass. */
   private final class Comp(val id: Int, val hs: Int, val vs: Int, val qId: Int) {
     var dcId = 0; var acId = 0
     var planeW = 0; var planeH = 0
     var plane: Array[Int] = null
+    // progressive: MCU-padded block grid, 64 raster-order ints per block
+    var blocksW = 0; var blocksH = 0
+    var coefs: Array[Int] = null
+    // true block counts (non-interleaved scans cover THESE, which can
+    // be smaller than the MCU-padded grid for subsampled components)
+    var trueBW = 0; var trueBH = 0
+    var pred = 0 // per-scan DC predictor
   }
 
   /** Shared baseline-sequential decode core: full segment walk, then
@@ -406,8 +452,12 @@ object JpegCodec {
     * components with sampling factors ≤ 2 — per-component DC
     * prediction and quant/Huffman table selection, restart markers,
     * chroma planes upsampled to full resolution by sample replication
-    * at the end. Returns (w, h, full-res planes). None for
-    * progressive / arithmetic / corrupt payloads. */
+    * at the end. PROGRESSIVE (SOF2) frames take the multi-scan path:
+    * every SOS accumulates into per-component coefficient stores
+    * (spectral selection + successive approximation, EOB runs), and a
+    * final pass dequantizes + IDCTs the finished blocks. Returns
+    * (w, h, full-res planes). None for arithmetic / lossless /
+    * corrupt payloads. */
   private def decodeCore(p: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = try {
     def u8(i: Int) = p(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -421,16 +471,22 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var restartInterval = 0
     var scanAt = -1
+    var progressive = false
+    var scanned = false
+    var done = false
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
 
-    while (scanAt < 0 && i + 4 <= p.length) {
+    while (scanAt < 0 && !done && i + 4 <= p.length) {
       if (u8(i) != 0xFF) return None
       val m = u8(i + 1)
       if (m == 0xFF) { i += 1 } // fill
-      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2
+      else if (m == 0xD9) { done = true } // EOI (progressive path)
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i += 2
       else {
         val len = be16(i + 2)
         if (len < 2 || i + 2 + len > p.length) return None
         val seg = i + 4
+        var advance = true
         m match {
           case 0xDB => // DQT: one or more tables
             var j = seg
@@ -456,7 +512,8 @@ object JpegCodec {
               if (cls == 0) dcTabs += id -> t else acTabs += id -> t
               j += 17 + total
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+            progressive = m == 0xC2
             h = be16(seg + 1); w = be16(seg + 3)
             val nf = u8(seg + 5)
             if (nf != 1 && nf != 3) return None // gray or YCbCr
@@ -467,34 +524,90 @@ object JpegCodec {
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2))
               return None // 4:4:4 / 4:2:2 / 4:2:0 families only
-          case c if c >= 0xC1 && c <= 0xCF && c != 0xC4 && c != 0xC8 && c != 0xCC =>
-            return None // progressive / extended / arithmetic: unsupported
+            hmax = comps.map(_.hs).max; vmax = comps.map(_.vs).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            comps.foreach { c =>
+              c.blocksW = mcusX * c.hs; c.blocksH = mcusY * c.vs
+              c.trueBW = ((w * c.hs + hmax - 1) / hmax + 7) / 8
+              c.trueBH = ((h * c.vs + vmax - 1) / vmax + 7) / 8
+              if (progressive) c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+            }
+          case c if c >= 0xC1 && c <= 0xCF && c != 0xC2 && c != 0xC4 && c != 0xC8 && c != 0xCC =>
+            return None // extended / lossless / arithmetic: unsupported
           case 0xDD => restartInterval = be16(seg)
           case 0xDA =>
             val ns = u8(seg)
-            if (comps == null || ns != comps.length) return None
-            (0 until ns).foreach { k =>
-              val cid = u8(seg + 1 + 2 * k); val tt = u8(seg + 2 + 2 * k)
-              comps.find(_.id == cid) match {
-                case Some(c) => c.dcId = tt >> 4; c.acId = tt & 0x0f
+            if (comps == null) return None
+            if (!progressive) {
+              if (ns != comps.length) return None
+              (0 until ns).foreach { k =>
+                val cid = u8(seg + 1 + 2 * k); val tt = u8(seg + 2 + 2 * k)
+                comps.find(_.id == cid) match {
+                  case Some(c) => c.dcId = tt >> 4; c.acId = tt & 0x0f
+                  case None => return None
+                }
+              }
+              scanAt = i + 2 + len
+            } else {
+              if (ns < 1 || ns > comps.length) return None
+              val scs = new Array[Int](ns)
+              (0 until ns).foreach { k =>
+                val cid = u8(seg + 1 + 2 * k); val tt = u8(seg + 2 + 2 * k)
+                val ci = comps.indexWhere(_.id == cid)
+                if (ci < 0) return None
+                comps(ci).dcId = tt >> 4; comps(ci).acId = tt & 0x0f
+                scs(k) = ci
+              }
+              val ss = u8(seg + 1 + 2 * ns); val se = u8(seg + 2 + 2 * ns)
+              val ahal = u8(seg + 3 + 2 * ns)
+              progressiveScan(p, i + 2 + len, comps, scs, ss, se,
+                ahal >> 4, ahal & 0x0f, dcTabs, acTabs, restartInterval,
+                mcusX, mcusY) match {
+                case Some(np) => i = np; scanned = true; advance = false
                 case None => return None
               }
             }
-            scanAt = i + 2 + len
           case _ => () // APPn, COM, ...
         }
-        i += 2 + len
+        if (advance) i += 2 + len
       }
     }
-    if (scanAt < 0 || w <= 0 || h <= 0) return None
+    if ((scanAt < 0 && !(progressive && scanned)) || w <= 0 || h <= 0)
+      return None
+
+    if (progressive) {
+      // final pass: dequantize the accumulated coefficient store and
+      // IDCT every block of every component into its plane
+      val coef = new Array[Int](64)
+      comps.foreach { c =>
+        val quantZ = qtabs.getOrElse(c.qId, return None)
+        // quant table is in zigzag order; the store is raster
+        val quantR = new Array[Int](64)
+        var k = 0
+        while (k < 64) { quantR(zigzag(k)) = quantZ(k); k += 1 }
+        c.planeW = c.blocksW * 8
+        c.planeH = c.blocksH * 8
+        c.plane = new Array[Int](c.planeW * c.planeH)
+        var by = 0
+        while (by < c.blocksH) {
+          var bx = 0
+          while (bx < c.blocksW) {
+            val base = (by * c.blocksW + bx) * 64
+            var j = 0
+            while (j < 64) { coef(j) = c.coefs(base + j) * quantR(j); j += 1 }
+            idctBlock(coef, c.plane, c.planeW, bx, by)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      return Some((w, h, upsampleCrop(comps, w, h, hmax, vmax)))
+    }
     val quantOf = comps.map(c => qtabs.getOrElse(c.qId, return None))
     val dcOf = comps.map(c => dcTabs.getOrElse(c.dcId, return None))
     val acOf = comps.map(c => acTabs.getOrElse(c.acId, return None))
 
-    val hmax = comps.map(_.hs).max
-    val vmax = comps.map(_.vs).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     comps.foreach { c =>
       c.planeW = mcusX * c.hs * 8
       c.planeH = mcusY * c.vs * 8
@@ -533,29 +646,7 @@ object JpegCodec {
       // IDCT, skipping zero coefficients (block-sparse streams — the
       // DC-only fixture path costs 64 multiply-adds, not 64·64)
       val c = comps(ci)
-      var y = 0
-      while (y < 8) {
-        val oy = by * 8 + y
-        var x = 0
-        while (x < 8) {
-          val ox = bx * 8 + x
-          var s = 0.0
-          var v = 0
-          while (v < 8) {
-            var u = 0
-            while (u < 8) {
-              val f = coef(v * 8 + u)
-              if (f != 0) s += c0(u) * c0(v) * f * cosT(x * 8 + u) * cosT(y * 8 + v)
-              u += 1
-            }
-            v += 1
-          }
-          val px = math.round(s / 4.0 + 128.0).toInt
-          c.plane(oy * c.planeW + ox) = math.max(0, math.min(255, px))
-          x += 1
-        }
-        y += 1
-      }
+      idctBlock(coef, c.plane, c.planeW, bx, by)
       true
     }
 
@@ -590,8 +681,195 @@ object JpegCodec {
       my += 1
     }
 
-    // crop + replicate-upsample every plane to full resolution
-    val planes = comps.map { c =>
+    Some((w, h, upsampleCrop(comps, w, h, hmax, vmax)))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode ONE progressive scan (T.81 G.2, the libjpeg-compatible
+    * semantics): DC first/refinement scans (interleaved over the MCU
+    * grid or single-component), AC first/refinement scans
+    * (single-component over the component's TRUE block grid, EOB-run
+    * coded), accumulating QUANTIZED coefficients — shifted by the
+    * scan's successive-approximation Al — into each component's store.
+    * Returns the byte position of the next marker after the scan's
+    * entropy data; None on corruption. */
+  private def progressiveScan(p: Array[Byte], start: Int, comps: Array[Comp],
+      scs: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+      dcTabs: Map[Int, HuffTable], acTabs: Map[Int, HuffTable],
+      restartInterval: Int, mcusX: Int, mcusY: Int): Option[Int] = {
+    if (ss < 0 || se > 63 || ss > se) return None
+    if (ss == 0 && se != 0) return None        // DC travels alone in Ss=0 scans
+    if (ss > 0 && scs.length != 1) return None // AC scans are single-component
+    val br = new BitReader(p, start)
+    var eobrun = 0
+    scs.foreach(ci => comps(ci).pred = 0)
+
+    def dcFirst(ci: Int, base: Array[Int], off: Int): Boolean = {
+      val t = dcTabs.getOrElse(comps(ci).dcId, return false)
+      val s = br.decode(t)
+      if (s < 0) return false
+      comps(ci).pred += extend(br.bits(s), s)
+      base(off) = comps(ci).pred << al
+      true
+    }
+    def dcRefine(base: Array[Int], off: Int): Boolean = {
+      if (br.bit() == 1) base(off) |= (1 << al)
+      true
+    }
+    def acFirst(ci: Int, base: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val t = acTabs.getOrElse(comps(ci).acId, return false)
+      var k = ss
+      while (k <= se) {
+        val rs = br.decode(t)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r < 15) { eobrun = (1 << r) - 1 + br.bits(r); return true }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          base(off + zigzag(k)) = extend(br.bits(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, base: Array[Int], off: Int): Boolean = {
+      val t = acTabs.getOrElse(comps(ci).acId, return false)
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var stop = false
+        while (k <= se && !stop) {
+          val rs = br.decode(t)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 0x0f
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) { eobrun = (1 << r) + br.bits(r); stop = true }
+            // r == 15 (ZRL): advance over 16 zero-history coefficients
+          } else {
+            if (s != 1) return false
+            newval = if (br.bit() == 1) p1 else m1
+          }
+          if (!stop) {
+            var placed = false
+            while (k <= se && !placed) {
+              val zi = off + zigzag(k)
+              if (base(zi) != 0) {
+                // correction bit for a coefficient with history
+                if (br.bit() == 1 && (base(zi) & p1) == 0)
+                  base(zi) += (if (base(zi) >= 0) p1 else m1)
+              } else if (r == 0) {
+                if (newval != 0) base(zi) = newval
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB span: correction bits through the rest of the band
+        while (k <= se) {
+          val zi = off + zigzag(k)
+          if (base(zi) != 0) {
+            if (br.bit() == 1 && (base(zi) & p1) == 0)
+              base(zi) += (if (base(zi) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    var unit = 0
+    def maybeRestart(): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.align()
+        if (!br.restart()) return false
+        scs.foreach(ci => comps(ci).pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (scs.length > 1) {
+      // interleaved DC scan over the MCU grid
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (!maybeRestart()) return None
+          var s = 0
+          while (s < scs.length) {
+            val ci = scs(s); val c = comps(ci)
+            var j = 0
+            while (j < c.vs) {
+              var ii = 0
+              while (ii < c.hs) {
+                val off = ((my * c.vs + j) * c.blocksW + (mx * c.hs + ii)) * 64
+                val ok = if (ah == 0) dcFirst(ci, c.coefs, off)
+                  else dcRefine(c.coefs, off)
+                if (!ok) return None
+                ii += 1
+              }
+              j += 1
+            }
+            s += 1
+          }
+          if (br.hitMarker && !(mx == mcusX - 1 && my == mcusY - 1)) return None
+          unit += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan over the component's TRUE block grid
+      // (NOT the MCU-padded grid — T.81's non-interleaved geometry)
+      val ci = scs(0); val c = comps(ci)
+      var by = 0
+      while (by < c.trueBH) {
+        var bx = 0
+        while (bx < c.trueBW) {
+          if (!maybeRestart()) return None
+          val off = (by * c.blocksW + bx) * 64
+          val ok =
+            if (ss == 0) {
+              if (ah == 0) dcFirst(ci, c.coefs, off) else dcRefine(c.coefs, off)
+            } else {
+              if (ah == 0) acFirst(ci, c.coefs, off) else acRefine(ci, c.coefs, off)
+            }
+          if (!ok) return None
+          if (br.hitMarker && !(bx == c.trueBW - 1 && by == c.trueBH - 1))
+            return None
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    // locate the next marker after this scan's entropy data
+    var pos = br.pos
+    while (pos + 1 < p.length) {
+      if ((p(pos) & 0xff) == 0xFF) {
+        val m2 = p(pos + 1) & 0xff
+        if (m2 == 0x00) pos += 2
+        else if (m2 >= 0xD0 && m2 <= 0xD7) pos += 2 // trailing restart
+        else return Some(pos)
+      } else pos += 1
+    }
+    None
+  }
+
+  /** Crop + replicate-upsample every component plane to full
+    * resolution (shared by the baseline and progressive paths). */
+  private def upsampleCrop(comps: Array[Comp], w: Int, h: Int,
+                           hmax: Int, vmax: Int): Array[Array[Int]] =
+    comps.map { c =>
       if (c.hs == hmax && c.vs == vmax && c.planeW == w && c.planeH == h) c.plane
       else {
         val full = new Array[Int](w * h)
@@ -608,14 +886,13 @@ object JpegCodec {
         full
       }
     }
-    Some((w, h, planes))
-  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode a baseline sequential JPEG to (width, height, row-major
     * top-down LUMA): the gray plane for single-component payloads, the
     * full-resolution Y plane for YCbCr color — so the phash/entropy
-    * consumers work on color corpora too. None for progressive /
-    * arithmetic / corrupt payloads. */
+    * consumers work on color corpora too. Baseline (SOF0) and
+    * progressive (SOF2) frames both decode; None for arithmetic /
+    * lossless / corrupt payloads. */
   def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeCore(p).map { case (w, h, planes) => (w, h, planes(0)) }
 

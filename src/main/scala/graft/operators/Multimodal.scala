@@ -347,6 +347,74 @@ object Multimodal {
     JpegCodec.encodeColor(w, h, ycc, chroma420 = id % 2 == 0)
   }
 
+  /** q_jpeg_progressive's per-doc kernel: deterministic SMOOTH RGB
+    * pattern (clamped linears — no mod wraps, so ringing stays
+    * bounded) → REAL ImageIO progressive (SOF2) encode — the one
+    * deliberate ImageIO lean in the engine: a progressive ENCODER is
+    * out of scope and a genuine independently-produced multi-scan
+    * stream is exactly the point — → [[JpegCodec]] progressive decode
+    * (spectral selection + successive approximation + EOB runs) →
+    * per-channel tolerance against the arithmetic source. Returns
+    * (w, h, n_px, isSof2, withinTol); the oracle recomputes the
+    * arithmetic side and asserts both booleans true, so a broken
+    * multi-scan decode fails the driver gate. */
+  def progressiveJpegRoundtrip(id: Long): (Int, Int, Long, Boolean, Boolean) = {
+    val w = 16 * (1 + (id % 3).toInt)
+    val h = 16 * (1 + (id % 2).toInt)
+    def rC(x: Int): Int = math.min(40 + 3 * x + (id % 7).toInt, 255)
+    def gC(y: Int): Int = math.min(30 + 3 * y + (id % 11).toInt, 255)
+    def bC(x: Int, y: Int): Int = math.max(240 - 2 * x - y - (id % 13).toInt, 0)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (rC(x) << 16) | (gC(y) << 8) | bC(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    var sof2 = false
+    var i = 0
+    while (!sof2 && i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xFF && (bytes(i + 1) & 0xff) == 0xC2) sof2 = true
+      i += 1
+    }
+    val withinTol = JpegCodec.decodeColor(bytes).exists { case (dw, dh, rgb) =>
+      dw == w && dh == h && {
+        var worst = 0
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            val px = rgb(yy * w + xx)
+            val d = math.max(math.abs(((px >> 16) & 0xff) - rC(xx)),
+              math.max(math.abs(((px >> 8) & 0xff) - gC(yy)),
+                math.abs((px & 0xff) - bC(xx, yy))))
+            if (d > worst) worst = d
+            xx += 1
+          }
+          yy += 1
+        }
+        // quality-0.75 loss + replicate-vs-source chroma offset on a
+        // smooth gradient stays well under this; a component-order or
+        // scan-accumulation bug lands FAR above it
+        worst <= 24
+      }
+    }
+    (w, h, w.toLong * h, sof2, withinTol)
+  }
+
   case class DecodedRgb(doc_id: Long, width: Int, height: Int, rgb: Array[Int])
 
   /** [[decodeLuma]]'s color sibling: (doc_id, payload) → packed

@@ -1846,6 +1846,31 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 PROGRESSIVE JPEG DECODE — the SOF2 leg (spectral selection,
+    // successive approximation, EOB-run AC scans, non-interleaved
+    // true-block-grid geometry): per-doc payloads are REAL multi-scan
+    // progressive streams produced by the JDK's INDEPENDENT ImageIO
+    // encoder over a deterministic smooth pattern, decoded by
+    // JpegCodec's progressive path and compared per channel against
+    // the arithmetic source inside the task. Lossy values aren't
+    // SQL-recomputable, so this row ships the derived invariants
+    // (dims, n_px, is-SOF2, within-tolerance — the q_kll_quantiles
+    // convention); ImageIO cross-checks live in JpegCodecSpec. Scale
+    // shape = q_jpeg_color: per-partition compute after an explicit
+    // repartition, O(docs) rows out, no explode at all.
+    "q_jpeg_progressive" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { id =>
+          val (w, h, npx, sof2, ok) = Multimodal.progressiveJpegRoundtrip(id)
+          (id, w, h, npx, sof2, ok)
+        })
+        .toDF("doc_id", "width", "height", "n_px", "sof2", "within_tol")
+        .orderBy("doc_id")
+    }),
+
     // E4 INT8 SCALAR QUANTIZATION — the cheapest vector-compression
     // leg (8× over float32, vs PQ's 32×): per-dimension [min, max]
     // over the corpus → affine code in [0, 255], reported with the
@@ -3466,6 +3491,20 @@ object VectorOps {
         |  CAST(SUM(b) AS BIGINT) AS b_sum,
         |  CAST(SUM((r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // derived-invariant oracle (lossy multi-scan values aren't
+    // SQL-recomputable): dims + pixel count are arithmetic, and the
+    // Spark side computes sof2/within_tol from the REAL progressive
+    // payload — a scan-accumulation bug flips within_tol to false and
+    // hash-mismatches here
+    "q_jpeg_progressive" ->
+      """SELECT doc_id,
+        |  CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |  CAST(16 * (1 + doc_id % 2) AS INTEGER) AS height,
+        |  CAST(16 * (1 + doc_id % 3) AS BIGINT)
+        |    * CAST(16 * (1 + doc_id % 2) AS BIGINT) AS n_px,
+        |  true AS sof2, true AS within_tol
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sq_codes" ->
       """WITH dims AS (

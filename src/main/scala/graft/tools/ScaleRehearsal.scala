@@ -180,6 +180,7 @@ object ScaleRehearsal {
     // "q_kendall_tau" is the catalog's q_rank_tau — already rehearsed
     // (batch 3, exponent 0.19).
     "q_jpeg_color" -> Seq("documents"),
+    "q_jpeg_progressive" -> Seq("documents"),
     "q_approx_distinct" -> Seq("events"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies

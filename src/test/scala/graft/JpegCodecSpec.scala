@@ -164,6 +164,52 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def imageIoEncodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // prove the fixture really is progressive (SOF2 present)
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xFF && (s(1) & 0xff) == 0xC2), "fixture must be SOF2")
+    bytes
+  }
+
+  test("PROGRESSIVE grayscale (ImageIO SOF2: spectral selection + successive approximation) decodes within tolerance") {
+    val (w, h) = (37, 29) // non-multiple-of-8 exercises the true-block-grid geometry
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.getRaster.setSample(x, y, 0, (x * 6 + y * 9 + (x * y) % 13) % 256)))
+    val bytes = imageIoEncodeProgressive(img)
+    val Some((dw, dh, mine)) = JpegCodec.decode(bytes)
+    val (_, _, theirs) = imageIoDecode(bytes)
+    assert((dw, dh) == (w, h))
+    val maxDiff = mine.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2, s"progressive gray divergence $maxDiff > 2 luma steps")
+  }
+
+  test("PROGRESSIVE color (ImageIO SOF2, subsampled, multi-scan AC refinement) decodes within tolerance") {
+    val (w, h) = (48, 40)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 4 + 30) << 8) | (240 - 2 * x - y))
+    })
+    val bytes = imageIoEncodeProgressive(img)
+    val Some((dw, dh, mine)) = JpegCodec.decodeColor(bytes)
+    val (_, _, theirs) = imageIoDecodeRgb(bytes)
+    assert((dw, dh) == (w, h))
+    val (dMax, dMean) = channelDiff(mine, theirs)
+    assert(dMax <= 10 && dMean <= 2.5,
+      s"progressive color divergence max=$dMax mean=$dMean vs ImageIO")
+  }
+
   test("ImageIO-encoded COLOR stream (its own subsampling choice) decodes within tolerance") {
     val (w, h) = (40, 40)
     val img = new java.awt.image.BufferedImage(w, h,
