@@ -26,6 +26,27 @@ package graft
   * as memo_build_ms (captured by MemoStats at the build sites).
   */
 object Bench {
+
+  /** Retry trigger (round-9 protocol, BenchProtocolSpec-pinned): an
+    * entry is a weather suspect when its min exceeds 3× its committed
+    * BENCH_REF.json reference (floored at 50 ms so micro-entries don't
+    * retry on scheduler jitter), or — with no committed reference yet
+    * — when its two adjacent runs disagree by more than 2× while the
+    * min stays above both 3× the catalog median and an absolute 1 s
+    * floor. Genuinely heavy-but-stable entries never retry, and an
+    * entry that beat its reference is left alone (a min cannot be
+    * unlucky-FAST), which is what keeps the retry pass from being the
+    * one-sided headline-lowering bias the round-8 ADVICE flagged —
+    * that and reporting pre_retry_total beside the final total. */
+  private[graft] def isSuspect(ref: Option[Double], med: Double,
+                               t: Double, t1: Double, t2: Double): Boolean =
+    ref match {
+      case Some(r) => t > 3.0 * math.max(r, 0.05)
+      case None =>
+        val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
+        ratio > 2.0 && t > 3.0 * med && t > 1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -165,12 +186,9 @@ object Bench {
       val ts = firstPass.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
-    def suspect(n: String, t: Double): Boolean = benchRef.get(n) match {
-      case Some(r) => t > 3.0 * math.max(r, 0.05)
-      case None =>
-        val (t1, t2) = runs.find(_._1 == n).map(r => (r._2, r._4)).get
-        val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
-        ratio > 2.0 && t > 3.0 * med && t > 1.0
+    def suspect(n: String, t: Double): Boolean = {
+      val (t1, t2) = runs.find(_._1 == n).map(r => (r._2, r._4)).get
+      Bench.isSuspect(benchRef.get(n), med, t, t1, t2)
     }
     def retryPair(names: Set[String]): Map[String, (Double, Long)] =
       order.filter(o => names(o._1)).map { case (name, fn) =>
