@@ -212,8 +212,13 @@ object JpegCodec {
 
   /** Encode an 8-bit grayscale baseline JPEG of `lum` (row-major rule).
     * Dimensions need not be multiples of 8 — edge blocks replicate the
-    * last row/column (the conventional encoder padding). */
-  def encode(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+    * last row/column (the conventional encoder padding).
+    * `restartInterval` > 0 emits a DRI segment and RSTn markers every
+    * that-many MCUs with DC-predictor resets — restart-coded and
+    * plain streams decode pixel-identically (prediction changes only
+    * the encoding of DC, never its value; JpegCodecSpec pins it). */
+  def encode(w: Int, h: Int, lum: (Int, Int) => Int,
+             restartInterval: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -222,6 +227,7 @@ object JpegCodec {
     writeTables(out)
     marker(0xC0); u16(2 + 6 + 3) // SOF0: 8-bit, 1 component, 1x1 sampling
     u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
     marker(0xDA); u16(2 + 1 + 2 + 3) // SOS
     u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
 
@@ -234,13 +240,19 @@ object JpegCodec {
     }
     val bw = new BitWriter(out)
     var pred = 0
+    var mcu = 0
+    var rst = 0
     val block = new Array[Double](64)
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
     (0 until bh8).foreach { by =>
       (0 until bw8).foreach { bx =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); marker(0xD0 + rst % 8); rst += 1; pred = 0
+        }
         fillBlock(block, plane, w, h, bx, by)
         pred = encodeBlock(bw, block, pred)
+        mcu += 1
       }
     }
     bw.flush()
@@ -260,7 +272,7 @@ object JpegCodec {
     * legal baseline, decodable by any conformant decoder (JpegCodecSpec
     * cross-checks both layouts against the JDK's ImageIO). */
   def encodeColor(w: Int, h: Int, ycc: (Int, Int) => (Int, Int, Int),
-                  chroma420: Boolean): Array[Byte] = {
+                  chroma420: Boolean, restartInterval: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -273,6 +285,7 @@ object JpegCodec {
     u8(1); u8((sf << 4) | sf); u8(0) // Y
     u8(2); u8(0x11); u8(0)           // Cb
     u8(3); u8(0x11); u8(0)           // Cr
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
     marker(0xDA); u16(2 + 1 + 6 + 3) // SOS, 3 components
     u8(3); u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
     u8(0); u8(63); u8(0)
@@ -303,10 +316,16 @@ object JpegCodec {
     val bw = new BitWriter(out)
     val block = new Array[Double](64)
     val preds = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
     val mcusX = (w + 8 * sf - 1) / (8 * sf)
     val mcusY = (h + 8 * sf - 1) / (8 * sf)
     (0 until mcusY).foreach { my =>
       (0 until mcusX).foreach { mx =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); marker(0xD0 + rst % 8); rst += 1
+          java.util.Arrays.fill(preds, 0)
+        }
         (0 until sf).foreach { j =>
           (0 until sf).foreach { i =>
             fillBlock(block, yP, w, h, mx * sf + i, my * sf + j)
@@ -317,6 +336,7 @@ object JpegCodec {
         preds(1) = encodeBlock(bw, block, preds(1))
         fillBlock(block, crP, cw, ch, mx, my)
         preds(2) = encodeBlock(bw, block, preds(2))
+        mcu += 1
       }
     }
     bw.flush()

@@ -164,6 +164,36 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("restart markers (DRI/RSTn): restart-coded streams decode pixel-identically and ImageIO agrees") {
+    val (w, h) = (40, 24) // 15 blocks → 4 RSTs at interval 3
+    def lum(x: Int, y: Int): Int = (x * 37 + y * 91 + (x * y) % 17) % 256
+    val plain = JpegCodec.encode(w, h, lum)
+    val rsted = JpegCodec.encode(w, h, lum, restartInterval = 3)
+    // the stream genuinely carries DRI + RSTn
+    assert(rsted.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xFF && (s(1) & 0xff) == 0xDD), "DRI present")
+    assert(rsted.sliding(2).count(s => (s(0) & 0xff) == 0xFF &&
+      (s(1) & 0xff) >= 0xD0 && (s(1) & 0xff) <= 0xD7) >= 4, "RSTn present")
+    // DC prediction changes only the ENCODING of DC, never its value
+    val Some((_, _, a)) = JpegCodec.decode(plain)
+    val Some((_, _, b)) = JpegCodec.decode(rsted)
+    assert(a.sameElements(b), "restart-coded decode must be pixel-identical")
+    // ...and an independent decoder reads the same restart stream
+    val (_, _, theirs) = imageIoDecode(rsted)
+    assert(b.zip(theirs).map { case (x, y) => math.abs(x - y) }.max <= 2)
+    // color MCU path: interval 2 across a 4:2:0 grid
+    def ycc(x: Int, y: Int): (Int, Int, Int) =
+      (40 + 3 * x + 2 * y, 60 + 2 * x + y, 200 - 2 * x - y)
+    val cPlain = JpegCodec.encodeColor(48, 32, ycc, chroma420 = true)
+    val cRsted = JpegCodec.encodeColor(48, 32, ycc, chroma420 = true,
+      restartInterval = 2)
+    val Some((_, _, ca)) = JpegCodec.decodeColor(cPlain)
+    val Some((_, _, cb)) = JpegCodec.decodeColor(cRsted)
+    assert(ca.sameElements(cb), "color restart decode must be pixel-identical")
+    val (_, _, ioRgb) = imageIoDecodeRgb(cRsted)
+    assert(channelDiff(cb, ioRgb)._1 <= 8)
+  }
+
   private def imageIoEncodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val param = writer.getDefaultWriteParam
