@@ -273,28 +273,41 @@ object JpegCodec {
     * cross-checks both layouts against the JDK's ImageIO). */
   def encodeColor(w: Int, h: Int, ycc: (Int, Int) => (Int, Int, Int),
                   chroma420: Boolean, restartInterval: Int = 0): Array[Byte] = {
+    val sf = if (chroma420) 2 else 1
+    encodeColorSampled(w, h, ycc, sf, sf, restartInterval)
+  }
+
+  /** The general sampled form: Y carries (sfH × sfV) blocks per MCU,
+    * chroma is decimated by (sfH, sfV) — (1,1) = 4:4:4, (2,2) = 4:2:0,
+    * (2,1) = 4:2:2. Exists chiefly so the decoder's ASYMMETRIC-sampling
+    * geometry (16×8 MCUs, x-only chroma upsampling) has a genuine
+    * in-repo stream source — ImageIO never emits 4:2:2. */
+  def encodeColorSampled(w: Int, h: Int, ycc: (Int, Int) => (Int, Int, Int),
+                         sfH: Int, sfV: Int,
+                         restartInterval: Int = 0): Array[Byte] = {
+    require(sfH >= 1 && sfH <= 2 && sfV >= 1 && sfV <= 2,
+      "sampling factors must be 1 or 2")
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xFF); u8(m) }
-    val sf = if (chroma420) 2 else 1 // luma sampling factor (both axes)
     marker(0xD8) // SOI
     writeTables(out)
     marker(0xC0); u16(2 + 6 + 9) // SOF0: 8-bit, 3 components
     u8(8); u16(h); u16(w); u8(3)
-    u8(1); u8((sf << 4) | sf); u8(0) // Y
-    u8(2); u8(0x11); u8(0)           // Cb
-    u8(3); u8(0x11); u8(0)           // Cr
+    u8(1); u8((sfH << 4) | sfV); u8(0) // Y
+    u8(2); u8(0x11); u8(0)             // Cb
+    u8(3); u8(0x11); u8(0)             // Cr
     if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
     marker(0xDA); u16(2 + 1 + 6 + 3) // SOS, 3 components
     u8(3); u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
     u8(0); u8(63); u8(0)
 
-    val cw = (w + sf - 1) / sf // chroma plane dims
-    val ch = (h + sf - 1) / sf
+    val cw = (w + sfH - 1) / sfH // chroma plane dims
+    val ch = (h + sfV - 1) / sfV
     // materialize the three planes once (one ycc call per source
     // pixel); chroma decimation takes the top-left sample of each
-    // sf×sf cell — every later block fill is a plain array read
+    // sfH×sfV cell — every later block fill is a plain array read
     val yP = new Array[Int](w * h)
     val cbP = new Array[Int](cw * ch)
     val crP = new Array[Int](cw * ch)
@@ -304,9 +317,9 @@ object JpegCodec {
       while (px < w) {
         val t = ycc(px, py)
         yP(py * w + px) = t._1
-        if (px % sf == 0 && py % sf == 0) {
-          cbP((py / sf) * cw + px / sf) = t._2
-          crP((py / sf) * cw + px / sf) = t._3
+        if (px % sfH == 0 && py % sfV == 0) {
+          cbP((py / sfV) * cw + px / sfH) = t._2
+          crP((py / sfV) * cw + px / sfH) = t._3
         }
         px += 1
       }
@@ -318,17 +331,17 @@ object JpegCodec {
     val preds = new Array[Int](3)
     var mcu = 0
     var rst = 0
-    val mcusX = (w + 8 * sf - 1) / (8 * sf)
-    val mcusY = (h + 8 * sf - 1) / (8 * sf)
+    val mcusX = (w + 8 * sfH - 1) / (8 * sfH)
+    val mcusY = (h + 8 * sfV - 1) / (8 * sfV)
     (0 until mcusY).foreach { my =>
       (0 until mcusX).foreach { mx =>
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.flush(); marker(0xD0 + rst % 8); rst += 1
           java.util.Arrays.fill(preds, 0)
         }
-        (0 until sf).foreach { j =>
-          (0 until sf).foreach { i =>
-            fillBlock(block, yP, w, h, mx * sf + i, my * sf + j)
+        (0 until sfV).foreach { j =>
+          (0 until sfH).foreach { i =>
+            fillBlock(block, yP, w, h, mx * sfH + i, my * sfV + j)
             preds(0) = encodeBlock(bw, block, preds(0))
           }
         }

@@ -164,6 +164,34 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 (asymmetric 2x1 sampling): exact on macroblock-constant fixtures, ImageIO agrees on gradients") {
+    // constant 16×8 cells (constant per Y block AND per x-decimated
+    // chroma block) → the lossy path is exact, pinning the 16×8 MCU
+    // geometry and the x-only replicate upsample
+    val (w, h) = (48, 24)
+    def cell(x: Int, y: Int): (Int, Int, Int) = {
+      val mx = x / 16; val my = y / 8
+      (((11 * mx + 13 * my + 40) % 256), ((17 * mx + 19 * my + 60) % 256),
+        ((23 * mx + 29 * my + 80) % 256))
+    }
+    val bytes = JpegCodec.encodeColorSampled(w, h, cell, sfH = 2, sfV = 1)
+    val Some((dw, dh, rgb)) = JpegCodec.decodeColor(bytes)
+    assert((dw, dh) == (w, h))
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val (cy, cb, cr) = cell(x, y)
+      val (er, eg, eb) = JpegCodec.yccToRgb(cy, cb, cr)
+      assert(rgb(y * w + x) == ((er << 16) | (eg << 8) | eb), s"($x,$y)")
+    })
+    // an independent decoder reads the same 4:2:2 stream
+    def ycc(x: Int, y: Int): (Int, Int, Int) =
+      (40 + 3 * x + 2 * y, 60 + 2 * x + y, 200 - 2 * x - y)
+    val grad = JpegCodec.encodeColorSampled(48, 32, ycc, sfH = 2, sfV = 1)
+    val Some((_, _, mine)) = JpegCodec.decodeColor(grad)
+    val (_, _, theirs) = imageIoDecodeRgb(grad)
+    val (dMax, dMean) = channelDiff(mine, theirs)
+    assert(dMax <= 8 && dMean <= 1.5, s"4:2:2 vs ImageIO max=$dMax mean=$dMean")
+  }
+
   test("restart markers (DRI/RSTn): restart-coded streams decode pixel-identically and ImageIO agrees") {
     val (w, h) = (40, 24) // 15 blocks → 4 RSTs at interval 3
     def lum(x: Int, y: Int): Int = (x * 37 + y * 91 + (x * y) % 17) % 256
