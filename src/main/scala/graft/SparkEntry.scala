@@ -32,9 +32,18 @@ object SparkEntry {
       BloomOps.queries ++ CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every oracle is mapped through [[OracleSql.materializeCtes]]: the
+    * unrolled iterative oracles chain CTEs referenced many times and
+    * DuckDB re-inlines non-materialized CTEs, which made the compare
+    * stage exponential in unroll depth (20+ min catalog, one oracle
+    * alone >12 min) and zeroed the round-8/9 driver correctness files.
+    * With the mechanical `AS MATERIALIZED` fence the full catalog runs
+    * in seconds with identical results. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ RelQueries.oracle ++ EventOps.oracle ++
+    (RefQueries.oracle ++ RelQueries.oracle ++ EventOps.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ GraphOps.oracle ++
-      BloomOps.oracle ++ CorpusOps.oracle
+      BloomOps.oracle ++ CorpusOps.oracle)
+      .map { case (k, v) => k -> OracleSql.materializeCtes(v) }
 }

@@ -962,22 +962,39 @@ object CorpusOps {
         // floor to 0 for any source past 1e6 documents — z2 went NULL
         // and no source could ever be significant at scale. Factor the
         // statistic as z² = (diff²/v) · h instead: b = diff²·1000/v
-        // (milli, capped at 1e9) and h = n1·n2/(n1+n2), the harmonic
-        // pair count (capped at 9·10⁸ so b·h ≤ 9·10¹⁷ < 2⁶³ at any
-        // corpus size; a source that big with any nonzero diff is
-        // saturated-significant anyway, and the 10⁷-milli output cap
-        // ≡ z = 100 keeps rank order deterministic on both engines).
+        // and h = n1·n2/(n1+n2), the harmonic pair count (capped at
+        // 9·10⁸ so b·h ≤ 9·10¹⁷ < 2⁶³ at any corpus size; a source
+        // that big with any nonzero diff is saturated-significant
+        // anyway, and the 10⁷-milli output cap ≡ z = 100 keeps rank
+        // order deterministic on both engines).
+        //
+        // Round-9 ADVICE fixes, both mirrored in the DuckDB oracle and
+        // spec-pinned against a double-precision z² reference
+        // (OverflowGuardSpec "moderate effect"):
+        //  - UNITS: diff is ppm so diff² is 10¹²-scale and b =
+        //    diff²·1000/v_ppm is NANO z²-per-pair; b·h must divide by
+        //    10⁶ (nano→milli), not 10³ — the old micro-scale value
+        //    inflated z² 1000× and BH marked ~everything significant.
+        //  - OVERFLOW: h = n1·n2/(n1+n2) wraps int64 once both sides
+        //    pass ~3·10⁹ rows (Spark wraps silently, DuckDB raises —
+        //    cross-engine divergence). Rewrite via mn = least(n1,n2):
+        //    h = mn·mx/(mn+mx) = mn − ceil(mn²/tn) exactly (integer
+        //    identity, ceil(b/c) = (b−1) div c + 1), and mn ≥ 1.8·10⁹
+        //    forces h ≥ 9·10⁸ = the cap, so the squared term only
+        //    evaluates when mn² ≤ 3.24·10¹⁸ < 2⁶³.
         .withColumn("v_ppm", expr("pp_ppm * (1000000 - pp_ppm) div 1000000"))
         .withColumn("hmean", expr(
           """case when n2 = 0 then null
-            |else least(greatest(n1 * n2 div (n1 + n2), 1), 900000000)
-            |end""".stripMargin))
+            |when least(n1, n2) >= 1800000000L then 900000000L
+            |else least(greatest(least(n1, n2)
+            |  - ((least(n1, n2) * least(n1, n2) - 1) div tn + 1), 1),
+            |  900000000) end""".stripMargin))
         .withColumn("z2_milli", expr(
           """case when hmean is null or v_ppm <= 0 then null
             |else least(least((k1 * 1000000 div n1 - k2 * 1000000 div n2)
             |     * (k1 * 1000000 div n1 - k2 * 1000000 div n2) * 1000
             |     div v_ppm, 1000000000)
-            |     * hmean div 1000, 10000000) end""".stripMargin))
+            |     * hmean div 1000000, 10000000) end""".stripMargin))
       val crit = s.createDataFrame(Seq(
           (1L, 9141L), (2L, 7879L), (3L, 7149L), (4L, 6635L), (5L, 6239L),
           (6L, 5916L), (7L, 5646L), (8L, 5412L), (9L, 5207L), (10L, 5024L),
@@ -2165,8 +2182,12 @@ object CorpusOps {
         |    k1 * 1000000 // n1 AS p1_ppm,
         |    (tk * 1000000 // tn) * (1000000 - tk * 1000000 // tn)
         |      // 1000000 AS v_ppm,
+        |    -- hmean: overflow-free harmonic pair count (see the Spark
+        |    -- comment): mn - ceil(mn^2/tn); mn >= 1.8e9 forces the cap
         |    CASE WHEN tn - n1 = 0 THEN NULL
-        |      ELSE LEAST(GREATEST(n1 * (tn - n1) // tn, 1),
+        |      WHEN LEAST(n1, tn - n1) >= 1800000000 THEN CAST(900000000 AS BIGINT)
+        |      ELSE LEAST(GREATEST(LEAST(n1, tn - n1)
+        |        - ((LEAST(n1, tn - n1) * LEAST(n1, tn - n1) - 1) // tn + 1), 1),
         |                 CAST(900000000 AS BIGINT)) END AS hmean,
         |    CASE WHEN tn - n1 = 0 THEN NULL
         |      ELSE k1 * 1000000 // n1 - (tk - k1) * 1000000 // (tn - n1)
@@ -2174,10 +2195,12 @@ object CorpusOps {
         |  FROM bysrc CROSS JOIN tot),
         |z2 AS (
         |  SELECT source, n1, k1, p1_ppm,
+        |    -- b = diff^2*1000/v_ppm is NANO z^2-per-pair (diff is ppm);
+        |    -- b*hmean must divide by 1e6 for milli (round-9 ADVICE fix)
         |    CASE WHEN hmean IS NULL OR v_ppm <= 0 THEN NULL
         |      ELSE LEAST(LEAST(diff * diff * 1000 // v_ppm,
         |             CAST(1000000000 AS BIGINT))
-        |           * hmean // 1000, CAST(10000000 AS BIGINT)) END AS z2_milli
+        |           * hmean // 1000000, CAST(10000000 AS BIGINT)) END AS z2_milli
         |  FROM z),
         |crit AS (SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(9141 AS BIGINT)), (2, 7879), (3, 7149),

@@ -167,12 +167,54 @@ class OverflowGuardSpec extends SparkTestBase {
         s"${r.getAs[String]("source")}: z2 must be defined past 1e6 docs")
     }
     // p1 = 1e6 vs 0 ppm, pooled p = 5e5 ⇒ v = 25e4; b = diff²·1000/v
-    // = 4e9 ⇒ capped at 1e9; h = n1n2/(n1+n2) = 55e4 ⇒ capped z² hits
-    // the 1e7 output cap — maximally significant, exactly representable
+    // = 4e9 ⇒ capped at 1e9; h = n1n2/(n1+n2) = 55e4 ⇒ b·h/1e6 = 5.5e8
+    // milli hits the 1e7 output cap — maximally significant, exactly
+    // representable
     assert(hi.getAs[Long]("z2_milli") == 10000000L,
       s"saturated split must hit the z² cap, got ${hi.getAs[Long]("z2_milli")}")
     assert(hi.getAs[Long]("significant") == 1L)
     assert(lo.getAs[Long]("significant") == 1L)
+  }
+
+  test("q_bh_fdr: moderate effect matches a double-precision z² (round-9 ADVICE: old milli was 1000x inflated)") {
+    // Two 5000-doc sources with ~52% vs ~48% keep rates ⇒ true
+    // two-proportion z ≈ 4, z² ≈ 16 — far from both the b cap and the
+    // 1e7 output cap, so the integral pipeline's value must track the
+    // real statistic, not just the saturated case. The OLD formula
+    // (b·h div 1000) returned ~16,000,000 here (capped), marking both
+    // sources significant at rank-1 ties; the fixed nano→milli scale
+    // returns ~16,000.
+    val d = java.nio.file.Files.createTempDirectory("graft_bhfdr_mod").toString
+    val keepText = ("the quick brown fox jumps over a lazy dog and then " * 3).trim
+    spark.range(10000L).selectExpr(
+      "id AS doc_id",
+      // source A (even ids): keep when id%100 < 52; B: keep when < 48
+      s"""CASE WHEN (id % 2 = 0 AND (id div 2) % 100 < 52)
+         |     OR (id % 2 = 1 AND (id div 2) % 100 < 48)
+         |THEN '$keepText' ELSE 'tiny of text' END AS text""".stripMargin,
+      "'en' AS lang",
+      "CASE WHEN id % 2 = 0 THEN 's_a' ELSE 's_b' END AS source",
+      s"""CASE WHEN (id % 2 = 0 AND (id div 2) % 100 < 52)
+         |     OR (id % 2 = 1 AND (id div 2) % 100 < 48)
+         |THEN ${keepText.length}L ELSE 12L END AS n_chars""".stripMargin)
+      .write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q_bh_fdr")(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = rows("s_a"); val b = rows("s_b")
+    // double-precision reference from the query's own counts
+    val (n1, k1) = (a.getAs[Long]("n1").toDouble, a.getAs[Long]("k1").toDouble)
+    val (n2, k2) = (b.getAs[Long]("n1").toDouble, b.getAs[Long]("k1").toDouble)
+    val pp = (k1 + k2) / (n1 + n2)
+    val z2ref = {
+      val diff = k1 / n1 - k2 / n2
+      diff * diff / (pp * (1 - pp) * (1 / n1 + 1 / n2))
+    }
+    assert(z2ref > 5 && z2ref < 100, s"fixture must be moderate, z²=$z2ref")
+    Seq(a, b).foreach { r =>
+      val got = r.getAs[Long]("z2_milli").toDouble / 1000.0
+      assert(math.abs(got - z2ref) <= math.max(z2ref * 0.02, 0.2),
+        s"${r.getAs[String]("source")}: z² $got vs double reference $z2ref")
+    }
   }
 
   test("q_bradley_terry: pi clamp keeps every rating >= 1 (degenerate-safe denominators)") {

@@ -6,13 +6,28 @@ hashed). Usage: check.py <sfDir> <outDir> [jsonOut]
 With jsonOut, also writes {query: {"status": ok|fail|skip, "rows": n,
 "detail": str}} — committed per round as CORRECTNESS_local.json so the
 repo carries its own correctness record even when the driver's write
-fails (round-8 shipped an empty driver file)."""
-import sys, os, json, glob
+fails (round-8 shipped an empty driver file).
+
+Hardened (round-9 verdict item 6, the same lesson Verify learned one
+stage upstream): a killed or timed-out compare must leave a
+partial-but-real record, never an empty file —
+ - every print flushes;
+ - the verdict JSON is rewritten after EVERY query (393 tiny dicts;
+   the rewrite is microseconds), so kill-at-50% leaves a loadable
+   partial JSON with a summary of what completed;
+ - each oracle runs under a watchdog (ORACLE_TIMEOUT_S, default 60 s)
+   that fires duckdb's connection interrupt — one pathological oracle
+   becomes one "fail: timeout" row instead of a dead compare. (The
+   exponential-CTE blowup itself is fixed at the source: graft's
+   OracleSql.materializeCtes fences every CTE, full catalog ~17 s.)
+"""
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
+TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "60"))
 verdicts = {}
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -21,6 +36,29 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
+def say(msg):
+    print(msg, flush=True)
+
+def flush_json(done, total):
+    if not json_out:
+        return
+    tmp = json_out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"summary": {"ok": ok, "fail": fail,
+                               "skip": len([v for v in verdicts.values() if v["status"] == "skip"]),
+                               "done": done, "total": total},
+                   "queries": verdicts}, f, indent=1, sort_keys=True)
+    os.replace(tmp, json_out)
+
+def run_sql(sql):
+    """Run one oracle under an interrupt watchdog; raises on timeout."""
+    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        timer.cancel()
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if len(df):
@@ -28,24 +66,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 ok = fail = 0
-for qdir in sorted(glob.glob(os.path.join(out_dir, "q_*"))):
+qdirs = sorted(glob.glob(os.path.join(out_dir, "q_*")))
+for done, qdir in enumerate(qdirs, 1):
     name = os.path.basename(qdir)
     try:
         spark_df = canon(con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
     except Exception as e:
-        print(f"FAIL {name}: cannot read spark output: {e}"); fail += 1
+        say(f"FAIL {name}: cannot read spark output: {e}"); fail += 1
         verdicts[name] = {"status": "fail", "rows": 0, "detail": f"cannot read spark output: {e}"}
-        continue
+        flush_json(done, len(qdirs)); continue
     if name not in oracle:
-        print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
+        say(f"SKIP {name}: no oracle (rows={len(spark_df)})")
         verdicts[name] = {"status": "skip", "rows": len(spark_df), "detail": "no oracle"}
-        continue
+        flush_json(done, len(qdirs)); continue
     try:
-        duck_df = canon(con.sql(oracle[name]).df())
+        duck_df = canon(run_sql(oracle[name]))
     except Exception as e:
-        print(f"FAIL {name}: oracle sql error: {e}"); fail += 1
+        say(f"FAIL {name}: oracle sql error: {e}"); fail += 1
         verdicts[name] = {"status": "fail", "rows": len(spark_df), "detail": f"oracle sql error: {e}"}
-        continue
+        flush_json(done, len(qdirs)); continue
     problems = []
     if list(spark_df.columns) != list(duck_df.columns):
         problems.append(f"cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
@@ -61,15 +100,11 @@ for qdir in sorted(glob.glob(os.path.join(out_dir, "q_*"))):
             problems.append(f"values differ cols={cols} first_row={i} "
                             f"spark={spark_df.loc[i].to_dict()} duck={duck_df.loc[i].to_dict()}")
     if problems:
-        print(f"FAIL {name}: {'; '.join(problems)}"); fail += 1
+        say(f"FAIL {name}: {'; '.join(problems)}"); fail += 1
         verdicts[name] = {"status": "fail", "rows": len(spark_df), "detail": "; ".join(problems)}
     else:
-        print(f"OK   {name} rows={len(spark_df)}"); ok += 1
+        say(f"OK   {name} rows={len(spark_df)}"); ok += 1
         verdicts[name] = {"status": "ok", "rows": len(spark_df), "detail": ""}
-print(f"\n{ok} ok, {fail} fail")
-if json_out:
-    with open(json_out, "w") as f:
-        json.dump({"summary": {"ok": ok, "fail": fail,
-                               "skip": len([v for v in verdicts.values() if v["status"] == "skip"])},
-                   "queries": verdicts}, f, indent=1, sort_keys=True)
+    flush_json(done, len(qdirs))
+say(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)
