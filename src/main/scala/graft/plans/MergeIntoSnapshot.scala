@@ -1,15 +1,15 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, EqualTo, Expression, Literal,
   SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias,
-  UpdateAction, UpdateTable}
+  Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{
   DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -32,20 +32,46 @@ import graft.sources.{GraftMergeable, SnapshotTable}
   * carried by reference (the same one-verb-one-method mapping DELETE
   * FROM uses via `SupportsDelete.deleteWhere`).
   *
-  * Supported shape (SQL MERGE's own canonical upsert):
+  * Supported shapes (round-9 verdict item 2 widened this from the
+  * single canonical upsert to the full conditional-action surface):
   *
   *   MERGE INTO cat.ns.t t USING src s
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
-  *   WHEN MATCHED THEN UPDATE SET *            -- or the expansion
-  *   WHEN NOT MATCHED THEN INSERT *            --   SET/VALUES by name
+  *   [WHEN MATCHED [AND cond] THEN UPDATE SET * | DELETE] ...
+  *   [WHEN NOT MATCHED [AND cond] THEN INSERT *]
   *
-  * with the source carrying exactly the table's columns. Conditional
-  * actions, DELETE actions, partial-column assignments and NOT MATCHED
-  * BY SOURCE are rejected with an explicit error (they have no
-  * [[SnapshotTable.merge]] mapping yet); non-graft targets fall
-  * through untouched (`Nil`) to Spark's own handling.
+  * with the source carrying exactly the table's columns, any number of
+  * matched actions (standard first-true-wins semantics; an
+  * unconditional action must be last or the rest are unreachable), and
+  * a matched row with NO applicable action surviving unchanged. The
+  * lowering has two tiers:
+  *
+  *  - the canonical unconditional upsert (exactly UPDATE SET * +
+  *    INSERT *) routes STRAIGHT to [[SnapshotTable.merge]] — no target
+  *    read beyond the merge's own zone-map touch detection;
+  *  - anything conditional (or DELETE, or a missing action arm) first
+  *    CLASSIFIES each source row by joining it against
+  *    [[SnapshotTable.readMatchable]] — only zone-map-touched files
+  *    are read, so matched-ness costs O(overlapping data), never a
+  *    table scan — evaluates the action cascade per row, drops
+  *    no-action rows (their target rows survive untouched because
+  *    their keys never enter the delta), and feeds the result to
+  *    `merge(deleteCol=...)` pinned to the classified base version
+  *    (`expectedBase`), so a commit racing the classification refuses
+  *    deterministically instead of publishing a stale rewrite.
+  *
+  * Partial-column SET and NOT MATCHED BY SOURCE remain rejected with
+  * an explicit error (a partial SET needs the matched row's old values
+  * woven into the delta, which [[SnapshotTable.merge]]'s whole-row
+  * contract does not express). Non-graft targets fall through
+  * untouched (`Nil`) to Spark's own handling.
   */
 object MergeIntoSnapshotStrategy extends SparkStrategy {
+
+  /** Rename prefixes for the classification join's two namespaces —
+    * chosen so they can never collide with user columns (guarded). */
+  private[plans] val TPfx = "__graft_t__"
+  private[plans] val SPfx = "__graft_s__"
 
   private def unwrap(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => unwrap(child)
@@ -54,11 +80,12 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
 
   private def fail(why: String): Nothing =
     throw new UnsupportedOperationException(
-      "MERGE INTO a graft-snapshot table supports the canonical " +
-        "copy-on-write upsert — ON an AND of target.k = source.k " +
-        "equi-keys, WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED " +
-        "THEN INSERT *, source columns = table columns. Unsupported " +
-        s"here: $why")
+      "MERGE INTO a graft-snapshot table supports copy-on-write " +
+        "merges — ON an AND of target.k = source.k equi-keys, WHEN " +
+        "MATCHED [AND cond] THEN UPDATE SET * or DELETE (first true " +
+        "condition wins, unconditional action last), WHEN NOT MATCHED " +
+        "[AND cond] THEN INSERT *, source columns = table columns. " +
+        s"Unsupported here: $why")
 
   /** The connector table behind the target, whether the optimizer has
     * already pushed the relation down to a scan or not. */
@@ -108,24 +135,65 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
             if (missing.nonEmpty)
               fail(s"$what must cover every table column (missing: ${missing.mkString(", ")})")
           }
-          m.matchedActions match {
-            case Seq(ua: UpdateAction) if ua.condition.isEmpty =>
-              checkAssignments("WHEN MATCHED UPDATE", ua.assignments)
-            case other =>
-              fail(s"matched actions ${other.map(_.getClass.getSimpleName).mkString(", ")} " +
-                "(need exactly one unconditional UPDATE SET *)")
+          // conditions get re-bound by NAME into the classification
+          // join's prefixed namespaces (target cols → __graft_t__c,
+          // source cols → __graft_s__c); subqueries and out-of-scope
+          // references are refused here, at plan time
+          def rebind(e: Expression, what: String): Expression = {
+            if (e.exists(_.isInstanceOf[SubqueryExpression]))
+              fail(s"$what carries a subquery")
+            e.transform {
+              case a: AttributeReference if tOut.contains(a) =>
+                UnresolvedAttribute.quoted(TPfx + a.name)
+              case a: AttributeReference if sOut.contains(a) =>
+                UnresolvedAttribute.quoted(SPfx + a.name)
+              case a: AttributeReference =>
+                fail(s"$what references `${a.name}` from outside the merge scope")
+            }
           }
-          m.notMatchedActions match {
-            case Seq(ia: InsertAction) if ia.condition.isEmpty =>
+          val nMatched = m.matchedActions.size
+          val matched: Seq[(Option[Expression], Boolean)] =
+            m.matchedActions.zipWithIndex.map {
+              case (ua: UpdateAction, i) =>
+                checkAssignments("WHEN MATCHED UPDATE", ua.assignments)
+                if (ua.condition.isEmpty && i < nMatched - 1)
+                  fail("an unconditional WHEN MATCHED UPDATE before other " +
+                    "matched actions makes them unreachable")
+                (ua.condition.map(rebind(_, "WHEN MATCHED AND")), false)
+              case (da: DeleteAction, i) =>
+                if (da.condition.isEmpty && i < nMatched - 1)
+                  fail("an unconditional WHEN MATCHED DELETE before other " +
+                    "matched actions makes them unreachable")
+                (da.condition.map(rebind(_, "WHEN MATCHED AND")), true)
+              case (other, _) =>
+                fail(s"matched action ${other.getClass.getSimpleName} " +
+                  "(need UPDATE SET * or DELETE)")
+            }
+          val insert: Option[Option[Expression]] = m.notMatchedActions match {
+            case Seq() => None
+            case Seq(ia: InsertAction) =>
               checkAssignments("WHEN NOT MATCHED INSERT", ia.assignments)
+              Some(ia.condition.map(rebind(_, "WHEN NOT MATCHED AND")))
             case other =>
               fail(s"not-matched actions ${other.map(_.getClass.getSimpleName).mkString(", ")} " +
-                "(need exactly one unconditional INSERT *)")
+                "(need at most one INSERT *)")
           }
+          if (matched.isEmpty && insert.isEmpty) fail("no actions")
           if (m.notMatchedBySourceActions.nonEmpty)
             fail("WHEN NOT MATCHED BY SOURCE")
+          // the source must carry exactly the table's columns even for
+          // action arms that never read them (DELETE-only merges): the
+          // delta row that re-enters the table is built from the source
+          val tNames = m.targetTable.output.map(_.name.toLowerCase).toSet
+          val sNames = m.sourceTable.output.map(_.name.toLowerCase).toSet
+          if (tNames != sNames)
+            fail(s"source columns (${sNames.toSeq.sorted.mkString(", ")}) " +
+              s"must equal table columns (${tNames.toSeq.sorted.mkString(", ")})")
+          if (tNames.exists(_.startsWith("__graft_")))
+            fail("column names starting with __graft_ collide with the " +
+              "classification namespace")
 
-          MergeIntoSnapshotExec(root, m.sourceTable, keys) :: Nil
+          MergeIntoSnapshotExec(root, m.sourceTable, keys, matched, insert) :: Nil
         case _ => Nil
       }
     case _ => Nil
@@ -208,19 +276,72 @@ case class UpdateSnapshotExec(root: String, set: Seq[(String, Expression)],
   }
 }
 
-/** Driver-side command exec: runs the validated upsert through
+/** Driver-side command exec: runs the validated merge through
   * [[SnapshotTable.merge]] once (MergeIntoTable is a BinaryCommand, so
   * `spark.sql` executes this eagerly via executeCollect) and returns
   * no rows. The source logical plan executes as an ordinary
   * distributed DataFrame inside merge — only the verb is driver-side,
-  * never the data. */
+  * never the data.
+  *
+  * `matched` is the ordered WHEN MATCHED cascade as (condition,
+  * isDelete) with conditions re-bound into the __graft_t__/__graft_s__
+  * namespaces; `insert` is Some(condition) when a WHEN NOT MATCHED
+  * INSERT * arm exists. The canonical unconditional upsert skips the
+  * classification join entirely. */
 case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
-                                 keys: Seq[String]) extends LeafExecNode {
+                                 keys: Seq[String],
+                                 matched: Seq[(Option[Expression], Boolean)],
+                                 insert: Option[Option[Expression]])
+    extends LeafExecNode {
+  import MergeIntoSnapshotStrategy.{SPfx, TPfx}
   override def output: Seq[Attribute] = Nil
 
   @transient private lazy val done: Array[InternalRow] = {
+    import org.apache.spark.sql.functions._
     val spark = SparkSession.active
-    SnapshotTable(root).merge(spark, PlanBridge.ofRows(spark, source), keys)
+    val table = SnapshotTable(root)
+    val src = PlanBridge.ofRows(spark, source)
+    val canonicalUpsert =
+      matched == Seq((None, false)) && insert.contains(None)
+    if (canonicalUpsert) {
+      table.merge(spark, src, keys)
+    } else {
+      // CLASSIFY: source LEFT JOIN the zone-map-touched slice of the
+      // base snapshot — matched-ness is exact (untouched files provably
+      // hold no source key) at O(overlapping data) read cost. The base
+      // version is pinned so the final merge refuses deterministically
+      // if a commit lands mid-flight.
+      val v0 = table.currentVersion()
+      val srcCols = src.columns.toIndexedSeq
+      val srcP = src.select(srcCols.map(c => col(c).as(SPfx + c)): _*)
+      val tgt0 = table.readMatchable(spark, src, keys.head, v0)
+      val tgt = tgt0.select(tgt0.columns.toIndexedSeq
+        .map(c => col(c).as(TPfx + c)) :+ lit(1).as(TPfx + "__present"): _*)
+      val joinCond = keys.map(k => col(SPfx + k) === col(TPfx + k))
+        .reduce(_ && _)
+      def cc(e: Option[Expression]): Column =
+        e.map(x => coalesce(ColumnBridge.column(x).cast("boolean"), lit(false)))
+          .getOrElse(lit(true))
+      // first-true-wins cascade; a row no action claims stays 'none'
+      // and is dropped — its key never enters the delta, so the base
+      // row survives untouched
+      val matchedCase = matched.foldRight(lit("none")) {
+        case ((c, isDel), els) =>
+          when(cc(c), lit(if (isDel) "D" else "U")).otherwise(els)
+      }
+      val insertCase = insert
+        .map(c => when(cc(c), lit("I")).otherwise(lit("none")))
+        .getOrElse(lit("none"))
+      val action = when(col(TPfx + "__present").isNotNull, matchedCase)
+        .otherwise(insertCase)
+      val delta = srcP.join(tgt, joinCond, "left")
+        .withColumn("__graft_action", action)
+        .where(col("__graft_action") =!= "none")
+        .select(srcCols.map(c => col(SPfx + c).as(c)) :+
+          (col("__graft_action") === lit("D")).as("__graft_delete"): _*)
+      table.merge(spark, delta, keys, deleteCol = Some("__graft_delete"),
+        expectedBase = Some(v0))
+    }
     Array.empty[InternalRow]
   }
 

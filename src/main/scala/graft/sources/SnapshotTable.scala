@@ -635,28 +635,18 @@ final class SnapshotTable(root: String) {
     * nondeterministic) with non-null keys, and its columns must equal
     * the table's (plus `deleteCol`). `targetFiles` bounds the rewrite
     * fan-out; 0 = one output file per touched file. */
-  def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
-            deleteCol: Option[String] = None,
-            targetFiles: Int = 0): SnapshotTable.MergeResult = {
+  /** Zone-map touch detection, shared by [[merge]] and [[readMatchable]]:
+    * which manifest files COULD contain a `pk` value present in `delta`.
+    * Each file's [min, max] for pk (already in the manifest — zero
+    * footer I/O) is joined BROADCAST against the delta keys in one
+    * distributed pass over the delta. Files without usable stats (or a
+    * stat kind the delta's key type can't compare into) are included
+    * conservatively. */
+  private def touchDetect(spark: SparkSession, delta: DataFrame,
+                          rels: Seq[String],
+                          zm: Map[String, Map[String, ZoneMaps.ColStat]],
+                          pk: String): Set[String] = {
     import org.apache.spark.sql.functions._
-    require(keys.nonEmpty, "merge needs at least one key column")
-    val v = currentVersion()
-    require(v >= 0, s"merge into $root: table has no committed snapshot")
-    val rels = listing(v)
-    val zm = zoneMapsOf(v)
-    val schema = schemaOf(v)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
-    val tableCols = schema.fieldNames.toSeq
-    val deltaCols = delta.columns.toSeq.filterNot(deleteCol.contains)
-    require(deltaCols.toSet == tableCols.toSet,
-      s"merge delta columns (${deltaCols.sorted.mkString(", ")}) must equal " +
-        s"table columns (${tableCols.sorted.mkString(", ")})")
-    require(keys.forall(tableCols.contains),
-      s"merge keys ${keys.mkString(", ")} must be table columns")
-
-    // ---- 1. touch detection ------------------------------------------
-    val pk = keys.head
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
     val statsOfPk = rels.flatMap(rel => zm.get(abs(rel)).flatMap(_.get(pk)).map(rel -> _))
     val kind = statsOfPk.headOption.map(_._2.kind)
@@ -677,7 +667,7 @@ final class SnapshotTable(root: String) {
         case _ => None
       }
     }
-    val touched: Set[String] = probeKey match {
+    probeKey match {
       case Some(k) if ranged.nonEmpty =>
         import spark.implicits._
         val rdf = kind.get match {
@@ -696,8 +686,64 @@ final class SnapshotTable(root: String) {
             col("_mk") >= col("fmin") && col("_mk") <= col("fmax"))
           .select("rel").distinct()
           .collect().map(_.getString(0)).toSet ++ statless
-      case _ => rels.toSet // no usable stats: rewrite everything
+      case _ => rels.toSet // no usable stats: everything could match
     }
+  }
+
+  /** Rows of snapshot `v` that COULD share `key` values with `delta` —
+    * only zone-map-touched files are read, so the cost tracks the
+    * overlapping data, never the table size. Sound for matched-ness
+    * classification (SQL MERGE's conditional path): a row in an
+    * untouched file provably has no key in the delta, so it can never
+    * be MATCHED and its absence from the returned frame is exact, not
+    * approximate. */
+  def readMatchable(spark: SparkSession, delta: DataFrame, key: String,
+                    v: Long): DataFrame = {
+    val rels = listing(v)
+    val schema = schemaOf(v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(delta.schema)
+    val touched = touchDetect(spark, delta, rels, zoneMapsOf(v), key)
+    if (touched.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(touched.toSeq.sorted
+        .map(rel => Paths.get(root).resolve(rel).toString): _*)
+  }
+
+  def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
+            deleteCol: Option[String] = None,
+            targetFiles: Int = 0,
+            expectedBase: Option[Long] = None): SnapshotTable.MergeResult = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val v = currentVersion()
+    require(v >= 0, s"merge into $root: table has no committed snapshot")
+    // A caller that pre-classified its delta against a specific snapshot
+    // (SQL MERGE's conditional path) passes that version here: a commit
+    // landing between classification and merge start makes the refusal
+    // deterministic instead of racing the publish check below.
+    expectedBase.foreach(b => if (v != b) throw new IllegalStateException(
+      s"merge at $root expected base version $b but head is $v: a commit " +
+        "landed after the delta was classified — re-run the merge"))
+    val rels = listing(v)
+    val zm = zoneMapsOf(v)
+    val schema = schemaOf(v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
+    val tableCols = schema.fieldNames.toSeq
+    val deltaCols = delta.columns.toSeq.filterNot(deleteCol.contains)
+    require(deltaCols.toSet == tableCols.toSet,
+      s"merge delta columns (${deltaCols.sorted.mkString(", ")}) must equal " +
+        s"table columns (${tableCols.sorted.mkString(", ")})")
+    require(keys.forall(tableCols.contains),
+      s"merge keys ${keys.mkString(", ")} must be table columns")
+
+    // ---- 1. touch detection ------------------------------------------
+    val pk = keys.head
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    val touched: Set[String] = touchDetect(spark, delta, rels, zm, pk)
     val untouched = rels.filterNot(touched)
 
     // ---- 2. rewrite ---------------------------------------------------

@@ -622,9 +622,9 @@ class SnapshotTableSpec extends SparkTestBase {
     val ex = intercept[Exception] {
       spark.sql(
         """MERGE INTO mgcat.db.t t USING mg_src s ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+          |WHEN MATCHED THEN UPDATE SET val = s.val""".stripMargin)
     }
-    assert(causes(ex).exists(_.contains("canonical copy-on-write upsert")),
+    assert(causes(ex).exists(_.contains("must cover every table column")),
       s"expected the supported-shape contract, got: ${causes(ex).mkString(" | ")}")
     // non-graft targets fall through to Spark's own handling
     val ex2 = intercept[Exception] {
@@ -634,8 +634,100 @@ class SnapshotTableSpec extends SparkTestBase {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(causes(ex2).forall(!_.contains("canonical copy-on-write upsert")),
+    assert(causes(ex2).forall(!_.contains("copy-on-write merges")),
       "the graft strategy must not claim non-graft targets")
+  }
+
+  test("SQL MERGE conditional actions: first-true-wins cascade, DELETE arm, no-action rows survive, one atomic commit") {
+    val wh = Files.createTempDirectory("graft_cat_mgc").toString
+    spark.conf.set("spark.sql.catalog.mgccat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgccat.warehouse", wh)
+    spark.sql("CREATE TABLE mgccat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val dir = s"$wh/db/t"
+    val t = SnapshotTable(dir)
+    t.commit(kv(0 until 400))
+    val v1 = t.compact(spark, files = 4, sortKey = Some(col("id")))
+    val before = dataLines(dir, v1)
+    // source: ids 10..19 (matched) + 1000..1004 (unmatched)
+    kv(10 until 20, "new").union(kv(1000 until 1005, "ins"))
+      .createOrReplaceTempView("mgc_src")
+    // cascade: delete even matched ids; update matched ids ending in
+    // 1 or 3; leave the other matched rows (15, 17, 19) UNCHANGED;
+    // insert only unmatched ids < 1003
+    spark.sql(
+      """MERGE INTO mgccat.db.t t USING mgc_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id % 2 = 0 THEN DELETE
+        |WHEN MATCHED AND s.id % 10 IN (1, 3) THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.id < 1003 THEN INSERT *""".stripMargin)
+    val v2 = t.currentVersion()
+    assert(v2 === v1 + 1, "conditional MERGE must land as ONE atomic commit")
+    val m = spark.sql("SELECT id, val FROM mgccat.db.t")
+      .as[(Long, String)].collect().toMap
+    // 400 base - 5 deleted (10,12,14,16,18) + 3 inserted (1000..1002)
+    assert(m.size === 398)
+    Seq(10L, 12L, 14L, 16L, 18L).foreach(i =>
+      assert(!m.contains(i), s"id $i must be deleted"))
+    Seq(11L, 13L).foreach(i =>
+      assert(m(i) === s"new$i", s"id $i must be updated"))
+    Seq(15L, 17L, 19L).foreach(i =>
+      assert(m(i) === s"a$i", s"id $i matched but no action fired — must survive unchanged"))
+    Seq(1000L, 1001L, 1002L).foreach(i =>
+      assert(m(i) === s"ins$i", s"id $i must be inserted"))
+    assert(!m.contains(1003L) && !m.contains(1004L),
+      "insert condition must gate unmatched rows")
+    // untouched files still carry by reference through the conditional path
+    val after = dataLines(dir, v2)
+    assert(before.intersect(after).size >= 2,
+      "untouched files must carry by reference, not be rewritten")
+    // pre-merge snapshot still time travels
+    assert(spark.sql(
+      s"SELECT val FROM mgccat.db.t VERSION AS OF $v1 WHERE id = 10")
+      .head.getString(0) === "a10")
+  }
+
+  test("SQL MERGE delete-only and insert-only arms; unreachable unconditional action refused") {
+    val wh = Files.createTempDirectory("graft_cat_mgd").toString
+    spark.conf.set("spark.sql.catalog.mgdcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgdcat.warehouse", wh)
+    spark.sql("CREATE TABLE mgdcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val t = SnapshotTable(s"$wh/db/t")
+    t.commit(kv(0 until 100))
+    kv(90 until 110, "x").createOrReplaceTempView("mgd_src")
+    // delete-only: matched rows 90..99 go; unmatched source rows do NOT
+    // insert (no insert arm)
+    spark.sql(
+      """MERGE INTO mgdcat.db.t t USING mgd_src s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val afterDelete = spark.sql("SELECT id FROM mgdcat.db.t")
+      .as[Long].collect().toSet
+    assert(afterDelete === (0L until 90L).toSet,
+      "delete-only merge must drop matched rows and insert nothing")
+    // insert-only: matched rows must NOT update
+    kv(80 until 95, "y").createOrReplaceTempView("mgd_src2")
+    spark.sql(
+      """MERGE INTO mgdcat.db.t t USING mgd_src2 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = spark.sql("SELECT id, val FROM mgdcat.db.t")
+      .as[(Long, String)].collect().toMap
+    assert(m(85L) === "a85", "insert-only merge must leave matched rows unchanged")
+    assert((90 until 95).forall(i => m(i.toLong) === s"y$i"))
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mgdcat.db.t t USING mgd_src2 s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE
+          |WHEN MATCHED AND s.id = 1 THEN UPDATE SET *""".stripMargin)
+    }
+    // Spark's own analyzer rejects this shape first
+    // (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION); the strategy's
+    // "unreachable" check stays as defense-in-depth behind it
+    assert(causes(ex).exists(m => m.contains("unreachable") ||
+        m.contains("NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION") ||
+        m.contains("only the last MATCHED clause can omit the condition")),
+      s"unconditional action before others must be refused: ${causes(ex).mkString(" | ")}")
   }
 
   test("SQL UPDATE: copy-on-write SET routes to updateWhere; only matching files rewrite") {
