@@ -715,7 +715,8 @@ final class SnapshotTable(root: String) {
   def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
             deleteCol: Option[String] = None,
             targetFiles: Int = 0,
-            expectedBase: Option[Long] = None): SnapshotTable.MergeResult = {
+            expectedBase: Option[Long] = None,
+            evolveSchema: Boolean = false): SnapshotTable.MergeResult = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val v = currentVersion()
@@ -729,14 +730,32 @@ final class SnapshotTable(root: String) {
         "landed after the delta was classified — re-run the merge"))
     val rels = listing(v)
     val zm = zoneMapsOf(v)
-    val schema = schemaOf(v)
+    val baseSchema = schemaOf(v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
-    val tableCols = schema.fieldNames.toSeq
+    val baseCols = baseSchema.fieldNames.toSeq
     val deltaCols = delta.columns.toSeq.filterNot(deleteCol.contains)
-    require(deltaCols.toSet == tableCols.toSet,
-      s"merge delta columns (${deltaCols.sorted.mkString(", ")}) must equal " +
-        s"table columns (${tableCols.sorted.mkString(", ")})")
+    // evolveSchema (MERGE ... WITH SCHEMA EVOLUTION): delta columns not
+    // in the table become new NULLABLE table columns in the SAME atomic
+    // commit — the widened DDL lands in the new manifest's #schema line,
+    // untouched files still carry by reference (cross-snapshot reads
+    // null-fill missing columns already), and time travel keeps the old
+    // shape because old manifests keep their old #schema.
+    val schema =
+      if (!evolveSchema) {
+        require(deltaCols.toSet == baseCols.toSet,
+          s"merge delta columns (${deltaCols.sorted.mkString(", ")}) must equal " +
+            s"table columns (${baseCols.sorted.mkString(", ")})")
+        baseSchema
+      } else {
+        require(baseCols.forall(deltaCols.contains),
+          s"schema-evolving merge delta (${deltaCols.sorted.mkString(", ")}) " +
+            s"must cover every table column (${baseCols.sorted.mkString(", ")})")
+        val extras = deltaCols.filterNot(baseCols.contains)
+        extras.foldLeft(baseSchema)((s, c) =>
+          s.add(delta.schema(c).copy(nullable = true)))
+      }
+    val tableCols = schema.fieldNames.toSeq
     require(keys.forall(tableCols.contains),
       s"merge keys ${keys.mkString(", ")} must be table columns")
 

@@ -686,6 +686,55 @@ class SnapshotTableSpec extends SparkTestBase {
       .head.getString(0) === "a10")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source column widens the schema in the same commit; time travel keeps old shapes") {
+    val wh = Files.createTempDirectory("graft_cat_mge").toString
+    spark.conf.set("spark.sql.catalog.mgecat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgecat.warehouse", wh)
+    spark.sql("CREATE TABLE mgecat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val dir = s"$wh/db/t"
+    val t = SnapshotTable(dir)
+    t.commit(kv(0 until 100))
+    val v1 = t.compact(spark, files = 4, sortKey = Some(col("id")))
+    val before = dataLines(dir, v1)
+    kv(90 until 95, "new")
+      .withColumn("score", col("id") * 10)
+      .union(kv(1000 until 1002, "ins").withColumn("score", col("id") * 10))
+      .createOrReplaceTempView("mge_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mgecat.db.t t USING mge_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v2 = t.currentVersion()
+    assert(v2 === v1 + 1, "evolving MERGE must widen + upsert in ONE commit")
+    val head = spark.sql("SELECT id, val, score FROM mgecat.db.t")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(head.size === 102)
+    // merged rows carry the new column; untouched base rows null-fill
+    assert(head(92L) === ((92L, "new92", Some(920L))))
+    assert(head(1001L) === ((1001L, "ins1001", Some(10010L))))
+    assert(head(5L) === ((5L, "a5", None)),
+      "pre-evolution rows must null-fill the new column")
+    // untouched files still carry by reference through evolution
+    assert(before.intersect(dataLines(dir, v2)).size >= 2,
+      "evolution must not rewrite untouched files")
+    // time travel: the old snapshot keeps the NARROW shape
+    val oldCols = spark.sql(s"SELECT * FROM mgecat.db.t VERSION AS OF $v1")
+      .columns.toSeq
+    assert(oldCols === Seq("id", "val"),
+      s"time travel must keep the pre-evolution shape, got $oldCols")
+    // conditional arm + evolution compose (classification path)
+    kv(0 until 3, "del").withColumn("score", lit(0L))
+      .createOrReplaceTempView("mge_src2")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mgecat.db.t t USING mge_src2 s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.id < 2 THEN DELETE""".stripMargin)
+    val ids = spark.sql("SELECT id FROM mgecat.db.t").as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(1L) && ids.contains(2L))
+  }
+
   test("SQL MERGE delete-only and insert-only arms; unreachable unconditional action refused") {
     val wh = Files.createTempDirectory("graft_cat_mgd").toString
     spark.conf.set("spark.sql.catalog.mgdcat",
