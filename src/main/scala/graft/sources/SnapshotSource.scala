@@ -48,13 +48,25 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   private case class Resolved(label: String, files: Seq[String],
                               manifestSchema: Option[StructType], dataDir: String,
                               zoneMaps: Map[String, ZoneMaps.FileStats],
-                              streamRoot: Option[String])
+                              streamRoot: Option[String],
+                              cdc: Boolean = false)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot requires the table root as the load path"))
     val t = SnapshotTable(root)
+    if (options.getBoolean("readChangeFeed", false)) {
+      // streaming change feed: a HEAD load whose scan is the CDC
+      // micro-batch stream (table columns + change stamps); batch CDC
+      // goes through SnapshotTable.readChangesCdc
+      val v = t.currentVersion()
+      val sch = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          s"readChangeFeed at $root needs a committed table schema"))
+      return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
+        t.dataDirPath, Map.empty, Some(root), cdc = true)
+    }
     val from = Option(options.get("changesFrom")).map(_.toLong)
     val to = Option(options.get("changesTo")).map(_.toLong)
     require(from.isDefined == to.isDefined,
@@ -91,20 +103,56 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val r = resolve(options)
-    tableFactory(options, r.label, r.dataDir, r.manifestSchema)(r.files).schema
+    if (r.cdc) SnapshotSource.cdcSchema(r.manifestSchema.get)
+    else tableFactory(options, r.label, r.dataDir, r.manifestSchema)(r.files).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val r = resolve(options)
-    new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
-      tableFactory(options, r.label, r.dataDir,
-        Option(schema).orElse(r.manifestSchema)), r.streamRoot)
+    if (r.cdc)
+      new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
+        tableFactory(options, r.label, r.dataDir, r.manifestSchema))
+    else
+      new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
+        tableFactory(options, r.label, r.dataDir,
+          Option(schema).orElse(r.manifestSchema)), r.streamRoot)
   }
 }
 
 object SnapshotSource {
+  /** The two metadata columns every change-feed row carries. */
+  private[sources] def cdcSchema(data: StructType): StructType = data
+    .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+    .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+
+  /** Connector table for the streaming change feed
+    * (`option("readChangeFeed", "true")`): schema = table columns +
+    * change stamps, capability = micro-batch read only (batch CDC is
+    * [[SnapshotTable.readChangesCdc]]). The delegate parquet factory
+    * carries the manifest schema pinned at load, so a mid-stream
+    * schema evolution keeps emitting the stream's declared shape. */
+  private[sources] final class CdcSnapshotTable(
+      root: String, dataSchema: StructType,
+      mk: Seq[String] => ParquetTable)
+      extends Table with SupportsRead {
+    private val shape = cdcSchema(dataSchema)
+    override def name(): String = s"graft_snapshot_cdc"
+    override def schema(): StructType = shape
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = shape
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new SnapshotCdcMicroBatchStream(root, shape,
+            fs => mk(fs).newScanBuilder(CaseInsensitiveStringMap.empty)
+              .build().toBatch)
+      }
+  }
+
   /** The resolved connector table for snapshot `v` of the table at
     * `root` — shared by the path provider above and [[SnapshotCatalog]].
     * `deletable` = true only for HEAD loads through the catalog: those

@@ -1,7 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A stream position in a [[SnapshotTable]]'s history: the last
   * snapshot version whose files have been emitted. The manifest's
@@ -74,10 +78,113 @@ final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch
 
   override def createReaderFactory(): PartitionReaderFactory = planned match {
     case null => // zero partitions planned: factory must exist, never runs
-      (_: InputPartition) => throw new IllegalStateException(
-        s"graft-snapshot stream at $root: reader requested for an empty batch")
+      EmptyBatchReaderFactory(root)
     case b => b.createReaderFactory()
   }
 
   override def toString: String = s"SnapshotMicroBatchStream($root)"
+}
+
+/** Stand-in factory for a zero-partition micro-batch: the engine
+  * requires a factory object even when no reader will ever be built,
+  * and it SERIALIZES it into the scan RDD — so this must be a
+  * standalone case class, never a lambda closing over the (non-
+  * serializable) stream. */
+final case class EmptyBatchReaderFactory(root: String) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    throw new IllegalStateException(
+      s"graft-snapshot stream at $root: reader requested for an empty batch")
+}
+
+/** A partition of a CDC micro-batch: the delegate parquet partition
+  * plus the constant change stamp its rows carry. */
+final case class CdcInputPartition(inner: InputPartition, changeType: String,
+                                   version: Long) extends InputPartition
+
+/** Wraps the delegate parquet reader factory: every row comes back joined
+  * with its partition's constant (_change_type, _commit_version) and
+  * re-projected to UnsafeRow so downstream operators can hold
+  * references across iterations. Row-based on purpose — the two
+  * appended constants don't justify building constant column vectors,
+  * and CDC consumers are sink-bound, not scan-bound. */
+final class CdcReaderFactory(inner: PartitionReaderFactory,
+                             cdcSchema: StructType)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val c = p.asInstanceOf[CdcInputPartition]
+    val r = inner.createReader(c.inner)
+    val meta = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(c.changeType), c.version))
+    val joined = new JoinedRow
+    val proj = UnsafeProjection.create(cdcSchema)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(joined(r.get(), meta))
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** STREAMING CHANGE FEED for [[SnapshotTable]] (round-9 verdict item
+  * 7) — the stream a downstream sync follows on an UPSERTING table:
+  *
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("readChangeFeed", "true").load(root)
+  *
+  * Each micro-batch emits the table's own columns plus `_change_type`
+  * ('insert' | 'delete') and `_commit_version`, derived per commit
+  * from the manifest's recorded `#op=` kind
+  * ([[SnapshotTable.cdcChunksBetween]]): appends stream as inserts
+  * (like the plain stream), copy-on-write merge/delete/update commits
+  * stream as delete rows for every removed file + insert rows for
+  * every added file (file-diff CDC — exactly state-reconstructing,
+  * volume proportional to the zone-map-touched data), compactions
+  * stream as nothing, and a replace still fails the stream (lineage
+  * break). The offset domain is the same monotone snapshot version as
+  * the append-only stream, so checkpoints replay exactly-once.
+  *
+  * A fresh CDC stream starts at the CURRENT head — it follows changes
+  * forward; bootstrap state with a batch `read()` (or
+  * `readChangesCdc`) first, the same split Delta's CDF makes. */
+final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
+                                        mkBatch: Seq[String] => Batch)
+    extends MicroBatchStream {
+
+  private val table = SnapshotTable(root)
+
+  private def ver(o: Offset): Long = o match {
+    case SnapshotVersionOffset(v) => v
+    case other => other.json().toLong
+  }
+
+  override def initialOffset(): Offset =
+    SnapshotVersionOffset(table.currentVersion())
+  override def latestOffset(): Offset = SnapshotVersionOffset(table.currentVersion())
+  override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  @volatile private var innerFactory: PartitionReaderFactory = _
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val chunks = table.cdcChunksBetween(ver(start), ver(end))
+    innerFactory = null
+    chunks.flatMap { case (files, ctype, v) =>
+      val b = mkBatch(files)
+      val parts = b.planInputPartitions()
+      // the delegate factories are config-identical across chunks
+      // (same schema, no pushdown in a stream): keep the first
+      if (innerFactory == null && parts.nonEmpty)
+        innerFactory = b.createReaderFactory()
+      parts.map(p => CdcInputPartition(p, ctype, v): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = innerFactory match {
+    case null => EmptyBatchReaderFactory(root)
+    case f => new CdcReaderFactory(f, cdcSchema)
+  }
+
+  override def toString: String = s"SnapshotCdcMicroBatchStream($root)"
 }

@@ -84,6 +84,17 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
 
+  /** The commit KIND recorded with snapshot `v` (`#op=` — append |
+    * replace | compact | merge | delete | update; absent on manifests
+    * that predate the marker). CDC reads use it to decide whether a
+    * file-set rewrite carries logical changes (merge/delete/update →
+    * delete+insert rows), none (compact), or breaks the lineage
+    * (replace). */
+  private[sources] def opOf(v: Long): Option[String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) None
+    else Files.readAllLines(manifestPath(v)).asScala
+      .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+
   /** The schema DDL recorded with snapshot `v` (commits since the
     * schema line shipped; absent on older manifests). */
   private def schemaOf(v: Long): Option[String] =
@@ -323,6 +334,83 @@ final class SnapshotTable(root: String) {
     }
   }
 
+  /** The CDC file chunks between `from` (exclusive) and `to`
+    * (inclusive): for each version, which files carry `insert` rows
+    * and which carry `delete` rows, decided by the commit's recorded
+    * `#op=` kind (round-9 verdict item 7 — a downstream sync can now
+    * follow an UPSERTING table, not just an append lineage):
+    *
+    *  - `append` → added files are inserts;
+    *  - `merge` / `delete` / `update` (copy-on-write rewrites) →
+    *    files REMOVED from the listing replay as delete rows, files
+    *    ADDED replay as insert rows. This is file-diff CDC (Delta's
+    *    CDF semantics without change files): an upsert of key k
+    *    appears as delete(old row) + insert(new row); carried-along
+    *    rows in a rewritten file appear as a delete+insert pair too —
+    *    coarse but exactly state-reconstructing, and the zone-map
+    *    touch discipline keeps rewritten files (hence CDC volume)
+    *    proportional to the touched data;
+    *  - `compact` → no change rows (content-identical by contract);
+    *  - `replace` (or a pre-marker rewrite) → REFUSED: the lineage is
+    *    broken, re-bootstrap the consumer.
+    *
+    * O(manifest) driver work; the reads themselves are ordinary
+    * distributed parquet scans of only the changed files. */
+  private[sources] def cdcChunksBetween(from: Long, to: Long)
+      : Seq[(Seq[String], String, Long)] = {
+    require(from <= to, s"CDC range inverted: $from > $to")
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    (math.max(from, -1L) + 1 to to).flatMap { v =>
+      val before = listing(v - 1)
+      val after = listing(v)
+      val added = after.filterNot(before.toSet)
+      val removed = before.filterNot(after.toSet)
+      val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
+      op match {
+        case "compact" => Seq.empty
+        case "append" | "replace" | "bucketed" if removed.isEmpty =>
+          // replace onto an empty lineage (first commit) is an append
+          if (added.isEmpty) Seq.empty
+          else Seq((added.map(abs), "insert", v))
+        case "merge" | "delete" | "update" =>
+          Seq((removed.map(abs), "delete", v), (added.map(abs), "insert", v))
+            .filter(_._1.nonEmpty)
+        case other => throw new IllegalStateException(
+          s"CDC at $root: version $v is a '$other' commit that rewrites " +
+            s"${removed.size} files — the change feed is undefined across " +
+            "a replace; re-bootstrap the consumer from a fresh snapshot")
+      }
+    }
+  }
+
+  /** Batch CHANGE-DATA-FEED read: every row change between snapshot
+    * `from` (exclusive) and `to` (inclusive), stamped with
+    * `_change_type` ('insert' | 'delete') and `_commit_version`. See
+    * [[cdcChunksBetween]] for which commits produce what. Reads use
+    * `to`'s manifest schema, so changes across a schema evolution
+    * surface in the evolved shape (old files null-fill). */
+  def readChangesCdc(spark: SparkSession, from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = schemaOf(to)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+    val chunks = cdcChunksBetween(from, to)
+    val empty = {
+      val withMeta = schema
+        .add("_change_type", "string", nullable = false)
+        .add("_commit_version", "long", nullable = false)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
+    }
+    chunks.map { case (files, ctype, v) =>
+      spark.read.schema(schema)
+        .option("basePath", dataDirPath)
+        .parquet(files: _*)
+        .withColumn("_change_type", lit(ctype))
+        .withColumn("_commit_version", lit(v))
+    }.foldLeft(empty)(_ unionByName _)
+  }
+
   /** Commit `df` as the next snapshot: append (new files + previous
     * listing) or replace (new files only). Returns the committed
     * version. Data lands invisible first; visibility is the atomic
@@ -494,7 +582,8 @@ final class SnapshotTable(root: String) {
                        maxRetries: Int, tag: Option[String],
                        bucketing: Option[(String, Int)] = None,
                        bloomKeys: Seq[String] = Nil,
-                       bloomItems: Int = 10000): Option[Long] = {
+                       bloomItems: Int = 10000,
+                       op: Option[String] = None): Option[Long] = {
     val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing, bloomKeys, bloomItems)
 
     var attempt = 0
@@ -529,7 +618,8 @@ final class SnapshotTable(root: String) {
         }
         val full = tag.map(t => s"#tag=$t").toSeq ++
           Seq(s"#schema=${df.schema.toDDL}",
-            s"#ts=${System.currentTimeMillis()}") ++
+            s"#ts=${System.currentTimeMillis()}",
+            s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
           bucketLines ++
           (if (replace) zmNew else zmLines(head) ++ zmNew) ++
           (if (replace) newFiles else listing(head) ++ newFiles)
@@ -577,7 +667,8 @@ final class SnapshotTable(root: String) {
           .sortWithinPartitions(ck).drop(ck)
       case None => cur.repartition(files)
     }
-    commit(arranged, replace = true)
+    doCommit(arranged, replace = true, op = Some("compact"),
+      maxRetries = 20, tag = None).get
   }
 
   /** Compaction POLICY: rewrite only when the current snapshot
@@ -790,7 +881,7 @@ final class SnapshotTable(root: String) {
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
     val lines = Seq(s"#schema=${schema.toDDL}",
-        s"#ts=${System.currentTimeMillis()}") ++
+        s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
       zmKept ++ zmNew ++ untouched ++ newFiles
     if (!publish(v + 1, lines)) {
       SnapshotTable.deleteRecursively(out)
@@ -873,7 +964,7 @@ final class SnapshotTable(root: String) {
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
     val lines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
-      Seq(s"#ts=${System.currentTimeMillis()}") ++
+      Seq(s"#ts=${System.currentTimeMillis()}", "#op=delete") ++
       zmKept ++ zmNew ++ untouched ++ newFiles
     if (!publish(v + 1, lines)) {
       out.foreach(SnapshotTable.deleteRecursively)
@@ -984,7 +1075,7 @@ final class SnapshotTable(root: String) {
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
     val lines = Seq(s"#schema=${sch.toDDL}",
-        s"#ts=${System.currentTimeMillis()}") ++
+        s"#ts=${System.currentTimeMillis()}", "#op=update") ++
       zmKept ++ zmNew ++ untouched ++ newFiles
     if (!publish(v + 1, lines)) {
       SnapshotTable.deleteRecursively(out)

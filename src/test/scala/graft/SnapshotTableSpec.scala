@@ -284,6 +284,77 @@ class SnapshotTableSpec extends SparkTestBase {
       s"a fresh stream must read the evolved schema, got ${shapes2.asScala.toSeq}")
   }
 
+  test("change feed: a merge commit streams as paired delete+insert rows with its version stamp") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 20))
+    val vBase = t.currentVersion()
+    val ck = Files.createTempDirectory("graft_cdc_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("id", "val", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      // the CDC stream follows changes FORWARD from the head: the
+      // bootstrap emits nothing
+      q.processAllAvailable()
+      assert(got.isEmpty, "a fresh change feed must not replay history")
+      // an append streams as inserts
+      t.commit(kv(20 until 23))
+      val vApp = t.currentVersion()
+      // a copy-on-write merge streams as delete+insert pairs
+      t.merge(spark, kv(0 until 2, "new").union(kv(100 until 101, "ins")),
+        Seq("id"))
+      val vMerge = t.currentVersion()
+      // a compaction is a logical no-op: no change rows
+      t.compact(spark, files = 2)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      val appendRows = rows.filter(_._4 == vApp)
+      assert(appendRows.map(r => (r._1, r._3)).sorted ===
+        Seq((20L, "insert"), (21L, "insert"), (22L, "insert")))
+      val mergeRows = rows.filter(_._4 == vMerge)
+      // the UPSERT of key 0: old row out, new row in — the PAIR a
+      // downstream sync applies, both stamped with the merge version
+      assert(mergeRows.contains((0L, "a0", "delete", vMerge)),
+        s"missing the delete half of the upsert pair in $mergeRows")
+      assert(mergeRows.contains((0L, "new0", "insert", vMerge)),
+        s"missing the insert half of the upsert pair in $mergeRows")
+      assert(mergeRows.contains((100L, "ins100", "insert", vMerge)))
+      assert(!mergeRows.exists(r => r._1 == 100L && r._3 == "delete"),
+        "a pure insert must not emit a delete half")
+      // carried-along rows in rewritten files replay as no-op pairs:
+      // every delete has a matching insert, so state reconstructs
+      val del = mergeRows.filter(_._3 == "delete").map(_._1).sorted
+      val ins = mergeRows.filter(r => r._3 == "insert" && r._1 != 100L)
+        .map(_._1).sorted
+      assert(del === ins, "delete/insert halves must pair up per key")
+      // nothing was stamped with the compaction's version
+      assert(rows.map(_._4).toSet.subsetOf(Set(vApp, vMerge)),
+        s"compaction must emit no change rows, got versions ${rows.map(_._4).toSet}")
+    } finally q.stop()
+    // batch change feed over the same range agrees with the stream
+    val batch = t.readChangesCdc(spark, vBase, vBase + 2)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    import scala.jdk.CollectionConverters._
+    assert(batch === got.asScala.toSet,
+      "batch readChangesCdc must equal the streamed change rows")
+    // the feed still refuses a replace (lineage break)
+    t.commit(kv(0 until 5), replace = true)
+    val ex = intercept[Exception] {
+      t.readChangesCdc(spark, vBase, t.currentVersion()).count()
+    }
+    assert(ex.getMessage.contains("replace"),
+      s"a replace must refuse the change feed, got: ${ex.getMessage}")
+  }
+
   test("SQL: time travel keeps pre-evolution shape; ALTER TABLE is the refusal path") {
     val wh = Files.createTempDirectory("graft_cat_evo").toString
     spark.conf.set("spark.sql.catalog.snapevo",
