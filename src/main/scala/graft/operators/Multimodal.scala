@@ -180,6 +180,65 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    /** Encode a TRUECOLOR PNG (color type 2 = RGB or 6 = RGBA, 8-bit):
+      * scanline y uses filter y % 5, so a decode exercises ALL FIVE
+      * filter reversals (including average and paeth, which the gray
+      * encoder's none/sub/up cycle never emitted) at the color bpp
+      * stride. `px(x, y)` returns packed 0xAARRGGBB; alpha rides only
+      * when `withAlpha`. PNG is lossless, so any filter choice
+      * round-trips exactly — the filter-cycling exactness trick that
+      * lets the q_png_color oracle recompute decoded pixels
+      * arithmetically while the payload stays a real multi-filter
+      * deflate stream. */
+    def encodePngColor(w: Int, h: Int, px: (Int, Int) => Int,
+                       withAlpha: Boolean): Array[Byte] = {
+      val bpp = if (withAlpha) 4 else 3
+      val rowBytes = w * bpp
+      val raw = new Array[Byte](h * (1 + rowBytes))
+      var prev: Array[Int] = null
+      (0 until h).foreach { y =>
+        val row = new Array[Int](rowBytes)
+        (0 until w).foreach { x =>
+          val v = px(x, y)
+          row(x * bpp) = (v >> 16) & 0xff
+          row(x * bpp + 1) = (v >> 8) & 0xff
+          row(x * bpp + 2) = v & 0xff
+          if (withAlpha) row(x * bpp + 3) = (v >>> 24) & 0xff
+        }
+        val f = y % 5
+        raw(y * (1 + rowBytes)) = f.toByte
+        (0 until rowBytes).foreach { k =>
+          val left = if (k >= bpp) row(k - bpp) else 0
+          val up = if (prev != null) prev(k) else 0
+          val ul = if (k >= bpp && prev != null) prev(k - bpp) else 0
+          val v = f match {
+            case 0 => row(k)
+            case 1 => row(k) - left
+            case 2 => row(k) - up
+            case 3 => row(k) - (left + up) / 2
+            case _ => row(k) - paeth(left, up, ul)
+          }
+          raw(y * (1 + rowBytes) + 1 + k) = (v & 0xff).toByte
+        }
+        prev = row
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h)
+      ihdr.put(8.toByte) // bit depth
+      ihdr.put((if (withAlpha) 6 else 2).toByte) // color type
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     /** Encode a 24-bit uncompressed BMP with r = g = b = luma (so
       * decoded integer luma is exactly the input), rows bottom-up,
       * 4-byte padded. */
@@ -209,11 +268,19 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    private def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
+    /** Chunk walk + zlib inflate + bpp-STRIDE filter reversal shared
+      * by the gray and truecolor decodes (round-9 verdict item 3): PNG
+      * filters operate per BYTE with "left" meaning the same byte one
+      * PIXEL back (`idx - bpp`), so the exact same none/sub/up/avg/
+      * paeth reversal covers color type 0 (bpp 1), 2 (RGB, bpp 3) and
+      * 6 (RGBA, bpp 4) once the stride is a parameter. Returns the
+      * unfiltered scanline bytes (no per-row filter tags). 8-bit,
+      * non-interlaced only; anything else → None (corrupt-is-data). */
+    private def decodePngRaw(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       def be32(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
         ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
       var i = 8
-      var w = 0; var h = 0; var depth = 0; var colorType = -1
+      var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
       val idat = new java.io.ByteArrayOutputStream()
       while (i + 8 <= p.length) {
         val len = be32(i)
@@ -223,14 +290,22 @@ object Multimodal {
           case "IHDR" =>
             w = be32(i + 8); h = be32(i + 12)
             depth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
+            interlace = p(i + 20) & 0xff
           case "IDAT" => idat.write(p, i + 8, len)
           case _ => ()
         }
         i += 12 + len // length + type + data + crc
       }
-      if (w <= 0 || h <= 0 || depth != 8 || colorType != 0) return None
+      val bpp = colorType match {
+        case 0 => 1 // grayscale
+        case 2 => 3 // truecolor
+        case 6 => 4 // truecolor + alpha
+        case _ => return None // palette/gray-alpha/16-bit: refused
+      }
+      if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+      val stride = 1 + w * bpp
       val inf = new java.util.zip.Inflater()
-      val raw = new Array[Byte](h * (1 + w))
+      val raw = new Array[Byte](h * stride)
       // end() in finally: the early error returns below must not leak
       // the native zlib context — a corrupt-heavy corpus would
       // otherwise accumulate one per bad row until finalization
@@ -245,26 +320,66 @@ object Multimodal {
         o
       } finally inf.end()
       if (off != raw.length) return None
-      val out = new Array[Int](w * h)
+      val out = new Array[Byte](w * h * bpp)
+      val rowBytes = w * bpp
       (0 until h).foreach { y =>
-        val f = raw(y * (1 + w)) & 0xff
-        (0 until w).foreach { x =>
-          val v = raw(y * (1 + w) + 1 + x) & 0xff
-          val left = if (x > 0) out(y * w + x - 1) else 0
-          val up = if (y > 0) out((y - 1) * w + x) else 0
-          val ul = if (x > 0 && y > 0) out((y - 1) * w + x - 1) else 0
-          out(y * w + x) = (f match {
+        val f = raw(y * stride) & 0xff
+        (0 until rowBytes).foreach { k =>
+          val v = raw(y * stride + 1 + k) & 0xff
+          val left = if (k >= bpp) out(y * rowBytes + k - bpp) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * rowBytes + k) & 0xff else 0
+          val ul = if (k >= bpp && y > 0) out((y - 1) * rowBytes + k - bpp) & 0xff else 0
+          out(y * rowBytes + k) = ((f match {
             case 0 => v
             case 1 => v + left
             case 2 => v + up
             case 3 => v + (left + up) / 2
             case 4 => v + paeth(left, up, ul)
             case _ => return None
-          }) & 0xff
+          }) & 0xff).toByte
         }
       }
-      Some((w, h, out))
+      Some((w, h, bpp, out))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePngRaw(p).map { case (w, h, bpp, bytes) =>
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          out(i) = bpp match {
+            case 1 => bytes(i) & 0xff
+            case _ =>
+              val at = i * bpp
+              (299 * (bytes(at) & 0xff) + 587 * (bytes(at + 1) & 0xff) +
+                114 * (bytes(at + 2) & 0xff)) / 1000
+          }
+          i += 1
+        }
+        (w, h, out)
+      }
+
+    /** PNG color decode → packed 0xRRGGBB (alpha dropped after the
+      * filter reversal — its bytes still participate in the bpp-4
+      * stride, so a wrong stride corrupts the color channels and fails
+      * the exactness gate). Grayscale decodes as r = g = b. */
+    private[operators] def decodePngColor(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePngRaw(p).map { case (w, h, bpp, bytes) =>
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          out(i) = bpp match {
+            case 1 =>
+              val v = bytes(i) & 0xff; (v << 16) | (v << 8) | v
+            case _ =>
+              val at = i * bpp
+              ((bytes(at) & 0xff) << 16) | ((bytes(at + 1) & 0xff) << 8) |
+                (bytes(at + 2) & 0xff)
+          }
+          i += 1
+        }
+        (w, h, out)
+      }
 
     private def decodeBmp(p: Array[Byte]): Option[(Int, Int, Array[Int])] = try {
       val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -291,12 +406,46 @@ object Multimodal {
 
     /** Sniff + decode: (width, height, row-major top-down luma), or
       * None for anything unrecognized/corrupt. JPEG routes to the
-      * baseline sequential DCT+Huffman decoder ([[JpegCodec]]). */
+      * baseline sequential DCT+Huffman decoder ([[JpegCodec]]); color
+      * PNGs land as integer luma (299r + 587g + 114b) / 1000 like BMP. */
     def decode(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
       if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePng(p)
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
       else if (p.length >= 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8)
         JpegCodec.decode(p)
+      else None
+
+    /** Sniff + COLOR decode: (width, height, packed 0xRRGGBB rows).
+      * PNG color types 0/2/6 decode natively; JPEG routes to
+      * [[JpegCodec.decodeColor]]; BMP 24-bit returns its BGR bytes
+      * repacked. */
+    def decodeColor(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') decodePngColor(p)
+      else if (p.length >= 2 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8)
+        JpegCodec.decodeColor(p)
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') try {
+        val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getInt(10); val w = bb.getInt(18); val hRaw = bb.getInt(22)
+        val bpp = bb.getShort(28).toInt; val compression = bb.getInt(30)
+        if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) None
+        else {
+          val h = math.abs(hRaw)
+          val rowSize = ((w * 3 + 3) / 4) * 4
+          if (off + rowSize * h > p.length) None
+          else {
+            val out = new Array[Int](w * h)
+            (0 until h).foreach { y =>
+              val srcRow = if (hRaw > 0) h - 1 - y else y
+              (0 until w).foreach { x =>
+                val at = off + srcRow * rowSize + x * 3
+                out(y * w + x) = ((p(at + 2) & 0xff) << 16) |
+                  ((p(at + 1) & 0xff) << 8) | (p(at) & 0xff)
+              }
+            }
+            Some((w, h, out))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
       else None
   }
 
@@ -345,6 +494,29 @@ object Multimodal {
         ((3 * id + 23 * mx + 29 * my) % 256).toInt)
     }
     JpegCodec.encodeColor(w, h, ycc, chroma420 = id % 2 == 0)
+  }
+
+  /** TRUECOLOR PNG sibling of [[syntheticPixelImage]] (round-9 verdict
+    * item 3): per-pixel channel rules r = (7·id + 3x + 5y) % 256,
+    * g = (11·id + 5x + 7y) % 256, b = (13·id + 7x + 11y) % 256 — the
+    * q_png_color oracle recomputes them arithmetically (PNG is
+    * lossless, so the decode must be pixel-EXACT through all five
+    * cycling scanline filters). Even ids are color type 2 (RGB), odd
+    * ids color type 6 (RGBA, alpha = (17·id + x + y) % 256 — dropped
+    * from the packed output but load-bearing in the bpp-4 filter
+    * stride). Widths are deliberately odd-capable (7 + id % 9) so the
+    * stride math never hides behind round dimensions. */
+  def syntheticColorPngImage(id: Long): Array[Byte] = {
+    val w = 7 + (id % 9).toInt
+    val h = 5 + (id % 6).toInt
+    def px(x: Int, y: Int): Int = {
+      val r = ((7 * id + 3 * x + 5 * y) % 256).toInt
+      val g = ((11 * id + 5 * x + 7 * y) % 256).toInt
+      val b = ((13 * id + 7 * x + 11 * y) % 256).toInt
+      val a = ((17 * id + x + y) % 256).toInt
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    PixelCodec.encodePngColor(w, h, px, withAlpha = id % 2 == 1)
   }
 
   /** q_jpeg_progressive's per-doc kernel: deterministic SMOOTH RGB
@@ -426,7 +598,7 @@ object Multimodal {
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        JpegCodec.decodeColor(payload).map { case (w, h, rgb) =>
+        PixelCodec.decodeColor(payload).map { case (w, h, rgb) =>
           DecodedRgb(id, w, h, rgb)
         }
       }).toDF()

@@ -1846,6 +1846,40 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 TRUECOLOR PNG DECODE (round-9 verdict item 3) — the lossless
+    // color leg: per-doc payloads are genuine truecolor PNGs (even ids
+    // RGB type 2, odd ids RGBA type 6 with a load-bearing alpha byte
+    // in the filter stride) whose scanlines cycle ALL FIVE filters
+    // (none/sub/up/average/paeth — the gray corpus never emitted
+    // avg/paeth), deflate-compressed for real. PNG is lossless, so the
+    // decode is pixel-EXACT and the oracle recomputes every channel
+    // arithmetically from the synthesis rule; the channel-weighted
+    // position checksum pins placement and channel order exactly as in
+    // q_jpeg_color. Scale shape identical: per-partition decode after
+    // a compute repartition, one (doc)-keyed aggregate.
+    "q_png_color" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticColorPngImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeRgb(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("rgb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("px div 65536").cast("long").as("r"),
+          expr("px div 256 % 256").cast("long").as("g"),
+          expr("px % 256").cast("long").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum("r").as("r_sum"), sum("g").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(r * 4 + g * 2 + b) * (pos + 1)")).as("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // E6 PROGRESSIVE JPEG DECODE — the SOF2 leg (spectral selection,
     // successive approximation, EOB-run AC scans, non-interleaved
     // true-block-grid geometry): per-doc payloads are REAL multi-scan
@@ -3485,6 +3519,28 @@ object VectorOps {
         |    LEAST(GREATEST((1000000 * yv + 1772000 * (cb - 128)
         |      + 500000) // 1000000, 0), 255) AS b
         |  FROM ycc)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // lossless codec ⇒ fully arithmetic oracle: every decoded channel
+    // value is the synthesis rule itself, so ANY filter-reversal,
+    // stride, or channel-order defect hash-mismatches
+    "q_png_color" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 7 + doc_id % 9 AS w, 5 + doc_id % 6 AS h
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 16) t(x)),
+        |ys AS (SELECT y FROM range(0, 11) t(y)),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, ys.y * d.w + xs.x AS pos,
+        |    (7 * d.doc_id + 3 * xs.x + 5 * ys.y) % 256 AS r,
+        |    (11 * d.doc_id + 5 * xs.x + 7 * ys.y) % 256 AS g,
+        |    (13 * d.doc_id + 7 * xs.x + 11 * ys.y) % 256 AS b
+        |  FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h)
         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  COUNT(*) AS n_px,
         |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,

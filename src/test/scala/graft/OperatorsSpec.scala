@@ -288,6 +288,52 @@ class OperatorsSpec extends SparkTestBase {
     assert(VideoCodec.decodeAvi(lying) === None, "frame length must match avih dims")
   }
 
+  test("PixelCodec truecolor PNG: RGB/RGBA roundtrip exact; ImageIO agrees both directions") {
+    import graft.operators.Multimodal.PixelCodec
+    val rnd = new scala.util.Random(7)
+    // roundtrip on RANDOM pixels (incompressible content exercises the
+    // deflate path; odd widths exercise the bpp stride), both color
+    // types — the five cycling filters all reverse exactly
+    Seq((13, 7, false), (16, 11, false), (13, 7, true), (9, 6, true))
+      .foreach { case (w, h, alpha) =>
+        val img = Array.tabulate(h, w)((_, _) => rnd.nextInt() & 0xffffffff.toInt)
+        def px(x: Int, y: Int) = img(y)(x)
+        val enc = PixelCodec.encodePngColor(w, h, px, alpha)
+        val Some((dw, dh, rgb)) = PixelCodec.decodeColor(enc)
+        assert((dw, dh) === ((w, h)))
+        assert(rgb.toSeq === img.flatten.toSeq.map(_ & 0xffffff),
+          s"color png roundtrip $w x $h alpha=$alpha")
+        // the JDK's INDEPENDENT decoder agrees on our payload
+        val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+        assert(bi.getWidth === w && bi.getHeight === h)
+        val viaImageIo = for (y <- 0 until h; x <- 0 until w)
+          yield bi.getRGB(x, y) & 0xffffff
+        assert(rgb.toSeq === viaImageIo, s"ImageIO cross-check $w x $h alpha=$alpha")
+      }
+    // ...and our decoder agrees on the JDK's INDEPENDENT encode (its
+    // own filter heuristics, not our cycling pattern)
+    val (w, h) = (21, 13)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val want = for (y <- 0 until h; x <- 0 until w) yield {
+      val v = rnd.nextInt() & 0xffffff
+      bi.setRGB(x, y, v); v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val Some((dw, dh, rgb)) = PixelCodec.decodeColor(bos.toByteArray)
+    assert((dw, dh) === ((w, h)))
+    assert(rgb.toSeq === want, "decode of an ImageIO-encoded color PNG")
+    // luma projection of a color PNG follows the integer BT.601 rule
+    val Some((_, _, lum)) = PixelCodec.decode(bos.toByteArray)
+    assert(lum.toSeq === want.map(v =>
+      (299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)) / 1000))
+    // synthetic catalog payloads decode under both projections
+    val sc = graft.operators.Multimodal.syntheticColorPngImage(11L)
+    assert(PixelCodec.decodeColor(sc).exists(_._3.nonEmpty))
+    assert(PixelCodec.decode(sc).exists(_._3.nonEmpty))
+  }
+
   test("PixelCodec: PNG/BMP roundtrip exact on random pixels; all PNG filters reverse; corrupt → None") {
     import graft.operators.Multimodal.PixelCodec
     val rnd = new scala.util.Random(42)
