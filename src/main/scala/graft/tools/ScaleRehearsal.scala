@@ -182,6 +182,17 @@ object ScaleRehearsal {
     "q_jpeg_color" -> Seq("documents"),
     "q_jpeg_progressive" -> Seq("documents"),
     "q_approx_distinct" -> Seq("events"),
+    // round-10: q_png_color is the q_jpeg_color shape for the lossless
+    // codec (per-row encode+decode after the compute repartition,
+    // embarrassingly parallel; payloads derive from the offset doc_id
+    // so deflate content stays distribution-constant under replicas).
+    // The transactional additions (conditional MERGE, evolving merge,
+    // CDC feed) are rehearsed by graft.tools.SnapshotRehearsal — their
+    // fixtures are key-bounded catalog queries here, so the replica
+    // recipe can't scale them; SnapshotRehearsal measures the actual
+    // contract on both axes (fixed delta × growing table ⇒ flat;
+    // growing delta ⇒ linear).
+    "q_png_color" -> Seq("documents"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies
     // while its probe join stays fixed at 3 docs; q_minhash_est pays
