@@ -60,6 +60,19 @@ import graft.sources.{GraftMergeable, SnapshotTable}
   *    (`expectedBase`), so a commit racing the classification refuses
   *    deterministically instead of publishing a stale rewrite.
   *
+  * Assignments are general (round 10): `UPDATE SET col = <expr>` may
+  * assign any SUBSET of columns with arbitrary subquery-free
+  * expressions over both sides (`SET val = concat(t.val, s.val)`),
+  * because the classification join already carries the matched TARGET
+  * row — unassigned columns keep their target values. `INSERT (cols)
+  * VALUES (exprs)` may likewise be partial (source-scope expressions;
+  * unassigned columns insert NULL). A star arm (`SET *` / `INSERT *`)
+  * is detected structurally (full-cover bare same-name attributes)
+  * and under schema evolution lets the evolved extras take the
+  * source's values, while an explicit partial arm leaves extras NULL
+  * — "star means take the source row, partial means only what I
+  * said".
+  *
   * `MERGE WITH SCHEMA EVOLUTION INTO` (round-9 verdict item 4) accepts
   * a source whose columns are a SUPERSET of the table's: the extras
   * become new nullable table columns in the same atomic commit —
@@ -72,12 +85,21 @@ import graft.sources.{GraftMergeable, SnapshotTable}
   * travel keeps old shapes because old manifests keep their own
   * `#schema` lines.
   *
-  * Partial-column SET and NOT MATCHED BY SOURCE remain rejected with
-  * an explicit error (a partial SET needs the matched row's old values
-  * woven into the delta, which [[SnapshotTable.merge]]'s whole-row
-  * contract does not express). Non-graft targets fall through
-  * untouched (`Nil`) to Spark's own handling.
+  * NOT MATCHED BY SOURCE remains rejected with an explicit error (its
+  * semantics are inherently O(table) — every target row must be
+  * tested for absence from the source — which deserves an explicit
+  * opt-in shape rather than a silently expensive one). Non-graft
+  * targets fall through untouched (`Nil`) to Spark's own handling.
   */
+/** One compiled MERGE action arm: the (rebound) condition, whether it
+  * deletes, its SET/VALUES assignments as (targetCol, rebound value
+  * expression), and whether it is structurally a star expansion
+  * (full-cover bare same-name source attributes) — which decides how
+  * schema-evolved extra columns behave (star takes the source value,
+  * partial leaves NULL). */
+final case class MergeArm(cond: Option[Expression], isDelete: Boolean,
+                          set: Seq[(String, Expression)], starLike: Boolean)
+
 object MergeIntoSnapshotStrategy extends SparkStrategy {
 
   /** Rename prefixes for the classification join's two namespaces —
@@ -94,9 +116,11 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
     throw new UnsupportedOperationException(
       "MERGE INTO a graft-snapshot table supports copy-on-write " +
         "merges — ON an AND of target.k = source.k equi-keys, WHEN " +
-        "MATCHED [AND cond] THEN UPDATE SET * or DELETE (first true " +
-        "condition wins, unconditional action last), WHEN NOT MATCHED " +
-        "[AND cond] THEN INSERT *, source columns = table columns. " +
+        "MATCHED [AND cond] THEN UPDATE SET ... (full or partial, " +
+        "subquery-free expressions over both sides) or DELETE (first " +
+        "true condition wins, unconditional action last), WHEN NOT " +
+        "MATCHED [AND cond] THEN INSERT (full or partial, source-side " +
+        "expressions), source columns covering the table's. " +
         s"Unsupported here: $why")
 
   /** The connector table behind the target, whether the optimizer has
@@ -131,30 +155,19 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
               fail(s"ON term `${other.sql}` (need target.k = source.k, same name)")
           }
 
-          // what SET * / INSERT * resolve to: one bare source attribute
-          // per target column, covering every column
-          def checkAssignments(what: String, as: Seq[Assignment]): Unit = {
-            val assigned = as.map {
-              case Assignment(k: AttributeReference, v: AttributeReference)
-                  if tOut.contains(k) && sOut.contains(v) &&
-                    k.name.equalsIgnoreCase(v.name) => k.name
-              case a =>
-                fail(s"$what assignment `${a.sql}` (need target.col = source.col, same name)")
-            }
-            val missing = m.targetTable.output.map(_.name)
-              .filterNot(n => assigned.exists(_.equalsIgnoreCase(n)))
-            if (missing.nonEmpty)
-              fail(s"$what must cover every table column (missing: ${missing.mkString(", ")})")
-          }
-          // conditions get re-bound by NAME into the classification
-          // join's prefixed namespaces (target cols → __graft_t__c,
-          // source cols → __graft_s__c); subqueries and out-of-scope
-          // references are refused here, at plan time
-          def rebind(e: Expression, what: String): Expression = {
+          // conditions and assignment values get re-bound by NAME into
+          // the classification join's prefixed namespaces (target cols
+          // → __graft_t__c, source cols → __graft_s__c); subqueries
+          // and out-of-scope references are refused here, at plan time
+          def rebind(e: Expression, what: String,
+                     sourceOnly: Boolean = false): Expression = {
             if (e.exists(_.isInstanceOf[SubqueryExpression]))
               fail(s"$what carries a subquery")
             e.transform {
               case a: AttributeReference if tOut.contains(a) =>
+                if (sourceOnly)
+                  fail(s"$what references target column `${a.name}` " +
+                    "(a NOT MATCHED arm has no target row)")
                 UnresolvedAttribute.quoted(TPfx + a.name)
               case a: AttributeReference if sOut.contains(a) =>
                 UnresolvedAttribute.quoted(SPfx + a.name)
@@ -162,34 +175,73 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
                 fail(s"$what references `${a.name}` from outside the merge scope")
             }
           }
+          // general assignments: any subset of top-level target
+          // columns, arbitrary subquery-free value expressions;
+          // starLike = the full-cover bare same-name form SET */
+          // INSERT * expands to (decides how schema-evolved extras
+          // behave — star takes the source row, partial only what was
+          // said)
+          def compileSet(what: String, as: Seq[Assignment],
+                         sourceOnly: Boolean): (Seq[(String, Expression)], Boolean) = {
+            val set = as.map {
+              case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
+                k.name -> rebind(v, s"$what SET ${k.name}", sourceOnly)
+              case a =>
+                fail(s"$what assignment target `${a.key.sql}` is not a " +
+                  "top-level table column")
+            }
+            val dup = set.groupBy(_._1.toLowerCase)
+              .collect { case (n, xs) if xs.size > 1 => n }
+            if (dup.nonEmpty) fail(s"$what assigns ${dup.mkString(", ")} more than once")
+            val starLike = as.forall {
+              case Assignment(k: AttributeReference, v: AttributeReference) =>
+                sOut.contains(v) && k.name.equalsIgnoreCase(v.name)
+              case _ => false
+            } && m.targetTable.output.map(_.name.toLowerCase).toSet ==
+              set.map(_._1.toLowerCase).toSet
+            (set, starLike)
+          }
           val nMatched = m.matchedActions.size
-          val matched: Seq[(Option[Expression], Boolean)] =
+          val matched: Seq[MergeArm] =
             m.matchedActions.zipWithIndex.map {
               case (ua: UpdateAction, i) =>
-                checkAssignments("WHEN MATCHED UPDATE", ua.assignments)
+                val (set, star) =
+                  compileSet("WHEN MATCHED UPDATE", ua.assignments, sourceOnly = false)
                 if (ua.condition.isEmpty && i < nMatched - 1)
                   fail("an unconditional WHEN MATCHED UPDATE before other " +
                     "matched actions makes them unreachable")
-                (ua.condition.map(rebind(_, "WHEN MATCHED AND")), false)
+                MergeArm(ua.condition.map(rebind(_, "WHEN MATCHED AND")),
+                  isDelete = false, set, star)
               case (da: DeleteAction, i) =>
                 if (da.condition.isEmpty && i < nMatched - 1)
                   fail("an unconditional WHEN MATCHED DELETE before other " +
                     "matched actions makes them unreachable")
-                (da.condition.map(rebind(_, "WHEN MATCHED AND")), true)
+                MergeArm(da.condition.map(rebind(_, "WHEN MATCHED AND")),
+                  isDelete = true, Nil, starLike = false)
               case (other, _) =>
                 fail(s"matched action ${other.getClass.getSimpleName} " +
-                  "(need UPDATE SET * or DELETE)")
+                  "(need UPDATE SET ... or DELETE)")
             }
-          val insert: Option[Option[Expression]] = m.notMatchedActions match {
+          val insert: Option[MergeArm] = m.notMatchedActions match {
             case Seq() => None
             case Seq(ia: InsertAction) =>
-              checkAssignments("WHEN NOT MATCHED INSERT", ia.assignments)
-              Some(ia.condition.map(rebind(_, "WHEN NOT MATCHED AND")))
+              val (set, star) =
+                compileSet("WHEN NOT MATCHED INSERT", ia.assignments, sourceOnly = true)
+              Some(MergeArm(
+                ia.condition.map(rebind(_, "WHEN NOT MATCHED AND", sourceOnly = true)),
+                isDelete = false, set, star))
             case other =>
               fail(s"not-matched actions ${other.map(_.getClass.getSimpleName).mkString(", ")} " +
-                "(need at most one INSERT *)")
+                "(need at most one INSERT)")
           }
           if (matched.isEmpty && insert.isEmpty) fail("no actions")
+          // the canonical unconditional star upsert keeps the
+          // zero-extra-read fast path (delta = source, no
+          // classification join)
+          val canonical = matched.size == 1 && {
+            val a = matched.head
+            a.cond.isEmpty && !a.isDelete && a.starLike
+          } && insert.exists(a => a.cond.isEmpty && a.starLike)
           if (m.notMatchedBySourceActions.nonEmpty)
             fail("WHEN NOT MATCHED BY SOURCE")
           // the source must carry exactly the table's columns even for
@@ -216,7 +268,7 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
               "classification namespace")
 
           MergeIntoSnapshotExec(root, m.sourceTable, keys, matched, insert,
-            m.withSchemaEvolution) :: Nil
+            m.withSchemaEvolution, canonical) :: Nil
         case _ => Nil
       }
     case _ => Nil
@@ -306,16 +358,17 @@ case class UpdateSnapshotExec(root: String, set: Seq[(String, Expression)],
   * distributed DataFrame inside merge — only the verb is driver-side,
   * never the data.
   *
-  * `matched` is the ordered WHEN MATCHED cascade as (condition,
-  * isDelete) with conditions re-bound into the __graft_t__/__graft_s__
-  * namespaces; `insert` is Some(condition) when a WHEN NOT MATCHED
-  * INSERT * arm exists. The canonical unconditional upsert skips the
-  * classification join entirely. */
+  * `matched` is the ordered WHEN MATCHED cascade; `insert` the
+  * optional WHEN NOT MATCHED arm. All conditions and assignment
+  * values arrive re-bound into the __graft_t__/__graft_s__
+  * namespaces. `canonical` = the unconditional star upsert, which
+  * skips the classification join entirely. */
 case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
                                  keys: Seq[String],
-                                 matched: Seq[(Option[Expression], Boolean)],
-                                 insert: Option[Option[Expression]],
-                                 evolve: Boolean = false)
+                                 matched: Seq[MergeArm],
+                                 insert: Option[MergeArm],
+                                 evolve: Boolean = false,
+                                 canonical: Boolean = false)
     extends LeafExecNode {
   import MergeIntoSnapshotStrategy.{SPfx, TPfx}
   override def output: Seq[Attribute] = Nil
@@ -325,20 +378,20 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
     val spark = SparkSession.active
     val table = SnapshotTable(root)
     val src = PlanBridge.ofRows(spark, source)
-    val canonicalUpsert =
-      matched == Seq((None, false)) && insert.contains(None)
-    if (canonicalUpsert) {
+    if (canonical) {
       table.merge(spark, src, keys, evolveSchema = evolve)
     } else {
       // CLASSIFY: source LEFT JOIN the zone-map-touched slice of the
       // base snapshot — matched-ness is exact (untouched files provably
-      // hold no source key) at O(overlapping data) read cost. The base
-      // version is pinned so the final merge refuses deterministically
-      // if a commit lands mid-flight.
+      // hold no source key) at O(overlapping data) read cost, and the
+      // joined row carries the TARGET values partial-SET arms keep.
+      // The base version is pinned so the final merge refuses
+      // deterministically if a commit lands mid-flight.
       val v0 = table.currentVersion()
       val srcCols = src.columns.toIndexedSeq
       val srcP = src.select(srcCols.map(c => col(c).as(SPfx + c)): _*)
       val tgt0 = table.readMatchable(spark, src, keys.head, v0)
+      val tgtHas = tgt0.columns.map(_.toLowerCase).toSet
       val tgt = tgt0.select(tgt0.columns.toIndexedSeq
         .map(c => col(c).as(TPfx + c)) :+ lit(1).as(TPfx + "__present"): _*)
       val joinCond = keys.map(k => col(SPfx + k) === col(TPfx + k))
@@ -346,23 +399,54 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
       def cc(e: Option[Expression]): Column =
         e.map(x => coalesce(ColumnBridge.column(x).cast("boolean"), lit(false)))
           .getOrElse(lit(true))
-      // first-true-wins cascade; a row no action claims stays 'none'
-      // and is dropped — its key never enters the delta, so the base
-      // row survives untouched
-      val matchedCase = matched.foldRight(lit("none")) {
-        case ((c, isDel), els) =>
-          when(cc(c), lit(if (isDel) "D" else "U")).otherwise(els)
+      // first-true-wins cascade: __graft_arm = index of the matched
+      // arm that fired, INS for the insert arm, -1 for no action — a
+      // row no action claims is dropped, so its key never enters the
+      // delta and the base row survives untouched
+      val INS = 1 << 20
+      val matchedIdx = matched.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((arm, i), els) => when(cc(arm.cond), lit(i)).otherwise(els)
       }
-      val insertCase = insert
-        .map(c => when(cc(c), lit("I")).otherwise(lit("none")))
-        .getOrElse(lit("none"))
-      val action = when(col(TPfx + "__present").isNotNull, matchedCase)
-        .otherwise(insertCase)
-      val delta = srcP.join(tgt, joinCond, "left")
-        .withColumn("__graft_action", action)
-        .where(col("__graft_action") =!= "none")
-        .select(srcCols.map(c => col(SPfx + c).as(c)) :+
-          (col("__graft_action") === lit("D")).as("__graft_delete"): _*)
+      val insertIdx = insert
+        .map(a => when(cc(a.cond), lit(INS)).otherwise(lit(-1)))
+        .getOrElse(lit(-1))
+      val arm = when(col(TPfx + "__present").isNotNull, matchedIdx)
+        .otherwise(insertIdx)
+      val classified = srcP.join(tgt, joinCond, "left")
+        .withColumn("__graft_arm", arm)
+        .where(col("__graft_arm") =!= -1)
+      // per-column value: the firing arm's assignment if present;
+      // otherwise an update arm KEEPS the target value (partial SET —
+      // evolved target-absent extras: source value under a star arm,
+      // NULL under a partial one); insert arms take their assignment,
+      // source value under star, NULL otherwise; delete rows' values
+      // are dropped by merge, any branch serves
+      def valueOf(c: String): Column = {
+        val srcVal = col(SPfx + c)
+        val inTarget = tgtHas.contains(c.toLowerCase)
+        val dt = src.schema(c).dataType
+        def assigned(a: MergeArm): Option[Column] =
+          a.set.find(_._1.equalsIgnoreCase(c)).map(kv => ColumnBridge.column(kv._2))
+        def updateVal(a: MergeArm): Column = assigned(a).getOrElse {
+          if (inTarget) col(TPfx + c)
+          else if (a.starLike) srcVal
+          else lit(null).cast(dt)
+        }
+        val insVal: Column = insert.map { a =>
+          assigned(a).getOrElse(if (a.starLike) srcVal else lit(null).cast(dt))
+        }.getOrElse(srcVal)
+        val base = when(col("__graft_arm") === INS, insVal).otherwise(srcVal)
+        matched.zipWithIndex.foldRight(base) {
+          case ((a, _), els) if a.isDelete => els
+          case ((a, i), els) =>
+            when(col("__graft_arm") === i, updateVal(a)).otherwise(els)
+        }.cast(dt)
+      }
+      val delCol = matched.zipWithIndex
+        .collect { case (a, i) if a.isDelete => col("__graft_arm") === i }
+        .foldLeft(lit(false))(_ || _)
+      val delta = classified.select(
+        srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
       table.merge(spark, delta, keys, deleteCol = Some("__graft_delete"),
         expectedBase = Some(v0), evolveSchema = evolve)
     }

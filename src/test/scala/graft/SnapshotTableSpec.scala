@@ -689,13 +689,17 @@ class SnapshotTableSpec extends SparkTestBase {
     def causes(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
     // shapes with no SnapshotTable.merge mapping are refused with the
-    // explicit contract, never silently misapplied
+    // explicit contract, never silently misapplied (partial SET and
+    // conditional arms are supported since round 10 — the remaining
+    // refusal is NOT MATCHED BY SOURCE, whose semantics are inherently
+    // O(table))
     val ex = intercept[Exception] {
       spark.sql(
         """MERGE INTO mgcat.db.t t USING mg_src s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET val = s.val""".stripMargin)
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
-    assert(causes(ex).exists(_.contains("must cover every table column")),
+    assert(causes(ex).exists(_.contains("NOT MATCHED BY SOURCE")),
       s"expected the supported-shape contract, got: ${causes(ex).mkString(" | ")}")
     // non-graft targets fall through to Spark's own handling
     val ex2 = intercept[Exception] {
@@ -804,6 +808,49 @@ class SnapshotTableSpec extends SparkTestBase {
         |WHEN MATCHED AND s.id < 2 THEN DELETE""".stripMargin)
     val ids = spark.sql("SELECT id FROM mgecat.db.t").as[Long].collect().toSet
     assert(!ids.contains(0L) && !ids.contains(1L) && ids.contains(2L))
+  }
+
+  test("SQL MERGE partial SET and expression assignments: unassigned columns keep target values") {
+    val wh = Files.createTempDirectory("graft_cat_mgp").toString
+    spark.conf.set("spark.sql.catalog.mgpcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgpcat.warehouse", wh)
+    spark.sql("CREATE TABLE mgpcat.db.t (id BIGINT, val STRING, n BIGINT) USING `graft-snapshot`")
+    val t = SnapshotTable(s"$wh/db/t")
+    t.commit(spark.range(20).selectExpr("id", "concat('a', id) AS val", "id * 10 AS n"))
+    spark.range(15, 25).selectExpr("id", "concat('s', id) AS val", "id AS n")
+      .createOrReplaceTempView("mgp_src")
+    // partial SET with expressions over BOTH sides; partial INSERT
+    spark.sql(
+      """MERGE INTO mgpcat.db.t t USING mgp_src s ON t.id = s.id
+        |WHEN MATCHED AND s.id % 2 = 1 THEN UPDATE SET n = t.n + s.n
+        |WHEN MATCHED THEN UPDATE SET val = concat(t.val, '+', s.val)
+        |WHEN NOT MATCHED AND s.id < 23 THEN INSERT (id, val) VALUES (s.id, upper(s.val))""".stripMargin)
+    val m = spark.sql("SELECT id, val, n FROM mgpcat.db.t")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> r).toMap
+    // 20 base + inserts 20,21,22
+    assert(m.size === 23)
+    // odd matched ids: n = t.n + s.n, val UNCHANGED
+    assert(m(15L) === ((15L, "a15", Some(165L))))
+    assert(m(17L) === ((17L, "a17", Some(187L))))
+    // even matched ids: val = t.val+s.val, n UNCHANGED
+    assert(m(16L) === ((16L, "a16+s16", Some(160L))))
+    assert(m(18L) === ((18L, "a18+s18", Some(180L))))
+    // partial INSERT: unassigned n is NULL
+    assert(m(20L) === ((20L, "S20", None)))
+    assert(m(22L) === ((22L, "S22", None)))
+    assert(!m.contains(23L) && !m.contains(24L))
+    // unmatched base rows untouched
+    assert(m(3L) === ((3L, "a3", Some(30L))))
+    // a non-column SET target is still refused
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mgpcat.db.t t USING mgp_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET val = (SELECT max(val) FROM mgp_src)""".stripMargin)
+    }
+    assert(causes(ex).nonEmpty) // subquery assignment refused (ours or Spark's)
   }
 
   test("SQL MERGE delete-only and insert-only arms; unreachable unconditional action refused") {
