@@ -85,11 +85,18 @@ import graft.sources.{GraftMergeable, SnapshotTable}
   * travel keeps old shapes because old manifests keep their own
   * `#schema` lines.
   *
-  * NOT MATCHED BY SOURCE remains rejected with an explicit error (its
-  * semantics are inherently O(table) — every target row must be
-  * tested for absence from the source — which deserves an explicit
-  * opt-in shape rather than a silently expensive one). Non-graft
-  * targets fall through untouched (`Nil`) to Spark's own handling.
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... |
+  * DELETE` (round 10) completes the action surface — the full-sync
+  * shape ("drop/flag whatever the source no longer has"). Its
+  * semantics are inherently O(table): every target row must be tested
+  * for ABSENCE from the source, so this path anti-joins the FULL base
+  * snapshot against the source keys (conditions and SET values are
+  * target-scope only, as SQL requires) and its delta can touch every
+  * file — that cost is the operator's own definition, not a plan
+  * defect, and it only runs when the user writes the clause. The
+  * result unions with the source-side delta into ONE atomic merge
+  * commit. Non-graft targets fall through untouched (`Nil`) to
+  * Spark's own handling.
   */
 /** One compiled MERGE action arm: the (rebound) condition, whether it
   * deletes, its SET/VALUES assignments as (targetCol, rebound value
@@ -160,7 +167,8 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
           // → __graft_t__c, source cols → __graft_s__c); subqueries
           // and out-of-scope references are refused here, at plan time
           def rebind(e: Expression, what: String,
-                     sourceOnly: Boolean = false): Expression = {
+                     sourceOnly: Boolean = false,
+                     targetOnly: Boolean = false): Expression = {
             if (e.exists(_.isInstanceOf[SubqueryExpression]))
               fail(s"$what carries a subquery")
             e.transform {
@@ -170,6 +178,9 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
                     "(a NOT MATCHED arm has no target row)")
                 UnresolvedAttribute.quoted(TPfx + a.name)
               case a: AttributeReference if sOut.contains(a) =>
+                if (targetOnly)
+                  fail(s"$what references source column `${a.name}` " +
+                    "(a NOT MATCHED BY SOURCE arm has no source row)")
                 UnresolvedAttribute.quoted(SPfx + a.name)
               case a: AttributeReference =>
                 fail(s"$what references `${a.name}` from outside the merge scope")
@@ -182,10 +193,11 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
           // behave — star takes the source row, partial only what was
           // said)
           def compileSet(what: String, as: Seq[Assignment],
-                         sourceOnly: Boolean): (Seq[(String, Expression)], Boolean) = {
+                         sourceOnly: Boolean, targetOnly: Boolean = false)
+              : (Seq[(String, Expression)], Boolean) = {
             val set = as.map {
               case Assignment(k: AttributeReference, v) if tOut.contains(k) =>
-                k.name -> rebind(v, s"$what SET ${k.name}", sourceOnly)
+                k.name -> rebind(v, s"$what SET ${k.name}", sourceOnly, targetOnly)
               case a =>
                 fail(s"$what assignment target `${a.key.sql}` is not a " +
                   "top-level table column")
@@ -234,16 +246,37 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
               fail(s"not-matched actions ${other.map(_.getClass.getSimpleName).mkString(", ")} " +
                 "(need at most one INSERT)")
           }
-          if (matched.isEmpty && insert.isEmpty) fail("no actions")
+          val nNmbs = m.notMatchedBySourceActions.size
+          val nmbs: Seq[MergeArm] =
+            m.notMatchedBySourceActions.zipWithIndex.map {
+              case (ua: UpdateAction, i) =>
+                val (set, star) = compileSet("WHEN NOT MATCHED BY SOURCE UPDATE",
+                  ua.assignments, sourceOnly = false, targetOnly = true)
+                if (ua.condition.isEmpty && i < nNmbs - 1)
+                  fail("an unconditional NOT MATCHED BY SOURCE UPDATE before " +
+                    "other arms makes them unreachable")
+                MergeArm(ua.condition.map(rebind(_,
+                  "WHEN NOT MATCHED BY SOURCE AND", targetOnly = true)),
+                  isDelete = false, set, star)
+              case (da: DeleteAction, i) =>
+                if (da.condition.isEmpty && i < nNmbs - 1)
+                  fail("an unconditional NOT MATCHED BY SOURCE DELETE before " +
+                    "other arms makes them unreachable")
+                MergeArm(da.condition.map(rebind(_,
+                  "WHEN NOT MATCHED BY SOURCE AND", targetOnly = true)),
+                  isDelete = true, Nil, starLike = false)
+              case (other, _) =>
+                fail(s"not-matched-by-source action ${other.getClass.getSimpleName} " +
+                  "(need UPDATE SET ... or DELETE)")
+            }
+          if (matched.isEmpty && insert.isEmpty && nmbs.isEmpty) fail("no actions")
           // the canonical unconditional star upsert keeps the
           // zero-extra-read fast path (delta = source, no
           // classification join)
-          val canonical = matched.size == 1 && {
+          val canonical = nmbs.isEmpty && matched.size == 1 && {
             val a = matched.head
             a.cond.isEmpty && !a.isDelete && a.starLike
           } && insert.exists(a => a.cond.isEmpty && a.starLike)
-          if (m.notMatchedBySourceActions.nonEmpty)
-            fail("WHEN NOT MATCHED BY SOURCE")
           // the source must carry exactly the table's columns even for
           // action arms that never read them (DELETE-only merges): the
           // delta row that re-enters the table is built from the source
@@ -268,7 +301,7 @@ object MergeIntoSnapshotStrategy extends SparkStrategy {
               "classification namespace")
 
           MergeIntoSnapshotExec(root, m.sourceTable, keys, matched, insert,
-            m.withSchemaEvolution, canonical) :: Nil
+            nmbs, m.withSchemaEvolution, canonical) :: Nil
         case _ => Nil
       }
     case _ => Nil
@@ -367,6 +400,7 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
                                  keys: Seq[String],
                                  matched: Seq[MergeArm],
                                  insert: Option[MergeArm],
+                                 notMatchedBySource: Seq[MergeArm] = Nil,
                                  evolve: Boolean = false,
                                  canonical: Boolean = false)
     extends LeafExecNode {
@@ -445,8 +479,56 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
       val delCol = matched.zipWithIndex
         .collect { case (a, i) if a.isDelete => col("__graft_arm") === i }
         .foldLeft(lit(false))(_ || _)
-      val delta = classified.select(
-        srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
+      // an NMBS-only merge has no source-side actions: skip the
+      // classification join (and its touched-file read) entirely
+      val srcDelta =
+        if (matched.isEmpty && insert.isEmpty)
+          classified.where(lit(false)).select(
+            srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
+        else classified.select(
+          srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
+      // NOT MATCHED BY SOURCE: the full-sync arms. Inherently O(table)
+      // — absence from the source is a whole-target property — so this
+      // leg (and only this leg) reads the full base snapshot and
+      // anti-joins the source keys; conditions/SET values are
+      // target-scope. Evolved source-only extras land NULL (there is
+      // no source row to take them from).
+      val nmbsDelta = if (notMatchedBySource.isEmpty) None else Some {
+        val tgtAll0 = table.readAt(spark, v0)
+        val tgtAllHas = tgtAll0.columns.map(_.toLowerCase).toSet
+        val tgtAll = tgtAll0.select(tgtAll0.columns.toIndexedSeq
+          .map(c => col(c).as(TPfx + c)): _*)
+        val srcKeys = src.select(keys.map(k => col(k).as(SPfx + k)): _*)
+          .distinct()
+        val absent = tgtAll.join(srcKeys,
+          keys.map(k => col(TPfx + k) === col(SPfx + k)).reduce(_ && _),
+          "left_anti")
+        val armIdx = notMatchedBySource.zipWithIndex
+          .foldRight(lit(-1): Column) { case ((a, i), els) =>
+            when(cc(a.cond), lit(i)).otherwise(els)
+          }
+        val picked = absent.withColumn("__graft_arm", armIdx)
+          .where(col("__graft_arm") =!= -1)
+        def nmbsValue(c: String): Column = {
+          val dt = src.schema(c).dataType
+          val keep: Column =
+            if (tgtAllHas.contains(c.toLowerCase)) col(TPfx + c)
+            else lit(null).cast(dt)
+          notMatchedBySource.zipWithIndex.foldRight(keep) {
+            case ((a, _), els) if a.isDelete => els
+            case ((a, i), els) =>
+              val v = a.set.find(_._1.equalsIgnoreCase(c))
+                .map(kv => ColumnBridge.column(kv._2)).getOrElse(keep)
+              when(col("__graft_arm") === i, v).otherwise(els)
+          }.cast(dt)
+        }
+        val nmbsDel = notMatchedBySource.zipWithIndex
+          .collect { case (a, i) if a.isDelete => col("__graft_arm") === i }
+          .foldLeft(lit(false))(_ || _)
+        picked.select(
+          srcCols.map(c => nmbsValue(c).as(c)) :+ nmbsDel.as("__graft_delete"): _*)
+      }
+      val delta = nmbsDelta.foldLeft(srcDelta)(_ unionByName _)
       table.merge(spark, delta, keys, deleteCol = Some("__graft_delete"),
         expectedBase = Some(v0), evolveSchema = evolve)
     }

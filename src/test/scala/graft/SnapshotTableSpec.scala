@@ -689,17 +689,18 @@ class SnapshotTableSpec extends SparkTestBase {
     def causes(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
     // shapes with no SnapshotTable.merge mapping are refused with the
-    // explicit contract, never silently misapplied (partial SET and
-    // conditional arms are supported since round 10 — the remaining
-    // refusal is NOT MATCHED BY SOURCE, whose semantics are inherently
-    // O(table))
+    // explicit contract, never silently misapplied (partial SET,
+    // conditional arms and NOT MATCHED BY SOURCE are all supported
+    // since round 10 — a non-equi ON term remains the refusal path:
+    // keyed copy-on-write needs target.k = source.k equi-keys)
     val ex = intercept[Exception] {
       spark.sql(
-        """MERGE INTO mgcat.db.t t USING mg_src s ON t.id = s.id
+        """MERGE INTO mgcat.db.t t USING mg_src s
+          |ON t.id = s.id AND t.id > 5
           |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(causes(ex).exists(_.contains("NOT MATCHED BY SOURCE")),
+    assert(causes(ex).exists(_.contains("ON term")),
       s"expected the supported-shape contract, got: ${causes(ex).mkString(" | ")}")
     // non-graft targets fall through to Spark's own handling
     val ex2 = intercept[Exception] {
@@ -851,6 +852,47 @@ class SnapshotTableSpec extends SparkTestBase {
           |WHEN MATCHED THEN UPDATE SET val = (SELECT max(val) FROM mgp_src)""".stripMargin)
     }
     assert(causes(ex).nonEmpty) // subquery assignment refused (ours or Spark's)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE: full-sync delete/flag of rows absent from the source, one commit") {
+    val wh = Files.createTempDirectory("graft_cat_mgn").toString
+    spark.conf.set("spark.sql.catalog.mgncat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mgncat.warehouse", wh)
+    spark.sql("CREATE TABLE mgncat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val t = SnapshotTable(s"$wh/db/t")
+    t.commit(kv(0 until 30))
+    val v1 = t.currentVersion()
+    // source = the new truth: ids 10..34 — the classic full sync
+    kv(10 until 35, "s").createOrReplaceTempView("mgn_src")
+    spark.sql(
+      """MERGE INTO mgncat.db.t t USING mgn_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 5 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET val = concat(t.val, '!')""".stripMargin)
+    assert(t.currentVersion() === v1 + 1, "full sync must land as ONE commit")
+    val m = spark.sql("SELECT id, val FROM mgncat.db.t")
+      .as[(Long, String)].collect().toMap
+    // 0..4 flagged (NMBS update arm), 5..9 deleted (NMBS delete arm),
+    // 10..29 updated from source, 30..34 inserted
+    assert(m.size === 30)
+    (0 until 5).foreach(i => assert(m(i.toLong) === s"a$i!", s"id $i must be flagged"))
+    (5 until 10).foreach(i => assert(!m.contains(i.toLong), s"id $i must be deleted"))
+    (10 until 35).foreach(i => assert(m(i.toLong) === s"s$i"))
+    // pre-sync snapshot still time travels
+    assert(spark.sql(
+      s"SELECT val FROM mgncat.db.t VERSION AS OF $v1 WHERE id = 7")
+      .head.getString(0) === "a7")
+    // NMBS conditions referencing the source are refused (no source row)
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO mgncat.db.t t USING mgn_src s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND s.id = 1 THEN DELETE""".stripMargin)
+    }
+    assert(causes(ex).nonEmpty)
   }
 
   test("SQL MERGE delete-only and insert-only arms; unreachable unconditional action refused") {
