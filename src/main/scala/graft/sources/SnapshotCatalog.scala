@@ -135,9 +135,31 @@ class SnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables evolve schema per-commit (write with the evolved schema); ALTER TABLE is not supported")
+  /** `ALTER TABLE ... ADD COLUMNS` (round 10): a METADATA-ONLY commit —
+    * same file listing and stats, widened `#schema`, zero data I/O
+    * ([[SnapshotTable.addColumns]]); old files null-fill on read and
+    * time travel keeps pre-evolution shapes. Only top-level nullable
+    * adds map onto the manifest contract; every other change kind
+    * (drop/rename/retype/nested) keeps the explicit refusal —
+    * destructive evolution happens per-commit with the evolved
+    * schema, never by mutating history. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
+      case other =>
+        throw new UnsupportedOperationException(
+          "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
+            s"nullable) only — ${other.getClass.getSimpleName} is not " +
+            "supported; evolve destructively per-commit with the evolved schema")
+    }
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val cols = StructType(adds.map(a =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), a.isNullable())))
+    SnapshotTable(dir.toString).addColumns(cols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

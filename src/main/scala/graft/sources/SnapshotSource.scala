@@ -49,7 +49,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               manifestSchema: Option[StructType], dataDir: String,
                               zoneMaps: Map[String, ZoneMaps.FileStats],
                               streamRoot: Option[String],
-                              cdc: Boolean = false)
+                              cdc: Boolean = false,
+                              cdcStartFrom: Option[Long] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -59,13 +60,19 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     if (options.getBoolean("readChangeFeed", false)) {
       // streaming change feed: a HEAD load whose scan is the CDC
       // micro-batch stream (table columns + change stamps); batch CDC
-      // goes through SnapshotTable.readChangesCdc
+      // goes through SnapshotTable.readChangesCdc. `startingVersion`
+      // makes version v the FIRST emitted micro-batch (Delta-CDF's
+      // inclusive convention); default = follow forward from the head.
       val v = t.currentVersion()
       val sch = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
         throw new IllegalArgumentException(
           s"readChangeFeed at $root needs a committed table schema"))
+      val startFrom = Option(options.get("startingVersion")).map(_.toLong)
+      startFrom.foreach(sv => require(sv >= 0 && sv <= v + 1,
+        s"startingVersion $sv out of range (head is $v)"))
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
-        t.dataDirPath, Map.empty, Some(root), cdc = true)
+        t.dataDirPath, Map.empty, Some(root), cdc = true,
+        cdcStartFrom = startFrom)
     }
     val from = Option(options.get("changesFrom")).map(_.toLong)
     val to = Option(options.get("changesTo")).map(_.toLong)
@@ -113,7 +120,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     val r = resolve(options)
     if (r.cdc)
       new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
-        tableFactory(options, r.label, r.dataDir, r.manifestSchema))
+        tableFactory(options, r.label, r.dataDir, r.manifestSchema),
+        r.cdcStartFrom)
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
@@ -135,7 +143,8 @@ object SnapshotSource {
     * schema evolution keeps emitting the stream's declared shape. */
   private[sources] final class CdcSnapshotTable(
       root: String, dataSchema: StructType,
-      mk: Seq[String] => ParquetTable)
+      mk: Seq[String] => ParquetTable,
+      startFrom: Option[Long] = None)
       extends Table with SupportsRead {
     private val shape = cdcSchema(dataSchema)
     override def name(): String = s"graft_snapshot_cdc"
@@ -149,7 +158,7 @@ object SnapshotSource {
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new SnapshotCdcMicroBatchStream(root, shape,
             fs => mk(fs).newScanBuilder(CaseInsensitiveStringMap.empty)
-              .build().toBatch)
+              .build().toBatch, startFrom)
       }
   }
 

@@ -146,9 +146,13 @@ final class CdcReaderFactory(inner: PartitionReaderFactory,
   *
   * A fresh CDC stream starts at the CURRENT head — it follows changes
   * forward; bootstrap state with a batch `read()` (or
-  * `readChangesCdc`) first, the same split Delta's CDF makes. */
+  * `readChangesCdc`) first, the same split Delta's CDF makes — or pass
+  * `option("startingVersion", v)` to begin the feed at a historical
+  * version (inclusive, Delta's convention; the range must not cross a
+  * replace). */
 final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
-                                        mkBatch: Seq[String] => Batch)
+                                        mkBatch: Seq[String] => Batch,
+                                        startFrom: Option[Long] = None)
     extends MicroBatchStream {
 
   private val table = SnapshotTable(root)
@@ -158,8 +162,11 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     case other => other.json().toLong
   }
 
+  // offsets are "last version emitted", so startingVersion v (Delta's
+  // inclusive convention) begins at v - 1; default = the current head
+  // (follow forward, bootstrap via batch read)
   override def initialOffset(): Offset =
-    SnapshotVersionOffset(table.currentVersion())
+    SnapshotVersionOffset(startFrom.map(_ - 1).getOrElse(table.currentVersion()))
   override def latestOffset(): Offset = SnapshotVersionOffset(table.currentVersion())
   override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

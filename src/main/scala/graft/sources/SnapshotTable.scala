@@ -368,7 +368,8 @@ final class SnapshotTable(root: String) {
       val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
       op match {
         case "compact" => Seq.empty
-        case "append" | "replace" | "bucketed" if removed.isEmpty =>
+        case "alter" => Seq.empty // metadata-only schema change: no rows
+        case "append" | "replace" if removed.isEmpty =>
           // replace onto an empty lineage (first commit) is an append
           if (added.isEmpty) Seq.empty
           else Seq((added.map(abs), "insert", v))
@@ -409,6 +410,69 @@ final class SnapshotTable(root: String) {
         .withColumn("_change_type", lit(ctype))
         .withColumn("_commit_version", lit(v))
     }.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** METADATA-ONLY schema evolution (`ALTER TABLE ... ADD COLUMNS`):
+    * publishes a new manifest version with the SAME file listing and
+    * stats and a widened `#schema` — zero data I/O, the evolution
+    * shape [[merge]]'s `evolveSchema` performs inline but as its own
+    * commit verb. New columns must be nullable (old files null-fill on
+    * read — the cross-snapshot machinery that already exists) and must
+    * not collide with existing names. Time travel keeps old shapes;
+    * the change feed treats the commit as row-less. Refuses on a
+    * concurrent commit like every other single-shot publish. */
+  def addColumns(newCols: org.apache.spark.sql.types.StructType): Long = {
+    require(newCols.nonEmpty, "addColumns needs at least one column")
+    val v = currentVersion()
+    require(v >= 0, s"addColumns at $root: table has no committed snapshot")
+    val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(
+        s"addColumns at $root: snapshot v$v has no recorded schema"))
+    val existing = base.fieldNames.map(_.toLowerCase).toSet
+    newCols.foreach { f =>
+      require(!existing.contains(f.name.toLowerCase),
+        s"addColumns: column ${f.name} already exists")
+      require(f.nullable,
+        s"addColumns: new column ${f.name} must be nullable (existing " +
+          "rows have no value for it)")
+    }
+    val widened = newCols.foldLeft(base)(_ add _)
+    val lines = Seq(s"#schema=${widened.toDDL}",
+        s"#ts=${System.currentTimeMillis()}", "#op=alter") ++
+      zmLines(v) ++ listing(v)
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"addColumns at $root lost the publish race: a commit landed " +
+          "concurrently — re-run against the new head")
+    v + 1
+  }
+
+  /** COMMIT HISTORY as a DataFrame — the audit surface the `#op=`/
+    * `#ts=`/`#tag=` manifest lines exist to serve: one row per
+    * retained snapshot with (version, commit ts, op kind, files
+    * referenced, files added/removed vs the predecessor, idempotency
+    * tag). O(versions × manifest lines) driver work, zero data I/O;
+    * vacuumed (expired) versions are skipped. */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val head = currentVersion()
+    val rows = (0L to head).flatMap { v =>
+      if (!Files.exists(manifestPath(v))) None
+      else {
+        val cur = listing(v)
+        val prev =
+          if (v > 0 && Files.exists(manifestPath(v - 1))) listing(v - 1)
+          else Seq.empty
+        Some((v, commitTsOf(v),
+          opOf(v).getOrElse(if (prev.toSet.subsetOf(cur.toSet)) "append" else "replace"),
+          cur.size.toLong,
+          cur.count(!prev.contains(_)).toLong,
+          prev.count(!cur.toSet.contains(_)).toLong,
+          tagOf(v)))
+      }
+    }
+    rows.toDF("version", "ts_millis", "op", "n_files", "files_added",
+      "files_removed", "tag")
   }
 
   /** Commit `df` as the next snapshot: append (new files + previous

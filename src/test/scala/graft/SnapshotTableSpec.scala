@@ -346,6 +346,22 @@ class SnapshotTableSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     assert(batch === got.asScala.toSet,
       "batch readChangesCdc must equal the streamed change rows")
+    // startingVersion replays history from an inclusive version
+    val ck2 = Files.createTempDirectory("graft_cdc_ck2").toString
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vBase + 1).load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("_change_type", "_commit_version")
+          .as[(String, Long)].collect().foreach(got2.add); ()
+      }
+      .option("checkpointLocation", ck2)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got2.asScala.toSet === got.asScala.map(r => (r._3, r._4)).toSet,
+      "startingVersion must replay exactly the historical change rows")
     // the feed still refuses a replace (lineage break)
     t.commit(kv(0 until 5), replace = true)
     val ex = intercept[Exception] {
@@ -355,7 +371,7 @@ class SnapshotTableSpec extends SparkTestBase {
       s"a replace must refuse the change feed, got: ${ex.getMessage}")
   }
 
-  test("SQL: time travel keeps pre-evolution shape; ALTER TABLE is the refusal path") {
+  test("SQL: time travel keeps pre-evolution shape; ALTER TABLE ADD COLUMNS is metadata-only") {
     val wh = Files.createTempDirectory("graft_cat_evo").toString
     spark.conf.set("spark.sql.catalog.snapevo",
       classOf[graft.sources.SnapshotCatalog].getName)
@@ -368,13 +384,56 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM snapevo.db.ev VERSION AS OF 0")
       .schema.fieldNames.toSeq === Seq("id"),
       "SQL time travel must read the snapshot's own committed schema")
-    val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE snapevo.db.ev ADD COLUMN z INT")
-    }
+    // ADD COLUMNS: a metadata-only commit — same files, widened schema,
+    // old rows null-fill, history keeps the narrow shapes
+    val vBefore = t.currentVersion()
+    val filesBefore = dataLines(s"$wh/db/ev", vBefore)
+    spark.sql("ALTER TABLE snapevo.db.ev ADD COLUMNS (z BIGINT, note STRING)")
+    assert(t.currentVersion() === vBefore + 1, "ALTER must be ONE commit")
+    assert(dataLines(s"$wh/db/ev", vBefore + 1) === filesBefore,
+      "ALTER ADD COLUMNS must not touch a single data file")
+    val head = spark.sql("SELECT id, label, z, note FROM snapevo.db.ev")
+    assert(head.count() === 8)
+    assert(head.where(col("z").isNotNull).count() === 0,
+      "existing rows null-fill the added columns")
+    assert(spark.sql(s"SELECT * FROM snapevo.db.ev VERSION AS OF $vBefore")
+      .schema.fieldNames.toSeq === Seq("id", "label"))
+    // new columns are writable immediately
+    spark.sql("INSERT INTO snapevo.db.ev VALUES (100, 'x', 7, 'n')")
+    assert(spark.sql("SELECT z FROM snapevo.db.ev WHERE id = 100")
+      .head.getLong(0) === 7L)
+    // destructive evolution keeps the refusal
     def causes(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
-    assert(causes(ex).exists(_.contains("ALTER TABLE is not supported")),
-      s"expected the evolve-by-commit refusal, got: ${causes(ex).mkString(" | ")}")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE snapevo.db.ev DROP COLUMN label")
+    }
+    assert(causes(ex).exists(_.contains("ADD COLUMNS")),
+      s"expected the add-only contract, got: ${causes(ex).mkString(" | ")}")
+    // duplicate add refused
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE snapevo.db.ev ADD COLUMNS (z BIGINT)")
+    }
+    assert(causes(ex2).exists(_.contains("already exists")))
+  }
+
+  test("history(): one audit row per retained commit with op kinds and file accounting") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100))
+    t.commit(kv(100 until 120))
+    t.merge(spark, kv(5 until 8, "m"), Seq("id"))
+    t.compact(spark, files = 2)
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))))
+    val h = t.history(spark).orderBy("version")
+      .select("version", "op", "files_added", "files_removed")
+      .as[(Long, String, Long, Long)].collect()
+    assert(h.map(_._2).toSeq === Seq("append", "append", "merge", "compact", "alter"))
+    assert(h(0)._3 > 0 && h(0)._4 === 0)
+    assert(h(2)._3 > 0 && h(2)._4 > 0, "a merge both adds and removes files")
+    assert(h(4)._3 === 0 && h(4)._4 === 0, "alter is metadata-only")
+    // every retained version has a commit timestamp
+    assert(t.history(spark).where(col("ts_millis").isNull).count() === 0)
   }
 
   test("empty snapshots read back with the committed table schema") {
