@@ -38,8 +38,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * maps cleanly: CREATE TABLE commits an EMPTY v0 carrying the
   * declared schema (the K4/K5 if-absent contract — the table is
   * immediately readable with its schema), DROP deletes the directory,
-  * RENAME is a directory move. ALTER is rejected: schema evolution
-  * happens by committing data with the evolved schema, per-snapshot.
+  * RENAME is a directory move, ALTER TABLE ADD COLUMNS is a
+  * metadata-only commit (destructive ALTERs stay rejected: schema
+  * narrows only by committing data with the evolved schema,
+  * per-snapshot). `SELECT * FROM cat.db.\`t$history\`` serves the
+  * commit audit trail as a LocalScan metadata table.
   *
   * `VERSION AS OF` maps to [[SnapshotTable.readAt]] semantics;
   * `TIMESTAMP AS OF` resolves through the commit wall-clock each
@@ -102,7 +105,20 @@ class SnapshotCatalog extends TableCatalog
       deletable = version.isEmpty)
   }
 
-  override def loadTable(ident: Identifier): Table = resolve(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // metadata table: `SELECT * FROM cat.db.\`t$history\`` — the commit
+    // audit trail (version/ts/op/file accounting) via a driver-side
+    // LocalScan; only resolves when the base table exists and no real
+    // table shadows the $history name
+    if (ident.name().endsWith("$history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$history"))
+      if (!tableExists(ident) && tableExists(base))
+        return new SnapshotSource.HistoryTable(dirOf(base).toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
+    resolve(ident, None)
+  }
 
   /** `VERSION AS OF <v>` — SQL time travel onto the pinned snapshot. */
   override def loadTable(ident: Identifier, version: String): Table =

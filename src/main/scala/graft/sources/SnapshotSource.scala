@@ -130,6 +130,43 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object SnapshotSource {
+  /** `cat.db.`t$history`` — the commit audit trail as a SQL metadata
+    * table (the Iceberg/Delta convention): one row per retained
+    * snapshot with version, commit wall-clock, `#op=` kind, and file
+    * accounting. Served through the connector `LocalScan` interface —
+    * the rows are O(manifest) driver-side reads, so no distributed job
+    * plans for what is by construction driver-resident metadata. */
+  private[sources] final class HistoryTable(root: String, tname: String)
+      extends Table with SupportsRead {
+    import org.apache.spark.sql.types._
+    private val sch = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("ts_millis", LongType, nullable = true),
+      StructField("op", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("tag", StringType, nullable = true)))
+    override def name(): String = tname
+    override def schema(): StructType = sch
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = sch
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          SnapshotTable(root).historyRows.map {
+            case (v, ts, op, nf, fa, fr, tag) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](v, ts.map(Long.box).orNull, utf8(op), nf, fa, fr,
+                  tag.map(utf8).orNull))
+                : org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+      }
+    private def utf8(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+
   /** The two metadata columns every change-feed row carries. */
   private[sources] def cdcSchema(data: StructType): StructType = data
     .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)

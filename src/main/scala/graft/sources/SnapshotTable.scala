@@ -455,8 +455,18 @@ final class SnapshotTable(root: String) {
     * vacuumed (expired) versions are skipped. */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    historyRows.toDF("version", "ts_millis", "op", "n_files", "files_added",
+      "files_removed", "tag")
+  }
+
+  /** The raw audit rows behind [[history]] — also served as the SQL
+    * metadata table `cat.db.`t$history`` ([[SnapshotSource.HistoryTable]],
+    * a DSv2 LocalScan: the rows are O(manifest) driver work, never a
+    * distributed job). */
+  private[sources] def historyRows
+      : Seq[(Long, Option[Long], String, Long, Long, Long, Option[String])] = {
     val head = currentVersion()
-    val rows = (0L to head).flatMap { v =>
+    (0L to head).flatMap { v =>
       if (!Files.exists(manifestPath(v))) None
       else {
         val cur = listing(v)
@@ -471,8 +481,6 @@ final class SnapshotTable(root: String) {
           tagOf(v)))
       }
     }
-    rows.toDF("version", "ts_millis", "op", "n_files", "files_added",
-      "files_removed", "tag")
   }
 
   /** Commit `df` as the next snapshot: append (new files + previous

@@ -436,6 +436,28 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.history(spark).where(col("ts_millis").isNull).count() === 0)
   }
 
+  test("SQL metadata table t$history serves the audit trail through the catalog") {
+    val wh = Files.createTempDirectory("graft_cat_hist").toString
+    spark.conf.set("spark.sql.catalog.histcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.histcat.warehouse", wh)
+    spark.sql("CREATE TABLE histcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    val t = SnapshotTable(s"$wh/db/t")
+    t.commit(kv(0 until 50))
+    t.merge(spark, kv(0 until 3, "m"), Seq("id"))
+    val h = spark.sql(
+      "SELECT version, op, files_removed FROM histcat.db.`t$history` ORDER BY version")
+      .as[(Long, String, Long)].collect()
+    assert(h.map(_._2).toSeq === Seq("append", "append", "merge"))
+    assert(h(2)._3 > 0, "the merge row must account removed files")
+    // agrees with the Scala API
+    assert(h.length.toLong === t.history(spark).count())
+    // a missing base table still raises the normal error
+    intercept[Exception] {
+      spark.sql("SELECT * FROM histcat.db.`nope$history`").collect()
+    }
+  }
+
   test("empty snapshots read back with the committed table schema") {
     val (t, _) = freshTable()
     // replace-commit an EMPTY frame: no data files, but the manifest
