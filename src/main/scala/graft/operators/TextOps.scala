@@ -1651,6 +1651,70 @@ object TextOps {
       finally unpersist()
     }),
 
+    // E5 WORDPIECE ENCODE (round 10) — the greedy longest-match-first
+    // tokenizer family beside BPE's merge-table one: a deterministic
+    // vocabulary is induced from the corpus itself (every ≤4-char
+    // word-initial piece and '##'-prefixed continuation piece with
+    // ≥ 50 weighted occurrences, plus every single-character piece
+    // unconditionally so segmentation always terminates), then each
+    // dictionary word (truncated to 12 chars) is segmented by the
+    // WordPiece rule — at each position take the LONGEST vocab piece.
+    // Scale shape is the BPE one: the corpus folds ONCE to a word-
+    // frequency dictionary (vocab ≪ corpus at any scale; the threshold
+    // floors the broadcast size), the vocabulary broadcasts as a set,
+    // and the greedy match is per-dictionary-row imperative logic —
+    // the documented mapPartitions case, embarrassingly parallel, no
+    // shuffle after the two dictionary aggregations. The oracle
+    // re-derives the identical vocabulary and unrolls the 12 greedy
+    // steps as materialized CTEs (4 vocab probes per step, longest
+    // wins — the '## collision' between a word-initial '##x' and a
+    // continuation 'x' is resolved identically in both engines because
+    // the piece STRING is the vocab key).
+    "q_wordpiece_encode" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(array_remove(split(lower(col("text")), " "), ""))
+          .as("tok"))
+        .select(substring(col("tok"), 1, 12).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val pieces = words
+        .withColumn("len", length(col("word")))
+        .withColumn("pos", explode(expr("sequence(0, len - 1)")))
+        .withColumn("k", explode(expr("sequence(1, 4)")))
+        .where(col("pos") + col("k") <= col("len"))
+        .select(when(col("pos") === 0, expr("substr(word, 1, k)"))
+          .otherwise(concat(lit("##"), expr("substr(word, pos + 1, k)")))
+          .as("piece"), col("freq"))
+      val vocabRows = pieces.groupBy("piece")
+        .agg(sum("freq").as("w"))
+        .where(col("w") >= 50 ||
+          when(col("piece").startsWith("##"), length(col("piece")) - 2)
+            .otherwise(length(col("piece"))) === 1)
+        .select("piece").as[String].collect()
+      val bc = s.sparkContext.broadcast(vocabRows.toSet)
+      words.as[(String, Long)].mapPartitions { it =>
+        val v = bc.value
+        it.map { case (w, f) =>
+          val sb = new StringBuilder
+          var pos = 0; var n = 0L
+          while (pos < w.length) {
+            var k = math.min(4, w.length - pos)
+            var done = false
+            while (!done) {
+              val core = w.substring(pos, pos + k)
+              val piece = if (pos == 0) core else "##" + core
+              if (k == 1 || v.contains(piece)) {
+                if (sb.nonEmpty) sb.append(' ')
+                sb.append(piece); pos += k; n += 1; done = true
+              } else k -= 1
+            }
+          }
+          (w, f, n, sb.toString)
+        }
+      }.toDF("word", "freq", "n_pieces", "encoded").orderBy("word")
+    }),
+
     // E5 Karp-Rabin rolling hash over the raw character stream
     // (polynomial base 31 mod 2^40 — exact in both engines' int64)
     "q_rolling_fingerprint" -> ((s, d) =>
@@ -3319,6 +3383,66 @@ object TextOps {
     * both are emitted from this one builder pair), but the final
     * SELECT reads the post-merge dictionary state w_rounds instead of
     * the merge table. */
+  /** q_wordpiece_encode's oracle: re-derive the corpus vocabulary,
+    * then unroll the greedy longest-match as `steps` materialized CTE
+    * pairs — per step, four LEFT probes of the vocab (k = 4..2; k = 1
+    * is the unconditional fallback exactly as in the Spark loop) and
+    * the longest hit advances the cursor. 12 steps cover the 12-char
+    * word cap (each step consumes ≥ 1 char). */
+  private def wordpieceOracle(steps: Int): String = {
+    def pieceSql(k: Int) =
+      s"CASE WHEN e.pos = 0 THEN substr(e.word, 1, $k) " +
+        s"ELSE '##' || substr(e.word, e.pos + 1, $k) END"
+    val stepCtes = (0 until steps).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT e.word, e.freq, e.len, e.pos, e.enc, e.n,
+         |    CASE WHEN e.pos >= e.len THEN 0
+         |         WHEN v4.piece IS NOT NULL THEN 4
+         |         WHEN v3.piece IS NOT NULL THEN 3
+         |         WHEN v2.piece IS NOT NULL THEN 2
+         |         ELSE 1 END AS kp,
+         |    CASE WHEN e.pos >= e.len THEN NULL
+         |         ELSE COALESCE(v4.piece, v3.piece, v2.piece,
+         |           CASE WHEN e.pos = 0 THEN substr(e.word, 1, 1)
+         |                ELSE '##' || substr(e.word, e.pos + 1, 1) END)
+         |    END AS pc
+         |  FROM e$i e
+         |  LEFT JOIN vocab v4 ON e.pos + 4 <= e.len AND v4.piece = ${pieceSql(4)}
+         |  LEFT JOIN vocab v3 ON e.pos + 3 <= e.len AND v3.piece = ${pieceSql(3)}
+         |  LEFT JOIN vocab v2 ON e.pos + 2 <= e.len AND v2.piece = ${pieceSql(2)}),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT word, freq, len, pos + kp AS pos,
+         |    CASE WHEN pc IS NULL THEN enc ELSE enc || pc || ' ' END AS enc,
+         |    n + (CASE WHEN pc IS NULL THEN 0 ELSE 1 END) AS n
+         |  FROM g$i)""".stripMargin
+    }
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT substr(t, 1, 12) AS word
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |wds AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, length(word) AS len
+       |  FROM toks GROUP BY word),
+       |pieces AS MATERIALIZED (
+       |  SELECT CASE WHEN p.pos = 0 THEN substr(w.word, 1, kk.k)
+       |              ELSE '##' || substr(w.word, p.pos + 1, kk.k) END AS piece,
+       |         w.freq
+       |  FROM wds w, range(0, 12) p(pos), range(1, 5) kk(k)
+       |  WHERE p.pos < w.len AND p.pos + kk.k <= w.len),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece FROM pieces GROUP BY piece
+       |  HAVING SUM(freq) >= 50
+       |      OR (CASE WHEN piece LIKE '##%' THEN length(piece) - 2
+       |               ELSE length(piece) END) = 1),
+       |e0 AS MATERIALIZED (
+       |  SELECT word, freq, len, 0 AS pos, '' AS enc, CAST(0 AS BIGINT) AS n
+       |  FROM wds),
+       |${stepCtes.mkString(",\n")}
+       |SELECT word, freq, n AS n_pieces, trim(enc) AS encoded
+       |FROM e$steps ORDER BY word""".stripMargin
+  }
+
   private def bpeEncodeOracle(rounds: Int): String = {
     val full = bpeOracle(rounds)
     val prefix = full.substring(0, full.lastIndexOf("\nSELECT"))
@@ -3385,6 +3509,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
+
+    "q_wordpiece_encode" -> wordpieceOracle(12),
 
     "q_chunk_overlap" ->
       """WITH words AS (

@@ -288,6 +288,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(VideoCodec.decodeAvi(lying) === None, "frame length must match avih dims")
   }
 
+  test("q_wordpiece_encode: greedy longest-match segments; every word reconstructs; vocab pieces bounded") {
+    val rows = graft.operators.TextOps.queries("q_wordpiece_encode")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word = r.getAs[String]("word")
+      val enc = r.getAs[String]("encoded").split(" ").toSeq
+      assert(enc.size.toLong === r.getAs[Long]("n_pieces"))
+      // reconstruction: stripping the ## continuations concatenates
+      // back to the word — the invariant ANY segmentation must keep
+      val rebuilt = enc.head + enc.tail.map(_.stripPrefix("##")).mkString
+      assert(rebuilt === word, s"$word segmented as $enc")
+      // pieces obey the 4-char cap; only the first is word-initial
+      assert(enc.head.length <= 4 && !enc.head.startsWith("##") || word.startsWith("##"))
+      enc.tail.foreach(p => assert(p.startsWith("##") && p.length <= 6, s"$p in $enc"))
+      // greedy rule: a frequent word short enough to BE a piece (<=4
+      // chars, appears >= 50 times at this sf) segments as itself
+      if (word.length <= 4 && r.getAs[Long]("freq") >= 50)
+        assert(enc === Seq(word), s"frequent short word $word must be one piece")
+    }
+  }
+
   test("PixelCodec truecolor PNG: RGB/RGBA roundtrip exact; ImageIO agrees both directions") {
     import graft.operators.Multimodal.PixelCodec
     val rnd = new scala.util.Random(7)
