@@ -1715,6 +1715,78 @@ object TextOps {
       }.toDF("word", "freq", "n_pieces", "encoded").orderBy("word")
     }),
 
+    // E5 UNIGRAM-LM VITERBI SEGMENTATION (round 10) — the third
+    // tokenizer family: SentencePiece's INFERENCE half. The unigram
+    // table is induced from the corpus (all ≤4-char substrings with
+    // ≥ 10 weighted occurrences, plus every single character so any
+    // word segments), each piece scored round(10⁶·ln(cnt/total)) —
+    // integral micro-nats, the house ln-rounded-6 precedent; both
+    // engines round half-away-from-zero — and each dictionary word
+    // takes the max-likelihood segmentation via Viterbi DP over its
+    // ≤12 positions (ties → fewer pieces → longer final piece; the
+    // DP sums are exact bigint once the per-piece score is fixed).
+    // Scale shape = the WordPiece/BPE one: corpus folds once to the
+    // word dictionary, the score table is a bounded broadcast
+    // (threshold-floored), the DP is per-dictionary-row. Output is
+    // (score, piece count) — the segmentation LIKELIHOOD surface a
+    // tokenizer-compression audit reads — and the oracle replays the
+    // identical DP as unrolled materialized CTEs with the same
+    // tie-break (score DESC, n ASC, k DESC).
+    "q_unigram_segment" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(array_remove(split(lower(col("text")), " "), ""))
+          .as("tok"))
+        .select(substring(col("tok"), 1, 12).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val counts = words
+        .withColumn("len", length(col("word")))
+        .withColumn("pos", explode(expr("sequence(0, len - 1)")))
+        .withColumn("k", explode(expr("sequence(1, 4)")))
+        .where(col("pos") + col("k") <= col("len"))
+        .select(expr("substr(word, pos + 1, k)").as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .where(col("cnt") >= 10 || length(col("piece")) === 1)
+        .localCheckpoint()
+      val tot = counts.agg(sum("cnt")).as[Long].head()
+      val scores: Map[String, Long] = counts
+        .select(col("piece"),
+          expr(s"cast(round(ln(cnt / cast($tot as double)) * 1000000, 0) as bigint)")
+            .as("sc"))
+        .as[(String, Long)].collect().toMap
+      val bc = s.sparkContext.broadcast(scores)
+      words.as[(String, Long)].mapPartitions { it =>
+        val sc = bc.value
+        val none = (Long.MinValue / 4, Int.MaxValue)
+        it.map { case (w, f) =>
+          val n = w.length
+          val best = Array.fill(n + 1)(none)
+          best(0) = (0L, 0)
+          var j = 1
+          while (j <= n) {
+            var k = math.min(4, j)
+            while (k >= 1) {
+              val prev = best(j - k)
+              if (prev != none) sc.get(w.substring(j - k, j)).foreach { pv =>
+                val cand = (prev._1 + pv, prev._2 + 1)
+                val cur = best(j)
+                // max score, then fewer pieces; iterating k DESC with
+                // strict updates keeps the longest-final-piece path on
+                // full ties — the oracle's (sc DESC, n ASC, k DESC)
+                if (cand._1 > cur._1 ||
+                    (cand._1 == cur._1 && cand._2 < cur._2))
+                  best(j) = cand
+              }
+              k -= 1
+            }
+            j += 1
+          }
+          (w, f, best(n)._1, best(n)._2.toLong)
+        }
+      }.toDF("word", "freq", "score_micro", "n_pieces").orderBy("word")
+    }),
+
     // E5 Karp-Rabin rolling hash over the raw character stream
     // (polynomial base 31 mod 2^40 — exact in both engines' int64)
     "q_rolling_fingerprint" -> ((s, d) =>
@@ -3443,6 +3515,62 @@ object TextOps {
        |FROM e$steps ORDER BY word""".stripMargin
   }
 
+  /** q_unigram_segment's oracle: the identical Viterbi DP unrolled as
+    * `maxLen` materialized CTE pairs — per position j, candidates from
+    * the four predecessor tables (k = 1..4) joined to the score table,
+    * the winner picked by (score DESC, n ASC, k DESC), and each word's
+    * final row read from the table at its own length. */
+  private def unigramOracle(maxLen: Int): String = {
+    def candSql(j: Int): String = (1 to math.min(4, j)).map { k =>
+      s"""  SELECT b.word, b.freq, b.len, b.sc + s.sc AS sc, b.n + 1 AS n, $k AS k
+         |  FROM b${j - k} b JOIN scores s
+         |    ON s.piece = substr(b.word, ${j - k + 1}, $k)
+         |  WHERE b.len >= $j""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val steps = (1 to maxLen).map { j =>
+      s"""c$j AS MATERIALIZED (
+         |${candSql(j)}
+         |),
+         |b$j AS MATERIALIZED (
+         |  SELECT word, freq, len, sc, n FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+         |      ORDER BY sc DESC, n ASC, k DESC) AS rn
+         |    FROM c$j) WHERE rn = 1)""".stripMargin
+    }
+    val finals = (1 to maxLen)
+      .map(j => s"SELECT word, freq, sc, n FROM b$j WHERE len = $j")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT substr(t, 1, 12) AS word
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |wds AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, length(word) AS len
+       |  FROM toks GROUP BY word),
+       |cnts0 AS MATERIALIZED (
+       |  SELECT substr(w.word, p.pos + 1, kk.k) AS piece,
+       |         CAST(SUM(w.freq) AS BIGINT) AS cnt
+       |  FROM wds w, range(0, 12) p(pos), range(1, 5) kk(k)
+       |  WHERE p.pos < w.len AND p.pos + kk.k <= w.len
+       |  GROUP BY 1),
+       |cnts AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cnts0
+       |  WHERE cnt >= 10 OR length(piece) = 1),
+       |tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnts),
+       |scores AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t.total) * 1000000, 0) AS BIGINT) AS sc
+       |  FROM cnts, tot t),
+       |b0 AS MATERIALIZED (
+       |  SELECT word, freq, len, CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS n
+       |  FROM wds),
+       |${steps.mkString(",\n")}
+       |SELECT word, freq, sc AS score_micro, n AS n_pieces FROM (
+       |  $finals
+       |) ORDER BY word""".stripMargin
+  }
+
   private def bpeEncodeOracle(rounds: Int): String = {
     val full = bpeOracle(rounds)
     val prefix = full.substring(0, full.lastIndexOf("\nSELECT"))
@@ -3511,6 +3639,8 @@ object TextOps {
     "q_bpe_encode" -> bpeEncodeOracle(8),
 
     "q_wordpiece_encode" -> wordpieceOracle(12),
+
+    "q_unigram_segment" -> unigramOracle(12),
 
     "q_chunk_overlap" ->
       """WITH words AS (
