@@ -193,6 +193,13 @@ object ScaleRehearsal {
     // contract on both axes (fixed delta × growing table ⇒ flat;
     // growing delta ⇒ linear).
     "q_png_color" -> Seq("documents"),
+    // round-10 tokenizer family: the vocabulary remap gives each copy
+    // private words, so the word dictionaries scale ×N at constant
+    // per-word frequency and the piece/score tables stay
+    // threshold-floored broadcasts; the per-word greedy/Viterbi passes
+    // are dictionary-row-local after the fold.
+    "q_wordpiece_encode" -> Seq("documents"),
+    "q_unigram_segment" -> Seq("documents"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies
     // while its probe join stays fixed at 3 docs; q_minhash_est pays
