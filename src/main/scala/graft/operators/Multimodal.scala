@@ -189,41 +189,47 @@ object Multimodal {
       * round-trips exactly — the filter-cycling exactness trick that
       * lets the q_png_color oracle recompute decoded pixels
       * arithmetically while the payload stays a real multi-filter
-      * deflate stream. */
+      * deflate stream. `interlaced = true` emits a genuine Adam7
+      * stream: seven independently-filtered sub-images (filters still
+      * cycling per pass scanline), the layout real corpora ship for
+      * progressive rendering. */
     def encodePngColor(w: Int, h: Int, px: (Int, Int) => Int,
-                       withAlpha: Boolean): Array[Byte] = {
+                       withAlpha: Boolean,
+                       interlaced: Boolean = false): Array[Byte] = {
       val bpp = if (withAlpha) 4 else 3
-      val rowBytes = w * bpp
-      val raw = new Array[Byte](h * (1 + rowBytes))
-      var prev: Array[Int] = null
-      (0 until h).foreach { y =>
-        val row = new Array[Int](rowBytes)
-        (0 until w).foreach { x =>
-          val v = px(x, y)
-          row(x * bpp) = (v >> 16) & 0xff
-          row(x * bpp + 1) = (v >> 8) & 0xff
-          row(x * bpp + 2) = v & 0xff
-          if (withAlpha) row(x * bpp + 3) = (v >>> 24) & 0xff
-        }
-        val f = y % 5
-        raw(y * (1 + rowBytes)) = f.toByte
-        (0 until rowBytes).foreach { k =>
-          val left = if (k >= bpp) row(k - bpp) else 0
-          val up = if (prev != null) prev(k) else 0
-          val ul = if (k >= bpp && prev != null) prev(k - bpp) else 0
-          val v = f match {
-            case 0 => row(k)
-            case 1 => row(k) - left
-            case 2 => row(k) - up
-            case 3 => row(k) - (left + up) / 2
-            case _ => row(k) - paeth(left, up, ul)
+      val raw = new java.io.ByteArrayOutputStream()
+      pngPasses(w, h, interlaced).foreach { case (xs, ys, xst, yst, pw, ph) =>
+        val rowBytes = pw * bpp
+        var prev: Array[Int] = null
+        (0 until ph).foreach { y =>
+          val row = new Array[Int](rowBytes)
+          (0 until pw).foreach { x =>
+            val v = px(xs + x * xst, ys + y * yst)
+            row(x * bpp) = (v >> 16) & 0xff
+            row(x * bpp + 1) = (v >> 8) & 0xff
+            row(x * bpp + 2) = v & 0xff
+            if (withAlpha) row(x * bpp + 3) = (v >>> 24) & 0xff
           }
-          raw(y * (1 + rowBytes) + 1 + k) = (v & 0xff).toByte
+          val f = y % 5
+          raw.write(f)
+          (0 until rowBytes).foreach { k =>
+            val left = if (k >= bpp) row(k - bpp) else 0
+            val up = if (prev != null) prev(k) else 0
+            val ul = if (k >= bpp && prev != null) prev(k - bpp) else 0
+            val v = f match {
+              case 0 => row(k)
+              case 1 => row(k) - left
+              case 2 => row(k) - up
+              case 3 => row(k) - (left + up) / 2
+              case _ => row(k) - paeth(left, up, ul)
+            }
+            raw.write(v & 0xff)
+          }
+          prev = row
         }
-        prev = row
       }
       val defl = new java.util.zip.Deflater()
-      defl.setInput(raw); defl.finish()
+      defl.setInput(raw.toByteArray); defl.finish()
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](4096)
       while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
@@ -232,7 +238,8 @@ object Multimodal {
       ihdr.putInt(w); ihdr.putInt(h)
       ihdr.put(8.toByte) // bit depth
       ihdr.put((if (withAlpha) 6 else 2).toByte) // color type
-      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte)
+      ihdr.put((if (interlaced) 1 else 0).toByte)
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
         chunk("IHDR", ihdr.array()) ++
         chunk("IDAT", out.toByteArray) ++
@@ -276,6 +283,22 @@ object Multimodal {
       * 6 (RGBA, bpp 4) once the stride is a parameter. Returns the
       * unfiltered scanline bytes (no per-row filter tags). 8-bit,
       * non-interlaced only; anything else → None (corrupt-is-data). */
+    /** Adam7 pass geometry: (xStart, yStart, xStep, yStep). */
+    private val Adam7 = Seq(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    /** Chunk walk + zlib inflate + bpp-STRIDE filter reversal shared
+      * by the gray and truecolor decodes (round-9 verdict item 3): PNG
+      * filters operate per BYTE with "left" meaning the same byte one
+      * PIXEL back (`idx - bpp`), so the exact same none/sub/up/avg/
+      * paeth reversal covers color type 0 (bpp 1), 2 (RGB, bpp 3) and
+      * 6 (RGBA, bpp 4) once the stride is a parameter. INTERLACED
+      * (Adam7) streams decode too (round 10): the inflated stream is
+      * seven independently-filtered sub-images whose pixels scatter to
+      * (xs + x·xStep, ys + y·yStep) — the sequential path is the same
+      * walk with one identity pass. Returns row-major unfiltered
+      * bytes. 8-bit only; anything else → None (corrupt-is-data). */
     private def decodePngRaw(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = try {
       def be32(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
         ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
@@ -302,10 +325,13 @@ object Multimodal {
         case 6 => 4 // truecolor + alpha
         case _ => return None // palette/gray-alpha/16-bit: refused
       }
-      if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
-      val stride = 1 + w * bpp
+      if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
+      val passes = pngPasses(w, h, interlace == 1)
+      val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+        ph * (1 + pw * bpp)
+      }.sum
       val inf = new java.util.zip.Inflater()
-      val raw = new Array[Byte](h * stride)
+      val raw = new Array[Byte](rawLen)
       // end() in finally: the early error returns below must not leak
       // the native zlib context — a corrupt-heavy corpus would
       // otherwise accumulate one per bad row until finalization
@@ -321,26 +347,56 @@ object Multimodal {
       } finally inf.end()
       if (off != raw.length) return None
       val out = new Array[Byte](w * h * bpp)
-      val rowBytes = w * bpp
-      (0 until h).foreach { y =>
-        val f = raw(y * stride) & 0xff
-        (0 until rowBytes).foreach { k =>
-          val v = raw(y * stride + 1 + k) & 0xff
-          val left = if (k >= bpp) out(y * rowBytes + k - bpp) & 0xff else 0
-          val up = if (y > 0) out((y - 1) * rowBytes + k) & 0xff else 0
-          val ul = if (k >= bpp && y > 0) out((y - 1) * rowBytes + k - bpp) & 0xff else 0
-          out(y * rowBytes + k) = ((f match {
-            case 0 => v
-            case 1 => v + left
-            case 2 => v + up
-            case 3 => v + (left + up) / 2
-            case 4 => v + paeth(left, up, ul)
-            case _ => return None
-          }) & 0xff).toByte
+      var base = 0
+      passes.foreach { case (xs, ys, xst, yst, pw, ph) =>
+        val pStride = 1 + pw * bpp
+        val rowBytes = pw * bpp
+        val sub = new Array[Byte](ph * rowBytes)
+        (0 until ph).foreach { y =>
+          val f = raw(base + y * pStride) & 0xff
+          (0 until rowBytes).foreach { k =>
+            val v = raw(base + y * pStride + 1 + k) & 0xff
+            val left = if (k >= bpp) sub(y * rowBytes + k - bpp) & 0xff else 0
+            val up = if (y > 0) sub((y - 1) * rowBytes + k) & 0xff else 0
+            val ul = if (k >= bpp && y > 0) sub((y - 1) * rowBytes + k - bpp) & 0xff else 0
+            sub(y * rowBytes + k) = ((f match {
+              case 0 => v
+              case 1 => v + left
+              case 2 => v + up
+              case 3 => v + (left + up) / 2
+              case 4 => v + paeth(left, up, ul)
+              case _ => return None
+            }) & 0xff).toByte
+          }
         }
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            val dst = ((ys + y * yst) * w + (xs + x * xst)) * bpp
+            var b = 0
+            while (b < bpp) {
+              out(dst + b) = sub((y * pw + x) * bpp + b); b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        base += ph * pStride
       }
       Some((w, h, bpp, out))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Pass list as (xs, ys, xStep, yStep, passW, passH), empty passes
+      * dropped; sequential = one identity pass. */
+    private def pngPasses(w: Int, h: Int, interlaced: Boolean)
+        : Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1, w, h))
+      else Adam7.map { case (xs, ys, xst, yst) =>
+        val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+        val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+        (xs, ys, xst, yst, pw, ph)
+      }.filter(t => t._5 > 0 && t._6 > 0)
 
     private def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
       decodePngRaw(p).map { case (w, h, bpp, bytes) =>
@@ -505,7 +561,10 @@ object Multimodal {
     * ids color type 6 (RGBA, alpha = (17·id + x + y) % 256 — dropped
     * from the packed output but load-bearing in the bpp-4 filter
     * stride). Widths are deliberately odd-capable (7 + id % 9) so the
-    * stride math never hides behind round dimensions. */
+    * stride math never hides behind round dimensions. Every third id
+    * is Adam7-INTERLACED (round 10): the decode must reassemble seven
+    * scattered sub-images — pixel values (and so the oracle) are
+    * unchanged because PNG is lossless whatever the layout. */
   def syntheticColorPngImage(id: Long): Array[Byte] = {
     val w = 7 + (id % 9).toInt
     val h = 5 + (id % 6).toInt
@@ -516,7 +575,8 @@ object Multimodal {
       val a = ((17 * id + x + y) % 256).toInt
       (a << 24) | (r << 16) | (g << 8) | b
     }
-    PixelCodec.encodePngColor(w, h, px, withAlpha = id % 2 == 1)
+    PixelCodec.encodePngColor(w, h, px, withAlpha = id % 2 == 1,
+      interlaced = id % 3 == 0)
   }
 
   /** q_jpeg_progressive's per-doc kernel: deterministic SMOOTH RGB

@@ -388,6 +388,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(PixelCodec.decode(sc).exists(_._3.nonEmpty))
   }
 
+  test("PixelCodec Adam7: interlaced roundtrips exact at awkward sizes; ImageIO agrees both directions") {
+    import graft.operators.Multimodal.PixelCodec
+    val rnd = new scala.util.Random(13)
+    // sizes that empty some passes (w or h < 8/4/2) and odd strides
+    Seq((13, 7, false), (5, 3, true), (16, 16, false), (1, 1, true), (9, 2, false))
+      .foreach { case (w, h, alpha) =>
+        val img = Array.tabulate(h, w)((_, _) => rnd.nextInt())
+        def px(x: Int, y: Int) = img(y)(x)
+        val enc = PixelCodec.encodePngColor(w, h, px, alpha, interlaced = true)
+        // IHDR interlace byte really set: this is a genuine Adam7 stream
+        assert(enc(28) === 1, "interlace method must be 1")
+        val Some((dw, dh, rgb)) = PixelCodec.decodeColor(enc)
+        assert((dw, dh) === ((w, h)))
+        assert(rgb.toSeq === img.flatten.toSeq.map(_ & 0xffffff),
+          s"adam7 roundtrip $w x $h alpha=$alpha")
+        val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+        val viaImageIo = for (y <- 0 until h; x <- 0 until w)
+          yield bi.getRGB(x, y) & 0xffffff
+        assert(rgb.toSeq === viaImageIo, s"ImageIO cross-check $w x $h")
+      }
+    // our decoder on the JDK's OWN progressive (Adam7) encode
+    val (w, h) = (21, 13)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val want = for (y <- 0 until h; x <- 0 until w) yield {
+      val v = rnd.nextInt() & 0xffffff
+      bi.setRGB(x, y, v); v
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert(bytes(28) === 1, "ImageIO must have written an interlaced stream")
+    val Some((dw, dh, rgb)) = PixelCodec.decodeColor(bytes)
+    assert((dw, dh) === ((w, h)))
+    assert(rgb.toSeq === want, "decode of an ImageIO-encoded Adam7 PNG")
+  }
+
   test("PixelCodec: PNG/BMP roundtrip exact on random pixels; all PNG filters reverse; corrupt → None") {
     import graft.operators.Multimodal.PixelCodec
     val rnd = new scala.util.Random(42)
