@@ -119,11 +119,12 @@ object Multimodal {
     * the declared dimensions but the actual pixel payload, decoded
     * with nothing beyond the JDK. Two containers:
     *
-    *  - PNG, 8-bit grayscale (color type 0): chunk walk (length-typed,
-    *    CRC32-stamped), IDAT zlib inflate via `java.util.zip.Inflater`,
-    *    then per-scanline FILTER REVERSAL — all five PNG filters
-    *    (none/sub/up/average/paeth) implemented; the encoder cycles
-    *    none/sub/up so round-trips genuinely exercise the reversal.
+    *  - PNG: chunk walk (length-typed, CRC32-stamped), IDAT zlib
+    *    inflate via `java.util.zip.Inflater`, then per-scanline FILTER
+    *    REVERSAL at the color-type bpp stride — all five PNG filters,
+    *    grayscale + truecolor 2/6, sequential + Adam7 interlaced; both
+    *    encoders cycle all five filters so round-trips genuinely
+    *    exercise every reversal.
     *  - BMP, 24-bit uncompressed: pixel-array offset from the file
     *    header, BGR byte order, rows bottom-up and padded to 4 bytes —
     *    every classic layout trap, surfaced as integer luma
@@ -145,20 +146,27 @@ object Multimodal {
       bb.array()
     }
 
-    /** Encode an 8-bit grayscale PNG; scanline y uses filter y % 3
-      * (none / sub / up), so decoding requires real filter reversal. */
+    /** Encode an 8-bit grayscale PNG; scanline y uses filter y % 5 —
+      * the full none/sub/up/average/paeth cycle (round 10 completed
+      * the gray cycle; it used to stop at up, leaving avg/paeth to the
+      * color encoder only), so every decode exercises every reversal. */
     def encodePng(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
       val raw = new Array[Byte](h * (1 + w))
       var prev: Array[Int] = null
       (0 until h).foreach { y =>
         val row = Array.tabulate(w)(x => lum(x, y) & 0xff)
-        val f = y % 3
+        val f = y % 5
         raw(y * (1 + w)) = f.toByte
         (0 until w).foreach { x =>
+          val left = if (x > 0) row(x - 1) else 0
+          val up = if (prev != null) prev(x) else 0
+          val ul = if (x > 0 && prev != null) prev(x - 1) else 0
           val v = f match {
             case 0 => row(x)
-            case 1 => row(x) - (if (x > 0) row(x - 1) else 0)
-            case _ => row(x) - (if (prev != null) prev(x) else 0)
+            case 1 => row(x) - left
+            case 2 => row(x) - up
+            case 3 => row(x) - (left + up) / 2
+            case _ => row(x) - paeth(left, up, ul)
           }
           raw(y * (1 + w) + 1 + x) = (v & 0xff).toByte
         }
