@@ -423,70 +423,84 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
       // deterministically if a commit lands mid-flight.
       val v0 = table.currentVersion()
       val srcCols = src.columns.toIndexedSeq
-      val srcP = src.select(srcCols.map(c => col(c).as(SPfx + c)): _*)
-      val tgt0 = table.readMatchable(spark, src, keys.head, v0)
-      val tgtHas = tgt0.columns.map(_.toLowerCase).toSet
-      val tgt = tgt0.select(tgt0.columns.toIndexedSeq
-        .map(c => col(c).as(TPfx + c)) :+ lit(1).as(TPfx + "__present"): _*)
-      val joinCond = keys.map(k => col(SPfx + k) === col(TPfx + k))
-        .reduce(_ && _)
+      // output values are cast to the TABLE's column types, never the
+      // source's: a source column typed differently (INT vs BIGINT)
+      // must not silently narrow kept target values — the table type
+      // wins for every column it has; only schema-evolved extras take
+      // the source's type. readAt is manifest-only planning, no scan.
+      val tgtSchema = table.readAt(spark, v0).schema
+      def dtOf(c: String): org.apache.spark.sql.types.DataType =
+        tgtSchema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(src.schema(c).dataType)
       def cc(e: Option[Expression]): Column =
         e.map(x => coalesce(ColumnBridge.column(x).cast("boolean"), lit(false)))
           .getOrElse(lit(true))
-      // first-true-wins cascade: __graft_arm = index of the matched
-      // arm that fired, INS for the insert arm, -1 for no action — a
-      // row no action claims is dropped, so its key never enters the
-      // delta and the base row survives untouched
-      val INS = 1 << 20
-      val matchedIdx = matched.zipWithIndex.foldRight(lit(-1): Column) {
-        case ((arm, i), els) => when(cc(arm.cond), lit(i)).otherwise(els)
-      }
-      val insertIdx = insert
-        .map(a => when(cc(a.cond), lit(INS)).otherwise(lit(-1)))
-        .getOrElse(lit(-1))
-      val arm = when(col(TPfx + "__present").isNotNull, matchedIdx)
-        .otherwise(insertIdx)
-      val classified = srcP.join(tgt, joinCond, "left")
-        .withColumn("__graft_arm", arm)
-        .where(col("__graft_arm") =!= -1)
-      // per-column value: the firing arm's assignment if present;
-      // otherwise an update arm KEEPS the target value (partial SET —
-      // evolved target-absent extras: source value under a star arm,
-      // NULL under a partial one); insert arms take their assignment,
-      // source value under star, NULL otherwise; delete rows' values
-      // are dropped by merge, any branch serves
-      def valueOf(c: String): Column = {
-        val srcVal = col(SPfx + c)
-        val inTarget = tgtHas.contains(c.toLowerCase)
-        val dt = src.schema(c).dataType
-        def assigned(a: MergeArm): Option[Column] =
-          a.set.find(_._1.equalsIgnoreCase(c)).map(kv => ColumnBridge.column(kv._2))
-        def updateVal(a: MergeArm): Column = assigned(a).getOrElse {
-          if (inTarget) col(TPfx + c)
-          else if (a.starLike) srcVal
-          else lit(null).cast(dt)
-        }
-        val insVal: Column = insert.map { a =>
-          assigned(a).getOrElse(if (a.starLike) srcVal else lit(null).cast(dt))
-        }.getOrElse(srcVal)
-        val base = when(col("__graft_arm") === INS, insVal).otherwise(srcVal)
-        matched.zipWithIndex.foldRight(base) {
-          case ((a, _), els) if a.isDelete => els
-          case ((a, i), els) =>
-            when(col("__graft_arm") === i, updateVal(a)).otherwise(els)
-        }.cast(dt)
-      }
-      val delCol = matched.zipWithIndex
-        .collect { case (a, i) if a.isDelete => col("__graft_arm") === i }
-        .foldLeft(lit(false))(_ || _)
       // an NMBS-only merge has no source-side actions: skip the
-      // classification join (and its touched-file read) entirely
+      // classification join — and its touched-file read + touch
+      // detection — entirely (a distributed join over the delta would
+      // otherwise run just to be discarded by where(false))
       val srcDelta =
         if (matched.isEmpty && insert.isEmpty)
-          classified.where(lit(false)).select(
+          src.where(lit(false)).select(
+            srcCols.map(c => col(c).cast(dtOf(c)).as(c)) :+
+              lit(false).as("__graft_delete"): _*)
+        else {
+          val srcP = src.select(srcCols.map(c => col(c).as(SPfx + c)): _*)
+          val tgt0 = table.readMatchable(spark, src, keys.head, v0)
+          val tgtHas = tgt0.columns.map(_.toLowerCase).toSet
+          val tgt = tgt0.select(tgt0.columns.toIndexedSeq
+            .map(c => col(c).as(TPfx + c)) :+ lit(1).as(TPfx + "__present"): _*)
+          val joinCond = keys.map(k => col(SPfx + k) === col(TPfx + k))
+            .reduce(_ && _)
+          // first-true-wins cascade: __graft_arm = index of the matched
+          // arm that fired, INS for the insert arm, -1 for no action — a
+          // row no action claims is dropped, so its key never enters the
+          // delta and the base row survives untouched
+          val INS = 1 << 20
+          val matchedIdx = matched.zipWithIndex.foldRight(lit(-1): Column) {
+            case ((arm, i), els) => when(cc(arm.cond), lit(i)).otherwise(els)
+          }
+          val insertIdx = insert
+            .map(a => when(cc(a.cond), lit(INS)).otherwise(lit(-1)))
+            .getOrElse(lit(-1))
+          val arm = when(col(TPfx + "__present").isNotNull, matchedIdx)
+            .otherwise(insertIdx)
+          val classified = srcP.join(tgt, joinCond, "left")
+            .withColumn("__graft_arm", arm)
+            .where(col("__graft_arm") =!= -1)
+          // per-column value: the firing arm's assignment if present;
+          // otherwise an update arm KEEPS the target value (partial SET —
+          // evolved target-absent extras: source value under a star arm,
+          // NULL under a partial one); insert arms take their assignment,
+          // source value under star, NULL otherwise; delete rows' values
+          // are dropped by merge, any branch serves
+          def valueOf(c: String): Column = {
+            val srcVal = col(SPfx + c)
+            val inTarget = tgtHas.contains(c.toLowerCase)
+            val dt = dtOf(c)
+            def assigned(a: MergeArm): Option[Column] =
+              a.set.find(_._1.equalsIgnoreCase(c)).map(kv => ColumnBridge.column(kv._2))
+            def updateVal(a: MergeArm): Column = assigned(a).getOrElse {
+              if (inTarget) col(TPfx + c)
+              else if (a.starLike) srcVal
+              else lit(null).cast(dt)
+            }
+            val insVal: Column = insert.map { a =>
+              assigned(a).getOrElse(if (a.starLike) srcVal else lit(null).cast(dt))
+            }.getOrElse(srcVal)
+            val base = when(col("__graft_arm") === INS, insVal).otherwise(srcVal)
+            matched.zipWithIndex.foldRight(base) {
+              case ((a, _), els) if a.isDelete => els
+              case ((a, i), els) =>
+                when(col("__graft_arm") === i, updateVal(a)).otherwise(els)
+            }.cast(dt)
+          }
+          val delCol = matched.zipWithIndex
+            .collect { case (a, i) if a.isDelete => col("__graft_arm") === i }
+            .foldLeft(lit(false))(_ || _)
+          classified.select(
             srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
-        else classified.select(
-          srcCols.map(c => valueOf(c).as(c)) :+ delCol.as("__graft_delete"): _*)
+        }
       // NOT MATCHED BY SOURCE: the full-sync arms. Inherently O(table)
       // — absence from the source is a whole-target property — so this
       // leg (and only this leg) reads the full base snapshot and
@@ -510,7 +524,7 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
         val picked = absent.withColumn("__graft_arm", armIdx)
           .where(col("__graft_arm") =!= -1)
         def nmbsValue(c: String): Column = {
-          val dt = src.schema(c).dataType
+          val dt = dtOf(c)
           val keep: Column =
             if (tgtAllHas.contains(c.toLowerCase)) col(TPfx + c)
             else lit(null).cast(dt)

@@ -740,7 +740,8 @@ final class SnapshotTable(root: String) {
       case None => cur.repartition(files)
     }
     doCommit(arranged, replace = true, op = Some("compact"),
-      maxRetries = 20, tag = None).get
+      maxRetries = 20, tag = None).getOrElse(throw new IllegalStateException(
+      s"compact at $root lost the publish race after retries — re-run"))
   }
 
   /** Compaction POLICY: rewrite only when the current snapshot
@@ -796,8 +797,13 @@ final class SnapshotTable(root: String) {
     * Contract: `delta` must be key-unique (one row per key — SQL
     * MERGE's own rule; duplicate delta keys make the surviving row
     * nondeterministic) with non-null keys, and its columns must equal
-    * the table's (plus `deleteCol`). `targetFiles` bounds the rewrite
-    * fan-out; 0 = one output file per touched file. */
+    * the table's (plus `deleteCol`). Key-uniqueness is ENFORCED with
+    * one bounded aggregation over the delta before any rewrite —
+    * the same cardinality-violation error standard SQL MERGE and
+    * Delta raise ("multiple source rows matched"). Upsert rows are
+    * cast to the table's column types so the written files always
+    * match the manifest `#schema=` line. `targetFiles` bounds the
+    * rewrite fan-out; 0 = one output file per touched file. */
   /** Zone-map touch detection, shared by [[merge]] and [[readMatchable]]:
     * which manifest files COULD contain a `pk` value present in `delta`.
     * Each file's [min, max] for pk (already in the manifest — zero
@@ -922,6 +928,23 @@ final class SnapshotTable(root: String) {
     require(keys.forall(tableCols.contains),
       s"merge keys ${keys.mkString(", ")} must be table columns")
 
+    // ---- 0. cardinality: the key-unique contract is ENFORCED, not
+    // assumed — duplicate delta keys would make the surviving row
+    // nondeterministic (two upserts of key k both re-enter; SQL MERGE
+    // raises the same condition as a cardinality violation, Delta as
+    // "multiple source rows matched"). One bounded aggregation over
+    // the delta (O(delta), dwarfed by the rewrite it protects).
+    val dupKeys = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .where(col("__graft_cnt") > 1)
+      .limit(3).collect()
+    if (dupKeys.nonEmpty)
+      throw new IllegalStateException(
+        s"merge at $root: multiple delta rows share a key — MERGE " +
+          "requires the source to hold at most one row per target key " +
+          s"(e.g. ${dupKeys.map(r => keys.map(k => s"$k=${r.getAs[Any](k)}").mkString("(", ",", ")")).mkString(", ")}); " +
+          "dedupe the source before merging")
+
     // ---- 1. touch detection ------------------------------------------
     val pk = keys.head
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
@@ -929,11 +952,18 @@ final class SnapshotTable(root: String) {
     val untouched = rels.filterNot(touched)
 
     // ---- 2. rewrite ---------------------------------------------------
-    val upserts = deleteCol match {
+    val upserts0 = deleteCol match {
       case Some(c) =>
         delta.filter(!coalesce(col(c).cast("boolean"), lit(false))).drop(c)
       case None => delta
     }
+    // upsert rows are cast to the TABLE's column types: a source typed
+    // more narrowly (INT vs BIGINT) or more widely (DOUBLE vs INT) must
+    // not leak its own types into the written files — the files must
+    // always match the `#schema=` line or read-back under the manifest
+    // schema breaks
+    val upserts = upserts0.select(tableCols.map(c =>
+      col(c).cast(schema(schema.fieldIndex(c)).dataType).as(c)): _*)
     // matched keys leave the base whether the delta row updates or
     // deletes them — the upsert rows re-enter through the union
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
@@ -944,7 +974,7 @@ final class SnapshotTable(root: String) {
       else
         spark.read.schema(schema).parquet(touched.toSeq.sorted.map(abs): _*)
           .join(deltaKeys, keys, "left_anti")
-    val rewrite = survivors.unionByName(upserts.select(tableCols.map(col): _*))
+    val rewrite = survivors.unionByName(upserts)
     val nOut = if (targetFiles > 0) targetFiles else math.max(1, touched.size)
     val (out, newFiles, zmNew, _) = writeBatch(rewrite.repartition(nOut))
 

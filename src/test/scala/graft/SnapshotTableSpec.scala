@@ -1251,6 +1251,76 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).filter(col("id") >= 1000).count() === 10)
   }
 
+  test("merge: duplicate delta keys refuse with a cardinality error, nothing commits") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 10))
+    val v0 = t.currentVersion()
+    // two delta rows share key 3 — SQL MERGE's cardinality violation
+    // (Delta: "multiple source rows matched"); the surviving row would
+    // be nondeterministic, so the merge must refuse before any rewrite
+    val dup = Seq((3L, "x"), (3L, "y"), (7L, "z")).toDF("id", "val")
+    val ex = intercept[IllegalStateException] { t.merge(spark, dup, Seq("id")) }
+    assert(ex.getMessage.contains("multiple delta rows share a key"))
+    assert(ex.getMessage.contains("id=3"), s"error should name the key: ${ex.getMessage}")
+    assert(t.currentVersion() === v0, "a refused merge must not publish")
+    assert(t.read(spark).as[(Long, String)].collect().toMap.apply(3L) === "a3")
+  }
+
+  test("SQL MERGE: duplicate source keys surface the cardinality error") {
+    val wh = Files.createTempDirectory("graft_cat_dup").toString
+    spark.conf.set("spark.sql.catalog.dupcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dupcat.warehouse", wh)
+    spark.sql("CREATE TABLE dupcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    SnapshotTable(s"$wh/db/t").commit(kv(0 until 20))
+    Seq((5L, "p"), (5L, "q")).toDF("id", "val").createOrReplaceTempView("dup_src")
+    def causes(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val ex = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dupcat.db.t t USING dup_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(causes(ex).exists(_.contains("multiple delta rows share a key")),
+      s"expected the cardinality refusal, got: ${causes(ex).mkString(" | ")}")
+  }
+
+  test("merge: delta columns cast to the TABLE's types; written files match the manifest schema") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 10)) // id BIGINT, val STRING
+    // source typed narrower (INT) — the table type must win, or the
+    // rewritten files drift from the #schema line and read-back breaks
+    val narrow = Seq((3, "upd3"), (100, "ins100")).toDF("id", "val")
+    assert(narrow.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    t.merge(spark, narrow, Seq("id"))
+    val out = t.read(spark)
+    assert(out.schema("id").dataType === org.apache.spark.sql.types.LongType,
+      "merge must keep the table's BIGINT, not adopt the source's INT")
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m(3L) === "upd3" && m(100L) === "ins100" && m(0L) === "a0")
+  }
+
+  test("SQL MERGE: NOT-MATCHED-BY-SOURCE-only skips classification; dup source keys are harmless there") {
+    val wh = Files.createTempDirectory("graft_cat_nmbsonly").toString
+    spark.conf.set("spark.sql.catalog.nmbscat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nmbscat.warehouse", wh)
+    spark.sql("CREATE TABLE nmbscat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    SnapshotTable(s"$wh/db/t").commit(kv(0 until 20))
+    // duplicate source keys never enter the delta on this path (only
+    // their DISTINCT keys anti-join) — the merge must succeed, which
+    // also exercises the hoisted fast path that skips readMatchable
+    Seq((5L, "p"), (5L, "q"), (6L, "r")).toDF("id", "val")
+      .createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      """MERGE INTO nmbscat.db.t t USING nmbs_src s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM nmbscat.db.t").as[Long].collect().toSet
+      === Set(5L, 6L), "only source-present keys survive a full-sync delete")
+  }
+
   // ---- predicate delete (three-way zone-map classification) ---------
 
   test("deleteWhere: fully-covered files drop metadata-only; boundary file rewrites; rest untouched") {

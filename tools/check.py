@@ -50,13 +50,27 @@ def flush_json(done, total):
                    "queries": verdicts}, f, indent=1, sort_keys=True)
     os.replace(tmp, json_out)
 
+_wd_lock = threading.Lock()
+
 def run_sql(sql):
-    """Run one oracle under an interrupt watchdog; raises on timeout."""
-    timer = threading.Timer(TIMEOUT_S, con.interrupt)
+    """Run one oracle under an interrupt watchdog; raises on timeout.
+
+    The interrupt is guarded by a per-query done flag under a lock:
+    without it the timer could fire in the window between con.sql()
+    returning and timer.cancel(), interrupting an idle connection and
+    potentially killing the NEXT oracle instead of this one."""
+    done = [False]
+    def fire():
+        with _wd_lock:
+            if not done[0]:
+                con.interrupt()
+    timer = threading.Timer(TIMEOUT_S, fire)
     timer.start()
     try:
         return con.sql(sql).df()
     finally:
+        with _wd_lock:
+            done[0] = True
         timer.cancel()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,6 +95,10 @@ for done, qdir in enumerate(qdirs, 1):
         flush_json(done, len(qdirs)); continue
     try:
         duck_df = canon(run_sql(oracle[name]))
+    except duckdb.InterruptException:
+        say(f"FAIL {name}: timeout after {TIMEOUT_S}s"); fail += 1
+        verdicts[name] = {"status": "fail", "rows": len(spark_df), "detail": f"timeout after {TIMEOUT_S}s"}
+        flush_json(done, len(qdirs)); continue
     except Exception as e:
         say(f"FAIL {name}: oracle sql error: {e}"); fail += 1
         verdicts[name] = {"status": "fail", "rows": len(spark_df), "detail": f"oracle sql error: {e}"}
