@@ -254,6 +254,81 @@ object Multimodal {
         chunk("IEND", Array.emptyByteArray)
     }
 
+    /** Encode an INDEXED-COLOR PNG (color type 3, 8-bit indices) —
+      * the dominant real-web PNG class after truecolor (icons,
+      * screenshots, web graphics): scanlines carry one palette INDEX
+      * byte per pixel (so the filter stride is bpp = 1, the grayscale
+      * stride), the PLTE chunk carries the palette's RGB triples, and
+      * an optional tRNS chunk carries per-entry alpha for the FIRST
+      * `trnsCount` entries (the spec's short-transparency form —
+      * entries past it are opaque 255). Filters cycle y % 5 as in the
+      * other encoders and `interlaced` emits genuine Adam7, so decodes
+      * exercise every reversal at the index stride. `palette` entries
+      * are packed 0xAARRGGBB; only the first `trnsCount` alphas are
+      * written. */
+    def encodePngPalette(w: Int, h: Int, idx: (Int, Int) => Int,
+                         palette: Array[Int], trnsCount: Int = 0,
+                         interlaced: Boolean = false): Array[Byte] = {
+      require(palette.nonEmpty && palette.length <= 256,
+        s"palette size ${palette.length} out of [1, 256]")
+      require(trnsCount >= 0 && trnsCount <= palette.length,
+        s"tRNS count $trnsCount exceeds palette size ${palette.length}")
+      val raw = new java.io.ByteArrayOutputStream()
+      pngPasses(w, h, interlaced).foreach { case (xs, ys, xst, yst, pw, ph) =>
+        var prev: Array[Int] = null
+        (0 until ph).foreach { y =>
+          val row = Array.tabulate(pw) { x =>
+            val j = idx(xs + x * xst, ys + y * yst)
+            require(j >= 0 && j < palette.length,
+              s"palette index $j out of range at (${xs + x * xst}, ${ys + y * yst})")
+            j
+          }
+          val f = y % 5
+          raw.write(f)
+          (0 until pw).foreach { k =>
+            val left = if (k > 0) row(k - 1) else 0
+            val up = if (prev != null) prev(k) else 0
+            val ul = if (k > 0 && prev != null) prev(k - 1) else 0
+            val v = f match {
+              case 0 => row(k)
+              case 1 => row(k) - left
+              case 2 => row(k) - up
+              case 3 => row(k) - (left + up) / 2
+              case _ => row(k) - paeth(left, up, ul)
+            }
+            raw.write(v & 0xff)
+          }
+          prev = row
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.toByteArray); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h)
+      ihdr.put(8.toByte); ihdr.put(3.toByte) // bit depth 8, indexed
+      ihdr.put(0.toByte); ihdr.put(0.toByte)
+      ihdr.put((if (interlaced) 1 else 0).toByte)
+      val plte = new Array[Byte](palette.length * 3)
+      palette.zipWithIndex.foreach { case (p, j) =>
+        plte(j * 3) = ((p >> 16) & 0xff).toByte
+        plte(j * 3 + 1) = ((p >> 8) & 0xff).toByte
+        plte(j * 3 + 2) = (p & 0xff).toByte
+      }
+      val trns =
+        if (trnsCount == 0) Array.emptyByteArray
+        else chunk("tRNS",
+          Array.tabulate(trnsCount)(j => ((palette(j) >>> 24) & 0xff).toByte))
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("PLTE", plte) ++ trns ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     /** Encode a 24-bit uncompressed BMP with r = g = b = luma (so
       * decoded integer luma is exactly the input), rows bottom-up,
       * 4-byte padded. */
@@ -313,6 +388,8 @@ object Multimodal {
       var i = 8
       var w = 0; var h = 0; var depth = 0; var colorType = -1; var interlace = 0
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
+      var trns: Array[Byte] = null
       while (i + 8 <= p.length) {
         val len = be32(i)
         val tpe = new String(p, i + 4, 4, "ASCII")
@@ -323,15 +400,24 @@ object Multimodal {
             depth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
             interlace = p(i + 20) & 0xff
           case "IDAT" => idat.write(p, i + 8, len)
+          case "PLTE" => plte = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
+          case "tRNS" => trns = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len)
           case _ => ()
         }
         i += 12 + len // length + type + data + crc
       }
+      // bpp here is the FILTER stride: palette scanlines carry one
+      // INDEX byte per pixel, so type 3 filters at the grayscale
+      // stride and expands through PLTE after the unfilter+scatter
       val bpp = colorType match {
         case 0 => 1 // grayscale
         case 2 => 3 // truecolor
+        case 3 => // indexed-color: PLTE mandatory, length = 3·entries
+          if (plte == null || plte.length == 0 || plte.length % 3 != 0 ||
+            plte.length > 768) return None
+          1
         case 6 => 4 // truecolor + alpha
-        case _ => return None // palette/gray-alpha/16-bit: refused
+        case _ => return None // gray-alpha/16-bit: refused
       }
       if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
       val passes = pngPasses(w, h, interlace == 1)
@@ -392,7 +478,27 @@ object Multimodal {
         }
         base += ph * pStride
       }
-      Some((w, h, bpp, out))
+      if (colorType == 3) {
+        // PLTE lookup: indices → RGB, or RGBA when a tRNS chunk gives
+        // the first entries explicit alpha (the rest are opaque 255 —
+        // the spec's short-transparency form). An index past the
+        // palette is corrupt-is-data, not a crash.
+        val entries = plte.length / 3
+        val outBpp = if (trns != null) 4 else 3
+        val px = new Array[Byte](w * h * outBpp)
+        var k = 0
+        while (k < w * h) {
+          val j = out(k) & 0xff
+          if (j >= entries) return None
+          px(k * outBpp) = plte(j * 3)
+          px(k * outBpp + 1) = plte(j * 3 + 1)
+          px(k * outBpp + 2) = plte(j * 3 + 2)
+          if (outBpp == 4)
+            px(k * outBpp + 3) = if (j < trns.length) trns(j) else 0xff.toByte
+          k += 1
+        }
+        Some((w, h, outBpp, px))
+      } else Some((w, h, bpp, out))
     } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Pass list as (xs, ys, xStep, yStep, passW, passH), empty passes
@@ -439,6 +545,33 @@ object Multimodal {
               val at = i * bpp
               ((bytes(at) & 0xff) << 16) | ((bytes(at + 1) & 0xff) << 8) |
                 (bytes(at + 2) & 0xff)
+          }
+          i += 1
+        }
+        (w, h, out)
+      }
+
+    /** PNG decode → packed 0xAARRGGBB — the projection that keeps
+      * alpha, so tRNS palette transparency (and type-6 alpha) is
+      * oracle-checkable, not just stride-load-bearing. Alpha-less
+      * shapes (gray, RGB, palette without tRNS) report opaque 255. */
+    def decodePngArgb(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      decodePngRaw(p).map { case (w, h, bpp, bytes) =>
+        val out = new Array[Int](w * h)
+        var i = 0
+        while (i < w * h) {
+          out(i) = bpp match {
+            case 1 =>
+              val v = bytes(i) & 0xff
+              0xff000000 | (v << 16) | (v << 8) | v
+            case 3 =>
+              val at = i * 3
+              0xff000000 | ((bytes(at) & 0xff) << 16) |
+                ((bytes(at + 1) & 0xff) << 8) | (bytes(at + 2) & 0xff)
+            case _ =>
+              val at = i * 4
+              ((bytes(at + 3) & 0xff) << 24) | ((bytes(at) & 0xff) << 16) |
+                ((bytes(at + 1) & 0xff) << 8) | (bytes(at + 2) & 0xff)
           }
           i += 1
         }
@@ -585,6 +718,53 @@ object Multimodal {
     }
     PixelCodec.encodePngColor(w, h, px, withAlpha = id % 2 == 1,
       interlaced = id % 3 == 0)
+  }
+
+  /** INDEXED-COLOR PNG sibling of [[syntheticColorPngImage]] (round-10
+    * verdict item 1 — palette PNG was the largest remaining real-corpus
+    * format gap): P = 16 + id mod 17 palette entries with channel rules
+    * r = (3·id + 7j) % 256, g = (5·id + 11j) % 256, b = (7·id + 13j)
+    * % 256 for entry j; pixel (x, y) takes index (id + 3x + 5y) mod P.
+    * Odd ids carry a tRNS chunk giving the first P div 2 entries alpha
+    * (9·id + 17j) % 256 (the rest opaque 255 — the spec's
+    * short-transparency form); every third id is Adam7-interlaced.
+    * Dimensions match the truecolor corpus (7 + id % 9 × 5 + id % 6).
+    * PNG is lossless and the palette is closed-form, so the
+    * q_png_palette oracle recomputes every decoded ARGB channel
+    * arithmetically — a PLTE misparse, index-stride filter defect, or
+    * tRNS boundary slip breaks the hash compare. */
+  def syntheticPalettePngImage(id: Long): Array[Byte] = {
+    val w = 7 + (id % 9).toInt
+    val h = 5 + (id % 6).toInt
+    val pSize = 16 + (id % 17).toInt
+    val trnsCount = if (id % 2 == 1) pSize / 2 else 0
+    val palette = Array.tabulate(pSize) { j =>
+      val r = ((3 * id + 7 * j) % 256).toInt
+      val g = ((5 * id + 11 * j) % 256).toInt
+      val b = ((7 * id + 13 * j) % 256).toInt
+      val a = if (j < trnsCount) ((9 * id + 17 * j) % 256).toInt else 255
+      (a << 24) | (r << 16) | (g << 8) | b
+    }
+    PixelCodec.encodePngPalette(w, h,
+      (x, y) => ((id + 3 * x + 5 * y) % pSize).toInt,
+      palette, trnsCount, interlaced = id % 3 == 0)
+  }
+
+  case class DecodedArgb(doc_id: Long, width: Int, height: Int, argb: Array[Int])
+
+  /** [[decodeRgb]]'s alpha-keeping sibling: (doc_id, payload) → packed
+    * 0xAARRGGBB rows via [[PixelCodec.decodePngArgb]]; undecodable
+    * payloads drop (corrupt-is-data). */
+  def decodeArgb(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        PixelCodec.decodePngArgb(payload).map { case (w, h, argb) =>
+          DecodedArgb(id, w, h, argb)
+        }
+      }).toDF()
   }
 
   /** q_jpeg_progressive's per-doc kernel: deterministic SMOOTH RGB

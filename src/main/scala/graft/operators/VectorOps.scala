@@ -1880,6 +1880,43 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 INDEXED-COLOR PNG DECODE (round-10 verdict item 1) — the
+    // palette leg: per-doc payloads are genuine color-type-3 PNGs
+    // (PLTE lookup tables, scanlines of palette INDICES filtered at
+    // the bpp-1 stride, odd ids with a tRNS short-transparency chunk,
+    // every third id Adam7-interlaced), deflate-compressed for real.
+    // The ARGB projection keeps alpha, so the tRNS boundary (first
+    // P/2 entries translucent, rest opaque 255) is value-checked, not
+    // just parsed. Lossless + closed-form palette ⇒ fully arithmetic
+    // oracle; the alpha-weighted position checksum pins placement,
+    // channel order AND the index→entry mapping. Scale shape =
+    // q_png_color: per-partition decode after a compute repartition,
+    // one (doc)-keyed aggregate.
+    "q_png_palette" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticPalettePngImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeArgb(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("argb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("(cast(px as bigint) & 4294967295) div 16777216").as("a"),
+          expr("(cast(px as bigint) & 4294967295) div 65536 % 256").as("r"),
+          expr("(cast(px as bigint) & 4294967295) div 256 % 256").as("g"),
+          expr("(cast(px as bigint) & 4294967295) % 256").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum("a").as("a_sum"), sum("r").as("r_sum"),
+          sum("g").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(a * 8 + r * 4 + g * 2 + b) * (pos + 1)")).as("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // E6 PROGRESSIVE JPEG DECODE — the SOF2 leg (spectral selection,
     // successive approximation, EOB-run AC scans, non-interleaved
     // true-block-grid geometry): per-doc payloads are REAL multi-scan
@@ -3546,6 +3583,37 @@ object VectorOps {
         |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
         |  CAST(SUM(b) AS BIGINT) AS b_sum,
         |  CAST(SUM((r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // lossless + closed-form palette ⇒ fully arithmetic oracle: the
+    // decoded ARGB of pixel (x, y) is the palette rule applied to
+    // index (id + 3x + 5y) mod P with the tRNS short-transparency
+    // boundary at P div 2 on odd ids — a PLTE misparse, an index-
+    // stride filter defect, or an off-by-one on the tRNS boundary
+    // shifts a channel sum or the alpha-weighted checksum
+    "q_png_palette" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 7 + doc_id % 9 AS w, 5 + doc_id % 6 AS h,
+        |    16 + doc_id % 17 AS p,
+        |    CASE WHEN doc_id % 2 = 1 THEN (16 + doc_id % 17) // 2 ELSE 0 END AS t
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 16) t(x)),
+        |ys AS (SELECT y FROM range(0, 11) t(y)),
+        |px AS (
+        |  SELECT doc_id, w, h, y * w + x AS pos,
+        |    CASE WHEN j < t THEN (9 * doc_id + 17 * j) % 256 ELSE 255 END AS a,
+        |    (3 * doc_id + 7 * j) % 256 AS r,
+        |    (5 * doc_id + 11 * j) % 256 AS g,
+        |    (7 * doc_id + 13 * j) % 256 AS b
+        |  FROM (
+        |    SELECT d.doc_id, d.w, d.h, d.t, xs.x, ys.y,
+        |      (d.doc_id + 3 * xs.x + 5 * ys.y) % d.p AS j
+        |    FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h))
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(a) AS BIGINT) AS a_sum, CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // derived-invariant oracle (lossy multi-scan values aren't
