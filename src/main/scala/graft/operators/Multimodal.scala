@@ -1057,6 +1057,54 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Per-doc deterministic animated GIF: ≤16×10 canvas, ≤16-color
+    * closed-form palette, 1 + id%3 full-canvas frames with disposal 2
+    * (restore-background, so every frame's canvas view is exactly its
+    * own pixels — the oracle stays per-frame closed-form), transparent
+    * index id%P on odd ids, every third id interlaced. Frame f pixel
+    * (x, y) holds palette index (id + 3x + 5y + 7f) mod P. */
+  def syntheticGifImage(id: Long): Array[Byte] = {
+    val w = 6 + (id % 11).toInt
+    val h = 4 + (id % 7).toInt
+    val pSize = 8 + (id % 9).toInt
+    val nFrames = 1 + (id % 3).toInt
+    val tIdx = if (id % 2 == 1) (id % pSize).toInt else -1
+    val palette = Array.tabulate(pSize) { j =>
+      ((((5 * id + 3 * j) % 256).toInt) << 16) |
+        ((((7 * id + 5 * j) % 256).toInt) << 8) |
+        (((11 * id + 7 * j) % 256).toInt)
+    }
+    val frames = (0 until nFrames).map { f =>
+      val idx = Array.tabulate(w * h) { i =>
+        ((id + 3 * (i % w) + 5 * (i / w) + 7 * f) % pSize).toByte
+      }
+      GifCodec.GifFrame(0, 0, w, h, idx, tIdx,
+        disposal = 2, interlaced = id % 3 == 0, delayCs = 4)
+    }
+    GifCodec.encode(w, h, palette, frames)
+  }
+
+  case class DecodedGifFrame(doc_id: Long, frame: Int, width: Int,
+                             height: Int, argb: Array[Int])
+
+  /** Batched per-partition GIF decode over (doc_id, payload): one row
+    * per ANIMATION FRAME with the full-canvas packed-ARGB view (the
+    * video-adjacent shape — [[decodeFrames]] is the AVI twin);
+    * undecodable payloads drop (corrupt-is-data). */
+  def decodeGifFrames(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        GifCodec.decode(payload).toSeq.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (argb, f) =>
+            DecodedGifFrame(id, f, w, h, argb)
+          }
+        }
+      }).toDF()
+  }
+
   case class DecodedImage(doc_id: Long, width: Int, height: Int, lum: Array[Int])
 
   /** Batched per-partition pixel decode over (doc_id, payload) —

@@ -1917,6 +1917,47 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 GIF DECODE (round 11) — the LZW leg closing the image-format
+    // family: per-doc payloads are genuine ANIMATED GIF89a streams
+    // (variable-code-width LSB-first LZW for real, 1 + id%3 frames
+    // with graphic-control extensions, disposal 2, transparent index
+    // on odd ids, every third id 4-pass interlaced) over a closed-form
+    // global color table. Lossless codec + closed-form palette ⇒ fully
+    // arithmetic oracle over (doc × frame × pixel); the frame- and
+    // alpha-weighted position checksum pins frame order, placement,
+    // interlace reassembly AND the index→entry mapping at once. Scale
+    // shape = q_png_color: per-partition decode after a compute
+    // repartition, one (doc)-keyed aggregate.
+    "q_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticGifImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeGifFrames(payloads)
+        .select(col("doc_id"), col("frame"), col("width"), col("height"),
+          posexplode(col("argb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("frame").cast("long").as("f"),
+          col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("(cast(px as bigint) & 4294967295) div 16777216").as("a"),
+          expr("(cast(px as bigint) & 4294967295) div 65536 % 256").as("r"),
+          expr("(cast(px as bigint) & 4294967295) div 256 % 256").as("g"),
+          expr("(cast(px as bigint) & 4294967295) % 256").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg((max("f") + 1).cast("int").as("n_frames"),
+          count(lit(1)).as("n_px"),
+          sum("a").as("a_sum"), sum("r").as("r_sum"),
+          sum("g").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(a * 8 + r * 4 + g * 2 + b) * (pos + 1) * (f + 1)"))
+            .as("pos_checksum"))
+        .select("doc_id", "width", "height", "n_frames", "n_px",
+          "a_sum", "r_sum", "g_sum", "b_sum", "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
     // E6 PROGRESSIVE JPEG DECODE — the SOF2 leg (spectral selection,
     // successive approximation, EOB-run AC scans, non-interleaved
     // true-block-grid geometry): per-doc payloads are REAL multi-scan
@@ -3615,6 +3656,42 @@ object VectorOps {
         |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
         |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // lossless LZW + closed-form palette ⇒ fully arithmetic oracle:
+    // the decoded ARGB of frame f pixel (x, y) is the palette rule at
+    // index (id + 3x + 5y + 7f) mod P, transparent (all-zero) where
+    // that index equals id mod P on odd ids — an LZW width-bump
+    // defect, an interlace-pass misplacement, a frame-compositing
+    // error, or a transparency off-by-one all shift a channel sum or
+    // the (pos+1)(f+1)-weighted checksum
+    "q_gif_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 6 + doc_id % 11 AS w, 4 + doc_id % 7 AS h,
+        |    8 + doc_id % 9 AS p, 1 + doc_id % 3 AS nf,
+        |    CASE WHEN doc_id % 2 = 1 THEN doc_id % (8 + doc_id % 9)
+        |         ELSE -1 END AS t
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 17) t(x)),
+        |ys AS (SELECT y FROM range(0, 11) t(y)),
+        |fs AS (SELECT f FROM range(0, 3) t(f)),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, f, y * w + x AS pos,
+        |    CASE WHEN j = t THEN 0 ELSE 255 END AS a,
+        |    CASE WHEN j = t THEN 0 ELSE (5 * doc_id + 3 * j) % 256 END AS r,
+        |    CASE WHEN j = t THEN 0 ELSE (7 * doc_id + 5 * j) % 256 END AS g,
+        |    CASE WHEN j = t THEN 0 ELSE (11 * doc_id + 7 * j) % 256 END AS b
+        |  FROM (
+        |    SELECT d.doc_id, d.w, d.h, d.nf, d.t, xs.x, ys.y, fs.f,
+        |      (d.doc_id + 3 * xs.x + 5 * ys.y + 7 * fs.f) % d.p AS j
+        |    FROM dims d, xs, ys, fs
+        |    WHERE xs.x < d.w AND ys.y < d.h AND fs.f < d.nf))
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames, COUNT(*) AS n_px,
+        |  CAST(SUM(a) AS BIGINT) AS a_sum, CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1) * (f + 1)) AS BIGINT)
+        |    AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""".stripMargin,
 
     // derived-invariant oracle (lossy multi-scan values aren't
     // SQL-recomputable): dims + pixel count are arithmetic, and the
