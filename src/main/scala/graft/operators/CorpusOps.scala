@@ -39,6 +39,15 @@ object CorpusOps {
   private val phonePat = "\\+?1-555-[0-9]{4}"
   private val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** q_blocklist_scrub's term list — deliberately adversarial for a
+    * multi-pattern matcher: "tab"/"ab" nest inside "table", "an"
+    * inside "scan", "alu" inside "value", " a " overlaps itself in
+    * " a a ", "fast table" crosses a word boundary. Kept in lockstep
+    * with the VALUES list in the oracle SQL. */
+  private val blockTerms: Array[String] = Array(
+    "table", "tab", "ab", " a ", "scan", "an", "value", "alu",
+    "fast table", "batch")
+
   /** documents + a deterministic identifier-bearing `raw` column (a
     * synthetic contact header prepended to the text). */
   private def withRaw(s: SparkSession, d: String): DataFrame =
@@ -67,6 +76,39 @@ object CorpusOps {
               phonePat, "<PHONE>"),
             ipPat, "<IP>").as("clean"))
         .orderBy("doc_id")),
+
+    // E12 BLOCKLIST SCRUB (round 11) — Aho–Corasick multi-pattern
+    // matching: all K blocklist terms found in ONE O(chars + matches)
+    // pass per document, overlapping occurrences and nested patterns
+    // ("tab" inside "table", self-overlapping " a ") included — the
+    // semantics K independent contains()/replace() passes get wrong,
+    // at 1/K the cost. The automaton builds once from the bounded term
+    // list and BROADCASTS (O(Σ|term|) state, megabytes for a
+    // million-term blocklist); executors scan partitions in a tight
+    // per-char loop — embarrassingly parallel at 100 TB, zero shuffle
+    // before the per-(doc, term) aggregate projection. The Σ(1-based
+    // end position) checksum pins every match POSITION, so a failure-
+    // link defect that finds the right count in the wrong places still
+    // hash-mismatches. Oracle recomputes positionally: every (doc,
+    // offset, term) substring test — O(chars · K) is exactly the cost
+    // the automaton avoids, stated as such.
+    "q_blocklist_scrub" -> ((s, d) => {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(new AhoCorasick(blockTerms))
+      documents(s, d)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ac = bc.value
+          it.flatMap { case (id, text) =>
+            val (hits, ends) = ac.counts(text)
+            hits.indices.iterator.filter(hits(_) > 0L).map(i =>
+              (id, ac.patterns(i), hits(i), ends(i)))
+          }
+        }
+        .toDF("doc_id", "term", "n_hits", "end_checksum")
+        .orderBy("doc_id", "term")
+    }),
 
     // URL canonicalization + dedup: crawl frontiers carry the same
     // page under scheme-case / default-port / tracking-param /
@@ -1543,6 +1585,27 @@ object CorpusOps {
         |      '\+?1-555-[0-9]{4}', '<PHONE>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean
         |FROM raw ORDER BY doc_id""".stripMargin,
+
+    // positional recomputation: every (doc, 1-based offset, term)
+    // substring equality — counts OVERLAPPING occurrences exactly as
+    // the automaton does (replace()-based counting would not), and the
+    // end-position sum checks placement, not just multiplicity
+    "q_blocklist_scrub" ->
+      """WITH terms(term) AS (
+        |  SELECT * FROM (VALUES ('table'), ('tab'), ('ab'), (' a '),
+        |    ('scan'), ('an'), ('value'), ('alu'), ('fast table'),
+        |    ('batch')) v(term)),
+        |docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (
+        |  SELECT d.doc_id, d.text, r.i
+        |  FROM docs d, range(1, 2001) r(i) WHERE r.i <= d.n),
+        |hits AS (
+        |  SELECT p.doc_id, t.term, p.i + length(t.term) - 1 AS e
+        |  FROM pos p CROSS JOIN terms t
+        |  WHERE substr(p.text, p.i, length(t.term)) = t.term)
+        |SELECT doc_id, term, COUNT(*) AS n_hits,
+        |  CAST(SUM(e) AS BIGINT) AS end_checksum
+        |FROM hits GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
 
     "q_url_canonical" ->
       """WITH raw AS (
