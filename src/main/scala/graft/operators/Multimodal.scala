@@ -332,6 +332,85 @@ object Multimodal {
     /** Encode a 24-bit uncompressed BMP with r = g = b = luma (so
       * decoded integer luma is exactly the input), rows bottom-up,
       * 4-byte padded. */
+    /** Encode a PNG at any non-palette core-spec depth×type combo —
+      * 16-bit grayscale/truecolor/alpha (network byte order samples),
+      * 8-bit gray+alpha (type 4), and packed sub-byte grayscale
+      * (depths 1/2/4, MSB-first within each row byte). `sample(x, y,
+      * channel)` returns the RAW sample at the declared depth (0 ..
+      * 2^depth − 1); channel order is the spec's (gray[,alpha] /
+      * r,g,b[,alpha]). Filters cycle y % 5 at the byte stride
+      * (sub-byte rows filter at stride 1 on PACKED bytes, as the spec
+      * requires), so decodes exercise every reversal at every stride.
+      * Sequential scanlines (Adam7 coverage lives in the 8-bit
+      * encoders). */
+    def encodePngDeep(w: Int, h: Int, depth: Int, colorType: Int,
+                      sample: (Int, Int, Int) => Int): Array[Byte] = {
+      val channels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+        case _ => throw new IllegalArgumentException(s"colorType $colorType")
+      }
+      require(depth == 16 || depth == 8 || (channels == 1 && (depth == 1 || depth == 2 || depth == 4)),
+        s"unsupported depth $depth for type $colorType")
+      val bitsPP = channels * depth
+      val rowBytes = (w * bitsPP + 7) / 8
+      val filterBpp = math.max(1, bitsPP >> 3)
+      val raw = new java.io.ByteArrayOutputStream()
+      var prev: Array[Int] = null
+      (0 until h).foreach { y =>
+        val row = new Array[Int](rowBytes)
+        if (depth >= 8) {
+          (0 until w).foreach { x =>
+            (0 until channels).foreach { c =>
+              val v = sample(x, y, c)
+              if (depth == 16) {
+                row((x * channels + c) * 2) = (v >>> 8) & 0xff
+                row((x * channels + c) * 2 + 1) = v & 0xff
+              } else row(x * channels + c) = v & 0xff
+            }
+          }
+        } else {
+          (0 until w).foreach { x =>
+            val bit = x * depth
+            row(bit >> 3) |= (sample(x, y, 0) & ((1 << depth) - 1)) <<
+              (8 - depth - (bit & 7))
+          }
+        }
+        val f = y % 5
+        raw.write(f)
+        (0 until rowBytes).foreach { k =>
+          val left = if (k >= filterBpp) row(k - filterBpp) else 0
+          val up = if (prev != null) prev(k) else 0
+          val ul = if (k >= filterBpp && prev != null) prev(k - filterBpp) else 0
+          val v = f match {
+            case 0 => row(k)
+            case 1 => row(k) - left
+            case 2 => row(k) - up
+            case 3 => row(k) - (left + up) / 2
+            case _ => row(k) - paeth(left, up, ul)
+          }
+          raw.write(v & 0xff)
+        }
+        prev = row
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw.toByteArray); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h)
+      ihdr.put(depth.toByte); ihdr.put(colorType.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     def encodeBmp(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
       val rowSize = ((w * 3 + 3) / 4) * 4
       val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
@@ -406,23 +485,34 @@ object Multimodal {
         }
         i += 12 + len // length + type + data + crc
       }
-      // bpp here is the FILTER stride: palette scanlines carry one
-      // INDEX byte per pixel, so type 3 filters at the grayscale
-      // stride and expands through PLTE after the unfilter+scatter
-      val bpp = colorType match {
-        case 0 => 1 // grayscale
-        case 2 => 3 // truecolor
+      // full core-spec depth×type coverage (round 11 — the former
+      // 16-bit / gray-alpha / sub-byte refusals are now decoded):
+      // channels per pixel by color type; legal depths per the spec
+      val channels = colorType match {
+        case 0 => 1 // grayscale: depths 1/2/4/8/16
+        case 2 => 3 // truecolor: 8/16
         case 3 => // indexed-color: PLTE mandatory, length = 3·entries
           if (plte == null || plte.length == 0 || plte.length % 3 != 0 ||
             plte.length > 768) return None
-          1
-        case 6 => 4 // truecolor + alpha
-        case _ => return None // gray-alpha/16-bit: refused
+          1 // depths 1/2/4/8 (indices)
+        case 4 => 2 // grayscale + alpha: 8/16
+        case 6 => 4 // truecolor + alpha: 8/16
+        case _ => return None
       }
-      if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return None
+      val depthOk = colorType match {
+        case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+        case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+        case _ => depth == 8 || depth == 16
+      }
+      if (w <= 0 || h <= 0 || !depthOk || interlace > 1) return None
+      // the FILTER stride is in whole bytes: ceil for ≥8-bit samples,
+      // 1 for packed sub-byte rows (spec: bpp rounded up to one byte)
+      val bitsPP = channels * depth
+      val filterBpp = math.max(1, bitsPP >> 3)
+      def rowBytesOf(pw: Int): Int = (pw * bitsPP + 7) / 8
       val passes = pngPasses(w, h, interlace == 1)
       val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
-        ph * (1 + pw * bpp)
+        ph * (1 + rowBytesOf(pw))
       }.sum
       val inf = new java.util.zip.Inflater()
       val raw = new Array[Byte](rawLen)
@@ -440,19 +530,25 @@ object Multimodal {
         o
       } finally inf.end()
       if (off != raw.length) return None
-      val out = new Array[Byte](w * h * bpp)
+      // unfilter at the byte stride, then expand samples to 8 bits
+      // while scattering: 16-bit takes the high byte (v·255/65535 to
+      // within the spec's display reduction — exact when low == high),
+      // sub-byte grayscale scales by 255/(2^d−1) (exact integers: 255
+      // divides by 1, 3, 15), sub-byte palette keeps the raw index
+      val out = new Array[Byte](w * h * channels)
+      val maxSub = (1 << (if (depth < 8) depth else 1)) - 1
       var base = 0
       passes.foreach { case (xs, ys, xst, yst, pw, ph) =>
-        val pStride = 1 + pw * bpp
-        val rowBytes = pw * bpp
+        val rowBytes = rowBytesOf(pw)
+        val pStride = 1 + rowBytes
         val sub = new Array[Byte](ph * rowBytes)
         (0 until ph).foreach { y =>
           val f = raw(base + y * pStride) & 0xff
           (0 until rowBytes).foreach { k =>
             val v = raw(base + y * pStride + 1 + k) & 0xff
-            val left = if (k >= bpp) sub(y * rowBytes + k - bpp) & 0xff else 0
+            val left = if (k >= filterBpp) sub(y * rowBytes + k - filterBpp) & 0xff else 0
             val up = if (y > 0) sub((y - 1) * rowBytes + k) & 0xff else 0
-            val ul = if (k >= bpp && y > 0) sub((y - 1) * rowBytes + k - bpp) & 0xff else 0
+            val ul = if (k >= filterBpp && y > 0) sub((y - 1) * rowBytes + k - filterBpp) & 0xff else 0
             sub(y * rowBytes + k) = ((f match {
               case 0 => v
               case 1 => v + left
@@ -465,12 +561,23 @@ object Multimodal {
         }
         var y = 0
         while (y < ph) {
+          val rowOff = y * rowBytes
           var x = 0
           while (x < pw) {
-            val dst = ((ys + y * yst) * w + (xs + x * xst)) * bpp
-            var b = 0
-            while (b < bpp) {
-              out(dst + b) = sub((y * pw + x) * bpp + b); b += 1
+            val dst = ((ys + y * yst) * w + (xs + x * xst)) * channels
+            var c = 0
+            while (c < channels) {
+              val v8 =
+                if (depth == 8) sub(rowOff + x * channels + c) & 0xff
+                else if (depth == 16) sub(rowOff + (x * channels + c) * 2) & 0xff
+                else { // sub-byte: MSB-first packing, channels == 1
+                  val bit = x * depth
+                  val b = sub(rowOff + (bit >> 3)) & 0xff
+                  val v = (b >> (8 - depth - (bit & 7))) & maxSub
+                  if (colorType == 0) v * 255 / maxSub else v
+                }
+              out(dst + c) = v8.toByte
+              c += 1
             }
             x += 1
           }
@@ -498,7 +605,19 @@ object Multimodal {
           k += 1
         }
         Some((w, h, outBpp, px))
-      } else Some((w, h, bpp, out))
+      } else if (colorType == 4) {
+        // grayscale+alpha → RGBA (r = g = b = gray) so every
+        // downstream projection handles one alpha-bearing layout
+        val px = new Array[Byte](w * h * 4)
+        var k = 0
+        while (k < w * h) {
+          val g = out(k * 2)
+          px(k * 4) = g; px(k * 4 + 1) = g; px(k * 4 + 2) = g
+          px(k * 4 + 3) = out(k * 2 + 1)
+          k += 1
+        }
+        Some((w, h, 4, px))
+      } else Some((w, h, channels, out))
     } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Pass list as (xs, ys, xStep, yStep, passW, passH), empty passes
@@ -1055,6 +1174,35 @@ object Multimodal {
           DecodedAudio(id, rate, pcm)
         }
       }).toDF()
+  }
+
+  /** Per-doc deterministic deep-format PNG cycling the four shapes the
+    * 8-bit corpora never cover, by id % 4: 16-bit grayscale (samples
+    * g·257 so the high-byte reduction is exact), 16-bit truecolor,
+    * 8-bit gray+alpha (type 4), and packed sub-byte grayscale at depth
+    * 1/2/4 by id % 3 (display value v·255/(2^d−1), exact integers). */
+  def syntheticDeepPngImage(id: Long): Array[Byte] = {
+    val w = 5 + (id % 12).toInt
+    val h = 4 + (id % 8).toInt
+    (id % 4).toInt match {
+      case 0 =>
+        PixelCodec.encodePngDeep(w, h, 16, 0,
+          (x, y, _) => ((3 * id + 5 * x + 7 * y) % 256).toInt * 257)
+      case 1 =>
+        PixelCodec.encodePngDeep(w, h, 16, 2, (x, y, c) => (c match {
+          case 0 => ((5 * id + 3 * x + 7 * y) % 256).toInt
+          case 1 => ((7 * id + 5 * x + 11 * y) % 256).toInt
+          case _ => ((11 * id + 7 * x + 13 * y) % 256).toInt
+        }) * 257)
+      case 2 =>
+        PixelCodec.encodePngDeep(w, h, 8, 4, (x, y, c) =>
+          if (c == 0) ((3 * id + 5 * x + 7 * y) % 256).toInt
+          else ((5 * id + 3 * x + 11 * y) % 256).toInt)
+      case _ =>
+        val d = Array(1, 2, 4)((id % 3).toInt)
+        PixelCodec.encodePngDeep(w, h, d, 0,
+          (x, y, _) => ((id + x + y) % (1 << d)).toInt)
+    }
   }
 
   /** Per-doc deterministic animated GIF: ≤16×10 canvas, ≤16-color

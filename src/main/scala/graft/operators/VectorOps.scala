@@ -1917,6 +1917,42 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 DEEP-FORMAT PNG DECODE (round 11) — the depth axis the 8-bit
+    // corpora never exercised, removing the codec's former refusals:
+    // 16-bit grayscale and truecolor (network-order samples, high-byte
+    // display reduction — exact because samples are g·257), 8-bit
+    // gray+alpha (color type 4), and PACKED SUB-BYTE grayscale at
+    // depths 1/2/4 (MSB-first bit unpacking, byte-stride filters over
+    // packed rows, 255/(2^d−1) display scaling — exact integers). All
+    // four shapes mixed in one corpus by id % 4; lossless + closed
+    // form ⇒ fully arithmetic oracle, same checksum convention as
+    // q_png_palette. Scale shape unchanged: per-partition decode after
+    // a compute repartition, one (doc)-keyed aggregate.
+    "q_png_depth" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticDeepPngImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeArgb(payloads)
+        .select(col("doc_id"), col("width"), col("height"),
+          posexplode(col("argb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("(cast(px as bigint) & 4294967295) div 16777216").as("a"),
+          expr("(cast(px as bigint) & 4294967295) div 65536 % 256").as("r"),
+          expr("(cast(px as bigint) & 4294967295) div 256 % 256").as("g"),
+          expr("(cast(px as bigint) & 4294967295) % 256").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg(count(lit(1)).as("n_px"),
+          sum("a").as("a_sum"), sum("r").as("r_sum"),
+          sum("g").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(a * 8 + r * 4 + g * 2 + b) * (pos + 1)")).as("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // E6 GIF DECODE (round 11) — the LZW leg closing the image-format
     // family: per-doc payloads are genuine ANIMATED GIF89a streams
     // (variable-code-width LSB-first LZW for real, 1 + id%3 frames
@@ -3650,6 +3686,47 @@ object VectorOps {
         |    SELECT d.doc_id, d.w, d.h, d.t, xs.x, ys.y,
         |      (d.doc_id + 3 * xs.x + 5 * ys.y) % d.p AS j
         |    FROM dims d, xs, ys WHERE xs.x < d.w AND ys.y < d.h))
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  COUNT(*) AS n_px,
+        |  CAST(SUM(a) AS BIGINT) AS a_sum, CAST(SUM(r) AS BIGINT) AS r_sum,
+        |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // lossless at every depth ⇒ fully arithmetic oracle: the 16-bit
+    // variants reduce to their 8-bit generators exactly (samples are
+    // g·257, high byte = g), gray-alpha exposes its alpha rule, and
+    // the sub-byte variant recomputes the packed value's display
+    // scaling v·255/(2^d−1) — a bit-unpacking defect, a 16-bit stride
+    // error, or an alpha/gray channel swap all shift the sums
+    "q_png_depth" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 8 AS h,
+        |    doc_id % 4 AS variant,
+        |    CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS m
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 17) t(x)),
+        |ys AS (SELECT y FROM range(0, 12) t(y)),
+        |px AS (
+        |  SELECT doc_id, w, h, y * w + x AS pos,
+        |    CASE WHEN variant = 2 THEN (5 * doc_id + 3 * x + 11 * y) % 256
+        |         ELSE 255 END AS a,
+        |    CASE variant
+        |      WHEN 0 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      WHEN 1 THEN (5 * doc_id + 3 * x + 7 * y) % 256
+        |      WHEN 2 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      ELSE ((doc_id + x + y) % m) * 255 // (m - 1) END AS r,
+        |    CASE variant
+        |      WHEN 0 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      WHEN 1 THEN (7 * doc_id + 5 * x + 11 * y) % 256
+        |      WHEN 2 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      ELSE ((doc_id + x + y) % m) * 255 // (m - 1) END AS g,
+        |    CASE variant
+        |      WHEN 0 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      WHEN 1 THEN (11 * doc_id + 7 * x + 13 * y) % 256
+        |      WHEN 2 THEN (3 * doc_id + 5 * x + 7 * y) % 256
+        |      ELSE ((doc_id + x + y) % m) * 255 // (m - 1) END AS b
+        |  FROM dims, xs, ys WHERE xs.x < w AND ys.y < h)
         |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |  COUNT(*) AS n_px,
         |  CAST(SUM(a) AS BIGINT) AS a_sum, CAST(SUM(r) AS BIGINT) AS r_sum,
