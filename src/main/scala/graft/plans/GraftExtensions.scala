@@ -20,6 +20,8 @@ import graft.functions.{CmsSketch, DotProduct, HllSketch, KllSketch, NGrams, Nfc
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectPlannerStrategy(_ => MaintenanceStrategy)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => MergeIntoSnapshotStrategy)

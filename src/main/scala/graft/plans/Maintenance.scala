@@ -1,0 +1,232 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.{col, floor, least, lit, max, min, when}
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.sources.{Bucketing, GraftMergeable, SnapshotTable}
+
+/** SQL MAINTENANCE VERBS for snapshot tables — the operational surface
+  * every production table format exposes in SQL, injected through
+  * `SparkSessionExtensions.injectParser` (the same seam Delta uses for
+  * VACUUM/OPTIMIZE):
+  *
+  *   VACUUM <table|'path'> [RETAIN <n> VERSIONS]
+  *   OPTIMIZE <table|'path'> [INTO <n> FILES] [ZORDER BY (c1[, c2[, c3]])]
+  *   RESTORE TABLE <table|'path'> [TO] VERSION AS OF <v>
+  *
+  * The parser intercepts ONLY these three statement shapes (first
+  * keyword + full-statement regex match) and delegates everything else
+  * verbatim to Spark's parser, so the entire SQL language is
+  * untouched. Targets resolve either through a v2 catalog (multipart
+  * identifier → TableCatalog.loadTable → [[GraftMergeable]] root) or
+  * as a quoted filesystem path.
+  *
+  * Each verb plans into a driver-side command exec around the
+  * EXISTING transactional operation — [[SnapshotTable.vacuum]],
+  * [[SnapshotTable.compact]] (with a zone-map-friendly Z-order layout
+  * key when ZORDER BY is given), [[SnapshotTable.restore]] — and
+  * returns its accounting as rows. OPTIMIZE's grid mapping is linear
+  * min→max per column (one O(1)-row aggregate, NO global sort): the
+  * layout needs locality, not exact ranks, so the cheap map is the
+  * 100 TB-safe choice.
+  */
+object Maintenance {
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private def firstWord(sql: String): String =
+    sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+
+  /** Some(plan) when `sql` is one of the three maintenance verbs. */
+  def parse(sql: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    def target(raw: String): MaintenanceTarget = {
+      val t = raw.trim
+      if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+        (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2))
+        PathTarget(t.substring(1, t.length - 1))
+      else NameTarget(delegate.parseMultipartIdentifier(t))
+    }
+    firstWord(sql) match {
+      case "VACUUM" => sql match {
+        case VacuumRe(t, keep) =>
+          Some(VacuumSnapshot(target(t),
+            Option(keep).map(_.toInt).getOrElse(3)))
+        case _ => None
+      }
+      case "OPTIMIZE" => sql match {
+        case OptimizeRe(t, files, zcols) =>
+          val cols = Option(zcols).toSeq
+            .flatMap(_.split(',').toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty)
+          if (cols.size > 3) throw new IllegalArgumentException(
+            "OPTIMIZE ... ZORDER BY supports at most 3 columns " +
+              s"(got ${cols.size}) — beyond 3 dimensions the interleave " +
+              "prunes nothing")
+          Some(OptimizeSnapshot(target(t),
+            Option(files).map(_.toInt).getOrElse(8), cols))
+        case _ => None
+      }
+      case "RESTORE" => sql match {
+        case RestoreRe(t, v) => Some(RestoreSnapshot(target(t), v.toLong))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Resolve a maintenance target to the snapshot-table root dir. */
+  def rootOf(spark: SparkSession, t: MaintenanceTarget): String = t match {
+    case PathTarget(p) =>
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(p).resolve("_manifests")),
+        s"'$p' is not a graft snapshot table (no _manifests directory)")
+      p
+    case NameTarget(parts) =>
+      val cm = spark.sessionState.catalogManager
+      val (cat, ident) = parts match {
+        case Seq(c, ns @ _*) if ns.nonEmpty && cm.isCatalogRegistered(c) =>
+          (cm.catalog(c), Identifier.of(ns.init.toArray, ns.last))
+        case _ =>
+          (cm.currentCatalog, Identifier.of(
+            if (parts.size > 1) parts.init.toArray else cm.currentNamespace,
+            parts.last))
+      }
+      cat match {
+        case tc: TableCatalog => tc.loadTable(ident) match {
+          case gm: GraftMergeable => gm.mergeRoot
+          case other => throw new UnsupportedOperationException(
+            s"${parts.mkString(".")} (${other.getClass.getSimpleName}) is " +
+              "not a graft snapshot table — maintenance verbs apply only " +
+              "to snapshot tables")
+        }
+        case _ => throw new UnsupportedOperationException(
+          s"catalog ${cat.name()} is not a TableCatalog")
+      }
+  }
+
+  private[plans] def attrs(fields: (String, org.apache.spark.sql.types.DataType)*)
+      : Seq[AttributeReference] =
+    fields.map { case (n, dt) => AttributeReference(n, dt, nullable = false)() }
+}
+
+sealed trait MaintenanceTarget
+case class PathTarget(path: String) extends MaintenanceTarget
+case class NameTarget(parts: Seq[String]) extends MaintenanceTarget
+
+case class VacuumSnapshot(target: MaintenanceTarget, keepVersions: Int)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("data_files_deleted" -> LongType,
+      "manifests_expired" -> LongType)
+}
+
+case class OptimizeSnapshot(target: MaintenanceTarget, files: Int,
+                            zorderBy: Seq[String])
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("version" -> LongType, "n_files" -> LongType)
+}
+
+case class RestoreSnapshot(target: MaintenanceTarget, version: Long)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("version" -> LongType, "n_files" -> LongType)
+}
+
+/** Plans the three maintenance commands onto their driver-side execs. */
+object MaintenanceStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case v: VacuumSnapshot => MaintenanceExec(v.output, { spark =>
+      val (d, m) = SnapshotTable(Maintenance.rootOf(spark, v.target))
+        .vacuum(v.keepVersions)
+      Array(new GenericInternalRow(Array[Any](d.toLong, m.toLong)): InternalRow)
+    }) :: Nil
+    case o: OptimizeSnapshot => MaintenanceExec(o.output, { spark =>
+      val t = SnapshotTable(Maintenance.rootOf(spark, o.target))
+      val sortKey = o.zorderBy match {
+        case Nil => None
+        case Seq(c) => Some(col(c)) // 1-D: plain range-cluster on the column
+        case cols =>
+          // linear min→max grid map per column (one tiny aggregate, no
+          // global sort); nulls land on cell 0 — layout quality only,
+          // correctness never depends on the key
+          val df = t.read(spark)
+          val aggs = cols.flatMap(c => Seq(
+            min(col(c).cast("double")), max(col(c).cast("double"))))
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val gmax = if (cols.size == 2) 65535L else 1023L
+          val grids = cols.zipWithIndex.map { case (c, i) =>
+            if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+              row.getDouble(2 * i) == row.getDouble(2 * i + 1)) lit(0L)
+            else {
+              val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+              val g = floor((col(c).cast("double") - lit(lo)) * gmax / (hi - lo))
+              when(col(c).isNull, lit(0L))
+                .otherwise(least(lit(gmax), g.cast("long")))
+            }
+          }
+          Some(
+            if (cols.size == 2) Bucketing.zorderKey(grids(0), grids(1))
+            else Bucketing.zorder3Key(grids(0), grids(1), grids(2)))
+      }
+      val v = t.compact(spark, o.files, sortKey)
+      Array(new GenericInternalRow(
+        Array[Any](v, t.fileCount(v).toLong)): InternalRow)
+    }) :: Nil
+    case r: RestoreSnapshot => MaintenanceExec(r.output, { spark =>
+      val t = SnapshotTable(Maintenance.rootOf(spark, r.target))
+      val v = t.restore(r.version)
+      Array(new GenericInternalRow(
+        Array[Any](v, t.fileCount(v).toLong)): InternalRow)
+    }) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Driver-side command exec: `run` does the transactional work once
+  * (commands execute eagerly via executeCollect) and returns the
+  * accounting rows. */
+case class MaintenanceExec(output: Seq[Attribute],
+                           run: SparkSession => Array[InternalRow])
+    extends LeafExecNode {
+  @transient private lazy val done: Array[InternalRow] = run(session)
+  override def executeCollect(): Array[InternalRow] = done
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(done.toSeq, 1)
+}
+
+/** Delegating parser: intercepts the three maintenance verbs, hands
+  * every other statement (and every non-plan parse) to Spark's own
+  * parser unchanged. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    Maintenance.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -117,6 +117,15 @@ class SnapshotCatalog extends TableCatalog
         return new SnapshotSource.HistoryTable(dirOf(base).toString,
           s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
     }
+    // `t$files` — the current snapshot's per-file inventory, same
+    // LocalScan convention as $history
+    if (ident.name().endsWith("$files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files"))
+      if (!tableExists(ident) && tableExists(base))
+        return new SnapshotSource.FilesTable(dirOf(base).toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
     resolve(ident, None)
   }
 

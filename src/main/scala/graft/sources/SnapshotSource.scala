@@ -167,6 +167,41 @@ object SnapshotSource {
       org.apache.spark.unsafe.types.UTF8String.fromString(s)
   }
 
+  /** `cat.db.`t$files`` — the current snapshot's per-file inventory as
+    * a SQL metadata table (the Iceberg `t.files` convention): relative
+    * path, manifest row count (null when stats predate the `#zm=`
+    * line), on-disk bytes, bucket id for bucketed layouts, per-file
+    * bloom count. Same LocalScan contract as [[HistoryTable]]: the
+    * rows are O(manifest) driver-side reads, no distributed job. */
+  private[sources] final class FilesTable(root: String, tname: String)
+      extends Table with SupportsRead {
+    import org.apache.spark.sql.types._
+    private val sch = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("bucket", IntegerType, nullable = true),
+      StructField("n_blooms", LongType, nullable = false)))
+    override def name(): String = tname
+    override def schema(): StructType = sch
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = sch
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          SnapshotTable(root).filesRows.map {
+            case (file, rows, bytes, bucket, blooms) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](
+                  org.apache.spark.unsafe.types.UTF8String.fromString(file),
+                  rows.map(Long.box).orNull, bytes,
+                  bucket.map(Int.box).orNull, blooms))
+                : org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+      }
+  }
+
   /** The two metadata columns every change-feed row carries. */
   private[sources] def cdcSchema(data: StructType): StructType = data
     .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)

@@ -90,7 +90,7 @@ final class SnapshotTable(root: String) {
     * file-set rewrite carries logical changes (merge/delete/update →
     * delete+insert rows), none (compact), or breaks the lineage
     * (replace). */
-  private[sources] def opOf(v: Long): Option[String] =
+  private[graft] def opOf(v: Long): Option[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) None
     else Files.readAllLines(manifestPath(v)).asScala
       .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
@@ -119,7 +119,7 @@ final class SnapshotTable(root: String) {
 
   /** Full per-file manifest statistics of snapshot `v` (row count +
     * column stats + per-column blooms), keyed by ABSOLUTE path. */
-  private[sources] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
+  private[graft] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
     if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
     else {
       val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
@@ -373,7 +373,10 @@ final class SnapshotTable(root: String) {
           // replace onto an empty lineage (first commit) is an append
           if (added.isEmpty) Seq.empty
           else Seq((added.map(abs), "insert", v))
-        case "merge" | "delete" | "update" =>
+        case "merge" | "delete" | "update" | "restore" =>
+          // restore rewrites the listing to an old version's — since
+          // files are immutable that is exactly a delete of what left
+          // and an insert of what returned, same as any copy-on-write
           Seq((removed.map(abs), "delete", v), (added.map(abs), "insert", v))
             .filter(_._1.nonEmpty)
         case other => throw new IllegalStateException(
@@ -742,6 +745,62 @@ final class SnapshotTable(root: String) {
     doCommit(arranged, replace = true, op = Some("compact"),
       maxRetries = 20, tag = None).getOrElse(throw new IllegalStateException(
       s"compact at $root lost the publish race after retries — re-run"))
+  }
+
+  /** RESTORE the table to the content of snapshot `toVersion` as a NEW
+    * commit (Delta's RESTORE semantics): the head advances and history
+    * is preserved — nothing is rewound or deleted, so readers pinned
+    * to any retained version, the change feed (which sees the restore
+    * as delete+insert of the differing files), and concurrent commits
+    * all keep their contracts. Zero data I/O: data files are immutable,
+    * so restoring is re-publishing the old manifest's listing, schema,
+    * zone-map/bloom stats, and bucket layout under `#op=restore`.
+    *
+    * Refuses when `toVersion` is expired (manifest vacuumed) or any of
+    * its data files has been reaped by a later vacuum — a restore must
+    * be all-or-nothing. Restoring the current head is a no-op. */
+  def restore(toVersion: Long): Long = {
+    val head = currentVersion()
+    require(toVersion >= 0 && toVersion <= head,
+      s"restore target v$toVersion outside committed range [0, $head] at $root")
+    require(Files.exists(manifestPath(toVersion)),
+      s"restore target v$toVersion at $root is expired (vacuumed)")
+    if (toVersion == head) return head
+    val files = listing(toVersion)
+    val missing = files.filterNot(rel => Files.exists(Paths.get(root).resolve(rel)))
+    require(missing.isEmpty,
+      s"restore to v$toVersion at $root impossible: ${missing.size} data " +
+        s"files vacuumed (first: ${missing.headOption.getOrElse("")})")
+    // carry everything durable from the old manifest; restamp ts/op/tag
+    val kept = Files.readAllLines(manifestPath(toVersion)).asScala.toSeq
+      .filterNot(l => l.startsWith("#ts=") || l.startsWith("#op=") ||
+        l.startsWith("#tag="))
+    val lines = Seq(s"#ts=${System.currentTimeMillis()}", "#op=restore") ++ kept
+    if (!publish(head + 1, lines))
+      throw new IllegalStateException(
+        s"restore at $root lost the publish race: a commit landed " +
+          "concurrently — re-run against the new head")
+    head + 1
+  }
+
+  /** Per-file metadata of the CURRENT snapshot — the rows behind the
+    * SQL metadata table `cat.db.`t$files`` (relative path, manifest
+    * row count, on-disk bytes, bucket id when the layout is bucketed,
+    * per-file bloom count). O(manifest) driver work + one stat call
+    * per file, zero data-file reads. */
+  private[sources] def filesRows: Seq[(String, Option[Long], Long, Option[Int], Long)] = {
+    val v = currentVersion()
+    val stats = fileStatsOf(v)
+    val buckets = fbRel(v)
+    listing(v).map { rel =>
+      val abs = Paths.get(root).resolve(rel)
+      val st = stats.get(abs.toString)
+      (rel,
+        st.map(_.rows).filter(_ >= 0),
+        if (Files.exists(abs)) Files.size(abs) else -1L,
+        buckets.get(rel),
+        st.map(_.blooms.size.toLong).getOrElse(0L))
+    }
   }
 
   /** Compaction POLICY: rewrite only when the current snapshot
