@@ -1205,6 +1205,62 @@ object Multimodal {
     }
   }
 
+  /** Per-doc deterministic multi-page baseline TIFF — the document-
+    * scan shape: 1 + id%2 pages, page parity alternating grayscale /
+    * RGB photometrics, compression cycling none / LZW (MSB-first,
+    * early-change) / PackBits by (id + page) % 3, 3-row strips so
+    * every image is multi-strip, and big-endian ("MM") order on every
+    * fifth id. Closed-form pixels per page. */
+  def syntheticTiffImage(id: Long): Array[Byte] = {
+    val w = 7 + (id % 10).toInt
+    val h = 5 + (id % 6).toInt
+    val nPages = 1 + (id % 2).toInt
+    val pages = (0 until nPages).map { g =>
+      val gray = (id + g) % 2 == 0
+      val comp = Array(1, 5, 32773)(((id + g) % 3).toInt)
+      val px =
+        if (gray) Array.tabulate(w * h) { i =>
+          val (x, y) = (i % w, i / w)
+          ((3 * id + 5 * x + 7 * y + 11 * g) % 256).toByte
+        }
+        else Array.tabulate(w * h * 3) { k =>
+          val i = k / 3; val (x, y) = (i % w, i / w)
+          (k % 3 match {
+            case 0 => (5 * id + 3 * x + 7 * y + g) % 256
+            case 1 => (7 * id + 5 * x + 11 * y + 3 * g) % 256
+            case _ => (11 * id + 7 * x + 13 * y + 5 * g) % 256
+          }).toByte
+        }
+      TiffCodec.TiffPage(w, h, if (gray) 1 else 3, px, comp, rowsPerStrip = 3)
+    }
+    TiffCodec.encode(pages, bigEndian = id % 5 == 0)
+  }
+
+  case class DecodedTiffPage(doc_id: Long, page: Int, width: Int,
+                             height: Int, rgb: Array[Int])
+
+  /** Batched per-partition TIFF decode over (doc_id, payload): one row
+    * per PAGE with packed 0xRRGGBB pixels (grayscale pages expand to
+    * r = g = b); undecodable payloads drop (corrupt-is-data). */
+  def decodeTiffPages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        TiffCodec.decode(payload).toSeq.flatMap { pages =>
+          pages.iterator.zipWithIndex.map { case ((w, h, ch, bytes), g) =>
+            val rgb = Array.tabulate(w * h) { i =>
+              if (ch == 1) { val v = bytes(i) & 0xff; (v << 16) | (v << 8) | v }
+              else ((bytes(i * 3) & 0xff) << 16) |
+                ((bytes(i * 3 + 1) & 0xff) << 8) | (bytes(i * 3 + 2) & 0xff)
+            }
+            DecodedTiffPage(id, g, w, h, rgb)
+          }
+        }
+      }).toDF()
+  }
+
   /** Per-doc deterministic animated GIF: ≤16×10 canvas, ≤16-color
     * closed-form palette, 1 + id%3 full-canvas frames with disposal 2
     * (restore-background, so every frame's canvas view is exactly its

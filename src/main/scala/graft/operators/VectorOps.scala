@@ -1917,6 +1917,44 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 MULTI-PAGE TIFF DECODE (round 11) — the document-scan
+    // container and the engine's third entropy coder: TIFF-LZW is a
+    // different machine from GIF-LZW (MSB-first packing, 256-literal
+    // alphabet at 9 initial bits, the spec's EARLY CHANGE width bump
+    // every reader must reproduce), alongside PackBits RLE and raw
+    // strips — the corpus cycles all three by (id + page) % 3, mixes
+    // gray and RGB photometrics per page, multi-strip layout (3-row
+    // strips), and both byte orders. Lossless + closed form ⇒ fully
+    // arithmetic oracle over (doc × page × pixel) with the page- and
+    // position-weighted checksum. Scale shape = q_gif_decode.
+    "q_tiff_decode" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticTiffImage(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeTiffPages(payloads)
+        .select(col("doc_id"), col("page"), col("width"), col("height"),
+          posexplode(col("rgb")).as(Seq("pos", "px")))
+        .select(col("doc_id"), col("page").cast("long").as("g"),
+          col("width"), col("height"),
+          col("pos").cast("long").as("pos"),
+          expr("px div 65536").cast("long").as("r"),
+          expr("px div 256 % 256").cast("long").as("gc"),
+          expr("px % 256").cast("long").as("b"))
+        .groupBy("doc_id", "width", "height")
+        .agg((max("g") + 1).cast("int").as("n_pages"),
+          count(lit(1)).as("n_px"),
+          sum("r").as("r_sum"), sum("gc").as("g_sum"), sum("b").as("b_sum"),
+          sum(expr("(r * 4 + gc * 2 + b) * (pos + 1) * (g + 1)"))
+            .as("pos_checksum"))
+        .select("doc_id", "width", "height", "n_pages", "n_px",
+          "r_sum", "g_sum", "b_sum", "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
     // E6 DEEP-FORMAT PNG DECODE (round 11) — the depth axis the 8-bit
     // corpora never exercised, removing the codec's former refusals:
     // 16-bit grayscale and truecolor (network-order samples, high-byte
@@ -3692,6 +3730,40 @@ object VectorOps {
         |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
         |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // lossless codecs + closed-form pixels ⇒ fully arithmetic oracle:
+    // gray pages expand r = g = b, RGB pages expose three channel
+    // rules — an LZW early-change desync, a PackBits run/literal
+    // confusion, a strip-boundary error, or a byte-order misread all
+    // shift the sums or the (pos+1)(page+1)-weighted checksum
+    "q_tiff_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 7 + doc_id % 10 AS w, 5 + doc_id % 6 AS h,
+        |    1 + doc_id % 2 AS np
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 17) t(x)),
+        |ys AS (SELECT y FROM range(0, 11) t(y)),
+        |gs AS (SELECT g FROM range(0, 2) t(g)),
+        |px AS (
+        |  SELECT doc_id, w, h, np, g, y * w + x AS pos,
+        |    CASE WHEN (doc_id + g) % 2 = 0
+        |         THEN (3 * doc_id + 5 * x + 7 * y + 11 * g) % 256
+        |         ELSE (5 * doc_id + 3 * x + 7 * y + g) % 256 END AS r,
+        |    CASE WHEN (doc_id + g) % 2 = 0
+        |         THEN (3 * doc_id + 5 * x + 7 * y + 11 * g) % 256
+        |         ELSE (7 * doc_id + 5 * x + 11 * y + 3 * g) % 256 END AS gc,
+        |    CASE WHEN (doc_id + g) % 2 = 0
+        |         THEN (3 * doc_id + 5 * x + 7 * y + 11 * g) % 256
+        |         ELSE (11 * doc_id + 7 * x + 13 * y + 5 * g) % 256 END AS b
+        |  FROM dims, xs, ys, gs
+        |  WHERE xs.x < w AND ys.y < h AND gs.g < np)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(np AS INTEGER) AS n_pages, COUNT(*) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(gc) AS BIGINT) AS g_sum,
+        |  CAST(SUM(b) AS BIGINT) AS b_sum,
+        |  CAST(SUM((r * 4 + gc * 2 + b) * (pos + 1) * (g + 1)) AS BIGINT)
+        |    AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h, np ORDER BY doc_id""".stripMargin,
 
     // lossless at every depth ⇒ fully arithmetic oracle: the 16-bit
     // variants reduce to their 8-bit generators exactly (samples are
