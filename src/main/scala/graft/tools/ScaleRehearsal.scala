@@ -193,6 +193,18 @@ object ScaleRehearsal {
     // contract on both axes (fixed delta × growing table ⇒ flat;
     // growing delta ⇒ linear).
     "q_png_color" -> Seq("documents"),
+    // round-11: four more per-row codec kernels in the q_jpeg_decode
+    // shape (per-partition encode+decode after the compute
+    // repartition, payloads derive from the offset doc_id — frame/
+    // page/depth mix stays distribution-constant under replicas), and
+    // the Aho–Corasick blocklist scan, whose automaton is a fixed
+    // broadcast so the claim under test is a flat ×N single pass over
+    // the chars.
+    "q_png_palette" -> Seq("documents"),
+    "q_png_depth" -> Seq("documents"),
+    "q_gif_decode" -> Seq("documents"),
+    "q_tiff_decode" -> Seq("documents"),
+    "q_blocklist_scrub" -> Seq("documents"),
     // round-10 tokenizer family: the vocabulary remap gives each copy
     // private words, so the word dictionaries scale ×N at constant
     // per-word frequency and the piece/score tables stay
