@@ -993,10 +993,51 @@ object Multimodal {
       buf.array()
     }
 
-    /** RIFF chunk walk → (sampleRate, samples). Strict on structure
-      * (bounds, even-padding, PCM16 mono) — a malformed or truncated
-      * payload yields None, so a corrupt-heavy corpus degrades to
-      * dropped rows, never a job failure. */
+    /** G.711 μ-law byte → linear PCM (the ITU closed form: complement,
+      * 3-bit segment exponent, 4-bit mantissa, bias 0x84; sign bit of
+      * the complemented byte set = negative). Pure integer arithmetic,
+      * so the oracle recomputes it in SQL. */
+    def ulawToPcm(b: Int): Int = {
+      val u = (~b) & 0xff
+      val mag = ((((u & 0xf) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+      if ((u & 0x80) != 0) -mag else mag
+    }
+
+    /** G.711 A-law byte → linear PCM (xor 0x55 toggle, segment 0 is
+      * linear; sign bit of the toggled byte SET = positive — A-law's
+      * convention is μ-law's mirror). Integer-exact like [[ulawToPcm]]. */
+    def alawToPcm(b: Int): Int = {
+      val a = b ^ 0x55
+      val seg = (a >> 4) & 7
+      val mag =
+        if (seg == 0) ((a & 0xf) << 4) + 8
+        else (((a & 0xf) << 4) + 0x108) << (seg - 1)
+      if ((a & 0x80) != 0) mag else -mag
+    }
+
+    /** G.711 WAV: format tag 6 (A-law) / 7 (μ-law), 8 bits, mono —
+      * `companded` bytes ARE the payload (one byte per sample). */
+    def encodeWavG711(sampleRate: Int, companded: Array[Byte],
+                      aLaw: Boolean): Array[Byte] = {
+      val buf = ByteBuffer.allocate(44 + companded.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + companded.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(if (aLaw) 6 else 7).putShort(1)
+        .putInt(sampleRate).putInt(sampleRate) // byte rate = rate (1 B/sample)
+        .putShort(1).putShort(8) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(companded.length)
+        .put(companded)
+      buf.array()
+    }
+
+    /** RIFF chunk walk → (sampleRate, linear samples). Strict on
+      * structure (bounds, even-padding, mono) — a malformed or
+      * truncated payload yields None, so a corrupt-heavy corpus
+      * degrades to dropped rows, never a job failure. Formats: 1
+      * (PCM16) verbatim; 6/7 (G.711 A-law/μ-law, 8-bit) expand through
+      * the integer companding tables. */
     def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
       if (bytes.length < 12) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -1004,26 +1045,37 @@ object Multimodal {
       if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
       var off = 12
       var rate = -1
-      var fmtOk = false
-      var data: Array[Int] = null
+      var fmt = -1
+      var bits = -1
+      var mono = false
+      var raw: Array[Byte] = null
       while (off + 8 <= bytes.length) {
         val id = str4(off)
         val len = buf.getInt(off + 4)
         if (len < 0 || off + 8 + len > bytes.length) return None
         if (id == "fmt ") {
           if (len < 16) return None
-          val fmt = buf.getShort(off + 8)
-          val ch = buf.getShort(off + 10)
+          fmt = buf.getShort(off + 8)
+          mono = buf.getShort(off + 10) == 1
           rate = buf.getInt(off + 12)
-          val bits = buf.getShort(off + 22)
-          fmtOk = fmt == 1 && ch == 1 && bits == 16 && rate > 0
+          bits = buf.getShort(off + 22)
         } else if (id == "data") {
-          if (len % 2 != 0) return None
-          data = Array.tabulate(len / 2)(i => buf.getShort(off + 8 + 2 * i).toInt)
+          raw = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         }
         off += 8 + len + (len & 1) // RIFF chunks pad to even length
       }
-      if (fmtOk && data != null) Some((rate, data)) else None
+      if (!mono || rate <= 0 || raw == null) return None
+      (fmt, bits) match {
+        case (1, 16) =>
+          if (raw.length % 2 != 0) None
+          else {
+            val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+            Some((rate, Array.tabulate(raw.length / 2)(i => b.getShort(2 * i).toInt)))
+          }
+        case (7, 8) => Some((rate, raw.map(b => ulawToPcm(b & 0xff))))
+        case (6, 8) => Some((rate, raw.map(b => alawToPcm(b & 0xff))))
+        case _ => None
+      }
     }
   }
 
@@ -1069,10 +1121,28 @@ object Multimodal {
       b.array()
     }
 
-    /** → (width, height, totalFrames, raw frames). None on anything
-      * structurally wrong (bad magic, truncated chunk, frame length
-      * not matching the avih dimensions). */
-    def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] = {
+    /** MOTION-JPEG AVI: same container, `00dc` (compressed-DIB) frame
+      * chunks each holding a complete JPEG stream — the actual MJPEG
+      * convention (each frame independently decodable, the format
+      * webcams/capture cards ship). Composes with [[JpegCodec]]. */
+    def encodeMjpegAvi(uspf: Int, w: Int, h: Int,
+                       jpegFrames: Array[Array[Byte]]): Array[Byte] = {
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(uspf).putInt(0).putInt(0).putInt(0)
+        .putInt(jpegFrames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+      val hdrl = chunk("avih", avih.array())
+      val movi = jpegFrames.flatMap(f => chunk("00dc", f))
+      val body = list("hdrl", hdrl) ++ list("movi", movi)
+      val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("AVI ".getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+
+    /** Shared RIFF/AVI walk collecting `frameId` chunks. */
+    private def walkAvi(bytes: Array[Byte], frameId: String)
+        : Option[(Int, Int, Int, Array[Array[Byte]])] = {
       if (bytes.length < 12) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -1093,7 +1163,7 @@ object Multimodal {
             total = buf.getInt(off + 8 + 16)
             w = buf.getInt(off + 8 + 32)
             h = buf.getInt(off + 8 + 36)
-          } else if (id == "00db") {
+          } else if (id == frameId) {
             frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
           }
           off += 8 + len + (len & 1)
@@ -1101,10 +1171,23 @@ object Multimodal {
         true
       }
       if (!walk(12, bytes.length)) return None
-      if (w <= 0 || h <= 0 || total != frames.length ||
-        frames.exists(_.length != w * h)) None
+      if (w <= 0 || h <= 0 || total != frames.length) None
       else Some((w, h, total, frames.toArray))
     }
+
+    /** → (width, height, totalFrames, raw frames). None on anything
+      * structurally wrong (bad magic, truncated chunk, frame length
+      * not matching the avih dimensions). */
+    def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] =
+      walkAvi(bytes, "00db").filter { case (w, h, _, fs) =>
+        fs.forall(_.length == w * h)
+      }
+
+    /** MJPEG read: `00dc` chunks as opaque JPEG payloads (pixel decode
+      * is the caller's [[JpegCodec]] composition; a frame whose stream
+      * is corrupt drops there, per-frame, corrupt-is-data). */
+    def decodeMjpegAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] =
+      walkAvi(bytes, "00dc")
   }
 
   /** The deterministic frame rule shared by [[syntheticAvi]] and the
@@ -1158,6 +1241,54 @@ object Multimodal {
     val a = (1000 + (id % 7) * 100).toInt
     AudioCodec.encodeWav(rate,
       Array.tabulate(n)(i => (if ((i / h) % 2 == 0) a else -a).toShort))
+  }
+
+  /** Per-doc deterministic G.711 telephony WAV: 48 + id%80 companded
+    * bytes b(i) = (3·id + 7·i) mod 256, μ-law on even ids / A-law on
+    * odd — the full byte domain sweeps through every segment,
+    * mantissa, and sign of both companding tables across the corpus. */
+  def syntheticG711Wav(id: Long): Array[Byte] = {
+    val n = 48 + (id % 80).toInt
+    val bytes = Array.tabulate(n)(i => ((3 * id + 7 * i) % 256).toByte)
+    AudioCodec.encodeWavG711(8000, bytes, aLaw = id % 2 == 1)
+  }
+
+  /** Per-doc deterministic MOTION-JPEG AVI: 2 + id%3 frames, each an
+    * independently-decodable JPEG whose luma is CONSTANT per 8×8 block
+    * — the q_jpeg_decode exactness trick per frame: block(bx, by, f) =
+    * (7·id + 11·bx + 13·by + 17·f) mod 256. */
+  def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val nf = 2 + (id % 3).toInt
+    val w = 16 * (1 + (id % 2).toInt)
+    val h = 16
+    val frames = Array.tabulate(nf)(f => JpegCodec.encode(w, h,
+      (x, y) => ((7 * id + 11 * (x / 8) + 13 * (y / 8) + 17 * f) % 256).toInt))
+    VideoCodec.encodeMjpegAvi(40000, w, h, frames)
+  }
+
+  case class DecodedMjpegFrame(doc_id: Long, frame: Int, width: Int,
+                               height: Int, lum: Array[Int])
+
+  /** Batched per-partition MJPEG decode: AVI walk → per-frame
+    * [[JpegCodec]] baseline decode; a corrupt container drops the doc,
+    * a corrupt individual frame drops that frame (corrupt-is-data at
+    * FRAME granularity — the MJPEG robustness property: every frame is
+    * an independent stream). */
+  def decodeMjpegFrames(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        VideoCodec.decodeMjpegAvi(payload).toSeq.flatMap {
+          case (_, _, _, frames) =>
+            frames.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
+              JpegCodec.decode(jpeg).map { case (w, h, lum) =>
+                DecodedMjpegFrame(id, f, w, h, lum)
+              }
+            }
+        }
+      }).toDF()
   }
 
   case class DecodedAudio(doc_id: Long, sample_rate: Int, pcm: Array[Int])

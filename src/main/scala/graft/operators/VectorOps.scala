@@ -1917,6 +1917,69 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 G.711 TELEPHONY AUDIO (round 11) — the companded half of the
+    // audio surface: WAV format tags 6/7 (A-law/μ-law, 8-bit) expand
+    // through the ITU integer companding tables inside the existing
+    // chunk-walking decode. Both laws are CLOSED-FORM integer maps, so
+    // unlike most audio codecs the oracle recomputes every linear
+    // sample arithmetically from the synthetic byte rule (complement /
+    // xor-0x55, segment exponent, mantissa, bias — any table defect
+    // shifts the sums). Corpus alternates laws by id parity; the byte
+    // rule sweeps the full 0..255 domain, so every segment, mantissa
+    // and sign of both tables is exercised. Scale shape = the other
+    // per-row codecs: compute repartition, one doc-keyed aggregate.
+    "q_audio_g711" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticG711Wav(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodePcm(payloads)
+        .select(col("doc_id"), col("sample_rate"),
+          posexplode(col("pcm")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("sample_rate"),
+          col("pos").cast("long").as("pos"), col("v").cast("long").as("v"))
+        .groupBy("doc_id", "sample_rate")
+        .agg(count(lit(1)).as("n_samples"),
+          sum("v").as("sample_sum"),
+          sum(abs(col("v"))).as("abs_sum"),
+          max(abs(col("v"))).as("peak"),
+          sum(expr("v * (pos + 1)")).as("pos_checksum"))
+        .orderBy("doc_id")
+    }),
+
+    // E6 MOTION-JPEG VIDEO (round 11) — the compressed video leg
+    // composing two existing codecs: the RIFF/AVI walker reads `00dc`
+    // chunks (the real MJPEG convention — every frame a complete,
+    // independently-decodable JPEG stream) and JpegCodec decodes each.
+    // Frame luma is constant per 8×8 block, so the lossy pipeline is
+    // exact end-to-end (the q_jpeg_decode trick per frame) and the
+    // oracle recomputes every pixel. Corrupt-is-data holds at FRAME
+    // granularity — one bad frame drops alone. Scale shape unchanged.
+    "q_mjpeg_frames" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticMjpegAvi(id))))
+        .toDF("doc_id", "payload")
+      Multimodal.decodeMjpegFrames(payloads)
+        .select(col("doc_id"), col("frame").cast("long").as("f"),
+          col("width"), col("height"),
+          posexplode(col("lum")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height")
+        .agg((max("f") + 1).cast("int").as("n_frames"),
+          count(lit(1)).as("n_px"),
+          sum(col("v").cast("long")).as("lum_sum"),
+          sum(expr("cast(v as bigint) * (pos + 1) * (f + 1)")).as("pos_checksum"))
+        .select("doc_id", "width", "height", "n_frames", "n_px",
+          "lum_sum", "pos_checksum")
+        .orderBy("doc_id")
+    }),
+
     // E6 MULTI-PAGE TIFF DECODE (round 11) — the document-scan
     // container and the engine's third entropy coder: TIFF-LZW is a
     // different machine from GIF-LZW (MSB-first packing, 256-literal
@@ -3730,6 +3793,67 @@ object VectorOps {
         |  CAST(SUM(g) AS BIGINT) AS g_sum, CAST(SUM(b) AS BIGINT) AS b_sum,
         |  CAST(SUM((a * 8 + r * 4 + g * 2 + b) * (pos + 1)) AS BIGINT) AS pos_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // both companding laws are closed-form integer maps, so the oracle
+    // IS the ITU arithmetic: μ-law complement / A-law xor-0x55,
+    // segment exponent as a CASE power-of-two, mantissa, bias — a
+    // wrong sign convention, bias, or segment shift moves every sum
+    "q_audio_g711" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 48 + doc_id % 80 AS n FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, n, r.i, (3 * doc_id + 7 * r.i) % 256 AS b
+        |  FROM docs, range(0, 128) r(i) WHERE r.i < n),
+        |mu AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END
+        |    * ((((255 - b) % 16) * 8 + 132)
+        |       * (CASE ((255 - b) // 16) % 8
+        |          WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+        |          WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)
+        |       - 132) AS v
+        |  FROM bytes WHERE doc_id % 2 = 0),
+        |al AS (
+        |  SELECT doc_id, n, i,
+        |    CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END
+        |    * (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+        |        THEN (xor(b, 85) % 16) * 16 + 8
+        |        ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |          * (CASE (xor(b, 85) // 16) % 8
+        |             WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8
+        |             WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END) END) AS v
+        |  FROM bytes WHERE doc_id % 2 = 1),
+        |s AS (SELECT * FROM mu UNION ALL SELECT * FROM al)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sample_sum,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS abs_sum,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        |  CAST(SUM(v * (i + 1)) AS BIGINT) AS pos_checksum
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // block-constant luma keeps the lossy JPEG pipeline exact per
+    // frame, so the oracle recomputes every pixel of every frame from
+    // the block rule — a frame-order or container-walk defect moves
+    // the (pos+1)(f+1) checksum
+    "q_mjpeg_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 * (1 + doc_id % 2) AS w, 16 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |xs AS (SELECT x FROM range(0, 32) t(x)),
+        |ys AS (SELECT y FROM range(0, 16) t(y)),
+        |fs AS (SELECT f FROM range(0, 4) t(f)),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, f, y * w + x AS pos,
+        |    (7 * doc_id + 11 * (x // 8) + 13 * (y // 8) + 17 * f) % 256 AS v
+        |  FROM dims, xs, ys, fs
+        |  WHERE xs.x < w AND ys.y < h AND fs.f < nf)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames, COUNT(*) AS n_px,
+        |  CAST(SUM(v) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(v * (pos + 1) * (f + 1)) AS BIGINT) AS pos_checksum
+        |FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""".stripMargin,
 
     // lossless codecs + closed-form pixels ⇒ fully arithmetic oracle:
     // gray pages expand r = g = b, RGB pages expose three channel

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{JpegCodec, Multimodal}
+import graft.operators.Multimodal.{AudioCodec, VideoCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G.711 companding + Motion-JPEG container correctness. The G.711
+  * tables are cross-checked byte-for-byte against the JDK's
+  * INDEPENDENT javax.sound ULAW/ALAW converters (present in every
+  * JDK): all 256 μ-law and all 256 A-law code points must expand to
+  * the same linear PCM16 value the JDK's codec produces. */
+class AvCodecSpec extends AnyFunSuite {
+
+  private def jdkExpand(bytes: Array[Byte], aLaw: Boolean): Array[Int] = {
+    import javax.sound.sampled._
+    val enc = if (aLaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW
+    val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), src, bytes.length.toLong)
+    val dst = new AudioFormat(8000f, 16, 1, true, false) // PCM16 LE
+    val conv = AudioSystem.getAudioInputStream(dst, ais)
+    val out = conv.readAllBytes()
+    Array.tabulate(out.length / 2)(i =>
+      ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt)
+  }
+
+  test("u-law: all 256 code points match the JDK converter exactly") {
+    val all = Array.tabulate(256)(_.toByte)
+    val jdk = jdkExpand(all, aLaw = false)
+    (0 until 256).foreach { b =>
+      assert(AudioCodec.ulawToPcm(b) == jdk(b),
+        s"u-law byte $b: mine=${AudioCodec.ulawToPcm(b)} jdk=${jdk(b)}")
+    }
+  }
+
+  test("A-law: all 256 code points match the JDK converter exactly") {
+    val all = Array.tabulate(256)(_.toByte)
+    val jdk = jdkExpand(all, aLaw = true)
+    (0 until 256).foreach { b =>
+      assert(AudioCodec.alawToPcm(b) == jdk(b),
+        s"A-law byte $b: mine=${AudioCodec.alawToPcm(b)} jdk=${jdk(b)}")
+    }
+  }
+
+  test("G.711 WAV container roundtrip: fmt tags 6/7, odd data lengths pad") {
+    for (aLaw <- Seq(false, true); n <- Seq(47, 48)) { // odd + even
+      val bytes = Array.tabulate(n)(i => ((i * 37 + 5) % 256).toByte)
+      val wav = AudioCodec.encodeWavG711(8000, bytes, aLaw)
+      val Some((rate, pcm)) = AudioCodec.decodeWav(wav)
+      assert(rate == 8000 && pcm.length == n)
+      (0 until n).foreach { i =>
+        val want =
+          if (aLaw) AudioCodec.alawToPcm(bytes(i) & 0xff)
+          else AudioCodec.ulawToPcm(bytes(i) & 0xff)
+        assert(pcm(i) == want, s"aLaw=$aLaw sample $i")
+      }
+    }
+    // PCM16 path unchanged
+    val pcmWav = AudioCodec.encodeWav(16000, Array.tabulate(10)(i => (i * 1000).toShort))
+    assert(AudioCodec.decodeWav(pcmWav).exists(_._2.toSeq == (0 until 10).map(_ * 1000)))
+  }
+
+  test("synthetic G.711 corpus decodes to the closed-form table values (q_audio_g711 kernel)") {
+    for (id <- 0L to 20L) {
+      val n = 48 + (id % 80).toInt
+      val Some((rate, pcm)) = AudioCodec.decodeWav(Multimodal.syntheticG711Wav(id))
+      assert(rate == 8000 && pcm.length == n, s"id=$id")
+      (0 until n).foreach { i =>
+        val b = ((3 * id + 7 * i) % 256).toInt
+        val want = if (id % 2 == 1) AudioCodec.alawToPcm(b) else AudioCodec.ulawToPcm(b)
+        assert(pcm(i) == want, s"id=$id i=$i")
+      }
+    }
+  }
+
+  test("MJPEG: block-constant frames decode pixel-exactly through the 00dc walk") {
+    for (id <- 0L to 15L) {
+      val nf = 2 + (id % 3).toInt
+      val w = 16 * (1 + (id % 2).toInt); val h = 16
+      val Some((cw, ch, total, frames)) =
+        VideoCodec.decodeMjpegAvi(Multimodal.syntheticMjpegAvi(id))
+      assert((cw, ch, total) == (w, h, nf), s"id=$id container")
+      (0 until nf).foreach { f =>
+        val Some((dw, dh, lum)) = JpegCodec.decode(frames(f))
+        assert((dw, dh) == (w, h))
+        for (y <- 0 until h; x <- 0 until w) {
+          val want = ((7 * id + 11 * (x / 8) + 13 * (y / 8) + 17 * f) % 256).toInt
+          assert(lum(y * w + x) == want, s"id=$id f=$f ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("MJPEG corrupt-is-data at FRAME granularity: one bad frame drops alone") {
+    val good = JpegCodec.encode(16, 16, (x, y) => (40 + 8 * (x / 8) + 16 * (y / 8)))
+    val bad = good.clone()
+    bad(bad.length / 2) = 0x00 // stomp mid-entropy-stream
+    bad(bad.length / 2 + 1) = 0x00
+    val avi = VideoCodec.encodeMjpegAvi(40000, 16, 16, Array(good, bad, good))
+    val Some((_, _, total, frames)) = VideoCodec.decodeMjpegAvi(avi)
+    assert(total == 3 && frames.length == 3)
+    val decoded = frames.flatMap(JpegCodec.decode(_))
+    // the container walk keeps all three; the pixel decode drops at
+    // most the stomped one and never throws
+    assert(decoded.length >= 2, s"decoded ${decoded.length} of 3")
+    // raw-frame AVI decode still refuses 00dc-only files (and vice versa)
+    assert(VideoCodec.decodeAvi(avi).isEmpty)
+  }
+}
