@@ -110,6 +110,66 @@ object CorpusOps {
         .orderBy("doc_id", "term")
     }),
 
+    // E12 ZIP ARCHIVE INGESTION (round 11) — the bulk-drop unpacking
+    // pass: per-doc synthetic archives (STORED and DEFLATE members
+    // mixed) decode through the REAL central-directory walk (backward
+    // EOCD scan, local-header indirection, per-member CRC-32
+    // verification — a member failing CRC drops ALONE). Members
+    // explode to one row each; closed-form member text ⇒ fully
+    // arithmetic oracle. Scale: archives are per-row values, decode is
+    // mapPartitions after the compute repartition — fan-out bounded by
+    // archive content, never corpus size.
+    "q_zip_extract" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.flatMap { id =>
+          val members = (0 until (2 + (id % 3)).toInt).map { j =>
+            ArchiveCodec.ZipMember(
+              s"doc_${id}_$j.txt",
+              (s"payload $id $j " + ("ab" * (1 + ((id + j) % 7)).toInt))
+                .getBytes("UTF-8"),
+              deflate = (id + j) % 2 == 0)
+          }
+          ArchiveCodec.zipDecode(ArchiveCodec.zipEncode(members))
+            .toSeq.flatten.map { case (name, data, deflated) =>
+              (id, name, new String(data, "UTF-8"), deflated, data.length.toLong)
+            }
+        })
+        .toDF("doc_id", "name", "content", "deflated", "n_bytes")
+        .orderBy("doc_id", "name")
+    }),
+
+    // E12 WARC CRAWL INGESTION (round 11) — the Common Crawl record
+    // walk, the acquisition format of every web-scale pretraining
+    // corpus: WARC/1.0 version lines, named headers, Content-Length-
+    // exact payload reads, CRLF CRLF separation; response records
+    // additionally split the embedded HTTP envelope (status line +
+    // headers) from the body. Records explode to one row each;
+    // closed-form record text ⇒ fully arithmetic oracle. Same per-row
+    // scale shape as q_zip_extract.
+    "q_warc_extract" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.flatMap { id =>
+          val recs = ArchiveCodec.WarcRecord("warcinfo", "", -1, s"crawl $id") +:
+            (1 until (2 + (id % 2)).toInt + 1).map { j =>
+              ArchiveCodec.WarcRecord("response", s"https://ex.com/$id/$j",
+                Array(200, 301, 404)(((id + j) % 3).toInt),
+                s"body $id $j " + ("w" * ((id + j) % 9).toInt))
+            }
+          ArchiveCodec.warcDecode(ArchiveCodec.warcEncode(recs))
+            .toSeq.flatten.zipWithIndex.map { case (r, k) =>
+              (id, k.toLong, r.recordType, r.targetUri, r.httpStatus.toLong, r.body)
+            }
+        })
+        .toDF("doc_id", "rec", "record_type", "target_uri", "http_status", "body")
+        .orderBy("doc_id", "rec")
+    }),
+
     // URL canonicalization + dedup: crawl frontiers carry the same
     // page under scheme-case / default-port / tracking-param /
     // fragment variants; canonicalize then count duplicates per
@@ -1606,6 +1666,43 @@ object CorpusOps {
         |SELECT doc_id, term, COUNT(*) AS n_hits,
         |  CAST(SUM(e) AS BIGINT) AS end_checksum
         |FROM hits GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+
+    // closed-form member names/text: a central-directory misparse, a
+    // CRC false-drop, or an inflate defect changes rows or content
+    "q_zip_extract" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |m AS (
+        |  SELECT doc_id, r.j,
+        |    'doc_' || doc_id || '_' || r.j || '.txt' AS name,
+        |    'payload ' || doc_id || ' ' || r.j || ' ' ||
+        |      repeat('ab', CAST(1 + (doc_id + r.j) % 7 AS INTEGER)) AS content,
+        |    (doc_id + r.j) % 2 = 0 AS deflated
+        |  FROM docs, range(0, 5) r(j) WHERE r.j < 2 + doc_id % 3)
+        |SELECT doc_id, name, content, deflated,
+        |  CAST(length(content) AS BIGINT) AS n_bytes
+        |FROM m ORDER BY doc_id, name""".stripMargin,
+
+    // closed-form records: a Content-Length drift, an envelope-split
+    // error, or a status misparse changes rows or values
+    "q_warc_extract" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |info AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS rec,
+        |    'warcinfo' AS record_type, '' AS target_uri,
+        |    CAST(-1 AS BIGINT) AS http_status,
+        |    'crawl ' || doc_id AS body
+        |  FROM docs),
+        |resp AS (
+        |  SELECT doc_id, CAST(r.j AS BIGINT) AS rec,
+        |    'response' AS record_type,
+        |    'https://ex.com/' || doc_id || '/' || r.j AS target_uri,
+        |    CAST(CASE (doc_id + r.j) % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+        |         ELSE 404 END AS BIGINT) AS http_status,
+        |    'body ' || doc_id || ' ' || r.j || ' ' ||
+        |      repeat('w', CAST((doc_id + r.j) % 9 AS INTEGER)) AS body
+        |  FROM docs, range(1, 4) r(j) WHERE r.j <= 2 + doc_id % 2)
+        |SELECT * FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+        |ORDER BY doc_id, rec""".stripMargin,
 
     "q_url_canonical" ->
       """WITH raw AS (
