@@ -498,11 +498,67 @@ object ZoneMaps {
         if (counts.forall(_ >= 0L)) java.util.OptionalLong.of(counts.sum)
         else if (base != null) base.numRows()
         else java.util.OptionalLong.empty()
+      val colStats = columnStatsOf()
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           if (base != null) base.sizeInBytes() else java.util.OptionalLong.empty()
         override def numRows(): java.util.OptionalLong = exact
+        override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
       }
+    }
+
+    /** COLUMN-LEVEL planning statistics from the same manifest zone
+      * maps (the connector `columnStats()` surface CBO estimation
+      * reads): per surviving column, exact null count (summed) and
+      * typed min/max (folded) across the files this scan will read.
+      * Honesty contract as everywhere: a column reports only when
+      * EVERY surviving file carries its stat, null counts only when
+      * every file recorded one; string min/max are omitted (CBO's
+      * numeric estimation doesn't consume them and the bytewise order
+      * is already exploited by file skipping). O(files × columns)
+      * driver arithmetic, zero I/O — at 100 TB this hands the
+      * optimizer real value bounds and null fractions for join/filter
+      * selectivity without an ANALYZE pass. */
+    private def columnStatsOf(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      readSchema().fieldNames.foreach { c =>
+        val per = current.map(f => statsByFile.get(f).flatMap(_.cols.get(c)))
+        if (current.nonEmpty && per.forall(_.isDefined)) {
+          val stats = per.map(_.get)
+          val nulls =
+            if (stats.forall(_.nulls >= 0L))
+              java.util.OptionalLong.of(stats.map(_.nulls).sum)
+            else java.util.OptionalLong.empty()
+          val range: Option[(AnyRef, AnyRef)] = stats.head.kind match {
+            case 'l' => scala.util.Try((
+              Long.box(stats.map(_.min.toLong).min): AnyRef,
+              Long.box(stats.map(_.max.toLong).max): AnyRef)).toOption
+            case 'd' => scala.util.Try((
+              Double.box(stats.map(_.min.toDouble).min): AnyRef,
+              Double.box(stats.map(_.max.toDouble).max): AnyRef)).toOption
+            case _ => None
+          }
+          if (nulls.isPresent || range.isDefined)
+            out.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def nullCount(): java.util.OptionalLong = nulls
+                override def min(): java.util.Optional[Object] =
+                  range.map(r => java.util.Optional.of(r._1: Object))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  range.map(r => java.util.Optional.of(r._2: Object))
+                    .getOrElse(java.util.Optional.empty[Object]())
+              })
+        }
+      }
+      out
     }
 
     /** Files the CURRENT (post-pruning) delegate will read — spec

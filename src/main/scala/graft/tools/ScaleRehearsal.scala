@@ -205,6 +205,15 @@ object ScaleRehearsal {
     "q_gif_decode" -> Seq("documents"),
     "q_tiff_decode" -> Seq("documents"),
     "q_blocklist_scrub" -> Seq("documents"),
+    // round-11 batch 2: G.711 expansion, MJPEG composition, and the
+    // archive walks — all the same per-row value-decode shape; the
+    // archive queries additionally explode to members/records, a
+    // fan-out bounded by archive CONTENT (closed-form in doc_id), so
+    // output rows scale exactly ×N alongside input rows.
+    "q_audio_g711" -> Seq("documents"),
+    "q_mjpeg_frames" -> Seq("documents"),
+    "q_zip_extract" -> Seq("documents"),
+    "q_warc_extract" -> Seq("documents"),
     // round-10 tokenizer family: the vocabulary remap gives each copy
     // private words, so the word dictionaries scale ×N at constant
     // per-word frequency and the piece/score tables stay

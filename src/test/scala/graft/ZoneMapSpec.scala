@@ -193,6 +193,42 @@ class ZoneMapSpec extends SparkTestBase {
       pruned.getAsLong >= 1000L)
   }
 
+  test("scan reports per-COLUMN stats (min/max/nullCount) from the manifest; pruning tightens them") {
+    val (t, _) = freshTable() // k in [0, 8000), 8 files clustered on k
+    def colStats(df: DataFrame) = {
+      df.collect()
+      val stats = batchScans(df.queryExecution.executedPlan).map(_.scan).collect {
+        case z: ZoneMaps.ZoneMapScan => z.estimateStatistics()
+      }
+      assert(stats.size === 1)
+      import scala.jdk.CollectionConverters._
+      stats.head.columnStats().asScala.map { case (ref, cs) => ref.describe() -> cs }.toMap
+    }
+    val full = colStats(t.read(spark))
+    assert(full.contains("k"), s"k must report column stats, got ${full.keySet}")
+    assert(full("k").min().get() === Long.box(0L))
+    assert(full("k").max().get() === Long.box(7999L))
+    assert(full("k").nullCount().getAsLong === 0L)
+    // pruned read: the folded range covers only SURVIVING files
+    val pruned = colStats(t.read(spark).filter(col("k") >= 2000 && col("k") < 3000))
+    assert(pruned("k").min().get().asInstanceOf[Long] >= 1000L &&
+      pruned("k").max().get().asInstanceOf[Long] < 4000L,
+      s"pruned k-range must tighten: ${pruned("k").min()}..${pruned("k").max()}")
+    // CBO consumes them: with plan stats enabled the optimized plan
+    // carries attribute-level stats straight from the connector
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val attr = t.read(spark).queryExecution.optimizedPlan.stats.attributeStats
+      val kStat = attr.find(_._1.name == "k").map(_._2)
+      assert(kStat.exists(s => s.min.contains(0L) && s.max.contains(7999L)),
+        s"CBO must see the connector column stats, got $attr")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.planStats.enabled", "false")
+    }
+  }
+
   test("zone-map line codec round-trips delimiter-hostile values; malformed lines drop") {
     val stats = Map(
       "we|ird=col" -> ZoneMaps.ColStat('s', "a|b:c", "z=%7C"),
