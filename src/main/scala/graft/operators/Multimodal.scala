@@ -1032,6 +1032,129 @@ object Multimodal {
       buf.array()
     }
 
+    // IMA/DVI ADPCM (WAV format 17): the published step-size and
+    // index-adjust tables from the IMA spec — 4-bit nibbles, adaptive
+    // step, 89-entry table, per-block predictor reset.
+    private val imaStep: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+      37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+      544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+      1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+      4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+      12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+      29794, 32767)
+    private val imaIndexAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    private def clampIdx(i: Int): Int = math.max(0, math.min(88, i))
+    private def clamp16(v: Int): Int = math.max(-32768, math.min(32767, v))
+
+    /** One ADPCM step: (nibble, predictor, stepIndex) → (newPred,
+      * newIndex). The canonical IMA reconstruction: diff = step·m/4 +
+      * step/8 via the bit cascade, sign in bit 3. */
+    private def imaDecodeStep(n: Int, pred: Int, idx: Int): (Int, Int) = {
+      val step = imaStep(idx)
+      var diff = step >> 3
+      if ((n & 4) != 0) diff += step
+      if ((n & 2) != 0) diff += step >> 1
+      if ((n & 1) != 0) diff += step >> 2
+      val p = clamp16(if ((n & 8) != 0) pred - diff else pred + diff)
+      (p, clampIdx(idx + imaIndexAdj(n & 7)))
+    }
+
+    /** IMA ADPCM mono WAV (format 17): blocks of `samplesPerBlock`
+      * (odd — 1 header sample + 2 per byte), block header = initial
+      * predictor s16 + step index u8 + reserved. 4-bit, low nibble
+      * first. ~4× smaller than PCM16, the classic telephony/game
+      * compression. */
+    def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+                       samplesPerBlock: Int = 505): Array[Byte] = {
+      require(samplesPerBlock >= 3 && samplesPerBlock % 2 == 1,
+        "samplesPerBlock must be odd (header sample + nibble pairs)")
+      val blockAlign = 4 + (samplesPerBlock - 1) / 2
+      val nBlocks = (samples.length + samplesPerBlock - 1) / samplesPerBlock
+      val data = new java.io.ByteArrayOutputStream()
+      (0 until nBlocks).foreach { b =>
+        val from = b * samplesPerBlock
+        val inBlock = math.min(samplesPerBlock, samples.length - from)
+        var pred: Int = samples(from)
+        // prime the block's step index to the first delta (the header
+        // carries it, so an encoder may choose freely): without this,
+        // index 0 (step 7) needs many samples to adapt to a steep
+        // signal and the transient error blows past any useful bound
+        var idx = {
+          val d0 =
+            if (inBlock > 1) math.abs(samples(from + 1) - pred) else 0
+          val i0 = imaStep.indexWhere(_ >= d0)
+          if (i0 < 0) 88 else i0
+        }
+        data.write(pred & 0xff); data.write((pred >> 8) & 0xff)
+        data.write(idx); data.write(0)
+        var lo = -1
+        var i = 1
+        while (i < samplesPerBlock) {
+          // past the input: encode silence-holding nibbles (repeat pred)
+          val target = if (from + i < samples.length && i < inBlock)
+            samples(from + i).toInt else pred
+          val step = imaStep(idx)
+          var delta = target - pred
+          var n = if (delta < 0) { delta = -delta; 8 } else 0
+          if (delta >= step) { n |= 4; delta -= step }
+          if (delta >= (step >> 1)) { n |= 2; delta -= step >> 1 }
+          if (delta >= (step >> 2)) n |= 1
+          val (p2, i2) = imaDecodeStep(n, pred, idx)
+          pred = p2; idx = i2
+          if (lo < 0) lo = n
+          else { data.write(lo | (n << 4)); lo = -1 }
+          i += 1
+        }
+        if (lo >= 0) data.write(lo)
+      }
+      val payload = data.toByteArray
+      val buf = ByteBuffer.allocate(48 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(17).putShort(1)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign / samplesPerBlock) // avg byte rate
+        .putShort(blockAlign.toShort).putShort(4) // block align, bits
+        .putShort(2).putShort(samplesPerBlock.toShort) // cbSize, spb
+        .put("data".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      buf.array()
+    }
+
+    /** Decode an ADPCM data payload: per block, header predictor IS
+      * sample 0, then nibble steps (low first). */
+    private def adpcmExpand(raw: Array[Byte], blockAlign: Int): Option[Array[Int]] = {
+      if (blockAlign < 5) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var at = 0
+      while (at < raw.length) {
+        val bLen = math.min(blockAlign, raw.length - at)
+        if (bLen < 5) return None // a block must carry header + data
+        var pred = ((raw(at) & 0xff) | (raw(at + 1) << 8)).toShort.toInt
+        var idx = raw(at + 2) & 0xff
+        if (idx > 88 || raw(at + 3) != 0) return None
+        out += pred
+        var k = 4
+        while (k < bLen) {
+          val byte = raw(at + k) & 0xff
+          val (p1, i1) = imaDecodeStep(byte & 0xf, pred, idx)
+          pred = p1; idx = i1
+          out += pred
+          val (p2, i2) = imaDecodeStep(byte >> 4, pred, idx)
+          pred = p2; idx = i2
+          out += pred
+          k += 1
+        }
+        at += bLen
+      }
+      Some(out.toArray)
+    }
+
     /** RIFF chunk walk → (sampleRate, linear samples). Strict on
       * structure (bounds, even-padding, mono) — a malformed or
       * truncated payload yields None, so a corrupt-heavy corpus
@@ -1047,6 +1170,7 @@ object Multimodal {
       var rate = -1
       var fmt = -1
       var bits = -1
+      var blockAlign = -1
       var mono = false
       var raw: Array[Byte] = null
       while (off + 8 <= bytes.length) {
@@ -1058,6 +1182,7 @@ object Multimodal {
           fmt = buf.getShort(off + 8)
           mono = buf.getShort(off + 10) == 1
           rate = buf.getInt(off + 12)
+          blockAlign = buf.getShort(off + 20)
           bits = buf.getShort(off + 22)
         } else if (id == "data") {
           raw = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
@@ -1074,6 +1199,7 @@ object Multimodal {
           }
         case (7, 8) => Some((rate, raw.map(b => ulawToPcm(b & 0xff))))
         case (6, 8) => Some((rate, raw.map(b => alawToPcm(b & 0xff))))
+        case (17, 4) => adpcmExpand(raw, blockAlign).map((rate, _))
         case _ => None
       }
     }
@@ -1251,6 +1377,45 @@ object Multimodal {
     val n = 48 + (id % 80).toInt
     val bytes = Array.tabulate(n)(i => ((3 * id + 7 * i) % 256).toByte)
     AudioCodec.encodeWavG711(8000, bytes, aLaw = id % 2 == 1)
+  }
+
+  /** The q_audio_adpcm source signal: a smooth triangle wave (ADPCM is
+    * differential — slopes bounded by 2·amp/period keep the adaptive
+    * quantizer tracking). Closed form in (id, i) for the oracle. */
+  def adpcmSourceSample(id: Long, i: Int, n: Int): Short = {
+    val amp = 2000 + (id % 5).toInt * 500
+    val period = 16 + (id % 7).toInt * 4
+    val ph = i % period
+    val tri = if (ph < period / 2) ph else period - ph
+    ((tri * 2 * amp / period) - amp / 2 + (id % 100)).toShort
+  }
+
+  /** Per-doc IMA ADPCM WAV over [[adpcmSourceSample]]: 9-sample blocks
+    * (forces multiple block headers per doc), 18–36 samples. */
+  def syntheticAdpcmWav(id: Long): Array[Byte] = {
+    val spb = 9
+    val n = spb * (2 + (id % 3).toInt)
+    AudioCodec.encodeWavAdpcm(8000,
+      Array.tabulate(n)(i => adpcmSourceSample(id, i, n)), spb)
+  }
+
+  /** q_audio_adpcm's per-doc kernel: encode → decode → compare to the
+    * closed-form source. Returns (n_samples, block heads exact,
+    * max |err| ≤ 256) — ADPCM is lossy, so the oracle asserts derived
+    * invariants (the q_jpeg_progressive convention); every block
+    * header carries its first sample VERBATIM, so block_heads_exact
+    * pins the container geometry exactly. */
+  def adpcmRoundtrip(id: Long): (Int, Boolean, Boolean) = {
+    val spb = 9
+    val n = spb * (2 + (id % 3).toInt)
+    val src = Array.tabulate(n)(i => adpcmSourceSample(id, i, n).toInt)
+    AudioCodec.decodeWav(syntheticAdpcmWav(id)) match {
+      case Some((_, pcm)) if pcm.length == n =>
+        val heads = (0 until n by spb).forall(i => pcm(i) == src(i))
+        val tol = (0 until n).forall(i => math.abs(pcm(i) - src(i)) <= 256)
+        (n, heads, tol)
+      case _ => (-1, false, false)
+    }
   }
 
   /** Per-doc deterministic MOTION-JPEG AVI: 2 + id%3 frames, each an

@@ -1950,6 +1950,28 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 IMA ADPCM AUDIO (round 11) — the adaptive-differential leg
+    // completing the audio compression set (PCM verbatim, G.711
+    // companded, ADPCM adaptive 4-bit): published IMA step/index
+    // tables, per-block predictor headers, low-nibble-first packing.
+    // Lossy, so the row ships derived invariants (the
+    // q_jpeg_progressive convention): exact sample count, block-head
+    // exactness (every block header carries its first sample VERBATIM
+    // — pins container geometry), and a ≤256 max-abs-error bound on a
+    // smooth triangle source the adaptive quantizer must track.
+    "q_audio_adpcm" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map { id =>
+          val (n, heads, tol) = Multimodal.adpcmRoundtrip(id)
+          (id, n, heads, tol)
+        })
+        .toDF("doc_id", "n_samples", "block_heads_exact", "within_tol")
+        .orderBy("doc_id")
+    }),
+
     // E6 MOTION-JPEG VIDEO (round 11) — the compressed video leg
     // composing two existing codecs: the RIFF/AVI walker reads `00dc`
     // chunks (the real MJPEG convention — every frame a complete,
@@ -3831,6 +3853,16 @@ object VectorOps {
         |  CAST(MAX(abs(v)) AS BIGINT) AS peak,
         |  CAST(SUM(v * (i + 1)) AS BIGINT) AS pos_checksum
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // derived-invariant oracle (lossy adaptive codec): sample count is
+    // closed-form, and the Spark side computes block-head exactness +
+    // the tolerance bound from the REAL decode — a table defect, a
+    // nibble-order swap, or a block-header misread flips a boolean
+    "q_audio_adpcm" ->
+      """SELECT doc_id,
+        |  CAST(9 * (2 + doc_id % 3) AS INTEGER) AS n_samples,
+        |  true AS block_heads_exact, true AS within_tol
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // block-constant luma keeps the lossy JPEG pipeline exact per
     // frame, so the oracle recomputes every pixel of every frame from

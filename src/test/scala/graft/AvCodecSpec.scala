@@ -73,6 +73,42 @@ class AvCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("IMA ADPCM: smooth signals reconstruct within tolerance, block heads verbatim") {
+    for (id <- 0L to 40L) {
+      val (n, heads, tol) = Multimodal.adpcmRoundtrip(id)
+      assert(n == 9 * (2 + (id % 3).toInt), s"id=$id count")
+      assert(heads, s"id=$id: block header must carry its first sample verbatim")
+      assert(tol, s"id=$id: reconstruction outside the 256 bound")
+    }
+  }
+
+  test("IMA ADPCM: extreme swings clamp (predictor at int16 rails, index at 0/88) without error") {
+    // full-scale square wave: the hardest case for an adaptive
+    // quantizer — must stay defined (clamped), never exact
+    val src = Array.tabulate(101)(i => (if ((i / 4) % 2 == 0) 32767 else -32768).toShort)
+    val wav = AudioCodec.encodeWavAdpcm(8000, src, samplesPerBlock = 101)
+    val Some((_, pcm)) = AudioCodec.decodeWav(wav)
+    assert(pcm.length == 101)
+    assert(pcm.forall(v => v >= -32768 && v <= 32767))
+    assert(pcm(0) == 32767) // header sample verbatim even at the rail
+    // and a constant-silence stream decodes to near-silence
+    val flat = AudioCodec.encodeWavAdpcm(8000, Array.fill(33)(0.toShort), 33)
+    val Some((_, quiet)) = AudioCodec.decodeWav(flat)
+    assert(quiet.forall(v => math.abs(v) <= 8), s"silence drifted: ${quiet.max}")
+  }
+
+  test("IMA ADPCM container: per-block primed headers, corrupt step index refuses") {
+    val src = Array.tabulate(27)(i => (i * 400).toShort)
+    val wav = AudioCodec.encodeWavAdpcm(8000, src, samplesPerBlock = 9)
+    val Some((rate, pcm)) = AudioCodec.decodeWav(wav)
+    assert(rate == 8000 && pcm.length == 27)
+    assert(pcm(9) == src(9) && pcm(18) == src(18)) // block heads
+    // corrupt a block's step index past 88 → decode refuses
+    val dataAt = wav.indexOfSlice("data".getBytes) + 8
+    val bad = wav.clone(); bad(dataAt + 2) = 120.toByte
+    assert(AudioCodec.decodeWav(bad).isEmpty)
+  }
+
   test("MJPEG: block-constant frames decode pixel-exactly through the 00dc walk") {
     for (id <- 0L to 15L) {
       val nf = 2 + (id % 3).toInt
