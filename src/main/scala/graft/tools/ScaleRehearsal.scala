@@ -214,6 +214,7 @@ object ScaleRehearsal {
     "q_mjpeg_frames" -> Seq("documents"),
     "q_zip_extract" -> Seq("documents"),
     "q_warc_extract" -> Seq("documents"),
+    "q_audio_adpcm" -> Seq("documents"),
     // round-10 tokenizer family: the vocabulary remap gives each copy
     // private words, so the word dictionaries scale ×N at constant
     // per-word frequency and the piece/score tables stay
