@@ -209,19 +209,35 @@ object ArchiveCodec {
     * Content-Length-exact reads, CRLF CRLF separation), tolerant
     * content (unknown headers pass through; a malformed HTTP envelope
     * inside a response yields status −1 with the raw payload as body).
-    * None only on structural damage. */
+    * None only on structural damage.
+    *
+    * All offsets are BYTE offsets — Content-Length counts bytes, so
+    * the walk must stay in byte space (a char-space walk desyncs on
+    * the first non-ASCII body); header regions are ASCII by spec and
+    * payload bytes decode to UTF-8 only after the length-exact cut. */
   def warcDecode(bytes: Array[Byte]): Option[Seq[WarcRecord]] = try {
-    val s = new String(bytes, "UTF-8")
+    def startsWith(at: Int, lit: String): Boolean =
+      at + lit.length <= bytes.length &&
+        (0 until lit.length).forall(k => bytes(at + k) == lit.charAt(k).toByte)
+    def indexOfCrlfCrlf(from: Int): Int = {
+      var i = from
+      while (i + 3 < bytes.length) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var at = 0
-    while (at < s.length) {
+    while (at < bytes.length) {
       // skip inter-record blank space
-      while (at < s.length && (s(at) == '\r' || s(at) == '\n')) at += 1
-      if (at >= s.length) return Some(out.toSeq)
-      if (!s.startsWith("WARC/", at)) return None
-      val headEnd = s.indexOf("\r\n\r\n", at)
+      while (at < bytes.length && (bytes(at) == '\r' || bytes(at) == '\n')) at += 1
+      if (at >= bytes.length) return Some(out.toSeq)
+      if (!startsWith(at, "WARC/")) return None
+      val headEnd = indexOfCrlfCrlf(at)
       if (headEnd < 0) return None
-      val headerLines = s.substring(at, headEnd).split("\r\n").toSeq
+      val headerLines = new String(bytes, at, headEnd - at, "UTF-8").split("\r\n").toSeq
       if (!headerLines.head.startsWith("WARC/1.")) return None
       val headers = headerLines.tail.flatMap { l =>
         val c = l.indexOf(':')
@@ -230,8 +246,8 @@ object ArchiveCodec {
       val len = headers.get("content-length").flatMap(v =>
         scala.util.Try(v.toInt).toOption).getOrElse(return None)
       val bodyStart = headEnd + 4
-      if (len < 0 || bodyStart + len > s.length) return None
-      val payload = s.substring(bodyStart, bodyStart + len)
+      if (len < 0 || bodyStart + len > bytes.length) return None
+      val payload = new String(bytes, bodyStart, len, "UTF-8")
       val rType = headers.getOrElse("warc-type", "unknown")
       val uri = headers.getOrElse("warc-target-uri", "")
       val (status, body) =

@@ -1657,8 +1657,12 @@ object CorpusOps {
         |    ('batch')) v(term)),
         |docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |pos AS (
+        |  -- the range bound must exceed the longest document (driver
+        |  -- corpora max out under 600 chars; 8k leaves 13x headroom —
+        |  -- a longer regeneration would undercount HERE, not in the
+        |  -- operator, and fail the compare loudly)
         |  SELECT d.doc_id, d.text, r.i
-        |  FROM docs d, range(1, 2001) r(i) WHERE r.i <= d.n),
+        |  FROM docs d, range(1, 8001) r(i) WHERE r.i <= d.n),
         |hits AS (
         |  SELECT p.doc_id, t.term, p.i + length(t.term) - 1 AS e
         |  FROM pos p CROSS JOIN terms t

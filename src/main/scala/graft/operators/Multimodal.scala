@@ -150,6 +150,29 @@ object Multimodal {
       * the full none/sub/up/average/paeth cycle (round 10 completed
       * the gray cycle; it used to stop at up, leaving avg/paeth to the
       * color encoder only), so every decode exercises every reversal. */
+    /** Shared PNG tail for every encoder: deflate the filtered
+      * scanline stream and assemble signature + IHDR + optional mid
+      * chunks (PLTE/tRNS) + IDAT + IEND. */
+    private def pngAssemble(w: Int, h: Int, depth: Int, colorType: Int,
+                            interlaced: Boolean, raw: Array[Byte],
+                            mid: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h)
+      ihdr.put(depth.toByte); ihdr.put(colorType.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte)
+      ihdr.put((if (interlaced) 1 else 0).toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", ihdr.array()) ++ mid ++
+        chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
     def encodePng(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
       val raw = new Array[Byte](h * (1 + w))
       var prev: Array[Int] = null
@@ -172,20 +195,7 @@ object Multimodal {
         }
         prev = row
       }
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw); defl.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-      defl.end()
-      val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w); ihdr.putInt(h)
-      ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth 8, grayscale
-      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-        chunk("IHDR", ihdr.array()) ++
-        chunk("IDAT", out.toByteArray) ++
-        chunk("IEND", Array.emptyByteArray)
+      pngAssemble(w, h, depth = 8, colorType = 0, interlaced = false, raw)
     }
 
     /** Encode a TRUECOLOR PNG (color type 2 = RGB or 6 = RGBA, 8-bit):
@@ -236,22 +246,8 @@ object Multimodal {
           prev = row
         }
       }
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw.toByteArray); defl.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-      defl.end()
-      val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w); ihdr.putInt(h)
-      ihdr.put(8.toByte) // bit depth
-      ihdr.put((if (withAlpha) 6 else 2).toByte) // color type
-      ihdr.put(0.toByte); ihdr.put(0.toByte)
-      ihdr.put((if (interlaced) 1 else 0).toByte)
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-        chunk("IHDR", ihdr.array()) ++
-        chunk("IDAT", out.toByteArray) ++
-        chunk("IEND", Array.emptyByteArray)
+      pngAssemble(w, h, depth = 8, colorType = if (withAlpha) 6 else 2,
+        interlaced, raw.toByteArray)
     }
 
     /** Encode an INDEXED-COLOR PNG (color type 3, 8-bit indices) —
@@ -301,17 +297,6 @@ object Multimodal {
           prev = row
         }
       }
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw.toByteArray); defl.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-      defl.end()
-      val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w); ihdr.putInt(h)
-      ihdr.put(8.toByte); ihdr.put(3.toByte) // bit depth 8, indexed
-      ihdr.put(0.toByte); ihdr.put(0.toByte)
-      ihdr.put((if (interlaced) 1 else 0).toByte)
       val plte = new Array[Byte](palette.length * 3)
       palette.zipWithIndex.foreach { case (p, j) =>
         plte(j * 3) = ((p >> 16) & 0xff).toByte
@@ -322,11 +307,8 @@ object Multimodal {
         if (trnsCount == 0) Array.emptyByteArray
         else chunk("tRNS",
           Array.tabulate(trnsCount)(j => ((palette(j) >>> 24) & 0xff).toByte))
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-        chunk("IHDR", ihdr.array()) ++
-        chunk("PLTE", plte) ++ trns ++
-        chunk("IDAT", out.toByteArray) ++
-        chunk("IEND", Array.emptyByteArray)
+      pngAssemble(w, h, depth = 8, colorType = 3, interlaced,
+        raw.toByteArray, mid = chunk("PLTE", plte) ++ trns)
     }
 
     /** Encode a 24-bit uncompressed BMP with r = g = b = luma (so
@@ -395,20 +377,7 @@ object Multimodal {
         }
         prev = row
       }
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw.toByteArray); defl.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-      defl.end()
-      val ihdr = java.nio.ByteBuffer.allocate(13)
-      ihdr.putInt(w); ihdr.putInt(h)
-      ihdr.put(depth.toByte); ihdr.put(colorType.toByte)
-      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
-      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
-        chunk("IHDR", ihdr.array()) ++
-        chunk("IDAT", out.toByteArray) ++
-        chunk("IEND", Array.emptyByteArray)
+      pngAssemble(w, h, depth, colorType, interlaced = false, raw.toByteArray)
     }
 
     def encodeBmp(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {

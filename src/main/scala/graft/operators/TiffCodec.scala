@@ -444,6 +444,10 @@ object TiffCodec {
       pages += page
       ifdAt = u32(at + 2 + n * 12)
     }
+    // the page guard bounds IFD cycles; exhausting it with a live next
+    // pointer means an undecodable (or adversarially cyclic) file —
+    // refuse rather than silently truncate the page list
+    if (ifdAt != 0) return None
     if (pages.isEmpty) None else Some(pages.toSeq)
   } catch { case _: Exception => None }
 }

@@ -159,23 +159,48 @@ object MaintenanceStrategy extends SparkStrategy {
         case Nil => None
         case Seq(c) => Some(col(c)) // 1-D: plain range-cluster on the column
         case cols =>
-          // linear min→max grid map per column (one tiny aggregate, no
-          // global sort); nulls land on cell 0 — layout quality only,
-          // correctness never depends on the key
-          val df = t.read(spark)
-          val aggs = cols.flatMap(c => Seq(
-            min(col(c).cast("double")), max(col(c).cast("double"))))
-          val row = df.agg(aggs.head, aggs.tail: _*).head()
-          val gmax = if (cols.size == 2) 65535L else 1023L
-          val grids = cols.zipWithIndex.map { case (c, i) =>
-            if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
-              row.getDouble(2 * i) == row.getDouble(2 * i + 1)) lit(0L)
+          // linear min→max grid map per column; nulls land on cell 0 —
+          // layout quality only, correctness never depends on the key.
+          // Bounds come from the MANIFEST zone maps when every file
+          // carries the column's stat in a directly-usable domain
+          // (plain integral/floating Spark types) — zero I/O, the
+          // 100 TB path; anything else (dates, decimals, missing
+          // stats) falls back to one tiny min/max aggregate scan.
+          val tableSchema = t.read(spark).schema
+          val ts = t.tableStats()
+          import org.apache.spark.sql.types._
+          def manifestBounds(c: String): Option[(Double, Double)] = for {
+            f <- tableSchema.fields.find(_.name == c)
+            st <- ts.cols.get(c)
+            b <- (st.kind, f.dataType) match {
+              case ('l', ByteType | ShortType | IntegerType | LongType) =>
+                scala.util.Try(
+                  (st.min.toLong.toDouble, st.max.toLong.toDouble)).toOption
+              case ('d', FloatType | DoubleType) =>
+                scala.util.Try((st.min.toDouble, st.max.toDouble)).toOption
+              case _ => None
+            }
+          } yield b
+          val fromManifest = cols.map(manifestBounds)
+          val bounds: Seq[Option[(Double, Double)]] =
+            if (fromManifest.forall(_.isDefined)) fromManifest
             else {
-              val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+              val df = t.read(spark)
+              val aggs = cols.flatMap(c => Seq(
+                min(col(c).cast("double")), max(col(c).cast("double"))))
+              val row = df.agg(aggs.head, aggs.tail: _*).head()
+              cols.indices.map(i =>
+                if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+                else Some((row.getDouble(2 * i), row.getDouble(2 * i + 1))))
+            }
+          val gmax = if (cols.size == 2) 65535L else 1023L
+          val grids = cols.zip(bounds).map {
+            case (_, None) => lit(0L)
+            case (_, Some((lo, hi))) if lo == hi => lit(0L)
+            case (c, Some((lo, hi))) =>
               val g = floor((col(c).cast("double") - lit(lo)) * gmax / (hi - lo))
               when(col(c).isNull, lit(0L))
                 .otherwise(least(lit(gmax), g.cast("long")))
-            }
           }
           Some(
             if (cols.size == 2) Bucketing.zorderKey(grids(0), grids(1))

@@ -179,7 +179,9 @@ object SnapshotSource {
     private val sch = StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = true),
-      StructField("size_bytes", LongType, nullable = false),
+      // null when the file vanished between listing and stat (racing
+      // vacuum) — never a sentinel that an aggregate would absorb
+      StructField("size_bytes", LongType, nullable = true),
       StructField("bucket", IntegerType, nullable = true),
       StructField("n_blooms", LongType, nullable = false)))
     override def name(): String = tname
@@ -195,7 +197,7 @@ object SnapshotSource {
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](
                   org.apache.spark.unsafe.types.UTF8String.fromString(file),
-                  rows.map(Long.box).orNull, bytes,
+                  rows.map(Long.box).orNull, bytes.map(Long.box).orNull,
                   bucket.map(Int.box).orNull, blooms))
                 : org.apache.spark.sql.catalyst.InternalRow
           }.toArray

@@ -788,7 +788,7 @@ final class SnapshotTable(root: String) {
     * row count, on-disk bytes, bucket id when the layout is bucketed,
     * per-file bloom count). O(manifest) driver work + one stat call
     * per file, zero data-file reads. */
-  private[sources] def filesRows: Seq[(String, Option[Long], Long, Option[Int], Long)] = {
+  private[sources] def filesRows: Seq[(String, Option[Long], Option[Long], Option[Int], Long)] = {
     val v = currentVersion()
     val stats = fileStatsOf(v)
     val buckets = fbRel(v)
@@ -797,7 +797,9 @@ final class SnapshotTable(root: String) {
       val st = stats.get(abs.toString)
       (rel,
         st.map(_.rows).filter(_ >= 0),
-        if (Files.exists(abs)) Files.size(abs) else -1L,
+        // a file can vanish between the listing read and the stat
+        // (racing vacuum): null, never a sentinel an aggregate absorbs
+        if (Files.exists(abs)) Some(Files.size(abs)) else None,
         buckets.get(rel),
         st.map(_.blooms.size.toLong).getOrElse(0L))
     }
@@ -987,34 +989,56 @@ final class SnapshotTable(root: String) {
     require(keys.forall(tableCols.contains),
       s"merge keys ${keys.mkString(", ")} must be table columns")
 
-    // ---- 0. cardinality: the key-unique contract is ENFORCED, not
-    // assumed — duplicate delta keys would make the surviving row
-    // nondeterministic (two upserts of key k both re-enter; SQL MERGE
-    // raises the same condition as a cardinality violation, Delta as
-    // "multiple source rows matched"). One bounded aggregation over
-    // the delta (O(delta), dwarfed by the rewrite it protects).
-    val dupKeys = delta.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__graft_cnt"))
-      .where(col("__graft_cnt") > 1)
-      .limit(3).collect()
-    if (dupKeys.nonEmpty)
-      throw new IllegalStateException(
-        s"merge at $root: multiple delta rows share a key — MERGE " +
-          "requires the source to hold at most one row per target key " +
-          s"(e.g. ${dupKeys.map(r => keys.map(k => s"$k=${r.getAs[Any](k)}").mkString("(", ",", ")")).mkString(", ")}); " +
-          "dedupe the source before merging")
+    // Pin the delta ONCE: the cardinality probe, the anti-join key set
+    // and the upsert union all consume it, and for SQL MERGE the delta
+    // is itself a classification join over base files — without
+    // materialization that plan re-executes per consumer (measurably
+    // doubling a large merge) and a nondeterministic source could pass
+    // the cardinality check yet still write duplicates in the rewrite.
+    val deltaCk = delta.localCheckpoint()
+    try {
 
-    // ---- 1. touch detection ------------------------------------------
+    // ---- 0. cardinality: SQL MERGE's cardinality-violation rule,
+    // Delta's "multiple source rows matched" — duplicate delta keys
+    // are an error ONLY when they match an existing target row (two
+    // upserts of a matched key make the surviving row
+    // nondeterministic). Duplicates that match nothing are plain
+    // multi-row NOT-MATCHED inserts and pass, exactly as in Delta and
+    // standard SQL. One bounded aggregation over the pinned delta;
+    // the target probe runs only when duplicates exist at all, and
+    // only against the files those keys can touch (zone maps).
     val pk = keys.head
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
-    val touched: Set[String] = touchDetect(spark, delta, rels, zm, pk)
+    val dupKeysDf = deltaCk.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cnt"))
+      .where(col("__graft_cnt") > 1)
+      .drop("__graft_cnt")
+    if (dupKeysDf.limit(1).count() > 0) {
+      val dupTouched = touchDetect(spark, dupKeysDf, rels, zm, pk)
+      val offenders =
+        if (dupTouched.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else dupKeysDf.join(
+          spark.read.schema(schema).parquet(dupTouched.toSeq.sorted.map(abs): _*)
+            .select(keys.map(col): _*),
+          keys, "left_semi").limit(3).collect()
+      if (offenders.nonEmpty)
+        throw new IllegalStateException(
+          s"merge at $root: multiple delta rows share a key that matches " +
+            "an existing target row — MERGE requires at most one source " +
+            "row per MATCHED target row " +
+            s"(e.g. ${offenders.map(r => keys.map(k => s"$k=${r.getAs[Any](k)}").mkString("(", ",", ")")).mkString(", ")}); " +
+            "dedupe the source before merging")
+    }
+
+    // ---- 1. touch detection ------------------------------------------
+    val touched: Set[String] = touchDetect(spark, deltaCk, rels, zm, pk)
     val untouched = rels.filterNot(touched)
 
     // ---- 2. rewrite ---------------------------------------------------
     val upserts0 = deleteCol match {
       case Some(c) =>
-        delta.filter(!coalesce(col(c).cast("boolean"), lit(false))).drop(c)
-      case None => delta
+        deltaCk.filter(!coalesce(col(c).cast("boolean"), lit(false))).drop(c)
+      case None => deltaCk
     }
     // upsert rows are cast to the TABLE's column types: a source typed
     // more narrowly (INT vs BIGINT) or more widely (DOUBLE vs INT) must
@@ -1025,7 +1049,7 @@ final class SnapshotTable(root: String) {
       col(c).cast(schema(schema.fieldIndex(c)).dataType).as(c)): _*)
     // matched keys leave the base whether the delta row updates or
     // deletes them — the upsert rows re-enter through the union
-    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val deltaKeys = deltaCk.select(keys.map(col): _*).distinct()
     val survivors =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -1052,6 +1076,8 @@ final class SnapshotTable(root: String) {
     }
     SnapshotTable.MergeResult(v + 1, filesRewritten = touched.size,
       filesUntouched = untouched.size, filesAdded = newFiles.size)
+
+    } finally deltaCk.unpersist(blocking = false)
   }
 
   /** PREDICATE DELETE with three-way zone-map file classification —

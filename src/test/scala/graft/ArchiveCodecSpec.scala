@@ -101,6 +101,17 @@ class ArchiveCodecSpec extends AnyFunSuite {
     assert(out.head.body == evil && out(1).body == "tail")
   }
 
+  test("non-ASCII bodies: Content-Length is BYTES, record boundaries stay synced") {
+    // 'café' is 4 chars / 5 UTF-8 bytes; a char-space walk would read
+    // one char past the body and lose the next record's version line
+    val recs = Seq(
+      WarcRecord("response", "https://t/u", 200, "café ←☃ done"),
+      WarcRecord("response", "https://t/v", 404, "päge"),
+      WarcRecord("warcinfo", "", -1, "ascii tail"))
+    val Some(out) = ArchiveCodec.warcDecode(ArchiveCodec.warcEncode(recs))
+    assert(out == recs, s"got $out")
+  }
+
   test("malformed HTTP envelope inside a response yields status -1, raw payload kept") {
     val raw = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\nnothttp\r\n\r\n"
     val Some(out) = ArchiveCodec.warcDecode(raw.getBytes("UTF-8"))

@@ -1266,6 +1266,20 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).as[(Long, String)].collect().toMap.apply(3L) === "a3")
   }
 
+  test("merge: duplicate keys among NOT-matched rows insert as multiple rows (Delta parity)") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 10))
+    // key 100 appears twice but matches NO target row: standard SQL and
+    // Delta both allow it (cardinality violations are per MATCHED target
+    // row) — both rows insert; the matched singleton updates normally
+    val dup = Seq((100L, "n1"), (100L, "n2"), (4L, "upd")).toDF("id", "val")
+    t.merge(spark, dup, Seq("id"))
+    val rows = t.read(spark).as[(Long, String)].collect()
+    assert(rows.count(_._1 == 100L) === 2, "both not-matched duplicates insert")
+    assert(rows.toSeq.filter(_._1 == 4L).map(_._2) === Seq("upd"))
+    assert(rows.length === 12)
+  }
+
   test("SQL MERGE: duplicate source keys surface the cardinality error") {
     val wh = Files.createTempDirectory("graft_cat_dup").toString
     spark.conf.set("spark.sql.catalog.dupcat",

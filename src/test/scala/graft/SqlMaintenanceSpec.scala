@@ -131,10 +131,10 @@ class SqlMaintenanceSpec extends SparkTestBase {
     t.commit(kv(40 until 50))
     val files = spark.sql(
       "SELECT file, rows, size_bytes, bucket, n_blooms FROM filcat.db.`t$files`")
-      .as[(String, Option[Long], Long, Option[Int], Long)].collect()
+      .as[(String, Option[Long], Option[Long], Option[Int], Long)].collect()
     assert(files.length === t.fileCount(t.currentVersion()))
     assert(files.map(_._2.getOrElse(0L)).sum === 50L, "manifest row counts sum to count(*)")
-    assert(files.forall(_._3 > 0L), "every live file has bytes on disk")
+    assert(files.forall(_._3.exists(_ > 0L)), "every live file has bytes on disk")
     assert(files.forall(_._4.isEmpty), "unbucketed layout reports null buckets")
     // bucketed table reports its bucket ids
     val wh2 = Files.createTempDirectory("graft_maint_fb").toString
