@@ -27,6 +27,11 @@ package graft.operators
   */
 final class AhoCorasick(val patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "patterns must be non-empty")
+  // a duplicate pattern would silently overwrite the earlier one's
+  // terminal marker, attributing all its occurrences to the later index
+  require(patterns.distinct.length == patterns.length,
+    "duplicate patterns are not allowed: " +
+      patterns.groupBy(identity).collect { case (p, g) if g.length > 1 => p }.mkString(", "))
 
   // trie: per-node char→child map (vocab-sparse, so a hash map per
   // node beats a 64k-wide array); node 0 = root

@@ -988,9 +988,13 @@ object Multimodal {
       * `companded` bytes ARE the payload (one byte per sample). */
     def encodeWavG711(sampleRate: Int, companded: Array[Byte],
                       aLaw: Boolean): Array[Byte] = {
-      val buf = ByteBuffer.allocate(44 + companded.length)
+      // RIFF chunks pad to even length; the pad byte is OUTSIDE the
+      // declared chunk size but INSIDE the RIFF size
+      val pad = companded.length & 1
+      val buf = ByteBuffer.allocate(44 + companded.length + pad)
         .order(ByteOrder.LITTLE_ENDIAN)
-      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + companded.length)
+      buf.put("RIFF".getBytes("US-ASCII"))
+        .putInt(36 + companded.length + pad)
         .put("WAVE".getBytes("US-ASCII"))
         .put("fmt ".getBytes("US-ASCII")).putInt(16)
         .putShort(if (aLaw) 6 else 7).putShort(1)
@@ -998,6 +1002,7 @@ object Multimodal {
         .putShort(1).putShort(8) // block align, bits
         .put("data".getBytes("US-ASCII")).putInt(companded.length)
         .put(companded)
+      if (pad == 1) buf.put(0.toByte)
       buf.array()
     }
 

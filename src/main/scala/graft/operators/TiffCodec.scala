@@ -384,7 +384,15 @@ object TiffCodec {
       if (!bits.forall(_ == 8L)) return None // 8-bit samples only
       if (planar != 1) return None // chunky only
       if (predictor != 1 && predictor != 2) return None
-      if (spp < 1 || spp > 3 || (photometric == 3 && spp != 1)) return None
+      // channel count must match the photometric model exactly: gray
+      // (0/1) and palette (3) are 1-sample, RGB (2) is 3-sample — a
+      // 2-sample page has no consumer downstream and must drop as None
+      val sppOk = photometric match {
+        case 0 | 1 | 3 => spp == 1
+        case 2         => spp == 3
+        case _         => false
+      }
+      if (!sppOk) return None
       val rps = math.max(1L, int1(278, h.toLong)).toInt
       val offs = ints(273).getOrElse(return None)
       val cnts = ints(279).getOrElse(return None)

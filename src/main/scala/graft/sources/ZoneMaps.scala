@@ -527,7 +527,8 @@ object ZoneMaps {
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      readSchema().fieldNames.foreach { c =>
+      readSchema().fields.foreach { field =>
+        val c = field.name
         val per = current.map(f => statsByFile.get(f).flatMap(_.cols.get(c)))
         if (current.nonEmpty && per.forall(_.isDefined)) {
           val stats = per.map(_.get)
@@ -535,13 +536,31 @@ object ZoneMaps {
             if (stats.forall(_.nulls >= 0L))
               java.util.OptionalLong.of(stats.map(_.nulls).sum)
             else java.util.OptionalLong.empty()
+          // box min/max in the COLUMN'S OWN external type (the stat
+          // consumer may cast) — the manifest kind only says which
+          // string-parse domain the values live in
+          import org.apache.spark.sql.types._
+          def boxL(v: Long): Option[AnyRef] = field.dataType match {
+            case ByteType    => Some(Byte.box(v.toByte))
+            case ShortType   => Some(Short.box(v.toShort))
+            case IntegerType => Some(Int.box(v.toInt))
+            case LongType    => Some(Long.box(v))
+            case _           => None
+          }
+          def boxD(v: Double): Option[AnyRef] = field.dataType match {
+            case FloatType  => Some(Float.box(v.toFloat))
+            case DoubleType => Some(Double.box(v))
+            case _          => None
+          }
           val range: Option[(AnyRef, AnyRef)] = stats.head.kind match {
             case 'l' => scala.util.Try((
-              Long.box(stats.map(_.min.toLong).min): AnyRef,
-              Long.box(stats.map(_.max.toLong).max): AnyRef)).toOption
+              stats.map(_.min.toLong).min, stats.map(_.max.toLong).max))
+              .toOption.flatMap { case (mn, mx) =>
+                boxL(mn).zip(boxL(mx)) }
             case 'd' => scala.util.Try((
-              Double.box(stats.map(_.min.toDouble).min): AnyRef,
-              Double.box(stats.map(_.max.toDouble).max): AnyRef)).toOption
+              stats.map(_.min.toDouble).min, stats.map(_.max.toDouble).max))
+              .toOption.flatMap { case (mn, mx) =>
+                boxD(mn).zip(boxD(mx)) }
             case _ => None
           }
           if (nulls.isPresent || range.isDefined)
