@@ -564,6 +564,47 @@ object RefQueries {
         .orderBy("change", "doc_id")
     }),
 
+    // E18 MERGE-ON-READ DELETION VECTORS exercised through the oracle
+    // gate: two predicate deletes land as `#dv=` position vectors on
+    // the files they straddle — files_rewritten/files_added must be 0
+    // (the 100 TB write-amplification fix: a trickle delete commits
+    // O(deleted rows) bytes, never a file rewrite), the second delete
+    // proves vector MERGING on an already-vectored file, the read path
+    // proves the anti-join subtracts exactly the deleted keys, time
+    // travel proves the old snapshot still reads whole, and the change
+    // feed proves the commit-time sidecar replays exactly the deleted
+    // rows. The oracle recomputes every number arithmetically from the
+    // frozen predicates.
+    "q_snapshot_dv" -> ((s, d) => {
+      val dir = scratchDir("graft_dvq")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500).repartition(1))
+      val v0 = t.currentVersion()
+      val r1 = t.deleteWhere(s, col("doc_id") % 10 === 3 && col("doc_id") < 230,
+        dvMaxRowsPerFile = 1000)
+      val r2 = t.deleteWhere(s, col("doc_id") === 24, dvMaxRowsPerFile = 1000)
+      val cdcDeletes = t.readChangesCdc(s, v0, r2.version)
+        .filter(col("_change_type") === "delete").count()
+      val acct = s.createDataFrame(Seq(
+        ("files_rewritten", (r1.filesRewritten + r2.filesRewritten).toLong),
+        ("files_added", (r1.filesAdded + r2.filesAdded).toLong),
+        ("files_dv_updated", (r1.filesDvUpdated + r2.filesDvUpdated).toLong),
+        ("dv_rows_added", r1.dvRowsAdded + r2.dvRowsAdded),
+        ("cdc_delete_rows", cdcDeletes),
+        ("rows_time_travel", t.readAt(s, v0).count()))).toDF("stat", "value")
+      val after = t.read(s)
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -936,6 +977,28 @@ object RefQueries {
 
     // manifest-derived statistics must equal the direct aggregation
     // (n_files is deterministic by construction: repartition(2) + 1)
+    "q_snapshot_dv" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id < 500),
+        |deleted AS (
+        |  SELECT doc_id FROM base WHERE doc_id % 10 = 3 AND doc_id < 230
+        |  UNION ALL SELECT doc_id FROM base WHERE doc_id = 24),
+        |fin AS (
+        |  SELECT COUNT(*) AS rows_after,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars_after,
+        |         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_after
+        |  FROM base WHERE doc_id NOT IN (SELECT doc_id FROM deleted))
+        |SELECT * FROM (
+        |  SELECT 'files_rewritten' AS stat, CAST(0 AS BIGINT) AS value
+        |  UNION ALL SELECT 'files_added', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'files_dv_updated', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'dv_rows_added', (SELECT COUNT(*) FROM deleted)
+        |  UNION ALL SELECT 'cdc_delete_rows', (SELECT COUNT(*) FROM deleted)
+        |  UNION ALL SELECT 'rows_time_travel', (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 'rows_after', rows_after FROM fin
+        |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
+        |  UNION ALL SELECT 'sum_doc_after', sum_doc_after FROM fin)
+        |ORDER BY stat""".stripMargin,
+
     "q_snapshot_stats" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 500)
         |SELECT * FROM (

@@ -21,6 +21,9 @@ import graft.functions.{CmsSketch, DotProduct, HllSketch, KllSketch, NGrams, Nfc
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // deletion-vector read rewrite: SQL relations over DV-carrying
+    // snapshots become the merge-on-read composition (DvReadRule)
+    ext.injectResolutionRule(session => new DvReadRule(session))
     ext.injectPlannerStrategy(_ => MaintenanceStrategy)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

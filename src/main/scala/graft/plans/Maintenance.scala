@@ -136,7 +136,8 @@ case class OptimizeSnapshot(target: MaintenanceTarget, files: Int,
                             zorderBy: Seq[String])
     extends LeafNode with Command {
   override val output: Seq[Attribute] =
-    Maintenance.attrs("version" -> LongType, "n_files" -> LongType)
+    Maintenance.attrs("version" -> LongType, "n_files" -> LongType,
+      "dv_rows_reclaimed" -> LongType)
 }
 
 case class RestoreSnapshot(target: MaintenanceTarget, version: Long)
@@ -206,9 +207,14 @@ object MaintenanceStrategy extends SparkStrategy {
             if (cols.size == 2) Bucketing.zorderKey(grids(0), grids(1))
             else Bucketing.zorder3Key(grids(0), grids(1), grids(2)))
       }
+      // compaction MATERIALIZES deletion vectors: the rewrite reads the
+      // DV-filtered snapshot and the replace commit drops every `#dv=`
+      // line — report how many pending position-deletes became physical
+      val reclaimed = t.dvRelOf(t.currentVersion())
+        .valuesIterator.map(_.length.toLong).sum
       val v = t.compact(spark, o.files, sortKey)
       Array(new GenericInternalRow(
-        Array[Any](v, t.fileCount(v).toLong)): InternalRow)
+        Array[Any](v, t.fileCount(v).toLong, reclaimed)): InternalRow)
     }) :: Nil
     case r: RestoreSnapshot => MaintenanceExec(r.output, { spark =>
       val t = SnapshotTable(Maintenance.rootOf(spark, r.target))

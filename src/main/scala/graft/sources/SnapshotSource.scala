@@ -50,7 +50,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               zoneMaps: Map[String, ZoneMaps.FileStats],
                               streamRoot: Option[String],
                               cdc: Boolean = false,
-                              cdcStartFrom: Option[Long] = None)
+                              cdcStartFrom: Option[Long] = None,
+                              dvInfo: Option[(String, Long)] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -86,11 +87,27 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       case _ =>
         val pinned = Option(options.get("version")).map(_.toLong)
         val v = pinned.getOrElse(t.currentVersion())
+        // deletion vectors: `excludeDv` restricts the resolution to the
+        // files WITHOUT a vector (the fast half of the merge-on-read
+        // composition readAt / DvReadRule build); without it a DV'd
+        // snapshot resolves whole and the table carries (root, v) so
+        // the injected rule can rebuild the composed read
+        val dvRels = t.dvRelOf(v).keySet
+        val exclude = options.getBoolean("excludeDv", false)
+        val all = t.resolvedFiles(v)
+        val files =
+          if (!exclude || dvRels.isEmpty) all
+          else {
+            val rootPath = java.nio.file.Paths.get(root)
+            all.filterNot(f => dvRels.contains(
+              rootPath.relativize(java.nio.file.Paths.get(f)).toString))
+          }
         // only a HEAD load is streamable: a pinned version is frozen
         // history, there is nothing to tail
-        Resolved(s"v$v", t.resolvedFiles(v),
+        Resolved(s"v$v", files,
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
-          t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None)
+          t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None,
+          dvInfo = if (!exclude && dvRels.nonEmpty) Some((root, v)) else None)
     }
   }
 
@@ -125,11 +142,18 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
-          Option(schema).orElse(r.manifestSchema)), r.streamRoot)
+          Option(schema).orElse(r.manifestSchema)), r.streamRoot,
+        dvInfo = r.dvInfo)
   }
 }
 
 object SnapshotSource {
+  /** Per-file deletion-vector cap for SQL `DELETE FROM` (matched rows
+    * beyond it rewrite the file copy-on-write — carrying a vector
+    * close to the file's own row count costs more at read time than
+    * the rewrite it avoids). Inline-manifest sizing: ~1–2 bytes per
+    * position at this bound. */
+  val SqlDeleteDvCap: Int = 100000
   /** `cat.db.`t$history`` — the commit audit trail as a SQL metadata
     * table (the Iceberg/Delta convention): one row per retained
     * snapshot with version, commit wall-clock, `#op=` kind, and file
@@ -183,7 +207,9 @@ object SnapshotSource {
       // vacuum) — never a sentinel that an aggregate would absorb
       StructField("size_bytes", LongType, nullable = true),
       StructField("bucket", IntegerType, nullable = true),
-      StructField("n_blooms", LongType, nullable = false)))
+      StructField("n_blooms", LongType, nullable = false),
+      // deletion-vector positions pending materialization (0 = none)
+      StructField("dv_rows", LongType, nullable = false)))
     override def name(): String = tname
     override def schema(): StructType = sch
     override def capabilities(): java.util.Set[TableCapability] =
@@ -193,12 +219,12 @@ object SnapshotSource {
         override def readSchema(): StructType = sch
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
           SnapshotTable(root).filesRows.map {
-            case (file, rows, bytes, bucket, blooms) =>
+            case (file, rows, bytes, bucket, blooms, dvRows) =>
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
                 Array[Any](
                   org.apache.spark.unsafe.types.UTF8String.fromString(file),
                   rows.map(Long.box).orNull, bytes.map(Long.box).orNull,
-                  bucket.map(Int.box).orNull, blooms))
+                  bucket.map(Int.box).orNull, blooms, dvRows))
                 : org.apache.spark.sql.catalyst.InternalRow
           }.toArray
       }
@@ -264,12 +290,13 @@ object SnapshotSource {
       (key, n, t.fileBucketsOf(v).map { case (abs, b) =>
         new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
     }
+    val dvInfo = if (t.dvRelOf(v).nonEmpty) Some((root, v)) else None
     if (deletable)
       new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot, bucketing)
+        streamRoot, bucketing, dvInfo)
     else
       new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot, bucketing)
+        streamRoot, bucketing, dvInfo)
   }
 
   /** The v1-filter shapes SQL `DELETE FROM ... WHERE` arrives in,
@@ -340,8 +367,9 @@ object SnapshotSource {
       zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable,
       streamRoot: Option[String],
-      bucketing: Option[(String, Int, Map[String, Int])] = None)
-      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing)
+      bucketing: Option[(String, Int, Map[String, Int])] = None,
+      dvInfo: Option[(String, Long)] = None)
+      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing, dvInfo)
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with GraftMergeable {
@@ -355,7 +383,13 @@ object SnapshotSource {
       import org.apache.spark.sql.functions.lit
       val cond = filters.toSeq.flatMap(filterToColumn)
         .reduceOption(_ && _).getOrElse(lit(true))
-      SnapshotTable(root).deleteWhere(SparkSession.active, cond)
+      // SQL DELETE runs merge-on-read: straddling files take `#dv=`
+      // position vectors instead of rewriting (Delta's DV default) —
+      // a one-row DELETE commits O(deleted rows) bytes. Fully-covered
+      // files still drop metadata-only, and a file with more matches
+      // than the cap still rewrites copy-on-write.
+      SnapshotTable(root).deleteWhere(SparkSession.active, cond,
+        dvMaxRowsPerFile = SnapshotSource.SqlDeleteDvCap)
     }
 
     override def capabilities(): java.util.Set[TableCapability] = {
@@ -404,12 +438,13 @@ object SnapshotSource {
     * MICRO_BATCH_READ: `spark.readStream` on the same table tails
     * appended commits as version-offset micro-batches
     * ([[SnapshotMicroBatchStream]]). */
-  private[sources] class ReadOnlySnapshotTable(
+  private[graft] class ReadOnlySnapshotTable(
       files: Seq[String],
       zoneMaps: Map[String, ZoneMaps.FileStats],
       mk: Seq[String] => ParquetTable,
       streamRoot: Option[String] = None,
-      bucketing: Option[(String, Int, Map[String, Int])] = None)
+      bucketing: Option[(String, Int, Map[String, Int])] = None,
+      val dvInfo: Option[(String, Long)] = None)
       extends Table with SupportsRead {
     private lazy val inner = mk(files)
     override def name(): String = inner.name
@@ -424,12 +459,25 @@ object SnapshotSource {
         new SnapshotMicroBatchStream(root, fs => mk(fs)
           .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
       }
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // deletion vectors are applied by plan REWRITE (graft.plans.
+      // DvReadRule under GraftExtensions, or SnapshotTable.readAt's own
+      // composition), never inside this scan — a session that reaches
+      // scan building with vectors still attached would silently
+      // resurrect deleted rows, so fail loudly instead
+      dvInfo.foreach { case (root, v) =>
+        throw new IllegalStateException(
+          s"snapshot v$v at $root carries deletion vectors; read it " +
+            "through a GraftSession (spark.sql.extensions=" +
+            "graft.plans.GraftExtensions) or SnapshotTable.readAt — or " +
+            "compact the table to materialize the vectors")
+      }
       if (zoneMaps.isEmpty && streamRoot.isEmpty && bucketing.isEmpty)
         inner.newScanBuilder(options)
       else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
         fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
         streamFactory, bucketing)
+    }
   }
 }
 

@@ -110,6 +110,40 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala.toSeq
       .filter(l => l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
 
+  /** `#dv=` deletion-vector lines of snapshot `v`'s manifest (raw —
+    * re-emitted verbatim by append commits, like `#zm=`). */
+  private def dvLines(v: Long): Seq[String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.startsWith(DeletionVectors.Prefix))
+
+  /** Deletion vectors of snapshot `v`, keyed by RELATIVE path. Unlike
+    * zone maps a DV is a CORRECTNESS artifact — a line that exists but
+    * fails to decode is an error (silently skipping it would resurrect
+    * deleted rows), hence the require instead of a flatMap drop. */
+  private[graft] def dvRelOf(v: Long): Map[String, Array[Long]] =
+    dvLines(v).map { l =>
+      DeletionVectors.decodeLine(l).getOrElse(throw new IllegalStateException(
+        s"snapshot v$v at $root carries an undecodable deletion-vector line: " +
+          l.take(80)))
+    }.toMap
+
+  /** `#cdc=<enc rel>:<ctype>` change-sidecar lines of snapshot `v` —
+    * the rows a DV commit logically deleted, pre-materialized at
+    * commit time so the change feed replays them as an ordinary file
+    * read (Delta's `_change_data` design). Version-scoped by nature:
+    * NEVER carried forward by later commits. */
+  private[graft] def cdcSidecarsOf(v: Long): Seq[(String, String)] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+      .filter(_.startsWith("#cdc=")).map { l =>
+        val body = l.stripPrefix("#cdc=")
+        val i = body.lastIndexOf(':')
+        require(i > 0, s"malformed #cdc line in v$v at $root: ${l.take(80)}")
+        (java.net.URLDecoder.decode(body.substring(0, i), "UTF-8"),
+          body.substring(i + 1))
+      }
+
   /** Decoded per-file zone maps of snapshot `v`, keyed by ABSOLUTE
     * data-file path (the key the scan builder sees). Missing/legacy
     * manifests and malformed lines yield empty maps — stats are an
@@ -227,8 +261,22 @@ final class SnapshotTable(root: String) {
     require(before.subsetOf(after.toSet),
       s"versions $from..$to cross a replace/compaction commit at $root; " +
         "the incremental file diff is undefined across a rewrite")
+    // a deletion-vector commit keeps the listing intact but removes
+    // ROWS — "added files" would silently misreport it as zero change,
+    // so the append-only diff refuses exactly like a rewrite (use the
+    // change feed, or compact to materialize the DVs first)
+    require(dvStateOf(from) == dvStateOf(to),
+      s"versions $from..$to cross a row-delete (deletion-vector) commit " +
+        s"at $root; the append-only file diff cannot express row removals " +
+        "— use readChangesCdc, or compact to materialize the vectors")
     after.filterNot(before).map(rel => Paths.get(root).resolve(rel).toString)
   }
+
+  /** Comparable DV state of snapshot `v` (rel → position vector) —
+    * equality across two versions means no row was DV-deleted or
+    * DV-restored between them. */
+  private def dvStateOf(v: Long): Map[String, Seq[Long]] =
+    dvRelOf(v).map { case (rel, ps) => rel -> ps.toSeq }
 
   // incremental tag index: manifests are immutable once committed, so
   // each version is read at most once per table handle — commitOnce
@@ -259,6 +307,67 @@ final class SnapshotTable(root: String) {
     * snapshot isolation for the read-modify-write-same-table cycle. */
   def read(spark: SparkSession): DataFrame = readAt(spark, currentVersion())
 
+  /** The manifest-relative identity of a scanned row's file, derived
+    * from the `_metadata.file_path` URI: batch dirs are directly under
+    * `data/`, so the last two path segments + the `data/` prefix
+    * reconstruct the manifest's relative path without touching URI
+    * scheme differences. */
+  private def fileKeyCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit("data/"),
+      org.apache.spark.sql.functions.substring_index(
+        org.apache.spark.sql.functions.col("_metadata.file_path"), "/", -2))
+
+  /** Deleted (file, position) pairs as a DataFrame — the build side of
+    * the read-time anti-join. O(deleted positions) driver rows,
+    * broadcast once per query; bounded by the `dvMaxRowsPerFile` write
+    * cap times the DV'd file count, and cleared by compaction. */
+  private def dvPairsDf(spark: SparkSession,
+                        dvs: Map[String, Array[Long]]): DataFrame = {
+    import spark.implicits._
+    dvs.iterator.flatMap { case (rel, ps) => ps.iterator.map(rel -> _) }
+      .toSeq.toDF("__dv_file", "__dv_pos")
+  }
+
+  /** Read table data files under `schema` with deletion vectors
+    * APPLIED — the one read primitive every internal consumer
+    * (readAt's DV'd subset, merge's matchable probe, update/delete
+    * rewrites, CDC replays) shares, so DV semantics cannot drift
+    * between paths. Files without a DV read exactly as before; files
+    * with one read through the v1 parquet path (which serves the
+    * `_metadata.file_path` / `row_index` columns) and LEFT ANTI join
+    * the broadcast deleted-position set. The anti-join is a
+    * BroadcastHashJoin — no shuffle of the data side, and the scan
+    * keeps pushdown/pruning (positions come from the reader's own
+    * row-index bookkeeping, which stays exact under row-group
+    * skipping). */
+  private[sources] def readFilesDvAware(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      rels: Seq[String], dvs: Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (rels.isEmpty) return empty
+    val (dvd, clean) = rels.partition(dvs.contains)
+    val cleanDf =
+      if (clean.isEmpty) empty
+      else spark.read.schema(schema).option("basePath", dataDirPath)
+        .parquet(clean.map(abs): _*)
+    if (dvd.isEmpty) cleanDf
+    else {
+      val scoped = dvs.view.filterKeys(dvd.toSet).toMap
+      val filtered = spark.read.schema(schema).option("basePath", dataDirPath)
+        .parquet(dvd.map(abs): _*)
+        .withColumn("__dv_file", fileKeyCol)
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(dvPairsDf(spark, scoped)),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+      cleanDf.unionByName(filtered)
+    }
+  }
+
   /** Time travel: read snapshot `v` as of its commit.
     *
     * The read uses the SCHEMA persisted in snapshot `v`'s manifest
@@ -278,11 +387,30 @@ final class SnapshotTable(root: String) {
     val files = resolvedFiles(v) // validates the manifest exists
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     if (files.isEmpty && schema.isEmpty) spark.emptyDataFrame // table never committed
-    else
-      // DSv2 read (SnapshotSource): same files + manifest schema, but
-      // as a connector-API Table, so pushed filters and pruned columns
-      // report through the scan node
-      spark.read.format("graft-snapshot").option("version", v).load(root)
+    else {
+      val dvs = dvRelOf(v).view.filterKeys(listing(v).toSet).toMap
+      if (dvs.isEmpty)
+        // DSv2 read (SnapshotSource): same files + manifest schema, but
+        // as a connector-API Table, so pushed filters and pruned columns
+        // report through the scan node
+        spark.read.format("graft-snapshot").option("version", v).load(root)
+      else {
+        // MERGE-ON-READ: clean files keep the full DSv2 zone-map scan
+        // (excludeDv restricts the provider's resolution to them); DV'd
+        // files read via readFilesDvAware's anti-join. Same composition
+        // the injected DvReadRule applies to SQL catalog relations.
+        val dvd = listing(v).filter(dvs.contains)
+        val clean = listing(v).filterNot(dvs.contains)
+        val sch = schema.getOrElse(
+          spark.read.option("basePath", dataDirPath)
+            .parquet(files: _*).schema)
+        val dvPart = readFilesDvAware(spark, sch, dvd, dvs)
+        if (clean.isEmpty) dvPart
+        else spark.read.format("graft-snapshot").option("version", v)
+          .option("excludeDv", "true").load(root)
+          .unionByName(dvPart)
+      }
+    }
   }
 
   /** Read the latest snapshot under a DECLARED schema (the K4/K5 DDL
@@ -296,6 +424,12 @@ final class SnapshotTable(root: String) {
     if (resolvedFiles(v).isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (dvRelOf(v).nonEmpty)
+      // DV'd head: the merge-on-read composition, pruned to the
+      // declared columns (the anti-join adds only metadata columns,
+      // which prune away with the final drop)
+      readAt(spark, v).select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     else
       spark.read.format("graft-snapshot").schema(schema)
         .option("version", v).load(root)
@@ -366,7 +500,29 @@ final class SnapshotTable(root: String) {
       val added = after.filterNot(before.toSet)
       val removed = before.filterNot(after.toSet)
       val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
-      op match {
+      // DELETION-VECTOR replay: a DV commit changes no files, so the
+      // file diff alone would miss it. The commit pre-materialized the
+      // logically deleted rows as a CDC SIDECAR file (`#cdc=` line) —
+      // replay it as an ordinary file chunk, which keeps batch and
+      // streaming CDC on the same plan shape. A DV change on a file
+      // common to both listings WITHOUT a covering sidecar (a
+      // DV-diverging restore, or a foreign writer) is refused: the
+      // feed cannot reconstruct those rows from the manifest alone.
+      val sidecars = cdcSidecarsOf(v)
+        .groupBy(_._2).map { case (ctype, xs) =>
+          (xs.map(x => abs(x._1)), ctype, v) }.toSeq
+      if (sidecars.isEmpty) {
+        val dvPrev = dvRelOf(v - 1)
+        val dvCur = dvRelOf(v)
+        val common = after.toSet intersect before.toSet
+        val diverged = common.exists { rel =>
+          dvPrev.get(rel).map(_.toSeq) != dvCur.get(rel).map(_.toSeq) }
+        if (diverged) throw new IllegalStateException(
+          s"CDC at $root: version $v changes deletion vectors on files it " +
+            "keeps, without a change sidecar — the row delta is not " +
+            "reconstructable from the manifest; re-bootstrap the consumer")
+      }
+      sidecars ++ (op match {
         case "compact" => Seq.empty
         case "alter" => Seq.empty // metadata-only schema change: no rows
         case "append" | "replace" if removed.isEmpty =>
@@ -383,7 +539,7 @@ final class SnapshotTable(root: String) {
           s"CDC at $root: version $v is a '$other' commit that rewrites " +
             s"${removed.size} files — the change feed is undefined across " +
             "a replace; re-bootstrap the consumer from a fresh snapshot")
-      }
+      })
     }
   }
 
@@ -697,6 +853,11 @@ final class SnapshotTable(root: String) {
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
           bucketLines ++
           (if (replace) zmNew else zmLines(head) ++ zmNew) ++
+          // deletion vectors are per-file STATE: appends carry them
+          // forward with their files; a replace (or compaction) drops
+          // the whole listing and with it every vector — which is
+          // exactly how compaction MATERIALIZES deletes away
+          (if (replace) Seq.empty else dvLines(head)) ++
           (if (replace) newFiles else listing(head) ++ newFiles)
         if (publish(head + 1, full)) committed = head + 1
         else {
@@ -771,10 +932,13 @@ final class SnapshotTable(root: String) {
     require(missing.isEmpty,
       s"restore to v$toVersion at $root impossible: ${missing.size} data " +
         s"files vacuumed (first: ${missing.headOption.getOrElse("")})")
-    // carry everything durable from the old manifest; restamp ts/op/tag
+    // carry everything durable from the old manifest; restamp ts/op/tag;
+    // drop `#cdc=` change sidecars — they are version-scoped EVENTS of
+    // the original commit, and re-publishing one would make the change
+    // feed replay an old delete at the restore version
     val kept = Files.readAllLines(manifestPath(toVersion)).asScala.toSeq
       .filterNot(l => l.startsWith("#ts=") || l.startsWith("#op=") ||
-        l.startsWith("#tag="))
+        l.startsWith("#tag=") || l.startsWith("#cdc="))
     val lines = Seq(s"#ts=${System.currentTimeMillis()}", "#op=restore") ++ kept
     if (!publish(head + 1, lines))
       throw new IllegalStateException(
@@ -788,10 +952,11 @@ final class SnapshotTable(root: String) {
     * row count, on-disk bytes, bucket id when the layout is bucketed,
     * per-file bloom count). O(manifest) driver work + one stat call
     * per file, zero data-file reads. */
-  private[sources] def filesRows: Seq[(String, Option[Long], Option[Long], Option[Int], Long)] = {
+  private[sources] def filesRows: Seq[(String, Option[Long], Option[Long], Option[Int], Long, Long)] = {
     val v = currentVersion()
     val stats = fileStatsOf(v)
     val buckets = fbRel(v)
+    val dv = dvRelOf(v)
     listing(v).map { rel =>
       val abs = Paths.get(root).resolve(rel)
       val st = stats.get(abs.toString)
@@ -801,7 +966,8 @@ final class SnapshotTable(root: String) {
         // (racing vacuum): null, never a sentinel an aggregate absorbs
         if (Files.exists(abs)) Some(Files.size(abs)) else None,
         buckets.get(rel),
-        st.map(_.blooms.size.toLong).getOrElse(0L))
+        st.map(_.blooms.size.toLong).getOrElse(0L),
+        dv.get(rel).map(_.length.toLong).getOrElse(0L))
     }
   }
 
@@ -934,12 +1100,8 @@ final class SnapshotTable(root: String) {
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(delta.schema)
     val touched = touchDetect(spark, delta, rels, zoneMapsOf(v), key)
-    if (touched.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(touched.toSeq.sorted
-        .map(rel => Paths.get(root).resolve(rel).toString): _*)
+    // deletion vectors applied: a DV-deleted row is not matchable
+    readFilesDvAware(spark, schema, touched.toSeq.sorted, dvRelOf(v))
   }
 
   def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
@@ -1018,7 +1180,7 @@ final class SnapshotTable(root: String) {
       val offenders =
         if (dupTouched.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else dupKeysDf.join(
-          spark.read.schema(schema).parquet(dupTouched.toSeq.sorted.map(abs): _*)
+          readFilesDvAware(spark, schema, dupTouched.toSeq.sorted, dvRelOf(v))
             .select(keys.map(col): _*),
           keys, "left_semi").limit(3).collect()
       if (offenders.nonEmpty)
@@ -1055,7 +1217,9 @@ final class SnapshotTable(root: String) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
-        spark.read.schema(schema).parquet(touched.toSeq.sorted.map(abs): _*)
+        // deletion vectors applied: a DV-deleted row must not be
+        // resurrected by the rewrite of its file
+        readFilesDvAware(spark, schema, touched.toSeq.sorted, dvRelOf(v))
           .join(deltaKeys, keys, "left_anti")
     val rewrite = survivors.unionByName(upserts)
     val nOut = if (targetFiles > 0) targetFiles else math.max(1, touched.size)
@@ -1065,9 +1229,13 @@ final class SnapshotTable(root: String) {
     val untouchedSet = untouched.toSet
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+    // untouched files keep their deletion vectors; rewritten files
+    // materialized theirs away (the rewrite read was DV-filtered)
+    val dvKept = dvLines(v).filter(l =>
+      DeletionVectors.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
     val lines = Seq(s"#schema=${schema.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
-      zmKept ++ zmNew ++ untouched ++ newFiles
+      zmKept ++ zmNew ++ dvKept ++ untouched ++ newFiles
     if (!publish(v + 1, lines)) {
       SnapshotTable.deleteRecursively(out)
       throw new IllegalStateException(
@@ -1108,18 +1276,20 @@ final class SnapshotTable(root: String) {
     * [[merge]]. */
   def deleteWhere(spark: SparkSession,
                   condition: org.apache.spark.sql.Column,
-                  targetFiles: Int = 0): SnapshotTable.DeleteResult = {
+                  targetFiles: Int = 0,
+                  dvMaxRowsPerFile: Int = 0): SnapshotTable.DeleteResult = {
     import org.apache.spark.sql.functions._
     val v = currentVersion()
     require(v >= 0, s"deleteWhere at $root: table has no committed snapshot")
     val rels = listing(v)
     val zm = zoneMapsOf(v)
+    val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
 
     val cond = resolvePredicate(spark, v, condition, schema)
 
-    val (untouched, dropped, rewrites) = {
+    val (untouched0, dropped, straddling) = {
       val u = Seq.newBuilder[String]
       val d = Seq.newBuilder[String]
       val r = Seq.newBuilder[String]
@@ -1131,37 +1301,136 @@ final class SnapshotTable(root: String) {
       }
       (u.result(), d.result(), r.result())
     }
-    if (dropped.isEmpty && rewrites.isEmpty)
+    if (dropped.isEmpty && straddling.isEmpty)
+      return SnapshotTable.DeleteResult(v, 0, 0, untouched0.size, 0)
+
+    lazy val sch = schema.getOrElse(
+      spark.read.parquet(straddling.map(abs): _*).schema)
+    val pred = coalesce(condition, lit(false))
+
+    // MERGE-ON-READ phase (dvMaxRowsPerFile > 0): straddling files do
+    // NOT rewrite — the matched LIVE row positions land as `#dv=`
+    // deletion vectors and the matched rows pre-materialize as a
+    // `#cdc=` change sidecar, so a one-row delete commits O(deleted
+    // rows) bytes instead of rewriting its whole file. Per-file match
+    // counts classify first (one column-pruned aggregation): zero
+    // matches -> untouched by reference; over the cap -> copy-on-write
+    // rewrite (a delete touching most of a file is cheaper rewritten
+    // than carried as a vector — Delta's own fallback heuristic).
+    val (untouched, dvClass, dvPositions, rewrites, sidecarOut, cdcNew) =
+      if (dvMaxRowsPerFile <= 0 || straddling.isEmpty)
+        (untouched0, Seq.empty[String], Map.empty[String, Array[Long]],
+          straddling, None: Option[Path], Seq.empty[String])
+      else {
+        // matched LIVE rows of straddling files, with file identity and
+        // row position; already-DV-deleted rows are anti-joined out so
+        // they never re-match (their delete already replayed)
+        def scanMatched(onRels: Seq[String]): DataFrame = {
+          val base = spark.read.schema(sch).option("basePath", dataDirPath)
+            .parquet(onRels.map(abs): _*)
+            .withColumn("__dv_file", fileKeyCol)
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          val scoped = dvs.view.filterKeys(onRels.toSet).toMap
+          val live =
+            if (scoped.isEmpty) base
+            else base.join(broadcast(dvPairsDf(spark, scoped)),
+              Seq("__dv_file", "__dv_pos"), "left_anti")
+          live.filter(pred)
+        }
+        val counts: Map[String, Long] = scanMatched(straddling)
+          .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val zeroMatch = straddling.filterNot(counts.contains)
+        val dvC = straddling.filter(r =>
+          counts.get(r).exists(n => n > 0 && n <= dvMaxRowsPerFile))
+        val rw = straddling.filter(r =>
+          counts.get(r).exists(_ > dvMaxRowsPerFile))
+        if (dvC.isEmpty)
+          (untouched0 ++ zeroMatch, Seq.empty[String],
+            Map.empty[String, Array[Long]], rw, None: Option[Path],
+            Seq.empty[String])
+        else {
+          // one bounded materialization feeds both the position collect
+          // and the change-sidecar write (<= cap rows per DV'd file)
+          val matched = scanMatched(dvC).localCheckpoint()
+          try {
+            val pos: Map[String, Array[Long]] = matched
+              .select(col("__dv_file"), col("__dv_pos"))
+              .collect().groupBy(_.getString(0))
+              .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
+            // pre-materialize the deleted rows as this commit's CDC
+            // sidecar: the change feed replays them as a plain file
+            // chunk (batch AND streaming), no position machinery at
+            // read time. Lands under data/ like any batch — invisible
+            // until the manifest referencing it publishes.
+            val cdcDir = dataDir.resolve(
+              s"cdc${System.nanoTime()}_t${Thread.currentThread().getId}")
+            matched.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+              .repartition(1).write.parquet(cdcDir.toString)
+            val cdcRels = {
+              val st = Files.list(cdcDir)
+              try st.iterator().asScala.map(_.getFileName.toString)
+                .filter(_.endsWith(".parquet")).toSeq.sorted
+                .map(n => s"data/${cdcDir.getFileName}/$n")
+              finally st.close()
+            }
+            val cdcLines = cdcRels.map(rel =>
+              "#cdc=" + java.net.URLEncoder.encode(rel, "UTF-8") + ":delete")
+            (untouched0 ++ zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines)
+          } finally matched.unpersist(blocking = false)
+        }
+      }
+    if (dropped.isEmpty && dvClass.isEmpty && rewrites.isEmpty) {
+      sidecarOut.foreach(SnapshotTable.deleteRecursively)
       return SnapshotTable.DeleteResult(v, 0, 0, untouched.size, 0)
+    }
 
     val (out, newFiles, zmNew) =
       if (rewrites.isEmpty) (None, Seq.empty[String], Seq.empty[String])
       else {
-        val kept = spark.read
-          .schema(schema.getOrElse(
-            spark.read.parquet(rewrites.map(abs): _*).schema))
-          .parquet(rewrites.map(abs): _*)
-          .filter(!coalesce(condition, lit(false)))
+        // DV-aware survivor read: rows already deleted by an earlier
+        // vector must not resurrect in the rewritten file
+        val kept = readFilesDvAware(spark, sch, rewrites, dvs)
+          .filter(!pred)
         val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
         val (o, nf, zn, _) = writeBatch(kept.repartition(nOut))
         (Some(o), nf, zn)
       }
 
-    val untouchedSet = untouched.toSet
+    // files that stay in the listing keep their stats (superset
+    // min/max stays sound under row deletion) and their vectors;
+    // DV-class files get their old and new positions unioned
+    val keptSet = untouched.toSet ++ dvClass.toSet
     val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
+    val dvOut: Seq[String] = {
+      val untouchedKept = dvLines(v).filter(l =>
+        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
+          untouched.contains(rel) })
+      val merged = dvClass.map { rel =>
+        val all = dvs.get(rel) match {
+          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
+          case None => dvPositions(rel)
+        }
+        DeletionVectors.encodeLine(rel, all)
+      }
+      untouchedKept ++ merged
+    }
     val lines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=delete") ++
-      zmKept ++ zmNew ++ untouched ++ newFiles
+      zmKept ++ zmNew ++ dvOut ++ cdcNew ++
+      untouched ++ dvClass ++ newFiles
     if (!publish(v + 1, lines)) {
       out.foreach(SnapshotTable.deleteRecursively)
+      sidecarOut.foreach(SnapshotTable.deleteRecursively)
       throw new IllegalStateException(
         s"deleteWhere at $root lost the publish race: a commit landed " +
           "during the delete, so the classification is stale — re-run")
     }
     SnapshotTable.DeleteResult(v + 1, filesDropped = dropped.size,
       filesRewritten = rewrites.size, filesUntouched = untouched.size,
-      filesAdded = newFiles.size)
+      filesAdded = newFiles.size, filesDvUpdated = dvClass.size,
+      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
   }
 
   /** Resolve a user predicate `Column` against snapshot `v`'s schema
@@ -1253,7 +1522,9 @@ final class SnapshotTable(root: String) {
         case None => col(f.name)
       }
     }
-    val updated = spark.read.schema(sch).parquet(rewrites.map(abs): _*)
+    // deletion vectors applied: DV-deleted rows neither update nor
+    // survive into the rewritten files
+    val updated = readFilesDvAware(spark, sch, rewrites, dvRelOf(v))
       .select(projected.toIndexedSeq: _*)
     val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
     val (out, newFiles, zmNew, _) = writeBatch(updated.repartition(nOut))
@@ -1261,9 +1532,11 @@ final class SnapshotTable(root: String) {
     val untouchedSet = untouched.toSet
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+    val dvKept = dvLines(v).filter(l =>
+      DeletionVectors.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
     val lines = Seq(s"#schema=${sch.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=update") ++
-      zmKept ++ zmNew ++ untouched ++ newFiles
+      zmKept ++ zmNew ++ dvKept ++ untouched ++ newFiles
     if (!publish(v + 1, lines)) {
       SnapshotTable.deleteRecursively(out)
       throw new IllegalStateException(
@@ -1298,10 +1571,13 @@ final class SnapshotTable(root: String) {
     // earlier vacuum with SHORTER retention may have deleted v(keepFrom)
     // itself (vacuum(1) then vacuum(3) before 3 new commits land) — a
     // missing manifest references nothing, it must not abort the sweep
+    val retained = (keepFrom to head).filter(v => Files.exists(manifestPath(v)))
     val referenced: Set[String] =
-      (keepFrom to head)
-        .filter(v => Files.exists(manifestPath(v)))
-        .flatMap(listing).toSet // relative "data/b…/f.parquet"
+      retained.flatMap(listing).toSet ++ // relative "data/b…/f.parquet"
+        // change sidecars of retained versions: a CDC consumer may
+        // still replay any retained range, so its delete-row files
+        // live exactly as long as the manifest that references them
+        retained.flatMap(v => cdcSidecarsOf(v).map(_._1)).toSet
     var dataDeleted = 0
     val batches = Files.list(dataDir)
     try batches.iterator().asScala.toSeq.foreach { b =>
@@ -1340,8 +1616,15 @@ final class SnapshotTable(root: String) {
     val rels = listing(v)
     val fs = fileStatsOf(v)
     val perFile = rels.map(r => fs.get(Paths.get(root).resolve(r).toString))
+    // `rows` is the LIVE count — physical footer rows minus deletion-
+    // vector positions — so count(*) parity holds on DV'd tables
+    val dvTotal = {
+      val dv = dvRelOf(v)
+      rels.iterator.flatMap(dv.get).map(_.length.toLong).sum
+    }
     val rows =
-      if (perFile.forall(_.exists(_.rows >= 0))) Some(perFile.map(_.get.rows).sum)
+      if (perFile.forall(_.exists(_.rows >= 0)))
+        Some(perFile.map(_.get.rows).sum - dvTotal)
       else None
     val common =
       if (perFile.isEmpty) Set.empty[String]
@@ -1395,6 +1678,8 @@ object SnapshotTable {
   final case class TableStats(version: Long, files: Int,
                               rows: Option[Long],
                               cols: Map[String, ZoneMaps.ColStat])
+  // (rows already nets out deletion vectors; per-column min/max stay
+  // the physical superset — sound for pruning, never for equality)
 
   /** [[SnapshotTable.updateWhere]] accounting: only files that might
     * hold predicate-matching rows rewrite; the rest carry forward by
@@ -1408,7 +1693,8 @@ object SnapshotTable {
     * carry by reference. A no-op delete keeps the old `version`. */
   final case class DeleteResult(version: Long, filesDropped: Int,
                                 filesRewritten: Int, filesUntouched: Int,
-                                filesAdded: Int)
+                                filesAdded: Int, filesDvUpdated: Int = 0,
+                                dvRowsAdded: Long = 0L)
 
   /** Depth-first recursive delete — the one implementation shared by
     * every cleanup path (skipped-commit tidy-up, catalog DROP TABLE,

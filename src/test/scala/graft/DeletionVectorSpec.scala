@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.sources.{DeletionVectors, SnapshotTable}
+
+/** Merge-on-read deletion vectors: a row-level DELETE on a straddling
+  * file commits `#dv=` position lines + a `#cdc=` change sidecar
+  * instead of rewriting the file — O(deleted rows) commit bytes. Reads
+  * (Scala API and SQL), time travel, CDC, DML-over-DV, compaction
+  * materialization, vacuum retention and the append-diff refusal are
+  * all pinned here. */
+class DeletionVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): (SnapshotTable, String) = {
+    val dir = Files.createTempDirectory("graft_dv").toString
+    (SnapshotTable(dir), dir)
+  }
+
+  private def kv(ids: Range) =
+    spark.createDataset(ids.map(i => (i.toLong, s"r$i")))(
+      org.apache.spark.sql.Encoders.product[(Long, String)]).toDF("id", "s")
+
+  private def manifestLines(dir: String, v: Long): Seq[String] =
+    Files.readAllLines(Paths.get(dir, "_manifests", f"v$v%09d.json"))
+      .asScala.toSeq
+
+  private def dataFilesOf(lines: Seq[String]): Seq[String] =
+    lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  test("varint codec: positions round-trip, merge unions, malformed refuses") {
+    val ps = Array(0L, 1L, 7L, 8L, 127L, 128L, 129L, 1L << 40, (1L << 40) + 1)
+    val line = DeletionVectors.encodeLine("data/b1/f.parquet", ps.reverse)
+    val Some((rel, back)) = DeletionVectors.decodeLine(line)
+    assert(rel === "data/b1/f.parquet")
+    assert(back.toSeq === ps.toSeq) // sorted on encode
+    assert(DeletionVectors.merge(Array(3L, 5L), Array(5L, 1L)).toSeq
+      === Seq(1L, 3L, 5L))
+    assert(DeletionVectors.decodeLine("#dv=bad").isEmpty)
+  }
+
+  test("single-row DELETE commits O(delta): no data file rewritten, vector + sidecar recorded, reads exact") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.commit(kv(100 until 200).repartition(1))
+    val v = t.currentVersion()
+    val filesBefore = dataFilesOf(manifestLines(dir, v))
+
+    val r = t.deleteWhere(spark, col("id") === 42L, dvMaxRowsPerFile = 1000)
+    assert(r.version === v + 1)
+    assert(r.filesRewritten === 0, "a one-row delete must not rewrite a file")
+    assert(r.filesDropped === 0 && r.filesAdded === 0)
+    assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
+
+    val after = manifestLines(dir, r.version)
+    assert(dataFilesOf(after).toSet === filesBefore.toSet,
+      "the data-file listing must carry forward byte-identical")
+    assert(after.count(_.startsWith("#dv=")) === 1)
+    assert(after.count(_.startsWith("#cdc=")) === 1)
+
+    // reads: deleted row gone, everything else intact; time travel sees it
+    assert(t.read(spark).count() === 199)
+    assert(t.read(spark).filter(col("id") === 42L).count() === 0)
+    assert(t.read(spark).agg(sum("id")).as[Long].head
+      === (0L until 200L).sum - 42L)
+    assert(t.readAt(spark, v).count() === 200)
+    assert(t.tableStats().rows === Some(199L))
+  }
+
+  test("second delete on the same file merges vectors; sum stays exact") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id") === 10L, dvMaxRowsPerFile = 1000)
+    val r2 = t.deleteWhere(spark, col("id").isin(11L, 12L), dvMaxRowsPerFile = 1000)
+    assert(r2.filesDvUpdated === 1 && r2.dvRowsAdded === 2L)
+    assert(t.read(spark).count() === 97)
+    assert(t.read(spark).agg(sum("id")).as[Long].head
+      === (0L until 100L).sum - 10L - 11L - 12L)
+    // an already-deleted row never re-matches (no duplicate positions)
+    val r3 = t.deleteWhere(spark, col("id") === 10L, dvMaxRowsPerFile = 1000)
+    assert(r3.dvRowsAdded === 0L && r3.version === r2.version,
+      "a delete matching only already-deleted rows is a no-op commit")
+  }
+
+  test("batch change feed replays a DV delete as exactly the deleted rows") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val r = t.deleteWhere(spark, col("id") >= 95L, dvMaxRowsPerFile = 1000)
+    val cdc = t.readChangesCdc(spark, v0, r.version)
+    val rows = cdc.select("_change_type", "id", "_commit_version")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(rows.length === 5)
+    assert(rows.forall { case (ct, id, cv) =>
+      ct == "delete" && id >= 95L && cv == r.version })
+  }
+
+  test("merge and update over a DV'd file neither resurrect nor double-delete") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id") === 50L, dvMaxRowsPerFile = 1000)
+
+    // update a surviving row: the rewrite must materialize the vector
+    t.updateWhere(spark, col("id") === 60L, Map("s" -> lit("upd")))
+    assert(t.read(spark).count() === 99, "update must not resurrect id=50")
+    assert(t.read(spark).filter(col("s") === "upd").count() === 1)
+    assert(t.dvRelOf(t.currentVersion()).isEmpty,
+      "rewritten file's vector must be materialized away")
+
+    // again with merge: delete via DV, then merge an upsert for another key
+    t.deleteWhere(spark, col("id") === 70L, dvMaxRowsPerFile = 1000)
+    val delta = Seq((80L, "merged")).toDF("id", "s")
+    t.merge(spark, delta, Seq("id"))
+    assert(t.read(spark).count() === 98, "merge must not resurrect id=70")
+    assert(t.read(spark).filter(col("id") === 70L).count() === 0)
+    assert(t.read(spark).filter(col("s") === "merged").count() === 1)
+  }
+
+  test("readMatchable excludes DV-deleted rows (merge cardinality sees live rows only)") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id") === 5L, dvMaxRowsPerFile = 1000)
+    val m = t.readMatchable(spark, Seq((5L, "x")).toDF("id", "s"), "id",
+      t.currentVersion())
+    assert(m.filter(col("id") === 5L).count() === 0)
+    // two delta rows for a DV-deleted key: NOT a cardinality violation
+    // (they match no live target row — both insert)
+    val dup = Seq((5L, "a"), (5L, "b")).toDF("id", "s")
+    t.merge(spark, dup, Seq("id"))
+    assert(t.read(spark).filter(col("id") === 5L).count() === 2)
+  }
+
+  test("compaction materializes vectors: rows physically absent, lines cleared, fast path restored") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(2))
+    t.deleteWhere(spark, col("id").isin(3L, 33L, 73L), dvMaxRowsPerFile = 1000)
+    assert(t.dvRelOf(t.currentVersion()).nonEmpty)
+    val v = t.compact(spark, files = 1)
+    assert(manifestLines(dir, v).count(_.startsWith("#dv=")) === 0)
+    assert(t.read(spark).count() === 97)
+    // physically absent: a bare parquet read of the listed files
+    val raw = spark.read.parquet(
+      dataFilesOf(manifestLines(dir, v)).map(rel => s"$dir/$rel"): _*)
+    assert(raw.count() === 97)
+    assert(t.tableStats().rows === Some(97L))
+  }
+
+  test("cap fallback: more matches than dvMaxRowsPerFile rewrites copy-on-write") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val r = t.deleteWhere(spark, col("id") < 50L, dvMaxRowsPerFile = 10)
+    assert(r.filesDvUpdated === 0 && r.filesRewritten === 1)
+    assert(t.read(spark).count() === 50)
+    assert(t.dvRelOf(r.version).isEmpty)
+  }
+
+  test("append-only diff refuses across a DV commit; appends after it carry the vector forward") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val rd = t.deleteWhere(spark, col("id") === 1L, dvMaxRowsPerFile = 1000)
+    val ex = intercept[IllegalArgumentException] {
+      t.readChanges(spark, v0, rd.version).count()
+    }
+    assert(ex.getMessage.contains("deletion-vector"))
+    // append on top: DV still applies, new rows visible
+    t.commit(kv(200 until 210))
+    assert(t.read(spark).count() === 109)
+    // and the post-delete append range is a clean diff again
+    assert(t.readChanges(spark, rd.version, t.currentVersion()).count() === 10)
+  }
+
+  test("SQL surface: DELETE creates a vector, SELECT respects it, time travel and t$files see it") {
+    val wh = Files.createTempDirectory("graft_dv_sql").toString
+    spark.conf.set("spark.sql.catalog.dvcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+    spark.sql("CREATE TABLE dvcat.db.t (id BIGINT, s STRING) USING `graft-snapshot`")
+    spark.sql("INSERT INTO dvcat.db.t SELECT id, concat('r', id) FROM range(100)")
+    SnapshotTable(s"$wh/db/t").compact(spark, files = 1)
+    val preHead = spark.sql("SELECT max(version) FROM dvcat.db.`t$history`")
+      .head().getLong(0)
+
+    spark.sql("DELETE FROM dvcat.db.t WHERE id = 7")
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t").head().getLong(0) === 99L)
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t WHERE id = 7")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT sum(id) FROM dvcat.db.t").head().getLong(0)
+      === (0L until 100L).sum - 7L)
+    // no rewrite happened: same files before and after
+    val dvRows = spark.sql("SELECT sum(dv_rows) FROM dvcat.db.`t$files`")
+      .head().getLong(0)
+    assert(dvRows === 1L)
+    // time travel through SQL sees the pre-delete state
+    assert(spark.sql(s"SELECT count(*) FROM dvcat.db.t VERSION AS OF $preHead")
+      .head().getLong(0) === 100L)
+    // OPTIMIZE materializes and reports the reclaimed positions
+    val opt = spark.sql("OPTIMIZE dvcat.db.t INTO 1 FILES")
+      .select("dv_rows_reclaimed").head().getLong(0)
+    assert(opt === 1L)
+    assert(spark.sql("SELECT sum(dv_rows) FROM dvcat.db.`t$files`")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM dvcat.db.t").head().getLong(0) === 99L)
+    spark.sql("DROP TABLE dvcat.db.t")
+  }
+
+  test("vacuum retains the change sidecar with its manifest; expiry reaps it") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val r = t.deleteWhere(spark, col("id") === 9L, dvMaxRowsPerFile = 1000)
+    val sidecarRel = t.cdcSidecarsOf(r.version).map(_._1)
+    assert(sidecarRel.size === 1)
+    def sidecarExists = Files.exists(Paths.get(dir).resolve(sidecarRel.head))
+    assert(sidecarExists)
+    t.vacuum(keepVersions = 10) // manifest retained -> sidecar retained
+    assert(sidecarExists, "retained manifest must keep its change sidecar")
+    // bury the DV version beyond retention, then vacuum(1)
+    t.commit(kv(200 until 201)); t.commit(kv(201 until 202))
+    t.vacuum(keepVersions = 1)
+    assert(!sidecarExists, "expired manifest's sidecar must be reaped")
+    // the vector itself still applies (it rides the retained manifest)
+    assert(t.read(spark).count() === 101)
+  }
+
+  test("restore across a vector: content returns, change feed refuses the dv-diverging range") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val rd = t.deleteWhere(spark, col("id") === 4L, dvMaxRowsPerFile = 1000)
+    val vRestored = t.restore(v0)
+    assert(t.read(spark).count() === 100, "restore must undo the DV delete")
+    assert(t.dvRelOf(vRestored).isEmpty)
+    val ex = intercept[IllegalStateException] {
+      t.readChangesCdc(spark, rd.version, vRestored).count()
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+  }
+}

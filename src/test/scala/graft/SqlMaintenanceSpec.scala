@@ -84,7 +84,7 @@ class SqlMaintenanceSpec extends SparkTestBase {
     val before = t.fileCount(t.currentVersion())
     assert(before >= 6)
     val (v, nf) = spark.sql("OPTIMIZE optcat.db.t INTO 2 FILES")
-      .as[(Long, Long)].head()
+      .select("version", "n_files").as[(Long, Long)].head()
     assert(nf <= 2L && t.fileCount(v) <= 2)
     assert(t.opOf(v) === Some("compact"))
     assert(t.read(spark).orderBy("id").as[(Long, String)].collect().toSeq
@@ -105,7 +105,7 @@ class SqlMaintenanceSpec extends SparkTestBase {
       (col("id") % 64).cast("long").as("b"))
     t.commit(grid.repartitionByRange(8, col("a")))
     val (v, nf) = spark.sql("OPTIMIZE zcat.db.g INTO 8 FILES ZORDER BY (a, b)")
-      .as[(Long, Long)].head()
+      .select("version", "n_files").as[(Long, Long)].head()
     assert(nf === 8L && t.opOf(v) === Some("compact"))
     assert(t.read(spark).count() === 4096)
     // zone maps after z-order: files cover sub-ranges of BOTH columns
