@@ -66,6 +66,83 @@ object ArchiveCodec {
     c.getValue
   }
 
+  // ---- gzip members (RFC 1952) ----
+  // Common Crawl's .warc.gz is PER-RECORD gzip members concatenated —
+  // a reader seeks to a member boundary and inflates one record
+  // without touching the rest. Encoder writes the minimal spec header
+  // (no name/extra/comment, MTIME 0 for determinism, OS 255);
+  // the decoder accepts the full optional-field set (FEXTRA / FNAME /
+  // FCOMMENT / FHCRC) so foreign members (GZIPOutputStream, real
+  // crawls) walk correctly.
+
+  /** Wrap `data` as one gzip member. */
+  def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    out.write(0x1f); out.write(0x8b); out.write(8) // magic, CM=deflate
+    out.write(0) // FLG: no optional fields
+    (0 until 4).foreach(_ => out.write(0)) // MTIME = 0
+    out.write(0) // XFL
+    out.write(255) // OS = unknown
+    val packed = deflateRaw(data)
+    out.write(packed, 0, packed.length)
+    val crc = crc32(data); val n = data.length.toLong
+    Seq(crc, n).foreach { v =>
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a stream of CONCATENATED gzip members. A member whose
+    * CRC-32 or ISIZE trailer disagrees with its inflated bytes drops
+    * ALONE (the boundary is still exact — inflate consumption marks
+    * it); a member that fails to INFLATE loses the boundary and drops
+    * the stream (None) — the zip member-granularity contract adapted
+    * to a self-delimiting stream. */
+  def gunzipMembers(bytes: Array[Byte]): Option[Array[Byte]] = try {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    var at = 0
+    while (at < bytes.length) {
+      if (at + 10 > bytes.length ||
+        (bytes(at) & 0xff) != 0x1f || (bytes(at + 1) & 0xff) != 0x8b ||
+        bytes(at + 2) != 8) return None
+      val flg = bytes(at + 3) & 0xff
+      var h = at + 10
+      if ((flg & 4) != 0) { // FEXTRA: u16 length + payload
+        if (h + 2 > bytes.length) return None
+        val xlen = (bytes(h) & 0xff) | ((bytes(h + 1) & 0xff) << 8)
+        h += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (h < bytes.length && bytes(h) != 0) h += 1; h += 1 } // FNAME
+      if ((flg & 16) != 0) { while (h < bytes.length && bytes(h) != 0) h += 1; h += 1 } // FCOMMENT
+      if ((flg & 2) != 0) h += 2 // FHCRC
+      if (h >= bytes.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      val member = new java.io.ByteArrayOutputStream()
+      val consumed = try {
+        inf.setInput(bytes, h, bytes.length - h)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          if (k > 0) member.write(buf, 0, k)
+          else if (inf.needsInput()) return None // truncated deflate
+        }
+        (bytes.length - h) - inf.getRemaining
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      val trailerAt = h + consumed
+      if (trailerAt + 8 > bytes.length) return None
+      def u32le(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      val data = member.toByteArray
+      val crcOk = u32le(trailerAt) == crc32(data)
+      val sizeOk = u32le(trailerAt + 4) == (data.length & 0xffffffffL)
+      if (crcOk && sizeOk) out.write(data, 0, data.length)
+      at = trailerAt + 8
+    }
+    Some(out.toByteArray)
+  } catch { case _: Exception => None }
+
   // ---- ZIP ----
 
   /** One member to pack: `deflate` = method 8, else STORED. */
@@ -75,6 +152,9 @@ object ArchiveCodec {
     * end record. No zip64, no encryption — the baseline every reader
     * accepts. */
   def zipEncode(members: Seq[ZipMember]): Array[Byte] = {
+    require(members.size <= 0xfffe,
+      s"zipEncode writes the non-zip64 baseline: ${members.size} members " +
+        "exceed the 16-bit entry count — split the archive")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     def u32(v: Long): Unit = {
@@ -127,6 +207,7 @@ object ArchiveCodec {
     def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    def u64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
     // EOCD: scan backwards (comment can displace it up to 64 KiB)
     var eocd = -1
     var i = p.length - 22
@@ -136,34 +217,76 @@ object ArchiveCodec {
       i -= 1
     }
     if (eocd < 0) return None
-    val n = u16(eocd + 10)
-    val cdOff = u32(eocd + 16).toInt
+    // ZIP64: a locator 20 bytes before the EOCD points at the zip64
+    // EOCD record, whose 64-bit count/offset OVERRIDE the (possibly
+    // 0xFFFF / 0xFFFFFFFF sentinel-capped) EOCD fields. Sentinels
+    // WITHOUT a locator mean a foreign writer we can't follow: refuse
+    // rather than walk a wrong offset.
+    val (n: Long, cdOff: Int) = {
+      val locAt = eocd - 20
+      if (locAt >= 0 && u32(locAt) == 0x07064b50L) {
+        val z64 = u64(locAt + 8)
+        if (z64 < 0 || z64 + 56 > p.length || u32(z64.toInt) != 0x06064b50L)
+          return None
+        // single-disk only (a spanning archive can't live in one value)
+        if (u32(z64.toInt + 16) != 0L || u32(z64.toInt + 20) != 0L) return None
+        (u64(z64.toInt + 32), u64(z64.toInt + 48).toInt)
+      } else {
+        val en = u16(eocd + 10)
+        val eo = u32(eocd + 16)
+        if (en == 0xffff || eo == 0xffffffffL) return None // sentinel, no locator
+        (en.toLong, eo.toInt)
+      }
+    }
     if (cdOff < 0 || cdOff > p.length) return None
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte], Boolean)]
     var at = cdOff
-    var k = 0
+    var k = 0L
     while (k < n) {
       if (at + 46 > p.length || u32(at) != 0x02014b50L) return None
       val method = u16(at + 10)
       val crc = u32(at + 16)
-      val csize = u32(at + 20).toInt
-      val usize = u32(at + 24).toInt
       val nameLen = u16(at + 28)
       val extraLen = u16(at + 30)
       val commentLen = u16(at + 32)
-      val lho = u32(at + 42).toInt
-      if (at + 46 + nameLen > p.length) return None
+      if (at + 46 + nameLen + extraLen > p.length) return None
       val name = new String(p, at + 46, nameLen, "UTF-8")
+      // zip64 extended information (extra id 0x0001): 64-bit values for
+      // exactly the fields the 32-bit entry capped at their sentinels,
+      // in spec order usize, csize, local-header offset, disk-start
+      var csize = u32(at + 20)
+      var usize = u32(at + 24)
+      var lho = u32(at + 42)
+      if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL) {
+        var xa = at + 46 + nameLen
+        val xEnd = xa + extraLen
+        var found = false
+        while (xa + 4 <= xEnd && !found) {
+          val id = u16(xa); val len = u16(xa + 2)
+          if (id == 0x0001) {
+            var f = xa + 4
+            if (usize == 0xffffffffL) { usize = u64(f); f += 8 }
+            if (csize == 0xffffffffL) { csize = u64(f); f += 8 }
+            if (lho == 0xffffffffL) { lho = u64(f); f += 8 }
+            if (f > xa + 4 + len) return None // extra block shorter than its fields
+            found = true
+          } else xa += 4 + len
+        }
+        if (!found) return None // sentinel with no zip64 extra: refuse
+      }
+      if (lho < 0 || lho + 30 > p.length) return None
       // local header: skip its own (possibly different-length) name/extra
-      if (lho + 30 > p.length || u32(lho) != 0x04034b50L) return None
-      val lNameLen = u16(lho + 26)
-      val lExtraLen = u16(lho + 28)
-      val dataAt = lho + 30 + lNameLen + lExtraLen
-      if (csize < 0 || usize < 0 || dataAt + csize > p.length) return None
-      val packed = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize)
+      val lhoI = lho.toInt
+      if (u32(lhoI) != 0x04034b50L) return None
+      val lNameLen = u16(lhoI + 26)
+      val lExtraLen = u16(lhoI + 28)
+      val dataAt = lhoI + 30 + lNameLen + lExtraLen
+      if (csize < 0 || usize < 0 || usize > Int.MaxValue ||
+        dataAt + csize > p.length) return None
+      val packed = java.util.Arrays.copyOfRange(p, dataAt, dataAt + csize.toInt)
       val data = method match {
-        case 0 => if (packed.length == usize) Some(packed) else None
-        case 8 => inflateRaw(packed, usize)
+        case 0 => if (packed.length.toLong == usize) Some(packed) else None
+        case 8 => inflateRaw(packed, usize.toInt)
         case _ => None // unsupported method: drop the member
       }
       data.filter(d => crc32(d) == crc)
@@ -204,6 +327,27 @@ object ArchiveCodec {
     }
     sb.toString.getBytes("UTF-8")
   }
+
+  /** Serialize records as `.warc.gz` — ONE gzip member PER RECORD,
+    * concatenated: the Common Crawl wire format (a reader can inflate
+    * any single record from a member offset). */
+  def warcEncodeGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val m = gzipMember(warcEncode(Seq(r)))
+      out.write(m, 0, m.length)
+    }
+    out.toByteArray
+  }
+
+  /** Decode a WARC stream in either wire form: gzip-member streams
+    * (magic 1f 8b) inflate member-by-member first, bare streams parse
+    * directly — the dispatch an acquisition job needs when a corpus
+    * mixes `.warc` and `.warc.gz` drops. */
+  def warcDecodeAuto(bytes: Array[Byte]): Option[Seq[WarcRecord]] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+      gunzipMembers(bytes).flatMap(warcDecode)
+    else warcDecode(bytes)
 
   /** Parse a WARC stream into records. Strict structure (version line,
     * Content-Length-exact reads, CRLF CRLF separation), tolerant

@@ -141,14 +141,19 @@ object CorpusOps {
         .orderBy("doc_id", "name")
     }),
 
-    // E12 WARC CRAWL INGESTION (round 11) — the Common Crawl record
-    // walk, the acquisition format of every web-scale pretraining
-    // corpus: WARC/1.0 version lines, named headers, Content-Length-
-    // exact payload reads, CRLF CRLF separation; response records
-    // additionally split the embedded HTTP envelope (status line +
-    // headers) from the body. Records explode to one row each;
-    // closed-form record text ⇒ fully arithmetic oracle. Same per-row
-    // scale shape as q_zip_extract.
+    // E12 WARC CRAWL INGESTION (rounds 11-12) — the Common Crawl
+    // record walk, the acquisition format of every web-scale
+    // pretraining corpus: WARC/1.0 version lines, named headers,
+    // Content-Length-exact payload reads, CRLF CRLF separation;
+    // response records additionally split the embedded HTTP envelope
+    // (status line + headers) from the body. Round 12 makes the corpus
+    // the REAL wire mix: every even doc ships as `.warc.gz` — one gzip
+    // member PER RECORD, concatenated (the Common Crawl shape) — and
+    // decode dispatches on the magic bytes, so the oracle gate now
+    // covers the RFC 1952 member walk (header option fields, raw
+    // deflate, CRC-32 + ISIZE trailers) as well as the record parse.
+    // Records explode to one row each; closed-form record text ⇒ fully
+    // arithmetic oracle. Same per-row scale shape as q_zip_extract.
     "q_warc_extract" -> ((s, d) => {
       import s.implicits._
       documents(s, d)
@@ -161,7 +166,10 @@ object CorpusOps {
                 Array(200, 301, 404)(((id + j) % 3).toInt),
                 s"body $id $j " + ("w" * ((id + j) % 9).toInt))
             }
-          ArchiveCodec.warcDecode(ArchiveCodec.warcEncode(recs))
+          val wire =
+            if (id % 2 == 0) ArchiveCodec.warcEncodeGz(recs)
+            else ArchiveCodec.warcEncode(recs)
+          ArchiveCodec.warcDecodeAuto(wire)
             .toSeq.flatten.zipWithIndex.map { case (r, k) =>
               (id, k.toLong, r.recordType, r.targetUri, r.httpStatus.toLong, r.body)
             }

@@ -51,6 +51,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               streamRoot: Option[String],
                               cdc: Boolean = false,
                               cdcStartFrom: Option[Long] = None,
+                              cdcEndAt: Option[Long] = None,
                               dvInfo: Option[(String, Long)] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
@@ -71,9 +72,20 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       val startFrom = Option(options.get("startingVersion")).map(_.toLong)
       startFrom.foreach(sv => require(sv >= 0 && sv <= v + 1,
         s"startingVersion $sv out of range (head is $v)"))
+      // endingVersion (inclusive): BOUNDED replay — the stream never
+      // advances its offset past this version, so a historical range
+      // can be consumed through the same reader and then the query
+      // simply has nothing further to emit (Delta-CDF's batch range
+      // semantics lifted onto the stream)
+      val endAt = Option(options.get("endingVersion")).map(_.toLong)
+      endAt.foreach { ev =>
+        require(ev >= 0, s"endingVersion $ev must be >= 0")
+        startFrom.foreach(sv => require(ev >= sv,
+          s"endingVersion $ev precedes startingVersion $sv"))
+      }
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
         t.dataDirPath, Map.empty, Some(root), cdc = true,
-        cdcStartFrom = startFrom)
+        cdcStartFrom = startFrom, cdcEndAt = endAt)
     }
     val from = Option(options.get("changesFrom")).map(_.toLong)
     val to = Option(options.get("changesTo")).map(_.toLong)
@@ -138,7 +150,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     if (r.cdc)
       new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
         tableFactory(options, r.label, r.dataDir, r.manifestSchema),
-        r.cdcStartFrom)
+        r.cdcStartFrom, r.cdcEndAt)
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
@@ -244,7 +256,8 @@ object SnapshotSource {
   private[sources] final class CdcSnapshotTable(
       root: String, dataSchema: StructType,
       mk: Seq[String] => ParquetTable,
-      startFrom: Option[Long] = None)
+      startFrom: Option[Long] = None,
+      endAt: Option[Long] = None)
       extends Table with SupportsRead {
     private val shape = cdcSchema(dataSchema)
     override def name(): String = s"graft_snapshot_cdc"
@@ -258,7 +271,7 @@ object SnapshotSource {
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new SnapshotCdcMicroBatchStream(root, shape,
             fs => mk(fs).newScanBuilder(CaseInsensitiveStringMap.empty)
-              .build().toBatch, startFrom)
+              .build().toBatch, startFrom, endAt)
       }
   }
 

@@ -152,7 +152,8 @@ final class CdcReaderFactory(inner: PartitionReaderFactory,
   * replace). */
 final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
                                         mkBatch: Seq[String] => Batch,
-                                        startFrom: Option[Long] = None)
+                                        startFrom: Option[Long] = None,
+                                        endAt: Option[Long] = None)
     extends MicroBatchStream {
 
   private val table = SnapshotTable(root)
@@ -167,7 +168,11 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   // (follow forward, bootstrap via batch read)
   override def initialOffset(): Offset =
     SnapshotVersionOffset(startFrom.map(_ - 1).getOrElse(table.currentVersion()))
-  override def latestOffset(): Offset = SnapshotVersionOffset(table.currentVersion())
+  // endingVersion (inclusive) clamps the offset the stream will ever
+  // reach: commits past it exist but are never planned — a bounded
+  // historical replay that then idles (stop the query when caught up)
+  override def latestOffset(): Offset = SnapshotVersionOffset(
+    endAt.fold(table.currentVersion())(math.min(_, table.currentVersion())))
   override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

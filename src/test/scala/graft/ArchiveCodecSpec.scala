@@ -121,4 +121,109 @@ class ArchiveCodecSpec extends AnyFunSuite {
     assert(ArchiveCodec.warcDecode(
       "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes).isEmpty)
   }
+
+  // ---- round 12: gzip members (.warc.gz) + ZIP64 ----
+
+  test("warc.gz roundtrip: per-record gzip members, auto-dispatch on magic") {
+    val recs = Seq(
+      ArchiveCodec.WarcRecord("warcinfo", "", -1, "crawl 1"),
+      ArchiveCodec.WarcRecord("response", "https://ex.com/a", 200, "hello \u00e9t\u00e9"),
+      ArchiveCodec.WarcRecord("response", "https://ex.com/b", 404, "nope"))
+    val gz = ArchiveCodec.warcEncodeGz(recs)
+    assert((gz(0) & 0xff) === 0x1f && (gz(1) & 0xff) === 0x8b)
+    val Some(back) = ArchiveCodec.warcDecodeAuto(gz)
+    assert(back === recs)
+    // bare form still dispatches
+    assert(ArchiveCodec.warcDecodeAuto(ArchiveCodec.warcEncode(recs))
+      === Some(recs))
+  }
+
+  test("JDK GZIPInputStream reads this writer's member stream end-to-end") {
+    val recs = Seq(
+      ArchiveCodec.WarcRecord("response", "https://x/1", 200, "alpha"),
+      ArchiveCodec.WarcRecord("response", "https://x/2", 301, "beta"))
+    val gz = ArchiveCodec.warcEncodeGz(recs)
+    // GZIPInputStream natively concatenates sequential members
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    val all = in.readAllBytes()
+    assert(ArchiveCodec.warcDecode(all) === Some(recs))
+  }
+
+  test("this reader walks JDK GZIPOutputStream members (incl. FNAME/FEXTRA foreign headers)") {
+    val r1 = ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("response", "https://y/1", 200, "one")))
+    val r2 = ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("metadata", "", -1, "two")))
+    def jdkGz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val concat = jdkGz(r1) ++ jdkGz(r2)
+    val Some(recs) = ArchiveCodec.warcDecodeAuto(concat)
+    assert(recs.map(_.body) === Seq("one", "two"))
+    // hand-build a member with FNAME + FEXTRA + FHCRC-free options set
+    val payload = ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("response", "https://y/3", 404, "three")))
+    val member = ArchiveCodec.gzipMember(payload)
+    val deflated = java.util.Arrays.copyOfRange(member, 10, member.length)
+    val named = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8).toByte,
+      0, 0, 0, 0, 0, 255.toByte) ++
+      Array[Byte](3, 0, 1, 2, 3) ++ // FEXTRA len=3 + payload
+      "f.warc\u0000".getBytes("ISO-8859-1") ++ // FNAME, NUL-terminated
+      deflated
+    val Some(viaOpts) = ArchiveCodec.warcDecodeAuto(named)
+    assert(viaOpts.map(_.body) === Seq("three"))
+  }
+
+  test("gz member with a corrupt CRC drops alone; truncated deflate drops the stream") {
+    val a = ArchiveCodec.gzipMember(ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("response", "https://z/1", 200, "keep1"))))
+    val b = ArchiveCodec.gzipMember(ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("response", "https://z/2", 200, "drop"))))
+    val c = ArchiveCodec.gzipMember(ArchiveCodec.warcEncode(Seq(
+      ArchiveCodec.WarcRecord("response", "https://z/3", 200, "keep2"))))
+    val bBad = b.clone()
+    bBad(b.length - 8) = (bBad(b.length - 8) ^ 0xff).toByte // flip CRC byte
+    val Some(recs) = ArchiveCodec.warcDecodeAuto(a ++ bBad ++ c)
+    assert(recs.map(_.body) === Seq("keep1", "keep2"))
+    // truncated final member: boundary lost -> whole stream refuses
+    val cut = (a ++ b).dropRight(12)
+    assert(ArchiveCodec.warcDecodeAuto(cut).isEmpty)
+  }
+
+  test("ZIP64: JDK-written archive with > 65535 entries decodes exactly (no sentinel misparse)") {
+    val n = 70000
+    val bo = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bo)
+    (0 until n).foreach { i =>
+      zo.putNextEntry(new java.util.zip.ZipEntry(s"e$i"))
+      zo.write(s"v$i".getBytes("UTF-8"))
+      zo.closeEntry()
+    }
+    zo.close()
+    val Some(members) = ArchiveCodec.zipDecode(bo.toByteArray)
+    assert(members.size === n)
+    assert(members.head._1 === "e0" &&
+      new String(members.head._2, "UTF-8") === "v0")
+    assert(members.last._1 === s"e${n - 1}" &&
+      new String(members.last._2, "UTF-8") === s"v${n - 1}")
+  }
+
+  test("ZIP sentinel fields without a zip64 locator refuse instead of misparsing") {
+    // hand-corrupt a small archive's EOCD entry count to the sentinel
+    val z = ArchiveCodec.zipEncode(Seq(
+      ArchiveCodec.ZipMember("a.txt", "alpha".getBytes("UTF-8"))))
+    // EOCD is the last 22 bytes (no comment): counts at +8/+10
+    val bad = z.clone()
+    val eocd = z.length - 22
+    bad(eocd + 10) = 0xff.toByte; bad(eocd + 11) = 0xff.toByte
+    assert(ArchiveCodec.zipDecode(bad).isEmpty)
+    // and the baseline writer refuses entry counts it cannot represent
+    intercept[IllegalArgumentException] {
+      ArchiveCodec.zipEncode(
+        (0 to 0xffff).map(i => ArchiveCodec.ZipMember(s"$i", Array[Byte]())))
+    }
+  }
 }

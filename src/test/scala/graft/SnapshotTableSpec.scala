@@ -284,6 +284,48 @@ class SnapshotTableSpec extends SparkTestBase {
       s"a fresh stream must read the evolved schema, got ${shapes2.asScala.toSeq}")
   }
 
+  test("change feed endingVersion: bounded replay stops at v and equals the batch range") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 10))
+    val vStart = t.currentVersion()
+    t.commit(kv(10 until 14)) // v1: 4 inserts   (inside the bound)
+    t.commit(kv(14 until 17)) // v2: 3 inserts   (the bound itself)
+    val vEnd = t.currentVersion()
+    t.commit(kv(17 until 25)) // v3: PAST the bound — must never emit
+    val ck = Files.createTempDirectory("graft_cdc_end_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vStart + 1)
+      .option("endingVersion", vEnd)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSet
+    assert(streamed.nonEmpty && streamed.forall(_._3 <= vEnd),
+      s"rows past endingVersion leaked: ${streamed.filter(_._3 > vEnd)}")
+    val batch = t.readChangesCdc(spark, vStart, vEnd)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch,
+      "bounded stream must equal readChangesCdc over [start, end]")
+    // endingVersion before startingVersion refuses at load
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", vEnd)
+        .option("endingVersion", vStart)
+        .load(dir)
+    }
+  }
+
   test("change feed: a merge commit streams as paired delete+insert rows with its version stamp") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 20))
