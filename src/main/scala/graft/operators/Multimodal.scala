@@ -962,6 +962,51 @@ object Multimodal {
       buf.array()
     }
 
+    /** Interleaved multi-channel PCM16 WAV (frame = one sample per
+      * channel) — the standard stereo layout. */
+    def encodeWavPcm16Multi(sampleRate: Int,
+                            chans: Array[Array[Short]]): Array[Byte] = {
+      val ch = chans.length
+      require(ch >= 1 && chans.forall(_.length == chans(0).length),
+        "all channels must carry the same sample count")
+      val n = chans(0).length
+      val dataLen = n * ch * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort)
+        .putInt(sampleRate).putInt(sampleRate * 2 * ch)
+        .putShort((2 * ch).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until n).foreach(i => chans.foreach(c => buf.putShort(c(i))))
+      buf.array()
+    }
+
+    /** Interleaved multi-channel G.711 WAV (one companded byte per
+      * channel per frame). */
+    def encodeWavG711Multi(sampleRate: Int, chans: Array[Array[Byte]],
+                           aLaw: Boolean): Array[Byte] = {
+      val ch = chans.length
+      require(ch >= 1 && chans.forall(_.length == chans(0).length),
+        "all channels must carry the same sample count")
+      val n = chans(0).length
+      val dataLen = n * ch
+      val pad = dataLen & 1
+      val buf = ByteBuffer.allocate(44 + dataLen + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen + pad)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(if (aLaw) 6 else 7).putShort(ch.toShort)
+        .putInt(sampleRate).putInt(sampleRate * ch)
+        .putShort(ch.toShort).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until n).foreach(i => chans.foreach(c => buf.put(c(i))))
+      if (pad == 1) buf.put(0.toByte)
+      buf.array()
+    }
+
     /** G.711 μ-law byte → linear PCM (the ITU closed form: complement,
       * 3-bit segment exponent, 4-bit mantissa, bias 0x84; sign bit of
       * the complemented byte set = negative). Pure integer arithmetic,
@@ -1100,42 +1145,161 @@ object Multimodal {
       buf.array()
     }
 
-    /** Decode an ADPCM data payload: per block, header predictor IS
-      * sample 0, then nibble steps (low first). */
-    private def adpcmExpand(raw: Array[Byte], blockAlign: Int): Option[Array[Int]] = {
-      if (blockAlign < 5) return None
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    /** IMA ADPCM multi-channel WAV: one 4-byte header per channel per
+      * block, then channel-interleaved 4-byte nibble groups (8 samples
+      * per group per channel) — the IMA stereo layout. Requires
+      * `samplesPerBlock ≡ 1 (mod 8)` so each block's per-channel data
+      * is whole groups. Shares the mono encoder's nibble quantizer and
+      * first-delta index priming. */
+    def encodeWavAdpcmMulti(sampleRate: Int, chans: Array[Array[Short]],
+                            samplesPerBlock: Int = 505): Array[Byte] = {
+      val ch = chans.length
+      require(ch >= 1 && chans.forall(_.length == chans(0).length),
+        "all channels must carry the same sample count")
+      require(samplesPerBlock >= 9 && (samplesPerBlock - 1) % 8 == 0,
+        "samplesPerBlock must be 1 mod 8 (whole 4-byte nibble groups)")
+      val nSamples = chans(0).length
+      val groupsPerRound = (samplesPerBlock - 1) / 8 // 4-byte groups per channel
+      val blockAlign = 4 * ch + groupsPerRound * 4 * ch
+      val nBlocks = math.max(1, (nSamples + samplesPerBlock - 1) / samplesPerBlock)
+      val data = new java.io.ByteArrayOutputStream()
+      (0 until nBlocks).foreach { b =>
+        val from = b * samplesPerBlock
+        val pred = new Array[Int](ch)
+        val idx = new Array[Int](ch)
+        (0 until ch).foreach { c =>
+          pred(c) = if (from < nSamples) chans(c)(from) else 0
+          val d0 = if (from + 1 < nSamples)
+            math.abs(chans(c)(from + 1) - pred(c)) else 0
+          val i0 = imaStep.indexWhere(_ >= d0)
+          idx(c) = if (i0 < 0) 88 else i0
+          data.write(pred(c) & 0xff); data.write((pred(c) >> 8) & 0xff)
+          data.write(idx(c)); data.write(0)
+        }
+        // interleaved rounds: group g serves channel g % ch; within a
+        // round the per-channel sample cursor advances 8 per group
+        var round = 0
+        while (round < groupsPerRound) {
+          var c = 0
+          while (c < ch) {
+            var k = 0
+            var lo = -1
+            while (k < 8) {
+              val si = from + 1 + round * 8 + k
+              val target = if (si < nSamples && si < from + samplesPerBlock)
+                chans(c)(si).toInt else pred(c)
+              val step = imaStep(idx(c))
+              var delta = target - pred(c)
+              var n = if (delta < 0) { delta = -delta; 8 } else 0
+              if (delta >= step) { n |= 4; delta -= step }
+              if (delta >= (step >> 1)) { n |= 2; delta -= step >> 1 }
+              if (delta >= (step >> 2)) n |= 1
+              val (p2, i2) = imaDecodeStep(n, pred(c), idx(c))
+              pred(c) = p2; idx(c) = i2
+              if (lo < 0) lo = n
+              else { data.write(lo | (n << 4)); lo = -1 }
+              k += 1
+            }
+            c += 1
+          }
+          round += 1
+        }
+      }
+      val payload = data.toByteArray
+      val buf = ByteBuffer.allocate(48 + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(20)
+        .putShort(17).putShort(ch.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign / samplesPerBlock)
+        .putShort(blockAlign.toShort).putShort(4)
+        .putShort(2).putShort(samplesPerBlock.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      buf.array()
+    }
+
+    /** Decode an ADPCM data payload into per-channel streams: per
+      * block, one 4-byte header PER CHANNEL (predictor s16 = sample 0,
+      * step index, reserved), then the data region in interleaved
+      * 4-BYTE GROUPS per channel (8 nibble samples each, low nibble
+      * first) — the IMA multi-channel WAV layout. */
+    private def adpcmExpand(raw: Array[Byte], blockAlign: Int,
+                            channels: Int): Option[Array[Array[Int]]] = {
+      if (channels < 1 || blockAlign < 4 * channels + 1) return None
+      val out = Array.fill(channels)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      val pred = new Array[Int](channels)
+      val idx = new Array[Int](channels)
       var at = 0
       while (at < raw.length) {
         val bLen = math.min(blockAlign, raw.length - at)
-        if (bLen < 5) return None // a block must carry header + data
-        var pred = ((raw(at) & 0xff) | (raw(at + 1) << 8)).toShort.toInt
-        var idx = raw(at + 2) & 0xff
-        if (idx > 88 || raw(at + 3) != 0) return None
-        out += pred
-        var k = 4
-        while (k < bLen) {
-          val byte = raw(at + k) & 0xff
-          val (p1, i1) = imaDecodeStep(byte & 0xf, pred, idx)
-          pred = p1; idx = i1
-          out += pred
-          val (p2, i2) = imaDecodeStep(byte >> 4, pred, idx)
-          pred = p2; idx = i2
-          out += pred
-          k += 1
+        if (bLen < 4 * channels + 1) return None // header(s) + data
+        var c = 0
+        while (c < channels) {
+          val h = at + 4 * c
+          pred(c) = ((raw(h) & 0xff) | (raw(h + 1) << 8)).toShort.toInt
+          idx(c) = raw(h + 2) & 0xff
+          if (idx(c) > 88 || raw(h + 3) != 0) return None
+          out(c) += pred(c)
+          c += 1
+        }
+        val dataLen = bLen - 4 * channels
+        val dataAt = at + 4 * channels
+        if (channels == 1) {
+          // mono: a plain nibble-byte stream, any length (external
+          // encoders may end a block on any byte)
+          var k = 0
+          while (k < dataLen) {
+            val byte = raw(dataAt + k) & 0xff
+            val (p1, i1) = imaDecodeStep(byte & 0xf, pred(0), idx(0))
+            pred(0) = p1; idx(0) = i1
+            out(0) += pred(0)
+            val (p2, i2) = imaDecodeStep(byte >> 4, pred(0), idx(0))
+            pred(0) = p2; idx(0) = i2
+            out(0) += pred(0)
+            k += 1
+          }
+        } else {
+          // multi-channel: 4-byte nibble groups, channel-interleaved;
+          // the region must hold WHOLE channel rounds or the layout is
+          // torn
+          if (dataLen % (4 * channels) != 0) return None
+          var g = 0
+          while (g < dataLen / 4) {
+            val c = g % channels
+            var b = 0
+            while (b < 4) {
+              val byte = raw(dataAt + g * 4 + b) & 0xff
+              val (p1, i1) = imaDecodeStep(byte & 0xf, pred(c), idx(c))
+              pred(c) = p1; idx(c) = i1
+              out(c) += pred(c)
+              val (p2, i2) = imaDecodeStep(byte >> 4, pred(c), idx(c))
+              pred(c) = p2; idx(c) = i2
+              out(c) += pred(c)
+              b += 1
+            }
+            g += 1
+          }
         }
         at += bLen
       }
-      Some(out.toArray)
+      Some(out.map(_.toArray))
     }
 
-    /** RIFF chunk walk → (sampleRate, linear samples). Strict on
-      * structure (bounds, even-padding, mono) — a malformed or
-      * truncated payload yields None, so a corrupt-heavy corpus
-      * degrades to dropped rows, never a job failure. Formats: 1
-      * (PCM16) verbatim; 6/7 (G.711 A-law/μ-law, 8-bit) expand through
-      * the integer companding tables. */
-    def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    /** RIFF chunk walk → (sampleRate, per-channel samples). Strict on
+      * structure (bounds, even-padding, whole interleave frames) — a
+      * malformed or truncated payload yields None, so a corrupt-heavy
+      * corpus degrades to dropped rows, never a job failure. Formats:
+      * 1 (PCM16) verbatim; 6/7 (G.711 A-law/μ-law, 8-bit) expand
+      * through the integer companding tables; 17 (IMA ADPCM) through
+      * the adaptive nibble expansion. Multi-channel streams (the
+      * common stereo case) deinterleave frame-wise: PCM16/G.711 one
+      * sample per channel per frame, ADPCM per-channel 4-byte nibble
+      * groups (see [[adpcmExpand]]). */
+    def decodeWavMulti(bytes: Array[Byte]): Option[(Int, Array[Array[Int]])] = {
       if (bytes.length < 12) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -1145,7 +1309,7 @@ object Multimodal {
       var fmt = -1
       var bits = -1
       var blockAlign = -1
-      var mono = false
+      var channels = -1
       var raw: Array[Byte] = null
       while (off + 8 <= bytes.length) {
         val id = str4(off)
@@ -1154,7 +1318,7 @@ object Multimodal {
         if (id == "fmt ") {
           if (len < 16) return None
           fmt = buf.getShort(off + 8)
-          mono = buf.getShort(off + 10) == 1
+          channels = buf.getShort(off + 10)
           rate = buf.getInt(off + 12)
           blockAlign = buf.getShort(off + 20)
           bits = buf.getShort(off + 22)
@@ -1163,20 +1327,35 @@ object Multimodal {
         }
         off += 8 + len + (len & 1) // RIFF chunks pad to even length
       }
-      if (!mono || rate <= 0 || raw == null) return None
+      if (channels < 1 || channels > 8 || rate <= 0 || raw == null) return None
+      val ch = channels
+      def deinterleave(flat: Array[Int]): Option[Array[Array[Int]]] =
+        if (flat.length % ch != 0) None
+        else {
+          val n = flat.length / ch
+          Some(Array.tabulate(ch)(c => Array.tabulate(n)(i => flat(i * ch + c))))
+        }
       (fmt, bits) match {
         case (1, 16) =>
           if (raw.length % 2 != 0) None
           else {
             val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-            Some((rate, Array.tabulate(raw.length / 2)(i => b.getShort(2 * i).toInt)))
+            deinterleave(Array.tabulate(raw.length / 2)(i => b.getShort(2 * i).toInt))
+              .map((rate, _))
           }
-        case (7, 8) => Some((rate, raw.map(b => ulawToPcm(b & 0xff))))
-        case (6, 8) => Some((rate, raw.map(b => alawToPcm(b & 0xff))))
-        case (17, 4) => adpcmExpand(raw, blockAlign).map((rate, _))
+        case (7, 8) => deinterleave(raw.map(b => ulawToPcm(b & 0xff))).map((rate, _))
+        case (6, 8) => deinterleave(raw.map(b => alawToPcm(b & 0xff))).map((rate, _))
+        case (17, 4) => adpcmExpand(raw, blockAlign, ch).map((rate, _))
         case _ => None
       }
     }
+
+    /** Mono view of [[decodeWavMulti]] — the existing single-channel
+      * consumers' contract (a multi-channel stream is None here, not
+      * a silent first-channel pick). */
+    def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+      decodeWavMulti(bytes).collect { case (rate, chans) if chans.length == 1 =>
+        (rate, chans(0)) }
   }
 
   /** REAL RIFF/AVI walker — the video leg of the multimodal surface.
@@ -1431,6 +1610,54 @@ object Multimodal {
   }
 
   case class DecodedAudio(doc_id: Long, sample_rate: Int, pcm: Array[Int])
+
+  case class DecodedAudioChannel(doc_id: Long, sample_rate: Int,
+                                 n_channels: Int, channel: Int,
+                                 pcm: Array[Int])
+
+  /** Multi-channel audio decode: one row PER CHANNEL (doc_id,
+    * sample_rate, n_channels, channel, pcm) — mono and stereo streams
+    * mix in one frame, the realistic corpus shape. Same per-row
+    * executor-side decode contract as [[decodePcm]]. */
+  def decodePcmMulti(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decodeWavMulti(payload).toSeq.flatMap { case (rate, chans) =>
+          chans.indices.map(c =>
+            DecodedAudioChannel(id, rate, chans.length, c, chans(c)))
+        }
+      }).toDF()
+  }
+
+  /** The q_audio_stereo corpus rule — deterministic mono/stereo WAVs
+    * across the three LOSSLESS-decodable formats, all closed-form in
+    * (id, channel, i) so the oracle regenerates every sample:
+    * channels = 1 + id mod 2; n = 40 + id mod 50; format by id mod 3 —
+    * 0: PCM16 square wave (amplitude 900 + 100·(id mod 5) + 200·c,
+    * half-period 3 + (id + c) mod 6), 1: μ-law, 2: A-law (companded
+    * byte (3·id + 7·i + 89·c) mod 256). The channel term makes left
+    * and right provably different, so a channel swap or interleave
+    * error breaks the per-channel sums and the cross-correlation. */
+  def syntheticMultiWav(id: Long): Array[Byte] = {
+    val ch = 1 + (id % 2).toInt
+    val n = 40 + (id % 50).toInt
+    (id % 3).toInt match {
+      case 0 =>
+        val chans = Array.tabulate(ch) { c =>
+          val a = 900 + (id % 5).toInt * 100 + 200 * c
+          val h = 3 + ((id + c) % 6).toInt
+          Array.tabulate(n)(i => (if ((i / h) % 2 == 0) a else -a).toShort)
+        }
+        AudioCodec.encodeWavPcm16Multi(16000, chans)
+      case m =>
+        val chans = Array.tabulate(ch)(c =>
+          Array.tabulate(n)(i => ((3 * id + 7 * i + 89 * c) % 256).toByte))
+        AudioCodec.encodeWavG711Multi(8000, chans, aLaw = m == 2)
+    }
+  }
 
   /** Batched per-partition PCM decode — the audio twin of
     * [[decodeLuma]]; undecodable rows drop. */

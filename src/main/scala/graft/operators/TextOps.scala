@@ -1715,6 +1715,35 @@ object TextOps {
       }.toDF("word", "freq", "n_pieces", "encoded").orderBy("word")
     }),
 
+    // E5 UNIGRAM-LM TRAINING (round 12) — SentencePiece's training
+    // half, closing the trainer/inference asymmetry q_bpe_train /
+    // q_bpe_encode already closes for BPE: fixed VITERBI-EM (hard-EM)
+    // rounds over the ≤4-char piece lattice. Each round re-segments
+    // the word dictionary under the current integral micro-nat scores
+    // (the exact q_unigram_segment DP, chosen-k backtrack included),
+    // re-counts the pieces the best paths actually USE, prunes
+    // multi-char pieces below the seed threshold, floors every single
+    // char at count 1 (any word stays segmentable), and rescores
+    // round(10⁶·ln(cnt/total)). Hard EM deliberately, not soft:
+    // forward-backward expected counts are FRACTIONAL, and no exact
+    // cross-engine contract exists for accumulating them — the
+    // Viterbi E-step keeps the whole trainer in the integer domain
+    // both engines replay bit-identically (the house determinism
+    // policy beats fidelity to SentencePiece's soft EM here, and the
+    // oracle replays every round as unrolled materialized CTEs:
+    // forward DP + argmax-k backtrack + re-count + re-score).
+    // Scale shape: the corpus folds once to the word dictionary; each
+    // EM round is one broadcast-scores mapPartitions over it plus one
+    // piece-keyed aggregation; the piece table is alphabet-bounded
+    // (≤4-char substrings above threshold), the established bounded-
+    // collect class.
+    "q_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      val (_, _, table) = unigramFit(s, d, UnigramEmRounds)
+      s.createDataFrame(table).toDF("piece", "cnt", "score_micro")
+        .orderBy("piece")
+    }),
+
     // E5 UNIGRAM-LM VITERBI SEGMENTATION (round 10) — the third
     // tokenizer family: SentencePiece's INFERENCE half. The unigram
     // table is induced from the corpus (all ≤4-char substrings with
@@ -1734,55 +1763,18 @@ object TextOps {
     // tie-break (score DESC, n ASC, k DESC).
     "q_unigram_segment" -> ((s, d) => {
       import s.implicits._
-      val words = documents(s, d)
-        .select(explode(array_remove(split(lower(col("text")), " "), ""))
-          .as("tok"))
-        .select(substring(col("tok"), 1, 12).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .localCheckpoint()
-      val counts = words
-        .withColumn("len", length(col("word")))
-        .withColumn("pos", explode(expr("sequence(0, len - 1)")))
-        .withColumn("k", explode(expr("sequence(1, 4)")))
-        .where(col("pos") + col("k") <= col("len"))
-        .select(expr("substr(word, pos + 1, k)").as("piece"), col("freq"))
-        .groupBy("piece").agg(sum("freq").as("cnt"))
-        .where(col("cnt") >= 10 || length(col("piece")) === 1)
-        .localCheckpoint()
-      val tot = counts.agg(sum("cnt")).as[Long].head()
-      val scores: Map[String, Long] = counts
-        .select(col("piece"),
-          expr(s"cast(round(ln(cnt / cast($tot as double)) * 1000000, 0) as bigint)")
-            .as("sc"))
-        .as[(String, Long)].collect().toMap
+      // segment under the EM-FITTED table (round 12): trainer and
+      // segmenter share unigramFit, so they provably cannot drift —
+      // the q_bpe_train / q_bpe_encode precedent
+      val (words, scores, _) = unigramFit(s, d, UnigramEmRounds)
       val bc = s.sparkContext.broadcast(scores)
       words.as[(String, Long)].mapPartitions { it =>
         val sc = bc.value
-        val none = (Long.MinValue / 4, Int.MaxValue)
         it.map { case (w, f) =>
-          val n = w.length
-          val best = Array.fill(n + 1)(none)
-          best(0) = (0L, 0)
-          var j = 1
-          while (j <= n) {
-            var k = math.min(4, j)
-            while (k >= 1) {
-              val prev = best(j - k)
-              if (prev != none) sc.get(w.substring(j - k, j)).foreach { pv =>
-                val cand = (prev._1 + pv, prev._2 + 1)
-                val cur = best(j)
-                // max score, then fewer pieces; iterating k DESC with
-                // strict updates keeps the longest-final-piece path on
-                // full ties — the oracle's (sc DESC, n ASC, k DESC)
-                if (cand._1 > cur._1 ||
-                    (cand._1 == cur._1 && cand._2 < cur._2))
-                  best(j) = cand
-              }
-              k -= 1
-            }
-            j += 1
-          }
-          (w, f, best(n)._1, best(n)._2.toLong)
+          // the ONE DP implementation (unigramViterbi) serves trainer
+          // E-steps and this inference pass alike
+          val (score, pieces) = unigramViterbi(w, sc)
+          (w, f, score, pieces.length.toLong)
         }
       }.toDF("word", "freq", "score_micro", "n_pieces").orderBy("word")
     }),
@@ -3382,6 +3374,112 @@ object TextOps {
           .otherwise("fr"))
       .select("doc_id", "a", "b", "c")
 
+  /** EM rounds for the unigram trainer — shared by q_unigram_train
+    * and q_unigram_segment (one constant, zero drift). */
+  private val UnigramEmRounds = 2
+
+  /** Viterbi path over `w` under integral micro-nat `sc`ores: the
+    * q_unigram_segment DP (max score, then fewer pieces, k-descending
+    * strict updates = longest-final-piece on full ties) EXTENDED with
+    * chosen-k backtracking, so the E-step can count the pieces the
+    * best path actually uses. Returns (score, pieces). Single chars
+    * are always scored, so every word has a path. */
+  private def unigramViterbi(w: String, sc: Map[String, Long])
+      : (Long, Seq[String]) = {
+    val n = w.length
+    val none = (Long.MinValue / 4, Int.MaxValue)
+    val best = Array.fill(n + 1)(none)
+    val kOf = new Array[Int](n + 1)
+    best(0) = (0L, 0)
+    var j = 1
+    while (j <= n) {
+      var k = math.min(4, j)
+      while (k >= 1) {
+        val prev = best(j - k)
+        if (prev != none) sc.get(w.substring(j - k, j)).foreach { pv =>
+          val cand = (prev._1 + pv, prev._2 + 1)
+          val cur = best(j)
+          if (cand._1 > cur._1 ||
+              (cand._1 == cur._1 && cand._2 < cur._2)) {
+            best(j) = cand
+            kOf(j) = k
+          }
+        }
+        k -= 1
+      }
+      j += 1
+    }
+    val pieces = Seq.newBuilder[String]
+    var at = n
+    while (at > 0) {
+      pieces += w.substring(at - kOf(at), at)
+      at -= kOf(at)
+    }
+    (best(n)._1, pieces.result())
+  }
+
+  /** The shared unigram-LM fit (q_unigram_train / q_unigram_segment):
+    * seed = all ≤4-char substrings of the ≤12-char word dictionary
+    * with weighted count ≥ 10, plus every single character; then
+    * `rounds` VITERBI-EM iterations — segment every word under the
+    * current scores (one broadcast + mapPartitions pass over the
+    * dictionary), sum word-frequency-weighted usage per piece (one
+    * piece-keyed aggregation), keep multi-char pieces with usage ≥ 10,
+    * floor every seed character at count 1, rescore
+    * round(10⁶·ln(cnt/total)). Returns (word dictionary, final score
+    * map, final (piece, cnt, score) table sorted by piece). All piece
+    * tables are alphabet-bounded collects (the TextOps bounded-collect
+    * class the scale audit pins). */
+  private def unigramFit(s: SparkSession, d: String, rounds: Int)
+      : (DataFrame, Map[String, Long], Seq[(String, Long, Long)]) = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(explode(array_remove(split(lower(col("text")), " "), ""))
+        .as("tok"))
+      .select(substring(col("tok"), 1, 12).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    var counts: Map[String, Long] = words
+      .withColumn("len", length(col("word")))
+      .withColumn("pos", explode(expr("sequence(0, len - 1)")))
+      .withColumn("k", explode(expr("sequence(1, 4)")))
+      .where(col("pos") + col("k") <= col("len"))
+      .select(expr("substr(word, pos + 1, k)").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .where(col("cnt") >= 10 || length(col("piece")) === 1)
+      .as[(String, Long)].collect().toMap
+    val chars: Set[String] = counts.keySet.filter(_.length == 1)
+    def scoresOf(tab: Map[String, Long]): Map[String, Long] = {
+      val tot = tab.valuesIterator.sum.toDouble
+      tab.map { case (p, c) =>
+        // the house ln-rounded-6 integral micro-nat rule: HALF_UP in
+        // the BigDecimal sense = half AWAY FROM ZERO, matching SQL
+        // ROUND on these (negative) scores — math.round would round
+        // half toward +inf and diverge on exact .5 boundaries
+        p -> BigDecimal(math.log(c / tot) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    var scores = scoresOf(counts)
+    (0 until rounds).foreach { _ =>
+      val bc = s.sparkContext.broadcast(scores)
+      val usage: Map[String, Long] = words.as[(String, Long)]
+        .mapPartitions { it =>
+          val sc = bc.value
+          it.flatMap { case (w, f) =>
+            unigramViterbi(w, sc)._2.map(p => (p, f)) }
+        }
+        .toDF("piece", "freq")
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      counts = usage.filter { case (p, c) => p.length > 1 && c >= 10 } ++
+        chars.map(c => c -> math.max(usage.getOrElse(c, 0L), 1L))
+      scores = scoresOf(counts)
+    }
+    val table = counts.toSeq.sorted.map { case (p, c) => (p, c, scores(p)) }
+    (words, scores, table)
+  }
+
   /** The shared BPE fit loop (q_bpe_train / q_bpe_encode): `rounds`
     * iterations of distributed pair counting + one-row argmax collect
     * + leftmost non-overlapping merge application over the persisted
@@ -3515,12 +3613,127 @@ object TextOps {
        |FROM e$steps ORDER BY word""".stripMargin
   }
 
-  /** q_unigram_segment's oracle: the identical Viterbi DP unrolled as
-    * `maxLen` materialized CTE pairs — per position j, candidates from
-    * the four predecessor tables (k = 1..4) joined to the score table,
-    * the winner picked by (score DESC, n ASC, k DESC), and each word's
-    * final row read from the table at its own length. */
-  private def unigramOracle(maxLen: Int): String = {
+  /** The unigram-LM CTE machinery shared by the q_unigram_train and
+    * q_unigram_segment oracles — the SQL replica of [[unigramFit]] +
+    * [[unigramViterbi]].
+    *
+    * `fitCtes(rounds)` emits the seed (word dictionary + thresholded
+    * substring counts) and then per EM round r: the round's score
+    * table from the previous counts, the forward Viterbi DP as
+    * `maxLen` materialized CTE pairs CARRYING the winning k per
+    * position (winner by score DESC, n ASC, k DESC — identical to the
+    * Scala DP's k-descending strict updates), a chosen-k BACKTRACK
+    * unrolled as `maxLen` join steps emitting the pieces the best
+    * path uses, the usage re-count, and the pruned/floored next
+    * count table. The final `scores` CTE is the FITTED table both
+    * oracles read. MATERIALIZED is load-bearing throughout (the
+    * q_bpe_train precedent): every table is referenced by multiple
+    * successors and DuckDB would otherwise re-inline the whole
+    * prefix exponentially. */
+  private def unigramFitCtes(rounds: Int, maxLen: Int): String = {
+    def scoreCte(name: String, from: String): String =
+      s"""${name}tot AS MATERIALIZED (
+         |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM $from),
+         |$name AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t.total) * 1000000, 0) AS BIGINT) AS sc
+         |  FROM $from, ${name}tot t)""".stripMargin
+    def fwd(pre: String, scores: String): String = {
+      def candSql(j: Int): String = (1 to math.min(4, j)).map { k =>
+        s"""  SELECT b.word, b.freq, b.len, b.sc + s.sc AS sc, b.n + 1 AS n, $k AS k
+           |  FROM ${pre}b${j - k} b JOIN $scores s
+           |    ON s.piece = substr(b.word, ${j - k + 1}, $k)
+           |  WHERE b.len >= $j""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val steps = (1 to maxLen).map { j =>
+        s"""${pre}c$j AS MATERIALIZED (
+           |${candSql(j)}
+           |),
+           |${pre}b$j AS MATERIALIZED (
+           |  SELECT word, freq, len, sc, n, k FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+           |      ORDER BY sc DESC, n ASC, k DESC) AS rn
+           |    FROM ${pre}c$j) WHERE rn = 1)""".stripMargin
+      }
+      s"""${pre}b0 AS MATERIALIZED (
+         |  SELECT word, freq, len, CAST(0 AS BIGINT) AS sc,
+         |         CAST(0 AS BIGINT) AS n, 0 AS k
+         |  FROM wds),
+         |${steps.mkString(",\n")}""".stripMargin
+    }
+    def backtrack(pre: String): String = {
+      val ball = (1 to maxLen)
+        .map(j => s"  SELECT word, $j AS j, k FROM ${pre}b$j")
+        .mkString("\n  UNION ALL\n")
+      val steps = (1 to maxLen).map { i =>
+        s"""${pre}t$i AS MATERIALIZED (
+           |  SELECT t.word, t.freq,
+           |         substr(t.word, t.p - b.k + 1, b.k) AS piece,
+           |         t.p - b.k AS p
+           |  FROM ${pre}t${i - 1} t JOIN ${pre}ball b
+           |    ON b.word = t.word AND b.j = t.p)""".stripMargin
+      }
+      val pieces = (1 to maxLen)
+        .map(i => s"  SELECT freq, piece FROM ${pre}t$i")
+        .mkString("\n  UNION ALL\n")
+      s"""${pre}ball AS MATERIALIZED (
+         |$ball),
+         |${pre}t0 AS MATERIALIZED (
+         |  SELECT word, freq, len AS p FROM wds),
+         |${steps.mkString(",\n")},
+         |${pre}use AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |$pieces
+         |  ) GROUP BY piece)""".stripMargin
+    }
+    val seed =
+      s"""toks AS MATERIALIZED (
+         |  SELECT substr(t, 1, $maxLen) AS word
+         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+         |        FROM documents)
+         |  WHERE t <> ''),
+         |wds AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, length(word) AS len
+         |  FROM toks GROUP BY word),
+         |cnts0 AS MATERIALIZED (
+         |  SELECT substr(w.word, p.pos + 1, kk.k) AS piece,
+         |         CAST(SUM(w.freq) AS BIGINT) AS cnt
+         |  FROM wds w, range(0, $maxLen) p(pos), range(1, 5) kk(k)
+         |  WHERE p.pos < w.len AND p.pos + kk.k <= w.len
+         |  GROUP BY 1),
+         |tab0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM cnts0
+         |  WHERE cnt >= 10 OR length(piece) = 1),
+         |chars AS MATERIALIZED (
+         |  SELECT piece FROM tab0 WHERE length(piece) = 1)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val pre = s"r$r"
+      s"""${scoreCte(s"sc$r", s"tab${r - 1}")},
+         |${fwd(pre, s"sc$r")},
+         |${backtrack(pre)},
+         |tab$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM ${pre}use
+         |  WHERE length(piece) > 1 AND cnt >= 10
+         |  UNION ALL
+         |  SELECT c.piece, GREATEST(COALESCE(u.cnt, 0), 1) AS cnt
+         |  FROM chars c LEFT JOIN ${pre}use u ON u.piece = c.piece)""".stripMargin
+    }
+    (Seq(seed) ++ roundsSql :+ scoreCte("scores", s"tab$rounds"))
+      .mkString(",\n")
+  }
+
+  /** q_unigram_train's oracle: the full EM replica, final fitted
+    * (piece, count, score) table. */
+  private def unigramTrainOracle(rounds: Int, maxLen: Int): String =
+    s"""WITH ${unigramFitCtes(rounds, maxLen)}
+       |SELECT t.piece, t.cnt, s.sc AS score_micro
+       |FROM tab$rounds t JOIN scores s ON s.piece = t.piece
+       |ORDER BY t.piece""".stripMargin
+
+  /** q_unigram_segment's oracle: the fitted scores from the SAME EM
+    * replica, then one more forward Viterbi DP (the inference pass)
+    * reading each word's final row at its own length. */
+  private def unigramOracle(rounds: Int, maxLen: Int): String = {
     def candSql(j: Int): String = (1 to math.min(4, j)).map { k =>
       s"""  SELECT b.word, b.freq, b.len, b.sc + s.sc AS sc, b.n + 1 AS n, $k AS k
          |  FROM b${j - k} b JOIN scores s
@@ -3540,28 +3753,7 @@ object TextOps {
     val finals = (1 to maxLen)
       .map(j => s"SELECT word, freq, sc, n FROM b$j WHERE len = $j")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT substr(t, 1, 12) AS word
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
-       |        FROM documents)
-       |  WHERE t <> ''),
-       |wds AS MATERIALIZED (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, length(word) AS len
-       |  FROM toks GROUP BY word),
-       |cnts0 AS MATERIALIZED (
-       |  SELECT substr(w.word, p.pos + 1, kk.k) AS piece,
-       |         CAST(SUM(w.freq) AS BIGINT) AS cnt
-       |  FROM wds w, range(0, 12) p(pos), range(1, 5) kk(k)
-       |  WHERE p.pos < w.len AND p.pos + kk.k <= w.len
-       |  GROUP BY 1),
-       |cnts AS MATERIALIZED (
-       |  SELECT piece, cnt FROM cnts0
-       |  WHERE cnt >= 10 OR length(piece) = 1),
-       |tot AS MATERIALIZED (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnts),
-       |scores AS MATERIALIZED (
-       |  SELECT piece,
-       |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t.total) * 1000000, 0) AS BIGINT) AS sc
-       |  FROM cnts, tot t),
+    s"""WITH ${unigramFitCtes(rounds, maxLen)},
        |b0 AS MATERIALIZED (
        |  SELECT word, freq, len, CAST(0 AS BIGINT) AS sc, CAST(0 AS BIGINT) AS n
        |  FROM wds),
@@ -3640,7 +3832,8 @@ object TextOps {
 
     "q_wordpiece_encode" -> wordpieceOracle(12),
 
-    "q_unigram_segment" -> unigramOracle(12),
+    "q_unigram_segment" -> unigramOracle(UnigramEmRounds, 12),
+    "q_unigram_train" -> unigramTrainOracle(UnigramEmRounds, 12),
 
     "q_chunk_overlap" ->
       """WITH words AS (

@@ -1972,6 +1972,49 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // E6 MULTI-CHANNEL AUDIO (round 12) — the realistic corpus mixes
+    // MONO AND STEREO WAVs across all three lossless-decodable formats
+    // (PCM16 verbatim, G.711 μ-law, G.711 A-law), closing the round-10
+    // channel gap: decode deinterleaves frames per channel and emits
+    // one row per channel, then per-channel energy/peak and the
+    // INTER-CHANNEL cross-correlation (Σ v_L·v_R, the stereo-collapse
+    // detector a curation pass runs) come out of one posexplode + one
+    // left join on (doc, pos) + one hash aggregation. The left/right
+    // signals differ by construction (a channel term in amplitude,
+    // phase and companded byte rule), so a channel swap, an interleave
+    // desync, or a mono-projection bug breaks the per-channel sums or
+    // the cross term. All integral ⇒ fully arithmetic oracle.
+    "q_audio_stereo" -> ((s, d) => {
+      import s.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticMultiWav(id))))
+        .toDF("doc_id", "payload")
+      val ex = Multimodal.decodePcmMulti(payloads)
+        .select(col("doc_id"), col("n_channels"), col("channel"),
+          posexplode(col("pcm")).as(Seq("pos", "v")))
+        .select(col("doc_id"), col("n_channels"), col("channel"),
+          col("pos").cast("long").as("pos"), col("v").cast("long").as("v"))
+      val left = ex.filter(col("channel") === 0)
+        .select(col("doc_id"), col("n_channels"), col("pos"), col("v").as("v0"))
+      val right = ex.filter(col("channel") === 1)
+        .select(col("doc_id"), col("pos"), col("v").as("v1"))
+      left.join(right, Seq("doc_id", "pos"), "left")
+        .na.fill(0L, Seq("v1"))
+        .groupBy("doc_id", "n_channels")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(expr("v0 * v0")).as("energy_l"),
+          max(abs(col("v0"))).as("peak_l"),
+          sum(expr("v1 * v1")).as("energy_r"),
+          max(abs(col("v1"))).as("peak_r"),
+          sum(expr("v0 * v1")).as("xcorr"))
+        .select(col("doc_id"), col("n_channels").cast("long").as("n_channels"),
+          col("n_samples"), col("energy_l"), col("peak_l"),
+          col("energy_r"), col("peak_r"), col("xcorr"))
+        .orderBy("doc_id")
+    }),
+
     // E6 MOTION-JPEG VIDEO (round 11) — the compressed video leg
     // composing two existing codecs: the RIFF/AVI walker reads `00dc`
     // chunks (the real MJPEG convention — every frame a complete,
@@ -3863,6 +3906,57 @@ object VectorOps {
         |  CAST(9 * (2 + doc_id % 3) AS INTEGER) AS n_samples,
         |  true AS block_heads_exact, true AS within_tol
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every sample regenerated arithmetically per (doc, channel, pos):
+    // square wave for fmt 0, the companding closed forms for μ/A-law —
+    // the left join on position mirrors the Spark plan's cross term
+    "q_audio_stereo" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    1 + doc_id % 2 AS ch, 40 + doc_id % 50 AS n, doc_id % 3 AS fmt
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, ch, fmt, c.c AS c, i.i AS pos
+        |  FROM p, range(0, 2) c(c), range(0, 90) i(i)
+        |  WHERE c.c < ch AND i.i < n),
+        |withb AS (
+        |  SELECT *, (3 * doc_id + 7 * pos + 89 * c) % 256 AS b FROM sc),
+        |v AS (
+        |  SELECT doc_id, ch, c, pos,
+        |    CASE WHEN fmt = 0 THEN
+        |      CASE WHEN ((pos // (3 + (doc_id + c) % 6)) % 2) = 0
+        |        THEN 900 + (doc_id % 5) * 100 + 200 * c
+        |        ELSE -(900 + (doc_id % 5) * 100 + 200 * c) END
+        |    WHEN fmt = 1 THEN
+        |      (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+        |      * ((((255 - b) % 16) * 8 + 132)
+        |         * (CASE ((255 - b) // 16) % 8
+        |            WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+        |            WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)
+        |         - 132)
+        |    ELSE
+        |      (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+        |      * (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+        |          THEN (xor(b, 85) % 16) * 16 + 8
+        |          ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |            * (CASE (xor(b, 85) // 16) % 8
+        |               WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8
+        |               WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END) END)
+        |    END AS val
+        |  FROM withb),
+        |lr AS (
+        |  SELECT a.doc_id, a.ch, a.pos, a.val AS v0, COALESCE(b.val, 0) AS v1
+        |  FROM (SELECT * FROM v WHERE c = 0) a
+        |  LEFT JOIN (SELECT * FROM v WHERE c = 1) b
+        |    ON a.doc_id = b.doc_id AND a.pos = b.pos)
+        |SELECT doc_id, CAST(ch AS BIGINT) AS n_channels,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(v0 * v0) AS BIGINT) AS energy_l,
+        |  CAST(MAX(abs(v0)) AS BIGINT) AS peak_l,
+        |  CAST(SUM(v1 * v1) AS BIGINT) AS energy_r,
+        |  CAST(MAX(abs(v1)) AS BIGINT) AS peak_r,
+        |  CAST(SUM(v0 * v1) AS BIGINT) AS xcorr
+        |FROM lr GROUP BY doc_id, ch ORDER BY doc_id""".stripMargin,
 
     // block-constant luma keeps the lossy JPEG pipeline exact per
     // frame, so the oracle recomputes every pixel of every frame from

@@ -222,6 +222,20 @@ object ScaleRehearsal {
     // are dictionary-row-local after the fold.
     "q_wordpiece_encode" -> Seq("documents"),
     "q_unigram_segment" -> Seq("documents"),
+    // round-12: the unigram TRAINER (each EM round = one broadcast-
+    // scores pass over the ×N word dictionary + one piece-keyed agg;
+    // the piece table stays threshold-floored, so the claim under
+    // test is flat ×N per round at a fixed round count) and the
+    // stereo audio kernel (per-row decode + a position-keyed left
+    // join bounded by ≤90 samples/doc — the q_jpeg_decode shape plus
+    // one narrow shuffle). q_snapshot_dv is deliberately absent for
+    // the q_khop_reach reason: its fixture pins doc_id < 500, so a
+    // ×N corpus leaves the table unchanged and the timing would
+    // measure a fixed 500-row table, not scaling — the DV read/write
+    // cost contract (O(deleted rows) commit, broadcast anti-join
+    // read) is pinned by DeletionVectorSpec instead.
+    "q_unigram_train" -> Seq("documents"),
+    "q_audio_stereo" -> Seq("documents"),
     // round-8 batch-2: the round's own heavy additions. The bigram
     // index under q_rouge_overlap scales ×N with private vocabularies
     // while its probe join stays fixed at 3 docs; q_minhash_est pays

@@ -142,4 +142,88 @@ class AvCodecSpec extends AnyFunSuite {
     // raw-frame AVI decode still refuses 00dc-only files (and vice versa)
     assert(VideoCodec.decodeAvi(avi).isEmpty)
   }
+
+  // ---- round 12: multi-channel (stereo) WAVE ----
+
+  test("stereo PCM16: javax.sound reads this writer's interleave; this reader splits JDK-shaped frames") {
+    import javax.sound.sampled._
+    val l = Array.tabulate(25)(i => (i * 700 - 8000).toShort)
+    val r = Array.tabulate(25)(i => (3000 - i * 550).toShort)
+    val wav = AudioCodec.encodeWavPcm16Multi(16000, Array(l, r))
+    // 1) JDK parses the container and sees interleaved L,R frames
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getChannels === 2)
+    assert(ais.getFormat.getSampleRate === 16000f)
+    val raw = ais.readAllBytes()
+    assert(raw.length === 25 * 2 * 2)
+    (0 until 25).foreach { i =>
+      def s16(off: Int) = ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort
+      assert(s16(4 * i) === l(i), s"left frame $i")
+      assert(s16(4 * i + 2) === r(i), s"right frame $i")
+    }
+    // 2) our reader deinterleaves the same frames per channel
+    val Some((rate, chans)) = AudioCodec.decodeWavMulti(wav)
+    assert(rate === 16000 && chans.length === 2)
+    assert(chans(0).toSeq === l.map(_.toInt).toSeq)
+    assert(chans(1).toSeq === r.map(_.toInt).toSeq)
+    // 3) the mono view refuses a stereo stream (no silent channel pick)
+    assert(AudioCodec.decodeWav(wav).isEmpty)
+  }
+
+  test("stereo G.711: per-channel expansion matches the JDK's 2-channel converter") {
+    import javax.sound.sampled._
+    for (aLaw <- Seq(false, true)) {
+      val cl = Array.tabulate(31)(i => ((i * 37 + 5) % 256).toByte)
+      val cr = Array.tabulate(31)(i => ((i * 91 + 160) % 256).toByte)
+      val wav = AudioCodec.encodeWavG711Multi(8000, Array(cl, cr), aLaw)
+      val Some((rate, chans)) = AudioCodec.decodeWavMulti(wav)
+      assert(rate === 8000 && chans.length === 2 && chans(0).length === 31)
+      // JDK: decode the same interleaved companded stream as 2-channel
+      val enc = if (aLaw) AudioFormat.Encoding.ALAW else AudioFormat.Encoding.ULAW
+      val interleaved = (0 until 31).flatMap(i => Seq(cl(i), cr(i))).toArray
+      val src = new AudioFormat(enc, 8000f, 8, 2, 2, 8000f, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(interleaved), src, 31L)
+      val dst = new AudioFormat(8000f, 16, 2, true, false)
+      val pcm = AudioSystem.getAudioInputStream(dst, ais).readAllBytes()
+      (0 until 31).foreach { i =>
+        def s16(off: Int) = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+        assert(chans(0)(i) === s16(4 * i), s"aLaw=$aLaw left $i")
+        assert(chans(1)(i) === s16(4 * i + 2), s"aLaw=$aLaw right $i")
+      }
+    }
+  }
+
+  test("stereo IMA ADPCM: per-channel headers + interleaved nibble groups roundtrip within tolerance") {
+    val n = 27 // 3 blocks of 9
+    val l = Array.tabulate(n)(i => Multimodal.adpcmSourceSample(3L, i, n))
+    val r = Array.tabulate(n)(i => Multimodal.adpcmSourceSample(8L, i, n))
+    val wav = AudioCodec.encodeWavAdpcmMulti(8000, Array(l, r), samplesPerBlock = 9)
+    val Some((rate, chans)) = AudioCodec.decodeWavMulti(wav)
+    assert(rate === 8000 && chans.length === 2)
+    assert(chans(0).length === n && chans(1).length === n)
+    // every block header carries its first sample VERBATIM, per channel
+    Seq(0, 9, 18).foreach { h =>
+      assert(chans(0)(h) === l(h).toInt, s"left block head at $h")
+      assert(chans(1)(h) === r(h).toInt, s"right block head at $h")
+    }
+    // adaptive tracking of the smooth source stays within the mono bound
+    (0 until n).foreach { i =>
+      assert(math.abs(chans(0)(i) - l(i)) <= 256, s"left $i drifted")
+      assert(math.abs(chans(1)(i) - r(i)) <= 256, s"right $i drifted")
+    }
+    // stereo encode refuses a block size that tears nibble groups
+    intercept[IllegalArgumentException] {
+      AudioCodec.encodeWavAdpcmMulti(8000, Array(l, r), samplesPerBlock = 11)
+    }
+  }
+
+  test("syntheticMultiWav corpus: mono/stereo mix decodes with exact channel counts") {
+    (0L until 12L).foreach { id =>
+      val Some((_, chans)) = AudioCodec.decodeWavMulti(Multimodal.syntheticMultiWav(id))
+      assert(chans.length === 1 + (id % 2).toInt, s"id=$id channels")
+      assert(chans(0).length === 40 + (id % 50).toInt, s"id=$id samples")
+    }
+  }
 }

@@ -310,35 +310,40 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("q_unigram_segment: Viterbi beats the all-singles baseline; piece counts bounded") {
+  test("q_unigram_segment: Viterbi optimal under the FITTED table; trainer and segmenter agree") {
     val rows = graft.operators.TextOps.queries("q_unigram_segment")(spark, sf)
       .collect().map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"),
         r.getAs[Long]("score_micro"), r.getAs[Long]("n_pieces")))
     assert(rows.nonEmpty)
-    // independently rebuild the score table the operator induces
-    val words = rows.map(r => (r._1, r._2))
-    val cnt = scala.collection.mutable.Map.empty[String, Long]
-    words.foreach { case (w, f) =>
-      for (p <- 0 until w.length; k <- 1 to math.min(4, w.length - p))
-        cnt.updateWith(w.substring(p, p + k))(v => Some(v.getOrElse(0L) + f))
+    // the segmenter consumes the EM-FITTED table (round 12) — read it
+    // back through q_unigram_train's own output, so this pins the
+    // no-drift contract between the two queries; the fit math itself
+    // is gated by the DuckDB EM-replica oracle
+    val fitted = graft.operators.TextOps.queries("q_unigram_train")(spark, sf)
+      .collect().map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("score_micro")))
+    assert(fitted.nonEmpty)
+    val sc: Map[String, Long] = fitted.map(t => t._1 -> t._3).toMap
+    // fit-table structural invariants: chars floored at 1, multi-char
+    // pieces above threshold, scores negative
+    fitted.foreach { case (p, c, v) =>
+      assert(c >= (if (p.length == 1) 1L else 10L), s"piece $p count $c")
+      assert(v < 0, s"piece $p: a log-likelihood must be negative")
     }
-    val kept = cnt.filter { case (p, c) => c >= 10 || p.length == 1 }
-    val tot = kept.values.sum.toDouble
-    def sc(p: String): Option[Long] =
-      kept.get(p).map(c => math.round(math.log(c / tot) * 1e6))
     rows.foreach { case (w, _, score, n) =>
       assert(n >= (w.length + 3) / 4 && n <= w.length,
         s"$w: n_pieces $n out of [ceil(len/4), len]")
       assert(score < 0, s"$w: a log-likelihood must be negative")
-      // optimality lower bound: at least as good as spelling the word
-      // out in single characters
-      val singles = w.map(c => sc(c.toString).get).sum
+      // optimality lower bound UNDER THE FITTED SCORES: at least as
+      // good as spelling the word out in single characters (chars are
+      // always in the fitted table)
+      val singles = w.map(c => sc(c.toString)).sum
       assert(score >= singles, s"$w: Viterbi $score < singles $singles")
       // ...and at least as good as taking the whole word as one piece
-      // when that piece is kept (a split may legitimately beat it:
-      // ln p_a + ln p_b > ln p_w whenever p_a·p_b > p_w)
-      if (w.length <= 4 && sc(w).isDefined)
-        assert(score >= sc(w).get, s"$w: Viterbi $score < whole-word ${sc(w).get}")
+      // when that piece survived the fit (a split may legitimately
+      // beat it: ln p_a + ln p_b > ln p_w whenever p_a·p_b > p_w)
+      if (w.length <= 4 && sc.contains(w))
+        assert(score >= sc(w), s"$w: Viterbi $score < whole-word ${sc(w)}")
     }
   }
 
