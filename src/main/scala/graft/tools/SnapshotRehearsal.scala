@@ -149,6 +149,56 @@ object SnapshotRehearsal {
     val dN = cdcRead(rowsBase * factor, 8 * factor)
     println(f"[rehearse] cdc-feed exponent = ${exp(d1, dN)}%.2f (expect ~1)")
 
+    // ---- scenario 4 (round 12): deletion-vector WRITE AMPLIFICATION.
+    // A scattered trickle delete (a few rows in EVERY file — the
+    // retention/GDPR shape zone maps cannot drop or localize) is the
+    // case merge-on-read exists for: copy-on-write rewrites the whole
+    // table, the DV commit writes O(deleted rows) position+sidecar
+    // bytes. Measured as bytes-on-disk added by the commit; the
+    // expected amplification ratio GROWS ~×N with the table while the
+    // DV bytes stay ~flat. Read-back time after the DV commit is also
+    // printed — the anti-join read must stay ~the plain-scan cost. ----
+    def dirBytes(dir: String): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+      finally st.close()
+    }
+    def trickleDelete(rows: Long, files: Int, dv: Boolean): (Double, Long) = {
+      val (t, dir) = freshTable(rows, files)
+      val before = dirBytes(dir)
+      val label = if (dv) "dv" else "cow"
+      // ~rows/5000 matches scattered across every file of the
+      // id-clustered layout
+      val dt = timed(s"trickle delete ($label), ${rows / 1000}k rows") {
+        t.deleteWhere(spark, col("id") % 5000 === 7,
+          dvMaxRowsPerFile = if (dv) 100000 else 0)
+      }
+      val added = dirBytes(dir) - before
+      if (dv) {
+        val cnt = timed(s"dv read-back count, ${rows / 1000}k rows") {
+          t.read(spark).count()
+        }
+        val _ = cnt
+      }
+      SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+      (dt, added)
+    }
+    val (cowT1, cowB1) = trickleDelete(rowsBase, 8, dv = false)
+    val (dvT1, dvB1) = trickleDelete(rowsBase, 8, dv = true)
+    val (cowTN, cowBN) = trickleDelete(rowsBase * factor, 8 * factor, dv = false)
+    val (dvTN, dvBN) = trickleDelete(rowsBase * factor, 8 * factor, dv = true)
+    println(f"[rehearse] trickle-delete bytes ×1: cow=$cowB1 dv=$dvB1 " +
+      f"amplification=${cowB1.toDouble / math.max(1L, dvB1)}%.1f×")
+    println(f"[rehearse] trickle-delete bytes ×$factor%d: cow=$cowBN dv=$dvBN " +
+      f"amplification=${cowBN.toDouble / math.max(1L, dvBN)}%.1f×")
+    println(f"[rehearse] trickle-delete dv time exponent = ${exp(dvT1, dvTN)}%.2f " +
+      f"(cow ${exp(cowT1, cowTN)}%.2f)")
+
     spark.stop()
   }
 }
