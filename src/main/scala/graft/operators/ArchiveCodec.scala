@@ -100,6 +100,13 @@ object ArchiveCodec {
     * the stream (None) — the zip member-granularity contract adapted
     * to a self-delimiting stream. */
   def gunzipMembers(bytes: Array[Byte]): Option[Array[Byte]] = try {
+    // inflation bound: deflate compresses at most ~1032:1, so a stream
+    // expanding far beyond that is a deflate bomb, not data — refuse
+    // BEFORE allocation grows unbounded (zipDecode gets the same
+    // protection from its declared-usize check; gzip's ISIZE trailer
+    // is only readable after full inflation, hence the running cap)
+    val cap = math.min(bytes.length.toLong * 1100L + (1L << 20), 1L << 30)
+    var total = 0L
     val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
     var at = 0
     while (at < bytes.length) {
@@ -124,7 +131,11 @@ object ArchiveCodec {
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val k = inf.inflate(buf)
-          if (k > 0) member.write(buf, 0, k)
+          if (k > 0) {
+            total += k
+            if (total > cap) return None // deflate bomb: refuse, never OOM
+            member.write(buf, 0, k)
+          }
           else if (inf.needsInput()) return None // truncated deflate
         }
         (bytes.length - h) - inf.getRemaining

@@ -209,10 +209,13 @@ object MaintenanceStrategy extends SparkStrategy {
       }
       // compaction MATERIALIZES deletion vectors: the rewrite reads the
       // DV-filtered snapshot and the replace commit drops every `#dv=`
-      // line — report how many pending position-deletes became physical
-      val reclaimed = t.dvRelOf(t.currentVersion())
-        .valuesIterator.map(_.length.toLong).sum
+      // line. Reclaimed is counted from the version the compaction
+      // actually REPLACED (v - 1), not a pre-compact head read — a
+      // racing DV delete landing between the read and the publish
+      // would otherwise mis-report the count
       val v = t.compact(spark, o.files, sortKey)
+      val reclaimed = t.dvRelOf(v - 1)
+        .valuesIterator.map(_.length.toLong).sum
       Array(new GenericInternalRow(
         Array[Any](v, t.fileCount(v).toLong, reclaimed)): InternalRow)
     }) :: Nil

@@ -80,8 +80,15 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       val endAt = Option(options.get("endingVersion")).map(_.toLong)
       endAt.foreach { ev =>
         require(ev >= 0, s"endingVersion $ev must be >= 0")
-        startFrom.foreach(sv => require(ev >= sv,
-          s"endingVersion $ev precedes startingVersion $sv"))
+        // the stream's first emitted version is startingVersion when
+        // given, otherwise head+1 (a fresh feed follows FORWARD) — an
+        // ending before that start can never emit and would otherwise
+        // surface as an inverted-range crash mid-stream
+        val firstEmitted = startFrom.getOrElse(v + 1)
+        require(ev >= firstEmitted,
+          s"endingVersion $ev precedes the stream's first version " +
+            s"$firstEmitted (set startingVersion <= $ev for a " +
+            "historical range)")
       }
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
         t.dataDirPath, Map.empty, Some(root), cdc = true,

@@ -171,8 +171,14 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   // endingVersion (inclusive) clamps the offset the stream will ever
   // reach: commits past it exist but are never planned — a bounded
   // historical replay that then idles (stop the query when caught up)
-  override def latestOffset(): Offset = SnapshotVersionOffset(
-    endAt.fold(table.currentVersion())(math.min(_, table.currentVersion())))
+  override def latestOffset(): Offset = {
+    val clamped = endAt.fold(table.currentVersion())(
+      math.min(_, table.currentVersion()))
+    // never below the initial offset: a bound that precedes the start
+    // (validated at load, but races with head movement) must read as
+    // "nothing to emit", not as an inverted range
+    SnapshotVersionOffset(math.max(clamped, ver(initialOffset())))
+  }
   override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -181,15 +187,26 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
+    // a file-diff chunk carrying deletion vectors (a rewrite or
+    // restore of a vectored file) cannot replay exactly through the
+    // delegate parquet batch — positions need the v1 metadata-column
+    // read. The batch feed (readChangesCdc) handles it; the stream
+    // refuses rather than double-deleting already-vectored rows.
+    chunks.find(_.exclude.nonEmpty).foreach { c =>
+      throw new IllegalStateException(
+        s"change-feed stream at $root: version ${c.v} rewrites files " +
+          "that carry deletion vectors — consume this range with the " +
+          "batch readChangesCdc, or re-bootstrap the stream past it")
+    }
     innerFactory = null
-    chunks.flatMap { case (files, ctype, v) =>
-      val b = mkBatch(files)
+    chunks.flatMap { c =>
+      val b = mkBatch(c.rels.map(table.absPath))
       val parts = b.planInputPartitions()
       // the delegate factories are config-identical across chunks
       // (same schema, no pushdown in a stream): keep the first
       if (innerFactory == null && parts.nonEmpty)
         innerFactory = b.createReaderFactory()
-      parts.map(p => CdcInputPartition(p, ctype, v): InputPartition)
+      parts.map(p => CdcInputPartition(p, c.ctype, c.v): InputPartition)
     }.toArray
   }
 

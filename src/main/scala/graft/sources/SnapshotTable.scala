@@ -490,10 +490,20 @@ final class SnapshotTable(root: String) {
     *
     * O(manifest) driver work; the reads themselves are ordinary
     * distributed parquet scans of only the changed files. */
+  /** One change-feed chunk: RELATIVE data files to read, the deletion
+    * vectors to SUBTRACT while reading them (rows a prior version
+    * already deleted must not replay again — see below), the change
+    * type to stamp, and the commit version. */
+  private[sources] final case class CdcChunk(
+      rels: Seq[String], exclude: Map[String, Array[Long]],
+      ctype: String, v: Long)
+
+  private[sources] def absPath(rel: String): String =
+    Paths.get(root).resolve(rel).toString
+
   private[sources] def cdcChunksBetween(from: Long, to: Long)
-      : Seq[(Seq[String], String, Long)] = {
+      : Seq[CdcChunk] = {
     require(from <= to, s"CDC range inverted: $from > $to")
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
     (math.max(from, -1L) + 1 to to).flatMap { v =>
       val before = listing(v - 1)
       val after = listing(v)
@@ -510,7 +520,7 @@ final class SnapshotTable(root: String) {
       // feed cannot reconstruct those rows from the manifest alone.
       val sidecars = cdcSidecarsOf(v)
         .groupBy(_._2).map { case (ctype, xs) =>
-          (xs.map(x => abs(x._1)), ctype, v) }.toSeq
+          CdcChunk(xs.map(_._1), Map.empty, ctype, v) }.toSeq
       if (sidecars.isEmpty) {
         val dvPrev = dvRelOf(v - 1)
         val dvCur = dvRelOf(v)
@@ -522,19 +532,28 @@ final class SnapshotTable(root: String) {
             "keeps, without a change sidecar — the row delta is not " +
             "reconstructable from the manifest; re-bootstrap the consumer")
       }
+      // file-diff replays SUBTRACT the relevant vectors: a removed
+      // file's rows that v-1 had already DV-deleted were deleted (and
+      // replayed) earlier — emitting them again would double-delete;
+      // an added file carrying a `#dv=` line (a restore re-adding a
+      // vectored file) must not resurrect its deleted positions as
+      // inserts.
+      def excl(rels: Seq[String], dv: Map[String, Array[Long]]) =
+        dv.view.filterKeys(rels.toSet).toMap
       sidecars ++ (op match {
         case "compact" => Seq.empty
         case "alter" => Seq.empty // metadata-only schema change: no rows
         case "append" | "replace" if removed.isEmpty =>
           // replace onto an empty lineage (first commit) is an append
           if (added.isEmpty) Seq.empty
-          else Seq((added.map(abs), "insert", v))
+          else Seq(CdcChunk(added, excl(added, dvRelOf(v)), "insert", v))
         case "merge" | "delete" | "update" | "restore" =>
           // restore rewrites the listing to an old version's — since
           // files are immutable that is exactly a delete of what left
           // and an insert of what returned, same as any copy-on-write
-          Seq((removed.map(abs), "delete", v), (added.map(abs), "insert", v))
-            .filter(_._1.nonEmpty)
+          Seq(CdcChunk(removed, excl(removed, dvRelOf(v - 1)), "delete", v),
+              CdcChunk(added, excl(added, dvRelOf(v)), "insert", v))
+            .filter(_.rels.nonEmpty)
         case other => throw new IllegalStateException(
           s"CDC at $root: version $v is a '$other' commit that rewrites " +
             s"${removed.size} files — the change feed is undefined across " +
@@ -562,12 +581,12 @@ final class SnapshotTable(root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
     }
-    chunks.map { case (files, ctype, v) =>
-      spark.read.schema(schema)
-        .option("basePath", dataDirPath)
-        .parquet(files: _*)
-        .withColumn("_change_type", lit(ctype))
-        .withColumn("_commit_version", lit(v))
+    chunks.map { c =>
+      // the DV-aware read subtracts already-deleted positions; chunks
+      // without vectors take its plain fast path unchanged
+      readFilesDvAware(spark, schema, c.rels, c.exclude)
+        .withColumn("_change_type", lit(c.ctype))
+        .withColumn("_commit_version", lit(c.v))
     }.foldLeft(empty)(_ unionByName _)
   }
 
@@ -1404,9 +1423,10 @@ final class SnapshotTable(root: String) {
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
     val dvOut: Seq[String] = {
+      val untouchedSet = untouched.toSet
       val untouchedKept = dvLines(v).filter(l =>
         DeletionVectors.decodeLine(l).exists { case (rel, _) =>
-          untouched.contains(rel) })
+          untouchedSet.contains(rel) })
       val merged = dvClass.map { rel =>
         val all = dvs.get(rel) match {
           case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))

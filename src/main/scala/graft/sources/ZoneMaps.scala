@@ -545,6 +545,12 @@ object ZoneMaps {
             case ShortType   => Some(Short.box(v.toShort))
             case IntegerType => Some(Int.box(v.toInt))
             case LongType    => Some(Long.box(v))
+            // kind 'l' also carries date days and timestamp micros —
+            // box them in their physical integral domains (Int days /
+            // Long micros, the same width the column's parquet stats
+            // live in) rather than silently dropping the range
+            case DateType    => Some(Int.box(v.toInt))
+            case TimestampType | TimestampNTZType => Some(Long.box(v))
             case _           => None
           }
           def boxD(v: Double): Option[AnyRef] = field.dataType match {

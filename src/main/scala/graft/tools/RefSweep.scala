@@ -60,21 +60,25 @@ object RefSweep {
     if (warmDir == sfDir) graft.Blocks.reset(spark)
     else graft.Blocks.sweep(spark)
 
-    def minOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a FAILED run must never be recorded as a (fast) timing — the
+    // reference would drop to a value no honest run can meet
+    def minOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       graft.Blocks.sweep(spark, blocking = true)
-      (1 to reps).map { _ =>
+      val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         graft.Blocks.sweep(spark, blocking = true)
-        t
-      }.min
+        if (ok) Some(t) else None
+      }
+      if (ts.forall(_.isDefined)) Some(ts.flatten.min) else None
     }
 
     var quiet = true
     def anchorCheck(tag: String): Unit = anchors.foreach { a =>
-      val t = minOf(graft.SparkEntry.queries(a))
+      val t = minOf(graft.SparkEntry.queries(a)).getOrElse(Double.MaxValue)
       val r = refs(a)
       val ok = t <= 1.3 * r
       if (!ok) quiet = false
@@ -83,8 +87,10 @@ object RefSweep {
 
     anchorCheck("start")
     catalog.zipWithIndex.foreach { case ((name, fn), i) =>
-      val t = minOf(fn)
-      println(f"REF $name $t%.3f")
+      minOf(fn) match {
+        case Some(t) => println(f"REF $name $t%.3f")
+        case None => println(s"REF_FAILED $name")
+      }
       if (i % 10 == 9) { System.gc(); Thread.sleep(2000) }
       if (i == catalog.size / 2) anchorCheck("mid")
     }

@@ -206,6 +206,73 @@ class DeletionVectorSpec extends SparkTestBase {
     spark.sql("DROP TABLE dvcat.db.t")
   }
 
+  test("change feed never double-deletes: a rewrite of a vectored file subtracts the vector") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    // v1: DV delete of id=42 (sidecar replays delete(42) exactly once)
+    t.deleteWhere(spark, col("id") === 42L, dvMaxRowsPerFile = 1000)
+    // v2: an update rewrites the vectored file copy-on-write
+    t.updateWhere(spark, col("id") === 60L, Map("s" -> lit("u")))
+    val v2 = t.currentVersion()
+    val cdc = t.readChangesCdc(spark, v0, v2)
+      .select("_change_type", "id", "_commit_version")
+      .as[(String, Long, Long)].collect()
+    // exactly ONE delete of 42 (the sidecar's), none from the rewrite
+    assert(cdc.count(r => r._1 == "delete" && r._2 == 42L) === 1,
+      s"id=42 deletes: ${cdc.filter(_._2 == 42L).toSeq}")
+    assert(!cdc.exists(r => r._2 == 42L && r._3 == v2),
+      "the rewrite must not replay the already-deleted row at all")
+    // state reconstruction stays exact including counts: applying the
+    // feed to the v0 snapshot yields the v2 snapshot row-for-row
+    val deletes = cdc.filter(_._1 == "delete").map(_._2).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val inserts = cdc.filter(_._1 == "insert").map(_._2).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val base = t.readAt(spark, v0).select("id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val reconstructed = (base.keySet ++ inserts.keySet).flatMap { id =>
+      val n = base.getOrElse(id, 0) - deletes.getOrElse(id, 0) +
+        inserts.getOrElse(id, 0)
+      Seq.fill(n)(id)
+    }.toSeq.sorted
+    val actual = t.read(spark).select("id").as[Long].collect().toSeq.sorted
+    assert(reconstructed === actual,
+      "feed-applied v0 must equal v2 with exact multiplicities")
+
+    // the STREAMING feed refuses the vectored-rewrite range loudly
+    val ck = Files.createTempDirectory("graft_dv_cdc_ck").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v0 + 1).load(dir)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ck).start()
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    try assert(
+      Option(ex.getMessage).getOrElse("").contains("deletion vectors") ||
+        Option(ex.getCause).exists(c =>
+          Option(c.getMessage).getOrElse("").contains("deletion vectors")),
+      s"stream must refuse with the vectored-rewrite error, got $ex")
+    finally q.stop()
+  }
+
+  test("restore re-adding a vectored file does not resurrect its deleted positions in the feed") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id") === 7L, dvMaxRowsPerFile = 1000)
+    val vDv = t.currentVersion()
+    // rewrite the file away entirely (compact), then restore to the
+    // DV'd version: its file RE-ENTERS the listing carrying its vector
+    t.compact(spark, files = 1)
+    val vRestored = t.restore(vDv)
+    assert(t.read(spark).count() === 99)
+    val cdc = t.readChangesCdc(spark, vRestored - 1, vRestored)
+      .select("_change_type", "id").as[(String, Long)].collect()
+    assert(!cdc.exists(r => r._1 == "insert" && r._2 == 7L),
+      "the restore's insert replay must subtract the re-added vector")
+    assert(cdc.count(_._1 == "insert") === 99)
+  }
+
   test("vacuum retains the change sidecar with its manifest; expiry reaps it") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 100).repartition(1))

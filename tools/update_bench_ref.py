@@ -39,7 +39,11 @@ def main():
 
     ref = json.load(open("BENCH_REF.json"))
     old = {k: v for k, v in ref.items() if not k.startswith("_")}
-    out = {}
+    # start from the committed refs: a SUBSET sweep (RefSweep's
+    # query-name filter) must refresh only what it measured, never
+    # wipe the rest. Catalog-removed queries are pruned by a FULL
+    # sweep's next run being the only writer that touches everything.
+    out = dict(old)
     n_low, n_chg, n_new = 0, 0, 0
     for q, t in sorted(sweep.items()):
         t = round(max(t, 0.01), 3)
@@ -53,7 +57,6 @@ def main():
             out[q] = min(old[q], t)
             if t < old[q]:
                 n_low += 1
-    # queries that vanished from the catalog drop their refs
     meta = {
         "_meta_recorded_round": int(rnd),
         "_meta_note": (
