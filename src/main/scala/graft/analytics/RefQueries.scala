@@ -605,6 +605,55 @@ object RefQueries {
       acct.unionByName(after).orderBy("stat")
     }),
 
+    // E18 MERGE-ON-READ UPDATE + MERGE exercised through the oracle
+    // gate (round 12, the write-amplification fix extended to the full
+    // DML triad): a predicate UPDATE vectors its matched rows out and
+    // appends the new versions; a keyed MERGE with update/delete/insert
+    // arms vectors the matched target rows and appends only the
+    // upserts — files_rewritten must be 0 across BOTH, the vector
+    // accounting is pinned per verb, the change feed must replay
+    // exactly old-versions-as-deletes + new-versions-as-inserts (no
+    // carried-along noise — the MOR feed is EXACT, unlike the
+    // copy-on-write file-diff), and the final row set is recomputed
+    // arithmetically.
+    "q_snapshot_mor" -> ((s, d) => {
+      val dir = scratchDir("graft_mor")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500).repartition(1))
+      val v0 = t.currentVersion()
+      val u = t.updateWhere(s, col("doc_id") % 50 === 3 && col("doc_id") < 300,
+        Map("n_chars" -> (col("n_chars") + 100000L)), dvMaxRowsPerFile = 1000)
+      val delta = s.createDataFrame(Seq(
+        (10L, "m", 777L, false), (210L, "m", 777L, false),
+        (20L, "m", 0L, true), (420L, "m", 0L, true),
+        (900L, "m", 777L, false), (901L, "m", 777L, false)))
+        .toDF("doc_id", "source", "n_chars", "_del")
+      val m = t.merge(s, delta, Seq("doc_id"), deleteCol = Some("_del"),
+        dvMaxRowsPerFile = 1000)
+      val cdc = t.readChangesCdc(s, v0, m.version)
+      val byType = cdc.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val acct = s.createDataFrame(Seq(
+        ("files_rewritten", (u.filesRewritten + m.filesRewritten).toLong),
+        ("u_files_dv", u.filesDvUpdated.toLong),
+        ("u_dv_rows", u.dvRowsAdded),
+        ("m_files_dv", m.filesDvUpdated.toLong),
+        ("m_dv_rows", m.dvRowsAdded),
+        ("cdc_deletes", byType.getOrElse("delete", 0L)),
+        ("cdc_inserts", byType.getOrElse("insert", 0L)))).toDF("stat", "value")
+      val after = t.read(s)
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -994,6 +1043,33 @@ object RefQueries {
         |  UNION ALL SELECT 'dv_rows_added', (SELECT COUNT(*) FROM deleted)
         |  UNION ALL SELECT 'cdc_delete_rows', (SELECT COUNT(*) FROM deleted)
         |  UNION ALL SELECT 'rows_time_travel', (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 'rows_after', rows_after FROM fin
+        |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
+        |  UNION ALL SELECT 'sum_doc_after', sum_doc_after FROM fin)
+        |ORDER BY stat""".stripMargin,
+
+    "q_snapshot_mor" ->
+      """WITH base AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 500),
+        |upd AS (SELECT doc_id FROM base WHERE doc_id % 50 = 3 AND doc_id < 300),
+        |fin AS (
+        |  SELECT COUNT(*) AS rows_after,
+        |         CAST(SUM(n_chars) AS BIGINT) AS sum_chars_after,
+        |         CAST(SUM(doc_id) AS BIGINT) AS sum_doc_after
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id IN (10, 210) THEN 777
+        |           WHEN doc_id IN (SELECT doc_id FROM upd) THEN n_chars + 100000
+        |           ELSE n_chars END AS n_chars
+        |    FROM base WHERE doc_id NOT IN (20, 420)
+        |    UNION ALL SELECT 900, 777 UNION ALL SELECT 901, 777))
+        |SELECT * FROM (
+        |  SELECT 'files_rewritten' AS stat, CAST(0 AS BIGINT) AS value
+        |  UNION ALL SELECT 'u_files_dv', CAST(2 AS BIGINT)
+        |  UNION ALL SELECT 'u_dv_rows', (SELECT COUNT(*) FROM upd)
+        |  UNION ALL SELECT 'm_files_dv', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'm_dv_rows', CAST(4 AS BIGINT)
+        |  UNION ALL SELECT 'cdc_deletes', (SELECT COUNT(*) FROM upd) + 4
+        |  UNION ALL SELECT 'cdc_inserts', (SELECT COUNT(*) FROM upd) + 4
         |  UNION ALL SELECT 'rows_after', rows_after FROM fin
         |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
         |  UNION ALL SELECT 'sum_doc_after', sum_doc_after FROM fin)

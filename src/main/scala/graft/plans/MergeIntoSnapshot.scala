@@ -371,8 +371,11 @@ case class UpdateSnapshotExec(root: String, set: Seq[(String, Expression)],
 
   @transient private lazy val done: Array[InternalRow] = {
     val spark = SparkSession.active
+    // SQL UPDATE runs merge-on-read (Delta's DV default): matched rows
+    // vector out + new versions append — O(changed rows) commit bytes
     SnapshotTable(root).updateWhere(spark, ColumnBridge.column(cond),
-      set.map { case (n, e) => n -> ColumnBridge.column(e) }.toMap)
+      set.map { case (n, e) => n -> ColumnBridge.column(e) }.toMap,
+      dvMaxRowsPerFile = graft.sources.SnapshotSource.SqlDmlDvCap)
     Array.empty[InternalRow]
   }
 
@@ -413,7 +416,8 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
     val table = SnapshotTable(root)
     val src = PlanBridge.ofRows(spark, source)
     if (canonical) {
-      table.merge(spark, src, keys, evolveSchema = evolve)
+      table.merge(spark, src, keys, evolveSchema = evolve,
+        dvMaxRowsPerFile = graft.sources.SnapshotSource.SqlDmlDvCap)
     } else {
       // CLASSIFY: source LEFT JOIN the zone-map-touched slice of the
       // base snapshot — matched-ness is exact (untouched files provably
@@ -544,7 +548,8 @@ case class MergeIntoSnapshotExec(root: String, source: LogicalPlan,
       }
       val delta = nmbsDelta.foldLeft(srcDelta)(_ unionByName _)
       table.merge(spark, delta, keys, deleteCol = Some("__graft_delete"),
-        expectedBase = Some(v0), evolveSchema = evolve)
+        expectedBase = Some(v0), evolveSchema = evolve,
+        dvMaxRowsPerFile = graft.sources.SnapshotSource.SqlDmlDvCap)
     }
     Array.empty[InternalRow]
   }

@@ -167,12 +167,13 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object SnapshotSource {
-  /** Per-file deletion-vector cap for SQL `DELETE FROM` (matched rows
-    * beyond it rewrite the file copy-on-write — carrying a vector
+  /** Per-file deletion-vector cap for the SQL DML verbs — DELETE,
+    * UPDATE and MERGE all run merge-on-read by default (matched rows
+    * beyond the cap rewrite the file copy-on-write: carrying a vector
     * close to the file's own row count costs more at read time than
     * the rewrite it avoids). Inline-manifest sizing: ~1–2 bytes per
     * position at this bound. */
-  val SqlDeleteDvCap: Int = 100000
+  val SqlDmlDvCap: Int = 100000
   /** `cat.db.`t$history`` — the commit audit trail as a SQL metadata
     * table (the Iceberg/Delta convention): one row per retained
     * snapshot with version, commit wall-clock, `#op=` kind, and file
@@ -409,7 +410,7 @@ object SnapshotSource {
       // files still drop metadata-only, and a file with more matches
       // than the cap still rewrites copy-on-write.
       SnapshotTable(root).deleteWhere(SparkSession.active, cond,
-        dvMaxRowsPerFile = SnapshotSource.SqlDeleteDvCap)
+        dvMaxRowsPerFile = SnapshotSource.SqlDmlDvCap)
     }
 
     override def capabilities(): java.util.Set[TableCapability] = {
@@ -480,23 +481,40 @@ object SnapshotSource {
           .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
       }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      // deletion vectors are applied by plan REWRITE (graft.plans.
-      // DvReadRule under GraftExtensions, or SnapshotTable.readAt's own
-      // composition), never inside this scan — a session that reaches
-      // scan building with vectors still attached would silently
-      // resurrect deleted rows, so fail loudly instead
-      dvInfo.foreach { case (root, v) =>
-        throw new IllegalStateException(
-          s"snapshot v$v at $root carries deletion vectors; read it " +
-            "through a GraftSession (spark.sql.extensions=" +
-            "graft.plans.GraftExtensions) or SnapshotTable.readAt — or " +
-            "compact the table to materialize the vectors")
+      val delegate: ScanBuilder =
+        if (zoneMaps.isEmpty && streamRoot.isEmpty && bucketing.isEmpty)
+          inner.newScanBuilder(options)
+        else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
+          fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
+          streamFactory, bucketing)
+      dvInfo match {
+        case None => delegate
+        case Some((root, v)) =>
+          // deletion vectors are applied by plan REWRITE (graft.plans.
+          // DvReadRule under GraftExtensions, or SnapshotTable.readAt's
+          // own composition), never inside this scan. The guard fires
+          // at EXECUTION (toBatch), not at scan build: the optimizer
+          // builds scans for DML-command children too — relations the
+          // rule deliberately exempts because the row-level strategies
+          // replace them and they never run. A DV'd scan that actually
+          // reaches execution (a session without the extension) fails
+          // loudly instead of silently resurrecting deleted rows.
+          () => new org.apache.spark.sql.connector.read.Scan {
+            private lazy val built = delegate.build()
+            override def readSchema(): StructType = built.readSchema()
+            override def description(): String = built.description()
+            private def refuse: Nothing = throw new IllegalStateException(
+              s"snapshot v$v at $root carries deletion vectors; read it " +
+                "through a GraftSession (spark.sql.extensions=" +
+                "graft.plans.GraftExtensions) or SnapshotTable.readAt — " +
+                "or compact the table to materialize the vectors")
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              refuse
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              refuse
+          }
       }
-      if (zoneMaps.isEmpty && streamRoot.isEmpty && bucketing.isEmpty)
-        inner.newScanBuilder(options)
-      else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
-        fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
-        streamFactory, bucketing)
     }
   }
 }

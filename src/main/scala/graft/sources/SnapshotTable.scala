@@ -413,6 +413,58 @@ final class SnapshotTable(root: String) {
     }
   }
 
+  /** LIVE rows of `rels` under `sch` with their file identity and row
+    * position attached (`__dv_file`, `__dv_pos`) and any existing
+    * deletion vectors subtracted — the scan every merge-on-read DML
+    * phase starts from: an already-deleted row must neither re-match
+    * a predicate nor re-enter a vector (its delete already replayed
+    * through the change feed). */
+  private def liveRowsWithPos(spark: SparkSession,
+      sch: org.apache.spark.sql.types.StructType,
+      rels: Seq[String], dvs: Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.schema(sch).option("basePath", dataDirPath)
+      .parquet(rels.map(absPath): _*)
+      .withColumn("__dv_file", fileKeyCol)
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val scoped = dvs.view.filterKeys(rels.toSet).toMap
+    if (scoped.isEmpty) base
+    else base.join(broadcast(dvPairsDf(spark, scoped)),
+      Seq("__dv_file", "__dv_pos"), "left_anti")
+  }
+
+  /** Materialize a merge-on-read DML phase from a BOUNDED (cap-checked,
+    * checkpointed) frame of matched rows: collect the per-file deleted
+    * positions and write the matched rows' OLD versions as this
+    * commit's delete-side change sidecar (`#cdc=` line), so the change
+    * feed replays them as a plain file chunk — batch AND streaming, no
+    * position machinery at read time. The sidecar lands under data/
+    * like any batch: invisible until the manifest referencing it
+    * publishes. Returns (positions by rel, sidecar dir, `#cdc=` lines). */
+  private def dvMaterialize(spark: SparkSession,
+      sch: org.apache.spark.sql.types.StructType, matched: DataFrame)
+      : (Map[String, Array[Long]], Path, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val pos: Map[String, Array[Long]] = matched
+      .select(col("__dv_file"), col("__dv_pos"))
+      .collect().groupBy(_.getString(0))
+      .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
+    val cdcDir = dataDir.resolve(
+      s"cdc${System.nanoTime()}_t${Thread.currentThread().getId}")
+    matched.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+      .repartition(1).write.parquet(cdcDir.toString)
+    val cdcRels = {
+      val st = Files.list(cdcDir)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+        .map(n => s"data/${cdcDir.getFileName}/$n")
+      finally st.close()
+    }
+    val cdcLines = cdcRels.map(rel =>
+      "#cdc=" + java.net.URLEncoder.encode(rel, "UTF-8") + ":delete")
+    (pos, cdcDir, cdcLines)
+  }
+
   /** Read the latest snapshot under a DECLARED schema (the K4/K5 DDL
     * contract): columns are pruned/ordered to `schema` and an empty
     * table yields a typed empty frame — the warehouse-load entry
@@ -1127,7 +1179,8 @@ final class SnapshotTable(root: String) {
             deleteCol: Option[String] = None,
             targetFiles: Int = 0,
             expectedBase: Option[Long] = None,
-            evolveSchema: Boolean = false): SnapshotTable.MergeResult = {
+            evolveSchema: Boolean = false,
+            dvMaxRowsPerFile: Int = 0): SnapshotTable.MergeResult = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val v = currentVersion()
@@ -1215,7 +1268,7 @@ final class SnapshotTable(root: String) {
     val touched: Set[String] = touchDetect(spark, deltaCk, rels, zm, pk)
     val untouched = rels.filterNot(touched)
 
-    // ---- 2. rewrite ---------------------------------------------------
+    // ---- 2. rewrite / merge-on-read ----------------------------------
     val upserts0 = deleteCol match {
       case Some(c) =>
         deltaCk.filter(!coalesce(col(c).cast("boolean"), lit(false))).drop(c)
@@ -1231,38 +1284,98 @@ final class SnapshotTable(root: String) {
     // matched keys leave the base whether the delta row updates or
     // deletes them — the upsert rows re-enter through the union
     val deltaKeys = deltaCk.select(keys.map(col): _*).distinct()
+    val dvs = dvRelOf(v)
+
+    // MERGE-ON-READ phase (dvMaxRowsPerFile > 0): matched target rows
+    // VECTOR OUT of their files instead of rewriting them — carried-
+    // along rows stay physically in place, the matched old versions
+    // pre-materialize as the delete-side change sidecar, and only the
+    // upserts land as new files. A narrow daily upsert commits
+    // O(matched + delta rows) bytes; a file with more matches than
+    // the cap still rewrites copy-on-write (cheaper than carrying a
+    // near-full vector), zero-match touch-detected files carry
+    // forward by reference.
+    val touchedSorted = touched.toSeq.sorted
+    var dvCheckpoint: Option[DataFrame] = None
+    val (kept, dvClass, dvPositions, rewriteClass, sidecarOut, cdcNew) =
+      if (dvMaxRowsPerFile <= 0 || touched.isEmpty)
+        (Seq.empty[String], Seq.empty[String],
+          Map.empty[String, Array[Long]], touchedSorted,
+          None: Option[Path], Seq.empty[String])
+      else {
+        def scanMatched(onRels: Seq[String]): DataFrame =
+          liveRowsWithPos(spark, schema, onRels, dvs)
+            .join(deltaKeys, keys, "left_semi")
+        val counts: Map[String, Long] = scanMatched(touchedSorted)
+          .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val zeroMatch = touchedSorted.filterNot(counts.contains)
+        val dvC = touchedSorted.filter(r =>
+          counts.get(r).exists(n => n > 0 && n <= dvMaxRowsPerFile))
+        val rw = touchedSorted.filter(r =>
+          counts.get(r).exists(_ > dvMaxRowsPerFile))
+        if (dvC.isEmpty)
+          (zeroMatch, Seq.empty[String], Map.empty[String, Array[Long]],
+            rw, None: Option[Path], Seq.empty[String])
+        else {
+          val matched = scanMatched(dvC).localCheckpoint()
+          dvCheckpoint = Some(matched)
+          val (pos, cdcDir, cdcLines) = dvMaterialize(spark, schema, matched)
+          (zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines)
+        }
+      }
+
     val survivors =
-      if (touched.isEmpty)
+      if (rewriteClass.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
         // deletion vectors applied: a DV-deleted row must not be
         // resurrected by the rewrite of its file
-        readFilesDvAware(spark, schema, touched.toSeq.sorted, dvRelOf(v))
+        readFilesDvAware(spark, schema, rewriteClass, dvs)
           .join(deltaKeys, keys, "left_anti")
     val rewrite = survivors.unionByName(upserts)
-    val nOut = if (targetFiles > 0) targetFiles else math.max(1, touched.size)
-    val (out, newFiles, zmNew, _) = writeBatch(rewrite.repartition(nOut))
+    val nOut = if (targetFiles > 0) targetFiles
+      else math.max(1, math.max(rewriteClass.size, 1))
+    val (out, newFiles, zmNew, _) = try {
+      writeBatch(rewrite.repartition(nOut))
+    } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
 
     // ---- 3. publish (refuse, don't retry, on a concurrent commit) ----
-    val untouchedSet = untouched.toSet
+    val keptInPlace = untouched ++ kept ++ dvClass
+    val keptSet = keptInPlace.toSet
     val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
-    // untouched files keep their deletion vectors; rewritten files
-    // materialized theirs away (the rewrite read was DV-filtered)
-    val dvKept = dvLines(v).filter(l =>
-      DeletionVectors.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
+    // kept files' vectors carry (merged with this merge's positions on
+    // DV-class files); rewritten files materialized theirs away
+    val dvOut: Seq[String] = {
+      val dvClassSet = dvClass.toSet
+      val carried = dvLines(v).filter(l =>
+        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
+          keptSet.contains(rel) && !dvClassSet.contains(rel) })
+      val merged = dvClass.map { rel =>
+        val all = dvs.get(rel) match {
+          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
+          case None => dvPositions(rel)
+        }
+        DeletionVectors.encodeLine(rel, all)
+      }
+      carried ++ merged
+    }
     val lines = Seq(s"#schema=${schema.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
-      zmKept ++ zmNew ++ dvKept ++ untouched ++ newFiles
+      zmKept ++ zmNew ++ dvOut ++ cdcNew ++ keptInPlace ++ newFiles
     if (!publish(v + 1, lines)) {
       SnapshotTable.deleteRecursively(out)
+      sidecarOut.foreach(SnapshotTable.deleteRecursively)
       throw new IllegalStateException(
         s"merge at $root lost the publish race: a commit landed during " +
           "the merge, so the rewrite base is stale — re-run the merge")
     }
-    SnapshotTable.MergeResult(v + 1, filesRewritten = touched.size,
-      filesUntouched = untouched.size, filesAdded = newFiles.size)
+    SnapshotTable.MergeResult(v + 1, filesRewritten = rewriteClass.size,
+      filesUntouched = untouched.size + kept.size, filesAdded = newFiles.size,
+      filesDvUpdated = dvClass.size,
+      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
 
     } finally deltaCk.unpersist(blocking = false)
   }
@@ -1341,21 +1454,8 @@ final class SnapshotTable(root: String) {
         (untouched0, Seq.empty[String], Map.empty[String, Array[Long]],
           straddling, None: Option[Path], Seq.empty[String])
       else {
-        // matched LIVE rows of straddling files, with file identity and
-        // row position; already-DV-deleted rows are anti-joined out so
-        // they never re-match (their delete already replayed)
-        def scanMatched(onRels: Seq[String]): DataFrame = {
-          val base = spark.read.schema(sch).option("basePath", dataDirPath)
-            .parquet(onRels.map(abs): _*)
-            .withColumn("__dv_file", fileKeyCol)
-            .withColumn("__dv_pos", col("_metadata.row_index"))
-          val scoped = dvs.view.filterKeys(onRels.toSet).toMap
-          val live =
-            if (scoped.isEmpty) base
-            else base.join(broadcast(dvPairsDf(spark, scoped)),
-              Seq("__dv_file", "__dv_pos"), "left_anti")
-          live.filter(pred)
-        }
+        def scanMatched(onRels: Seq[String]): DataFrame =
+          liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
         val counts: Map[String, Long] = scanMatched(straddling)
           .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1373,28 +1473,7 @@ final class SnapshotTable(root: String) {
           // and the change-sidecar write (<= cap rows per DV'd file)
           val matched = scanMatched(dvC).localCheckpoint()
           try {
-            val pos: Map[String, Array[Long]] = matched
-              .select(col("__dv_file"), col("__dv_pos"))
-              .collect().groupBy(_.getString(0))
-              .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
-            // pre-materialize the deleted rows as this commit's CDC
-            // sidecar: the change feed replays them as a plain file
-            // chunk (batch AND streaming), no position machinery at
-            // read time. Lands under data/ like any batch — invisible
-            // until the manifest referencing it publishes.
-            val cdcDir = dataDir.resolve(
-              s"cdc${System.nanoTime()}_t${Thread.currentThread().getId}")
-            matched.select(sch.fieldNames.map(col).toIndexedSeq: _*)
-              .repartition(1).write.parquet(cdcDir.toString)
-            val cdcRels = {
-              val st = Files.list(cdcDir)
-              try st.iterator().asScala.map(_.getFileName.toString)
-                .filter(_.endsWith(".parquet")).toSeq.sorted
-                .map(n => s"data/${cdcDir.getFileName}/$n")
-              finally st.close()
-            }
-            val cdcLines = cdcRels.map(rel =>
-              "#cdc=" + java.net.URLEncoder.encode(rel, "UTF-8") + ":delete")
+            val (pos, cdcDir, cdcLines) = dvMaterialize(spark, sch, matched)
             (untouched0 ++ zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines)
           } finally matched.unpersist(blocking = false)
         }
@@ -1506,13 +1585,15 @@ final class SnapshotTable(root: String) {
   def updateWhere(spark: SparkSession,
                   condition: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  targetFiles: Int = 0): SnapshotTable.UpdateResult = {
+                  targetFiles: Int = 0,
+                  dvMaxRowsPerFile: Int = 0): SnapshotTable.UpdateResult = {
     import org.apache.spark.sql.functions._
     require(set.nonEmpty, s"updateWhere at $root: empty SET clause")
     val v = currentVersion()
     require(v >= 0, s"updateWhere at $root: table has no committed snapshot")
     val rels = listing(v)
     val zm = zoneMapsOf(v)
+    val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def abs(rel: String): String = Paths.get(root).resolve(rel).toString
 
@@ -1524,47 +1605,130 @@ final class SnapshotTable(root: String) {
         s"updateWhere at $root: SET targets unknown column(s) ${unknown.mkString(", ")}")
     }
     val cond = resolvePredicate(spark, v, condition, schema)
-    val (untouched, rewrites) = rels.partition { rel =>
+    val (untouched0, candidates) = rels.partition { rel =>
       val stats = zm.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
       stats.nonEmpty && ZoneMaps.provablyEmpty(cond, stats)
     }
-    if (rewrites.isEmpty)
-      return SnapshotTable.UpdateResult(v, 0, untouched.size, 0)
+    if (candidates.isEmpty)
+      return SnapshotTable.UpdateResult(v, 0, untouched0.size, 0)
 
-    val sch = schema.getOrElse(spark.read.parquet(rewrites.map(abs): _*).schema)
+    val sch = schema.getOrElse(spark.read.parquet(candidates.map(abs): _*).schema)
     val unknown = set.keySet -- sch.fieldNames.toSet
     require(unknown.isEmpty,
       s"updateWhere at $root: SET targets unknown column(s) ${unknown.mkString(", ")}")
     val pred = coalesce(condition, lit(false))
+
+    // MERGE-ON-READ phase (dvMaxRowsPerFile > 0): an UPDATE is a
+    // row-level DELETE of the old versions plus an APPEND of the new
+    // ones — matched live rows vector out of their files (`#dv=`),
+    // their old versions pre-materialize as the delete-side change
+    // sidecar, and the SET-applied rows land as a fresh appended
+    // batch. A one-row UPDATE commits O(changed rows) bytes; files
+    // with more matches than the cap rewrite copy-on-write, zero
+    // matches carry forward by reference.
+    var dvCheckpoint: Option[DataFrame] = None
+    val (untouched, dvClass, dvPositions, rewrites, sidecarOut, cdcNew,
+         dvUpdatedRows) =
+      if (dvMaxRowsPerFile <= 0)
+        (untouched0, Seq.empty[String], Map.empty[String, Array[Long]],
+          candidates, None: Option[Path], Seq.empty[String],
+          None: Option[DataFrame])
+      else {
+        def scanMatched(onRels: Seq[String]): DataFrame =
+          liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
+        val counts: Map[String, Long] = scanMatched(candidates)
+          .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val zeroMatch = candidates.filterNot(counts.contains)
+        val dvC = candidates.filter(r =>
+          counts.get(r).exists(n => n > 0 && n <= dvMaxRowsPerFile))
+        val rw = candidates.filter(r =>
+          counts.get(r).exists(_ > dvMaxRowsPerFile))
+        if (dvC.isEmpty)
+          (untouched0 ++ zeroMatch, Seq.empty[String],
+            Map.empty[String, Array[Long]], rw, None: Option[Path],
+            Seq.empty[String], None: Option[DataFrame])
+        else {
+          val matched = scanMatched(dvC).localCheckpoint()
+          dvCheckpoint = Some(matched) // unpersisted after the append lands
+          val (pos, cdcDir, cdcLines) = dvMaterialize(spark, sch, matched)
+          // the new row versions: every matched row has pred true, so
+          // assignments apply unconditionally, cast to manifest types
+          val applied = matched.select(sch.fields.map { f =>
+            set.get(f.name) match {
+              case Some(e) => e.cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }.toIndexedSeq: _*)
+          (untouched0 ++ zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines,
+            Some(applied))
+        }
+      }
+    if (dvClass.isEmpty && rewrites.isEmpty) {
+      sidecarOut.foreach(SnapshotTable.deleteRecursively)
+      return SnapshotTable.UpdateResult(v, 0, untouched.size, 0)
+    }
+
     val projected = sch.fields.map { f =>
       set.get(f.name) match {
         case Some(e) => when(pred, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
     }
-    // deletion vectors applied: DV-deleted rows neither update nor
+    // rewrite class (or the whole candidate set in copy-on-write mode):
+    // deletion vectors applied — DV-deleted rows neither update nor
     // survive into the rewritten files
-    val updated = readFilesDvAware(spark, sch, rewrites, dvRelOf(v))
-      .select(projected.toIndexedSeq: _*)
-    val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
-    val (out, newFiles, zmNew, _) = writeBatch(updated.repartition(nOut))
+    val rewritten =
+      if (rewrites.isEmpty) None
+      else Some(readFilesDvAware(spark, sch, rewrites, dvs)
+        .select(projected.toIndexedSeq: _*))
+    val toWrite = (rewritten, dvUpdatedRows) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    val (out, newFiles, zmNew) = try {
+      toWrite match {
+        case None => (None, Seq.empty[String], Seq.empty[String])
+        case Some(df) =>
+          val nOut = if (targetFiles > 0) targetFiles
+            else math.max(1, math.max(rewrites.size, 1))
+          val (o, nf, zn, _) = writeBatch(df.repartition(nOut))
+          (Some(o), nf, zn)
+      }
+    } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
 
-    val untouchedSet = untouched.toSet
+    val keptSet = untouched.toSet ++ dvClass.toSet
     val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
-    val dvKept = dvLines(v).filter(l =>
-      DeletionVectors.decodeLine(l).exists { case (rel, _) => untouchedSet.contains(rel) })
+      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
+    val dvOut: Seq[String] = {
+      val untouchedSet = untouched.toSet
+      val untouchedKept = dvLines(v).filter(l =>
+        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
+          untouchedSet.contains(rel) })
+      val merged = dvClass.map { rel =>
+        val all = dvs.get(rel) match {
+          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
+          case None => dvPositions(rel)
+        }
+        DeletionVectors.encodeLine(rel, all)
+      }
+      untouchedKept ++ merged
+    }
     val lines = Seq(s"#schema=${sch.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=update") ++
-      zmKept ++ zmNew ++ dvKept ++ untouched ++ newFiles
+      zmKept ++ zmNew ++ dvOut ++ cdcNew ++
+      untouched ++ dvClass ++ newFiles
     if (!publish(v + 1, lines)) {
-      SnapshotTable.deleteRecursively(out)
+      out.foreach(SnapshotTable.deleteRecursively)
+      sidecarOut.foreach(SnapshotTable.deleteRecursively)
       throw new IllegalStateException(
         s"updateWhere at $root lost the publish race: a commit landed " +
           "during the update, so the classification is stale — re-run")
     }
     SnapshotTable.UpdateResult(v + 1, filesRewritten = rewrites.size,
-      filesUntouched = untouched.size, filesAdded = newFiles.size)
+      filesUntouched = untouched.size, filesAdded = newFiles.size,
+      filesDvUpdated = dvClass.size,
+      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
   }
 
   /** VACUUM: physically delete data files no committed-and-retained
@@ -1689,7 +1853,9 @@ object SnapshotTable {
     * carried by reference, only `filesRewritten` were read and only
     * `filesAdded` were written. */
   final case class MergeResult(version: Long, filesRewritten: Int,
-                               filesUntouched: Int, filesAdded: Int)
+                               filesUntouched: Int, filesAdded: Int,
+                               filesDvUpdated: Int = 0,
+                               dvRowsAdded: Long = 0L)
 
   /** [[SnapshotTable.tableStats]] result: exact `rows` when every
     * file recorded a count (None otherwise — never extrapolated),
@@ -1705,7 +1871,9 @@ object SnapshotTable {
     * hold predicate-matching rows rewrite; the rest carry forward by
     * reference. A no-op update keeps the old `version`. */
   final case class UpdateResult(version: Long, filesRewritten: Int,
-                                filesUntouched: Int, filesAdded: Int)
+                                filesUntouched: Int, filesAdded: Int,
+                                filesDvUpdated: Int = 0,
+                                dvRowsAdded: Long = 0L)
 
   /** [[SnapshotTable.deleteWhere]] accounting: `filesDropped` were
     * removed from the manifest without being read (metadata-only),

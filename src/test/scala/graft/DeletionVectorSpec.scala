@@ -273,6 +273,91 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(cdc.count(_._1 == "insert") === 99)
   }
 
+  test("merge-on-read UPDATE: one-row update commits O(delta) — vector + sidecar + appended new version") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val filesBefore = dataFilesOf(manifestLines(dir, v0))
+    val r = t.updateWhere(spark, col("id") === 42L, Map("s" -> lit("upd")),
+      dvMaxRowsPerFile = 1000)
+    assert(r.filesRewritten === 0, "a one-row update must not rewrite a file")
+    assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
+    assert(r.filesAdded === 1, "the new row version lands as an appended batch")
+    val after = manifestLines(dir, r.version)
+    assert(filesBefore.toSet.subsetOf(dataFilesOf(after).toSet),
+      "original files carry forward by reference")
+    // read: updated value present exactly once, old version gone
+    assert(t.read(spark).count() === 100)
+    assert(t.read(spark).filter(col("id") === 42L).select("s")
+      .as[String].collect().toSeq === Seq("upd"))
+    // the original file still PHYSICALLY holds the old row (vectored)
+    val raw = spark.read.parquet(filesBefore.map(rel => s"$dir/$rel"): _*)
+    assert(raw.filter(col("id") === 42L && col("s") === "r42").count() === 1)
+    // change feed: delete(old version) + insert(new version), exact
+    val cdc = t.readChangesCdc(spark, v0, r.version)
+      .select("_change_type", "id", "s").as[(String, Long, String)]
+      .collect().toSet
+    assert(cdc === Set(("delete", 42L, "r42"), ("insert", 42L, "upd")))
+    // time travel unaffected
+    assert(t.readAt(spark, v0).filter(col("id") === 42L).select("s")
+      .as[String].head() === "r42")
+  }
+
+  test("merge-on-read MERGE: matched keys vector out, carried rows stay in place, upserts append") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val filesBefore = dataFilesOf(manifestLines(dir, v0))
+    val delta = Seq((10L, "m10", false), (11L, "m11", false),
+      (200L, "m200", false), (12L, "x", true)).toDF("id", "s", "_del")
+    val r = t.merge(spark, delta, Seq("id"), deleteCol = Some("_del"),
+      dvMaxRowsPerFile = 1000)
+    assert(r.filesRewritten === 0, "matched keys must vector out, not rewrite")
+    assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 3L,
+      "three matched target rows (10, 11, 12) leave by vector")
+    assert(filesBefore.toSet.subsetOf(
+      dataFilesOf(manifestLines(dir, r.version)).toSet),
+      "carried-along rows stay physically in place")
+    // state: upserts in, delete arm out, carried rows intact
+    val rows = t.read(spark).as[(Long, String)].collect().toMap
+    assert(rows.size === 100) // 100 - 3 matched + 2 upserts re-entering + 1 insert
+    assert(rows(10L) === "m10" && rows(11L) === "m11" && rows(200L) === "m200")
+    assert(!rows.contains(12L), "the delete arm removes its key")
+    assert(rows(13L) === "r13", "carried rows unchanged")
+    // change feed: exactly the matched old versions as deletes, the
+    // upserts as inserts — NO carried-along noise pairs
+    val cdc = t.readChangesCdc(spark, v0, r.version)
+      .select("_change_type", "id", "s").as[(String, Long, String)]
+      .collect().toSet
+    assert(cdc === Set(
+      ("delete", 10L, "r10"), ("delete", 11L, "r11"), ("delete", 12L, "r12"),
+      ("insert", 10L, "m10"), ("insert", 11L, "m11"), ("insert", 200L, "m200")))
+    // cardinality enforcement still sees live rows: a duplicate key
+    // matching a LIVE row refuses
+    val dup = Seq((13L, "a", false), (13L, "b", false)).toDF("id", "s", "_del")
+    val ex = intercept[IllegalStateException] {
+      t.merge(spark, dup, Seq("id"), deleteCol = Some("_del"),
+        dvMaxRowsPerFile = 1000)
+    }
+    assert(ex.getMessage.contains("multiple delta rows"))
+  }
+
+  test("merge-on-read MERGE over an already-vectored file merges positions; compaction clears all") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id") === 5L, dvMaxRowsPerFile = 1000)
+    val r = t.merge(spark, Seq((6L, "m6")).toDF("id", "s"), Seq("id"),
+      dvMaxRowsPerFile = 1000)
+    assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
+    assert(t.dvRelOf(r.version).values.map(_.length).sum === 2,
+      "positions union across the delete and the merge")
+    assert(t.read(spark).count() === 99)
+    assert(t.read(spark).filter(col("id") === 6L).select("s")
+      .as[String].head() === "m6")
+    val v = t.compact(spark, files = 1)
+    assert(t.dvRelOf(v).isEmpty && t.read(spark).count() === 99)
+  }
+
   test("vacuum retains the change sidecar with its manifest; expiry reaps it") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 100).repartition(1))

@@ -774,7 +774,7 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(ex.getMessage.nonEmpty)
   }
 
-  test("SQL MERGE INTO: upsert routes to copy-on-write merge; untouched files carry by reference") {
+  test("SQL MERGE INTO: upsert runs merge-on-read; every original file carries by reference") {
     val wh = Files.createTempDirectory("graft_cat_mg").toString
     spark.conf.set("spark.sql.catalog.mgcat",
       classOf[graft.sources.SnapshotCatalog].getName)
@@ -797,8 +797,12 @@ class SnapshotTableSpec extends SparkTestBase {
     // clustered file's range (±1 for sampling-shifted boundaries), so
     // untouched data paths appear VERBATIM in the new manifest
     val after = dataLines(dir, v2)
-    assert(before.intersect(after).size >= 2,
-      "untouched files must carry by reference, not be rewritten")
+    // merge-on-read: matched keys vector out, so EVERY original file
+    // carries by reference and only the upsert batch appends
+    assert(before.toSet.subsetOf(after.toSet),
+      "no original file may rewrite under a merge-on-read upsert")
+    assert(SnapshotTable(dir).dvRelOf(v2).nonEmpty,
+      "the matched keys must leave by deletion vector")
     val m = spark.sql("SELECT id, val FROM mgcat.db.t")
       .as[(Long, String)].collect().toMap
     assert(m.size === 405)
@@ -1062,7 +1066,7 @@ class SnapshotTableSpec extends SparkTestBase {
       s"unconditional action before others must be refused: ${causes(ex).mkString(" | ")}")
   }
 
-  test("SQL UPDATE: copy-on-write SET routes to updateWhere; only matching files rewrite") {
+  test("SQL UPDATE: merge-on-read SET routes to updateWhere; no original file rewrites") {
     val wh = Files.createTempDirectory("graft_cat_up").toString
     spark.conf.set("spark.sql.catalog.upcat",
       classOf[graft.sources.SnapshotCatalog].getName)
@@ -1079,8 +1083,12 @@ class SnapshotTableSpec extends SparkTestBase {
     val v2 = t.currentVersion()
     assert(v2 === v1 + 1, "SQL UPDATE must land as ONE atomic commit")
     val after = dataLines(dir, v2)
-    assert(before.intersect(after).size >= 2,
-      "files the predicate provably misses must carry by reference")
+    // merge-on-read: changed rows vector out + new versions append,
+    // so every original file carries by reference
+    assert(before.toSet.subsetOf(after.toSet),
+      "no original file may rewrite under a merge-on-read UPDATE")
+    assert(SnapshotTable(dir).dvRelOf(v2).nonEmpty,
+      "the matched rows must leave by deletion vector")
     val m = spark.sql("SELECT id, val FROM upcat.db.t")
       .as[(Long, String)].collect().toMap
     assert(m.size === 400)
