@@ -165,19 +165,23 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
 
   // offsets are "last version emitted", so startingVersion v (Delta's
   // inclusive convention) begins at v - 1; default = the current head
-  // (follow forward, bootstrap via batch read)
-  override def initialOffset(): Offset =
-    SnapshotVersionOffset(startFrom.map(_ - 1).getOrElse(table.currentVersion()))
+  // (follow forward, bootstrap via batch read). Captured ONCE at
+  // stream construction: latestOffset's lower clamp reads this too,
+  // and a LIVE head read there would lift the offset past
+  // endingVersion as soon as the head advances beyond the bound.
+  private val initial: Long =
+    startFrom.map(_ - 1).getOrElse(table.currentVersion())
+  override def initialOffset(): Offset = SnapshotVersionOffset(initial)
   // endingVersion (inclusive) clamps the offset the stream will ever
   // reach: commits past it exist but are never planned — a bounded
-  // historical replay that then idles (stop the query when caught up)
+  // historical replay that then idles (stop the query when caught up).
+  // The lower clamp (never below the construction-time initial) keeps
+  // a bound that precedes the start reading as "nothing to emit", not
+  // as an inverted range.
   override def latestOffset(): Offset = {
     val clamped = endAt.fold(table.currentVersion())(
       math.min(_, table.currentVersion()))
-    // never below the initial offset: a bound that precedes the start
-    // (validated at load, but races with head movement) must read as
-    // "nothing to emit", not as an inverted range
-    SnapshotVersionOffset(math.max(clamped, ver(initialOffset())))
+    SnapshotVersionOffset(math.max(clamped, initial))
   }
   override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -186,6 +190,9 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   @volatile private var innerFactory: PartitionReaderFactory = _
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // a checkpoint restored past a (newly added or tightened)
+    // endingVersion can hand an inverted range: nothing to emit
+    if (ver(end) <= ver(start)) return Array.empty
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
     // a file-diff chunk carrying deletion vectors (a rewrite or
     // restore of a vectored file) cannot replay exactly through the

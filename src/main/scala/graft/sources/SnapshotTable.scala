@@ -345,7 +345,7 @@ final class SnapshotTable(root: String) {
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       rels: Seq[String], dvs: Map[String, Array[Long]]): DataFrame = {
     import org.apache.spark.sql.functions._
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    def abs(rel: String): String = absPath(rel)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (rels.isEmpty) return empty
@@ -885,7 +885,8 @@ final class SnapshotTable(root: String) {
                        bucketing: Option[(String, Int)] = None,
                        bloomKeys: Seq[String] = Nil,
                        bloomItems: Int = 10000,
-                       op: Option[String] = None): Option[Long] = {
+                       op: Option[String] = None,
+                       expectedBase: Option[Long] = None): Option[Long] = {
     val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing, bloomKeys, bloomItems)
 
     var attempt = 0
@@ -900,6 +901,23 @@ final class SnapshotTable(root: String) {
       // pinned to the publish target's predecessor, a winner landing
       // after the scan collides on head+1 and is caught on the retry.
       val head = currentVersion()
+      // expectedBase (content-derived rewrites, e.g. compaction): the
+      // commit REFUSES instead of retrying when anything landed after
+      // the rewrite's read — a retried replace would re-publish the
+      // stale rewrite and silently CLOBBER the concurrent commit's
+      // rows (files dropped from the listing, vectors dropped with
+      // them). User-requested replaces (INSERT OVERWRITE / TRUNCATE)
+      // keep last-writer-wins retries: their content does not derive
+      // from the table.
+      expectedBase.foreach { b =>
+        if (head != b) {
+          SnapshotTable.deleteRecursively(out)
+          throw new IllegalStateException(
+            s"rewrite commit at $root expected base version $b but head " +
+              s"is $head: a commit landed during the rewrite and a " +
+              "replace would clobber it — re-run against the new head")
+        }
+      }
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
         // bucketing lines: the header + per-file assignments ride the
@@ -961,7 +979,8 @@ final class SnapshotTable(root: String) {
     * boundary keeps working. */
   def compact(spark: SparkSession, files: Int = 8,
               sortKey: Option[org.apache.spark.sql.Column] = None): Long = {
-    val cur = read(spark)
+    val base = currentVersion()
+    val cur = readAt(spark, base)
     val arranged = sortKey match {
       case Some(k) =>
         // collision-proof temp name: withColumn would silently
@@ -975,8 +994,9 @@ final class SnapshotTable(root: String) {
       case None => cur.repartition(files)
     }
     doCommit(arranged, replace = true, op = Some("compact"),
-      maxRetries = 20, tag = None).getOrElse(throw new IllegalStateException(
-      s"compact at $root lost the publish race after retries — re-run"))
+      maxRetries = 20, tag = None, expectedBase = Some(base))
+      .getOrElse(throw new IllegalStateException(
+        s"compact at $root lost the publish race — re-run"))
   }
 
   /** RESTORE the table to the content of snapshot `toVersion` as a NEW
@@ -1114,7 +1134,7 @@ final class SnapshotTable(root: String) {
                           zm: Map[String, Map[String, ZoneMaps.ColStat]],
                           pk: String): Set[String] = {
     import org.apache.spark.sql.functions._
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    def abs(rel: String): String = absPath(rel)
     val statsOfPk = rels.flatMap(rel => zm.get(abs(rel)).flatMap(_.get(pk)).map(rel -> _))
     val kind = statsOfPk.headOption.map(_._2.kind)
     // files whose pk stat disagrees with the majority kind (schema
@@ -1242,7 +1262,7 @@ final class SnapshotTable(root: String) {
     // the target probe runs only when duplicates exist at all, and
     // only against the files those keys can touch (zone maps).
     val pk = keys.head
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    def abs(rel: String): String = absPath(rel)
     val dupKeysDf = deltaCk.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__graft_cnt"))
       .where(col("__graft_cnt") > 1)
@@ -1335,10 +1355,19 @@ final class SnapshotTable(root: String) {
         readFilesDvAware(spark, schema, rewriteClass, dvs)
           .join(deltaKeys, keys, "left_anti")
     val rewrite = survivors.unionByName(upserts)
-    val nOut = if (targetFiles > 0) targetFiles
-      else math.max(1, math.max(rewriteClass.size, 1))
-    val (out, newFiles, zmNew, _) = try {
-      writeBatch(rewrite.repartition(nOut))
+    // a delete-only merge-on-read pass (no rewrites, no upserts) has
+    // nothing to write — skipping the batch avoids appending a junk
+    // zero-row file per trickle delete-merge (the upsert emptiness
+    // probe is one limit(1) over the PINNED delta, not a table scan)
+    val nothingToWrite = rewriteClass.isEmpty && upserts.limit(1).count() == 0
+    val (out, newFiles, zmNew) = try {
+      if (nothingToWrite) (None: Option[Path], Seq.empty[String], Seq.empty[String])
+      else {
+        val nOut = if (targetFiles > 0) targetFiles
+          else math.max(1, rewriteClass.size)
+        val (o, nf, zn, _) = writeBatch(rewrite.repartition(nOut))
+        (Some(o), nf, zn)
+      }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
 
     // ---- 3. publish (refuse, don't retry, on a concurrent commit) ----
@@ -1366,7 +1395,7 @@ final class SnapshotTable(root: String) {
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
       zmKept ++ zmNew ++ dvOut ++ cdcNew ++ keptInPlace ++ newFiles
     if (!publish(v + 1, lines)) {
-      SnapshotTable.deleteRecursively(out)
+      out.foreach(SnapshotTable.deleteRecursively)
       sidecarOut.foreach(SnapshotTable.deleteRecursively)
       throw new IllegalStateException(
         s"merge at $root lost the publish race: a commit landed during " +
@@ -1417,7 +1446,7 @@ final class SnapshotTable(root: String) {
     val zm = zoneMapsOf(v)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    def abs(rel: String): String = absPath(rel)
 
     val cond = resolvePredicate(spark, v, condition, schema)
 
@@ -1595,7 +1624,7 @@ final class SnapshotTable(root: String) {
     val zm = zoneMapsOf(v)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
-    def abs(rel: String): String = Paths.get(root).resolve(rel).toString
+    def abs(rel: String): String = absPath(rel)
 
     // validate SET targets up front — even a no-op update must refuse
     // a typo'd column, not silently "succeed"
@@ -1691,7 +1720,7 @@ final class SnapshotTable(root: String) {
         case None => (None, Seq.empty[String], Seq.empty[String])
         case Some(df) =>
           val nOut = if (targetFiles > 0) targetFiles
-            else math.max(1, math.max(rewrites.size, 1))
+            else math.max(1, rewrites.size)
           val (o, nf, zn, _) = writeBatch(df.repartition(nOut))
           (Some(o), nf, zn)
       }

@@ -326,6 +326,37 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("change feed endingVersion: forward-following stream never passes the bound as the head advances") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 5))
+    val head0 = t.currentVersion()
+    val ck = Files.createTempDirectory("graft_cdc_fwd_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // no startingVersion: follow forward from the current head, but
+    // stop at head0 + 2 inclusive
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("endingVersion", head0 + 2)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("_commit_version").as[Long].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      t.commit(kv(10 until 12)) // head0 + 1: inside the bound
+      t.commit(kv(12 until 15)) // head0 + 2: the bound itself
+      t.commit(kv(15 until 19)) // head0 + 3: PAST the bound
+      t.commit(kv(19 until 20)) // head0 + 4: PAST the bound
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val versions = got.asScala.toSet
+      assert(versions === Set(head0 + 1, head0 + 2),
+        s"stream must stop at the bound even as the head advances, got $versions")
+    } finally q.stop()
+  }
+
   test("change feed: a merge commit streams as paired delete+insert rows with its version stamp") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 20))

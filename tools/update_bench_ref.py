@@ -41,9 +41,15 @@ def main():
     old = {k: v for k, v in ref.items() if not k.startswith("_")}
     # start from the committed refs: a SUBSET sweep (RefSweep's
     # query-name filter) must refresh only what it measured, never
-    # wipe the rest. Catalog-removed queries are pruned by a FULL
-    # sweep's next run being the only writer that touches everything.
-    out = dict(old)
+    # wipe the rest. A FULL sweep (covering >= 90% of the committed
+    # refs) additionally PRUNES refs for queries that left the
+    # catalog — they appear in neither the REF nor the REF_FAILED
+    # lines of a full run.
+    failed = set(re.findall(r"^REF_FAILED (\S+)", open(log).read(), re.M))
+    full_sweep = old and len(sweep) + len(failed) >= 0.9 * len(old)
+    out = (
+        {q: v for q, v in old.items() if q in sweep or q in failed}
+        if full_sweep else dict(old))
     n_low, n_chg, n_new = 0, 0, 0
     for q, t in sorted(sweep.items()):
         t = round(max(t, 0.01), 3)
