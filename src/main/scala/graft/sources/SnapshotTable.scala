@@ -324,9 +324,19 @@ final class SnapshotTable(root: String) {
     * cap times the DV'd file count, and cleared by compaction. */
   private def dvPairsDf(spark: SparkSession,
                         dvs: Map[String, Array[Long]]): DataFrame = {
-    import spark.implicits._
-    dvs.iterator.flatMap { case (rel, ps) => ps.iterator.map(rel -> _) }
-      .toSeq.toDF("__dv_file", "__dv_pos")
+    // explicit schema, not the implicit product encoder: reflection-
+    // based encoders resolve against the caller's classloader and
+    // break under REPL/notebook-driven sessions — a DV read must work
+    // anywhere a plain read does
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      dvs.iterator.flatMap { case (rel, ps) =>
+        ps.iterator.map(p => org.apache.spark.sql.Row(rel, p))
+      }.toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__dv_file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__dv_pos",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Read table data files under `schema` with deletion vectors
