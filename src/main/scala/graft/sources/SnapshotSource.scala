@@ -80,15 +80,17 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       val endAt = Option(options.get("endingVersion")).map(_.toLong)
       endAt.foreach { ev =>
         require(ev >= 0, s"endingVersion $ev must be >= 0")
-        // the stream's first emitted version is startingVersion when
-        // given, otherwise head+1 (a fresh feed follows FORWARD) — an
-        // ending before that start can never emit and would otherwise
-        // surface as an inverted-range crash mid-stream
-        val firstEmitted = startFrom.getOrElse(v + 1)
-        require(ev >= firstEmitted,
-          s"endingVersion $ev precedes the stream's first version " +
-            s"$firstEmitted (set startingVersion <= $ev for a " +
-            "historical range)")
+        // an ending before an EXPLICIT start can never emit — refuse
+        // the inverted range at load. Without startingVersion the bound
+        // is validated against nothing here: a forward-following stream
+        // RESTARTED from its checkpoint after the table head passed the
+        // bound would otherwise be refused even though its replay is
+        // perfectly defined (the offset clamp in latestOffset renders a
+        // passed bound as "nothing further to emit", finishing or
+        // idling the query — the checkpointed offsets, not this head
+        // read, are what define the restart position)
+        startFrom.foreach(sv => require(ev >= sv,
+          s"endingVersion $ev precedes startingVersion $sv"))
       }
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
         t.dataDirPath, Map.empty, Some(root), cdc = true,

@@ -177,11 +177,19 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   // historical replay that then idles (stop the query when caught up).
   // The lower clamp (never below the construction-time initial) keeps
   // a bound that precedes the start reading as "nothing to emit", not
-  // as an inverted range.
+  // as an inverted range — but the anchor itself is capped at the
+  // bound: a forward-following bounded stream RESTARTED from its
+  // checkpoint re-captures `initial` from the LIVE head, and an
+  // uncapped anchor would lift the offset past endingVersion as soon
+  // as the head did, leaking post-bound commits into the replay. The
+  // checkpointed start offset (the engine's, not ours) carries the
+  // restart position; any inverted range the capped clamp hands the
+  // engine plans as an empty batch.
   override def latestOffset(): Offset = {
     val clamped = endAt.fold(table.currentVersion())(
       math.min(_, table.currentVersion()))
-    SnapshotVersionOffset(math.max(clamped, initial))
+    val anchor = endAt.fold(initial)(math.min(initial, _))
+    SnapshotVersionOffset(math.max(clamped, anchor))
   }
   override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

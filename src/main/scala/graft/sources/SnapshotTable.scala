@@ -318,12 +318,33 @@ final class SnapshotTable(root: String) {
       org.apache.spark.sql.functions.substring_index(
         org.apache.spark.sql.functions.col("_metadata.file_path"), "/", -2))
 
+  /** The `__dv_file` key domain is the RAW last-two URI segments of
+    * `_metadata.file_path` (see [[fileKeyCol]]): a path segment that
+    * URI encoding would alter (space, '%', '#', non-ASCII, …) makes
+    * the manifest rel and the scanned URI segment diverge, and the
+    * position anti-join would silently SKIP the subtraction —
+    * resurrecting deleted rows. Writer-generated names
+    * (b<nano>_t<tid>/part-*.parquet) never trip this; the guard fails
+    * CLOSED on anything else instead of mis-joining. */
+  private def requireDvKeySafe(rels: Iterable[String]): Unit =
+    rels.foreach { rel =>
+      rel.split('/').takeRight(2).foreach { s =>
+        require(s.forall(c =>
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || "-._~!$&'()*+,;=:@".indexOf(c.toInt) >= 0),
+          s"deletion-vector file key '$rel' contains a character URI " +
+            "encoding would alter — the position anti-join cannot match " +
+            "it safely; compact the table to materialize its vectors")
+      }
+    }
+
   /** Deleted (file, position) pairs as a DataFrame — the build side of
     * the read-time anti-join. O(deleted positions) driver rows,
     * broadcast once per query; bounded by the `dvMaxRowsPerFile` write
     * cap times the DV'd file count, and cleared by compaction. */
   private def dvPairsDf(spark: SparkSession,
                         dvs: Map[String, Array[Long]]): DataFrame = {
+    requireDvKeySafe(dvs.keys)
     // explicit schema, not the implicit product encoder: reflection-
     // based encoders resolve against the caller's classloader and
     // break under REPL/notebook-driven sessions — a DV read must work
@@ -583,16 +604,55 @@ final class SnapshotTable(root: String) {
       val sidecars = cdcSidecarsOf(v)
         .groupBy(_._2).map { case (ctype, xs) =>
           CdcChunk(xs.map(_._1), Map.empty, ctype, v) }.toSeq
-      if (sidecars.isEmpty) {
+      locally {
         val dvPrev = dvRelOf(v - 1)
         val dvCur = dvRelOf(v)
         val common = after.toSet intersect before.toSet
-        val diverged = common.exists { rel =>
+        val diverged = common.filter { rel =>
           dvPrev.get(rel).map(_.toSeq) != dvCur.get(rel).map(_.toSeq) }
-        if (diverged) throw new IllegalStateException(
-          s"CDC at $root: version $v changes deletion vectors on files it " +
-            "keeps, without a change sidecar — the row delta is not " +
-            "reconstructable from the manifest; re-bootstrap the consumer")
+        if (diverged.nonEmpty && sidecars.isEmpty)
+          throw new IllegalStateException(
+            s"CDC at $root: version $v changes deletion vectors on files it " +
+              "keeps, without a change sidecar — the row delta is not " +
+              "reconstructable from the manifest; re-bootstrap the consumer")
+        if (diverged.nonEmpty || sidecars.nonEmpty) {
+          // a sidecar's presence alone is not proof it COVERS the
+          // commit's vector delta (a foreign or corrupt writer could
+          // sidecar part of it — or sidecar rows no vector backs) —
+          // verify the delete-side row count equals the positions the
+          // kept files' vectors grew by this version, refusing on any
+          // mismatch exactly like the no-sidecar path. Vectors only
+          // accrete within a commit, so the per-file delta is a
+          // descriptor-count subtraction; the sidecar row counts come
+          // from one footer read per sidecar file (O(sidecars),
+          // driver-side, version-scoped).
+          val grown = diverged.toSeq.map { rel =>
+            val p = dvPrev.get(rel).map(_.length.toLong).getOrElse(0L)
+            val c = dvCur.get(rel).map(_.length.toLong).getOrElse(0L)
+            rel -> (c - p)
+          }
+          require(grown.forall(_._2 > 0),
+            s"CDC at $root: version $v SHRANK a kept file's deletion " +
+              s"vector (${grown.filter(_._2 <= 0).map(_._1).mkString(", ")})" +
+              " — not a delta any writer of this format produces; " +
+              "re-bootstrap the consumer")
+          val expected = grown.map(_._2).sum
+          val hconf = new org.apache.hadoop.conf.Configuration()
+          val sidecarDeleteRows = cdcSidecarsOf(v).filter(_._2 == "delete")
+            .map { case (rel, _) =>
+              val rows = scala.util.Try(
+                ZoneMaps.collect(hconf, absPath(rel)).rows).getOrElse(-1L)
+              require(rows >= 0, s"CDC at $root: version $v's change " +
+                s"sidecar $rel is unreadable — cannot prove it covers " +
+                "the deletion-vector delta; re-bootstrap the consumer")
+              rows
+            }.sum
+          if (sidecarDeleteRows != expected) throw new IllegalStateException(
+            s"CDC at $root: version $v's change sidecar carries " +
+              s"$sidecarDeleteRows delete rows but its kept files' " +
+              s"deletion vectors grew by $expected positions — the " +
+              "sidecar does not cover the delta; re-bootstrap the consumer")
+        }
       }
       // file-diff replays SUBTRACT the relevant vectors: a removed
       // file's rows that v-1 had already DV-deleted were deleted (and

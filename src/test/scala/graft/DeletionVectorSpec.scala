@@ -358,6 +358,78 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(t.dvRelOf(v).isEmpty && t.read(spark).count() === 99)
   }
 
+  test("a DV file key URI encoding would alter fails CLOSED instead of resurrecting rows") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val r = t.deleteWhere(spark, col("id") === 3L, dvMaxRowsPerFile = 1000)
+    val mPath = Paths.get(dir, "_manifests", f"v${r.version}%09d.json")
+    val lines = manifestLines(dir, r.version)
+    val dataRel = dataFilesOf(lines).head
+    // physically relocate the batch dir to a name with a space — the
+    // raw rel and its URI segment now diverge, so the anti-join key
+    // CANNOT be matched safely; the read must refuse, never silently
+    // skip the subtraction (which would resurrect id=3)
+    val oldBatch = dataRel.split('/')(1)
+    Files.move(Paths.get(dir, "data", oldBatch),
+      Paths.get(dir, "data", "b bad"))
+    val newRel = dataRel.replace(oldBatch, "b bad")
+    val Some((_, ps)) =
+      DeletionVectors.decodeLine(lines.find(_.startsWith("#dv=")).get)
+    val rewritten = lines.map { l =>
+      if (l == dataRel) newRel
+      else if (l.startsWith("#dv=")) DeletionVectors.encodeLine(newRel, ps)
+      else l
+    }
+    Files.write(mPath, rewritten.mkString("\n").getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable(dir).read(spark).count()
+    }
+    assert(ex.getMessage.contains("URI"),
+      s"expected the fail-closed key guard, got: ${ex.getMessage}")
+  }
+
+  test("change feed refuses a sidecar that does not cover the commit's vector delta") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    val r = t.deleteWhere(spark, col("id").isin(5L, 6L, 7L),
+      dvMaxRowsPerFile = 1000)
+    // healthy range replays exactly the three deletes
+    assert(t.readChangesCdc(spark, v0, r.version)
+      .filter(col("_change_type") === "delete").count() === 3)
+    // tamper: point the `#cdc=` line at the 100-row DATA file — a
+    // sidecar whose row count does not match the vector delta (a
+    // foreign or corrupt writer) must refuse, not under- or over-replay
+    val mPath = Paths.get(dir, "_manifests", f"v${r.version}%09d.json")
+    val lines = manifestLines(dir, r.version)
+    val dataRel = dataFilesOf(lines).head
+    val rewritten = lines.map { l =>
+      if (l.startsWith("#cdc="))
+        "#cdc=" + java.net.URLEncoder.encode(dataRel, "UTF-8") + ":delete"
+      else l
+    }
+    Files.write(mPath, rewritten.mkString("\n").getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable(dir).readChangesCdc(spark, v0, r.version).count()
+    }
+    assert(ex.getMessage.contains("does not cover"))
+
+    // the converse phantom: a sidecar on a commit whose vectors did
+    // NOT change (an append) replays deletes nothing backs — refuse
+    val (t2, dir2) = freshTable()
+    t2.commit(kv(0 until 10).repartition(1))
+    val rel0 = dataFilesOf(manifestLines(dir2, 0L)).head
+    val v1 = t2.commit(kv(10 until 20).repartition(1))
+    val m1 = Paths.get(dir2, "_manifests", f"v$v1%09d.json")
+    val withPhantom = manifestLines(dir2, v1) :+
+      ("#cdc=" + java.net.URLEncoder.encode(rel0, "UTF-8") + ":delete")
+    Files.write(m1, withPhantom.mkString("\n").getBytes("UTF-8"))
+    val ex2 = intercept[IllegalStateException] {
+      SnapshotTable(dir2).readChangesCdc(spark, 0L, v1).count()
+    }
+    assert(ex2.getMessage.contains("does not cover"))
+  }
+
   test("vacuum retains the change sidecar with its manifest; expiry reaps it") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 100).repartition(1))

@@ -326,6 +326,64 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("change feed endingVersion: a bounded stream restarted after the head passed the bound finishes its replay") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 5))
+    val head0 = t.currentVersion()
+    t.commit(kv(10 until 13)) // head0 + 1: inside the bound
+    t.commit(kv(13 until 15)) // head0 + 2: the bound itself
+    val vEnd = head0 + 2
+    val ck = Files.createTempDirectory("graft_cdc_rst_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", head0 + 1)
+        .option("endingVersion", vEnd)
+        .load(dir)
+        .writeStream
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          bdf.select("id", "_commit_version")
+            .as[(Long, Long)].collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first pass consumes the whole bounded range
+    import scala.jdk.CollectionConverters._
+    val firstPass = got.asScala.toSet
+    assert(firstPass.map(_._2) === Set(head0 + 1, vEnd))
+    // the table head moves PAST the bound while the query is down —
+    // the restarted stream must come back up (not refuse at load),
+    // emit nothing new, and idle at the bound
+    t.commit(kv(20 until 25))
+    t.commit(kv(25 until 30))
+    run()
+    assert(got.asScala.toSet === firstPass,
+      "a restarted bounded stream must neither re-emit nor pass the bound")
+    // same restart shape mid-range: wipe the checkpoint past only the
+    // FIRST version, restart, and the replay must complete to the bound
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ck2 = Files.createTempDirectory("graft_cdc_rst_ck2").toString
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", head0 + 1)
+      .option("endingVersion", vEnd)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("id", "_commit_version")
+          .as[(Long, Long)].collect().foreach(got2.add); ()
+      }
+      .option("checkpointLocation", ck2)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got2.asScala.toSet === firstPass,
+      "a fresh bounded replay started after the head passed the bound " +
+        "must still cover exactly [start, end]")
+  }
+
   test("change feed endingVersion: forward-following stream never passes the bound as the head advances") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 5))
