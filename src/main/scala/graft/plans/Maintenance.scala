@@ -215,7 +215,7 @@ object MaintenanceStrategy extends SparkStrategy {
       // would otherwise mis-report the count
       val v = t.compact(spark, o.files, sortKey)
       val reclaimed = t.dvRelOf(v - 1)
-        .valuesIterator.map(_.length.toLong).sum
+        .valuesIterator.map(_.count).sum
       Array(new GenericInternalRow(
         Array[Any](v, t.fileCount(v).toLong, reclaimed)): InternalRow)
     }) :: Nil

@@ -117,11 +117,13 @@ final class SnapshotTable(root: String) {
     else Files.readAllLines(manifestPath(v)).asScala.toSeq
       .filter(_.startsWith(DeletionVectors.Prefix))
 
-  /** Deletion vectors of snapshot `v`, keyed by RELATIVE path. Unlike
-    * zone maps a DV is a CORRECTNESS artifact — a line that exists but
-    * fails to decode is an error (silently skipping it would resurrect
-    * deleted rows), hence the require instead of a flatMap drop. */
-  private[graft] def dvRelOf(v: Long): Map[String, Array[Long]] =
+  /** Deletion-vector DESCRIPTORS of snapshot `v`, keyed by RELATIVE
+    * path — count + payload token, O(1) each; position decode is
+    * deferred to the distributed read side. Unlike zone maps a DV is a
+    * CORRECTNESS artifact — a line that exists but fails to decode is
+    * an error (silently skipping it would resurrect deleted rows),
+    * hence the require instead of a flatMap drop. */
+  private[graft] def dvRelOf(v: Long): Map[String, DeletionVectors.Dv] =
     dvLines(v).map { l =>
       DeletionVectors.decodeLine(l).getOrElse(throw new IllegalStateException(
         s"snapshot v$v at $root carries an undecodable deletion-vector line: " +
@@ -272,11 +274,13 @@ final class SnapshotTable(root: String) {
     after.filterNot(before).map(rel => Paths.get(root).resolve(rel).toString)
   }
 
-  /** Comparable DV state of snapshot `v` (rel → position vector) —
+  /** Comparable DV state of snapshot `v` (rel → descriptor) —
     * equality across two versions means no row was DV-deleted or
-    * DV-restored between them. */
-  private def dvStateOf(v: Long): Map[String, Seq[Long]] =
-    dvRelOf(v).map { case (rel, ps) => rel -> ps.toSeq }
+    * DV-restored between them. Descriptor equality is exact here: the
+    * only way a vector survives a commit unchanged is its line carried
+    * forward verbatim, and any position change re-encodes the line. */
+  private def dvStateOf(v: Long): Map[String, DeletionVectors.Dv] =
+    dvRelOf(v)
 
   // incremental tag index: manifests are immutable once committed, so
   // each version is read at most once per table handle — commitOnce
@@ -339,25 +343,42 @@ final class SnapshotTable(root: String) {
     }
 
   /** Deleted (file, position) pairs as a DataFrame — the build side of
-    * the read-time anti-join. O(deleted positions) driver rows,
-    * broadcast once per query; bounded by the `dvMaxRowsPerFile` write
-    * cap times the DV'd file count, and cleared by compaction. */
+    * the read-time anti-join, constructed DISTRIBUTED: the driver
+    * parallelizes only the O(DV'd files) fixed-size descriptors; the
+    * payload decode (and any sidecar-file read — file-local I/O) runs
+    * in the flatMap tasks. No path materializes O(positions) rows on
+    * the driver. Wrapped with a broadcast hint while the total
+    * position count fits [[SnapshotTable.DvBroadcastMaxPositions]];
+    * beyond it the pairs stay a plain distributed relation and the
+    * anti-join shuffles — slower, but bounded by executor (never
+    * driver) memory, the 100 TB degradation mode until compaction
+    * materializes the vectors away. */
   private def dvPairsDf(spark: SparkSession,
-                        dvs: Map[String, Array[Long]]): DataFrame = {
+                        dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
     requireDvKeySafe(dvs.keys)
-    // explicit schema, not the implicit product encoder: reflection-
-    // based encoders resolve against the caller's classloader and
-    // break under REPL/notebook-driven sessions — a DV read must work
-    // anywhere a plain read does
-    val rows: java.util.List[org.apache.spark.sql.Row] =
-      dvs.iterator.flatMap { case (rel, ps) =>
-        ps.iterator.map(p => org.apache.spark.sql.Row(rel, p))
-      }.toSeq.asJava
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__dv_file",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("__dv_pos",
-        org.apache.spark.sql.types.LongType, nullable = false))))
+    val rootStr = root
+    val descs = dvs.toSeq.map { case (rel, d) => (rel, d.count, d.payload) }
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, descs.size))
+    // explicit Row schema, not the implicit product encoder:
+    // reflection-based encoders resolve against the caller's
+    // classloader and break under REPL/notebook-driven sessions — a DV
+    // read must work anywhere a plain read does
+    val pairRdd = spark.sparkContext.parallelize(descs, slices)
+      .flatMap { case (rel, n, payload) =>
+        DeletionVectors.Dv(n, payload).positions(rootStr)
+          .iterator.map(p => org.apache.spark.sql.Row(rel, p))
+      }
+    val pairs = spark.createDataFrame(pairRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dv_file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__dv_pos",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val total = dvs.valuesIterator.map(_.count).sum
+    if (total <= SnapshotTable.DvBroadcastMaxPositions)
+      org.apache.spark.sql.functions.broadcast(pairs)
+    else pairs
   }
 
   /** Read table data files under `schema` with deletion vectors
@@ -374,7 +395,7 @@ final class SnapshotTable(root: String) {
     * skipping). */
   private[sources] def readFilesDvAware(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
-      rels: Seq[String], dvs: Map[String, Array[Long]]): DataFrame = {
+      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
     import org.apache.spark.sql.functions._
     def abs(rel: String): String = absPath(rel)
     val empty = spark.createDataFrame(
@@ -392,7 +413,7 @@ final class SnapshotTable(root: String) {
         .parquet(dvd.map(abs): _*)
         .withColumn("__dv_file", fileKeyCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(broadcast(dvPairsDf(spark, scoped)),
+        .join(dvPairsDf(spark, scoped),
           Seq("__dv_file", "__dv_pos"), "left_anti")
         .drop("__dv_file", "__dv_pos")
       cleanDf.unionByName(filtered)
@@ -452,7 +473,7 @@ final class SnapshotTable(root: String) {
     * through the change feed). */
   private def liveRowsWithPos(spark: SparkSession,
       sch: org.apache.spark.sql.types.StructType,
-      rels: Seq[String], dvs: Map[String, Array[Long]]): DataFrame = {
+      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = spark.read.schema(sch).option("basePath", dataDirPath)
       .parquet(rels.map(absPath): _*)
@@ -460,30 +481,87 @@ final class SnapshotTable(root: String) {
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val scoped = dvs.view.filterKeys(rels.toSet).toMap
     if (scoped.isEmpty) base
-    else base.join(broadcast(dvPairsDf(spark, scoped)),
+    else base.join(dvPairsDf(spark, scoped),
       Seq("__dv_file", "__dv_pos"), "left_anti")
   }
 
+  /** Test/audit hook: how many rows the last [[dvMaterialize]] call
+    * collected to the driver — by design O(DV'd files) fixed-size
+    * descriptors, NEVER O(deleted positions). */
+  private[graft] var lastDvDriverRowsCollected: Int = -1
+
   /** Materialize a merge-on-read DML phase from a BOUNDED (cap-checked,
-    * checkpointed) frame of matched rows: collect the per-file deleted
-    * positions and write the matched rows' OLD versions as this
-    * commit's delete-side change sidecar (`#cdc=` line), so the change
+    * checkpointed) frame of matched rows — WITHOUT ever collecting
+    * positions to the driver: a `groupBy(__dv_file)` aggregation
+    * gathers each file's new positions (≤ the per-file cap, by
+    * classification) in its executor task, unions them with the file's
+    * PRIOR vector (payload decoded right there — a sidecar read is
+    * file-local I/O), encodes, and either inlines the result or writes
+    * a per-file binary sidecar under the commit's invisible `data/`
+    * batch dir ([[DeletionVectors.descriptorOf]]). The driver collects
+    * only O(DV'd files) descriptors, so a delete spanning a million
+    * files costs the driver a million short strings, not 10^10
+    * positions. The matched rows' OLD versions are also written as
+    * this commit's delete-side change sidecar (`#cdc=` line), sized to
+    * the matched volume instead of a single-task funnel, so the change
     * feed replays them as a plain file chunk — batch AND streaming, no
-    * position machinery at read time. The sidecar lands under data/
+    * position machinery at read time. Everything lands under data/
     * like any batch: invisible until the manifest referencing it
-    * publishes. Returns (positions by rel, sidecar dir, `#cdc=` lines). */
+    * publishes. Returns (merged descriptors by rel, dirs to reap on
+    * publish failure, `#cdc=` lines). */
   private def dvMaterialize(spark: SparkSession,
-      sch: org.apache.spark.sql.types.StructType, matched: DataFrame)
-      : (Map[String, Array[Long]], Path, Seq[String]) = {
+      sch: org.apache.spark.sql.types.StructType, matched: DataFrame,
+      prior: Map[String, DeletionVectors.Dv], totalMatched: Long)
+      : (Map[String, DeletionVectors.Dv], Seq[Path], Seq[String]) = {
     import org.apache.spark.sql.functions._
-    val pos: Map[String, Array[Long]] = matched
+    val stamp = s"${System.nanoTime()}_t${Thread.currentThread().getId}"
+    val dvBatch = s"dv$stamp"
+    val dvDir = dataDir.resolve(dvBatch)
+    Files.createDirectories(dvDir)
+    // locals only in the task closure: the table handle itself holds
+    // non-serializable Paths and must not be captured
+    val rootStr = root
+    val priorScoped: Map[String, (Long, String)] =
+      prior.map { case (rel, d) => rel -> ((d.count, d.payload)) }
+    val descs: Array[(String, Long, String)] = matched
       .select(col("__dv_file"), col("__dv_pos"))
-      .collect().groupBy(_.getString(0))
-      .map { case (rel, rs) => rel -> rs.map(_.getLong(1)).sorted }
-    val cdcDir = dataDir.resolve(
-      s"cdc${System.nanoTime()}_t${Thread.currentThread().getId}")
+      .groupBy("__dv_file")
+      .agg(sort_array(collect_list(col("__dv_pos"))).as("__ps"))
+      .rdd.map { r =>
+        val rel = r.getString(0)
+        val fresh = r.getSeq[Long](1).toArray
+        val all = priorScoped.get(rel) match {
+          case Some((n, payload)) => DeletionVectors.merge(
+            DeletionVectors.Dv(n, payload).positions(rootStr), fresh)
+          case None => fresh
+        }
+        val d = DeletionVectors.descriptorOf(all, { bytes =>
+          // deterministic per-rel sidecar name: a retried task
+          // re-writes the same path with identical content
+          val name = java.security.MessageDigest.getInstance("SHA-1")
+            .digest(rel.getBytes("UTF-8"))
+            .take(10).map(b => f"$b%02x").mkString + ".dvb"
+          val sidecarRel = s"data/$dvBatch/$name"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(rootStr).resolve(sidecarRel), bytes)
+          sidecarRel
+        })
+        (rel, d.count, d.payload)
+      }.collect()
+    lastDvDriverRowsCollected = descs.length
+    val dvByRel = descs.map { case (rel, n, p) =>
+      rel -> DeletionVectors.Dv(n, p) }.toMap
+    val dvDirUsed = {
+      val st = Files.list(dvDir)
+      try st.iterator().hasNext finally st.close()
+    }
+    if (!dvDirUsed) Files.deleteIfExists(dvDir)
+    val cdcDir = dataDir.resolve(s"cdc$stamp")
+    // fan the change sidecar out with the matched volume (~500k rows
+    // per task) instead of funneling every row through one task
+    val nOut = math.max(1L, math.min(32L, totalMatched / 500000L + 1L)).toInt
     matched.select(sch.fieldNames.map(col).toIndexedSeq: _*)
-      .repartition(1).write.parquet(cdcDir.toString)
+      .repartition(nOut).write.parquet(cdcDir.toString)
     val cdcRels = {
       val st = Files.list(cdcDir)
       try st.iterator().asScala.map(_.getFileName.toString)
@@ -493,7 +571,7 @@ final class SnapshotTable(root: String) {
     }
     val cdcLines = cdcRels.map(rel =>
       "#cdc=" + java.net.URLEncoder.encode(rel, "UTF-8") + ":delete")
-    (pos, cdcDir, cdcLines)
+    (dvByRel, (if (dvDirUsed) Seq(dvDir) else Seq.empty) :+ cdcDir, cdcLines)
   }
 
   /** Read the latest snapshot under a DECLARED schema (the K4/K5 DDL
@@ -578,7 +656,7 @@ final class SnapshotTable(root: String) {
     * already deleted must not replay again — see below), the change
     * type to stamp, and the commit version. */
   private[sources] final case class CdcChunk(
-      rels: Seq[String], exclude: Map[String, Array[Long]],
+      rels: Seq[String], exclude: Map[String, DeletionVectors.Dv],
       ctype: String, v: Long)
 
   private[sources] def absPath(rel: String): String =
@@ -609,7 +687,7 @@ final class SnapshotTable(root: String) {
         val dvCur = dvRelOf(v)
         val common = after.toSet intersect before.toSet
         val diverged = common.filter { rel =>
-          dvPrev.get(rel).map(_.toSeq) != dvCur.get(rel).map(_.toSeq) }
+          dvPrev.get(rel) != dvCur.get(rel) }
         if (diverged.nonEmpty && sidecars.isEmpty)
           throw new IllegalStateException(
             s"CDC at $root: version $v changes deletion vectors on files it " +
@@ -627,8 +705,8 @@ final class SnapshotTable(root: String) {
           // from one footer read per sidecar file (O(sidecars),
           // driver-side, version-scoped).
           val grown = diverged.toSeq.map { rel =>
-            val p = dvPrev.get(rel).map(_.length.toLong).getOrElse(0L)
-            val c = dvCur.get(rel).map(_.length.toLong).getOrElse(0L)
+            val p = dvPrev.get(rel).map(_.count).getOrElse(0L)
+            val c = dvCur.get(rel).map(_.count).getOrElse(0L)
             rel -> (c - p)
           }
           require(grown.forall(_._2 > 0),
@@ -660,7 +738,7 @@ final class SnapshotTable(root: String) {
       // an added file carrying a `#dv=` line (a restore re-adding a
       // vectored file) must not resurrect its deleted positions as
       // inserts.
-      def excl(rels: Seq[String], dv: Map[String, Array[Long]]) =
+      def excl(rels: Seq[String], dv: Map[String, DeletionVectors.Dv]) =
         dv.view.filterKeys(rels.toSet).toMap
       sidecars ++ (op match {
         case "compact" => Seq.empty
@@ -1088,7 +1166,12 @@ final class SnapshotTable(root: String) {
     require(Files.exists(manifestPath(toVersion)),
       s"restore target v$toVersion at $root is expired (vacuumed)")
     if (toVersion == head) return head
-    val files = listing(toVersion)
+    // a restore must be all-or-nothing: every data file AND every
+    // deletion-vector sidecar the target's `#dv=` pointer lines
+    // reference must still exist (a vacuumed sidecar would make the
+    // restored head unreadable)
+    val files = listing(toVersion) ++
+      dvRelOf(toVersion).values.flatMap(_.sidecarRel)
     val missing = files.filterNot(rel => Files.exists(Paths.get(root).resolve(rel)))
     require(missing.isEmpty,
       s"restore to v$toVersion at $root impossible: ${missing.size} data " +
@@ -1128,7 +1211,7 @@ final class SnapshotTable(root: String) {
         if (Files.exists(abs)) Some(Files.size(abs)) else None,
         buckets.get(rel),
         st.map(_.blooms.size.toLong).getOrElse(0L),
-        dv.get(rel).map(_.length.toLong).getOrElse(0L))
+        dv.get(rel).map(_.count).getOrElse(0L))
     }
   }
 
@@ -1387,11 +1470,11 @@ final class SnapshotTable(root: String) {
     // forward by reference.
     val touchedSorted = touched.toSeq.sorted
     var dvCheckpoint: Option[DataFrame] = None
-    val (kept, dvClass, dvPositions, rewriteClass, sidecarOut, cdcNew) =
+    val (kept, dvClass, dvNew, rewriteClass, sidecarOut, cdcNew, dvRowsNew) =
       if (dvMaxRowsPerFile <= 0 || touched.isEmpty)
         (Seq.empty[String], Seq.empty[String],
-          Map.empty[String, Array[Long]], touchedSorted,
-          None: Option[Path], Seq.empty[String])
+          Map.empty[String, DeletionVectors.Dv], touchedSorted,
+          Seq.empty[Path], Seq.empty[String], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
           liveRowsWithPos(spark, schema, onRels, dvs)
@@ -1405,13 +1488,15 @@ final class SnapshotTable(root: String) {
         val rw = touchedSorted.filter(r =>
           counts.get(r).exists(_ > dvMaxRowsPerFile))
         if (dvC.isEmpty)
-          (zeroMatch, Seq.empty[String], Map.empty[String, Array[Long]],
-            rw, None: Option[Path], Seq.empty[String])
+          (zeroMatch, Seq.empty[String], Map.empty[String, DeletionVectors.Dv],
+            rw, Seq.empty[Path], Seq.empty[String], 0L)
         else {
           val matched = scanMatched(dvC).localCheckpoint()
           dvCheckpoint = Some(matched)
-          val (pos, cdcDir, cdcLines) = dvMaterialize(spark, schema, matched)
-          (zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines)
+          val newRows = dvC.map(counts).sum
+          val (merged, outDirs, cdcLines) = dvMaterialize(spark, schema,
+            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
+          (zeroMatch, dvC, merged, rw, outDirs, cdcLines, newRows)
         }
       }
 
@@ -1446,20 +1531,14 @@ final class SnapshotTable(root: String) {
     val zmKept = zmLines(v).filter(l =>
       ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
     // kept files' vectors carry (merged with this merge's positions on
-    // DV-class files); rewritten files materialized theirs away
+    // DV-class files, union done executor-side in dvMaterialize);
+    // rewritten files materialized theirs away
     val dvOut: Seq[String] = {
       val dvClassSet = dvClass.toSet
       val carried = dvLines(v).filter(l =>
         DeletionVectors.decodeLine(l).exists { case (rel, _) =>
           keptSet.contains(rel) && !dvClassSet.contains(rel) })
-      val merged = dvClass.map { rel =>
-        val all = dvs.get(rel) match {
-          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
-          case None => dvPositions(rel)
-        }
-        DeletionVectors.encodeLine(rel, all)
-      }
-      carried ++ merged
+      carried ++ dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
     }
     val lines = Seq(s"#schema=${schema.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
@@ -1474,7 +1553,7 @@ final class SnapshotTable(root: String) {
     SnapshotTable.MergeResult(v + 1, filesRewritten = rewriteClass.size,
       filesUntouched = untouched.size + kept.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
-      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
+      dvRowsAdded = dvRowsNew)
 
     } finally deltaCk.unpersist(blocking = false)
   }
@@ -1548,10 +1627,10 @@ final class SnapshotTable(root: String) {
     // matches -> untouched by reference; over the cap -> copy-on-write
     // rewrite (a delete touching most of a file is cheaper rewritten
     // than carried as a vector — Delta's own fallback heuristic).
-    val (untouched, dvClass, dvPositions, rewrites, sidecarOut, cdcNew) =
+    val (untouched, dvClass, dvNew, rewrites, sidecarOut, cdcNew, dvRowsNew) =
       if (dvMaxRowsPerFile <= 0 || straddling.isEmpty)
-        (untouched0, Seq.empty[String], Map.empty[String, Array[Long]],
-          straddling, None: Option[Path], Seq.empty[String])
+        (untouched0, Seq.empty[String], Map.empty[String, DeletionVectors.Dv],
+          straddling, Seq.empty[Path], Seq.empty[String], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
           liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
@@ -1565,15 +1644,19 @@ final class SnapshotTable(root: String) {
           counts.get(r).exists(_ > dvMaxRowsPerFile))
         if (dvC.isEmpty)
           (untouched0 ++ zeroMatch, Seq.empty[String],
-            Map.empty[String, Array[Long]], rw, None: Option[Path],
-            Seq.empty[String])
+            Map.empty[String, DeletionVectors.Dv], rw, Seq.empty[Path],
+            Seq.empty[String], 0L)
         else {
-          // one bounded materialization feeds both the position collect
-          // and the change-sidecar write (<= cap rows per DV'd file)
+          // one bounded materialization feeds both the executor-side
+          // vector encode and the change-sidecar write (<= cap rows
+          // per DV'd file)
           val matched = scanMatched(dvC).localCheckpoint()
           try {
-            val (pos, cdcDir, cdcLines) = dvMaterialize(spark, sch, matched)
-            (untouched0 ++ zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines)
+            val newRows = dvC.map(counts).sum
+            val (merged, outDirs, cdcLines) = dvMaterialize(spark, sch,
+              matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
+            (untouched0 ++ zeroMatch, dvC, merged, rw, outDirs, cdcLines,
+              newRows)
           } finally matched.unpersist(blocking = false)
         }
       }
@@ -1605,14 +1688,8 @@ final class SnapshotTable(root: String) {
       val untouchedKept = dvLines(v).filter(l =>
         DeletionVectors.decodeLine(l).exists { case (rel, _) =>
           untouchedSet.contains(rel) })
-      val merged = dvClass.map { rel =>
-        val all = dvs.get(rel) match {
-          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
-          case None => dvPositions(rel)
-        }
-        DeletionVectors.encodeLine(rel, all)
-      }
-      untouchedKept ++ merged
+      untouchedKept ++
+        dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
     }
     val lines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=delete") ++
@@ -1628,7 +1705,7 @@ final class SnapshotTable(root: String) {
     SnapshotTable.DeleteResult(v + 1, filesDropped = dropped.size,
       filesRewritten = rewrites.size, filesUntouched = untouched.size,
       filesAdded = newFiles.size, filesDvUpdated = dvClass.size,
-      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
+      dvRowsAdded = dvRowsNew)
   }
 
   /** Resolve a user predicate `Column` against snapshot `v`'s schema
@@ -1726,12 +1803,12 @@ final class SnapshotTable(root: String) {
     // with more matches than the cap rewrite copy-on-write, zero
     // matches carry forward by reference.
     var dvCheckpoint: Option[DataFrame] = None
-    val (untouched, dvClass, dvPositions, rewrites, sidecarOut, cdcNew,
-         dvUpdatedRows) =
+    val (untouched, dvClass, dvNew, rewrites, sidecarOut, cdcNew,
+         dvUpdatedRows, dvRowsNew) =
       if (dvMaxRowsPerFile <= 0)
-        (untouched0, Seq.empty[String], Map.empty[String, Array[Long]],
-          candidates, None: Option[Path], Seq.empty[String],
-          None: Option[DataFrame])
+        (untouched0, Seq.empty[String], Map.empty[String, DeletionVectors.Dv],
+          candidates, Seq.empty[Path], Seq.empty[String],
+          None: Option[DataFrame], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
           liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
@@ -1745,12 +1822,14 @@ final class SnapshotTable(root: String) {
           counts.get(r).exists(_ > dvMaxRowsPerFile))
         if (dvC.isEmpty)
           (untouched0 ++ zeroMatch, Seq.empty[String],
-            Map.empty[String, Array[Long]], rw, None: Option[Path],
-            Seq.empty[String], None: Option[DataFrame])
+            Map.empty[String, DeletionVectors.Dv], rw, Seq.empty[Path],
+            Seq.empty[String], None: Option[DataFrame], 0L)
         else {
           val matched = scanMatched(dvC).localCheckpoint()
           dvCheckpoint = Some(matched) // unpersisted after the append lands
-          val (pos, cdcDir, cdcLines) = dvMaterialize(spark, sch, matched)
+          val newRows = dvC.map(counts).sum
+          val (merged, outDirs, cdcLines) = dvMaterialize(spark, sch,
+            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
           // the new row versions: every matched row has pred true, so
           // assignments apply unconditionally, cast to manifest types
           val applied = matched.select(sch.fields.map { f =>
@@ -1759,8 +1838,8 @@ final class SnapshotTable(root: String) {
               case None => col(f.name)
             }
           }.toIndexedSeq: _*)
-          (untouched0 ++ zeroMatch, dvC, pos, rw, Some(cdcDir), cdcLines,
-            Some(applied))
+          (untouched0 ++ zeroMatch, dvC, merged, rw, outDirs, cdcLines,
+            Some(applied), newRows)
         }
       }
     if (dvClass.isEmpty && rewrites.isEmpty) {
@@ -1804,14 +1883,8 @@ final class SnapshotTable(root: String) {
       val untouchedKept = dvLines(v).filter(l =>
         DeletionVectors.decodeLine(l).exists { case (rel, _) =>
           untouchedSet.contains(rel) })
-      val merged = dvClass.map { rel =>
-        val all = dvs.get(rel) match {
-          case Some(prev) => DeletionVectors.merge(prev, dvPositions(rel))
-          case None => dvPositions(rel)
-        }
-        DeletionVectors.encodeLine(rel, all)
-      }
-      untouchedKept ++ merged
+      untouchedKept ++
+        dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
     }
     val lines = Seq(s"#schema=${sch.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=update") ++
@@ -1827,7 +1900,7 @@ final class SnapshotTable(root: String) {
     SnapshotTable.UpdateResult(v + 1, filesRewritten = rewrites.size,
       filesUntouched = untouched.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
-      dvRowsAdded = dvPositions.valuesIterator.map(_.length.toLong).sum)
+      dvRowsAdded = dvRowsNew)
   }
 
   /** VACUUM: physically delete data files no committed-and-retained
@@ -1860,7 +1933,10 @@ final class SnapshotTable(root: String) {
         // change sidecars of retained versions: a CDC consumer may
         // still replay any retained range, so its delete-row files
         // live exactly as long as the manifest that references them
-        retained.flatMap(v => cdcSidecarsOf(v).map(_._1)).toSet
+        retained.flatMap(v => cdcSidecarsOf(v).map(_._1)).toSet ++
+        // deletion-vector sidecar FILES referenced by retained `#dv=`
+        // pointer lines: reaping one would break the retained read
+        retained.flatMap(v => dvRelOf(v).values.flatMap(_.sidecarRel)).toSet
     var dataDeleted = 0
     val batches = Files.list(dataDir)
     try batches.iterator().asScala.toSeq.foreach { b =>
@@ -1903,7 +1979,7 @@ final class SnapshotTable(root: String) {
     // vector positions — so count(*) parity holds on DV'd tables
     val dvTotal = {
       val dv = dvRelOf(v)
-      rels.iterator.flatMap(dv.get).map(_.length.toLong).sum
+      rels.iterator.flatMap(dv.get).map(_.count).sum
     }
     val rows =
       if (perFile.forall(_.exists(_.rows >= 0)))
@@ -1945,6 +2021,15 @@ final class SnapshotTable(root: String) {
 
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
+
+  /** Total pending deleted positions up to which the read-time
+    * (file, position) anti-join BROADCASTS its build side (fast path:
+    * no shuffle of the data). Beyond it the pairs stay a plain
+    * distributed relation and the anti-join shuffles — bounded by
+    * executor, never driver, memory, so a heavily-vectored table
+    * degrades instead of OOMing the driver; compaction restores the
+    * fast path. ~2M pairs ≈ 100 MB broadcast. */
+  val DvBroadcastMaxPositions: Long = 2000000L
 
   /** What a [[SnapshotTable.merge]] did, for callers and specs: the
     * committed version plus the file-level work accounting that proves

@@ -33,12 +33,20 @@ class DeletionVectorSpec extends SparkTestBase {
   test("varint codec: positions round-trip, merge unions, malformed refuses") {
     val ps = Array(0L, 1L, 7L, 8L, 127L, 128L, 129L, 1L << 40, (1L << 40) + 1)
     val line = DeletionVectors.encodeLine("data/b1/f.parquet", ps.reverse)
-    val Some((rel, back)) = DeletionVectors.decodeLine(line)
+    val Some((rel, dv)) = DeletionVectors.decodeLine(line)
     assert(rel === "data/b1/f.parquet")
-    assert(back.toSeq === ps.toSeq) // sorted on encode
+    assert(dv.count === ps.length.toLong && !dv.isSidecar)
+    assert(dv.positions("/nonexistent").toSeq === ps.toSeq) // sorted on encode
     assert(DeletionVectors.merge(Array(3L, 5L), Array(5L, 1L)).toSeq
       === Seq(1L, 3L, 5L))
     assert(DeletionVectors.decodeLine("#dv=bad").isEmpty)
+    // a sidecar pointer decodes to a descriptor without touching disk
+    val sline = DeletionVectors.lineOf("data/b1/f.parquet",
+      DeletionVectors.Dv(3L, "@" +
+        java.net.URLEncoder.encode("data/dv1/ab.dvb", "UTF-8")))
+    val Some((_, sdv)) = DeletionVectors.decodeLine(sline)
+    assert(sdv.isSidecar && sdv.sidecarRel === Some("data/dv1/ab.dvb")
+      && sdv.count === 3L)
   }
 
   test("single-row DELETE commits O(delta): no data file rewritten, vector + sidecar recorded, reads exact") {
@@ -349,13 +357,78 @@ class DeletionVectorSpec extends SparkTestBase {
     val r = t.merge(spark, Seq((6L, "m6")).toDF("id", "s"), Seq("id"),
       dvMaxRowsPerFile = 1000)
     assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
-    assert(t.dvRelOf(r.version).values.map(_.length).sum === 2,
+    assert(t.dvRelOf(r.version).values.map(_.count).sum === 2,
       "positions union across the delete and the merge")
     assert(t.read(spark).count() === 99)
     assert(t.read(spark).filter(col("id") === 6L).select("s")
       .as[String].head() === "m6")
     val v = t.compact(spark, files = 1)
     assert(t.dvRelOf(v).isEmpty && t.read(spark).count() === 99)
+  }
+
+  test("a delete across many files collects only O(files) descriptors to the driver") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 40000).repartition(8))
+    val r = t.deleteWhere(spark, pmod(col("id"), lit(5L)) === 0L,
+      dvMaxRowsPerFile = 100000)
+    assert(r.filesDvUpdated === 8 && r.filesRewritten === 0)
+    assert(r.dvRowsAdded === 8000L)
+    assert(t.lastDvDriverRowsCollected === 8,
+      "dvMaterialize must collect one fixed-size descriptor per DV'd " +
+        "file — positions encode on the executors and never hit the driver")
+    assert(t.read(spark).count() === 32000L)
+    assert(t.read(spark).filter(pmod(col("id"), lit(5L)) === 0L).count() === 0)
+  }
+
+  test("big vectors move to per-file sidecar FILES written from executors; reads, vacuum, restore, compaction honor them") {
+    val (t, dir) = freshTable()
+    // one file, 60k rows: deleting every 17th row yields ~3.5k
+    // positions ≈ 3.5 KB encoded — past the inline budget, so the
+    // vector lands as a binary sidecar and the manifest carries only
+    // the pointer line
+    t.commit(kv(0 until 60000).repartition(1))
+    val r = t.deleteWhere(spark, pmod(col("id"), lit(17L)) === 0L,
+      dvMaxRowsPerFile = 10000)
+    val expectedDeleted = (0L until 60000L).count(_ % 17 == 0).toLong
+    assert(r.filesRewritten === 0 && r.filesDvUpdated === 1)
+    assert(r.dvRowsAdded === expectedDeleted)
+    val dv1 = t.dvRelOf(r.version).values.head
+    assert(dv1.isSidecar,
+      s"a $expectedDeleted-position vector must go to a sidecar file")
+    val sidecar1 = Paths.get(dir).resolve(dv1.sidecarRel.get)
+    assert(Files.exists(sidecar1))
+    assert(Files.size(sidecar1) <= expectedDeleted + 64,
+      "delta-varint: ~1 byte per dense position")
+    val line = manifestLines(dir, r.version).find(_.startsWith("#dv=")).get
+    assert(line.length < 250, "the manifest line is descriptor-sized")
+    assert(t.read(spark).count() === 60000L - expectedDeleted)
+    assert(t.read(spark).filter(pmod(col("id"), lit(17L)) === 0L).count() === 0)
+    // a second small delete UNIONS into the sidecar-backed vector
+    // (prior payload decoded on the executor)
+    val r2 = t.deleteWhere(spark, col("id") === 1L, dvMaxRowsPerFile = 10000)
+    val dv2 = t.dvRelOf(r2.version).values.head
+    assert(dv2.count === expectedDeleted + 1L)
+    assert(t.read(spark).count() === 60000L - expectedDeleted - 1L)
+    // vacuum keeps sidecars of retained manifests
+    t.vacuum(keepVersions = 10)
+    assert(Files.exists(sidecar1) &&
+      Files.exists(Paths.get(dir).resolve(dv2.sidecarRel.get)))
+    // compaction materializes the vector away; restore brings the
+    // pointer line (and its sidecar) back
+    t.compact(spark, files = 1)
+    assert(t.dvRelOf(t.currentVersion()).isEmpty)
+    val vRest = t.restore(r2.version)
+    assert(t.dvRelOf(vRest).values.head.isSidecar)
+    assert(t.read(spark).count() === 60000L - expectedDeleted - 1L)
+    t.compact(spark, files = 1)
+    // restore REFUSES when the target's DV sidecar has been lost
+    val sidecar2 = Paths.get(dir).resolve(dv2.sidecarRel.get)
+    Files.delete(sidecar2)
+    val ex = intercept[IllegalArgumentException] { t.restore(r2.version) }
+    assert(ex.getMessage.contains("vacuumed"))
+    // expiry reaps the now-unreferenced sidecar files
+    t.vacuum(keepVersions = 1)
+    assert(!Files.exists(sidecar1), "unreferenced DV sidecar must be reaped")
   }
 
   test("a DV file key URI encoding would alter fails CLOSED instead of resurrecting rows") {
@@ -373,11 +446,11 @@ class DeletionVectorSpec extends SparkTestBase {
     Files.move(Paths.get(dir, "data", oldBatch),
       Paths.get(dir, "data", "b bad"))
     val newRel = dataRel.replace(oldBatch, "b bad")
-    val Some((_, ps)) =
+    val Some((_, dvDesc)) =
       DeletionVectors.decodeLine(lines.find(_.startsWith("#dv=")).get)
     val rewritten = lines.map { l =>
       if (l == dataRel) newRel
-      else if (l.startsWith("#dv=")) DeletionVectors.encodeLine(newRel, ps)
+      else if (l.startsWith("#dv=")) DeletionVectors.lineOf(newRel, dvDesc)
       else l
     }
     Files.write(mPath, rewritten.mkString("\n").getBytes("UTF-8"))
