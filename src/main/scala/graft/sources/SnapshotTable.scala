@@ -61,18 +61,204 @@ final class SnapshotTable(root: String) {
 
   private def manifestPath(v: Long): Path =
     manifestDir.resolve(f"v$v%09d.json")
+  private def anchorPath(v: Long): Path =
+    manifestDir.resolve(f"a$v%09d.anchor")
 
-  /** Relative data-file listing of snapshot `v` (one path per line —
-    * a listing, not JSON-parsed structure, so no parser dependency;
-    * `#`-prefixed lines are commit metadata, e.g. the idempotency
-    * tag). */
+  // ---- manifest log: DELTA commits + periodic FULL anchors ----------
+  //
+  // A manifest is either FULL (self-contained: schema + stats + the
+  // complete file listing — today's replace/compact/restore commits,
+  // the first commit, and every legacy manifest) or a DELTA (first
+  // line `#base=<v-1>`, carrying only what CHANGED: `#add=`/`#rm=`
+  // file ops, new files' stats, replaced `#dv=` vectors, the restated
+  // schema/bucketing headers). This is the Delta-Lake log shape
+  // (incremental commits + checkpoints) in the line grammar this
+  // format already speaks: an append or row-level DML on a
+  // million-file table commits O(changed files) manifest bytes, not
+  // O(table), and read planning reconstructs state from the nearest
+  // ANCHOR (a full manifest, or an `a<v>.anchor` side-file rendered
+  // every [[SnapshotTable.AnchorInterval]] commits and by vacuum)
+  // plus at most that many delta tails — never the whole lineage.
+  // Anchors are pure acceleration: a torn or missing anchor file
+  // degrades to walking further back, and correctness never depends
+  // on one (at cluster scale the anchor loader is where a columnar
+  // checkpoint file would slot in — same protocol, different codec).
+
+  /** Reconstructed per-version table STATE: everything a snapshot
+    * carries that outlives the commit that wrote it. Version-scoped
+    * commit metadata (`#ts=`/`#op=`/`#tag=`/`#cdc=`) is NOT state —
+    * it reads from the version's own manifest. */
+  private[graft] final case class TableState(
+      schemaDdl: Option[String],
+      bucketing: Option[String],       // raw "#bucketing=…" line
+      files: Vector[String],           // ordered rel paths
+      stat: Vector[(String, String)],  // (rel, raw #zm=/#bfl= line)
+      fb: Vector[(String, String)],    // (rel, raw #fb= line)
+      dv: Map[String, String])         // rel -> raw #dv= line
+
+  private val EmptyState = TableState(None, None, Vector.empty,
+    Vector.empty, Vector.empty, Map.empty)
+
+  /** Test/audit hook: manifest + anchor files this handle has parsed —
+    * the "read planning is checkpoint + bounded tail, not the whole
+    * log" accounting the specs pin. */
+  private[graft] var manifestParses: Long = 0L
+
+  private def relOfStat(line: String): Option[String] = {
+    val body =
+      if (line.startsWith(ZoneMaps.Prefix)) line.stripPrefix(ZoneMaps.Prefix)
+      else line.stripPrefix(ZoneMaps.BloomPrefix)
+    val cut = body.indexWhere(c => c == ':' || c == '|')
+    if (cut <= 0) None
+    else scala.util.Try(
+      java.net.URLDecoder.decode(body.substring(0, cut), "UTF-8")).toOption
+  }
+
+  private def relOfFb(line: String): Option[String] = {
+    val body = line.stripPrefix("#fb=")
+    val i = body.lastIndexOf(':')
+    if (i <= 0) None else Some(body.substring(0, i))
+  }
+
+  private def parseFull(lines: Seq[String]): TableState = {
+    val files = Vector.newBuilder[String]
+    val stat = Vector.newBuilder[(String, String)]
+    val fb = Vector.newBuilder[(String, String)]
+    val dv = Map.newBuilder[String, String]
+    var schema: Option[String] = None
+    var bucketing: Option[String] = None
+    lines.foreach { l =>
+      if (l.isEmpty) ()
+      else if (!l.startsWith("#")) files += l
+      else if (l.startsWith("#schema=")) schema = Some(l.stripPrefix("#schema="))
+      else if (l.startsWith("#bucketing=")) bucketing = Some(l)
+      else if (l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
+        relOfStat(l).foreach(rel => stat += (rel -> l))
+      else if (l.startsWith("#fb=")) relOfFb(l).foreach(rel => fb += (rel -> l))
+      else if (l.startsWith(DeletionVectors.Prefix))
+        DeletionVectors.decodeLine(l).foreach { case (rel, _) => dv += (rel -> l) }
+      // #ts/#op/#tag/#cdc/#base: version-scoped, not state
+    }
+    TableState(schema, bucketing, files.result(), stat.result(),
+      fb.result(), dv.result())
+  }
+
+  private def applyDelta(prev: TableState, lines: Seq[String],
+                         v: Long): TableState = {
+    val adds = lines.filter(_.startsWith("#add=")).map(_.stripPrefix("#add="))
+    val rms = lines.filter(_.startsWith("#rm=")).map(_.stripPrefix("#rm=")).toSet
+    val prevSet = prev.files.toSet
+    adds.foreach(a => require(!prevSet.contains(a),
+      s"delta manifest v$v at $root re-adds listed file $a"))
+    rms.foreach(r => require(prevSet.contains(r),
+      s"delta manifest v$v at $root removes unlisted file $r"))
+    val fresh = parseFull(lines.filterNot(l =>
+      l.startsWith("#add=") || l.startsWith("#rm=")))
+    TableState(
+      schemaDdl = fresh.schemaDdl.orElse(prev.schemaDdl),
+      // the bucketing header is restated per commit; absence DEMOTES
+      // (a plain append onto a bucketed head reads as unbucketed, the
+      // same self-invalidation the full-manifest protocol had)
+      bucketing = fresh.bucketing,
+      files = prev.files.filterNot(rms) ++ adds,
+      stat = prev.stat.filterNot { case (rel, _) => rms(rel) } ++ fresh.stat,
+      fb = prev.fb.filterNot { case (rel, _) => rms(rel) } ++ fresh.fb,
+      dv = (prev.dv -- rms) ++ fresh.dv)
+  }
+
+  /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
+    * prefixed with the given version-scoped metadata lines. */
+  private def renderState(meta: Seq[String], st: TableState,
+                          cdc: Seq[String] = Seq.empty): Seq[String] =
+    st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
+      st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
+      st.dv.toSeq.sortBy(_._1).map(_._2) ++ cdc ++ st.files
+
+  private def baseOf(lines: Seq[String]): Option[Long] =
+    lines.find(_.startsWith("#base=")).map(_.stripPrefix("#base=").toLong)
+
+  // reconstructed states are immutable once committed — a small
+  // per-handle LRU makes ascending walks (history, CDC ranges) and the
+  // several accessors of one read resolve each version's fold once
+  private val stateCache =
+    new java.util.LinkedHashMap[Long, TableState](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, TableState]): Boolean = size > 8
+    }
+
+  /** The reconstructed state of snapshot `v`: nearest anchor (full
+    * manifest or `.anchor` side-file) + delta tail, O(AnchorInterval)
+    * manifest reads worst-case. Also resolves versions whose manifest
+    * has expired but whose anchor survives (they serve as fold BASES
+    * only — the public read surface separately requires the manifest,
+    * so time travel to an expired version still refuses). */
+  private[graft] def state(v: Long): TableState = synchronized {
+    if (v < 0) return EmptyState
+    val hit = stateCache.get(v)
+    if (hit != null) return hit
+    val st =
+      if (Files.exists(manifestPath(v))) {
+        val lines = { manifestParses += 1; Files.readAllLines(manifestPath(v)).asScala.toSeq }
+        baseOf(lines) match {
+          case None => parseFull(lines)
+          case Some(b) =>
+            require(b == v - 1,
+              s"delta manifest v$v at $root declares base $b (corrupt log)")
+            // a committed anchor short-circuits the walk; a torn or
+            // unreadable one silently degrades to folding the deltas
+            loadAnchor(v).getOrElse(applyDelta(state(v - 1), lines, v))
+        }
+      } else loadAnchor(v).getOrElse(throw new IllegalArgumentException(
+        s"snapshot v$v at $root is expired (vacuumed) or was never committed"))
+    stateCache.put(v, st)
+    st
+  }
+
+  /** An anchor's validated state, or None when absent, truncated, or
+    * unparsable (→ the caller walks the deltas instead — anchors are
+    * acceleration, never a correctness dependency). The leading
+    * `#anchorlines=` count guards truncation on filesystems without
+    * atomic link semantics. */
+  private def loadAnchor(v: Long): Option[TableState] =
+    if (!Files.exists(anchorPath(v))) None
+    else scala.util.Try {
+      manifestParses += 1
+      val lines = Files.readAllLines(anchorPath(v)).asScala.toSeq
+      require(lines.nonEmpty && lines.head.startsWith("#anchorlines=") &&
+        lines.head.stripPrefix("#anchorlines=").toInt == lines.size - 1,
+        s"anchor a$v truncated")
+      parseFull(lines.tail)
+    }.toOption
+
+  /** Write the anchor side-file for `v` (idempotent, best-effort: a
+    * concurrent or earlier writer's anchor wins, a failure costs only
+    * walk length). Called by every publisher on the anchor cadence and
+    * by vacuum before it expires a retention window's delta bases. */
+  private def writeAnchor(v: Long): Unit =
+    if (!Files.exists(anchorPath(v))) scala.util.Try {
+      val body = renderState(Seq.empty, state(v))
+      val tmp = Files.createTempFile(manifestDir, s"_tmp_a$v-", ".inprogress")
+      Files.write(tmp, (s"#anchorlines=${body.size}" +: body).mkString("\n")
+        .getBytes("UTF-8"))
+      try Files.createLink(anchorPath(v), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Files.deleteIfExists(tmp)
+      ()
+    }
+
+  /** Anchor cadence hook — run after every successful delta publish. */
+  private def maybeAnchor(v: Long): Unit =
+    if (v > 0 && v % SnapshotTable.AnchorInterval == 0) writeAnchor(v)
+
+  /** Relative data-file listing of snapshot `v` (reconstructed; the
+    * version's manifest must still exist — an expired version refuses
+    * even when its anchor survives as a fold base). */
   private def listing(v: Long): Seq[String] =
     if (v < 0) Seq.empty
     else {
       require(Files.exists(manifestPath(v)),
         s"snapshot v$v at $root is expired (vacuumed) or was never committed")
-      Files.readAllLines(manifestPath(v)).asScala.toSeq
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+      state(v).files
     }
 
   /** The idempotency tag of snapshot `v`, if it was tagged. Expired
@@ -96,26 +282,23 @@ final class SnapshotTable(root: String) {
       .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
 
   /** The schema DDL recorded with snapshot `v` (commits since the
-    * schema line shipped; absent on older manifests). */
+    * schema line shipped carry one in every delta; absent on older
+    * manifests). */
   private def schemaOf(v: Long): Option[String] =
-    if (v < 0) None
-    else Files.readAllLines(manifestPath(v)).asScala
-      .find(_.startsWith("#schema=")).map(_.stripPrefix("#schema="))
+    if (v < 0 || !Files.exists(manifestPath(v))) None
+    else state(v).schemaDdl
 
   /** The `#zm=` zone-map + `#bfl=` bloom lines of snapshot `v`'s
-    * manifest (raw, re-emitted verbatim by append commits so a file's
-    * stats ride along for its whole lifetime without re-reading). */
+    * STATE (a file's stats ride along for its whole lifetime — carried
+    * by the fold now, not by re-emission). */
   private def zmLines(v: Long): Seq[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(l => l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
+    else state(v).stat.map(_._2)
 
-  /** `#dv=` deletion-vector lines of snapshot `v`'s manifest (raw —
-    * re-emitted verbatim by append commits, like `#zm=`). */
+  /** `#dv=` deletion-vector lines of snapshot `v`'s state. */
   private def dvLines(v: Long): Seq[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(_.startsWith(DeletionVectors.Prefix))
+    else state(v).dv.toSeq.sortBy(_._1).map(_._2)
 
   /** Deletion-vector DESCRIPTORS of snapshot `v`, keyed by RELATIVE
     * path — count + payload token, O(1) each; position decode is
@@ -158,7 +341,7 @@ final class SnapshotTable(root: String) {
   private[graft] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
     if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
     else {
-      val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+      val lines = zmLines(v)
       val zm = lines.iterator
         .filter(_.startsWith(ZoneMaps.Prefix))
         .flatMap(ZoneMaps.decodeFull)
@@ -187,8 +370,7 @@ final class SnapshotTable(root: String) {
   def bucketingOf(v: Long): Option[(String, Int)] =
     if (v < 0 || !Files.exists(manifestPath(v))) None
     else {
-      val spec = Files.readAllLines(manifestPath(v)).asScala
-        .find(_.startsWith("#bucketing=")).map(_.stripPrefix("#bucketing="))
+      val spec = state(v).bucketing.map(_.stripPrefix("#bucketing="))
         .flatMap { s =>
           val i = s.lastIndexOf(':')
           if (i < 0) None else scala.util.Try((s.substring(0, i), s.substring(i + 1).toInt)).toOption
@@ -199,12 +381,11 @@ final class SnapshotTable(root: String) {
       }
     }
 
-  /** `#fb=` file→bucket lines of snapshot `v` (raw, re-emitted by
-    * compatible bucketed appends, the `#zm=` convention). */
+  /** `#fb=` file→bucket lines of snapshot `v`'s state (carried by the
+    * fold with their files, the `#zm=` convention). */
   private def fbLines(v: Long): Seq[String] =
     if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq
-      .filter(_.startsWith("#fb="))
+    else state(v).fb.map(_._2)
 
   private def fbRel(v: Long): Map[String, Int] =
     fbLines(v).flatMap { l =>
@@ -395,22 +576,24 @@ final class SnapshotTable(root: String) {
     * skipping). */
   private[sources] def readFilesDvAware(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
-      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
+      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv],
+      zm: Map[String, Map[String, ZoneMaps.ColStat]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     def abs(rel: String): String = absPath(rel)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (rels.isEmpty) return empty
+    // v1 reads answer pushed filters from the manifest stats when the
+    // caller supplies them (ZoneMapFileIndex) — the DV'd half of a
+    // merge-on-read composition keeps file-level skipping this way
+    def readV1(files: Seq[String]): DataFrame =
+      ZoneMapFileIndex.read(spark, schema, files.map(abs), zm, dataDirPath)
     val (dvd, clean) = rels.partition(dvs.contains)
-    val cleanDf =
-      if (clean.isEmpty) empty
-      else spark.read.schema(schema).option("basePath", dataDirPath)
-        .parquet(clean.map(abs): _*)
+    val cleanDf = if (clean.isEmpty) empty else readV1(clean)
     if (dvd.isEmpty) cleanDf
     else {
       val scoped = dvs.view.filterKeys(dvd.toSet).toMap
-      val filtered = spark.read.schema(schema).option("basePath", dataDirPath)
-        .parquet(dvd.map(abs): _*)
+      val filtered = readV1(dvd)
         .withColumn("__dv_file", fileKeyCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
         .join(dvPairsDf(spark, scoped),
@@ -456,7 +639,10 @@ final class SnapshotTable(root: String) {
         val sch = schema.getOrElse(
           spark.read.option("basePath", dataDirPath)
             .parquet(files: _*).schema)
-        val dvPart = readFilesDvAware(spark, sch, dvd, dvs)
+        // manifest stats ride into the v1 half so the DV'd files keep
+        // zone-map file skipping (the clean half prunes in its DSv2
+        // ZoneMapScan as before)
+        val dvPart = readFilesDvAware(spark, sch, dvd, dvs, zoneMapsOf(v))
         if (clean.isEmpty) dvPart
         else spark.read.format("graft-snapshot").option("version", v)
           .option("excludeDv", "true").load(root)
@@ -815,13 +1001,14 @@ final class SnapshotTable(root: String) {
           "rows have no value for it)")
     }
     val widened = newCols.foldLeft(base)(_ add _)
-    val lines = Seq(s"#schema=${widened.toDDL}",
-        s"#ts=${System.currentTimeMillis()}", "#op=alter") ++
-      zmLines(v) ++ listing(v)
+    // pure-metadata delta: the restated schema is the whole change
+    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}",
+      s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
         s"addColumns at $root lost the publish race: a commit landed " +
           "concurrently — re-run against the new head")
+    maybeAnchor(v + 1)
     v + 1
   }
 
@@ -1049,21 +1236,34 @@ final class SnapshotTable(root: String) {
       // pinned to the publish target's predecessor, a winner landing
       // after the scan collides on head+1 and is caught on the retry.
       val head = currentVersion()
-      // expectedBase (content-derived rewrites, e.g. compaction): the
-      // commit REFUSES instead of retrying when anything landed after
-      // the rewrite's read — a retried replace would re-publish the
-      // stale rewrite and silently CLOBBER the concurrent commit's
-      // rows (files dropped from the listing, vectors dropped with
-      // them). User-requested replaces (INSERT OVERWRITE / TRUNCATE)
-      // keep last-writer-wins retries: their content does not derive
-      // from the table.
+      // expectedBase (content-derived rewrites, e.g. compaction): a
+      // retried replace over a moved head would re-publish the stale
+      // rewrite and silently CLOBBER the concurrent commit's rows.
+      // Optimistic-concurrency split: intervening plain APPENDS are
+      // logically disjoint from the rewrite (it derives from state(b);
+      // their files carry into the replace listing with their stats —
+      // appends introduce no deletion vectors), so the rewrite REBASES
+      // and lands; anything else still REFUSES deterministically.
+      // User-requested replaces (INSERT OVERWRITE / TRUNCATE) keep
+      // last-writer-wins retries: their content does not derive from
+      // the table.
+      var carryRels: Seq[String] = Seq.empty
+      var carryStats: Seq[String] = Seq.empty
       expectedBase.foreach { b =>
         if (head != b) {
-          SnapshotTable.deleteRecursively(out)
-          throw new IllegalStateException(
-            s"rewrite commit at $root expected base version $b but head " +
-              s"is $head: a commit landed during the rewrite and a " +
-              "replace would clobber it — re-run against the new head")
+          val nonAppend = (b + 1 to head).filterNot(w => opOf(w).contains("append"))
+          if (nonAppend.nonEmpty) {
+            SnapshotTable.deleteRecursively(out)
+            throw new IllegalStateException(
+              s"rewrite commit at $root expected base version $b but head " +
+                s"is $head and v${nonAppend.head} is not a plain append: " +
+                "a replace would clobber it — re-run against the new head")
+          }
+          val baseSet = state(b).files.toSet
+          val st = state(head)
+          carryRels = st.files.filterNot(baseSet)
+          val carrySet = carryRels.toSet
+          carryStats = st.stat.collect { case (rel, l) if carrySet(rel) => l }
         }
       }
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
@@ -1075,29 +1275,41 @@ final class SnapshotTable(root: String) {
         // commit onto a bucketed head simply drops the header, which
         // bucketingOf reads as "no longer bucketed" (self-invalidating
         // by design — see bucketingOf)
+        val isFull = replace || head < 0
         val bucketLines: Seq[String] = bucketing match {
           case Some((k, n)) =>
             require(replace || listing(head).isEmpty ||
                 bucketingOf(head).contains((k, n)),
               s"cannot append a bucketed($k, $n) batch onto a head with a " +
                 "different layout; commitBucketed(replace = true) or match the spec")
-            Seq(s"#bucketing=$k:$n") ++ (if (replace) fbNew else fbLines(head) ++ fbNew)
+            // the header is restated per commit (absence in a delta
+            // demotes the layout, as dropping it from a full manifest
+            // did); per-file #fb assignments ride the fold with their
+            // files, so only the NEW files' lines are written
+            Seq(s"#bucketing=$k:$n") ++ fbNew
           case None => Seq.empty
         }
-        val full = tag.map(t => s"#tag=$t").toSeq ++
+        val meta = tag.map(t => s"#tag=$t").toSeq ++
           Seq(s"#schema=${df.schema.toDDL}",
             s"#ts=${System.currentTimeMillis()}",
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
-          bucketLines ++
-          (if (replace) zmNew else zmLines(head) ++ zmNew) ++
-          // deletion vectors are per-file STATE: appends carry them
-          // forward with their files; a replace (or compaction) drops
-          // the whole listing and with it every vector — which is
-          // exactly how compaction MATERIALIZES deletes away
-          (if (replace) Seq.empty else dvLines(head)) ++
-          (if (replace) newFiles else listing(head) ++ newFiles)
-        if (publish(head + 1, full)) committed = head + 1
-        else {
+          bucketLines
+        val lines =
+          if (isFull)
+            // self-contained manifest — a replace drops the whole prior
+            // state (listing, stats, and every deletion vector, which
+            // is exactly how compaction MATERIALIZES deletes away); the
+            // first commit has no prior state to delta against; a
+            // rebased rewrite carries the disjoint appends' files
+            meta ++ zmNew ++ carryStats ++ newFiles ++ carryRels
+          else
+            // DELTA: O(new files) lines however large the table is
+            Seq(s"#base=$head") ++ meta ++ zmNew ++
+              newFiles.map(f => s"#add=$f")
+        if (publish(head + 1, lines)) {
+          committed = head + 1
+          if (!isFull) maybeAnchor(committed)
+        } else {
           attempt += 1
           require(attempt <= maxRetries,
             s"snapshot commit lost $maxRetries races at $root")
@@ -1176,14 +1388,15 @@ final class SnapshotTable(root: String) {
     require(missing.isEmpty,
       s"restore to v$toVersion at $root impossible: ${missing.size} data " +
         s"files vacuumed (first: ${missing.headOption.getOrElse("")})")
-    // carry everything durable from the old manifest; restamp ts/op/tag;
-    // drop `#cdc=` change sidecars — they are version-scoped EVENTS of
-    // the original commit, and re-publishing one would make the change
-    // feed replay an old delete at the restore version
-    val kept = Files.readAllLines(manifestPath(toVersion)).asScala.toSeq
-      .filterNot(l => l.startsWith("#ts=") || l.startsWith("#op=") ||
-        l.startsWith("#tag=") || l.startsWith("#cdc="))
-    val lines = Seq(s"#ts=${System.currentTimeMillis()}", "#op=restore") ++ kept
+    // re-publish the target's reconstructed STATE as a self-contained
+    // (full, anchor-grade) manifest with restamped ts/op; version-
+    // scoped events of the original commit (`#ts=`/`#op=`/`#tag=`/
+    // `#cdc=`) don't re-publish by construction — state excludes them
+    // (a replayed `#cdc=` would make the change feed replay an old
+    // delete at the restore version)
+    val lines = renderState(
+      Seq(s"#ts=${System.currentTimeMillis()}", "#op=restore"),
+      state(toVersion))
     if (!publish(head + 1, lines))
       throw new IllegalStateException(
         s"restore at $root lost the publish race: a commit landed " +
@@ -1526,31 +1739,30 @@ final class SnapshotTable(root: String) {
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
 
     // ---- 3. publish (refuse, don't retry, on a concurrent commit) ----
-    val keptInPlace = untouched ++ kept ++ dvClass
-    val keptSet = keptInPlace.toSet
-    val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
-    // kept files' vectors carry (merged with this merge's positions on
-    // DV-class files, union done executor-side in dvMaterialize);
-    // rewritten files materialized theirs away
-    val dvOut: Seq[String] = {
-      val dvClassSet = dvClass.toSet
-      val carried = dvLines(v).filter(l =>
-        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
-          keptSet.contains(rel) && !dvClassSet.contains(rel) })
-      carried ++ dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
-    }
-    val lines = Seq(s"#schema=${schema.toDDL}",
+    // DELTA manifest: kept files (and their stats and carried vectors)
+    // ride the fold untouched — the commit writes O(touched) lines:
+    // #rm for the rewritten files, replacement #dv lines for the
+    // DV-class files (union done executor-side in dvMaterialize),
+    // stats + #add for the fresh batch
+    val bodyLines = Seq(s"#schema=${schema.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
-      zmKept ++ zmNew ++ dvOut ++ cdcNew ++ keptInPlace ++ newFiles
-    if (!publish(v + 1, lines)) {
-      out.foreach(SnapshotTable.deleteRecursively)
-      sidecarOut.foreach(SnapshotTable.deleteRecursively)
-      throw new IllegalStateException(
-        s"merge at $root lost the publish race: a commit landed during " +
-          "the merge, so the rewrite base is stale — re-run the merge")
-    }
-    SnapshotTable.MergeResult(v + 1, filesRewritten = rewriteClass.size,
+      zmNew ++
+      dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
+      cdcNew ++
+      rewriteClass.map(rel => s"#rm=$rel") ++
+      newFiles.map(rel => s"#add=$rel")
+    val committed = publishRebaseable(v, bodyLines, "merge",
+      () => {
+        out.foreach(SnapshotTable.deleteRecursively)
+        sidecarOut.foreach(SnapshotTable.deleteRecursively)
+      },
+      // a concurrent append is benign iff key-touch detection proves
+      // none of its files can hold a delta key (stat-less files are
+      // touch-detected conservatively and conflict)
+      (added, w) =>
+        added.isEmpty ||
+          touchDetect(spark, deltaCk, added, zoneMapsOf(w), pk).isEmpty)
+    SnapshotTable.MergeResult(committed, filesRewritten = rewriteClass.size,
       filesUntouched = untouched.size + kept.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
       dvRowsAdded = dvRowsNew)
@@ -1677,32 +1889,35 @@ final class SnapshotTable(root: String) {
         (Some(o), nf, zn)
       }
 
-    // files that stay in the listing keep their stats (superset
-    // min/max stays sound under row deletion) and their vectors;
-    // DV-class files get their old and new positions unioned
-    val keptSet = untouched.toSet ++ dvClass.toSet
-    val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
-    val dvOut: Seq[String] = {
-      val untouchedSet = untouched.toSet
-      val untouchedKept = dvLines(v).filter(l =>
-        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
-          untouchedSet.contains(rel) })
-      untouchedKept ++
-        dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
-    }
-    val lines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
+    // DELTA manifest: files that stay in the listing keep their stats
+    // (superset min/max stays sound under row deletion) and their
+    // vectors through the fold; DV-class files get replacement lines
+    // (old ∪ new positions, unioned executor-side); dropped and
+    // rewritten files leave via #rm — O(touched) lines total, which is
+    // what makes a retention sweep on a million-file table commit
+    // kilobytes
+    val bodyLines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=delete") ++
-      zmKept ++ zmNew ++ dvOut ++ cdcNew ++
-      untouched ++ dvClass ++ newFiles
-    if (!publish(v + 1, lines)) {
-      out.foreach(SnapshotTable.deleteRecursively)
-      sidecarOut.foreach(SnapshotTable.deleteRecursively)
-      throw new IllegalStateException(
-        s"deleteWhere at $root lost the publish race: a commit landed " +
-          "during the delete, so the classification is stale — re-run")
-    }
-    SnapshotTable.DeleteResult(v + 1, filesDropped = dropped.size,
+      zmNew ++
+      dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
+      cdcNew ++
+      (dropped ++ rewrites).map(rel => s"#rm=$rel") ++
+      newFiles.map(rel => s"#add=$rel")
+    val committed = publishRebaseable(v, bodyLines, "deleteWhere",
+      () => {
+        out.foreach(SnapshotTable.deleteRecursively)
+        sidecarOut.foreach(SnapshotTable.deleteRecursively)
+      },
+      // a concurrent append is benign iff every file it added provably
+      // holds no predicate-matching row (a stat-less file conflicts)
+      (added, w) => {
+        val zmW = zoneMapsOf(w)
+        added.forall { rel =>
+          val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
+          st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)
+        }
+      })
+    SnapshotTable.DeleteResult(committed, filesDropped = dropped.size,
       filesRewritten = rewrites.size, filesUntouched = untouched.size,
       filesAdded = newFiles.size, filesDvUpdated = dvClass.size,
       dvRowsAdded = dvRowsNew)
@@ -1875,29 +2090,28 @@ final class SnapshotTable(root: String) {
       }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
 
-    val keptSet = untouched.toSet ++ dvClass.toSet
-    val zmKept = zmLines(v).filter(l =>
-      ZoneMaps.decodeLine(l).exists { case (rel, _) => keptSet.contains(rel) })
-    val dvOut: Seq[String] = {
-      val untouchedSet = untouched.toSet
-      val untouchedKept = dvLines(v).filter(l =>
-        DeletionVectors.decodeLine(l).exists { case (rel, _) =>
-          untouchedSet.contains(rel) })
-      untouchedKept ++
-        dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel)))
-    }
-    val lines = Seq(s"#schema=${sch.toDDL}",
+    // DELTA manifest, same shape as deleteWhere: kept files (stats,
+    // carried vectors) ride the fold, O(touched) lines written
+    val bodyLines = Seq(s"#schema=${sch.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=update") ++
-      zmKept ++ zmNew ++ dvOut ++ cdcNew ++
-      untouched ++ dvClass ++ newFiles
-    if (!publish(v + 1, lines)) {
-      out.foreach(SnapshotTable.deleteRecursively)
-      sidecarOut.foreach(SnapshotTable.deleteRecursively)
-      throw new IllegalStateException(
-        s"updateWhere at $root lost the publish race: a commit landed " +
-          "during the update, so the classification is stale — re-run")
-    }
-    SnapshotTable.UpdateResult(v + 1, filesRewritten = rewrites.size,
+      zmNew ++
+      dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
+      cdcNew ++
+      rewrites.map(rel => s"#rm=$rel") ++
+      newFiles.map(rel => s"#add=$rel")
+    val committed = publishRebaseable(v, bodyLines, "updateWhere",
+      () => {
+        out.foreach(SnapshotTable.deleteRecursively)
+        sidecarOut.foreach(SnapshotTable.deleteRecursively)
+      },
+      (added, w) => {
+        val zmW = zoneMapsOf(w)
+        added.forall { rel =>
+          val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
+          st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)
+        }
+      })
+    SnapshotTable.UpdateResult(committed, filesRewritten = rewrites.size,
       filesUntouched = untouched.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
       dvRowsAdded = dvRowsNew)
@@ -1923,6 +2137,17 @@ final class SnapshotTable(root: String) {
     require(keepVersions >= 1, "must retain at least the current version")
     val head = currentVersion()
     val keepFrom = math.max(0L, head - keepVersions + 1)
+    // materialize the oldest retained version as an anchor BEFORE its
+    // delta bases expire — without it, state(keepFrom) (and every
+    // retained delta above it) could no longer reconstruct once the
+    // manifests below it are gone
+    if (Files.exists(manifestPath(keepFrom))) {
+      val firstLine = {
+        val br = Files.newBufferedReader(manifestPath(keepFrom))
+        try Option(br.readLine()).getOrElse("") finally br.close()
+      }
+      if (firstLine.startsWith("#base=")) writeAnchor(keepFrom)
+    }
     // tolerate already-expired manifests inside the keep window: an
     // earlier vacuum with SHORTER retention may have deleted v(keepFrom)
     // itself (vacuum(1) then vacuum(3) before 3 new commits land) — a
@@ -1950,12 +2175,20 @@ final class SnapshotTable(root: String) {
     var manifestsExpired = 0
     (0L until keepFrom).foreach { v =>
       if (Files.deleteIfExists(manifestPath(v))) manifestsExpired += 1
+      // expired versions' anchors go with them (the keepFrom anchor,
+      // the one reconstruction still needs, sits outside this range)
+      Files.deleteIfExists(anchorPath(v))
     }
     (dataDeleted, manifestsExpired)
   }
 
   /** Data files referenced by snapshot `v` (for specs/ops visibility). */
   def fileCount(v: Long): Int = listing(v).size
+
+  /** The reconstructed relative listing of snapshot `v` (specs/ops
+    * visibility — the state the delta fold produces, independent of
+    * how the manifests shard it). */
+  private[graft] def listingOf(v: Long): Seq[String] = listing(v)
 
   /** MANIFEST-ONLY table statistics — `count(*)`, per-column min/max
     * and null counts computed from the `#zm=` lines alone: a pure
@@ -1995,6 +2228,54 @@ final class SnapshotTable(root: String) {
     SnapshotTable.TableStats(v, rels.size, rows, cols)
   }
 
+  /** OPTIMISTIC-CONCURRENCY publish for row-level DML deltas — Delta's
+    * logical conflict detection: when a commit lands mid-operation,
+    * the pending delta REBASES onto the new head iff every intervening
+    * commit is a plain APPEND whose added files PROVABLY contain no
+    * row the operation could have matched (`noMatch` over the new
+    * files — zone-map proof for predicates, key-touch detection for
+    * merges; a file without stats conflicts conservatively). The delta
+    * lines are base-independent by construction (#rm/#dv/#add name
+    * exactly the files the operation classified, all untouched by an
+    * append), so the rebase is a re-point of `#base=`. Anything else —
+    * a concurrent DML, replace, compaction, restore, or schema change
+    * — still REFUSES deterministically (Delta's
+    * ConcurrentAppend/ConcurrentDeleteException split). */
+  private def publishRebaseable(base: Long, bodyLines: Seq[String],
+      what: String, cleanup: () => Unit,
+      noMatch: (Seq[String], Long) => Boolean): Long = {
+    var target = base + 1
+    var attempts = 0
+    while (!publish(target, s"#base=${target - 1}" +: bodyLines)) {
+      attempts += 1
+      val newHead = currentVersion()
+      val nonAppend = (target to newHead).filterNot(w => opOf(w).contains("append"))
+      if (nonAppend.nonEmpty || attempts > 5) {
+        cleanup()
+        throw new IllegalStateException(
+          s"$what at $root lost the publish race: a " +
+            (if (nonAppend.nonEmpty) s"non-append commit (v${nonAppend.head})"
+             else s"commit storm ($attempts rebases)") +
+            " landed during the operation, so the classification is " +
+            "stale — re-run against the new head")
+      }
+      val added = {
+        val before = state(target - 1).files.toSet
+        state(newHead).files.filterNot(before)
+      }
+      if (!noMatch(added, newHead)) {
+        cleanup()
+        throw new IllegalStateException(
+          s"$what at $root lost the publish race: a concurrent append " +
+            "added files the operation's predicate/keys may match — " +
+            "re-run against the new head")
+      }
+      target = newHead + 1
+    }
+    maybeAnchor(target)
+    target
+  }
+
   /** Atomic publish of manifest `v`: write a temp file, then link it
     * under the versioned name. Returns false when a concurrent writer
     * already owns `v` (caller retries on the new head).
@@ -2021,6 +2302,13 @@ final class SnapshotTable(root: String) {
 
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
+
+  /** Every this-many commits the publisher renders the reconstructed
+    * state as an `a<v>.anchor` side-file, so read planning is one
+    * anchor + at most this many delta manifests — Delta's checkpoint
+    * cadence (default 10 commits there; 20 here keeps anchor I/O
+    * amortized below 5% of commit cost at any table size). */
+  val AnchorInterval: Long = 20L
 
   /** Total pending deleted positions up to which the read-time
     * (file, position) anti-join BROADCASTS its build side (fast path:

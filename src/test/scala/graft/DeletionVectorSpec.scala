@@ -30,6 +30,11 @@ class DeletionVectorSpec extends SparkTestBase {
   private def dataFilesOf(lines: Seq[String]): Seq[String] =
     lines.filter(l => l.nonEmpty && !l.startsWith("#"))
 
+  // the RECONSTRUCTED listing — delta manifests carry only #add/#rm,
+  // the carried-by-reference property lives in the folded state
+  private def listingOf(dir: String, v: Long): Seq[String] =
+    SnapshotTable(dir).listingOf(v)
+
   test("varint codec: positions round-trip, merge unions, malformed refuses") {
     val ps = Array(0L, 1L, 7L, 8L, 127L, 128L, 129L, 1L << 40, (1L << 40) + 1)
     val line = DeletionVectors.encodeLine("data/b1/f.parquet", ps.reverse)
@@ -54,7 +59,7 @@ class DeletionVectorSpec extends SparkTestBase {
     t.commit(kv(0 until 100).repartition(1))
     t.commit(kv(100 until 200).repartition(1))
     val v = t.currentVersion()
-    val filesBefore = dataFilesOf(manifestLines(dir, v))
+    val filesBefore = listingOf(dir, v)
 
     val r = t.deleteWhere(spark, col("id") === 42L, dvMaxRowsPerFile = 1000)
     assert(r.version === v + 1)
@@ -63,10 +68,12 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
 
     val after = manifestLines(dir, r.version)
-    assert(dataFilesOf(after).toSet === filesBefore.toSet,
+    assert(listingOf(dir, r.version).toSet === filesBefore.toSet,
       "the data-file listing must carry forward byte-identical")
     assert(after.count(_.startsWith("#dv=")) === 1)
     assert(after.count(_.startsWith("#cdc=")) === 1)
+    assert(!after.exists(l => l.startsWith("#rm=") || l.startsWith("#add=")),
+      "a pure-vector delete's delta manifest touches no file set at all")
 
     // reads: deleted row gone, everything else intact; time travel sees it
     assert(t.read(spark).count() === 199)
@@ -291,8 +298,7 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(r.filesRewritten === 0, "a one-row update must not rewrite a file")
     assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 1L)
     assert(r.filesAdded === 1, "the new row version lands as an appended batch")
-    val after = manifestLines(dir, r.version)
-    assert(filesBefore.toSet.subsetOf(dataFilesOf(after).toSet),
+    assert(filesBefore.toSet.subsetOf(listingOf(dir, r.version).toSet),
       "original files carry forward by reference")
     // read: updated value present exactly once, old version gone
     assert(t.read(spark).count() === 100)
@@ -323,8 +329,7 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(r.filesRewritten === 0, "matched keys must vector out, not rewrite")
     assert(r.filesDvUpdated === 1 && r.dvRowsAdded === 3L,
       "three matched target rows (10, 11, 12) leave by vector")
-    assert(filesBefore.toSet.subsetOf(
-      dataFilesOf(manifestLines(dir, r.version)).toSet),
+    assert(filesBefore.toSet.subsetOf(listingOf(dir, r.version).toSet),
       "carried-along rows stay physically in place")
     // state: upserts in, delete arm out, carried rows intact
     val rows = t.read(spark).as[(Long, String)].collect().toMap
@@ -431,26 +436,49 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(!Files.exists(sidecar1), "unreferenced DV sidecar must be reaped")
   }
 
+  test("zone-map file skipping survives on the DV'd read subset") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 300).repartition(1))
+    t.compact(spark, files = 3, sortKey = Some(col("id")))
+    // vector one row out of EVERY clustered file: the whole read now
+    // takes the v1 metadata-column path, where a selective predicate
+    // must still skip files from the manifest stats
+    val r = t.deleteWhere(spark, col("id").isin(0L, 150L, 299L),
+      dvMaxRowsPerFile = 1000)
+    assert(r.filesDvUpdated === 3 && r.filesRewritten === 0)
+    val q = t.read(spark).filter(col("id") >= 250L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      === (250L until 300L).filterNot(_ == 299L))
+    val (selected, total) = graft.sources.ZoneMapFileIndex.lastFilteredSelection
+    assert(total === 3 && selected === 1,
+      s"the DV'd subset must prune to the covering file, got $selected/$total")
+  }
+
   test("a DV file key URI encoding would alter fails CLOSED instead of resurrecting rows") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 100).repartition(1))
     val r = t.deleteWhere(spark, col("id") === 3L, dvMaxRowsPerFile = 1000)
-    val mPath = Paths.get(dir, "_manifests", f"v${r.version}%09d.json")
-    val lines = manifestLines(dir, r.version)
-    val dataRel = dataFilesOf(lines).head
+    val dataRel = dataFilesOf(manifestLines(dir, 0L)).head
     // physically relocate the batch dir to a name with a space — the
     // raw rel and its URI segment now diverge, so the anti-join key
     // CANNOT be matched safely; the read must refuse, never silently
-    // skip the subtraction (which would resurrect id=3)
+    // skip the subtraction (which would resurrect id=3). The listing
+    // line lives in the base (full) manifest, the vector line in the
+    // delete's delta — rewrite both.
     val oldBatch = dataRel.split('/')(1)
     Files.move(Paths.get(dir, "data", oldBatch),
       Paths.get(dir, "data", "b bad"))
     val newRel = dataRel.replace(oldBatch, "b bad")
+    val m0 = Paths.get(dir, "_manifests", "v000000000.json")
+    Files.write(m0, manifestLines(dir, 0L)
+      .map(l => if (l == dataRel) newRel else l)
+      .mkString("\n").getBytes("UTF-8"))
+    val mPath = Paths.get(dir, "_manifests", f"v${r.version}%09d.json")
+    val lines = manifestLines(dir, r.version)
     val Some((_, dvDesc)) =
       DeletionVectors.decodeLine(lines.find(_.startsWith("#dv=")).get)
     val rewritten = lines.map { l =>
-      if (l == dataRel) newRel
-      else if (l.startsWith("#dv=")) DeletionVectors.lineOf(newRel, dvDesc)
+      if (l.startsWith("#dv=")) DeletionVectors.lineOf(newRel, dvDesc)
       else l
     }
     Files.write(mPath, rewritten.mkString("\n").getBytes("UTF-8"))
@@ -475,7 +503,7 @@ class DeletionVectorSpec extends SparkTestBase {
     // foreign or corrupt writer) must refuse, not under- or over-replay
     val mPath = Paths.get(dir, "_manifests", f"v${r.version}%09d.json")
     val lines = manifestLines(dir, r.version)
-    val dataRel = dataFilesOf(lines).head
+    val dataRel = dataFilesOf(manifestLines(dir, 0L)).head
     val rewritten = lines.map { l =>
       if (l.startsWith("#cdc="))
         "#cdc=" + java.net.URLEncoder.encode(dataRel, "UTF-8") + ":delete"

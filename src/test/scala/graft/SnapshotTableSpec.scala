@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.sources.SnapshotTable
 
+/** JVM-global gates for the optimistic-concurrency races: the blocking
+  * scan's UDF must not capture latches in its (serialized) closure, so
+  * they live in a static holder the local-mode executor threads share. */
+private[graft] object OccGates {
+  import java.util.concurrent.CountDownLatch
+  @volatile var started: CountDownLatch = _
+  @volatile var go: CountDownLatch = _
+  def reset(): Unit = {
+    started = new CountDownLatch(1)
+    go = new CountDownLatch(1)
+  }
+}
+
 class SnapshotTableSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -1330,8 +1343,10 @@ class SnapshotTableSpec extends SparkTestBase {
     Files.readAllLines(Paths.get(dir, "_manifests", f"v$v%09d.json"))
       .asScala.toSeq
   }
+  // the RECONSTRUCTED listing (delta manifests shard the log; the
+  // carried-by-reference property lives in the folded state)
   private def dataLines(dir: String, v: Long): Seq[String] =
-    manifestLines(dir, v).filter(l => l.nonEmpty && !l.startsWith("#"))
+    SnapshotTable(dir).listingOf(v)
 
   test("merge: update + delete + insert land atomically in one commit") {
     val (t, _) = freshTable()
@@ -1366,12 +1381,16 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(r.filesRewritten <= 2 && r.filesRewritten >= 1)
     assert(r.filesUntouched >= 2)
     assert(r.filesRewritten + r.filesUntouched === 4)
-    // untouched data paths appear VERBATIM in the new manifest (no
-    // data copy), and their zone-map stat lines ride along
+    // untouched data paths carry VERBATIM into the new state (no data
+    // copy — the delta manifest holds only #rm/#add for touched files),
+    // and their zone-map stats ride the fold
     val after = dataLines(dir, r.version)
     assert(before.intersect(after).size === r.filesUntouched)
-    assert(manifestLines(dir, r.version)
-      .count(_.startsWith("#zm=")) >= r.filesUntouched)
+    assert(manifestLines(dir, r.version).count(l =>
+      l.startsWith("#rm=") || l.startsWith("#add=")) ===
+      r.filesRewritten + r.filesAdded,
+      "a merge delta must be O(touched files)")
+    assert(t.fileStatsOf(r.version).size >= r.filesUntouched)
     // content: merged rows replaced, everything else intact
     val m = t.read(spark).as[(Long, String)].collect().toMap
     assert(m.size === 400)
@@ -1601,6 +1620,143 @@ class SnapshotTableSpec extends SparkTestBase {
       legacy.mkString("\n").getBytes("UTF-8"))
     val st = SnapshotTable(dir).tableStats()
     assert(st.files === 1 && st.rows === None && st.cols.isEmpty)
+  }
+
+  test("optimistic concurrency: a disjoint concurrent append rebases a pending DML; an overlapping one refuses") {
+    import java.util.concurrent.TimeUnit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a predicate conjunct that parks the classification scan until
+    // the concurrent append lands; zone maps can't prove a UDF, so the
+    // base file straddles and the scan runs — while the And's plain
+    // conjunct still lets the rebase prove the APPENDED file disjoint
+    val gate = udf { (_: Long) =>
+      OccGates.started.countDown()
+      OccGates.go.await(60, TimeUnit.SECONDS)
+      true
+    }
+
+    // 1. DISJOINT append during a DV delete: the delete REBASES and
+    //    both commits land
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    OccGates.reset()
+    val del = Future {
+      t.deleteWhere(spark, col("id") === 5L && gate(col("id")),
+        dvMaxRowsPerFile = 1000)
+    }
+    assert(OccGates.started.await(60, TimeUnit.SECONDS))
+    SnapshotTable(dir).commit(kv(1000 until 1100).repartition(1))
+    OccGates.go.countDown()
+    val r = Await.result(del, 180.seconds)
+    assert(r.version === 2L,
+      "the delete must rebase onto the appended head and land")
+    assert(t.read(spark).count() === 199L)
+    assert(t.read(spark).filter(col("id") === 5L).count() === 0)
+    assert(t.read(spark).filter(col("id") >= 1000L).count() === 100)
+
+    // 2. OVERLAPPING append (its key range can hold matching rows):
+    //    the delete refuses deterministically, nothing publishes
+    val (t2, dir2) = freshTable()
+    t2.commit(kv(0 until 100).repartition(1))
+    OccGates.reset()
+    val del2 = Future {
+      t2.deleteWhere(spark, col("id") === 5L && gate(col("id")),
+        dvMaxRowsPerFile = 1000)
+    }
+    assert(OccGates.started.await(60, TimeUnit.SECONDS))
+    SnapshotTable(dir2).commit(kv(0 until 50, "b").repartition(1))
+    OccGates.go.countDown()
+    val ex = intercept[IllegalStateException] { Await.result(del2, 180.seconds) }
+    assert(ex.getMessage.contains("may match"),
+      s"overlap must refuse with the conflict contract, got ${ex.getMessage}")
+    assert(t2.currentVersion() === 1L, "the refused delete must not publish")
+    assert(t2.read(spark).filter(col("id") === 5L).count() === 2)
+
+    // 3. compaction rebases over a disjoint append: the gated sort key
+    //    parks the rewrite while the append lands; the replace carries
+    //    the appended file instead of clobbering it
+    val (t3, dir3) = freshTable()
+    t3.commit(kv(0 until 100).repartition(1))
+    OccGates.reset()
+    val comp = Future {
+      t3.compact(spark, files = 1, sortKey = Some(gate(col("id")).cast("long")))
+    }
+    assert(OccGates.started.await(60, TimeUnit.SECONDS))
+    SnapshotTable(dir3).commit(kv(5000 until 5050).repartition(1))
+    OccGates.go.countDown()
+    val vC = Await.result(comp, 180.seconds)
+    assert(vC === 2L, "the compaction must rebase and land")
+    assert(t3.read(spark).count() === 150L,
+      "the rebased replace must carry the concurrently appended rows")
+
+    // 4. compaction vs a concurrent DML still refuses (not an append)
+    val (t4, dir4) = freshTable()
+    t4.commit(kv(0 until 100).repartition(1))
+    OccGates.reset()
+    val comp2 = Future {
+      t4.compact(spark, files = 1, sortKey = Some(gate(col("id")).cast("long")))
+    }
+    assert(OccGates.started.await(60, TimeUnit.SECONDS))
+    SnapshotTable(dir4).deleteWhere(spark, col("id") < 10L)
+    OccGates.go.countDown()
+    val ex2 = intercept[IllegalStateException] { Await.result(comp2, 180.seconds) }
+    assert(ex2.getMessage.contains("not a plain append"))
+    assert(t4.read(spark).count() === 90L,
+      "the concurrent delete's commit must survive untouched")
+  }
+
+  test("delta manifests: commits write O(changed) lines; read planning folds anchor + bounded tail") {
+    val (t, dir) = freshTable()
+    // 45 single-file appends: v0 full, v1..v44 deltas, anchors at 20/40
+    (0 until 45).foreach(i =>
+      t.commit(df(i * 10 until (i + 1) * 10).repartition(1)))
+    val head = t.currentVersion()
+    assert(head === 44L)
+    // a delta manifest is O(new files), independent of table size
+    val d44 = manifestLines(dir, 44L)
+    assert(d44.head === "#base=43")
+    assert(d44.count(_.startsWith("#add=")) === 1)
+    assert(!d44.exists(l => l.nonEmpty && !l.startsWith("#")),
+      "a delta carries no listing lines")
+    assert(d44.size < manifestLines(dir, 0L).size + 8,
+      "commit bytes must not grow with the table")
+    // anchors landed on the cadence
+    val a20 = Paths.get(dir, "_manifests", "a000000020.anchor")
+    val a40 = Paths.get(dir, "_manifests", "a000000040.anchor")
+    assert(Files.exists(a20) && Files.exists(a40))
+    // a FRESH handle plans the head from the nearest anchor + tail —
+    // ≤ AnchorInterval + 2 parses, never the whole 45-commit log
+    val fresh = SnapshotTable(dir)
+    assert(fresh.listingOf(head).size === 45)
+    assert(fresh.manifestParses <= SnapshotTable.AnchorInterval + 2,
+      s"read planning must fold anchor + bounded tail, parsed ${fresh.manifestParses}")
+    // reads, stats, time travel are exact across the delta lineage
+    assert(fresh.read(spark).count() === 450)
+    assert(fresh.tableStats().rows === Some(450L))
+    assert(fresh.readAt(spark, 2L).count() === 30)
+    assert(fresh.readChanges(spark, 40L, head).count() === 40)
+    // a missing anchor degrades to walking the deltas — same answers
+    Files.delete(a40)
+    val noAnchor = SnapshotTable(dir)
+    assert(noAnchor.listingOf(head).size === 45)
+    assert(noAnchor.read(spark).count() === 450)
+    // vacuum mid-chain: keepFrom (v42) is a delta — vacuum anchors it
+    // before expiring its bases, so every retained version still
+    // reconstructs, and expired versions refuse
+    t.vacuum(keepVersions = 3)
+    assert(Files.exists(Paths.get(dir, "_manifests", "a000000042.anchor")))
+    val fresh3 = SnapshotTable(dir)
+    assert(fresh3.read(spark).count() === 450)
+    assert(fresh3.readAt(spark, 42L).count() === 430)
+    intercept[Exception] { fresh3.readAt(spark, 10L).count() }
+    // restore across the delta lineage re-publishes a self-contained
+    // manifest of the target's folded state
+    val vR = t.restore(42L)
+    assert(manifestLines(dir, vR).head.startsWith("#schema="))
+    assert(!manifestLines(dir, vR).exists(_.startsWith("#base=")))
+    assert(t.read(spark).count() === 430)
   }
 
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
