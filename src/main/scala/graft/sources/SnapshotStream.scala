@@ -101,6 +101,19 @@ final case class EmptyBatchReaderFactory(root: String) extends PartitionReaderFa
 final case class CdcInputPartition(inner: InputPartition, changeType: String,
                                    version: Long) extends InputPartition
 
+/** A CDC partition over ONE WHOLE vectored file: the replay must
+  * subtract the file's deletion-vector positions, and the only row
+  * domain available without the v1 metadata column is the READ ORDER —
+  * exact precisely when the partition is a single unsplit file scanned
+  * with no pushed filters (no row-group skipping), which this
+  * partition construction guarantees. The vector rides as its
+  * descriptor (count + payload token); positions decode in the reader
+  * task, where a sidecar read is file-local I/O. */
+final case class DvCdcInputPartition(absPath: String, fileLen: Long,
+                                     changeType: String, version: Long,
+                                     dvCount: Long, dvPayload: String,
+                                     root: String) extends InputPartition
+
 /** Wraps the delegate parquet reader factory: every row comes back joined
   * with its partition's constant (_change_type, _commit_version) and
   * re-projected to UnsafeRow so downstream operators can hold
@@ -111,11 +124,46 @@ final class CdcReaderFactory(inner: PartitionReaderFactory,
                              cdcSchema: StructType)
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = false
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val c = p.asInstanceOf[CdcInputPartition]
-    val r = inner.createReader(c.inner)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case c: CdcInputPartition =>
+      stamped(inner.createReader(c.inner), c.changeType, c.version)
+    case d: DvCdcInputPartition =>
+      // one whole-file split, no pushed filters → the delegate reader
+      // yields rows in exact file order, so a running counter IS the
+      // row index and the sorted vector positions skip by merge-walk
+      val pf = new org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(d.absPath),
+        0L, d.fileLen, Array.empty, 0L, d.fileLen, Map.empty)
+      val r = inner.createReader(
+        org.apache.spark.sql.execution.datasources.FilePartition(0, Array(pf)))
+      val skip: Array[Long] =
+        if (d.dvPayload == null) Array.empty
+        else DeletionVectors.Dv(d.dvCount, d.dvPayload).positions(d.root)
+      val base = new PartitionReader[InternalRow] {
+        private var row = -1L
+        private var si = 0
+        override def next(): Boolean = {
+          var found = false
+          while (!found && r.next()) {
+            row += 1
+            while (si < skip.length && skip(si) < row) si += 1
+            found = si >= skip.length || skip(si) != row
+          }
+          found
+        }
+        override def get(): InternalRow = r.get()
+        override def close(): Unit = r.close()
+      }
+      stamped(base, d.changeType, d.version)
+    case other => throw new IllegalStateException(
+      s"unexpected CDC partition shape: $other")
+  }
+
+  private def stamped(r: PartitionReader[InternalRow], changeType: String,
+                      version: Long): PartitionReader[InternalRow] = {
     val meta = new GenericInternalRow(
-      Array[Any](UTF8String.fromString(c.changeType), c.version))
+      Array[Any](UTF8String.fromString(changeType), version))
     val joined = new JoinedRow
     val proj = UnsafeProjection.create(cdcSchema)
     new PartitionReader[InternalRow] {
@@ -202,26 +250,32 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     // endingVersion can hand an inverted range: nothing to emit
     if (ver(end) <= ver(start)) return Array.empty
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
-    // a file-diff chunk carrying deletion vectors (a rewrite or
-    // restore of a vectored file) cannot replay exactly through the
-    // delegate parquet batch — positions need the v1 metadata-column
-    // read. The batch feed (readChangesCdc) handles it; the stream
-    // refuses rather than double-deleting already-vectored rows.
-    chunks.find(_.exclude.nonEmpty).foreach { c =>
-      throw new IllegalStateException(
-        s"change-feed stream at $root: version ${c.v} rewrites files " +
-          "that carry deletion vectors — consume this range with the " +
-          "batch readChangesCdc, or re-bootstrap the stream past it")
-    }
     innerFactory = null
     chunks.flatMap { c =>
       val b = mkBatch(c.rels.map(table.absPath))
-      val parts = b.planInputPartitions()
-      // the delegate factories are config-identical across chunks
-      // (same schema, no pushdown in a stream): keep the first
-      if (innerFactory == null && parts.nonEmpty)
-        innerFactory = b.createReaderFactory()
-      parts.map(p => CdcInputPartition(p, c.ctype, c.v): InputPartition)
+      if (c.exclude.isEmpty) {
+        val parts = b.planInputPartitions()
+        // the delegate factories are config-identical across chunks
+        // (same schema, no pushdown in a stream): keep the first
+        if (innerFactory == null && parts.nonEmpty)
+          innerFactory = b.createReaderFactory()
+        parts.map(p => CdcInputPartition(p, c.ctype, c.v): InputPartition)
+      } else {
+        // a file-diff chunk over VECTORED files (a rewrite or restore
+        // of a file carrying `#dv=`): replay each file as one whole,
+        // unsplit partition whose reader subtracts the vector by row
+        // order — exactly the batch feed's semantics, without the v1
+        // metadata-column read a streaming Batch cannot express
+        if (innerFactory == null) innerFactory = b.createReaderFactory()
+        c.rels.map { rel =>
+          val abs = table.absPath(rel)
+          val len = java.nio.file.Files.size(java.nio.file.Paths.get(abs))
+          val dv = c.exclude.get(rel)
+          DvCdcInputPartition(abs, len, c.ctype, c.v,
+            dv.map(_.count).getOrElse(0L), dv.map(_.payload).orNull,
+            root): InputPartition
+        }
+      }
     }.toArray
   }
 

@@ -2218,10 +2218,22 @@ final class SnapshotTable(root: String) {
       if (perFile.forall(_.exists(_.rows >= 0)))
         Some(perFile.map(_.get.rows).sum - dvTotal)
       else None
+    // per-column HONESTY under deletion vectors: a vectored file's
+    // recorded min/max may describe only deleted rows (delete the one
+    // max row and the stat overstates), so a DV'd file reports NO
+    // column stats into the fold — and since a column reports only
+    // when EVERY file carries it, any pending vector suppresses the
+    // table-wide min/max/nulls until compaction materializes the
+    // deletes (rows stays exact either way: it nets the vectors).
+    // Per-file zoneMapsOf stats are untouched — a physical superset
+    // remains sound for pruning, just never for answering.
+    val dv = dvRelOf(v)
     val common =
       if (perFile.isEmpty) Set.empty[String]
-      else perFile.map(_.map(_.cols.keySet).getOrElse(Set.empty[String]))
-        .reduce(_ intersect _)
+      else rels.zip(perFile).map { case (rel, pf) =>
+        if (dv.contains(rel)) Set.empty[String]
+        else pf.map(_.cols.keySet).getOrElse(Set.empty[String])
+      }.reduce(_ intersect _)
     val cols = common.iterator.map { c =>
       c -> ZoneMaps.fold(perFile.map(_.get.cols(c)))
     }.toMap
@@ -2336,8 +2348,10 @@ object SnapshotTable {
   final case class TableStats(version: Long, files: Int,
                               rows: Option[Long],
                               cols: Map[String, ZoneMaps.ColStat])
-  // (rows already nets out deletion vectors; per-column min/max stay
-  // the physical superset — sound for pruning, never for equality)
+  // (rows already nets out deletion vectors; per-column stats report
+  // only when NO listed file carries a pending vector — a vectored
+  // file's recorded min/max may describe deleted rows, and this
+  // surface answers queries, it doesn't just prune)
 
   /** [[SnapshotTable.updateWhere]] accounting: only files that might
     * hold predicate-matching rows rewrite; the rest carry forward by

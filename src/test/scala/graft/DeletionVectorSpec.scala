@@ -255,20 +255,54 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(reconstructed === actual,
       "feed-applied v0 must equal v2 with exact multiplicities")
 
-    // the STREAMING feed refuses the vectored-rewrite range loudly
+    // the STREAMING feed replays the vectored-rewrite range EXACTLY
+    // like the batch feed (whole-file partitions + row-order vector
+    // subtraction), instead of refusing or double-deleting
     val ck = Files.createTempDirectory("graft_dv_cdc_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
     val q = spark.readStream.format("graft-snapshot")
       .option("readChangeFeed", "true")
       .option("startingVersion", v0 + 1).load(dir)
-      .writeStream.format("noop")
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("_change_type", "id", "_commit_version")
+          .as[(String, Long, Long)].collect().foreach(got.add); ()
+      }
       .option("checkpointLocation", ck).start()
-    val ex = intercept[Exception] { q.processAllAvailable() }
-    try assert(
-      Option(ex.getMessage).getOrElse("").contains("deletion vectors") ||
-        Option(ex.getCause).exists(c =>
-          Option(c.getMessage).getOrElse("").contains("deletion vectors")),
-      s"stream must refuse with the vectored-rewrite error, got $ex")
-    finally q.stop()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted === cdc.toSeq.sorted,
+      "the stream must equal readChangesCdc across the vectored rewrite")
+  }
+
+  test("streaming feed replays a RESTORE of a vectored file equal to the batch feed") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    t.deleteWhere(spark, col("id").isin(7L, 70L), dvMaxRowsPerFile = 1000)
+    val vDv = t.currentVersion()
+    t.compact(spark, files = 1)
+    val vRestored = t.restore(vDv) // re-adds the vectored file
+    val batch = t.readChangesCdc(spark, vRestored - 1, vRestored)
+      .select("_change_type", "id", "_commit_version")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(batch.count(_._1 == "insert") === 98,
+      "the restore's insert replay subtracts the re-added vector")
+    val ck = Files.createTempDirectory("graft_dv_rst_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vRestored)
+      .option("endingVersion", vRestored).load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("_change_type", "id", "_commit_version")
+          .as[(String, Long, Long)].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted === batch,
+      "stream over a restore of a vectored file must equal readChangesCdc")
   }
 
   test("restore re-adding a vectored file does not resurrect its deleted positions in the feed") {
@@ -434,6 +468,28 @@ class DeletionVectorSpec extends SparkTestBase {
     // expiry reaps the now-unreferenced sidecar files
     t.vacuum(keepVersions = 1)
     assert(!Files.exists(sidecar1), "unreferenced DV sidecar must be reaped")
+  }
+
+  test("stats honesty under vectors: rows net out, per-column stats withdraw until compaction") {
+    val (t, _) = freshTable()
+    t.commit(kv(0 until 100).repartition(2))
+    val before = t.tableStats()
+    assert(before.rows === Some(100L) && before.cols.contains("id"))
+    assert(before.cols("id").min.toLong === 0L
+      && before.cols("id").max.toLong === 99L)
+    // delete the max row BY VECTOR: its file's recorded max now
+    // describes a deleted row — an honest surface must not report it
+    val r = t.deleteWhere(spark, col("id") === 99L, dvMaxRowsPerFile = 1000)
+    val st = t.tableStats(r.version)
+    assert(st.rows === Some(99L), "rows keep netting the vector")
+    assert(st.cols.isEmpty,
+      "per-column stats must withdraw while any file carries a vector " +
+        "(the recorded max 99 is a deleted row)")
+    // compaction materializes the vectors and stats come back true
+    val vC = t.compact(spark, files = 1)
+    val after = t.tableStats(vC)
+    assert(after.rows === Some(99L))
+    assert(after.cols("id").max.toLong === 98L)
   }
 
   test("zone-map file skipping survives on the DV'd read subset") {
