@@ -654,6 +654,51 @@ object RefQueries {
       acct.unionByName(after).orderBy("stat")
     }),
 
+    // E18 COLUMN MAPPING exercised through the oracle gate (round 13):
+    // RENAME COLUMN and DROP COLUMN are metadata-only commits — the
+    // `#colmap=` manifest line decouples the frozen PHYSICAL names the
+    // parquet files store from the LOGICAL names readers see, so a
+    // rename on a 100 TB table costs one manifest line instead of a
+    // full rewrite. The fixture proves: zero files change on rename,
+    // old files resolve under the new name, appends under the new
+    // logical name write the frozen physical name (old+new files
+    // agree on disk), time travel keeps the pre-rename shape, drop
+    // removes the column logically while history retains it, and the
+    // filtered read proves manifest file-skipping still applies on
+    // the mapped (v1) read path. Oracle recomputes everything
+    // arithmetically from the frozen fixture rules.
+    "q_snapshot_colmap" -> ((s, d) => {
+      val dir = scratchDir("graft_cmq")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 500).repartition(1))
+      val vPre = t.currentVersion()
+      val filesPre = t.fileCount(vPre)
+      val vR = t.renameColumn("n_chars", "len_chars")
+      val renameDelta = (t.fileCount(vR) - filesPre).toLong
+      t.commit(docs.filter(col("doc_id") >= 500 && col("doc_id") < 600)
+        .withColumnRenamed("n_chars", "len_chars").repartition(1))
+      t.dropColumn("source")
+      val head = t.read(s)
+      val acct = s.createDataFrame(Seq(
+        ("rename_files_delta", renameDelta),
+        ("cols_head", head.columns.length.toLong),
+        ("cols_time_travel", t.readAt(s, vPre).columns.length.toLong),
+        ("rows_time_travel", t.readAt(s, vPre).count()),
+        ("head_filtered", head.filter(col("doc_id") >= 550).count())))
+        .toDF("stat", "value")
+      val after = head
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("len_chars")).cast("long").as("sum_len_after"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_len_after', sum_len_after, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -1073,6 +1118,25 @@ object RefQueries {
         |  UNION ALL SELECT 'rows_after', rows_after FROM fin
         |  UNION ALL SELECT 'sum_chars_after', sum_chars_after FROM fin
         |  UNION ALL SELECT 'sum_doc_after', sum_doc_after FROM fin)
+        |ORDER BY stat""".stripMargin,
+
+    // column mapping: rename/drop are metadata-only and the final
+    // logical shape equals the frozen arithmetic over the fixture
+    "q_snapshot_colmap" ->
+      """WITH base AS (SELECT * FROM documents WHERE doc_id < 600)
+        |SELECT * FROM (
+        |  SELECT 'rename_files_delta' AS stat, CAST(0 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cols_head', CAST(2 AS BIGINT)
+        |  UNION ALL SELECT 'cols_time_travel', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'rows_time_travel',
+        |    (SELECT COUNT(*) FROM base WHERE doc_id < 500)
+        |  UNION ALL SELECT 'head_filtered',
+        |    (SELECT COUNT(*) FROM base WHERE doc_id >= 550)
+        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 'sum_len_after',
+        |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM base)
+        |  UNION ALL SELECT 'sum_doc_after',
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM base))
         |ORDER BY stat""".stripMargin,
 
     "q_snapshot_stats" ->

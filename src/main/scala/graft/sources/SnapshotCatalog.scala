@@ -169,20 +169,33 @@ class SnapshotCatalog extends TableCatalog
     * destructive evolution happens per-commit with the evolved
     * schema, never by mutating history. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val t = SnapshotTable(dir.toString)
+    // supported shapes, each a metadata-only commit: ADD COLUMNS
+    // (batched into one commit), RENAME COLUMN and DROP COLUMN
+    // (id-based column mapping — old files resolve their frozen
+    // physical names, time travel keeps old shapes)
+    val adds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
+    }
+    if (adds.nonEmpty)
+      t.addColumns(StructType(adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable()))))
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 => ()
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        t.dropColumn(d.fieldNames()(0))
       case other =>
         throw new UnsupportedOperationException(
           "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
-            s"nullable) only — ${other.getClass.getSimpleName} is not " +
-            "supported; evolve destructively per-commit with the evolved schema")
+            "nullable), RENAME COLUMN and DROP COLUMN only — " +
+            s"${other.getClass.getSimpleName} is not supported; evolve " +
+            "destructively per-commit with the evolved schema")
     }
-    val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val cols = StructType(adds.map(a =>
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames()(0), a.dataType(), a.isNullable())))
-    SnapshotTable(dir.toString).addColumns(cols)
     loadTable(ident)
   }
 

@@ -66,6 +66,10 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       // makes version v the FIRST emitted micro-batch (Delta-CDF's
       // inclusive convention); default = follow forward from the head.
       val v = t.currentVersion()
+      require(t.colMapOf(v).isEmpty,
+        s"streaming change feed on a column-mapped table is not supported " +
+          s"at $root — OPTIMIZE/compact first (batch readChangesCdc serves " +
+          "mapped ranges)")
       val sch = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
         throw new IllegalArgumentException(
           s"readChangeFeed at $root needs a committed table schema"))
@@ -124,11 +128,15 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
               rootPath.relativize(java.nio.file.Paths.get(f)).toString))
           }
         // only a HEAD load is streamable: a pinned version is frozen
-        // history, there is nothing to tail
+        // history, there is nothing to tail. dvInfo marks relations the
+        // injected rewrite must recompose — vectored snapshots AND
+        // column-mapped ones (the delegate scan resolves columns by
+        // logical name, which mapped files don't store)
         Resolved(s"v$v", files,
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
           t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None,
-          dvInfo = if (!exclude && dvRels.nonEmpty) Some((root, v)) else None)
+          dvInfo = if ((!exclude && dvRels.nonEmpty) || t.colMapOf(v).nonEmpty)
+            Some((root, v)) else None)
     }
   }
 
@@ -313,7 +321,9 @@ object SnapshotSource {
       (key, n, t.fileBucketsOf(v).map { case (abs, b) =>
         new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
     }
-    val dvInfo = if (t.dvRelOf(v).nonEmpty) Some((root, v)) else None
+    val dvInfo =
+      if (t.dvRelOf(v).nonEmpty || t.colMapOf(v).nonEmpty) Some((root, v))
+      else None
     if (deletable)
       new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk,
         streamRoot, bucketing, dvInfo)
@@ -506,10 +516,11 @@ object SnapshotSource {
             override def readSchema(): StructType = built.readSchema()
             override def description(): String = built.description()
             private def refuse: Nothing = throw new IllegalStateException(
-              s"snapshot v$v at $root carries deletion vectors; read it " +
-                "through a GraftSession (spark.sql.extensions=" +
-                "graft.plans.GraftExtensions) or SnapshotTable.readAt — " +
-                "or compact the table to materialize the vectors")
+              s"snapshot v$v at $root carries deletion vectors or column " +
+                "mapping; read it through a GraftSession " +
+                "(spark.sql.extensions=graft.plans.GraftExtensions) or " +
+                "SnapshotTable.readAt — or compact the table to " +
+                "materialize/normalize them")
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
               refuse
             override def toMicroBatchStream(checkpointLocation: String)

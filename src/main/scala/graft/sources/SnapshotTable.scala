@@ -94,7 +94,8 @@ final class SnapshotTable(root: String) {
       files: Vector[String],           // ordered rel paths
       stat: Vector[(String, String)],  // (rel, raw #zm=/#bfl= line)
       fb: Vector[(String, String)],    // (rel, raw #fb= line)
-      dv: Map[String, String])         // rel -> raw #dv= line
+      dv: Map[String, String],         // rel -> raw #dv= line
+      colmap: Option[String] = None)   // raw "#colmap=…" line
 
   private val EmptyState = TableState(None, None, Vector.empty,
     Vector.empty, Vector.empty, Map.empty)
@@ -127,11 +128,13 @@ final class SnapshotTable(root: String) {
     val dv = Map.newBuilder[String, String]
     var schema: Option[String] = None
     var bucketing: Option[String] = None
+    var colmap: Option[String] = None
     lines.foreach { l =>
       if (l.isEmpty) ()
       else if (!l.startsWith("#")) files += l
       else if (l.startsWith("#schema=")) schema = Some(l.stripPrefix("#schema="))
       else if (l.startsWith("#bucketing=")) bucketing = Some(l)
+      else if (l.startsWith("#colmap=")) colmap = Some(l)
       else if (l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
         relOfStat(l).foreach(rel => stat += (rel -> l))
       else if (l.startsWith("#fb=")) relOfFb(l).foreach(rel => fb += (rel -> l))
@@ -140,7 +143,7 @@ final class SnapshotTable(root: String) {
       // #ts/#op/#tag/#cdc/#base: version-scoped, not state
     }
     TableState(schema, bucketing, files.result(), stat.result(),
-      fb.result(), dv.result())
+      fb.result(), dv.result(), colmap)
   }
 
   private def applyDelta(prev: TableState, lines: Seq[String],
@@ -163,7 +166,11 @@ final class SnapshotTable(root: String) {
       files = prev.files.filterNot(rms) ++ adds,
       stat = prev.stat.filterNot { case (rel, _) => rms(rel) } ++ fresh.stat,
       fb = prev.fb.filterNot { case (rel, _) => rms(rel) } ++ fresh.fb,
-      dv = (prev.dv -- rms) ++ fresh.dv)
+      dv = (prev.dv -- rms) ++ fresh.dv,
+      // column mapping INHERITS (unlike bucketing): a writer unaware
+      // of the mapping must not silently unmap the table; restated
+      // lines (renames, drops, mapping extensions) replace it
+      colmap = fresh.colmap.orElse(prev.colmap))
   }
 
   /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
@@ -171,6 +178,7 @@ final class SnapshotTable(root: String) {
   private def renderState(meta: Seq[String], st: TableState,
                           cdc: Seq[String] = Seq.empty): Seq[String] =
     st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
+      st.colmap.toSeq ++
       st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
       st.dv.toSeq.sortBy(_._1).map(_._2) ++ cdc ++ st.files
 
@@ -624,7 +632,21 @@ final class SnapshotTable(root: String) {
     if (files.isEmpty && schema.isEmpty) spark.emptyDataFrame // table never committed
     else {
       val dvs = dvRelOf(v).view.filterKeys(listing(v).toSet).toMap
-      if (dvs.isEmpty)
+      val mapping = colMapOf(v)
+      if (mapping.nonEmpty) {
+        // COLUMN-MAPPED read: the files store PHYSICAL names the DSv2
+        // scan (which resolves by logical name) cannot serve — read
+        // the v1 path under the physical schema (manifest file-skip
+        // intact via ZoneMapFileIndex, vectors subtracted as usual)
+        // and alias back to the logical shape
+        val logical = schema.getOrElse(throw new IllegalStateException(
+          s"column-mapped snapshot v$v at $root has no recorded schema"))
+        val physical = physicalSchemaFor(logical, mapping)
+        aliasToLogical(
+          readFilesDvAware(spark, physical, listing(v), dvs, zoneMapsOf(v)),
+          mapping, logical)
+      }
+      else if (dvs.isEmpty)
         // DSv2 read (SnapshotSource): same files + manifest schema, but
         // as a connector-API Table, so pushed filters and pruned columns
         // report through the scan node
@@ -771,7 +793,7 @@ final class SnapshotTable(root: String) {
     if (resolvedFiles(v).isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (dvRelOf(v).nonEmpty)
+    else if (dvRelOf(v).nonEmpty || colMapOf(v).nonEmpty)
       // DV'd head: the merge-on-read composition, pruned to the
       // declared columns (the anti-join adds only metadata columns,
       // which prune away with the final drop)
@@ -805,7 +827,17 @@ final class SnapshotTable(root: String) {
     // resolves from whichever file Spark samples — silently dropping
     // the evolved column on a bad draw
     val schema = schemaOf(to).map(org.apache.spark.sql.types.StructType.fromDDL)
+    val mapping = colMapOf(to)
     (added.nonEmpty, schema) match {
+      case (true, Some(logical)) if mapping.nonEmpty =>
+        // column-mapped delta: physical-schema v1 read + logical alias
+        // (files store frozen physical names at every version)
+        val rootPath = Paths.get(root)
+        val rels = added.map(a => rootPath.relativize(Paths.get(a)).toString)
+        aliasToLogical(
+          readFilesDvAware(spark, physicalSchemaFor(logical, mapping), rels,
+            Map.empty),
+          mapping, logical)
       case (true, _) =>
         spark.read.format("graft-snapshot")
           .option("changesFrom", from).option("changesTo", to).load(root)
@@ -967,10 +999,19 @@ final class SnapshotTable(root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
     }
+    val mapping = colMapOf(to)
     chunks.map { c =>
       // the DV-aware read subtracts already-deleted positions; chunks
-      // without vectors take its plain fast path unchanged
-      readFilesDvAware(spark, schema, c.rels, c.exclude)
+      // without vectors take its plain fast path unchanged; mapped
+      // tables read physical names and alias to the logical shape
+      // (physical names are frozen per field, so files from any
+      // version of the range resolve under `to`'s mapping)
+      val base =
+        if (mapping.isEmpty) readFilesDvAware(spark, schema, c.rels, c.exclude)
+        else aliasToLogical(
+          readFilesDvAware(spark, physicalSchemaFor(schema, mapping),
+            c.rels, c.exclude), mapping, schema)
+      base
         .withColumn("_change_type", lit(c.ctype))
         .withColumn("_commit_version", lit(c.v))
     }.foldLeft(empty)(_ unionByName _)
@@ -993,21 +1034,157 @@ final class SnapshotTable(root: String) {
       .getOrElse(throw new IllegalStateException(
         s"addColumns at $root: snapshot v$v has no recorded schema"))
     val existing = base.fieldNames.map(_.toLowerCase).toSet
+    val mapping = colMapOf(v)
+    val physNames = mapping.map(_._2.toLowerCase).toSet
     newCols.foreach { f =>
       require(!existing.contains(f.name.toLowerCase),
         s"addColumns: column ${f.name} already exists")
+      require(!physNames.contains(f.name.toLowerCase),
+        s"addColumns: column ${f.name} collides with an existing " +
+          "PHYSICAL column name under the table's column mapping")
       require(f.nullable,
         s"addColumns: new column ${f.name} must be nullable (existing " +
           "rows have no value for it)")
     }
     val widened = newCols.foldLeft(base)(_ add _)
-    // pure-metadata delta: the restated schema is the whole change
-    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}",
-      s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    // pure-metadata delta: the restated schema is the whole change; a
+    // mapped table's mapping extends with fresh ids for the new names
+    val mapExt =
+      if (mapping.isEmpty) Seq.empty
+      else {
+        val maxId = mapping.map(_._1).max
+        Seq(colmapLine(mapping ++ newCols.fieldNames.zipWithIndex.map {
+          case (n, i) => (maxId + 1 + i, n, n) }))
+      }
+    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}") ++ mapExt ++
+      Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
         s"addColumns at $root lost the publish race: a commit landed " +
           "concurrently — re-run against the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  // ---- COLUMN MAPPING: id-based rename/drop schema evolution --------
+  //
+  // The manifest's `#colmap=` line decouples the names parquet files
+  // STORE (physical — frozen when the mapping initializes) from the
+  // names readers SEE (logical), which is what makes RENAME COLUMN and
+  // DROP COLUMN metadata-only commits on an immutable-file table
+  // (Delta's column mapping, Iceberg's field ids). Unmapped tables
+  // (physical ≡ logical) behave exactly as before; time travel keeps
+  // each snapshot's own names because old manifests keep their own
+  // schema + mapping; compaction NORMALIZES the mapping away (the
+  // rewrite lands with physical = logical names), which is also the
+  // escape hatch for the surfaces that refuse on mapped tables
+  // (row-level DML, bucketed/bloom commits, streams).
+
+  private def encU(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def decU(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Decoded column mapping of snapshot `v`: (field id, PHYSICAL name,
+    * LOGICAL name). Empty = unmapped. */
+  private[graft] def colMapOf(v: Long): Seq[(Int, String, String)] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    else state(v).colmap.toSeq.flatMap { l =>
+      l.stripPrefix("#colmap=").split(';').toSeq.filter(_.nonEmpty).map { e =>
+        val Array(id, p, lg) = e.split(':')
+        (id.toInt, decU(p), decU(lg))
+      }
+    }
+
+  private def colmapLine(entries: Seq[(Int, String, String)]): String =
+    "#colmap=" + entries.map { case (id, p, lg) =>
+      s"$id:${encU(p)}:${encU(lg)}" }.mkString(";")
+
+  /** The existing mapping, or the identity mapping a first rename/drop
+    * initializes (ids 1..n, physical = the current names, frozen). */
+  private def mappingOrInit(v: Long,
+      base: org.apache.spark.sql.types.StructType): Seq[(Int, String, String)] = {
+    val existing = colMapOf(v)
+    if (existing.nonEmpty) existing
+    else base.fieldNames.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n, n) }
+  }
+
+  /** The PHYSICAL schema (file column names) for `logical` under
+    * `mapping`; logical names outside the mapping map to themselves
+    * (columns added after init keep physical = logical). */
+  private def physicalSchemaFor(logical: org.apache.spark.sql.types.StructType,
+      mapping: Seq[(Int, String, String)]): org.apache.spark.sql.types.StructType = {
+    val byLogical = mapping.map(m => m._3 -> m._2).toMap
+    org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+      f.copy(name = byLogical.getOrElse(f.name, f.name))))
+  }
+
+  /** Alias a physical-named frame back to the logical shape. */
+  private def aliasToLogical(df: DataFrame,
+      mapping: Seq[(Int, String, String)],
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val byLogical = mapping.map(m => m._3 -> m._2).toMap
+    df.select(logical.fields.map { f =>
+      org.apache.spark.sql.functions
+        .col("`" + byLogical.getOrElse(f.name, f.name) + "`").as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** METADATA-ONLY `RENAME COLUMN` — zero data I/O on any table size:
+    * the commit restates the logical schema with the new name and a
+    * `#colmap=` line pinning the field's frozen physical name. Old
+    * files keep resolving (they store physical names), new writes keep
+    * WRITING the physical name, and time travel to a pre-rename
+    * version reads the old shape. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"renameColumn at $root: table has no committed snapshot")
+    val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(
+        s"renameColumn at $root: snapshot v$v has no recorded schema"))
+    val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
+    require(idx >= 0, s"renameColumn: no column $oldName")
+    require(!base.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: column $newName already exists")
+    val exact = base.fieldNames(idx)
+    val mapping = mappingOrInit(v, base)
+    val renamed = mapping.map { case (id, p, lg) =>
+      if (lg == exact) (id, p, newName) else (id, p, lg) }
+    val widened = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == exact) f.copy(name = newName) else f))
+    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}",
+      colmapLine(renamed),
+      s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"renameColumn at $root lost the publish race — re-run against " +
+          "the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  /** METADATA-ONLY `DROP COLUMN`: the field leaves the logical schema
+    * and the mapping; its data stays physically in the old files
+    * (ignored on read, reclaimed by the next compaction), and time
+    * travel to a pre-drop version still reads it. */
+  def dropColumn(name: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"dropColumn at $root: table has no committed snapshot")
+    val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(
+        s"dropColumn at $root: snapshot v$v has no recorded schema"))
+    val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    require(idx >= 0, s"dropColumn: no column $name")
+    require(base.fields.length > 1, "dropColumn: cannot drop the last column")
+    val exact = base.fieldNames(idx)
+    val mapping = mappingOrInit(v, base)
+    val narrowed = org.apache.spark.sql.types.StructType(
+      base.fields.filterNot(_.name == exact))
+    val lines = Seq(s"#base=$v", s"#schema=${narrowed.toDDL}",
+      colmapLine(mapping.filterNot(_._3 == exact)),
+      s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"dropColumn at $root lost the publish race — re-run against " +
+          "the new head")
     maybeAnchor(v + 1)
     v + 1
   }
@@ -1222,7 +1399,49 @@ final class SnapshotTable(root: String) {
                        bloomItems: Int = 10000,
                        op: Option[String] = None,
                        expectedBase: Option[Long] = None): Option[Long] = {
-    val (out, newFiles, zmNew, fbNew) = writeBatch(df, bucketing, bloomKeys, bloomItems)
+    // COLUMN MAPPING: an append onto a mapped head must WRITE the
+    // frozen physical names (old and new files must agree); brand-new
+    // columns extend the mapping with fresh ids (physical = logical).
+    // A replace drops the mapping with the rest of the prior state —
+    // that normalization is how compaction unmaps a table.
+    val head0 = currentVersion()
+    val mapAtWrite = if (replace) Seq.empty else colMapOf(head0)
+    // schema-evolving append: a column the head's schema lacks must be
+    // recorded NULLABLE whatever the batch's own nullability says —
+    // every pre-evolution file null-fills it, and a NOT NULL manifest
+    // schema would let the optimizer constant-fold those nulls away
+    // (IsNotNull on a non-nullable attribute is `true`)
+    val recordedSchema = {
+      val prevFields =
+        if (replace) Set.empty[String]
+        else schemaOf(head0)
+          .map(org.apache.spark.sql.types.StructType.fromDDL(_)
+            .fieldNames.toSet)
+          .getOrElse(Set.empty[String])
+      if (prevFields.isEmpty) df.schema
+      else org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+        if (prevFields.contains(f.name)) f else f.copy(nullable = true)))
+    }
+    require(mapAtWrite.isEmpty || (bucketing.isEmpty && bloomKeys.isEmpty),
+      s"bucketed/bloom commits on a column-mapped table are not supported " +
+        s"at $root — compact first (the rewrite normalizes physical names)")
+    val (toWrite, mapLineOut) =
+      if (mapAtWrite.isEmpty) (df, None: Option[String])
+      else {
+        val byLogical = mapAtWrite.map(m => m._3 -> m._2).toMap
+        val physNames = mapAtWrite.map(_._2.toLowerCase).toSet
+        val extras = df.columns.toSeq.filterNot(byLogical.contains)
+        extras.foreach(c => require(!physNames.contains(c.toLowerCase),
+          s"append at $root: new column $c collides with an existing " +
+            "PHYSICAL column name under the table's column mapping"))
+        val maxId = mapAtWrite.map(_._1).max
+        val extended = mapAtWrite ++
+          extras.zipWithIndex.map { case (c, i) => (maxId + 1 + i, c, c) }
+        (df.select(df.columns.map(c => org.apache.spark.sql.functions
+            .col(s"`$c`").as(byLogical.getOrElse(c, c))).toIndexedSeq: _*),
+          if (extras.nonEmpty) Some(colmapLine(extended)) else None)
+      }
+    val (out, newFiles, zmNew, fbNew) = writeBatch(toWrite, bucketing, bloomKeys, bloomItems)
 
     var attempt = 0
     var committed = -1L
@@ -1268,6 +1487,15 @@ final class SnapshotTable(root: String) {
       }
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
+        // the batch was written under the mapping read at entry — a
+        // racing rename/drop would make those physical names stale
+        if (!replace && colMapOf(head) != mapAtWrite) {
+          SnapshotTable.deleteRecursively(out)
+          throw new IllegalStateException(
+            s"commit at $root raced a column-mapping change (rename/" +
+              "drop) — the written batch carries stale physical names; " +
+              "re-run the commit")
+        }
         // bucketing lines: the header + per-file assignments ride the
         // manifest only when THIS commit is bucketed — an append must
         // land on an empty or same-spec bucketed head (anything else
@@ -1290,7 +1518,7 @@ final class SnapshotTable(root: String) {
           case None => Seq.empty
         }
         val meta = tag.map(t => s"#tag=$t").toSeq ++
-          Seq(s"#schema=${df.schema.toDDL}",
+          Seq(s"#schema=${recordedSchema.toDDL}",
             s"#ts=${System.currentTimeMillis()}",
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
           bucketLines
@@ -1304,7 +1532,9 @@ final class SnapshotTable(root: String) {
             meta ++ zmNew ++ carryStats ++ newFiles ++ carryRels
           else
             // DELTA: O(new files) lines however large the table is
-            Seq(s"#base=$head") ++ meta ++ zmNew ++
+            // (mapLineOut restates the mapping only when this commit
+            // extended it with new columns; inheritance covers the rest)
+            Seq(s"#base=$head") ++ meta ++ mapLineOut.toSeq ++ zmNew ++
               newFiles.map(f => s"#add=$f")
         if (publish(head + 1, lines)) {
           committed = head + 1
@@ -1571,6 +1801,9 @@ final class SnapshotTable(root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     val v = currentVersion()
     require(v >= 0, s"merge into $root: table has no committed snapshot")
+    require(colMapOf(v).isEmpty,
+      s"merge into a column-mapped table is not supported at $root — " +
+        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
     // A caller that pre-classified its delta against a specific snapshot
     // (SQL MERGE's conditional path) passes that version here: a commit
     // landing between classification and merge start makes the refusal
@@ -1803,6 +2036,9 @@ final class SnapshotTable(root: String) {
     import org.apache.spark.sql.functions._
     val v = currentVersion()
     require(v >= 0, s"deleteWhere at $root: table has no committed snapshot")
+    require(colMapOf(v).isEmpty,
+      s"deleteWhere on a column-mapped table is not supported at $root — " +
+        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
     val rels = listing(v)
     val zm = zoneMapsOf(v)
     val dvs = dvRelOf(v)
@@ -1982,6 +2218,9 @@ final class SnapshotTable(root: String) {
     require(set.nonEmpty, s"updateWhere at $root: empty SET clause")
     val v = currentVersion()
     require(v >= 0, s"updateWhere at $root: table has no committed snapshot")
+    require(colMapOf(v).isEmpty,
+      s"updateWhere on a column-mapped table is not supported at $root — " +
+        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
     val rels = listing(v)
     val zm = zoneMapsOf(v)
     val dvs = dvRelOf(v)

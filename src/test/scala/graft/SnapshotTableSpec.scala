@@ -546,14 +546,16 @@ class SnapshotTableSpec extends SparkTestBase {
     spark.sql("INSERT INTO snapevo.db.ev VALUES (100, 'x', 7, 'n')")
     assert(spark.sql("SELECT z FROM snapevo.db.ev WHERE id = 100")
       .head.getLong(0) === 7L)
-    // destructive evolution keeps the refusal
+    // RENAME/DROP are metadata-only commits now (column mapping);
+    // evolution shapes with no mapping (nullability tightening) keep
+    // the explicit refusal
     def causes(e: Throwable): Seq[String] =
       Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ causes(x.getCause))
     val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE snapevo.db.ev DROP COLUMN label")
+      spark.sql("ALTER TABLE snapevo.db.ev ALTER COLUMN z COMMENT 'nope'")
     }
-    assert(causes(ex).exists(_.contains("ADD COLUMNS")),
-      s"expected the add-only contract, got: ${causes(ex).mkString(" | ")}")
+    assert(causes(ex).exists(_.contains("not supported")),
+      s"expected the supported-shapes contract, got: ${causes(ex).mkString(" | ")}")
     // duplicate add refused
     val ex2 = intercept[Exception] {
       spark.sql("ALTER TABLE snapevo.db.ev ADD COLUMNS (z BIGINT)")
@@ -1757,6 +1759,112 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(manifestLines(dir, vR).head.startsWith("#schema="))
     assert(!manifestLines(dir, vR).exists(_.startsWith("#base=")))
     assert(t.read(spark).count() === 430)
+  }
+
+  test("column mapping: RENAME/DROP COLUMN are metadata-only; old files resolve, time travel keeps old shapes") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 10).repartition(1))
+    t.commit(kv(10 until 20).repartition(1))
+    val vPre = t.currentVersion()
+    val filesPre = dataLines(dir, vPre)
+
+    // RENAME: one metadata-only commit — same files, new logical shape
+    val vR = t.renameColumn("val", "label")
+    assert(vR === vPre + 1)
+    assert(dataLines(dir, vR) === filesPre,
+      "RENAME COLUMN must not touch a single data file")
+    val head = t.read(spark)
+    assert(head.columns.toSeq === Seq("id", "label"))
+    assert(head.as[(Long, String)].collect().toMap.apply(3L) === "a3",
+      "old files resolve their frozen physical names")
+    // time travel reads the PRE-RENAME shape
+    assert(t.readAt(spark, vPre).columns.toSeq === Seq("id", "val"))
+    // zone-map file skipping still applies on the mapped read
+    assert(t.read(spark).filter(col("id") >= 15L).count() === 5)
+
+    // a new write under the LOGICAL name lands with the frozen
+    // PHYSICAL name, so old and new files agree on disk
+    t.commit(kv(20 until 25).repartition(1)
+      .withColumnRenamed("val", "label"))
+    assert(t.read(spark).count() === 25)
+    assert(t.read(spark).as[(Long, String)].collect().toMap.apply(22L) === "a22")
+    val newFileRel = (dataLines(dir, t.currentVersion()).toSet -- filesPre.toSet).head
+    assert(spark.read.parquet(s"$dir/$newFileRel").columns.toSeq
+      === Seq("id", "val"),
+      "appends must write the frozen physical name")
+
+    // a brand-new column extends the mapping (physical = logical)
+    t.commit(kv(25 until 27).repartition(1)
+      .withColumnRenamed("val", "label").withColumn("extra", col("id") * 2))
+    assert(t.read(spark).columns.toSeq === Seq("id", "label", "extra"))
+    assert(t.read(spark).where(col("extra").isNotNull).count() === 2)
+
+    // refusals: duplicate names, physical collisions, DML, streams
+    intercept[IllegalArgumentException] { t.renameColumn("id", "label") }
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+    intercept[IllegalArgumentException] {
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("val",
+          org.apache.spark.sql.types.StringType)))) // frozen physical name
+    }
+    val exDml = intercept[IllegalArgumentException] {
+      t.deleteWhere(spark, col("id") === 1L)
+    }
+    assert(exDml.getMessage.contains("column-mapped"))
+
+    // DROP: metadata-only; time travel still reads the dropped column
+    val vD = t.dropColumn("extra")
+    assert(t.read(spark).columns.toSeq === Seq("id", "label"))
+    assert(t.readAt(spark, vD - 1).columns.toSeq === Seq("id", "label", "extra"))
+    // change feeds serve the mapped lineage in the logical shape
+    assert(t.readChangesCdc(spark, vPre, vD)
+      .filter(col("_change_type") === "insert").count() === 7)
+    assert(t.readChanges(spark, vPre, vPre + 2).count() === 5)
+
+    // compaction NORMALIZES: physical = logical again, mapping gone,
+    // row-level DML usable again
+    val vC = t.compact(spark, files = 1)
+    assert(t.colMapOf(vC).isEmpty)
+    assert(t.read(spark).columns.toSeq === Seq("id", "label"))
+    assert(t.read(spark).count() === 27)
+    val relC = dataLines(dir, vC).head
+    assert(spark.read.parquet(s"$dir/$relC").columns.toSeq === Seq("id", "label"))
+    val rDel = t.deleteWhere(spark, col("id") === 0L)
+    assert(rDel.version === vC + 1 && t.read(spark).count() === 26)
+  }
+
+  test("column mapping through SQL: ALTER TABLE RENAME/DROP COLUMN, mapped SELECT and time travel") {
+    val wh = Files.createTempDirectory("graft_cat_cm").toString
+    spark.conf.set("spark.sql.catalog.cmcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cmcat.warehouse", wh)
+    spark.sql("CREATE TABLE cmcat.db.t (id BIGINT, val STRING) USING `graft-snapshot`")
+    spark.sql("INSERT INTO cmcat.db.t SELECT id, concat('r', id) FROM range(50)")
+    val t = SnapshotTable(s"$wh/db/t")
+    val vPre = t.currentVersion()
+    spark.sql("ALTER TABLE cmcat.db.t RENAME COLUMN val TO label")
+    assert(spark.sql("SELECT * FROM cmcat.db.t").columns.toSeq
+      === Seq("id", "label"))
+    assert(spark.sql("SELECT label FROM cmcat.db.t WHERE id = 7")
+      .head().getString(0) === "r7")
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t WHERE id >= 40")
+      .head().getLong(0) === 10L)
+    // time travel through SQL keeps the pre-rename shape
+    assert(spark.sql(s"SELECT * FROM cmcat.db.t VERSION AS OF $vPre")
+      .columns.toSeq === Seq("id", "val"))
+    // INSERT under the new name; the physical stays frozen
+    spark.sql("INSERT INTO cmcat.db.t SELECT id, concat('n', id) FROM range(50, 60)")
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 60L)
+    assert(spark.sql("SELECT label FROM cmcat.db.t WHERE id = 55")
+      .head().getString(0) === "n55")
+    spark.sql("ALTER TABLE cmcat.db.t DROP COLUMN label")
+    assert(spark.sql("SELECT * FROM cmcat.db.t").columns.toSeq === Seq("id"))
+    // OPTIMIZE normalizes the mapping away; SQL DML works again
+    spark.sql("OPTIMIZE cmcat.db.t INTO 1 FILES")
+    assert(t.colMapOf(t.currentVersion()).isEmpty)
+    spark.sql("DELETE FROM cmcat.db.t WHERE id = 5")
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 59L)
+    spark.sql("DROP TABLE cmcat.db.t")
   }
 
   test("manifest publish is put-if-absent: a stale writer cannot clobber the head") {
