@@ -175,7 +175,20 @@ class SnapshotCatalog extends TableCatalog
     // supported shapes, each a metadata-only commit: ADD COLUMNS
     // (batched into one commit), RENAME COLUMN and DROP COLUMN
     // (id-based column mapping — old files resolve their frozen
-    // physical names, time travel keeps old shapes)
+    // physical names, time travel keeps old shapes). The WHOLE change
+    // list validates BEFORE anything commits, so an unsupported
+    // change never leaves earlier changes half-applied.
+    changes.foreach {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 => ()
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 => ()
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 => ()
+      case other =>
+        throw new UnsupportedOperationException(
+          "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
+            "nullable), RENAME COLUMN and DROP COLUMN only — " +
+            s"${other.getClass.getSimpleName} is not supported; evolve " +
+            "destructively per-commit with the evolved schema")
+    }
     val adds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
     }
@@ -184,17 +197,11 @@ class SnapshotCatalog extends TableCatalog
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), a.isNullable()))))
     changes.foreach {
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 => ()
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
         t.renameColumn(r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
         t.dropColumn(d.fieldNames()(0))
-      case other =>
-        throw new UnsupportedOperationException(
-          "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
-            "nullable), RENAME COLUMN and DROP COLUMN only — " +
-            s"${other.getClass.getSimpleName} is not supported; evolve " +
-            "destructively per-commit with the evolved schema")
+      case _ => ()
     }
     loadTable(ident)
   }

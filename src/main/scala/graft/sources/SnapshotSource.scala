@@ -106,6 +106,13 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       "changesFrom and changesTo must be set together")
     (from, to) match {
       case (Some(a), Some(b)) =>
+        // mapped tables store physical names this logical-schema scan
+        // would silently null out — fail CLOSED (SnapshotTable
+        // .readChanges serves mapped ranges through the alias path)
+        require(t.colMapOf(b).isEmpty,
+          s"changesFrom/changesTo on a column-mapped table is not served " +
+            s"through the path option at $root — use " +
+            "SnapshotTable.readChanges, which aliases physical names")
         Resolved(s"changes_${a}_$b", t.addedFilesBetween(a, b),
           t.schemaDdlOf(b).map(StructType.fromDDL), t.dataDirPath,
           t.fileStatsOf(b), None)

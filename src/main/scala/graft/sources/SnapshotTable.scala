@@ -174,13 +174,15 @@ final class SnapshotTable(root: String) {
   }
 
   /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
-    * prefixed with the given version-scoped metadata lines. */
-  private def renderState(meta: Seq[String], st: TableState,
-                          cdc: Seq[String] = Seq.empty): Seq[String] =
+    * prefixed with the given version-scoped metadata lines. State
+    * deliberately excludes `#cdc=`/`#tag=` events — rendering is what
+    * restore and anchors use, and a replayed event there would make
+    * the change feed re-fire it. */
+  private def renderState(meta: Seq[String], st: TableState): Seq[String] =
     st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
       st.colmap.toSeq ++
       st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
-      st.dv.toSeq.sortBy(_._1).map(_._2) ++ cdc ++ st.files
+      st.dv.toSeq.sortBy(_._1).map(_._2) ++ st.files
 
   private def baseOf(lines: Seq[String]): Option[Long] =
     lines.find(_.startsWith("#base=")).map(_.stripPrefix("#base=").toLong)
@@ -683,6 +685,11 @@ final class SnapshotTable(root: String) {
       sch: org.apache.spark.sql.types.StructType,
       rels: Seq[String], dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // every consumer matches per-file work back to manifest rels by
+    // the raw URI key — an encodable name would silently MISS its own
+    // match counts (classifying real matches as zero-match carry-
+    // forward), so the guard fails closed here, not just at DV time
+    requireDvKeySafe(rels)
     val base = spark.read.schema(sch).option("basePath", dataDirPath)
       .parquet(rels.map(absPath): _*)
       .withColumn("__dv_file", fileKeyCol)
@@ -1035,27 +1042,22 @@ final class SnapshotTable(root: String) {
         s"addColumns at $root: snapshot v$v has no recorded schema"))
     val existing = base.fieldNames.map(_.toLowerCase).toSet
     val mapping = colMapOf(v)
-    val physNames = mapping.map(_._2.toLowerCase).toSet
     newCols.foreach { f =>
       require(!existing.contains(f.name.toLowerCase),
         s"addColumns: column ${f.name} already exists")
-      require(!physNames.contains(f.name.toLowerCase),
-        s"addColumns: column ${f.name} collides with an existing " +
-          "PHYSICAL column name under the table's column mapping")
       require(f.nullable,
         s"addColumns: new column ${f.name} must be nullable (existing " +
           "rows have no value for it)")
     }
     val widened = newCols.foldLeft(base)(_ add _)
     // pure-metadata delta: the restated schema is the whole change; a
-    // mapped table's mapping extends with fresh ids for the new names
+    // mapped table's mapping extends with fresh id-uniquified physical
+    // names (see extendMapping — a re-added dropped name reads null,
+    // never the dropped column's old bytes)
     val mapExt =
       if (mapping.isEmpty) Seq.empty
-      else {
-        val maxId = mapping.map(_._1).max
-        Seq(colmapLine(mapping ++ newCols.fieldNames.zipWithIndex.map {
-          case (n, i) => (maxId + 1 + i, n, n) }))
-      }
+      else Seq(colmapLine(mapping ++
+        extendMapping(mapping, newCols.fieldNames.toSeq)))
     val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}") ++ mapExt ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
@@ -1105,6 +1107,26 @@ final class SnapshotTable(root: String) {
     val existing = colMapOf(v)
     if (existing.nonEmpty) existing
     else base.fieldNames.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n, n) }
+  }
+
+  /** Mapping entries for columns NEWLY added to an already-mapped
+    * table: the physical name is id-uniquified (`c<id>_<name>`) so
+    * re-adding a previously DROPPED column's name can never resolve
+    * the dropped column's bytes still sitting in old files — the
+    * re-added column reads null there, the id-based semantics Delta
+    * and Iceberg define. */
+  private def extendMapping(mapping: Seq[(Int, String, String)],
+      newNames: Seq[String]): Seq[(Int, String, String)] = {
+    val maxId = mapping.map(_._1).max
+    val frozen = mapping.map(_._2.toLowerCase).toSet
+    newNames.zipWithIndex.map { case (n, i) =>
+      val id = maxId + 1 + i
+      val phys = s"c${id}_$n"
+      require(!frozen.contains(phys.toLowerCase),
+        s"new column $n: generated physical name $phys collides with a " +
+          "frozen physical column name")
+      (id, phys, n)
+    }
   }
 
   /** The PHYSICAL schema (file column names) for `logical` under
@@ -1428,17 +1450,12 @@ final class SnapshotTable(root: String) {
     val (toWrite, mapLineOut) =
       if (mapAtWrite.isEmpty) (df, None: Option[String])
       else {
-        val byLogical = mapAtWrite.map(m => m._3 -> m._2).toMap
-        val physNames = mapAtWrite.map(_._2.toLowerCase).toSet
-        val extras = df.columns.toSeq.filterNot(byLogical.contains)
-        extras.foreach(c => require(!physNames.contains(c.toLowerCase),
-          s"append at $root: new column $c collides with an existing " +
-            "PHYSICAL column name under the table's column mapping"))
-        val maxId = mapAtWrite.map(_._1).max
-        val extended = mapAtWrite ++
-          extras.zipWithIndex.map { case (c, i) => (maxId + 1 + i, c, c) }
+        val extras = df.columns.toSeq
+          .filterNot(mapAtWrite.map(_._3).toSet)
+        val extended = mapAtWrite ++ extendMapping(mapAtWrite, extras)
+        val byLogical = extended.map(m => m._3 -> m._2).toMap
         (df.select(df.columns.map(c => org.apache.spark.sql.functions
-            .col(s"`$c`").as(byLogical.getOrElse(c, c))).toIndexedSeq: _*),
+            .col(s"`$c`").as(byLogical(c))).toIndexedSeq: _*),
           if (extras.nonEmpty) Some(colmapLine(extended)) else None)
       }
     val (out, newFiles, zmNew, fbNew) = writeBatch(toWrite, bucketing, bloomKeys, bloomItems)
@@ -1471,12 +1488,19 @@ final class SnapshotTable(root: String) {
       expectedBase.foreach { b =>
         if (head != b) {
           val nonAppend = (b + 1 to head).filterNot(w => opOf(w).contains("append"))
-          if (nonAppend.nonEmpty) {
+          // the replace publishes the REWRITE's schema and (by design)
+          // no column mapping — carrying files written under a
+          // different schema or under frozen physical names would
+          // silently corrupt them, so those races refuse too
+          val incompatible = nonAppend.nonEmpty ||
+            schemaOf(head) != schemaOf(b) || colMapOf(b).nonEmpty
+          if (incompatible) {
             SnapshotTable.deleteRecursively(out)
             throw new IllegalStateException(
               s"rewrite commit at $root expected base version $b but head " +
-                s"is $head and v${nonAppend.head} is not a plain append: " +
-                "a replace would clobber it — re-run against the new head")
+                s"is $head and the intervening commits are not plain " +
+                "schema-stable appends: a replace would clobber or " +
+                "corrupt them — re-run against the new head")
           }
           val baseSet = state(b).files.toSet
           val st = state(head)
@@ -2385,7 +2409,16 @@ final class SnapshotTable(root: String) {
         val br = Files.newBufferedReader(manifestPath(keepFrom))
         try Option(br.readLine()).getOrElse("") finally br.close()
       }
-      if (firstLine.startsWith("#base=")) writeAnchor(keepFrom)
+      if (firstLine.startsWith("#base=")) {
+        writeAnchor(keepFrom)
+        // the anchor write is best-effort everywhere EXCEPT here:
+        // expiring the bases without a validated anchor would leave
+        // every retained version unreconstructable — verify, or abort
+        // the vacuum before anything is deleted
+        require(loadAnchor(keepFrom).isDefined,
+          s"vacuum at $root: could not materialize the retention anchor " +
+            s"for v$keepFrom — aborting before expiring its delta bases")
+      }
     }
     // tolerate already-expired manifests inside the keep window: an
     // earlier vacuum with SHORTER retention may have deleted v(keepFrom)
@@ -2501,11 +2534,16 @@ final class SnapshotTable(root: String) {
       attempts += 1
       val newHead = currentVersion()
       val nonAppend = (target to newHead).filterNot(w => opOf(w).contains("append"))
-      if (nonAppend.nonEmpty || attempts > 5) {
+      // a schema-evolving append is NOT rebasable either: the delta
+      // restates the operation's base schema, and applyDelta's
+      // restated-schema-wins fold would revert the evolution
+      val evolved = schemaOf(newHead) != schemaOf(base)
+      if (nonAppend.nonEmpty || evolved || attempts > 5) {
         cleanup()
         throw new IllegalStateException(
           s"$what at $root lost the publish race: a " +
             (if (nonAppend.nonEmpty) s"non-append commit (v${nonAppend.head})"
+             else if (evolved) "schema-evolving append"
              else s"commit storm ($attempts rebases)") +
             " landed during the operation, so the classification is " +
             "stale — re-run against the new head")

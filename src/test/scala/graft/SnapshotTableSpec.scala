@@ -1704,7 +1704,7 @@ class SnapshotTableSpec extends SparkTestBase {
     SnapshotTable(dir4).deleteWhere(spark, col("id") < 10L)
     OccGates.go.countDown()
     val ex2 = intercept[IllegalStateException] { Await.result(comp2, 180.seconds) }
-    assert(ex2.getMessage.contains("not a plain append"))
+    assert(ex2.getMessage.contains("not plain schema-stable appends"))
     assert(t4.read(spark).count() === 90L,
       "the concurrent delete's commit must survive untouched")
   }
@@ -1799,18 +1799,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).columns.toSeq === Seq("id", "label", "extra"))
     assert(t.read(spark).where(col("extra").isNotNull).count() === 2)
 
-    // refusals: duplicate names, physical collisions, DML, streams
+    // refusals: duplicate names, unknown columns, row-level DML
     intercept[IllegalArgumentException] { t.renameColumn("id", "label") }
     intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
-    intercept[IllegalArgumentException] {
-      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("val",
-          org.apache.spark.sql.types.StringType)))) // frozen physical name
-    }
     val exDml = intercept[IllegalArgumentException] {
       t.deleteWhere(spark, col("id") === 1L)
     }
     assert(exDml.getMessage.contains("column-mapped"))
+
+    // id-based semantics: re-adding a name equal to a frozen PHYSICAL
+    // name ('val' — label's storage name) gets a fresh uniquified
+    // physical, so it reads NULL from old files instead of
+    // resurrecting the physical 'val' bytes
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.StringType))))
+    assert(t.read(spark).where(col("val").isNotNull).count() === 0,
+      "a re-added name must never resolve another field's frozen bytes")
+    assert(t.read(spark).where(col("label").isNotNull).count() === 27,
+      "the original field keeps resolving its own frozen bytes")
+    t.dropColumn("val")
 
     // DROP: metadata-only; time travel still reads the dropped column
     val vD = t.dropColumn("extra")
