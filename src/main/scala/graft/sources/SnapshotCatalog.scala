@@ -192,6 +192,35 @@ class SnapshotCatalog extends TableCatalog
     val adds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
     }
+    // pre-validate the whole SEQUENCE against a simulated name list —
+    // each supported change commits separately and cannot roll back,
+    // so a later change failing its runtime checks (unknown column,
+    // duplicate, last column) must refuse BEFORE anything commits
+    locally {
+      var names = t.schemaDdlOf(t.currentVersion())
+        .map(StructType.fromDDL(_).fieldNames.toVector)
+        .getOrElse(Vector.empty[String])
+      adds.foreach { a =>
+        val n = a.fieldNames()(0)
+        require(!names.exists(_.equalsIgnoreCase(n)),
+          s"ALTER: column $n already exists")
+        names :+= n
+      }
+      changes.foreach {
+        case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+          val o = r.fieldNames()(0)
+          require(names.exists(_.equalsIgnoreCase(o)), s"ALTER: no column $o")
+          require(!names.exists(_.equalsIgnoreCase(r.newName())),
+            s"ALTER: column ${r.newName()} already exists")
+          names = names.map(x => if (x.equalsIgnoreCase(o)) r.newName() else x)
+        case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+          val o = d.fieldNames()(0)
+          require(names.exists(_.equalsIgnoreCase(o)), s"ALTER: no column $o")
+          require(names.size > 1, "ALTER: cannot drop the last column")
+          names = names.filterNot(_.equalsIgnoreCase(o))
+        case _ => ()
+      }
+    }
     if (adds.nonEmpty)
       t.addColumns(StructType(adds.map(a =>
         org.apache.spark.sql.types.StructField(

@@ -249,6 +249,14 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     // a checkpoint restored past a (newly added or tightened)
     // endingVersion can hand an inverted range: nothing to emit
     if (ver(end) <= ver(start)) return Array.empty
+    // the stream's delegate batch reads files under the LOGICAL schema
+    // with no alias step, which a mapped range's frozen physical names
+    // would silently null out — the batch feed (readChangesCdc)
+    // aliases and serves those ranges; the stream refuses them
+    require(table.colMapOf(ver(end)).isEmpty,
+      s"change-feed stream at $root: the range ends on a column-mapped " +
+        "snapshot — consume it with the batch readChangesCdc (which " +
+        "resolves frozen physical names), or compact to normalize")
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
     innerFactory = null
     chunks.flatMap { c =>

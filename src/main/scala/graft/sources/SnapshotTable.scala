@@ -896,6 +896,25 @@ final class SnapshotTable(root: String) {
       val added = after.filterNot(before.toSet)
       val removed = before.filterNot(after.toSet)
       val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
+      // COLUMN-MAPPING LINEAGE: chunks replay under `to`'s mapping,
+      // which resolves any version's files iff field ids stay linked
+      // across the range. Alters (rename/drop/add) and mapping
+      // EXTENSIONS keep the linkage; a commit that LOSES or REPLACES
+      // the mapping (a normalizing compaction of a mapped table, a
+      // restore to a different mapping era) severs it — files written
+      // under the old mapping can no longer be named from the new one,
+      // so the feed refuses instead of silently null-filling renamed
+      // columns.
+      locally {
+        val mPrev = colMapRawOf(v - 1)
+        val mCur = colMapRawOf(v)
+        val linked = mPrev == mCur || opOf(v).contains("alter") ||
+          mPrev.toSet.subsetOf(mCur.toSet)
+        if (!linked) throw new IllegalStateException(
+          s"CDC at $root: version $v replaces or drops the table's " +
+            "column mapping — files before it can no longer be resolved " +
+            "under the current names; re-bootstrap the consumer")
+      }
       // DELETION-VECTOR replay: a DV commit changes no files, so the
       // file diff alone would miss it. The commit pre-materialized the
       // logically deleted rows as a CDC SIDECAR file (`#cdc=` line) —
@@ -1054,10 +1073,11 @@ final class SnapshotTable(root: String) {
     // mapped table's mapping extends with fresh id-uniquified physical
     // names (see extendMapping — a re-added dropped name reads null,
     // never the dropped column's old bytes)
+    val rawMapping = colMapRawOf(v)
     val mapExt =
-      if (mapping.isEmpty) Seq.empty
-      else Seq(colmapLine(mapping ++
-        extendMapping(mapping, newCols.fieldNames.toSeq)))
+      if (rawMapping.isEmpty) Seq.empty
+      else Seq(colmapLine(rawMapping ++
+        extendMapping(rawMapping, newCols.fieldNames.toSeq)))
     val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}") ++ mapExt ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
@@ -1085,26 +1105,35 @@ final class SnapshotTable(root: String) {
   private def encU(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def decU(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Decoded column mapping of snapshot `v`: (field id, PHYSICAL name,
-    * LOGICAL name). Empty = unmapped. */
-  private[graft] def colMapOf(v: Long): Seq[(Int, String, String)] =
+  /** ALL mapping entries of snapshot `v`, including TOMBSTONES of
+    * dropped columns (empty logical name) — tombstones pin the
+    * allocated-id high-water mark and the frozen physical names, so a
+    * dropped-then-re-added name can never be assigned a physical name
+    * that resolves the dropped column's old bytes. */
+  private def colMapRawOf(v: Long): Seq[(Int, String, String)] =
     if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
     else state(v).colmap.toSeq.flatMap { l =>
       l.stripPrefix("#colmap=").split(';').toSeq.filter(_.nonEmpty).map { e =>
-        val Array(id, p, lg) = e.split(':')
+        val Array(id, p, lg) = e.split(':').padTo(3, "")
         (id.toInt, decU(p), decU(lg))
       }
     }
+
+  /** LIVE column mapping of snapshot `v`: (field id, PHYSICAL name,
+    * LOGICAL name). Empty = unmapped. */
+  private[graft] def colMapOf(v: Long): Seq[(Int, String, String)] =
+    colMapRawOf(v).filter(_._3.nonEmpty)
 
   private def colmapLine(entries: Seq[(Int, String, String)]): String =
     "#colmap=" + entries.map { case (id, p, lg) =>
       s"$id:${encU(p)}:${encU(lg)}" }.mkString(";")
 
-  /** The existing mapping, or the identity mapping a first rename/drop
-    * initializes (ids 1..n, physical = the current names, frozen). */
+  /** The existing RAW mapping (live + tombstones), or the identity
+    * mapping a first rename/drop initializes (ids 1..n, physical = the
+    * current names, frozen). */
   private def mappingOrInit(v: Long,
       base: org.apache.spark.sql.types.StructType): Seq[(Int, String, String)] = {
-    val existing = colMapOf(v)
+    val existing = colMapRawOf(v)
     if (existing.nonEmpty) existing
     else base.fieldNames.toSeq.zipWithIndex.map { case (n, i) => (i + 1, n, n) }
   }
@@ -1114,11 +1143,13 @@ final class SnapshotTable(root: String) {
     * re-adding a previously DROPPED column's name can never resolve
     * the dropped column's bytes still sitting in old files — the
     * re-added column reads null there, the id-based semantics Delta
-    * and Iceberg define. */
-  private def extendMapping(mapping: Seq[(Int, String, String)],
+    * and Iceberg define. `raw` must include tombstones: ids never
+    * recycle across drops (the high-water mark survives), and frozen
+    * physical names of dropped columns stay reserved. */
+  private def extendMapping(raw: Seq[(Int, String, String)],
       newNames: Seq[String]): Seq[(Int, String, String)] = {
-    val maxId = mapping.map(_._1).max
-    val frozen = mapping.map(_._2.toLowerCase).toSet
+    val maxId = raw.map(_._1).max
+    val frozen = raw.map(_._2.toLowerCase).toSet
     newNames.zipWithIndex.map { case (n, i) =>
       val id = maxId + 1 + i
       val phys = s"c${id}_$n"
@@ -1200,8 +1231,13 @@ final class SnapshotTable(root: String) {
     val mapping = mappingOrInit(v, base)
     val narrowed = org.apache.spark.sql.types.StructType(
       base.fields.filterNot(_.name == exact))
+    // the entry TOMBSTONES (logical cleared, id + frozen physical
+    // kept) so the id high-water mark survives and the physical name
+    // stays reserved — re-adding this name later reads null, never
+    // the dropped bytes
     val lines = Seq(s"#base=$v", s"#schema=${narrowed.toDDL}",
-      colmapLine(mapping.filterNot(_._3 == exact)),
+      colmapLine(mapping.map { case (id, p, lg) =>
+        if (lg == exact) (id, p, "") else (id, p, lg) }),
       s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
@@ -1427,7 +1463,8 @@ final class SnapshotTable(root: String) {
     // A replace drops the mapping with the rest of the prior state —
     // that normalization is how compaction unmaps a table.
     val head0 = currentVersion()
-    val mapAtWrite = if (replace) Seq.empty else colMapOf(head0)
+    val schemaAtWrite = if (replace) None else schemaOf(head0)
+    val mapAtWrite = if (replace) Seq.empty else colMapRawOf(head0)
     // schema-evolving append: a column the head's schema lacks must be
     // recorded NULLABLE whatever the batch's own nullability says —
     // every pre-evolution file null-fills it, and a NOT NULL manifest
@@ -1450,10 +1487,19 @@ final class SnapshotTable(root: String) {
     val (toWrite, mapLineOut) =
       if (mapAtWrite.isEmpty) (df, None: Option[String])
       else {
-        val extras = df.columns.toSeq
-          .filterNot(mapAtWrite.map(_._3).toSet)
+        // case drift would silently split one logical column into a
+        // fresh physical one (orphaning the old data) — refuse it
+        val liveByLower = mapAtWrite.filter(_._3.nonEmpty)
+          .map(m => m._3.toLowerCase -> m._3).toMap
+        df.columns.foreach(c => liveByLower.get(c.toLowerCase).foreach(exact =>
+          require(exact == c,
+            s"append at $root: column $c case-drifts from the table's " +
+              s"column $exact — spell it exactly under column mapping")))
+        val live = mapAtWrite.filter(_._3.nonEmpty).map(_._3).toSet
+        val extras = df.columns.toSeq.filterNot(live)
         val extended = mapAtWrite ++ extendMapping(mapAtWrite, extras)
-        val byLogical = extended.map(m => m._3 -> m._2).toMap
+        val byLogical = extended.filter(_._3.nonEmpty)
+          .map(m => m._3 -> m._2).toMap
         (df.select(df.columns.map(c => org.apache.spark.sql.functions
             .col(s"`$c`").as(byLogical(c))).toIndexedSeq: _*),
           if (extras.nonEmpty) Some(colmapLine(extended)) else None)
@@ -1511,14 +1557,23 @@ final class SnapshotTable(root: String) {
       }
       if (tag.exists(tagCommittedUpTo(_, head))) skipped = true
       else {
-        // the batch was written under the mapping read at entry — a
-        // racing rename/drop would make those physical names stale
-        if (!replace && colMapOf(head) != mapAtWrite) {
+        // the batch was written under the mapping AND schema read at
+        // entry — a racing rename/drop would make the written physical
+        // names stale, and a racing schema evolution (concurrent ALTER
+        // or evolving append) would be silently REVERTED by this
+        // delta's restated schema line. A head whose schema already
+        // equals what this commit restates is harmless (the common
+        // case: concurrent same-shape appends), so only a genuine
+        // divergence refuses.
+        val headSchema = if (replace) None else schemaOf(head)
+        if (!replace && (colMapRawOf(head) != mapAtWrite ||
+            (headSchema != schemaAtWrite &&
+             !headSchema.contains(recordedSchema.toDDL)))) {
           SnapshotTable.deleteRecursively(out)
           throw new IllegalStateException(
-            s"commit at $root raced a column-mapping change (rename/" +
-              "drop) — the written batch carries stale physical names; " +
-              "re-run the commit")
+            s"commit at $root raced a concurrent schema or column-" +
+              "mapping change — the written batch (and its restated " +
+              "schema) would clobber it; re-run the commit")
         }
         // bucketing lines: the header + per-file assignments ride the
         // manifest only when THIS commit is bucketed — an append must
@@ -2506,9 +2561,21 @@ final class SnapshotTable(root: String) {
         if (dv.contains(rel)) Set.empty[String]
         else pf.map(_.cols.keySet).getOrElse(Set.empty[String])
       }.reduce(_ intersect _)
-    val cols = common.iterator.map { c =>
+    val colsPhysical = common.iterator.map { c =>
       c -> ZoneMaps.fold(perFile.map(_.get.cols(c)))
     }.toMap
+    // zone maps record PHYSICAL names — under column mapping the
+    // answer surface must report LOGICAL ones, and a physical name no
+    // live mapping entry claims (a dropped column's bytes) must not
+    // report at all (its stats describe data no logical column reads)
+    val mapping = colMapOf(v)
+    val cols =
+      if (mapping.isEmpty) colsPhysical
+      else {
+        val physToLogical = mapping.map(m => m._2 -> m._3).toMap
+        colsPhysical.flatMap { case (phys, st) =>
+          physToLogical.get(phys).map(_ -> st) }
+      }
     SnapshotTable.TableStats(v, rels.size, rows, cols)
   }
 

@@ -1829,10 +1829,40 @@ class SnapshotTableSpec extends SparkTestBase {
       .filter(col("_change_type") === "insert").count() === 7)
     assert(t.readChanges(spark, vPre, vPre + 2).count() === 5)
 
+    // drop-then-RE-ADD an extension column: allocated ids never
+    // recycle (tombstones pin the high-water mark), so the re-added
+    // column reads null instead of the dropped column's bytes
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    assert(t.read(spark).where(col("extra").isNotNull).count() === 0,
+      "a re-added extension column must not resolve the dropped bytes")
+    t.dropColumn("extra")
+    // stats report LOGICAL names under the mapping, never physical
+    val stM = t.tableStats()
+    assert(stM.cols.keySet.subsetOf(Set("id", "label")),
+      s"stats must use logical names, got ${stM.cols.keySet}")
+    // a case-drifted append refuses instead of forking the column
+    val exCase = intercept[IllegalArgumentException] {
+      t.commit(kv(90 until 92).withColumnRenamed("val", "Label"))
+    }
+    assert(exCase.getMessage.contains("case-drifts"))
+    val vPreCompact = t.currentVersion()
+
     // compaction NORMALIZES: physical = logical again, mapping gone,
     // row-level DML usable again
     val vC = t.compact(spark, files = 1)
     assert(t.colMapOf(vC).isEmpty)
+    // ...but the change feed refuses to cross the normalization: the
+    // mapping lineage is severed, pre-compaction files can no longer
+    // be named from the current (empty) mapping
+    val exSever = intercept[IllegalStateException] {
+      t.readChangesCdc(spark, vPre, vC).count()
+    }
+    assert(exSever.getMessage.contains("column mapping"))
+    // ranges inside the mapped era still serve
+    assert(t.readChangesCdc(spark, vPre, vPreCompact)
+      .filter(col("_change_type") === "insert").count() === 7)
     assert(t.read(spark).columns.toSeq === Seq("id", "label"))
     assert(t.read(spark).count() === 27)
     val relC = dataLines(dir, vC).head
