@@ -199,6 +199,40 @@ object SnapshotRehearsal {
     println(f"[rehearse] trickle-delete dv time exponent = ${exp(dvT1, dvTN)}%.2f " +
       f"(cow ${exp(cowT1, cowTN)}%.2f)")
 
+    // ---- scenario 5 (round 13): DELTA MANIFESTS + ANCHORED PLANNING.
+    // Before this round every commit rewrote the full O(files) listing
+    // — the real per-commit tax on a long-lived table. Now the LAST
+    // append's manifest bytes must stay ~flat while the lineage grows
+    // ×N, and a FRESH handle's read planning must fold one anchor + a
+    // bounded delta tail (≤ AnchorInterval parses), not the lineage. ----
+    def manifestScale(nCommits: Int): (Long, Long, Long, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dm_rehearse").toString
+      val t = SnapshotTable(dir)
+      (0 until nCommits).foreach(i =>
+        t.commit(spark.range(i * 100L, i * 100L + 100L).toDF("id")
+          .repartition(1)))
+      val head = t.currentVersion()
+      val lastBytes = java.nio.file.Files.size(java.nio.file.Paths
+        .get(dir, "_manifests", f"v$head%09d.json"))
+      val fresh = SnapshotTable(dir)
+      val t0 = System.nanoTime()
+      val files = fresh.listingOf(head).size
+      val planSec = (System.nanoTime() - t0) / 1e9
+      val parses = fresh.manifestParses
+      SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+      require(files == nCommits, s"listing lost files: $files != $nCommits")
+      (lastBytes, parses, head, planSec)
+    }
+    val (b1, p1, _, s1) = manifestScale(40)
+    val (bN, pN, hN, sN) = manifestScale(40 * math.min(factor, 10))
+    println(f"[rehearse] delta-manifest commit bytes: 40-commit=$b1 " +
+      f"${40 * math.min(factor, 10)}%d-commit=$bN (flat = O(changed files))")
+    println(f"[rehearse] fresh-handle planning: parses=$p1 vs $pN over " +
+      f"${hN + 1} commits (bound = AnchorInterval+2 = " +
+      f"${SnapshotTable.AnchorInterval + 2}), ${s1}%.3f s vs ${sN}%.3f s")
+    println(f"[rehearse] commit-bytes exponent = " +
+      f"${math.log(bN.toDouble / b1) / math.log(math.min(factor, 10).toDouble)}%.2f (expect ~0)")
+
     spark.stop()
   }
 }
