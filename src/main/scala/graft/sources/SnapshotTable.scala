@@ -584,33 +584,74 @@ final class SnapshotTable(root: String) {
     * keeps pushdown/pruning (positions come from the reader's own
     * row-index bookkeeping, which stays exact under row-group
     * skipping). */
+  /** Per-file zone maps with their column keys translated PHYSICAL →
+    * LOGICAL under `mapping` (stat lines record what the files store;
+    * the provers receive predicates over what readers see). Physical
+    * columns no live entry claims drop — a dropped column's stats must
+    * prove nothing. */
+  private def logicalZoneMaps(
+      zm: Map[String, Map[String, ZoneMaps.ColStat]],
+      mapping: Seq[(Int, String, String)])
+      : Map[String, Map[String, ZoneMaps.ColStat]] =
+    if (mapping.isEmpty) zm
+    else {
+      val physToLogical = mapping.map(m => m._2 -> m._3).toMap
+      zm.map { case (abs, cols) =>
+        abs -> cols.flatMap { case (phys, st) =>
+          physToLogical.get(phys).map(_ -> st) }
+      }
+    }
+
+  /** Rename a LOGICAL-shaped frame's data columns to their frozen
+    * PHYSICAL names for writing; passthrough when unmapped or for
+    * columns outside the mapping. */
+  private def toPhysical(df: DataFrame,
+      mapping: Seq[(Int, String, String)]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val byLogical = mapping.map(m => m._3 -> m._2).toMap
+      df.select(df.columns.map(c => org.apache.spark.sql.functions
+        .col(s"`$c`").as(byLogical.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
+  /** Read `rels` under the LOGICAL `schema` with deletion vectors
+    * applied. Under a column `mapping` the files read with their
+    * frozen PHYSICAL names and the result aliases back to the logical
+    * shape — pushed filters still reach the ZoneMapFileIndex because
+    * the optimizer rewrites them through the alias Project into the
+    * physical attributes the `#zm=` stats are keyed by. */
   private[sources] def readFilesDvAware(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       rels: Seq[String], dvs: Map[String, DeletionVectors.Dv],
-      zm: Map[String, Map[String, ZoneMaps.ColStat]] = Map.empty): DataFrame = {
+      zm: Map[String, Map[String, ZoneMaps.ColStat]] = Map.empty,
+      mapping: Seq[(Int, String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     def abs(rel: String): String = absPath(rel)
+    val physSch = physicalSchemaFor(schema, mapping)
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (rels.isEmpty) return empty
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSch)
+    def finish(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df else aliasToLogical(df, mapping, schema)
+    if (rels.isEmpty) return finish(empty)
     // v1 reads answer pushed filters from the manifest stats when the
     // caller supplies them (ZoneMapFileIndex) — the DV'd half of a
     // merge-on-read composition keeps file-level skipping this way
     def readV1(files: Seq[String]): DataFrame =
-      ZoneMapFileIndex.read(spark, schema, files.map(abs), zm, dataDirPath)
+      ZoneMapFileIndex.read(spark, physSch, files.map(abs), zm, dataDirPath)
     val (dvd, clean) = rels.partition(dvs.contains)
     val cleanDf = if (clean.isEmpty) empty else readV1(clean)
-    if (dvd.isEmpty) cleanDf
-    else {
-      val scoped = dvs.view.filterKeys(dvd.toSet).toMap
-      val filtered = readV1(dvd)
-        .withColumn("__dv_file", fileKeyCol)
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(dvPairsDf(spark, scoped),
-          Seq("__dv_file", "__dv_pos"), "left_anti")
-        .drop("__dv_file", "__dv_pos")
-      cleanDf.unionByName(filtered)
-    }
+    finish(
+      if (dvd.isEmpty) cleanDf
+      else {
+        val scoped = dvs.view.filterKeys(dvd.toSet).toMap
+        val filtered = readV1(dvd)
+          .withColumn("__dv_file", fileKeyCol)
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(dvPairsDf(spark, scoped),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .drop("__dv_file", "__dv_pos")
+        cleanDf.unionByName(filtered)
+      })
   }
 
   /** Time travel: read snapshot `v` as of its commit.
@@ -643,10 +684,8 @@ final class SnapshotTable(root: String) {
         // and alias back to the logical shape
         val logical = schema.getOrElse(throw new IllegalStateException(
           s"column-mapped snapshot v$v at $root has no recorded schema"))
-        val physical = physicalSchemaFor(logical, mapping)
-        aliasToLogical(
-          readFilesDvAware(spark, physical, listing(v), dvs, zoneMapsOf(v)),
-          mapping, logical)
+        readFilesDvAware(spark, logical, listing(v), dvs, zoneMapsOf(v),
+          mapping)
       }
       else if (dvs.isEmpty)
         // DSv2 read (SnapshotSource): same files + manifest schema, but
@@ -681,22 +720,36 @@ final class SnapshotTable(root: String) {
     * phase starts from: an already-deleted row must neither re-match
     * a predicate nor re-enter a vector (its delete already replayed
     * through the change feed). */
+  /** LIVE rows of `rels` under the LOGICAL schema `sch` with file
+    * identity and row position attached and existing vectors
+    * subtracted. Under a column `mapping`, the files are read with
+    * their frozen PHYSICAL names and the data columns alias back to
+    * the logical shape — predicates, key joins and assignments all
+    * operate logically, without any expression translation. */
   private def liveRowsWithPos(spark: SparkSession,
       sch: org.apache.spark.sql.types.StructType,
-      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
+      rels: Seq[String], dvs: Map[String, DeletionVectors.Dv],
+      mapping: Seq[(Int, String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     // every consumer matches per-file work back to manifest rels by
     // the raw URI key — an encodable name would silently MISS its own
     // match counts (classifying real matches as zero-match carry-
     // forward), so the guard fails closed here, not just at DV time
     requireDvKeySafe(rels)
-    val base = spark.read.schema(sch).option("basePath", dataDirPath)
+    val physSch = physicalSchemaFor(sch, mapping)
+    val byLogical = mapping.map(m => m._3 -> m._2).toMap
+    val base = spark.read.schema(physSch).option("basePath", dataDirPath)
       .parquet(rels.map(absPath): _*)
       .withColumn("__dv_file", fileKeyCol)
       .withColumn("__dv_pos", col("_metadata.row_index"))
+    val aliased =
+      if (mapping.isEmpty) base
+      else base.select((sch.fields.map(f => col("`" +
+          byLogical.getOrElse(f.name, f.name) + "`").as(f.name)).toSeq ++
+        Seq(col("__dv_file"), col("__dv_pos"))).toIndexedSeq: _*)
     val scoped = dvs.view.filterKeys(rels.toSet).toMap
-    if (scoped.isEmpty) base
-    else base.join(dvPairsDf(spark, scoped),
+    if (scoped.isEmpty) aliased
+    else aliased.join(dvPairsDf(spark, scoped),
       Seq("__dv_file", "__dv_pos"), "left_anti")
   }
 
@@ -726,7 +779,8 @@ final class SnapshotTable(root: String) {
     * publish failure, `#cdc=` lines). */
   private def dvMaterialize(spark: SparkSession,
       sch: org.apache.spark.sql.types.StructType, matched: DataFrame,
-      prior: Map[String, DeletionVectors.Dv], totalMatched: Long)
+      prior: Map[String, DeletionVectors.Dv], totalMatched: Long,
+      mapping: Seq[(Int, String, String)] = Seq.empty)
       : (Map[String, DeletionVectors.Dv], Seq[Path], Seq[String]) = {
     import org.apache.spark.sql.functions._
     val stamp = s"${System.nanoTime()}_t${Thread.currentThread().getId}"
@@ -773,9 +827,11 @@ final class SnapshotTable(root: String) {
     if (!dvDirUsed) Files.deleteIfExists(dvDir)
     val cdcDir = dataDir.resolve(s"cdc$stamp")
     // fan the change sidecar out with the matched volume (~500k rows
-    // per task) instead of funneling every row through one task
+    // per task) instead of funneling every row through one task; on a
+    // mapped table the sidecar is a data file like any other and
+    // stores the frozen PHYSICAL names
     val nOut = math.max(1L, math.min(32L, totalMatched / 500000L + 1L)).toInt
-    matched.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+    toPhysical(matched.select(sch.fieldNames.map(col).toIndexedSeq: _*), mapping)
       .repartition(nOut).write.parquet(cdcDir.toString)
     val cdcRels = {
       val st = Files.list(cdcDir)
@@ -841,10 +897,7 @@ final class SnapshotTable(root: String) {
         // (files store frozen physical names at every version)
         val rootPath = Paths.get(root)
         val rels = added.map(a => rootPath.relativize(Paths.get(a)).toString)
-        aliasToLogical(
-          readFilesDvAware(spark, physicalSchemaFor(logical, mapping), rels,
-            Map.empty),
-          mapping, logical)
+        readFilesDvAware(spark, logical, rels, Map.empty, mapping = mapping)
       case (true, _) =>
         spark.read.format("graft-snapshot")
           .option("changesFrom", from).option("changesTo", to).load(root)
@@ -1033,10 +1086,7 @@ final class SnapshotTable(root: String) {
       // (physical names are frozen per field, so files from any
       // version of the range resolve under `to`'s mapping)
       val base =
-        if (mapping.isEmpty) readFilesDvAware(spark, schema, c.rels, c.exclude)
-        else aliasToLogical(
-          readFilesDvAware(spark, physicalSchemaFor(schema, mapping),
-            c.rels, c.exclude), mapping, schema)
+        readFilesDvAware(spark, schema, c.rels, c.exclude, mapping = mapping)
       base
         .withColumn("_change_type", lit(c.ctype))
         .withColumn("_commit_version", lit(c.v))
@@ -1865,9 +1915,12 @@ final class SnapshotTable(root: String) {
     val schema = schemaOf(v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(delta.schema)
-    val touched = touchDetect(spark, delta, rels, zoneMapsOf(v), key)
+    val mapping = colMapOf(v)
+    val touched = touchDetect(spark, delta, rels,
+      logicalZoneMaps(zoneMapsOf(v), mapping), key)
     // deletion vectors applied: a DV-deleted row is not matchable
-    readFilesDvAware(spark, schema, touched.toSeq.sorted, dvRelOf(v))
+    readFilesDvAware(spark, schema, touched.toSeq.sorted, dvRelOf(v),
+      mapping = mapping)
   }
 
   def merge(spark: SparkSession, delta: DataFrame, keys: Seq[String],
@@ -1880,9 +1933,15 @@ final class SnapshotTable(root: String) {
     require(keys.nonEmpty, "merge needs at least one key column")
     val v = currentVersion()
     require(v >= 0, s"merge into $root: table has no committed snapshot")
-    require(colMapOf(v).isEmpty,
-      s"merge into a column-mapped table is not supported at $root — " +
-        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
+    // column-mapped tables merge through the alias bridge (classify/
+    // prove logically, read aliased, write physical); only SCHEMA
+    // EVOLUTION on a mapped table stays refused — the widened columns
+    // would need mapping extension inside this commit's delta
+    val mapping = colMapOf(v)
+    require(mapping.isEmpty || !evolveSchema,
+      s"schema-evolving merge into a column-mapped table is not " +
+        s"supported at $root — OPTIMIZE/compact first (the rewrite " +
+        "normalizes physical names)")
     // A caller that pre-classified its delta against a specific snapshot
     // (SQL MERGE's conditional path) passes that version here: a commit
     // landing between classification and merge start makes the refusal
@@ -1891,7 +1950,7 @@ final class SnapshotTable(root: String) {
       s"merge at $root expected base version $b but head is $v: a commit " +
         "landed after the delta was classified — re-run the merge"))
     val rels = listing(v)
-    val zm = zoneMapsOf(v)
+    val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val baseSchema = schemaOf(v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
@@ -1950,7 +2009,8 @@ final class SnapshotTable(root: String) {
       val offenders =
         if (dupTouched.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else dupKeysDf.join(
-          readFilesDvAware(spark, schema, dupTouched.toSeq.sorted, dvRelOf(v))
+          readFilesDvAware(spark, schema, dupTouched.toSeq.sorted, dvRelOf(v),
+              mapping = mapping)
             .select(keys.map(col): _*),
           keys, "left_semi").limit(3).collect()
       if (offenders.nonEmpty)
@@ -2002,7 +2062,7 @@ final class SnapshotTable(root: String) {
           Seq.empty[Path], Seq.empty[String], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
-          liveRowsWithPos(spark, schema, onRels, dvs)
+          liveRowsWithPos(spark, schema, onRels, dvs, mapping)
             .join(deltaKeys, keys, "left_semi")
         val counts: Map[String, Long] = scanMatched(touchedSorted)
           .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
@@ -2020,7 +2080,7 @@ final class SnapshotTable(root: String) {
           dvCheckpoint = Some(matched)
           val newRows = dvC.map(counts).sum
           val (merged, outDirs, cdcLines) = dvMaterialize(spark, schema,
-            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
+            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows, mapping)
           (zeroMatch, dvC, merged, rw, outDirs, cdcLines, newRows)
         }
       }
@@ -2032,7 +2092,7 @@ final class SnapshotTable(root: String) {
       else
         // deletion vectors applied: a DV-deleted row must not be
         // resurrected by the rewrite of its file
-        readFilesDvAware(spark, schema, rewriteClass, dvs)
+        readFilesDvAware(spark, schema, rewriteClass, dvs, mapping = mapping)
           .join(deltaKeys, keys, "left_anti")
     val rewrite = survivors.unionByName(upserts)
     // a delete-only merge-on-read pass (no rewrites, no upserts) has
@@ -2045,7 +2105,8 @@ final class SnapshotTable(root: String) {
       else {
         val nOut = if (targetFiles > 0) targetFiles
           else math.max(1, rewriteClass.size)
-        val (o, nf, zn, _) = writeBatch(rewrite.repartition(nOut))
+        val (o, nf, zn, _) = writeBatch(
+          toPhysical(rewrite, mapping).repartition(nOut))
         (Some(o), nf, zn)
       }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
@@ -2073,7 +2134,8 @@ final class SnapshotTable(root: String) {
       // touch-detected conservatively and conflict)
       (added, w) =>
         added.isEmpty ||
-          touchDetect(spark, deltaCk, added, zoneMapsOf(w), pk).isEmpty)
+          touchDetect(spark, deltaCk, added,
+            logicalZoneMaps(zoneMapsOf(w), mapping), pk).isEmpty)
     SnapshotTable.MergeResult(committed, filesRewritten = rewriteClass.size,
       filesUntouched = untouched.size + kept.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
@@ -2115,11 +2177,12 @@ final class SnapshotTable(root: String) {
     import org.apache.spark.sql.functions._
     val v = currentVersion()
     require(v >= 0, s"deleteWhere at $root: table has no committed snapshot")
-    require(colMapOf(v).isEmpty,
-      s"deleteWhere on a column-mapped table is not supported at $root — " +
-        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
     val rels = listing(v)
-    val zm = zoneMapsOf(v)
+    // column-mapped tables classify/prove under LOGICAL names (the
+    // stats translate) and read/write through the alias bridge — the
+    // predicate never needs rewriting
+    val mapping = colMapOf(v)
+    val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def abs(rel: String): String = absPath(rel)
@@ -2160,7 +2223,7 @@ final class SnapshotTable(root: String) {
           straddling, Seq.empty[Path], Seq.empty[String], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
-          liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
+          liveRowsWithPos(spark, sch, onRels, dvs, mapping).filter(pred)
         val counts: Map[String, Long] = scanMatched(straddling)
           .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2181,7 +2244,8 @@ final class SnapshotTable(root: String) {
           try {
             val newRows = dvC.map(counts).sum
             val (merged, outDirs, cdcLines) = dvMaterialize(spark, sch,
-              matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
+              matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows,
+              mapping)
             (untouched0 ++ zeroMatch, dvC, merged, rw, outDirs, cdcLines,
               newRows)
           } finally matched.unpersist(blocking = false)
@@ -2196,11 +2260,13 @@ final class SnapshotTable(root: String) {
       if (rewrites.isEmpty) (None, Seq.empty[String], Seq.empty[String])
       else {
         // DV-aware survivor read: rows already deleted by an earlier
-        // vector must not resurrect in the rewritten file
-        val kept = readFilesDvAware(spark, sch, rewrites, dvs)
+        // vector must not resurrect in the rewritten file; mapped
+        // tables filter logically and write back the physical names
+        val kept = readFilesDvAware(spark, sch, rewrites, dvs,
+            mapping = mapping)
           .filter(!pred)
         val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
-        val (o, nf, zn, _) = writeBatch(kept.repartition(nOut))
+        val (o, nf, zn, _) = writeBatch(toPhysical(kept, mapping).repartition(nOut))
         (Some(o), nf, zn)
       }
 
@@ -2226,7 +2292,7 @@ final class SnapshotTable(root: String) {
       // a concurrent append is benign iff every file it added provably
       // holds no predicate-matching row (a stat-less file conflicts)
       (added, w) => {
-        val zmW = zoneMapsOf(w)
+        val zmW = logicalZoneMaps(zoneMapsOf(w), mapping)
         added.forall { rel =>
           val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
           st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)
@@ -2297,11 +2363,9 @@ final class SnapshotTable(root: String) {
     require(set.nonEmpty, s"updateWhere at $root: empty SET clause")
     val v = currentVersion()
     require(v >= 0, s"updateWhere at $root: table has no committed snapshot")
-    require(colMapOf(v).isEmpty,
-      s"updateWhere on a column-mapped table is not supported at $root — " +
-        "OPTIMIZE/compact first (the rewrite normalizes physical names)")
     val rels = listing(v)
-    val zm = zoneMapsOf(v)
+    val mapping = colMapOf(v)
+    val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def abs(rel: String): String = absPath(rel)
@@ -2344,7 +2408,7 @@ final class SnapshotTable(root: String) {
           None: Option[DataFrame], 0L)
       else {
         def scanMatched(onRels: Seq[String]): DataFrame =
-          liveRowsWithPos(spark, sch, onRels, dvs).filter(pred)
+          liveRowsWithPos(spark, sch, onRels, dvs, mapping).filter(pred)
         val counts: Map[String, Long] = scanMatched(candidates)
           .groupBy("__dv_file").agg(count(lit(1)).as("__n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2362,7 +2426,7 @@ final class SnapshotTable(root: String) {
           dvCheckpoint = Some(matched) // unpersisted after the append lands
           val newRows = dvC.map(counts).sum
           val (merged, outDirs, cdcLines) = dvMaterialize(spark, sch,
-            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows)
+            matched, dvs.view.filterKeys(dvC.toSet).toMap, newRows, mapping)
           // the new row versions: every matched row has pred true, so
           // assignments apply unconditionally, cast to manifest types
           val applied = matched.select(sch.fields.map { f =>
@@ -2391,7 +2455,7 @@ final class SnapshotTable(root: String) {
     // survive into the rewritten files
     val rewritten =
       if (rewrites.isEmpty) None
-      else Some(readFilesDvAware(spark, sch, rewrites, dvs)
+      else Some(readFilesDvAware(spark, sch, rewrites, dvs, mapping = mapping)
         .select(projected.toIndexedSeq: _*))
     val toWrite = (rewritten, dvUpdatedRows) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
@@ -2403,7 +2467,7 @@ final class SnapshotTable(root: String) {
         case Some(df) =>
           val nOut = if (targetFiles > 0) targetFiles
             else math.max(1, rewrites.size)
-          val (o, nf, zn, _) = writeBatch(df.repartition(nOut))
+          val (o, nf, zn, _) = writeBatch(toPhysical(df, mapping).repartition(nOut))
           (Some(o), nf, zn)
       }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
@@ -2423,7 +2487,7 @@ final class SnapshotTable(root: String) {
         sidecarOut.foreach(SnapshotTable.deleteRecursively)
       },
       (added, w) => {
-        val zmW = zoneMapsOf(w)
+        val zmW = logicalZoneMaps(zoneMapsOf(w), mapping)
         added.forall { rel =>
           val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
           st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)

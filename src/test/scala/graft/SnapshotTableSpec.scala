@@ -1799,13 +1799,9 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).columns.toSeq === Seq("id", "label", "extra"))
     assert(t.read(spark).where(col("extra").isNotNull).count() === 2)
 
-    // refusals: duplicate names, unknown columns, row-level DML
+    // refusals: duplicate names, unknown columns
     intercept[IllegalArgumentException] { t.renameColumn("id", "label") }
     intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
-    val exDml = intercept[IllegalArgumentException] {
-      t.deleteWhere(spark, col("id") === 1L)
-    }
-    assert(exDml.getMessage.contains("column-mapped"))
 
     // id-based semantics: re-adding a name equal to a frozen PHYSICAL
     // name ('val' — label's storage name) gets a fresh uniquified
@@ -1871,6 +1867,53 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(rDel.version === vC + 1 && t.read(spark).count() === 26)
   }
 
+  test("row-level DML through column mapping: logical predicates, physical writes, vectors and the feed") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 100).repartition(1))
+    val v0 = t.currentVersion()
+    t.renameColumn("val", "label")
+    // merge-on-read DELETE under the logical predicate
+    val rDel = t.deleteWhere(spark, col("id") === 42L, dvMaxRowsPerFile = 1000)
+    assert(rDel.filesDvUpdated === 1 && rDel.filesRewritten === 0)
+    assert(t.read(spark).count() === 99)
+    // merge-on-read UPDATE with a logical assignment
+    val rUp = t.updateWhere(spark, col("id") === 7L,
+      Map("label" -> lit("u7")), dvMaxRowsPerFile = 1000)
+    assert(rUp.filesRewritten === 0 && rUp.filesDvUpdated === 1)
+    assert(t.read(spark).filter(col("id") === 7L).select("label")
+      .as[String].head() === "u7")
+    // MERGE: matched update + insert, all under logical names
+    val rm = t.merge(spark,
+      Seq((8L, "m8"), (500L, "m500")).toDF("id", "label"), Seq("id"),
+      dvMaxRowsPerFile = 1000)
+    assert(rm.filesRewritten === 0)
+    val m = t.read(spark).as[(Long, String)].collect().toMap
+    assert(m.size === 100 && m(8L) === "m8" && m(500L) === "m500"
+      && m(9L) === "a9")
+    // every batch the DML appended stores the frozen PHYSICAL name
+    val newest = dataLines(dir, t.currentVersion()).last
+    assert(spark.read.parquet(s"$dir/$newest").columns.contains("val"),
+      "DML appends must write the frozen physical name")
+    // the change feed serves the mapped DML range in the LOGICAL shape
+    val cdc = t.readChangesCdc(spark, v0, t.currentVersion())
+    assert(cdc.columns.contains("label") && !cdc.columns.contains("val"))
+    assert(cdc.filter(col("_change_type") === "delete" &&
+      col("id") === 42L).count() === 1)
+    assert(cdc.filter(col("_change_type") === "insert" &&
+      col("id") === 500L).select("label").as[String].head() === "m500")
+    // the copy-on-write fallback also writes physical and stays exact
+    val rCow = t.deleteWhere(spark, col("id") < 5L)
+    assert(rCow.filesRewritten >= 1)
+    assert(t.read(spark).count() === 95)
+    assert(t.read(spark).columns.toSeq === Seq("id", "label"))
+    // schema-evolving merge stays refused on a mapped table
+    val exEvo = intercept[IllegalArgumentException] {
+      t.merge(spark, Seq((1L, "x", 9L)).toDF("id", "label", "extra"),
+        Seq("id"), evolveSchema = true)
+    }
+    assert(exEvo.getMessage.contains("column-mapped"))
+  }
+
   test("column mapping through SQL: ALTER TABLE RENAME/DROP COLUMN, mapped SELECT and time travel") {
     val wh = Files.createTempDirectory("graft_cat_cm").toString
     spark.conf.set("spark.sql.catalog.cmcat",
@@ -1895,13 +1938,18 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 60L)
     assert(spark.sql("SELECT label FROM cmcat.db.t WHERE id = 55")
       .head().getString(0) === "n55")
+    // SQL DELETE runs merge-on-read straight through the mapping
+    spark.sql("DELETE FROM cmcat.db.t WHERE id = 42")
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 59L)
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t WHERE id = 42")
+      .head().getLong(0) === 0L)
     spark.sql("ALTER TABLE cmcat.db.t DROP COLUMN label")
     assert(spark.sql("SELECT * FROM cmcat.db.t").columns.toSeq === Seq("id"))
     // OPTIMIZE normalizes the mapping away; SQL DML works again
     spark.sql("OPTIMIZE cmcat.db.t INTO 1 FILES")
     assert(t.colMapOf(t.currentVersion()).isEmpty)
     spark.sql("DELETE FROM cmcat.db.t WHERE id = 5")
-    assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 59L)
+    assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 58L)
     spark.sql("DROP TABLE cmcat.db.t")
   }
 
