@@ -678,12 +678,23 @@ object RefQueries {
       val filesPre = t.fileCount(vPre)
       val vR = t.renameColumn("n_chars", "len_chars")
       val renameDelta = (t.fileCount(vR) - filesPre).toLong
+      // row-level DML runs THROUGH the mapping (round 13): a
+      // merge-on-read delete and update under the renamed logical
+      // name — zero file rewrites, vectors + physical-name appends
+      val rd = t.deleteWhere(s,
+        col("doc_id") % 100 === 77 && col("doc_id") < 500,
+        dvMaxRowsPerFile = 1000)
+      val ru = t.updateWhere(s, col("doc_id") === 123,
+        Map("len_chars" -> (col("len_chars") + 5000L)),
+        dvMaxRowsPerFile = 1000)
       t.commit(docs.filter(col("doc_id") >= 500 && col("doc_id") < 600)
         .withColumnRenamed("n_chars", "len_chars").repartition(1))
       t.dropColumn("source")
       val head = t.read(s)
       val acct = s.createDataFrame(Seq(
         ("rename_files_delta", renameDelta),
+        ("dml_files_rewritten", (rd.filesRewritten + ru.filesRewritten).toLong),
+        ("dml_dv_rows", rd.dvRowsAdded + ru.dvRowsAdded),
         ("cols_head", head.columns.length.toLong),
         ("cols_time_travel", t.readAt(s, vPre).columns.length.toLong),
         ("rows_time_travel", t.readAt(s, vPre).count()),
@@ -1123,20 +1134,27 @@ object RefQueries {
     // column mapping: rename/drop are metadata-only and the final
     // logical shape equals the frozen arithmetic over the fixture
     "q_snapshot_colmap" ->
-      """WITH base AS (SELECT * FROM documents WHERE doc_id < 600)
+      """WITH base AS (SELECT * FROM documents WHERE doc_id < 600),
+        |del AS (SELECT doc_id FROM base
+        |        WHERE doc_id % 100 = 77 AND doc_id < 500),
+        |live AS (SELECT * FROM base
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM del))
         |SELECT * FROM (
         |  SELECT 'rename_files_delta' AS stat, CAST(0 AS BIGINT) AS value
+        |  UNION ALL SELECT 'dml_files_rewritten', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'dml_dv_rows',
+        |    (SELECT COUNT(*) + 1 FROM del)
         |  UNION ALL SELECT 'cols_head', CAST(2 AS BIGINT)
         |  UNION ALL SELECT 'cols_time_travel', CAST(3 AS BIGINT)
         |  UNION ALL SELECT 'rows_time_travel',
         |    (SELECT COUNT(*) FROM base WHERE doc_id < 500)
         |  UNION ALL SELECT 'head_filtered',
         |    (SELECT COUNT(*) FROM base WHERE doc_id >= 550)
-        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM base)
+        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM live)
         |  UNION ALL SELECT 'sum_len_after',
-        |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM base)
+        |    (SELECT CAST(SUM(n_chars) + 5000 AS BIGINT) FROM live)
         |  UNION ALL SELECT 'sum_doc_after',
-        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM base))
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
         |ORDER BY stat""".stripMargin,
 
     "q_snapshot_stats" ->
