@@ -572,18 +572,6 @@ final class SnapshotTable(root: String) {
     else pairs
   }
 
-  /** Read table data files under `schema` with deletion vectors
-    * APPLIED — the one read primitive every internal consumer
-    * (readAt's DV'd subset, merge's matchable probe, update/delete
-    * rewrites, CDC replays) shares, so DV semantics cannot drift
-    * between paths. Files without a DV read exactly as before; files
-    * with one read through the v1 parquet path (which serves the
-    * `_metadata.file_path` / `row_index` columns) and LEFT ANTI join
-    * the broadcast deleted-position set. The anti-join is a
-    * BroadcastHashJoin — no shuffle of the data side, and the scan
-    * keeps pushdown/pruning (positions come from the reader's own
-    * row-index bookkeeping, which stays exact under row-group
-    * skipping). */
   /** Per-file zone maps with their column keys translated PHYSICAL →
     * LOGICAL under `mapping` (stat lines record what the files store;
     * the provers receive predicates over what readers see). Physical
@@ -615,11 +603,18 @@ final class SnapshotTable(root: String) {
     }
 
   /** Read `rels` under the LOGICAL `schema` with deletion vectors
-    * applied. Under a column `mapping` the files read with their
-    * frozen PHYSICAL names and the result aliases back to the logical
-    * shape — pushed filters still reach the ZoneMapFileIndex because
-    * the optimizer rewrites them through the alias Project into the
-    * physical attributes the `#zm=` stats are keyed by. */
+    * APPLIED — the one read primitive every internal consumer
+    * (readAt's DV'd subset, merge's matchable probe, update/delete
+    * rewrites, CDC replays) shares, so DV semantics cannot drift
+    * between paths. Files without a DV read exactly as before; files
+    * with one read through the v1 parquet path (which serves the
+    * `_metadata.file_path` / `row_index` columns) and LEFT ANTI join
+    * the deleted-position set (broadcast while small — see
+    * [[dvPairsDf]]). Under a column `mapping` the files read with
+    * their frozen PHYSICAL names and the result aliases back to the
+    * logical shape — pushed filters still reach the ZoneMapFileIndex
+    * because the optimizer rewrites them through the alias Project
+    * into the physical attributes the `#zm=` stats are keyed by. */
   private[sources] def readFilesDvAware(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       rels: Seq[String], dvs: Map[String, DeletionVectors.Dv],
@@ -1548,10 +1543,7 @@ final class SnapshotTable(root: String) {
         val live = mapAtWrite.filter(_._3.nonEmpty).map(_._3).toSet
         val extras = df.columns.toSeq.filterNot(live)
         val extended = mapAtWrite ++ extendMapping(mapAtWrite, extras)
-        val byLogical = extended.filter(_._3.nonEmpty)
-          .map(m => m._3 -> m._2).toMap
-        (df.select(df.columns.map(c => org.apache.spark.sql.functions
-            .col(s"`$c`").as(byLogical(c))).toIndexedSeq: _*),
+        (toPhysical(df, extended),
           if (extras.nonEmpty) Some(colmapLine(extended)) else None)
       }
     val (out, newFiles, zmNew, fbNew) = writeBatch(toWrite, bucketing, bloomKeys, bloomItems)
@@ -2133,9 +2125,12 @@ final class SnapshotTable(root: String) {
       // none of its files can hold a delta key (stat-less files are
       // touch-detected conservatively and conflict)
       (added, w) =>
-        added.isEmpty ||
+        added.isEmpty || {
+          val addedAbs = added.map(abs).toSet
           touchDetect(spark, deltaCk, added,
-            logicalZoneMaps(zoneMapsOf(w), mapping), pk).isEmpty)
+            logicalZoneMaps(zoneMapsOf(w).view.filterKeys(addedAbs).toMap,
+              mapping), pk).isEmpty
+        })
     SnapshotTable.MergeResult(committed, filesRewritten = rewriteClass.size,
       filesUntouched = untouched.size + kept.size, filesAdded = newFiles.size,
       filesDvUpdated = dvClass.size,
@@ -2292,7 +2287,10 @@ final class SnapshotTable(root: String) {
       // a concurrent append is benign iff every file it added provably
       // holds no predicate-matching row (a stat-less file conflicts)
       (added, w) => {
-        val zmW = logicalZoneMaps(zoneMapsOf(w), mapping)
+        // translate only the ADDED files' stats, not the whole table's
+        val addedAbs = added.map(abs).toSet
+        val zmW = logicalZoneMaps(
+          zoneMapsOf(w).view.filterKeys(addedAbs).toMap, mapping)
         added.forall { rel =>
           val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
           st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)
@@ -2487,7 +2485,10 @@ final class SnapshotTable(root: String) {
         sidecarOut.foreach(SnapshotTable.deleteRecursively)
       },
       (added, w) => {
-        val zmW = logicalZoneMaps(zoneMapsOf(w), mapping)
+        // translate only the ADDED files' stats, not the whole table's
+        val addedAbs = added.map(abs).toSet
+        val zmW = logicalZoneMaps(
+          zoneMapsOf(w).view.filterKeys(addedAbs).toMap, mapping)
         added.forall { rel =>
           val st = zmW.getOrElse(abs(rel), Map.empty[String, ZoneMaps.ColStat])
           st.nonEmpty && ZoneMaps.provablyEmpty(cond, st)

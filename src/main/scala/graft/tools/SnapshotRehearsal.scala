@@ -223,15 +223,17 @@ object SnapshotRehearsal {
       require(files == nCommits, s"listing lost files: $files != $nCommits")
       (lastBytes, parses, head, planSec)
     }
+    // clamp to [2, 10]: factor=1 would compare identical runs (NaN)
+    val mf = math.max(2, math.min(factor, 10))
     val (b1, p1, _, s1) = manifestScale(40)
-    val (bN, pN, hN, sN) = manifestScale(40 * math.min(factor, 10))
+    val (bN, pN, hN, sN) = manifestScale(40 * mf)
     println(f"[rehearse] delta-manifest commit bytes: 40-commit=$b1 " +
-      f"${40 * math.min(factor, 10)}%d-commit=$bN (flat = O(changed files))")
+      f"${40 * mf}%d-commit=$bN (flat = O(changed files))")
     println(f"[rehearse] fresh-handle planning: parses=$p1 vs $pN over " +
       f"${hN + 1} commits (bound = AnchorInterval+2 = " +
       f"${SnapshotTable.AnchorInterval + 2}), ${s1}%.3f s vs ${sN}%.3f s")
     println(f"[rehearse] commit-bytes exponent = " +
-      f"${math.log(bN.toDouble / b1) / math.log(math.min(factor, 10).toDouble)}%.2f (expect ~0)")
+      f"${math.log(bN.toDouble / b1) / math.log(mf.toDouble)}%.2f (expect ~0)")
 
     spark.stop()
   }
