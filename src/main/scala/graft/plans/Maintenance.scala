@@ -18,7 +18,7 @@ import graft.sources.{Bucketing, GraftMergeable, SnapshotTable}
   * VACUUM/OPTIMIZE):
   *
   *   VACUUM <table|'path'> [RETAIN <n> VERSIONS]
-  *   OPTIMIZE <table|'path'> [INTO <n> FILES] [ZORDER BY (c1[, c2[, c3]])]
+  *   OPTIMIZE <table|'path'> [FULL] [INTO <n> FILES] [ZORDER BY (c1[, c2[, c3]])]
   *   RESTORE TABLE <table|'path'> [TO] VERSION AS OF <v>
   *
   * The parser intercepts ONLY these three statement shapes (first
@@ -41,7 +41,7 @@ object Maintenance {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+(.+?)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(.+?)(\s+FULL)?(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -65,7 +65,7 @@ object Maintenance {
         case _ => None
       }
       case "OPTIMIZE" => sql match {
-        case OptimizeRe(t, files, zcols) =>
+        case OptimizeRe(t, full, files, zcols) =>
           val cols = Option(zcols).toSeq
             .flatMap(_.split(',').toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -74,8 +74,8 @@ object Maintenance {
             "OPTIMIZE ... ZORDER BY supports at most 3 columns " +
               s"(got ${cols.size}) — beyond 3 dimensions the interleave " +
               "prunes nothing")
-          Some(OptimizeSnapshot(target(t),
-            Option(files).map(_.toInt).getOrElse(8), cols))
+          Some(OptimizeSnapshot(target(t), Option(files).map(_.toInt),
+            cols, full = full != null))
         case _ => None
       }
       case "RESTORE" => sql match {
@@ -132,12 +132,18 @@ case class VacuumSnapshot(target: MaintenanceTarget, keepVersions: Int)
       "manifests_expired" -> LongType)
 }
 
-case class OptimizeSnapshot(target: MaintenanceTarget, files: Int,
-                            zorderBy: Seq[String])
+/** `OPTIMIZE t [FULL] [INTO n FILES] [ZORDER BY (...)]` — plain
+  * OPTIMIZE is the SELECTIVE bin-pack ([[graft.sources.SnapshotTable.optimize]]:
+  * small + DV-carrying files only, delta commit); FULL or a ZORDER BY
+  * clause is the whole-table rewrite (re-clustering needs every file,
+  * and a normalizing compact of a mapped table is by definition total). */
+case class OptimizeSnapshot(target: MaintenanceTarget, files: Option[Int],
+                            zorderBy: Seq[String], full: Boolean = false)
     extends LeafNode with Command {
   override val output: Seq[Attribute] =
     Maintenance.attrs("version" -> LongType, "n_files" -> LongType,
-      "dv_rows_reclaimed" -> LongType)
+      "dv_rows_reclaimed" -> LongType, "files_rewritten" -> LongType,
+      "files_untouched" -> LongType)
 }
 
 case class RestoreSnapshot(target: MaintenanceTarget, version: Long)
@@ -154,6 +160,17 @@ object MaintenanceStrategy extends SparkStrategy {
         .vacuum(v.keepVersions)
       Array(new GenericInternalRow(Array[Any](d.toLong, m.toLong)): InternalRow)
     }) :: Nil
+    case o: OptimizeSnapshot if !o.full && o.zorderBy.isEmpty =>
+      // selective bin-pack: rewrite only small/DV'd files, O(touched)
+      // delta commit, everything else carries by reference — the
+      // 100 TB-safe default (FULL/ZORDER below stay the total rewrite)
+      MaintenanceExec(o.output, { spark =>
+        val t = SnapshotTable(Maintenance.rootOf(spark, o.target))
+        val r = t.optimize(spark, targetFiles = o.files.getOrElse(0))
+        Array(new GenericInternalRow(Array[Any](
+          r.version, t.fileCount(r.version).toLong, r.dvRowsReclaimed,
+          r.filesRewritten.toLong, r.filesUntouched.toLong)): InternalRow)
+      }) :: Nil
     case o: OptimizeSnapshot => MaintenanceExec(o.output, { spark =>
       val t = SnapshotTable(Maintenance.rootOf(spark, o.target))
       val sortKey = o.zorderBy match {
@@ -213,11 +230,12 @@ object MaintenanceStrategy extends SparkStrategy {
       // actually REPLACED (v - 1), not a pre-compact head read — a
       // racing DV delete landing between the read and the publish
       // would otherwise mis-report the count
-      val v = t.compact(spark, o.files, sortKey)
+      val v = t.compact(spark, o.files.getOrElse(8), sortKey)
       val reclaimed = t.dvRelOf(v - 1)
         .valuesIterator.map(_.count).sum
       Array(new GenericInternalRow(
-        Array[Any](v, t.fileCount(v).toLong, reclaimed)): InternalRow)
+        Array[Any](v, t.fileCount(v).toLong, reclaimed,
+          t.fileCount(v - 1).toLong, 0L)): InternalRow)
     }) :: Nil
     case r: RestoreSnapshot => MaintenanceExec(r.output, { spark =>
       val t = SnapshotTable(Maintenance.rootOf(spark, r.target))

@@ -172,66 +172,33 @@ class SnapshotCatalog extends TableCatalog
     val dir = dirOf(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val t = SnapshotTable(dir.toString)
-    // supported shapes, each a metadata-only commit: ADD COLUMNS
-    // (batched into one commit), RENAME COLUMN and DROP COLUMN
-    // (id-based column mapping — old files resolve their frozen
-    // physical names, time travel keeps old shapes). The WHOLE change
-    // list validates BEFORE anything commits, so an unsupported
-    // change never leaves earlier changes half-applied.
-    changes.foreach {
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 => ()
-      case r: TableChange.RenameColumn if r.fieldNames().length == 1 => ()
-      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 => ()
+    // supported shapes, all metadata-only: ADD COLUMNS, RENAME COLUMN,
+    // DROP COLUMN (id-based column mapping — old files resolve their
+    // frozen physical names, time travel keeps old shapes) and ALTER
+    // COLUMN TYPE for lossless widenings (int→long, float→double, …).
+    // The WHOLE change list translates up front (unsupported kinds
+    // refuse here) and then applies as ONE atomic commit
+    // (SnapshotTable.alterSchema): a concurrent writer landing
+    // mid-ALTER can never strand a half-applied change set.
+    val translated: Seq[SnapshotTable.SchemaChange] = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
+        SnapshotTable.AddCol(org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable()))
+      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
+        SnapshotTable.RenameCol(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+        SnapshotTable.DropCol(d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
+        SnapshotTable.WidenCol(u.fieldNames()(0), u.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
-            "nullable), RENAME COLUMN and DROP COLUMN only — " +
+            "nullable), RENAME COLUMN, DROP COLUMN and ALTER COLUMN " +
+            "TYPE (lossless widening) only — " +
             s"${other.getClass.getSimpleName} is not supported; evolve " +
             "destructively per-commit with the evolved schema")
     }
-    val adds = changes.collect {
-      case a: TableChange.AddColumn if a.fieldNames().length == 1 => a
-    }
-    // pre-validate the whole SEQUENCE against a simulated name list —
-    // each supported change commits separately and cannot roll back,
-    // so a later change failing its runtime checks (unknown column,
-    // duplicate, last column) must refuse BEFORE anything commits
-    locally {
-      var names = t.schemaDdlOf(t.currentVersion())
-        .map(StructType.fromDDL(_).fieldNames.toVector)
-        .getOrElse(Vector.empty[String])
-      adds.foreach { a =>
-        val n = a.fieldNames()(0)
-        require(!names.exists(_.equalsIgnoreCase(n)),
-          s"ALTER: column $n already exists")
-        names :+= n
-      }
-      changes.foreach {
-        case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-          val o = r.fieldNames()(0)
-          require(names.exists(_.equalsIgnoreCase(o)), s"ALTER: no column $o")
-          require(!names.exists(_.equalsIgnoreCase(r.newName())),
-            s"ALTER: column ${r.newName()} already exists")
-          names = names.map(x => if (x.equalsIgnoreCase(o)) r.newName() else x)
-        case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-          val o = d.fieldNames()(0)
-          require(names.exists(_.equalsIgnoreCase(o)), s"ALTER: no column $o")
-          require(names.size > 1, "ALTER: cannot drop the last column")
-          names = names.filterNot(_.equalsIgnoreCase(o))
-        case _ => ()
-      }
-    }
-    if (adds.nonEmpty)
-      t.addColumns(StructType(adds.map(a =>
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), a.isNullable()))))
-    changes.foreach {
-      case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        t.renameColumn(r.fieldNames()(0), r.newName())
-      case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        t.dropColumn(d.fieldNames()(0))
-      case _ => ()
-    }
+    t.alterSchema(translated)
     loadTable(ident)
   }
 

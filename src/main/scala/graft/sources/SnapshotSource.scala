@@ -52,7 +52,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               cdc: Boolean = false,
                               cdcStartFrom: Option[Long] = None,
                               cdcEndAt: Option[Long] = None,
-                              dvInfo: Option[(String, Long)] = None)
+                              dvInfo: Option[(String, Long)] = None,
+                              bucketing: Option[(String, Int, Map[String, Int])] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -66,10 +67,6 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       // makes version v the FIRST emitted micro-batch (Delta-CDF's
       // inclusive convention); default = follow forward from the head.
       val v = t.currentVersion()
-      require(t.colMapOf(v).isEmpty,
-        s"streaming change feed on a column-mapped table is not supported " +
-          s"at $root — OPTIMIZE/compact first (batch readChangesCdc serves " +
-          "mapped ranges)")
       val sch = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
         throw new IllegalArgumentException(
           s"readChangeFeed at $root needs a committed table schema"))
@@ -134,6 +131,38 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
             all.filterNot(f => dvRels.contains(
               rootPath.relativize(java.nio.file.Paths.get(f)).toString))
           }
+        // `physicalNames` (internal, set by SnapshotTable.readAt for
+        // column-mapped vector-free snapshots): resolve under the
+        // frozen PHYSICAL schema the files actually store — the full
+        // DSv2 scan stack (pushdown, manifest skipping, planning stats,
+        // KeyGroupedPartitioning for bucketed layouts) applies natively
+        // because the `#zm=`/`#bfl=`/`#fb=` stats are all keyed by
+        // physical name; the caller aliases the result back to the
+        // logical shape
+        val mapping = t.colMapOf(v)
+        val physical = options.getBoolean("physicalNames", false)
+        if (physical) {
+          require(mapping.nonEmpty,
+            s"physicalNames load of $root v$v: snapshot is not column-mapped")
+          require(dvRels.isEmpty,
+            s"physicalNames load of $root v$v: snapshot carries deletion " +
+              "vectors — only the composed readAt path serves those")
+          val logical = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
+            throw new IllegalStateException(
+              s"column-mapped snapshot v$v at $root has no recorded schema"))
+          val physSch = SnapshotTable.physicalSchemaUnder(logical, mapping)
+          val byLogical = mapping.map(m => m._3 -> m._2).toMap
+          val bucketing = t.bucketingOf(v)
+            .map { case (k, n) => (byLogical.getOrElse(k, k), n) }
+            .filter { case (pk, _) => physSch.fields.find(_.name == pk)
+              .exists(f => GraftBucketFunction.supported(f.dataType)) }
+            .map { case (pk, n) =>
+              (pk, n, t.fileBucketsOf(v).map { case (abs, b) =>
+                new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
+            }
+          return Resolved(s"v${v}_phys", files, Some(physSch), t.dataDirPath,
+            t.fileStatsOf(v), None, bucketing = bucketing)
+        }
         // only a HEAD load is streamable: a pinned version is frozen
         // history, there is nothing to tail. dvInfo marks relations the
         // injected rewrite must recompose — vectored snapshots AND
@@ -142,7 +171,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
         Resolved(s"v$v", files,
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
           t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None,
-          dvInfo = if ((!exclude && dvRels.nonEmpty) || t.colMapOf(v).nonEmpty)
+          dvInfo = if ((!exclude && dvRels.nonEmpty) || mapping.nonEmpty)
             Some((root, v)) else None)
     }
   }
@@ -155,10 +184,21 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   private def tableFactory(options: CaseInsensitiveStringMap, label: String,
                            dataDir: String, userSchema: Option[StructType])
       : Seq[String] => ParquetTable = {
+    val mk = schemaTableFactory(options, label, dataDir)
+    files => mk(files, userSchema.orNull)
+  }
+
+  /** Like [[tableFactory]] but schema-per-call — the CDC stream plans
+    * each chunk's delegate batch under that chunk's era-physical
+    * schema (column mapping), so one stream mixes several. */
+  private def schemaTableFactory(options: CaseInsensitiveStringMap,
+                                 label: String, dataDir: String)
+      : (Seq[String], StructType) => ParquetTable = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ Map("basePath" -> dataDir)).asJava)
-    files => ParquetTable(s"graft_snapshot_$label", SparkSession.active,
-      merged, files, userSchema, classOf[ParquetFileFormat])
+    (files, schema) => ParquetTable(s"graft_snapshot_$label",
+      SparkSession.active, merged, files, Option(schema),
+      classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -173,13 +213,13 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     val r = resolve(options)
     if (r.cdc)
       new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
-        tableFactory(options, r.label, r.dataDir, r.manifestSchema),
+        schemaTableFactory(options, r.label, r.dataDir),
         r.cdcStartFrom, r.cdcEndAt)
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
           Option(schema).orElse(r.manifestSchema)), r.streamRoot,
-        dvInfo = r.dvInfo)
+        bucketing = r.bucketing, dvInfo = r.dvInfo)
   }
 }
 
@@ -280,7 +320,7 @@ object SnapshotSource {
     * schema evolution keeps emitting the stream's declared shape. */
   private[sources] final class CdcSnapshotTable(
       root: String, dataSchema: StructType,
-      mk: Seq[String] => ParquetTable,
+      mk: (Seq[String], StructType) => ParquetTable,
       startFrom: Option[Long] = None,
       endAt: Option[Long] = None)
       extends Table with SupportsRead {
@@ -295,7 +335,8 @@ object SnapshotSource {
         override def toMicroBatchStream(checkpointLocation: String)
             : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new SnapshotCdcMicroBatchStream(root, shape,
-            fs => mk(fs).newScanBuilder(CaseInsensitiveStringMap.empty)
+            (fs, sch) => mk(fs, sch)
+              .newScanBuilder(CaseInsensitiveStringMap.empty)
               .build().toBatch, startFrom, endAt)
       }
   }
@@ -328,15 +369,25 @@ object SnapshotSource {
       (key, n, t.fileBucketsOf(v).map { case (abs, b) =>
         new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
     }
+    val mapping = t.colMapOf(v)
     val dvInfo =
-      if (t.dvRelOf(v).nonEmpty || t.colMapOf(v).nonEmpty) Some((root, v))
+      if (t.dvRelOf(v).nonEmpty || mapping.nonEmpty) Some((root, v))
       else None
+    // a mapped head's stream reads appended files under the frozen
+    // PHYSICAL schema (positionally identical to the logical shape)
+    val mkStream =
+      if (mapping.isEmpty) None
+      else schema.map { logical =>
+        val physSch = SnapshotTable.physicalSchemaUnder(logical, mapping)
+        (files: Seq[String]) => ParquetTable(name, SparkSession.active,
+          opts, files, Some(physSch), classOf[ParquetFileFormat])
+      }
     if (deletable)
       new DeletableSnapshotTable(root, t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot, bucketing, dvInfo)
+        streamRoot, bucketing, dvInfo, mkStream)
     else
       new ReadOnlySnapshotTable(t.resolvedFiles(v), t.fileStatsOf(v), mk,
-        streamRoot, bucketing, dvInfo)
+        streamRoot, bucketing, dvInfo, mkStream)
   }
 
   /** The v1-filter shapes SQL `DELETE FROM ... WHERE` arrives in,
@@ -408,8 +459,10 @@ object SnapshotSource {
       mk: Seq[String] => ParquetTable,
       streamRoot: Option[String],
       bucketing: Option[(String, Int, Map[String, Int])] = None,
-      dvInfo: Option[(String, Long)] = None)
-      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing, dvInfo)
+      dvInfo: Option[(String, Long)] = None,
+      mkStream: Option[Seq[String] => ParquetTable] = None)
+      extends ReadOnlySnapshotTable(files, zoneMaps, mk, streamRoot, bucketing,
+        dvInfo, mkStream)
       with org.apache.spark.sql.connector.catalog.SupportsDelete
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with GraftMergeable {
@@ -484,7 +537,8 @@ object SnapshotSource {
       mk: Seq[String] => ParquetTable,
       streamRoot: Option[String] = None,
       bucketing: Option[(String, Int, Map[String, Int])] = None,
-      val dvInfo: Option[(String, Long)] = None)
+      val dvInfo: Option[(String, Long)] = None,
+      mkStream: Option[Seq[String] => ParquetTable] = None)
       extends Table with SupportsRead {
     private lazy val inner = mk(files)
     override def name(): String = inner.name
@@ -494,9 +548,14 @@ object SnapshotSource {
         java.util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.MICRO_BATCH_READ)
       else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // `mkStream` overrides the stream's per-range batch factory — a
+    // COLUMN-MAPPED head streams through the frozen PHYSICAL schema
+    // (positionally identical to the logical shape, names only), so
+    // appended files resolve their stored names without an alias step
     private def streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
       streamRoot.map { root => () =>
-        new SnapshotMicroBatchStream(root, fs => mk(fs)
+        val f = mkStream.getOrElse(mk)
+        new SnapshotMicroBatchStream(root, fs => f(fs)
           .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
       }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -518,6 +577,12 @@ object SnapshotSource {
           // replace them and they never run. A DV'd scan that actually
           // reaches execution (a session without the extension) fails
           // loudly instead of silently resurrecting deleted rows.
+          // STREAMS delegate (round 14): the micro-batch path is safe
+          // on a vectored or mapped HEAD — it emits only files APPENDED
+          // after the stream's start offset (a range crossing a DV
+          // change refuses inside addedFilesBetween, and mapped heads
+          // stream through the physical-schema factory), so the
+          // batch-read guard must not block it.
           () => new org.apache.spark.sql.connector.read.Scan {
             private lazy val built = delegate.build()
             override def readSchema(): StructType = built.readSchema()
@@ -532,7 +597,7 @@ object SnapshotSource {
               refuse
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-              refuse
+              built.toMicroBatchStream(checkpointLocation)
           }
       }
     }

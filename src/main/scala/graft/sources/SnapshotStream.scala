@@ -97,9 +97,19 @@ final case class EmptyBatchReaderFactory(root: String) extends PartitionReaderFa
 }
 
 /** A partition of a CDC micro-batch: the delegate parquet partition
-  * plus the constant change stamp its rows carry. */
+  * plus the constant change stamp its rows carry, and the delegate
+  * READER FACTORY that built it. Per-partition factories (rather than
+  * one per scan) because chunks from different column-mapping ERAS
+  * read under different PHYSICAL schemas — a rename → compact → append
+  * range mixes frozen-name files with normalized-name files in one
+  * micro-batch, and each chunk's factory was planned with exactly its
+  * era's names. The physical schemas are positionally identical to
+  * the stream's logical shape (names differ, layout doesn't), so the
+  * emitted rows need no alias step. */
 final case class CdcInputPartition(inner: InputPartition, changeType: String,
-                                   version: Long) extends InputPartition
+                                   version: Long,
+                                   factory: PartitionReaderFactory)
+    extends InputPartition
 
 /** A CDC partition over ONE WHOLE vectored file: the replay must
   * subtract the file's deletion-vector positions, and the only row
@@ -112,7 +122,9 @@ final case class CdcInputPartition(inner: InputPartition, changeType: String,
 final case class DvCdcInputPartition(absPath: String, fileLen: Long,
                                      changeType: String, version: Long,
                                      dvCount: Long, dvPayload: String,
-                                     root: String) extends InputPartition
+                                     root: String,
+                                     factory: PartitionReaderFactory)
+    extends InputPartition
 
 /** Wraps the delegate parquet reader factory: every row comes back joined
   * with its partition's constant (_change_type, _commit_version) and
@@ -120,13 +132,12 @@ final case class DvCdcInputPartition(absPath: String, fileLen: Long,
   * references across iterations. Row-based on purpose — the two
   * appended constants don't justify building constant column vectors,
   * and CDC consumers are sink-bound, not scan-bound. */
-final class CdcReaderFactory(inner: PartitionReaderFactory,
-                             cdcSchema: StructType)
+final class CdcReaderFactory(cdcSchema: StructType)
     extends PartitionReaderFactory {
   override def supportColumnarReads(p: InputPartition): Boolean = false
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case c: CdcInputPartition =>
-      stamped(inner.createReader(c.inner), c.changeType, c.version)
+      stamped(c.factory.createReader(c.inner), c.changeType, c.version)
     case d: DvCdcInputPartition =>
       // one whole-file split, no pushed filters → the delegate reader
       // yields rows in exact file order, so a running counter IS the
@@ -135,7 +146,7 @@ final class CdcReaderFactory(inner: PartitionReaderFactory,
         InternalRow.empty,
         org.apache.spark.paths.SparkPath.fromPathString(d.absPath),
         0L, d.fileLen, Array.empty, 0L, d.fileLen, Map.empty)
-      val r = inner.createReader(
+      val r = d.factory.createReader(
         org.apache.spark.sql.execution.datasources.FilePartition(0, Array(pf)))
       val skip: Array[Long] =
         if (d.dvPayload == null) Array.empty
@@ -199,7 +210,7 @@ final class CdcReaderFactory(inner: PartitionReaderFactory,
   * version (inclusive, Delta's convention; the range must not cross a
   * replace). */
 final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
-                                        mkBatch: Seq[String] => Batch,
+                                        mkBatch: (Seq[String], StructType) => Batch,
                                         startFrom: Option[Long] = None,
                                         endAt: Option[Long] = None)
     extends MicroBatchStream {
@@ -243,54 +254,51 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  @volatile private var innerFactory: PartitionReaderFactory = _
+  // the stream's declared DATA shape (cdcSchema minus the two stamps),
+  // pinned at creation like every snapshot stream's schema
+  private val dataSchema = StructType(cdcSchema.fields.dropRight(2))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // a checkpoint restored past a (newly added or tightened)
     // endingVersion can hand an inverted range: nothing to emit
     if (ver(end) <= ver(start)) return Array.empty
-    // the stream's delegate batch reads files under the LOGICAL schema
-    // with no alias step, which a mapped range's frozen physical names
-    // would silently null out — the batch feed (readChangesCdc)
-    // aliases and serves those ranges; the stream refuses them
-    require(table.colMapOf(ver(end)).isEmpty,
-      s"change-feed stream at $root: the range ends on a column-mapped " +
-        "snapshot — consume it with the batch readChangesCdc (which " +
-        "resolves frozen physical names), or compact to normalize")
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
-    innerFactory = null
     chunks.flatMap { c =>
-      val b = mkBatch(c.rels.map(table.absPath))
+      // COLUMN-MAPPED chunks plan their delegate batch under the
+      // chunk's ERA-PHYSICAL schema — positionally identical to the
+      // stream's logical shape (names only), so the emitted InternalRows
+      // need no alias step; each partition carries its own reader
+      // factory because eras differ within one range
+      val physSch = SnapshotTable.physicalSchemaUnder(dataSchema, c.mapping)
+      val b = mkBatch(c.rels.map(table.absPath), physSch)
       if (c.exclude.isEmpty) {
         val parts = b.planInputPartitions()
-        // the delegate factories are config-identical across chunks
-        // (same schema, no pushdown in a stream): keep the first
-        if (innerFactory == null && parts.nonEmpty)
-          innerFactory = b.createReaderFactory()
-        parts.map(p => CdcInputPartition(p, c.ctype, c.v): InputPartition)
+        if (parts.isEmpty) Seq.empty[InputPartition]
+        else {
+          val f = b.createReaderFactory()
+          parts.toSeq.map(p => CdcInputPartition(p, c.ctype, c.v, f): InputPartition)
+        }
       } else {
         // a file-diff chunk over VECTORED files (a rewrite or restore
         // of a file carrying `#dv=`): replay each file as one whole,
         // unsplit partition whose reader subtracts the vector by row
         // order — exactly the batch feed's semantics, without the v1
         // metadata-column read a streaming Batch cannot express
-        if (innerFactory == null) innerFactory = b.createReaderFactory()
+        val f = b.createReaderFactory()
         c.rels.map { rel =>
           val abs = table.absPath(rel)
           val len = java.nio.file.Files.size(java.nio.file.Paths.get(abs))
           val dv = c.exclude.get(rel)
           DvCdcInputPartition(abs, len, c.ctype, c.v,
             dv.map(_.count).getOrElse(0L), dv.map(_.payload).orNull,
-            root): InputPartition
+            root, f): InputPartition
         }
       }
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = innerFactory match {
-    case null => EmptyBatchReaderFactory(root)
-    case f => new CdcReaderFactory(f, cdcSchema)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcReaderFactory(cdcSchema)
 
   override def toString: String = s"SnapshotCdcMicroBatchStream($root)"
 }

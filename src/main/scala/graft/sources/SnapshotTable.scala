@@ -35,7 +35,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and commits are O(1) renames, so the protocol costs the same at
   * 100 TB as at 100 MB; data-file writes remain fully parallel Spark
   * jobs. Compaction = read a snapshot, write it as one new commit
-  * with `replace = true`.
+  * with `replace = true` ([[optimize]] is the selective variant:
+  * rewrite only small/DV-carrying files, delta-commit the rest by
+  * reference).
+  *
+  * STORAGE CONTRACT: the table root must be a SHARED POSIX path
+  * visible to the driver AND every executor under the same name (NFS,
+  * Lustre, a local path in local mode). Manifest I/O is driver-side
+  * java.nio; deletion-vector sidecar payloads are read/written with
+  * java.nio from executor tasks too (dvPairsDf / dvMaterialize / the
+  * streaming DV reader). An object-store or hdfs:// root needs the
+  * publish primitive (put-if-absent) and the sidecar I/O swapped for
+  * that store's client — both fail LOUDLY (open/link errors), never
+  * silently, on a non-shared root.
   */
 final class SnapshotTable(root: String) {
   private val dataDir: Path = Paths.get(root, "data")
@@ -201,55 +213,106 @@ final class SnapshotTable(root: String) {
     * manifest reads worst-case. Also resolves versions whose manifest
     * has expired but whose anchor survives (they serve as fold BASES
     * only — the public read surface separately requires the manifest,
-    * so time travel to an expired version still refuses). */
+    * so time travel to an expired version still refuses).
+    *
+    * ITERATIVE on purpose: anchors normally bound the walk to
+    * ~AnchorInterval steps, but when anchor side-files are lost on a
+    * long append-only lineage the walk degrades to one step per
+    * version — a recursion there would StackOverflow on a
+    * multi-thousand-commit table, so the fold walks back in a loop and
+    * folds forward, caching every intermediate state it derives. */
   private[graft] def state(v: Long): TableState = synchronized {
     if (v < 0) return EmptyState
     val hit = stateCache.get(v)
     if (hit != null) return hit
-    val st =
-      if (Files.exists(manifestPath(v))) {
-        val lines = { manifestParses += 1; Files.readAllLines(manifestPath(v)).asScala.toSeq }
-        baseOf(lines) match {
-          case None => parseFull(lines)
-          case Some(b) =>
-            require(b == v - 1,
-              s"delta manifest v$v at $root declares base $b (corrupt log)")
-            // a committed anchor short-circuits the walk; a torn or
-            // unreadable one silently degrades to folding the deltas
-            loadAnchor(v).getOrElse(applyDelta(state(v - 1), lines, v))
-        }
-      } else loadAnchor(v).getOrElse(throw new IllegalArgumentException(
-        s"snapshot v$v at $root is expired (vacuumed) or was never committed"))
+    // walk BACK collecting delta tails until a fold base (cached state,
+    // valid anchor, or full manifest)
+    var tail = List.empty[(Long, Seq[String])] // ascending after prepends
+    var baseV = v
+    var base: TableState = null
+    while (base == null) {
+      if (baseV < 0) base = EmptyState
+      else {
+        val cached = stateCache.get(baseV)
+        if (cached != null) base = cached
+        else if (Files.exists(manifestPath(baseV))) {
+          val lines = { manifestParses += 1
+            Files.readAllLines(manifestPath(baseV)).asScala.toSeq }
+          baseOf(lines) match {
+            case None => base = parseFull(lines)
+            case Some(b) =>
+              require(b == baseV - 1,
+                s"delta manifest v$baseV at $root declares base $b (corrupt log)")
+              // a committed anchor short-circuits the walk; a torn or
+              // unreadable one silently degrades to walking further
+              loadAnchor(baseV) match {
+                case Some(st) => base = st
+                case None => tail = (baseV -> lines) :: tail; baseV -= 1
+              }
+          }
+        } else base = loadAnchor(baseV).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot v$baseV at $root is expired (vacuumed) or was never committed"))
+      }
+    }
+    var st = base
+    tail.foreach { case (w, lines) =>
+      st = applyDelta(st, lines, w)
+      stateCache.put(w, st)
+    }
     stateCache.put(v, st)
     st
   }
 
   /** An anchor's validated state, or None when absent, truncated, or
     * unparsable (→ the caller walks the deltas instead — anchors are
-    * acceleration, never a correctness dependency). The leading
-    * `#anchorlines=` count guards truncation on filesystems without
-    * atomic link semantics. */
+    * acceleration, never a correctness dependency). Two codecs sniffed
+    * by magic bytes: PARQUET (the default since round 14 — columnar,
+    * dictionary+snappy compressed, read with an explicit projection
+    * schema; the parquet footer checksum IS the truncation guard) and
+    * the legacy TEXT codec, whose leading `#anchorlines=` count guards
+    * truncation on filesystems without atomic link semantics. */
   private def loadAnchor(v: Long): Option[TableState] =
     if (!Files.exists(anchorPath(v))) None
     else scala.util.Try {
       manifestParses += 1
-      val lines = Files.readAllLines(anchorPath(v)).asScala.toSeq
-      require(lines.nonEmpty && lines.head.startsWith("#anchorlines=") &&
-        lines.head.stripPrefix("#anchorlines=").toInt == lines.size - 1,
-        s"anchor a$v truncated")
-      parseFull(lines.tail)
+      val p = anchorPath(v)
+      val head = {
+        val in = Files.newInputStream(p)
+        try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+      }
+      if (head.sameElements("PAR1".getBytes("US-ASCII")))
+        readAnchorParquet(p)
+      else {
+        val lines = Files.readAllLines(p).asScala.toSeq
+        require(lines.nonEmpty && lines.head.startsWith("#anchorlines=") &&
+          lines.head.stripPrefix("#anchorlines=").toInt == lines.size - 1,
+          s"anchor a$v truncated")
+        parseFull(lines.tail)
+      }
     }.toOption
 
   /** Write the anchor side-file for `v` (idempotent, best-effort: a
     * concurrent or earlier writer's anchor wins, a failure costs only
     * walk length). Called by every publisher on the anchor cadence and
-    * by vacuum before it expires a retention window's delta bases. */
+    * by vacuum before it expires a retention window's delta bases.
+    * Parquet codec first (at 10^6 files the listing compresses ~10×
+    * and loads with column projection instead of line parsing); any
+    * parquet failure silently degrades to the TEXT codec — the anchor
+    * grammar is a codec detail, never a protocol change. */
   private def writeAnchor(v: Long): Unit =
     if (!Files.exists(anchorPath(v))) scala.util.Try {
-      val body = renderState(Seq.empty, state(v))
+      val st = state(v)
       val tmp = Files.createTempFile(manifestDir, s"_tmp_a$v-", ".inprogress")
-      Files.write(tmp, (s"#anchorlines=${body.size}" +: body).mkString("\n")
-        .getBytes("UTF-8"))
+      try {
+        Files.deleteIfExists(tmp) // parquet writers refuse existing paths
+        writeAnchorParquet(tmp, st)
+      } catch {
+        case _: Throwable =>
+          val body = renderState(Seq.empty, st)
+          Files.write(tmp, (s"#anchorlines=${body.size}" +: body)
+            .mkString("\n").getBytes("UTF-8"))
+      }
       try Files.createLink(anchorPath(v), tmp)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
       Files.deleteIfExists(tmp)
@@ -259,6 +322,106 @@ final class SnapshotTable(root: String) {
   /** Anchor cadence hook — run after every successful delta publish. */
   private def maybeAnchor(v: Long): Unit =
     if (v > 0 && v % SnapshotTable.AnchorInterval == 0) writeAnchor(v)
+
+  // ---- parquet anchor codec -----------------------------------------
+  //
+  // One row per data file (rel + its zone-map/bloom/DV/bucket
+  // descriptor columns, `listed` false for descriptor-only rows) plus
+  // one header row (schema DDL, colmap, bucketing). Dictionary +
+  // snappy encoding collapses the shared path prefixes that dominate a
+  // text anchor, and the reader requests an explicit projection schema
+  // — at 10^6 files this is the difference between parsing a
+  // multi-hundred-MB text blob on the driver and a columnar load.
+  // Driver-side parquet-hadoop directly (no Spark job for metadata).
+
+  private def anchorConf(): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // raw local FS: no .crc sidecar files polluting _manifests
+    conf.set("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    conf.setBoolean("fs.file.impl.disable.cache", true)
+    conf
+  }
+
+  private def writeAnchorParquet(path: Path, st: TableState): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      SnapshotTable.AnchorParquetSchema)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path.toUri))
+      .withConf(anchorConf())
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val f = new SimpleGroupFactory(schema)
+      val hdr = f.newGroup().append("rel", "").append("listed", false)
+      st.schemaDdl.foreach(hdr.append("hdr_schema", _))
+      st.colmap.foreach(hdr.append("hdr_colmap", _))
+      st.bucketing.foreach(hdr.append("hdr_bucketing", _))
+      w.write(hdr)
+      val zmBy = st.stat.filter(_._2.startsWith(ZoneMaps.Prefix)).groupBy(_._1)
+      val bfBy = st.stat.filter(_._2.startsWith(ZoneMaps.BloomPrefix)).groupBy(_._1)
+      val fbBy = st.fb.groupBy(_._1)
+      val inFiles = st.files.toSet
+      // descriptor-only rels (a stat/DV line naming an unlisted file)
+      // don't occur in practice but must round-trip, not vanish
+      val extra = (zmBy.keySet ++ bfBy.keySet ++ fbBy.keySet ++
+        st.dv.keySet) -- inFiles
+      (st.files ++ extra.toSeq.sorted).foreach { rel =>
+        val g = f.newGroup().append("rel", rel).append("listed", inFiles(rel))
+        zmBy.get(rel).foreach(x => g.append("zm", x.map(_._2).mkString("\n")))
+        bfBy.get(rel).foreach(x => g.append("bloom", x.map(_._2).mkString("\n")))
+        st.dv.get(rel).foreach(g.append("dv", _))
+        fbBy.get(rel).foreach(x => g.append("fb", x.map(_._2).mkString("\n")))
+        w.write(g)
+      }
+    } finally w.close()
+  }
+
+  private def readAnchorParquet(path: Path): TableState = {
+    val conf = anchorConf()
+    // explicit projection: the reader asks for exactly these columns —
+    // a future anchor with extra descriptor columns stays loadable, and
+    // a partial consumer (listing-only) can narrow this further
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      SnapshotTable.AnchorParquetSchema)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path.toUri))
+      .withConf(conf).build()
+    try {
+      val files = Vector.newBuilder[String]
+      val stat = Vector.newBuilder[(String, String)]
+      val fb = Vector.newBuilder[(String, String)]
+      val dv = Map.newBuilder[String, String]
+      var schemaDdl: Option[String] = None
+      var colmap: Option[String] = None
+      var bucketing: Option[String] = None
+      var g = reader.read()
+      while (g != null) {
+        def opt(field: String): Option[String] =
+          if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0))
+          else None
+        val rel = g.getString("rel", 0)
+        if (rel.isEmpty && !g.getBoolean("listed", 0)) {
+          schemaDdl = opt("hdr_schema")
+          colmap = opt("hdr_colmap")
+          bucketing = opt("hdr_bucketing")
+        } else {
+          if (g.getBoolean("listed", 0)) files += rel
+          opt("zm").foreach(_.split('\n').foreach(l => stat += (rel -> l)))
+          opt("bloom").foreach(_.split('\n').foreach(l => stat += (rel -> l)))
+          opt("dv").foreach(l => dv += (rel -> l))
+          opt("fb").foreach(_.split('\n').foreach(l => fb += (rel -> l)))
+        }
+        g = reader.read()
+      }
+      TableState(schemaDdl, bucketing, files.result(), stat.result(),
+        fb.result(), dv.result(), colmap)
+    } finally reader.close()
+  }
 
   /** Relative data-file listing of snapshot `v` (reconstructed; the
     * version's manifest must still exist — an expired version refuses
@@ -672,15 +835,29 @@ final class SnapshotTable(root: String) {
       val dvs = dvRelOf(v).view.filterKeys(listing(v).toSet).toMap
       val mapping = colMapOf(v)
       if (mapping.nonEmpty) {
-        // COLUMN-MAPPED read: the files store PHYSICAL names the DSv2
-        // scan (which resolves by logical name) cannot serve — read
-        // the v1 path under the physical schema (manifest file-skip
-        // intact via ZoneMapFileIndex, vectors subtracted as usual)
-        // and alias back to the logical shape
+        // COLUMN-MAPPED read: the files store PHYSICAL names the
+        // logical-schema DSv2 scan cannot serve directly
         val logical = schema.getOrElse(throw new IllegalStateException(
           s"column-mapped snapshot v$v at $root has no recorded schema"))
-        readFilesDvAware(spark, logical, listing(v), dvs, zoneMapsOf(v),
-          mapping)
+        if (dvs.isEmpty)
+          // vector-free: the full DSv2 scan under the PHYSICAL schema,
+          // aliased back to the logical shape. Pushed filters rewrite
+          // through the alias Project into the physical attributes the
+          // `#zm=` stats are keyed by, so manifest file-skipping,
+          // planning statistics AND a bucketed layout's
+          // KeyGroupedPartitioning (storage-partitioned joins — the
+          // alias-aware ProjectExec carries the partitioning onto the
+          // logical attributes) all report through the scan node.
+          aliasToLogical(
+            spark.read.format("graft-snapshot").option("version", v)
+              .option("physicalNames", "true").load(root),
+            mapping, logical)
+        else
+          // vectored subset: the v1 path (the only one serving
+          // _metadata.row_index for the position anti-join), manifest
+          // file-skip intact via ZoneMapFileIndex
+          readFilesDvAware(spark, logical, listing(v), dvs, zoneMapsOf(v),
+            mapping)
       }
       else if (dvs.isEmpty)
         // DSv2 read (SnapshotSource): same files + manifest schema, but
@@ -801,13 +978,24 @@ final class SnapshotTable(root: String) {
         }
         val d = DeletionVectors.descriptorOf(all, { bytes =>
           // deterministic per-rel sidecar name: a retried task
-          // re-writes the same path with identical content
+          // re-writes the same path with identical content. The write
+          // itself is temp + createLink (the publish() pattern): with
+          // SPECULATIVE execution two attempts can run concurrently,
+          // and a plain Files.write (CREATE+TRUNCATE) would let one
+          // attempt observe/publish the other's half-written bytes —
+          // the hard link is all-or-nothing, and a losing attempt's
+          // FileAlreadyExists means an identical sidecar already landed
           val name = java.security.MessageDigest.getInstance("SHA-1")
             .digest(rel.getBytes("UTF-8"))
             .take(10).map(b => f"$b%02x").mkString + ".dvb"
           val sidecarRel = s"data/$dvBatch/$name"
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(rootStr).resolve(sidecarRel), bytes)
+          val target = java.nio.file.Paths.get(rootStr).resolve(sidecarRel)
+          val tmp = java.nio.file.Files.createTempFile(
+            target.getParent, "_tmp_dv", ".inprogress")
+          java.nio.file.Files.write(tmp, bytes)
+          try java.nio.file.Files.createLink(target, tmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          java.nio.file.Files.deleteIfExists(tmp)
           sidecarRel
         })
         (rel, d.count, d.payload)
@@ -927,10 +1115,50 @@ final class SnapshotTable(root: String) {
   /** One change-feed chunk: RELATIVE data files to read, the deletion
     * vectors to SUBTRACT while reading them (rows a prior version
     * already deleted must not replay again — see below), the change
-    * type to stamp, and the commit version. */
+    * type to stamp, the commit version, and the chunk's ERA MAPPING —
+    * the (id, physical-name-in-these-files, logical-name-at-range-end)
+    * entries that resolve THIS chunk's files under the range end's
+    * logical schema (empty = unmapped, read names as-is). Per-chunk
+    * because physical names are frozen per field id WITHIN a mapping
+    * era but a normalizing compaction starts a new era (identity
+    * names): the id linkage joins the eras. */
   private[sources] final case class CdcChunk(
       rels: Seq[String], exclude: Map[String, DeletionVectors.Dv],
-      ctype: String, v: Long)
+      ctype: String, v: Long,
+      mapping: Seq[(Int, String, String)] = Seq.empty)
+
+  /** The column mapping under which files belonging to state `u` read
+    * correctly when the consumer wants snapshot `to`'s LOGICAL shape:
+    * each live field id of `to`'s mapping resolves to the PHYSICAL
+    * name u's era stored it under — u's own mapping when mapped, else
+    * the first mapping committed after u (initialization froze exactly
+    * the names u's files carry; renames are impossible without a
+    * mapping). An id u's era never allocated maps to a synthetic
+    * guaranteed-absent name, so the column null-fills — it can never
+    * accidentally resolve a DROPPED column's identically-named bytes
+    * still sitting in old files. Refuses only when the mapping was
+    * genuinely LOST (end unmapped, era mapped — a restore across the
+    * mapping boundary): those files can no longer be named at all. */
+  private def eraMapping(u: Long, to: Long): Seq[(Int, String, String)] = {
+    val toMap = colMapRawOf(to)
+    val uMapDirect = colMapRawOf(u)
+    if (toMap.isEmpty) {
+      if (uMapDirect.nonEmpty) throw new IllegalStateException(
+        s"CDC at $root: the range end v$to has no column mapping but " +
+          s"v$u is mapped — the mapping was lost (a restore across the " +
+          "mapping era); files before it can no longer be resolved " +
+          "under the current names; re-bootstrap the consumer")
+      Seq.empty
+    } else {
+      val uMap =
+        if (uMapDirect.nonEmpty) uMapDirect
+        else (u + 1 to to).iterator.map(colMapRawOf).find(_.nonEmpty)
+          .getOrElse(toMap)
+      val physAt = uMap.map(m => m._1 -> m._2).toMap
+      toMap.filter(_._3.nonEmpty).map { case (id, _, lg) =>
+        (id, physAt.getOrElse(id, s"__graft_absent_$id"), lg) }
+    }
+  }
 
   private[sources] def absPath(rel: String): String =
     Paths.get(root).resolve(rel).toString
@@ -944,25 +1172,17 @@ final class SnapshotTable(root: String) {
       val added = after.filterNot(before.toSet)
       val removed = before.filterNot(after.toSet)
       val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
-      // COLUMN-MAPPING LINEAGE: chunks replay under `to`'s mapping,
-      // which resolves any version's files iff field ids stay linked
-      // across the range. Alters (rename/drop/add) and mapping
-      // EXTENSIONS keep the linkage; a commit that LOSES or REPLACES
-      // the mapping (a normalizing compaction of a mapped table, a
-      // restore to a different mapping era) severs it — files written
-      // under the old mapping can no longer be named from the new one,
-      // so the feed refuses instead of silently null-filling renamed
-      // columns.
-      locally {
-        val mPrev = colMapRawOf(v - 1)
-        val mCur = colMapRawOf(v)
-        val linked = mPrev == mCur || opOf(v).contains("alter") ||
-          mPrev.toSet.subsetOf(mCur.toSet)
-        if (!linked) throw new IllegalStateException(
-          s"CDC at $root: version $v replaces or drops the table's " +
-            "column mapping — files before it can no longer be resolved " +
-            "under the current names; re-bootstrap the consumer")
-      }
+      // COLUMN-MAPPING LINEAGE: each chunk replays under its own ERA
+      // MAPPING (see [[eraMapping]]) — `to`'s logical names joined to
+      // the era's frozen physical names BY FIELD ID. Alters, mapping
+      // extensions, and (round 14) NORMALIZING COMPACTIONS all keep the
+      // id linkage (compaction re-publishes the mapping as identity
+      // entries, ids preserved), so the feed serves rename → compact →
+      // append ranges; only a commit that genuinely LOSES the mapping
+      // (a restore to a pre-mapping era) still refuses, inside
+      // eraMapping itself.
+      val mapDel = eraMapping(v - 1, to)
+      val mapIns = eraMapping(v, to)
       // DELETION-VECTOR replay: a DV commit changes no files, so the
       // file diff alone would miss it. The commit pre-materialized the
       // logically deleted rows as a CDC SIDECAR file (`#cdc=` line) —
@@ -973,7 +1193,7 @@ final class SnapshotTable(root: String) {
       // feed cannot reconstruct those rows from the manifest alone.
       val sidecars = cdcSidecarsOf(v)
         .groupBy(_._2).map { case (ctype, xs) =>
-          CdcChunk(xs.map(_._1), Map.empty, ctype, v) }.toSeq
+          CdcChunk(xs.map(_._1), Map.empty, ctype, v, mapIns) }.toSeq
       locally {
         val dvPrev = dvRelOf(v - 1)
         val dvCur = dvRelOf(v)
@@ -1038,13 +1258,16 @@ final class SnapshotTable(root: String) {
         case "append" | "replace" if removed.isEmpty =>
           // replace onto an empty lineage (first commit) is an append
           if (added.isEmpty) Seq.empty
-          else Seq(CdcChunk(added, excl(added, dvRelOf(v)), "insert", v))
+          else Seq(CdcChunk(added, excl(added, dvRelOf(v)), "insert", v, mapIns))
         case "merge" | "delete" | "update" | "restore" =>
           // restore rewrites the listing to an old version's — since
           // files are immutable that is exactly a delete of what left
-          // and an insert of what returned, same as any copy-on-write
-          Seq(CdcChunk(removed, excl(removed, dvRelOf(v - 1)), "delete", v),
-              CdcChunk(added, excl(added, dvRelOf(v)), "insert", v))
+          // and an insert of what returned, same as any copy-on-write.
+          // Era mappings differ per side: removed files belong to the
+          // PREDECESSOR state, added files to this version's.
+          Seq(CdcChunk(removed, excl(removed, dvRelOf(v - 1)), "delete", v,
+                mapDel),
+              CdcChunk(added, excl(added, dvRelOf(v)), "insert", v, mapIns))
             .filter(_.rels.nonEmpty)
         case other => throw new IllegalStateException(
           s"CDC at $root: version $v is a '$other' commit that rewrites " +
@@ -1073,15 +1296,15 @@ final class SnapshotTable(root: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
     }
-    val mapping = colMapOf(to)
     chunks.map { c =>
       // the DV-aware read subtracts already-deleted positions; chunks
       // without vectors take its plain fast path unchanged; mapped
-      // tables read physical names and alias to the logical shape
-      // (physical names are frozen per field, so files from any
-      // version of the range resolve under `to`'s mapping)
+      // tables read physical names and alias to the logical shape —
+      // under the chunk's own ERA mapping (physical names are frozen
+      // per field id WITHIN an era; the id join carries them across a
+      // normalizing compaction)
       val base =
-        readFilesDvAware(spark, schema, c.rels, c.exclude, mapping = mapping)
+        readFilesDvAware(spark, schema, c.rels, c.exclude, mapping = c.mapping)
       base
         .withColumn("_change_type", lit(c.ctype))
         .withColumn("_commit_version", lit(c.v))
@@ -1099,35 +1322,105 @@ final class SnapshotTable(root: String) {
     * concurrent commit like every other single-shot publish. */
   def addColumns(newCols: org.apache.spark.sql.types.StructType): Long = {
     require(newCols.nonEmpty, "addColumns needs at least one column")
+    alterSchema(newCols.fields.toSeq.map(SnapshotTable.AddCol))
+  }
+
+  /** METADATA-ONLY TYPE WIDENING (`ALTER TABLE ... ALTER COLUMN ...
+    * TYPE ...` — Delta's type widening): the manifest schema restates
+    * the column at the WIDER type and every read serves old files
+    * through the parquet reader's native widening conversions
+    * (int→long, float→double, byte/short/int→double) — zero data I/O
+    * on any table size. Appends may keep writing the narrow type (the
+    * recorded schema stays wide — see [[doCommit]]); rewrites and
+    * upserts cast to the manifest type, so files converge wide over
+    * time. Time travel keeps the narrow type (old manifests keep their
+    * own `#schema=`). NARROWING and lossy changes (long→double) refuse
+    * loudly. */
+  def widenColumn(name: String,
+                  newType: org.apache.spark.sql.types.DataType): Long =
+    alterSchema(Seq(SnapshotTable.WidenCol(name, newType)))
+
+  /** ATOMIC multi-change schema evolution — the whole validated change
+    * list (adds, renames, drops, type widenings, in order) folds into
+    * ONE delta commit, so a concurrent writer landing mid-ALTER can
+    * never observe (or strand) a half-applied change set: either the
+    * single publish wins or the whole ALTER refuses. Every change is
+    * metadata-only; see [[addColumns]] / [[renameColumn]] /
+    * [[dropColumn]] / [[widenColumn]] for the per-kind semantics. */
+  def alterSchema(changes: Seq[SnapshotTable.SchemaChange]): Long = {
+    require(changes.nonEmpty, "alterSchema needs at least one change")
     val v = currentVersion()
-    require(v >= 0, s"addColumns at $root: table has no committed snapshot")
+    require(v >= 0, s"alterSchema at $root: table has no committed snapshot")
     val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(throw new IllegalStateException(
-        s"addColumns at $root: snapshot v$v has no recorded schema"))
-    val existing = base.fieldNames.map(_.toLowerCase).toSet
-    val mapping = colMapOf(v)
-    newCols.foreach { f =>
-      require(!existing.contains(f.name.toLowerCase),
-        s"addColumns: column ${f.name} already exists")
-      require(f.nullable,
-        s"addColumns: new column ${f.name} must be nullable (existing " +
-          "rows have no value for it)")
+        s"alterSchema at $root: snapshot v$v has no recorded schema"))
+    var schema = base
+    // None = untouched (table unmapped and no change needed one);
+    // Some = the raw mapping this commit restates
+    var raw: Option[Seq[(Int, String, String)]] =
+      Some(colMapRawOf(v)).filter(_.nonEmpty)
+    def needMapping(): Seq[(Int, String, String)] = {
+      if (raw.isEmpty) raw = Some(mappingOrInit(v, schema))
+      raw.get
     }
-    val widened = newCols.foldLeft(base)(_ add _)
-    // pure-metadata delta: the restated schema is the whole change; a
-    // mapped table's mapping extends with fresh id-uniquified physical
-    // names (see extendMapping — a re-added dropped name reads null,
-    // never the dropped column's old bytes)
-    val rawMapping = colMapRawOf(v)
-    val mapExt =
-      if (rawMapping.isEmpty) Seq.empty
-      else Seq(colmapLine(rawMapping ++
-        extendMapping(rawMapping, newCols.fieldNames.toSeq)))
-    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}") ++ mapExt ++
+    def idx(name: String, what: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"$what: no column $name")
+      i
+    }
+    changes.foreach {
+      case SnapshotTable.AddCol(f) =>
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"addColumns: column ${f.name} already exists")
+        require(f.nullable,
+          s"addColumns: new column ${f.name} must be nullable (existing " +
+            "rows have no value for it)")
+        // a mapped table's mapping extends with a fresh id-uniquified
+        // physical name (a re-added dropped name reads null, never the
+        // dropped column's old bytes); unmapped tables stay unmapped
+        raw = raw.map(r => r ++ extendMapping(r, Seq(f.name)))
+        schema = schema.add(f)
+      case SnapshotTable.RenameCol(oldName, newName) =>
+        val i = idx(oldName, "renameColumn")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+          s"renameColumn: column $newName already exists")
+        val exact = schema.fieldNames(i)
+        val m = needMapping()
+        raw = Some(m.map { case (id, p, lg) =>
+          if (lg == exact) (id, p, newName) else (id, p, lg) })
+        schema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+          if (f.name == exact) f.copy(name = newName) else f))
+      case SnapshotTable.DropCol(name) =>
+        val i = idx(name, "dropColumn")
+        require(schema.fields.length > 1,
+          "dropColumn: cannot drop the last column")
+        val exact = schema.fieldNames(i)
+        val m = needMapping()
+        // the entry TOMBSTONES (logical cleared, id + frozen physical
+        // kept): the id high-water mark survives and the physical name
+        // stays reserved
+        raw = Some(m.map { case (id, p, lg) =>
+          if (lg == exact) (id, p, "") else (id, p, lg) })
+        schema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == exact))
+      case SnapshotTable.WidenCol(name, to) =>
+        val i = idx(name, "widenColumn")
+        val from = schema.fields(i).dataType
+        require(SnapshotTable.legalWiden(from, to),
+          s"widenColumn: ${schema.fields(i).name}: $from → $to is not a " +
+            "lossless widening (supported: byte/short/int → wider " +
+            "integral, byte/short/int → double, float → double); " +
+            "narrowing or lossy changes need an explicit rewrite " +
+            "(commit with the new schema)")
+        schema = org.apache.spark.sql.types.StructType(schema.fields
+          .updated(i, schema.fields(i).copy(dataType = to)))
+    }
+    val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
+      raw.map(colmapLine).toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
-        s"addColumns at $root lost the publish race: a commit landed " +
+        s"alterSchema at $root lost the publish race: a commit landed " +
           "concurrently — re-run against the new head")
     maybeAnchor(v + 1)
     v + 1
@@ -1209,11 +1502,8 @@ final class SnapshotTable(root: String) {
     * `mapping`; logical names outside the mapping map to themselves
     * (columns added after init keep physical = logical). */
   private def physicalSchemaFor(logical: org.apache.spark.sql.types.StructType,
-      mapping: Seq[(Int, String, String)]): org.apache.spark.sql.types.StructType = {
-    val byLogical = mapping.map(m => m._3 -> m._2).toMap
-    org.apache.spark.sql.types.StructType(logical.fields.map(f =>
-      f.copy(name = byLogical.getOrElse(f.name, f.name))))
-  }
+      mapping: Seq[(Int, String, String)]): org.apache.spark.sql.types.StructType =
+    SnapshotTable.physicalSchemaUnder(logical, mapping)
 
   /** Alias a physical-named frame back to the logical shape. */
   private def aliasToLogical(df: DataFrame,
@@ -1232,65 +1522,15 @@ final class SnapshotTable(root: String) {
     * files keep resolving (they store physical names), new writes keep
     * WRITING the physical name, and time travel to a pre-rename
     * version reads the old shape. */
-  def renameColumn(oldName: String, newName: String): Long = {
-    val v = currentVersion()
-    require(v >= 0, s"renameColumn at $root: table has no committed snapshot")
-    val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(throw new IllegalStateException(
-        s"renameColumn at $root: snapshot v$v has no recorded schema"))
-    val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
-    require(idx >= 0, s"renameColumn: no column $oldName")
-    require(!base.fieldNames.exists(_.equalsIgnoreCase(newName)),
-      s"renameColumn: column $newName already exists")
-    val exact = base.fieldNames(idx)
-    val mapping = mappingOrInit(v, base)
-    val renamed = mapping.map { case (id, p, lg) =>
-      if (lg == exact) (id, p, newName) else (id, p, lg) }
-    val widened = org.apache.spark.sql.types.StructType(base.fields.map(f =>
-      if (f.name == exact) f.copy(name = newName) else f))
-    val lines = Seq(s"#base=$v", s"#schema=${widened.toDDL}",
-      colmapLine(renamed),
-      s"#ts=${System.currentTimeMillis()}", "#op=alter")
-    if (!publish(v + 1, lines))
-      throw new IllegalStateException(
-        s"renameColumn at $root lost the publish race — re-run against " +
-          "the new head")
-    maybeAnchor(v + 1)
-    v + 1
-  }
+  def renameColumn(oldName: String, newName: String): Long =
+    alterSchema(Seq(SnapshotTable.RenameCol(oldName, newName)))
 
   /** METADATA-ONLY `DROP COLUMN`: the field leaves the logical schema
     * and the mapping; its data stays physically in the old files
     * (ignored on read, reclaimed by the next compaction), and time
     * travel to a pre-drop version still reads it. */
-  def dropColumn(name: String): Long = {
-    val v = currentVersion()
-    require(v >= 0, s"dropColumn at $root: table has no committed snapshot")
-    val base = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(throw new IllegalStateException(
-        s"dropColumn at $root: snapshot v$v has no recorded schema"))
-    val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(name))
-    require(idx >= 0, s"dropColumn: no column $name")
-    require(base.fields.length > 1, "dropColumn: cannot drop the last column")
-    val exact = base.fieldNames(idx)
-    val mapping = mappingOrInit(v, base)
-    val narrowed = org.apache.spark.sql.types.StructType(
-      base.fields.filterNot(_.name == exact))
-    // the entry TOMBSTONES (logical cleared, id + frozen physical
-    // kept) so the id high-water mark survives and the physical name
-    // stays reserved — re-adding this name later reads null, never
-    // the dropped bytes
-    val lines = Seq(s"#base=$v", s"#schema=${narrowed.toDDL}",
-      colmapLine(mapping.map { case (id, p, lg) =>
-        if (lg == exact) (id, p, "") else (id, p, lg) }),
-      s"#ts=${System.currentTimeMillis()}", "#op=alter")
-    if (!publish(v + 1, lines))
-      throw new IllegalStateException(
-        s"dropColumn at $root lost the publish race — re-run against " +
-          "the new head")
-    maybeAnchor(v + 1)
-    v + 1
-  }
+  def dropColumn(name: String): Long =
+    alterSchema(Seq(SnapshotTable.DropCol(name)))
 
   /** COMMIT HISTORY as a DataFrame — the audit surface the `#op=`/
     * `#ts=`/`#tag=` manifest lines exist to serve: one row per
@@ -1501,7 +1741,8 @@ final class SnapshotTable(root: String) {
                        bloomKeys: Seq[String] = Nil,
                        bloomItems: Int = 10000,
                        op: Option[String] = None,
-                       expectedBase: Option[Long] = None): Option[Long] = {
+                       expectedBase: Option[Long] = None,
+                       colmapOverride: Option[String] = None): Option[Long] = {
     // COLUMN MAPPING: an append onto a mapped head must WRITE the
     // frozen physical names (old and new files must agree); brand-new
     // columns extend the mapping with fresh ids (physical = logical).
@@ -1516,21 +1757,38 @@ final class SnapshotTable(root: String) {
     // schema would let the optimizer constant-fold those nulls away
     // (IsNotNull on a non-nullable attribute is `true`)
     val recordedSchema = {
-      val prevFields =
-        if (replace) Set.empty[String]
-        else schemaOf(head0)
-          .map(org.apache.spark.sql.types.StructType.fromDDL(_)
-            .fieldNames.toSet)
-          .getOrElse(Set.empty[String])
-      if (prevFields.isEmpty) df.schema
-      else org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
-        if (prevFields.contains(f.name)) f else f.copy(nullable = true)))
+      val prev =
+        if (replace) None
+        else schemaOf(head0).map(org.apache.spark.sql.types.StructType.fromDDL)
+          .filter(_.nonEmpty)
+      prev match {
+        case None => df.schema
+        case Some(p) =>
+          val byName = p.fields.map(f => f.name -> f).toMap
+          org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+            byName.get(f.name) match {
+              case None => f.copy(nullable = true)
+              case Some(pf) if pf.dataType != f.dataType &&
+                  SnapshotTable.legalWiden(f.dataType, pf.dataType) =>
+                // a narrow batch appended onto a WIDENED column keeps
+                // the manifest wide: the narrow file reads widened
+                // natively, while restating the narrow type would break
+                // reads of the files already written wide (narrowing
+                // parquet reads are unsupported)
+                f.copy(dataType = pf.dataType)
+              case _ => f
+            }
+          })
+      }
     }
-    require(mapAtWrite.isEmpty || (bucketing.isEmpty && bloomKeys.isEmpty),
-      s"bucketed/bloom commits on a column-mapped table are not supported " +
-        s"at $root — compact first (the rewrite normalizes physical names)")
-    val (toWrite, mapLineOut) =
-      if (mapAtWrite.isEmpty) (df, None: Option[String])
+    // COLUMN-MAPPED bucketed/bloom commits (round 14): the caller's
+    // keys are LOGICAL; the write-side hashing, the `#fb=` assignments
+    // and the `#bfl=` stat lines all operate on the PHYSICAL frame, so
+    // the keys translate through the same bridge the data does. The
+    // `#bucketing=` header stays logical (it is the user-facing spec
+    // appends must match).
+    val (toWrite, mapLineOut, bucketingPhys, bloomKeysPhys) =
+      if (mapAtWrite.isEmpty) (df, None: Option[String], bucketing, bloomKeys)
       else {
         // case drift would silently split one logical column into a
         // fresh physical one (orphaning the old data) — refuse it
@@ -1543,10 +1801,15 @@ final class SnapshotTable(root: String) {
         val live = mapAtWrite.filter(_._3.nonEmpty).map(_._3).toSet
         val extras = df.columns.toSeq.filterNot(live)
         val extended = mapAtWrite ++ extendMapping(mapAtWrite, extras)
+        val byLogical = extended.filter(_._3.nonEmpty)
+          .map(m => m._3 -> m._2).toMap
         (toPhysical(df, extended),
-          if (extras.nonEmpty) Some(colmapLine(extended)) else None)
+          if (extras.nonEmpty) Some(colmapLine(extended)) else None,
+          bucketing.map { case (k, n) => (byLogical.getOrElse(k, k), n) },
+          bloomKeys.map(k => byLogical.getOrElse(k, k)))
       }
-    val (out, newFiles, zmNew, fbNew) = writeBatch(toWrite, bucketing, bloomKeys, bloomItems)
+    val (out, newFiles, zmNew, fbNew) =
+      writeBatch(toWrite, bucketingPhys, bloomKeysPhys, bloomItems)
 
     var attempt = 0
     var committed = -1L
@@ -1642,6 +1905,7 @@ final class SnapshotTable(root: String) {
           Seq(s"#schema=${recordedSchema.toDDL}",
             s"#ts=${System.currentTimeMillis()}",
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
+          colmapOverride.toSeq ++
           bucketLines
         val lines =
           if (isFull)
@@ -1704,10 +1968,90 @@ final class SnapshotTable(root: String) {
           .sortWithinPartitions(ck).drop(ck)
       case None => cur.repartition(files)
     }
+    // a compaction of a COLUMN-MAPPED table NORMALIZES the physical
+    // names (the rewrite stores logical names) but CARRIES the mapping
+    // as identity entries with the field ids preserved — the id linkage
+    // is what lets the change feed serve ranges that cross the
+    // compaction (rename → compact → append) instead of refusing.
+    // Tombstones keep their ids (never recycled) but blank their frozen
+    // physical names: the dropped columns' bytes no longer exist in any
+    // listed file, so the reservation has nothing left to guard.
+    val mapping = colMapRawOf(base)
+    val normalized =
+      if (mapping.isEmpty) None
+      else Some(colmapLine(mapping.map { case (id, _, lg) =>
+        if (lg.isEmpty) (id, "", "") else (id, lg, lg) }))
     doCommit(arranged, replace = true, op = Some("compact"),
-      maxRetries = 20, tag = None, expectedBase = Some(base))
+      maxRetries = 20, tag = None, expectedBase = Some(base),
+      colmapOverride = normalized)
       .getOrElse(throw new IllegalStateException(
         s"compact at $root lost the publish race — re-run"))
+  }
+
+  /** INCREMENTAL / SELECTIVE OPTIMIZE — bin-packing compaction (the
+    * Delta/Iceberg OPTIMIZE shape): rewrite ONLY the files that need
+    * treatment — files below `smallFileBytes` (the small-file tax a
+    * streaming sink accumulates) and files carrying deletion vectors
+    * (the rewrite materializes their deletes away) — and commit the
+    * result as an O(touched) DELTA manifest; every other file carries
+    * by reference, untouched. This is what makes compaction usable as
+    * the DV escape hatch at scale: a 100 TB table with a week of
+    * trickle deletes re-writes the deleted-touched and small files,
+    * never the table ([[compact]] remains the full rewrite, for
+    * re-clustering/normalizing — SQL `OPTIMIZE ... FULL` / `ZORDER BY`).
+    *
+    * Semantics: content-identical modulo DV materialization (the
+    * change feed sees no row change — `#op=compact`); column-mapped
+    * tables rewrite THROUGH the mapping (selected files re-land under
+    * their frozen physical names, the mapping is untouched); a bucketed
+    * layout demotes to unbucketed reads like any non-bucketed mutation.
+    * Concurrent plain appends REBASE underneath (the delta names only
+    * the files it selected — disjoint from any append by construction);
+    * concurrent DML/replace/schema changes refuse deterministically.
+    *
+    * `targetFiles` bounds the rewrite fan-out; 0 sizes the output at
+    * ~`smallFileBytes` per file. A selection that is empty (or one
+    * clean small file — repacking it alone changes nothing) is a no-op
+    * that publishes NO new version. */
+  def optimize(spark: SparkSession,
+               smallFileBytes: Long = SnapshotTable.OptimizeSmallFileBytes,
+               targetFiles: Int = 0): SnapshotTable.OptimizeResult = {
+    val v = currentVersion()
+    require(v >= 0, s"optimize at $root: table has no committed snapshot")
+    val rels = listing(v)
+    val dvs = dvRelOf(v).view.filterKeys(rels.toSet).toMap
+    val mapping = colMapOf(v)
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    def sizeOf(rel: String): Long =
+      scala.util.Try(Files.size(Paths.get(root).resolve(rel))).getOrElse(0L)
+    val selected = rels.filter(rel =>
+      dvs.contains(rel) || sizeOf(rel) < smallFileBytes)
+    val untouched = rels.filterNot(selected.toSet)
+    if (selected.isEmpty || (selected.size == 1 && dvs.isEmpty))
+      return SnapshotTable.OptimizeResult(v, 0, rels.size, 0, 0L)
+    val sch = schema.getOrElse(spark.read.option("basePath", dataDirPath)
+      .parquet(selected.map(absPath): _*).schema)
+    val live = readFilesDvAware(spark, sch, selected, dvs, zoneMapsOf(v),
+      mapping)
+    val nOut = if (targetFiles > 0) targetFiles
+      else math.max(1, math.min(selected.size,
+        math.ceil(selected.map(sizeOf).sum.toDouble / smallFileBytes).toInt))
+    val (out, newFiles, zmNew, _) =
+      writeBatch(toPhysical(live, mapping).repartition(nOut))
+    val dvReclaimed = selected.flatMap(dvs.get).map(_.count).sum
+    val bodyLines = schema.map(sc => s"#schema=${sc.toDDL}").toSeq ++
+      Seq(s"#ts=${System.currentTimeMillis()}", "#op=compact") ++
+      zmNew ++
+      selected.map(rel => s"#rm=$rel") ++
+      newFiles.map(rel => s"#add=$rel")
+    val committed = publishRebaseable(v, bodyLines, "optimize",
+      () => SnapshotTable.deleteRecursively(out),
+      // content-neutral by construction: the rewrite names only the
+      // files it selected, which no concurrent append can touch
+      (_, _) => true)
+    SnapshotTable.OptimizeResult(committed, filesRewritten = selected.size,
+      filesUntouched = untouched.size, filesAdded = newFiles.size,
+      dvRowsReclaimed = dvReclaimed)
   }
 
   /** RESTORE the table to the content of snapshot `toVersion` as a NEW
@@ -1926,14 +2270,11 @@ final class SnapshotTable(root: String) {
     val v = currentVersion()
     require(v >= 0, s"merge into $root: table has no committed snapshot")
     // column-mapped tables merge through the alias bridge (classify/
-    // prove logically, read aliased, write physical); only SCHEMA
-    // EVOLUTION on a mapped table stays refused — the widened columns
-    // would need mapping extension inside this commit's delta
-    val mapping = colMapOf(v)
-    require(mapping.isEmpty || !evolveSchema,
-      s"schema-evolving merge into a column-mapped table is not " +
-        s"supported at $root — OPTIMIZE/compact first (the rewrite " +
-        "normalizes physical names)")
+    // prove logically, read aliased, write physical); a SCHEMA-EVOLVING
+    // merge additionally EXTENDS the mapping with id-uniquified
+    // physical names for the new columns, in the SAME atomic commit —
+    // exactly the shape the evolving append already publishes
+    val rawMapping = colMapRawOf(v)
     // A caller that pre-classified its delta against a specific snapshot
     // (SQL MERGE's conditional path) passes that version here: a commit
     // landing between classification and merge start makes the refusal
@@ -1942,7 +2283,7 @@ final class SnapshotTable(root: String) {
       s"merge at $root expected base version $b but head is $v: a commit " +
         "landed after the delta was classified — re-run the merge"))
     val rels = listing(v)
-    val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
+    val zm = logicalZoneMaps(zoneMapsOf(v), rawMapping.filter(_._3.nonEmpty))
     val baseSchema = schemaOf(v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(deleteCol.foldLeft(delta)(_ drop _).schema)
@@ -1971,6 +2312,22 @@ final class SnapshotTable(root: String) {
     val tableCols = schema.fieldNames.toSeq
     require(keys.forall(tableCols.contains),
       s"merge keys ${keys.mkString(", ")} must be table columns")
+    // mapping extension for the evolved columns: fresh id-uniquified
+    // physical names (a re-added dropped name must read null, never the
+    // dropped bytes), restated in this commit's delta line. The LIVE
+    // extended mapping drives every read alias and physical write-back
+    // below — new columns null-fill in old files under either name, and
+    // the upsert batch + change sidecars store the frozen physical.
+    val mappingExt: Seq[(Int, String, String)] =
+      if (rawMapping.isEmpty || !evolveSchema) rawMapping
+      else {
+        val extras = deltaCols.filterNot(baseCols.contains)
+        if (extras.isEmpty) rawMapping
+        else rawMapping ++ extendMapping(rawMapping, extras)
+      }
+    val mapping = mappingExt.filter(_._3.nonEmpty)
+    val mapLineOut: Seq[String] =
+      if (mappingExt != rawMapping) Seq(colmapLine(mappingExt)) else Seq.empty
 
     // Pin the delta ONCE: the cardinality probe, the anti-join key set
     // and the upsert union all consume it, and for SQL MERGE the delta
@@ -2111,6 +2468,7 @@ final class SnapshotTable(root: String) {
     // stats + #add for the fresh batch
     val bodyLines = Seq(s"#schema=${schema.toDDL}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
+      mapLineOut ++
       zmNew ++
       dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
       cdcNew ++
@@ -2724,12 +3082,88 @@ final class SnapshotTable(root: String) {
 object SnapshotTable {
   def apply(root: String): SnapshotTable = new SnapshotTable(root)
 
+  /** One element of an [[SnapshotTable.alterSchema]] change list —
+    * applied in order, validated as a whole, published as ONE commit. */
+  sealed trait SchemaChange
+  final case class AddCol(field: org.apache.spark.sql.types.StructField)
+      extends SchemaChange
+  final case class RenameCol(oldName: String, newName: String)
+      extends SchemaChange
+  final case class DropCol(name: String) extends SchemaChange
+  final case class WidenCol(name: String,
+      to: org.apache.spark.sql.types.DataType) extends SchemaChange
+
+  /** Lossless type widenings the parquet readers serve natively
+    * (Spark's widening conversions): metadata-only evolution. Long →
+    * double is deliberately absent — it loses precision past 2^53. */
+  private[sources] def legalWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Rename `logical`'s fields to the PHYSICAL names `mapping` freezes
+    * — positionally identical (same order, types, nullability), names
+    * only, so an InternalRow read under the physical schema serves the
+    * logical shape verbatim (the property the streaming feed's
+    * per-chunk reads and the DSv2 physical scan rely on). */
+  private[sources] def physicalSchemaUnder(
+      logical: org.apache.spark.sql.types.StructType,
+      mapping: Seq[(Int, String, String)])
+      : org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) logical
+    else {
+      val byLogical = mapping.map(m => m._3 -> m._2).toMap
+      org.apache.spark.sql.types.StructType(logical.fields.map(f =>
+        f.copy(name = byLogical.getOrElse(f.name, f.name))))
+    }
+
+  /** The parquet anchor codec's row shape: one row per data file (its
+    * raw descriptor lines as columns) + one header row. Kept as a
+    * parse-able string so the READ side can hand it to parquet as the
+    * requested projection schema. */
+  private[sources] val AnchorParquetSchema: String =
+    """message graft_anchor {
+      |  required binary rel (STRING);
+      |  required boolean listed;
+      |  optional binary zm (STRING);
+      |  optional binary bloom (STRING);
+      |  optional binary dv (STRING);
+      |  optional binary fb (STRING);
+      |  optional binary hdr_schema (STRING);
+      |  optional binary hdr_colmap (STRING);
+      |  optional binary hdr_bucketing (STRING);
+      |}""".stripMargin
+
   /** Every this-many commits the publisher renders the reconstructed
     * state as an `a<v>.anchor` side-file, so read planning is one
     * anchor + at most this many delta manifests — Delta's checkpoint
     * cadence (default 10 commits there; 20 here keeps anchor I/O
     * amortized below 5% of commit cost at any table size). */
   val AnchorInterval: Long = 20L
+
+  /** [[SnapshotTable.optimize]]'s bin-pack threshold: files smaller
+    * than this rewrite, larger clean files carry by reference. 128 MB
+    * ≈ Spark's own maxPartitionBytes default — below it a file costs
+    * more in task/footer overhead than its bytes justify. Also the
+    * default output sizing target of the rewrite. */
+  val OptimizeSmallFileBytes: Long = 128L * 1024 * 1024
+
+  /** [[SnapshotTable.optimize]] accounting: only `filesRewritten`
+    * (small or DV-carrying) were read and re-packed into `filesAdded`;
+    * `filesUntouched` carried by reference in the delta manifest;
+    * `dvRowsReclaimed` deleted positions were materialized away. A
+    * no-op optimize keeps the old `version`. */
+  final case class OptimizeResult(version: Long, filesRewritten: Int,
+                                  filesUntouched: Int, filesAdded: Int,
+                                  dvRowsReclaimed: Long)
 
   /** Total pending deleted positions up to which the read-time
     * (file, position) anti-join BROADCASTS its build side (fast path:

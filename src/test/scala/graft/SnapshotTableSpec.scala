@@ -1845,17 +1845,25 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(exCase.getMessage.contains("case-drifts"))
     val vPreCompact = t.currentVersion()
 
-    // compaction NORMALIZES: physical = logical again, mapping gone,
-    // row-level DML usable again
+    // compaction NORMALIZES the physical names (the rewrite stores
+    // logical names) but CARRIES the mapping as IDENTITY entries with
+    // the field ids preserved (round 14) — the id linkage is what lets
+    // the feed cross the compaction
     val vC = t.compact(spark, files = 1)
-    assert(t.colMapOf(vC).isEmpty)
-    // ...but the change feed refuses to cross the normalization: the
-    // mapping lineage is severed, pre-compaction files can no longer
-    // be named from the current (empty) mapping
-    val exSever = intercept[IllegalStateException] {
-      t.readChangesCdc(spark, vPre, vC).count()
-    }
-    assert(exSever.getMessage.contains("column mapping"))
+    val mC = t.colMapOf(vC)
+    assert(mC.nonEmpty && mC.forall { case (_, p, lg) => p == lg },
+      s"normalizing compact must carry an identity mapping, got $mC")
+    // ids preserved across the normalization (the linkage contract)
+    assert(mC.map(m => (m._1, m._3)).toSet
+      === t.colMapOf(vPreCompact).map(m => (m._1, m._3)).toSet)
+    // the change feed SERVES ranges crossing the normalization: each
+    // chunk reads under its own era's physical names, joined by id
+    assert(t.readChangesCdc(spark, vPre, vC)
+      .filter(col("_change_type") === "insert").count() === 7)
+    // the crossing range resolves renamed-column VALUES from both eras
+    assert(t.readChangesCdc(spark, vPre, vC)
+      .filter(col("_change_type") === "insert" && col("label").isNotNull)
+      .count() === 7)
     // ranges inside the mapped era still serve
     assert(t.readChangesCdc(spark, vPre, vPreCompact)
       .filter(col("_change_type") === "insert").count() === 7)
@@ -1865,6 +1873,12 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/$relC").columns.toSeq === Seq("id", "label"))
     val rDel = t.deleteWhere(spark, col("id") === 0L)
     assert(rDel.version === vC + 1 && t.read(spark).count() === 26)
+    // ...and a feed range crossing compaction AND the later delete
+    // still reconstructs exactly (rename-era insert + identity-era
+    // delete in one range)
+    val cdcAll = t.readChangesCdc(spark, vPreCompact, t.currentVersion())
+    assert(cdcAll.filter(col("_change_type") === "delete" &&
+      col("id") === 0L).count() === 1)
   }
 
   test("row-level DML through column mapping: logical predicates, physical writes, vectors and the feed") {
@@ -1906,12 +1920,24 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(rCow.filesRewritten >= 1)
     assert(t.read(spark).count() === 95)
     assert(t.read(spark).columns.toSeq === Seq("id", "label"))
-    // schema-evolving merge stays refused on a mapped table
-    val exEvo = intercept[IllegalArgumentException] {
-      t.merge(spark, Seq((1L, "x", 9L)).toDF("id", "label", "extra"),
-        Seq("id"), evolveSchema = true)
-    }
-    assert(exEvo.getMessage.contains("column-mapped"))
+    // schema-evolving merge EXTENDS the mapping in the same atomic
+    // commit (round 14): the new column gets an id-uniquified frozen
+    // physical name, old rows null-fill, and the feed keeps serving
+    val vPreEvo = t.currentVersion()
+    val rEvo = t.merge(spark, t.read(spark)
+      .withColumn("extra", when(col("id") === 9L, 99L)),
+      Seq("id"), evolveSchema = true)
+    assert(t.read(spark).columns.toSeq === Seq("id", "label", "extra"))
+    assert(t.read(spark).where(col("extra").isNotNull).count() === 1)
+    assert(t.readAt(spark, vPreEvo).columns.toSeq === Seq("id", "label"),
+      "time travel keeps the pre-evolution shape")
+    // the extension is id-uniquified physical: the new files store
+    // c<id>_extra, never a bare name that could collide later
+    val evoMap = t.colMapOf(rEvo.version)
+    val extraEntry = evoMap.find(_._3 == "extra").get
+    assert(extraEntry._2 === s"c${extraEntry._1}_extra")
+    assert(t.readChangesCdc(spark, vPreEvo, rEvo.version)
+      .columns.contains("extra"))
   }
 
   test("column mapping through SQL: ALTER TABLE RENAME/DROP COLUMN, mapped SELECT and time travel") {
@@ -1945,9 +1971,12 @@ class SnapshotTableSpec extends SparkTestBase {
       .head().getLong(0) === 0L)
     spark.sql("ALTER TABLE cmcat.db.t DROP COLUMN label")
     assert(spark.sql("SELECT * FROM cmcat.db.t").columns.toSeq === Seq("id"))
-    // OPTIMIZE normalizes the mapping away; SQL DML works again
-    spark.sql("OPTIMIZE cmcat.db.t INTO 1 FILES")
-    assert(t.colMapOf(t.currentVersion()).isEmpty)
+    // OPTIMIZE FULL normalizes the physical names, carrying the
+    // mapping as identity entries (ids preserved); SQL DML keeps
+    // working — it ran through the mapping before and after alike
+    spark.sql("OPTIMIZE cmcat.db.t FULL INTO 1 FILES")
+    val mNorm = t.colMapOf(t.currentVersion())
+    assert(mNorm.nonEmpty && mNorm.forall { case (_, p, lg) => p == lg })
     spark.sql("DELETE FROM cmcat.db.t WHERE id = 5")
     assert(spark.sql("SELECT count(*) FROM cmcat.db.t").head().getLong(0) === 58L)
     spark.sql("DROP TABLE cmcat.db.t")
