@@ -710,6 +710,144 @@ object RefQueries {
       acct.unionByName(after).orderBy("stat")
     }),
 
+    // E18 SELECTIVE OPTIMIZE exercised through the oracle gate (round
+    // 14): bin-packing compaction rewrites ONLY the small and the
+    // DV-carrying files — the large clean file carries by reference in
+    // the delta commit. The accounting rides INSIDE the compared frame,
+    // so the hash check proves the SELECTION (2 small + 1 DV'd
+    // rewritten, 1 large untouched, the vector's position reclaimed)
+    // as well as content identity across the rewrite — at 100 TB this
+    // is what makes compaction usable as the deletion-vector escape
+    // hatch: cost tracks the junk, never the table.
+    "q_snapshot_optimize" -> ((s, d) => {
+      val dir = scratchDir("graft_opt")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 250).repartition(1))          // largest
+      t.commit(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        .repartition(1))                                                 // mid
+      t.commit(docs.filter(col("doc_id") >= 400 && col("doc_id") < 430)
+        .repartition(1))                                                 // small
+      t.commit(docs.filter(col("doc_id") >= 430 && col("doc_id") < 460)
+        .repartition(1))                                                 // small
+      // vector one row out of the MID file: DV-carrying files always
+      // rewrite (the optimize materializes the vector away)
+      val rd = t.deleteWhere(s, col("doc_id") === 260,
+        dvMaxRowsPerFile = 1000)
+      // threshold = the largest file's size (strict <, so exactly that
+      // file survives as "large"), derived from the actual layout so
+      // the fixture holds at every SF
+      val v = t.currentVersion()
+      val sizes = t.listingOf(v).map(rel =>
+        java.nio.file.Files.size(java.nio.file.Paths.get(dir).resolve(rel)))
+      val r = t.optimize(s, smallFileBytes = sizes.max)
+      val head = t.read(s)
+      val acct = s.createDataFrame(Seq(
+        ("dv_rows_before", rd.dvRowsAdded),
+        ("files_rewritten", r.filesRewritten.toLong),
+        ("files_untouched", r.filesUntouched.toLong),
+        ("dv_rows_reclaimed", r.dvRowsReclaimed),
+        ("dv_rows_after", t.dvRelOf(r.version).valuesIterator.map(_.count).sum)))
+        .toDF("stat", "value")
+      val after = head
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
+    // E18 STORAGE-PARTITIONED JOIN THROUGH COLUMN MAPPING (round 14):
+    // the dimension table is bucketed AND column-mapped (its segment
+    // column was renamed before any data landed, so every file stores
+    // the frozen physical name) — the mapped read plans the DSv2 scan
+    // under the physical schema, reports KeyGroupedPartitioning, and
+    // the alias Project carries the partitioning onto the logical
+    // attributes, so the join still plans with NO exchange on either
+    // side. The builder requires the executed plan exchange-free, so
+    // the oracle gate itself pins the no-shuffle shape.
+    "q_bucketed_join_mapped" -> ((s, d) => {
+      val wh = scratchDir("graft_spjm")
+      s.conf.set("spark.sql.catalog.graft_spjm",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_spjm.warehouse", wh)
+      // schema-only v0 (zero data files), then a RENAME initializes the
+      // mapping (frozen physical = c_mktsegment) BEFORE any data lands
+      s.sql("CREATE TABLE graft_spjm.db.cust " +
+        "(c_custkey BIGINT, c_mktsegment STRING) USING `graft-snapshot`")
+      val tc = graft.sources.SnapshotTable(s"$wh/db/cust")
+      val to = graft.sources.SnapshotTable(s"$wh/db/ords")
+      tc.renameColumn("c_mktsegment", "segment")
+      tc.commitBucketed(
+        customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment")),
+        "c_custkey", 8)
+      to.commitBucketed(
+        orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("spend_cents")),
+        "o_custkey", 8)
+      val j = s.sql(
+        """SELECT /*+ MERGE(c, o) */ c.c_custkey, c.segment,
+          |  o.n_orders, o.spend_cents
+          |FROM graft_spjm.db.cust c
+          |JOIN graft_spjm.db.ords o ON c.c_custkey = o.o_custkey
+          |ORDER BY c.c_custkey""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      if (plan.contains("Exchange hashpartitioning") ||
+          plan.contains("BroadcastExchange")) throw new IllegalStateException(
+        "mapped bucketed snapshot join planned a join-side exchange — " +
+          s"storage-partitioned join through column mapping regressed:\n$plan")
+      j
+    }),
+
+    // E18 TYPE WIDENING exercised through the oracle gate (round 14):
+    // ALTER COLUMN TYPE int→bigint is METADATA-ONLY — old int files
+    // read widened through the parquet reader's native conversion, an
+    // UPDATE then writes a value past the int range (provably impossible
+    // pre-widen), a post-widen narrow append keeps the manifest wide,
+    // and time travel reads the ORIGINAL narrow type. The (stat, value)
+    // frame folds the type assertions in as 0/1 flags so the hash check
+    // pins them alongside the arithmetic.
+    "q_snapshot_widen" -> ((s, d) => {
+      val dir = scratchDir("graft_wid")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("int").as("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 300).repartition(1))
+      val vPre = t.currentVersion()
+      t.widenColumn("n_chars", org.apache.spark.sql.types.LongType)
+      // a value only a BIGINT column can hold — merge-on-read, so the
+      // int-era file is untouched (vectored) and the new row lands wide
+      val ru = t.updateWhere(s, col("doc_id") === 100,
+        Map("n_chars" -> lit(3000000007L)), dvMaxRowsPerFile = 1000)
+      // a post-widen append still typed INT on the writer side: the
+      // manifest stays wide, the narrow file reads widened
+      t.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .repartition(1))
+      val head = t.read(s)
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val acct = s.createDataFrame(Seq(
+        ("head_is_long",
+          if (head.schema("n_chars").dataType == LongType) 1L else 0L),
+        ("tt_is_int",
+          if (t.readAt(s, vPre).schema("n_chars").dataType == IntegerType) 1L
+          else 0L),
+        ("upd_files_rewritten", ru.filesRewritten.toLong),
+        ("rows_time_travel", t.readAt(s, vPre).count())))
+        .toDF("stat", "value")
+      val after = head
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          max(col("n_chars")).cast("long").as("max_chars_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'max_chars_after', max_chars_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -1155,6 +1293,59 @@ object RefQueries {
         |    (SELECT CAST(SUM(n_chars) + 5000 AS BIGINT) FROM live)
         |  UNION ALL SELECT 'sum_doc_after',
         |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
+        |ORDER BY stat""".stripMargin,
+
+    // selective optimize: the frozen selection accounting (2 small + 1
+    // DV'd rewritten, the largest file untouched, 1 position reclaimed)
+    // plus content identity across the rewrite
+    "q_snapshot_optimize" ->
+      """WITH live AS (SELECT doc_id, n_chars FROM documents
+        |             WHERE doc_id < 460 AND doc_id <> 260)
+        |SELECT * FROM (
+        |  SELECT 'dv_rows_before' AS stat, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'dv_rows_reclaimed', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'dv_rows_after', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'files_rewritten', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM live)
+        |  UNION ALL SELECT 'sum_chars_after',
+        |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM live)
+        |  UNION ALL SELECT 'sum_doc_after',
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
+        |ORDER BY stat""".stripMargin,
+
+    "q_bucketed_join_mapped" ->
+      """WITH ords AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, c.c_mktsegment AS segment,
+        |  o.n_orders, o.spend_cents
+        |FROM customer c JOIN ords o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    // type widening: int→bigint is metadata-only; the post-widen UPDATE
+    // plants a value past the int range, the narrow append keeps the
+    // manifest wide, time travel keeps the narrow type
+    "q_snapshot_widen" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars
+        |              FROM documents WHERE doc_id < 400),
+        |fin AS (SELECT doc_id,
+        |          CASE WHEN doc_id = 100 THEN CAST(3000000007 AS BIGINT)
+        |               ELSE CAST(n_chars AS BIGINT) END AS n_chars
+        |        FROM base)
+        |SELECT * FROM (
+        |  SELECT 'head_is_long' AS stat, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'tt_is_int', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'upd_files_rewritten', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'rows_time_travel',
+        |    (SELECT COUNT(*) FROM base WHERE doc_id < 300)
+        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM fin)
+        |  UNION ALL SELECT 'sum_chars_after',
+        |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'max_chars_after',
+        |    (SELECT CAST(MAX(n_chars) AS BIGINT) FROM fin))
         |ORDER BY stat""".stripMargin,
 
     "q_snapshot_stats" ->

@@ -46,8 +46,19 @@ class DvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
         r.table match {
           case t: SnapshotSource.ReadOnlySnapshotTable if t.dvInfo.isDefined =>
             val (root, v) = t.dvInfo.get
-            val composed = SnapshotTable(root).readAt(spark, v)
+            val composed0 = SnapshotTable(root).readAt(spark, v)
               .queryExecution.analyzed
+            // re-attach the ORIGINAL relation's catalog + identifier to
+            // the recomposed DSv2 relations: the v2 `bucket` transform a
+            // bucketed scan reports resolves through the relation's
+            // FunctionCatalog, and a path-built relation carries none —
+            // without this, a mapped/composed bucketed table silently
+            // loses KeyGroupedPartitioning (and with it the
+            // storage-partitioned join)
+            val composed = composed0.transform {
+              case rel: DataSourceV2Relation if rel.catalog.isEmpty =>
+                rel.copy(catalog = r.catalog, identifier = r.identifier)
+            }
             val out = r.output.map { a =>
               val src = composed.output
                 .find(o => spark.sessionState.analyzer.resolver(o.name, a.name))

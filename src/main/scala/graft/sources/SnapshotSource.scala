@@ -53,7 +53,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               cdcStartFrom: Option[Long] = None,
                               cdcEndAt: Option[Long] = None,
                               dvInfo: Option[(String, Long)] = None,
-                              bucketing: Option[(String, Int, Map[String, Int])] = None)
+                              bucketing: Option[(String, Int, Map[String, Int])] = None,
+                              streamSchema: Option[StructType] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -167,12 +168,19 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
         // history, there is nothing to tail. dvInfo marks relations the
         // injected rewrite must recompose — vectored snapshots AND
         // column-mapped ones (the delegate scan resolves columns by
-        // logical name, which mapped files don't store)
+        // logical name, which mapped files don't store). A mapped
+        // head's STREAM reads appended files under the frozen physical
+        // schema (positionally identical to the logical shape).
+        val streamSchema =
+          if (mapping.isEmpty) None
+          else t.schemaDdlOf(v).map(StructType.fromDDL)
+            .map(SnapshotTable.physicalSchemaUnder(_, mapping))
         Resolved(s"v$v", files,
           t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
           t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None,
           dvInfo = if ((!exclude && dvRels.nonEmpty) || mapping.nonEmpty)
-            Some((root, v)) else None)
+            Some((root, v)) else None,
+          streamSchema = streamSchema)
     }
   }
 
@@ -219,7 +227,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
           Option(schema).orElse(r.manifestSchema)), r.streamRoot,
-        bucketing = r.bucketing, dvInfo = r.dvInfo)
+        bucketing = r.bucketing, dvInfo = r.dvInfo,
+        mkStream = r.streamSchema.map(physSch =>
+          tableFactory(options, r.label, r.dataDir, Some(physSch))))
   }
 }
 

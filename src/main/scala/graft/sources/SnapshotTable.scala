@@ -1665,7 +1665,7 @@ final class SnapshotTable(root: String) {
       case None => df
     }
     toWrite.write.parquet(out.toString)
-    val newFiles = {
+    val newFiles0 = {
       val st = Files.list(out)
       try st.iterator().asScala
         .map(_.getFileName.toString)
@@ -1679,13 +1679,26 @@ final class SnapshotTable(root: String) {
     // so reads skip provably-irrelevant files without any footer I/O.
     // Failures degrade to "no stats for that file", never a lost commit.
     val hconf = df.sparkSession.sessionState.newHadoopConf()
-    val zmNew: Seq[String] = newFiles.flatMap { rel =>
-      val stats = scala.util.Try(
+    val statsByRel: Seq[(String, ZoneMaps.FileStats)] = newFiles0.map { rel =>
+      rel -> scala.util.Try(
         ZoneMaps.collect(hconf, Paths.get(root).resolve(rel).toString))
         .getOrElse(ZoneMaps.FileStats(-1L, Map.empty))
+    }
+    // PROVABLY EMPTY part files don't enter the listing at all (the
+    // schema lives in the manifest `#schema=` line, not in a 0-row
+    // parquet stub): an empty batch — a CREATE TABLE v0, an idle
+    // micro-batch, an empty bucket of a bucketed write — costs zero
+    // footer reads forever after, and a later bucketed append onto a
+    // schema-only table sees a genuinely empty listing
+    val newFiles = statsByRel.collect {
+      case (rel, st) if st.rows != 0L => rel }
+    statsByRel.foreach { case (rel, st) =>
+      if (st.rows == 0L)
+        Files.deleteIfExists(Paths.get(root).resolve(rel)) }
+    val zmNew: Seq[String] = statsByRel.flatMap { case (rel, stats) =>
       // even a file with no prunable columns carries its exact row
       // count — that alone makes count(*) a manifest read
-      if (stats.rows < 0 && stats.cols.isEmpty) None
+      if (stats.rows == 0L || (stats.rows < 0 && stats.cols.isEmpty)) None
       else Some(ZoneMaps.encodeLine(rel, stats))
     }
     // PER-FILE BLOOM FILTERS (opt-in, see ZoneMaps.BloomPrefix): one
