@@ -1706,7 +1706,7 @@ final class SnapshotTable(root: String) {
     // grouped by _metadata.file_path — the key column is read back
     // once, hashed in its canonical domain (integral → bigint), and
     // each file's bits land as a manifest line beside its zone maps.
-    val bfNew: Seq[String] = if (bloomKeys.isEmpty) Seq.empty else {
+    val bfNew: Seq[String] = if (bloomKeys.isEmpty || newFiles.isEmpty) Seq.empty else {
       val spark = df.sparkSession
       val batchDf = spark.read.parquet(out.toString)
       val bits = math.max(64L, bloomItems.toLong * 10L) // ≈1% fpp
@@ -2952,6 +2952,11 @@ final class SnapshotTable(root: String) {
     * visibility — the state the delta fold produces, independent of
     * how the manifests shard it). */
   private[graft] def listingOf(v: Long): Seq[String] = listing(v)
+
+  /** Rehearsal/ops hook: force-render the anchor side-file for `v`
+    * (what the publish cadence and vacuum do) so metadata-scale
+    * rehearsals can measure anchor cost on fabricated lineages. */
+  private[graft] def renderAnchorFor(v: Long): Unit = writeAnchor(v)
 
   /** MANIFEST-ONLY table statistics — `count(*)`, per-column min/max
     * and null counts computed from the `#zm=` lines alone: a pure

@@ -235,6 +235,67 @@ object SnapshotRehearsal {
     println(f"[rehearse] commit-bytes exponent = " +
       f"${math.log(bN.toDouble / b1) / math.log(mf.toDouble)}%.2f (expect ~0)")
 
+    // ---- scenario 6 (round 14): METADATA SCALE at 10^4..10^5 files.
+    // The driver-side ceilings a million-file table hits first are all
+    // manifest-layer: fresh-handle read PLANNING (anchor load + delta
+    // tail), ANCHOR rendering (the every-20-commits checkpoint, now
+    // parquet), and VACUUM's data-dir sweep. The lineage is fabricated
+    // in the manifest grammar directly (synthetic rel paths + zone-map
+    // lines + empty data files) — the measurements are pure
+    // metadata-path cost, no Spark job anywhere. Reported per scale:
+    // planning seconds + manifest parses, anchor write seconds + bytes
+    // (vs the text rendering's bytes — the compression the parquet
+    // codec buys), vacuum seconds.
+    def metadataScale(nFiles: Int): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_meta_rehearse")
+      val manifests = dir.resolve("_manifests")
+      val batchDir = dir.resolve("data").resolve("b1_t1")
+      java.nio.file.Files.createDirectories(manifests)
+      java.nio.file.Files.createDirectories(batchDir)
+      val rels = (0 until nFiles).map(i => f"data/b1_t1/part-$i%06d.parquet")
+      rels.foreach(r => java.nio.file.Files.createFile(
+        dir.resolve(r)))
+      def zm(rel: String, i: Int): String =
+        "#zm=" + java.net.URLEncoder.encode(rel, "UTF-8") +
+          s"|@=1000|id=l:${i * 1000}:${i * 1000 + 999}:0"
+      val v0 = Seq("#schema=id BIGINT", s"#ts=1", "#op=replace") ++
+        rels.zipWithIndex.map { case (r, i) => zm(r, i) } ++ rels
+      java.nio.file.Files.write(manifests.resolve(f"v${0}%09d.json"),
+        v0.mkString("\n").getBytes("UTF-8"))
+      // 25 single-file delta commits on top
+      (1 to 25).foreach { v =>
+        val rel = f"data/b1_t1/extra-$v%03d.parquet"
+        java.nio.file.Files.createFile(dir.resolve(rel))
+        val lines = Seq(s"#base=${v - 1}", "#schema=id BIGINT",
+          s"#ts=${v + 1}", "#op=append", zm(rel, nFiles + v), s"#add=$rel")
+        java.nio.file.Files.write(manifests.resolve(f"v$v%09d.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+      val t = SnapshotTable(dir.toString)
+      val ta0 = System.nanoTime()
+      t.renderAnchorFor(20)
+      val anchorSec = (System.nanoTime() - ta0) / 1e9
+      val anchorBytes = java.nio.file.Files.size(
+        manifests.resolve(f"a${20}%09d.anchor"))
+      val textBytes = v0.mkString("\n").getBytes("UTF-8").length.toLong
+      val fresh = SnapshotTable(dir.toString)
+      val tp0 = System.nanoTime()
+      val n = fresh.listingOf(25).size
+      val planSec = (System.nanoTime() - tp0) / 1e9
+      require(n == nFiles + 25, s"listing lost files: $n")
+      val tv0 = System.nanoTime()
+      val (reaped, expired) = fresh.vacuum(keepVersions = 3)
+      val vacSec = (System.nanoTime() - tv0) / 1e9
+      println(f"[rehearse] metadata-scale $nFiles%7d files: planning " +
+        f"$planSec%6.3f s (${fresh.manifestParses}%d parses), anchor " +
+        f"write $anchorSec%6.3f s / $anchorBytes%d B (text would be " +
+        f"~$textBytes%d B, ${textBytes.toDouble / anchorBytes}%.1f×), " +
+        f"vacuum $vacSec%6.3f s ($reaped reaped, $expired expired)")
+      SnapshotTable.deleteRecursively(dir)
+    }
+    metadataScale(10000)
+    metadataScale(100000)
+
     spark.stop()
   }
 }
