@@ -32,6 +32,10 @@ object RefQueries {
   private def scratchDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
 
+  /** Per-JVM sequence for throwaway catalog names (Spark caches
+    * catalog instances by name — see q_bucketed_join_mapped). */
+  private val spjmSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val queries: Map[String, Q] = Map(
     // ---- §2.5 scalar suite, each over a synthesized input column ----
 
@@ -770,12 +774,17 @@ object RefQueries {
     // the oracle gate itself pins the no-shuffle shape.
     "q_bucketed_join_mapped" -> ((s, d) => {
       val wh = scratchDir("graft_spjm")
-      s.conf.set("spark.sql.catalog.graft_spjm",
+      // unique catalog name per invocation: Spark CACHES catalog
+      // instances by name, so a re-run (bench reps) with a fresh
+      // scratch warehouse would otherwise resolve the FIRST run's
+      // directory and refuse the CREATE
+      val cat = s"graft_spjm_${spjmSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.SnapshotCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_spjm.warehouse", wh)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       // schema-only v0 (zero data files), then a RENAME initializes the
       // mapping (frozen physical = c_mktsegment) BEFORE any data lands
-      s.sql("CREATE TABLE graft_spjm.db.cust " +
+      s.sql(s"CREATE TABLE $cat.db.cust " +
         "(c_custkey BIGINT, c_mktsegment STRING) USING `graft-snapshot`")
       val tc = graft.sources.SnapshotTable(s"$wh/db/cust")
       val to = graft.sources.SnapshotTable(s"$wh/db/ords")
@@ -790,10 +799,10 @@ object RefQueries {
             sum(cents(col("o_totalprice"))).as("spend_cents")),
         "o_custkey", 8)
       val j = s.sql(
-        """SELECT /*+ MERGE(c, o) */ c.c_custkey, c.segment,
+        s"""SELECT /*+ MERGE(c, o) */ c.c_custkey, c.segment,
           |  o.n_orders, o.spend_cents
-          |FROM graft_spjm.db.cust c
-          |JOIN graft_spjm.db.ords o ON c.c_custkey = o.o_custkey
+          |FROM $cat.db.cust c
+          |JOIN $cat.db.ords o ON c.c_custkey = o.o_custkey
           |ORDER BY c.c_custkey""".stripMargin)
       val plan = j.queryExecution.executedPlan.toString
       if (plan.contains("Exchange hashpartitioning") ||

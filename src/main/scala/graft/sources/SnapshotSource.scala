@@ -54,7 +54,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               cdcEndAt: Option[Long] = None,
                               dvInfo: Option[(String, Long)] = None,
                               bucketing: Option[(String, Int, Map[String, Int])] = None,
-                              streamSchema: Option[StructType] = None)
+                              streamSchema: Option[StructType] = None,
+                              cdcPinnedIds: Map[String, Int] = Map.empty)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -96,7 +97,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       }
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
         t.dataDirPath, Map.empty, Some(root), cdc = true,
-        cdcStartFrom = startFrom, cdcEndAt = endAt)
+        cdcStartFrom = startFrom, cdcEndAt = endAt,
+        cdcPinnedIds = t.colMapOf(v).map(m => m._3 -> m._1).toMap)
     }
     val from = Option(options.get("changesFrom")).map(_.toLong)
     val to = Option(options.get("changesTo")).map(_.toLong)
@@ -222,7 +224,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     if (r.cdc)
       new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
         schemaTableFactory(options, r.label, r.dataDir),
-        r.cdcStartFrom, r.cdcEndAt)
+        r.cdcStartFrom, r.cdcEndAt, r.cdcPinnedIds)
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
@@ -332,7 +334,8 @@ object SnapshotSource {
       root: String, dataSchema: StructType,
       mk: (Seq[String], StructType) => ParquetTable,
       startFrom: Option[Long] = None,
-      endAt: Option[Long] = None)
+      endAt: Option[Long] = None,
+      pinnedIds: Map[String, Int] = Map.empty)
       extends Table with SupportsRead {
     private val shape = cdcSchema(dataSchema)
     override def name(): String = s"graft_snapshot_cdc"
@@ -347,7 +350,7 @@ object SnapshotSource {
           new SnapshotCdcMicroBatchStream(root, shape,
             (fs, sch) => mk(fs, sch)
               .newScanBuilder(CaseInsensitiveStringMap.empty)
-              .build().toBatch, startFrom, endAt)
+              .build().toBatch, startFrom, endAt, pinnedIds)
       }
   }
 

@@ -212,7 +212,8 @@ final class CdcReaderFactory(cdcSchema: StructType)
 final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
                                         mkBatch: (Seq[String], StructType) => Batch,
                                         startFrom: Option[Long] = None,
-                                        endAt: Option[Long] = None)
+                                        endAt: Option[Long] = None,
+                                        pinnedIds: Map[String, Int] = Map.empty)
     extends MicroBatchStream {
 
   private val table = SnapshotTable(root)
@@ -255,8 +256,33 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   override def stop(): Unit = ()
 
   // the stream's declared DATA shape (cdcSchema minus the two stamps),
-  // pinned at creation like every snapshot stream's schema
+  // pinned at LOAD like every snapshot stream's schema — `pinnedIds`
+  // are the FIELD IDS those pinned logical names carried at the same
+  // load-time version. Chunk era mappings speak range-END logical
+  // names, so a rename landing mid-stream would make a by-NAME join
+  // silently null-fill (or swap) the renamed column; the id join below
+  // stays exact across renames.
   private val dataSchema = StructType(cdcSchema.fields.dropRight(2))
+
+  /** The era-physical schema for the pinned shape: pinned logical name
+    * → creation-time field id → the chunk era's physical name. A
+    * pinned name with no id (table unmapped at creation) IS its frozen
+    * physical name; an id the era mapping lacks (the column predates
+    * the range end's live set — it was since dropped, or the era
+    * predates it) maps to a guaranteed-absent name and null-fills. */
+  private def eraPhysicalSchema(
+      mapping: Seq[(Int, String, String)]): StructType =
+    if (mapping.isEmpty && pinnedIds.isEmpty) dataSchema
+    else {
+      val physById = mapping.map(m => m._1 -> m._2).toMap
+      StructType(dataSchema.fields.map { f =>
+        pinnedIds.get(f.name) match {
+          case None => f
+          case Some(id) => f.copy(name =
+            physById.getOrElse(id, s"__graft_absent_$id"))
+        }
+      })
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     // a checkpoint restored past a (newly added or tightened)
@@ -269,7 +295,7 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
       // stream's logical shape (names only), so the emitted InternalRows
       // need no alias step; each partition carries its own reader
       // factory because eras differ within one range
-      val physSch = SnapshotTable.physicalSchemaUnder(dataSchema, c.mapping)
+      val physSch = eraPhysicalSchema(c.mapping)
       val b = mkBatch(c.rels.map(table.absPath), physSch)
       if (c.exclude.isEmpty) {
         val parts = b.planInputPartitions()

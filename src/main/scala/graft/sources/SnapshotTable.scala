@@ -1127,36 +1127,59 @@ final class SnapshotTable(root: String) {
       ctype: String, v: Long,
       mapping: Seq[(Int, String, String)] = Seq.empty)
 
-  /** The column mapping under which files belonging to state `u` read
-    * correctly when the consumer wants snapshot `to`'s LOGICAL shape:
-    * each live field id of `to`'s mapping resolves to the PHYSICAL
-    * name u's era stored it under — u's own mapping when mapped, else
-    * the first mapping committed after u (initialization froze exactly
-    * the names u's files carry; renames are impossible without a
-    * mapping). An id u's era never allocated maps to a synthetic
-    * guaranteed-absent name, so the column null-fills — it can never
-    * accidentally resolve a DROPPED column's identically-named bytes
-    * still sitting in old files. Refuses only when the mapping was
-    * genuinely LOST (end unmapped, era mapped — a restore across the
-    * mapping boundary): those files can no longer be named at all. */
-  private def eraMapping(u: Long, to: Long): Seq[(Int, String, String)] = {
-    val toMap = colMapRawOf(to)
-    val uMapDirect = colMapRawOf(u)
-    if (toMap.isEmpty) {
-      if (uMapDirect.nonEmpty) throw new IllegalStateException(
-        s"CDC at $root: the range end v$to has no column mapping but " +
-          s"v$u is mapped — the mapping was lost (a restore across the " +
-          "mapping era); files before it can no longer be resolved " +
-          "under the current names; re-bootstrap the consumer")
-      Seq.empty
-    } else {
-      val uMap =
-        if (uMapDirect.nonEmpty) uMapDirect
-        else (u + 1 to to).iterator.map(colMapRawOf).find(_.nonEmpty)
-          .getOrElse(toMap)
-      val physAt = uMap.map(m => m._1 -> m._2).toMap
-      toMap.filter(_._3.nonEmpty).map { case (id, _, lg) =>
-        (id, physAt.getOrElse(id, s"__graft_absent_$id"), lg) }
+  /** Per-range ERA-MAPPING resolver (see [[CdcChunk.mapping]]): built
+    * ONCE per [[cdcChunksBetween]] call so a long range pays one
+    * mapping derivation per version, not one per chunk per lookup.
+    *
+    * `apply(u)` is the column mapping under which files belonging to
+    * state `u` read correctly when the consumer wants snapshot `to`'s
+    * LOGICAL shape: each live field id of `to`'s mapping resolves to
+    * the PHYSICAL name u's era stored it under — u's own mapping when
+    * mapped, else the first mapping committed after u within the range
+    * (initialization froze exactly the names u's files carry; renames
+    * are impossible without a mapping). An id u's era never allocated
+    * maps to a synthetic guaranteed-absent name, so the column
+    * null-fills — it can never accidentally resolve a DROPPED column's
+    * identically-named bytes still sitting in old files.
+    *
+    * REFUSALS — both are genuine id-lineage breaks, not shapes any
+    * plain writer produces: (a) the range end is unmapped while `u` is
+    * mapped (a restore to a pre-mapping era LOST the mapping); (b) a
+    * mapping-LOSS event sits between `u` and `to` — a later
+    * re-initialization restarts field ids at 1, so joining across the
+    * loss would silently resolve an old era's column bytes as a
+    * different current column. */
+  private final class EraMappings(lo: Long, to: Long) {
+    private val toMap = colMapRawOf(to)
+    private val rawAt: Map[Long, Seq[(Int, String, String)]] =
+      (math.max(-1L, lo - 1) to to).map(v => v -> colMapRawOf(v)).toMap
+    // versions that DROP a previously-present mapping (the loss events)
+    private val lossAt: Seq[Long] =
+      (lo to to).filter(v => rawAt(v).isEmpty && rawAt(v - 1).nonEmpty)
+    def apply(u: Long): Seq[(Int, String, String)] = {
+      val uMapDirect = rawAt.getOrElse(u, colMapRawOf(u))
+      if (toMap.isEmpty) {
+        if (uMapDirect.nonEmpty) throw new IllegalStateException(
+          s"CDC at $root: the range end v$to has no column mapping but " +
+            s"v$u is mapped — the mapping was lost (a restore across " +
+            "the mapping era); files before it can no longer be " +
+            "resolved under the current names; re-bootstrap the consumer")
+        Seq.empty
+      } else {
+        if (lossAt.exists(_ > u)) throw new IllegalStateException(
+          s"CDC at $root: the range crosses a commit that LOSES the " +
+            s"column mapping after v$u (a restore to a pre-mapping " +
+            "era) — field ids before and after it are different " +
+            "domains; re-bootstrap the consumer")
+        val uMap =
+          if (uMapDirect.nonEmpty) uMapDirect
+          else (u + 1 to to).iterator
+            .map(v => rawAt.getOrElse(v, colMapRawOf(v)))
+            .find(_.nonEmpty).getOrElse(toMap)
+        val physAt = uMap.map(m => m._1 -> m._2).toMap
+        toMap.filter(_._3.nonEmpty).map { case (id, _, lg) =>
+          (id, physAt.getOrElse(id, s"__graft_absent_$id"), lg) }
+      }
     }
   }
 
@@ -1166,23 +1189,25 @@ final class SnapshotTable(root: String) {
   private[sources] def cdcChunksBetween(from: Long, to: Long)
       : Seq[CdcChunk] = {
     require(from <= to, s"CDC range inverted: $from > $to")
-    (math.max(from, -1L) + 1 to to).flatMap { v =>
+    val lo = math.max(from, -1L) + 1
+    val eras = new EraMappings(lo, to)
+    (lo to to).flatMap { v =>
       val before = listing(v - 1)
       val after = listing(v)
       val added = after.filterNot(before.toSet)
       val removed = before.filterNot(after.toSet)
       val op = opOf(v).getOrElse(if (removed.isEmpty) "append" else "replace")
       // COLUMN-MAPPING LINEAGE: each chunk replays under its own ERA
-      // MAPPING (see [[eraMapping]]) — `to`'s logical names joined to
+      // MAPPING (see [[EraMappings]]) — `to`'s logical names joined to
       // the era's frozen physical names BY FIELD ID. Alters, mapping
       // extensions, and (round 14) NORMALIZING COMPACTIONS all keep the
       // id linkage (compaction re-publishes the mapping as identity
       // entries, ids preserved), so the feed serves rename → compact →
       // append ranges; only a commit that genuinely LOSES the mapping
-      // (a restore to a pre-mapping era) still refuses, inside
-      // eraMapping itself.
-      val mapDel = eraMapping(v - 1, to)
-      val mapIns = eraMapping(v, to)
+      // (a restore to a pre-mapping era — the id domain restarts) still
+      // refuses, inside the resolver itself.
+      val mapDel = eras(v - 1)
+      val mapIns = eras(v)
       // DELETION-VECTOR replay: a DV commit changes no files, so the
       // file diff alone would miss it. The commit pre-materialized the
       // logically deleted rows as a CDC SIDECAR file (`#cdc=` line) —

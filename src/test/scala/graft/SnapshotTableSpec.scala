@@ -2040,6 +2040,68 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(streamed.exists(r => r._1 == 22L && r._3 == "insert"))
   }
 
+  test("change feed stream survives a MID-STREAM rename: pinned columns resolve by field id, values intact") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 5).repartition(1))
+    t.renameColumn("val", "label")
+    val vStart = t.currentVersion()
+    val ck = Files.createTempDirectory("graft_cdc_midrn_ck").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vStart + 1)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+        bdf.select("id", "label").as[(Long, String)]
+          .collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a RENAME lands AFTER the stream pinned its shape: chunk era
+      // mappings now speak the NEW logical name — the stream's pinned
+      // 'label' must keep resolving the same field BY ID, never
+      // null-fill because the name moved on
+      t.renameColumn("label", "tag")
+      t.commit(kv(100 until 103).withColumnRenamed("val", "tag")
+        .repartition(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === Set(
+      (100L, "a100"), (101L, "a101"), (102L, "a102")),
+      s"mid-stream rename must not null or swap the pinned column: ${got.asScala.toSet}")
+  }
+
+  test("change feed refuses ranges crossing a mapping LOSS (restore to a pre-mapping era re-initializes ids)") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 10).repartition(1))
+    val vPreMap = t.currentVersion()
+    t.renameColumn("val", "label")
+    val vMapped = t.currentVersion()
+    t.commit(kv(10 until 15).withColumnRenamed("val", "label").repartition(1))
+    // RESTORE to the pre-mapping version: the mapping is LOST — field
+    // ids allocated before and after this point are different domains
+    t.restore(vPreMap)
+    // re-initialize a mapping: ids restart at 1
+    t.renameColumn("val", "name2")
+    t.commit(kv(20 until 25).withColumnRenamed("val", "name2").repartition(1))
+    val head = t.currentVersion()
+    // a range crossing the loss refuses — joining old-era ids to the
+    // re-initialized domain could resolve the wrong column's bytes
+    val ex = intercept[IllegalStateException] {
+      t.readChangesCdc(spark, vMapped, head).count()
+    }
+    assert(ex.getMessage.contains("LOSES the column mapping") ||
+      ex.getMessage.contains("re-bootstrap"),
+      s"got ${ex.getMessage}")
+    // ranges entirely AFTER the loss still serve
+    assert(t.readChangesCdc(spark, head - 1, head)
+      .filter(col("_change_type") === "insert").count() === 5)
+  }
+
   test("plain micro-batch stream tails appends on a column-mapped head") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 5).repartition(1))

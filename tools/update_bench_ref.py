@@ -76,11 +76,13 @@ def stale_low(old):
             if all(v is not None and v > 1.5 * rv for v in w):
                 out.add(q)
                 break
-        # (b) sparse recordings: the last >=2 rounds it appeared in,
-        # spanning >=3 rounds of history, all exceeded 1.5x
+        # (b) sparse recordings: every recording of the last THREE
+        # rounds it appeared in exceeded 1.5x (two outlier rounds must
+        # not age out an honest reference — judge-named sparse cases go
+        # through the explicit RESET set instead)
         present = [(r, v) for r, v in vals if v is not None]
-        if q not in out and len(present) >= 2 and len(rounds) >= 3:
-            last = present[-2:]
+        if q not in out and len(present) >= 3:
+            last = present[-3:]
             if all(v > 1.5 * rv for _, v in last):
                 out.add(q)
     return out
