@@ -142,7 +142,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
         // because the `#zm=`/`#bfl=`/`#fb=` stats are all keyed by
         // physical name; the caller aliases the result back to the
         // logical shape
-        val mapping = t.colMapOf(v)
+        // identity mappings (post-normalize) read as unmapped — the
+        // plain DSv2 fast path, no recompose (ids live on for the feed)
+        val mapping = t.readMappingOf(v)
         val physical = options.getBoolean("physicalNames", false)
         if (physical) {
           require(mapping.nonEmpty,
@@ -382,7 +384,7 @@ object SnapshotSource {
       (key, n, t.fileBucketsOf(v).map { case (abs, b) =>
         new org.apache.hadoop.fs.Path(abs).toUri.getPath -> b })
     }
-    val mapping = t.colMapOf(v)
+    val mapping = t.readMappingOf(v)
     val dvInfo =
       if (t.dvRelOf(v).nonEmpty || mapping.nonEmpty) Some((root, v))
       else None
@@ -569,7 +571,8 @@ object SnapshotSource {
       streamRoot.map { root => () =>
         val f = mkStream.getOrElse(mk)
         new SnapshotMicroBatchStream(root, fs => f(fs)
-          .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch)
+          .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch,
+          pinned = Some(schema()))
       }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val delegate: ScanBuilder =

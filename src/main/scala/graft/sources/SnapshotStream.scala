@@ -47,10 +47,15 @@ final case class SnapshotVersionOffset(v: Long) extends Offset {
   * the schema PINNED at stream creation, so a mid-stream schema
   * evolution keeps emitting the stream's declared shape instead of
   * whatever a footer draw would resolve. */
-final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch)
+final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch,
+                                     pinned: Option[StructType] = None)
     extends MicroBatchStream {
 
   private val table = SnapshotTable(root)
+  // field ids of the pinned logical names (empty when unmapped) — the
+  // mid-stream type-widening refusal resolves renamed columns by id
+  private val pinnedIds: Map[String, Int] =
+    table.colMapOf(table.currentVersion()).map(m => m._3 -> m._1).toMap
 
   // after a checkpoint restore the engine may hand back a raw
   // SerializedOffset; the json round-trip covers both shapes
@@ -71,6 +76,11 @@ final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch
   @volatile private var planned: Batch = _
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // a mid-stream TYPE WIDENING makes later files wider than the
+    // pinned shape; refuse with the restart contract instead of dying
+    // in the parquet reader's narrowing conversion
+    pinned.foreach(p => SnapshotTable.refuseIfWidenedPastPinned(
+      table, ver(end), p, pinnedIds, s"snapshot stream at $root"))
     val files = table.addedFilesBetween(ver(start), ver(end))
     if (files.isEmpty) { planned = null; Array.empty }
     else { planned = mkBatch(files); planned.planInputPartitions() }
@@ -265,21 +275,34 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   private val dataSchema = StructType(cdcSchema.fields.dropRight(2))
 
   /** The era-physical schema for the pinned shape: pinned logical name
-    * → creation-time field id → the chunk era's physical name. A
-    * pinned name with no id (table unmapped at creation) IS its frozen
-    * physical name; an id the era mapping lacks (the column predates
-    * the range end's live set — it was since dropped, or the era
-    * predates it) maps to a guaranteed-absent name and null-fills. */
+    * → load-time field id → the chunk era's physical name. An id the
+    * era mapping lacks (the column predates the range end's live set —
+    * it was since dropped, or the era predates it) maps to a
+    * guaranteed-absent name and null-fills.
+    *
+    * A pinned name with NO id (the table was unmapped at load) IS its
+    * frozen physical name — unless a later NORMALIZING compaction
+    * moved the physical names, in which case the chunk's era mapping
+    * no longer carries that physical name and the stream REFUSES
+    * loudly (restart re-pins with ids) instead of silently
+    * null-filling a column the batch feed serves correctly. */
   private def eraPhysicalSchema(
       mapping: Seq[(Int, String, String)]): StructType =
-    if (mapping.isEmpty && pinnedIds.isEmpty) dataSchema
+    if (mapping.isEmpty) dataSchema
     else {
       val physById = mapping.map(m => m._1 -> m._2).toMap
+      val eraPhys = mapping.map(_._2).toSet
       StructType(dataSchema.fields.map { f =>
         pinnedIds.get(f.name) match {
-          case None => f
           case Some(id) => f.copy(name =
             physById.getOrElse(id, s"__graft_absent_$id"))
+          case None if eraPhys.contains(f.name) => f
+          case None => throw new IllegalStateException(
+            s"change-feed stream at $root: the stream was pinned before " +
+              s"the table was column-mapped and column '${f.name}' no " +
+              "longer resolves by its load-time name (a rename or " +
+              "normalizing compaction moved it) — restart the stream " +
+              "from a fresh checkpoint to adopt the mapped shape")
         }
       })
     }
@@ -288,6 +311,12 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     // a checkpoint restored past a (newly added or tightened)
     // endingVersion can hand an inverted range: nothing to emit
     if (ver(end) <= ver(start)) return Array.empty
+    // a TYPE WIDENING landing mid-stream makes files written after it
+    // wider than the pinned shape, and a narrowing parquet read dies
+    // with an opaque executor conversion error — refuse at planning
+    // with the restart contract instead
+    SnapshotTable.refuseIfWidenedPastPinned(table, ver(end), dataSchema,
+      pinnedIds, s"change-feed stream at $root")
     val chunks = table.cdcChunksBetween(ver(start), ver(end))
     chunks.flatMap { c =>
       // COLUMN-MAPPED chunks plan their delegate batch under the

@@ -785,7 +785,7 @@ final class SnapshotTable(root: String) {
       mapping: Seq[(Int, String, String)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     def abs(rel: String): String = absPath(rel)
-    val physSch = physicalSchemaFor(schema, mapping)
+    val physSch = SnapshotTable.physicalSchemaUnder(schema, mapping)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSch)
     def finish(df: DataFrame): DataFrame =
@@ -833,7 +833,7 @@ final class SnapshotTable(root: String) {
     if (files.isEmpty && schema.isEmpty) spark.emptyDataFrame // table never committed
     else {
       val dvs = dvRelOf(v).view.filterKeys(listing(v).toSet).toMap
-      val mapping = colMapOf(v)
+      val mapping = readMappingOf(v)
       if (mapping.nonEmpty) {
         // COLUMN-MAPPED read: the files store PHYSICAL names the
         // logical-schema DSv2 scan cannot serve directly
@@ -908,7 +908,7 @@ final class SnapshotTable(root: String) {
     // match counts (classifying real matches as zero-match carry-
     // forward), so the guard fails closed here, not just at DV time
     requireDvKeySafe(rels)
-    val physSch = physicalSchemaFor(sch, mapping)
+    val physSch = SnapshotTable.physicalSchemaUnder(sch, mapping)
     val byLogical = mapping.map(m => m._3 -> m._2).toMap
     val base = spark.read.schema(physSch).option("basePath", dataDirPath)
       .parquet(rels.map(absPath): _*)
@@ -1039,7 +1039,7 @@ final class SnapshotTable(root: String) {
     if (resolvedFiles(v).isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (dvRelOf(v).nonEmpty || colMapOf(v).nonEmpty)
+    else if (dvRelOf(v).nonEmpty || readMappingOf(v).nonEmpty)
       // DV'd head: the merge-on-read composition, pruned to the
       // declared columns (the anti-join adds only metadata columns,
       // which prune away with the final drop)
@@ -1153,9 +1153,36 @@ final class SnapshotTable(root: String) {
     private val toMap = colMapRawOf(to)
     private val rawAt: Map[Long, Seq[(Int, String, String)]] =
       (math.max(-1L, lo - 1) to to).map(v => v -> colMapRawOf(v)).toMap
-    // versions that DROP a previously-present mapping (the loss events)
+    // LOSS events — versions where the field-id domain breaks: a
+    // mapping DROPPED outright (restore to a pre-mapping era; a later
+    // re-initialization restarts ids at 1), or a mapping REPLACED such
+    // that a shared id's frozen physical name changes outside a
+    // normalizing compaction (the one transition that legitimately
+    // re-points physicals while preserving the id domain). Renames,
+    // drops (tombstones keep physicals) and extensions never trip this.
     private val lossAt: Seq[Long] =
-      (lo to to).filter(v => rawAt(v).isEmpty && rawAt(v - 1).nonEmpty)
+      (math.max(lo, 0L) to to).filter { v =>
+        val prev = rawAt(v - 1)
+        val cur = rawAt(v)
+        if (prev.isEmpty) false
+        else if (cur.isEmpty) true
+        else {
+          val po = prev.map(m => m._1 -> m._2).toMap
+          !opOf(v).contains("compact") &&
+            cur.exists { case (id, p, _) => po.get(id).exists(_ != p) }
+        }
+      }
+    // first committed mapping at-or-after each version (one backward
+    // pass — the resolver must not re-scan forward per chunk on ranges
+    // with a long pre-mapping prefix)
+    private val firstMappedFrom: Map[Long, Seq[(Int, String, String)]] = {
+      var cur = toMap
+      (math.max(-1L, lo - 1) to to).reverse.map { v =>
+        val own = rawAt(v)
+        if (own.nonEmpty) cur = own
+        v -> cur
+      }.toMap
+    }
     def apply(u: Long): Seq[(Int, String, String)] = {
       val uMapDirect = rawAt.getOrElse(u, colMapRawOf(u))
       if (toMap.isEmpty) {
@@ -1167,15 +1194,13 @@ final class SnapshotTable(root: String) {
         Seq.empty
       } else {
         if (lossAt.exists(_ > u)) throw new IllegalStateException(
-          s"CDC at $root: the range crosses a commit that LOSES the " +
-            s"column mapping after v$u (a restore to a pre-mapping " +
-            "era) — field ids before and after it are different " +
-            "domains; re-bootstrap the consumer")
+          s"CDC at $root: the range crosses a commit that LOSES or " +
+            s"REPLACES the column mapping after v$u (a restore across " +
+            "mapping eras) — field ids before and after it are " +
+            "different domains; re-bootstrap the consumer")
         val uMap =
           if (uMapDirect.nonEmpty) uMapDirect
-          else (u + 1 to to).iterator
-            .map(v => rawAt.getOrElse(v, colMapRawOf(v)))
-            .find(_.nonEmpty).getOrElse(toMap)
+          else firstMappedFrom.getOrElse(u, toMap)
         val physAt = uMap.map(m => m._1 -> m._2).toMap
         toMap.filter(_._3.nonEmpty).map { case (id, _, lg) =>
           (id, physAt.getOrElse(id, s"__graft_absent_$id"), lg) }
@@ -1487,6 +1512,18 @@ final class SnapshotTable(root: String) {
   private[graft] def colMapOf(v: Long): Seq[(Int, String, String)] =
     colMapRawOf(v).filter(_._3.nonEmpty)
 
+  /** The mapping READS need: empty when every live entry is IDENTITY
+    * (physical ≡ logical — the state a normalizing compaction leaves),
+    * so a once-renamed-then-compacted table takes the plain DSv2 fast
+    * path again instead of the recompose-and-alias path forever. The
+    * manifest keeps the identity line regardless — the field ids are
+    * the change feed's era linkage, and the write side keeps extending
+    * the RAW mapping so re-added names stay id-uniquified. */
+  private[sources] def readMappingOf(v: Long): Seq[(Int, String, String)] = {
+    val m = colMapOf(v)
+    if (m.forall { case (_, p, lg) => p == lg }) Seq.empty else m
+  }
+
   private def colmapLine(entries: Seq[(Int, String, String)]): String =
     "#colmap=" + entries.map { case (id, p, lg) =>
       s"$id:${encU(p)}:${encU(lg)}" }.mkString(";")
@@ -1522,13 +1559,6 @@ final class SnapshotTable(root: String) {
       (id, phys, n)
     }
   }
-
-  /** The PHYSICAL schema (file column names) for `logical` under
-    * `mapping`; logical names outside the mapping map to themselves
-    * (columns added after init keep physical = logical). */
-  private def physicalSchemaFor(logical: org.apache.spark.sql.types.StructType,
-      mapping: Seq[(Int, String, String)]): org.apache.spark.sql.types.StructType =
-    SnapshotTable.physicalSchemaUnder(logical, mapping)
 
   /** Alias a physical-named frame back to the logical shape. */
   private def aliasToLogical(df: DataFrame,
@@ -2058,7 +2088,7 @@ final class SnapshotTable(root: String) {
     require(v >= 0, s"optimize at $root: table has no committed snapshot")
     val rels = listing(v)
     val dvs = dvRelOf(v).view.filterKeys(rels.toSet).toMap
-    val mapping = colMapOf(v)
+    val mapping = readMappingOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def sizeOf(rel: String): Long =
       scala.util.Try(Files.size(Paths.get(root).resolve(rel))).getOrElse(0L)
@@ -2289,7 +2319,7 @@ final class SnapshotTable(root: String) {
     val schema = schemaOf(v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(delta.schema)
-    val mapping = colMapOf(v)
+    val mapping = readMappingOf(v)
     val touched = touchDetect(spark, delta, rels,
       logicalZoneMaps(zoneMapsOf(v), mapping), key)
     // deletion vectors applied: a DV-deleted row is not matchable
@@ -2571,8 +2601,9 @@ final class SnapshotTable(root: String) {
     val rels = listing(v)
     // column-mapped tables classify/prove under LOGICAL names (the
     // stats translate) and read/write through the alias bridge — the
-    // predicate never needs rewriting
-    val mapping = colMapOf(v)
+    // predicate never needs rewriting (identity mappings read as
+    // unmapped — see readMappingOf)
+    val mapping = readMappingOf(v)
     val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -2758,7 +2789,7 @@ final class SnapshotTable(root: String) {
     val v = currentVersion()
     require(v >= 0, s"updateWhere at $root: table has no committed snapshot")
     val rels = listing(v)
-    val mapping = colMapOf(v)
+    val mapping = readMappingOf(v)
     val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -3034,7 +3065,7 @@ final class SnapshotTable(root: String) {
     // answer surface must report LOGICAL ones, and a physical name no
     // live mapping entry claims (a dropped column's bytes) must not
     // report at all (its stats describe data no logical column reads)
-    val mapping = colMapOf(v)
+    val mapping = readMappingOf(v)
     val cols =
       if (mapping.isEmpty) colsPhysical
       else {
@@ -3135,6 +3166,36 @@ object SnapshotTable {
   final case class DropCol(name: String) extends SchemaChange
   final case class WidenCol(name: String,
       to: org.apache.spark.sql.types.DataType) extends SchemaChange
+
+  /** Refuse a pinned-schema stream whose range end has WIDENED a
+    * pinned column's type: files written after the widening are wider
+    * than the pinned shape, and the resulting narrowing parquet read
+    * would die with an opaque executor conversion error mid-query —
+    * this turns it into the same restart-the-stream contract every
+    * other unsupported stream shape gets. Pinned names resolve to the
+    * range end's logical names by field id when the stream carries
+    * ids (a rename must not dodge the check). */
+  private[sources] def refuseIfWidenedPastPinned(t: SnapshotTable,
+      endV: Long, pinned: org.apache.spark.sql.types.StructType,
+      pinnedIds: Map[String, Int], what: String): Unit =
+    t.schemaDdlOf(endV)
+      .map(org.apache.spark.sql.types.StructType.fromDDL).foreach { endSch =>
+        val endByName = endSch.fields.map(f => f.name -> f.dataType).toMap
+        val logicalById = t.colMapOf(endV).map(m => m._1 -> m._3).toMap
+        pinned.fields.foreach { f =>
+          val endName = pinnedIds.get(f.name).flatMap(logicalById.get)
+            .getOrElse(f.name)
+          endByName.get(endName).foreach { dt =>
+            if (dt != f.dataType && legalWiden(f.dataType, dt))
+              throw new IllegalStateException(
+                s"$what: column '${f.name}' was widened " +
+                  s"(${f.dataType.simpleString} → ${dt.simpleString}) " +
+                  "after the stream pinned its shape — restart the " +
+                  "stream from a fresh checkpoint to adopt the widened " +
+                  "schema")
+          }
+        }
+      }
 
   /** Lossless type widenings the parquet readers serve natively
     * (Spark's widening conversions): metadata-only evolution. Long →

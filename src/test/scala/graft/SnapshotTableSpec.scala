@@ -1856,6 +1856,11 @@ class SnapshotTableSpec extends SparkTestBase {
     // ids preserved across the normalization (the linkage contract)
     assert(mC.map(m => (m._1, m._3)).toSet
       === t.colMapOf(vPreCompact).map(m => (m._1, m._3)).toSet)
+    // an IDENTITY mapping reads as unmapped: the plain DSv2 fast path,
+    // never the physical-alias recompose
+    assert(!t.read(spark).queryExecution.executedPlan.toString
+      .contains("_phys"),
+      "identity mapping must take the plain DSv2 fast path")
     // the change feed SERVES ranges crossing the normalization: each
     // chunk reads under its own era's physical names, joined by id
     assert(t.readChangesCdc(spark, vPre, vC)
@@ -2100,6 +2105,59 @@ class SnapshotTableSpec extends SparkTestBase {
     // ranges entirely AFTER the loss still serve
     assert(t.readChangesCdc(spark, head - 1, head)
       .filter(col("_change_type") === "insert").count() === 5)
+    // a mapping REPLACE whose shared ids keep their physical names (a
+    // restore re-instating the same original columns) is SAFE and
+    // serves — the ids mean the same bytes in both eras
+    t.restore(vMapped)
+    val head2 = t.currentVersion()
+    assert(t.readChangesCdc(spark, head2 - 1, head2).count() > 0)
+    // ...but a REPLACE that re-points a shared id at a DIFFERENT
+    // physical column (extension ids allocated independently in each
+    // era) refuses: the id means different bytes on either side
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("exA",
+        org.apache.spark.sql.types.LongType))))            // id 3 -> c3_exA
+    t.commit(kv(30 until 33).withColumnRenamed("val", "label")
+      .withColumn("exA", col("id")).repartition(1))
+    val vEraA2 = t.currentVersion()
+    t.restore(vPreMap)                                      // loss again
+    t.renameColumn("val", "name3")                          // re-init ids 1,2
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("exB",
+        org.apache.spark.sql.types.LongType))))            // id 3 -> c3_exB
+    t.commit(kv(40 until 43).withColumnRenamed("val", "name3")
+      .withColumn("exB", col("id")).repartition(1))
+    val vEraB = t.currentVersion()
+    t.restore(vEraA2) // REPLACE: shared id 3 re-points c3_exB -> c3_exA
+    val ex2 = intercept[IllegalStateException] {
+      t.readChangesCdc(spark, vEraB - 1, t.currentVersion()).count()
+    }
+    assert(ex2.getMessage.contains("REPLACES the column mapping") ||
+      ex2.getMessage.contains("re-bootstrap"), s"got ${ex2.getMessage}")
+  }
+
+  test("streams refuse a mid-stream type widening with the restart contract") {
+    val (t, dir) = freshTable()
+    t.commit(spark.range(5).select(col("id"),
+      col("id").cast("int").as("n")).repartition(1))
+    val ck = Files.createTempDirectory("graft_widen_stream_ck").toString
+    val q = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      q.processAllAvailable()
+      t.widenColumn("n", org.apache.spark.sql.types.LongType)
+      t.commit(spark.range(5, 8).select(col("id"),
+        (col("id") * 3000000000L).as("n")).repartition(1))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.toString.contains("widened") ||
+        Option(ex.getCause).exists(_.toString.contains("widened")),
+        s"expected the clean widen refusal, got $ex")
+    } finally q.stop()
   }
 
   test("plain micro-batch stream tails appends on a column-mapped head") {
