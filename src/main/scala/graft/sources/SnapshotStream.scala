@@ -300,9 +300,10 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
           case None => throw new IllegalStateException(
             s"change-feed stream at $root: the stream was pinned before " +
               s"the table was column-mapped and column '${f.name}' no " +
-              "longer resolves by its load-time name (a rename or " +
-              "normalizing compaction moved it) — restart the stream " +
-              "from a fresh checkpoint to adopt the mapped shape")
+              "longer resolves by its load-time name (a rename, drop, " +
+              "or normalizing compaction changed the column layout) — " +
+              "restart the stream from a fresh checkpoint to adopt the " +
+              "current shape")
         }
       })
     }

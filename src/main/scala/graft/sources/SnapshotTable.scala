@@ -3065,7 +3065,12 @@ final class SnapshotTable(root: String) {
     // answer surface must report LOGICAL ones, and a physical name no
     // live mapping entry claims (a dropped column's bytes) must not
     // report at all (its stats describe data no logical column reads)
-    val mapping = readMappingOf(v)
+    // deliberately colMapOf, NOT the identity short-circuit: an
+    // identity mapping can coexist with TOMBSTONES whose physical
+    // names still carry per-file stats in unrewritten files — the
+    // live-entry filter below is what keeps a dropped column's stats
+    // from reporting
+    val mapping = colMapOf(v)
     val cols =
       if (mapping.isEmpty) colsPhysical
       else {
@@ -3181,9 +3186,15 @@ object SnapshotTable {
     t.schemaDdlOf(endV)
       .map(org.apache.spark.sql.types.StructType.fromDDL).foreach { endSch =>
         val endByName = endSch.fields.map(f => f.name -> f.dataType).toMap
-        val logicalById = t.colMapOf(endV).map(m => m._1 -> m._3).toMap
+        val endMap = t.colMapOf(endV)
+        val logicalById = endMap.map(m => m._1 -> m._3).toMap
         pinned.fields.foreach { f =>
+          // id first; else the PHYSICAL side — a stream pinned before
+          // the table was mapped carries no ids, but its pinned names
+          // ARE the frozen physical names, so a rename after the pin
+          // must not dodge the widen check
           val endName = pinnedIds.get(f.name).flatMap(logicalById.get)
+            .orElse(endMap.find(_._2 == f.name).map(_._3))
             .getOrElse(f.name)
           endByName.get(endName).foreach { dt =>
             if (dt != f.dataType && legalWiden(f.dataType, dt))
