@@ -509,6 +509,15 @@ final class SnapshotTable(root: String) {
   private[sources] def zoneMapsOf(v: Long): Map[String, Map[String, ZoneMaps.ColStat]] =
     fileStatsOf(v).map { case (abs, fs) => abs -> fs.cols }
 
+  /** Per-file BLOOM filters of snapshot `v`, keyed by ABSOLUTE path —
+    * the point-lookup complement the v1 (DV'd/mapped) read half hands
+    * its ZoneMapFileIndex so equality probes skip files exactly like
+    * the DSv2 half. */
+  private def bloomsOf(v: Long)
+      : Map[String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]] =
+    fileStatsOf(v).collect { case (abs, fs) if fs.blooms.nonEmpty =>
+      abs -> fs.blooms }
+
   /** Full per-file manifest statistics of snapshot `v` (row count +
     * column stats + per-column blooms), keyed by ABSOLUTE path. */
   private[graft] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
@@ -782,7 +791,8 @@ final class SnapshotTable(root: String) {
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       rels: Seq[String], dvs: Map[String, DeletionVectors.Dv],
       zm: Map[String, Map[String, ZoneMaps.ColStat]] = Map.empty,
-      mapping: Seq[(Int, String, String)] = Seq.empty): DataFrame = {
+      mapping: Seq[(Int, String, String)] = Seq.empty,
+      blooms: Map[String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     def abs(rel: String): String = absPath(rel)
     val physSch = SnapshotTable.physicalSchemaUnder(schema, mapping)
@@ -795,7 +805,8 @@ final class SnapshotTable(root: String) {
     // caller supplies them (ZoneMapFileIndex) — the DV'd half of a
     // merge-on-read composition keeps file-level skipping this way
     def readV1(files: Seq[String]): DataFrame =
-      ZoneMapFileIndex.read(spark, physSch, files.map(abs), zm, dataDirPath)
+      ZoneMapFileIndex.read(spark, physSch, files.map(abs), zm, dataDirPath,
+        blooms)
     val (dvd, clean) = rels.partition(dvs.contains)
     val cleanDf = if (clean.isEmpty) empty else readV1(clean)
     finish(
@@ -857,7 +868,7 @@ final class SnapshotTable(root: String) {
           // _metadata.row_index for the position anti-join), manifest
           // file-skip intact via ZoneMapFileIndex
           readFilesDvAware(spark, logical, listing(v), dvs, zoneMapsOf(v),
-            mapping)
+            mapping, bloomsOf(v))
       }
       else if (dvs.isEmpty)
         // DSv2 read (SnapshotSource): same files + manifest schema, but
@@ -877,7 +888,8 @@ final class SnapshotTable(root: String) {
         // manifest stats ride into the v1 half so the DV'd files keep
         // zone-map file skipping (the clean half prunes in its DSv2
         // ZoneMapScan as before)
-        val dvPart = readFilesDvAware(spark, sch, dvd, dvs, zoneMapsOf(v))
+        val dvPart = readFilesDvAware(spark, sch, dvd, dvs, zoneMapsOf(v),
+          blooms = bloomsOf(v))
         if (clean.isEmpty) dvPart
         else spark.read.format("graft-snapshot").option("version", v)
           .option("excludeDv", "true").load(root)

@@ -35,22 +35,29 @@ final class ZoneMapFileIndex(
     spark: SparkSession,
     absFiles: Seq[String],
     zm: Map[String, Map[String, ZoneMaps.ColStat]],
-    baseDir: String)
+    baseDir: String,
+    blooms: Map[String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]] = Map.empty)
   extends FileIndex {
 
   private val hconf = spark.sessionState.newHadoopConf()
   // one stat call per file at construction, exactly what
   // InMemoryFileIndex pays; keyed by scheme-less URI path so the
   // manifest's absolute keys and Hadoop's qualified paths agree
-  private val statuses: Seq[(FileStatus, Map[String, ZoneMaps.ColStat])] = {
+  private val statuses: Seq[(FileStatus, Map[String, ZoneMaps.ColStat],
+      Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)])] = {
     val byUriPath = zm.map { case (abs, st) =>
       new Path(abs).toUri.getPath -> st
+    }
+    val bfByUriPath = blooms.map { case (abs, bf) =>
+      new Path(abs).toUri.getPath -> bf
     }
     absFiles.map { f =>
       val p = new Path(f)
       val st = p.getFileSystem(hconf).getFileStatus(p)
-      st -> byUriPath.getOrElse(st.getPath.toUri.getPath,
-        Map.empty[String, ZoneMaps.ColStat])
+      val uri = st.getPath.toUri.getPath
+      (st, byUriPath.getOrElse(uri, Map.empty[String, ZoneMaps.ColStat]),
+        bfByUriPath.getOrElse(uri,
+          Map.empty[String, (Char, org.apache.spark.util.sketch.BloomFilter)]))
     }
   }
 
@@ -68,9 +75,14 @@ final class ZoneMapFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // a file drops when some pushed filter is provably empty on its
+    // RANGE stats or its per-column BLOOM proves the probed key absent
+    // (the DSv2 half's exact pruning rules — the v1/DV'd subset prunes
+    // point lookups the same way)
     val kept = statuses.collect {
-      case (st, stats) if stats.isEmpty ||
-          !dataFilters.exists(f => ZoneMaps.provablyEmpty(f, stats)) => st
+      case (st, stats, bf) if (stats.isEmpty && bf.isEmpty) ||
+          !dataFilters.exists(f => ZoneMaps.provablyEmpty(f, stats) ||
+            ZoneMaps.bloomEmpty(f, bf)) => st
     }
     lastSelection = (kept.size, statuses.size)
     if (dataFilters.nonEmpty)
@@ -87,17 +99,19 @@ object ZoneMapFileIndex {
   @volatile private[graft] var lastFilteredSelection: (Int, Int) = (-1, -1)
 
   /** A v1 parquet DataFrame over `absFiles` whose file listing answers
-    * pushed filters from the manifest stats. Falls back to the plain
-    * path-list read when no stats exist (nothing to prune with). */
+    * pushed filters from the manifest stats (ranges AND per-column
+    * blooms). Falls back to the plain path-list read when no stats
+    * exist (nothing to prune with). */
   def read(spark: SparkSession, schema: StructType, absFiles: Seq[String],
            zm: Map[String, Map[String, ZoneMaps.ColStat]],
-           baseDir: String): DataFrame =
-    if (zm.isEmpty)
+           baseDir: String,
+           blooms: Map[String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]] = Map.empty): DataFrame =
+    if (zm.isEmpty && blooms.isEmpty)
       spark.read.schema(schema).option("basePath", baseDir)
         .parquet(absFiles: _*)
     else {
       val rel = HadoopFsRelation(
-        location = new ZoneMapFileIndex(spark, absFiles, zm, baseDir),
+        location = new ZoneMapFileIndex(spark, absFiles, zm, baseDir, blooms),
         partitionSchema = StructType(Nil),
         dataSchema = schema,
         bucketSpec = None,

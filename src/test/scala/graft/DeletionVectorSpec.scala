@@ -510,6 +510,33 @@ class DeletionVectorSpec extends SparkTestBase {
       s"the DV'd subset must prune to the covering file, got $selected/$total")
   }
 
+  test("bloom file skipping survives on the DV'd read subset (round 14)") {
+    val (t, _) = freshTable()
+    // hash-scattered keys: every file's [min, max] spans the domain, so
+    // only the blooms can prune an equality probe
+    t.commitWithBlooms(kv(0 until 400).toDF("id", "val")
+      .repartition(4, col("id")), Seq("id"), expectedItemsPerFile = 200)
+    // vector one row out of every file: the whole read takes the v1
+    // metadata-column path
+    val r = t.deleteWhere(spark, col("id").isin(1L, 2L, 3L, 4L),
+      dvMaxRowsPerFile = 1000)
+    assert(r.filesDvUpdated >= 3 && r.filesRewritten === 0)
+    // a point probe for an ABSENT key: blooms must skip (modulo fp)
+    // files on the v1 half exactly like the DSv2 half — the v1 half is
+    // exactly the DV'd files
+    val qAbsent = t.read(spark).filter(col("id") === 999999999L)
+    assert(qAbsent.count() === 0L)
+    val (selAbsent, totAbsent) =
+      graft.sources.ZoneMapFileIndex.lastFilteredSelection
+    assert(totAbsent === r.filesDvUpdated && selAbsent <= 1,
+      s"bloom skip on the DV'd subset regressed: $selAbsent/$totAbsent files")
+    // a PRESENT key still resolves exactly (its file read wherever it
+    // lives — DSv2 or v1 half — and blooms never skip it)
+    assert(t.read(spark).filter(col("id") === 42L).count() === 1L)
+    assert(t.read(spark).filter(col("id") === 1L).count() === 0L,
+      "a DV-deleted probed key stays deleted through the bloom-pruned read")
+  }
+
   test("a DV file key URI encoding would alter fails CLOSED instead of resurrecting rows") {
     val (t, dir) = freshTable()
     t.commit(kv(0 until 100).repartition(1))
