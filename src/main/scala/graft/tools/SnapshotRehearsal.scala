@@ -296,6 +296,35 @@ object SnapshotRehearsal {
     metadataScale(10000)
     metadataScale(100000)
 
+    // ---- scenario 7 (round 14): SELECTIVE OPTIMIZE after trickle
+    // deletes. Compaction is the escape hatch every deletion-vector
+    // ceiling points at; pre-round-14 it rewrote the WHOLE table. The
+    // selective optimize must cost O(deleted volume): a FIXED-size
+    // localized trickle delete (2k rows on the id-clustered layout →
+    // O(1) DV'd files at any scale) followed by optimize on a table
+    // ×1 vs ×N must run ~flat (expect exponent ≈ 0; the old full
+    // rewrite measured ≈ 1). smallFileBytes=1 isolates the DV
+    // selection — at rehearsal scale every file is "small" by the
+    // production 128 MB default.
+    def optTrickle(rows: Long, files: Int): Double = {
+      val (t, dir) = freshTable(rows, files)
+      val d = t.deleteWhere(spark, col("id") >= 100L && col("id") < 2100L,
+        dvMaxRowsPerFile = 100000)
+      require(d.filesDvUpdated >= 1, s"fixture: expected DV'd files, got $d")
+      val dt = timed(s"selective optimize after trickle, ${rows / 1000}k rows") {
+        val r = t.optimize(spark, smallFileBytes = 1L)
+        require(r.dvRowsReclaimed == 2000L &&
+          r.filesRewritten == d.filesDvUpdated,
+          s"selection must be exactly the DV'd files: $r vs $d")
+      }
+      SnapshotTable.deleteRecursively(java.nio.file.Paths.get(dir))
+      dt
+    }
+    val o1 = optTrickle(rowsBase, 8)
+    val oN = optTrickle(rowsBase * factor, 8 * factor)
+    println(f"[rehearse] selective-optimize exponent = ${exp(o1, oN)}%.2f " +
+      "(expect ~0; whole-table compact would be ~1)")
+
     spark.stop()
   }
 }
