@@ -17,9 +17,10 @@ import graft.sources.{Bucketing, GraftMergeable, SnapshotTable}
   * `SparkSessionExtensions.injectParser` (the same seam Delta uses for
   * VACUUM/OPTIMIZE):
   *
-  *   VACUUM <table|'path'> [RETAIN <n> VERSIONS]
+  *   VACUUM <table|'path'> [RETAIN <n> VERSIONS] [DRY RUN]
   *   OPTIMIZE <table|'path'> [FULL] [INTO <n> FILES] [ZORDER BY (c1[, c2[, c3]])]
   *   RESTORE TABLE <table|'path'> [TO] VERSION AS OF <v>
+  *   RESTORE TABLE <table|'path'> [TO] TIMESTAMP AS OF '<ts>'
   *
   * The parser intercepts ONLY these three statement shapes (first
   * keyword + full-statement regex match) and delegates everything else
@@ -39,11 +40,20 @@ import graft.sources.{Bucketing, GraftMergeable, SnapshotTable}
   */
 object Maintenance {
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+(.+?)(\s+FULL)?(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  // only the EXACT constraint shapes are intercepted: every other
+  // ALTER TABLE statement (add/rename/drop columns, type changes, …)
+  // delegates verbatim to Spark's parser and the v2 catalog path
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase
@@ -59,9 +69,9 @@ object Maintenance {
     }
     firstWord(sql) match {
       case "VACUUM" => sql match {
-        case VacuumRe(t, keep) =>
+        case VacuumRe(t, keep, dry) =>
           Some(VacuumSnapshot(target(t),
-            Option(keep).map(_.toInt).getOrElse(3)))
+            Option(keep).map(_.toInt).getOrElse(3), dryRun = dry != null))
         case _ => None
       }
       case "OPTIMIZE" => sql match {
@@ -80,7 +90,16 @@ object Maintenance {
       }
       case "RESTORE" => sql match {
         case RestoreRe(t, v) => Some(RestoreSnapshot(target(t), v.toLong))
+        case RestoreTsRe(t, ts) =>
+          Some(RestoreSnapshot(target(t), -1L, Some(ts)))
         case _ => None
+      }
+      case "ALTER" => sql match {
+        case AddConstraintRe(t, name, expr) =>
+          Some(AddCheckConstraint(target(t), name, expr.trim))
+        case DropConstraintRe(t, name) =>
+          Some(DropCheckConstraint(target(t), name))
+        case _ => None // every other ALTER delegates to Spark
       }
       case _ => None
     }
@@ -125,7 +144,8 @@ sealed trait MaintenanceTarget
 case class PathTarget(path: String) extends MaintenanceTarget
 case class NameTarget(parts: Seq[String]) extends MaintenanceTarget
 
-case class VacuumSnapshot(target: MaintenanceTarget, keepVersions: Int)
+case class VacuumSnapshot(target: MaintenanceTarget, keepVersions: Int,
+                          dryRun: Boolean = false)
     extends LeafNode with Command {
   override val output: Seq[Attribute] =
     Maintenance.attrs("data_files_deleted" -> LongType,
@@ -146,10 +166,32 @@ case class OptimizeSnapshot(target: MaintenanceTarget, files: Option[Int],
       "files_untouched" -> LongType)
 }
 
-case class RestoreSnapshot(target: MaintenanceTarget, version: Long)
+/** `timestamp` (a SQL string the session parses) resolves through the
+  * same commit wall-clock as `TIMESTAMP AS OF` reads; `version` = -1
+  * when the timestamp form is used. */
+case class RestoreSnapshot(target: MaintenanceTarget, version: Long,
+                           timestamp: Option[String] = None)
     extends LeafNode with Command {
   override val output: Seq[Attribute] =
     Maintenance.attrs("version" -> LongType, "n_files" -> LongType)
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — validates the
+  * existing rows (one distributed scan, zero violations or refuse),
+  * then a metadata-only commit; later commits of new row versions
+  * enforce it before publishing. */
+case class AddCheckConstraint(target: MaintenanceTarget, name: String,
+                              expr: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("version" -> LongType)
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only. */
+case class DropCheckConstraint(target: MaintenanceTarget, name: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("version" -> LongType)
 }
 
 /** Plans the three maintenance commands onto their driver-side execs. */
@@ -157,7 +199,7 @@ object MaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case v: VacuumSnapshot => MaintenanceExec(v.output, { spark =>
       val (d, m) = SnapshotTable(Maintenance.rootOf(spark, v.target))
-        .vacuum(v.keepVersions)
+        .vacuum(v.keepVersions, dryRun = v.dryRun)
       Array(new GenericInternalRow(Array[Any](d.toLong, m.toLong)): InternalRow)
     }) :: Nil
     case o: OptimizeSnapshot if !o.full && o.zorderBy.isEmpty =>
@@ -239,9 +281,31 @@ object MaintenanceStrategy extends SparkStrategy {
     }) :: Nil
     case r: RestoreSnapshot => MaintenanceExec(r.output, { spark =>
       val t = SnapshotTable(Maintenance.rootOf(spark, r.target))
-      val v = t.restore(r.version)
+      val target = r.timestamp match {
+        case None => r.version
+        case Some(ts) =>
+          // the same commit-wall-clock resolution as TIMESTAMP AS OF
+          // reads: parse the literal with the session's own timestamp
+          // semantics, resolve to the newest retained version at/before
+          val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestampAnsi(
+              org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+              java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+          t.versionAsOf(micros / 1000L)
+      }
+      val v = t.restore(target)
       Array(new GenericInternalRow(
         Array[Any](v, t.fileCount(v).toLong)): InternalRow)
+    }) :: Nil
+    case c: AddCheckConstraint => MaintenanceExec(c.output, { spark =>
+      val v = SnapshotTable(Maintenance.rootOf(spark, c.target))
+        .addCheckConstraint(spark, c.name, c.expr)
+      Array(new GenericInternalRow(Array[Any](v)): InternalRow)
+    }) :: Nil
+    case c: DropCheckConstraint => MaintenanceExec(c.output, { spark =>
+      val v = SnapshotTable(Maintenance.rootOf(spark, c.target))
+        .dropCheckConstraint(c.name)
+      Array(new GenericInternalRow(Array[Any](v)): InternalRow)
     }) :: Nil
     case _ => Nil
   }

@@ -107,7 +107,8 @@ final class SnapshotTable(root: String) {
       stat: Vector[(String, String)],  // (rel, raw #zm=/#bfl= line)
       fb: Vector[(String, String)],    // (rel, raw #fb= line)
       dv: Map[String, String],         // rel -> raw #dv= line
-      colmap: Option[String] = None)   // raw "#colmap=…" line
+      colmap: Option[String] = None,   // raw "#colmap=…" line
+      checks: Option[String] = None)   // raw "#checks=…" line
 
   private val EmptyState = TableState(None, None, Vector.empty,
     Vector.empty, Vector.empty, Map.empty)
@@ -141,12 +142,14 @@ final class SnapshotTable(root: String) {
     var schema: Option[String] = None
     var bucketing: Option[String] = None
     var colmap: Option[String] = None
+    var checks: Option[String] = None
     lines.foreach { l =>
       if (l.isEmpty) ()
       else if (!l.startsWith("#")) files += l
       else if (l.startsWith("#schema=")) schema = Some(l.stripPrefix("#schema="))
       else if (l.startsWith("#bucketing=")) bucketing = Some(l)
       else if (l.startsWith("#colmap=")) colmap = Some(l)
+      else if (l.startsWith("#checks=")) checks = Some(l)
       else if (l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
         relOfStat(l).foreach(rel => stat += (rel -> l))
       else if (l.startsWith("#fb=")) relOfFb(l).foreach(rel => fb += (rel -> l))
@@ -155,7 +158,7 @@ final class SnapshotTable(root: String) {
       // #ts/#op/#tag/#cdc/#base: version-scoped, not state
     }
     TableState(schema, bucketing, files.result(), stat.result(),
-      fb.result(), dv.result(), colmap)
+      fb.result(), dv.result(), colmap, checks)
   }
 
   private def applyDelta(prev: TableState, lines: Seq[String],
@@ -182,7 +185,10 @@ final class SnapshotTable(root: String) {
       // column mapping INHERITS (unlike bucketing): a writer unaware
       // of the mapping must not silently unmap the table; restated
       // lines (renames, drops, mapping extensions) replace it
-      colmap = fresh.colmap.orElse(prev.colmap))
+      colmap = fresh.colmap.orElse(prev.colmap),
+      // CHECK constraints inherit the same way — a restated (possibly
+      // empty) #checks= line replaces the set, absence carries it
+      checks = fresh.checks.orElse(prev.checks))
   }
 
   /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
@@ -192,7 +198,7 @@ final class SnapshotTable(root: String) {
     * the change feed re-fire it. */
   private def renderState(meta: Seq[String], st: TableState): Seq[String] =
     st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
-      st.colmap.toSeq ++
+      st.colmap.toSeq ++ st.checks.toSeq ++
       st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
       st.dv.toSeq.sortBy(_._1).map(_._2) ++ st.files
 
@@ -360,6 +366,7 @@ final class SnapshotTable(root: String) {
       st.schemaDdl.foreach(hdr.append("hdr_schema", _))
       st.colmap.foreach(hdr.append("hdr_colmap", _))
       st.bucketing.foreach(hdr.append("hdr_bucketing", _))
+      st.checks.foreach(hdr.append("hdr_checks", _))
       w.write(hdr)
       val zmBy = st.stat.filter(_._2.startsWith(ZoneMaps.Prefix)).groupBy(_._1)
       val bfBy = st.stat.filter(_._2.startsWith(ZoneMaps.BloomPrefix)).groupBy(_._1)
@@ -399,6 +406,7 @@ final class SnapshotTable(root: String) {
       var schemaDdl: Option[String] = None
       var colmap: Option[String] = None
       var bucketing: Option[String] = None
+      var checks: Option[String] = None
       var g = reader.read()
       while (g != null) {
         def opt(field: String): Option[String] =
@@ -409,6 +417,7 @@ final class SnapshotTable(root: String) {
           schemaDdl = opt("hdr_schema")
           colmap = opt("hdr_colmap")
           bucketing = opt("hdr_bucketing")
+          checks = opt("hdr_checks")
         } else {
           if (g.getBoolean("listed", 0)) files += rel
           opt("zm").foreach(_.split('\n').foreach(l => stat += (rel -> l)))
@@ -419,7 +428,7 @@ final class SnapshotTable(root: String) {
         g = reader.read()
       }
       TableState(schemaDdl, bucketing, files.result(), stat.result(),
-        fb.result(), dv.result(), colmap)
+        fb.result(), dv.result(), colmap, checks)
     } finally reader.close()
   }
 
@@ -1488,6 +1497,122 @@ final class SnapshotTable(root: String) {
     v + 1
   }
 
+  // ---- CHECK CONSTRAINTS: transactional data-quality gates ----------
+  //
+  // The manifest's `#checks=` line carries named boolean SQL
+  // expressions every LIVE row must satisfy (Delta's CHECK
+  // constraints): adding one VALIDATES the existing data first (one
+  // distributed scan — zero violations or the add refuses), and every
+  // subsequent commit that introduces NEW ROW VERSIONS (appends,
+  // merge/update rewrites and upserts) validates its freshly-written
+  // batch before publishing — a violating batch is deleted, never
+  // visible. Null expressions PASS (SQL CHECK semantics: only a row
+  // that evaluates the constraint to FALSE violates). Constraints are
+  // expressed over LOGICAL names; on a column-mapped table the batch
+  // scan aliases back before evaluating, so the expr never rewrites.
+  // Carried by the fold like the mapping; compaction carries them
+  // (content-identical), a user replace drops them with the rest of
+  // the prior state; time travel keeps each snapshot's own set.
+
+  /** Named CHECK constraints of snapshot `v`: name → boolean SQL. */
+  def checkConstraintsOf(v: Long): Map[String, String] =
+    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
+    else state(v).checks.toSeq.flatMap { l =>
+      l.stripPrefix("#checks=").split(';').toSeq.filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        decU(e.substring(0, i)) -> decU(e.substring(i + 1))
+      }
+    }.toMap
+
+  private def checksLine(cs: Map[String, String]): String =
+    "#checks=" + cs.toSeq.sortBy(_._1)
+      .map { case (n, x) => s"${encU(n)}:${encU(x)}" }.mkString(";")
+
+  /** Add a named CHECK constraint (`ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (expr)`): validates the EXISTING live rows in one
+    * distributed scan (any violation refuses — a constraint must be
+    * true the moment it exists), then publishes a metadata-only commit.
+    * Every later batch of new row versions validates before its
+    * publish. */
+  def addCheckConstraint(spark: SparkSession, name: String,
+                         exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val v = currentVersion()
+    require(v >= 0, s"addCheckConstraint at $root: no committed snapshot")
+    val existing = checkConstraintsOf(v)
+    require(!existing.contains(name),
+      s"constraint $name already exists on $root")
+    // parse early: an unparsable expression must refuse here, not at
+    // the first commit that tries to enforce it
+    spark.sessionState.sqlParser.parseExpression(exprSql)
+    val violations = readAt(spark, v)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(exprSql),
+        org.apache.spark.sql.functions.lit(true)))
+      .limit(1).count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint $name to $root: existing rows " +
+        s"violate ($exprSql)")
+    val schemaLine = schemaOf(v).map(sc => s"#schema=$sc").toSeq
+    val lines = Seq(s"#base=$v") ++ schemaLine ++
+      Seq(checksLine(existing + (name -> exprSql)),
+        s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"addCheckConstraint at $root lost the publish race — re-run " +
+          "against the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  /** Drop a named CHECK constraint — metadata-only; unknown names
+    * refuse. The restated (possibly empty) `#checks=` line replaces
+    * the set in the fold. */
+  def dropCheckConstraint(name: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"dropCheckConstraint at $root: no committed snapshot")
+    val existing = checkConstraintsOf(v)
+    require(existing.contains(name), s"no CHECK constraint $name on $root")
+    val schemaLine = schemaOf(v).map(sc => s"#schema=$sc").toSeq
+    val lines = Seq(s"#base=$v") ++ schemaLine ++
+      Seq(checksLine(existing - name),
+        s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"dropCheckConstraint at $root lost the publish race — re-run " +
+          "against the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  /** Validate a freshly-written batch against snapshot `v`'s CHECK
+    * constraints — one scan of ONLY the new files (they were just
+    * written and are page-hot); a violation makes the caller delete
+    * the invisible batch and refuse, so a bad row never publishes.
+    * Under a column `mapping` the files store physical names and the
+    * constraint exprs are logical — alias first. Batches that only
+    * REMOVE rows (deletes, DV materialization, compaction) cannot
+    * introduce a violation and skip this. */
+  private def enforceChecks(spark: SparkSession, newRels: Seq[String],
+      mapping: Seq[(Int, String, String)], v: Long): Unit = {
+    val checks = checkConstraintsOf(v)
+    if (checks.isEmpty || newRels.isEmpty) return
+    import org.apache.spark.sql.functions._
+    val df0 = spark.read.option("basePath", dataDirPath)
+      .parquet(newRels.map(absPath): _*)
+    val byPhysical = mapping.map(m => m._2 -> m._3).toMap
+    val df = if (mapping.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        col(s"`$c`").as(byPhysical.getOrElse(c, c))).toIndexedSeq: _*)
+    checks.foreach { case (name, sql) =>
+      val bad = df.filter(!coalesce(expr(sql), lit(true))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"commit to $root violates CHECK constraint $name ($sql) — " +
+          "the batch was discarded")
+    }
+  }
+
   // ---- COLUMN MAPPING: id-based rename/drop schema evolution --------
   //
   // The manifest's `#colmap=` line decouples the names parquet files
@@ -1822,7 +1947,8 @@ final class SnapshotTable(root: String) {
                        bloomItems: Int = 10000,
                        op: Option[String] = None,
                        expectedBase: Option[Long] = None,
-                       colmapOverride: Option[String] = None): Option[Long] = {
+                       colmapOverride: Option[String] = None,
+                       checksOverride: Option[String] = None): Option[Long] = {
     // COLUMN MAPPING: an append onto a mapped head must WRITE the
     // frozen physical names (old and new files must agree); brand-new
     // columns extend the mapping with fresh ids (physical = logical).
@@ -1831,6 +1957,9 @@ final class SnapshotTable(root: String) {
     val head0 = currentVersion()
     val schemaAtWrite = if (replace) None else schemaOf(head0)
     val mapAtWrite = if (replace) Seq.empty else colMapRawOf(head0)
+    val checksAtWrite =
+      if (head0 < 0 || !Files.exists(manifestPath(head0))) None
+      else state(head0).checks
     // schema-evolving append: a column the head's schema lacks must be
     // recorded NULLABLE whatever the batch's own nullability says —
     // every pre-evolution file null-fills it, and a NOT NULL manifest
@@ -1867,8 +1996,10 @@ final class SnapshotTable(root: String) {
     // the keys translate through the same bridge the data does. The
     // `#bucketing=` header stays logical (it is the user-facing spec
     // appends must match).
-    val (toWrite, mapLineOut, bucketingPhys, bloomKeysPhys) =
-      if (mapAtWrite.isEmpty) (df, None: Option[String], bucketing, bloomKeys)
+    val (toWrite, mapLineOut, bucketingPhys, bloomKeysPhys, mapUsed) =
+      if (mapAtWrite.isEmpty)
+        (df, None: Option[String], bucketing, bloomKeys,
+          Seq.empty[(Int, String, String)])
       else {
         // case drift would silently split one logical column into a
         // fresh physical one (orphaning the old data) — refuse it
@@ -1886,10 +2017,18 @@ final class SnapshotTable(root: String) {
         (toPhysical(df, extended),
           if (extras.nonEmpty) Some(colmapLine(extended)) else None,
           bucketing.map { case (k, n) => (byLogical.getOrElse(k, k), n) },
-          bloomKeys.map(k => byLogical.getOrElse(k, k)))
+          bloomKeys.map(k => byLogical.getOrElse(k, k)),
+          extended.filter(_._3.nonEmpty))
       }
     val (out, newFiles, zmNew, fbNew) =
       writeBatch(toWrite, bucketingPhys, bloomKeysPhys, bloomItems)
+    // CHECK constraints gate every batch of NEW row versions before it
+    // can publish (a replace drops the prior state, constraints
+    // included, so only appends validate here; rewrites validate at
+    // their own call sites)
+    if (!replace) try enforceChecks(df.sparkSession, newFiles, mapUsed, head0)
+    catch { case e: Throwable =>
+      SnapshotTable.deleteRecursively(out); throw e }
 
     var attempt = 0
     var committed = -1L
@@ -1951,14 +2090,18 @@ final class SnapshotTable(root: String) {
         // case: concurrent same-shape appends), so only a genuine
         // divergence refuses.
         val headSchema = if (replace) None else schemaOf(head)
+        val headChecks =
+          if (head < 0 || !Files.exists(manifestPath(head))) None
+          else state(head).checks
         if (!replace && (colMapRawOf(head) != mapAtWrite ||
+            headChecks != checksAtWrite ||
             (headSchema != schemaAtWrite &&
              !headSchema.contains(recordedSchema.toDDL)))) {
           SnapshotTable.deleteRecursively(out)
           throw new IllegalStateException(
-            s"commit at $root raced a concurrent schema or column-" +
-              "mapping change — the written batch (and its restated " +
-              "schema) would clobber it; re-run the commit")
+            s"commit at $root raced a concurrent schema, column-mapping " +
+              "or CHECK-constraint change — the written batch was " +
+              "neither shaped nor validated against it; re-run the commit")
         }
         // bucketing lines: the header + per-file assignments ride the
         // manifest only when THIS commit is bucketed — an append must
@@ -1985,7 +2128,7 @@ final class SnapshotTable(root: String) {
           Seq(s"#schema=${recordedSchema.toDDL}",
             s"#ts=${System.currentTimeMillis()}",
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
-          colmapOverride.toSeq ++
+          colmapOverride.toSeq ++ checksOverride.toSeq ++
           bucketLines
         val lines =
           if (isFull)
@@ -2063,7 +2206,8 @@ final class SnapshotTable(root: String) {
         if (lg.isEmpty) (id, "", "") else (id, lg, lg) }))
     doCommit(arranged, replace = true, op = Some("compact"),
       maxRetries = 20, tag = None, expectedBase = Some(base),
-      colmapOverride = normalized)
+      colmapOverride = normalized,
+      checksOverride = if (base < 0) None else state(base).checks)
       .getOrElse(throw new IllegalStateException(
         s"compact at $root lost the publish race — re-run"))
   }
@@ -2536,6 +2680,12 @@ final class SnapshotTable(root: String) {
           else math.max(1, rewriteClass.size)
         val (o, nf, zn, _) = writeBatch(
           toPhysical(rewrite, mapping).repartition(nOut))
+        // CHECK constraints gate the merge's new row versions
+        try enforceChecks(spark, nf, mapping, v)
+        catch { case e: Throwable =>
+          SnapshotTable.deleteRecursively(o)
+          sidecarOut.foreach(SnapshotTable.deleteRecursively)
+          throw e }
         (Some(o), nf, zn)
       }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
@@ -2905,6 +3055,12 @@ final class SnapshotTable(root: String) {
           val nOut = if (targetFiles > 0) targetFiles
             else math.max(1, rewrites.size)
           val (o, nf, zn, _) = writeBatch(toPhysical(df, mapping).repartition(nOut))
+          // CHECK constraints gate the updated row versions
+          try enforceChecks(spark, nf, mapping, v)
+          catch { case e: Throwable =>
+            SnapshotTable.deleteRecursively(o)
+            sidecarOut.foreach(SnapshotTable.deleteRecursively)
+            throw e }
           (Some(o), nf, zn)
       }
     } finally dvCheckpoint.foreach(_.unpersist(blocking = false))
@@ -2954,8 +3110,13 @@ final class SnapshotTable(root: String) {
     * commits, or with `keepVersions` / operational retention long
     * enough to cover writer latency.
     *
+    * `dryRun` reports what WOULD be reaped/expired without touching
+    * anything (Delta's `VACUUM ... DRY RUN`) — the operational
+    * pre-flight for a destructive sweep; it also skips the retention
+    * anchor write (a dry run must be a pure read).
+    *
     * @return (dataFilesDeleted, manifestsExpired) */
-  def vacuum(keepVersions: Int = 3): (Int, Int) = {
+  def vacuum(keepVersions: Int = 3, dryRun: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, "must retain at least the current version")
     val head = currentVersion()
     val keepFrom = math.max(0L, head - keepVersions + 1)
@@ -2963,7 +3124,7 @@ final class SnapshotTable(root: String) {
     // delta bases expire — without it, state(keepFrom) (and every
     // retained delta above it) could no longer reconstruct once the
     // manifests below it are gone
-    if (Files.exists(manifestPath(keepFrom))) {
+    if (!dryRun && Files.exists(manifestPath(keepFrom))) {
       val firstLine = {
         val br = Files.newBufferedReader(manifestPath(keepFrom))
         try Option(br.readLine()).getOrElse("") finally br.close()
@@ -3000,15 +3161,21 @@ final class SnapshotTable(root: String) {
       val all = try fs.iterator().asScala.toSeq finally fs.close()
       val (kept, doomed) = all.partition(p =>
         referenced.contains(s"data/${b.getFileName}/${p.getFileName}"))
-      doomed.foreach { p => Files.deleteIfExists(p); dataDeleted += 1 }
-      if (kept.isEmpty && all.nonEmpty) Files.deleteIfExists(b) // empty batch dir
+      if (dryRun) dataDeleted += doomed.size
+      else {
+        doomed.foreach { p => Files.deleteIfExists(p); dataDeleted += 1 }
+        if (kept.isEmpty && all.nonEmpty) Files.deleteIfExists(b) // empty batch dir
+      }
     } finally batches.close()
     var manifestsExpired = 0
     (0L until keepFrom).foreach { v =>
-      if (Files.deleteIfExists(manifestPath(v))) manifestsExpired += 1
-      // expired versions' anchors go with them (the keepFrom anchor,
-      // the one reconstruction still needs, sits outside this range)
-      Files.deleteIfExists(anchorPath(v))
+      if (dryRun) { if (Files.exists(manifestPath(v))) manifestsExpired += 1 }
+      else {
+        if (Files.deleteIfExists(manifestPath(v))) manifestsExpired += 1
+        // expired versions' anchors go with them (the keepFrom anchor,
+        // the one reconstruction still needs, sits outside this range)
+        Files.deleteIfExists(anchorPath(v))
+      }
     }
     (dataDeleted, manifestsExpired)
   }
@@ -3267,6 +3434,7 @@ object SnapshotTable {
       |  optional binary hdr_schema (STRING);
       |  optional binary hdr_colmap (STRING);
       |  optional binary hdr_bucketing (STRING);
+      |  optional binary hdr_checks (STRING);
       |}""".stripMargin
 
   /** Every this-many commits the publisher renders the reconstructed

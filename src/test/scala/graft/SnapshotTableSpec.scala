@@ -2407,6 +2407,97 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(t.read(spark).count() === 111L)
   }
 
+  test("CHECK constraints: add validates, commits enforce, DML enforces, compact carries, mapped tables alias") {
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 50).repartition(1))
+    // add validates EXISTING rows: a violated constraint refuses
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint(spark, "big", "id >= 10")
+    }
+    val vC = t.addCheckConstraint(spark, "nonneg", "id >= 0")
+    assert(t.checkConstraintsOf(vC) === Map("nonneg" -> "id >= 0"))
+    // a violating append refuses, leaves no version and no junk batch
+    val exApp = intercept[IllegalStateException] {
+      t.commit(kv(-5 until -1).repartition(1))
+    }
+    assert(exApp.getMessage.contains("CHECK constraint nonneg"))
+    assert(t.currentVersion() === vC && t.read(spark).count() === 50)
+    // a satisfying append lands; NULL constraint results PASS (SQL
+    // CHECK semantics) — rows where the expr is null are not violations
+    t.commit(kv(100 until 105).repartition(1))
+    assert(t.read(spark).count() === 55)
+    // a violating UPDATE refuses (the new row versions are gated)
+    val exUp = intercept[IllegalStateException] {
+      t.updateWhere(spark, col("id") === 3L, Map("id" -> lit(-9L)))
+    }
+    assert(exUp.getMessage.contains("CHECK constraint nonneg"))
+    assert(t.read(spark).filter(col("id") === 3L).count() === 1)
+    // a violating MERGE upsert refuses too
+    val exMrg = intercept[IllegalStateException] {
+      t.merge(spark, Seq((-77L, "bad")).toDF("id", "val"), Seq("id"))
+    }
+    assert(exMrg.getMessage.contains("CHECK constraint nonneg"))
+    // deletes are pure row removals: never gated
+    t.deleteWhere(spark, col("id") === 4L, dvMaxRowsPerFile = 1000)
+    assert(t.read(spark).count() === 54)
+    // compaction CARRIES the constraints (content-identical rewrite)
+    val vCc = t.compact(spark, files = 1)
+    assert(t.checkConstraintsOf(vCc) === Map("nonneg" -> "id >= 0"))
+    intercept[IllegalStateException] {
+      t.commit(kv(-3 until -2).repartition(1))
+    }
+    // time travel keeps each snapshot's own constraint set
+    assert(t.checkConstraintsOf(vC - 1) === Map.empty)
+    // drop lifts the gate; unknown names refuse
+    intercept[IllegalArgumentException] { t.dropCheckConstraint("nope") }
+    t.dropCheckConstraint("nonneg")
+    t.commit(kv(-3 until -2).repartition(1))
+    assert(t.read(spark).count() === 55)
+
+    // MAPPED table: the constraint is over the LOGICAL name; the batch
+    // stores the frozen physical name and must alias before evaluating
+    val (t2, _) = freshTable()
+    t2.commit(kv(0 until 10).repartition(1))
+    t2.renameColumn("val", "label")
+    t2.addCheckConstraint(spark, "lab", "label IS NOT NULL")
+    t2.commit(kv(10 until 13).withColumnRenamed("val", "label").repartition(1))
+    assert(t2.read(spark).count() === 13)
+    val exMap = intercept[IllegalStateException] {
+      t2.commit(spark.range(20, 22).select(col("id"),
+        lit(null).cast("string").as("label")).repartition(1))
+    }
+    assert(exMap.getMessage.contains("CHECK constraint lab"))
+    val _ = dir
+  }
+
+  test("OCC: an append written before a concurrent ADD CONSTRAINT refuses instead of publishing unvalidated") {
+    import java.util.concurrent.TimeUnit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (t, dir) = freshTable()
+    t.commit(kv(0 until 10).repartition(1))
+    OccGates.reset()
+    val gate = udf { (id: Long) =>
+      OccGates.started.countDown()
+      OccGates.go.await(60, TimeUnit.SECONDS)
+      id
+    }
+    // the racing batch VIOLATES the constraint the concurrent ALTER
+    // adds — publishing it unvalidated would corrupt the guarantee
+    val app = Future {
+      t.commit(kv(-5 until -1).repartition(1)
+        .withColumn("id", gate(col("id"))))
+    }
+    assert(OccGates.started.await(60, TimeUnit.SECONDS))
+    SnapshotTable(dir).addCheckConstraint(spark, "nonneg", "id >= 0")
+    OccGates.go.countDown()
+    val ex = intercept[IllegalStateException] { Await.result(app, 180.seconds) }
+    assert(ex.getMessage.contains("CHECK-constraint change"),
+      s"got ${ex.getMessage}")
+    assert(SnapshotTable(dir).read(spark).filter(col("id") < 0).count() === 0)
+  }
+
   test("type widening through SQL: ALTER COLUMN TYPE, atomic with other changes in one ALTER") {
     val wh = Files.createTempDirectory("graft_cat_wid").toString
     spark.conf.set("spark.sql.catalog.widcat",

@@ -149,4 +149,74 @@ class SqlMaintenanceSpec extends SparkTestBase {
       .as[Option[Int]].collect()
     assert(buckets.forall(_.isDefined) && buckets.flatten.toSet === Set(0, 1, 2, 3))
   }
+
+  test("VACUUM DRY RUN reports what a real vacuum would reap, touching nothing") {
+    val (t, _) = catalogTable("drycat")
+    t.commit(kv(0 until 20))
+    t.commit(kv(20 until 30))
+    t.commit(kv(30 until 35, "b"), replace = true) // orphans the old lineage's files
+    (0 until 3).foreach(i => t.commit(kv(100 + i * 5 until 105 + i * 5)))
+    val manifestsBefore = t.currentVersion() + 1
+    val (dDry, mDry) = spark.sql("VACUUM drycat.db.t RETAIN 2 VERSIONS DRY RUN")
+      .as[(Long, Long)].head()
+    assert(dDry > 0 && mDry > 0, s"dry run must report work: $dDry/$mDry")
+    // nothing was touched: every manifest still present, reads exact
+    assert((0L until manifestsBefore).forall(v =>
+      t.readAt(spark, v).count() >= 0))
+    val (dReal, mReal) = spark.sql("VACUUM drycat.db.t RETAIN 2 VERSIONS")
+      .as[(Long, Long)].head()
+    assert(dReal === dDry && mReal === mDry,
+      s"the real vacuum must do exactly what the dry run reported: " +
+        s"($dReal,$mReal) vs ($dDry,$mDry)")
+  }
+
+  test("RESTORE TABLE ... TIMESTAMP AS OF resolves through the commit wall-clock") {
+    val (t, _) = catalogTable("rtscat")
+    t.commit(kv(0 until 10))
+    val vTarget = t.currentVersion()
+    Thread.sleep(5)
+    // tz-unambiguous literal (trailing Z): the session parses it with
+    // its own timestamp semantics regardless of the JVM default zone
+    val cut = java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+    Thread.sleep(5)
+    t.commit(kv(10 until 25))
+    val (v, nf) = spark.sql(
+      s"RESTORE TABLE rtscat.db.t TO TIMESTAMP AS OF '$cut'")
+      .as[(Long, Long)].head()
+    assert(v === t.currentVersion() && nf === t.fileCount(v).toLong)
+    assert(t.read(spark).count() === 10,
+      "the restore must land on the newest version at/before the timestamp")
+    assert(t.listingOf(v) === t.listingOf(vTarget))
+  }
+
+  test("SQL CHECK constraints: ADD validates existing rows, commits enforce, DROP lifts") {
+    val (t, _) = catalogTable("ckcat")
+    spark.sql("INSERT INTO ckcat.db.t SELECT id, concat('r', id) FROM range(20)")
+    // adding a constraint the data violates refuses outright
+    val exAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE ckcat.db.t ADD CONSTRAINT pos CHECK (id > 5)")
+    }
+    assert(exAdd.getMessage.contains("existing rows violate"))
+    spark.sql("ALTER TABLE ckcat.db.t ADD CONSTRAINT pos CHECK (id >= 0)")
+    assert(t.checkConstraintsOf(t.currentVersion()) === Map("pos" -> "id >= 0"))
+    // a violating INSERT refuses and leaves no trace
+    val head = t.currentVersion()
+    val exIns = intercept[Exception] {
+      spark.sql("INSERT INTO ckcat.db.t SELECT -1, 'bad'")
+    }
+    assert(exIns.getMessage.contains("CHECK constraint pos") ||
+      Option(exIns.getCause).exists(_.getMessage.contains("CHECK constraint pos")))
+    assert(t.currentVersion() === head)
+    assert(spark.sql("SELECT count(*) FROM ckcat.db.t").head().getLong(0) === 20L)
+    // a satisfying INSERT lands
+    spark.sql("INSERT INTO ckcat.db.t SELECT 100, 'ok'")
+    assert(spark.sql("SELECT count(*) FROM ckcat.db.t").head().getLong(0) === 21L)
+    // DROP CONSTRAINT lifts the gate
+    spark.sql("ALTER TABLE ckcat.db.t DROP CONSTRAINT pos")
+    spark.sql("INSERT INTO ckcat.db.t SELECT -1, 'now fine'")
+    assert(spark.sql("SELECT count(*) FROM ckcat.db.t").head().getLong(0) === 22L)
+    // other ALTER statements still delegate to Spark untouched
+    spark.sql("ALTER TABLE ckcat.db.t ADD COLUMNS (extra BIGINT)")
+    assert(spark.table("ckcat.db.t").columns.contains("extra"))
+  }
 }
