@@ -1486,8 +1486,25 @@ final class SnapshotTable(root: String) {
         schema = org.apache.spark.sql.types.StructType(schema.fields
           .updated(i, schema.fields(i).copy(dataType = to)))
     }
+    // a metadata-only ALTER keeps the file set, so a bucketed layout
+    // CARRIES — unless a change touches the bucket key itself: a
+    // renamed/dropped key makes the header's logical name stale, and a
+    // WIDENED key changes the hash domain (murmur3 over int vs long
+    // differ), so those demote exactly as before
+    val bucketKey = state(v).bucketing.map { raw0 =>
+      val body = raw0.stripPrefix("#bucketing=")
+      body.substring(0, math.max(0, body.lastIndexOf(':')))
+    }
+    val keyTouched = bucketKey.exists(k => changes.exists {
+      case SnapshotTable.RenameCol(o, _) => o.equalsIgnoreCase(k)
+      case SnapshotTable.DropCol(n) => n.equalsIgnoreCase(k)
+      case SnapshotTable.WidenCol(n, _) => n.equalsIgnoreCase(k)
+      case _ => false
+    })
+    val bucketCarry =
+      if (keyTouched) Seq.empty else state(v).bucketing.toSeq
     val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
-      raw.map(colmapLine).toSeq ++
+      raw.map(colmapLine).toSeq ++ bucketCarry ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
@@ -1555,7 +1572,9 @@ final class SnapshotTable(root: String) {
       s"cannot add CHECK constraint $name to $root: existing rows " +
         s"violate ($exprSql)")
     val schemaLine = schemaOf(v).map(sc => s"#schema=$sc").toSeq
-    val lines = Seq(s"#base=$v") ++ schemaLine ++
+    // a pure data-quality commit must not demote a bucketed layout:
+    // the file set is untouched, so the header carries verbatim
+    val lines = Seq(s"#base=$v") ++ schemaLine ++ state(v).bucketing.toSeq ++
       Seq(checksLine(existing + (name -> exprSql)),
         s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
@@ -1575,7 +1594,7 @@ final class SnapshotTable(root: String) {
     val existing = checkConstraintsOf(v)
     require(existing.contains(name), s"no CHECK constraint $name on $root")
     val schemaLine = schemaOf(v).map(sc => s"#schema=$sc").toSeq
-    val lines = Seq(s"#base=$v") ++ schemaLine ++
+    val lines = Seq(s"#base=$v") ++ schemaLine ++ state(v).bucketing.toSeq ++
       Seq(checksLine(existing - name),
         s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
@@ -1605,11 +1624,18 @@ final class SnapshotTable(root: String) {
     val df = if (mapping.isEmpty) df0
       else df0.select(df0.columns.map(c =>
         col(s"`$c`").as(byPhysical.getOrElse(c, c))).toIndexedSeq: _*)
-    checks.foreach { case (name, sql) =>
-      val bad = df.filter(!coalesce(expr(sql), lit(true))).limit(1).count()
-      if (bad > 0) throw new IllegalStateException(
-        s"commit to $root violates CHECK constraint $name ($sql) — " +
-          "the batch was discarded")
+    // ONE pass validates every constraint: per-constraint violation
+    // flags in a single aggregation over the new files (K separate
+    // limit(1) scans would pay K scheduler+IO rounds per commit)
+    val ordered = checks.toSeq.sortBy(_._1)
+    val aggs = ordered.map { case (_, sql) =>
+      max(when(!coalesce(expr(sql), lit(true)), 1).otherwise(0)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ordered.zipWithIndex.foreach { case ((name, sql), i) =>
+      if (!row.isNullAt(i) && row.getInt(i) > 0)
+        throw new IllegalStateException(
+          s"commit to $root violates CHECK constraint $name ($sql) — " +
+            "the batch was discarded")
     }
   }
 
@@ -2025,10 +2051,15 @@ final class SnapshotTable(root: String) {
     // CHECK constraints gate every batch of NEW row versions before it
     // can publish (a replace drops the prior state, constraints
     // included, so only appends validate here; rewrites validate at
-    // their own call sites)
-    if (!replace) try enforceChecks(df.sparkSession, newFiles, mapUsed, head0)
-    catch { case e: Throwable =>
-      SnapshotTable.deleteRecursively(out); throw e }
+    // their own call sites). A tagged batch whose tag ALREADY
+    // committed skips validation too: the replay contract is a silent
+    // no-op, and a constraint added after the original commit must not
+    // turn the idempotent skip into a spurious failure (the publish
+    // loop below re-checks the tag and discards the batch unpublished).
+    if (!replace && !tag.exists(tagCommittedUpTo(_, currentVersion())))
+      try enforceChecks(df.sparkSession, newFiles, mapUsed, head0)
+      catch { case e: Throwable =>
+        SnapshotTable.deleteRecursively(out); throw e }
 
     var attempt = 0
     var committed = -1L

@@ -2467,6 +2467,28 @@ class SnapshotTableSpec extends SparkTestBase {
         lit(null).cast("string").as("label")).repartition(1))
     }
     assert(exMap.getMessage.contains("CHECK constraint lab"))
+
+    // a replayed TAGGED batch stays an idempotent no-op even when a
+    // constraint added later would reject its rows
+    val (t3, _) = freshTable()
+    t3.commit(kv(0 until 5).repartition(1))
+    val bad = kv(-9 until -7).repartition(1)
+    assert(t3.commitOnce("batch-1", bad).isDefined)
+    t3.deleteWhere(spark, col("id") < 0L)
+    t3.addCheckConstraint(spark, "nn", "id >= 0")
+    assert(t3.commitOnce("batch-1", bad) === None,
+      "a committed tag replays as a silent skip, never a constraint error")
+
+    // a constraint ALTER must not demote a bucketed layout; renaming
+    // the bucket key still does (the header's logical name goes stale)
+    val (t4, _) = freshTable()
+    t4.commitBucketed(kv(0 until 32), "id", 4)
+    t4.addCheckConstraint(spark, "nn2", "id >= 0")
+    assert(t4.bucketingOf(t4.currentVersion()) === Some(("id", 4)),
+      "a data-quality commit must not demote the bucketed layout")
+    t4.renameColumn("id", "key")
+    assert(t4.bucketingOf(t4.currentVersion()) === None,
+      "renaming the bucket key demotes the layout")
     val _ = dir
   }
 
