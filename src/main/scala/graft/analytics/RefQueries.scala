@@ -782,6 +782,7 @@ object RefQueries {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.SnapshotCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
       // schema-only v0 (zero data files), then a RENAME initializes the
       // mapping (frozen physical = c_mktsegment) BEFORE any data lands
       s.sql(s"CREATE TABLE $cat.db.cust " +
@@ -810,6 +811,16 @@ object RefQueries {
         "mapped bucketed snapshot join planned a join-side exchange — " +
           s"storage-partitioned join through column mapping regressed:\n$plan")
       j
+      } finally {
+        // the frame is fully analyzed and planned above (the relation
+        // nodes hold their Table instances, so later execution never
+        // re-consults the catalog conf) — drop the per-invocation conf
+        // entries so bench reps don't accumulate them without bound.
+        // The CatalogManager's cached instance stays (no public evict),
+        // but the unique-name trick already isolates reps.
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      }
     }),
 
     // E18 TYPE WIDENING exercised through the oracle gate (round 14):
@@ -854,6 +865,53 @@ object RefQueries {
         .selectExpr("stack(3, 'rows_after', rows_after, " +
           "'sum_chars_after', sum_chars_after, " +
           "'max_chars_after', max_chars_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
+    // E18 COMMIT-PLANE STORE SEAM exercised through the oracle gate
+    // (round 15): the identical transactional workload — appends, a
+    // merge-on-read delete whose vector bytes publish through the
+    // store, a selective optimize that materializes them away — run
+    // with the commit plane on the Hadoop FileContext store
+    // (rename-without-replace put-if-absent) instead of POSIX hard
+    // links. The accounting pins that an INTERNAL re-construction of
+    // the root resolves the same pinned store (the catalog/DML-rule
+    // contract) and that DV accounting + content hash out identically
+    // — the proof the 100 TB design point can ride the storage 100 TB
+    // actually lives on (HDFS/object stores have no hard links).
+    "q_snapshot_logstore" -> ((s, d) => {
+      val dir = scratchDir("graft_ls")
+      val t = graft.sources.SnapshotTable(dir, graft.sources.LogStore.hadoopFs)
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 200).repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+        .repartition(1))
+      t.commit(docs.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+        .repartition(1))
+      // MOR delete: the deletion-vector sidecar bytes travel the
+      // store's put-if-absent from EXECUTOR tasks
+      val rd = t.deleteWhere(s, col("doc_id") % 10 === 3 && col("doc_id") < 200,
+        dvMaxRowsPerFile = 1000)
+      // an internal re-construction resolves the PINNED store — the
+      // path every catalog load and DML rule takes
+      val reopened = graft.sources.SnapshotTable(dir)
+      val r = t.optimize(s)
+      val head = t.read(s)
+      val acct = s.createDataFrame(Seq(
+        ("store_is_hadoop", if (reopened.store.name == "hadoop-fs") 1L else 0L),
+        ("dv_rows", rd.dvRowsAdded),
+        ("files_rewritten", r.filesRewritten.toLong),
+        ("dv_after_optimize",
+          t.dvRelOf(r.version).valuesIterator.map(_.count).sum),
+        ("head_version", t.currentVersion())))
+        .toDF("stat", "value")
+      val after = head
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("n_chars")).cast("long").as("sum_chars_after"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_chars_after', sum_chars_after, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
       acct.unionByName(after).orderBy("stat")
     }),
 
@@ -1316,6 +1374,28 @@ object RefQueries {
         |  UNION ALL SELECT 'dv_rows_after', CAST(0 AS BIGINT)
         |  UNION ALL SELECT 'files_rewritten', CAST(3 AS BIGINT)
         |  UNION ALL SELECT 'files_untouched', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM live)
+        |  UNION ALL SELECT 'sum_chars_after',
+        |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM live)
+        |  UNION ALL SELECT 'sum_doc_after',
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
+        |ORDER BY stat""".stripMargin,
+
+    // commit-plane store seam: content + DV accounting identical with
+    // the manifest plane published through the Hadoop FileContext
+    // adapter; the reopened-handle flag pins store resolution
+    "q_snapshot_logstore" ->
+      """WITH live AS (SELECT doc_id, n_chars FROM documents
+        |              WHERE doc_id < 400
+        |                AND NOT (doc_id % 10 = 3 AND doc_id < 200))
+        |SELECT * FROM (
+        |  SELECT 'store_is_hadoop' AS stat, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'dv_rows',
+        |    (SELECT COUNT(*) FROM documents
+        |     WHERE doc_id < 200 AND doc_id % 10 = 3)
+        |  UNION ALL SELECT 'files_rewritten', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'dv_after_optimize', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'head_version', CAST(4 AS BIGINT)
         |  UNION ALL SELECT 'rows_after', (SELECT COUNT(*) FROM live)
         |  UNION ALL SELECT 'sum_chars_after',
         |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM live)

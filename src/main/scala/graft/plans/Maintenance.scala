@@ -19,6 +19,9 @@ import graft.sources.{Bucketing, GraftMergeable, SnapshotTable}
   *
   *   VACUUM <table|'path'> [RETAIN <n> VERSIONS] [DRY RUN]
   *   OPTIMIZE <table|'path'> [FULL] [INTO <n> FILES] [ZORDER BY (c1[, c2[, c3]])]
+  *     — bare OPTIMIZE is the SELECTIVE bin-pack (small/DV'd files
+  *       only, O(touched)); FULL, INTO n FILES, or ZORDER BY each
+  *       request a whole-table shape and run the total rewrite
   *   RESTORE TABLE <table|'path'> [TO] VERSION AS OF <v>
   *   RESTORE TABLE <table|'path'> [TO] TIMESTAMP AS OF '<ts>'
   *
@@ -202,10 +205,13 @@ object MaintenanceStrategy extends SparkStrategy {
         .vacuum(v.keepVersions, dryRun = v.dryRun)
       Array(new GenericInternalRow(Array[Any](d.toLong, m.toLong)): InternalRow)
     }) :: Nil
-    case o: OptimizeSnapshot if !o.full && o.zorderBy.isEmpty =>
+    case o: OptimizeSnapshot
+        if !o.full && o.zorderBy.isEmpty && o.files.isEmpty =>
       // selective bin-pack: rewrite only small/DV'd files, O(touched)
       // delta commit, everything else carries by reference — the
-      // 100 TB-safe default (FULL/ZORDER below stay the total rewrite)
+      // 100 TB-safe default. `INTO n FILES` is an explicit whole-table
+      // shape request, so it implies FULL (the pre-selective
+      // semantics); FULL/ZORDER below stay the total rewrite.
       MaintenanceExec(o.output, { spark =>
         val t = SnapshotTable(Maintenance.rootOf(spark, o.target))
         val r = t.optimize(spark, targetFiles = o.files.getOrElse(0))

@@ -72,16 +72,19 @@ object DeletionVectors {
     def sidecarRel: Option[String] =
       if (isSidecar) Some(dec(payload.substring(1))) else None
     /** Decode to ascending positions. `root` resolves a sidecar
-      * pointer; inline payloads ignore it. Runs wherever the caller
-      * is — executors read sidecars as file-local I/O. */
-    def positions(root: String): Array[Long] =
-      decodeBytes(payloadBytes(root), count.toInt)
-    private def payloadBytes(root: String): Array[Byte] = sidecarRel match {
-      case Some(rel) =>
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(root).resolve(rel))
-      case None => Base64.getDecoder.decode(payload)
-    }
+      * pointer through `store` (the table's commit-plane client —
+      * sidecars are MANIFEST-plane artifacts, so their reads must ride
+      * the same [[LogStore]] their writes did); inline payloads ignore
+      * both. Runs wherever the caller is — executor tasks capture the
+      * serializable store in their closure. */
+    def positions(root: String, store: LogStore = LogStore.posix): Array[Long] =
+      decodeBytes(payloadBytes(root, store), count.toInt)
+    private def payloadBytes(root: String, store: LogStore): Array[Byte] =
+      sidecarRel match {
+        case Some(rel) =>
+          store.readBytes(java.nio.file.Paths.get(root).resolve(rel))
+        case None => Base64.getDecoder.decode(payload)
+      }
   }
 
   /** Delta-varint encode sorted-distinct ascending positions. */

@@ -132,7 +132,7 @@ final case class CdcInputPartition(inner: InputPartition, changeType: String,
 final case class DvCdcInputPartition(absPath: String, fileLen: Long,
                                      changeType: String, version: Long,
                                      dvCount: Long, dvPayload: String,
-                                     root: String,
+                                     root: String, store: LogStore,
                                      factory: PartitionReaderFactory)
     extends InputPartition
 
@@ -160,7 +160,7 @@ final class CdcReaderFactory(cdcSchema: StructType)
         org.apache.spark.sql.execution.datasources.FilePartition(0, Array(pf)))
       val skip: Array[Long] =
         if (d.dvPayload == null) Array.empty
-        else DeletionVectors.Dv(d.dvCount, d.dvPayload).positions(d.root)
+        else DeletionVectors.Dv(d.dvCount, d.dvPayload).positions(d.root, d.store)
       val base = new PartitionReader[InternalRow] {
         private var row = -1L
         private var si = 0
@@ -343,11 +343,11 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
         val f = b.createReaderFactory()
         c.rels.map { rel =>
           val abs = table.absPath(rel)
-          val len = java.nio.file.Files.size(java.nio.file.Paths.get(abs))
+          val len = table.store.size(java.nio.file.Paths.get(abs))
           val dv = c.exclude.get(rel)
           DvCdcInputPartition(abs, len, c.ctype, c.v,
             dv.map(_.count).getOrElse(0L), dv.map(_.payload).orNull,
-            root, f): InputPartition
+            root, table.store, f): InputPartition
         }
       }
     }.toArray

@@ -39,21 +39,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rewrite only small/DV-carrying files, delta-commit the rest by
   * reference).
   *
-  * STORAGE CONTRACT: the table root must be a SHARED POSIX path
-  * visible to the driver AND every executor under the same name (NFS,
-  * Lustre, a local path in local mode). Manifest I/O is driver-side
-  * java.nio; deletion-vector sidecar payloads are read/written with
-  * java.nio from executor tasks too (dvPairsDf / dvMaterialize / the
-  * streaming DV reader). An object-store or hdfs:// root needs the
-  * publish primitive (put-if-absent) and the sidecar I/O swapped for
-  * that store's client — both fail LOUDLY (open/link errors), never
-  * silently, on a non-shared root.
+  * STORAGE CONTRACT: the table root must be visible to the driver AND
+  * every executor under the same name. ALL commit-plane I/O — delta
+  * manifests, full-state anchors, deletion-vector sidecars — routes
+  * through the table's [[LogStore]], whose single correctness
+  * primitive is an atomic put-if-absent publish. Two stores ship:
+  * [[PosixLogStore]] (default — hard-link put-if-absent on a shared
+  * POSIX path: NFS, Lustre, local disk) and [[HadoopFsLogStore]]
+  * (`FileContext` rename-without-replace — HDFS and any Hadoop scheme
+  * with an atomic no-overwrite rename; spec-exercised on `file://`).
+  * An object store supplies a conditional-put implementation of the
+  * same trait (Delta's LogStore precedent). The parquet DATA path
+  * rides Spark's own Hadoop FileSystem I/O on every store. A
+  * non-shared root fails LOUDLY (open/publish errors), never
+  * silently.
   */
-final class SnapshotTable(root: String) {
+final class SnapshotTable(root: String, val store: LogStore) {
   private val dataDir: Path = Paths.get(root, "data")
   private val manifestDir: Path = Paths.get(root, "_manifests")
-  Files.createDirectories(dataDir)
-  Files.createDirectories(manifestDir)
+  store.mkdirs(dataDir)
+  store.mkdirs(manifestDir)
 
   // \d{9,}: zero-padded names keep lexicographic order through 9
   // digits; a width overflow past 1e9 commits is anomalous but must
@@ -62,14 +67,10 @@ final class SnapshotTable(root: String) {
   private val Manifest = """v(\d{9,})\.json""".r
 
   /** Highest committed snapshot version, or -1 for an empty table. */
-  def currentVersion(): Long = {
-    val st = Files.list(manifestDir)
-    try st.iterator().asScala
-      .map(_.getFileName.toString)
+  def currentVersion(): Long =
+    store.list(manifestDir).iterator
       .collect { case Manifest(v) => v.toLong }
       .foldLeft(-1L)(math.max)
-    finally st.close()
-  }
 
   private def manifestPath(v: Long): Path =
     manifestDir.resolve(f"v$v%09d.json")
@@ -241,9 +242,9 @@ final class SnapshotTable(root: String) {
       else {
         val cached = stateCache.get(baseV)
         if (cached != null) base = cached
-        else if (Files.exists(manifestPath(baseV))) {
+        else if (store.exists(manifestPath(baseV))) {
           val lines = { manifestParses += 1
-            Files.readAllLines(manifestPath(baseV)).asScala.toSeq }
+            store.readLines(manifestPath(baseV)) }
           baseOf(lines) match {
             case None => base = parseFull(lines)
             case Some(b) =>
@@ -279,18 +280,20 @@ final class SnapshotTable(root: String) {
     * the legacy TEXT codec, whose leading `#anchorlines=` count guards
     * truncation on filesystems without atomic link semantics. */
   private def loadAnchor(v: Long): Option[TableState] =
-    if (!Files.exists(anchorPath(v))) None
+    if (!store.exists(anchorPath(v))) None
     else scala.util.Try {
       manifestParses += 1
       val p = anchorPath(v)
       val head = {
-        val in = Files.newInputStream(p)
-        try { val b = new Array[Byte](4); in.read(b); b } finally in.close()
+        // readNBytes, not read: a single read() may legally return
+        // short, which would misclassify a valid parquet anchor as text
+        val in = store.open(p)
+        try in.readNBytes(4) finally in.close()
       }
       if (head.sameElements("PAR1".getBytes("US-ASCII")))
         readAnchorParquet(p)
       else {
-        val lines = Files.readAllLines(p).asScala.toSeq
+        val lines = store.readLines(p)
         require(lines.nonEmpty && lines.head.startsWith("#anchorlines=") &&
           lines.head.stripPrefix("#anchorlines=").toInt == lines.size - 1,
           s"anchor a$v truncated")
@@ -307,21 +310,21 @@ final class SnapshotTable(root: String) {
     * parquet failure silently degrades to the TEXT codec — the anchor
     * grammar is a codec detail, never a protocol change. */
   private def writeAnchor(v: Long): Unit =
-    if (!Files.exists(anchorPath(v))) scala.util.Try {
+    if (!store.exists(anchorPath(v))) scala.util.Try {
       val st = state(v)
-      val tmp = Files.createTempFile(manifestDir, s"_tmp_a$v-", ".inprogress")
-      try {
-        Files.deleteIfExists(tmp) // parquet writers refuse existing paths
-        writeAnchorParquet(tmp, st)
-      } catch {
-        case _: Throwable =>
-          val body = renderState(Seq.empty, st)
-          Files.write(tmp, (s"#anchorlines=${body.size}" +: body)
-            .mkString("\n").getBytes("UTF-8"))
-      }
-      try Files.createLink(anchorPath(v), tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      Files.deleteIfExists(tmp)
+      // the stage callback writes to a store-provided scratch path;
+      // the PUBLISH rides the store's put-if-absent (a concurrent or
+      // earlier writer's anchor wins — best-effort by design)
+      store.putFileIfAbsent(anchorPath(v), { tmp =>
+        try writeAnchorParquet(tmp, st)
+        catch {
+          case _: Throwable =>
+            Files.deleteIfExists(tmp)
+            val body = renderState(Seq.empty, st)
+            Files.write(tmp, (s"#anchorlines=${body.size}" +: body)
+              .mkString("\n").getBytes("UTF-8"))
+        }
+      })
       ()
     }
 
@@ -438,7 +441,7 @@ final class SnapshotTable(root: String) {
   private def listing(v: Long): Seq[String] =
     if (v < 0) Seq.empty
     else {
-      require(Files.exists(manifestPath(v)),
+      require(store.exists(manifestPath(v)),
         s"snapshot v$v at $root is expired (vacuumed) or was never committed")
       state(v).files
     }
@@ -448,8 +451,8 @@ final class SnapshotTable(root: String) {
     * spans the retention window: keep retention longer than any replay
     * horizon (the same txn-retention contract as Delta's vacuum). */
   private def tagOf(v: Long): Option[String] =
-    if (!Files.exists(manifestPath(v))) None
-    else Files.readAllLines(manifestPath(v)).asScala
+    if (!store.exists(manifestPath(v))) None
+    else store.readLines(manifestPath(v))
       .find(_.startsWith("#tag=")).map(_.stripPrefix("#tag="))
 
   /** The commit KIND recorded with snapshot `v` (`#op=` — append |
@@ -459,27 +462,27 @@ final class SnapshotTable(root: String) {
     * delete+insert rows), none (compact), or breaks the lineage
     * (replace). */
   private[graft] def opOf(v: Long): Option[String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) None
-    else Files.readAllLines(manifestPath(v)).asScala
+    if (v < 0 || !store.exists(manifestPath(v))) None
+    else store.readLines(manifestPath(v))
       .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
 
   /** The schema DDL recorded with snapshot `v` (commits since the
     * schema line shipped carry one in every delta; absent on older
     * manifests). */
   private def schemaOf(v: Long): Option[String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) None
+    if (v < 0 || !store.exists(manifestPath(v))) None
     else state(v).schemaDdl
 
   /** The `#zm=` zone-map + `#bfl=` bloom lines of snapshot `v`'s
     * STATE (a file's stats ride along for its whole lifetime — carried
     * by the fold now, not by re-emission). */
   private def zmLines(v: Long): Seq[String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Seq.empty
     else state(v).stat.map(_._2)
 
   /** `#dv=` deletion-vector lines of snapshot `v`'s state. */
   private def dvLines(v: Long): Seq[String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Seq.empty
     else state(v).dv.toSeq.sortBy(_._1).map(_._2)
 
   /** Deletion-vector DESCRIPTORS of snapshot `v`, keyed by RELATIVE
@@ -501,8 +504,8 @@ final class SnapshotTable(root: String) {
     * read (Delta's `_change_data` design). Version-scoped by nature:
     * NEVER carried forward by later commits. */
   private[graft] def cdcSidecarsOf(v: Long): Seq[(String, String)] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
-    else Files.readAllLines(manifestPath(v)).asScala.toSeq
+    if (v < 0 || !store.exists(manifestPath(v))) Seq.empty
+    else store.readLines(manifestPath(v))
       .filter(_.startsWith("#cdc=")).map { l =>
         val body = l.stripPrefix("#cdc=")
         val i = body.lastIndexOf(':')
@@ -530,7 +533,7 @@ final class SnapshotTable(root: String) {
   /** Full per-file manifest statistics of snapshot `v` (row count +
     * column stats + per-column blooms), keyed by ABSOLUTE path. */
   private[graft] def fileStatsOf(v: Long): Map[String, ZoneMaps.FileStats] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Map.empty
     else {
       val lines = zmLines(v)
       val zm = lines.iterator
@@ -559,7 +562,7 @@ final class SnapshotTable(root: String) {
     * reads as unbucketed — bucketing is a layout OPTIMIZATION the scan
     * may report, never a correctness dependency. */
   def bucketingOf(v: Long): Option[(String, Int)] =
-    if (v < 0 || !Files.exists(manifestPath(v))) None
+    if (v < 0 || !store.exists(manifestPath(v))) None
     else {
       val spec = state(v).bucketing.map(_.stripPrefix("#bucketing="))
         .flatMap { s =>
@@ -575,7 +578,7 @@ final class SnapshotTable(root: String) {
   /** `#fb=` file→bucket lines of snapshot `v`'s state (carried by the
     * fold with their files, the `#zm=` convention). */
   private def fbLines(v: Long): Seq[String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Seq.empty
     else state(v).fb.map(_._2)
 
   private def fbRel(v: Long): Map[String, Int] =
@@ -597,8 +600,8 @@ final class SnapshotTable(root: String) {
     * atomic commit and survives copies/restores. Absent on manifests
     * from before the line shipped. */
   private def commitTsOf(v: Long): Option[Long] =
-    if (v < 0 || !Files.exists(manifestPath(v))) None
-    else Files.readAllLines(manifestPath(v)).asScala
+    if (v < 0 || !store.exists(manifestPath(v))) None
+    else store.readLines(manifestPath(v))
       .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
 
   /** TIMESTAMP-AS-OF resolution: the highest retained version whose
@@ -729,6 +732,7 @@ final class SnapshotTable(root: String) {
                         dvs: Map[String, DeletionVectors.Dv]): DataFrame = {
     requireDvKeySafe(dvs.keys)
     val rootStr = root
+    val lstore = store
     val descs = dvs.toSeq.map { case (rel, d) => (rel, d.count, d.payload) }
     val slices = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, descs.size))
@@ -738,7 +742,7 @@ final class SnapshotTable(root: String) {
     // read must work anywhere a plain read does
     val pairRdd = spark.sparkContext.parallelize(descs, slices)
       .flatMap { case (rel, n, payload) =>
-        DeletionVectors.Dv(n, payload).positions(rootStr)
+        DeletionVectors.Dv(n, payload).positions(rootStr, lstore)
           .iterator.map(p => org.apache.spark.sql.Row(rel, p))
       }
     val pairs = spark.createDataFrame(pairRdd,
@@ -979,10 +983,13 @@ final class SnapshotTable(root: String) {
     val stamp = s"${System.nanoTime()}_t${Thread.currentThread().getId}"
     val dvBatch = s"dv$stamp"
     val dvDir = dataDir.resolve(dvBatch)
-    Files.createDirectories(dvDir)
+    store.mkdirs(dvDir)
     // locals only in the task closure: the table handle itself holds
-    // non-serializable Paths and must not be captured
+    // non-serializable Paths and must not be captured. The store IS
+    // captured — it's Serializable by contract, and the sidecar write
+    // must use the SAME put-if-absent primitive as the commit plane.
     val rootStr = root
+    val lstore = store
     val priorScoped: Map[String, (Long, String)] =
       prior.map { case (rel, d) => rel -> ((d.count, d.payload)) }
     val descs: Array[(String, Long, String)] = matched
@@ -994,29 +1001,24 @@ final class SnapshotTable(root: String) {
         val fresh = r.getSeq[Long](1).toArray
         val all = priorScoped.get(rel) match {
           case Some((n, payload)) => DeletionVectors.merge(
-            DeletionVectors.Dv(n, payload).positions(rootStr), fresh)
+            DeletionVectors.Dv(n, payload).positions(rootStr, lstore), fresh)
           case None => fresh
         }
         val d = DeletionVectors.descriptorOf(all, { bytes =>
           // deterministic per-rel sidecar name: a retried task
           // re-writes the same path with identical content. The write
-          // itself is temp + createLink (the publish() pattern): with
-          // SPECULATIVE execution two attempts can run concurrently,
-          // and a plain Files.write (CREATE+TRUNCATE) would let one
-          // attempt observe/publish the other's half-written bytes —
-          // the hard link is all-or-nothing, and a losing attempt's
-          // FileAlreadyExists means an identical sidecar already landed
+          // itself is the store's put-if-absent (the publish()
+          // primitive): with SPECULATIVE execution two attempts can
+          // run concurrently, and a plain CREATE+TRUNCATE write would
+          // let one attempt observe/publish the other's half-written
+          // bytes — put-if-absent is all-or-nothing, and a losing
+          // attempt's false means an identical sidecar already landed
           val name = java.security.MessageDigest.getInstance("SHA-1")
             .digest(rel.getBytes("UTF-8"))
             .take(10).map(b => f"$b%02x").mkString + ".dvb"
           val sidecarRel = s"data/$dvBatch/$name"
-          val target = java.nio.file.Paths.get(rootStr).resolve(sidecarRel)
-          val tmp = java.nio.file.Files.createTempFile(
-            target.getParent, "_tmp_dv", ".inprogress")
-          java.nio.file.Files.write(tmp, bytes)
-          try java.nio.file.Files.createLink(target, tmp)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
-          java.nio.file.Files.deleteIfExists(tmp)
+          lstore.putIfAbsent(
+            java.nio.file.Paths.get(rootStr).resolve(sidecarRel), bytes)
           sidecarRel
         })
         (rel, d.count, d.payload)
@@ -1024,11 +1026,8 @@ final class SnapshotTable(root: String) {
     lastDvDriverRowsCollected = descs.length
     val dvByRel = descs.map { case (rel, n, p) =>
       rel -> DeletionVectors.Dv(n, p) }.toMap
-    val dvDirUsed = {
-      val st = Files.list(dvDir)
-      try st.iterator().hasNext finally st.close()
-    }
-    if (!dvDirUsed) Files.deleteIfExists(dvDir)
+    val dvDirUsed = store.list(dvDir).nonEmpty
+    if (!dvDirUsed) store.delete(dvDir)
     val cdcDir = dataDir.resolve(s"cdc$stamp")
     // fan the change sidecar out with the matched volume (~500k rows
     // per task) instead of funneling every row through one task; on a
@@ -1037,13 +1036,9 @@ final class SnapshotTable(root: String) {
     val nOut = math.max(1L, math.min(32L, totalMatched / 500000L + 1L)).toInt
     toPhysical(matched.select(sch.fieldNames.map(col).toIndexedSeq: _*), mapping)
       .repartition(nOut).write.parquet(cdcDir.toString)
-    val cdcRels = {
-      val st = Files.list(cdcDir)
-      try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted
-        .map(n => s"data/${cdcDir.getFileName}/$n")
-      finally st.close()
-    }
+    val cdcRels = store.list(cdcDir)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"data/${cdcDir.getFileName}/$n")
     val cdcLines = cdcRels.map(rel =>
       "#cdc=" + java.net.URLEncoder.encode(rel, "UTF-8") + ":delete")
     (dvByRel, (if (dvDirUsed) Seq(dvDir) else Seq.empty) :+ cdcDir, cdcLines)
@@ -1533,7 +1528,7 @@ final class SnapshotTable(root: String) {
 
   /** Named CHECK constraints of snapshot `v`: name → boolean SQL. */
   def checkConstraintsOf(v: Long): Map[String, String] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Map.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Map.empty
     else state(v).checks.toSeq.flatMap { l =>
       l.stripPrefix("#checks=").split(';').toSeq.filter(_.nonEmpty).map { e =>
         val i = e.indexOf(':')
@@ -1662,7 +1657,7 @@ final class SnapshotTable(root: String) {
     * dropped-then-re-added name can never be assigned a physical name
     * that resolves the dropped column's old bytes. */
   private def colMapRawOf(v: Long): Seq[(Int, String, String)] =
-    if (v < 0 || !Files.exists(manifestPath(v))) Seq.empty
+    if (v < 0 || !store.exists(manifestPath(v))) Seq.empty
     else state(v).colmap.toSeq.flatMap { l =>
       l.stripPrefix("#colmap=").split(';').toSeq.filter(_.nonEmpty).map { e =>
         val Array(id, p, lg) = e.split(':').padTo(3, "")
@@ -1770,11 +1765,11 @@ final class SnapshotTable(root: String) {
       : Seq[(Long, Option[Long], String, Long, Long, Long, Option[String])] = {
     val head = currentVersion()
     (0L to head).flatMap { v =>
-      if (!Files.exists(manifestPath(v))) None
+      if (!store.exists(manifestPath(v))) None
       else {
         val cur = listing(v)
         val prev =
-          if (v > 0 && Files.exists(manifestPath(v - 1))) listing(v - 1)
+          if (v > 0 && store.exists(manifestPath(v - 1))) listing(v - 1)
           else Seq.empty
         Some((v, commitTsOf(v),
           opOf(v).getOrElse(if (prev.toSet.subsetOf(cur.toSet)) "append" else "replace"),
@@ -1883,15 +1878,9 @@ final class SnapshotTable(root: String) {
       case None => df
     }
     toWrite.write.parquet(out.toString)
-    val newFiles0 = {
-      val st = Files.list(out)
-      try st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet"))
-        .toSeq.sorted
-        .map(n => s"data/$batch/$n")
-      finally st.close()
-    }
+    val newFiles0 = store.list(out)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"data/$batch/$n")
     // ZONE MAPS: one footer read per NEW file, at commit time — the
     // stats ride inside the manifest line protocol (`#zm=` comments),
     // so reads skip provably-irrelevant files without any footer I/O.
@@ -1912,7 +1901,7 @@ final class SnapshotTable(root: String) {
       case (rel, st) if st.rows != 0L => rel }
     statsByRel.foreach { case (rel, st) =>
       if (st.rows == 0L)
-        Files.deleteIfExists(Paths.get(root).resolve(rel)) }
+        store.delete(Paths.get(root).resolve(rel)) }
     val zmNew: Seq[String] = statsByRel.flatMap { case (rel, stats) =>
       // even a file with no prunable columns carries its exact row
       // count — that alone makes count(*) a manifest read
@@ -1984,7 +1973,7 @@ final class SnapshotTable(root: String) {
     val schemaAtWrite = if (replace) None else schemaOf(head0)
     val mapAtWrite = if (replace) Seq.empty else colMapRawOf(head0)
     val checksAtWrite =
-      if (head0 < 0 || !Files.exists(manifestPath(head0))) None
+      if (head0 < 0 || !store.exists(manifestPath(head0))) None
       else state(head0).checks
     // schema-evolving append: a column the head's schema lacks must be
     // recorded NULLABLE whatever the batch's own nullability says —
@@ -2122,7 +2111,7 @@ final class SnapshotTable(root: String) {
         // divergence refuses.
         val headSchema = if (replace) None else schemaOf(head)
         val headChecks =
-          if (head < 0 || !Files.exists(manifestPath(head))) None
+          if (head < 0 || !store.exists(manifestPath(head))) None
           else state(head).checks
         if (!replace && (colMapRawOf(head) != mapAtWrite ||
             headChecks != checksAtWrite ||
@@ -2278,7 +2267,7 @@ final class SnapshotTable(root: String) {
     val mapping = readMappingOf(v)
     val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
     def sizeOf(rel: String): Long =
-      scala.util.Try(Files.size(Paths.get(root).resolve(rel))).getOrElse(0L)
+      scala.util.Try(store.size(Paths.get(root).resolve(rel))).getOrElse(0L)
     val selected = rels.filter(rel =>
       dvs.contains(rel) || sizeOf(rel) < smallFileBytes)
     val untouched = rels.filterNot(selected.toSet)
@@ -2325,7 +2314,7 @@ final class SnapshotTable(root: String) {
     val head = currentVersion()
     require(toVersion >= 0 && toVersion <= head,
       s"restore target v$toVersion outside committed range [0, $head] at $root")
-    require(Files.exists(manifestPath(toVersion)),
+    require(store.exists(manifestPath(toVersion)),
       s"restore target v$toVersion at $root is expired (vacuumed)")
     if (toVersion == head) return head
     // a restore must be all-or-nothing: every data file AND every
@@ -2334,7 +2323,7 @@ final class SnapshotTable(root: String) {
     // restored head unreadable)
     val files = listing(toVersion) ++
       dvRelOf(toVersion).values.flatMap(_.sidecarRel)
-    val missing = files.filterNot(rel => Files.exists(Paths.get(root).resolve(rel)))
+    val missing = files.filterNot(rel => store.exists(Paths.get(root).resolve(rel)))
     require(missing.isEmpty,
       s"restore to v$toVersion at $root impossible: ${missing.size} data " +
         s"files vacuumed (first: ${missing.headOption.getOrElse("")})")
@@ -2371,7 +2360,7 @@ final class SnapshotTable(root: String) {
         st.map(_.rows).filter(_ >= 0),
         // a file can vanish between the listing read and the stat
         // (racing vacuum): null, never a sentinel an aggregate absorbs
-        if (Files.exists(abs)) Some(Files.size(abs)) else None,
+        if (store.exists(abs)) Some(store.size(abs)) else None,
         buckets.get(rel),
         st.map(_.blooms.size.toLong).getOrElse(0L),
         dv.get(rel).map(_.count).getOrElse(0L))
@@ -3155,9 +3144,10 @@ final class SnapshotTable(root: String) {
     // delta bases expire — without it, state(keepFrom) (and every
     // retained delta above it) could no longer reconstruct once the
     // manifests below it are gone
-    if (!dryRun && Files.exists(manifestPath(keepFrom))) {
+    if (!dryRun && store.exists(manifestPath(keepFrom))) {
       val firstLine = {
-        val br = Files.newBufferedReader(manifestPath(keepFrom))
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          store.open(manifestPath(keepFrom)), "UTF-8"))
         try Option(br.readLine()).getOrElse("") finally br.close()
       }
       if (firstLine.startsWith("#base=")) {
@@ -3175,7 +3165,7 @@ final class SnapshotTable(root: String) {
     // earlier vacuum with SHORTER retention may have deleted v(keepFrom)
     // itself (vacuum(1) then vacuum(3) before 3 new commits land) — a
     // missing manifest references nothing, it must not abort the sweep
-    val retained = (keepFrom to head).filter(v => Files.exists(manifestPath(v)))
+    val retained = (keepFrom to head).filter(v => store.exists(manifestPath(v)))
     val referenced: Set[String] =
       retained.flatMap(listing).toSet ++ // relative "data/b…/f.parquet"
         // change sidecars of retained versions: a CDC consumer may
@@ -3186,26 +3176,25 @@ final class SnapshotTable(root: String) {
         // pointer lines: reaping one would break the retained read
         retained.flatMap(v => dvRelOf(v).values.flatMap(_.sidecarRel)).toSet
     var dataDeleted = 0
-    val batches = Files.list(dataDir)
-    try batches.iterator().asScala.toSeq.foreach { b =>
-      val fs = Files.list(b)
-      val all = try fs.iterator().asScala.toSeq finally fs.close()
-      val (kept, doomed) = all.partition(p =>
-        referenced.contains(s"data/${b.getFileName}/${p.getFileName}"))
+    store.listDirs(dataDir).foreach { bn =>
+      val b = dataDir.resolve(bn)
+      val all = store.list(b)
+      val (kept, doomed) = all.partition(n =>
+        referenced.contains(s"data/$bn/$n"))
       if (dryRun) dataDeleted += doomed.size
       else {
-        doomed.foreach { p => Files.deleteIfExists(p); dataDeleted += 1 }
-        if (kept.isEmpty && all.nonEmpty) Files.deleteIfExists(b) // empty batch dir
+        doomed.foreach { n => store.delete(b.resolve(n)); dataDeleted += 1 }
+        if (kept.isEmpty && all.nonEmpty) store.delete(b) // empty batch dir
       }
-    } finally batches.close()
+    }
     var manifestsExpired = 0
     (0L until keepFrom).foreach { v =>
-      if (dryRun) { if (Files.exists(manifestPath(v))) manifestsExpired += 1 }
+      if (dryRun) { if (store.exists(manifestPath(v))) manifestsExpired += 1 }
       else {
-        if (Files.deleteIfExists(manifestPath(v))) manifestsExpired += 1
+        if (store.delete(manifestPath(v))) manifestsExpired += 1
         // expired versions' anchors go with them (the keepFrom anchor,
         // the one reconstruction still needs, sits outside this range)
-        Files.deleteIfExists(anchorPath(v))
+        store.delete(anchorPath(v))
       }
     }
     (dataDeleted, manifestsExpired)
@@ -3344,32 +3333,36 @@ final class SnapshotTable(root: String) {
     target
   }
 
-  /** Atomic publish of manifest `v`: write a temp file, then link it
-    * under the versioned name. Returns false when a concurrent writer
-    * already owns `v` (caller retries on the new head).
+  /** Atomic publish of manifest `v` through the [[LogStore]]'s
+    * put-if-absent. Returns false when a concurrent writer already
+    * owns `v` (caller retries on the new head).
     *
-    * The primitive is `createLink`, NOT an atomic rename: POSIX
-    * `rename(2)` silently REPLACES an existing target, so a rename
-    * race would let the losing writer overwrite the winner's commit.
-    * Hard-link creation is the filesystem operation that atomically
-    * fails when the target exists — the put-if-absent that makes the
-    * commit linearizable. */
-  private def publish(v: Long, files: Seq[String]): Boolean = {
-    val tmp = Files.createTempFile(manifestDir, s"_tmp_v$v-", ".inprogress")
-    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
-    try {
-      Files.createLink(manifestPath(v), tmp)
-      Files.deleteIfExists(tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
-  }
+    * The primitive is create-if-not-exists, NOT a replacing rename:
+    * POSIX `rename(2)` silently REPLACES an existing target, so a
+    * rename race would let the losing writer overwrite the winner's
+    * commit. [[PosixLogStore]] implements it with hard-link creation,
+    * [[HadoopFsLogStore]] with `FileContext` `Rename.NONE` — either
+    * way a lost race surfaces as `false`, which makes the commit
+    * linearizable. */
+  private def publish(v: Long, files: Seq[String]): Boolean =
+    store.putIfAbsent(manifestPath(v), files.mkString("\n").getBytes("UTF-8"))
 }
 
 object SnapshotTable {
-  def apply(root: String): SnapshotTable = new SnapshotTable(root)
+  /** Open `root` with the store [[LogStore.forRoot]] resolves for it
+    * (an explicit pin from a prior store-qualified open, else the
+    * `graft.logstore` system property, else POSIX). */
+  def apply(root: String): SnapshotTable =
+    new SnapshotTable(root, LogStore.forRoot(root))
+
+  /** Open `root` with an EXPLICIT commit-plane store, and pin the
+    * choice so internal re-constructions of the same root (catalog
+    * loads, DML rules, maintenance verbs) resolve the same publish
+    * primitive. */
+  def apply(root: String, store: LogStore): SnapshotTable = {
+    LogStore.pin(root, store)
+    new SnapshotTable(root, store)
+  }
 
   /** One element of an [[SnapshotTable.alterSchema]] change list —
     * applied in order, validated as a whole, published as ONE commit. */
