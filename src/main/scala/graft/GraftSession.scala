@@ -32,6 +32,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros, not legacy INT96: parquet writes no (usable)
+      // statistics for INT96, which would blind zone maps — and every
+      // hidden-partitioning days() tuple — on timestamp columns
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // storage-partitioned joins over bucketed snapshot tables
       // (sources/BucketedScan.scala): lets KeyGroupedPartitioning
       // scans join shuffle-free when both sides share the bucket spec

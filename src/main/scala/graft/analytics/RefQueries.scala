@@ -915,6 +915,56 @@ object RefQueries {
       acct.unionByName(after).orderBy("stat")
     }),
 
+    // E18 HIDDEN PARTITIONING exercised through the oracle gate (round
+    // 15): a `days(ts)` partition spec on an events table — commits
+    // cluster by day, every file records its transform-domain tuple in
+    // the manifest, and a calendar-week probe on the BASE column prunes
+    // off-week files at planning, zero data I/O (the selection flag
+    // rides INSIDE the hash-compared frame). Spec evolution is
+    // metadata-only and time travel keeps each version's own spec. At
+    // 100 TB a year-partitioned events table is THE canonical shape —
+    // this is the declarative layout + manifest pruning that makes its
+    // scan cost proportional to the probed window, not ingest order.
+    "q_snapshot_partition" -> ((s, d) => {
+      val dir = scratchDir("graft_pt")
+      val t = graft.sources.SnapshotTable(dir)
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      t.commit(ev.limit(0))
+      t.setPartitionSpec("days(ts)")
+      // four calendar-week commits (the streaming-ingest shape): each
+      // lands ≥1 file whose day tuples stay inside its week
+      val weeks = Seq(("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-01-31"))
+      weeks.foreach { case (lo, hi) =>
+        t.commit(ev.filter(col("ts") >= lit(lo).cast("timestamp_ntz") &&
+          col("ts") < lit(hi).cast("timestamp_ntz")))
+      }
+      val vDays = t.currentVersion()
+      graft.sources.ZoneMaps.lastBuilderSelection = (-1, -1)
+      val wk = t.read(s)
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp_ntz") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("wk_rows"),
+          sum(cents(col("value"))).as("wk_value_cents"),
+          countDistinct(to_date(col("ts"))).as("wk_days"))
+        .head()
+      val (sel, tot) = graft.sources.ZoneMaps.lastBuilderSelection
+      // metadata-only evolution; the pre-change version keeps days(ts)
+      t.setPartitionSpec("days(ts),truncate(2,event_type)")
+      s.createDataFrame(Seq(
+        ("probe_pruned", if (sel >= 0 && tot > sel) 1L else 0L),
+        ("spec_at_days", if (t.partitionSpecOf(vDays).map(_.repr) ==
+          Seq("days(ts)")) 1L else 0L),
+        ("spec_evolved_size", t.partitionSpecOf(t.currentVersion()).size.toLong),
+        ("evolve_rewrote_files",
+          if (t.fileCount(t.currentVersion()) == t.fileCount(vDays)) 0L else 1L),
+        ("wk_rows", wk.getLong(0)),
+        ("wk_value_cents", wk.getLong(1)),
+        ("wk_days", wk.getLong(2))))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -1401,6 +1451,26 @@ object RefQueries {
         |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM live)
         |  UNION ALL SELECT 'sum_doc_after',
         |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
+        |ORDER BY stat""".stripMargin,
+
+    // hidden partitioning: the week probe's content plus the frozen
+    // planning flags (pruned selection, metadata-only evolution, the
+    // per-version spec under time travel)
+    "q_snapshot_partition" ->
+      """WITH wk AS (SELECT * FROM events
+        |            WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |              AND ts < TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT * FROM (
+        |  SELECT 'probe_pruned' AS stat, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'spec_at_days', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'spec_evolved_size', CAST(2 AS BIGINT)
+        |  UNION ALL SELECT 'evolve_rewrote_files', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'wk_rows', (SELECT COUNT(*) FROM wk)
+        |  UNION ALL SELECT 'wk_value_cents',
+        |    (SELECT CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |     FROM wk)
+        |  UNION ALL SELECT 'wk_days',
+        |    (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM wk))
         |ORDER BY stat""".stripMargin,
 
     "q_bucketed_join_mapped" ->

@@ -147,8 +147,14 @@ class SnapshotCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables cluster via compact(sortKey), not directory partitions")
+    // `PARTITIONED BY (days(ts), truncate(4, c), c)` maps onto the
+    // HIDDEN-partitioning spec (`#part=` — see [[PartitionTransforms]]):
+    // no directory layout, no schema pollution; writes cluster by the
+    // transform tuple and scans prune on manifest-recorded tuples.
+    // bucket(n, c) stays with the storage-partitioned-join machinery
+    // ([[SnapshotTable.commitBucketed]]), which owns a different
+    // manifest contract — refused here to keep the two explicit.
+    val spec = partitions.map(transformToSpec).mkString(",")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val t = SnapshotTable(dirOf(ident).toString)
@@ -157,7 +163,36 @@ class SnapshotCatalog extends TableCatalog
     // DDL contract — immediately readable, typed, zero data files
     t.commit(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    if (spec.nonEmpty) t.setPartitionSpec(spec)
     loadTable(ident)
+  }
+
+  private def transformToSpec(tr: Transform): String = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => CLit}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames()(0)
+        case other => throw new IllegalArgumentException(
+          s"PARTITIONED BY: unsupported column reference $other " +
+            "(top-level columns only)")
+      }
+    tr.name() match {
+      case "identity" => s"identity(${colOf(tr.arguments()(0))})"
+      case "days" => s"days(${colOf(tr.arguments()(0))})"
+      case "truncate" => tr.arguments() match {
+        case Array(w: CLit[_], c) => s"truncate(${w.value()},${colOf(c)})"
+        case Array(c, w: CLit[_]) => s"truncate(${w.value()},${colOf(c)})"
+        case other => throw new IllegalArgumentException(
+          s"PARTITIONED BY truncate: expected (width, col), got " +
+            other.mkString("(", ", ", ")"))
+      }
+      case other => throw new IllegalArgumentException(
+        s"PARTITIONED BY: unsupported transform '$other' — supported: " +
+          "identity(col) / bare column, days(ts), truncate(n, col); " +
+          "bucket(n, col) lives in commitBucketed (storage-partitioned " +
+          "joins), years/months/hours are not implemented")
+    }
   }
 
   /** `ALTER TABLE ... ADD COLUMNS` (round 10): a METADATA-ONLY commit —

@@ -109,7 +109,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
       fb: Vector[(String, String)],    // (rel, raw #fb= line)
       dv: Map[String, String],         // rel -> raw #dv= line
       colmap: Option[String] = None,   // raw "#colmap=…" line
-      checks: Option[String] = None)   // raw "#checks=…" line
+      checks: Option[String] = None,   // raw "#checks=…" line
+      part: Option[String] = None)     // raw "#part=…" line
 
   private val EmptyState = TableState(None, None, Vector.empty,
     Vector.empty, Vector.empty, Map.empty)
@@ -144,6 +145,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     var bucketing: Option[String] = None
     var colmap: Option[String] = None
     var checks: Option[String] = None
+    var part: Option[String] = None
     lines.foreach { l =>
       if (l.isEmpty) ()
       else if (!l.startsWith("#")) files += l
@@ -151,6 +153,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       else if (l.startsWith("#bucketing=")) bucketing = Some(l)
       else if (l.startsWith("#colmap=")) colmap = Some(l)
       else if (l.startsWith("#checks=")) checks = Some(l)
+      else if (l.startsWith("#part=")) part = Some(l)
       else if (l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
         relOfStat(l).foreach(rel => stat += (rel -> l))
       else if (l.startsWith("#fb=")) relOfFb(l).foreach(rel => fb += (rel -> l))
@@ -159,7 +162,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       // #ts/#op/#tag/#cdc/#base: version-scoped, not state
     }
     TableState(schema, bucketing, files.result(), stat.result(),
-      fb.result(), dv.result(), colmap, checks)
+      fb.result(), dv.result(), colmap, checks, part)
   }
 
   private def applyDelta(prev: TableState, lines: Seq[String],
@@ -189,7 +192,11 @@ final class SnapshotTable(root: String, val store: LogStore) {
       colmap = fresh.colmap.orElse(prev.colmap),
       // CHECK constraints inherit the same way — a restated (possibly
       // empty) #checks= line replaces the set, absence carries it
-      checks = fresh.checks.orElse(prev.checks))
+      checks = fresh.checks.orElse(prev.checks),
+      // the partition spec is declarative table state like the
+      // mapping: absence carries, a restated (possibly empty) #part=
+      // line replaces it
+      part = fresh.part.orElse(prev.part))
   }
 
   /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
@@ -199,7 +206,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     * the change feed re-fire it. */
   private def renderState(meta: Seq[String], st: TableState): Seq[String] =
     st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
-      st.colmap.toSeq ++ st.checks.toSeq ++
+      st.colmap.toSeq ++ st.checks.toSeq ++ st.part.toSeq ++
       st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
       st.dv.toSeq.sortBy(_._1).map(_._2) ++ st.files
 
@@ -370,6 +377,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       st.colmap.foreach(hdr.append("hdr_colmap", _))
       st.bucketing.foreach(hdr.append("hdr_bucketing", _))
       st.checks.foreach(hdr.append("hdr_checks", _))
+      st.part.foreach(hdr.append("hdr_part", _))
       w.write(hdr)
       val zmBy = st.stat.filter(_._2.startsWith(ZoneMaps.Prefix)).groupBy(_._1)
       val bfBy = st.stat.filter(_._2.startsWith(ZoneMaps.BloomPrefix)).groupBy(_._1)
@@ -410,6 +418,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       var colmap: Option[String] = None
       var bucketing: Option[String] = None
       var checks: Option[String] = None
+      var part: Option[String] = None
       var g = reader.read()
       while (g != null) {
         def opt(field: String): Option[String] =
@@ -421,6 +430,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
           colmap = opt("hdr_colmap")
           bucketing = opt("hdr_bucketing")
           checks = opt("hdr_checks")
+          part = opt("hdr_part")
         } else {
           if (g.getBoolean("listed", 0)) files += rel
           opt("zm").foreach(_.split('\n').foreach(l => stat += (rel -> l)))
@@ -431,7 +441,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
         g = reader.read()
       }
       TableState(schemaDdl, bucketing, files.result(), stat.result(),
-        fb.result(), dv.result(), colmap, checks)
+        fb.result(), dv.result(), colmap, checks, part)
     } finally reader.close()
   }
 
@@ -1498,13 +1508,86 @@ final class SnapshotTable(root: String, val store: LogStore) {
     })
     val bucketCarry =
       if (keyTouched) Seq.empty else state(v).bucketing.toSeq
+    // the PARTITION SPEC follows its source columns through the ALTER:
+    // a rename rewrites the transform's source name (files' recorded
+    // tuples keep working — they are keyed by the frozen PHYSICAL
+    // name); a drop removes the transform from the spec (its per-file
+    // tuples become dead keys, never consulted); a widen keeps it
+    // (identity/truncate math is identical on the widened integral
+    // domain). Restated only when a change touched it.
+    val partRestate: Option[String] = state(v).part.flatMap { rawLine =>
+      val ts0 = PartitionTransforms.parse(rawLine.stripPrefix("#part="))
+      val ts1 = changes.foldLeft(ts0) { (ts, ch) => ch match {
+        case SnapshotTable.RenameCol(o, n) =>
+          ts.map(t => if (t.source.equalsIgnoreCase(o)) t.withSource(n) else t)
+        case SnapshotTable.DropCol(n) =>
+          ts.filterNot(_.source.equalsIgnoreCase(n))
+        case _ => ts
+      }}
+      if (ts1 == ts0) None
+      else Some(s"#part=${PartitionTransforms.render(ts1)}")
+    }
     val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
-      raw.map(colmapLine).toSeq ++ bucketCarry ++
+      raw.map(colmapLine).toSeq ++ bucketCarry ++ partRestate.toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
         s"alterSchema at $root lost the publish race: a commit landed " +
           "concurrently — re-run against the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  // ---- HIDDEN PARTITIONING: declarative transform spec --------------
+  //
+  // The manifest's `#part=` line declares monotonic partition
+  // transforms (identity/days/truncate — see [[PartitionTransforms]]).
+  // Writes cluster by the transform tuple, each new file records its
+  // transform-domain bounds as synthetic `__pt$…` entries in its
+  // `#zm=` stat line, and scans prune on them manifest-only, BEFORE
+  // any data I/O, by translating pushed base-column filters into the
+  // transform domain. Spec changes are metadata-only; files keep the
+  // tuples of the spec they were written under (Iceberg's per-file
+  // spec-evolution safety).
+
+  /** Raw `#part=` body of snapshot `v` ("" = explicit empty spec). */
+  private def partRawOf(v: Long): Option[String] =
+    if (v < 0 || !store.exists(manifestPath(v))) None
+    else state(v).part.map(_.stripPrefix("#part="))
+
+  /** Parsed partition spec of snapshot `v` (LOGICAL source names). */
+  def partitionSpecOf(v: Long): Seq[PartitionTransforms.PT] =
+    partRawOf(v).map(PartitionTransforms.parse).getOrElse(Seq.empty)
+
+  /** The current partition spec, rendered ("" when none). */
+  def partitionSpec(): String =
+    partRawOf(currentVersion()).getOrElse("")
+
+  /** Declare (or, with "", drop) the table's partition spec —
+    * METADATA-ONLY: one delta commit restating the `#part=` line.
+    * Existing files keep their recorded tuples (still pruned on);
+    * subsequent writes cluster and record under the new spec. The
+    * spec is validated against the CURRENT schema. */
+  def setPartitionSpec(spec: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"setPartitionSpec at $root: table has no committed " +
+      "snapshot (CREATE the table first — catalog CREATE commits v0)")
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(
+        s"setPartitionSpec at $root: snapshot v$v has no recorded schema"))
+    val ts = PartitionTransforms.parse(spec)
+    PartitionTransforms.validate(ts, schema)
+    // metadata-only delta: schema restated (delta invariant), the
+    // bucketing header CARRIED explicitly (absence would demote it —
+    // a spec change never touches the bucket layout)
+    val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
+      state(v).bucketing.toSeq ++
+      Seq(s"#part=${PartitionTransforms.render(ts)}",
+        s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"setPartitionSpec at $root lost the publish race: a commit " +
+          "landed concurrently — re-run against the new head")
     maybeAnchor(v + 1)
     v + 1
   }
@@ -1861,10 +1944,29 @@ final class SnapshotTable(root: String, val store: LogStore) {
     * collision, which the directory write would surface, not silently
     * merge). */
   private def writeBatch(df: DataFrame, bucketBy: Option[(String, Int)] = None,
-                         bloomKeys: Seq[String] = Nil, bloomItems: Int = 10000)
+                         bloomKeys: Seq[String] = Nil, bloomItems: Int = 10000,
+                         partCluster: Boolean = true)
       : (Path, Seq[String], Seq[String], Seq[String]) = {
     val batch = s"b${System.nanoTime()}_t${Thread.currentThread().getId}"
     val out = dataDir.resolve(batch)
+    // HIDDEN PARTITIONING: resolve the head's `#part=` spec with its
+    // sources translated to the frozen PHYSICAL names (the frame
+    // reaching this point is the physical one) — drives both the
+    // write clustering and the per-file tuple derivation below. Read
+    // here, not plumbed from the caller: a spec racing in mid-commit
+    // only changes which tuples the new files record, and a file's
+    // recorded tuples are sound under whatever transform repr they
+    // carry (derived from its own real stats).
+    val partSpecPhys: Seq[PartitionTransforms.PT] = {
+      val h = currentVersion()
+      val ts = partitionSpecOf(h)
+      if (ts.isEmpty) ts
+      else {
+        val byLogical = colMapRawOf(h).filter(_._3.nonEmpty)
+          .map(m => m._3 -> m._2).toMap
+        ts.map(t => t.withSource(byLogical.getOrElse(t.source, t.source)))
+      }
+    }
     // bucketed layout: repartition(n, key) IS the bucket function —
     // Spark places each row in partition pmod(murmur3(key), n), and
     // FileFormatWriter names that partition's file part-<n>-..., so
@@ -1872,9 +1974,14 @@ final class SnapshotTable(root: String, val store: LogStore) {
     // column in the data and no partition directories to pollute the
     // schema. The explicit count also opts the shuffle out of AQE
     // coalescing (the q_fuzzy_match lesson), so empty buckets aside,
-    // one file per bucket lands.
+    // one file per bucket lands. A partition spec clusters plain
+    // appends instead (bucketing wins when both apply; pre-arranged
+    // rewrites — compact's sort key, DML's surgical nOut — opt out
+    // via partCluster and keep their own shape, tuples still derive).
     val toWrite = bucketBy match {
       case Some((key, n)) => df.repartition(n, df.col(key))
+      case None if partCluster && partSpecPhys.nonEmpty =>
+        PartitionTransforms.cluster(df, partSpecPhys)
       case None => df
     }
     toWrite.write.parquet(out.toString)
@@ -1902,7 +2009,15 @@ final class SnapshotTable(root: String, val store: LogStore) {
     statsByRel.foreach { case (rel, st) =>
       if (st.rows == 0L)
         store.delete(Paths.get(root).resolve(rel)) }
-    val zmNew: Seq[String] = statsByRel.flatMap { case (rel, stats) =>
+    val zmNew: Seq[String] = statsByRel.flatMap { case (rel, stats0) =>
+      // PARTITION TUPLES: synthetic `__pt$…` entries derived from the
+      // file's own real stats (monotonic transforms — zero extra I/O)
+      val stats =
+        if (partSpecPhys.isEmpty || stats0.cols.isEmpty) stats0
+        else stats0.copy(cols = stats0.cols ++
+          PartitionTransforms.deriveStats(partSpecPhys, stats0.cols,
+            identity,
+            n => df.schema.fields.find(_.name == n).map(_.dataType)))
       // even a file with no prunable columns carries its exact row
       // count — that alone makes count(*) a manifest read
       if (stats.rows == 0L || (stats.rows < 0 && stats.cols.isEmpty)) None
@@ -1963,7 +2078,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
                        op: Option[String] = None,
                        expectedBase: Option[Long] = None,
                        colmapOverride: Option[String] = None,
-                       checksOverride: Option[String] = None): Option[Long] = {
+                       checksOverride: Option[String] = None,
+                       partCluster: Boolean = true): Option[Long] = {
     // COLUMN MAPPING: an append onto a mapped head must WRITE the
     // frozen physical names (old and new files must agree); brand-new
     // columns extend the mapping with fresh ids (physical = logical).
@@ -1975,6 +2091,12 @@ final class SnapshotTable(root: String, val store: LogStore) {
     val checksAtWrite =
       if (head0 < 0 || !store.exists(manifestPath(head0))) None
       else state(head0).checks
+    // the partition spec SURVIVES a replace (it is a declarative
+    // table property like the schema — Delta keeps partitioning
+    // across INSERT OVERWRITE): full manifests restate the raw line;
+    // deltas inherit it through the fold, so a concurrent
+    // setPartitionSpec is never reverted by a racing append
+    val partAtWrite: Option[String] = partRawOf(head0)
     // schema-evolving append: a column the head's schema lacks must be
     // recorded NULLABLE whatever the batch's own nullability says —
     // every pre-evolution file null-fills it, and a NOT NULL manifest
@@ -2005,6 +2127,20 @@ final class SnapshotTable(root: String, val store: LogStore) {
           })
       }
     }
+    // a replace that changes the schema out from under the partition
+    // spec would strand transforms on dead columns — refuse loudly
+    // (drop or re-set the spec first); content-preserving replaces
+    // (compaction, TRUNCATE) keep the schema and sail through
+    if (replace) partAtWrite.filter(_.nonEmpty).foreach { pp =>
+      scala.util.Try(PartitionTransforms.validate(
+        PartitionTransforms.parse(pp), recordedSchema)).recover { case e =>
+        throw new IllegalArgumentException(
+          s"replace at $root: the table's partition spec '$pp' is invalid " +
+            s"under the replacing schema (${e.getMessage}); " +
+            "setPartitionSpec(\"\") or a matching spec first", e)
+      }.get
+    }
+
     // COLUMN-MAPPED bucketed/bloom commits (round 14): the caller's
     // keys are LOGICAL; the write-side hashing, the `#fb=` assignments
     // and the `#bfl=` stat lines all operate on the PHYSICAL frame, so
@@ -2036,7 +2172,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
           extended.filter(_._3.nonEmpty))
       }
     val (out, newFiles, zmNew, fbNew) =
-      writeBatch(toWrite, bucketingPhys, bloomKeysPhys, bloomItems)
+      writeBatch(toWrite, bucketingPhys, bloomKeysPhys, bloomItems,
+        partCluster = partCluster)
     // CHECK constraints gate every batch of NEW row versions before it
     // can publish (a replace drops the prior state, constraints
     // included, so only appends validate here; rewrites validate at
@@ -2154,10 +2291,12 @@ final class SnapshotTable(root: String, val store: LogStore) {
           if (isFull)
             // self-contained manifest — a replace drops the whole prior
             // state (listing, stats, and every deletion vector, which
-            // is exactly how compaction MATERIALIZES deletes away); the
-            // first commit has no prior state to delta against; a
-            // rebased rewrite carries the disjoint appends' files
-            meta ++ zmNew ++ carryStats ++ newFiles ++ carryRels
+            // is exactly how compaction MATERIALIZES deletes away)
+            // EXCEPT the partition spec, restated below; the first
+            // commit has no prior state to delta against; a rebased
+            // rewrite carries the disjoint appends' files
+            meta ++ partAtWrite.map(pp => s"#part=$pp").toSeq ++
+              zmNew ++ carryStats ++ newFiles ++ carryRels
           else
             // DELTA: O(new files) lines however large the table is
             // (mapLineOut restates the mapping only when this commit
@@ -2227,7 +2366,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
     doCommit(arranged, replace = true, op = Some("compact"),
       maxRetries = 20, tag = None, expectedBase = Some(base),
       colmapOverride = normalized,
-      checksOverride = if (base < 0) None else state(base).checks)
+      checksOverride = if (base < 0) None else state(base).checks,
+      partCluster = false)
       .getOrElse(throw new IllegalStateException(
         s"compact at $root lost the publish race — re-run"))
   }
@@ -2281,7 +2421,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
       else math.max(1, math.min(selected.size,
         math.ceil(selected.map(sizeOf).sum.toDouble / smallFileBytes).toInt))
     val (out, newFiles, zmNew, _) =
-      writeBatch(toPhysical(live, mapping).repartition(nOut))
+      writeBatch(toPhysical(live, mapping).repartition(nOut),
+        partCluster = false)
     val dvReclaimed = selected.flatMap(dvs.get).map(_.count).sum
     val bodyLines = schema.map(sc => s"#schema=${sc.toDDL}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=compact") ++
@@ -2699,7 +2840,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
         val nOut = if (targetFiles > 0) targetFiles
           else math.max(1, rewriteClass.size)
         val (o, nf, zn, _) = writeBatch(
-          toPhysical(rewrite, mapping).repartition(nOut))
+          toPhysical(rewrite, mapping).repartition(nOut), partCluster = false)
         // CHECK constraints gate the merge's new row versions
         try enforceChecks(spark, nf, mapping, v)
         catch { case e: Throwable =>
@@ -2870,7 +3011,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
             mapping = mapping)
           .filter(!pred)
         val nOut = if (targetFiles > 0) targetFiles else math.max(1, rewrites.size)
-        val (o, nf, zn, _) = writeBatch(toPhysical(kept, mapping).repartition(nOut))
+        val (o, nf, zn, _) = writeBatch(
+          toPhysical(kept, mapping).repartition(nOut), partCluster = false)
         (Some(o), nf, zn)
       }
 
@@ -3074,7 +3216,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
         case Some(df) =>
           val nOut = if (targetFiles > 0) targetFiles
             else math.max(1, rewrites.size)
-          val (o, nf, zn, _) = writeBatch(toPhysical(df, mapping).repartition(nOut))
+          val (o, nf, zn, _) = writeBatch(
+            toPhysical(df, mapping).repartition(nOut), partCluster = false)
           // CHECK constraints gate the updated row versions
           try enforceChecks(spark, nf, mapping, v)
           catch { case e: Throwable =>
@@ -3459,6 +3602,7 @@ object SnapshotTable {
       |  optional binary hdr_colmap (STRING);
       |  optional binary hdr_bucketing (STRING);
       |  optional binary hdr_checks (STRING);
+      |  optional binary hdr_part (STRING);
       |}""".stripMargin
 
   /** Every this-many commits the publisher renders the reconstructed

@@ -64,6 +64,11 @@ final class ZoneMapFileIndex(
   /** (selected, total) of the last `listFiles` — audit/spec hook. */
   @volatile private[graft] var lastSelection: (Int, Int) = (-1, -1)
 
+  // hidden-partitioning tuples recorded in this index's stats — the
+  // v1/DV'd read half prunes on them exactly like the DSv2 builder
+  private val ptBySource = graft.sources.PartitionTransforms
+    .transformsInStats(zm.valuesIterator.flatMap(_.keysIterator).toSet)
+
   override def toString: String =
     s"ZoneMapFileIndex(${absFiles.size} files, $baseDir)"
 
@@ -79,9 +84,11 @@ final class ZoneMapFileIndex(
     // RANGE stats or its per-column BLOOM proves the probed key absent
     // (the DSv2 half's exact pruning rules — the v1/DV'd subset prunes
     // point lookups the same way)
+    val withPt = dataFilters ++
+      graft.sources.PartitionTransforms.translate(dataFilters, ptBySource)
     val kept = statuses.collect {
       case (st, stats, bf) if (stats.isEmpty && bf.isEmpty) ||
-          !dataFilters.exists(f => ZoneMaps.provablyEmpty(f, stats) ||
+          !withPt.exists(f => ZoneMaps.provablyEmpty(f, stats) ||
             ZoneMaps.bloomEmpty(f, bf)) => st
     }
     lastSelection = (kept.size, statuses.size)

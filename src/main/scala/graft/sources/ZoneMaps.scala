@@ -139,6 +139,12 @@ object ZoneMaps {
 
   val Prefix = "#zm="
 
+  /** (selected, total) of the most recent FILTERED DSv2 pushdown on
+    * this JVM — the spec/audit hook the partition-pruning proofs pin
+    * (planning-time accounting; executed-plan metric traversal is
+    * brittle under AQE). */
+  @volatile private[graft] var lastBuilderSelection: (Int, Int) = (-1, -1)
+
   /** PER-FILE BLOOM FILTERS — the point-lookup complement to min/max
     * zone maps (Delta's bloom-filter index / parquet bloom filters at
     * the manifest level): uniform high-cardinality keys give every
@@ -636,13 +642,27 @@ object ZoneMaps {
     private var keptFiles: Seq[String] = allFiles
     private var pushedExprs: Seq[Expression] = Nil
     private var aggPushed = false
+    // hidden-partitioning tuples present in this scan's stats (the
+    // `__pt$…` synthetic keys), grouped by source column — drives the
+    // transform-domain filter translation below
+    private lazy val ptBySource = graft.sources.PartitionTransforms
+      .transformsInStats(
+        statsByFile.valuesIterator.flatMap(_.cols.keysIterator).toSet)
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
+      // PARTITION PRUNING rides the same pass: filters on base columns
+      // additionally check the files' recorded transform tuples
+      // (translated conjuncts are implied by their sources — they can
+      // only drop files the original predicate already excludes)
+      val withPt = filters ++
+        graft.sources.PartitionTransforms.translate(filters, ptBySource)
       val kept = allFiles.filter { f =>
         statsByFile.get(f).forall(fs =>
-          !filters.exists(p => provablyEmpty(p, fs.cols) || bloomEmpty(p, fs.blooms)))
+          !withPt.exists(p => provablyEmpty(p, fs.cols) || bloomEmpty(p, fs.blooms)))
       }
+      if (filters.nonEmpty)
+        ZoneMaps.lastBuilderSelection = (kept.size, allFiles.size)
       if (kept.size != allFiles.size) {
         keptFiles = kept
         delegate = rebuild(kept)

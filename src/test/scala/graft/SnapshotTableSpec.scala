@@ -20,6 +20,22 @@ private[graft] object OccGates {
 class SnapshotTableSpec extends SparkTestBase {
   import spark.implicits._
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Spark CACHES catalog instances by name: this suite registers
+    // fixed catalog names (snapcat, delcat, …) against fresh temp
+    // warehouses, and a SECOND run in the same JVM (the Hadoop-store
+    // subclass re-runs the whole battery) would resolve the FIRST
+    // run's cached instances — and their dead warehouse dirs. Reset
+    // the manager so every suite run resolves its own conf.
+    // (reset() is private[sql]; reflection is test-only plumbing.)
+    val cm = spark.sessionState.catalogManager
+    val m = cm.getClass.getDeclaredMethod("reset")
+    m.setAccessible(true)
+    m.invoke(cm)
+    ()
+  }
+
   private def freshTable(): (SnapshotTable, String) = {
     val dir = Files.createTempDirectory("graft_snap").toString
     (SnapshotTable(dir), dir)
