@@ -965,6 +965,58 @@ object RefQueries {
         .toDF("stat", "value").orderBy("stat")
     }),
 
+    // E18 COLUMN DEFAULTS + NOT NULL exercised through the oracle gate
+    // (round 15): a column added after data landed gets a DEFAULT —
+    // pre-evolution files read the EXISTS default PER FILE through
+    // Spark's own existence-default machinery (zero rewrite, zero
+    // extra planning I/O), post-default commits keep their explicit
+    // values, NOT NULL validates at add and REFUSES a violating batch
+    // pre-publish (nothing publishes — the refused-version flag rides
+    // the frame), and time travel keeps the pre-evolution shape. The
+    // arithmetic folds the default into the hash: sum_quality is only
+    // right if exactly the pre-evolution rows read 7.
+    "q_snapshot_defaults" -> ((s, d) => {
+      val dir = scratchDir("graft_dfl")
+      val t = graft.sources.SnapshotTable(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      t.commit(docs.filter(col("doc_id") < 300).repartition(1))
+      val vPre = t.currentVersion()
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.LongType))))
+      t.setColumnDefault(s, "quality", "7")
+      t.setNotNull(s, "source")
+      t.commit(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .withColumn("quality", col("doc_id") % 5).repartition(1))
+      val headBefore = t.currentVersion()
+      val refused =
+        try { t.commit(docs.filter(col("doc_id") < 10)
+          .withColumn("source", org.apache.spark.sql.functions
+            .lit(null).cast("string"))
+          .withColumn("quality", lit(1L))); 0L }
+        catch { case _: Exception =>
+          if (t.currentVersion() == headBefore) 1L else 0L }
+      val head = t.read(s)
+      val acct = s.createDataFrame(Seq(
+        ("default_applied_rows",
+          head.filter(col("quality") === 7 && col("doc_id") < 300).count()),
+        ("notnull_refused_nothing_published", refused),
+        ("cols_time_travel", t.readAt(s, vPre).columns.length.toLong),
+        ("evolve_rewrote_files",
+          if (t.fileCount(headBefore) ==
+            t.fileCount(vPre) + 1) 0L else 1L)))
+        .toDF("stat", "value")
+      val after = head
+        .agg(count(lit(1)).as("rows_after"),
+          sum(col("quality")).cast("long").as("sum_quality"),
+          sum(col("doc_id")).cast("long").as("sum_doc_after"))
+        .selectExpr("stack(3, 'rows_after', rows_after, " +
+          "'sum_quality', sum_quality, " +
+          "'sum_doc_after', sum_doc_after) AS (stat, value)")
+      acct.unionByName(after).orderBy("stat")
+    }),
+
     // E18 MANIFEST-ONLY STATISTICS exercised through the oracle gate:
     // count(*) / min / max / null counts computed from the `#zm=`
     // manifest lines alone — zero data-file I/O — must equal DuckDB's
@@ -1451,6 +1503,30 @@ object RefQueries {
         |    (SELECT CAST(SUM(n_chars) AS BIGINT) FROM live)
         |  UNION ALL SELECT 'sum_doc_after',
         |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM live))
+        |ORDER BY stat""".stripMargin,
+
+    // column defaults + NOT NULL: pre-evolution rows read the EXISTS
+    // default (sum_quality proves exactly which rows), explicit values
+    // survive, the violating batch refused pre-publish, time travel
+    // keeps the narrow shape
+    "q_snapshot_defaults" ->
+      """WITH pre AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |post AS (SELECT doc_id, doc_id % 5 AS q FROM documents
+        |         WHERE doc_id >= 300 AND doc_id < 400)
+        |SELECT * FROM (
+        |  SELECT 'default_applied_rows' AS stat,
+        |    (SELECT COUNT(*) FROM pre) AS value
+        |  UNION ALL SELECT 'notnull_refused_nothing_published', CAST(1 AS BIGINT)
+        |  UNION ALL SELECT 'cols_time_travel', CAST(3 AS BIGINT)
+        |  UNION ALL SELECT 'evolve_rewrote_files', CAST(0 AS BIGINT)
+        |  UNION ALL SELECT 'rows_after',
+        |    (SELECT COUNT(*) FROM pre) + (SELECT COUNT(*) FROM post)
+        |  UNION ALL SELECT 'sum_quality',
+        |    7 * (SELECT COUNT(*) FROM pre) +
+        |    (SELECT CAST(SUM(q) AS BIGINT) FROM post)
+        |  UNION ALL SELECT 'sum_doc_after',
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM pre) +
+        |    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM post))
         |ORDER BY stat""".stripMargin,
 
     // hidden partitioning: the week probe's content plus the frozen

@@ -57,6 +57,14 @@ object Maintenance {
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  // NOT NULL tightening must be intercepted: Spark's own CheckAnalysis
+  // refuses nullable→non-nullable ALTERs outright, while this format
+  // enforces NOT NULL as a validated CHECK invariant with the manifest
+  // schema deliberately kept nullable (the null-fill contract)
+  private val SetNotNullRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+SET\s+NOT\s+NULL\s*;?\s*""".r
+  private val DropNotNullRe =
+    """(?is)\s*ALTER\s+TABLE\s+(.+?)\s+ALTER\s+COLUMN\s+`?(\w+)`?\s+DROP\s+NOT\s+NULL\s*;?\s*""".r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase
@@ -102,6 +110,8 @@ object Maintenance {
           Some(AddCheckConstraint(target(t), name, expr.trim))
         case DropConstraintRe(t, name) =>
           Some(DropCheckConstraint(target(t), name))
+        case SetNotNullRe(t, col) => Some(SetNotNull(target(t), col, set = true))
+        case DropNotNullRe(t, col) => Some(SetNotNull(target(t), col, set = false))
         case _ => None // every other ALTER delegates to Spark
       }
       case _ => None
@@ -192,6 +202,14 @@ case class AddCheckConstraint(target: MaintenanceTarget, name: String,
 
 /** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only. */
 case class DropCheckConstraint(target: MaintenanceTarget, name: String)
+    extends LeafNode with Command {
+  override val output: Seq[Attribute] =
+    Maintenance.attrs("version" -> LongType)
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET|DROP NOT NULL` — the invariant
+  * rides the CHECK machinery (add validates existing rows). */
+case class SetNotNull(target: MaintenanceTarget, col: String, set: Boolean)
     extends LeafNode with Command {
   override val output: Seq[Attribute] =
     Maintenance.attrs("version" -> LongType)
@@ -311,6 +329,11 @@ object MaintenanceStrategy extends SparkStrategy {
     case c: DropCheckConstraint => MaintenanceExec(c.output, { spark =>
       val v = SnapshotTable(Maintenance.rootOf(spark, c.target))
         .dropCheckConstraint(c.name)
+      Array(new GenericInternalRow(Array[Any](v)): InternalRow)
+    }) :: Nil
+    case c: SetNotNull => MaintenanceExec(c.output, { spark =>
+      val t = SnapshotTable(Maintenance.rootOf(spark, c.target))
+      val v = if (c.set) t.setNotNull(spark, c.col) else t.dropNotNull(c.col)
       Array(new GenericInternalRow(Array[Any](v)): InternalRow)
     }) :: Nil
     case _ => Nil

@@ -80,6 +80,14 @@ class SnapshotCatalog extends TableCatalog
 
   private def isTable(p: Path): Boolean = Files.isDirectory(p.resolve("_manifests"))
 
+  // declares `CREATE TABLE (c INT DEFAULT 5)` / `ALTER COLUMN ... SET
+  // DEFAULT` legal against this catalog — Spark's analyzer then folds
+  // and validates default expressions before they ever reach us
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -160,10 +168,25 @@ class SnapshotCatalog extends TableCatalog
     val t = SnapshotTable(dirOf(ident).toString)
     val spark = org.apache.spark.sql.SparkSession.active
     // commit an empty v0 carrying the declared schema: the if-absent
-    // DDL contract — immediately readable, typed, zero data files
+    // DDL contract — immediately readable, typed, zero data files.
+    // The manifest schema is recorded NULLABLE throughout (the
+    // null-fill invariant — see doCommit); `NOT NULL` declarations
+    // become enforced CHECK invariants below, and DEFAULT metadata
+    // moves to the `#defaults=` line (toDDL would drop it anyway).
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val bare = StructType(schema.fields.map(f =>
+      f.copy(nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
     t.commit(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bare))
     if (spec.nonEmpty) t.setPartitionSpec(spec)
+    schema.fields.foreach { f =>
+      if (f.metadata.contains(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        t.setColumnDefault(spark, f.name, f.metadata.getString(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+      if (!f.nullable) t.setNotNull(spark, f.name)
+    }
     loadTable(ident)
   }
 
@@ -215,25 +238,53 @@ class SnapshotCatalog extends TableCatalog
     // refuse here) and then applies as ONE atomic commit
     // (SnapshotTable.alterSchema): a concurrent writer landing
     // mid-ALTER can never strand a half-applied change set.
-    val translated: Seq[SnapshotTable.SchemaChange] = changes.map {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // DEFAULT / NOT NULL changes are metadata side effects on the
+    // `#defaults=` / `#checks=` lines, not schema-shape changes —
+    // split them out, apply the shape changes as ONE atomic commit,
+    // then the invariant changes (Spark sends ALTER COLUMN SET
+    // DEFAULT / [SET|DROP] NOT NULL as single-change lists).
+    val effects = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val translated: Seq[SnapshotTable.SchemaChange] = changes.flatMap {
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
-        SnapshotTable.AddCol(org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType(), a.isNullable()))
+        Option(a.defaultValue()).foreach { dv =>
+          val name = a.fieldNames()(0)
+          effects += (() => t.setColumnDefault(spark, name, dv.getSql))
+        }
+        Seq(SnapshotTable.AddCol(org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), a.isNullable())))
       case r: TableChange.RenameColumn if r.fieldNames().length == 1 =>
-        SnapshotTable.RenameCol(r.fieldNames()(0), r.newName())
+        Seq(SnapshotTable.RenameCol(r.fieldNames()(0), r.newName()))
       case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
-        SnapshotTable.DropCol(d.fieldNames()(0))
+        Seq(SnapshotTable.DropCol(d.fieldNames()(0)))
       case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
-        SnapshotTable.WidenCol(u.fieldNames()(0), u.newDataType())
+        Seq(SnapshotTable.WidenCol(u.fieldNames()(0), u.newDataType()))
+      case dv: TableChange.UpdateColumnDefaultValue
+          if dv.fieldNames().length == 1 =>
+        val name = dv.fieldNames()(0)
+        val sql = Option(dv.newDefaultValue()).map(_.trim).getOrElse("")
+        effects += (() =>
+          if (sql.isEmpty) { t.dropColumnDefault(name); () }
+          else { t.setColumnDefault(spark, name, sql); () })
+        Seq.empty
+      case n: TableChange.UpdateColumnNullability
+          if n.fieldNames().length == 1 =>
+        val name = n.fieldNames()(0)
+        effects += (() =>
+          if (n.nullable()) { t.dropNotNull(name); () }
+          else { t.setNotNull(spark, name); () })
+        Seq.empty
       case other =>
         throw new UnsupportedOperationException(
           "snapshot tables support ALTER TABLE ADD COLUMNS (top-level, " +
-            "nullable), RENAME COLUMN, DROP COLUMN and ALTER COLUMN " +
-            "TYPE (lossless widening) only — " +
+            "nullable, optionally with DEFAULT), RENAME COLUMN, DROP " +
+            "COLUMN, ALTER COLUMN TYPE (lossless widening), ALTER " +
+            "COLUMN SET/DROP DEFAULT and SET/DROP NOT NULL only — " +
             s"${other.getClass.getSimpleName} is not supported; evolve " +
             "destructively per-commit with the evolved schema")
     }
-    t.alterSchema(translated)
+    if (translated.nonEmpty) t.alterSchema(translated)
+    effects.foreach(_())
     loadTable(ident)
   }
 

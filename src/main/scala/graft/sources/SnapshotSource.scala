@@ -152,7 +152,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
           require(dvRels.isEmpty,
             s"physicalNames load of $root v$v: snapshot carries deletion " +
               "vectors — only the composed readAt path serves those")
-          val logical = t.schemaDdlOf(v).map(StructType.fromDDL).getOrElse(
+          val logical = t.readSchemaOf(v).getOrElse(
             throw new IllegalStateException(
               s"column-mapped snapshot v$v at $root has no recorded schema"))
           val physSch = SnapshotTable.physicalSchemaUnder(logical, mapping)
@@ -177,10 +177,10 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
         // schema (positionally identical to the logical shape).
         val streamSchema =
           if (mapping.isEmpty) None
-          else t.schemaDdlOf(v).map(StructType.fromDDL)
+          else t.readSchemaOf(v)
             .map(SnapshotTable.physicalSchemaUnder(_, mapping))
         Resolved(s"v$v", files,
-          t.schemaDdlOf(v).map(StructType.fromDDL), t.dataDirPath,
+          t.readSchemaOf(v), t.dataDirPath,
           t.fileStatsOf(v), if (pinned.isEmpty) Some(root) else None,
           dvInfo = if ((!exclude && dvRels.nonEmpty) || mapping.nonEmpty)
             Some((root, v)) else None,
@@ -367,7 +367,7 @@ object SnapshotSource {
     val t = SnapshotTable(root)
     val opts = new CaseInsensitiveStringMap(
       Map("basePath" -> t.dataDirPath).asJava)
-    val schema = t.schemaDdlOf(v).map(StructType.fromDDL)
+    val schema = t.readSchemaOf(v)
     val mk = (files: Seq[String]) => ParquetTable(name, SparkSession.active,
       opts, files, schema, classOf[ParquetFileFormat])
     // head loads (deletable ones) are also the streamable ones: a

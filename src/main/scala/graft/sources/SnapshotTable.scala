@@ -110,7 +110,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
       dv: Map[String, String],         // rel -> raw #dv= line
       colmap: Option[String] = None,   // raw "#colmap=…" line
       checks: Option[String] = None,   // raw "#checks=…" line
-      part: Option[String] = None)     // raw "#part=…" line
+      part: Option[String] = None,     // raw "#part=…" line
+      defaults: Option[String] = None) // raw "#defaults=…" line
 
   private val EmptyState = TableState(None, None, Vector.empty,
     Vector.empty, Vector.empty, Map.empty)
@@ -146,6 +147,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     var colmap: Option[String] = None
     var checks: Option[String] = None
     var part: Option[String] = None
+    var defaults: Option[String] = None
     lines.foreach { l =>
       if (l.isEmpty) ()
       else if (!l.startsWith("#")) files += l
@@ -154,6 +156,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       else if (l.startsWith("#colmap=")) colmap = Some(l)
       else if (l.startsWith("#checks=")) checks = Some(l)
       else if (l.startsWith("#part=")) part = Some(l)
+      else if (l.startsWith("#defaults=")) defaults = Some(l)
       else if (l.startsWith(ZoneMaps.Prefix) || l.startsWith(ZoneMaps.BloomPrefix))
         relOfStat(l).foreach(rel => stat += (rel -> l))
       else if (l.startsWith("#fb=")) relOfFb(l).foreach(rel => fb += (rel -> l))
@@ -162,7 +165,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       // #ts/#op/#tag/#cdc/#base: version-scoped, not state
     }
     TableState(schema, bucketing, files.result(), stat.result(),
-      fb.result(), dv.result(), colmap, checks, part)
+      fb.result(), dv.result(), colmap, checks, part, defaults)
   }
 
   private def applyDelta(prev: TableState, lines: Seq[String],
@@ -196,7 +199,9 @@ final class SnapshotTable(root: String, val store: LogStore) {
       // the partition spec is declarative table state like the
       // mapping: absence carries, a restated (possibly empty) #part=
       // line replaces it
-      part = fresh.part.orElse(prev.part))
+      part = fresh.part.orElse(prev.part),
+      // column DEFAULTs inherit identically
+      defaults = fresh.defaults.orElse(prev.defaults))
   }
 
   /** Render `st` in the FULL-manifest grammar ([[parseFull]]'s input),
@@ -207,6 +212,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
   private def renderState(meta: Seq[String], st: TableState): Seq[String] =
     st.schemaDdl.map(s => s"#schema=$s").toSeq ++ meta ++
       st.colmap.toSeq ++ st.checks.toSeq ++ st.part.toSeq ++
+      st.defaults.toSeq ++
       st.bucketing.toSeq ++ st.fb.map(_._2) ++ st.stat.map(_._2) ++
       st.dv.toSeq.sortBy(_._1).map(_._2) ++ st.files
 
@@ -378,6 +384,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       st.bucketing.foreach(hdr.append("hdr_bucketing", _))
       st.checks.foreach(hdr.append("hdr_checks", _))
       st.part.foreach(hdr.append("hdr_part", _))
+      st.defaults.foreach(hdr.append("hdr_defaults", _))
       w.write(hdr)
       val zmBy = st.stat.filter(_._2.startsWith(ZoneMaps.Prefix)).groupBy(_._1)
       val bfBy = st.stat.filter(_._2.startsWith(ZoneMaps.BloomPrefix)).groupBy(_._1)
@@ -419,6 +426,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       var bucketing: Option[String] = None
       var checks: Option[String] = None
       var part: Option[String] = None
+      var defaults: Option[String] = None
       var g = reader.read()
       while (g != null) {
         def opt(field: String): Option[String] =
@@ -431,6 +439,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
           bucketing = opt("hdr_bucketing")
           checks = opt("hdr_checks")
           part = opt("hdr_part")
+          defaults = opt("hdr_defaults")
         } else {
           if (g.getBoolean("listed", 0)) files += rel
           opt("zm").foreach(_.split('\n').foreach(l => stat += (rel -> l)))
@@ -441,7 +450,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
         g = reader.read()
       }
       TableState(schemaDdl, bucketing, files.result(), stat.result(),
-        fb.result(), dv.result(), colmap, checks, part)
+        fb.result(), dv.result(), colmap, checks, part, defaults)
     } finally reader.close()
   }
 
@@ -863,7 +872,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     * `emptyDataFrame`. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
     val files = resolvedFiles(v) // validates the manifest exists
-    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchemaOf(v) // defaults-enriched: readers fill pre-evolution files
     if (files.isEmpty && schema.isEmpty) spark.emptyDataFrame // table never committed
     else {
       val dvs = dvRelOf(v).view.filterKeys(listing(v).toSet).toMap
@@ -1527,8 +1536,42 @@ final class SnapshotTable(root: String, val store: LogStore) {
       if (ts1 == ts0) None
       else Some(s"#part=${PartitionTransforms.render(ts1)}")
     }
+    // column DEFAULTs and NOT NULL invariants follow their columns the
+    // same way: rename re-keys the default and rewrites the reserved
+    // `__notnull_<col>` constraint; drop removes both. (General CHECK
+    // constraints over a renamed column are the caller's to migrate —
+    // their exprs are free-form SQL; the reserved invariants are ours.)
+    val defaultsRestate: Option[String] = {
+      val d0 = columnDefaultsOf(v)
+      if (d0.isEmpty) None
+      else {
+        val d1 = changes.foldLeft(d0) { (d, ch) => ch match {
+          case SnapshotTable.RenameCol(o, n) =>
+            d.map { case (c, x) => (if (c.equalsIgnoreCase(o)) n else c) -> x }
+          case SnapshotTable.DropCol(n) =>
+            d.filterNot(_._1.equalsIgnoreCase(n))
+          case _ => d
+        }}
+        if (d1 == d0) None else Some(defaultsLine(d1))
+      }
+    }
+    val checksRestate: Option[String] = {
+      val c0 = checkConstraintsOf(v)
+      if (c0.isEmpty) None
+      else {
+        val c1 = changes.foldLeft(c0) { (cs, ch) => ch match {
+          case SnapshotTable.RenameCol(o, n)
+              if cs.contains(notNullName(o)) =>
+            cs - notNullName(o) + (notNullName(n) -> s"$n IS NOT NULL")
+          case SnapshotTable.DropCol(n) => cs - notNullName(n)
+          case _ => cs
+        }}
+        if (c1 == c0) None else Some(checksLine(c1))
+      }
+    }
     val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
       raw.map(colmapLine).toSeq ++ bucketCarry ++ partRestate.toSeq ++
+      defaultsRestate.toSeq ++ checksRestate.toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
     if (!publish(v + 1, lines))
       throw new IllegalStateException(
@@ -1591,6 +1634,154 @@ final class SnapshotTable(root: String, val store: LogStore) {
     maybeAnchor(v + 1)
     v + 1
   }
+
+  // ---- COLUMN DEFAULTS + NOT NULL invariants ------------------------
+  //
+  // The manifest's `#defaults=` line stores per-column DEFAULT values
+  // (Delta/Iceberg's two-default model): the CURRENT default — the
+  // live SQL expression writers apply when an INSERT omits the column
+  // — and the EXISTS default, its value constant-folded AT SET TIME,
+  // which READERS apply to files that physically predate the column.
+  // The reader half rides Spark's own existence-default machinery:
+  // the read schema carries the reserved CURRENT_DEFAULT /
+  // EXISTS_DEFAULT metadata keys, and the parquet readers fill a
+  // missing column per file from EXISTS_DEFAULT instead of null —
+  // per-file exactness with zero extra planning I/O (the file's own
+  // footer says whether it has the column). The writer half rides
+  // Spark's ResolveDefaultColumns through the catalog schema. NOT
+  // NULL is enforced as a named CHECK invariant (reserved
+  // `__notnull_<col>` names): adding VALIDATES existing rows in one
+  // scan, every new-row-version commit enforces at O(batch), and the
+  // manifest schema deliberately STAYS nullable (pre-evolution files
+  // null-fill, and a non-nullable attribute would let the optimizer
+  // constant-fold IsNotNull over data it never checked).
+
+  private def defaultsRawOf(v: Long): Option[String] =
+    if (v < 0 || !store.exists(manifestPath(v))) None
+    else state(v).defaults.map(_.stripPrefix("#defaults="))
+
+  /** Column defaults of snapshot `v`: col → (currentSql, existsSql). */
+  def columnDefaultsOf(v: Long): Map[String, (String, String)] =
+    defaultsRawOf(v).map(_.split(';').toSeq.filter(_.nonEmpty).map { e =>
+      val Array(c, cur, ex) = e.split(":", 3)
+      decU(c) -> ((decU(cur), decU(ex)))
+    }.toMap).getOrElse(Map.empty)
+
+  private def defaultsLine(m: Map[String, (String, String)]): String =
+    "#defaults=" + m.toSeq.sortBy(_._1).map { case (c, (cur, ex)) =>
+      s"${encU(c)}:${encU(cur)}:${encU(ex)}" }.mkString(";")
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr` — metadata-only.
+    * The expression must be constant-foldable (validated HERE via
+    * Spark's own default-column analyzer, which also freezes the
+    * EXISTS default — `current_date()` set today reads as today's date
+    * from pre-evolution files forever, Iceberg's initial-default
+    * semantics). */
+  def setColumnDefault(spark: SparkSession, col: String,
+                       defaultSql: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"setColumnDefault at $root: no committed snapshot")
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(
+        s"setColumnDefault at $root: snapshot v$v has no recorded schema"))
+    val i = schema.fieldNames.indexWhere(_ == col)
+    require(i >= 0, s"setColumnDefault: no column $col in " +
+      schema.fieldNames.mkString("[", ",", "]"))
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val withCur = org.apache.spark.sql.types.StructType(schema.fields.updated(i,
+      schema.fields(i).copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+            defaultSql).build())))
+    // analyzes, type-checks against the column, and constant-folds —
+    // refuses non-foldable or ill-typed expressions loudly
+    val folded = ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(withCur, "ALTER TABLE")
+    val existsSql = folded.fields(i).metadata.getString(
+      ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+    publishDefaults(v, columnDefaultsOf(v) + (col -> ((defaultSql, existsSql))))
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT` — metadata-only;
+    * already-written files keep whatever the writer materialized. */
+  def dropColumnDefault(col: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"dropColumnDefault at $root: no committed snapshot")
+    require(columnDefaultsOf(v).contains(col),
+      s"no DEFAULT on column $col at $root")
+    publishDefaults(v, columnDefaultsOf(v) - col)
+  }
+
+  private def publishDefaults(v: Long,
+                              m: Map[String, (String, String)]): Long = {
+    val lines = Seq(s"#base=$v") ++
+      schemaOf(v).map(sc => s"#schema=$sc").toSeq ++
+      state(v).bucketing.toSeq ++
+      Seq(defaultsLine(m), s"#ts=${System.currentTimeMillis()}", "#op=alter")
+    if (!publish(v + 1, lines))
+      throw new IllegalStateException(
+        s"default change at $root lost the publish race — re-run " +
+          "against the new head")
+    maybeAnchor(v + 1)
+    v + 1
+  }
+
+  /** Reserved CHECK-constraint name enforcing `col IS NOT NULL`. */
+  private def notNullName(col: String): String = s"__notnull_$col"
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET NOT NULL` — rides the CHECK
+    * machinery verbatim: adding VALIDATES every existing live row
+    * (nulls anywhere, including pre-evolution null-fill, refuse the
+    * add) and every subsequent new-row-version commit enforces at
+    * O(batch). */
+  def setNotNull(spark: SparkSession, col: String): Long = {
+    val v = currentVersion()
+    require(v >= 0, s"setNotNull at $root: no committed snapshot")
+    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    require(schema.exists(_.fieldNames.contains(col)),
+      s"setNotNull: no column $col at $root")
+    addCheckConstraint(spark, notNullName(col), s"$col IS NOT NULL")
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c DROP NOT NULL`. */
+  def dropNotNull(col: String): Long = {
+    val v = currentVersion()
+    require(checkConstraintsOf(v).contains(notNullName(col)),
+      s"column $col at $root is not declared NOT NULL")
+    dropCheckConstraint(notNullName(col))
+  }
+
+  /** True iff `col` carries the NOT NULL invariant at `v`. */
+  def isNotNull(v: Long, col: String): Boolean =
+    checkConstraintsOf(v).contains(notNullName(col))
+
+  /** The read-surface schema of snapshot `v`: the manifest DDL
+    * enriched with the reserved default-value metadata keys, so
+    * Spark's parquet readers fill pre-evolution files from the EXISTS
+    * default and INSERT resolution applies the CURRENT default to
+    * omitted columns. */
+  private[sources] def readSchemaOf(v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL).map { sc =>
+      val ds = columnDefaultsOf(v)
+      if (ds.isEmpty) sc
+      else {
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        org.apache.spark.sql.types.StructType(sc.fields.map { f =>
+          ds.get(f.name) match {
+            case None => f
+            case Some((cur, ex)) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putString(
+                  ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, cur)
+                .putString(
+                  ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, ex)
+                .build())
+          }
+        })
+      }
+    }
 
   // ---- CHECK CONSTRAINTS: transactional data-quality gates ----------
   //
@@ -2107,11 +2298,18 @@ final class SnapshotTable(root: String, val store: LogStore) {
         if (replace) None
         else schemaOf(head0).map(org.apache.spark.sql.types.StructType.fromDDL)
           .filter(_.nonEmpty)
+      // the manifest DDL is BARE names+types: a frame read off a
+      // defaults-enriched table carries the reserved CURRENT_DEFAULT /
+      // EXISTS_DEFAULT metadata keys, and toDDL would serialize them
+      // into a `DEFAULT …` clause fromDDL cannot parse back (defaults
+      // live in the #defaults= line, never in the schema line)
+      val bare = org.apache.spark.sql.types.StructType(df.schema.fields.map(
+        _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
       prev match {
-        case None => df.schema
+        case None => bare
         case Some(p) =>
           val byName = p.fields.map(f => f.name -> f).toMap
-          org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+          org.apache.spark.sql.types.StructType(bare.fields.map { f =>
             byName.get(f.name) match {
               case None => f.copy(nullable = true)
               case Some(pf) if pf.dataType != f.dataType &&
@@ -2405,7 +2603,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     val rels = listing(v)
     val dvs = dvRelOf(v).view.filterKeys(rels.toSet).toMap
     val mapping = readMappingOf(v)
-    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchemaOf(v) // defaults-enriched: readers fill pre-evolution files
     def sizeOf(rel: String): Long =
       scala.util.Try(store.size(Paths.get(root).resolve(rel))).getOrElse(0L)
     val selected = rels.filter(rel =>
@@ -2929,7 +3127,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     val mapping = readMappingOf(v)
     val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
-    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchemaOf(v) // defaults-enriched: readers fill pre-evolution files
     def abs(rel: String): String = absPath(rel)
 
     val cond = resolvePredicate(spark, v, condition, schema)
@@ -3116,7 +3314,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     val mapping = readMappingOf(v)
     val zm = logicalZoneMaps(zoneMapsOf(v), mapping)
     val dvs = dvRelOf(v)
-    val schema = schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchemaOf(v) // defaults-enriched: readers fill pre-evolution files
     def abs(rel: String): String = absPath(rel)
 
     // validate SET targets up front — even a no-op update must refuse
@@ -3603,6 +3801,7 @@ object SnapshotTable {
       |  optional binary hdr_bucketing (STRING);
       |  optional binary hdr_checks (STRING);
       |  optional binary hdr_part (STRING);
+      |  optional binary hdr_defaults (STRING);
       |}""".stripMargin
 
   /** Every this-many commits the publisher renders the reconstructed
