@@ -55,7 +55,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                               dvInfo: Option[(String, Long)] = None,
                               bucketing: Option[(String, Int, Map[String, Int])] = None,
                               streamSchema: Option[StructType] = None,
-                              cdcPinnedIds: Map[String, Int] = Map.empty)
+                              cdcPinnedIds: Map[String, Int] = Map.empty,
+                              maxFilesPerTrigger: Option[Int] = None,
+                              maxBytesPerTrigger: Option[Long] = None)
 
   private def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val root = Option(options.get("path")).getOrElse(
@@ -98,7 +100,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       return Resolved(s"cdc_v$v", t.resolvedFiles(v), Some(sch),
         t.dataDirPath, Map.empty, Some(root), cdc = true,
         cdcStartFrom = startFrom, cdcEndAt = endAt,
-        cdcPinnedIds = t.colMapOf(v).map(m => m._3 -> m._1).toMap)
+        cdcPinnedIds = t.colMapOf(v).map(m => m._3 -> m._1).toMap,
+        maxFilesPerTrigger = SnapshotSource.admissionFilesOpt(options),
+        maxBytesPerTrigger = SnapshotSource.admissionBytesOpt(options))
     }
     val from = Option(options.get("changesFrom")).map(_.toLong)
     val to = Option(options.get("changesTo")).map(_.toLong)
@@ -226,7 +230,8 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
     if (r.cdc)
       new SnapshotSource.CdcSnapshotTable(r.streamRoot.get, r.manifestSchema.get,
         schemaTableFactory(options, r.label, r.dataDir),
-        r.cdcStartFrom, r.cdcEndAt, r.cdcPinnedIds)
+        r.cdcStartFrom, r.cdcEndAt, r.cdcPinnedIds,
+        r.maxFilesPerTrigger, r.maxBytesPerTrigger)
     else
       new SnapshotSource.ReadOnlySnapshotTable(r.files, r.zoneMaps,
         tableFactory(options, r.label, r.dataDir,
@@ -238,6 +243,27 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object SnapshotSource {
+  /** maxFilesPerTrigger / maxBytesPerTrigger — the per-trigger
+    * admission caps (Delta's option names): a bulk-loaded version or
+    * a restart over a long backlog splits across micro-batches at
+    * (version, fileIdx) offset granularity instead of arriving as one
+    * giant batch. */
+  private[sources] def admissionFilesOpt(
+      options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive (got $v)")
+      n
+    }
+
+  private[sources] def admissionBytesOpt(
+      options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive (got $v)")
+      n
+    }
+
   /** Per-file deletion-vector cap for the SQL DML verbs — DELETE,
     * UPDATE and MERGE all run merge-on-read by default (matched rows
     * beyond the cap rewrite the file copy-on-write: carrying a vector
@@ -337,7 +363,9 @@ object SnapshotSource {
       mk: (Seq[String], StructType) => ParquetTable,
       startFrom: Option[Long] = None,
       endAt: Option[Long] = None,
-      pinnedIds: Map[String, Int] = Map.empty)
+      pinnedIds: Map[String, Int] = Map.empty,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[Long] = None)
       extends Table with SupportsRead {
     private val shape = cdcSchema(dataSchema)
     override def name(): String = s"graft_snapshot_cdc"
@@ -352,7 +380,8 @@ object SnapshotSource {
           new SnapshotCdcMicroBatchStream(root, shape,
             (fs, sch) => mk(fs, sch)
               .newScanBuilder(CaseInsensitiveStringMap.empty)
-              .build().toBatch, startFrom, endAt, pinnedIds)
+              .build().toBatch, startFrom, endAt, pinnedIds,
+            maxFilesPerTrigger, maxBytesPerTrigger)
       }
   }
 
@@ -567,12 +596,16 @@ object SnapshotSource {
     // COLUMN-MAPPED head streams through the frozen PHYSICAL schema
     // (positionally identical to the logical shape, names only), so
     // appended files resolve their stored names without an alias step
-    private def streamFactory: Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
+    private def streamFactory(options: CaseInsensitiveStringMap)
+        : Option[() => org.apache.spark.sql.connector.read.streaming.MicroBatchStream] =
       streamRoot.map { root => () =>
         val f = mkStream.getOrElse(mk)
         new SnapshotMicroBatchStream(root, fs => f(fs)
           .newScanBuilder(CaseInsensitiveStringMap.empty).build().toBatch,
-          pinned = Some(schema()))
+          pinned = Some(schema()),
+          // per-trigger admission caps ride the readStream options
+          maxFilesPerTrigger = SnapshotSource.admissionFilesOpt(options),
+          maxBytesPerTrigger = SnapshotSource.admissionBytesOpt(options))
       }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val delegate: ScanBuilder =
@@ -580,7 +613,7 @@ object SnapshotSource {
           inner.newScanBuilder(options)
         else new ZoneMaps.ZoneMapScanBuilder(files, zoneMaps,
           fs => (if (fs == files) inner else mk(fs)).newScanBuilder(options),
-          streamFactory, bucketing)
+          streamFactory(options), bucketing)
       dvInfo match {
         case None => delegate
         case Some((root, v)) =>

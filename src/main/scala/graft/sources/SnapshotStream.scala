@@ -7,15 +7,40 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 
-/** A stream position in a [[SnapshotTable]]'s history: the last
-  * snapshot version whose files have been emitted. The manifest's
+/** A stream position in a [[SnapshotTable]]'s history. The manifest's
   * monotonically increasing version number IS the offset domain —
   * total-ordered, durable, and replayable, exactly the properties a
   * Structured Streaming offset needs (compare Delta's reservoir
   * version / Kafka's partition offsets). -1 = before the first
-  * commit (a fresh stream bootstraps the whole table). */
-final case class SnapshotVersionOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+  * commit (a fresh stream bootstraps the whole table).
+  *
+  * ADMISSION CONTROL (round 15) extends the domain MID-VERSION:
+  * `fi >= 0` means "every unit of versions < v emitted, plus the
+  * first `fi` file-units of version v" — the (version, fileIdx) shape
+  * that lets maxFilesPerTrigger/maxBytesPerTrigger split one bulk
+  * commit across triggers (Delta's maxFilesPerTrigger precedent).
+  * `fi = -1` keeps the legacy whole-version meaning ("everything
+  * through v"), and frontier offsets SERIALIZE in the legacy bare
+  * form, so existing checkpoints restart seamlessly and uncapped
+  * streams write byte-identical offsets. */
+final case class SnapshotVersionOffset(v: Long, fi: Long = -1L) extends Offset {
+  override def json(): String = if (fi < 0) v.toString else s"$v:$fi"
+  /** Canonical (nextVersion, unitsAlreadyEmittedOfIt) position. */
+  def canonical: (Long, Long) = if (fi < 0) (v + 1, 0L) else (v, fi)
+}
+
+object SnapshotVersionOffset {
+  def parse(json: String): SnapshotVersionOffset = {
+    val i = json.indexOf(':')
+    if (i < 0) SnapshotVersionOffset(json.toLong)
+    else SnapshotVersionOffset(json.substring(0, i).toLong,
+      json.substring(i + 1).toLong)
+  }
+  /** Render a canonical position as an offset: a full-version frontier
+    * collapses to the legacy bare form. */
+  def at(v: Long, emitted: Long, unitsOfV: Long): SnapshotVersionOffset =
+    if (emitted >= unitsOfV) SnapshotVersionOffset(v)
+    else SnapshotVersionOffset(v, emitted)
 }
 
 /** STREAMING CDC SOURCE for [[SnapshotTable]] — snapshot tables as a
@@ -48,8 +73,11 @@ final case class SnapshotVersionOffset(v: Long) extends Offset {
   * evolution keeps emitting the stream's declared shape instead of
   * whatever a footer draw would resolve. */
 final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch,
-                                     pinned: Option[StructType] = None)
-    extends MicroBatchStream {
+                                     pinned: Option[StructType] = None,
+                                     maxFilesPerTrigger: Option[Int] = None,
+                                     maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val table = SnapshotTable(root)
   // field ids of the pinned logical names (empty when unmapped) — the
@@ -57,16 +85,71 @@ final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch
   private val pinnedIds: Map[String, Int] =
     table.colMapOf(table.currentVersion()).map(m => m._3 -> m._1).toMap
 
+  private def capped: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
   // after a checkpoint restore the engine may hand back a raw
   // SerializedOffset; the json round-trip covers both shapes
-  private def ver(o: Offset): Long = o match {
-    case SnapshotVersionOffset(v) => v
-    case other => other.json().toLong
+  private def off(o: Offset): SnapshotVersionOffset = o match {
+    case s: SnapshotVersionOffset => s
+    case other => SnapshotVersionOffset.parse(other.json())
+  }
+
+  // versions are immutable once committed: one diff per version per
+  // stream handle, however many admission walks revisit it
+  private val unitCache =
+    scala.collection.mutable.HashMap.empty[Long, Seq[String]]
+  private def unitsOf(v: Long): Seq[String] = synchronized {
+    unitCache.getOrElseUpdate(v, table.addedFilesBetween(v - 1, v))
   }
 
   override def initialOffset(): Offset = SnapshotVersionOffset(-1L)
   override def latestOffset(): Offset = SnapshotVersionOffset(table.currentVersion())
-  override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Admission-controlled frontier: walk file-units from `start`
+    * accumulating until a cap trips; always admits at least one unit
+    * per trigger (progress guarantee — Delta's convention), and with
+    * no caps returns the plain head so uncapped streams keep legacy
+    * whole-version offsets. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = table.currentVersion()
+    if (!capped) return SnapshotVersionOffset(head)
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var (cv, ck) = off(start).canonical
+    if (cv > head) return SnapshotVersionOffset(head) // caught up
+    var files = 0
+    var bytes = 0L
+    var full = false
+    while (!full && cv <= head) {
+      val units = unitsOf(cv)
+      while (!full && ck < units.size) {
+        val sz = scala.util.Try(
+          table.store.size(java.nio.file.Paths.get(units(ck.toInt)))).getOrElse(0L)
+        // admit unless a cap already tripped; the first unit of a
+        // trigger always admits (a single file above maxBytes must
+        // still flow, else the stream wedges)
+        if (files > 0 && (files + 1 > maxF || bytes + sz > maxB)) full = true
+        else { files += 1; bytes += sz; ck += 1 }
+      }
+      if (!full && ck >= units.size) {
+        if (cv == head) full = true // frontier reached
+        else { cv += 1; ck = 0 }
+      }
+    }
+    SnapshotVersionOffset.at(cv, ck, unitsOf(cv).size.toLong)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset.parse(json)
   override def commit(end: Offset): Unit = () // checkpoint is the engine's
   override def stop(): Unit = ()
 
@@ -76,12 +159,38 @@ final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch
   @volatile private var planned: Batch = _
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (sv, sk) = off(start).canonical
+    val (ev0, ek0) = off(end).canonical
+    // the version whose bytes this batch actually reads (for the
+    // widening refusal below): the end version itself when the end
+    // cuts into it, else the one before
+    val readThrough = if (ek0 > 0) ev0 else ev0 - 1
     // a mid-stream TYPE WIDENING makes later files wider than the
     // pinned shape; refuse with the restart contract instead of dying
     // in the parquet reader's narrowing conversion
-    pinned.foreach(p => SnapshotTable.refuseIfWidenedPastPinned(
-      table, ver(end), p, pinnedIds, s"snapshot stream at $root"))
-    val files = table.addedFilesBetween(ver(start), ver(end))
+    if (readThrough >= 0)
+      pinned.foreach(p => SnapshotTable.refuseIfWidenedPastPinned(
+        table, readThrough, p, pinnedIds, s"snapshot stream at $root"))
+    val files =
+      if (sv == ev0 || (!capped && sk == 0 && ek0 == 0))
+        // same version (mid-version slice below) or the uncapped
+        // legacy shape: one range diff, exactly as before
+        if (sv == ev0) unitsOf(sv).slice(sk.toInt, ek0.toInt)
+        else table.addedFilesBetween(sv - 1, ev0 - 1)
+      else {
+        // cross-version admission slice: per-version units, boundary
+        // versions cut at their indices
+        val b = Seq.newBuilder[String]
+        var v = sv
+        while (v <= ev0 && (v < ev0 || ek0 > 0)) {
+          val units = unitsOf(v)
+          val from = if (v == sv) sk.toInt else 0
+          val until = if (v == ev0) ek0.toInt else units.size
+          b ++= units.slice(from, until)
+          v += 1
+        }
+        b.result()
+      }
     if (files.isEmpty) { planned = null; Array.empty }
     else { planned = mkBatch(files); planned.planInputPartitions() }
   }
@@ -223,15 +332,35 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
                                         mkBatch: (Seq[String], StructType) => Batch,
                                         startFrom: Option[Long] = None,
                                         endAt: Option[Long] = None,
-                                        pinnedIds: Map[String, Int] = Map.empty)
-    extends MicroBatchStream {
+                                        pinnedIds: Map[String, Int] = Map.empty,
+                                        maxFilesPerTrigger: Option[Int] = None,
+                                        maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private val table = SnapshotTable(root)
 
-  private def ver(o: Offset): Long = o match {
-    case SnapshotVersionOffset(v) => v
-    case other => other.json().toLong
+  private def off(o: Offset): SnapshotVersionOffset = o match {
+    case s: SnapshotVersionOffset => s
+    case other => SnapshotVersionOffset.parse(other.json())
   }
+
+  private def capped: Boolean =
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  // one per-version chunk diff per stream handle (versions are
+  // immutable); the admission walk and the batch planner share it.
+  // Per-version resolution keeps the era-mapping contract: the
+  // stream's own pinned-ID join never consults the range-end logical
+  // names, and id-domain breaks refuse in whichever single-version
+  // range contains them.
+  private val chunkCache =
+    scala.collection.mutable.HashMap.empty[Long, Seq[table.CdcChunk]]
+  private def chunksOf(v: Long): Seq[table.CdcChunk] = synchronized {
+    chunkCache.getOrElseUpdate(v, table.cdcChunksBetween(v - 1, v))
+  }
+  private def unitRelsOf(v: Long): Seq[String] =
+    chunksOf(v).flatMap(_.rels)
 
   // offsets are "last version emitted", so startingVersion v (Delta's
   // inclusive convention) begins at v - 1; default = the current head
@@ -261,7 +390,48 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     val anchor = endAt.fold(initial)(math.min(initial, _))
     SnapshotVersionOffset(math.max(clamped, anchor))
   }
-  override def deserializeOffset(json: String): Offset = SnapshotVersionOffset(json.toLong)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Admission-controlled frontier over the CDC unit domain (the
+    * flattened per-version chunk files): walk from `start` until a
+    * cap trips, never past the endingVersion-clamped frontier; at
+    * least one unit per trigger always admits. Uncapped streams keep
+    * the legacy whole-version clamp verbatim. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val frontier = off(latestOffset()).v // endAt-clamped, legacy form
+    if (!capped) return SnapshotVersionOffset(frontier)
+    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var (cv, ck) = off(start).canonical
+    if (cv > frontier) return SnapshotVersionOffset(frontier)
+    var files = 0
+    var bytes = 0L
+    var full = false
+    while (!full && cv <= frontier) {
+      val units = unitRelsOf(cv)
+      while (!full && ck < units.size) {
+        val sz = scala.util.Try(table.store.size(
+          java.nio.file.Paths.get(table.absPath(units(ck.toInt))))).getOrElse(0L)
+        if (files > 0 && (files + 1 > maxF || bytes + sz > maxB)) full = true
+        else { files += 1; bytes += sz; ck += 1 }
+      }
+      if (!full && ck >= units.size) {
+        if (cv == frontier) full = true
+        else { cv += 1; ck = 0 }
+      }
+    }
+    SnapshotVersionOffset.at(cv, ck, unitRelsOf(cv).size.toLong)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -309,16 +479,47 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
     }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (sv, sk) = off(start).canonical
+    val (ev, ek) = off(end).canonical
     // a checkpoint restored past a (newly added or tightened)
     // endingVersion can hand an inverted range: nothing to emit
-    if (ver(end) <= ver(start)) return Array.empty
+    if (ev < sv || (ev == sv && ek <= sk)) return Array.empty
+    // the version whose bytes this batch actually reads (a mid-version
+    // end cuts INTO ev; a frontier end stops before it)
+    val readThrough = if (ek > 0) ev else ev - 1
     // a TYPE WIDENING landing mid-stream makes files written after it
     // wider than the pinned shape, and a narrowing parquet read dies
     // with an opaque executor conversion error — refuse at planning
     // with the restart contract instead
-    SnapshotTable.refuseIfWidenedPastPinned(table, ver(end), dataSchema,
+    SnapshotTable.refuseIfWidenedPastPinned(table, readThrough, dataSchema,
       pinnedIds, s"change-feed stream at $root")
-    val chunks = table.cdcChunksBetween(ver(start), ver(end))
+    if (sk == 0 && ek == 0)
+      // whole-version range (every uncapped stream): one range diff,
+      // exactly the pre-admission shape
+      return partitionsFor(table.cdcChunksBetween(sv - 1, ev - 1))
+    // admission slice: per-version chunk lists, boundary versions cut
+    // at their unit indices; chunk structure (type stamps, era
+    // mappings, DV subtraction) is preserved per sliced sub-chunk
+    val out = Array.newBuilder[InputPartition]
+    var v = sv
+    while (v <= ev && (v < ev || ek > 0)) {
+      val chunks = chunksOf(v)
+      val from = if (v == sv) sk.toInt else 0
+      val until = if (v == ev && ek > 0) ek.toInt else Int.MaxValue
+      var seen = 0
+      val sliced = chunks.flatMap { c =>
+        val lo = math.max(from - seen, 0)
+        val hi = math.min(math.max(until - seen, 0), c.rels.size)
+        seen += c.rels.size
+        if (lo >= hi) None else Some(c.copy(rels = c.rels.slice(lo, hi)))
+      }
+      out ++= partitionsFor(sliced)
+      v += 1
+    }
+    out.result()
+  }
+
+  private def partitionsFor(chunks: Seq[table.CdcChunk]): Array[InputPartition] = {
     chunks.flatMap { c =>
       // COLUMN-MAPPED chunks plan their delegate batch under the
       // chunk's ERA-PHYSICAL schema — positionally identical to the

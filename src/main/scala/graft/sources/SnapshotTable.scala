@@ -2597,7 +2597,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
     * that publishes NO new version. */
   def optimize(spark: SparkSession,
                smallFileBytes: Long = SnapshotTable.OptimizeSmallFileBytes,
-               targetFiles: Int = 0): SnapshotTable.OptimizeResult = {
+               targetFiles: Int = 0,
+               scope: String => Boolean = _ => true): SnapshotTable.OptimizeResult = {
     val v = currentVersion()
     require(v >= 0, s"optimize at $root: table has no committed snapshot")
     val rels = listing(v)
@@ -2606,8 +2607,12 @@ final class SnapshotTable(root: String, val store: LogStore) {
     val schema = readSchemaOf(v) // defaults-enriched: readers fill pre-evolution files
     def sizeOf(rel: String): Long =
       scala.util.Try(store.size(Paths.get(root).resolve(rel))).getOrElse(0L)
+    // `scope` bounds the treatment to a rel subset — partition-scoped
+    // maintenance (compact yesterday's dust without touching the
+    // year), and the handle two concurrent DISJOINT optimizes use to
+    // both land via the compaction rebase
     val selected = rels.filter(rel =>
-      dvs.contains(rel) || sizeOf(rel) < smallFileBytes)
+      scope(rel) && (dvs.contains(rel) || sizeOf(rel) < smallFileBytes))
     val untouched = rels.filterNot(selected.toSet)
     if (selected.isEmpty || (selected.size == 1 && dvs.isEmpty))
       return SnapshotTable.OptimizeResult(v, 0, rels.size, 0, 0L)
@@ -2631,7 +2636,10 @@ final class SnapshotTable(root: String, val store: LogStore) {
       () => SnapshotTable.deleteRecursively(out),
       // content-neutral by construction: the rewrite names only the
       // files it selected, which no concurrent append can touch
-      (_, _) => true)
+      (_, _) => true,
+      // a concurrent DISJOINT selective optimize rebases underneath;
+      // overlap (it compacted one of OUR files away) refuses
+      removedRels = selected.toSet)
     SnapshotTable.OptimizeResult(committed, filesRewritten = selected.size,
       filesUntouched = untouched.size, filesAdded = newFiles.size,
       dvRowsReclaimed = dvReclaimed)
@@ -3636,18 +3644,34 @@ final class SnapshotTable(root: String, val store: LogStore) {
     * ConcurrentAppend/ConcurrentDeleteException split). */
   private def publishRebaseable(base: Long, bodyLines: Seq[String],
       what: String, cleanup: () => Unit,
-      noMatch: (Seq[String], Long) => Boolean): Long = {
+      noMatch: (Seq[String], Long) => Boolean,
+      removedRels: Set[String] = Set.empty): Long = {
     var target = base + 1
     var attempts = 0
     while (!publish(target, s"#base=${target - 1}" +: bodyLines)) {
       attempts += 1
       val newHead = currentVersion()
       val nonAppend = (target to newHead).filterNot(w => opOf(w).contains("append"))
+      // CONCURRENT SELECTIVE COMPACTIONS rebase too, when provably
+      // DISJOINT (round 15): every file THIS delta removes must still
+      // be listed at the new head (the other compaction touched none
+      // of our selection — a selective optimize carries untouched
+      // files by reference, so a true overlap or a full rewrite drops
+      // them and refuses here) and the mapping must be unchanged (a
+      // normalizing compaction moves the physical names our rewrite
+      // stored). Disjoint bin-packs of one table's junk then ALL land;
+      // anything else — DML, replace, an overlapping optimize, a
+      // constraint/alter commit this rewrite was never validated
+      // against — refuses deterministically exactly as before.
+      val disjointCompacts = nonAppend.nonEmpty && removedRels.nonEmpty &&
+        nonAppend.forall(w => opOf(w).contains("compact")) &&
+        removedRels.subsetOf(state(newHead).files.toSet) &&
+        colMapRawOf(newHead) == colMapRawOf(base)
       // a schema-evolving append is NOT rebasable either: the delta
       // restates the operation's base schema, and applyDelta's
       // restated-schema-wins fold would revert the evolution
       val evolved = schemaOf(newHead) != schemaOf(base)
-      if (nonAppend.nonEmpty || evolved || attempts > 5) {
+      if ((nonAppend.nonEmpty && !disjointCompacts) || evolved || attempts > 5) {
         cleanup()
         throw new IllegalStateException(
           s"$what at $root lost the publish race: a " +
