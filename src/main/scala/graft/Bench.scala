@@ -38,11 +38,21 @@ object Bench {
     * unlucky-FAST), which is what keeps the retry pass from being the
     * one-sided headline-lowering bias the round-8 ADVICE flagged —
     * that and reporting pre_retry_total beside the final total. */
+  /** Round-15 basis-aware trigger (the round-14 verdict's protocol
+    * ask): an IN-CATALOG reference (`ic:` entries in BENCH_REF.json —
+    * recorded by full catalog runs, the same population as the value
+    * under test) compares at 2.0x; only entries without one fall back
+    * to the ISOLATED-sweep reference at 3.0x (quiet-JVM minima carry a
+    * systematic -35..-50% offset vs in-catalog times, so a same-basis
+    * comparison is what keeps the trigger from reading that offset as
+    * phantom drift). */
   private[graft] def isSuspect(ref: Option[Double], med: Double,
-                               t: Double, t1: Double, t2: Double): Boolean =
-    ref match {
-      case Some(r) => t > 3.0 * math.max(r, 0.05)
-      case None =>
+                               t: Double, t1: Double, t2: Double,
+                               icRef: Option[Double] = None): Boolean =
+    (icRef, ref) match {
+      case (Some(ic), _) => t > 2.0 * math.max(ic, 0.05)
+      case (None, Some(r)) => t > 3.0 * math.max(r, 0.05)
+      case (None, None) =>
         val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
         ratio > 2.0 && t > 3.0 * med && t > 1.0
     }
@@ -176,19 +186,26 @@ object Bench {
     //    60 s quiesce — weather must now straddle three windows
     //    spread across the session to survive into the recording.
     val refPath = java.nio.file.Paths.get("BENCH_REF.json")
-    val benchRef: Map[String, Double] =
+    val allRef: Map[String, Double] =
       if (java.nio.file.Files.exists(refPath)) {
         val txt = java.nio.file.Files.readString(refPath)
         """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
+    // two reference BASES per query: the plain entry is the isolated
+    // RefSweep minimum; `ic:`-prefixed entries are in-catalog minima
+    // from full-bench recordings — triggers prefer the same-basis one
+    val benchRef: Map[String, Double] =
+      allRef.view.filterKeys(!_.startsWith("ic:")).toMap
+    val inCatRef: Map[String, Double] = allRef.collect {
+      case (k, v) if k.startsWith("ic:") => k.stripPrefix("ic:") -> v }
     val med = {
       val ts = firstPass.map(_._2).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
     def suspect(n: String, t: Double): Boolean = {
       val (t1, t2) = runs.find(_._1 == n).map(r => (r._2, r._4)).get
-      Bench.isSuspect(benchRef.get(n), med, t, t1, t2)
+      Bench.isSuspect(benchRef.get(n), med, t, t1, t2, inCatRef.get(n))
     }
     def retryPair(names: Set[String]): Map[String, (Double, Long)] =
       order.filter(o => names(o._1)).map { case (name, fn) =>
@@ -234,8 +251,12 @@ object Bench {
     // min-only, so a stable-but-heavy entry without a reference never
     // loops, and the pre_retry_total keeps the total adjustment
     // transparent.
+    // tier-3 keys on the SAME-BASIS reference first: 1.5x an
+    // in-catalog recording is genuine drift; 2x the isolated minimum
+    // only applies where no in-catalog basis exists yet
     val suspects3 = afterR2.filter { case (n, t, _) =>
-      benchRef.get(n).exists(r => t > 2.0 * math.max(r, 0.05))
+      inCatRef.get(n).map(ic => t > 1.5 * math.max(ic, 0.05))
+        .getOrElse(benchRef.get(n).exists(r => t > 2.0 * math.max(r, 0.05)))
     }.map(_._1).toSet
     if (suspects3.nonEmpty) { System.gc(); Thread.sleep(30000) }
     val retry3 = retryPair(suspects3)
