@@ -169,7 +169,20 @@ final class HadoopFsLogStore extends LogStore {
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(bytes) finally out.close()
-    try { fc.rename(tmp, dst); true } // default Options.Rename.NONE
+    // HDFS implements Rename.NONE atomically in the NameNode; the
+    // LOCAL scheme (RawLocalFs — the spec battery's transport) is a
+    // check-then-rename whose window a concurrent same-JVM writer
+    // could slip through, and POSIX rename(2) would then silently
+    // REPLACE the winner — serialize same-JVM publishes to the same
+    // target through an interned monitor. CROSS-process local races
+    // remain the POSIX store's job (its hard link is the atomic local
+    // primitive and the default for local roots); this adapter's
+    // design point is the schemes whose rename is atomic.
+    val monitor = HadoopFsLogStore.publishMonitor(path)
+    try monitor.synchronized {
+      if (fc.util().exists(dst)) { fc.delete(tmp, false); return false }
+      fc.rename(tmp, dst); true // default Options.Rename.NONE
+    }
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
           _: java.nio.file.FileAlreadyExistsException |
@@ -217,6 +230,18 @@ final class HadoopFsLogStore extends LogStore {
   override def name: String = "hadoop-fs"
 }
 
+object HadoopFsLogStore {
+  // interned per-target monitors for the local-scheme publish window;
+  // bounded: keyed by the target file name only (manifest names are
+  // v<digits>.json — collisions across tables just over-serialize)
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def publishMonitor(p: java.nio.file.Path): Object = {
+    if (monitors.size > 1024) monitors.clear() // monitors are stateless
+    monitors.computeIfAbsent(p.getFileName.toString, _ => new Object)
+  }
+}
+
 object LogStore {
   val posix: LogStore = PosixLogStore
   val hadoopFs: LogStore = new HadoopFsLogStore
@@ -229,21 +254,24 @@ object LogStore {
 
   // roots OPENED with an explicit store pin it here, so internal
   // re-constructions (catalog loads, DML rules, maintenance verbs)
-  // of the same root resolve the same commit primitive. Best-effort
-  // pinning with a hard cap — on overflow the oldest pins drop and
-  // those roots fall back to the default-store rule.
+  // of the same root resolve the same commit primitive. Bounded
+  // ACCESS-ORDER LRU: on overflow only the least-recently-RESOLVED
+  // pin drops (scratch roots from bench reps churn through; a live
+  // table's pin is refreshed by every forRoot hit, so it never falls
+  // back mid-lineage to a different publish primitive).
   private val pinned =
-    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+    new java.util.LinkedHashMap[String, LogStore](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, LogStore]): Boolean = size > 4096
+    }
 
-  private[sources] def pin(root: String, store: LogStore): Unit = {
-    if (pinned.size > 4096) pinned.clear()
-    pinned.put(root, store); ()
-  }
+  private[sources] def pin(root: String, store: LogStore): Unit =
+    pinned.synchronized { pinned.put(root, store); () }
 
   /** Resolve the store for `root`: an explicit pin wins, then the
     * [[DefaultProp]] system property, then POSIX. */
   def forRoot(root: String): LogStore =
-    Option(pinned.get(root)).getOrElse(
+    Option(pinned.synchronized(pinned.get(root))).getOrElse(
       sys.props.get(DefaultProp) match {
         case Some("hadoop-fs") | Some("hadoop") => hadoopFs
         case _ => posix

@@ -323,14 +323,25 @@ object PartitionTransforms {
     * transform tuple plus a spread key (one hot partition value still
     * fans out across tasks; AQE coalesces the dust of small batches).
     * Sound regardless of layout — clustering affects only how tight
-    * each file's derived tuple bounds come out. */
+    * each file's derived tuple bounds come out.
+    *
+    * The spread key is a DETERMINISTIC row-content hash, never
+    * monotonically_increasing_id(): a nondeterministic shuffle key
+    * re-deals rows on task retry (the SPARK-23207 class — recomputed
+    * upstream partitions land rows in different range partitions than
+    * already-committed task outputs, duplicating or losing them). */
   def cluster(df: DataFrame, ts: Seq[PT]): DataFrame = {
     val schema = df.schema
     val cols = ts.flatMap { t =>
       schema.fields.find(_.name == t.source).map(f => valueColumn(t, f.dataType))
     }
     if (cols.isEmpty) df
-    else df.repartitionByRange(
-      (cols :+ org.apache.spark.sql.functions.monotonically_increasing_id()): _*)
+    else {
+      val spread = org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          df.columns.toIndexedSeq.map(col): _*),
+        lit(4096))
+      df.repartitionByRange((cols :+ spread): _*)
+    }
   }
 }

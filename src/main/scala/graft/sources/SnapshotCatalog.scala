@@ -165,29 +165,59 @@ class SnapshotCatalog extends TableCatalog
     val spec = partitions.map(transformToSpec).mkString(",")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    // VALIDATE EVERYTHING BEFORE the v0 commit: a bad PARTITIONED BY
+    // transform or an ill-typed DEFAULT must refuse while the table
+    // does not exist yet — half-creating it would block the corrected
+    // re-CREATE with TableAlreadyExists
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    if (spec.nonEmpty)
+      PartitionTransforms.validate(PartitionTransforms.parse(spec), schema)
+    ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(schema, "CREATE TABLE")
     val t = SnapshotTable(dirOf(ident).toString)
     val spark = org.apache.spark.sql.SparkSession.active
-    // commit an empty v0 carrying the declared schema: the if-absent
-    // DDL contract — immediately readable, typed, zero data files.
-    // The manifest schema is recorded NULLABLE throughout (the
-    // null-fill invariant — see doCommit); `NOT NULL` declarations
-    // become enforced CHECK invariants below, and DEFAULT metadata
-    // moves to the `#defaults=` line (toDDL would drop it anyway).
-    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
-    val bare = StructType(schema.fields.map(f =>
-      f.copy(nullable = true,
-        metadata = org.apache.spark.sql.types.Metadata.empty)))
-    t.commit(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bare))
-    if (spec.nonEmpty) t.setPartitionSpec(spec)
-    schema.fields.foreach { f =>
-      if (f.metadata.contains(
-          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
-        t.setColumnDefault(spark, f.name, f.metadata.getString(
-          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
-      if (!f.nullable) t.setNotNull(spark, f.name)
+    try {
+      // commit an empty v0 carrying the declared schema: the if-absent
+      // DDL contract — immediately readable, typed, zero data files.
+      // The manifest schema is recorded NULLABLE throughout (the
+      // null-fill invariant — see doCommit); `NOT NULL` declarations
+      // become enforced CHECK invariants below, and DEFAULT metadata
+      // moves to the `#defaults=` line (toDDL would drop it anyway).
+      val bare = StructType(schema.fields.map(f =>
+        f.copy(nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+      t.commit(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bare))
+      if (spec.nonEmpty) t.setPartitionSpec(spec)
+      schema.fields.foreach { f =>
+        if (f.metadata.contains(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+          t.setColumnDefault(spark, f.name, f.metadata.getString(
+            ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        if (!f.nullable) t.setNotNull(spark, f.name)
+      }
+    } catch { case e: Throwable =>
+      // all-or-nothing CREATE: tear the half-created dir down so a
+      // corrected statement can re-run
+      SnapshotTable.deleteRecursively(dirOf(ident))
+      throw e
     }
     loadTable(ident)
+  }
+
+  /** Eager DEFAULT validation (parse, analyze, type-check,
+    * constant-fold) against a single-field schema — throws before any
+    * commit when the expression is unusable. */
+  private def validateDefault(col: String,
+      dt: org.apache.spark.sql.types.DataType, sql: String): Unit = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val one = StructType(Seq(org.apache.spark.sql.types.StructField(col, dt,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+          sql).build())))
+    ResolveDefaultColumns
+      .constantFoldCurrentDefaultsToExistDefaults(one, "ALTER TABLE")
+    ()
   }
 
   private def transformToSpec(tr: Transform): String = {
@@ -249,6 +279,12 @@ class SnapshotCatalog extends TableCatalog
       case a: TableChange.AddColumn if a.fieldNames().length == 1 =>
         Option(a.defaultValue()).foreach { dv =>
           val name = a.fieldNames()(0)
+          // validate the expression BEFORE the schema commit: the
+          // common failure (bad/ill-typed DEFAULT) must refuse while
+          // nothing has been applied; publishDefaults then retries
+          // transient races, so only a JVM death between the two
+          // commits can strand the column default
+          validateDefault(name, a.dataType(), dv.getSql)
           effects += (() => t.setColumnDefault(spark, name, dv.getSql))
         }
         Seq(SnapshotTable.AddCol(org.apache.spark.sql.types.StructField(
@@ -263,6 +299,10 @@ class SnapshotCatalog extends TableCatalog
           if dv.fieldNames().length == 1 =>
         val name = dv.fieldNames()(0)
         val sql = Option(dv.newDefaultValue()).map(_.trim).getOrElse("")
+        if (sql.nonEmpty)
+          t.readSchemaOf(t.currentVersion())
+            .flatMap(_.fields.find(_.name == name))
+            .foreach(f => validateDefault(name, f.dataType, sql))
         effects += (() =>
           if (sql.isEmpty) { t.dropColumnDefault(name); () }
           else { t.setColumnDefault(spark, name, sql); () })

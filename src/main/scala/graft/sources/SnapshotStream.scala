@@ -43,6 +43,79 @@ object SnapshotVersionOffset {
     else SnapshotVersionOffset(v, emitted)
 }
 
+/** The ONE admission-control walk both snapshot streams share:
+  * accumulate file-units from `start` toward `frontier` until a cap
+  * trips; at least one unit per trigger always admits (a single file
+  * above maxBytes must still flow, else the stream wedges). The
+  * engine-passed [[ReadLimit]] is honored first: `allAvailable()` —
+  * Trigger.Once / AvailableNow semantics — returns the uncapped
+  * frontier regardless of the configured caps, and a `maxFiles` limit
+  * (the engine echoing [[getDefaultReadLimit]], possibly tightened by
+  * a wrapper) bounds the file count. */
+/** Bytes-per-trigger as a connector [[ReadLimit]] — the interface has
+  * maxFiles/maxRows shapes but no bytes, so the byte cap rides a
+  * custom limit exactly as Delta's does; composed with maxFiles via
+  * ReadLimit.compositeLimit when both are set. */
+private[sources] final case class ReadMaxBytes(bytes: Long)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+private[sources] object AdmissionWalk {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+
+  /** The streams' default limit: both caps composed, or allAvailable
+    * when uncapped. */
+  def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long]): ReadLimit = {
+    val ls: Seq[ReadLimit] = maxFiles.map(ReadLimit.maxFiles(_): ReadLimit).toSeq ++
+      maxBytes.map(ReadMaxBytes(_): ReadLimit).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def limitFiles(limit: ReadLimit): Option[Int] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case m: ReadMaxFiles => m.maxFiles() }
+    case _ => None
+  }
+
+  private def limitBytes(limit: ReadLimit): Option[Long] = limit match {
+    case b: ReadMaxBytes => Some(b.bytes)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case b: ReadMaxBytes => b.bytes }
+    case _ => None
+  }
+
+  def walk(start: SnapshotVersionOffset, frontier: Long,
+           unitsOf: Long => Seq[String], sizeOf: String => Long,
+           limit: ReadLimit): SnapshotVersionOffset = {
+    if (limit.isInstanceOf[ReadAllAvailable]) // Trigger.Once completeness
+      return SnapshotVersionOffset(frontier)
+    val maxF = limitFiles(limit).getOrElse(Int.MaxValue)
+    val maxB = limitBytes(limit).getOrElse(Long.MaxValue)
+    var (cv, ck) = start.canonical
+    if (cv > frontier) return SnapshotVersionOffset(frontier)
+    var files = 0
+    var bytes = 0L
+    var full = false
+    while (!full && cv <= frontier) {
+      val units = unitsOf(cv)
+      while (!full && ck < units.size) {
+        val sz = sizeOf(units(ck.toInt))
+        if (files > 0 && (files + 1 > maxF || bytes + sz > maxB)) full = true
+        else { files += 1; bytes += sz; ck += 1 }
+      }
+      if (!full && ck >= units.size) {
+        if (cv == frontier) full = true
+        else { cv += 1; ck = 0 }
+      }
+    }
+    SnapshotVersionOffset.at(cv, ck, unitsOf(cv).size.toLong)
+  }
+}
+
 /** STREAMING CDC SOURCE for [[SnapshotTable]] — snapshot tables as a
   * Structured Streaming micro-batch source:
   *
@@ -107,50 +180,35 @@ final class SnapshotMicroBatchStream(root: String, mkBatch: Seq[String] => Batch
   override def latestOffset(): Offset = SnapshotVersionOffset(table.currentVersion())
 
   override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
-    import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
-  }
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    AdmissionWalk.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
 
   /** Admission-controlled frontier: walk file-units from `start`
-    * accumulating until a cap trips; always admits at least one unit
-    * per trigger (progress guarantee — Delta's convention), and with
-    * no caps returns the plain head so uncapped streams keep legacy
-    * whole-version offsets. */
+    * accumulating until a cap from the engine-passed limit trips;
+    * always admits at least one unit per trigger (progress guarantee —
+    * Delta's convention), with `allAvailable()` (Trigger.Once) and
+    * uncapped streams returning the plain head so legacy whole-version
+    * offsets stay byte-identical. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = table.currentVersion()
     if (!capped) return SnapshotVersionOffset(head)
-    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
-    var (cv, ck) = off(start).canonical
-    if (cv > head) return SnapshotVersionOffset(head) // caught up
-    var files = 0
-    var bytes = 0L
-    var full = false
-    while (!full && cv <= head) {
-      val units = unitsOf(cv)
-      while (!full && ck < units.size) {
-        val sz = scala.util.Try(
-          table.store.size(java.nio.file.Paths.get(units(ck.toInt)))).getOrElse(0L)
-        // admit unless a cap already tripped; the first unit of a
-        // trigger always admits (a single file above maxBytes must
-        // still flow, else the stream wedges)
-        if (files > 0 && (files + 1 > maxF || bytes + sz > maxB)) full = true
-        else { files += 1; bytes += sz; ck += 1 }
-      }
-      if (!full && ck >= units.size) {
-        if (cv == head) full = true // frontier reached
-        else { cv += 1; ck = 0 }
-      }
-    }
-    SnapshotVersionOffset.at(cv, ck, unitsOf(cv).size.toLong)
+    AdmissionWalk.walk(off(start), head, unitsOf,
+      u => scala.util.Try(
+        table.store.size(java.nio.file.Paths.get(u))).getOrElse(0L),
+      limit)
   }
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset.parse(json)
-  override def commit(end: Offset): Unit = () // checkpoint is the engine's
+  override def commit(end: Offset): Unit = synchronized {
+    // the walk never revisits versions below the committed offset —
+    // drop their cached unit lists so a weeks-long capped stream
+    // doesn't retain every admitted version's file list
+    val (cv, _) = off(end).canonical
+    unitCache.filterInPlace { case (v, _) => v >= cv }
+    ()
+  }
   override def stop(): Unit = ()
 
   // planInputPartitions(start, end) then createReaderFactory() is the
@@ -392,47 +450,32 @@ final class SnapshotCdcMicroBatchStream(root: String, cdcSchema: StructType,
   }
 
   override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
-    import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    maxFilesPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
-  }
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    AdmissionWalk.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
 
   /** Admission-controlled frontier over the CDC unit domain (the
     * flattened per-version chunk files): walk from `start` until a
-    * cap trips, never past the endingVersion-clamped frontier; at
-    * least one unit per trigger always admits. Uncapped streams keep
-    * the legacy whole-version clamp verbatim. */
+    * cap from the engine-passed limit trips, never past the
+    * endingVersion-clamped frontier; at least one unit per trigger
+    * always admits. Uncapped streams keep the legacy whole-version
+    * clamp verbatim. */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val frontier = off(latestOffset()).v // endAt-clamped, legacy form
     if (!capped) return SnapshotVersionOffset(frontier)
-    val maxF = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-    val maxB = maxBytesPerTrigger.getOrElse(Long.MaxValue)
-    var (cv, ck) = off(start).canonical
-    if (cv > frontier) return SnapshotVersionOffset(frontier)
-    var files = 0
-    var bytes = 0L
-    var full = false
-    while (!full && cv <= frontier) {
-      val units = unitRelsOf(cv)
-      while (!full && ck < units.size) {
-        val sz = scala.util.Try(table.store.size(
-          java.nio.file.Paths.get(table.absPath(units(ck.toInt))))).getOrElse(0L)
-        if (files > 0 && (files + 1 > maxF || bytes + sz > maxB)) full = true
-        else { files += 1; bytes += sz; ck += 1 }
-      }
-      if (!full && ck >= units.size) {
-        if (cv == frontier) full = true
-        else { cv += 1; ck = 0 }
-      }
-    }
-    SnapshotVersionOffset.at(cv, ck, unitRelsOf(cv).size.toLong)
+    AdmissionWalk.walk(off(start), frontier, unitRelsOf,
+      u => scala.util.Try(table.store.size(
+        java.nio.file.Paths.get(table.absPath(u)))).getOrElse(0L),
+      limit)
   }
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset.parse(json)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = synchronized {
+    val (cv, _) = off(end).canonical
+    chunkCache.filterInPlace { case (v, _) => v >= cv }
+    ()
+  }
   override def stop(): Unit = ()
 
   // the stream's declared DATA shape (cdcSchema minus the two stamps),

@@ -1569,7 +1569,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
         if (c1 == c0) None else Some(checksLine(c1))
       }
     }
-    val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
+    val lines = Seq(s"#base=$v", s"#schema=${SnapshotTable.bareDdl(schema)}") ++
       raw.map(colmapLine).toSeq ++ bucketCarry ++ partRestate.toSeq ++
       defaultsRestate.toSeq ++ checksRestate.toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=alter")
@@ -1623,7 +1623,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     // metadata-only delta: schema restated (delta invariant), the
     // bucketing header CARRIED explicitly (absence would demote it —
     // a spec change never touches the bucket layout)
-    val lines = Seq(s"#base=$v", s"#schema=${schema.toDDL}") ++
+    val lines = Seq(s"#base=$v", s"#schema=${SnapshotTable.bareDdl(schema)}") ++
       state(v).bucketing.toSeq ++
       Seq(s"#part=${PartitionTransforms.render(ts)}",
         s"#ts=${System.currentTimeMillis()}", "#op=alter")
@@ -1699,7 +1699,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
       .constantFoldCurrentDefaultsToExistDefaults(withCur, "ALTER TABLE")
     val existsSql = folded.fields(i).metadata.getString(
       ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
-    publishDefaults(v, columnDefaultsOf(v) + (col -> ((defaultSql, existsSql))))
+    publishDefaults(m => m + (col -> ((defaultSql, existsSql))), Some(col))
   }
 
   /** `ALTER TABLE ... ALTER COLUMN c DROP DEFAULT` — metadata-only;
@@ -1709,21 +1709,37 @@ final class SnapshotTable(root: String, val store: LogStore) {
     require(v >= 0, s"dropColumnDefault at $root: no committed snapshot")
     require(columnDefaultsOf(v).contains(col),
       s"no DEFAULT on column $col at $root")
-    publishDefaults(v, columnDefaultsOf(v) - col)
+    publishDefaults(m => m - col, None)
   }
 
-  private def publishDefaults(v: Long,
-                              m: Map[String, (String, String)]): Long = {
-    val lines = Seq(s"#base=$v") ++
-      schemaOf(v).map(sc => s"#schema=$sc").toSeq ++
-      state(v).bucketing.toSeq ++
-      Seq(defaultsLine(m), s"#ts=${System.currentTimeMillis()}", "#op=alter")
-    if (!publish(v + 1, lines))
-      throw new IllegalStateException(
-        s"default change at $root lost the publish race — re-run " +
-          "against the new head")
-    maybeAnchor(v + 1)
-    v + 1
+  /** Publish a defaults mutation as a metadata-only delta, RETRYING a
+    * lost publish race against the new head (the mutation recomputes
+    * from the fresh state, so a concurrent default change is never
+    * clobbered) — what keeps an `ALTER ... ADD COLUMN ... DEFAULT`
+    * from stranding its column default behind a transient race. A
+    * `requireCol` that a concurrent ALTER dropped refuses instead. */
+  private def publishDefaults(
+      mutate: Map[String, (String, String)] => Map[String, (String, String)],
+      requireCol: Option[String]): Long = {
+    var attempts = 0
+    while (true) {
+      val v = currentVersion()
+      requireCol.foreach(c => require(
+        schemaOf(v).map(org.apache.spark.sql.types.StructType.fromDDL)
+          .exists(_.fieldNames.contains(c)),
+        s"default change at $root: column $c no longer exists " +
+          "(a concurrent ALTER dropped it)"))
+      val lines = Seq(s"#base=$v") ++
+        schemaOf(v).map(sc => s"#schema=$sc").toSeq ++
+        state(v).bucketing.toSeq ++
+        Seq(defaultsLine(mutate(columnDefaultsOf(v))),
+          s"#ts=${System.currentTimeMillis()}", "#op=alter")
+      if (publish(v + 1, lines)) { maybeAnchor(v + 1); return v + 1 }
+      attempts += 1
+      require(attempts <= 5,
+        s"default change at $root lost 5 publish races — re-run")
+    }
+    -1L // unreachable
   }
 
   /** Reserved CHECK-constraint name enforcing `col IS NOT NULL`. */
@@ -1797,8 +1813,11 @@ final class SnapshotTable(root: String, val store: LogStore) {
   // expressed over LOGICAL names; on a column-mapped table the batch
   // scan aliases back before evaluating, so the expr never rewrites.
   // Carried by the fold like the mapping; compaction carries them
-  // (content-identical), a user replace drops them with the rest of
-  // the prior state; time travel keeps each snapshot's own set.
+  // (content-identical), and since round 15 a USER REPLACE carries
+  // them too (a declarative table property, like the partition spec
+  // and column defaults — Delta keeps constraints across INSERT
+  // OVERWRITE) with the replacing batch validated against the carried
+  // set; time travel keeps each snapshot's own.
 
   /** Named CHECK constraints of snapshot `v`: name → boolean SQL. */
   def checkConstraintsOf(v: Long): Map[String, String] =
@@ -2373,14 +2392,18 @@ final class SnapshotTable(root: String, val store: LogStore) {
       writeBatch(toWrite, bucketingPhys, bloomKeysPhys, bloomItems,
         partCluster = partCluster)
     // CHECK constraints gate every batch of NEW row versions before it
-    // can publish (a replace drops the prior state, constraints
-    // included, so only appends validate here; rewrites validate at
-    // their own call sites). A tagged batch whose tag ALREADY
+    // can publish (rewrites validate at their own call sites). A
+    // tagged batch whose tag ALREADY
     // committed skips validation too: the replay contract is a silent
     // no-op, and a constraint added after the original commit must not
     // turn the idempotent skip into a spurious failure (the publish
     // loop below re-checks the tag and discards the batch unpublished).
-    if (!replace && !tag.exists(tagCommittedUpTo(_, currentVersion())))
+    // …including a USER REPLACE since round 15 (the constraint set
+    // SURVIVES the replace — see the declarative-property carry below
+    // — so the replacing rows must satisfy it; a compaction is
+    // content-identical and skips, exactly as row removals always did)
+    if (!(replace && op.contains("compact")) &&
+        !tag.exists(tagCommittedUpTo(_, currentVersion())))
       try enforceChecks(df.sparkSession, newFiles, mapUsed, head0)
       catch { case e: Throwable =>
         SnapshotTable.deleteRecursively(out); throw e }
@@ -2480,20 +2503,40 @@ final class SnapshotTable(root: String, val store: LogStore) {
           case None => Seq.empty
         }
         val meta = tag.map(t => s"#tag=$t").toSeq ++
-          Seq(s"#schema=${recordedSchema.toDDL}",
+          Seq(s"#schema=${SnapshotTable.bareDdl(recordedSchema)}",
             s"#ts=${System.currentTimeMillis()}",
             s"#op=${op.getOrElse(if (replace) "replace" else "append")}") ++
           colmapOverride.toSeq ++ checksOverride.toSeq ++
           bucketLines
+        // DECLARATIVE TABLE PROPERTIES survive a replace (round 15 —
+        // Delta keeps partitioning, constraints AND defaults across
+        // INSERT OVERWRITE; only the data and its per-file state are
+        // replaced): the partition spec restates verbatim (validated
+        // above), column DEFAULTs restate filtered to columns the
+        // replacing schema still has, and CHECK constraints restate
+        // unless an override (compaction's carry) already did — a
+        // constraint over a column the new schema dropped refuses
+        // loudly at this commit's own enforcement pass below.
+        val defaultsCarry: Seq[String] =
+          if (!isFull) Seq.empty
+          else {
+            val kept = columnDefaultsOf(head0).view
+              .filterKeys(recordedSchema.fieldNames.toSet).toMap
+            if (kept.isEmpty) Seq.empty else Seq(defaultsLine(kept))
+          }
+        val checksCarry: Seq[String] =
+          if (!isFull || checksOverride.nonEmpty) Seq.empty
+          else checksAtWrite.toSeq
         val lines =
           if (isFull)
-            // self-contained manifest — a replace drops the whole prior
-            // state (listing, stats, and every deletion vector, which
-            // is exactly how compaction MATERIALIZES deletes away)
-            // EXCEPT the partition spec, restated below; the first
-            // commit has no prior state to delta against; a rebased
-            // rewrite carries the disjoint appends' files
+            // self-contained manifest — a replace drops the prior
+            // LISTING, stats, and every deletion vector (which is
+            // exactly how compaction MATERIALIZES deletes away); the
+            // declarative properties above restate; the first commit
+            // has no prior state to delta against; a rebased rewrite
+            // carries the disjoint appends' files
             meta ++ partAtWrite.map(pp => s"#part=$pp").toSeq ++
+              defaultsCarry ++ checksCarry ++
               zmNew ++ carryStats ++ newFiles ++ carryRels
           else
             // DELTA: O(new files) lines however large the table is
@@ -2627,7 +2670,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
       writeBatch(toPhysical(live, mapping).repartition(nOut),
         partCluster = false)
     val dvReclaimed = selected.flatMap(dvs.get).map(_.count).sum
-    val bodyLines = schema.map(sc => s"#schema=${sc.toDDL}").toSeq ++
+    val bodyLines = schema.map(sc =>
+        s"#schema=${SnapshotTable.bareDdl(sc)}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=compact") ++
       zmNew ++
       selected.map(rel => s"#rm=$rel") ++
@@ -3063,7 +3107,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
     // #rm for the rewritten files, replacement #dv lines for the
     // DV-class files (union done executor-side in dvMaterialize),
     // stats + #add for the fresh batch
-    val bodyLines = Seq(s"#schema=${schema.toDDL}",
+    val bodyLines = Seq(s"#schema=${SnapshotTable.bareDdl(schema)}",
         s"#ts=${System.currentTimeMillis()}", "#op=merge") ++
       mapLineOut ++
       zmNew ++
@@ -3229,7 +3273,8 @@ final class SnapshotTable(root: String, val store: LogStore) {
     // rewritten files leave via #rm — O(touched) lines total, which is
     // what makes a retention sweep on a million-file table commit
     // kilobytes
-    val bodyLines = schema.map(s => s"#schema=${s.toDDL}").toSeq ++
+    val bodyLines = schema.map(s =>
+        s"#schema=${SnapshotTable.bareDdl(s)}").toSeq ++
       Seq(s"#ts=${System.currentTimeMillis()}", "#op=delete") ++
       zmNew ++
       dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
@@ -3436,7 +3481,7 @@ final class SnapshotTable(root: String, val store: LogStore) {
 
     // DELTA manifest, same shape as deleteWhere: kept files (stats,
     // carried vectors) ride the fold, O(touched) lines written
-    val bodyLines = Seq(s"#schema=${sch.toDDL}",
+    val bodyLines = Seq(s"#schema=${SnapshotTable.bareDdl(sch)}",
         s"#ts=${System.currentTimeMillis()}", "#op=update") ++
       zmNew ++
       dvClass.map(rel => DeletionVectors.lineOf(rel, dvNew(rel))) ++
@@ -3714,6 +3759,17 @@ final class SnapshotTable(root: String, val store: LogStore) {
 }
 
 object SnapshotTable {
+  /** The manifest `#schema=` line is BARE names+types: a schema that
+    * traveled through the defaults-enriched read surface carries the
+    * reserved CURRENT_DEFAULT/EXISTS_DEFAULT metadata keys, and
+    * Spark's toDDL renders them as a `DEFAULT …` clause that
+    * fromDDL CANNOT parse back — recording it would brick the table
+    * (every later schemaOf() throws). Every `#schema=` render goes
+    * through this strip. */
+  private[sources] def bareDdl(sc: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(sc.fields.map(
+      _.copy(metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+
   /** Open `root` with the store [[LogStore.forRoot]] resolves for it
     * (an explicit pin from a prior store-qualified open, else the
     * `graft.logstore` system property, else POSIX). */

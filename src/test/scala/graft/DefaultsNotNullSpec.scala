@@ -152,6 +152,47 @@ class DefaultsNotNullSpec extends SparkTestBase {
     }
   }
 
+  test("DML + optimize on a defaulted table record a BARE manifest schema (the brick regression)") {
+    val (t, _) = freshTable()
+    t.commit(Seq((1L, "a", 5L), (2L, "b", 6L), (3L, "c", 7L))
+      .toDF("id", "name", "quality").repartition(3))
+    t.setColumnDefault(spark, "quality", "42")
+    // each of these publishes a #schema= line derived from the
+    // defaults-ENRICHED read schema; toDDL on that schema renders a
+    // DEFAULT clause fromDDL cannot parse — any of them bricking the
+    // table shows up as the NEXT operation throwing ParseException
+    t.deleteWhere(spark, col("id") === 1L, dvMaxRowsPerFile = 1000)
+    t.updateWhere(spark, col("id") === 2L, Map("name" -> lit("B")),
+      dvMaxRowsPerFile = 1000)
+    t.optimize(spark, smallFileBytes = Long.MaxValue)
+    t.merge(spark, Seq((3L, "C", 9L), (4L, "d", 1L))
+      .toDF("id", "name", "quality"), Seq("id"))
+    val rows = t.read(spark).orderBy("id")
+      .select("id", "name", "quality").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(rows === Seq((2L, "B", 6L), (3L, "C", 9L), (4L, "d", 1L)))
+    assert(t.columnDefaultsOf(t.currentVersion()).contains("quality"),
+      "the default itself survives the DML sequence")
+  }
+
+  test("declared properties survive INSERT OVERWRITE; the replacing batch is validated") {
+    val (t, _) = freshTable()
+    t.commit(Seq((1L, "a")).toDF("id", "name"))
+    t.setColumnDefault(spark, "name", "'anon'")
+    t.setNotNull(spark, "name")
+    t.commit(Seq((9L, "z")).toDF("id", "name"), replace = true)
+    val v = t.currentVersion()
+    assert(t.columnDefaultsOf(v).contains("name"),
+      "DEFAULT survives a replace (declarative property, Delta parity)")
+    assert(t.isNotNull(v, "name"), "NOT NULL survives a replace")
+    // and the replacing batch itself is validated against the carried set
+    val before = t.currentVersion()
+    intercept[Exception] {
+      t.commit(Seq((10L, null.asInstanceOf[String])).toDF("id", "name"),
+        replace = true) }
+    assert(t.currentVersion() === before)
+  }
+
   test("defaults survive the hadoop-fs store and the anchor round-trip") {
     val dir = Files.createTempDirectory("graft_def_hs").toString
     val t = SnapshotTable(dir, graft.sources.LogStore.hadoopFs)
