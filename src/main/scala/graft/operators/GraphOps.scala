@@ -268,10 +268,8 @@ object GraphOps {
     * any scale unverified banding chains unrelated docs transitively —
     * the verify stage is what keeps components meaningful. */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    TextOps.tokenJaccardPairs(
-        documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(TextOps.wordsOf).as("toks")),
-        threshold = 0.8, ordered = false)
+    TextOps.jaccardPairs05(s, d) // r15: shared memoized build (lossless at 0.8)
+      .filter(col("jaccard") >= 0.8)
       .select(col("source").as("block"), col("d1").as("src"), col("d2").as("dst"))
 
   /** (doc_id, comp) over ALL documents: blocked union-find on the

@@ -289,7 +289,33 @@ object TextOps {
     sortedNbrCache.clear()
     bandCache.clear()
     nbCache.clear()
+    jacPairsCache.clear()
   }
+
+  /** Verified token-Jaccard pair table at the catalog's LOOSEST
+    * threshold (0.5), MEMOIZED per (session, dir) — r15 optimization.
+    * [[tokenJaccardPairs]] is lossless at every threshold (the prefix/
+    * size-ratio prunes never drop a qualifying pair — the documented
+    * PPJoin theorem), so the t ≥ 0.5 consumers are pure FILTERS over
+    * this one table: q_dedup_fuzzy (0.8), q_dedup_threshold_sweep
+    * (0.5), q_dedup_audit_queue (0.7 then [0.75,0.85)), q_simhash_eval's
+    * truth leg (0.5), and GraphOps' verified edges (0.8). Before the
+    * memo each one re-ran the full candidate+verify self-join. Same
+    * memo contract as every sibling cache. */
+  private val jacPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Unordered verified pairs at threshold 0.5 (source, d1, d2, inter,
+    * uni, jaccard); filter `jaccard >= t` for any t ≥ 0.5 — identical
+    * to running [[tokenJaccardPairs]] at t because the generation is
+    * lossless and `jaccard` is the same round(·,4) value either way. */
+  private[operators] def jaccardPairs05(s: SparkSession, d: String): DataFrame =
+    jacPairsCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("jaccard_pairs")(
+        tokenJaccardPairs(
+          documents(s, d).select(col("source"), col("doc_id"),
+            array_distinct(wordsOf).as("toks")),
+          threshold = 0.5, ordered = false).localCheckpoint()))
 
   /** Verified ER pair tables, memoized per (session, dataset): both
     * blocking families are consumed standalone AND pooled by
@@ -1302,11 +1328,11 @@ object TextOps {
     // via [[tokenJaccardPairs]]'s adaptive dense/sparse-vocab strategy.
     // Blocking key = "source" (LSH — q_minhash_lsh — is the blocking
     // strategy when no natural key exists).
+    // r15: filter over the memoized 0.5-threshold pair table —
+    // identical rows (lossless generation), one shared build.
     "q_dedup_fuzzy" -> ((s, d) =>
-      tokenJaccardPairs(
-        documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(wordsOf).as("toks")),
-        threshold = 0.8)),
+      jaccardPairs05(s, d).filter(col("jaccard") >= 0.8)
+        .orderBy("source", "d1", "d2")),
 
     // E3 THRESHOLD SWEEP — the knob-tuning report a dedup rollout runs
     // BEFORE committing to a cutoff: pair counts per Jaccard decile
@@ -1317,10 +1343,7 @@ object TextOps {
     // aggregate; the cumulative window runs on those 6 rows, not the
     // pairs.
     "q_dedup_threshold_sweep" -> ((s, d) => {
-      val pairs = tokenJaccardPairs(
-        documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(wordsOf).as("toks")),
-        threshold = 0.5)
+      val pairs = jaccardPairs05(s, d) // r15: shared memoized build
       val wcum = Window.orderBy(col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       pairs.withColumn("bucket", expr("cast(floor(jaccard * 10) as bigint)"))
@@ -1338,10 +1361,7 @@ object TextOps {
     // pipeline (the band only needs pairs ≥ 0.75); global top-20 plans
     // as TakeOrdered.
     "q_dedup_audit_queue" -> ((s, d) => {
-      tokenJaccardPairs(
-        documents(s, d).select(col("source"), col("doc_id"),
-          array_distinct(wordsOf).as("toks")),
-        threshold = 0.7)
+      jaccardPairs05(s, d) // r15: shared memoized build (lossless at any t ≥ 0.5)
         .filter(col("jaccard") >= 0.75 && col("jaccard") < 0.85)
         .withColumn("dist_to_cut", abs(col("jaccard") - 0.8))
         .orderBy(col("dist_to_cut").asc, col("d1").asc, col("d2").asc)
@@ -1489,26 +1509,33 @@ object TextOps {
     "q_lsh_tuning" -> ((s, d) => {
       val sig = minhashSigsFromTokens(tokens(documents(s, d)))
         .localCheckpoint() // three band configs ride one signature build
-      val cands = Seq(2, 4, 8).map { nb =>
+      // r15: ONE exploded band table tagged with n_bands instead of
+      // three separate window+self-join+distinct pipelines — the cap
+      // window, the bucket self-join and the distinct each run once
+      // over all three configs (partition keys include n_bands, so
+      // per-config semantics are bit-identical to the former union).
+      val allBands = Seq(2, 4, 8).flatMap { nb =>
         val r = 8 / nb
-        val bandCols = (0 until nb).map(i =>
-          struct(lit(i).as("band_id"),
+        (0 until nb).map(i =>
+          struct(lit(nb.toLong).as("n_bands"), lit(i).as("band_id"),
             md5(concat_ws("|",
               (0 until r).map(j => col(s"h${i * r + j}")): _*)).as("band_key")))
-        val bands = sig.select(col("doc_id"),
-            explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band_id"), col("bb.band_key"))
-        val wb = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-        val capped = bands.withColumn("rnk", row_number().over(wb))
-          .filter(col("rnk") <= 64)
-        val a = capped.select(col("band_id"), col("band_key"),
-          col("doc_id").as("d1"))
-        val b2 = capped.select(col("band_id"), col("band_key"),
-          col("doc_id").as("d2"))
-        a.join(b2, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2")).distinct()
-          .select(lit(nb.toLong).as("n_bands"), col("d1"), col("d2"))
-      }.reduce(_ unionByName _)
+      }
+      val bands = sig.select(col("doc_id"),
+          explode(array(allBands: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.n_bands"), col("bb.band_id"),
+          col("bb.band_key"))
+      val wb = Window.partitionBy("n_bands", "band_id", "band_key")
+        .orderBy("doc_id")
+      val capped = bands.withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 64)
+      val a0 = capped.select(col("n_bands"), col("band_id"), col("band_key"),
+        col("doc_id").as("d1"))
+      val b0 = capped.select(col("n_bands"), col("band_id"), col("band_key"),
+        col("doc_id").as("d2"))
+      val cands = a0.join(b0, Seq("n_bands", "band_id", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select(col("n_bands"), col("d1"), col("d2")).distinct()
       val toksets = documents(s, d)
         .select(col("doc_id"), array_distinct(wordsOf).as("toks"))
         .withColumn("sz", size(col("toks")).cast("long"))
@@ -1567,25 +1594,25 @@ object TextOps {
       val fp = simhashFp(s, d)
         .withColumn("bucket", substring(col("fingerprint"), 1, 8))
       val wb = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      // r15: parse the 16-char '0'/'1' fingerprint to an integer ONCE
+      // per capped row; per-pair hamming is then bit_count(xor) — one
+      // codegen'd integer op instead of 16 substring comparisons.
+      // Identical count: differing chars ≡ differing bits.
       val capped = fp.withColumn("rnk", row_number().over(wb))
         .filter(col("rnk") <= 64)
-        .select("source", "bucket", "doc_id", "fingerprint")
+        .select(col("source"), col("bucket"), col("doc_id"),
+          conv(col("fingerprint"), 2, 10).cast("long").as("fpv"))
       val a = capped.select(col("source"), col("bucket"),
-        col("doc_id").as("d1"), col("fingerprint").as("f1"))
+        col("doc_id").as("d1"), col("fpv").as("f1"))
       val b = capped.select(col("source"), col("bucket"),
-        col("doc_id").as("d2"), col("fingerprint").as("f2"))
-      val ham = (1 to 16).map(i =>
-        when(substring(col("f1"), i, 1) =!= substring(col("f2"), i, 1), 1L)
-          .otherwise(0L)).reduce(_ + _)
+        col("doc_id").as("d2"), col("fpv").as("f2"))
+      val ham = bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long")
       val cand = a.join(b, Seq("source", "bucket"))
         .filter(col("d1") < col("d2"))
         .withColumn("hamming", ham).filter(col("hamming") <= 3)
         .select("d1", "d2")
         .localCheckpoint() // feeds the count AND the hit join: pay once
-      val truth = tokenJaccardPairs(
-          documents(s, d).select(col("source"), col("doc_id"),
-            array_distinct(wordsOf).as("toks")),
-          threshold = 0.5)
+      val truth = jaccardPairs05(s, d) // r15: shared memoized build
         .select(col("d1").as("t1"), col("d2").as("t2"))
         .localCheckpoint() // same: two consumers
       val nc = cand.agg(count(lit(1)).as("n_candidates"))

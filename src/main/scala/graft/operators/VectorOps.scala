@@ -82,6 +82,7 @@ object VectorOps {
     phashCache.clear()
     cosTopkCache.clear()
     ivfpqCache.clear()
+    kmeansCache.clear()
   }
 
   /** Memoized retrieval result tables: the exact cosine top-k feeds
@@ -2456,7 +2457,29 @@ object VectorOps {
     * re-explode the embeddings parquet; the final distance table is
     * materialized because both its consumers (the rank pick and the
     * a/b silhouette fold) scan it. */
+  /** MEMOIZED per (session, dir) — r15 optimization: SEVEN catalog
+    * queries consume the Lloyd pipeline (q_kmeans, q_silhouette,
+    * q_semdedup, q_cluster_purity via q_kmeans, q_residual_quantize,
+    * q_hubness, plus the purity rollup), and before the memo each one
+    * re-ran both Lloyd rounds from the parquet scan (2 localCheckpoints
+    * + ~8 stages per consumer). Same contract as every other memo:
+    * deterministic derivation over an immutable snapshot dir, build
+    * wall-clock in memo_build_ms, cleared by Blocks.reset. The three
+    * parts are each checkpointed and protected — a2/c1 were previously
+    * recomputed from d2/dims by every consumer. */
+  private val kmeansCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
   private def kmeansParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    kmeansCache.getOrElseUpdate((s, d), graft.MemoStats.timed("kmeans_parts") {
+      val (d2, a2, c1) = kmeansPartsPlan(s, d)
+      (graft.Blocks.protect(d2),
+       graft.Blocks.protect(a2.localCheckpoint()),
+       graft.Blocks.protect(c1.localCheckpoint()))
+    })
+
+  private def kmeansPartsPlan(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val dims = embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "fval")))
