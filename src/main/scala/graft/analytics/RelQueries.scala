@@ -169,12 +169,27 @@ object RelQueries {
       val o = orders(s, d).withColumn("o_orderdate",
         to_date(col("o_orderdate")))
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      // r15: min/max over a STRING column makes the whole aggregate
+      // buffer variable-width, which disqualifies HashAggregate — the
+      // plan fell back to SortAggregate and serially sorted the 5x
+      // Expand of the table TWICE (measured 1.8 s of the query's
+      // 2.3 s). The one-char status enum is profiled through its code
+      // point (min/max over ints, rendered back via char), keeping
+      // every buffer field fixed-width: the plan is HashAggregate end
+      // to end. Values are identical for single-char ASCII enums
+      // (binary collation on one char == code-point order).
+      def mn(c: String) =
+        if (c == "o_orderstatus") expr(s"char(min(ascii($c)))")
+        else min(col(c)).cast("string")
+      def mx(c: String) =
+        if (c == "o_orderstatus") expr(s"char(max(ascii($c)))")
+        else max(col(c)).cast("string")
       val aggs = count(lit(1)).as("n_rows") +:
         cols.zipWithIndex.flatMap { case (c, i) => Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu$i"),
           countDistinct(col(c)).as(s"nd$i"),
-          min(col(c)).cast("string").as(s"mn$i"),
-          max(col(c)).cast("string").as(s"mx$i"))
+          mn(c).as(s"mn$i"),
+          mx(c).as(s"mx$i"))
         }
       o.agg(aggs.head, aggs.tail: _*)
         .selectExpr("n_rows",
@@ -1111,17 +1126,23 @@ object RelQueries {
       val cp = userItemPairs(s, d)
       val band = cp.groupBy("p").agg(count(lit(1)).as("nc"))
         .filter(col("nc").between(2, 32)).select("p")
-      // explicit-count repartition before the explodes: the basket
-      // shuffle is KBs, the ≤32²/2-per-part fan-out AFTER it is the
-      // cost, and AQE's small-partition coalescing would otherwise
-      // funnel it into a handful of tasks (the q_fuzzy_match 12×
-      // lesson — measured 40 s → ~3 s here at sf0.1); localCheckpoint
-      // because BOTH symmetrization branches consume the pair table
-      val pairs = cp.join(broadcast(band), Seq("p"))
-        .groupBy("p").agg(collect_set(col("c")).as("cs"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(col("cs")).as("ca"), col("cs"))
-        .select(col("ca"), explode(filter(col("cs"), x => x > col("ca"))).as("cb"))
+      // r15: pair generation as a p-keyed equi SELF-JOIN instead of
+      // collect_set + chained explodes — the explode form ran its
+      // higher-order filter(cs, x > ca) INTERPRETED per emitted row
+      // (HOFs are CodegenFallback; ProfQ measured 56 CPU-seconds
+      // here), while the join emits the same ≤32²/2-per-part pairs in
+      // whole-stage codegen (measured 3.1 → 0.6 s at sf0.1). The
+      // explicit-count repartition keeps the fan-out spread across
+      // cores (the q_fuzzy_match 12× lesson: AQE would coalesce the
+      // KB-sized shuffle into one task and serialize the fan-out);
+      // the exchange is planned once and reused by both join sides.
+      // localCheckpoint because BOTH symmetrization branches consume
+      // the pair table.
+      val cpb = cp.join(broadcast(band), Seq("p"))
+        .repartition(s.sparkContext.defaultParallelism, col("p"))
+      val pairs = cpb.select(col("p"), col("c").as("ca"))
+        .join(cpb.select(col("p"), col("c").as("cb")), Seq("p"))
+        .filter(col("cb") > col("ca"))
         .groupBy("ca", "cb").agg(count(lit(1)).as("co"))
         .localCheckpoint()
       val sym = pairs.select(col("ca").as("cust"), col("cb").as("peer"), col("co"))
@@ -1209,13 +1230,19 @@ object RelQueries {
         .union(pairs.select(col("pb").as("l_partkey"))).distinct()
       val items = basketItems(s, d)
         .join(broadcast(pairItems), "l_partkey")
-      items.groupBy("l_orderkey")
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("pa"), col("ps"))
-        .select(col("pa"),
-          explode(filter(col("ps"), x => x > col("pa"))).as("pb"), col("ps"))
-        .select(col("pa"), col("pb"),
-          explode(filter(col("ps"), x => x > col("pb"))).as("pc"))
+      // r15: order-keyed 3-way equi self-join instead of collect_set +
+      // chained higher-order filters (CodegenFallback — interpreted
+      // per emitted candidate); identical a < b < c triples, same
+      // basket-bounded fan-out, whole-stage codegen throughout.
+      val sides = items.repartition(
+        s.sparkContext.defaultParallelism, col("l_orderkey"))
+      sides.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(sides.select(col("l_orderkey"), col("l_partkey").as("pb")),
+          Seq("l_orderkey"))
+        .filter(col("pb") > col("pa"))
+        .join(sides.select(col("l_orderkey"), col("l_partkey").as("pc")),
+          Seq("l_orderkey"))
+        .filter(col("pc") > col("pb"))
         .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
         .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
@@ -1386,8 +1413,14 @@ object RelQueries {
         .groupBy("month", "l_partkey")
         .agg(sum("qty").as("qty"), sum("rev_c").as("rev_c"))
         .withColumn("p_milli", expr("rev_c * 1000 div qty"))
+      // r15: the base month is min over the TIMESTAMP (hash-aggregable,
+      // computed on the narrow scan), not min over the formatted string
+      // (a SortAggregate); "yyyy-MM" formatting is monotone in the
+      // date, so the value is identical
+      val m0 = lineitem(s, d)
+        .agg(date_format(min(col("l_shipdate")), "yyyy-MM").as("m0"))
       val base = pm
-        .crossJoin(broadcast(pm.agg(min("month").as("m0"))))
+        .crossJoin(broadcast(m0))
         .filter(col("month") === col("m0"))
         .select(col("l_partkey"), col("qty").as("q0"), col("p_milli").as("p0"))
       pm.join(broadcast(base), "l_partkey")
@@ -1640,11 +1673,17 @@ object RelQueries {
       .agg(count(lit(1)).as("n1")).filter(col("n1") >= minSupport)
       .select(col("l_partkey"))
     val pruned = items.join(broadcast(freq), "l_partkey")
-    pruned.groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("pa"), col("ps"))
-      .select(col("pa"),
-        explode(filter(col("ps"), x => x > col("pa"))).as("pb"))
+    // r15: order-keyed equi self-join instead of collect_set + chained
+    // explodes — the higher-order filter(ps, x > pa) is CodegenFallback
+    // (interpreted per emitted pair); the join emits the identical
+    // basket-bounded pair set in whole-stage codegen. Fan-out stays
+    // bounded by basket size either way.
+    val sides = pruned.repartition(
+      items.sparkSession.sparkContext.defaultParallelism, col("l_orderkey"))
+    sides.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(sides.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .filter(col("pb") > col("pa"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }

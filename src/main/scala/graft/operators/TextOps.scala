@@ -153,8 +153,12 @@ object TextOps {
     * the ONE signature/banding implementation, so callers that share a
     * checkpointed token explode (q_lsh_recall) can't diverge from the
     * q_minhash_lsh contract. */
-  def minhashBandsFromTokens(t: DataFrame): DataFrame = {
-    val sig = minhashSigsFromTokens(t)
+  def minhashBandsFromTokens(t: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigsFromTokens(t))
+
+  /** Band expansion over an already-built signature table — split out
+    * (r15) so the memoized bands can ride the memoized signatures. */
+  private def bandsFromSigs(sig: DataFrame): DataFrame = {
     sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -171,10 +175,44 @@ object TextOps {
     val vocab = t.select("token").distinct()
       .select(col("token") +: (0 until 8).map(i =>
         md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
-    val hashed = t.join(broadcast(vocab), "token")
-    val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
-    hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
+    // r15: min() over the 32-char md5 STRINGS disqualified
+    // HashAggregate (variable-width buffer), so the per-doc signature
+    // aggregate ran as SortAggregate over the whole token explode —
+    // the single hottest stage of the minhash family. The aggregate
+    // now runs over each hash's leading 60 bits as a LONG
+    // (hash-aggregable, and the doc×token shuffle rows narrow from 8
+    // strings to 8 longs); the exact minimal STRING is then recovered
+    // from a per-permutation vocab dictionary keyed by that prefix.
+    // Bit-identical to min-over-strings with no collision caveat:
+    // fixed-length lowercase-hex orders as its numeric value, so the
+    // global min string = (min string within the minimal-prefix
+    // group), which is exactly what the dictionary stores.
+    def prefix(i: Int): Column =
+      conv(substring(col(s"t$i"), 1, 15), 16, 10).cast("long")
+    val vocabP = vocab.select(col("token") +:
+      (0 until 8).map(i => prefix(i).as(s"p$i")): _*)
+    val hashed = t.join(broadcast(vocabP), "token")
+    val mins = (0 until 8).map(i => min(col(s"p$i")).as(s"mp$i"))
+    val sigP = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    (0 until 8).foldLeft(sigP) { (df, i) =>
+      val dict = vocab.groupBy(prefix(i).as(s"mp$i"))
+        .agg(min(col(s"t$i")).as(s"h$i")) // vocab-sized SortAggregate
+      df.join(broadcast(dict), s"mp$i")
+    }.select(col("doc_id") +: (0 until 8).map(i => col(s"h$i")): _*)
   }
+
+  /** Memoized 8-permutation signature table over the documents corpus
+    * — r15: the build was re-run by q_lsh_tuning, q_minhash_est AND
+    * the bands memo (three signature builds per session); one
+    * checkpointed table now feeds all three. Same memo contract as
+    * every sibling cache. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def minhashSigsMemo(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("minhash_sigs")(
+        minhashSigsFromTokens(tokens(documents(s, d))).localCheckpoint()))
 
   /** Blocked token-set Jaccard near-dup pairs over
     * (source, doc_id, toks array) with an adaptive physical strategy:
@@ -290,6 +328,7 @@ object TextOps {
     bandCache.clear()
     nbCache.clear()
     jacPairsCache.clear()
+    sigCache.clear()
   }
 
   /** Verified token-Jaccard pair table at the catalog's LOOSEST
@@ -337,7 +376,7 @@ object TextOps {
   private def minhashBandsMemo(s: SparkSession, d: String): DataFrame =
     bandCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("minhash_bands")(
-        minhashBands(documents(s, d)).localCheckpoint()))
+        bandsFromSigs(minhashSigsMemo(s, d)).localCheckpoint()))
 
   /** Memoized multinomial-NB score table (doc_id, source, cs, score in
     * integral ppm log-prob units) — the trained model applied to the
@@ -1507,8 +1546,7 @@ object TextOps {
     // exactly the runaway case). Jaccard ≥ 0.5 tests are the pure
     // integer 2·inter ≥ union — no float anywhere in this query.
     "q_lsh_tuning" -> ((s, d) => {
-      val sig = minhashSigsFromTokens(tokens(documents(s, d)))
-        .localCheckpoint() // three band configs ride one signature build
+      val sig = minhashSigsMemo(s, d) // r15: shared memoized signatures
       // r15: ONE exploded band table tagged with n_bands instead of
       // three separate window+self-join+distinct pipelines — the cap
       // window, the bucket self-join and the distinct each run once
@@ -2798,8 +2836,7 @@ object TextOps {
         .join(src.select(col("doc_id").as("d1"), col("source").as("src_a")), "d1")
         .join(src.select(col("doc_id").as("d2"), col("source").as("src_b")), "d2")
         .filter(col("src_a") =!= col("src_b"))
-      val sig = minhashSigsFromTokens(documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token")))
+      val sig = minhashSigsMemo(s, d) // r15: shared memoized signatures
       val sa = sig.select(col("doc_id").as("d1") +:
         (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("d2") +:
@@ -2866,7 +2903,10 @@ object TextOps {
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
         .withColumn("exact_ppm", expr("inter * 1000000 div (s1 + s2 - inter)"))
         .filter(col("exact_ppm") >= 100000)
-      val sig = minhashSigsFromTokens(tok)
+      // r15: the memoized signature table IS minhashSigsFromTokens over
+      // the same distinct-token frame (source column unused by the
+      // build; min over multiset = min over set) — lockstep preserved.
+      val sig = minhashSigsMemo(s, d)
       val sa = sig.filter(col("doc_id") < probeN)
         .select(col("doc_id").as("d1") +:
           (0 until 8).map(i => col(s"h$i").as(s"a$i")): _*)

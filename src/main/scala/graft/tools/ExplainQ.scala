@@ -14,7 +14,11 @@ object ExplainQ {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     s.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    args.drop(3).foreach { q =>
+    val names =
+      if (args.length == 4 && args(3) == "all")
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(3).toSeq
+    names.foreach { q =>
       val df = graft.SparkEntry.queries(q)(s, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
