@@ -45,12 +45,23 @@ object Bench {
     * to the ISOLATED-sweep reference at 3.0x (quiet-JVM minima carry a
     * systematic -35..-50% offset vs in-catalog times, so a same-basis
     * comparison is what keeps the trigger from reading that offset as
-    * phantom drift). */
+    * phantom drift).
+    *
+    * Round-16 re-centering (round-15 verdict item 3: n_retried must
+    * sit ≤ ~15, r15 recorded 27): the ic-basis triggers additionally
+    * require the ABSOLUTE excess over the reference to be material
+    * (> 0.25 s). Sub-quarter-second excursions on 100-300 ms entries
+    * are scheduler jitter that min-of-2 already bounds — retrying them
+    * recovers a few tens of ms each and turns the retry pass into the
+    * one-sided headline polish the round-8 ADVICE warned about, while
+    * genuine multi-second weather windows clear the bar trivially. */
+  private[graft] val IcExcessFloor = 0.25
   private[graft] def isSuspect(ref: Option[Double], med: Double,
                                t: Double, t1: Double, t2: Double,
                                icRef: Option[Double] = None): Boolean =
     (icRef, ref) match {
-      case (Some(ic), _) => t > 2.0 * math.max(ic, 0.05)
+      case (Some(ic), _) =>
+        t > 2.0 * math.max(ic, 0.05) && t - ic > IcExcessFloor
       case (None, Some(r)) => t > 3.0 * math.max(r, 0.05)
       case (None, None) =>
         val ratio = math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
@@ -253,9 +264,13 @@ object Bench {
     // transparent.
     // tier-3 keys on the SAME-BASIS reference first: 1.5x an
     // in-catalog recording is genuine drift; 2x the isolated minimum
-    // only applies where no in-catalog basis exists yet
+    // only applies where no in-catalog basis exists yet. Same
+    // material-excess floor as the tier-1 ic trigger (see isSuspect) —
+    // without it this sweep retried every 150-400 ms entry that
+    // jittered 1.5x, which is where r15's n_retried=27 came from.
     val suspects3 = afterR2.filter { case (n, t, _) =>
-      inCatRef.get(n).map(ic => t > 1.5 * math.max(ic, 0.05))
+      inCatRef.get(n)
+        .map(ic => t > 1.5 * math.max(ic, 0.05) && t - ic > IcExcessFloor)
         .getOrElse(benchRef.get(n).exists(r => t > 2.0 * math.max(r, 0.05)))
     }.map(_._1).toSet
     if (suspects3.nonEmpty) { System.gc(); Thread.sleep(30000) }
@@ -318,7 +333,13 @@ object Bench {
     // rate is the stable signal. memo_build_sec is the one-time shared
     // subtree cost, reported separately from the per-query entries.
     val perQ = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(perQ)},"protocol":"min_of_2_back_to_back+sweep+ref_gated_separated_retry+tier3_2x_sweep","pre_retry_total":${fmt(preRetryTotal)},"n_retried":${retriedMins.size},"memo_build_sec":${fmt(memoTotalMs / 1000.0)},"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
+    // total_with_memo (round-15 verdict item 3): the round-over-round
+    // headline must charge the one-time shared-subtree builds, or an
+    // optimization that merely RELOCATES cost into the untimed memo
+    // bucket reads as a speedup. Printed by the bench itself so every
+    // recorded run carries the memo-inclusive number.
+    val totalWithMemo = total + memoTotalMs / 1000.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sec_per_query":${fmt(perQ)},"protocol":"min_of_2_back_to_back+sweep+ref_gated_separated_retry+tier3_2x_sweep","pre_retry_total":${fmt(preRetryTotal)},"n_retried":${retriedMins.size},"memo_build_sec":${fmt(memoTotalMs / 1000.0)},"total_with_memo":${fmt(totalWithMemo)},"queries":$qs,"queries_omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

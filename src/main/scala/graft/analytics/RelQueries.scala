@@ -1068,13 +1068,12 @@ object RelQueries {
     // a pair can only clear min-support if BOTH singletons do, so the
     // item list is semi-joined against the frequent-singleton set
     // before pair generation — at scale that set is small (broadcast).
-    // Pair-gen is ONE shuffle of the fact (groupBy orderkey →
-    // collect_set, bounded by order size) followed by NARROW chained
-    // explodes — fan-out ≤ order size², never catalog size. The
-    // orderkey SELF-JOIN alternative was A/B'd at sf0.1: neutral
-    // wall-clock (1.57 vs 1.68 s min), but it shuffles the fact twice
-    // (both join branches) where this shape shuffles it once — kept
-    // the half-shuffle-volume form for the 100 TB case.
+    // Pair-gen (r15, re-confirmed by the r16 A/B) is the order-keyed
+    // equi SELF-JOIN over one reused exchange — interleaved min-of-9
+    // at sf0.1: join 0.633 s vs sorted-array+slice-explode 0.828 s
+    // (the extra basket collect_set shuffle costs more than the
+    // join's second sort of the reused exchange at this fan-out).
+    // Fan-out stays ≤ order size², never catalog size.
     "q_itemset_pairs" -> ((s, d) =>
       itemsetPairs(s, d)
         .orderBy(col("support").desc, col("pa"), col("pb"))),
@@ -1122,29 +1121,24 @@ object RelQueries {
     // skew bound as the shingle df-cap. One fact shuffle (groupBy
     // part → customer set), narrow chained explodes, then the native
     // bounded-heap top-k — never a per-customer sort.
+    // r16: pair generation from the SORTED per-part customer set via
+    // chained posexplode/slice — each anchor explodes only the
+    // strictly-later suffix, so the ca<cb constraint is free and every
+    // operator runs in whole-stage codegen. This replaces BOTH earlier
+    // forms on measurement (interleaved min-of-9 at sf0.1, identical
+    // output verified): the r14 HOF-explode (filter(cs, x > ca) is
+    // CodegenFallback — interpreted per emitted row) timed 1.403 s,
+    // the r15 p-keyed equi self-join — which the round-15 driver
+    // measured as a 25% in-catalog REGRESSION to 3.755 s — timed
+    // 1.421 s, the slice form 1.361 s. The explicit-count round-robin
+    // repartition keeps the ≤32²/2-per-part fan-out spread across
+    // cores (the q_fuzzy_match 12× lesson: AQE would coalesce the
+    // KB-sized banded shuffle into one task and serialize the
+    // fan-out). localCheckpoint because BOTH symmetrization branches
+    // consume the pair table; [[userCfPairsPlan]] exposes the raw
+    // pre-checkpoint pipeline for plan pins/dumps.
     "q_user_cf" -> ((s, d) => {
-      val cp = userItemPairs(s, d)
-      val band = cp.groupBy("p").agg(count(lit(1)).as("nc"))
-        .filter(col("nc").between(2, 32)).select("p")
-      // r15: pair generation as a p-keyed equi SELF-JOIN instead of
-      // collect_set + chained explodes — the explode form ran its
-      // higher-order filter(cs, x > ca) INTERPRETED per emitted row
-      // (HOFs are CodegenFallback; ProfQ measured 56 CPU-seconds
-      // here), while the join emits the same ≤32²/2-per-part pairs in
-      // whole-stage codegen (measured 3.1 → 0.6 s at sf0.1). The
-      // explicit-count repartition keeps the fan-out spread across
-      // cores (the q_fuzzy_match 12× lesson: AQE would coalesce the
-      // KB-sized shuffle into one task and serialize the fan-out);
-      // the exchange is planned once and reused by both join sides.
-      // localCheckpoint because BOTH symmetrization branches consume
-      // the pair table.
-      val cpb = cp.join(broadcast(band), Seq("p"))
-        .repartition(s.sparkContext.defaultParallelism, col("p"))
-      val pairs = cpb.select(col("p"), col("c").as("ca"))
-        .join(cpb.select(col("p"), col("c").as("cb")), Seq("p"))
-        .filter(col("cb") > col("ca"))
-        .groupBy("ca", "cb").agg(count(lit(1)).as("co"))
-        .localCheckpoint()
+      val pairs = userCfPairsPlan(s, d).localCheckpoint()
       val sym = pairs.select(col("ca").as("cust"), col("cb").as("peer"), col("co"))
         .unionByName(pairs.select(col("cb").as("cust"), col("ca").as("peer"), col("co")))
       graft.plans.TopKPerGroup(sym, Seq(col("cust")),
@@ -1223,30 +1217,15 @@ object RelQueries {
     // triple-gen is the same one-shuffle basket collect + chained
     // narrow explodes as the pair query, fan-out ≤ basket³/6, bounded
     // by order size, never catalog size.
-    "q_itemset_triples" -> ((s, d) => {
-      val minSupport = 2L
-      val pairs = itemsetPairs(s, d)
-      val pairItems = pairs.select(col("pa").as("l_partkey"))
-        .union(pairs.select(col("pb").as("l_partkey"))).distinct()
-      val items = basketItems(s, d)
-        .join(broadcast(pairItems), "l_partkey")
-      // r15: order-keyed 3-way equi self-join instead of collect_set +
-      // chained higher-order filters (CodegenFallback — interpreted
-      // per emitted candidate); identical a < b < c triples, same
-      // basket-bounded fan-out, whole-stage codegen throughout.
-      val sides = items.repartition(
-        s.sparkContext.defaultParallelism, col("l_orderkey"))
-      sides.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(sides.select(col("l_orderkey"), col("l_partkey").as("pb")),
-          Seq("l_orderkey"))
-        .filter(col("pb") > col("pa"))
-        .join(sides.select(col("l_orderkey"), col("l_partkey").as("pc")),
-          Seq("l_orderkey"))
-        .filter(col("pc") > col("pb"))
-        .groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= minSupport)
-        .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
-    }),
+    // r16: triple generation from the SORTED basket array via chained
+    // posexplode/slice (see [[triplesSlice]]) — whole-stage codegen
+    // with no interpreted HOF (the r14 form's filter(ps, x > pa) was
+    // CodegenFallback) and no self-join (the r15 form planned 4
+    // SortMergeJoins re-sorting one exchange, broke its own PlanSpec
+    // pin, and the round-15 driver showed no win). Interleaved
+    // min-of-9 at sf0.1, identical output verified: hof 0.634 s, join
+    // 0.663 s, slice 0.546 s.
+    "q_itemset_triples" -> ((s, d) => triplesSlice(s, d)),
 
     // APPROXIMATE QUERY PROCESSING (sampling estimator, self-
     // evaluated) — the answer-in-sample-time pattern for 100 TB
@@ -1691,6 +1670,72 @@ object RelQueries {
   private def itemsetPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("itemset_pairs")(itemsetPairsPlan(s, d).localCheckpoint()))
+
+  // ---- r16 A/B: candidate physical strategies for ordered k-subset
+  // generation from baskets (pairs / triples / user-CF pairs). Three
+  // forms produce identical row sets; the decision + numbers live in
+  // OPTIMIZATION_r16.md and the losers are deleted once recorded.
+
+  /** Shared Apriori level-3 prefix: baskets pruned to items that
+    * survive the frequent-PAIR screen. */
+  private[graft] def tripleBase(s: SparkSession, d: String): DataFrame = {
+    val pairs = itemsetPairs(s, d)
+    val pairItems = pairs.select(col("pa").as("l_partkey"))
+      .union(pairs.select(col("pb").as("l_partkey"))).distinct()
+    basketItems(s, d).join(broadcast(pairItems), "l_partkey")
+  }
+
+  private def tripleFinish(t: DataFrame): DataFrame =
+    t.groupBy("pa", "pb", "pc").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2L)
+      .orderBy(col("support").desc, col("pa"), col("pb"), col("pc"))
+
+  /** r16 form: SORTED basket array + chained posexplode/slice — each
+    * level explodes only the strictly-later suffix, so the a<b<c
+    * filter is free and every operator (Generate over explode, slice
+    * arithmetic) runs in whole-stage codegen: no interpreted HOF, no
+    * self-join re-sorts, one basket shuffle. NO explicit repartition
+    * after the basket aggregate (A/B'd: +0.15 s at sf0.1): unlike
+    * q_user_cf's KB-sized post-band table, the basket table scales
+    * WITH the fact, so AQE's post-shuffle coalescing keeps partition
+    * counts proportional at any SF, and the per-row fan-out is bounded
+    * by basket³/6 — pipelined straight into the partial aggregate. */
+  private[graft] def triplesSlice(s: SparkSession, d: String): DataFrame =
+    tripleFinish(tripleBase(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"), col("i"), col("ps"),
+        posexplode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+          .as(Seq("j", "pb")))
+      .select(col("pa"), col("pb"),
+        explode(slice(col("ps"), col("i") + col("j") + lit(3),
+          size(col("ps")))).as("pc")))
+
+  /** The banded (part, customer) interaction prefix q_user_cf mines:
+    * popularity band [2, 32] (the IDF intuition + the 32²/2 fan-out
+    * cap — see the catalog entry's Scaladoc). */
+  private def userCfPrefix(s: SparkSession, d: String): DataFrame = {
+    val cp = userItemPairs(s, d)
+    val band = cp.groupBy("p").agg(count(lit(1)).as("nc"))
+      .filter(col("nc").between(2, 32)).select("p")
+    cp.join(broadcast(band), Seq("p"))
+  }
+
+  /** The raw (ca < cb, co) co-purchase pair pipeline, pre-checkpoint —
+    * PlanSpec pins ITS shape and the plans/r16 dumps are taken from it
+    * (the catalog entry checkpoints the result because both
+    * symmetrization branches consume it). Sorted-set + posexplode/
+    * slice generation: whole-stage codegen throughout, no interpreted
+    * HOF, no self-join (decision + A/B numbers in OPTIMIZATION_r16.md). */
+  private[graft] def userCfPairsPlan(s: SparkSession, d: String): DataFrame =
+    userCfPrefix(s, d)
+      .groupBy("p").agg(sort_array(collect_set(col("c"))).as("cs"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(posexplode(col("cs")).as(Seq("i", "ca")), col("cs"))
+      .select(col("ca"),
+        explode(slice(col("cs"), col("i") + lit(2), size(col("cs")))).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("co"))
 
   /** q_negative_sampling body, parameterized so PlanSpec can pin BOTH
     * join strategies. The item-index probe is equi-keyed

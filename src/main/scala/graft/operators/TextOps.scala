@@ -171,10 +171,16 @@ object TextOps {
     * bands derive from — exposed separately so the estimation-error
     * eval (q_minhash_est) compares the exact per-permutation matches
     * the banding actually hashes, never a reimplementation. */
-  def minhashSigsFromTokens(t: DataFrame): DataFrame = {
-    val vocab = t.select("token").distinct()
+  private def minhashVocab(t: DataFrame): DataFrame =
+    t.select("token").distinct()
       .select(col("token") +: (0 until 8).map(i =>
         md5(concat(lit(i.toString), lit("|"), col("token"))).as(s"t$i")): _*)
+
+  private def minhashPrefix(i: Int): Column =
+    conv(substring(col(s"t$i"), 1, 15), 16, 10).cast("long")
+
+  def minhashSigsFromTokens(t: DataFrame): DataFrame = {
+    val vocab = minhashVocab(t)
     // r15: min() over the 32-char md5 STRINGS disqualified
     // HashAggregate (variable-width buffer), so the per-doc signature
     // aggregate ran as SortAggregate over the whole token explode —
@@ -183,22 +189,35 @@ object TextOps {
     // (hash-aggregable, and the doc×token shuffle rows narrow from 8
     // strings to 8 longs); the exact minimal STRING is then recovered
     // from a per-permutation vocab dictionary keyed by that prefix.
-    // Bit-identical to min-over-strings with no collision caveat:
-    // fixed-length lowercase-hex orders as its numeric value, so the
-    // global min string = (min string within the minimal-prefix
-    // group), which is exactly what the dictionary stores.
-    def prefix(i: Int): Column =
-      conv(substring(col(s"t$i"), 1, 15), 16, 10).cast("long")
+    // Bit-identical to min-over-strings PROVIDED no two vocab tokens
+    // share a 60-bit prefix in any permutation (fixed-length
+    // lowercase-hex orders as its numeric value; the dictionary min is
+    // taken over the WHOLE vocab, so a prefix collision could recover
+    // a hash of a token absent from the doc). Collision probability is
+    // ≈ |V|²/2^61 per permutation — negligible below ~10^8 tokens but
+    // not zero; [[minhashSigsMemo]] therefore verifies the vocab is
+    // prefix-collision-free once per (session, dir) and falls back to
+    // [[minhashSigsExactFromTokens]] when it is not (or when the vocab
+    // is too large for the check to pass cheaply).
     val vocabP = vocab.select(col("token") +:
-      (0 until 8).map(i => prefix(i).as(s"p$i")): _*)
+      (0 until 8).map(i => minhashPrefix(i).as(s"p$i")): _*)
     val hashed = t.join(broadcast(vocabP), "token")
     val mins = (0 until 8).map(i => min(col(s"p$i")).as(s"mp$i"))
     val sigP = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     (0 until 8).foldLeft(sigP) { (df, i) =>
-      val dict = vocab.groupBy(prefix(i).as(s"mp$i"))
+      val dict = vocab.groupBy(minhashPrefix(i).as(s"mp$i"))
         .agg(min(col(s"t$i")).as(s"h$i")) // vocab-sized SortAggregate
       df.join(broadcast(dict), s"mp$i")
     }.select(col("doc_id") +: (0 until 8).map(i => col(s"h$i")): _*)
+  }
+
+  /** Exact fallback: min over the full 32-char hash strings — the
+    * SortAggregate path the prefix scheme replaced. Correct at ANY
+    * vocab size (no prefix recovery involved). */
+  private[operators] def minhashSigsExactFromTokens(t: DataFrame): DataFrame = {
+    val hashed = t.join(broadcast(minhashVocab(t)), "token")
+    val sigs = (0 until 8).map(i => min(col(s"t$i")).as(s"h$i"))
+    hashed.groupBy("doc_id").agg(sigs.head, sigs.tail: _*)
   }
 
   /** Memoized 8-permutation signature table over the documents corpus
@@ -211,8 +230,26 @@ object TextOps {
 
   private[operators] def minhashSigsMemo(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d),
-      graft.MemoStats.timed("minhash_sigs")(
-        minhashSigsFromTokens(tokens(documents(s, d))).localCheckpoint()))
+      graft.MemoStats.timed("minhash_sigs") {
+        val t = tokens(documents(s, d))
+        // r16 prefix-collision guard (ADVICE): the 60-bit dictionary
+        // recovery in [[minhashSigsFromTokens]] is bit-exact iff no two
+        // vocab tokens collide on a hash prefix in any permutation.
+        // Verify that once per (session, dir) with one vocab-sized
+        // aggregate (8 count-distincts vs the row count); on collision
+        // — expected only at ≳10^8-token vocabs, |V|²/2^61 — build via
+        // the exact string-min path instead. The check is part of the
+        // one-time memo build, never per-query.
+        val vocab = minhashVocab(t)
+        val cd = vocab.agg(count(lit(1)).as("n"),
+          (0 until 8).map(i =>
+            countDistinct(minhashPrefix(i)).as(s"d$i")): _*).collect()(0)
+        val collisionFree = (0 until 8).forall(i =>
+          cd.getLong(i + 1) == cd.getLong(0))
+        val sigs = if (collisionFree) minhashSigsFromTokens(t)
+          else minhashSigsExactFromTokens(t)
+        sigs.localCheckpoint()
+      })
 
   /** Blocked token-set Jaccard near-dup pairs over
     * (source, doc_id, toks array) with an adaptive physical strategy:
@@ -329,6 +366,8 @@ object TextOps {
     nbCache.clear()
     jacPairsCache.clear()
     sigCache.clear()
+    probePairsCache.clear()
+    bpeCache.clear()
   }
 
   /** Verified token-Jaccard pair table at the catalog's LOOSEST
@@ -377,6 +416,115 @@ object TextOps {
     bandCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("minhash_bands")(
         bandsFromSigs(minhashSigsMemo(s, d)).localCheckpoint()))
+
+  /** q_lsh_tuning's fused candidate pipeline, raw (pre any consumer
+    * checkpoint) — PlanSpec pins ITS shape and plans/r16 dumps it.
+    *
+    * r15: ONE exploded band table tagged with n_bands instead of three
+    * separate per-config pipelines (partition keys include n_bands, so
+    * per-config semantics are bit-identical to the former union).
+    * r16: the 64-cap runs through the NATIVE bounded-heap top-k
+    * instead of row_number over a full window sort — only ≤64
+    * survivors per (config, band, partition) are shuffled, and the
+    * hot-band skew the window sort serialized (template-heavy corpora
+    * put thousands of docs in one band key) is absorbed by the
+    * O(log 64) heap. Candidate pairs then come from a within-band
+    * sorted-array slice-explode (the q_itemset_triples pattern) on the
+    * SAME clustering the top-k landed on — no self-join, no
+    * re-exchange, no window sort (plans/r16 before/after). */
+  private[graft] def lshTuningCandsPlan(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigsMemo(s, d) // r15: shared memoized signatures
+    val allBands = Seq(2, 4, 8).flatMap { nb =>
+      val r = 8 / nb
+      (0 until nb).map(i =>
+        struct(lit(nb.toLong).as("n_bands"), lit(i).as("band_id"),
+          md5(concat_ws("|",
+            (0 until r).map(j => col(s"h${i * r + j}")): _*)).as("band_key")))
+    }
+    val bands = sig.select(col("doc_id"),
+        explode(array(allBands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.n_bands"), col("bb.band_id"),
+        col("bb.band_key"))
+    graft.plans.TopKPerGroup(bands,
+        Seq(col("n_bands"), col("band_id"), col("band_key")),
+        Seq(col("doc_id").asc), k = 64)
+      .groupBy("n_bands", "band_id", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("n_bands"), posexplode(col("ds")).as(Seq("i", "d1")),
+        col("ds"))
+      .select(col("n_bands"), col("d1"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("d2"))
+      .distinct()
+  }
+
+  /** q_simhash_eval's candidate pipeline, raw (pre the consumer
+    * checkpoint) — PlanSpec pins ITS shape and plans/r16 dumps it.
+    *
+    * r15: the 16-char '0'/'1' fingerprint parses to an integer ONCE
+    * per row (before the cap exchange — an 8-byte long vs a 16-char
+    * string halves the shuffled row, guide §2.3); per-pair hamming is
+    * bit_count(xor) — one codegen'd integer op instead of 16 substring
+    * comparisons (identical count: differing chars ≡ differing bits).
+    * r16: the 64-cap through the native bounded-heap top-k (no window
+    * sort), then pairs from a within-bucket sorted struct-array
+    * slice-explode on the same clustering — the (source, bucket)
+    * self-join and its re-sorts are gone (the q_lsh_tuning pattern;
+    * struct arrays sort by doc_id first). */
+  private[graft] def simhashCandsPlan(s: SparkSession, d: String): DataFrame = {
+    val fp = simhashFp(s, d)
+      .select(col("source"),
+        substring(col("fingerprint"), 1, 8).as("bucket"),
+        col("doc_id"),
+        conv(col("fingerprint"), 2, 10).cast("long").as("fpv"))
+    graft.plans.TopKPerGroup(fp,
+        Seq(col("source"), col("bucket")), Seq(col("doc_id").asc), k = 64)
+      .groupBy("source", "bucket")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fpv")))).as("m"))
+      .select(posexplode(col("m")).as(Seq("i", "a")), col("m"))
+      .select(col("a"), explode(slice(col("m"), col("i") + lit(2),
+        size(col("m")))).as("b"))
+      .filter(bit_count(col("a.fpv").bitwiseXOR(col("b.fpv"))) <= 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  }
+
+  /** Probe-bounded EXACT token-overlap table — (d1 < 50, d2 > d1,
+    * inter, s1, s2) over distinct word tokens, via the inverted-index
+    * join (probe×corpus on token, never corpus² and never a per-pair
+    * array_intersect). r16: THREE self-evaluating queries derived this
+    * independently — q_lsh_recall's truth, q_minhash_est's exact leg
+    * (bit-identical pipelines) and q_lsh_tuning's probe truth, which
+    * additionally ran it as a BroadcastNestedLoopJoin (50 × corpus
+    * array_intersect calls; the oracle's `iv` CTE is the token join,
+    * so this form is also the more oracle-faithful one). One memoized
+    * build now feeds all three; consumers filter/derive:
+    * jaccard ≥ t is `2·inter ≥ (s1+s2−inter)·…` and exact_ppm is
+    * integral arithmetic over (inter, s1, s2). Same memo contract as
+    * every sibling cache (per-(session, dir), MemoStats-accounted,
+    * Blocks.reset-cleared). */
+  private val probePairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def probeExactPairs(s: SparkSession, d: String): DataFrame =
+    probePairsCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("probe_exact_pairs") {
+        val probeN = 50 // the q_ann_recall sampled-queries size
+        val tok = documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
+          .localCheckpoint() // feeds probe side, corpus side AND sizes
+        val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        tok.filter(col("doc_id") < probeN)
+          .select(col("doc_id").as("d1"), col("token"))
+          .join(tok.select(col("doc_id").as("d2"), col("token")), "token")
+          .filter(col("d2") > col("d1"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+          // probe-side sizes are ≤probeN rows — broadcast; the d2 side
+          // is one row per corpus doc, shuffled like any fact-dim join
+          .join(broadcast(sizes.filter(col("doc_id") < probeN)
+            .select(col("doc_id").as("d1"), col("sz").as("s1"))), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+          .localCheckpoint()
+      })
 
   /** Memoized multinomial-NB score table (doc_id, source, cs, score in
     * integral ppm log-prob units) — the trained model applied to the
@@ -1546,38 +1694,11 @@ object TextOps {
     // exactly the runaway case). Jaccard ≥ 0.5 tests are the pure
     // integer 2·inter ≥ union — no float anywhere in this query.
     "q_lsh_tuning" -> ((s, d) => {
-      val sig = minhashSigsMemo(s, d) // r15: shared memoized signatures
-      // r15: ONE exploded band table tagged with n_bands instead of
-      // three separate window+self-join+distinct pipelines — the cap
-      // window, the bucket self-join and the distinct each run once
-      // over all three configs (partition keys include n_bands, so
-      // per-config semantics are bit-identical to the former union).
-      val allBands = Seq(2, 4, 8).flatMap { nb =>
-        val r = 8 / nb
-        (0 until nb).map(i =>
-          struct(lit(nb.toLong).as("n_bands"), lit(i).as("band_id"),
-            md5(concat_ws("|",
-              (0 until r).map(j => col(s"h${i * r + j}")): _*)).as("band_key")))
-      }
-      val bands = sig.select(col("doc_id"),
-          explode(array(allBands: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.n_bands"), col("bb.band_id"),
-          col("bb.band_key"))
-      val wb = Window.partitionBy("n_bands", "band_id", "band_key")
-        .orderBy("doc_id")
-      val capped = bands.withColumn("rnk", row_number().over(wb))
-        .filter(col("rnk") <= 64)
-      val a0 = capped.select(col("n_bands"), col("band_id"), col("band_key"),
-        col("doc_id").as("d1"))
-      val b0 = capped.select(col("n_bands"), col("band_id"), col("band_key"),
-        col("doc_id").as("d2"))
-      val cands = a0.join(b0, Seq("n_bands", "band_id", "band_key"))
-        .filter(col("d1") < col("d2"))
-        .select(col("n_bands"), col("d1"), col("d2")).distinct()
+      val cands = lshTuningCandsPlan(s, d)
       val toksets = documents(s, d)
         .select(col("doc_id"), array_distinct(wordsOf).as("toks"))
         .withColumn("sz", size(col("toks")).cast("long"))
-        .localCheckpoint() // feeds candidate verification + probe truth
+        .localCheckpoint() // feeds both candidate-verification joins
       val verified = cands
         .join(toksets.select(col("doc_id").as("d1"), col("toks").as("t1"),
           col("sz").as("sz1")), Seq("d1"))
@@ -1588,11 +1709,12 @@ object TextOps {
           (col("inter") * 2 >= col("sz1") + col("sz2") - col("inter")).cast("long"))
         .select("n_bands", "d1", "d2", "is_true")
         .localCheckpoint() // counts + probe-hit leg
-      val probes = toksets.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("p1"), col("toks").as("pt"), col("sz").as("psz"))
-      val truthN = toksets.join(broadcast(probes), col("doc_id") > col("p1"))
-        .withColumn("inter", size(array_intersect(col("pt"), col("toks"))).cast("long"))
-        .filter(col("inter") * 2 >= col("psz") + col("sz") - col("inter"))
+      // r16: probe truth rides the memoized probe-exact table (shared
+      // with q_lsh_recall / q_minhash_est) instead of a 50×corpus
+      // BroadcastNestedLoopJoin with a per-pair array_intersect — the
+      // token-keyed join is also exactly the oracle's `iv` CTE shape.
+      val truthN = probeExactPairs(s, d)
+        .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
         .agg(count(lit(1)).as("probe_truth"))
       val base = s.createDataset(Seq(2L, 4L, 8L))(
         org.apache.spark.sql.Encoders.scalaLong).toDF("n_bands")
@@ -1629,26 +1751,7 @@ object TextOps {
     // threshold sweep runs. Both sides reduce to three counts and two
     // ppm ratios, NULL-guarded on empty sides.
     "q_simhash_eval" -> ((s, d) => {
-      val fp = simhashFp(s, d)
-        .withColumn("bucket", substring(col("fingerprint"), 1, 8))
-      val wb = Window.partitionBy("source", "bucket").orderBy("doc_id")
-      // r15: parse the 16-char '0'/'1' fingerprint to an integer ONCE
-      // per capped row; per-pair hamming is then bit_count(xor) — one
-      // codegen'd integer op instead of 16 substring comparisons.
-      // Identical count: differing chars ≡ differing bits.
-      val capped = fp.withColumn("rnk", row_number().over(wb))
-        .filter(col("rnk") <= 64)
-        .select(col("source"), col("bucket"), col("doc_id"),
-          conv(col("fingerprint"), 2, 10).cast("long").as("fpv"))
-      val a = capped.select(col("source"), col("bucket"),
-        col("doc_id").as("d1"), col("fpv").as("f1"))
-      val b = capped.select(col("source"), col("bucket"),
-        col("doc_id").as("d2"), col("fpv").as("f2"))
-      val ham = bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long")
-      val cand = a.join(b, Seq("source", "bucket"))
-        .filter(col("d1") < col("d2"))
-        .withColumn("hamming", ham).filter(col("hamming") <= 3)
-        .select("d1", "d2")
+      val cand = simhashCandsPlan(s, d)
         .localCheckpoint() // feeds the count AND the hit join: pay once
       val truth = jaccardPairs05(s, d) // r15: shared memoized build
         .select(col("d1").as("t1"), col("d2").as("t2"))
@@ -1693,10 +1796,9 @@ object TextOps {
     // what lets an 8-round iterative trainer sit inside the oracle
     // gate at all (symbols are [a-z]+ so no metacharacter hazards).
     "q_bpe_train" -> ((s, d) => {
-      val (merges, _, unpersist) = bpeFit(s, d, rounds = 8)
-      try s.createDataFrame(merges).toDF("merge_rank", "pair", "cnt")
+      val (merges, _) = bpeFitMemo(s, d) // r16: shared memoized fit
+      s.createDataFrame(merges).toDF("merge_rank", "pair", "cnt")
         .orderBy("merge_rank")
-      finally unpersist()
     }),
 
     // E5 BPE ENCODE — the apply half of the train→apply pair: run the
@@ -1707,13 +1809,11 @@ object TextOps {
     // encoder can never drift; the oracle re-derives the identical
     // state from the shared unrolled-CTE prefix.
     "q_bpe_encode" -> ((s, d) => {
-      val (_, dict, unpersist) = bpeFit(s, d, rounds = 8)
-      try dict.select(col("word"), col("freq"),
+      val (_, dict) = bpeFitMemo(s, d) // r16: shared memoized fit
+      dict.select(col("word"), col("freq"),
           size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"),
           trim(col("sym")).as("encoded"))
         .orderBy("word")
-        .localCheckpoint() // materialize before the shared input unpersists
-      finally unpersist()
     }),
 
     // E5 WORDPIECE ENCODE (round 10) — the greedy longest-match-first
@@ -2767,27 +2867,15 @@ object TextOps {
     // and integral (counts + ppm), so recall itself sits in the oracle.
     "q_lsh_recall" -> ((s, d) => {
       val probeN = 50 // the q_ann_recall sampled-queries size
-      // one token explode feeds the truth join (both sides), sizes,
-      // and the minhash signatures — checkpoint it once
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
-        .localCheckpoint()
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val probeTok = tok.filter(col("doc_id") < probeN)
-        .select(col("doc_id").as("d1"), col("token"))
-      val truth = probeTok
-        .join(tok.select(col("doc_id").as("d2"), col("token")), "token")
-        .filter(col("d2") > col("d1"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        // probe-side sizes are ≤probeN rows — broadcast; the d2 side
-        // is one row per corpus doc (NOT broadcastable at lake scale),
-        // so it shuffles on d2 like any fact-dim join
-        .join(broadcast(sizes.filter(col("doc_id") < probeN)
-          .select(col("doc_id").as("d1"), col("sz").as("s1"))), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      // r16: the exact truth rides the memoized [[probeExactPairs]]
+      // (one build shared with q_minhash_est's exact leg and
+      // q_lsh_tuning's probe truth — all three derived this pipeline
+      // independently before); the Jaccard-≥½ test is a cheap filter
+      // over the checkpointed (inter, s1, s2) table, so no private
+      // token explode or probe join remains in this query.
+      val truth = probeExactPairs(s, d)
         .filter(col("inter") * 2 >= col("s1") + col("s2") - col("inter"))
         .select("d1", "d2")
-        .localCheckpoint() // feeds the hit semi-join AND the truth count
       val bands = minhashBandsMemo(s, d)
       val cand = bands.filter(col("doc_id") < probeN)
         .select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
@@ -2889,18 +2977,10 @@ object TextOps {
     // q_lsh_recall: probe×corpus, never corpus².
     "q_minhash_est" -> ((s, d) => {
       val probeN = 50
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
-        .localCheckpoint() // feeds the exact join (both sides), sizes, sigs
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val exact = tok.filter(col("doc_id") < probeN)
-        .select(col("doc_id").as("d1"), col("token"))
-        .join(tok.select(col("doc_id").as("d2"), col("token")), "token")
-        .filter(col("d2") > col("d1"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.filter(col("doc_id") < probeN)
-          .select(col("doc_id").as("d1"), col("sz").as("s1"))), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+      // r16: the exact leg rides the memoized [[probeExactPairs]] —
+      // the pipeline it previously rebuilt verbatim (shared with
+      // q_lsh_recall's truth and q_lsh_tuning's probe truth).
+      val exact = probeExactPairs(s, d)
         .withColumn("exact_ppm", expr("inter * 1000000 div (s1 + s2 - inter)"))
         .filter(col("exact_ppm") >= 100000)
       // r15: the memoized signature table IS minhashSigsFromTokens over
@@ -3098,22 +3178,19 @@ object TextOps {
     // counts joined against the BROADCAST dictionary — a trained
     // vocab is a bounded design artifact, never corpus-sized.
     "q_tokenizer_fertility" -> ((s, d) => {
-      val (_, dict, unpersist) = bpeFit(s, d, rounds = 8)
-      try {
-        val enc = dict.select(col("word"),
-          size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"))
-        documents(s, d)
-          .select(col("source"), explode(wordsOf).as("word"))
-          .groupBy("source", "word").agg(count(lit(1)).as("m"))
-          .join(broadcast(enc), "word")
-          .groupBy("source")
-          .agg(sum("m").as("n_words"),
-            sum(expr("m * n_tokens")).as("n_bpe_tokens"))
-          .withColumn("fertility_ppm",
-            expr("n_bpe_tokens * 1000000 div n_words"))
-          .orderBy("source")
-          .localCheckpoint() // materialize before the shared input unpersists
-      } finally unpersist()
+      val (_, dict) = bpeFitMemo(s, d) // r16: shared memoized fit
+      val enc = dict.select(col("word"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"))
+      documents(s, d)
+        .select(col("source"), explode(wordsOf).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("m"))
+        .join(broadcast(enc), "word")
+        .groupBy("source")
+        .agg(sum("m").as("n_words"),
+          sum(expr("m * n_tokens")).as("n_bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("n_bpe_tokens * 1000000 div n_words"))
+        .orderBy("source")
     }),
 
     // E5 INTER-ANNOTATOR AGREEMENT — Cohen's κ between two independent
@@ -3553,6 +3630,30 @@ object TextOps {
     * word dictionary. Returns (merge table rows, final dictionary
     * state, unpersist thunk) — the caller must invoke the thunk after
     * materializing its result. */
+  /** Memoized 8-round BPE fit — r16: THREE consumers (q_bpe_train,
+    * q_bpe_encode, q_tokenizer_fertility) each re-ran the full fit:
+    * 8 sequential pair-count jobs with a driver argmax round-trip
+    * apiece, the serial chain behind all three queries' sub-1 core
+    * ratios. One fit now feeds all three; the merge table is a plain
+    * driver value (8 rows, deterministic) and the final dictionary
+    * state is checkpointed and Blocks-protected like every sibling
+    * memo. The 8-round chain itself stays sequential — each round's
+    * argmax feeds the next round's replace, the irreducible structure
+    * of iterative BPE (documented fixed-overhead floor). */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Long, String, Long)], DataFrame)]
+
+  private def bpeFitMemo(s: SparkSession, d: String)
+      : (Seq[(Long, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate((s, d),
+      graft.MemoStats.timed("bpe_fit") {
+        val (merges, dict, unpersist) = bpeFit(s, d, rounds = 8)
+        try {
+          val out = graft.Blocks.protect(dict.localCheckpoint())
+          (merges, out)
+        } finally unpersist()
+      })
+
   private def bpeFit(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Long, String, Long)], DataFrame, () => Unit) = {
     val dict0 = documents(s, d)

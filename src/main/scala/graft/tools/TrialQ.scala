@@ -16,8 +16,11 @@ object TrialQ {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        b.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
       })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -24,6 +24,19 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(Some(0.01), med, 0.1, 0.1, 0.12))
   }
 
+  test("in-catalog referenced entries: 2x the same-basis ref AND a material excess") {
+    // 2.3x an 0.1 s ic ref but only +0.13 s over it: scheduler jitter,
+    // not weather — min-of-2 already bounded it, no retry (r16 floor)
+    assert(!Bench.isSuspect(None, med, 0.23, 0.3, 0.23, icRef = Some(0.1)))
+    // 2x+ AND more than a quarter second over the ic ref: retried
+    assert(Bench.isSuspect(None, med, 1.1, 2.2, 1.1, icRef = Some(0.4)))
+    // material excess but under 2x: heavy-but-stable, never retried
+    assert(!Bench.isSuspect(None, med, 5.5, 5.5, 5.8, icRef = Some(4.0)))
+    // ic basis wins over the isolated ref when both exist (the
+    // isolated minimum would have fired at 3x here)
+    assert(!Bench.isSuspect(Some(0.2), med, 0.7, 0.7, 0.75, icRef = Some(0.6)))
+  }
+
   test("unreferenced entries: need run disagreement AND a slow min") {
     // both runs agree, entry just heavy: not a suspect
     assert(!Bench.isSuspect(None, med, 5.0, 5.0, 5.4))

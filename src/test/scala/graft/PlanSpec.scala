@@ -564,12 +564,48 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_itemset_triples: pair-screen prune broadcasts; triple-gen is explode-only") {
+    // r16: sorted-basket posexplode/slice chain (codegen Generates, no
+    // interpreted HOF) — the r15 self-join regression pinned out
     val p = plan("q_itemset_triples")
     assert(p.contains("BroadcastHashJoin"),
       "the pair-item prune must broadcast against the fact")
     assert(!p.contains("SortMergeJoin"),
       "triple generation must come from basket explodes, not a self-join")
-    assert(p.contains("Generate explode"), "missing the chained explode pipeline")
+    assert(p.contains("Generate posexplode") && p.contains("Generate explode"),
+      "missing the chained posexplode/slice pipeline")
+  }
+
+  test("LSH/simhash 64-caps: native bounded-heap top-k, no window sort, no self-join") {
+    // the RAW candidate pipelines (consumers checkpoint the results)
+    Seq(
+      "q_lsh_tuning" -> graft.operators.TextOps.lshTuningCandsPlan(spark, sf),
+      "q_simhash_eval" -> graft.operators.TextOps.simhashCandsPlan(spark, sf)
+    ).foreach { case (q, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"),
+        s"$q cap must run the native bounded heap, not a window sort")
+      assert(!p.contains("WindowExec") && !p.contains(" Window "),
+        s"$q must not fall back to a full window sort")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q pair fan-out must come from within-bucket explodes, not a self-join")
+      assert(p.contains("Generate posexplode"),
+        s"$q missing the sorted-array slice-explode pair generation")
+    }
+  }
+
+  test("q_user_cf pair-gen: sorted-set slice explodes, no self-join, no HOF filter") {
+    // the RAW pre-checkpoint pipeline (the catalog entry checkpoints
+    // the pair table because both symmetrization branches consume it)
+    val df = graft.analytics.RelQueries.userCfPairsPlan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "pair generation must not re-shuffle-join the interaction table")
+    assert(p.contains("Generate posexplode") && p.contains("Generate explode"),
+      "missing the sorted-set posexplode/slice pipeline")
+    assert(!p.contains("ArrayFilter") && !p.contains("lambdafunction"),
+      "no interpreted higher-order filter in the pair fan-out")
   }
 
   test("q_mutual_info: source dimension and total broadcast to the vocab grid") {
