@@ -318,7 +318,7 @@ object CorpusOps {
     // arithmetic ((rank−1)·3 div n), so phase sizes are balanced to
     // ±1 by construction. One explode + df join, then O(docs) narrow.
     "q_curriculum" -> ((s, d) => {
-      val toks = documents(s, d)
+      val toks = spreadIfCoarse(documents(s, d))
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tk"))
         .filter(col("tk") =!= "")
       val nDocs = broadcast(documents(s, d).agg(count(lit(1)).as("n_docs")))

@@ -30,8 +30,14 @@ object TextOps {
   /** 16-bit SimHash fingerprints per doc (doc_id, source,
     * fingerprint) — shared by q_simhash and q_simhash_eval so the
     * eval measures exactly the hash the catalog ships. */
-  private def simhashFp(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(documents(s, d)).withColumn("h", md5(col("token")))
+  /** `spread` (r16): q_simhash_eval's candidate pipeline parallelizes
+    * the fingerprint build through [[Tables.spreadIfCoarse]]; the plain
+    * q_simhash aggregate keeps the bare scan (the extra exchange costs
+    * more than the single-task agg there — measured +70 ms). */
+  private def simhashFp(s: SparkSession, d: String,
+                        spread: Boolean = false): DataFrame = {
+    val base = if (spread) spreadIfCoarse(documents(s, d)) else documents(s, d)
+    val t = tokens(base).withColumn("h", md5(col("token")))
     val bitSums = (1 to 16).map(i =>
       sum(when(substring(col("h"), i, 1).between("8", "f"), 1).otherwise(-1))
         .as(s"s$i"))
@@ -231,7 +237,7 @@ object TextOps {
   private[operators] def minhashSigsMemo(s: SparkSession, d: String): DataFrame =
     sigCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("minhash_sigs") {
-        val t = tokens(documents(s, d))
+        val t = tokens(spreadIfCoarse(documents(s, d)))
         // r16 prefix-collision guard (ADVICE): the 60-bit dictionary
         // recovery in [[minhashSigsFromTokens]] is bit-exact iff no two
         // vocab tokens collide on a hash prefix in any permutation.
@@ -338,7 +344,7 @@ object TextOps {
     * directory; localCheckpoint, session lifetime) — the two consumers
     * pay the explode+hash+window once between them. */
   private[graft] def shingleIndexPlan(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    spreadIfCoarse(documents(s, d))
       .select(col("source"), col("doc_id"),
         explode(array_distinct(graft.functions.NGrams.ngrams(wordsOf, 3)))
           .as("shingle"))
@@ -391,7 +397,7 @@ object TextOps {
     jacPairsCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("jaccard_pairs")(
         tokenJaccardPairs(
-          documents(s, d).select(col("source"), col("doc_id"),
+          spreadIfCoarse(documents(s, d)).select(col("source"), col("doc_id"),
             array_distinct(wordsOf).as("toks")),
           threshold = 0.5, ordered = false).localCheckpoint()))
 
@@ -472,7 +478,7 @@ object TextOps {
     * self-join and its re-sorts are gone (the q_lsh_tuning pattern;
     * struct arrays sort by doc_id first). */
   private[graft] def simhashCandsPlan(s: SparkSession, d: String): DataFrame = {
-    val fp = simhashFp(s, d)
+    val fp = simhashFp(s, d, spread = true)
       .select(col("source"),
         substring(col("fingerprint"), 1, 8).as("bucket"),
         col("doc_id"),
@@ -509,7 +515,7 @@ object TextOps {
     probePairsCache.getOrElseUpdate((s, d),
       graft.MemoStats.timed("probe_exact_pairs") {
         val probeN = 50 // the q_ann_recall sampled-queries size
-        val tok = documents(s, d)
+        val tok = spreadIfCoarse(documents(s, d))
           .select(col("doc_id"), explode(array_distinct(wordsOf)).as("token"))
           .localCheckpoint() // feeds probe side, corpus side AND sizes
         val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -1043,7 +1049,7 @@ object TextOps {
     // Per-token MI sums a handful of FP terms; rounded to 6.
     "q_mutual_info" -> ((s, d) => {
       val docsrc = documents(s, d).select("doc_id", "source")
-      val pres = tokens(documents(s, d))
+      val pres = tokens(spreadIfCoarse(documents(s, d)))
         .groupBy("token", "source").agg(countDistinct("doc_id").as("n_ts"))
       val srcTot = docsrc.groupBy("source").agg(count(lit(1)).as("n_s"))
       val nTot = docsrc.agg(count(lit(1)).as("n"))
@@ -2533,7 +2539,7 @@ object TextOps {
     // and joins back broadcast. Cost ∝ tokens × window, vocab-rank
     // ∝ vocab — nothing quadratic.
     "q_skipgram_pairs" -> ((s, d) => {
-      val toks = documents(s, d).select(col("doc_id"),
+      val toks = spreadIfCoarse(documents(s, d)).select(col("doc_id"),
         posexplode(filter(split(lower(col("text")), " "), t => t =!= ""))
           .as(Seq("pos", "tok")))
       val ctr = toks.select(col("doc_id"), col("pos"), col("tok").as("center"))
@@ -2674,7 +2680,7 @@ object TextOps {
     // length, the q_cooccur shape); word stats and the phrase rollup
     // are token-/phrase-keyed hash-aggs — nothing is ever all-pairs.
     "q_rake_keywords" -> ((s, d) => {
-      val toks = documents(s, d).select(col("doc_id"),
+      val toks = spreadIfCoarse(documents(s, d)).select(col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tk")))
       val marked = toks.withColumn("b",
         (col("tk") === "" || col("tk").isInCollection(stopwords))
@@ -3023,7 +3029,7 @@ object TextOps {
     // impact-ordered-index trade, and the reason this stays
     // computable when the corpus (and its stopword df) grows 1000×.
     "q_tfidf_cosine" -> ((s, d) => {
-      val toks = documents(s, d)
+      val toks = spreadIfCoarse(documents(s, d))
         .select(col("doc_id"),
           expr("filter(split(lower(text), ' '), x -> x != '')").as("a"))
         .select(col("doc_id"), explode(expr(
@@ -3181,7 +3187,7 @@ object TextOps {
       val (_, dict) = bpeFitMemo(s, d) // r16: shared memoized fit
       val enc = dict.select(col("word"),
         size(split(trim(col("sym")), " ")).cast("long").as("n_tokens"))
-      documents(s, d)
+      spreadIfCoarse(documents(s, d))
         .select(col("source"), explode(wordsOf).as("word"))
         .groupBy("source", "word").agg(count(lit(1)).as("m"))
         .join(broadcast(enc), "word")
@@ -3656,7 +3662,7 @@ object TextOps {
 
   private def bpeFit(s: SparkSession, d: String, rounds: Int)
       : (Seq[(Long, String, Long)], DataFrame, () => Unit) = {
-    val dict0 = documents(s, d)
+    val dict0 = spreadIfCoarse(documents(s, d))
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z]+"), lit(0))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))

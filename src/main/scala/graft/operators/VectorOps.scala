@@ -1543,33 +1543,41 @@ object VectorOps {
     // convention; the all-zero-matrix degenerate denominator is
     // NULL-guarded on both engines.
     "q_pca_power" -> ((s, d) => {
+      import s.implicits._
       val cov = queries("q_embed_cov")(s, d).select("i", "j", "cov_milli2")
-      val m = cov.unionAll(cov.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("cov_milli2")))
-        .localCheckpoint() // feeds 7 matvec rounds: build once
-      var v = m.select(col("i").as("d")).distinct()
-        .select(col("d"), lit(1000L).as("x"))
-      def matvec(vv: DataFrame): DataFrame =
-        m.join(vv, m("j") === vv("d")).groupBy(m("i"))
-          .agg(sum(expr("cov_milli2 * x")).as("w"))
+      // r16: the corpus-sized work is the covariance AGGREGATE (the
+      // referenced q_embed_cov — distributed, one scan); the power
+      // iteration itself is O(dims²)=36 values. Running its 6 rounds
+      // as Spark jobs (matvec join + 8-row localCheckpoint per round)
+      // was pure scheduling floor — ProfQ measured 47 jobs and 0.30
+      // task-seconds against 1.62 s wall. The iteration now runs on
+      // the COLLECTED aggregate in exact Long arithmetic (the kmeans-
+      // centroid / BPE-argmax bounded-fitter-state precedent; Scala /
+      // and SQL `div` both truncate toward zero, so the integer
+      // lockstep with the unrolled DuckDB oracle is unchanged).
+      val entries = cov.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val m = (entries ++ entries.filter(e => e._1 != e._2)
+        .map(e => (e._2, e._1, e._3))).toSeq
+      val byRow = m.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      var x: Map[Long, Long] =
+        byRow.keysIterator.map(dd => dd -> 1000L).toMap
+      def matvec(v: Map[Long, Long]): Map[Long, Long] =
+        byRow.map { case (i, es) =>
+          i -> es.iterator.map { case (j, c) => c * v(j) }.sum }
       for (_ <- 1 to 6) {
-        val w = matvec(v)
-        val ma = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("ma"))
-        // checkpoint the 8-row iterate: w appears twice per round
-        // (renormalizer + projection), so without truncation the
-        // final plan holds ~2^rounds copies of the matvec subtree —
-        // measured 7.6 s of pure planning/stage overhead vs ~1 s cut
-        v = w.crossJoin(ma)
-          .select(col("i").as("d"), expr("w * 1000 div ma").as("x"))
-          .localCheckpoint()
+        val w = matvec(x)
+        val ma = math.max(
+          if (w.isEmpty) 0L else w.valuesIterator.map(math.abs).max, 1L)
+        x = w.map { case (i, wi) => i -> wi * 1000L / ma }
       }
-      val lam = matvec(v).join(v.select(col("d"), col("x")), col("i") === col("d"))
-        .agg(sum(expr("x * w")).as("num"), sum(expr("x * x")).as("den"))
-        .select(expr("case when den = 0 then null else num div den end")
-          .as("lambda_milli2"))
-      v.crossJoin(lam)
-        .select(col("d").as("dim"), col("x").as("eig_milli"), col("lambda_milli2"))
-        .orderBy("dim")
+      val wf = matvec(x)
+      val num = x.iterator.map { case (i, xi) => xi * wf(i) }.sum
+      val den = x.valuesIterator.map(xi => xi * xi).sum
+      val lam: Option[Long] = if (den == 0) None else Some(num / den)
+      x.toSeq.sortBy(_._1)
+        .map { case (dd, xi) => (dd, xi, lam) }
+        .toDF("dim", "eig_milli", "lambda_milli2")
     }),
 
     // E4 ANISOTROPY REPORT — how much of the embedding variance the

@@ -46,6 +46,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Round-robin spread of a COARSE scan — the optimization-guide §2.5
+    * "one huge unsplittable file" case: the local test parquet ships as
+    * a single single-row-group file, so the scan stage — and every
+    * operator pipelined into it (token explodes, n-gram generation,
+    * partial aggregates) — runs as ONE task no matter the core count
+    * (the r15 PERF scaling block's sub-1 core ratios across the text
+    * family all trace to this). When the source resolves to fewer files
+    * than half the default parallelism, insert one round-robin exchange
+    * of the RAW rows (KBs here) so the expensive downstream compute
+    * parallelizes; on a lake layout (thousands of files) the gate
+    * disables itself and the plan is unchanged — the condition adapts
+    * to the DATA LAYOUT, not to this host's core count. Applied
+    * selectively at compute-heavy text pipelines, never at
+    * aggregate-first relational scans (where shuffling raw rows would
+    * exceed the aggregate's own shuffle — §2.3 aggregate-before-
+    * shuffle). */
+  def spreadIfCoarse(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 2 < par) df.repartition(par) else df
+  }
+
   /** S2 NDJSON scan (dags/utils.py:81-84): line-delimited is Spark's
     * default JSON mode; explicit schema avoids an inference pass. */
   def ndjson(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
